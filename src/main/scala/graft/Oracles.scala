@@ -1,0 +1,287 @@
+package graft
+
+/** DuckDB oracle SQL for every SQL-expressible query in [[Queries]].
+  *
+  * Written for DuckDB 1.x against views named after the testdata
+  * parquet files. Each statement is constructed to compute the SAME
+  * IEEE-double values as the Spark side (identical tokenization
+  * regexes, identical sequential arithmetic where it matters, decimal
+  * casts where summation order would otherwise perturb low bits) and
+  * carries the same total ORDER BY.
+  */
+object Oracles {
+
+  /** Cosine between an embedding column and the vec_id=0 query
+    * vector, computed in double like GraftFunctions.cosineSimilarity.
+    */
+  private def cosSql(tbl: String): String =
+    s"list_cosine_similarity(CAST($tbl.embedding AS DOUBLE[]), " +
+      "(SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0))"
+
+  /** DuckDB mirror of Queries.sqlTokens. */
+  private val toksSql =
+    "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+
+  val sql: Map[String, String] = Map(
+
+    "s1_delta_scan_join" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE doc_id NOT IN (SELECT vec_id FROM embeddings WHERE vec_id <= 400)
+        |ORDER BY doc_id""".stripMargin,
+
+    "s2_delta_scan_append" ->
+      """SELECT event_id, epoch_ms(ts) AS ts_ms, user_id, event_type
+        |FROM events WHERE ts > TIMESTAMP '2024-01-03 00:00:00'
+        |ORDER BY event_id""".stripMargin,
+
+    "s3_fetch_by_ids" -> {
+      val ids = (0 until 40).map(_ * 13).mkString(", ")
+      s"""SELECT doc_id, lang, source FROM documents
+         |WHERE doc_id IN ($ids) ORDER BY doc_id""".stripMargin
+    },
+
+    "s5_upsert_merge" ->
+      """SELECT vec_id, label FROM embeddings
+        |WHERE vec_id <= 400 AND vec_id NOT BETWEEN 350 AND 450
+        |UNION ALL
+        |SELECT vec_id, label + 100 AS label FROM embeddings
+        |WHERE vec_id BETWEEN 350 AND 450
+        |ORDER BY vec_id""".stripMargin,
+
+    "s8_import_anti_join" ->
+      """SELECT vec_id, label FROM embeddings
+        |WHERE vec_id % 2 <> 0 ORDER BY vec_id""".stripMargin,
+
+    "p1_concat_variants" ->
+      """SELECT p_partkey,
+        |  coalesce(p_brand,'') || ' ' || coalesce(p_type,'') AS concat_space,
+        |  coalesce(p_brand,'') || ', ' || coalesce(p_type,'') AS concat_csv,
+        |  'p_brand: ' || coalesce(p_brand,'') || ' ' ||
+        |  'p_type: ' || coalesce(p_type,'') || ' ' AS concat_labeled
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "p4_typed_filters" ->
+      """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice
+        |FROM orders
+        |WHERE o_orderstatus = 'O' AND o_totalprice >= 50000.0 AND o_custkey < 100
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "p5_where_sql" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        |WHERE l_quantity >= 45 AND l_returnflag = 'R'
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "j1_topk_join" ->
+      s"""WITH hits AS (
+         |  SELECT vec_id, ${cosSql("embeddings")} AS cos
+         |  FROM embeddings
+         |  ORDER BY cos DESC, vec_id ASC LIMIT 50)
+         |SELECT d.doc_id, d.lang, round(h.cos, 4) AS cos
+         |FROM documents d JOIN hits h ON d.doc_id = h.vec_id
+         |ORDER BY cos DESC, d.doc_id ASC""".stripMargin,
+
+    "j2_hybrid_rrf" ->
+      s"""WITH sem_top AS (
+         |  SELECT vec_id AS pkey, ${cosSql("embeddings")} AS cos
+         |  FROM embeddings ORDER BY cos DESC, pkey ASC LIMIT 50),
+         |sem AS (
+         |  SELECT pkey, row_number() OVER (ORDER BY cos DESC, pkey ASC) AS semantic_rank
+         |  FROM sem_top),
+         |toks AS (
+         |  SELECT doc_id AS pkey, $toksSql AS toks FROM documents),
+         |fts_top AS (
+         |  SELECT pkey,
+         |    len(list_intersect(list_distinct(toks), ['merge','join','stream'])) AS overlap,
+         |    CAST(len(list_filter(toks, x -> x = 'merge' OR x = 'join' OR x = 'stream')) AS DOUBLE)
+         |      / len(toks) AS tf
+         |  FROM toks
+         |  WHERE len(list_intersect(list_distinct(toks), ['merge','join','stream'])) > 0
+         |  ORDER BY tf DESC, pkey ASC LIMIT 50),
+         |fts AS (
+         |  SELECT pkey, row_number() OVER (ORDER BY tf DESC, pkey ASC) AS fts_rank
+         |  FROM fts_top)
+         |SELECT coalesce(sem.pkey, fts.pkey) AS pkey,
+         |  sem.semantic_rank, fts.fts_rank,
+         |  round(coalesce(1.0 / (60.0 + sem.semantic_rank), 0.0) +
+         |        coalesce(1.0 / (60.0 + fts.fts_rank), 0.0), 6) AS rrf_score
+         |FROM sem FULL OUTER JOIN fts ON sem.pkey = fts.pkey
+         |ORDER BY rrf_score DESC, pkey ASC LIMIT 10""".stripMargin,
+
+    "j3_left_anti" ->
+      """WITH e AS (SELECT vec_id FROM embeddings WHERE label < 5)
+        |SELECT d.doc_id, d.source FROM documents d
+        |LEFT JOIN e ON d.doc_id = e.vec_id
+        |WHERE e.vec_id IS NULL ORDER BY d.doc_id""".stripMargin,
+
+    "j6_inner_join_view" ->
+      """SELECT d.doc_id, d.lang, e.label, len(e.embedding) AS dim
+        |FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+        |ORDER BY d.doc_id""".stripMargin,
+
+    "a1_collect_ids" ->
+      """SELECT label,
+        |  string_agg(CAST(vec_id AS VARCHAR), ',' ORDER BY vec_id) AS ids,
+        |  count(*) AS n
+        |FROM embeddings GROUP BY label ORDER BY label""".stripMargin,
+
+    "a2_agg_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_qty,
+        |  round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_base_price,
+        |  round(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_disc_price,
+        |  round(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 4) AS avg_qty,
+        |  COUNT(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "w1_semantic_rank" ->
+      s"""WITH top AS (
+         |  SELECT vec_id, 1.0 - ${cosSql("embeddings")} AS distance
+         |  FROM embeddings ORDER BY distance ASC, vec_id ASC LIMIT 50)
+         |SELECT vec_id, round(distance, 4) AS distance,
+         |  row_number() OVER (ORDER BY distance ASC, vec_id ASC) AS semantic_rank
+         |FROM top ORDER BY semantic_rank""".stripMargin,
+
+    "w2_partitioned_rank" ->
+      """WITH ranked AS (
+        |  SELECT l_suppkey,
+        |    row_number() OVER (PARTITION BY l_suppkey
+        |      ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC) AS rk,
+        |    l_orderkey, l_linenumber, round(l_extendedprice, 2) AS price
+        |  FROM lineitem)
+        |SELECT l_suppkey, rk, l_orderkey, l_linenumber, price
+        |FROM ranked WHERE rk <= 3 ORDER BY l_suppkey, rk""".stripMargin,
+
+    "t2_topk" ->
+      """SELECT l_orderkey, l_linenumber, round(l_extendedprice, 2) AS price
+        |FROM lineitem
+        |ORDER BY price DESC, l_orderkey ASC, l_linenumber ASC
+        |LIMIT 100""".stripMargin,
+
+    "f1_cosine_topk" ->
+      s"""WITH scored AS (
+         |  SELECT vec_id, ${cosSql("embeddings")} AS cos FROM embeddings)
+         |SELECT vec_id, round(cos, 4) AS cos FROM scored
+         |ORDER BY cos DESC, vec_id ASC LIMIT 20""".stripMargin,
+
+    "f5_ts_match" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, list_distinct($toksSql) AS toks FROM documents)
+         |SELECT doc_id, len(list_intersect(toks, ['vector','window'])) AS n_match
+         |FROM toks
+         |WHERE len(list_intersect(toks, ['vector','window'])) > 0
+         |ORDER BY doc_id""".stripMargin,
+
+    "f9_token_estimate" ->
+      """WITH te AS (
+        |  SELECT lang,
+        |    CASE WHEN text IS NULL OR text = '' THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
+        |  FROM documents)
+        |SELECT lang, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens, COUNT(*) AS n_docs
+        |FROM te GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "f10_trim_inputs" ->
+      """WITH arr AS (
+        |  SELECT doc_id, text, regexp_split_to_array(trim(text), '\s+') AS toks
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN len(toks) > 20 THEN array_to_string(list_slice(toks, 1, 20), ' ')
+        |       ELSE text END AS trimmed,
+        |  CASE WHEN len(toks) > 20 THEN 20 ELSE len(toks) END AS n_tokens
+        |FROM arr ORDER BY doc_id""".stripMargin,
+
+    "r_windowed_counts" ->
+      """SELECT CAST(floor(epoch_ms(ts) / 3600000) AS BIGINT) AS hour,
+        |  event_type, COUNT(*) AS n, round(SUM(value), 2) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+
+    "r_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_ms(ts) AS ts_ms, value FROM events),
+        |flagged AS (
+        |  SELECT user_id, ts_ms, value,
+        |    CASE WHEN lag(ts_ms) OVER w IS NULL
+        |              OR ts_ms - lag(ts_ms) OVER w > 1800000 THEN 1 ELSE 0 END AS new_sess
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms)),
+        |sess AS (
+        |  SELECT user_id, ts_ms, value,
+        |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_ms
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+        |  FROM flagged)
+        |SELECT user_id, sess_id, COUNT(*) AS n_events,
+        |  MIN(ts_ms) AS start_ms, MAX(ts_ms) AS end_ms,
+        |  round(SUM(value), 2) AS total_value
+        |FROM sess GROUP BY user_id, sess_id ORDER BY user_id, sess_id""".stripMargin,
+
+    "dedup_exact" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS nh
+        |  FROM documents)
+        |SELECT doc_id,
+        |  MIN(doc_id) OVER (PARTITION BY nh) AS canonical_id,
+        |  COUNT(*) OVER (PARTITION BY nh) AS group_size
+        |FROM h ORDER BY doc_id""".stripMargin,
+
+    "dedup_ngram_jaccard" ->
+      s"""WITH arr AS (
+         |  SELECT doc_id, source, $toksSql AS toks FROM documents),
+         |unnested AS (
+         |  SELECT doc_id, source, unnest(toks) AS tok,
+         |    generate_subscripts(toks, 1) AS i
+         |  FROM arr WHERE len(toks) >= 2),
+         |bigrams AS (
+         |  SELECT DISTINCT a.doc_id, a.source, a.tok || ' ' || b.tok AS g
+         |  FROM unnested a JOIN unnested b
+         |    ON a.doc_id = b.doc_id AND b.i = a.i + 1),
+         |gsets AS (
+         |  SELECT doc_id, source, COUNT(*) AS n FROM bigrams GROUP BY 1, 2),
+         |inter AS (
+         |  SELECT x.source AS block, x.doc_id AS id_a, y.doc_id AS id_b,
+         |    COUNT(*) AS ni
+         |  FROM bigrams x JOIN bigrams y
+         |    ON x.source = y.source AND x.g = y.g AND x.doc_id < y.doc_id
+         |  GROUP BY 1, 2, 3)
+         |SELECT i.block, i.id_a, i.id_b,
+         |  round(CAST(i.ni AS DOUBLE) / (ga.n + gb.n - i.ni), 4) AS jaccard
+         |FROM inter i
+         |JOIN gsets ga ON ga.doc_id = i.id_a
+         |JOIN gsets gb ON gb.doc_id = i.id_b
+         |WHERE CAST(i.ni AS DOUBLE) / (ga.n + gb.n - i.ni) >= 0.12
+         |ORDER BY block, id_a, id_b""".stripMargin,
+
+    "dedup_embedding_cos" ->
+      """SELECT a.label AS block, a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                               CAST(b.embedding AS DOUBLE[])), 4) AS cos
+        |FROM embeddings a JOIN embeddings b
+        |  ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                             CAST(b.embedding AS DOUBLE[])) >= 0.35
+        |ORDER BY block, id_a, id_b""".stripMargin,
+
+    "mm_describe" ->
+      """SELECT doc_id AS asset_id,
+        |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+        |    WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+        |  octet_length(encode(text)) AS n_bytes,
+        |  CAST((doc_id % 64) * 16 + 16 AS INT) AS width,
+        |  CAST((doc_id % 48) * 16 + 16 AS INT) AS height,
+        |  CAST(length(text) * 100 AS BIGINT) AS duration_ms
+        |FROM documents ORDER BY asset_id""".stripMargin,
+
+    "text_quality_metrics" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, text, $toksSql AS toks,
+         |    length(text) AS n_chars_m FROM documents)
+         |SELECT doc_id, n_chars_m, len(toks) AS n_tokens,
+         |  round(CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE)
+         |    / n_chars_m, 4) AS alpha_ratio,
+         |  round(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 4)
+         |    AS distinct_ratio
+         |FROM base ORDER BY doc_id""".stripMargin
+  )
+}

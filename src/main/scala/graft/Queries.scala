@@ -1,0 +1,588 @@
+package graft
+
+import graft.functions.GraftFunctions._
+import graft.operators.{Ann, Dedup, Multimodal, Pipeline, Search}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+/** The SURVEY §2 operator inventory as driver-checkable queries.
+  *
+  * Every entry is deterministic (explicit total ORDER BY, rounded
+  * doubles, no timestamps in output — epochs instead) so the driver's
+  * DuckDB hash-compare is stable. Oracle SQL lives in
+  * [[Oracles.sql]]; Spark and SQL sides are written to compute
+  * IDENTICAL values — same tokenization regex, same double-precision
+  * arithmetic, same rounding — not merely similar semantics.
+  */
+object Queries {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** The shared fixed query vector: embedding of vec_id = 0. */
+  private def queryVec(spark: SparkSession, dir: String): Array[Float] =
+    t(spark, dir, "embeddings").filter(col("vec_id") === 0)
+      .select("embedding").head().getSeq[Float](0).toArray
+
+  /** Built-in tokenization matching DuckDB
+    * `list_filter(regexp_split_to_array(lower(x),'[^a-z0-9]+'), t -> t <> '')`.
+    */
+  private def sqlTokens(c: Column): Column =
+    filter(split(lower(coalesce(c, lit(""))), "[^a-z0-9]+"), x => x =!= "")
+
+  // =================================================================
+  // §2.1 Scans / sources / sinks
+  // =================================================================
+
+  /** S1: delta scan (join method) — rows lacking embeddings or stale.
+    * "Embedded" = vec_id <= 400 simulates partial coverage.
+    */
+  def s1DeltaScanJoin(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val emb = t(spark, dir, "embeddings").filter(col("vec_id") <= 400)
+      .select(col("vec_id").as("pkey"))
+    docs.join(emb, docs("doc_id") === emb("pkey"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** S2: delta scan (append method) — watermark filter on the source.
+    * NOTE: events.ts is parquet TIMESTAMP(NANOS); Spark reads it as
+    * long nanos under spark.sql.legacy.parquet.nanosAsLong, so all
+    * event-time arithmetic is integer `div` on nanos (floor semantics
+    * identical to DuckDB's µs truncation at ms granularity).
+    */
+  def s2DeltaScanAppend(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .filter(col("ts") > lit(1704240000000000000L)) // 2024-01-03T00:00:00Z ns
+      .select(col("event_id"), expr("ts div 1000000").as("ts_ms"),
+        col("user_id"), col("event_type"))
+      .orderBy(col("event_id"))
+
+  /** S3: fetch-by-ids — message's rows via semi join. */
+  def s3FetchByIds(spark: SparkSession, dir: String): DataFrame = {
+    val ids = spark.range(0, 40).select((col("id") * 13).as("doc_id"))
+    t(spark, dir, "documents").join(ids, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** S5/S6/J7: upsert MERGE — updates replace same-key current rows,
+    * new keys append. Current = vec_id <= 400; updates = vec_ids
+    * 350-450 with label shifted +100.
+    */
+  def s5UpsertMerge(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val current = emb.filter(col("vec_id") <= 400)
+      .select(col("vec_id"), col("label"))
+    val updates = emb.filter(col("vec_id").between(350, 450))
+      .select(col("vec_id"), (col("label") + 100).as("label"))
+    val kept = current.join(updates.select("vec_id"), Seq("vec_id"), "left_anti")
+    kept.unionByName(updates).orderBy(col("vec_id"))
+  }
+
+  /** S8/J4: import external embeddings — only keys not yet present. */
+  def s8ImportAntiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val existing = emb.filter(col("vec_id") % 2 === 0).select("vec_id")
+    emb.join(existing, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("label"))
+      .orderBy(col("vec_id"))
+  }
+
+  // =================================================================
+  // §2.2 Projections / filters
+  // =================================================================
+
+  /** P1/P2/P3: the three intentionally-different concat variants. */
+  def p1ConcatVariants(spark: SparkSession, dir: String): DataFrame = {
+    val part = t(spark, dir, "part")
+    part.select(
+      col("p_partkey"),
+      concatCols(Seq(col("p_brand"), col("p_type"))).as("concat_space"),
+      concatColsCsv(Seq(col("p_brand"), col("p_type"))).as("concat_csv"),
+      concatColsLabeled(Seq("p_brand", "p_type"),
+        Seq(col("p_brand"), col("p_type"))).as("concat_labeled"))
+      .orderBy(col("p_partkey"))
+  }
+
+  /** P4: typed metadata filters (eq on string, gte/lt on numerics). */
+  def p4TypedFilters(spark: SparkSession, dir: String): DataFrame = {
+    import graft.types._
+    val filters = Map(
+      "o_orderstatus" -> FilterValue(FilterOperator.Eq, FilterScalar.S("O")),
+      "o_totalprice" -> FilterValue(FilterOperator.Gte, FilterScalar.F(50000.0)),
+      "o_custkey" -> FilterValue(FilterOperator.Lt, FilterScalar.I(100)))
+    Search.applyFilters(t(spark, dir, "orders"), filters)
+      .select(col("o_orderkey"), col("o_custkey"),
+        round(col("o_totalprice"), 2).as("o_totalprice"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** P5: raw where_sql predicate via expr(). */
+  def p5WhereSql(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .filter(expr("l_quantity >= 45 AND l_returnflag = 'R'"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  // =================================================================
+  // §2.3 Joins
+  // =================================================================
+
+  /** J1: inner equi-join of top-k hits back to the source (broadcast). */
+  def j1TopkJoin(spark: SparkSession, dir: String): DataFrame = {
+    val qv = queryVec(spark, dir)
+    val emb = t(spark, dir, "embeddings")
+    val hits = emb.select(col("vec_id"),
+        cosineSimilarity(col("embedding"), lit(qv)).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id").asc).limit(50)
+    val docs = t(spark, dir, "documents")
+    docs.join(broadcast(hits), docs("doc_id") === hits("vec_id"))
+      .select(col("doc_id"), col("lang"), round(col("cos"), 4).as("cos"))
+      .orderBy(col("cos").desc, col("doc_id").asc)
+  }
+
+  /** J2 + W1 + W2 + A3 + T1-T3: the full hybrid-RRF fusion shape on
+    * raw tokens (oracle-checkable end to end): semantic leg = cosine
+    * rank, lexical leg = token-overlap rank, FULL OUTER join on key,
+    * rrf = 1/(60+rank) each side coalesced to 0, top 10.
+    */
+  def j2HybridRrf(spark: SparkSession, dir: String): DataFrame = {
+    val qv = queryVec(spark, dir)
+    val emb = t(spark, dir, "embeddings")
+    val docs = t(spark, dir, "documents")
+    val qTokens = array(lit("merge"), lit("join"), lit("stream"))
+
+    val semTop = emb.select(col("vec_id").as("pkey"),
+        cosineSimilarity(col("embedding"), lit(qv)).as("cos"))
+      .orderBy(col("cos").desc, col("pkey").asc).limit(50)
+    val sem = semTop.withColumn("semantic_rank",
+      row_number().over(Window.orderBy(col("cos").desc, col("pkey").asc)))
+
+    val toks = docs.select(col("doc_id").as("pkey"),
+      sqlTokens(col("text")).as("toks"))
+    val ftsTop = toks
+      .withColumn("overlap", size(array_intersect(array_distinct(col("toks")), qTokens)))
+      .filter(col("overlap") > 0)
+      .withColumn("tf", size(filter(col("toks"),
+        x => x === "merge" || x === "join" || x === "stream"))
+        .cast("double") / size(col("toks")))
+      .select(col("pkey"), col("overlap"), col("tf"))
+      .orderBy(col("tf").desc, col("pkey").asc).limit(50)
+    val fts = ftsTop.withColumn("fts_rank",
+      row_number().over(Window.orderBy(col("tf").desc, col("pkey").asc)))
+
+    sem.join(fts, Seq("pkey"), "full_outer")
+      .withColumn("rrf_score",
+        coalesce(lit(1.0) / (lit(60.0) + col("semantic_rank")), lit(0.0)) +
+        coalesce(lit(1.0) / (lit(60.0) + col("fts_rank")), lit(0.0)))
+      .select(col("pkey"), col("semantic_rank"), col("fts_rank"),
+        round(col("rrf_score"), 6).as("rrf_score"))
+      .orderBy(col("rrf_score").desc, col("pkey").asc)
+      .limit(10)
+  }
+
+  /** J3: left join with anti semantics via null filter (the S1 dual,
+    * written as LEFT OUTER + IS NULL like the reference SQL).
+    */
+  def j3LeftAnti(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val emb = t(spark, dir, "embeddings").filter(col("label") < 5)
+      .select(col("vec_id"), col("label"))
+    docs.join(emb, docs("doc_id") === emb("vec_id"), "left_outer")
+      .filter(col("vec_id").isNull)
+      .select(col("doc_id"), col("source"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** J6: the project view — source INNER JOIN embeddings on pkey. */
+  def j6InnerJoinView(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val emb = t(spark, dir, "embeddings")
+    docs.join(emb, docs("doc_id") === emb("vec_id"))
+      .select(col("doc_id"), col("lang"), col("label"),
+        size(col("embedding")).as("dim"))
+      .orderBy(col("doc_id"))
+  }
+
+  // =================================================================
+  // §2.4 Aggregations
+  // =================================================================
+
+  /** A1: array_agg of changed pkeys (as ordered CSV for stable hash). */
+  def a1CollectIds(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "embeddings")
+      .groupBy(col("label"))
+      .agg(concat_ws(",", sort_array(collect_list(col("vec_id")))).as("ids"),
+        count(lit(1)).as("n"))
+      .orderBy(col("label"))
+
+  /** A2 + general agg shape: counts + sums with map-side combine
+    * (classic pricing-summary aggregation).
+    */
+  def a2AggSummary(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit("1998-09-02 00:00:00").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        // decimal-cast sums: summation-order-proof exact values that
+        // match the oracle bit-for-bit (SURVEY §5 oracle strategy)
+        round(sum(col("l_quantity").cast("decimal(18,4)")).cast("double"), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice").cast("decimal(18,4)")).cast("double"), 2).as("sum_base_price"),
+        round(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(18,4)")).cast("double"), 2).as("sum_disc_price"),
+        round(sum(col("l_quantity").cast("decimal(18,4)")).cast("double") / count(lit(1)), 4).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  // =================================================================
+  // §2.5 Windows + §2.6 sorts/top-k
+  // =================================================================
+
+  /** W1: ROW_NUMBER() over cosine distance — semantic rank list. */
+  def w1SemanticRank(spark: SparkSession, dir: String): DataFrame = {
+    val qv = queryVec(spark, dir)
+    val top = t(spark, dir, "embeddings")
+      .select(col("vec_id"),
+        (lit(1.0) - cosineSimilarity(col("embedding"), lit(qv))).as("distance"))
+      .orderBy(col("distance").asc, col("vec_id").asc).limit(50)
+    top.withColumn("semantic_rank",
+        row_number().over(Window.orderBy(col("distance").asc, col("vec_id").asc)))
+      .select(col("vec_id"), round(col("distance"), 4).as("distance"),
+        col("semantic_rank"))
+      .orderBy(col("semantic_rank"))
+  }
+
+  /** W2-adjacent: partitioned ranking window (per-group top-3) — the
+    * general windowed-rank operator at scale (partition pruning +
+    * in-partition sort only).
+    */
+  def w2PartitionedRank(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey").asc,
+        col("l_linenumber").asc)
+    t(spark, dir, "lineitem")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("l_suppkey"), col("rk"), col("l_orderkey"),
+        col("l_linenumber"), round(col("l_extendedprice"), 2).as("price"))
+      .orderBy(col("l_suppkey"), col("rk"))
+  }
+
+  /** T2/T3: exact distributed top-k (TakeOrderedAndProject). */
+  def t2TopK(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        round(col("l_extendedprice"), 2).as("price"))
+      .orderBy(col("price").desc, col("l_orderkey").asc, col("l_linenumber").asc)
+      .limit(100)
+
+  // =================================================================
+  // §2.8 Scalar functions
+  // =================================================================
+
+  /** F1: cosine similarity top-20 (double-precision sequential fold —
+    * bitwise-identical to the oracle's list_cosine_similarity).
+    */
+  def f1CosineTopK(spark: SparkSession, dir: String): DataFrame = {
+    val qv = queryVec(spark, dir)
+    t(spark, dir, "embeddings")
+      .select(col("vec_id"),
+        round(cosineSimilarity(col("embedding"), lit(qv)), 4).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+      .limit(20)
+  }
+
+  /** F5: token-overlap match predicate (raw-token tsvector @@ OR-query). */
+  def f5TsMatch(spark: SparkSession, dir: String): DataFrame = {
+    val qTokens = array(lit("vector"), lit("window"))
+    t(spark, dir, "documents")
+      .withColumn("toks", array_distinct(sqlTokens(col("text"))))
+      .withColumn("n_match", size(array_intersect(col("toks"), qTokens)))
+      .filter(col("n_match") > 0)
+      .select(col("doc_id"), col("n_match"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** F9: token estimates aggregated per language. */
+  def f9TokenEstimate(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("lang"), tokenEstimate(col("text")).as("n_tokens"))
+      .groupBy(col("lang"))
+      .agg(sum(col("n_tokens")).as("total_tokens"),
+        count(lit(1)).as("n_docs"))
+      .orderBy(col("lang"))
+
+  /** F10: input trimming to a 20-token budget. */
+  def f10TrimInputs(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id"),
+        trimInputs(col("text"), 20).as("trimmed"),
+        tokenEstimate(trimInputs(col("text"), 20)).as("n_tokens"))
+      .orderBy(col("doc_id"))
+
+  // =================================================================
+  // Streaming batch-equivalents (§2.9) — event-time windowing and
+  // sessionization expressed identically in Spark and the oracle.
+  // =================================================================
+
+  /** Tumbling hourly window: integer epoch-hour arithmetic (timezone-
+    * proof). Streaming variant: Realtime.windowedEventCounts.
+    */
+  def rWindowedCounts(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .withColumn("hour", expr("ts div 3600000000000"))
+      .groupBy(col("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+      .orderBy(col("hour"), col("event_type"))
+
+  /** Sessionization (gaps-and-islands, 30-min gap): lag + running sum
+    * — the batch-exact formulation of session_window.
+    */
+  def rSessionize(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts_ms"))
+    t(spark, dir, "events")
+      .select(col("user_id"), expr("ts div 1000000").as("ts_ms"), col("value"))
+      .withColumn("prev", lag(col("ts_ms"), 1).over(byUser))
+      .withColumn("new_sess",
+        when(col("prev").isNull || col("ts_ms") - col("prev") > 1800000L, 1)
+          .otherwise(0))
+      .withColumn("sess_id", sum(col("new_sess"))
+        .over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("sess_id"))
+      .agg(count(lit(1)).as("n_events"), min(col("ts_ms")).as("start_ms"),
+        max(col("ts_ms")).as("end_ms"),
+        round(sum(col("value")), 2).as("total_value"))
+      .orderBy(col("user_id"), col("sess_id"))
+  }
+
+  // =================================================================
+  // Training-data pipeline operators (north-star additions)
+  // =================================================================
+
+  /** Exact dedup: canonical id + group size per doc. */
+  def dedupExact(spark: SparkSession, dir: String): DataFrame =
+    Dedup.exactCanonical(t(spark, dir, "documents"), "doc_id", "text")
+      .select(col("doc_id"), col("canonical_id"), col("group_size"))
+      .orderBy(col("doc_id"))
+
+  /** N-gram (bigram) Jaccard near-dup pairs, blocked by source. */
+  def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairs(t(spark, dir, "documents"), "doc_id", "text",
+        "source", n = 2, threshold = 0.12)
+      .select(col("block"), col("id_a"), col("id_b"),
+        round(col("jaccard"), 4).as("jaccard"))
+      .orderBy(col("block"), col("id_a"), col("id_b"))
+
+  /** Embedding-cosine near-dup pairs, blocked by label. */
+  def dedupEmbeddingCos(spark: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingNearDupPairs(t(spark, dir, "embeddings"), "vec_id",
+        "embedding", "label", threshold = 0.35)
+      .select(col("block"), col("id_a"), col("id_b"),
+        round(col("cos"), 4).as("cos"))
+      .orderBy(col("block"), col("id_a"), col("id_b"))
+
+  /** MinHash+LSH near-dup candidates (no SQL oracle — LSH banding is
+    * not SQL-expressible; verified by MinHashSpec property tests).
+    */
+  def dedupMinHashLsh(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minHashLshPairs(t(spark, dir, "documents"), "doc_id", "text",
+        shingleN = 2, numHashes = 64, bands = 16, threshold = 0.3)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** SimHash near-dup pairs (no SQL oracle; SimHashSpec covers). */
+  def dedupSimHash(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simHashPairs(t(spark, dir, "documents"), "doc_id", "text",
+        maxHamming = 8)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** ANN: LSH-bucketed approximate top-k (recall vs f1CosineTopK is
+    * asserted in AnnSpec).
+    */
+  def annLshTopK(spark: SparkSession, dir: String): DataFrame = {
+    val qv = queryVec(spark, dir)
+    Ann.lshTopK(t(spark, dir, "embeddings"), "vec_id", "embedding", qv,
+        k = 20, bits = 8, probeHamming = 3)
+      .select(col("id"), round(col("cos"), 4).as("cos"))
+      .orderBy(col("cos").desc, col("id").asc)
+  }
+
+  /** ANN: IVF probe top-k over k-means cells. */
+  def annIvfTopK(spark: SparkSession, dir: String): DataFrame = {
+    val qv = queryVec(spark, dir)
+    val emb = t(spark, dir, "embeddings")
+    val centroids = Ann.ivfCentroids(emb, "vec_id", "embedding", nCells = 16,
+      iterations = 3)
+    val assigned = Ann.assignCells(emb, "embedding", centroids)
+    Ann.ivfTopK(assigned, "vec_id", "embedding", centroids, qv, k = 20, nProbe = 4)
+      .select(col("id"), round(col("cos"), 4).as("cos"))
+      .orderBy(col("cos").desc, col("id").asc)
+  }
+
+  /** Multimodal: binary-asset metadata (decode-free pushdown path). */
+  def mmDescribe(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.describeAssets(
+        Multimodal.syntheticAssets(t(spark, dir, "documents"), "doc_id", "text"))
+      .select(col("asset_id"), col("media_type"), col("n_bytes"),
+        col("width"), col("height"), col("duration_ms"))
+      .orderBy(col("asset_id"))
+
+  /** Multimodal: stubbed decode → feature vectors → frame sampling
+    * (plumbing-real, decode-fake; no oracle).
+    */
+  def mmFeatures(spark: SparkSession, dir: String): DataFrame = {
+    val assets = Multimodal.syntheticAssets(
+      t(spark, dir, "documents").filter(col("doc_id") < 100), "doc_id", "text")
+    Multimodal.decodeFeaturesStub(assets, dim = 16)
+      .select(col("asset_id"), round(element_at(col("features"), 1), 4).as("f1"),
+        round(element_at(col("features"), 16), 4).as("f16"))
+      .orderBy(col("asset_id"))
+  }
+
+  /** Text quality metrics (oracle-checkable signal subset). */
+  def textQualityMetrics(spark: SparkSession, dir: String): DataFrame = {
+    val txt = col("text")
+    t(spark, dir, "documents")
+      .select(col("doc_id"),
+        length(txt).as("n_chars_m"),
+        size(sqlTokens(txt)).as("n_tokens"),
+        round(length(regexp_replace(txt, "[^a-z]", ""))
+          .cast("double") / length(txt), 4).as("alpha_ratio"),
+        round(size(array_distinct(sqlTokens(txt)))
+          .cast("double") / size(sqlTokens(txt)), 4).as("distinct_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Full quality score (library UDF path; covered by TextSpec). */
+  def textQualityScore(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id"), qualityScore(col("text")).as("quality"))
+      .orderBy(col("doc_id"))
+
+  /** Language-ID heuristic distribution (no oracle — UDF heuristic). */
+  def textLanguageId(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(languageId(col("text")).as("detected"))
+      .groupBy(col("detected")).agg(count(lit(1)).as("n"))
+      .orderBy(col("detected"))
+
+  /** Rolling-hash fingerprints (no oracle — JVM hash). */
+  def textFingerprint(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id"), fingerprint(col("text")).as("fp"))
+      .orderBy(col("doc_id"))
+
+  /** F2/F4: stemmed tsvector + ranked lexical search (library path
+    * with Porter stemming; no SQL oracle — AnalyzerSpec covers).
+    */
+  def f2TsvectorRank(spark: SparkSession, dir: String): DataFrame = {
+    val qLex = graft.functions.TextAnalyzer.queryLexemes("merging joins streams")
+    val qCol = lit(qLex.toArray)
+    t(spark, dir, "documents")
+      .withColumn("lexemes", toTsvector(col("text")))
+      .filter(tsMatches(col("lexemes"), qCol))
+      .withColumn("rank", round(tsRank(col("lexemes"), qCol), 4))
+      .select(col("doc_id"), col("rank"))
+      .orderBy(col("rank").desc, col("doc_id").asc)
+      .limit(50)
+  }
+
+  /** F6/F7: chunk_table — chunk one column, explode with index. */
+  def f6ChunkTable(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .filter(col("doc_id") < 50)
+      .select(col("doc_id"),
+        posexplode(chunkText(col("text"), lit(80))).as(Seq("chunk_index", "chunk")))
+      .orderBy(col("doc_id"), col("chunk_index"))
+
+  /** Engine end-to-end: deterministic-provider semantic search over
+    * the documents corpus (createJob backfill → search). No SQL
+    * oracle (stemmed/hashed pipeline) — EngineSpec asserts semantics.
+    */
+  def vzSemanticSearch(spark: SparkSession, dir: String): DataFrame = {
+    val engine = ephemeralEngine(spark, dir)
+    engine.search("docs_job", "merge join stream spark", limit = 10)
+      .select(col("doc_id"), col("lang"),
+        round(col("similarity_score"), 4).as("similarity_score"))
+  }
+
+  /** Engine end-to-end: hybrid RRF search. */
+  def vzHybridSearch(spark: SparkSession, dir: String): DataFrame = {
+    val engine = ephemeralEngine(spark, dir)
+    engine.hybridSearch("docs_job", "merge join stream spark", limit = 10)
+      .select(col("doc_id"), col("semantic_rank"), col("fts_rank"),
+        round(col("rrf_score"), 6).as("rrf_score"))
+  }
+
+  /** Engine end-to-end: RAG (retrieve → render → trim → respond). */
+  def vzRag(spark: SparkSession, dir: String): DataFrame = {
+    val engine = ephemeralEngine(spark, dir)
+    engine.rag("docs_job", "how are merges joined", numContext = 2)
+  }
+
+  private val engineCache = new java.util.concurrent.ConcurrentHashMap[String, VectorizeEngine]()
+
+  /** One warehouse per (session, sf-dir); backfill runs once. */
+  private def ephemeralEngine(spark: SparkSession, dir: String): VectorizeEngine =
+    engineCache.computeIfAbsent(dir, { _ =>
+      val wh = java.nio.file.Files.createTempDirectory("graft_wh_").toString
+      val engine = new VectorizeEngine(spark, wh,
+        embeddingProviderOverride = Some(new graft.providers.DeterministicHashProvider(64)))
+      engine.registerSource("documents", t(spark, dir, "documents"))
+      engine.createJob(graft.types.VectorizeJob(
+        jobName = "docs_job", srcTable = "documents",
+        srcColumns = Seq("text"), primaryKey = "doc_id",
+        updateTimeCol = None,
+        model = graft.types.Model.parseUnsafe("deterministic/hash-64")))
+      engine
+    })
+
+  /** All driver-checkable queries, keyed by SURVEY §2 ids. */
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s1_delta_scan_join" -> (s1DeltaScanJoin _),
+    "s2_delta_scan_append" -> (s2DeltaScanAppend _),
+    "s3_fetch_by_ids" -> (s3FetchByIds _),
+    "s5_upsert_merge" -> (s5UpsertMerge _),
+    "s8_import_anti_join" -> (s8ImportAntiJoin _),
+    "p1_concat_variants" -> (p1ConcatVariants _),
+    "p4_typed_filters" -> (p4TypedFilters _),
+    "p5_where_sql" -> (p5WhereSql _),
+    "j1_topk_join" -> (j1TopkJoin _),
+    "j2_hybrid_rrf" -> (j2HybridRrf _),
+    "j3_left_anti" -> (j3LeftAnti _),
+    "j6_inner_join_view" -> (j6InnerJoinView _),
+    "a1_collect_ids" -> (a1CollectIds _),
+    "a2_agg_summary" -> (a2AggSummary _),
+    "w1_semantic_rank" -> (w1SemanticRank _),
+    "w2_partitioned_rank" -> (w2PartitionedRank _),
+    "t2_topk" -> (t2TopK _),
+    "f1_cosine_topk" -> (f1CosineTopK _),
+    "f5_ts_match" -> (f5TsMatch _),
+    "f9_token_estimate" -> (f9TokenEstimate _),
+    "f10_trim_inputs" -> (f10TrimInputs _),
+    "r_windowed_counts" -> (rWindowedCounts _),
+    "r_sessionize" -> (rSessionize _),
+    "dedup_exact" -> (dedupExact _),
+    "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
+    "dedup_embedding_cos" -> (dedupEmbeddingCos _),
+    "dedup_minhash_lsh" -> (dedupMinHashLsh _),
+    "dedup_simhash" -> (dedupSimHash _),
+    "ann_lsh_topk" -> (annLshTopK _),
+    "ann_ivf_topk" -> (annIvfTopK _),
+    "mm_describe" -> (mmDescribe _),
+    "mm_features" -> (mmFeatures _),
+    "text_quality_metrics" -> (textQualityMetrics _),
+    "text_quality_score" -> (textQualityScore _),
+    "text_language_id" -> (textLanguageId _),
+    "text_fingerprint" -> (textFingerprint _),
+    "f2_tsvector_rank" -> (f2TsvectorRank _),
+    "f6_chunk_table" -> (f6ChunkTable _),
+    "vz_semantic_search" -> (vzSemanticSearch _),
+    "vz_hybrid_search" -> (vzHybridSearch _),
+    "vz_rag" -> (vzRag _)
+  )
+}

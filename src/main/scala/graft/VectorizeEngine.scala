@@ -1,0 +1,217 @@
+package graft
+
+import graft.operators.{Pipeline, Search}
+import graft.providers.{ChatProvider, DeterministicChatProvider, EmbeddingProvider, Providers}
+import graft.sources.ParquetStore
+import graft.types._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** The user-facing engine: job lifecycle + search + RAG.
+  *
+  * A user of pg_vectorize interacts through `vectorize.table(...)`,
+  * `vectorize.search(...)`, `vectorize.hybrid_search(...)`,
+  * `vectorize.rag(...)` etc. (SURVEY §2.10); this class is the Spark
+  * equivalent of that API surface. Jobs bind a source DataFrame
+  * (registered by name) to an embeddings + search-tokens store kept
+  * in a [[ParquetStore]] warehouse; the catalog itself is persisted
+  * like the reference's `vectorize.job` table
+  * (core/src/query.rs:205-220).
+  */
+final class VectorizeEngine(
+    val spark: SparkSession,
+    warehouseDir: String,
+    embeddingProviderOverride: Option[EmbeddingProvider] = None,
+    chatProvider: ChatProvider = new DeterministicChatProvider
+) {
+
+  val store = new ParquetStore(spark, warehouseDir)
+
+  private val sources = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  private val jobs = scala.collection.concurrent.TrieMap.empty[String, VectorizeJob]
+
+  /** Register a source DataFrame under a table name (replaces the
+    * reference's information_schema introspection of an existing
+    * Postgres table, core/src/init.rs:26-54).
+    */
+  def registerSource(name: String, df: DataFrame): Unit = {
+    Identifiers.validate(name)
+    sources.put(name, df)
+    df.createOrReplaceTempView(name)
+  }
+
+  def provider(job: VectorizeJob): EmbeddingProvider =
+    embeddingProviderOverride.getOrElse(Providers.forModel(job.model))
+
+  private def embTable(job: String) = s"_embeddings_$job"
+  private def tokTable(job: String) = s"_search_tokens_$job"
+
+  /** `vectorize.table(...)` (extension/src/api.rs:80-114 +
+    * initialize_job core/src/init.rs:122-269): validate, persist the
+    * job row, create stores, run the initial backfill (embeddings +
+    * search tokens).
+    */
+  def createJob(job: VectorizeJob): VectorizeJob = {
+    Identifiers.validate(job.jobName)
+    job.srcColumns.foreach(Identifiers.validate)
+    Identifiers.validate(job.primaryKey)
+    val src = sources.getOrElse(job.srcTable,
+      throw new IllegalArgumentException(s"unknown source table: ${job.srcTable}"))
+    // update_time_col type check (server/src/routes/table.rs:32-49)
+    job.updateTimeCol.foreach { u =>
+      val f = src.schema.fields.find(_.name == u).getOrElse(
+        throw new IllegalArgumentException(s"no such column: $u"))
+      require(f.dataType.typeName == "timestamp",
+        s"update_time_col '$u' must be timestamp, got ${f.dataType.typeName}")
+    }
+    jobs.put(job.jobName, job)
+    persistCatalog()
+    refreshJob(job.jobName)
+    job
+  }
+
+  /** `vectorize.job_execute` / cron target
+    * (extension/src/executor.rs:43-96): incremental delta scan →
+    * embed → MERGE. Idempotent — safe under at-least-once retries.
+    */
+  def refreshJob(jobName: String): Long = {
+    val job = jobs(jobName)
+    val src = sources(job.srcTable)
+    val embName = embTable(jobName)
+    val delta =
+      if (store.exists(embName))
+        Pipeline.deltaScanJoin(src, store.read(embName), job.primaryKey, job.updateTimeCol)
+      else src
+    val inputs = Pipeline.renderInputs(delta, job.primaryKey, job.srcColumns)
+    val embedded = Pipeline.embed(inputs, provider(job), job.model.fullname)
+    store.merge(embName, embedded, "pkey")
+    val tokens = Pipeline.renderSearchTokens(delta, job.primaryKey, job.srcColumns)
+    store.merge(tokTable(jobName), tokens, "pkey")
+    embedded.count()
+  }
+
+  /** `vectorize.import_embeddings` (extension/src/api.rs:250-326):
+    * copy precomputed vectors for rows not already embedded.
+    */
+  def importEmbeddings(jobName: String, external: DataFrame,
+      extPk: String, extVecCol: String): Unit = {
+    val embName = embTable(jobName)
+    val incoming = external.select(
+      col(extPk).cast("string").as("pkey"),
+      col(extVecCol).cast("array<float>").as("embeddings"),
+      current_timestamp().as("updated_at"))
+    val fresh =
+      if (store.exists(embName))
+        incoming.join(store.read(embName).select("pkey"), Seq("pkey"), "left_anti")
+      else incoming
+    store.merge(embName, fresh, "pkey")
+  }
+
+  /** `vectorize.table_from` (extension/src/api.rs:328-390). */
+  def createJobFromExisting(job: VectorizeJob, external: DataFrame,
+      extPk: String, extVecCol: String): VectorizeJob = {
+    jobs.put(job.jobName, job)
+    persistCatalog()
+    importEmbeddings(job.jobName, external, extPk, extVecCol)
+    // tokens + any rows the import missed
+    refreshJob(job.jobName)
+    job
+  }
+
+  /** `DELETE /api/v1/table/{job}` → cleanup_job
+    * (core/src/init.rs:317-395). Failure-tolerant like the reference.
+    */
+  def deleteJob(jobName: String): Unit = {
+    store.drop(embTable(jobName))
+    store.drop(tokTable(jobName))
+    jobs.remove(jobName)
+    persistCatalog()
+  }
+
+  /** `vectorize.encode` (extension/src/api.rs:159-177). */
+  def encode(jobOrModel: String, text: String): Array[Float] = {
+    val model = jobs.get(jobOrModel).map(_.model)
+      .getOrElse(Model.parseUnsafe(jobOrModel))
+    val p = jobs.get(jobOrModel).map(provider)
+      .getOrElse(embeddingProviderOverride.getOrElse(Providers.forModel(model)))
+    p.generateEmbeddings(model.fullname, Seq(text)).head
+  }
+
+  /** `vectorize.search` (extension/src/api.rs:116-134): embed the
+    * query on the driver (the reference's network boundary #1), then
+    * exact cosine top-k distributed on executors.
+    */
+  def search(jobName: String, query: String, limit: Int = 10,
+      filters: Map[String, FilterValue] = Map.empty,
+      returnCols: Seq[String] = Seq("*"),
+      preFilter: Boolean = false): DataFrame = {
+    val job = jobs(jobName)
+    val qv = encode(jobName, query)
+    Search.semanticSearch(sources(job.srcTable), store.read(embTable(jobName)),
+      job.primaryKey, qv, limit, filters, returnCols, preFilter)
+  }
+
+  /** `vectorize.hybrid_search` (extension/src/api.rs:136-157). */
+  def hybridSearch(jobName: String, query: String, limit: Int = 10,
+      windowSize: Option[Int] = None, rrfK: Double = 60.0,
+      semanticWt: Double = 1.0, ftsWt: Double = 1.0,
+      filters: Map[String, FilterValue] = Map.empty,
+      returnCols: Seq[String] = Seq("*")): DataFrame = {
+    val job = jobs(jobName)
+    val qv = encode(jobName, query)
+    Search.hybridSearch(sources(job.srcTable), store.read(embTable(jobName)),
+      store.read(tokTable(jobName)), job.primaryKey, qv, query, limit,
+      windowSize, rrfK, semanticWt, ftsWt, filters, returnCols)
+  }
+
+  /** `vectorize.rag` (extension/src/api.rs:179-205): retrieve top
+    * `numContext` rows, render the prompt template, trim to the model
+    * context window, call the chat provider. Chat jobs require
+    * exactly one content column (extension/src/chat/ops.rs:56-58).
+    */
+  def rag(jobName: String, query: String, chatModel: String = "openai/gpt-4o-mini",
+      task: String = "question_answer", numContext: Int = 2,
+      forceTrim: Boolean = false): DataFrame = {
+    val job = jobs(jobName)
+    require(job.srcColumns.size == 1,
+      s"chat jobs require exactly one content column, got ${job.srcColumns.size}")
+    val contentCol = job.srcColumns.head
+    val hits = search(jobName, query, numContext)
+      .select(contentCol).collect().map(_.getString(0))
+    val rendered = graft.rag.PromptTemplates.render(task, hits.mkString("\n"), query)
+    val trimmed = graft.rag.ContextWindow.enforce(chatModel, rendered, forceTrim)
+    val answer = chatProvider.generateResponse(chatModel, trimmed.sysPrompt, trimmed.userPrompt)
+    import spark.implicits._
+    Seq((query, answer)).toDF("query", "chat_response")
+  }
+
+  /** `vectorize.generate` (extension/src/api.rs:207-223). */
+  def generate(input: String, model: String = "openai/gpt-4o-mini"): String =
+    chatProvider.generateResponse(model, "You are a helpful assistant.", input)
+
+  def job(name: String): Option[VectorizeJob] = jobs.get(name)
+  def listJobs: Seq[VectorizeJob] = jobs.values.toSeq
+
+  /** Project view (core/src/query.rs:311-320): source ⋈ embeddings. */
+  def projectView(jobName: String): DataFrame = {
+    val job = jobs(jobName)
+    val src = sources(job.srcTable)
+    val emb = store.read(embTable(jobName))
+      .withColumnRenamed("updated_at", "embeddings_updated_at")
+    src.join(emb, src(job.primaryKey).cast("string") === emb("pkey")).drop("pkey")
+  }
+
+  /** Persist the catalog like vectorize.job (tiny table → overwrite). */
+  private def persistCatalog(): Unit = {
+    import spark.implicits._
+    val rows = jobs.values.toSeq.map { j =>
+      (j.jobName, j.srcTable, j.srcColumns, j.primaryKey,
+        j.updateTimeCol.orNull, j.model.fullname, j.tableMethod.name,
+        j.indexDist.name, j.schedule)
+    }
+    if (rows.nonEmpty)
+      store.overwrite("job_catalog", rows.toDF(
+        "job_name", "src_table", "src_columns", "primary_key",
+        "update_time_col", "model", "table_method", "index_dist_type", "schedule"))
+  }
+}

@@ -1,0 +1,317 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Column-level function library for the graft engine.
+  *
+  * Design rule (SURVEY §4): prefer compositions of
+  * `org.apache.spark.sql.functions._` — they stay inside whole-stage
+  * codegen and Catalyst can push/prune/fold through them. Scala UDFs
+  * only where the semantics genuinely need JVM code (stemming,
+  * chunking, hashing signatures); each UDF is a pure function of its
+  * inputs so it is deterministic and spark-retry-safe.
+  */
+object GraftFunctions {
+
+  // ---------------------------------------------------------------
+  // Text-column rendering (reference P1-P3, core/src/query.rs:184-190,
+  // extension/src/executor.rs:179-188, worker/src/executor.rs:100-105)
+  // ---------------------------------------------------------------
+
+  /** P1: `COALESCE(c1,'') || ' ' || COALESCE(c2,'')` — trigger/tokens
+    * path concat.
+    */
+  def concatCols(cols: Seq[Column]): Column =
+    concat_ws(" ", cols.map(c => coalesce(c.cast("string"), lit(""))): _*)
+
+  /** P2: CSV variant `c1 || ', ' || c2` — extension embed path. */
+  def concatColsCsv(cols: Seq[Column]): Column =
+    concat_ws(", ", cols.map(c => coalesce(c.cast("string"), lit(""))): _*)
+
+  /** P3: labeled variant `'col: ' || COALESCE(col,'') || ' '` —
+    * server-worker embed path. Note the three variants intentionally
+    * differ in the reference.
+    */
+  def concatColsLabeled(names: Seq[String], cols: Seq[Column]): Column =
+    concat(names.zip(cols).map { case (n, c) =>
+      concat(lit(s"$n: "), coalesce(c.cast("string"), lit("")), lit(" "))
+    }: _*)
+
+  // ---------------------------------------------------------------
+  // Token estimation & trimming (reference F9/F10,
+  // core/src/query.rs:606-615, openai.rs:166-186)
+  // ---------------------------------------------------------------
+
+  /** F9: token estimate. The reference counts cl100k BPE tokens; its
+    * own trim path is whitespace-based (openai.rs:174-180). v1 uses
+    * whitespace-token count (pluggable; divergence documented).
+    * Codegen'd: split + size, no UDF.
+    */
+  def tokenEstimate(text: Column): Column =
+    when(text.isNull || text === "", lit(0))
+      .otherwise(size(split(trim(text), "\\s+")))
+
+  /** F10: keep first `maxTokens` whitespace tokens when over budget. */
+  def trimInputs(text: Column, maxTokens: Int = 8192): Column =
+    when(tokenEstimate(text) > maxTokens,
+      array_join(slice(split(trim(text), "\\s+"), 1, maxTokens), " "))
+      .otherwise(text)
+
+  /** BPE-ish token count: GPT-style pre-tokenizer regex (contractions,
+    * letter runs, digit runs, punctuation runs). Closer to true BPE
+    * counts than whitespace for punctuation-heavy text; still
+    * codegen'd via regexp_extract_all.
+    */
+  def tokenCountBpe(text: Column): Column =
+    size(regexp_extract_all(
+      coalesce(text, lit("")),
+      lit("'(?:s|t|re|ve|m|ll|d)| ?[\\p{L}]+| ?[\\p{N}]+| ?[^\\s\\p{L}\\p{N}]+"),
+      lit(0)))
+
+  // ---------------------------------------------------------------
+  // Vector math (reference F1, core/src/query.rs:681). No UDF: Spark
+  // higher-order functions (zip_with/aggregate) stay in codegen and
+  // match DuckDB double-precision arithmetic when elements are cast
+  // to double first.
+  // ---------------------------------------------------------------
+
+  private def toDouble(a: Column): Column = transform(a, x => x.cast("double"))
+
+  /** Σ a_i * b_i over two array columns, computed in double. */
+  def dotProduct(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(toDouble(a), toDouble(b), (x, y) => x * y),
+      lit(0.0),
+      (acc, x) => acc + x)
+
+  def l2Norm(a: Column): Column = sqrt(dotProduct(a, a))
+
+  /** Cosine similarity = 1 - cosine distance (pgvector `<=>`
+    * complement, reference core/src/query.rs:681). Null/zero-norm safe
+    * (returns null on zero vectors).
+    */
+  def cosineSimilarity(a: Column, b: Column): Column =
+    dotProduct(a, b) / nullif(l2Norm(a) * l2Norm(b), lit(0.0))
+
+  def cosineDistance(a: Column, b: Column): Column =
+    lit(1.0) - cosineSimilarity(a, b)
+
+  def l2Distance(a: Column, b: Column): Column =
+    sqrt(aggregate(
+      zip_with(toDouble(a), toDouble(b), (x, y) => (x - y) * (x - y)),
+      lit(0.0),
+      (acc, x) => acc + x))
+
+  /** Negative inner product (pgvector `<#>` is -ip; similarity = ip). */
+  def innerProduct(a: Column, b: Column): Column = dotProduct(a, b)
+
+  // ---------------------------------------------------------------
+  // Full-text search (reference F2-F5) — UDFs over the pure analyzer.
+  // ---------------------------------------------------------------
+
+  /** F2: `to_tsvector('english', text)` → sorted distinct lexemes. */
+  val toTsvector = udf((text: String) => TextAnalyzer.lexemes(text))
+
+  /** F3: `plainto_tsquery` with the reference's OR rewrite. */
+  val toTsquery = udf((q: String) => TextAnalyzer.queryLexemes(q))
+
+  /** F5: `search_tokens @@ query` (OR semantics) — pure built-in. */
+  def tsMatches(docLexemes: Column, queryLexemes: Column): Column =
+    arrays_overlap(docLexemes, queryLexemes)
+
+  /** F4: `ts_rank_cd` proxy (rank-order preserving; SURVEY §7.4). */
+  val tsRank = udf((doc: Seq[String], query: Seq[String]) =>
+    TextAnalyzer.rank(if (doc == null) Seq.empty else doc,
+      if (query == null) Seq.empty else query))
+
+  // ---------------------------------------------------------------
+  // Chunking (reference F6/F7, extension/src/api.rs:17-78,243-248)
+  // ---------------------------------------------------------------
+
+  /** F6: split text into <= maxChars chunks, preferring sentence then
+    * word boundaries (behavioral equivalent of the `text_splitter`
+    * crate used at extension/src/api.rs:243-248).
+    */
+  def chunkTextScala(text: String, maxChars: Int): Seq[String] = {
+    if (text == null || text.isEmpty) return Seq.empty
+    val sentences = text.split("(?<=[.!?])\\s+").toSeq
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    def flush(): Unit = if (cur.nonEmpty) { out += cur.toString; cur.clear() }
+    def appendPiece(p: String): Unit = {
+      if (cur.isEmpty) cur ++= p
+      else if (cur.length + 1 + p.length <= maxChars) { cur += ' '; cur ++= p }
+      else { flush(); cur ++= p }
+    }
+    sentences.foreach { s =>
+      if (s.length <= maxChars) appendPiece(s)
+      else {
+        // sentence too long: fall back to words, then hard split
+        s.split("\\s+").foreach { w =>
+          if (w.length <= maxChars) appendPiece(w)
+          else { flush(); w.grouped(maxChars).foreach(out += _) }
+        }
+      }
+    }
+    flush()
+    out.toSeq
+  }
+
+  val chunkText = udf((text: String, maxChars: Int) => chunkTextScala(text, maxChars))
+
+  // ---------------------------------------------------------------
+  // Text analysis for training-data pipelines (north-star additions)
+  // ---------------------------------------------------------------
+
+  /** Language-ID via stopword-hit-rate heuristic over a handful of
+    * high-frequency function words per language. Deterministic; meant
+    * for coarse corpus routing, not NIST-grade identification.
+    */
+  private val langMarkers: Map[String, Set[String]] = Map(
+    "en" -> Set("the", "and", "of", "to", "in", "is", "that", "it", "for", "was", "with", "a"),
+    "de" -> Set("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "von", "zu", "den"),
+    "fr" -> Set("le", "la", "les", "et", "est", "pas", "une", "des", "dans", "pour", "que"),
+    "es" -> Set("el", "la", "los", "las", "y", "es", "no", "una", "por", "para", "con", "que"),
+    "it" -> Set("il", "la", "che", "di", "e", "un", "una", "per", "non", "sono", "con")
+  )
+
+  def languageIdScala(text: String): String = {
+    val toks = TextAnalyzer.tokenize(text)
+    if (toks.isEmpty) "und"
+    else {
+      val scores = langMarkers.map { case (lang, markers) =>
+        lang -> toks.count(markers.contains).toDouble / toks.size
+      }
+      val (best, score) = scores.maxBy { case (l, s) => (s, l) }
+      if (score <= 0.0) "und" else best
+    }
+  }
+
+  val languageId = udf(languageIdScala _)
+
+  /** Heuristic quality score in [0,1]: mean of signals a pretraining
+    * pipeline typically gates on — length band, alpha ratio,
+    * punctuation ratio, stopword presence, repetition (distinct/total
+    * tokens). All built-ins except the stopword test (array literal).
+    */
+  def qualityScore(text: Column): Column = {
+    val t = coalesce(text, lit(""))
+    val nChars = length(t).cast("double")
+    val toks = split(trim(t), "\\s+")
+    val nToks = when(trim(t) === "", lit(0)).otherwise(size(toks)).cast("double")
+    val alphaChars = length(regexp_replace(t, "[^\\p{L}]", "")).cast("double")
+    val punctChars = length(regexp_replace(t, "[^\\p{Punct}]", "")).cast("double")
+    val stopArr = lit(TextAnalyzer.stopwords.toSeq.sorted.toArray)
+    val stopHits = size(filter(transform(toks, w => lower(w)),
+      w => array_contains(stopArr, w))).cast("double")
+    val distinctToks = size(array_distinct(transform(toks, w => lower(w)))).cast("double")
+
+    val lengthSignal = when(nToks >= 5 && nToks <= 10000, lit(1.0))
+      .otherwise(when(nToks > 0, lit(0.5)).otherwise(lit(0.0)))
+    val alphaSignal = when(nChars > 0, alphaChars / nChars).otherwise(lit(0.0))
+    val punctSignal = when(nChars > 0,
+      lit(1.0) - least(punctChars / nChars * 5.0, lit(1.0))).otherwise(lit(0.0))
+    val stopSignal = when(nToks > 0, least(stopHits / nToks * 4.0, lit(1.0)))
+      .otherwise(lit(0.0))
+    val repSignal = when(nToks > 0, distinctToks / nToks).otherwise(lit(0.0))
+
+    round((lengthSignal + alphaSignal + punctSignal + stopSignal + repSignal) / 5.0, 4)
+  }
+
+  /** Rolling-hash (Rabin-Karp, base 31, 64-bit) document fingerprint
+    * over normalized word sequence — stable under whitespace/case
+    * noise, order-sensitive (unlike a bag-of-words hash).
+    */
+  def fingerprintScala(text: String): Long = {
+    var h = 1125899906842597L // large prime seed
+    TextAnalyzer.tokenize(text).foreach { w =>
+      var i = 0
+      while (i < w.length) { h = 31 * h + w.charAt(i); i += 1 }
+      h = 31 * h + ' '
+    }
+    h
+  }
+
+  val fingerprint = udf(fingerprintScala _)
+
+  // ---------------------------------------------------------------
+  // Dedup signatures (north-star additions): MinHash & SimHash
+  // ---------------------------------------------------------------
+
+  /** Word n-gram shingles (lowercased, space-joined). */
+  def shinglesScala(text: String, n: Int): Seq[String] = {
+    val toks = TextAnalyzer.tokenize(text)
+    if (toks.size < n) if (toks.isEmpty) Seq.empty else Seq(toks.mkString(" "))
+    else toks.sliding(n).map(_.mkString(" ")).toSeq
+  }
+
+  val shingles = udf(shinglesScala _)
+
+  /** 64-bit hash of a string (FNV-1a) — deterministic across JVMs
+    * (String.hashCode is 32-bit; we need wider for MinHash perms).
+    */
+  private[functions] def fnv1a64(s: String): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < s.length) { h ^= s.charAt(i).toLong; h *= 0x100000001b3L; i += 1 }
+    h
+  }
+
+  /** MinHash signature: k permutations simulated by k (a*h+b) mixes of
+    * one base hash per shingle (standard universal-hashing trick; see
+    * Broder 1997 resemblance sketches). Returns k 64-bit minima.
+    */
+  def minHashScala(shingles: Seq[String], k: Int, seed: Long): Array[Long] = {
+    val sig = Array.fill(k)(Long.MaxValue)
+    if (shingles.isEmpty) return sig
+    val rnd = new java.util.Random(seed)
+    val as = Array.fill(k)(rnd.nextLong() | 1L)
+    val bs = Array.fill(k)(rnd.nextLong())
+    shingles.foreach { sh =>
+      val h = fnv1a64(sh)
+      var i = 0
+      while (i < k) {
+        val v = as(i) * h + bs(i)
+        if (v < sig(i)) sig(i) = v
+        i += 1
+      }
+    }
+    sig
+  }
+
+  val minHash = udf((sh: Seq[String], k: Int) =>
+    minHashScala(if (sh == null) Seq.empty else sh, k, 42L))
+
+  /** SimHash (Charikar 2002): 64-bit signature whose Hamming distance
+    * approximates cosine distance over the token multiset.
+    */
+  def simHashScala(tokens: Seq[String]): Long = {
+    val acc = new Array[Int](64)
+    tokens.foreach { t =>
+      val h = fnv1a64(t)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1
+        b += 1
+      }
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (acc(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  val simHash = udf((text: String) => simHashScala(TextAnalyzer.tokenize(text)))
+
+  /** Hamming distance between two 64-bit signatures (built-in only). */
+  def hammingDist64(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b))
+
+  /** Jaccard similarity between two array columns (built-ins only). */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    val uni = size(array_union(a, b)).cast("double")
+    when(uni === 0, lit(0.0)).otherwise(inter / uni)
+  }
+}

@@ -1,0 +1,163 @@
+package graft.operators
+
+import graft.functions.GraftFunctions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Similarity search over an embedding column (north-star addition).
+  *
+  * Brute-force exact top-k is the correctness baseline (and what the
+  * reference effectively guarantees via pgvector exact recall when no
+  * ANN index is used); the scale paths are:
+  *  - random-hyperplane LSH bucketing (query touches only matching
+  *    buckets → scan shrinks by ~2^bits),
+  *  - IVF with k-means-style centroids (probe nProbe nearest cells).
+  * Both paths return exact cosine scores over the candidate set, so
+  * precision is 1.0 and only recall depends on the bucketing.
+  */
+object Ann {
+
+  /** Exact brute-force cosine top-k. One embarrassingly-parallel scan
+    * + TakeOrderedAndProject (per-partition heap, no full sort).
+    */
+  def bruteForceTopK(emb: DataFrame, idCol: String, vecCol: String,
+      queryVec: Array[Float], k: Int): DataFrame =
+    emb.select(col(idCol).as("id"),
+        cosineSimilarity(col(vecCol), lit(queryVec)).as("cos"))
+      .orderBy(col("cos").desc, col("id").asc)
+      .limit(k)
+
+  /** Deterministic random hyperplanes: `bits` pseudo-random unit
+    * directions derived from a seed (same xorshift chain as the
+    * deterministic provider — no Math.random, executor-stable).
+    */
+  def hyperplanes(bits: Int, dim: Int, seed: Long = 42L): Array[Array[Float]] = {
+    Array.tabulate(bits) { b =>
+      var h = seed + b * 0x9E3779B97F4A7C15L
+      Array.fill(dim) {
+        h ^= h >>> 12; h ^= h << 25; h ^= h >>> 27
+        ((h * 0x2545F4914F6CDD1DL) >> 40).toFloat / (1 << 23).toFloat
+      }
+    }
+  }
+
+  /** Sign-LSH bucket id for a vector column: bit b set iff
+    * dot(v, plane_b) > 0 (Charikar random-hyperplane LSH; Hamming
+    * distance between keys estimates angular distance). Built-ins
+    * only — stays in codegen.
+    */
+  def lshKey(vecCol: Column, planes: Array[Array[Float]]): Column =
+    planes.zipWithIndex.foldLeft(lit(0L)) { case (acc, (p, i)) =>
+      acc.bitwiseOR(
+        when(dotProduct(vecCol, lit(p)) > 0, lit(1L << i)).otherwise(lit(0L)))
+    }
+
+  /** LSH-bucketed approximate top-k: candidates = vectors whose
+    * bucket key is within `probeHamming` bits of the query's key,
+    * then exact cosine top-k over candidates. At scale the bucketed
+    * table is written partitioned by key so probing prunes
+    * partitions; here it prunes via a cheap key predicate.
+    */
+  def lshTopK(emb: DataFrame, idCol: String, vecCol: String,
+      queryVec: Array[Float], k: Int, bits: Int = 8,
+      probeHamming: Int = 2, seed: Long = 42L): DataFrame = {
+    val dim = queryVec.length
+    val planes = hyperplanes(bits, dim, seed)
+    val qKey = planes.zipWithIndex.foldLeft(0L) { case (acc, (p, i)) =>
+      val dot = p.zip(queryVec).map { case (a, b) => a.toDouble * b }.sum
+      if (dot > 0) acc | (1L << i) else acc
+    }
+    val keyed = emb.withColumn("__lsh", lshKey(col(vecCol), planes))
+    keyed
+      .filter(hammingDist64(col("__lsh"), lit(qKey)) <= probeHamming)
+      .select(col(idCol).as("id"),
+        cosineSimilarity(col(vecCol), lit(queryVec)).as("cos"))
+      .orderBy(col("cos").desc, col("id").asc)
+      .limit(k)
+  }
+
+  /** Build IVF centroids: Lloyd's k-means iterations expressed as
+    * DataFrame ops (assign = argmin over broadcast centroids, update
+    * = groupBy mean). Deterministic init: the `nCells` rows with the
+    * smallest ids. Returns (cell_id, centroid) collected to the
+    * driver — nCells is small by construction (sqrt(N) rule).
+    */
+  def ivfCentroids(emb: DataFrame, idCol: String, vecCol: String,
+      nCells: Int, iterations: Int = 5): Array[(Int, Array[Float])] = {
+    var centroids: Array[(Int, Array[Float])] = emb
+      .orderBy(col(idCol).asc).limit(nCells)
+      .select(col(vecCol)).collect()
+      .map(_.getSeq[Float](0).toArray).zipWithIndex.map { case (v, i) => (i, v) }
+    for (_ <- 1 to iterations) {
+      val assigned = assignCells(emb, vecCol, centroids)
+      val dim = centroids.head._2.length
+      val sums = assigned.groupBy(col("__cell"))
+        .agg(
+          count(lit(1)).as("n"),
+          array((0 until dim).map(i =>
+            sum(element_at(col(vecCol), i + 1).cast("double"))): _*).as("sums"))
+        .collect()
+      val updated = sums.map { r =>
+        val cell = r.getInt(0)
+        val n = r.getLong(1).toDouble
+        val s = r.getSeq[Double](2)
+        (cell, s.map(x => (x / n).toFloat).toArray)
+      }
+      val updatedMap = updated.toMap
+      centroids = centroids.map { case (c, v) => (c, updatedMap.getOrElse(c, v)) }
+    }
+    centroids
+  }
+
+  /** Assign each vector to its nearest centroid (broadcast argmin —
+    * centroids are driver-small, the scan is one narrow map).
+    */
+  def assignCells(emb: DataFrame, vecCol: String,
+      centroids: Array[(Int, Array[Float])]): DataFrame = {
+    val scored = centroids.map { case (cell, c) =>
+      struct(l2Distance(col(vecCol), lit(c)).as("d"), lit(cell).as("cell"))
+    }
+    emb.withColumn("__cell", least(scored.toIndexedSeq: _*).getField("cell"))
+  }
+
+  /** IVF probe: exact cosine top-k over the nProbe cells nearest the
+    * query. The assigned table would be bucketed/partitioned by
+    * __cell at scale so the probe reads only nProbe partitions.
+    */
+  def ivfTopK(assigned: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[(Int, Array[Float])], queryVec: Array[Float],
+      k: Int, nProbe: Int = 2): DataFrame = {
+    def dist(a: Array[Float], b: Array[Float]): Double =
+      math.sqrt(a.zip(b).map { case (x, y) => (x.toDouble - y) * (x.toDouble - y) }.sum)
+    val probeCells = centroids.sortBy { case (c, v) => (dist(v, queryVec), c) }
+      .take(nProbe).map(_._1)
+    assigned
+      .filter(col("__cell").isin(probeCells.toIndexedSeq: _*))
+      .select(col(idCol).as("id"),
+        cosineSimilarity(col(vecCol), lit(queryVec)).as("cos"))
+      .orderBy(col("cos").desc, col("id").asc)
+      .limit(k)
+  }
+
+  /** Batch kNN join: for every query row, its top-k neighbors among
+    * the index rows, blocked by LSH key (all-pairs joins at 100 TB
+    * must be bucketed; this is the bucketed shape).
+    */
+  def knnJoin(queries: DataFrame, index: DataFrame, idCol: String,
+      vecCol: String, k: Int, bits: Int = 6, seed: Long = 42L): DataFrame = {
+    val dimRow = index.select(size(col(vecCol))).head()
+    val planes = hyperplanes(bits, dimRow.getInt(0), seed)
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
+      .withColumn("__lsh", lshKey(col("q_vec"), planes))
+    val x = index.select(col(idCol).as("x_id"), col(vecCol).as("x_vec"))
+      .withColumn("__lsh", lshKey(col("x_vec"), planes))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("x_id").asc)
+    q.join(x, Seq("__lsh"))
+      .filter(col("q_id") =!= col("x_id"))
+      .withColumn("cos", cosineSimilarity(col("q_vec"), col("x_vec")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("q_id", "x_id", "cos", "rank")
+  }
+}

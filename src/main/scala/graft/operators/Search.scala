@@ -1,0 +1,167 @@
+package graft.operators
+
+import graft.functions.GraftFunctions._
+import graft.types._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Search operators: semantic top-k, lexical full-text, hybrid RRF.
+  *
+  * Mirrors the reference's generated hybrid query
+  * (core/src/query.rs:653-785) with server-mode parameterization
+  * (window_size = 5×limit, rrf_k = 60, semantic_wt/fts_wt — SURVEY
+  * §3.2); the extension's percentage mode is a wrapper.
+  *
+  * Scale notes: both legs end in `orderBy().limit(windowSize)` which
+  * Spark plans as TakeOrderedAndProject — an exact distributed top-k
+  * (per-partition heap + driver merge of ≤windowSize rows per
+  * partition), no full sort, no full shuffle. The rank legs are then
+  * ≤windowSize rows, so the RRF full-outer join and the join back to
+  * the source are broadcast joins. The only full pass over the data
+  * is the embarrassingly-parallel score scan.
+  */
+object Search {
+
+  /** Typed metadata filter (reference P4) → Column predicate. */
+  def filterColumn(name: String, fv: FilterValue): Column = {
+    Identifiers.validate(name)
+    val c = col(name)
+    val v: Column = fv.value match {
+      case FilterScalar.B(b) => lit(b)
+      case FilterScalar.I(i) => lit(i)
+      case FilterScalar.F(f) => lit(f)
+      case FilterScalar.S(s) => lit(s)
+    }
+    fv.operator match {
+      case FilterOperator.Eq  => c === v
+      case FilterOperator.Gt  => c > v
+      case FilterOperator.Gte => c >= v
+      case FilterOperator.Lt  => c < v
+      case FilterOperator.Lte => c <= v
+    }
+  }
+
+  def applyFilters(df: DataFrame, filters: Map[String, FilterValue]): DataFrame =
+    filters.foldLeft(df) { case (d, (k, v)) => d.filter(filterColumn(k, v)) }
+
+  /** Semantic leg: cosine-rank the embeddings table against a query
+    * vector, keep top `windowSize` (reference W1 + T1/T2:
+    * `ROW_NUMBER() OVER (ORDER BY distance)` + LIMIT). The rank is
+    * assigned AFTER the top-k, over ≤windowSize rows — the global
+    * window never sees the full table.
+    */
+  def semanticLeg(emb: DataFrame, queryVec: Array[Float], windowSize: Int): DataFrame = {
+    val qv = lit(queryVec)
+    val scored = emb
+      .withColumn("similarity_score", cosineSimilarity(col("embeddings"), qv))
+      .withColumn("distance", lit(1.0) - col("similarity_score"))
+      .select(col("pkey"), col("similarity_score"), col("distance"))
+      .orderBy(col("distance").asc, col("pkey").asc)
+      .limit(windowSize)
+    scored.withColumn("semantic_rank",
+      row_number().over(Window.orderBy(col("distance").asc, col("pkey").asc)))
+  }
+
+  /** Lexical leg: OR-match query lexemes against the tokens table,
+    * rank by the ts_rank_cd proxy (reference W2 + F3-F5).
+    */
+  def ftsLeg(tokens: DataFrame, query: String, windowSize: Int): DataFrame = {
+    val qLex = graft.functions.TextAnalyzer.queryLexemes(query)
+    val qCol = lit(qLex.toArray)
+    val matched = tokens
+      .filter(tsMatches(col("search_tokens"), qCol))
+      .withColumn("fts_score", tsRank(col("search_tokens"), qCol))
+      .select(col("pkey"), col("fts_score"))
+      .orderBy(col("fts_score").desc, col("pkey").asc)
+      .limit(windowSize)
+    matched.withColumn("fts_rank",
+      row_number().over(Window.orderBy(col("fts_score").desc, col("pkey").asc)))
+  }
+
+  /** Simple semantic search (reference §3.3): top-k by cosine, join
+    * source for return columns, post-filters, limit.
+    * Divergence (documented, SURVEY §4): filters default to
+    * POST-ranking like the reference; pass `preFilter=true` for the
+    * better-recall pre-filtering Spark makes cheap.
+    */
+  def semanticSearch(src: DataFrame, emb: DataFrame, pk: String,
+      queryVec: Array[Float], limit: Int = 10,
+      filters: Map[String, FilterValue] = Map.empty,
+      returnCols: Seq[String] = Seq("*"),
+      preFilter: Boolean = false): DataFrame = {
+    val windowSize = limit * 5
+    val source =
+      if (preFilter && filters.nonEmpty) applyFilters(src, filters) else src
+    val embIn =
+      if (preFilter && filters.nonEmpty)
+        emb.join(source.select(col(pk).cast("string").as("pkey")), Seq("pkey"), "left_semi")
+      else emb
+    val leg = semanticLeg(embIn, queryVec, windowSize)
+    // J1: hits (≤windowSize rows) joined back to source — broadcast
+    // the small rank list so the big table is never shuffled.
+    val joined = source.join(
+      broadcast(leg), source(pk).cast("string") === leg("pkey"), "inner")
+    val filtered =
+      if (!preFilter) applyFilters(joined, filters) else joined
+    val projected = filtered.select(
+      projectCols(src, returnCols) ++ Seq(
+        leg("similarity_score").as("similarity_score"),
+        leg("pkey").as("__pkey")): _*)
+    projected.orderBy(col("similarity_score").desc, col("__pkey").asc)
+      .limit(limit).drop("__pkey")
+  }
+
+  /** Hybrid search with Reciprocal Rank Fusion
+    * (core/src/query.rs:705-785): full-outer join of the two rank
+    * legs on pkey, rrf = w_s/(k+rank_s) + w_f/(k+rank_f) with missing
+    * legs coalesced to 0, join source, filters, final top-`limit`.
+    */
+  def hybridSearch(src: DataFrame, emb: DataFrame, tokens: DataFrame, pk: String,
+      queryVec: Array[Float], queryText: String, limit: Int = 10,
+      windowSizeOpt: Option[Int] = None, rrfK: Double = 60.0,
+      semanticWt: Double = 1.0, ftsWt: Double = 1.0,
+      filters: Map[String, FilterValue] = Map.empty,
+      returnCols: Seq[String] = Seq("*")): DataFrame = {
+    val windowSize = windowSizeOpt.getOrElse(limit * 5)
+    val sem = semanticLeg(emb, queryVec, windowSize)
+    val fts = ftsLeg(tokens, queryText, windowSize)
+    // J2: both legs ≤windowSize rows → tiny full-outer join.
+    val fused = sem.join(fts, Seq("pkey"), "full_outer")
+      .withColumn("rrf_score",
+        coalesce(lit(semanticWt) / (lit(rrfK) + col("semantic_rank")), lit(0.0)) +
+        coalesce(lit(ftsWt) / (lit(rrfK) + col("fts_rank")), lit(0.0)))
+    val joined = src.join(
+      broadcast(fused), src(pk).cast("string") === fused("pkey"), "inner")
+    val filtered = applyFilters(joined, filters)
+    val projected = filtered.select(
+      projectCols(src, returnCols) ++ Seq(
+        fused("similarity_score").as("similarity_score"),
+        fused("fts_score").as("fts_score"),
+        fused("semantic_rank").as("semantic_rank"),
+        fused("fts_rank").as("fts_rank"),
+        fused("rrf_score").as("rrf_score"),
+        fused("pkey").as("__pkey")): _*)
+    projected.orderBy(col("rrf_score").desc, col("__pkey").asc)
+      .limit(limit).drop("__pkey")
+  }
+
+  /** Extension-mode convenience: single `semantic_weight` percentage
+    * (extension/src/search.rs:263-369, GUC 0-100 default 50).
+    */
+  def hybridSearchPct(src: DataFrame, emb: DataFrame, tokens: DataFrame, pk: String,
+      queryVec: Array[Float], queryText: String, limit: Int,
+      semanticWeightPct: Int): DataFrame = {
+    val w = semanticWeightPct.max(0).min(100) / 100.0
+    hybridSearch(src, emb, tokens, pk, queryVec, queryText, limit,
+      semanticWt = w, ftsWt = 1.0 - w)
+  }
+
+  /** P7: return-column projection, default all source columns. */
+  private def projectCols(src: DataFrame, returnCols: Seq[String]): Seq[Column] = {
+    val cols =
+      if (returnCols == Seq("*")) src.columns.toSeq
+      else returnCols.map(Identifiers.validate)
+    cols.map(src(_))
+  }
+}

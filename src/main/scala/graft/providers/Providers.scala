@@ -1,0 +1,240 @@
+package graft.providers
+
+import graft.functions.TextAnalyzer
+
+/** Embedding / chat provider abstraction.
+  *
+  * Mirrors the reference's provider trait
+  * (`core/src/transformers/providers/mod.rs:30-50`): batch text →
+  * vectors, plus a model-dimension probe used at job init
+  * (`core/src/init.rs:149-151`). Implementations must be
+  * `Serializable` — they are shipped to executors inside
+  * `mapPartitions` closures (SURVEY §3.1 Spark shape).
+  */
+trait EmbeddingProvider extends Serializable {
+
+  /** Embedding dimension for `model` (job-init probe). */
+  def modelDim(model: String): Int
+
+  /** Embed a batch of inputs. Implementations handle their own
+    * request chunking (the reference caps at 2048 inputs per HTTP
+    * call, openai.rs:90-100).
+    */
+  def generateEmbeddings(model: String, inputs: Seq[String]): Seq[Array[Float]]
+}
+
+trait ChatProvider extends Serializable {
+  def generateResponse(model: String, sysPrompt: String, userPrompt: String): String
+}
+
+/** Deterministic, network-free embedding provider for tests and CI.
+  *
+  * Token-hash embeddings: each token maps (via FNV-1a) to a fixed
+  * pseudo-random direction; a document's vector is the L2-normalized
+  * sum of its token directions. Identical texts → identical vectors;
+  * high token overlap → high cosine. A small synonym-cluster table
+  * canonicalizes related words so the reference's semantic-ordering
+  * test assertions (FIXTURES.md §2: "food"→pizza, "apples"→apple
+  * trees, "astronauts"→space shuttle) are reproducible without a
+  * model server.
+  */
+final class DeterministicHashProvider(dim: Int = 64) extends EmbeddingProvider {
+
+  private val clusters: Map[String, String] = {
+    val groups = Seq(
+      Seq("food", "pizza", "eat", "meal", "cuisine", "apple", "apples", "fruit"),
+      Seq("space", "astronaut", "astronauts", "shuttle", "rocket", "orbit", "nasa"),
+      Seq("write", "writing", "pencil", "pen", "paper", "notebook"),
+      Seq("travel", "airplane", "flight", "luggage", "backpack", "camping", "tent"),
+      Seq("computer", "laptop", "electronics", "mouse", "keyboard", "monitor", "wireless")
+    )
+    groups.flatMap(g => g.map(w => w -> g.head)).toMap
+  }
+
+  private def fnv(s: String): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < s.length) { h ^= s.charAt(i).toLong; h *= 0x100000001b3L; i += 1 }
+    h
+  }
+
+  private def tokenDirection(tok: String): Array[Float] = {
+    val out = new Array[Float](dim)
+    var h = fnv(tok)
+    var i = 0
+    while (i < dim) {
+      // xorshift64* chain → reproducible pseudo-random components
+      h ^= h >>> 12; h ^= h << 25; h ^= h >>> 27
+      out(i) = ((h * 0x2545F4914F6CDD1DL) >> 40).toFloat / (1 << 23).toFloat
+      i += 1
+    }
+    out
+  }
+
+  def embedOne(text: String): Array[Float] = {
+    val acc = new Array[Float](dim)
+    val toks = TextAnalyzer.tokenize(text).map(t => clusters.getOrElse(t, t))
+    toks.foreach { t =>
+      val d = tokenDirection(t)
+      var i = 0
+      while (i < dim) { acc(i) += d(i); i += 1 }
+    }
+    var norm = 0.0
+    acc.foreach(v => norm += v.toDouble * v)
+    val n = math.sqrt(norm)
+    if (n > 0) { var i = 0; while (i < dim) { acc(i) = (acc(i) / n).toFloat; i += 1 } }
+    acc
+  }
+
+  override def modelDim(model: String): Int = dim
+
+  override def generateEmbeddings(model: String, inputs: Seq[String]): Seq[Array[Float]] =
+    inputs.map(embedOne)
+}
+
+/** Deterministic chat provider: echoes a digest of the prompt —
+  * enough to test the RAG pipeline's plumbing (retrieve → render →
+  * trim → respond) without a network model.
+  */
+final class DeterministicChatProvider extends ChatProvider {
+  override def generateResponse(model: String, sysPrompt: String, userPrompt: String): String = {
+    val ctx = userPrompt.linesIterator.take(3).mkString(" ").take(200)
+    s"[$model] $ctx"
+  }
+}
+
+/** Minimal JSON helpers for provider payloads (no external deps —
+  * build.sbt is intentionally closed).
+  */
+private[providers] object Json {
+  def str(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
+  /** Extract all float arrays under `"embedding": [...]`-style keys.
+    * Tolerant line-oriented scan good enough for the fixed provider
+    * response shapes (OpenAI `data[].embedding`, Ollama `embeddings`,
+    * Cohere `embeddings.float`).
+    */
+  def extractFloatArrays(body: String, key: String): Seq[Array[Float]] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Array[Float]]
+    val marker = "\"" + key + "\""
+    var idx = body.indexOf(marker)
+    while (idx >= 0) {
+      val open = body.indexOf('[', idx)
+      if (open >= 0) {
+        var depth = 0
+        var i = open
+        var close = -1
+        while (close < 0 && i < body.length) {
+          body.charAt(i) match {
+            case '[' => depth += 1
+            case ']' => depth -= 1; if (depth == 0) close = i
+            case _ =>
+          }
+          i += 1
+        }
+        if (close > open) {
+          val inner = body.substring(open + 1, close)
+          // either a flat array or an array of arrays
+          if (inner.contains('[')) {
+            inner.split("\\]").foreach { piece =>
+              val nums = piece.dropWhile(c => c != '[').drop(1)
+              if (nums.exists(c => c.isDigit))
+                out += nums.split(',').filter(_.trim.nonEmpty).map(_.trim.toFloat)
+            }
+          } else if (inner.trim.nonEmpty) {
+            out += inner.split(',').filter(_.trim.nonEmpty).map(_.trim.toFloat)
+          }
+          idx = body.indexOf(marker, close)
+        } else idx = -1
+      } else idx = -1
+    }
+    out.toSeq
+  }
+}
+
+/** OpenAI-compatible HTTP embedding provider (`POST {base}/embeddings`
+  * with `{"input": [...], "model": "..."}`), covering the reference's
+  * openai / vector-serve / portkey request shapes
+  * (core/src/transformers/providers/{openai,vector_serve,portkey}.rs).
+  *
+  * Chunks requests at `maxInputsPerRequest` = 2048 (openai.rs:90-100)
+  * and applies the reference's 120 s timeout (openai.rs:109). NOTE:
+  * the build/test environment is zero-egress, so this class is
+  * exercised only through its request-shaping logic in unit tests;
+  * live use requires a reachable endpoint.
+  */
+final class OpenAICompatProvider(
+    baseUrl: String,
+    apiKey: Option[String] = None,
+    maxInputsPerRequest: Int = 2048,
+    timeoutSec: Int = 120,
+    dims: Map[String, Int] = OpenAICompatProvider.knownDims
+) extends EmbeddingProvider {
+
+  override def modelDim(model: String): Int =
+    dims.getOrElse(model, dims.getOrElse(model.split('/').last, 1536))
+
+  def requestBody(model: String, inputs: Seq[String]): String =
+    s"""{"model":${Json.str(model)},"input":[${inputs.map(Json.str).mkString(",")}]}"""
+
+  override def generateEmbeddings(model: String, inputs: Seq[String]): Seq[Array[Float]] =
+    inputs.grouped(maxInputsPerRequest).toSeq.flatMap { chunk =>
+      val vecs = Json.extractFloatArrays(post(requestBody(model, chunk)), "embedding")
+      require(vecs.size == chunk.size,
+        s"provider returned ${vecs.size} embeddings for ${chunk.size} inputs")
+      vecs
+    }
+
+  private def post(body: String): String = {
+    val client = java.net.http.HttpClient.newBuilder()
+      .connectTimeout(java.time.Duration.ofSeconds(timeoutSec.toLong)).build()
+    val b = java.net.http.HttpRequest.newBuilder()
+      .uri(java.net.URI.create(s"$baseUrl/embeddings"))
+      .timeout(java.time.Duration.ofSeconds(timeoutSec.toLong))
+      .header("Content-Type", "application/json")
+    apiKey.foreach(k => b.header("Authorization", s"Bearer $k"))
+    val resp = client.send(
+      b.POST(java.net.http.HttpRequest.BodyPublishers.ofString(body)).build(),
+      java.net.http.HttpResponse.BodyHandlers.ofString())
+    if (resp.statusCode() / 100 != 2)
+      throw new RuntimeException(s"embedding request failed: HTTP ${resp.statusCode()}")
+    resp.body()
+  }
+}
+
+object OpenAICompatProvider {
+  /** Known model dims (reference static map, openai.rs:126-138 +
+    * cohere.rs:16-26).
+    */
+  val knownDims: Map[String, Int] = Map(
+    "text-embedding-ada-002" -> 1536,
+    "text-embedding-3-small" -> 1536,
+    "text-embedding-3-large" -> 3072,
+    "all-MiniLM-L6-v2" -> 384,
+    "all-MiniLM-L12-v2" -> 384,
+    "embed-english-v3.0" -> 1024
+  )
+}
+
+object Providers {
+  /** Resolve a provider for a model source; the deterministic
+    * provider backs tests and the "deterministic" namespace.
+    */
+  def forModel(model: graft.types.Model, baseUrl: Option[String] = None,
+      apiKey: Option[String] = None): EmbeddingProvider =
+    model.source match {
+      case graft.types.ModelSource.Deterministic => new DeterministicHashProvider()
+      case _ =>
+        new OpenAICompatProvider(
+          baseUrl.getOrElse("http://localhost:3000/v1"), apiKey)
+    }
+}

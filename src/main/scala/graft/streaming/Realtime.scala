@@ -1,0 +1,93 @@
+package graft.streaming
+
+import graft.VectorizeEngine
+import graft.operators.Pipeline
+import graft.types.VectorizeJob
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Realtime (incremental) embedding maintenance.
+  *
+  * The reference's realtime mode is trigger → pgmq queue → background
+  * worker (SURVEY §2.9 R1-R5). The Spark-native equivalent collapses
+  * the queue into Structured Streaming micro-batches: a stream of
+  * source rows drives `foreachBatch`, each batch is rendered,
+  * embedded, and MERGEd — idempotently, so the at-least-once
+  * delivery of checkpoint recovery preserves correctness exactly the
+  * way the reference's `ON CONFLICT DO UPDATE` upsert does
+  * (worker/src/ops.rs:8-70).
+  */
+object Realtime {
+
+  /** Process one micro-batch of changed source rows for `job`:
+    * render → embed → MERGE embeddings + search tokens. This is the
+    * exact body of the reference worker's execute_job
+    * (worker/src/executor.rs:60-160) re-expressed on DataFrames.
+    */
+  def processBatch(engine: VectorizeEngine, job: VectorizeJob, batch: DataFrame): Unit = {
+    if (batch.isEmpty) return
+    val inputs = Pipeline.renderInputs(batch, job.primaryKey, job.srcColumns)
+    val embedded = Pipeline.embed(inputs, engine.provider(job), job.model.fullname)
+    engine.store.merge(s"_embeddings_${job.jobName}", embedded, "pkey")
+    val tokens = Pipeline.renderSearchTokens(batch, job.primaryKey, job.srcColumns)
+    engine.store.merge(s"_search_tokens_${job.jobName}", tokens, "pkey")
+  }
+
+  /** Start the realtime pipeline from a streaming DataFrame of source
+    * rows (file stream, Kafka, Delta CDF...). Checkpointing gives
+    * at-least-once; the MERGE makes replays idempotent (R5).
+    */
+  def start(engine: VectorizeEngine, jobName: String, stream: DataFrame,
+      checkpointDir: String, trigger: Trigger = Trigger.ProcessingTime("2 seconds"))
+      : StreamingQuery = {
+    val job = engine.job(jobName).getOrElse(
+      throw new IllegalArgumentException(s"unknown job: $jobName"))
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        processBatch(engine, job, batch)
+      }
+      .start()
+  }
+
+  /** Cron-mode equivalent (R6): one Trigger.AvailableNow pass over
+    * whatever accumulated since the last run.
+    */
+  def runAvailableNow(engine: VectorizeEngine, jobName: String, stream: DataFrame,
+      checkpointDir: String): StreamingQuery =
+    start(engine, jobName, stream, checkpointDir, Trigger.AvailableNow())
+
+  /** Windowed event-stream aggregation with watermarking — the
+    * streaming-analytics shape (late data dropped after the
+    * watermark; event-time tumbling windows). Works identically on a
+    * batch DataFrame (watermark is a no-op there), which is how the
+    * oracle checks it.
+    */
+  def windowedEventCounts(events: DataFrame, tsCol: String, keyCol: String,
+      windowDur: String, watermark: String = "10 minutes"): DataFrame = {
+    val maybeWatermarked =
+      if (events.isStreaming) events.withWatermark(tsCol, watermark) else events
+    maybeWatermarked
+      .groupBy(window(col(tsCol), windowDur).as("w"), col(keyCol))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .select(col("w.start").as("window_start"), col(keyCol),
+        col("n"), col("total_value"))
+  }
+
+  /** Sessionization via session_window (gap-based) — the canonical
+    * stateful-streaming operator beyond tumbling windows.
+    */
+  def sessionize(events: DataFrame, tsCol: String, userCol: String,
+      gap: String = "30 minutes"): DataFrame = {
+    val maybeWatermarked =
+      if (events.isStreaming) events.withWatermark(tsCol, gap) else events
+    maybeWatermarked
+      .groupBy(session_window(col(tsCol), gap).as("s"), col(userCol))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+      .select(col("s.start").as("session_start"), col("s.end").as("session_end"),
+        col(userCol), col("n_events"), col("total_value"))
+  }
+}

@@ -1,0 +1,264 @@
+package graft.types
+
+/** Core domain types for the graft vectorize engine.
+  *
+  * Re-expresses the reference's job/model/filter data model
+  * (pg_vectorize `core/src/types.rs`, `core/src/query.rs:14-203`) as
+  * plain Scala ADTs. Pure JVM — no Spark imports — so the module is
+  * usable from the driver, executors, and unit tests alike.
+  */
+
+/** Where an embedding/chat model is served from.
+  * Reference: `ModelSource` enum, core/src/types.rs:277-284.
+  */
+sealed abstract class ModelSource(val name: String)
+object ModelSource {
+  case object OpenAI extends ModelSource("openai")
+  case object SentenceTransformers extends ModelSource("sentence-transformers")
+  case object Ollama extends ModelSource("ollama")
+  case object Cohere extends ModelSource("cohere")
+  case object Portkey extends ModelSource("portkey")
+  case object Voyage extends ModelSource("voyage")
+  /** Deterministic local provider for tests/CI (no network). */
+  case object Deterministic extends ModelSource("deterministic")
+
+  val all: Seq[ModelSource] =
+    Seq(OpenAI, SentenceTransformers, Ollama, Cohere, Portkey, Voyage, Deterministic)
+
+  /** Unknown namespaces default to SentenceTransformers, matching
+    * core/src/types.rs:297,326.
+    */
+  def parse(s: String): ModelSource =
+    all.find(_.name == s.toLowerCase).getOrElse(SentenceTransformers)
+}
+
+/** A parsed `namespace/model-name` identifier.
+  * Reference: `Model` + parser, core/src/types.rs:160-266.
+  */
+final case class Model(source: ModelSource, fullname: String, name: String)
+object Model {
+  /** Legacy aliases accepted by the reference parser
+    * (core/src/types.rs:242-248).
+    */
+  private val legacyAliases: Map[String, String] = Map(
+    "text-embedding-ada-002" -> "openai/text-embedding-ada-002",
+    "all-MiniLM-L12-v2"      -> "sentence-transformers/all-MiniLM-L12-v2",
+    "all_MiniLM_L12_v2"      -> "sentence-transformers/all-MiniLM-L12-v2"
+  )
+
+  def parse(input: String): Either[String, Model] = {
+    val canonical = legacyAliases.getOrElse(input, input)
+    canonical.split("/").toList match {
+      case ns :: rest if rest.nonEmpty =>
+        val name = rest.mkString("/")
+        if (name.isEmpty) Left(s"invalid model name: $input")
+        else Right(Model(ModelSource.parse(ns), s"$ns/$name", name))
+      case single :: Nil if single.nonEmpty =>
+        // Bare names default to the sentence-transformers namespace.
+        Right(
+          Model(
+            ModelSource.SentenceTransformers,
+            s"sentence-transformers/$single",
+            single
+          )
+        )
+      case _ => Left(s"invalid model name: $input")
+    }
+  }
+
+  def parseUnsafe(input: String): Model =
+    parse(input).fold(err => throw new IllegalArgumentException(err), identity)
+}
+
+/** Comparison operator for typed metadata filters.
+  * Reference: `FilterOperator`, core/src/query.rs:14-55.
+  */
+sealed abstract class FilterOperator(val token: String, val sql: String)
+object FilterOperator {
+  case object Eq  extends FilterOperator("eq", "=")
+  case object Gt  extends FilterOperator("gt", ">")
+  case object Gte extends FilterOperator("gte", ">=")
+  case object Lt  extends FilterOperator("lt", "<")
+  case object Lte extends FilterOperator("lte", "<=")
+  val all: Seq[FilterOperator] = Seq(Eq, Gt, Gte, Lt, Lte)
+  def parse(s: String): Option[FilterOperator] = all.find(_.token == s)
+}
+
+/** Typed filter value; type sniffed at parse time with the reference's
+  * precedence bool -> i64 -> f64 -> string
+  * (core/src/query.rs:82-182). Comparison (non-eq) operators are
+  * numeric-only (core/src/query.rs:136-151).
+  */
+sealed trait FilterScalar { def asSqlLiteral: String }
+object FilterScalar {
+  final case class B(v: Boolean) extends FilterScalar {
+    def asSqlLiteral: String = v.toString
+  }
+  final case class I(v: Long) extends FilterScalar {
+    def asSqlLiteral: String = v.toString
+  }
+  final case class F(v: Double) extends FilterScalar {
+    def asSqlLiteral: String = v.toString
+  }
+  final case class S(v: String) extends FilterScalar {
+    def asSqlLiteral: String = "'" + v.replace("'", "''") + "'"
+  }
+
+  /** bool -> i64 -> f64 -> string precedence, matching
+    * core/src/query.rs:96-134. Note the reference uses Rust
+    * `str::parse`, which rejects hex (`0xFF`), accepts `007` as 7 and
+    * `1e5` as float 100000.0, and accepts NaN/inf as floats.
+    */
+  def sniff(raw: String): FilterScalar = {
+    if (raw == "true") B(true)
+    else if (raw == "false") B(false)
+    else
+      parseRustI64(raw)
+        .map(I)
+        .orElse(parseRustF64(raw).map(F))
+        .getOrElse(S(raw))
+  }
+
+  /** Rust i64::from_str semantics: optional sign, decimal digits only. */
+  private[types] def parseRustI64(s: String): Option[Long] =
+    if (s.nonEmpty && s.matches("[+-]?[0-9]+"))
+      try Some(java.lang.Long.parseLong(s))
+      catch { case _: NumberFormatException => None }
+    else None
+
+  /** Rust f64::from_str semantics: standard float forms plus
+    * nan/inf/infinity (case-insensitive), no hex, no trailing 'd'/'f'.
+    */
+  private[types] def parseRustF64(s: String): Option[Double] = {
+    val t = s.trim
+    if (t.isEmpty || t != s) return None
+    val lower = t.toLowerCase
+    val unsigned = lower.stripPrefix("+").stripPrefix("-")
+    val neg = lower.startsWith("-")
+    unsigned match {
+      case "nan"              => Some(Double.NaN)
+      case "inf" | "infinity" =>
+        Some(if (neg) Double.NegativeInfinity else Double.PositiveInfinity)
+      case u if u.matches("""(\d+\.?\d*|\.\d+)(e[+-]?\d+)?""") =>
+        try Some(java.lang.Double.parseDouble(t))
+        catch { case _: NumberFormatException => None }
+      case _ => None
+    }
+  }
+}
+
+/** A parsed `"op.value"` filter (e.g. `"eq.electronics"`, `"gte.25"`).
+  * Reference: `FilterValue` deserializer, core/src/query.rs:82-182.
+  */
+final case class FilterValue(operator: FilterOperator, value: FilterScalar)
+object FilterValue {
+  /** Parse `"op.value"`; a bare value (no known `op.` prefix) defaults
+    * to equality, matching the reference's fallback
+    * (core/src/query.rs:161-173). Comparison operators require numeric
+    * values (core/src/query.rs:136-151).
+    */
+  def parse(raw: String): Either[String, FilterValue] = {
+    val dot = raw.indexOf('.')
+    val (opTok, rest) =
+      if (dot >= 0) (raw.substring(0, dot), raw.substring(dot + 1))
+      else ("", "")
+    FilterOperator.parse(opTok) match {
+      case Some(op) =>
+        val scalar = FilterScalar.sniff(rest)
+        op match {
+          case FilterOperator.Eq => Right(FilterValue(op, scalar))
+          case _ =>
+            scalar match {
+              case _: FilterScalar.I | _: FilterScalar.F =>
+                Right(FilterValue(op, scalar))
+              case _ =>
+                Left(
+                  s"comparison operator '${op.token}' requires a numeric value, got: '$rest'"
+                )
+            }
+        }
+      case None =>
+        // A letters-only prefix before the dot is an operator attempt
+        // ("invalid.42", "EQ.x") → error, matching the reference's
+        // deserializer. Anything else ("42", "50.5", multi-dot
+        // numerics) is an equality filter on the sniffed whole string
+        // (core/src/query.rs:161-173).
+        if (dot >= 0 && opTok.nonEmpty && opTok.forall(_.isLetter))
+          Left(s"invalid filter operator: '$opTok'")
+        else Right(FilterValue(FilterOperator.Eq, FilterScalar.sniff(raw)))
+    }
+  }
+}
+
+/** How embeddings are stored relative to the source table.
+  * Reference: `TableMethod`, core/src/types.rs:107-115 (default join).
+  */
+sealed abstract class TableMethod(val name: String)
+object TableMethod {
+  case object Append extends TableMethod("append")
+  case object Join   extends TableMethod("join")
+  def parse(s: String): TableMethod =
+    if (s.equalsIgnoreCase("append")) Append else Join
+}
+
+/** Distance/index flavor. A planner hint only in graft v1 — search is
+  * exact brute-force cosine (exact ⊇ ANN recall).
+  * Reference: `IndexDist`, core/src/types.rs:61-68.
+  */
+sealed abstract class IndexDist(val name: String)
+object IndexDist {
+  case object PgvHnswL2     extends IndexDist("pgv_hnsw_l2")
+  case object PgvHnswIp     extends IndexDist("pgv_hnsw_ip")
+  case object PgvHnswCosine extends IndexDist("pgv_hnsw_cosine")
+  case object VscDiskannCos extends IndexDist("vsc_diskann_cosine")
+  val all: Seq[IndexDist] = Seq(PgvHnswL2, PgvHnswIp, PgvHnswCosine, VscDiskannCos)
+  def parse(s: String): IndexDist =
+    all.find(_.name == s.toLowerCase).getOrElse(PgvHnswCosine)
+}
+
+/** One vectorize job: a named binding of a source table + text columns
+  * to an embeddings store and a model.
+  * Reference: `VectorizeJob`, core/src/types.rs:12-24 + vectorize.job
+  * catalog row, core/src/query.rs:205-220.
+  */
+final case class VectorizeJob(
+    jobName: String,
+    srcTable: String,
+    srcColumns: Seq[String],
+    primaryKey: String,
+    updateTimeCol: Option[String],
+    model: Model,
+    tableMethod: TableMethod = TableMethod.Join,
+    indexDist: IndexDist = IndexDist.PgvHnswCosine,
+    schedule: String = "realtime",
+    params: Map[String, String] = Map.empty
+)
+
+/** A row ready for embedding: pkey (as text), rendered input text, and
+  * its token estimate. Reference: `Inputs`,
+  * core/src/transformers/types.rs:28-33.
+  */
+final case class EmbedInput(recordId: String, text: String, tokenEstimate: Int)
+
+/** One embedded row keyed back to its source primary key.
+  * Reference: `PairedEmbeddings`, core/src/transformers/types.rs:35-39.
+  */
+final case class PairedEmbedding(recordId: String, embedding: Array[Float])
+
+/** Queue message: a micro-batch of record ids for one job.
+  * Reference: `JobMessage`, core/src/types.rs:138-142.
+  */
+final case class JobMessage(jobName: String, recordIds: Seq[String])
+
+/** Identifier validation — alphanumeric + underscore only. Required
+  * before splicing any user-supplied identifier into `expr()` /
+  * `col()` strings. Reference: `check_input`,
+  * core/src/query.rs:194-203.
+  */
+object Identifiers {
+  def isValid(s: String): Boolean =
+    s.nonEmpty && s.forall(c => c.isLetterOrDigit || c == '_')
+  def validate(s: String): String =
+    if (isValid(s)) s
+    else throw new IllegalArgumentException(s"invalid identifier: '$s'")
+}

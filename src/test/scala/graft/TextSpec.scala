@@ -1,0 +1,131 @@
+package graft
+
+import graft.functions.{GraftFunctions, PorterStemmer, TextAnalyzer}
+import graft.rag.{ContextWindow, PromptTemplates, RenderedPrompt}
+import org.scalatest.funsuite.AnyFunSuite
+
+class TextSpec extends AnyFunSuite {
+
+  test("porter stemmer: canonical examples") {
+    assert(PorterStemmer.stem("caresses") == "caress")
+    assert(PorterStemmer.stem("ponies") == "poni")
+    assert(PorterStemmer.stem("cats") == "cat")
+    assert(PorterStemmer.stem("agreed") == "agre")
+    assert(PorterStemmer.stem("plastered") == "plaster")
+    assert(PorterStemmer.stem("motoring") == "motor")
+    assert(PorterStemmer.stem("happy") == "happi")
+    assert(PorterStemmer.stem("relational") == "relat")
+    assert(PorterStemmer.stem("conditional") == "condit")
+    assert(PorterStemmer.stem("triplicate") == "triplic")
+    assert(PorterStemmer.stem("probate") == "probat")
+    assert(PorterStemmer.stem("controll") == "control")
+  }
+
+  test("analyzer: tokenize, stopwords, stemming, sorted distinct") {
+    val lex = TextAnalyzer.lexemes("The quick brown foxes are jumping over the lazy dogs!")
+    assert(!lex.contains("the") && !lex.contains("are") && !lex.contains("over"))
+    assert(lex.contains("fox") || lex.contains("foxe"))
+    assert(lex.contains("jump"))
+    assert(lex == lex.sorted && lex == lex.distinct)
+  }
+
+  test("analyzer: query matching is OR semantics") {
+    val doc = TextAnalyzer.lexemes("merging tables with spark")
+    val q1 = TextAnalyzer.queryLexemes("merge nonexistentword")
+    assert(TextAnalyzer.matches(doc, q1)) // one term suffices
+    val q2 = TextAnalyzer.queryLexemes("zzz qqq")
+    assert(!TextAnalyzer.matches(doc, q2))
+  }
+
+  test("analyzer: rank orders docs by relevance") {
+    val q = TextAnalyzer.queryLexemes("merge join")
+    val relevant = TextAnalyzer.lexemes("merge join merge join stream")
+    val partial = TextAnalyzer.lexemes("merge table scan batch window")
+    val none = TextAnalyzer.lexemes("window batch scan")
+    val r1 = TextAnalyzer.rank(relevant, q)
+    val r2 = TextAnalyzer.rank(partial, q)
+    val r3 = TextAnalyzer.rank(none, q)
+    assert(r1 > r2 && r2 > r3 && r3 == 0.0)
+  }
+
+  test("chunking: respects max chars, covers all words") {
+    val text = ("word " * 100).trim
+    val chunks = GraftFunctions.chunkTextScala(text, 30)
+    assert(chunks.nonEmpty)
+    assert(chunks.forall(_.length <= 30))
+    assert(chunks.flatMap(_.split(" ")).count(_ == "word") == 100)
+  }
+
+  test("chunking: sentence boundaries preferred") {
+    val chunks = GraftFunctions.chunkTextScala(
+      "First sentence here. Second sentence is longer than the first. Third.", 40)
+    assert(chunks.head.startsWith("First sentence"))
+    assert(chunks.forall(_.length <= 40))
+  }
+
+  test("chunking: oversized single word hard-splits") {
+    val chunks = GraftFunctions.chunkTextScala("a" * 95, 30)
+    assert(chunks.map(_.length).sum == 95)
+    assert(chunks.forall(_.length <= 30))
+  }
+
+  test("language id: recognizes marker-heavy text; und on empty") {
+    assert(GraftFunctions.languageIdScala("the cat and the dog in the house") == "en")
+    assert(GraftFunctions.languageIdScala("der hund und die katze ist nicht da") == "de")
+    assert(GraftFunctions.languageIdScala("") == "und")
+  }
+
+  test("fingerprint: deterministic, whitespace/case-invariant, order-sensitive") {
+    val a = GraftFunctions.fingerprintScala("Hello   World")
+    val b = GraftFunctions.fingerprintScala("hello world")
+    val c = GraftFunctions.fingerprintScala("world hello")
+    assert(a == b)
+    assert(a != c)
+  }
+
+  test("minhash: signature agreement estimates jaccard") {
+    def sig(s: Seq[String]) = GraftFunctions.minHashScala(s, 128, 42L)
+    val base = (1 to 100).map(i => s"sh$i")
+    val near = (1 to 90).map(i => s"sh$i") ++ (1 to 10).map(i => s"other$i")
+    val far = (1 to 100).map(i => s"zz$i")
+    def agree(a: Array[Long], b: Array[Long]) =
+      a.zip(b).count { case (x, y) => x == y }.toDouble / a.length
+    val nearAgree = agree(sig(base), sig(near))
+    val farAgree = agree(sig(base), sig(far))
+    // true jaccard(base, near) = 90/110 ≈ 0.82
+    assert(math.abs(nearAgree - 0.82) < 0.15, s"nearAgree=$nearAgree")
+    assert(farAgree < 0.1, s"farAgree=$farAgree")
+  }
+
+  test("simhash: similar token multisets → small hamming distance") {
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val a = GraftFunctions.simHashScala((1 to 60).map(i => s"t$i"))
+    val b = GraftFunctions.simHashScala((1 to 57).map(i => s"t$i") ++ Seq("x1", "x2", "x3"))
+    val c = GraftFunctions.simHashScala((1 to 60).map(i => s"u$i"))
+    assert(ham(a, b) < ham(a, c))
+    assert(ham(a, b) <= 12)
+  }
+
+  test("prompt template: render substitutes placeholders") {
+    val p = PromptTemplates.render("question_answer", "CTX", "QUERY")
+    assert(p.userPrompt.contains("CTX") && p.userPrompt.contains("QUERY"))
+    assert(!p.userPrompt.contains("{{"))
+    intercept[IllegalArgumentException](PromptTemplates.render("nope", "a", "b"))
+  }
+
+  test("context window: errors over budget without forceTrim, trims with") {
+    // mini-corpus with tiny budget, mirroring the reference's
+    // token-budget-36 trim tests (extension/src/chat/ops.rs:278-380)
+    val p = RenderedPrompt("sys prompt here", ("word " * 9000).trim)
+    val err = intercept[IllegalArgumentException](
+      ContextWindow.enforce("gpt-4", p, forceTrim = false))
+    assert(err.getMessage.contains("force_trim"))
+    val trimmed = ContextWindow.enforce("gpt-4", RenderedPrompt("s", ("w " * 9000).trim), forceTrim = true)
+    assert(ContextWindow.tokenEstimate(trimmed.userPrompt) <= 8192)
+  }
+
+  test("token estimate: whitespace semantics") {
+    assert(ContextWindow.tokenEstimate("") == 0)
+    assert(ContextWindow.tokenEstimate("one two  three") == 3)
+  }
+}

@@ -1,0 +1,98 @@
+package graft
+
+import graft.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Filter/model parser vectors ported from the reference test suite
+  * (core/src/query.rs:786-1433, core/src/types.rs:332-424; see
+  * FIXTURES.md §7).
+  */
+class TypesSpec extends AnyFunSuite {
+
+  import FilterOperator._
+  import FilterScalar._
+
+  private def parsed(s: String): FilterValue =
+    FilterValue.parse(s).fold(e => fail(s"'$s' failed: $e"), identity)
+
+  test("filter: eq string") {
+    assert(parsed("eq.hello") == FilterValue(Eq, S("hello")))
+  }
+  test("filter: gt integer") {
+    assert(parsed("gt.100") == FilterValue(Gt, I(100)))
+  }
+  test("filter: gte float") {
+    assert(parsed("gte.50.5") == FilterValue(Gte, F(50.5)))
+  }
+  test("filter: lt / lte") {
+    assert(parsed("lt.25") == FilterValue(Lt, I(25)))
+    assert(parsed("lte.10.0") == FilterValue(Lte, F(10.0)))
+  }
+  test("filter: bare value defaults to eq with sniffing") {
+    assert(parsed("42") == FilterValue(Eq, I(42)))
+    assert(parsed("42.5") == FilterValue(Eq, F(42.5)))
+    assert(parsed("hello") == FilterValue(Eq, S("hello")))
+  }
+  test("filter: booleans") {
+    assert(parsed("eq.true") == FilterValue(Eq, B(true)))
+    assert(parsed("eq.false") == FilterValue(Eq, B(false)))
+  }
+  test("filter: invalid operator errors") {
+    assert(FilterValue.parse("invalid.42").isLeft)
+    assert(FilterValue.parse("EQ.42").isLeft)
+    assert(FilterValue.parse("GT.42").isLeft)
+  }
+  test("filter: comparison ops require numeric") {
+    assert(FilterValue.parse("gt.hello").isLeft)
+    assert(FilterValue.parse("lte.true").isLeft)
+  }
+  test("filter: numeric edge cases match Rust parse semantics") {
+    assert(parsed("007") == FilterValue(Eq, I(7)))
+    assert(parsed("eq.1e5") == FilterValue(Eq, F(100000.0)))
+    // hex is NOT numeric in Rust's i64/f64 parser → string
+    assert(parsed("eq.0xFF") == FilterValue(Eq, S("0xFF")))
+    // multi-dot is a string
+    assert(parsed("eq.1.2.3") == FilterValue(Eq, S("1.2.3")))
+    assert(parsed(Long.MaxValue.toString) == FilterValue(Eq, I(Long.MaxValue)))
+    // beyond i64 → f64
+    assert(parsed("9223372036854775808").value.isInstanceOf[F])
+  }
+  test("filter: NaN / infinity parse as floats") {
+    parsed("eq.NaN").value match {
+      case F(v) => assert(v.isNaN)
+      case other => fail(s"expected float NaN, got $other")
+    }
+    assert(parsed("eq.inf") == FilterValue(Eq, F(Double.PositiveInfinity)))
+    assert(parsed("eq.-infinity") == FilterValue(Eq, F(Double.NegativeInfinity)))
+  }
+
+  test("model: namespace/name parses") {
+    val m = Model.parseUnsafe("openai/text-embedding-ada-002")
+    assert(m.source == ModelSource.OpenAI)
+    assert(m.name == "text-embedding-ada-002")
+    assert(m.fullname == "openai/text-embedding-ada-002")
+  }
+  test("model: legacy aliases") {
+    assert(Model.parseUnsafe("text-embedding-ada-002").source == ModelSource.OpenAI)
+    assert(Model.parseUnsafe("all-MiniLM-L12-v2").fullname ==
+      "sentence-transformers/all-MiniLM-L12-v2")
+    assert(Model.parseUnsafe("all_MiniLM_L12_v2").fullname ==
+      "sentence-transformers/all-MiniLM-L12-v2")
+  }
+  test("model: unknown namespace defaults to sentence-transformers") {
+    assert(Model.parseUnsafe("whatever/some-model").source ==
+      ModelSource.SentenceTransformers)
+  }
+  test("model: bare name gets sentence-transformers namespace") {
+    val m = Model.parseUnsafe("all-MiniLM-L6-v2")
+    assert(m.fullname == "sentence-transformers/all-MiniLM-L6-v2")
+  }
+
+  test("identifiers: validation guards injection") {
+    assert(Identifiers.isValid("product_id"))
+    assert(!Identifiers.isValid("product id"))
+    assert(!Identifiers.isValid("x; DROP TABLE"))
+    assert(!Identifiers.isValid(""))
+    intercept[IllegalArgumentException](Identifiers.validate("a-b"))
+  }
+}
