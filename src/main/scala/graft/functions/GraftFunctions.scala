@@ -70,20 +70,17 @@ object GraftFunctions {
       lit(0)))
 
   // ---------------------------------------------------------------
-  // Vector math (reference F1, core/src/query.rs:681). No UDF: Spark
-  // higher-order functions (zip_with/aggregate) stay in codegen and
-  // match DuckDB double-precision arithmetic when elements are cast
-  // to double first.
+  // Vector math (reference F1, core/src/query.rs:681). Backed by
+  // native Catalyst expressions (graft.plans.VectorExpressions): one
+  // fused Java loop per row via doGenCode — no intermediate array
+  // allocation, stays inside whole-stage codegen. Double-precision
+  // accumulation matches the DuckDB oracle; null on zero norms
+  // matches the previous HOF (zip_with/aggregate) implementation.
   // ---------------------------------------------------------------
 
-  private def toDouble(a: Column): Column = transform(a, x => x.cast("double"))
-
-  /** Σ a_i * b_i over two array columns, computed in double. */
+  /** Σ a_i * b_i over two float-array columns, computed in double. */
   def dotProduct(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(toDouble(a), toDouble(b), (x, y) => x * y),
-      lit(0.0),
-      (acc, x) => acc + x)
+    graft.plans.VectorExpressions.dotProduct(a, b)
 
   def l2Norm(a: Column): Column = sqrt(dotProduct(a, a))
 
@@ -92,16 +89,13 @@ object GraftFunctions {
     * (returns null on zero vectors).
     */
   def cosineSimilarity(a: Column, b: Column): Column =
-    dotProduct(a, b) / nullif(l2Norm(a) * l2Norm(b), lit(0.0))
+    graft.plans.VectorExpressions.cosineSimilarity(a, b)
 
   def cosineDistance(a: Column, b: Column): Column =
     lit(1.0) - cosineSimilarity(a, b)
 
   def l2Distance(a: Column, b: Column): Column =
-    sqrt(aggregate(
-      zip_with(toDouble(a), toDouble(b), (x, y) => (x - y) * (x - y)),
-      lit(0.0),
-      (acc, x) => acc + x))
+    graft.plans.VectorExpressions.l2Distance(a, b)
 
   /** Negative inner product (pgvector `<#>` is -ip; similarity = ip). */
   def innerProduct(a: Column, b: Column): Column = dotProduct(a, b)

@@ -5,8 +5,8 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.classic.ExpressionUtils
-import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.GraftColumnBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
 /** Native Catalyst expressions for the vector-math hot path.
   *
@@ -25,13 +25,15 @@ import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, Double
   * both the HOF versions and the DuckDB oracle.
   */
 abstract class VectorBinaryExpression extends BinaryExpression with ImplicitCastInputTypes {
-  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType), ArrayType(FloatType))
+  // Note: no explicit `Seq[AbstractDataType]` annotation — that type is
+  // private[sql] in Spark 4; the inferred Seq[ArrayType] conforms covariantly.
+  override def inputTypes = Seq(ArrayType(FloatType), ArrayType(FloatType))
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
 
   /** Per-element accumulation body + final combine, shared by eval and codegen. */
   protected def combine(dot: Double, na: Double, nb: Double): Any
-  protected def combineJava(dot: String, na: String, nb: String, ev: ExprCode): String
+  protected def combineJava(ctx: CodegenContext, dot: String, na: String, nb: String, ev: ExprCode): String
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
@@ -61,7 +63,7 @@ abstract class VectorBinaryExpression extends BinaryExpression with ImplicitCast
          |  double $yi = (double) $b.getFloat($i);
          |  $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
          |}
-         |${combineJava(dot, na, nb, ev)}
+         |${combineJava(ctx, dot, na, nb, ev)}
          |""".stripMargin
     })
 }
@@ -73,9 +75,11 @@ case class CosineSimilarity(left: Expression, right: Expression) extends VectorB
     val denom = math.sqrt(na) * math.sqrt(nb)
     if (denom == 0.0) null else dot / denom
   }
-  override protected def combineJava(dot: String, na: String, nb: String, ev: ExprCode): String =
-    s"""double denom_g = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
-       |if (denom_g == 0.0) { ${ev.isNull} = true; } else { ${ev.value} = $dot / denom_g; }""".stripMargin
+  override protected def combineJava(ctx: CodegenContext, dot: String, na: String, nb: String, ev: ExprCode): String = {
+    val denom = ctx.freshName("denom")
+    s"""double $denom = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
+       |if ($denom == 0.0) { ${ev.isNull} = true; } else { ${ev.value} = $dot / $denom; }""".stripMargin
+  }
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
 }
 
@@ -83,7 +87,7 @@ case class CosineSimilarity(left: Expression, right: Expression) extends VectorB
 case class DotProductExpr(left: Expression, right: Expression) extends VectorBinaryExpression {
   override def prettyName: String = "dot_product"
   override protected def combine(dot: Double, na: Double, nb: Double): Any = dot
-  override protected def combineJava(dot: String, na: String, nb: String, ev: ExprCode): String =
+  override protected def combineJava(ctx: CodegenContext, dot: String, na: String, nb: String, ev: ExprCode): String =
     s"${ev.value} = $dot;"
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
 }
@@ -95,39 +99,41 @@ case class L2DistanceExpr(left: Expression, right: Expression) extends VectorBin
     val d2 = na + nb - 2.0 * dot
     math.sqrt(if (d2 < 0.0) 0.0 else d2) // clamp fp negatives
   }
-  override protected def combineJava(dot: String, na: String, nb: String, ev: ExprCode): String =
-    s"""double d2_g = $na + $nb - 2.0 * $dot;
-       |${ev.value} = java.lang.Math.sqrt(d2_g < 0.0 ? 0.0 : d2_g);""".stripMargin
+  override protected def combineJava(ctx: CodegenContext, dot: String, na: String, nb: String, ev: ExprCode): String = {
+    val d2 = ctx.freshName("d2")
+    s"""double $d2 = $na + $nb - 2.0 * $dot;
+       |${ev.value} = java.lang.Math.sqrt($d2 < 0.0 ? 0.0 : $d2);""".stripMargin
+  }
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
 }
 
 object VectorExpressions {
   /** Column-API entry points (usable without SQL registration). */
   def cosineSimilarity(a: Column, b: Column): Column =
-    ExpressionUtils.column(CosineSimilarity(
-      ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+    GraftColumnBridge.column(CosineSimilarity(
+      GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
   def dotProduct(a: Column, b: Column): Column =
-    ExpressionUtils.column(DotProductExpr(
-      ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+    GraftColumnBridge.column(DotProductExpr(
+      GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
   def l2Distance(a: Column, b: Column): Column =
-    ExpressionUtils.column(L2DistanceExpr(
-      ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+    GraftColumnBridge.column(L2DistanceExpr(
+      GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
 
-  private def info(name: String, usage: String) =
-    new ExpressionInfo(classOf[CosineSimilarity].getName, null, name, usage, "")
+  private def info(clazz: Class[_], name: String, usage: String) =
+    new ExpressionInfo(clazz.getName, null, name, usage, "")
 
   /** (identifier, info, builder) triples for SparkSessionExtensions
     * and direct FunctionRegistry registration.
     */
   val registrations: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("cosine_similarity"),
-      info("cosine_similarity", "_FUNC_(a, b) - cosine similarity of two float arrays"),
+      info(classOf[CosineSimilarity], "cosine_similarity", "_FUNC_(a, b) - cosine similarity of two float arrays"),
       (es: Seq[Expression]) => CosineSimilarity(es(0), es(1))),
     (FunctionIdentifier("dot_product"),
-      info("dot_product", "_FUNC_(a, b) - inner product of two float arrays"),
+      info(classOf[DotProductExpr], "dot_product", "_FUNC_(a, b) - inner product of two float arrays"),
       (es: Seq[Expression]) => DotProductExpr(es(0), es(1))),
     (FunctionIdentifier("l2_distance"),
-      info("l2_distance", "_FUNC_(a, b) - euclidean distance of two float arrays"),
+      info(classOf[L2DistanceExpr], "l2_distance", "_FUNC_(a, b) - euclidean distance of two float arrays"),
       (es: Seq[Expression]) => L2DistanceExpr(es(0), es(1)))
   )
 }

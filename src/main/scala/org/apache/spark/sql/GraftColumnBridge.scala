@@ -1,0 +1,18 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Bridge to Spark's `private[sql]` Column ⇄ Expression converters.
+  *
+  * Spark 4 moved the classic `Column(expr)` constructor behind
+  * `org.apache.spark.sql.classic.ExpressionUtils`, which is
+  * `private[sql]`. Declaring this object inside the `org.apache.spark.sql`
+  * package (legal in our own source tree — it adds no code to Spark's
+  * jars) is the supported-shape escape hatch for libraries that define
+  * native Catalyst expressions and want to expose them as `Column`s
+  * without going through the string-based `expr()` parser.
+  */
+object GraftColumnBridge {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}
