@@ -22,6 +22,40 @@ object Oracles {
   private val toksSql =
     "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')"
 
+  /** DuckDB mirror of Dedup.embeddingLshBandedPairs: band keys from
+    * the same seeded hyperplanes (floats rendered as their exact
+    * double values — Scala Double.toString round-trips), candidate
+    * join per band, exact cosine verify.
+    */
+  private def embeddingLshSql(dim: Int, bits: Int, bands: Int,
+      seed: Long, threshold: Double): String = {
+    val planes = graft.operators.Ann.hyperplanes(bits * bands, dim, seed)
+    def planeLit(p: Array[Float]): String =
+      p.map(_.toDouble.toString).mkString("[", ", ", "]")
+    val bandSelects = (0 until bands).map { bnd =>
+      val key = (0 until bits).map { i =>
+        s"(CASE WHEN list_dot_product(e, ${planeLit(planes(bnd * bits + i))}) > 0 " +
+          s"THEN ${1L << i} ELSE 0 END)"
+      }.mkString(" + ")
+      s"SELECT vec_id, $bnd AS band, $key AS k FROM v"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH v AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |keys AS (
+       |$bandSelects),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM keys a JOIN keys b
+       |    ON a.band = b.band AND a.k = b.k AND a.vec_id < b.vec_id)
+       |SELECT c.id_a, c.id_b,
+       |  round(list_cosine_similarity(va.e, vb.e), 4) AS cos
+       |FROM cand c
+       |JOIN v va ON va.vec_id = c.id_a
+       |JOIN v vb ON vb.vec_id = c.id_b
+       |WHERE list_cosine_similarity(va.e, vb.e) >= $threshold
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
   val sql: Map[String, String] = Map(
 
     "s1_delta_scan_join" ->
@@ -226,42 +260,50 @@ object Oracles {
         |  COUNT(*) OVER (PARTITION BY nh) AS group_size
         |FROM h ORDER BY doc_id""".stripMargin,
 
+    // Rare-gram inverted-index blocking (mirrors
+    // Dedup.rareGramJaccardPairs): candidates share ≥1 bigram with
+    // document frequency in [2, 20]; exact Jaccard verified on the
+    // full bigram sets.
     "dedup_ngram_jaccard" ->
       s"""WITH arr AS (
-         |  SELECT doc_id, source, $toksSql AS toks FROM documents),
+         |  SELECT doc_id, $toksSql AS toks FROM documents),
          |unnested AS (
-         |  SELECT doc_id, source, unnest(toks) AS tok,
+         |  SELECT doc_id, unnest(toks) AS tok,
          |    generate_subscripts(toks, 1) AS i
          |  FROM arr WHERE len(toks) >= 2),
          |bigrams AS (
-         |  SELECT DISTINCT a.doc_id, a.source, a.tok || ' ' || b.tok AS g
+         |  SELECT DISTINCT a.doc_id, a.tok || ' ' || b.tok AS g
          |  FROM unnested a JOIN unnested b
          |    ON a.doc_id = b.doc_id AND b.i = a.i + 1),
          |gsets AS (
-         |  SELECT doc_id, source, COUNT(*) AS n FROM bigrams GROUP BY 1, 2),
+         |  SELECT doc_id, COUNT(*) AS n FROM bigrams GROUP BY 1),
+         |rare AS (
+         |  SELECT g FROM bigrams GROUP BY g HAVING COUNT(*) BETWEEN 2 AND 20),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+         |  FROM bigrams x
+         |  JOIN rare r ON x.g = r.g
+         |  JOIN bigrams y ON y.g = x.g AND x.doc_id < y.doc_id),
          |inter AS (
-         |  SELECT x.source AS block, x.doc_id AS id_a, y.doc_id AS id_b,
-         |    COUNT(*) AS ni
-         |  FROM bigrams x JOIN bigrams y
-         |    ON x.source = y.source AND x.g = y.g AND x.doc_id < y.doc_id
-         |  GROUP BY 1, 2, 3)
-         |SELECT i.block, i.id_a, i.id_b,
+         |  SELECT c.id_a, c.id_b, COUNT(*) AS ni
+         |  FROM cand c
+         |  JOIN bigrams x ON x.doc_id = c.id_a
+         |  JOIN bigrams y ON y.doc_id = c.id_b AND y.g = x.g
+         |  GROUP BY 1, 2)
+         |SELECT i.id_a, i.id_b,
          |  round(CAST(i.ni AS DOUBLE) / (ga.n + gb.n - i.ni), 4) AS jaccard
          |FROM inter i
          |JOIN gsets ga ON ga.doc_id = i.id_a
          |JOIN gsets gb ON gb.doc_id = i.id_b
          |WHERE CAST(i.ni AS DOUBLE) / (ga.n + gb.n - i.ni) >= 0.12
-         |ORDER BY block, id_a, id_b""".stripMargin,
+         |ORDER BY id_a, id_b""".stripMargin,
 
-    "dedup_embedding_cos" ->
-      """SELECT a.label AS block, a.vec_id AS id_a, b.vec_id AS id_b,
-        |  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-        |                               CAST(b.embedding AS DOUBLE[])), 4) AS cos
-        |FROM embeddings a JOIN embeddings b
-        |  ON a.label = b.label AND a.vec_id < b.vec_id
-        |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-        |                             CAST(b.embedding AS DOUBLE[])) >= 0.35
-        |ORDER BY block, id_a, id_b""".stripMargin,
+    // Sign-LSH banded blocking (mirrors Dedup.embeddingLshBandedPairs,
+    // 4 bands × 8 bits): the plane literals below are the EXACT same
+    // deterministic hyperplanes (Ann.hyperplanes seed=42) the Spark
+    // side uses, so both engines compute identical band keys.
+    "dedup_embedding_cos" -> embeddingLshSql(
+      dim = 64, bits = 8, bands = 4, seed = 42L, threshold = 0.30),
 
     "mm_describe" ->
       """SELECT doc_id AS asset_id,

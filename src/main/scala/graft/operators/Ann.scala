@@ -128,10 +128,7 @@ object Ann {
   def ivfTopK(assigned: DataFrame, idCol: String, vecCol: String,
       centroids: Array[(Int, Array[Float])], queryVec: Array[Float],
       k: Int, nProbe: Int = 2): DataFrame = {
-    def dist(a: Array[Float], b: Array[Float]): Double =
-      math.sqrt(a.zip(b).map { case (x, y) => (x.toDouble - y) * (x.toDouble - y) }.sum)
-    val probeCells = centroids.sortBy { case (c, v) => (dist(v, queryVec), c) }
-      .take(nProbe).map(_._1)
+    val probeCells = nearestCells(centroids, queryVec, nProbe)
     assigned
       .filter(col("__cell").isin(probeCells.toIndexedSeq: _*))
       .select(col(idCol).as("id"),
@@ -140,22 +137,93 @@ object Ann {
       .limit(k)
   }
 
+  private def nearestCells(centroids: Array[(Int, Array[Float])],
+      queryVec: Array[Float], nProbe: Int): Array[Int] = {
+    def dist(a: Array[Float], b: Array[Float]): Double =
+      math.sqrt(a.zip(b).map { case (x, y) => (x.toDouble - y) * (x.toDouble - y) }.sum)
+    centroids.sortBy { case (c, v) => (dist(v, queryVec), c) }
+      .take(nProbe).map(_._1)
+  }
+
+  // ---------------------------------------------------------------
+  // Persisted IVF index: build ONCE per dataset, probe per query.
+  // The k-means build is an index-construction step (the analogue of
+  // pgvector's CREATE INDEX ... USING hnsw, extension/src/init.rs:
+  // 86-146) — it must never run inside a query. The assigned table
+  // is written PARTITIONED BY cell, so a probe reads only the nProbe
+  // matching partition directories (partition pruning — at 100 TB
+  // the probe's scan is |table| * nProbe / nCells, not |table|).
+  // ---------------------------------------------------------------
+
+  /** Build and persist an IVF index for an embedding table:
+    * `path/centroids` = (cell, centroid) parquet,
+    * `path/assigned`  = source rows + `cell`, partitioned by cell.
+    */
+  def buildIvfIndex(emb: DataFrame, idCol: String, vecCol: String,
+      path: String, nCells: Int, iterations: Int = 5): Unit = {
+    val spark = emb.sparkSession
+    val centroids = ivfCentroids(emb, idCol, vecCol, nCells, iterations)
+    assignCells(emb, vecCol, centroids)
+      .withColumnRenamed("__cell", "cell")
+      .write.partitionBy("cell").mode("overwrite").parquet(s"$path/assigned")
+    import spark.implicits._
+    centroids.toSeq.map { case (c, v) => (c, v.toSeq) }
+      .toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  /** Load the (driver-small) centroid table of a persisted index. */
+  def loadIvfCentroids(spark: org.apache.spark.sql.SparkSession,
+      path: String): Array[(Int, Array[Float])] =
+    spark.read.parquet(s"$path/centroids").collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+
+  /** Probe a persisted IVF index: nearest nProbe cells by centroid
+    * distance (driver-side over ≤nCells centroids), then exact cosine
+    * top-k over ONLY those cell partitions. `.explain` shows
+    * PartitionFilters: [cell IN (...)] — the scan never touches the
+    * other cells' files.
+    */
+  def probeIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      idCol: String, vecCol: String, queryVec: Array[Float],
+      k: Int, nProbe: Int = 2): DataFrame = {
+    val centroids = loadIvfCentroids(spark, path)
+    val probeCells = nearestCells(centroids, queryVec, nProbe)
+    spark.read.parquet(s"$path/assigned")
+      .filter(col("cell").isin(probeCells.toIndexedSeq: _*))
+      .select(col(idCol).as("id"),
+        cosineSimilarity(col(vecCol), lit(queryVec)).as("cos"))
+      .orderBy(col("cos").desc, col("id").asc)
+      .limit(k)
+  }
+
   /** Batch kNN join: for every query row, its top-k neighbors among
     * the index rows, blocked by LSH key (all-pairs joins at 100 TB
-    * must be bucketed; this is the bucketed shape).
+    * must be bucketed; this is the bucketed shape). The query side is
+    * multiprobed: each query also probes every bucket at Hamming
+    * distance 1 from its own key (bits+1 keys total), which recovers
+    * most of the recall lost to near-boundary sign flips without
+    * widening the index side's shuffle.
     */
   def knnJoin(queries: DataFrame, index: DataFrame, idCol: String,
       vecCol: String, k: Int, bits: Int = 6, seed: Long = 42L): DataFrame = {
     val dimRow = index.select(size(col(vecCol))).head()
     val planes = hyperplanes(bits, dimRow.getInt(0), seed)
+    val qKey = lshKey(col("q_vec"), planes)
+    // own bucket + each single-bit flip (multiprobe)
+    val probeKeys = array(
+      (qKey +: (0 until bits).map(b => qKey.bitwiseXOR(lit(1L << b)))): _*)
     val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
-      .withColumn("__lsh", lshKey(col("q_vec"), planes))
+      .withColumn("__lsh", explode(probeKeys))
     val x = index.select(col(idCol).as("x_id"), col(vecCol).as("x_vec"))
       .withColumn("__lsh", lshKey(col("x_vec"), planes))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("x_id").asc)
     q.join(x, Seq("__lsh"))
       .filter(col("q_id") =!= col("x_id"))
-      .withColumn("cos", cosineSimilarity(col("q_vec"), col("x_vec")))
+      .select(col("q_id"), col("x_id"),
+        cosineSimilarity(col("q_vec"), col("x_vec")).as("cos"))
+      .distinct() // a pair can match in several probe buckets
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("q_id", "x_id", "cos", "rank")

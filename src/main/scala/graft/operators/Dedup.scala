@@ -100,25 +100,33 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Token n-grams of a text column: lowercase alphanumeric tokens →
+    * distinct space-joined n-grams. Documents shorter than n tokens
+    * produce no grams (matches the oracle's bigram CTE exactly).
+    * Pure built-ins — stays in codegen.
+    */
+  def ngramSet(textCol: org.apache.spark.sql.Column, n: Int): org.apache.spark.sql.Column = {
+    val toks = filter_tokens(textCol)
+    if (n == 1) array_distinct(toks)
+    else when(size(toks) >= n,
+      array_distinct(
+        transform(sequence(lit(0), size(toks) - n),
+          i => array_join(slice(toks, i + 1, lit(n)), " "))))
+      .otherwise(array().cast("array<string>"))
+  }
+
   /** Exact n-gram Jaccard similarity pairs within a blocking column
-    * (e.g. source, language, or an LSH bucket). Pure built-ins:
-    * token n-grams via transform over index sequence, set ops via
-    * array_intersect/union — everything stays in codegen.
+    * (e.g. an LSH band key or IVF cell). This is the in-bucket exact
+    * VERIFIER — the block key must be high-cardinality; do not block
+    * on a low-cardinality attribute (source/label) or the pair stage
+    * goes O(n²/B). Use [[rareGramJaccardPairs]] for standalone
+    * similarity self-join at scale.
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       blockCol: String, n: Int = 2, threshold: Double = 0.2): DataFrame = {
-    val toks = filter_tokens(col(textCol))
-    // documents shorter than n tokens produce no grams (matches the
-    // oracle's bigram CTE exactly)
-    val grams =
-      if (n == 1) array_distinct(toks)
-      else when(size(toks) >= n,
-        array_distinct(
-          transform(sequence(lit(0), size(toks) - n),
-            i => array_join(slice(toks, i + 1, lit(n)), " "))))
-        .otherwise(array().cast("array<string>"))
     val prepped = docs.select(
-      col(blockCol).as("block"), col(idCol).as("id"), grams.as("grams"))
+      col(blockCol).as("block"), col(idCol).as("id"),
+      ngramSet(col(textCol), n).as("grams"))
       .filter(size(col("grams")) > 0)
     val a = prepped.select(col("block"), col("id").as("id_a"), col("grams").as("g_a"))
     val b = prepped.select(col("block"), col("id").as("id_b"), col("grams").as("g_b"))
@@ -129,15 +137,70 @@ object Dedup {
       .select("block", "id_a", "id_b", "jaccard")
   }
 
+  /** Scale-safe exact n-gram Jaccard pairs via inverted-index (rare-
+    * gram) blocking — the prefix-filter family of set-similarity
+    * joins (Bayardo et al. 2007 "Scaling Up All Pairs"): a candidate
+    * pair must share at least one n-gram whose document frequency is
+    * in [2, maxDf]. The df cap bounds every posting-list bucket to
+    * ≤ maxDf docs → ≤ maxDf² pairs, so the candidate stage is a
+    * shuffle on the gram key with per-gram work O(maxDf²) regardless
+    * of corpus size; ubiquitous grams ("of the") never form a
+    * quadratic bucket. Near-dup pairs whose shared grams are ALL
+    * high-df are missed by design — common shingles carry no dedup
+    * signal (standard stop-gram practice in training-data pipelines).
+    *
+    * Returns (id_a, id_b, jaccard) with exact Jaccard ≥ threshold,
+    * deduplicated across candidate-generating grams.
+    */
+  def rareGramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 2, threshold: Double = 0.2, maxDf: Int = 20): DataFrame = {
+    // The inverted index (id, gram) is referenced by five downstream
+    // plan branches (df count, set sizes, candidate join ×2,
+    // intersection join ×2); persist it so n-gram extraction runs
+    // ONCE per document instead of once per branch. At scale this is
+    // the materialized posting-list table a real pipeline would keep
+    // on disk anyway.
+    val exploded = docs.select(col(idCol).as("id"),
+        explode(ngramSet(col(textCol), n)).as("g"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val gsets = exploded.groupBy(col("id")).agg(count(lit(1)).as("n"))
+    val rare = exploded.groupBy(col("g"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= maxDf)
+      .select("g")
+    val postings = exploded.join(rare, Seq("g"))
+    val cand = postings.select(col("g"), col("id").as("id_a"))
+      .join(postings.select(col("g"), col("id").as("id_b")), Seq("g"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+    // Count-based exact Jaccard: |A∩B| from a per-pair posting join,
+    // |A|,|B| from gsets — no gram arrays are ever carried through a
+    // shuffle. ni/(na+nb-ni) computes the identical IEEE double as
+    // the array formulation.
+    val inter = cand
+      .join(exploded.select(col("id").as("id_a"), col("g")), Seq("id_a"))
+      .join(exploded.select(col("id").as("id_b"), col("g")), Seq("id_b", "g"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("ni"))
+    inter
+      .join(gsets.select(col("id").as("id_a"), col("n").as("na")), Seq("id_a"))
+      .join(gsets.select(col("id").as("id_b"), col("n").as("nb")), Seq("id_b"))
+      .withColumn("jaccard",
+        col("ni").cast("double") / (col("na") + col("nb") - col("ni")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
   /** Tokenize to lowercase alphanumeric runs (matches
     * TextAnalyzer.tokenize) with built-ins only.
     */
   private def filter_tokens(text: org.apache.spark.sql.Column) =
     filter(split(lower(coalesce(text, lit(""))), "[^a-z0-9]+"), t => t =!= "")
 
-  /** Embedding-cosine near-dup pairs within a blocking column (label,
-    * IVF cell, or LSH bucket at scale). Cosine computed in double via
-    * codegen'd higher-order functions.
+  /** Embedding-cosine near-dup pairs within a blocking column. The
+    * block key must be high-cardinality (an LSH band key or IVF
+    * cell) — this is the in-bucket exact verifier, not a standalone
+    * blocking scheme. Cosine via the codegen'd native expression.
     */
   def embeddingNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
       blockCol: String, threshold: Double = 0.95): DataFrame = {
@@ -150,5 +213,43 @@ object Dedup {
       .withColumn("cos", cosineSimilarity(col("v_a"), col("v_b")))
       .filter(col("cos") >= threshold)
       .select("block", "id_a", "id_b", "cos")
+  }
+
+  /** Scale-safe embedding near-dup: sign-LSH banded blocking
+    * (Charikar 2002 random hyperplanes, banded like MinHash-LSH) →
+    * exact cosine verification within buckets. Each vector gets
+    * `bands` keys of `bits` sign-bits each from `bands*bits`
+    * deterministic hyperplanes; a pair is a candidate iff it agrees
+    * on ALL bits of at least one band. Candidate generation is a
+    * shuffle on the band key — never an all-pairs join — and bucket
+    * count grows with 2^bits per band, so bucket size (and the
+    * quadratic in-bucket verify) shrinks geometrically as bits rise.
+    *
+    * Returns (id_a, id_b, cos) pairs with exact cosine ≥ threshold,
+    * deduplicated across bands. The hyperplanes come from
+    * [[Ann.hyperplanes]] (seeded xorshift — executor-stable and
+    * reproducible in the DuckDB oracle as literal plane values).
+    */
+  def embeddingLshBandedPairs(emb: DataFrame, idCol: String, vecCol: String,
+      dim: Int, threshold: Double = 0.95, bits: Int = 8, bands: Int = 4,
+      seed: Long = 42L): DataFrame = {
+    val planes = Ann.hyperplanes(bits * bands, dim, seed)
+    val prepped = emb.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val bandKeys = array((0 until bands).map { bnd =>
+      val key = (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
+        acc + when(dotProduct(col("vec"), lit(planes(bnd * bits + i))) > 0,
+          lit(1L << i)).otherwise(lit(0L))
+      }
+      concat(lit(s"$bnd:"), key)
+    }: _*)
+    val banded = prepped.withColumn("band_key", explode(bandKeys))
+    val a = banded.select(col("band_key"), col("id").as("id_a"), col("vec").as("v_a"))
+    val b = banded.select(col("band_key"), col("id").as("id_b"), col("vec").as("v_b"))
+    a.join(b, Seq("band_key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        cosineSimilarity(col("v_a"), col("v_b")).as("cos"))
+      .distinct()
+      .filter(col("cos") >= threshold)
   }
 }
