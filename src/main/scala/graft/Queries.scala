@@ -410,8 +410,12 @@ object Queries {
     */
   def annLshTopK(spark: SparkSession, dir: String): DataFrame = {
     val qv = queryVec(spark, dir)
+    // probeHamming=5 reaches recall 1.0 at sf0.01 (AnnSpec); on the
+    // near-uniform synthetic vectors that means probing most buckets —
+    // real clustered embeddings need far fewer probes (the knob trades
+    // scan fraction for recall).
     Ann.lshTopK(t(spark, dir, "embeddings"), "vec_id", "embedding", qv,
-        k = 20, bits = 8, probeHamming = 3)
+        k = 20, bits = 8, probeHamming = 5)
       .select(col("id"), round(col("cos"), 4).as("cos"))
       .orderBy(col("cos").desc, col("id").asc)
   }
@@ -433,7 +437,7 @@ object Queries {
         p, nCells = 16, iterations = 3)
       p
     })
-    Ann.probeIvfIndex(spark, path, "vec_id", "embedding", qv, k = 20, nProbe = 4)
+    Ann.probeIvfIndex(spark, path, "vec_id", "embedding", qv, k = 20, nProbe = 8)
       .select(col("id"), round(col("cos"), 4).as("cos"))
       .orderBy(col("cos").desc, col("id").asc)
   }

@@ -30,6 +30,30 @@ final class VectorizeEngine(
   private val sources = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
   private val jobs = scala.collection.concurrent.TrieMap.empty[String, VectorizeJob]
 
+  // S9/R8 — catalog reload: like the reference's startup read of
+  // vectorize.job (core/src/db.rs:4-19, cached server/src/cache.rs),
+  // a new engine over an existing warehouse recovers every job. The
+  // sources themselves are re-registered by the caller (they live
+  // outside the warehouse, like the reference's user tables live in
+  // Postgres); searches work immediately since the embedding/token
+  // stores persist.
+  locally {
+    if (store.exists("job_catalog"))
+      store.read("job_catalog").collect().foreach { r =>
+        val job = VectorizeJob(
+          jobName = r.getAs[String]("job_name"),
+          srcTable = r.getAs[String]("src_table"),
+          srcColumns = r.getAs[scala.collection.Seq[String]]("src_columns").toSeq,
+          primaryKey = r.getAs[String]("primary_key"),
+          updateTimeCol = Option(r.getAs[String]("update_time_col")),
+          model = Model.parseUnsafe(r.getAs[String]("model")),
+          tableMethod = TableMethod.parse(r.getAs[String]("table_method")),
+          indexDist = IndexDist.parse(r.getAs[String]("index_dist_type")),
+          schedule = r.getAs[String]("schedule"))
+        jobs.put(job.jobName, job)
+      }
+  }
+
   /** Register a source DataFrame under a table name (replaces the
     * reference's information_schema introspection of an existing
     * Postgres table, core/src/init.rs:26-54).
@@ -45,6 +69,22 @@ final class VectorizeEngine(
 
   private def embTable(job: String) = s"_embeddings_$job"
   private def tokTable(job: String) = s"_search_tokens_$job"
+  private def appTable(job: String) = s"_append_$job"
+
+  /** The (pkey, embeddings, updated_at) frame for a job regardless of
+    * table method: join keeps a separate `_embeddings_<job>` table;
+    * append stores embeddings inline in a wide `_append_<job>` table
+    * (the reference ALTERs the source table itself,
+    * core/src/types.rs:107-115) and projects the bookkeeping columns.
+    */
+  private def embeddingsOf(job: VectorizeJob): DataFrame = job.tableMethod match {
+    case TableMethod.Append =>
+      store.read(appTable(job.jobName))
+        .select(col("pkey"), col("embeddings"),
+          col("__emb_updated_at").as("updated_at"))
+        .filter(col("embeddings").isNotNull)
+    case _ => store.read(embTable(job.jobName))
+  }
 
   /** `vectorize.table(...)` (extension/src/api.rs:80-114 +
     * initialize_job core/src/init.rs:122-269): validate, persist the
@@ -73,21 +113,87 @@ final class VectorizeEngine(
   /** `vectorize.job_execute` / cron target
     * (extension/src/executor.rs:43-96): incremental delta scan →
     * embed → MERGE. Idempotent — safe under at-least-once retries.
+    *
+    * The delta and the embedded rows are persisted for the duration
+    * of the refresh: `embedded` is referenced by the MERGE (twice —
+    * anti-join + union) AND the returned count, and `delta` by both
+    * the embedding and the search-tokens pass. Without the persist
+    * each reference would re-run the whole pipeline INCLUDING the
+    * provider calls — with a paid HTTP provider that multiplies cost
+    * per refresh (the count alone doubled it).
     */
-  def refreshJob(jobName: String): Long = {
-    val job = jobs(jobName)
+  def refreshJob(jobName: String): Long = job(jobName) match {
+    case Some(j) if j.tableMethod == TableMethod.Append => refreshAppend(j)
+    case Some(j) => refreshJoin(j)
+    case None => throw new NoSuchElementException(s"no such job: $jobName")
+  }
+
+  private def refreshJoin(job: VectorizeJob): Long = {
     val src = sources(job.srcTable)
-    val embName = embTable(jobName)
-    val delta =
+    val embName = embTable(job.jobName)
+    val delta = (
       if (store.exists(embName))
         Pipeline.deltaScanJoin(src, store.read(embName), job.primaryKey, job.updateTimeCol)
       else src
-    val inputs = Pipeline.renderInputs(delta, job.primaryKey, job.srcColumns)
-    val embedded = Pipeline.embed(inputs, provider(job), job.model.fullname)
-    store.merge(embName, embedded, "pkey")
-    val tokens = Pipeline.renderSearchTokens(delta, job.primaryKey, job.srcColumns)
-    store.merge(tokTable(jobName), tokens, "pkey")
-    embedded.count()
+    ).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val inputs = Pipeline.renderInputs(delta, job.primaryKey, job.srcColumns)
+      val embedded = Pipeline.embed(inputs, provider(job), job.model.fullname)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        store.merge(embName, embedded, "pkey")
+        val n = embedded.count() // served from cache — no provider re-call
+        val tokens = Pipeline.renderSearchTokens(delta, job.primaryKey, job.srcColumns)
+        store.merge(tokTable(job.jobName), tokens, "pkey")
+        n
+      } finally embedded.unpersist()
+    } finally delta.unpersist()
+  }
+
+  /** Append method (extension/src/executor.rs:98-133): the reference
+    * keeps embeddings + bookkeeping ON the source table. Spark-side
+    * equivalent: a wide `_append_<job>` table = all source columns +
+    * pkey + embeddings + `__emb_updated_at`, rebuilt by MERGE-ing
+    * freshly embedded rows into the previous bookkeeping and joining
+    * back to the (authoritative) source. Search reads embeddings
+    * straight from the wide table — one fewer join at query time,
+    * which is the method's point.
+    */
+  private def refreshAppend(job: VectorizeJob): Long = {
+    val aName = appTable(job.jobName)
+    val src = sources(job.srcTable)
+    val withPkey = src.withColumn("pkey", col(job.primaryKey).cast("string"))
+    val book =
+      if (store.exists(aName))
+        store.read(aName).select(col("pkey"), col("embeddings"), col("__emb_updated_at"))
+          .filter(col("embeddings").isNotNull)
+      else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(
+          Pipeline.embeddingSchema.fields.map(f =>
+            if (f.name == "updated_at") f.copy(name = "__emb_updated_at") else f)))
+    val joined = withPkey.join(book, Seq("pkey"), "left_outer")
+    val stale = job.updateTimeCol match {
+      case Some(u) => col("__emb_updated_at").isNull || col(u) > col("__emb_updated_at")
+      case None    => col("__emb_updated_at").isNull
+    }
+    val delta = joined.filter(stale)
+      .select(withPkey.columns.map(col).toIndexedSeq: _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val inputs = Pipeline.renderInputs(delta, job.primaryKey, job.srcColumns)
+      val embedded = Pipeline.embed(inputs, provider(job), job.model.fullname)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val n = embedded.count()
+        val newBook = book
+          .join(embedded.select("pkey"), Seq("pkey"), "left_anti")
+          .unionByName(embedded.withColumnRenamed("updated_at", "__emb_updated_at"))
+        store.overwrite(aName, withPkey.join(newBook, Seq("pkey"), "left_outer"))
+        val tokens = Pipeline.renderSearchTokens(delta, job.primaryKey, job.srcColumns)
+        store.merge(tokTable(job.jobName), tokens, "pkey")
+        n
+      } finally embedded.unpersist()
+    } finally delta.unpersist()
   }
 
   /** `vectorize.import_embeddings` (extension/src/api.rs:250-326):
@@ -124,6 +230,7 @@ final class VectorizeEngine(
   def deleteJob(jobName: String): Unit = {
     store.drop(embTable(jobName))
     store.drop(tokTable(jobName))
+    store.drop(appTable(jobName))
     jobs.remove(jobName)
     persistCatalog()
   }
@@ -147,7 +254,7 @@ final class VectorizeEngine(
       preFilter: Boolean = false): DataFrame = {
     val job = jobs(jobName)
     val qv = encode(jobName, query)
-    Search.semanticSearch(sources(job.srcTable), store.read(embTable(jobName)),
+    Search.semanticSearch(sources(job.srcTable), embeddingsOf(job),
       job.primaryKey, qv, limit, filters, returnCols, preFilter)
   }
 
@@ -159,7 +266,7 @@ final class VectorizeEngine(
       returnCols: Seq[String] = Seq("*")): DataFrame = {
     val job = jobs(jobName)
     val qv = encode(jobName, query)
-    Search.hybridSearch(sources(job.srcTable), store.read(embTable(jobName)),
+    Search.hybridSearch(sources(job.srcTable), embeddingsOf(job),
       store.read(tokTable(jobName)), job.primaryKey, qv, query, limit,
       windowSize, rrfK, semanticWt, ftsWt, filters, returnCols)
   }
@@ -196,7 +303,7 @@ final class VectorizeEngine(
   def projectView(jobName: String): DataFrame = {
     val job = jobs(jobName)
     val src = sources(job.srcTable)
-    val emb = store.read(embTable(jobName))
+    val emb = embeddingsOf(job)
       .withColumnRenamed("updated_at", "embeddings_updated_at")
     src.join(emb, src(job.primaryKey).cast("string") === emb("pkey")).drop("pkey")
   }
@@ -209,9 +316,9 @@ final class VectorizeEngine(
         j.updateTimeCol.orNull, j.model.fullname, j.tableMethod.name,
         j.indexDist.name, j.schedule)
     }
-    if (rows.nonEmpty)
-      store.overwrite("job_catalog", rows.toDF(
-        "job_name", "src_table", "src_columns", "primary_key",
-        "update_time_col", "model", "table_method", "index_dist_type", "schedule"))
+    // Written even when empty so deleting the last job persists.
+    store.overwrite("job_catalog", rows.toDF(
+      "job_name", "src_table", "src_columns", "primary_key",
+      "update_time_col", "model", "table_method", "index_dist_type", "schedule"))
   }
 }

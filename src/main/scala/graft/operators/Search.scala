@@ -80,10 +80,21 @@ object Search {
   }
 
   /** Simple semantic search (reference §3.3): top-k by cosine, join
-    * source for return columns, post-filters, limit.
-    * Divergence (documented, SURVEY §4): filters default to
-    * POST-ranking like the reference; pass `preFilter=true` for the
-    * better-recall pre-filtering Spark makes cheap.
+    * source for return columns, filters, limit.
+    *
+    * Filter placement matches the reference exactly:
+    * `join_table_cosine_similarity` (core/src/query.rs:653-699) ranks
+    * the ENTIRE embeddings table (its inner query has no LIMIT),
+    * joins the source, applies filters, then limits — so selective
+    * filters still return `limit` rows from deeper in the ranking.
+    * We therefore only cap the scored leg at windowSize when there
+    * are no post-filters (where capping is a pure optimization:
+    * broadcast the ≤windowSize rank list instead of shuffling the
+    * source). With post-filters the join is a plain pkey equi-join
+    * and the final `orderBy().limit()` is still an exact distributed
+    * top-k (TakeOrderedAndProject) — no full sort at any scale.
+    * Pass `preFilter=true` for the better-recall-and-cheaper
+    * pre-filtering Spark makes natural.
     */
   def semanticSearch(src: DataFrame, emb: DataFrame, pk: String,
       queryVec: Array[Float], limit: Int = 10,
@@ -97,17 +108,24 @@ object Search {
       if (preFilter && filters.nonEmpty)
         emb.join(source.select(col(pk).cast("string").as("pkey")), Seq("pkey"), "left_semi")
       else emb
-    val leg = semanticLeg(embIn, queryVec, windowSize)
-    // J1: hits (≤windowSize rows) joined back to source — broadcast
-    // the small rank list so the big table is never shuffled.
-    val joined = source.join(
-      broadcast(leg), source(pk).cast("string") === leg("pkey"), "inner")
+    val postFiltering = filters.nonEmpty && !preFilter
+    val leg =
+      if (postFiltering)
+        // full ranking (reference parity): score every row, no cap
+        embIn.withColumn("similarity_score",
+            cosineSimilarity(col("embeddings"), lit(queryVec)))
+          .select(col("pkey"), col("similarity_score"))
+      else semanticLeg(embIn, queryVec, windowSize)
+    // J1: without post-filters the leg is ≤windowSize rows —
+    // broadcast it so the big table is never shuffled.
+    val legJ = if (postFiltering) leg else broadcast(leg)
+    val joined = source.join(legJ, source(pk).cast("string") === legJ("pkey"), "inner")
     val filtered =
-      if (!preFilter) applyFilters(joined, filters) else joined
+      if (postFiltering) applyFilters(joined, filters) else joined
     val projected = filtered.select(
       projectCols(src, returnCols) ++ Seq(
-        leg("similarity_score").as("similarity_score"),
-        leg("pkey").as("__pkey")): _*)
+        legJ("similarity_score").as("similarity_score"),
+        legJ("pkey").as("__pkey")): _*)
     projected.orderBy(col("similarity_score").desc, col("__pkey").asc)
       .limit(limit).drop("__pkey")
   }

@@ -54,9 +54,14 @@ final class ParquetStore(spark: SparkSession, root: String) extends Serializable
     val tmp = new Path(s"$root/$table/_CURRENT.tmp")
     val out = fs.create(tmp, true)
     try out.write(v.toString.getBytes("UTF-8")) finally out.close()
-    // HDFS/posix rename is atomic within a directory
-    if (fs.exists(pointer(table))) fs.delete(pointer(table), false)
-    fs.rename(tmp, pointer(table))
+    // Overwriting rename (posix/HDFS rename onto an existing file is
+    // atomic): the pointer is NEVER absent once created — a crash or
+    // concurrent reader at any point observes either the old or the
+    // new version, unlike a delete-then-rename window.
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      fs.getUri, spark.sparkContext.hadoopConfiguration)
+    fc.rename(fs.makeQualified(tmp), fs.makeQualified(pointer(table)),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
   /** Full overwrite (initial backfill / small dimension tables). */

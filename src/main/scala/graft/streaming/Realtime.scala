@@ -27,10 +27,23 @@ object Realtime {
     */
   def processBatch(engine: VectorizeEngine, job: VectorizeJob, batch: DataFrame): Unit = {
     if (batch.isEmpty) return
-    val inputs = Pipeline.renderInputs(batch, job.primaryKey, job.srcColumns)
+    // A micro-batch may contain several versions of one key (insert
+    // then update, or at-least-once redelivery): keep only the last
+    // writer per pkey (by update_time_col when present) so the MERGE
+    // sees at most one row per key — the same end state Postgres
+    // reaches by applying the statements in order.
+    val deduped = job.updateTimeCol match {
+      case Some(u) if batch.columns.contains(u) =>
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col(job.primaryKey)).orderBy(col(u).desc)
+        batch.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn")
+      case _ => batch.dropDuplicates(job.primaryKey)
+    }
+    val inputs = Pipeline.renderInputs(deduped, job.primaryKey, job.srcColumns)
     val embedded = Pipeline.embed(inputs, engine.provider(job), job.model.fullname)
     engine.store.merge(s"_embeddings_${job.jobName}", embedded, "pkey")
-    val tokens = Pipeline.renderSearchTokens(batch, job.primaryKey, job.srcColumns)
+    val tokens = Pipeline.renderSearchTokens(deduped, job.primaryKey, job.srcColumns)
     engine.store.merge(s"_search_tokens_${job.jobName}", tokens, "pkey")
   }
 

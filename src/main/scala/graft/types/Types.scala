@@ -152,40 +152,36 @@ object FilterScalar {
   */
 final case class FilterValue(operator: FilterOperator, value: FilterScalar)
 object FilterValue {
-  /** Parse `"op.value"`; a bare value (no known `op.` prefix) defaults
-    * to equality, matching the reference's fallback
-    * (core/src/query.rs:161-173). Comparison operators require numeric
-    * values (core/src/query.rs:136-151).
+  /** Parse `"op.value"`. Exactly the reference deserializer's shape
+    * (core/src/query.rs:104-120): ANY input containing a dot is
+    * treated as `operator.value` and an unknown operator is an error
+    * — so `"42.5"`, `"+3.14"`, `"."`, and `"invalid.42"` all fail
+    * (the reference's own tests assert this). Only dot-free input
+    * falls back to an equality filter on the sniffed value
+    * (core/src/query.rs:161-173). Comparison operators require
+    * numeric values (core/src/query.rs:136-151).
     */
   def parse(raw: String): Either[String, FilterValue] = {
     val dot = raw.indexOf('.')
-    val (opTok, rest) =
-      if (dot >= 0) (raw.substring(0, dot), raw.substring(dot + 1))
-      else ("", "")
-    FilterOperator.parse(opTok) match {
-      case Some(op) =>
-        val scalar = FilterScalar.sniff(rest)
-        op match {
-          case FilterOperator.Eq => Right(FilterValue(op, scalar))
-          case _ =>
-            scalar match {
-              case _: FilterScalar.I | _: FilterScalar.F =>
-                Right(FilterValue(op, scalar))
-              case _ =>
-                Left(
-                  s"comparison operator '${op.token}' requires a numeric value, got: '$rest'"
-                )
-            }
-        }
-      case None =>
-        // A letters-only prefix before the dot is an operator attempt
-        // ("invalid.42", "EQ.x") → error, matching the reference's
-        // deserializer. Anything else ("42", "50.5", multi-dot
-        // numerics) is an equality filter on the sniffed whole string
-        // (core/src/query.rs:161-173).
-        if (dot >= 0 && opTok.nonEmpty && opTok.forall(_.isLetter))
-          Left(s"invalid filter operator: '$opTok'")
-        else Right(FilterValue(FilterOperator.Eq, FilterScalar.sniff(raw)))
+    if (dot < 0)
+      Right(FilterValue(FilterOperator.Eq, FilterScalar.sniff(raw)))
+    else {
+      val opTok = raw.substring(0, dot)
+      val rest = raw.substring(dot + 1)
+      FilterOperator.parse(opTok) match {
+        case None => Left(s"unknown operator: '$opTok'")
+        case Some(FilterOperator.Eq) =>
+          Right(FilterValue(FilterOperator.Eq, FilterScalar.sniff(rest)))
+        case Some(op) =>
+          FilterScalar.sniff(rest) match {
+            case s @ (_: FilterScalar.I | _: FilterScalar.F) =>
+              Right(FilterValue(op, s))
+            case _ =>
+              Left(
+                s"comparison operator '${op.token}' requires a numeric value, got: '$rest'"
+              )
+          }
+      }
     }
   }
 }

@@ -1,0 +1,94 @@
+package graft
+
+import graft.operators.Ann
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** ANN recall tests against exact brute force on the sf0.01
+  * embeddings — the analogue of the reference's per-index-type
+  * integration tests (extension/tests/integration_tests.rs:653-808),
+  * which assert each index returns the expected result set.
+  * Approximate paths must reach recall@20 ≥ 0.9 with their default
+  * probe settings; precision is 1.0 by construction (exact cosine on
+  * candidates).
+  */
+class AnnSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.01"
+
+  private lazy val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+  private lazy val qv: Array[Float] =
+    emb.filter(col("vec_id") === 0).select("embedding").head().getSeq[Float](0).toArray
+
+  private def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+    df.select(col("id").cast("long")).collect().map(_.getLong(0)).toSet
+
+  private def recall(approx: Set[Long], exact: Set[Long]): Double =
+    approx.intersect(exact).size.toDouble / exact.size
+
+  test("lshTopK recall@20 >= 0.9 vs brute force (query defaults)") {
+    // The sf0.01 embeddings are near-uniform random — the hardest
+    // case for angular LSH (recall ≈ fraction of buckets probed).
+    // probeHamming=5 is what the demo query uses; measured sweep:
+    // probe 3 → 0.75, 4 → 0.85, 5 → 1.0.
+    val exact = ids(Ann.bruteForceTopK(emb, "vec_id", "embedding", qv, 20))
+    val approx = ids(Ann.lshTopK(emb, "vec_id", "embedding", qv,
+      k = 20, bits = 8, probeHamming = 5))
+    assert(recall(approx, exact) >= 0.9,
+      s"lsh recall ${recall(approx, exact)} below 0.9")
+  }
+
+  test("ivf probe recall@20 >= 0.9 vs brute force (query defaults)") {
+    val exact = ids(Ann.bruteForceTopK(emb, "vec_id", "embedding", qv, 20))
+    val path = TestSpark.tempDir("graft_ivf_spec_")
+    Ann.buildIvfIndex(emb, "vec_id", "embedding", path, nCells = 16, iterations = 3)
+    val approx = ids(Ann.probeIvfIndex(spark, path, "vec_id", "embedding", qv,
+      k = 20, nProbe = 8))
+    assert(recall(approx, exact) >= 0.9,
+      s"ivf recall ${recall(approx, exact)} below 0.9")
+  }
+
+  test("ivf probe scans only the probed cell partitions") {
+    val path = TestSpark.tempDir("graft_ivf_spec2_")
+    Ann.buildIvfIndex(emb, "vec_id", "embedding", path, nCells = 16, iterations = 3)
+    val plan = Ann.probeIvfIndex(spark, path, "vec_id", "embedding", qv,
+      k = 20, nProbe = 4).queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cell"),
+      s"probe must prune by cell partition, plan was:\n$plan")
+  }
+
+  test("knnJoin (multiprobe) mean recall@5 >= 0.9 on clustered vectors") {
+    // kNN-join recall is only meaningful when neighbors are actually
+    // local (LSH buckets capture clusters). On uniform-random vectors
+    // every method degrades to scan-fraction — so this test plants 40
+    // clusters of 10 points (centers + small noise) where true top-5
+    // neighbors are in-cluster, and asserts the bucketed multiprobe
+    // join recovers them.
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val dim = 32
+    val rows = (0 until 40).flatMap { c =>
+      val center = Array.fill(dim)(rnd.nextGaussian().toFloat)
+      (0 until 10).map { i =>
+        val v = center.map(x => x + 0.05f * rnd.nextGaussian().toFloat)
+        (c * 10L + i, v.toSeq)
+      }
+    }
+    val cdf = rows.toDF("vec_id", "embedding").cache()
+    val queries = cdf.filter(col("vec_id") % 10 === 0)
+    val got = Ann.knnJoin(queries, cdf, "vec_id", "embedding", k = 5, bits = 6)
+      .collect().groupBy(_.getAs[Long]("q_id"))
+      .view.mapValues(_.map(_.getAs[Long]("x_id")).toSet).toMap
+    val queryVecs = queries.select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val recalls = queryVecs.map { case (qid, v) =>
+      val exact = Ann.bruteForceTopK(cdf.filter(col("vec_id") =!= qid),
+          "vec_id", "embedding", v, 5)
+        .select(col("id").cast("long")).collect().map(_.getLong(0)).toSet
+      got.getOrElse(qid, Set.empty).intersect(exact).size.toDouble / exact.size
+    }
+    val mean = recalls.sum / recalls.length
+    assert(mean >= 0.9, s"knnJoin mean recall $mean below 0.9")
+  }
+}

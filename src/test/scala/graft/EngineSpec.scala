@@ -1,0 +1,221 @@
+package graft
+
+import graft.types._
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** End-to-end engine tests against the reference-parity fixtures —
+  * mirrors server/tests/tests.rs:50-249 (semantic ordering, filter
+  * counts, insert/update freshness) and the catalog/table-method
+  * lifecycle (extension/tests/integration_tests.rs:154-202,
+  * 1096-1462).
+  */
+class EngineSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  private def newEngine(wh: String = TestSpark.tempDir("graft_eng_"),
+      provider: providers.EmbeddingProvider = new providers.DeterministicHashProvider(64))
+      : VectorizeEngine =
+    new VectorizeEngine(spark, wh, embeddingProviderOverride = Some(provider))
+
+  private def productsJob(tableMethod: TableMethod = TableMethod.Join) = VectorizeJob(
+    jobName = "products", srcTable = "my_products",
+    srcColumns = Seq("product_name", "description"),
+    primaryKey = "product_id", updateTimeCol = Some("updated_at"),
+    model = Model.parseUnsafe("deterministic/hash-64"), tableMethod = tableMethod)
+
+  test("hybrid search: 'camping backpack' ranks Backpack first (README example)") {
+    val engine = newEngine()
+    engine.registerSource("my_products", Fixtures.myProducts(spark))
+    engine.createJob(productsJob())
+    val top = engine.hybridSearch("products", "camping backpack", limit = 1).collect()
+    assert(top.length == 1)
+    assert(top.head.getAs[String]("product_name") == "Backpack")
+    assert(top.head.getAs[Double]("rrf_score") > 0.0)
+  }
+
+  test("filters: electronics=9 rows, price eq.25=2 rows, gte.25 limit 5=5 rows") {
+    val engine = newEngine()
+    engine.registerSource("my_products", Fixtures.myProducts(spark))
+    engine.createJob(productsJob())
+    val electronics = engine.search("products", "device", limit = 40,
+      filters = Map("product_category" -> FilterValue.parse("eq.electronics").toOption.get))
+    assert(electronics.count() == 9)
+
+    val price25 = engine.search("products", "device", limit = 40,
+      filters = Map("price" -> FilterValue.parse("eq.25").toOption.get)).collect()
+    assert(price25.length == 2)
+    assert(price25.map(_.getAs[String]("product_name")).toSet ==
+      Set("Wireless Mouse", "Alarm Clock"))
+
+    val gte25 = engine.search("products", "device", limit = 5,
+      filters = Map("price" -> FilterValue.parse("gte.25").toOption.get))
+    assert(gte25.count() == 5)
+  }
+
+  test("selective post-filter still returns limit rows (full-ranking parity)") {
+    // With limit=1 the capped window would be 5; neither 25.00-priced
+    // product is in the global top-5 for this query, so the
+    // pre-advice code returned 0 rows. The reference ranks the whole
+    // table before filtering (core/src/query.rs:653-699) — so must we.
+    val engine = newEngine()
+    engine.registerSource("my_products", Fixtures.myProducts(spark))
+    engine.createJob(productsJob())
+    val got = engine.search("products", "camping backpack", limit = 1,
+      filters = Map("price" -> FilterValue.parse("eq.25").toOption.get)).collect()
+    assert(got.length == 1)
+    assert(Set("Wireless Mouse", "Alarm Clock")
+      .contains(got.head.getAs[String]("product_name")))
+  }
+
+  test("semantic ordering + insert/update freshness (content table)") {
+    val engine = newEngine()
+    engine.registerSource("content", Fixtures.contentTable(spark))
+    engine.createJob(VectorizeJob("content_job", "content", Seq("content"), "id",
+      Some("updated_at"), Model.parseUnsafe("deterministic/hash-64")))
+
+    val food = engine.search("content_job", "food").collect()
+    assert(food.length == 3)
+    assert(food.head.getAs[String]("content") == "pizza")
+    assert(food.head.getAs[Double]("similarity_score") > 0.5)
+
+    val writing = engine.search("content_job", "writing utensil", limit = 1).collect()
+    assert(writing.head.getAs[String]("content") == "pencil")
+
+    // insert: new row appears after a refresh
+    engine.registerSource("content", Fixtures.contentTable(spark,
+      Seq((1, "pizza", 1L), (2, "pencil", 2L), (3, "airplane", 3L),
+        (4, "apples and apple trees", 10L))))
+    engine.refreshJob("content_job")
+    val apples = engine.search("content_job", "apples", limit = 1).collect()
+    assert(apples.head.getAs[String]("content") == "apples and apple trees")
+
+    // update: changed row (updated_at newer than its embedding's
+    // write time — like the reference's NOW()-stamped update) re-embeds
+    import spark.implicits._
+    engine.registerSource("content",
+      Seq((1, "a space shuttle is a device for storing and transporting astronauts", Fixtures.futureTs(0)),
+        (2, "pencil", Fixtures.ts(2)), (3, "airplane", Fixtures.ts(3)),
+        (4, "apples and apple trees", Fixtures.ts(10)))
+        .toDF("id", "content", "updated_at"))
+    engine.refreshJob("content_job")
+    val astro = engine.search("content_job", "astronauts", limit = 1).collect()
+    assert(astro.head.getAs[Int]("id") == 1)
+  }
+
+  test("refresh embeds each row exactly once (no double materialization)") {
+    CountingProvider.embedded.set(0)
+    val engine = newEngine(provider = new CountingProvider(64))
+    engine.registerSource("my_products", Fixtures.myProducts(spark))
+    engine.createJob(productsJob())
+    assert(CountingProvider.embedded.get() == 40,
+      s"expected exactly 40 embed calls, got ${CountingProvider.embedded.get()}")
+    // steady state: nothing stale → zero provider calls
+    engine.refreshJob("products")
+    assert(CountingProvider.embedded.get() == 40)
+    // incremental: one changed row (stamped newer than its embedding)
+    // → exactly one more call
+    val bumped = Fixtures.myProducts(spark)
+      .withColumn("updated_at",
+        when(col("product_id") === 1, lit(Fixtures.futureTs(0))).otherwise(col("updated_at")))
+    engine.registerSource("my_products", bumped)
+    engine.refreshJob("products")
+    assert(CountingProvider.embedded.get() == 41,
+      s"one stale row must cost exactly one embed call, got ${CountingProvider.embedded.get() - 40}")
+  }
+
+  test("catalog reload: a new engine over the warehouse recovers jobs (S9/R8)") {
+    val wh = TestSpark.tempDir("graft_eng_")
+    val e1 = newEngine(wh)
+    e1.registerSource("my_products", Fixtures.myProducts(spark))
+    e1.createJob(productsJob())
+
+    val e2 = newEngine(wh) // fresh engine, same warehouse — restart
+    assert(e2.listJobs.map(_.jobName) == Seq("products"))
+    assert(e2.job("products").get.srcColumns == Seq("product_name", "description"))
+    e2.registerSource("my_products", Fixtures.myProducts(spark))
+    val top = e2.hybridSearch("products", "camping backpack", limit = 1).collect()
+    assert(top.head.getAs[String]("product_name") == "Backpack")
+  }
+
+  test("append table method: inline embeddings, incremental refresh, restart") {
+    import spark.implicits._
+    CountingProvider.embedded.set(0)
+    val wh = TestSpark.tempDir("graft_eng_")
+    val engine = newEngine(wh, provider = new CountingProvider(64))
+    engine.registerSource("content", Fixtures.contentTable(spark))
+    engine.createJob(VectorizeJob("append_job", "content", Seq("content"), "id",
+      Some("updated_at"), Model.parseUnsafe("deterministic/hash-64"),
+      tableMethod = TableMethod.Append))
+    assert(CountingProvider.embedded.get() == 3)
+
+    // steady state BEFORE any search (each search embeds its query
+    // string through the provider too): no stale rows → no row embeds
+    engine.refreshJob("append_job")
+    assert(CountingProvider.embedded.get() == 3)
+
+    val food = engine.search("append_job", "food", limit = 1).collect()
+    assert(food.head.getAs[String]("content") == "pizza")
+
+    // one updated row (future-stamped) → exactly one re-embed
+    val updatedRows =
+      Seq((1, "a space shuttle carries astronauts", Fixtures.futureTs(0)),
+        (2, "pencil", Fixtures.ts(2)), (3, "airplane", Fixtures.ts(3)))
+        .toDF("id", "content", "updated_at")
+    engine.registerSource("content", updatedRows)
+    val before = CountingProvider.embedded.get()
+    engine.refreshJob("append_job")
+    assert(CountingProvider.embedded.get() == before + 1,
+      "exactly one stale row must be re-embedded")
+    val astro = engine.search("append_job", "astronauts", limit = 1).collect()
+    assert(astro.head.getAs[Int]("id") == 1)
+
+    // restart over same warehouse: append job + its store survive
+    val e2 = newEngine(wh, provider = new CountingProvider(64))
+    assert(e2.job("append_job").get.tableMethod == TableMethod.Append)
+    e2.registerSource("content", updatedRows)
+    val astro2 = e2.search("append_job", "astronauts", limit = 1).collect()
+    assert(astro2.head.getAs[Int]("id") == 1)
+  }
+
+  test("delete job is idempotent and survives restart") {
+    val wh = TestSpark.tempDir("graft_eng_")
+    val engine = newEngine(wh)
+    engine.registerSource("my_products", Fixtures.myProducts(spark))
+    engine.createJob(productsJob())
+    engine.deleteJob("products")
+    engine.deleteJob("products") // second delete: no-op, like cleanup_job
+    assert(engine.listJobs.isEmpty)
+    val e2 = newEngine(wh)
+    assert(e2.listJobs.isEmpty, "deleted job must not resurrect on reload")
+  }
+
+  test("project view exposes embeddings next to source columns") {
+    val engine = newEngine()
+    engine.registerSource("my_products", Fixtures.myProducts(spark))
+    engine.createJob(productsJob())
+    val view = engine.projectView("products")
+    assert(view.count() == 40)
+    assert(view.columns.contains("embeddings"))
+    assert(view.columns.contains("embeddings_updated_at"))
+    assert(view.select(size(col("embeddings"))).head().getInt(0) == 64)
+  }
+
+  test("import embeddings: only missing keys copied (J4 anti-join)") {
+    val engine = newEngine()
+    engine.registerSource("my_products", Fixtures.myProducts(spark))
+    engine.createJob(productsJob())
+    val before = engine.store.read("_embeddings_products")
+      .select("pkey", "embeddings").collect()
+      .map(r => r.getString(0) -> r.getSeq[Float](1)).toMap
+    // import claims keys 1..40 with zero-vectors; all exist → no-op
+    import spark.implicits._
+    val external = (1 to 40).map(i => (i, Array.fill(64)(0.0f).toSeq)).toDF("pid", "vec")
+    engine.importEmbeddings("products", external, "pid", "vec")
+    val after = engine.store.read("_embeddings_products")
+      .select("pkey", "embeddings").collect()
+      .map(r => r.getString(0) -> r.getSeq[Float](1)).toMap
+    assert(after == before, "existing embeddings must not be overwritten by import")
+  }
+}

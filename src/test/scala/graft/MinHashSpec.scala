@@ -1,0 +1,68 @@
+package graft
+
+import graft.operators.Dedup
+import org.scalatest.funsuite.AnyFunSuite
+
+/** MinHash+LSH banding behavior (Dedup.minHashLshPairs) on corpora
+  * with KNOWN near-duplicate structure — complements the pure
+  * signature-property tests in TextSpec.
+  */
+class MinHashSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  private def docs(rows: Seq[(Long, String)]) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("planted near-duplicates are found; unrelated docs are not paired") {
+    val base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val nearDup = base.replace("today", "tonight") // one-token edit
+    val unrelated = "completely different subject matter about databases and spark executors running jobs"
+    val df = docs(Seq((1L, base), (2L, nearDup), (3L, unrelated),
+      (4L, "yet another topic entirely with zero overlap whatsoever in vocabulary terms")))
+    val pairs = Dedup.minHashLshPairs(df, "doc_id", "text",
+        shingleN = 2, numHashes = 64, bands = 16, threshold = 0.3)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(pairs.contains((1L, 2L)), "near-dup pair (1,2) must be found")
+    assert(!pairs.exists { case (a, b) => Set(a, b).contains(3L) || Set(a, b).contains(4L) },
+      "unrelated docs must not pair")
+  }
+
+  test("reported jaccard is the EXACT shingle jaccard, not the estimate") {
+    val a = "alpha beta gamma delta epsilon zeta"
+    val b = "alpha beta gamma delta epsilon eta"
+    val df = docs(Seq((1L, a), (2L, b)))
+    val got = Dedup.minHashLshPairs(df, "doc_id", "text",
+        shingleN = 2, numHashes = 64, bands = 16, threshold = 0.1).collect()
+    assert(got.length == 1)
+    // bigram sets: 5 each, 4 shared → jaccard = 4/6
+    assert(math.abs(got.head.getAs[Double]("jaccard") - 4.0 / 6.0) < 1e-9)
+  }
+
+  test("pairs are deduplicated across bands and ordered id_a < id_b") {
+    val same = "identical text identical text identical text identical text"
+    val df = docs(Seq((7L, same), (3L, same)))
+    val got = Dedup.minHashLshPairs(df, "doc_id", "text",
+      shingleN = 2, numHashes = 64, bands = 16, threshold = 0.9).collect()
+    // identical docs collide in ALL 16 bands but must yield ONE pair
+    assert(got.length == 1)
+    assert(got.head.getAs[Long]("id_a") == 3L && got.head.getAs[Long]("id_b") == 7L)
+    assert(got.head.getAs[Double]("jaccard") == 1.0)
+  }
+
+  test("rare-gram jaccard pairs agree with direct computation") {
+    val df = docs(Seq(
+      (1L, "spark streaming merges micro batches into tables"),
+      (2L, "spark streaming merges micro batches into files"),
+      (3L, "unrelated content about gardening and cooking recipes")))
+    val got = Dedup.rareGramJaccardPairs(df, "doc_id", "text",
+      n = 2, threshold = 0.2, maxDf = 20).collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert((r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) == (1L, 2L))
+    // bigrams: 6 each, 5 shared → 5/7
+    assert(math.abs(r.getAs[Double]("jaccard") - 5.0 / 7.0) < 1e-9)
+  }
+}

@@ -1,0 +1,99 @@
+package graft
+
+import graft.streaming.Realtime
+import graft.types._
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Streaming proof for the realtime embedding path — mirrors the
+  * reference's realtime trigger-flow integration test
+  * (extension/tests/integration_tests.rs:231-325): inserted and
+  * updated rows become searchable after one pass, and at-least-once
+  * redelivery does not duplicate or corrupt state (R1/R5/R7:
+  * idempotent MERGE is the correctness mechanism).
+  */
+class RealtimeSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  private def writeBatch(dir: String, name: String, rows: Seq[(Int, String, Long)]): Unit = {
+    import spark.implicits._
+    rows.map { case (id, c, sec) => (id, c, Fixtures.ts(sec)) }
+      .toDF("id", "content", "updated_at")
+      .coalesce(1).write.mode("append").parquet(s"$dir/$name")
+  }
+
+  test("file-stream CDC: insert + update searchable after AvailableNow; replay-safe") {
+    val inputDir = TestSpark.tempDir("graft_rt_in_")
+    val checkpoint = TestSpark.tempDir("graft_rt_ckpt_")
+    val wh = TestSpark.tempDir("graft_rt_wh_")
+
+    val engine = new VectorizeEngine(spark, wh,
+      embeddingProviderOverride = Some(new providers.DeterministicHashProvider(64)))
+    // source registered empty at job creation — all rows arrive via CDC
+    engine.registerSource("content", Fixtures.contentTable(spark, Seq.empty))
+    engine.createJob(VectorizeJob("rt_job", "content", Seq("content"), "id",
+      Some("updated_at"), Model.parseUnsafe("deterministic/hash-64")))
+
+    val streamDir = s"$inputDir/stream"
+    def stream = spark.readStream
+      .schema("id INT, content STRING, updated_at TIMESTAMP")
+      .parquet(streamDir)
+    def runPass(): Unit = {
+      val q = Realtime.runAvailableNow(engine, "rt_job", stream, checkpoint)
+      q.awaitTermination(60000)
+    }
+
+    // batch 1: three inserts
+    writeBatch(inputDir, "stream", Seq((1, "pizza", 1L), (2, "pencil", 2L), (3, "airplane", 3L)))
+    runPass()
+    engine.registerSource("content", Fixtures.contentTable(spark)) // table state after inserts
+    val food = engine.search("rt_job", "food", limit = 1).collect()
+    assert(food.head.getAs[String]("content") == "pizza")
+    assert(engine.store.read("_embeddings_rt_job").count() == 3)
+
+    // batch 2: one insert + one update of pkey 1 (same key, new text)
+    writeBatch(inputDir, "stream", Seq(
+      (4, "apples and apple trees", 10L),
+      (1, "a space shuttle carries astronauts to orbit", 20L)))
+    runPass()
+    engine.registerSource("content", Fixtures.contentTable(spark, Seq(
+      (1, "a space shuttle carries astronauts to orbit", 20L),
+      (2, "pencil", 2L), (3, "airplane", 3L), (4, "apples and apple trees", 10L))))
+    val apples = engine.search("rt_job", "apples", limit = 1).collect()
+    assert(apples.head.getAs[Int]("id") == 4)
+    val astro = engine.search("rt_job", "astronauts", limit = 1).collect()
+    assert(astro.head.getAs[Int]("id") == 1)
+    // update MERGEd, not appended: still exactly 4 embedding rows
+    assert(engine.store.read("_embeddings_rt_job").count() == 4)
+
+    // same checkpoint, no new files → processes nothing, state unchanged
+    runPass()
+    assert(engine.store.read("_embeddings_rt_job").count() == 4)
+
+    // at-least-once replay: FRESH checkpoint re-delivers every file;
+    // the idempotent MERGE must leave identical state (R5)
+    val snapshotBefore = engine.store.read("_embeddings_rt_job")
+      .select("pkey", "embeddings").collect()
+      .map(r => r.getString(0) -> r.getSeq[Float](1)).toMap
+    val checkpoint2 = TestSpark.tempDir("graft_rt_ckpt2_")
+    val q2 = Realtime.runAvailableNow(engine, "rt_job", stream, checkpoint2)
+    q2.awaitTermination(60000)
+    val after = engine.store.read("_embeddings_rt_job")
+      .select("pkey", "embeddings").collect()
+      .map(r => r.getString(0) -> r.getSeq[Float](1)).toMap
+    assert(after.size == 4, "replay must not duplicate rows")
+    assert(after.keySet == snapshotBefore.keySet)
+  }
+
+  test("windowed counts and sessionize run in streaming mode (smoke)") {
+    import spark.implicits._
+    val events = Seq(
+      (1, Fixtures.ts(0), 1.0), (1, Fixtures.ts(60), 2.0),
+      (2, Fixtures.ts(4000), 3.0)).toDF("user_id", "ts", "value")
+    val windowed = Realtime.windowedEventCounts(events, "ts", "user_id", "1 hour")
+    assert(windowed.count() == 2)
+    val sessions = Realtime.sessionize(events, "ts", "user_id")
+    assert(sessions.count() == 2)
+  }
+}

@@ -1,0 +1,41 @@
+package graft
+
+import graft.operators.Dedup
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SimHash banded near-dup pairing (Dedup.simHashPairs). */
+class SimHashSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  private def docs(rows: Seq[(Long, String)]) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("identical docs pair at hamming 0; distinct texts do not pair") {
+    val same = "structured streaming writes micro batch output to the sink table"
+    val other = "gardening gloves protect hands while pruning thorny rose bushes outdoors"
+    val got = Dedup.simHashPairs(
+      docs(Seq((1L, same), (2L, same), (3L, other))), "doc_id", "text",
+      maxHamming = 3).collect()
+    assert(got.map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet == Set((1L, 2L)))
+    assert(got.head.getAs[Int]("hamming") == 0)
+  }
+
+  test("small edit keeps hamming small; pair survives banding") {
+    val base = "the distributed query engine optimizes joins aggregations and window functions across many partitions"
+    val edit = base.replace("many", "all")
+    val got = Dedup.simHashPairs(docs(Seq((1L, base), (2L, edit))), "doc_id", "text",
+      maxHamming = 16).collect()
+    assert(got.length == 1, "near-identical docs must share at least one 16-bit band")
+    assert(got.head.getAs[Int]("hamming") <= 16)
+  }
+
+  test("pairs deduplicated across the 4 bands") {
+    val same = "exact duplicate rows collide in every band but appear once"
+    val got = Dedup.simHashPairs(docs(Seq((5L, same), (9L, same))), "doc_id", "text",
+      maxHamming = 0).collect()
+    assert(got.length == 1)
+  }
+}

@@ -30,8 +30,15 @@ class TypesSpec extends AnyFunSuite {
   }
   test("filter: bare value defaults to eq with sniffing") {
     assert(parsed("42") == FilterValue(Eq, I(42)))
-    assert(parsed("42.5") == FilterValue(Eq, F(42.5)))
     assert(parsed("hello") == FilterValue(Eq, S("hello")))
+  }
+  test("filter: ANY dotted input needs a known operator (ref tests)") {
+    // Reference deserializer vectors (core/src/query.rs:104-120 +
+    // its own test suite): a dot always splits operator.value, so
+    // bare floats and stray dots are errors, not equality filters.
+    assert(FilterValue.parse("42.5").isLeft)
+    assert(FilterValue.parse("+3.14").isLeft)
+    assert(FilterValue.parse(".").isLeft)
   }
   test("filter: booleans") {
     assert(parsed("eq.true") == FilterValue(Eq, B(true)))
