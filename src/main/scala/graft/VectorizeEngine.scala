@@ -299,6 +299,22 @@ final class VectorizeEngine(
   def job(name: String): Option[VectorizeJob] = jobs.get(name)
   def listJobs: Seq[VectorizeJob] = jobs.values.toSeq
 
+  /** Install the SQL surface on this engine's session: the native
+    * vector functions (cosine_similarity / dot_product / l2_distance)
+    * and `vectorize_embed(query, job)` with its driver-side
+    * constant-folding rule — the Catalyst equivalent of the
+    * reference's proxy rewrite (SURVEY §2.11,
+    * proxy/src/embeddings.rs:66-182). Idempotent.
+    */
+  def enableSqlFunctions(): Unit = {
+    graft.plans.GraftSqlFunctions.registerAll(spark)
+    // last-enabled engine owns the rule (one rule instance total)
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations
+        .filterNot(_.isInstanceOf[graft.plans.ResolveVectorizeEmbed]) :+
+        new graft.plans.ResolveVectorizeEmbed(this)
+  }
+
   /** Project view (core/src/query.rs:311-320): source ⋈ embeddings. */
   def projectView(jobName: String): DataFrame = {
     val job = jobs(jobName)

@@ -118,6 +118,41 @@ private[providers] object Json {
       case c => c.toString
     } + "\""
 
+  /** Extract the first JSON string value for `key` (used for chat
+    * response bodies: OpenAI `choices[].message.content`, Ollama
+    * `response`). Handles standard escapes incl. \uXXXX.
+    */
+  def extractString(body: String, key: String): Option[String] = {
+    val marker = "\"" + key + "\""
+    val at = body.indexOf(marker)
+    if (at < 0) return None
+    var i = body.indexOf(':', at + marker.length)
+    if (i < 0) return None
+    i += 1
+    while (i < body.length && body.charAt(i).isWhitespace) i += 1
+    if (i >= body.length || body.charAt(i) != '"') return None
+    i += 1
+    val sb = new StringBuilder
+    while (i < body.length) {
+      body.charAt(i) match {
+        case '"' => return Some(sb.toString)
+        case '\\' if i + 1 < body.length =>
+          body.charAt(i + 1) match {
+            case 'n' => sb += '\n'; i += 1
+            case 'r' => sb += '\r'; i += 1
+            case 't' => sb += '\t'; i += 1
+            case 'u' if i + 5 < body.length =>
+              sb += Integer.parseInt(body.substring(i + 2, i + 6), 16).toChar
+              i += 5
+            case c => sb += c; i += 1
+          }
+        case c => sb += c
+      }
+      i += 1
+    }
+    None
+  }
+
   /** Extract all float arrays under `"embedding": [...]`-style keys.
     * Tolerant line-oriented scan good enough for the fixed provider
     * response shapes (OpenAI `data[].embedding`, Ollama `embeddings`,
@@ -186,9 +221,13 @@ final class OpenAICompatProvider(
   def requestBody(model: String, inputs: Seq[String]): String =
     s"""{"model":${Json.str(model)},"input":[${inputs.map(Json.str).mkString(",")}]}"""
 
+  /** `data[].embedding` arrays, in request order. */
+  def parseEmbeddings(body: String): Seq[Array[Float]] =
+    Json.extractFloatArrays(body, "embedding")
+
   override def generateEmbeddings(model: String, inputs: Seq[String]): Seq[Array[Float]] =
     inputs.grouped(maxInputsPerRequest).toSeq.flatMap { chunk =>
-      val vecs = Json.extractFloatArrays(post(requestBody(model, chunk)), "embedding")
+      val vecs = parseEmbeddings(post(requestBody(model, chunk)))
       require(vecs.size == chunk.size,
         s"provider returned ${vecs.size} embeddings for ${chunk.size} inputs")
       vecs
@@ -225,16 +264,184 @@ object OpenAICompatProvider {
   )
 }
 
+/** Shared HTTP POST used by the concrete providers (JDK client, no
+  * external deps; reference uses reqwest with the same 120 s timeout,
+  * cohere.rs:88, openai.rs:109).
+  */
+private[providers] object Http {
+  def postJson(url: String, body: String, apiKey: Option[String],
+      timeoutSec: Int = 120): String = {
+    val client = java.net.http.HttpClient.newBuilder()
+      .connectTimeout(java.time.Duration.ofSeconds(timeoutSec.toLong)).build()
+    val b = java.net.http.HttpRequest.newBuilder()
+      .uri(java.net.URI.create(url))
+      .timeout(java.time.Duration.ofSeconds(timeoutSec.toLong))
+      .header("Accept", "application/json")
+      .header("Content-Type", "application/json")
+    apiKey.foreach(k => b.header("Authorization", s"Bearer $k"))
+    val resp = client.send(
+      b.POST(java.net.http.HttpRequest.BodyPublishers.ofString(body)).build(),
+      java.net.http.HttpResponse.BodyHandlers.ofString())
+    if (resp.statusCode() / 100 != 2)
+      throw new RuntimeException(s"provider request failed: HTTP ${resp.statusCode()} at $url")
+    resp.body()
+  }
+}
+
+/** Ollama provider (core/src/transformers/providers/ollama.rs:23-66):
+  * `POST {base}/api/embed` with `{"model":..., "input":[...]}` →
+  * `{"embeddings": [[...], ...]}`. model_dim is probed by embedding
+  * "hello world" and measuring the vector (ollama.rs:57-66) — there
+  * is no static dim table for arbitrary local models.
+  */
+final class OllamaProvider(
+    baseUrl: String = OllamaProvider.defaultBaseUrl,
+    timeoutSec: Int = 120
+) extends EmbeddingProvider with ChatProvider {
+
+  def requestBody(model: String, inputs: Seq[String]): String =
+    s"""{"model":${Json.str(model)},"input":[${inputs.map(Json.str).mkString(",")}]}"""
+
+  def parseEmbeddings(body: String): Seq[Array[Float]] =
+    Json.extractFloatArrays(body, "embeddings")
+
+  override def generateEmbeddings(model: String, inputs: Seq[String]): Seq[Array[Float]] = {
+    val vecs = parseEmbeddings(
+      Http.postJson(s"$baseUrl/api/embed", requestBody(model, inputs), None, timeoutSec))
+    require(vecs.size == inputs.size,
+      s"ollama returned ${vecs.size} embeddings for ${inputs.size} inputs")
+    vecs
+  }
+
+  override def modelDim(model: String): Int =
+    generateEmbeddings(model, Seq("hello world")).head.length
+
+  /** Chat: the reference joins all messages into one prompt and calls
+    * `/api/generate` (ollama.rs:69-85); response field `response`.
+    */
+  def chatRequestBody(model: String, prompt: String): String =
+    s"""{"model":${Json.str(model)},"prompt":${Json.str(prompt)},"stream":false}"""
+
+  def parseChatResponse(body: String): String =
+    Json.extractString(body, "response")
+      .getOrElse(throw new RuntimeException("ollama response missing 'response' field"))
+
+  override def generateResponse(model: String, sysPrompt: String, userPrompt: String): String = {
+    val prompt = Seq(sysPrompt, userPrompt).filter(_.nonEmpty).mkString("\n\n")
+    parseChatResponse(
+      Http.postJson(s"$baseUrl/api/generate", chatRequestBody(model, prompt), None, timeoutSec))
+  }
+}
+object OllamaProvider {
+  /** ollama.rs:13 */
+  val defaultBaseUrl = "http://localhost:3001"
+}
+
+/** Cohere provider (core/src/transformers/providers/cohere.rs:16-100):
+  * `POST {base}/embed` with
+  * `{"model","texts","input_type":"search_document","truncate":"END"}`;
+  * dims come from a static model table and an UNKNOWN model is an
+  * error (cohere.rs:101-107), unlike the OpenAI-compat default.
+  */
+final class CohereProvider(
+    apiKey: String,
+    baseUrl: String = CohereProvider.defaultBaseUrl,
+    timeoutSec: Int = 120
+) extends EmbeddingProvider {
+
+  def requestBody(model: String, inputs: Seq[String]): String =
+    s"""{"model":${Json.str(model)},"texts":[${inputs.map(Json.str).mkString(",")}],""" +
+      s""""input_type":"search_document","truncate":"END"}"""
+
+  def parseEmbeddings(body: String): Seq[Array[Float]] =
+    Json.extractFloatArrays(body, "embeddings")
+
+  override def generateEmbeddings(model: String, inputs: Seq[String]): Seq[Array[Float]] = {
+    val vecs = parseEmbeddings(
+      Http.postJson(s"$baseUrl/embed", requestBody(model, inputs), Some(apiKey), timeoutSec))
+    require(vecs.size == inputs.size,
+      s"cohere returned ${vecs.size} embeddings for ${inputs.size} inputs")
+    vecs
+  }
+
+  override def modelDim(model: String): Int =
+    CohereProvider.modelDimensions.getOrElse(model.split('/').last,
+      throw new IllegalArgumentException(s"model not found: $model"))
+}
+object CohereProvider {
+  /** cohere.rs:12 */
+  val defaultBaseUrl = "https://api.cohere.com/v1"
+  /** cohere.rs:16-26 */
+  val modelDimensions: Map[String, Int] = Map(
+    "embed-english-v3.0" -> 1024,
+    "embed-multilingual-v3.0" -> 1024,
+    "embed-english-light-v3.0" -> 384,
+    "embed-multilingual-light-v3.0" -> 384,
+    "embed-english-v2.0" -> 4096,
+    "embed-english-light-v2.0" -> 1024,
+    "embed-multilingual-v2.0" -> 768)
+}
+
+/** OpenAI-compatible chat-completions provider for `rag`/`generate`
+  * (core/src/transformers/providers/openai.rs chat path):
+  * `POST {base}/chat/completions` with system+user messages →
+  * `choices[0].message.content`.
+  */
+final class OpenAIChatProvider(
+    baseUrl: String,
+    apiKey: Option[String] = None,
+    timeoutSec: Int = 120
+) extends ChatProvider {
+
+  def requestBody(model: String, sysPrompt: String, userPrompt: String): String =
+    s"""{"model":${Json.str(model.split('/').last)},"messages":[""" +
+      s"""{"role":"system","content":${Json.str(sysPrompt)}},""" +
+      s"""{"role":"user","content":${Json.str(userPrompt)}}]}"""
+
+  def parseResponse(body: String): String = {
+    val msgAt = body.indexOf("\"message\"")
+    val tail = if (msgAt >= 0) body.substring(msgAt) else body
+    Json.extractString(tail, "content")
+      .getOrElse(throw new RuntimeException("chat response missing message content"))
+  }
+
+  override def generateResponse(model: String, sysPrompt: String, userPrompt: String): String =
+    parseResponse(Http.postJson(s"$baseUrl/chat/completions",
+      requestBody(model, sysPrompt, userPrompt), apiKey, timeoutSec))
+}
+
 object Providers {
-  /** Resolve a provider for a model source; the deterministic
-    * provider backs tests and the "deterministic" namespace.
+  /** Resolve an embedding provider for a model source, with the
+    * per-source request shapes of the reference
+    * (core/src/transformers/providers/mod.rs): distinct Ollama and
+    * Cohere codecs; openai/portkey/voyage/sentence-transformers all
+    * speak the OpenAI-compatible shape; the deterministic provider
+    * backs tests and the "deterministic" namespace.
     */
   def forModel(model: graft.types.Model, baseUrl: Option[String] = None,
       apiKey: Option[String] = None): EmbeddingProvider =
     model.source match {
       case graft.types.ModelSource.Deterministic => new DeterministicHashProvider()
+      case graft.types.ModelSource.Ollama =>
+        new OllamaProvider(baseUrl.getOrElse(OllamaProvider.defaultBaseUrl))
+      case graft.types.ModelSource.Cohere =>
+        new CohereProvider(
+          apiKey.orElse(sys.env.get("CO_API_KEY")).getOrElse(
+            throw new IllegalArgumentException("CO_API_KEY not set")),
+          baseUrl.getOrElse(CohereProvider.defaultBaseUrl))
       case _ =>
         new OpenAICompatProvider(
           baseUrl.getOrElse("http://localhost:3000/v1"), apiKey)
+    }
+
+  /** Resolve a chat provider for `rag`/`generate` model strings. */
+  def chatForModel(model: graft.types.Model, baseUrl: Option[String] = None,
+      apiKey: Option[String] = None): ChatProvider =
+    model.source match {
+      case graft.types.ModelSource.Deterministic => new DeterministicChatProvider()
+      case graft.types.ModelSource.Ollama =>
+        new OllamaProvider(baseUrl.getOrElse(OllamaProvider.defaultBaseUrl))
+      case _ =>
+        new OpenAIChatProvider(baseUrl.getOrElse("http://localhost:3000/v1"), apiKey)
     }
 }
