@@ -258,6 +258,21 @@ final class VectorizeEngine(
       job.primaryKey, qv, limit, filters, returnCols, preFilter)
   }
 
+  /** P8 — JSON row encoding: the reference returns `SETOF jsonb` from
+    * its search functions via `to_jsonb(t)` (core/src/query.rs:688,
+    * 735; per-column assembly extension/src/search.rs:227-261). One
+    * `results` string column per hit.
+    */
+  def searchJson(jobName: String, query: String, limit: Int = 10,
+      filters: Map[String, FilterValue] = Map.empty,
+      returnCols: Seq[String] = Seq("*")): DataFrame =
+    search(jobName, query, limit, filters, returnCols)
+      .select(to_json(struct(col("*"))).as("results"))
+
+  def hybridSearchJson(jobName: String, query: String, limit: Int = 10): DataFrame =
+    hybridSearch(jobName, query, limit)
+      .select(to_json(struct(col("*"))).as("results"))
+
   /** `vectorize.hybrid_search` (extension/src/api.rs:136-157). */
   def hybridSearch(jobName: String, query: String, limit: Int = 10,
       windowSize: Option[Int] = None, rrfK: Double = 60.0,

@@ -108,6 +108,17 @@ object Pipeline {
     out.toSeq
   }
 
+  /** R3 — `vectorize.batch_texts(record_ids, batch_size)`
+    * (core/src/query.rs:504-537, pg_extern dup
+    * extension/src/executor.rs:16-39): fixed-COUNT batching of record
+    * ids with the reference's edge cases — batch_size <= 0 or total
+    * <= batch_size yields one batch of everything.
+    */
+  def batchTexts(recordIds: Seq[String], batchSize: Int): Seq[Seq[String]] =
+    if (batchSize <= 0 || recordIds.isEmpty || recordIds.size <= batchSize)
+      Seq(recordIds)
+    else recordIds.grouped(batchSize).toSeq
+
   /** Embed a rendered-inputs frame (record_id, text, token_estimate) →
     * (pkey, embeddings, updated_at). The provider call happens inside
     * `mapPartitions` — the one imperative boundary — with the

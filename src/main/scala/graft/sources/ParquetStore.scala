@@ -1,102 +1,215 @@
 package graft.sources
 
 import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions.{col, hash, lit, pmod}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 
-/** Snapshot-versioned Parquet table with upsert (MERGE) semantics.
+/** Snapshot-versioned Parquet table with key-hash-bucketed upsert
+  * (MERGE) semantics.
   *
   * The reference upserts embeddings with
   * `INSERT ... ON CONFLICT (pkey) DO UPDATE` (worker/src/ops.rs:8-70)
   * and bulk update-joins (worker/src/ops.rs:95-160). Spark+Parquet has
-  * no in-place upsert, so each merge writes a new immutable snapshot
-  * directory `v_<n>` and atomically flips a `_CURRENT` pointer file —
-  * readers never observe a partial write, and a failed merge leaves
-  * the previous snapshot intact (idempotent-retry safe, which is what
-  * makes the streaming path's at-least-once delivery correct,
-  * SURVEY §7.4).
+  * no in-place upsert, so rows live in `nBuckets` key-hash buckets
+  * (`pmod(hash(key), nBuckets)` — deterministic across sessions) and
+  * a MERGE rewrites ONLY the buckets its update keys fall into:
+  * per-merge I/O is O(|table| * touchedBuckets / nBuckets + |batch|),
+  * not O(|table|). At 100 TB with a realistic bucket count the write
+  * path scales with the batch, which is the property Delta/Iceberg
+  * MERGE gives and a naive copy-on-write-the-world store does not.
   *
-  * Scale posture: the merge itself is `existing LEFT ANTI JOIN
-  * updates` + union — one shuffle on the key, the same shape a Delta
-  * Lake / Iceberg MERGE executes. On a production cluster this class
-  * is swapped for Delta `MERGE INTO` (same call signature); the
-  * engine's call sites depend only on `read`/`merge`/`overwrite`.
+  * Layout per table:
+  *   `_CURRENT`       — monotonic global version pointer (liveness)
+  *   `_BUCKETS`       — "bucket version" lines: which snapshot dir
+  *                      holds each bucket's current data (-1 = flat,
+  *                      unbucketed snapshot from overwrite())
+  *   `v_<n>/__bucket=<b>/` — parquet for the buckets rewritten at n
+  *
+  * Both pointer files flip via overwriting rename (posix/HDFS rename
+  * onto an existing path is atomic), so readers never observe a
+  * missing or partial pointer; a failed merge leaves the previous
+  * pointers intact — idempotent-retry safe, which is what makes the
+  * streaming path's at-least-once delivery correct (SURVEY §7.4).
+  * Old snapshot dirs are GC'd once no bucket references them.
+  *
+  * On a production cluster this class is swapped for Delta
+  * `MERGE INTO` (same call signature); the engine's call sites depend
+  * only on `read`/`merge`/`overwrite`.
   */
-final class ParquetStore(spark: SparkSession, root: String) extends Serializable {
+final class ParquetStore(spark: SparkSession, root: String, nBuckets: Int = 16)
+    extends Serializable {
 
   private def fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
   private def pointer(table: String) = new Path(s"$root/$table/_CURRENT")
+  private def bucketsPath(table: String) = new Path(s"$root/$table/_BUCKETS")
   private def versionDir(table: String, v: Long) = s"$root/$table/v_$v"
+
+  private def bucketOf(key: String) = pmod(hash(col(key)), lit(nBuckets))
 
   def currentVersion(table: String): Option[Long] = {
     val p = pointer(table)
     if (!fs.exists(p)) None
-    else {
-      val in = fs.open(p)
-      try Some(new String(in.readAllBytes(), "UTF-8").trim.toLong)
-      finally in.close()
-    }
+    else Some(new String(readFully(p), "UTF-8").trim.toLong)
   }
 
   def exists(table: String): Boolean = currentVersion(table).isDefined
 
-  def read(table: String): DataFrame =
-    currentVersion(table) match {
-      case Some(v) => spark.read.parquet(versionDir(table, v))
-      case None => throw new IllegalStateException(s"no such table: $root/$table")
-    }
+  /** bucket → snapshot version holding its current data. Bucket -1
+    * marks a flat (unbucketed) snapshot written by overwrite().
+    */
+  private def readBucketMap(table: String): Map[Int, Long] = {
+    val p = bucketsPath(table)
+    if (!fs.exists(p)) Map.empty
+    else new String(readFully(p), "UTF-8").linesIterator
+      .map(_.trim).filter(_.nonEmpty).map { line =>
+        val Array(b, v) = line.split("\\s+")
+        b.toInt -> v.toLong
+      }.toMap
+  }
+
+  private def readFully(p: Path): Array[Byte] = {
+    val in = fs.open(p)
+    try in.readAllBytes() finally in.close()
+  }
+
+  private def bucketDataPaths(table: String, m: Map[Int, Long]): Seq[String] =
+    m.toSeq.sortBy(_._1).map {
+      case (-1, v) => versionDir(table, v)
+      case (b, v) => s"${versionDir(table, v)}/__bucket=$b"
+    }.filter(p => fs.exists(new Path(p)))
+
+  def read(table: String): DataFrame = {
+    if (!exists(table))
+      throw new IllegalStateException(s"no such table: $root/$table")
+    val paths = bucketDataPaths(table, readBucketMap(table))
+    if (paths.isEmpty)
+      throw new IllegalStateException(s"no data for table: $root/$table")
+    // recursiveFileLookup disables partition-directory inference — the
+    // leaf dirs come from different snapshot versions, which would
+    // otherwise trip "conflicting directory structures".
+    spark.read.option("recursiveFileLookup", "true").parquet(paths: _*)
+  }
 
   def readOrEmpty(table: String, like: DataFrame): DataFrame =
     if (exists(table)) read(table)
     else spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], like.schema)
 
-  private def flip(table: String, v: Long): Unit = {
-    val tmp = new Path(s"$root/$table/_CURRENT.tmp")
+  /** Atomic pointer write: tmp file + overwriting rename — the
+    * pointer is NEVER absent once created; a crash or concurrent
+    * reader observes either the old or the new content.
+    */
+  private def atomicWrite(target: Path, content: String): Unit = {
+    val tmp = new Path(target.getParent, target.getName + ".tmp")
     val out = fs.create(tmp, true)
-    try out.write(v.toString.getBytes("UTF-8")) finally out.close()
-    // Overwriting rename (posix/HDFS rename onto an existing file is
-    // atomic): the pointer is NEVER absent once created — a crash or
-    // concurrent reader at any point observes either the old or the
-    // new version, unlike a delete-then-rename window.
+    try out.write(content.getBytes("UTF-8")) finally out.close()
     val fc = org.apache.hadoop.fs.FileContext.getFileContext(
       fs.getUri, spark.sparkContext.hadoopConfiguration)
-    fc.rename(fs.makeQualified(tmp), fs.makeQualified(pointer(table)),
+    fc.rename(fs.makeQualified(tmp), fs.makeQualified(target),
       org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
-  /** Full overwrite (initial backfill / small dimension tables). */
+  private def commit(table: String, v: Long, bucketMap: Map[Int, Long]): Unit = {
+    // _BUCKETS first, then _CURRENT: exists() only turns true once the
+    // map it implies is in place (first write); later flips overwrite.
+    atomicWrite(bucketsPath(table),
+      bucketMap.toSeq.sortBy(_._1).map { case (b, ver) => s"$b $ver" }.mkString("\n"))
+    atomicWrite(pointer(table), v.toString)
+    cleanOld(table, v, bucketMap)
+  }
+
+  /** Full overwrite (initial backfill / small dimension tables /
+    * catalog). Written flat — a subsequent merge re-buckets.
+    */
   def overwrite(table: String, df: DataFrame): Unit = {
     val v = currentVersion(table).getOrElse(-1L) + 1L
     df.write.mode(SaveMode.Overwrite).parquet(versionDir(table, v))
-    flip(table, v)
-    cleanOld(table, v)
+    commit(table, v, Map(-1 -> v))
   }
 
   /** MERGE: rows in `updates` replace same-key rows in the current
     * snapshot; new keys are appended. `updates` must contain at most
     * one row per key (enforce upstream), matching the reference's
-    * ON CONFLICT upsert semantics.
+    * ON CONFLICT upsert semantics. Rewrites ONLY the buckets the
+    * update keys hash into.
     */
   def merge(table: String, updates: DataFrame, key: String): Unit = {
-    if (!exists(table)) { overwrite(table, updates); return }
-    val cur = read(table)
-    val kept = cur.join(updates.select(key), Seq(key), "left_anti")
-    val next = kept.unionByName(updates.select(cur.columns.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*))
+    if (!exists(table)) {
+      // first write: bucketed from the start
+      val v = 0L
+      updates.withColumn("__bucket", bucketOf(key))
+        .write.partitionBy("__bucket").mode(SaveMode.Overwrite)
+        .parquet(versionDir(table, v))
+      commit(table, v, writtenBuckets(table, v))
+      return
+    }
+    val m = readBucketMap(table)
+    val upd = updates.withColumn("__bucket", bucketOf(key))
+    val touched = upd.select("__bucket").distinct().collect().map(_.getInt(0)).toSet
+    if (touched.isEmpty) return
+    // current rows of ONLY the touched buckets (a flat snapshot has
+    // no bucket dirs yet — filter it by recomputed bucket)
+    val flat = m.contains(-1)
+    val curPaths = bucketDataPaths(table,
+      if (flat) m else m.filter { case (b, _) => touched.contains(b) })
+    val cur0 =
+      if (curPaths.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          updates.schema)
+      else spark.read.option("recursiveFileLookup", "true").parquet(curPaths: _*)
+    // flat snapshots are fully re-bucketed on first merge (every row
+    // must land in a bucket dir); bucketed snapshots only load and
+    // rewrite the touched buckets
+    val curAll = cur0.withColumn("__bucket", bucketOf(key))
+    val cur = if (flat) curAll else curAll.filter(col("__bucket").isin(touched.toSeq: _*))
+    val kept = cur.join(upd.select(key), Seq(key), "left_anti")
+    val next = kept.unionByName(
+      upd.select(cur.columns.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*))
     val v = currentVersion(table).get + 1L
-    next.write.mode(SaveMode.Overwrite).parquet(versionDir(table, v))
-    flip(table, v)
-    cleanOld(table, v)
+    next.write.partitionBy("__bucket").mode(SaveMode.Overwrite)
+      .parquet(versionDir(table, v))
+    val written = writtenBuckets(table, v)
+    // a flat snapshot must be fully re-bucketed on first merge (its
+    // untouched rows were rewritten into v as well)
+    val base = if (flat) Map.empty[Int, Long] else m
+    commit(table, v, base -- touched ++ written)
   }
 
-  /** Delete rows whose key appears in `keys`. */
+  /** Buckets actually present in a freshly written snapshot dir. */
+  private def writtenBuckets(table: String, v: Long): Map[Int, Long] = {
+    val dir = new Path(versionDir(table, v))
+    if (!fs.exists(dir)) Map.empty
+    else fs.listStatus(dir).toSeq
+      .map(_.getPath.getName)
+      .filter(_.startsWith("__bucket="))
+      .map(n => n.stripPrefix("__bucket=").toInt -> v)
+      .toMap
+  }
+
+  /** Delete rows whose key appears in `keys` — rewrites only the
+    * touched buckets, like merge.
+    */
   def delete(table: String, keys: DataFrame, key: String): Unit = {
     if (!exists(table)) return
-    val cur = read(table)
-    val next = cur.join(keys.select(key), Seq(key), "left_anti")
+    val m = readBucketMap(table)
+    val keyed = keys.select(key).withColumn("__bucket", bucketOf(key))
+    val touched = keyed.select("__bucket").distinct().collect().map(_.getInt(0)).toSet
+    if (touched.isEmpty) return
+    val flat = m.contains(-1)
+    val curPaths = bucketDataPaths(table,
+      if (flat) m else m.filter { case (b, _) => touched.contains(b) })
+    if (curPaths.isEmpty) return
+    val cur = spark.read.option("recursiveFileLookup", "true").parquet(curPaths: _*)
+      .withColumn("__bucket", bucketOf(key))
+    val scoped = if (flat) cur else cur.filter(col("__bucket").isin(touched.toSeq: _*))
+    val next = scoped.join(keyed.select(key), Seq(key), "left_anti")
     val v = currentVersion(table).get + 1L
-    next.write.mode(SaveMode.Overwrite).parquet(versionDir(table, v))
-    flip(table, v)
-    cleanOld(table, v)
+    next.write.partitionBy("__bucket").mode(SaveMode.Overwrite)
+      .parquet(versionDir(table, v))
+    val written = writtenBuckets(table, v)
+    val base = if (flat) Map.empty[Int, Long] else m
+    // touched buckets that became empty simply vanish from the map
+    commit(table, v, base -- touched ++ written)
   }
 
   def drop(table: String): Unit = {
@@ -104,15 +217,18 @@ final class ParquetStore(spark: SparkSession, root: String) extends Serializable
     if (fs.exists(p)) fs.delete(p, true)
   }
 
-  /** Keep the latest 2 snapshots (previous one covers in-flight readers). */
-  private def cleanOld(table: String, current: Long): Unit = {
+  /** GC snapshot dirs no bucket references (keep the immediately
+    * previous version for in-flight readers).
+    */
+  private def cleanOld(table: String, current: Long, bucketMap: Map[Int, Long]): Unit = {
     val dir = new Path(s"$root/$table")
     if (!fs.exists(dir)) return
+    val referenced = bucketMap.values.toSet + current
     fs.listStatus(dir).foreach { st =>
       val name = st.getPath.getName
       if (name.startsWith("v_")) {
         val v = name.stripPrefix("v_").toLong
-        if (v < current - 1) fs.delete(st.getPath, true)
+        if (v < current - 1 && !referenced.contains(v)) fs.delete(st.getPath, true)
       }
     }
   }

@@ -246,6 +246,42 @@ final case class PairedEmbedding(recordId: String, embedding: Array[Float])
   */
 final case class JobMessage(jobName: String, recordIds: Seq[String])
 
+/** F11 — `${VAR}` environment interpolation in config strings
+  * (API keys, base URLs). Reference:
+  * core/src/transformers/generic.rs:14-40 + the GUC helper
+  * extension/src/api.rs:225-230: every distinct placeholder must
+  * resolve or the whole interpolation errors.
+  */
+object EnvInterpolation {
+  private val placeholderRe = """\$\{([^}]+)\}""".r
+
+  /** All distinct placeholder names, or None if the string has none
+    * (find_placeholders, generic.rs:19-30).
+    */
+  def findPlaceholders(s: String): Option[Seq[String]] = {
+    val names = placeholderRe.findAllMatchIn(s).map(_.group(1)).toSeq.distinct
+    if (names.isEmpty) None else Some(names)
+  }
+
+  /** Replace every `${NAME}` with its value from `env`; a missing
+    * variable is an error (interpolate, generic.rs:32-41).
+    */
+  def interpolate(s: String,
+      env: String => Option[String] = sys.env.get): Either[String, String] =
+    findPlaceholders(s) match {
+      case None => Right(s)
+      case Some(names) =>
+        names.foldLeft(Right(s): Either[String, String]) { (acc, name) =>
+          acc.flatMap { cur =>
+            env(name) match {
+              case Some(v) => Right(cur.replace(s"$${$name}", v))
+              case None => Left(s"failed to get env var: $name")
+            }
+          }
+        }
+    }
+}
+
 /** Identifier validation — alphanumeric + underscore only. Required
   * before splicing any user-supplied identifier into `expr()` /
   * `col()` strings. Reference: `check_input`,

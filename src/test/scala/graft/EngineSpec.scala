@@ -202,6 +202,19 @@ class EngineSpec extends AnyFunSuite {
     assert(view.select(size(col("embeddings"))).head().getInt(0) == 64)
   }
 
+  test("searchJson returns to_jsonb-style rows (P8)") {
+    val engine = newEngine()
+    engine.registerSource("my_products", Fixtures.myProducts(spark))
+    engine.createJob(productsJob())
+    val rows = engine.searchJson("products", "camping backpack", limit = 2).collect()
+    assert(rows.length == 2)
+    rows.foreach { r =>
+      val json = r.getAs[String]("results")
+      assert(json.startsWith("{") && json.contains("\"product_name\"") &&
+        json.contains("\"similarity_score\""))
+    }
+  }
+
   test("import embeddings: only missing keys copied (J4 anti-join)") {
     val engine = newEngine()
     engine.registerSource("my_products", Fixtures.myProducts(spark))

@@ -1,0 +1,104 @@
+package graft
+
+import graft.sources.ParquetStore
+import org.apache.hadoop.fs.Path
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Bucketed-merge store semantics: upsert correctness AND the scale
+  * property that a merge rewrites only the key-hash buckets it
+  * touches (per-merge I/O ∝ batch, not table — the property Delta
+  * MERGE has and copy-on-write-the-world does not).
+  */
+class ParquetStoreSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def rows(ids: Range, tag: String) =
+    ids.map(i => (i.toString, s"$tag-$i")).toDF("pkey", "payload")
+
+  test("merge: updates replace same-key rows, new keys append") {
+    val store = new ParquetStore(spark, TestSpark.tempDir("graft_ps_"))
+    store.merge("t", rows(1 to 100, "v1"), "pkey")
+    assert(store.read("t").count() == 100)
+    store.merge("t", rows(50 to 120, "v2"), "pkey")
+    val got = store.read("t").collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got.size == 120)
+    assert(got("10") == "v1-10")
+    assert(got("50") == "v2-50" && got("120") == "v2-120")
+  }
+
+  test("merge rewrites ONLY the touched buckets") {
+    val dir = TestSpark.tempDir("graft_ps_")
+    val store = new ParquetStore(spark, dir)
+    store.merge("t", rows(1 to 200, "v1"), "pkey")
+
+    def bucketDirs(v: Long): Set[String] = {
+      val p = new Path(s"$dir/t/v_$v")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p)) Set.empty
+      else fs.listStatus(p).map(_.getPath.getName).filter(_.startsWith("__bucket=")).toSet
+    }
+    val v0Buckets = bucketDirs(0)
+    assert(v0Buckets.size > 1, "initial merge must produce multiple buckets")
+
+    // a single-key update touches exactly ONE bucket
+    store.merge("t", Seq(("7", "v2-7")).toDF("pkey", "payload"), "pkey")
+    val v1Buckets = bucketDirs(1)
+    assert(v1Buckets.size == 1,
+      s"single-key merge must rewrite one bucket, rewrote: $v1Buckets")
+    // untouched buckets still served from v_0 (files untouched on disk)
+    assert(v0Buckets.intersect(bucketDirs(0)).size == v0Buckets.size)
+    val got = store.read("t").collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got.size == 200)
+    assert(got("7") == "v2-7")
+    assert(got("8") == "v1-8")
+  }
+
+  test("flat overwrite is re-bucketed by the first merge without losing rows") {
+    val store = new ParquetStore(spark, TestSpark.tempDir("graft_ps_"))
+    store.overwrite("t", rows(1 to 50, "v1"))
+    assert(store.read("t").count() == 50)
+    store.merge("t", Seq(("3", "v2-3"), ("99", "v2-99")).toDF("pkey", "payload"), "pkey")
+    val got = store.read("t").collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got.size == 51)
+    assert(got("3") == "v2-3" && got("99") == "v2-99" && got("17") == "v1-17")
+  }
+
+  test("delete removes only the named keys, bucket-scoped") {
+    val store = new ParquetStore(spark, TestSpark.tempDir("graft_ps_"))
+    store.merge("t", rows(1 to 100, "v1"), "pkey")
+    store.delete("t", Seq("5", "6").toDF("pkey"), "pkey")
+    val got = store.read("t").collect().map(_.getString(0)).toSet
+    assert(got.size == 98 && !got.contains("5") && !got.contains("6"))
+  }
+
+  test("repeated merges GC unreferenced snapshots but keep the previous one") {
+    val dir = TestSpark.tempDir("graft_ps_")
+    val store = new ParquetStore(spark, dir)
+    store.merge("t", rows(1 to 20, "v1"), "pkey")
+    (1 to 5).foreach(i => store.merge("t", Seq(("1", s"u$i")).toDF("pkey", "payload"), "pkey"))
+    assert(store.read("t").collect().map(r => r.getString(0) -> r.getString(1))
+      .toMap.apply("1") == "u5")
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val versions = fs.listStatus(new Path(s"$dir/t")).map(_.getPath.getName)
+      .filter(_.startsWith("v_")).map(_.stripPrefix("v_").toLong).toSet
+    // v_0 still referenced by untouched buckets; intermediate
+    // single-bucket versions (superseded and older than current-1)
+    // must be gone
+    assert(versions.contains(0L))
+    assert(versions.contains(5L))
+    assert(!versions.exists(v => v >= 1 && v <= 3),
+      s"superseded snapshots not GC'd: $versions")
+  }
+
+  test("idempotent replay: merging the same batch twice is a no-op") {
+    val store = new ParquetStore(spark, TestSpark.tempDir("graft_ps_"))
+    val batch = rows(1 to 30, "v1")
+    store.merge("t", batch, "pkey")
+    val before = store.read("t").collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    store.merge("t", batch, "pkey")
+    val after = store.read("t").collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(after == before)
+  }
+}

@@ -40,6 +40,29 @@ class TypesSpec extends AnyFunSuite {
     assert(FilterValue.parse("+3.14").isLeft)
     assert(FilterValue.parse(".").isLeft)
   }
+  test("env interpolation: placeholders found, resolved, missing errors (F11)") {
+    import graft.types.EnvInterpolation._
+    assert(findPlaceholders("no vars here").isEmpty)
+    assert(findPlaceholders("${API_KEY}").contains(Seq("API_KEY")))
+    assert(findPlaceholders("${A} and ${B} and ${A}").contains(Seq("A", "B")))
+    val env = Map("API_KEY" -> "sk-123", "HOST" -> "example.com")
+    assert(interpolate("key=${API_KEY} url=https://${HOST}/v1", env.get) ==
+      Right("key=sk-123 url=https://example.com/v1"))
+    assert(interpolate("plain", env.get) == Right("plain"))
+    assert(interpolate("${MISSING}", env.get) == Left("failed to get env var: MISSING"))
+  }
+
+  test("batch_texts: reference edge cases (R3, executor.rs:190-251)") {
+    import graft.operators.Pipeline.batchTexts
+    val ids = (1 to 10).map(_.toString)
+    assert(batchTexts(ids, 0) == Seq(ids))           // batch_size <= 0 → one batch
+    assert(batchTexts(ids, 20) == Seq(ids))          // total <= batch_size → one batch
+    assert(batchTexts(ids, 10) == Seq(ids))          // exact fit → one batch
+    assert(batchTexts(ids, 4).map(_.size) == Seq(4, 4, 2)) // remainder batch
+    assert(batchTexts(ids, 4).flatten == ids)        // order preserved, nothing lost
+    assert(batchTexts(Seq.empty, 5) == Seq(Seq.empty))
+  }
+
   test("filter: booleans") {
     assert(parsed("eq.true") == FilterValue(Eq, B(true)))
     assert(parsed("eq.false") == FilterValue(Eq, B(false)))
