@@ -49,27 +49,38 @@ object Dedup {
       threshold: Double = 0.5): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val rows = numHashes / bands
+    // Persisted so shingling+MinHash runs once per doc even though
+    // three plan branches (banding, and the two shingle join-backs
+    // below) read it. At scale this is the signature table a real
+    // pipeline materializes anyway.
     val withSig = docs
       .select(col(idCol).as("id"), col(textCol).as("text"))
       .withColumn("shingles", array_distinct(shingles(col("text"), lit(shingleN))))
       .filter(size(col("shingles")) > 0)
       .withColumn("sig", minHash(col("shingles"), lit(numHashes)))
-    // band key = hash of the band's signature slice
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // band key = hash of the band's signature slice. Only (id, band
+    // key) flows through the banded self-join — shipping the shingle
+    // arrays here would multiply shuffle volume by `bands`; instead
+    // shingles are joined back per *candidate pair* after distinct().
     val banded = withSig.select(
-      col("id"), col("shingles"), col("sig"),
+      col("id"), col("sig"),
       posexplode(sequence(lit(0), lit(bands - 1))).as(Seq("__p", "band")))
       .withColumn("band_key",
         hash(col("band"), slice(col("sig"), col("band") * rows + 1, lit(rows))))
-      .select("id", "shingles", "band", "band_key")
-    val a = banded.select(col("band"), col("band_key"),
-      col("id").as("id_a"), col("shingles").as("sh_a"))
-    val b = banded.select(col("band"), col("band_key"),
-      col("id").as("id_b"), col("shingles").as("sh_b"))
-    a.join(b, Seq("band", "band_key"))
+      .select("id", "band", "band_key")
+    val a = banded.select(col("band"), col("band_key"), col("id").as("id_a"))
+    val b = banded.select(col("band"), col("band_key"), col("id").as("id_b"))
+    val cand = a.join(b, Seq("band", "band_key"))
       .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+    val sets = withSig.select(col("id"), col("shingles"))
+    cand
+      .join(sets.select(col("id").as("id_a"), col("shingles").as("sh_a")), Seq("id_a"))
+      .join(sets.select(col("id").as("id_b"), col("shingles").as("sh_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
-      .distinct()
       .filter(col("jaccard") >= threshold)
   }
 
@@ -103,17 +114,36 @@ object Dedup {
   /** Token n-grams of a text column: lowercase alphanumeric tokens →
     * distinct space-joined n-grams. Documents shorter than n tokens
     * produce no grams (matches the oracle's bigram CTE exactly).
-    * Pure built-ins — stays in codegen.
+    * Single-pass UDF: the equivalent built-in chain (regex split →
+    * transform/sequence/slice/array_join → array_distinct) allocates
+    * one sliced array + joined string per gram in generated code and
+    * measured 7.4 s of the 8 s cold query at sf0.1; the one-pass
+    * StringBuilder + LinkedHashSet version is ~10×.
     */
-  def ngramSet(textCol: org.apache.spark.sql.Column, n: Int): org.apache.spark.sql.Column = {
-    val toks = filter_tokens(textCol)
-    if (n == 1) array_distinct(toks)
-    else when(size(toks) >= n,
-      array_distinct(
-        transform(sequence(lit(0), size(toks) - n),
-          i => array_join(slice(toks, i + 1, lit(n)), " "))))
-      .otherwise(array().cast("array<string>"))
+  def ngramSet(textCol: org.apache.spark.sql.Column, n: Int): org.apache.spark.sql.Column =
+    ngramSetUdf(textCol, lit(n))
+
+  private[graft] def ngramSetScala(text: String, n: Int): Seq[String] = {
+    val toks = graft.functions.TextAnalyzer.tokenize(text).toArray
+    if (toks.length < n) Seq.empty
+    else {
+      // LinkedHashSet keeps first-occurrence order, matching
+      // array_distinct over the sliding-window sequence.
+      val seen = new java.util.LinkedHashSet[String]()
+      var i = 0
+      while (i + n <= toks.length) {
+        val sb = new java.lang.StringBuilder(toks(i))
+        var j = 1
+        while (j < n) { sb.append(' ').append(toks(i + j)); j += 1 }
+        seen.add(sb.toString)
+        i += 1
+      }
+      import scala.jdk.CollectionConverters._
+      seen.iterator().asScala.toSeq
+    }
   }
+
+  private val ngramSetUdf = udf((text: String, n: Int) => ngramSetScala(text, n))
 
   /** Exact n-gram Jaccard similarity pairs within a blocking column
     * (e.g. an LSH band key or IVF cell). This is the in-bucket exact
@@ -190,12 +220,6 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }
-
-  /** Tokenize to lowercase alphanumeric runs (matches
-    * TextAnalyzer.tokenize) with built-ins only.
-    */
-  private def filter_tokens(text: org.apache.spark.sql.Column) =
-    filter(split(lower(coalesce(text, lit(""))), "[^a-z0-9]+"), t => t =!= "")
 
   /** Embedding-cosine near-dup pairs within a blocking column. The
     * block key must be high-cardinality (an LSH band key or IVF
