@@ -315,6 +315,85 @@ object Oracles {
         |  CAST(length(text) * 100 AS BIGINT) AS duration_ms
         |FROM documents ORDER BY asset_id""".stripMargin,
 
+    "text_quality_score" -> {
+      val stopList = graft.functions.TextAnalyzer.stopwords.toSeq.sorted
+        .map(w => s"'$w'").mkString(", ")
+      // Mirrors GraftFunctions.qualityScore signal by signal: same
+      // char classes (RE2 \p{L} == Java \p{L}; [[:punct:]] == Java
+      // \p{Punct}, both ASCII), same whitespace tokenization, same
+      // left-associative signal sum before the /5.0.
+      s"""WITH base AS (
+         |  SELECT doc_id, coalesce(text, '') AS tx FROM documents),
+         |toks AS (
+         |  SELECT doc_id, lower(u.w) AS w
+         |  FROM base, unnest(regexp_split_to_array(trim(tx), '\\s+')) AS u(w)
+         |  WHERE trim(tx) <> ''),
+         |tstats AS (
+         |  SELECT doc_id, count(*) AS n_toks,
+         |    count(*) FILTER (WHERE w IN ($stopList)) AS stop_hits,
+         |    count(DISTINCT w) AS distinct_toks
+         |  FROM toks GROUP BY doc_id),
+         |cs AS (
+         |  SELECT b.doc_id,
+         |    length(tx) AS n_chars,
+         |    length(regexp_replace(tx, '[^\\p{L}]', '', 'g')) AS alpha,
+         |    length(regexp_replace(tx, '[^[:punct:]]', '', 'g')) AS punct,
+         |    coalesce(t.n_toks, 0) AS n_toks,
+         |    coalesce(t.stop_hits, 0) AS stop_hits,
+         |    coalesce(t.distinct_toks, 0) AS distinct_toks
+         |  FROM base b LEFT JOIN tstats t USING (doc_id))
+         |SELECT doc_id,
+         |  round((
+         |    (CASE WHEN n_toks BETWEEN 5 AND 10000 THEN 1.0
+         |          WHEN n_toks > 0 THEN 0.5 ELSE 0.0 END)
+         |    + (CASE WHEN n_chars > 0 THEN CAST(alpha AS DOUBLE) / n_chars ELSE 0.0 END)
+         |    + (CASE WHEN n_chars > 0
+         |         THEN 1.0 - least(CAST(punct AS DOUBLE) / n_chars * 5.0, 1.0)
+         |         ELSE 0.0 END)
+         |    + (CASE WHEN n_toks > 0
+         |         THEN least(CAST(stop_hits AS DOUBLE) / n_toks * 4.0, 1.0)
+         |         ELSE 0.0 END)
+         |    + (CASE WHEN n_toks > 0 THEN CAST(distinct_toks AS DOUBLE) / n_toks ELSE 0.0 END)
+         |  ) / 5.0, 4) AS quality
+         |FROM cs ORDER BY doc_id""".stripMargin
+    },
+
+    "text_language_id" -> {
+      val langs = graft.functions.GraftFunctions.langMarkers.toSeq.sortBy(_._1)
+      val hitCols = langs.map { case (lang, markers) =>
+        val lst = markers.toSeq.sorted.map(w => s"'$w'").mkString(", ")
+        s"count(*) FILTER (WHERE w IN ($lst)) AS ${lang}_h"
+      }.mkString(",\n    ")
+      val scoreCols = langs.map { case (lang, _) =>
+        s"CAST(${lang}_h AS DOUBLE) / n AS $lang"
+      }.mkString(", ")
+      val gr = langs.map(_._1).mkString("greatest(", ", ", ")")
+      // maxBy((score, lang)) tie-breaks to the lexicographically
+      // LARGEST language code, so the CASE tests langs descending.
+      val argmax = langs.map(_._1).sorted.reverse.init
+        .map(l => s"WHEN $l = $gr THEN '$l'")
+        .mkString("\n           ")
+      val last = langs.map(_._1).min
+      s"""WITH base AS (SELECT doc_id, text FROM documents),
+         |toks AS (
+         |  SELECT doc_id, u.w
+         |  FROM base, unnest(regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+')) AS u(w)),
+         |sc AS (
+         |  SELECT doc_id, count(*) AS n,
+         |    $hitCols
+         |  FROM toks GROUP BY doc_id),
+         |scores AS (SELECT doc_id, $scoreCols FROM sc),
+         |det AS (
+         |  SELECT b.doc_id,
+         |    CASE WHEN s.doc_id IS NULL THEN 'und'
+         |         WHEN $gr <= 0 THEN 'und'
+         |         $argmax
+         |         ELSE '$last' END AS detected
+         |  FROM base b LEFT JOIN scores s USING (doc_id))
+         |SELECT detected, count(*) AS n FROM det
+         |GROUP BY detected ORDER BY detected""".stripMargin
+    },
+
     "text_quality_metrics" ->
       s"""WITH base AS (
          |  SELECT doc_id, text, $toksSql AS toks,

@@ -162,7 +162,7 @@ object GraftFunctions {
     * high-frequency function words per language. Deterministic; meant
     * for coarse corpus routing, not NIST-grade identification.
     */
-  private val langMarkers: Map[String, Set[String]] = Map(
+  private[graft] val langMarkers: Map[String, Set[String]] = Map(
     "en" -> Set("the", "and", "of", "to", "in", "is", "that", "it", "for", "was", "with", "a"),
     "de" -> Set("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "von", "zu", "den"),
     "fr" -> Set("le", "la", "les", "et", "est", "pas", "une", "des", "dans", "pour", "que"),
