@@ -394,6 +394,34 @@ object Oracles {
          |GROUP BY detected ORDER BY detected""".stripMargin
     },
 
+    "text_pii_scrub" ->
+      """SELECT doc_id,
+        |  len(regexp_extract_all(coalesce(text, ''),
+        |    '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS n_emails,
+        |  len(regexp_extract_all(coalesce(text, ''),
+        |    '\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}')) AS n_phones,
+        |  md5(regexp_replace(regexp_replace(coalesce(text, ''),
+        |    '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '[EMAIL]', 'g'),
+        |    '\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}', '[PHONE]', 'g')) AS scrubbed_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "sample_stratified" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE substr(md5(CAST(doc_id AS VARCHAR) || ':mix1'), 1, 4)
+        |  < (CASE WHEN lang = 'en' THEN '8000' ELSE '4000' END)
+        |ORDER BY doc_id""".stripMargin,
+
+    "mix_token_stats" ->
+      s"""WITH per_doc AS (
+         |  SELECT source, lang, len($toksSql) AS toks FROM documents),
+         |agg AS (
+         |  SELECT source, lang, count(*) AS n_docs,
+         |    CAST(sum(toks) AS BIGINT) AS n_tokens
+         |  FROM per_doc GROUP BY source, lang)
+         |SELECT source, lang, n_docs, n_tokens,
+         |  round(CAST(n_tokens AS DOUBLE) / sum(n_tokens) OVER (), 6) AS token_share
+         |FROM agg ORDER BY source, lang""".stripMargin,
+
     "text_quality_metrics" ->
       s"""WITH base AS (
          |  SELECT doc_id, text, $toksSql AS toks,

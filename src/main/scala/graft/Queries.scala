@@ -506,6 +506,60 @@ object Queries {
       .select(col("doc_id"), fingerprint(col("text")).as("fp"))
       .orderBy(col("doc_id"))
 
+  /** PII scrub: mask emails/phone-shaped substrings, report match
+    * counts and an md5 of the scrubbed text (hash-comparable without
+    * shipping full documents through the oracle). Regexes restricted
+    * to the Java∩RE2 common syntax so DuckDB computes byte-identical
+    * masks. Pure built-ins — per-row map, no shuffle except the final
+    * presentation sort.
+    */
+  private val emailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  private val phoneRe = "\\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}"
+
+  def textPiiScrub(spark: SparkSession, dir: String): DataFrame = {
+    val txt = coalesce(col("text"), lit(""))
+    val scrubbed = regexp_replace(regexp_replace(txt, emailRe, "[EMAIL]"),
+      phoneRe, "[PHONE]")
+    t(spark, dir, "documents")
+      .select(col("doc_id"),
+        size(regexp_extract_all(txt, lit(emailRe), lit(0))).as("n_emails"),
+        size(regexp_extract_all(txt, lit(phoneRe), lit(0))).as("n_phones"),
+        md5(scrubbed).as("scrubbed_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Deterministic stratified sampling for corpus mixing: keep a
+    * per-language fraction of documents by comparing an md5 prefix of
+    * the salted key against a per-stratum threshold. Hash-based
+    * sampling is reproducible across engines and cluster sizes (no
+    * RNG state), embarrassingly parallel, and join-free — the 100 TB
+    * shape for downsampling a source during mixture construction.
+    */
+  def sampleStratified(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = substring(md5(concat(col("doc_id").cast("string"), lit(":mix1"))), 1, 4)
+    val threshold = when(col("lang") === "en", lit("8000")).otherwise(lit("4000"))
+    t(spark, dir, "documents")
+      .filter(bucket < threshold)
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Mixture weighting stats: per (source, lang) document and token
+    * totals plus each stratum's share of the global token budget.
+    * The window-sum over () runs over one row per stratum (bounded by
+    * the source×lang cross-cardinality, not corpus size), after the
+    * map-side-combinable groupBy — safe at any scale.
+    */
+  def mixTokenStats(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("source"), col("lang"), size(sqlTokens(col("text"))).as("toks"))
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"))
+      .withColumn("token_share",
+        round(col("n_tokens").cast("double") /
+          sum(col("n_tokens")).over(Window.partitionBy()), 6))
+      .orderBy(col("source"), col("lang"))
+
   /** F2/F4: stemmed tsvector + ranked lexical search (library path
     * with Porter stemming; no SQL oracle — AnalyzerSpec covers).
     */
@@ -630,6 +684,9 @@ object Queries {
     "text_quality_score" -> (textQualityScore _),
     "text_language_id" -> (textLanguageId _),
     "text_fingerprint" -> (textFingerprint _),
+    "text_pii_scrub" -> (textPiiScrub _),
+    "sample_stratified" -> (sampleStratified _),
+    "mix_token_stats" -> (mixTokenStats _),
     "f2_tsvector_rank" -> (f2TsvectorRank _),
     "f6_chunk_table" -> (f6ChunkTable _),
     "vz_semantic_search" -> (vzSemanticSearch _),
