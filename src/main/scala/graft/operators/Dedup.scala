@@ -84,19 +84,37 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
-  /** SimHash near-dup: 64-bit signatures; pairs whose signatures
-    * agree on at least one 16-bit band are candidates (standard
-    * Charikar-style blocking); verified by Hamming distance <=
-    * maxHamming.
+  /** SimHash near-dup: 64-bit signatures, banded blocking, verified
+    * by Hamming distance <= maxHamming.
+    *
+    * Band count is DERIVED from maxHamming as `maxHamming + 1`
+    * (Manku et al., WWW'07): a pair within Hamming distance h differs
+    * in at most h of the h+1 disjoint bands, so at least one band
+    * matches exactly — full recall by pigeonhole, where a fixed band
+    * count would silently miss pairs whose errors spread across every
+    * band. The trade-off is explicit at scale: band width is
+    * 64/(maxHamming+1) bits, so larger maxHamming ⇒ narrower bands ⇒
+    * fewer buckets per band (2^width) ⇒ bigger buckets and a more
+    * quadratic in-bucket verify. At billions of rows keep maxHamming
+    * small (≤7 keeps bands ≥8 bits) or pre-partition by a coarse key
+    * (e.g. language) before calling.
     */
   def simHashPairs(docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64, "maxHamming must be in [0, 64)")
+    val bands = maxHamming + 1
+    val base = 64 / bands
+    val extra = 64 % bands // first `extra` bands are one bit wider
+    val widths = Array.tabulate(bands)(i => if (i < extra) base + 1 else base)
+    val offsets = widths.scanLeft(0)(_ + _)
     val withSig = docs
       .select(col(idCol).as("id"), col(textCol).as("text"))
       .withColumn("sig", simHash(col("text")))
-    val bandKeys = array((0 until 4).map { bnd =>
+    val bandKeys = array((0 until bands).map { bnd =>
+      val mask = if (widths(bnd) == 64) lit(-1L)
+        else lit((1L << widths(bnd)) - 1)
       concat(lit(s"$bnd:"),
-        shiftrightunsigned(col("sig"), bnd * 16).bitwiseAND(lit(0xFFFFL)))
+        shiftrightunsigned(col("sig"), offsets(bnd)).bitwiseAND(mask))
     }: _*)
     val banded = withSig
       .withColumn("band_key", explode(bandKeys))

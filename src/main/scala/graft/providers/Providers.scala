@@ -270,7 +270,8 @@ object OpenAICompatProvider {
   */
 private[providers] object Http {
   def postJson(url: String, body: String, apiKey: Option[String],
-      timeoutSec: Int = 120): String = {
+      timeoutSec: Int = 120,
+      extraHeaders: Map[String, String] = Map.empty): String = {
     val client = java.net.http.HttpClient.newBuilder()
       .connectTimeout(java.time.Duration.ofSeconds(timeoutSec.toLong)).build()
     val b = java.net.http.HttpRequest.newBuilder()
@@ -279,6 +280,7 @@ private[providers] object Http {
       .header("Accept", "application/json")
       .header("Content-Type", "application/json")
     apiKey.foreach(k => b.header("Authorization", s"Bearer $k"))
+    extraHeaders.foreach { case (k, v) => b.header(k, v) }
     val resp = client.send(
       b.POST(java.net.http.HttpRequest.BodyPublishers.ofString(body)).build(),
       java.net.http.HttpResponse.BodyHandlers.ofString())
@@ -382,6 +384,102 @@ object CohereProvider {
     "embed-multilingual-v2.0" -> 768)
 }
 
+/** Voyage provider (core/src/transformers/providers/voyage.rs:10-104):
+  * `POST {base}/embeddings` with
+  * `{"input":[...],"model":...,"input_type":"document"}`, Bearer
+  * auth; OpenAI-shaped `data[].embedding` response. Dim is probed by
+  * embedding "hello world" (voyage.rs:105-114) — no static table.
+  */
+final class VoyageProvider(
+    apiKey: String,
+    baseUrl: String = VoyageProvider.defaultBaseUrl,
+    timeoutSec: Int = 120
+) extends EmbeddingProvider {
+
+  def requestBody(model: String, inputs: Seq[String]): String =
+    s"""{"input":[${inputs.map(Json.str).mkString(",")}],""" +
+      s""""model":${Json.str(model.split('/').last)},"input_type":"document"}"""
+
+  def parseEmbeddings(body: String): Seq[Array[Float]] =
+    Json.extractFloatArrays(body, "embedding")
+
+  override def generateEmbeddings(model: String, inputs: Seq[String]): Seq[Array[Float]] = {
+    val vecs = parseEmbeddings(
+      Http.postJson(s"$baseUrl/embeddings", requestBody(model, inputs),
+        Some(apiKey), timeoutSec))
+    require(vecs.size == inputs.size,
+      s"voyage returned ${vecs.size} embeddings for ${inputs.size} inputs")
+    vecs
+  }
+
+  override def modelDim(model: String): Int =
+    generateEmbeddings(model, Seq("hello world")).head.length
+}
+object VoyageProvider {
+  /** voyage.rs:10 */
+  val defaultBaseUrl = "https://api.voyageai.com/v1"
+}
+
+/** Portkey provider (core/src/transformers/providers/portkey.rs:15-141):
+  * OpenAI-shaped body and `data[].embedding` response at
+  * `POST {base}/embeddings`, but authenticated with the
+  * `x-portkey-api-key` + `x-portkey-virtual-key` headers instead of
+  * Bearer; inputs are split into chunks of 2048 (portkey.rs:55-66).
+  * Chat goes through `POST {base}/chat/completions` with the same
+  * headers (portkey.rs:103-141).
+  */
+final class PortkeyProvider(
+    apiKey: String,
+    virtualKey: String,
+    baseUrl: String = PortkeyProvider.defaultBaseUrl,
+    maxInputsPerRequest: Int = 2048,
+    timeoutSec: Int = 120
+) extends EmbeddingProvider with ChatProvider {
+
+  def headers: Map[String, String] = Map(
+    "x-portkey-api-key" -> apiKey,
+    "x-portkey-virtual-key" -> virtualKey)
+
+  def requestBody(model: String, inputs: Seq[String]): String =
+    s"""{"model":${Json.str(model.split('/').last)},"input":[${inputs.map(Json.str).mkString(",")}]}"""
+
+  def parseEmbeddings(body: String): Seq[Array[Float]] =
+    Json.extractFloatArrays(body, "embedding")
+
+  override def generateEmbeddings(model: String, inputs: Seq[String]): Seq[Array[Float]] =
+    inputs.grouped(maxInputsPerRequest).toSeq.flatMap { chunk =>
+      val vecs = parseEmbeddings(
+        Http.postJson(s"$baseUrl/embeddings", requestBody(model, chunk),
+          None, timeoutSec, headers))
+      require(vecs.size == chunk.size,
+        s"portkey returned ${vecs.size} embeddings for ${chunk.size} inputs")
+      vecs
+    }
+
+  override def modelDim(model: String): Int =
+    generateEmbeddings(model, Seq("hello world")).head.length
+
+  def chatRequestBody(model: String, sysPrompt: String, userPrompt: String): String =
+    s"""{"model":${Json.str(model.split('/').last)},"messages":[""" +
+      s"""{"role":"system","content":${Json.str(sysPrompt)}},""" +
+      s"""{"role":"user","content":${Json.str(userPrompt)}}]}"""
+
+  def parseChatResponse(body: String): String = {
+    val msgAt = body.indexOf("\"message\"")
+    val tail = if (msgAt >= 0) body.substring(msgAt) else body
+    Json.extractString(tail, "content")
+      .getOrElse(throw new RuntimeException("portkey chat response missing content"))
+  }
+
+  override def generateResponse(model: String, sysPrompt: String, userPrompt: String): String =
+    parseChatResponse(Http.postJson(s"$baseUrl/chat/completions",
+      chatRequestBody(model, sysPrompt, userPrompt), None, timeoutSec, headers))
+}
+object PortkeyProvider {
+  /** portkey.rs:14 */
+  val defaultBaseUrl = "https://api.portkey.ai/v1"
+}
+
 /** OpenAI-compatible chat-completions provider for `rag`/`generate`
   * (core/src/transformers/providers/openai.rs chat path):
   * `POST {base}/chat/completions` with system+user messages →
@@ -429,7 +527,26 @@ object Providers {
           apiKey.orElse(sys.env.get("CO_API_KEY")).getOrElse(
             throw new IllegalArgumentException("CO_API_KEY not set")),
           baseUrl.getOrElse(CohereProvider.defaultBaseUrl))
+      case graft.types.ModelSource.Voyage =>
+        new VoyageProvider(
+          apiKey.orElse(sys.env.get("VOYAGE_API_KEY")).getOrElse(
+            throw new IllegalArgumentException("VOYAGE_API_KEY not set")),
+          baseUrl.getOrElse(VoyageProvider.defaultBaseUrl))
+      case graft.types.ModelSource.Portkey =>
+        new PortkeyProvider(
+          apiKey.orElse(sys.env.get("PORTKEY_API_KEY")).getOrElse(
+            throw new IllegalArgumentException("PORTKEY_API_KEY not set")),
+          sys.env.getOrElse("PORTKEY_VIRTUAL_KEY",
+            throw new IllegalArgumentException("PORTKEY_VIRTUAL_KEY not set")),
+          baseUrl.getOrElse(PortkeyProvider.defaultBaseUrl))
+      case graft.types.ModelSource.OpenAI =>
+        new OpenAICompatProvider(
+          baseUrl.getOrElse(Providers.openAiBaseUrl),
+          apiKey.orElse(sys.env.get("OPENAI_API_KEY")))
       case _ =>
+        // SentenceTransformers and unknown namespaces route to the
+        // local model server, reference vector-serve default
+        // (core/src/transformers/mod.rs EMBEDDING_SVC_URL).
         new OpenAICompatProvider(
           baseUrl.getOrElse("http://localhost:3000/v1"), apiKey)
     }
@@ -441,7 +558,20 @@ object Providers {
       case graft.types.ModelSource.Deterministic => new DeterministicChatProvider()
       case graft.types.ModelSource.Ollama =>
         new OllamaProvider(baseUrl.getOrElse(OllamaProvider.defaultBaseUrl))
+      case graft.types.ModelSource.Portkey =>
+        new PortkeyProvider(
+          apiKey.orElse(sys.env.get("PORTKEY_API_KEY")).getOrElse(
+            throw new IllegalArgumentException("PORTKEY_API_KEY not set")),
+          sys.env.getOrElse("PORTKEY_VIRTUAL_KEY",
+            throw new IllegalArgumentException("PORTKEY_VIRTUAL_KEY not set")),
+          baseUrl.getOrElse(PortkeyProvider.defaultBaseUrl))
+      case graft.types.ModelSource.OpenAI =>
+        new OpenAIChatProvider(baseUrl.getOrElse(Providers.openAiBaseUrl),
+          apiKey.orElse(sys.env.get("OPENAI_API_KEY")))
       case _ =>
         new OpenAIChatProvider(baseUrl.getOrElse("http://localhost:3000/v1"), apiKey)
     }
+
+  /** openai.rs:15 */
+  val openAiBaseUrl = "https://api.openai.com/v1"
 }

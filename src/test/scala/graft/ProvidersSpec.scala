@@ -75,6 +75,29 @@ class ProvidersSpec extends AnyFunSuite {
     assert(p.parseResponse(resp) == "Because \"escaped\" text\nworks.")
   }
 
+  test("voyage request carries input_type document (voyage.rs:17-32)") {
+    val p = new VoyageProvider("key")
+    assert(p.requestBody("voyage/voyage-2", Seq("doc one", "doc two")) ==
+      """{"input":["doc one","doc two"],"model":"voyage-2","input_type":"document"}""")
+    val resp = """{"object":"list","data":[{"embedding":[0.5,-0.5]},{"embedding":[1.0,2.0]}]}"""
+    assert(p.parseEmbeddings(resp).map(_.toSeq) == Seq(Seq(0.5f, -0.5f), Seq(1.0f, 2.0f)))
+  }
+
+  test("portkey: openai body, portkey auth headers, chat (portkey.rs:15-141)") {
+    val p = new PortkeyProvider("pk", "vk")
+    assert(p.requestBody("portkey/text-embedding-3-small", Seq("a")) ==
+      """{"model":"text-embedding-3-small","input":["a"]}""")
+    assert(p.headers == Map(
+      "x-portkey-api-key" -> "pk", "x-portkey-virtual-key" -> "vk"))
+    val resp = """{"data":[{"embedding":[0.25,0.75]}]}"""
+    assert(p.parseEmbeddings(resp).map(_.toSeq) == Seq(Seq(0.25f, 0.75f)))
+    assert(p.chatRequestBody("gpt-4o", "sys", "q") ==
+      """{"model":"gpt-4o","messages":[{"role":"system","content":"sys"},""" +
+        """{"role":"user","content":"q"}]}""")
+    assert(p.parseChatResponse(
+      """{"choices":[{"message":{"role":"assistant","content":"ok"}}]}""") == "ok")
+  }
+
   test("provider routing matches model source") {
     assert(Providers.forModel(Model.parseUnsafe("deterministic/hash-64"))
       .isInstanceOf[DeterministicHashProvider])
@@ -84,6 +107,8 @@ class ProvidersSpec extends AnyFunSuite {
       apiKey = Some("k")).isInstanceOf[CohereProvider])
     assert(Providers.forModel(Model.parseUnsafe("openai/text-embedding-3-small"))
       .isInstanceOf[OpenAICompatProvider])
+    assert(Providers.forModel(Model.parseUnsafe("voyage/voyage-2"),
+      apiKey = Some("k")).isInstanceOf[VoyageProvider])
     // unknown namespaces → sentence-transformers → openai-compatible shape
     assert(Model.parseUnsafe("whatever").source == ModelSource.SentenceTransformers)
     assert(Providers.chatForModel(Model.parseUnsafe("ollama/llama2"))

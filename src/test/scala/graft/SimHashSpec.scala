@@ -32,10 +32,32 @@ class SimHashSpec extends AnyFunSuite {
     assert(got.head.getAs[Int]("hamming") <= 16)
   }
 
-  test("pairs deduplicated across the 4 bands") {
+  test("pairs deduplicated across bands") {
     val same = "exact duplicate rows collide in every band but appear once"
     val got = Dedup.simHashPairs(docs(Seq((5L, same), (9L, same))), "doc_id", "text",
       maxHamming = 0).collect()
     assert(got.length == 1)
+  }
+
+  test("banded recall equals brute force (pigeonhole over maxHamming+1 bands)") {
+    import graft.functions.GraftFunctions
+    // Varied docs so signatures span a range of Hamming distances.
+    val rows = (0L until 40L).map { i =>
+      val words = (0 until 12).map(j => s"w${(i + j * (i % 5 + 1)) % 23}")
+      (i, words.mkString(" "))
+    }
+    for (maxHamming <- Seq(3, 8)) {
+      val got = Dedup.simHashPairs(docs(rows), "doc_id", "text", maxHamming)
+        .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+      val sigs = rows.map { case (id, tx) =>
+        id -> GraftFunctions.simHashScala(
+          graft.functions.TextAnalyzer.tokenize(tx))
+      }
+      val want = (for {
+        (ia, sa) <- sigs; (ib, sb) <- sigs if ia < ib
+        if java.lang.Long.bitCount(sa ^ sb) <= maxHamming
+      } yield (ia, ib)).toSet
+      assert(got == want, s"banded pairs must match brute force at maxHamming=$maxHamming")
+    }
   }
 }
