@@ -138,7 +138,7 @@ final class VectorizeEngine(
     ).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val inputs = Pipeline.renderInputs(delta, job.primaryKey, job.srcColumns)
-      val embedded = Pipeline.embed(inputs, provider(job), job.model.fullname)
+      val embedded = Pipeline.embed(inputs, provider(job), job.model.apiName)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
         store.merge(embName, embedded, "pkey")
@@ -181,7 +181,7 @@ final class VectorizeEngine(
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val inputs = Pipeline.renderInputs(delta, job.primaryKey, job.srcColumns)
-      val embedded = Pipeline.embed(inputs, provider(job), job.model.fullname)
+      val embedded = Pipeline.embed(inputs, provider(job), job.model.apiName)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
         val n = embedded.count()
@@ -241,7 +241,7 @@ final class VectorizeEngine(
       .getOrElse(Model.parseUnsafe(jobOrModel))
     val p = jobs.get(jobOrModel).map(provider)
       .getOrElse(embeddingProviderOverride.getOrElse(Providers.forModel(model)))
-    p.generateEmbeddings(model.fullname, Seq(text)).head
+    p.generateEmbeddings(model.apiName, Seq(text)).head
   }
 
   /** `vectorize.search` (extension/src/api.rs:116-134): embed the

@@ -223,7 +223,9 @@ object Ann {
       .filter(col("q_id") =!= col("x_id"))
       .select(col("q_id"), col("x_id"),
         cosineSimilarity(col("q_vec"), col("x_vec")).as("cos"))
-      .distinct() // a pair can match in several probe buckets
+      // no distinct needed: the probe keys (own bucket + each
+      // single-bit flip) are pairwise distinct and every index row
+      // carries exactly one key, so a (q, x) pair joins at most once
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("q_id", "x_id", "cos", "rank")

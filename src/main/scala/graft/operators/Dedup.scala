@@ -15,6 +15,14 @@ import org.apache.spark.sql.functions._
   * At 100 TB the bucket key is the shuffle dimension; skewed buckets
   * are AQE-splittable because all per-bucket work is a plain
   * equi-join.
+  *
+  * Cache lifetime: minHashLshPairs and rareGramJaccardPairs persist
+  * an intermediate (signatures / posting list) that backs the lazily
+  * returned DataFrame, so it cannot be unpersisted here. The blocks
+  * are LRU-evictable (MEMORY_AND_DISK) and bounded by one signature
+  * or posting row per document; callers running many corpora through
+  * one session can reclaim eagerly via `spark.catalog.clearCache()`
+  * after materializing results.
   */
 object Dedup {
 

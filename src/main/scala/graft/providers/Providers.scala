@@ -233,21 +233,8 @@ final class OpenAICompatProvider(
       vecs
     }
 
-  private def post(body: String): String = {
-    val client = java.net.http.HttpClient.newBuilder()
-      .connectTimeout(java.time.Duration.ofSeconds(timeoutSec.toLong)).build()
-    val b = java.net.http.HttpRequest.newBuilder()
-      .uri(java.net.URI.create(s"$baseUrl/embeddings"))
-      .timeout(java.time.Duration.ofSeconds(timeoutSec.toLong))
-      .header("Content-Type", "application/json")
-    apiKey.foreach(k => b.header("Authorization", s"Bearer $k"))
-    val resp = client.send(
-      b.POST(java.net.http.HttpRequest.BodyPublishers.ofString(body)).build(),
-      java.net.http.HttpResponse.BodyHandlers.ofString())
-    if (resp.statusCode() / 100 != 2)
-      throw new RuntimeException(s"embedding request failed: HTTP ${resp.statusCode()}")
-    resp.body()
-  }
+  private def post(body: String): String =
+    Http.postJson(s"$baseUrl/embeddings", body, apiKey, timeoutSec)
 }
 
 object OpenAICompatProvider {
@@ -269,11 +256,15 @@ object OpenAICompatProvider {
   * cohere.rs:88, openai.rs:109).
   */
 private[providers] object Http {
+  // One shared client: the JDK HttpClient is thread-safe and pools
+  // connections; per-request construction would pay a TCP/TLS
+  // handshake on every embedding batch of a large backfill.
+  private lazy val client = java.net.http.HttpClient.newBuilder()
+    .connectTimeout(java.time.Duration.ofSeconds(30)).build()
+
   def postJson(url: String, body: String, apiKey: Option[String],
       timeoutSec: Int = 120,
       extraHeaders: Map[String, String] = Map.empty): String = {
-    val client = java.net.http.HttpClient.newBuilder()
-      .connectTimeout(java.time.Duration.ofSeconds(timeoutSec.toLong)).build()
     val b = java.net.http.HttpRequest.newBuilder()
       .uri(java.net.URI.create(url))
       .timeout(java.time.Duration.ofSeconds(timeoutSec.toLong))

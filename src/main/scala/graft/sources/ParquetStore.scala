@@ -44,7 +44,23 @@ final class ParquetStore(spark: SparkSession, root: String, nBuckets: Int = 16)
   private def bucketsPath(table: String) = new Path(s"$root/$table/_BUCKETS")
   private def versionDir(table: String, v: Long) = s"$root/$table/v_$v"
 
-  private def bucketOf(key: String) = pmod(hash(col(key)), lit(nBuckets))
+  /** Effective bucket count for a table: the count persisted in its
+    * _BUCKETS header (written at first bucketed commit), falling back
+    * to the constructor value for new or legacy tables. Persisting it
+    * makes the layout self-describing — reopening an existing table
+    * with a different constructor nBuckets would otherwise hash keys
+    * into the wrong buckets and silently duplicate/miss rows on merge.
+    */
+  private def tableBuckets(table: String): Int = {
+    val p = bucketsPath(table)
+    if (!fs.exists(p)) nBuckets
+    else new String(readFully(p), "UTF-8").linesIterator
+      .find(_.startsWith("#n "))
+      .map(_.stripPrefix("#n ").trim.toInt)
+      .getOrElse(nBuckets)
+  }
+
+  private def bucketOf(key: String, nb: Int) = pmod(hash(col(key)), lit(nb))
 
   def currentVersion(table: String): Option[Long] = {
     val p = pointer(table)
@@ -61,7 +77,7 @@ final class ParquetStore(spark: SparkSession, root: String, nBuckets: Int = 16)
     val p = bucketsPath(table)
     if (!fs.exists(p)) Map.empty
     else new String(readFully(p), "UTF-8").linesIterator
-      .map(_.trim).filter(_.nonEmpty).map { line =>
+      .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#")).map { line =>
         val Array(b, v) = line.split("\\s+")
         b.toInt -> v.toLong
       }.toMap
@@ -109,11 +125,15 @@ final class ParquetStore(spark: SparkSession, root: String, nBuckets: Int = 16)
       org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
-  private def commit(table: String, v: Long, bucketMap: Map[Int, Long]): Unit = {
+  private def commit(table: String, v: Long, bucketMap: Map[Int, Long],
+      nb: Int): Unit = {
     // _BUCKETS first, then _CURRENT: exists() only turns true once the
     // map it implies is in place (first write); later flips overwrite.
+    // The "#n" header pins the table's bucket count (self-describing
+    // layout — see tableBuckets).
     atomicWrite(bucketsPath(table),
-      bucketMap.toSeq.sortBy(_._1).map { case (b, ver) => s"$b $ver" }.mkString("\n"))
+      (s"#n $nb" +:
+        bucketMap.toSeq.sortBy(_._1).map { case (b, ver) => s"$b $ver" }).mkString("\n"))
     atomicWrite(pointer(table), v.toString)
     cleanOld(table, v, bucketMap)
   }
@@ -124,7 +144,7 @@ final class ParquetStore(spark: SparkSession, root: String, nBuckets: Int = 16)
   def overwrite(table: String, df: DataFrame): Unit = {
     val v = currentVersion(table).getOrElse(-1L) + 1L
     df.write.mode(SaveMode.Overwrite).parquet(versionDir(table, v))
-    commit(table, v, Map(-1 -> v))
+    commit(table, v, Map(-1 -> v), tableBuckets(table))
   }
 
   /** MERGE: rows in `updates` replace same-key rows in the current
@@ -134,17 +154,26 @@ final class ParquetStore(spark: SparkSession, root: String, nBuckets: Int = 16)
     * update keys hash into.
     */
   def merge(table: String, updates: DataFrame, key: String): Unit = {
+    val nb = tableBuckets(table)
     if (!exists(table)) {
       // first write: bucketed from the start
       val v = 0L
-      updates.withColumn("__bucket", bucketOf(key))
+      updates.withColumn("__bucket", bucketOf(key, nb))
         .write.partitionBy("__bucket").mode(SaveMode.Overwrite)
         .parquet(versionDir(table, v))
-      commit(table, v, writtenBuckets(table, v))
+      val written = writtenBuckets(table, v)
+      if (written.isEmpty) {
+        // zero-row first merge: committing an empty bucket map would
+        // make exists() true but read() impossible — leave the table
+        // nonexistent instead
+        fs.delete(new Path(versionDir(table, v)), true)
+        return
+      }
+      commit(table, v, written, nb)
       return
     }
     val m = readBucketMap(table)
-    val upd = updates.withColumn("__bucket", bucketOf(key))
+    val upd = updates.withColumn("__bucket", bucketOf(key, nb))
     val touched = upd.select("__bucket").distinct().collect().map(_.getInt(0)).toSet
     if (touched.isEmpty) return
     // current rows of ONLY the touched buckets (a flat snapshot has
@@ -160,7 +189,7 @@ final class ParquetStore(spark: SparkSession, root: String, nBuckets: Int = 16)
     // flat snapshots are fully re-bucketed on first merge (every row
     // must land in a bucket dir); bucketed snapshots only load and
     // rewrite the touched buckets
-    val curAll = cur0.withColumn("__bucket", bucketOf(key))
+    val curAll = cur0.withColumn("__bucket", bucketOf(key, nb))
     val cur = if (flat) curAll else curAll.filter(col("__bucket").isin(touched.toSeq: _*))
     val kept = cur.join(upd.select(key), Seq(key), "left_anti")
     val next = kept.unionByName(
@@ -172,7 +201,7 @@ final class ParquetStore(spark: SparkSession, root: String, nBuckets: Int = 16)
     // a flat snapshot must be fully re-bucketed on first merge (its
     // untouched rows were rewritten into v as well)
     val base = if (flat) Map.empty[Int, Long] else m
-    commit(table, v, base -- touched ++ written)
+    commit(table, v, base -- touched ++ written, nb)
   }
 
   /** Buckets actually present in a freshly written snapshot dir. */
@@ -191,8 +220,9 @@ final class ParquetStore(spark: SparkSession, root: String, nBuckets: Int = 16)
     */
   def delete(table: String, keys: DataFrame, key: String): Unit = {
     if (!exists(table)) return
+    val nb = tableBuckets(table)
     val m = readBucketMap(table)
-    val keyed = keys.select(key).withColumn("__bucket", bucketOf(key))
+    val keyed = keys.select(key).withColumn("__bucket", bucketOf(key, nb))
     val touched = keyed.select("__bucket").distinct().collect().map(_.getInt(0)).toSet
     if (touched.isEmpty) return
     val flat = m.contains(-1)
@@ -200,7 +230,7 @@ final class ParquetStore(spark: SparkSession, root: String, nBuckets: Int = 16)
       if (flat) m else m.filter { case (b, _) => touched.contains(b) })
     if (curPaths.isEmpty) return
     val cur = spark.read.option("recursiveFileLookup", "true").parquet(curPaths: _*)
-      .withColumn("__bucket", bucketOf(key))
+      .withColumn("__bucket", bucketOf(key, nb))
     val scoped = if (flat) cur else cur.filter(col("__bucket").isin(touched.toSeq: _*))
     val next = scoped.join(keyed.select(key), Seq(key), "left_anti")
     val v = currentVersion(table).get + 1L
@@ -209,7 +239,7 @@ final class ParquetStore(spark: SparkSession, root: String, nBuckets: Int = 16)
     val written = writtenBuckets(table, v)
     val base = if (flat) Map.empty[Int, Long] else m
     // touched buckets that became empty simply vanish from the map
-    commit(table, v, base -- touched ++ written)
+    commit(table, v, base -- touched ++ written, nb)
   }
 
   def drop(table: String): Unit = {

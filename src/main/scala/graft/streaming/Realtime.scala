@@ -2,7 +2,7 @@ package graft.streaming
 
 import graft.VectorizeEngine
 import graft.operators.Pipeline
-import graft.types.VectorizeJob
+import graft.types.{TableMethod, VectorizeJob}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -38,11 +38,30 @@ object Realtime {
           .partitionBy(col(job.primaryKey)).orderBy(col(u).desc)
         batch.withColumn("__rn", row_number().over(w))
           .filter(col("__rn") === 1).drop("__rn")
-      case _ => batch.dropDuplicates(job.primaryKey)
+      case _ =>
+        // Without an update-time column there is no order to recover:
+        // which duplicate survives is arbitrary (same as the reference
+        // worker, whose queue message carries only record ids — the
+        // row is re-read from the source at process time). Jobs whose
+        // streams can carry multiple versions of a key per batch
+        // should declare update_time_col.
+        batch.dropDuplicates(job.primaryKey)
     }
     val inputs = Pipeline.renderInputs(deduped, job.primaryKey, job.srcColumns)
-    val embedded = Pipeline.embed(inputs, engine.provider(job), job.model.fullname)
-    engine.store.merge(s"_embeddings_${job.jobName}", embedded, "pkey")
+    val embedded = Pipeline.embed(inputs, engine.provider(job), job.model.apiName)
+    job.tableMethod match {
+      case TableMethod.Append =>
+        // Append jobs are served from the wide `_append_<job>` table
+        // (VectorizeEngine.embeddingsOf) — merge the embedded rows
+        // there, joined back to their source columns, or streamed
+        // updates would never become searchable.
+        val withPkey = deduped.withColumn("pkey", col(job.primaryKey).cast("string"))
+        val wide = withPkey.join(
+          embedded.withColumnRenamed("updated_at", "__emb_updated_at"), Seq("pkey"))
+        engine.store.merge(s"_append_${job.jobName}", wide, "pkey")
+      case _ =>
+        engine.store.merge(s"_embeddings_${job.jobName}", embedded, "pkey")
+    }
     val tokens = Pipeline.renderSearchTokens(deduped, job.primaryKey, job.srcColumns)
     engine.store.merge(s"_search_tokens_${job.jobName}", tokens, "pkey")
   }

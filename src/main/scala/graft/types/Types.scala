@@ -35,7 +35,17 @@ object ModelSource {
 /** A parsed `namespace/model-name` identifier.
   * Reference: `Model` + parser, core/src/types.rs:160-266.
   */
-final case class Model(source: ModelSource, fullname: String, name: String)
+final case class Model(source: ModelSource, fullname: String, name: String) {
+  /** The id sent to the provider API: bare model name for hosted
+    * providers, namespaced fullname for SentenceTransformers (the
+    * model server expects the HF repo path). Mirrors
+    * core/src/types.rs:206-215 `api_name()`.
+    */
+  def apiName: String = source match {
+    case ModelSource.SentenceTransformers => fullname
+    case _ => name
+  }
+}
 object Model {
   /** Legacy aliases accepted by the reference parser
     * (core/src/types.rs:242-248).

@@ -92,6 +92,30 @@ class ParquetStoreSpec extends AnyFunSuite {
       s"superseded snapshots not GC'd: $versions")
   }
 
+  test("bucket count is persisted: reopening with a different nBuckets stays correct") {
+    val root = TestSpark.tempDir("graft_ps_")
+    val store16 = new ParquetStore(spark, root, nBuckets = 16)
+    store16.merge("t", rows(1 to 100, "v1"), "pkey")
+    // a session with a different constructor value must honor the
+    // on-disk layout, not re-hash into phantom buckets
+    val store32 = new ParquetStore(spark, root, nBuckets = 32)
+    store32.merge("t", rows(50 to 120, "v2"), "pkey")
+    val got = store32.read("t").collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got.size == 120, "no duplicate or lost pkeys after bucket-count mismatch")
+    assert(got("10") == "v1-10" && got("50") == "v2-50")
+    store32.delete("t", Seq("60").toDF("pkey"), "pkey")
+    assert(store32.read("t").count() == 119)
+  }
+
+  test("zero-row first merge leaves the table nonexistent, not bricked") {
+    val store = new ParquetStore(spark, TestSpark.tempDir("graft_ps_"))
+    store.merge("t", rows(1 to 0, "v1"), "pkey")
+    assert(!store.exists("t"))
+    // and a later real merge works normally
+    store.merge("t", rows(1 to 5, "v1"), "pkey")
+    assert(store.read("t").count() == 5)
+  }
+
   test("idempotent replay: merging the same batch twice is a no-op") {
     val store = new ParquetStore(spark, TestSpark.tempDir("graft_ps_"))
     val batch = rows(1 to 30, "v1")

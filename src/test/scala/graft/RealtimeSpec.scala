@@ -86,6 +86,40 @@ class RealtimeSpec extends AnyFunSuite {
     assert(after.keySet == snapshotBefore.keySet)
   }
 
+  test("append-method job: streamed rows land in the wide table and are searchable") {
+    val inputDir = TestSpark.tempDir("graft_rta_in_")
+    val checkpoint = TestSpark.tempDir("graft_rta_ckpt_")
+    val wh = TestSpark.tempDir("graft_rta_wh_")
+
+    val engine = new VectorizeEngine(spark, wh,
+      embeddingProviderOverride = Some(new providers.DeterministicHashProvider(64)))
+    engine.registerSource("content", Fixtures.contentTable(spark, Seq(
+      (1, "pizza", 1L), (2, "pencil", 2L))))
+    engine.createJob(VectorizeJob("rta_job", "content", Seq("content"), "id",
+      Some("updated_at"), Model.parseUnsafe("deterministic/hash-64"),
+      tableMethod = TableMethod.Append))
+
+    val streamDir = s"$inputDir/stream"
+    writeBatch(inputDir, "stream", Seq(
+      (3, "a space shuttle carries astronauts to orbit", 10L),
+      (1, "apples and apple trees", 20L)))
+    val q = Realtime.runAvailableNow(engine, "rta_job",
+      spark.readStream.schema("id INT, content STRING, updated_at TIMESTAMP")
+        .parquet(streamDir), checkpoint)
+    q.awaitTermination(60000)
+
+    engine.registerSource("content", Fixtures.contentTable(spark, Seq(
+      (1, "apples and apple trees", 20L), (2, "pencil", 2L),
+      (3, "a space shuttle carries astronauts to orbit", 10L))))
+    // streamed insert (3) and update (1) must be served from _append_
+    val astro = engine.search("rta_job", "astronauts", limit = 1).collect()
+    assert(astro.head.getAs[Int]("id") == 3)
+    val apples = engine.search("rta_job", "apples", limit = 1).collect()
+    assert(apples.head.getAs[Int]("id") == 1)
+    // and no orphan _embeddings_ table was created for an append job
+    assert(!engine.store.exists("_embeddings_rta_job"))
+  }
+
   test("windowed counts and sessionize run in streaming mode (smoke)") {
     import spark.implicits._
     val events = Seq(

@@ -109,6 +109,15 @@ class TypesSpec extends AnyFunSuite {
     assert(Model.parseUnsafe("all_MiniLM_L12_v2").fullname ==
       "sentence-transformers/all-MiniLM-L12-v2")
   }
+  test("model: apiName strips the namespace except sentence-transformers (types.rs:206-215)") {
+    assert(Model.parseUnsafe("openai/text-embedding-ada-002").apiName ==
+      "text-embedding-ada-002")
+    assert(Model.parseUnsafe("cohere/embed-english-v3.0").apiName ==
+      "embed-english-v3.0")
+    assert(Model.parseUnsafe("ollama/nomic-embed-text").apiName == "nomic-embed-text")
+    assert(Model.parseUnsafe("sentence-transformers/all-MiniLM-L6-v2").apiName ==
+      "sentence-transformers/all-MiniLM-L6-v2")
+  }
   test("model: unknown namespace defaults to sentence-transformers") {
     assert(Model.parseUnsafe("whatever/some-model").source ==
       ModelSource.SentenceTransformers)
