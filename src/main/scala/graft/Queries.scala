@@ -398,10 +398,15 @@ object Queries {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
       .orderBy(col("id_a"), col("id_b"))
 
-  /** SimHash near-dup pairs (no SQL oracle; SimHashSpec covers). */
+  /** SimHash near-dup pairs (no SQL oracle; SimHashSpec proves banded
+    * recall equals brute force). maxHamming=3 is the scale-right
+    * setting: 4 bands × 16 bits keeps per-band bucket cardinality at
+    * 65k, where larger radii force narrower bands (maxHamming+1 of
+    * them) and geometrically fewer, fatter buckets.
+    */
   def dedupSimHash(spark: SparkSession, dir: String): DataFrame =
     Dedup.simHashPairs(t(spark, dir, "documents"), "doc_id", "text",
-        maxHamming = 8)
+        maxHamming = 3)
       .select(col("id_a"), col("id_b"), col("hamming"))
       .orderBy(col("id_a"), col("id_b"))
 
