@@ -425,7 +425,24 @@ object Queries {
       .orderBy(col("cos").desc, col("id").asc)
   }
 
+  // Caches are keyed by (session, dir): a DataFrame/engine is bound
+  // to the SparkSession that built it, and a second session in the
+  // same JVM (e.g. Verify after Bench in one test run) must not
+  // receive objects holding a stopped SparkContext.
+  private def cacheKey(spark: SparkSession, dir: String): String =
+    spark.sparkContext.applicationId + "|" + dir
+
   private val ivfIndexCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Build-once IVF index for a dataset (CREATE INDEX analogue);
+    * shared by annIvfTopK and prepare(). */
+  private def ivfIndex(spark: SparkSession, dir: String): String =
+    ivfIndexCache.computeIfAbsent(cacheKey(spark, dir), { _ =>
+      val p = java.nio.file.Files.createTempDirectory("graft_ivf_").toString
+      Ann.buildIvfIndex(t(spark, dir, "embeddings"), "vec_id", "embedding",
+        p, nCells = 16, iterations = 3)
+      p
+    })
 
   /** ANN: IVF probe top-k over a PERSISTED k-means index. The index
     * build (Lloyd iterations + cell-partitioned write) runs once per
@@ -436,12 +453,7 @@ object Queries {
     */
   def annIvfTopK(spark: SparkSession, dir: String): DataFrame = {
     val qv = queryVec(spark, dir)
-    val path = ivfIndexCache.computeIfAbsent(dir, { _ =>
-      val p = java.nio.file.Files.createTempDirectory("graft_ivf_").toString
-      Ann.buildIvfIndex(t(spark, dir, "embeddings"), "vec_id", "embedding",
-        p, nCells = 16, iterations = 3)
-      p
-    })
+    val path = ivfIndex(spark, dir)
     Ann.probeIvfIndex(spark, path, "vec_id", "embedding", qv, k = 20, nProbe = 8)
       .select(col("id"), round(col("cos"), 4).as("cos"))
       .orderBy(col("cos").desc, col("id").asc)
@@ -617,7 +629,7 @@ object Queries {
 
   /** One warehouse per (session, sf-dir); backfill runs once. */
   private def ephemeralEngine(spark: SparkSession, dir: String): VectorizeEngine =
-    engineCache.computeIfAbsent(dir, { _ =>
+    engineCache.computeIfAbsent(cacheKey(spark, dir), { _ =>
       val wh = java.nio.file.Files.createTempDirectory("graft_wh_").toString
       val engine = new VectorizeEngine(spark, wh,
         embeddingProviderOverride = Some(new graft.providers.DeterministicHashProvider(64)))
@@ -641,12 +653,7 @@ object Queries {
     */
   def prepare(spark: SparkSession, dir: String): Unit = {
     ephemeralEngine(spark, dir)
-    ivfIndexCache.computeIfAbsent(dir, { _ =>
-      val p = java.nio.file.Files.createTempDirectory("graft_ivf_").toString
-      operators.Ann.buildIvfIndex(t(spark, dir, "embeddings"), "vec_id",
-        "embedding", p, nCells = 16, iterations = 3)
-      p
-    })
+    ivfIndex(spark, dir)
     ()
   }
 

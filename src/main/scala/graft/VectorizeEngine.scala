@@ -77,14 +77,28 @@ final class VectorizeEngine(
     * (the reference ALTERs the source table itself,
     * core/src/types.rs:107-115) and projects the bookkeeping columns.
     */
+  private def emptyDf(schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+
+  // Tables can legitimately not exist yet (zero-row backfill leaves
+  // them uncreated): search over such a job returns empty results,
+  // matching the reference (a query over an empty embeddings table),
+  // instead of throwing "no such table".
   private def embeddingsOf(job: VectorizeJob): DataFrame = job.tableMethod match {
     case TableMethod.Append =>
-      store.read(appTable(job.jobName))
+      if (!store.exists(appTable(job.jobName))) emptyDf(Pipeline.embeddingSchema)
+      else store.read(appTable(job.jobName))
         .select(col("pkey"), col("embeddings"),
           col("__emb_updated_at").as("updated_at"))
         .filter(col("embeddings").isNotNull)
-    case _ => store.read(embTable(job.jobName))
+    case _ =>
+      if (!store.exists(embTable(job.jobName))) emptyDf(Pipeline.embeddingSchema)
+      else store.read(embTable(job.jobName))
   }
+
+  private def tokensOf(jobName: String): DataFrame =
+    if (!store.exists(tokTable(jobName))) emptyDf(Pipeline.tokenSchema)
+    else store.read(tokTable(jobName))
 
   /** `vectorize.table(...)` (extension/src/api.rs:80-114 +
     * initialize_job core/src/init.rs:122-269): validate, persist the
@@ -185,10 +199,20 @@ final class VectorizeEngine(
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
         val n = embedded.count()
-        val newBook = book
-          .join(embedded.select("pkey"), Seq("pkey"), "left_anti")
-          .unionByName(embedded.withColumnRenamed("updated_at", "__emb_updated_at"))
-        store.overwrite(aName, withPkey.join(newBook, Seq("pkey"), "left_outer"))
+        if (!store.exists(aName)) {
+          // initial build: the full wide table, including not-yet-
+          // embedded rows with null embeddings (the reference ALTERs
+          // the source table, so every row is present from day one)
+          val newBook = embedded.withColumnRenamed("updated_at", "__emb_updated_at")
+          store.overwrite(aName, withPkey.join(newBook, Seq("pkey"), "left_outer"))
+        } else {
+          // incremental: MERGE only the delta's wide rows — a full
+          // overwrite here would be O(|table|) per refresh, defeating
+          // the bucketed store (the streaming path already merges)
+          val wide = delta.join(
+            embedded.withColumnRenamed("updated_at", "__emb_updated_at"), Seq("pkey"))
+          store.merge(aName, wide, "pkey")
+        }
         val tokens = Pipeline.renderSearchTokens(delta, job.primaryKey, job.srcColumns)
         store.merge(tokTable(job.jobName), tokens, "pkey")
         n
@@ -282,7 +306,7 @@ final class VectorizeEngine(
     val job = jobs(jobName)
     val qv = encode(jobName, query)
     Search.hybridSearch(sources(job.srcTable), embeddingsOf(job),
-      store.read(tokTable(jobName)), job.primaryKey, qv, query, limit,
+      tokensOf(jobName), job.primaryKey, qv, query, limit,
       windowSize, rrfK, semanticWt, ftsWt, filters, returnCols)
   }
 

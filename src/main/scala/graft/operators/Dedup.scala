@@ -48,9 +48,9 @@ object Dedup {
     * Mining of Massive Datasets ch.3).
     *
     * numHashes must be divisible by bands; rowsPerBand =
-    * numHashes/bands. Returns (id_a, id_b, est_jaccard, jaccard)
-    * pairs with jaccard >= threshold, id_a < id_b, deduplicated
-    * across bands.
+    * numHashes/bands. Returns (id_a, id_b, jaccard) pairs with exact
+    * shingle jaccard >= threshold, id_a < id_b, deduplicated across
+    * bands.
     */
   def minHashLshPairs(docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, numHashes: Int = 64, bands: Int = 16,

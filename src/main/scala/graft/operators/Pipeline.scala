@@ -27,6 +27,12 @@ object Pipeline {
     StructField("updated_at", TimestampType)
   ))
 
+  val tokenSchema: StructType = StructType(Seq(
+    StructField("pkey", StringType, nullable = false),
+    StructField("search_tokens", ArrayType(StringType, containsNull = false)),
+    StructField("updated_at", TimestampType)
+  ))
+
   /** S1 — delta scan, join method (core/src/query.rs:556-596): rows
     * lacking embeddings or updated since their embedding. One
     * left_outer join on pkey + null/watermark filter (Catalyst plans
@@ -91,22 +97,30 @@ object Pipeline {
     * order-dependent so we keep the partition's row order.
     * Returns (batch_index_within_partition, record_ids).
     */
-  def createBatches(inputs: Seq[EmbedInput], batchSize: Int): Seq[Seq[EmbedInput]] = {
-    val out = scala.collection.mutable.ArrayBuffer.empty[Seq[EmbedInput]]
-    var cur = scala.collection.mutable.ArrayBuffer.empty[EmbedInput]
-    var curTokens = 0
-    inputs.foreach { in =>
-      if (cur.nonEmpty && curTokens + in.tokenEstimate > batchSize) {
-        out += cur.toSeq
-        cur = scala.collection.mutable.ArrayBuffer.empty[EmbedInput]
-        curTokens = 0
+  def createBatches(inputs: Seq[EmbedInput], batchSize: Int): Seq[Seq[EmbedInput]] =
+    createBatchesIter(inputs.iterator, batchSize).toSeq
+
+  /** Incremental form of [[createBatches]]: consumes the partition
+    * iterator lazily so executor memory holds ONE batch at a time,
+    * not the whole partition (a skewed multi-GB partition of rendered
+    * text would otherwise be buffered strictly before batching).
+    */
+  def createBatchesIter(inputs: Iterator[EmbedInput], batchSize: Int): Iterator[Seq[EmbedInput]] =
+    new Iterator[Seq[EmbedInput]] {
+      private val buf = inputs.buffered
+      override def hasNext: Boolean = buf.hasNext
+      override def next(): Seq[EmbedInput] = {
+        val cur = scala.collection.mutable.ArrayBuffer.empty[EmbedInput]
+        var curTokens = 0
+        while (buf.hasNext &&
+            (cur.isEmpty || curTokens + buf.head.tokenEstimate <= batchSize)) {
+          val in = buf.next()
+          cur += in
+          curTokens += in.tokenEstimate
+        }
+        cur.toSeq
       }
-      cur += in
-      curTokens += in.tokenEstimate
     }
-    if (cur.nonEmpty) out += cur.toSeq
-    out.toSeq
-  }
 
   /** R3 — `vectorize.batch_texts(record_ids, batch_size)`
     * (core/src/query.rs:504-537, pg_extern dup
@@ -132,9 +146,9 @@ object Pipeline {
     val spark = inputs.sparkSession
     val rdd = inputs.select("record_id", "text", "token_estimate").rdd
       .mapPartitions { it =>
-        val rows = it.map(r => EmbedInput(r.getString(0), r.getString(1), r.getInt(2))).toSeq
+        val rows = it.map(r => EmbedInput(r.getString(0), r.getString(1), r.getInt(2)))
         val now = new java.sql.Timestamp(System.currentTimeMillis())
-        createBatches(rows, tokenBudget).iterator.flatMap { batch =>
+        createBatchesIter(rows, tokenBudget).flatMap { batch =>
           val vecs = provider.generateEmbeddings(model, batch.map(_.text))
           require(vecs.size == batch.size, "provider output size mismatch")
           batch.zip(vecs).map { case (in, v) => Row(in.recordId, v.toSeq, now) }

@@ -55,6 +55,10 @@ object Search {
     val qv = lit(queryVec)
     val scored = emb
       .withColumn("similarity_score", cosineSimilarity(col("embeddings"), qv))
+      // null similarity (zero/null vector — cosine undefined) must not
+      // rank: asc ordering is NULLS FIRST in Spark, so without this
+      // filter a zero-vector row would take rank 1 and poison RRF
+      .filter(col("similarity_score").isNotNull)
       .withColumn("distance", lit(1.0) - col("similarity_score"))
       .select(col("pkey"), col("similarity_score"), col("distance"))
       .orderBy(col("distance").asc, col("pkey").asc)
@@ -114,6 +118,7 @@ object Search {
         // full ranking (reference parity): score every row, no cap
         embIn.withColumn("similarity_score",
             cosineSimilarity(col("embeddings"), lit(queryVec)))
+          .filter(col("similarity_score").isNotNull)
           .select(col("pkey"), col("similarity_score"))
       else semanticLeg(embIn, queryVec, windowSize)
     // J1: without post-filters the leg is ≤windowSize rows —

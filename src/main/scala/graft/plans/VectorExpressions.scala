@@ -38,7 +38,13 @@ abstract class VectorBinaryExpression extends BinaryExpression with ImplicitCast
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    // Dimension mismatch is a data error, as in pgvector ("different
+    // vector dimensions") — silently computing over the common prefix
+    // would return a plausible but meaningless score.
+    if (y.numElements() != n)
+      throw new IllegalArgumentException(
+        s"$prettyName: different vector dimensions $n and ${y.numElements()}")
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
@@ -56,7 +62,11 @@ abstract class VectorBinaryExpression extends BinaryExpression with ImplicitCast
       val dot = ctx.freshName("dot"); val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
       val xi = ctx.freshName("xi"); val yi = ctx.freshName("yi")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $n = $a.numElements();
+         |if ($b.numElements() != $n) {
+         |  throw new IllegalArgumentException(
+         |    "$prettyName: different vector dimensions " + $n + " and " + $b.numElements());
+         |}
          |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  double $xi = (double) $a.getFloat($i);

@@ -239,7 +239,14 @@ final class ParquetStore(spark: SparkSession, root: String, nBuckets: Int = 16)
     val written = writtenBuckets(table, v)
     val base = if (flat) Map.empty[Int, Long] else m
     // touched buckets that became empty simply vanish from the map
-    commit(table, v, base -- touched ++ written, nb)
+    val next2 = base -- touched ++ written
+    if (next2.isEmpty) {
+      // every remaining row deleted: an empty table is a nonexistent
+      // table (same invariant as the zero-row first merge) — a
+      // committed empty bucket map would make exists() true while
+      // read() throws
+      drop(table)
+    } else commit(table, v, next2, nb)
   }
 
   def drop(table: String): Unit = {

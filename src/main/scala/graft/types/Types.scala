@@ -58,10 +58,14 @@ object Model {
 
   def parse(input: String): Either[String, Model] = {
     val canonical = legacyAliases.getOrElse(input, input)
-    canonical.split("/").toList match {
+    // split with limit -1 keeps trailing empty segments: "openai/"
+    // must be an error, not a bare sentence-transformers model named
+    // "openai" (String.split's default drops the trailing empty and
+    // would silently misroute the typo)
+    canonical.split("/", -1).toList match {
       case ns :: rest if rest.nonEmpty =>
         val name = rest.mkString("/")
-        if (name.isEmpty) Left(s"invalid model name: $input")
+        if (name.isEmpty || ns.isEmpty) Left(s"invalid model name: $input")
         else Right(Model(ModelSource.parse(ns), s"$ns/$name", name))
       case single :: Nil if single.nonEmpty =>
         // Bare names default to the sentence-transformers namespace.

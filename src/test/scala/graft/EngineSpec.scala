@@ -215,6 +215,40 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("zero-vector rows never rank: null cosine is filtered, not NULLS-FIRST") {
+    import spark.implicits._
+    // pkey 2 carries a zero vector → cosine is null → asc ordering
+    // would put it at rank 1 without the isNotNull filter
+    val emb = Seq(
+      ("1", Array(1.0f, 0.0f)), ("2", Array(0.0f, 0.0f)), ("3", Array(0.0f, 1.0f)))
+      .toDF("pkey", "embeddings")
+    val leg = operators.Search.semanticLeg(emb, Array(1.0f, 0.0f), windowSize = 10)
+      .collect()
+    assert(leg.head.getAs[String]("pkey") == "1")
+    assert(!leg.map(_.getAs[String]("pkey")).contains("2"),
+      "the zero-vector row must not appear in the ranked leg")
+    assert(leg.head.getAs[Int]("semantic_rank") == 1)
+  }
+
+  test("search over a job whose backfill embedded zero rows returns empty") {
+    val engine = newEngine()
+    engine.registerSource("content", Fixtures.contentTable(spark, Seq.empty))
+    engine.createJob(VectorizeJob("emptyjob", "content", Seq("content"), "id",
+      Some("updated_at"), Model.parseUnsafe("deterministic/hash-64")))
+    assert(engine.search("emptyjob", "anything").collect().isEmpty)
+    assert(engine.hybridSearch("emptyjob", "anything").collect().isEmpty)
+  }
+
+  test("cosine over mismatched dimensions errors instead of truncating") {
+    import spark.implicits._
+    val df = Seq((Array(1.0f, 0.0f, 0.0f), Array(1.0f, 0.0f))).toDF("a", "b")
+    val e = intercept[Exception] {
+      df.select(functions.GraftFunctions.cosineSimilarity(col("a"), col("b"))).collect()
+    }
+    assert(e.getMessage.contains("different vector dimensions") ||
+      e.getCause.getMessage.contains("different vector dimensions"))
+  }
+
   test("import embeddings: only missing keys copied (J4 anti-join)") {
     val engine = newEngine()
     engine.registerSource("my_products", Fixtures.myProducts(spark))

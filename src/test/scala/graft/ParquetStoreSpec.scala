@@ -107,6 +107,15 @@ class ParquetStoreSpec extends AnyFunSuite {
     assert(store32.read("t").count() == 119)
   }
 
+  test("deleting every remaining key leaves the table nonexistent, not bricked") {
+    val store = new ParquetStore(spark, TestSpark.tempDir("graft_ps_"))
+    store.merge("t", rows(1 to 5, "v1"), "pkey")
+    store.delete("t", rows(1 to 5, "v1").select("pkey"), "pkey")
+    assert(!store.exists("t"), "empty table == nonexistent table")
+    store.merge("t", rows(1 to 3, "v2"), "pkey")
+    assert(store.read("t").count() == 3)
+  }
+
   test("zero-row first merge leaves the table nonexistent, not bricked") {
     val store = new ParquetStore(spark, TestSpark.tempDir("graft_ps_"))
     store.merge("t", rows(1 to 0, "v1"), "pkey")

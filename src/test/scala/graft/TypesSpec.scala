@@ -109,6 +109,11 @@ class TypesSpec extends AnyFunSuite {
     assert(Model.parseUnsafe("all_MiniLM_L12_v2").fullname ==
       "sentence-transformers/all-MiniLM-L12-v2")
   }
+  test("model: trailing slash or empty namespace is an error, not a bare model") {
+    assert(Model.parse("openai/").isLeft)
+    assert(Model.parse("/x").isLeft)
+    assert(Model.parse("").isLeft)
+  }
   test("model: apiName strips the namespace except sentence-transformers (types.rs:206-215)") {
     assert(Model.parseUnsafe("openai/text-embedding-ada-002").apiName ==
       "text-embedding-ada-002")
