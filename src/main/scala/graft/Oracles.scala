@@ -422,6 +422,27 @@ object Oracles {
          |  round(CAST(n_tokens AS DOUBLE) / sum(n_tokens) OVER (), 6) AS token_share
          |FROM agg ORDER BY source, lang""".stripMargin,
 
+    "decontaminate" ->
+      s"""WITH arr AS (
+         |  SELECT doc_id, $toksSql AS toks FROM documents),
+         |unnested AS (
+         |  SELECT doc_id, unnest(toks) AS tok,
+         |    generate_subscripts(toks, 1) AS i
+         |  FROM arr WHERE len(toks) >= 2),
+         |bigrams AS (
+         |  SELECT DISTINCT a.doc_id, a.tok || ' ' || b.tok AS g
+         |  FROM unnested a JOIN unnested b
+         |    ON a.doc_id = b.doc_id AND b.i = a.i + 1),
+         |bench AS (
+         |  SELECT DISTINCT g FROM bigrams WHERE doc_id % 97 = 0),
+         |hits AS (
+         |  SELECT c.doc_id, COUNT(*) AS n_hits
+         |  FROM bigrams c JOIN bench b ON c.g = b.g
+         |  WHERE c.doc_id % 97 <> 0
+         |  GROUP BY c.doc_id)
+         |SELECT doc_id, n_hits FROM hits WHERE n_hits >= 8
+         |ORDER BY doc_id""".stripMargin,
+
     "text_quality_metrics" ->
       s"""WITH base AS (
          |  SELECT doc_id, text, $toksSql AS toks,

@@ -577,6 +577,21 @@ object Queries {
           sum(col("n_tokens")).over(Window.partitionBy()), 6))
       .orderBy(col("source"), col("lang"))
 
+  /** Benchmark decontamination: corpus docs colliding with a held-out
+    * benchmark slice (doc_id % 97 == 0) on ≥ 8 distinct bigrams — the
+    * n-gram-collision test-set filter every pretraining pipeline runs
+    * before training.
+    */
+  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    Dedup.contaminatedDocs(
+        docs.filter(col("doc_id") % 97 =!= 0),
+        docs.filter(col("doc_id") % 97 === 0),
+        "doc_id", "text", n = 2, minOverlap = 8)
+      .select(col("id").as("doc_id"), col("n_hits"))
+      .orderBy(col("doc_id"))
+  }
+
   /** F2/F4: stemmed tsvector + ranked lexical search (library path
     * with Porter stemming; no SQL oracle — AnalyzerSpec covers).
     */
@@ -699,6 +714,7 @@ object Queries {
     "text_pii_scrub" -> (textPiiScrub _),
     "sample_stratified" -> (sampleStratified _),
     "mix_token_stats" -> (mixTokenStats _),
+    "decontaminate" -> (decontaminate _),
     "f2_tsvector_rank" -> (f2TsvectorRank _),
     "f6_chunk_table" -> (f6ChunkTable _),
     "vz_semantic_search" -> (vzSemanticSearch _),

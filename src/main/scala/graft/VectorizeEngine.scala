@@ -64,8 +64,21 @@ final class VectorizeEngine(
     df.createOrReplaceTempView(name)
   }
 
+  /** Provider for a job: job params `api_key` / `base_url` override
+    * environment defaults, with `${VAR}` interpolation applied first
+    * (F11, core/src/transformers/generic.rs:14-40 — the reference
+    * interpolates provider config at use time so catalogs never store
+    * raw secrets).
+    */
   def provider(job: VectorizeJob): EmbeddingProvider =
-    embeddingProviderOverride.getOrElse(Providers.forModel(job.model))
+    embeddingProviderOverride.getOrElse {
+      def param(k: String): Option[String] = job.params.get(k).map { raw =>
+        EnvInterpolation.interpolate(raw).fold(
+          err => throw new IllegalArgumentException(err), identity)
+      }
+      Providers.forModel(job.model,
+        baseUrl = param("base_url"), apiKey = param("api_key"))
+    }
 
   private def embTable(job: String) = s"_embeddings_$job"
   private def tokTable(job: String) = s"_search_tokens_$job"

@@ -247,6 +247,27 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Benchmark decontamination: documents sharing at least
+    * `minOverlap` distinct n-grams with a benchmark corpus (the
+    * GPT-3/PaLM-style n-gram-collision test-set filter). The
+    * benchmark's gram set is usually tiny next to the corpus —
+    * Catalyst broadcasts it under AQE — and the corpus side is one
+    * gram-keyed shuffle + per-doc count, so cost is O(corpus grams)
+    * regardless of benchmark size.
+    *
+    * Returns (id, n_hits) for contaminated docs only.
+    */
+  def contaminatedDocs(docs: DataFrame, benchmark: DataFrame, idCol: String,
+      textCol: String, n: Int = 2, minOverlap: Int = 5): DataFrame = {
+    val docGrams = docs.select(col(idCol).as("id"),
+      explode(ngramSet(col(textCol), n)).as("g"))
+    val benchGrams = benchmark
+      .select(explode(ngramSet(col(textCol), n)).as("g")).distinct()
+    docGrams.join(benchGrams, Seq("g"), "left_semi")
+      .groupBy(col("id")).agg(count(lit(1)).as("n_hits"))
+      .filter(col("n_hits") >= minOverlap)
+  }
+
   /** Embedding-cosine near-dup pairs within a blocking column. The
     * block key must be high-cardinality (an LSH band key or IVF
     * cell) — this is the in-bucket exact verifier, not a standalone

@@ -249,6 +249,18 @@ class EngineSpec extends AnyFunSuite {
       e.getCause.getMessage.contains("different vector dimensions"))
   }
 
+  test("provider config: job params api_key/base_url, ${VAR} interpolation (F11)") {
+    val engine = new VectorizeEngine(spark, TestSpark.tempDir("graft_eng_"))
+    val job = productsJob().copy(
+      model = Model.parseUnsafe("openai/text-embedding-3-small"),
+      params = Map("base_url" -> "http://h/v1", "api_key" -> "k-${PATH}"))
+    // PATH always resolves; construction must succeed with params applied
+    assert(engine.provider(job).isInstanceOf[providers.OpenAICompatProvider])
+    val bad = job.copy(params = Map("api_key" -> "${GRAFT_NO_SUCH_VAR_123}"))
+    val e = intercept[IllegalArgumentException](engine.provider(bad))
+    assert(e.getMessage.contains("GRAFT_NO_SUCH_VAR_123"))
+  }
+
   test("import embeddings: only missing keys copied (J4 anti-join)") {
     val engine = newEngine()
     engine.registerSource("my_products", Fixtures.myProducts(spark))
