@@ -288,11 +288,16 @@ final class VectorizeEngine(
   def search(jobName: String, query: String, limit: Int = 10,
       filters: Map[String, FilterValue] = Map.empty,
       returnCols: Seq[String] = Seq("*"),
-      preFilter: Boolean = false): DataFrame = {
+      preFilter: Boolean = false,
+      whereSql: Option[String] = None): DataFrame = {
     val job = jobs(jobName)
     val qv = encode(jobName, query)
+    // P5 — raw where_sql predicate: applied post-join over the full
+    // ranking like the typed filters (reference placement,
+    // core/src/query.rs:669-700 WHERE on the joined result).
+    // Caller-supplied SQL, same trust model as the reference.
     Search.semanticSearch(sources(job.srcTable), embeddingsOf(job),
-      job.primaryKey, qv, limit, filters, returnCols, preFilter)
+      job.primaryKey, qv, limit, filters, returnCols, preFilter, whereSql)
   }
 
   /** P8 — JSON row encoding: the reference returns `SETOF jsonb` from

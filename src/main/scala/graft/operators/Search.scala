@@ -104,15 +104,20 @@ object Search {
       queryVec: Array[Float], limit: Int = 10,
       filters: Map[String, FilterValue] = Map.empty,
       returnCols: Seq[String] = Seq("*"),
-      preFilter: Boolean = false): DataFrame = {
+      preFilter: Boolean = false,
+      whereSql: Option[String] = None): DataFrame = {
     val windowSize = limit * 5
+    val hasPredicates = filters.nonEmpty || whereSql.nonEmpty
+    def applyAll(df: DataFrame): DataFrame =
+      whereSql.fold(applyFilters(df, filters))(w =>
+        applyFilters(df, filters).filter(expr(w)))
     val source =
-      if (preFilter && filters.nonEmpty) applyFilters(src, filters) else src
+      if (preFilter && hasPredicates) applyAll(src) else src
     val embIn =
-      if (preFilter && filters.nonEmpty)
+      if (preFilter && hasPredicates)
         emb.join(source.select(col(pk).cast("string").as("pkey")), Seq("pkey"), "left_semi")
       else emb
-    val postFiltering = filters.nonEmpty && !preFilter
+    val postFiltering = hasPredicates && !preFilter
     val leg =
       if (postFiltering)
         // full ranking (reference parity): score every row, no cap
@@ -126,7 +131,7 @@ object Search {
     val legJ = if (postFiltering) leg else broadcast(leg)
     val joined = source.join(legJ, source(pk).cast("string") === legJ("pkey"), "inner")
     val filtered =
-      if (postFiltering) applyFilters(joined, filters) else joined
+      if (postFiltering) applyAll(joined) else joined
     val projected = filtered.select(
       projectCols(src, returnCols) ++ Seq(
         legJ("similarity_score").as("similarity_score"),

@@ -249,6 +249,19 @@ class EngineSpec extends AnyFunSuite {
       e.getCause.getMessage.contains("different vector dimensions"))
   }
 
+  test("where_sql: raw predicate filters post-ranking like typed filters (P5)") {
+    val engine = newEngine()
+    engine.registerSource("my_products", Fixtures.myProducts(spark))
+    engine.createJob(productsJob())
+    val got = engine.search("products", "electronics", limit = 5,
+      whereSql = Some("price >= 25 AND product_category = 'electronics'")).collect()
+    assert(got.nonEmpty)
+    assert(got.forall { r =>
+      r.getAs[Double]("price") >= 25 &&
+        r.getAs[String]("product_category") == "electronics"
+    })
+  }
+
   test("provider config: job params api_key/base_url, ${VAR} interpolation (F11)") {
     val engine = new VectorizeEngine(spark, TestSpark.tempDir("graft_eng_"))
     val job = productsJob().copy(
