@@ -1,0 +1,119 @@
+package graft
+
+import graft.functions.{GraftFunctions, TextAnalyzer}
+import graft.operators.{Dedup, Pipeline}
+import graft.types.EmbedInput
+import org.scalacheck.Prop.forAll
+import org.scalacheck.{Gen, Prop}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property-based invariants for the pure-Scala kernels every
+  * distributed operator is built on. These run no Spark — they pin
+  * the per-row semantics that the oracle checks then verify at the
+  * DataFrame level.
+  */
+class PropertySpec extends AnyFunSuite {
+
+  /** Run a ScalaCheck property under ScalaTest (no scalatestplus
+    * bridge in the offline dependency set).
+    */
+  private def check(prop: Prop): Unit = {
+    val result = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(200), prop)
+    assert(result.passed, result.status.toString)
+  }
+
+  private val word = Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString)
+  private val text = Gen.listOf(word).map(_.mkString(" "))
+
+  test("createBatches: concatenation preserves input order exactly") {
+    val inputs = Gen.listOf(Gen.chooseNum(1, 50).map(t =>
+      EmbedInput(t.toString, s"text$t", t)))
+    check(forAll(inputs, Gen.chooseNum(1, 100)) { (ins, budget) =>
+      Pipeline.createBatches(ins, budget).flatten == ins
+    })
+  }
+
+  test("createBatches: no batch except a single oversized input exceeds the budget") {
+    val inputs = Gen.listOf(Gen.chooseNum(1, 50).map(t =>
+      EmbedInput(t.toString, s"text$t", t)))
+    check(forAll(inputs, Gen.chooseNum(10, 100)) { (ins, budget) =>
+      Pipeline.createBatches(ins, budget).forall { b =>
+        b.map(_.tokenEstimate).sum <= budget || b.size == 1
+      }
+    })
+  }
+
+  test("createBatches: iterator and strict forms agree") {
+    val inputs = Gen.listOf(Gen.chooseNum(1, 50).map(t =>
+      EmbedInput(t.toString, s"text$t", t)))
+    check(forAll(inputs, Gen.chooseNum(1, 100)) { (ins, budget) =>
+      Pipeline.createBatchesIter(ins.iterator, budget).toSeq ==
+        Pipeline.createBatches(ins, budget)
+    })
+  }
+
+  test("ngramSet: distinct, first-occurrence order, correct shape") {
+    check(forAll(text, Gen.chooseNum(1, 4)) { (t, n) =>
+      val grams = Dedup.ngramSetScala(t, n)
+      val toks = TextAnalyzer.tokenize(t)
+      val naive =
+        if (toks.size < n) Seq.empty
+        else toks.sliding(n).map(_.mkString(" ")).toSeq.distinct
+      grams == naive
+    })
+  }
+
+  test("chunkText: every chunk fits maxChars; no character lost or reordered") {
+    val sentenceText = Gen.listOf(word).map(_.mkString(" "))
+    check(forAll(sentenceText, Gen.chooseNum(5, 60)) { (t, maxChars) =>
+      val chunks = GraftFunctions.chunkTextScala(t, maxChars)
+      val fits = chunks.forall(_.length <= maxChars)
+      // compare at the character level: oversized words are hard-split
+      // across chunks by design, so token identity is not preserved,
+      // but the character stream (modulo whitespace) always is
+      val charsPreserved =
+        chunks.mkString.replaceAll("\\s", "") == t.replaceAll("\\s", "")
+      fits && charsPreserved
+    })
+  }
+
+  test("simHash: bag semantics — token order never changes the signature") {
+    val tokens = Gen.nonEmptyListOf(word)
+    check(forAll(tokens, Gen.long) { (toks, seed) =>
+      val shuffled = new scala.util.Random(seed).shuffle(toks)
+      GraftFunctions.simHashScala(toks) == GraftFunctions.simHashScala(shuffled)
+    })
+  }
+
+  test("minHash: deterministic, k-length, and equal sets hash equally") {
+    val shingles = Gen.listOf(word).map(_.distinct)
+    check(forAll(shingles, Gen.chooseNum(4, 64)) { (sh, k) =>
+      val a = GraftFunctions.minHashScala(sh, k, 42L)
+      val b = GraftFunctions.minHashScala(scala.util.Random.shuffle(sh), k, 42L)
+      a.length == k && a.sameElements(b)
+    })
+  }
+
+  test("minHash: signature agreement tracks set overlap direction") {
+    // a superset shares at least as many signature slots with the
+    // base as a disjoint set does (sanity, not a statistical bound)
+    val base = (1 to 30).map(i => s"s$i")
+    val overlap = base ++ Seq("x1", "x2")
+    val disjoint = (1 to 30).map(i => s"t$i")
+    val sigB = GraftFunctions.minHashScala(base, 64, 42L)
+    val sigO = GraftFunctions.minHashScala(overlap, 64, 42L)
+    val sigD = GraftFunctions.minHashScala(disjoint, 64, 42L)
+    def agree(a: Array[Long], b: Array[Long]) = a.zip(b).count { case (x, y) => x == y }
+    assert(agree(sigB, sigO) > agree(sigB, sigD))
+  }
+
+  test("fingerprint: whitespace/case noise invariant, content sensitive") {
+    check(forAll(text) { t =>
+      GraftFunctions.fingerprintScala(t) ==
+        GraftFunctions.fingerprintScala("  " + t.toUpperCase.replace(" ", "   ") + " ")
+    })
+    assert(GraftFunctions.fingerprintScala("a b c") !=
+      GraftFunctions.fingerprintScala("a c b"), "order-sensitive by design")
+  }
+}
