@@ -130,4 +130,27 @@ class RealtimeSpec extends AnyFunSuite {
     val sessions = Realtime.sessionize(events, "ts", "user_id")
     assert(sessions.count() == 2)
   }
+
+  test("streaming windowed counts equal the batch result (one code path)") {
+    import spark.implicits._
+    val events = (0 until 200).map { i =>
+      (i % 7, Fixtures.ts(i * 137L % 7200), (i % 11).toDouble)
+    }.toDF("user_id", "ts", "value")
+    val dir = TestSpark.tempDir("graft_wec_")
+    events.coalesce(2).write.mode("overwrite").parquet(s"$dir/events")
+    val stream = spark.readStream
+      .schema("user_id INT, ts TIMESTAMP, value DOUBLE")
+      .parquet(s"$dir/events")
+    val q = Realtime.windowedEventCounts(stream, "ts", "user_id", "30 minutes")
+      .writeStream.format("memory").queryName("wec_eq")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+    val got = canon(spark.table("wec_eq"))
+    val want = canon(Realtime.windowedEventCounts(events, "ts", "user_id", "30 minutes"))
+    assert(got == want, "streaming and batch runs of the same plan must agree")
+  }
 }
