@@ -22,6 +22,22 @@ object Oracles {
   private val toksSql =
     "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')"
 
+  /** Shared CTE prefix producing per-document distinct bigrams —
+    * mirror of Dedup.ngramSet(n=2); used by the n-gram Jaccard and
+    * decontamination oracles.
+    */
+  private val bigramsCte =
+    s"""WITH arr AS (
+       |  SELECT doc_id, $toksSql AS toks FROM documents),
+       |unnested AS (
+       |  SELECT doc_id, unnest(toks) AS tok,
+       |    generate_subscripts(toks, 1) AS i
+       |  FROM arr WHERE len(toks) >= 2),
+       |bigrams AS (
+       |  SELECT DISTINCT a.doc_id, a.tok || ' ' || b.tok AS g
+       |  FROM unnested a JOIN unnested b
+       |    ON a.doc_id = b.doc_id AND b.i = a.i + 1)""".stripMargin
+
   /** DuckDB mirror of Dedup.embeddingLshBandedPairs: band keys from
     * the same seeded hyperplanes (floats rendered as their exact
     * double values — Scala Double.toString round-trips), candidate
@@ -265,16 +281,7 @@ object Oracles {
     // document frequency in [2, 20]; exact Jaccard verified on the
     // full bigram sets.
     "dedup_ngram_jaccard" ->
-      s"""WITH arr AS (
-         |  SELECT doc_id, $toksSql AS toks FROM documents),
-         |unnested AS (
-         |  SELECT doc_id, unnest(toks) AS tok,
-         |    generate_subscripts(toks, 1) AS i
-         |  FROM arr WHERE len(toks) >= 2),
-         |bigrams AS (
-         |  SELECT DISTINCT a.doc_id, a.tok || ' ' || b.tok AS g
-         |  FROM unnested a JOIN unnested b
-         |    ON a.doc_id = b.doc_id AND b.i = a.i + 1),
+      s"""$bigramsCte,
          |gsets AS (
          |  SELECT doc_id, COUNT(*) AS n FROM bigrams GROUP BY 1),
          |rare AS (
@@ -423,16 +430,7 @@ object Oracles {
          |FROM agg ORDER BY source, lang""".stripMargin,
 
     "decontaminate" ->
-      s"""WITH arr AS (
-         |  SELECT doc_id, $toksSql AS toks FROM documents),
-         |unnested AS (
-         |  SELECT doc_id, unnest(toks) AS tok,
-         |    generate_subscripts(toks, 1) AS i
-         |  FROM arr WHERE len(toks) >= 2),
-         |bigrams AS (
-         |  SELECT DISTINCT a.doc_id, a.tok || ' ' || b.tok AS g
-         |  FROM unnested a JOIN unnested b
-         |    ON a.doc_id = b.doc_id AND b.i = a.i + 1),
+      s"""$bigramsCte,
          |bench AS (
          |  SELECT DISTINCT g FROM bigrams WHERE doc_id % 97 = 0),
          |hits AS (

@@ -90,28 +90,23 @@ final class VectorizeEngine(
     * (the reference ALTERs the source table itself,
     * core/src/types.rs:107-115) and projects the bookkeeping columns.
     */
-  private def emptyDf(schema: org.apache.spark.sql.types.StructType): DataFrame =
-    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-
   // Tables can legitimately not exist yet (zero-row backfill leaves
   // them uncreated): search over such a job returns empty results,
   // matching the reference (a query over an empty embeddings table),
   // instead of throwing "no such table".
   private def embeddingsOf(job: VectorizeJob): DataFrame = job.tableMethod match {
     case TableMethod.Append =>
-      if (!store.exists(appTable(job.jobName))) emptyDf(Pipeline.embeddingSchema)
+      if (!store.exists(appTable(job.jobName)))
+        store.readOrEmpty(appTable(job.jobName), Pipeline.embeddingSchema)
       else store.read(appTable(job.jobName))
         .select(col("pkey"), col("embeddings"),
           col("__emb_updated_at").as("updated_at"))
         .filter(col("embeddings").isNotNull)
-    case _ =>
-      if (!store.exists(embTable(job.jobName))) emptyDf(Pipeline.embeddingSchema)
-      else store.read(embTable(job.jobName))
+    case _ => store.readOrEmpty(embTable(job.jobName), Pipeline.embeddingSchema)
   }
 
   private def tokensOf(jobName: String): DataFrame =
-    if (!store.exists(tokTable(jobName))) emptyDf(Pipeline.tokenSchema)
-    else store.read(tokTable(jobName))
+    store.readOrEmpty(tokTable(jobName), Pipeline.tokenSchema)
 
   /** `vectorize.table(...)` (extension/src/api.rs:80-114 +
     * initialize_job core/src/init.rs:122-269): validate, persist the

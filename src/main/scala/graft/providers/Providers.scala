@@ -451,16 +451,9 @@ final class PortkeyProvider(
     generateEmbeddings(model, Seq("hello world")).head.length
 
   def chatRequestBody(model: String, sysPrompt: String, userPrompt: String): String =
-    s"""{"model":${Json.str(model.split('/').last)},"messages":[""" +
-      s"""{"role":"system","content":${Json.str(sysPrompt)}},""" +
-      s"""{"role":"user","content":${Json.str(userPrompt)}}]}"""
+    OpenAIChatCodec.requestBody(model, sysPrompt, userPrompt)
 
-  def parseChatResponse(body: String): String = {
-    val msgAt = body.indexOf("\"message\"")
-    val tail = if (msgAt >= 0) body.substring(msgAt) else body
-    Json.extractString(tail, "content")
-      .getOrElse(throw new RuntimeException("portkey chat response missing content"))
-  }
+  def parseChatResponse(body: String): String = OpenAIChatCodec.parseResponse(body)
 
   override def generateResponse(model: String, sysPrompt: String, userPrompt: String): String =
     parseChatResponse(Http.postJson(s"$baseUrl/chat/completions",
@@ -471,17 +464,11 @@ object PortkeyProvider {
   val defaultBaseUrl = "https://api.portkey.ai/v1"
 }
 
-/** OpenAI-compatible chat-completions provider for `rag`/`generate`
-  * (core/src/transformers/providers/openai.rs chat path):
-  * `POST {base}/chat/completions` with system+user messages →
-  * `choices[0].message.content`.
+/** OpenAI chat-completions wire shape, shared by the OpenAI-compat
+  * and Portkey chat paths (system+user messages →
+  * `choices[0].message.content`).
   */
-final class OpenAIChatProvider(
-    baseUrl: String,
-    apiKey: Option[String] = None,
-    timeoutSec: Int = 120
-) extends ChatProvider {
-
+private[providers] object OpenAIChatCodec {
   def requestBody(model: String, sysPrompt: String, userPrompt: String): String =
     s"""{"model":${Json.str(model.split('/').last)},"messages":[""" +
       s"""{"role":"system","content":${Json.str(sysPrompt)}},""" +
@@ -493,6 +480,21 @@ final class OpenAIChatProvider(
     Json.extractString(tail, "content")
       .getOrElse(throw new RuntimeException("chat response missing message content"))
   }
+}
+
+/** OpenAI-compatible chat-completions provider for `rag`/`generate`
+  * (core/src/transformers/providers/openai.rs chat path).
+  */
+final class OpenAIChatProvider(
+    baseUrl: String,
+    apiKey: Option[String] = None,
+    timeoutSec: Int = 120
+) extends ChatProvider {
+
+  def requestBody(model: String, sysPrompt: String, userPrompt: String): String =
+    OpenAIChatCodec.requestBody(model, sysPrompt, userPrompt)
+
+  def parseResponse(body: String): String = OpenAIChatCodec.parseResponse(body)
 
   override def generateResponse(model: String, sysPrompt: String, userPrompt: String): String =
     parseResponse(Http.postJson(s"$baseUrl/chat/completions",

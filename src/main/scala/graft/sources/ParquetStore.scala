@@ -106,10 +106,13 @@ final class ParquetStore(spark: SparkSession, root: String, nBuckets: Int = 16)
     spark.read.option("recursiveFileLookup", "true").parquet(paths: _*)
   }
 
-  def readOrEmpty(table: String, like: DataFrame): DataFrame =
+  /** read(), or an empty frame of `schema` when the table does not
+    * exist (zero-row backfills deliberately leave tables uncreated).
+    */
+  def readOrEmpty(table: String, schema: org.apache.spark.sql.types.StructType): DataFrame =
     if (exists(table)) read(table)
     else spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], like.schema)
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
 
   /** Atomic pointer write: tmp file + overwriting rename — the
     * pointer is NEVER absent once created; a crash or concurrent
