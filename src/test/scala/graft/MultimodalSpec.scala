@@ -1,0 +1,81 @@
+package graft
+
+import graft.operators.Multimodal
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Multimodal plumbing contracts: the decode/resize/frame steps are
+  * declared deterministic fakes (no media libs in the container), but
+  * the schemas, batch shapes, partition behavior, and output
+  * contracts they exercise are the real interface a JNI/Arrow decoder
+  * plugs into — so those are what this spec pins.
+  */
+class MultimodalSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  private def docs = {
+    import spark.implicits._
+    (0L until 30L).map(i => (i, s"document number $i with some text body " * (i.toInt % 3 + 1)))
+      .toDF("doc_id", "text")
+  }
+
+  test("syntheticAssets: schema matches assetSchema; media type cycles deterministically") {
+    val assets = Multimodal.syntheticAssets(docs, "doc_id", "text")
+    assert(assets.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      Multimodal.assetSchema.fields.map(f => (f.name, f.dataType)).toSeq)
+    val types = assets.select("asset_id", "media_type").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(types(0L) == "image" && types(1L) == "audio" && types(2L) == "video")
+    assert(types(3L) == "image", "media type cycles with id % 3")
+  }
+
+  test("describeAssets: byte length and hash computed without decoding") {
+    val desc = Multimodal.describeAssets(
+      Multimodal.syntheticAssets(docs, "doc_id", "text")).collect()
+    assert(desc.length == 30)
+    desc.foreach { r =>
+      assert(r.getAs[Int]("n_bytes") > 0)
+      assert(r.getAs[Int]("width") >= 16 && r.getAs[Int]("height") >= 16)
+    }
+  }
+
+  test("decodeFeaturesStub: fixed-dim vectors, deterministic across runs and partitioning") {
+    val assets = Multimodal.syntheticAssets(docs, "doc_id", "text")
+    val a = Multimodal.decodeFeaturesStub(assets, dim = 16)
+      .select("asset_id", "features").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val b = Multimodal.decodeFeaturesStub(assets.repartition(7), dim = 16)
+      .select("asset_id", "features").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(a.values.forall(_.length == 16))
+    assert(a == b, "features must not depend on partitioning")
+    assert(a(0L) != a(1L), "distinct content yields distinct features")
+  }
+
+  test("resizeStub: aspect-ratio-preserving clamp to maxSide, bytes re-encoded") {
+    val resized = Multimodal.resizeStub(
+      Multimodal.syntheticAssets(docs, "doc_id", "text"), maxSide = 64).collect()
+    resized.foreach { r =>
+      assert(r.getAs[Int]("width") <= 64 && r.getAs[Int]("height") <= 64)
+      assert(r.getAs[Array[Byte]]("content").length <= 4096)
+    }
+  }
+
+  test("sampleFramesStub: only video rows, evenly spaced frame timestamps") {
+    val assets = Multimodal.syntheticAssets(docs, "doc_id", "text")
+    val frames = Multimodal.sampleFramesStub(assets, everyMs = 500L)
+    val byAsset = frames.groupBy("asset_id")
+      .agg(count(lit(1)).as("n"), max("frame_ts_ms").as("maxTs")).collect()
+    val videoIds = assets.filter(col("media_type") === "video")
+      .select("asset_id", "duration_ms").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byAsset.map(_.getLong(0)).toSet == videoIds.keySet,
+      "exactly the video assets produce frames")
+    byAsset.foreach { r =>
+      val dur = videoIds(r.getLong(0))
+      assert(r.getLong(1) == dur / 500L + 1, "evenly spaced every 500ms incl. t=0")
+      assert(r.getAs[Long]("maxTs") <= dur)
+    }
+  }
+}
