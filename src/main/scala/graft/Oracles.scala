@@ -18,9 +18,9 @@ object Oracles {
     s"list_cosine_similarity(CAST($tbl.embedding AS DOUBLE[]), " +
       "(SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0))"
 
-  /** DuckDB mirror of Queries.sqlTokens. */
+  /** DuckDB mirror of Queries.sqlTokens (incl. its null-coalesce). */
   private val toksSql =
-    "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+    "list_filter(regexp_split_to_array(lower(coalesce(text, '')), '[^a-z0-9]+'), x -> x <> '')"
 
   /** Shared CTE prefix producing per-document distinct bigrams —
     * mirror of Dedup.ngramSet(n=2); used by the n-gram Jaccard and
@@ -240,12 +240,14 @@ object Oracles {
         |SELECT doc_id,
         |  CASE WHEN len(toks) > 20 THEN array_to_string(list_slice(toks, 1, 20), ' ')
         |       ELSE text END AS trimmed,
-        |  CASE WHEN len(toks) > 20 THEN 20 ELSE len(toks) END AS n_tokens
+        |  CASE WHEN text IS NULL OR text = '' THEN 0
+        |       WHEN len(toks) > 20 THEN 20 ELSE len(toks) END AS n_tokens
         |FROM arr ORDER BY doc_id""".stripMargin,
 
     "r_windowed_counts" ->
       """SELECT CAST(floor(epoch_ms(ts) / 3600000) AS BIGINT) AS hour,
-        |  event_type, COUNT(*) AS n, round(SUM(value), 2) AS total_value
+        |  event_type, COUNT(*) AS n,
+        |  round(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 2) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
 
     "r_sessionize" ->
@@ -263,7 +265,7 @@ object Oracles {
         |  FROM flagged)
         |SELECT user_id, sess_id, COUNT(*) AS n_events,
         |  MIN(ts_ms) AS start_ms, MAX(ts_ms) AS end_ms,
-        |  round(SUM(value), 2) AS total_value
+        |  round(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 2) AS total_value
         |FROM sess GROUP BY user_id, sess_id ORDER BY user_id, sess_id""".stripMargin,
 
     "dedup_exact" ->
@@ -285,7 +287,7 @@ object Oracles {
          |gsets AS (
          |  SELECT doc_id, COUNT(*) AS n FROM bigrams GROUP BY 1),
          |rare AS (
-         |  SELECT g FROM bigrams GROUP BY g HAVING COUNT(*) BETWEEN 2 AND 20),
+         |  SELECT g FROM bigrams GROUP BY g HAVING COUNT(*) BETWEEN 2 AND ${Queries.ngramMaxDf}),
          |cand AS (
          |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
          |  FROM bigrams x
@@ -302,7 +304,7 @@ object Oracles {
          |FROM inter i
          |JOIN gsets ga ON ga.doc_id = i.id_a
          |JOIN gsets gb ON gb.doc_id = i.id_b
-         |WHERE CAST(i.ni AS DOUBLE) / (ga.n + gb.n - i.ni) >= 0.12
+         |WHERE CAST(i.ni AS DOUBLE) / (ga.n + gb.n - i.ni) >= ${Queries.ngramThreshold}
          |ORDER BY id_a, id_b""".stripMargin,
 
     // Sign-LSH banded blocking (mirrors Dedup.embeddingLshBandedPairs,
@@ -402,21 +404,20 @@ object Oracles {
     },
 
     "text_pii_scrub" ->
-      """SELECT doc_id,
-        |  len(regexp_extract_all(coalesce(text, ''),
-        |    '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS n_emails,
-        |  len(regexp_extract_all(coalesce(text, ''),
-        |    '\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}')) AS n_phones,
-        |  md5(regexp_replace(regexp_replace(coalesce(text, ''),
-        |    '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '[EMAIL]', 'g'),
-        |    '\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}', '[PHONE]', 'g')) AS scrubbed_md5
-        |FROM documents ORDER BY doc_id""".stripMargin,
+      s"""SELECT doc_id,
+         |  len(regexp_extract_all(coalesce(text, ''), '${Queries.emailRe}')) AS n_emails,
+         |  len(regexp_extract_all(coalesce(text, ''), '${Queries.phoneRe}')) AS n_phones,
+         |  md5(regexp_replace(regexp_replace(coalesce(text, ''),
+         |    '${Queries.emailRe}', '[EMAIL]', 'g'),
+         |    '${Queries.phoneRe}', '[PHONE]', 'g')) AS scrubbed_md5
+         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "sample_stratified" ->
-      """SELECT doc_id, lang FROM documents
-        |WHERE substr(md5(CAST(doc_id AS VARCHAR) || ':mix1'), 1, 4)
-        |  < (CASE WHEN lang = 'en' THEN '8000' ELSE '4000' END)
-        |ORDER BY doc_id""".stripMargin,
+      s"""SELECT doc_id, lang FROM documents
+         |WHERE substr(md5(CAST(doc_id AS VARCHAR) || '${Queries.sampleSalt}'), 1, 4)
+         |  < (CASE WHEN lang = 'en' THEN '${Queries.sampleThreshEn}'
+         |          ELSE '${Queries.sampleThreshOther}' END)
+         |ORDER BY doc_id""".stripMargin,
 
     "mix_token_stats" ->
       s"""WITH per_doc AS (
@@ -432,13 +433,13 @@ object Oracles {
     "decontaminate" ->
       s"""$bigramsCte,
          |bench AS (
-         |  SELECT DISTINCT g FROM bigrams WHERE doc_id % 97 = 0),
+         |  SELECT DISTINCT g FROM bigrams WHERE doc_id % ${Queries.decontamMod} = 0),
          |hits AS (
          |  SELECT c.doc_id, COUNT(*) AS n_hits
          |  FROM bigrams c JOIN bench b ON c.g = b.g
-         |  WHERE c.doc_id % 97 <> 0
+         |  WHERE c.doc_id % ${Queries.decontamMod} <> 0
          |  GROUP BY c.doc_id)
-         |SELECT doc_id, n_hits FROM hits WHERE n_hits >= 8
+         |SELECT doc_id, n_hits FROM hits WHERE n_hits >= ${Queries.decontamMinOverlap}
          |ORDER BY doc_id""".stripMargin,
 
     "text_quality_metrics" ->

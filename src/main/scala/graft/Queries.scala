@@ -335,7 +335,9 @@ object Queries {
     t(spark, dir, "events")
       .withColumn("hour", expr("ts div 3600000000000"))
       .groupBy(col("hour"), col("event_type"))
-      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+      .agg(count(lit(1)).as("n"),
+        // decimal-cast sum: summation-order-proof (same strategy as a2)
+        round(sum(col("value").cast("decimal(18,4)")).cast("double"), 2).as("total_value"))
       .orderBy(col("hour"), col("event_type"))
 
   /** Sessionization (gaps-and-islands, 30-min gap): lag + running sum
@@ -354,7 +356,7 @@ object Queries {
       .groupBy(col("user_id"), col("sess_id"))
       .agg(count(lit(1)).as("n_events"), min(col("ts_ms")).as("start_ms"),
         max(col("ts_ms")).as("end_ms"),
-        round(sum(col("value")), 2).as("total_value"))
+        round(sum(col("value").cast("decimal(18,4)")).cast("double"), 2).as("total_value"))
       .orderBy(col("user_id"), col("sess_id"))
   }
 
@@ -375,7 +377,7 @@ object Queries {
     */
   def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame =
     Dedup.rareGramJaccardPairs(t(spark, dir, "documents"), "doc_id", "text",
-        n = 2, threshold = 0.12, maxDf = 20)
+        n = 2, threshold = ngramThreshold, maxDf = ngramMaxDf)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
       .orderBy(col("id_a"), col("id_b"))
 
@@ -530,8 +532,17 @@ object Queries {
     * masks. Pure built-ins — per-row map, no shuffle except the final
     * presentation sort.
     */
-  private val emailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
-  private val phoneRe = "\\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}"
+  // Shared with the DuckDB oracles (Oracles interpolates these same
+  // constants into its SQL so the two sides can never drift).
+  private[graft] val emailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  private[graft] val phoneRe = "\\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}"
+  private[graft] val ngramMaxDf = 20
+  private[graft] val ngramThreshold = 0.12
+  private[graft] val decontamMod = 97
+  private[graft] val decontamMinOverlap = 8
+  private[graft] val sampleSalt = ":mix1"
+  private[graft] val sampleThreshEn = "8000"
+  private[graft] val sampleThreshOther = "4000"
 
   def textPiiScrub(spark: SparkSession, dir: String): DataFrame = {
     val txt = coalesce(col("text"), lit(""))
@@ -553,8 +564,8 @@ object Queries {
     * shape for downsampling a source during mixture construction.
     */
   def sampleStratified(spark: SparkSession, dir: String): DataFrame = {
-    val bucket = substring(md5(concat(col("doc_id").cast("string"), lit(":mix1"))), 1, 4)
-    val threshold = when(col("lang") === "en", lit("8000")).otherwise(lit("4000"))
+    val bucket = substring(md5(concat(col("doc_id").cast("string"), lit(sampleSalt))), 1, 4)
+    val threshold = when(col("lang") === "en", lit(sampleThreshEn)).otherwise(lit(sampleThreshOther))
     t(spark, dir, "documents")
       .filter(bucket < threshold)
       .select(col("doc_id"), col("lang"))
@@ -585,9 +596,9 @@ object Queries {
   def decontaminate(spark: SparkSession, dir: String): DataFrame = {
     val docs = t(spark, dir, "documents")
     Dedup.contaminatedDocs(
-        docs.filter(col("doc_id") % 97 =!= 0),
-        docs.filter(col("doc_id") % 97 === 0),
-        "doc_id", "text", n = 2, minOverlap = 8)
+        docs.filter(col("doc_id") % decontamMod =!= 0),
+        docs.filter(col("doc_id") % decontamMod === 0),
+        "doc_id", "text", n = 2, minOverlap = decontamMinOverlap)
       .select(col("id").as("doc_id"), col("n_hits"))
       .orderBy(col("doc_id"))
   }

@@ -89,6 +89,8 @@ object Ann {
       .orderBy(col(idCol).asc).limit(nCells)
       .select(col(vecCol)).collect()
       .map(_.getSeq[Float](0).toArray).zipWithIndex.map { case (v, i) => (i, v) }
+    require(centroids.nonEmpty,
+      "cannot build an IVF index over an empty embeddings table")
     for (_ <- 1 to iterations) {
       val assigned = assignCells(emb, vecCol, centroids)
       val dim = centroids.head._2.length
@@ -208,14 +210,25 @@ object Ann {
     */
   def knnJoin(queries: DataFrame, index: DataFrame, idCol: String,
       vecCol: String, k: Int, bits: Int = 6, seed: Long = 42L): DataFrame = {
-    val dimRow = index.select(size(col(vecCol))).head()
-    val planes = hyperplanes(bits, dimRow.getInt(0), seed)
-    val qKey = lshKey(col("q_vec"), planes)
-    // own bucket + each single-bit flip (multiprobe)
+    val dimRow = index.select(size(col(vecCol))).limit(1).collect()
+    if (dimRow.isEmpty)
+      // empty index → no neighbors, not a head()-on-nothing crash
+      return queries.sparkSession.emptyDataFrame
+        .select(lit(0L).as("q_id"), lit(0L).as("x_id"),
+          lit(0.0).as("cos"), lit(0).as("rank"))
+        .limit(0)
+    val planes = hyperplanes(bits, dimRow.head.getInt(0), seed)
+    // compute the key expression ONCE per query row, then derive the
+    // probe ring by single-bit flips of the materialized column —
+    // rebuilding the full lshKey tree inside each of the bits+1 array
+    // elements would risk (bits+1)x the dot-product work under the
+    // Generate node, where whole-stage CSE is not guaranteed
+    val q0 = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
+      .withColumn("__qkey", lshKey(col("q_vec"), planes))
     val probeKeys = array(
-      (qKey +: (0 until bits).map(b => qKey.bitwiseXOR(lit(1L << b)))): _*)
-    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
-      .withColumn("__lsh", explode(probeKeys))
+      (col("__qkey") +: (0 until bits).map(b =>
+        col("__qkey").bitwiseXOR(lit(1L << b)))): _*)
+    val q = q0.withColumn("__lsh", explode(probeKeys)).drop("__qkey")
     val x = index.select(col(idCol).as("x_id"), col(vecCol).as("x_vec"))
       .withColumn("__lsh", lshKey(col("x_vec"), planes))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("x_id").asc)

@@ -144,6 +144,15 @@ object Search {
     * (core/src/query.rs:705-785): full-outer join of the two rank
     * legs on pkey, rrf = w_s/(k+rank_s) + w_f/(k+rank_f) with missing
     * legs coalesced to 0, join source, filters, final top-`limit`.
+    *
+    * Filter placement is reference-exact: BOTH legs are capped at
+    * windowSize BEFORE the post-join filters (the reference's inner
+    * queries carry `LIMIT {window_size}`, unlike its semantic-only
+    * query which ranks the full table) — so a selective filter can
+    * return fewer than `limit` rows. That is the reference's
+    * documented behavior, and `windowSize` is the recall knob it
+    * exposes for exactly this case: pass a larger window when
+    * filtering aggressively.
     */
   def hybridSearch(src: DataFrame, emb: DataFrame, tokens: DataFrame, pk: String,
       queryVec: Array[Float], queryText: String, limit: Int = 10,

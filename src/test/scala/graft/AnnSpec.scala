@@ -91,4 +91,15 @@ class AnnSpec extends AnyFunSuite {
     val mean = recalls.sum / recalls.length
     assert(mean >= 0.9, s"knnJoin mean recall $mean below 0.9")
   }
+
+  test("empty index: knnJoin returns no rows; IVF build errors meaningfully") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
+    val queries = Seq((1L, Seq(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    assert(Ann.knnJoin(queries, empty, "vec_id", "embedding", k = 5).collect().isEmpty)
+    val e = intercept[IllegalArgumentException] {
+      Ann.ivfCentroids(empty, "vec_id", "embedding", nCells = 4)
+    }
+    assert(e.getMessage.contains("empty"))
+  }
 }
