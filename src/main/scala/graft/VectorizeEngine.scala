@@ -49,7 +49,9 @@ final class VectorizeEngine(
           model = Model.parseUnsafe(r.getAs[String]("model")),
           tableMethod = TableMethod.parse(r.getAs[String]("table_method")),
           indexDist = IndexDist.parse(r.getAs[String]("index_dist_type")),
-          schedule = r.getAs[String]("schedule"))
+          schedule = r.getAs[String]("schedule"),
+          params = Option(r.getAs[scala.collection.Map[String, String]]("params"))
+            .map(_.toMap).getOrElse(Map.empty))
         jobs.put(job.jobName, job)
       }
   }
@@ -80,9 +82,11 @@ final class VectorizeEngine(
         baseUrl = param("base_url"), apiKey = param("api_key"))
     }
 
-  private def embTable(job: String) = s"_embeddings_$job"
-  private def tokTable(job: String) = s"_search_tokens_$job"
-  private def appTable(job: String) = s"_append_$job"
+  // private[graft]: the streaming path (Realtime.processBatch) merges
+  // into the same tables — one naming scheme, not two copies.
+  private[graft] def embTable(job: String) = s"_embeddings_$job"
+  private[graft] def tokTable(job: String) = s"_search_tokens_$job"
+  private[graft] def appTable(job: String) = s"_append_$job"
 
   /** The (pkey, embeddings, updated_at) frame for a job regardless of
     * table method: join keeps a separate `_embeddings_<job>` table;
@@ -113,7 +117,7 @@ final class VectorizeEngine(
     * job row, create stores, run the initial backfill (embeddings +
     * search tokens).
     */
-  def createJob(job: VectorizeJob): VectorizeJob = {
+  private def validateJob(job: VectorizeJob): Unit = {
     Identifiers.validate(job.jobName)
     job.srcColumns.foreach(Identifiers.validate)
     Identifiers.validate(job.primaryKey)
@@ -125,6 +129,21 @@ final class VectorizeEngine(
         throw new IllegalArgumentException(s"no such column: $u"))
       require(f.dataType.typeName == "timestamp",
         s"update_time_col '$u' must be timestamp, got ${f.dataType.typeName}")
+    }
+  }
+
+  def createJob(job: VectorizeJob): VectorizeJob = {
+    validateJob(job)
+    // Re-creating an existing job with a different model or table
+    // method must not serve vectors from the old embedding space —
+    // drop the old stores so the backfill starts clean. (Same-config
+    // re-create stays idempotent and keeps the backfill.)
+    jobs.get(job.jobName).foreach { old =>
+      if (old.model != job.model || old.tableMethod != job.tableMethod) {
+        store.drop(embTable(job.jobName))
+        store.drop(tokTable(job.jobName))
+        store.drop(appTable(job.jobName))
+      }
     }
     jobs.put(job.jobName, job)
     persistCatalog()
@@ -233,21 +252,42 @@ final class VectorizeEngine(
     */
   def importEmbeddings(jobName: String, external: DataFrame,
       extPk: String, extVecCol: String): Unit = {
-    val embName = embTable(jobName)
+    val j = jobs(jobName)
     val incoming = external.select(
       col(extPk).cast("string").as("pkey"),
       col(extVecCol).cast("array<float>").as("embeddings"),
       current_timestamp().as("updated_at"))
-    val fresh =
-      if (store.exists(embName))
-        incoming.join(store.read(embName).select("pkey"), Seq("pkey"), "left_anti")
-      else incoming
-    store.merge(embName, fresh, "pkey")
+    j.tableMethod match {
+      case TableMethod.Append =>
+        // Append jobs serve from the wide `_append_` table — vectors
+        // imported into `_embeddings_` would be dead data AND the
+        // next refresh would re-embed (and re-pay for) every row.
+        val aName = appTable(jobName)
+        val withPkey = sources(j.srcTable)
+          .withColumn("pkey", col(j.primaryKey).cast("string"))
+        val fresh =
+          if (store.exists(aName))
+            incoming.join(store.read(aName)
+              .filter(col("embeddings").isNotNull).select("pkey"),
+              Seq("pkey"), "left_anti")
+          else incoming
+        val wide = withPkey.join(
+          fresh.withColumnRenamed("updated_at", "__emb_updated_at"), Seq("pkey"))
+        store.merge(aName, wide, "pkey")
+      case _ =>
+        val embName = embTable(jobName)
+        val fresh =
+          if (store.exists(embName))
+            incoming.join(store.read(embName).select("pkey"), Seq("pkey"), "left_anti")
+          else incoming
+        store.merge(embName, fresh, "pkey")
+    }
   }
 
   /** `vectorize.table_from` (extension/src/api.rs:328-390). */
   def createJobFromExisting(job: VectorizeJob, external: DataFrame,
       extPk: String, extVecCol: String): VectorizeJob = {
+    validateJob(job)
     jobs.put(job.jobName, job)
     persistCatalog()
     importEmbeddings(job.jobName, external, extPk, extVecCol)
@@ -337,6 +377,7 @@ final class VectorizeEngine(
     val contentCol = job.srcColumns.head
     val hits = search(jobName, query, numContext)
       .select(contentCol).collect().map(_.getString(0))
+      .filter(_ != null) // a null content column must not render "null" into the prompt
     val rendered = graft.rag.PromptTemplates.render(task, hits.mkString("\n"), query)
     val trimmed = graft.rag.ContextWindow.enforce(chatModel, rendered, forceTrim)
     val answer = chatProvider.generateResponse(chatModel, trimmed.sysPrompt, trimmed.userPrompt)
@@ -382,11 +423,14 @@ final class VectorizeEngine(
     val rows = jobs.values.toSeq.map { j =>
       (j.jobName, j.srcTable, j.srcColumns, j.primaryKey,
         j.updateTimeCol.orNull, j.model.fullname, j.tableMethod.name,
-        j.indexDist.name, j.schedule)
+        j.indexDist.name, j.schedule, j.params)
     }
     // Written even when empty so deleting the last job persists.
+    // params travel too — provider config (api_key/base_url refs)
+    // must survive restart, vectorize.job.params JSONB equivalent.
     store.overwrite("job_catalog", rows.toDF(
       "job_name", "src_table", "src_columns", "primary_key",
-      "update_time_col", "model", "table_method", "index_dist_type", "schedule"))
+      "update_time_col", "model", "table_method", "index_dist_type",
+      "schedule", "params"))
   }
 }

@@ -26,12 +26,24 @@ object PromptTemplates {
   def register(promptType: String, sysPrompt: String, userPrompt: String): Unit =
     custom.put(promptType, (sysPrompt, userPrompt))
 
+  private val placeholderRe = """\{\{(\w+)\}\}""".r
+
+  /** Single-pass substitution: substituted VALUES are never re-
+    * scanned, so a retrieved document containing the literal
+    * "{{query_str}}" cannot have the user query spliced into it
+    * (sequential .replace chains have exactly that injection).
+    */
+  private def substitute(tpl: String, vars: Map[String, String]): String =
+    placeholderRe.replaceAllIn(tpl, m =>
+      scala.util.matching.Regex.quoteReplacement(
+        vars.getOrElse(m.group(1), m.matched)))
+
   def render(task: String, contextStr: String, queryStr: String): RenderedPrompt = {
     val (sys, user) = custom.get(task).orElse(builtin.get(task)).getOrElse(
       throw new IllegalArgumentException(s"unknown prompt task: $task"))
     RenderedPrompt(
       sys,
-      user.replace("{{context_str}}", contextStr).replace("{{query_str}}", queryStr))
+      substitute(user, Map("context_str" -> contextStr, "query_str" -> queryStr)))
   }
 }
 

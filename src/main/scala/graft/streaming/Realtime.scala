@@ -48,22 +48,29 @@ object Realtime {
         batch.dropDuplicates(job.primaryKey)
     }
     val inputs = Pipeline.renderInputs(deduped, job.primaryKey, job.srcColumns)
+    // persisted: the store MERGE runs two actions (touched-bucket
+    // collect + write), each of which would otherwise re-run the
+    // mapPartitions provider calls — 2x API cost per micro-batch
+    // (same guard refreshJoin documents)
     val embedded = Pipeline.embed(inputs, engine.provider(job), job.model.apiName)
-    job.tableMethod match {
-      case TableMethod.Append =>
-        // Append jobs are served from the wide `_append_<job>` table
-        // (VectorizeEngine.embeddingsOf) — merge the embedded rows
-        // there, joined back to their source columns, or streamed
-        // updates would never become searchable.
-        val withPkey = deduped.withColumn("pkey", col(job.primaryKey).cast("string"))
-        val wide = withPkey.join(
-          embedded.withColumnRenamed("updated_at", "__emb_updated_at"), Seq("pkey"))
-        engine.store.merge(s"_append_${job.jobName}", wide, "pkey")
-      case _ =>
-        engine.store.merge(s"_embeddings_${job.jobName}", embedded, "pkey")
-    }
-    val tokens = Pipeline.renderSearchTokens(deduped, job.primaryKey, job.srcColumns)
-    engine.store.merge(s"_search_tokens_${job.jobName}", tokens, "pkey")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      job.tableMethod match {
+        case TableMethod.Append =>
+          // Append jobs are served from the wide `_append_<job>` table
+          // (VectorizeEngine.embeddingsOf) — merge the embedded rows
+          // there, joined back to their source columns, or streamed
+          // updates would never become searchable.
+          val withPkey = deduped.withColumn("pkey", col(job.primaryKey).cast("string"))
+          val wide = withPkey.join(
+            embedded.withColumnRenamed("updated_at", "__emb_updated_at"), Seq("pkey"))
+          engine.store.merge(engine.appTable(job.jobName), wide, "pkey")
+        case _ =>
+          engine.store.merge(engine.embTable(job.jobName), embedded, "pkey")
+      }
+      val tokens = Pipeline.renderSearchTokens(deduped, job.primaryKey, job.srcColumns)
+      engine.store.merge(engine.tokTable(job.jobName), tokens, "pkey")
+    } finally embedded.unpersist()
   }
 
   /** Start the realtime pipeline from a streaming DataFrame of source
@@ -99,12 +106,13 @@ object Realtime {
     * oracle checks it.
     */
   def windowedEventCounts(events: DataFrame, tsCol: String, keyCol: String,
-      windowDur: String, watermark: String = "10 minutes"): DataFrame = {
+      windowDur: String, watermark: String = "10 minutes",
+      valueCol: String = "value"): DataFrame = {
     val maybeWatermarked =
       if (events.isStreaming) events.withWatermark(tsCol, watermark) else events
     maybeWatermarked
       .groupBy(window(col(tsCol), windowDur).as("w"), col(keyCol))
-      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .agg(count(lit(1)).as("n"), sum(col(valueCol)).as("total_value"))
       .select(col("w.start").as("window_start"), col(keyCol),
         col("n"), col("total_value"))
   }
@@ -113,12 +121,12 @@ object Realtime {
     * stateful-streaming operator beyond tumbling windows.
     */
   def sessionize(events: DataFrame, tsCol: String, userCol: String,
-      gap: String = "30 minutes"): DataFrame = {
+      gap: String = "30 minutes", valueCol: String = "value"): DataFrame = {
     val maybeWatermarked =
       if (events.isStreaming) events.withWatermark(tsCol, gap) else events
     maybeWatermarked
       .groupBy(session_window(col(tsCol), gap).as("s"), col(userCol))
-      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+      .agg(count(lit(1)).as("n_events"), sum(col(valueCol)).as("total_value"))
       .select(col("s.start").as("session_start"), col("s.end").as("session_end"),
         col(userCol), col("n_events"), col("total_value"))
   }

