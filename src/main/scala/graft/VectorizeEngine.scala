@@ -134,12 +134,16 @@ final class VectorizeEngine(
 
   def createJob(job: VectorizeJob): VectorizeJob = {
     validateJob(job)
-    // Re-creating an existing job with a different model or table
-    // method must not serve vectors from the old embedding space —
-    // drop the old stores so the backfill starts clean. (Same-config
-    // re-create stays idempotent and keeps the backfill.)
+    // Re-creating an existing job with any change that affects what
+    // got embedded (model, table method, source table/columns, key,
+    // watermark column) must not serve vectors from the old embedding
+    // space — drop the old stores so the backfill starts clean.
+    // Param/schedule-only changes (API key rotation, cron tweak) keep
+    // the backfill; same-config re-create stays idempotent.
     jobs.get(job.jobName).foreach { old =>
-      if (old.model != job.model || old.tableMethod != job.tableMethod) {
+      def embeddingConfig(j: VectorizeJob) =
+        (j.model, j.tableMethod, j.srcTable, j.srcColumns, j.primaryKey, j.updateTimeCol)
+      if (embeddingConfig(old) != embeddingConfig(job)) {
         store.drop(embTable(job.jobName))
         store.drop(tokTable(job.jobName))
         store.drop(appTable(job.jobName))
@@ -178,15 +182,18 @@ final class VectorizeEngine(
       else src
     ).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+      // Tokens FIRST, embeddings second: the retry delta is derived
+      // from embedding staleness, so a crash after the tokens MERGE
+      // re-runs both merges (idempotent), while the reverse order
+      // would lose the tokens of already-embedded rows forever.
+      val tokens = Pipeline.renderSearchTokens(delta, job.primaryKey, job.srcColumns)
+      store.merge(tokTable(job.jobName), tokens, "pkey")
       val inputs = Pipeline.renderInputs(delta, job.primaryKey, job.srcColumns)
       val embedded = Pipeline.embed(inputs, provider(job), job.model.apiName)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
         store.merge(embName, embedded, "pkey")
-        val n = embedded.count() // served from cache — no provider re-call
-        val tokens = Pipeline.renderSearchTokens(delta, job.primaryKey, job.srcColumns)
-        store.merge(tokTable(job.jobName), tokens, "pkey")
-        n
+        embedded.count() // served from cache — no provider re-call
       } finally embedded.unpersist()
     } finally delta.unpersist()
   }
@@ -221,6 +228,9 @@ final class VectorizeEngine(
       .select(withPkey.columns.map(col).toIndexedSeq: _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+      // tokens first — same crash-retry argument as refreshJoin
+      val tokens = Pipeline.renderSearchTokens(delta, job.primaryKey, job.srcColumns)
+      store.merge(tokTable(job.jobName), tokens, "pkey")
       val inputs = Pipeline.renderInputs(delta, job.primaryKey, job.srcColumns)
       val embedded = Pipeline.embed(inputs, provider(job), job.model.apiName)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -240,8 +250,6 @@ final class VectorizeEngine(
             embedded.withColumnRenamed("updated_at", "__emb_updated_at"), Seq("pkey"))
           store.merge(aName, wide, "pkey")
         }
-        val tokens = Pipeline.renderSearchTokens(delta, job.primaryKey, job.srcColumns)
-        store.merge(tokTable(job.jobName), tokens, "pkey")
         n
       } finally embedded.unpersist()
     } finally delta.unpersist()
@@ -257,6 +265,13 @@ final class VectorizeEngine(
       col(extPk).cast("string").as("pkey"),
       col(extVecCol).cast("array<float>").as("embeddings"),
       current_timestamp().as("updated_at"))
+    // Imported rows must be lexically searchable too: the refresh
+    // delta skips them (they have embeddings), so their search
+    // tokens are rendered here from the source rows.
+    val srcForTokens = sources(j.srcTable).join(incoming.select("pkey"),
+      col(j.primaryKey).cast("string") === col("pkey"), "left_semi")
+    store.merge(tokTable(jobName),
+      Pipeline.renderSearchTokens(srcForTokens, j.primaryKey, j.srcColumns), "pkey")
     j.tableMethod match {
       case TableMethod.Append =>
         // Append jobs serve from the wide `_append_` table — vectors
@@ -376,7 +391,8 @@ final class VectorizeEngine(
       s"chat jobs require exactly one content column, got ${job.srcColumns.size}")
     val contentCol = job.srcColumns.head
     val hits = search(jobName, query, numContext)
-      .select(contentCol).collect().map(_.getString(0))
+      .select(col(contentCol).cast("string")) // non-string content columns render, not crash
+      .collect().map(_.getString(0))
       .filter(_ != null) // a null content column must not render "null" into the prompt
     val rendered = graft.rag.PromptTemplates.render(task, hits.mkString("\n"), query)
     val trimmed = graft.rag.ContextWindow.enforce(chatModel, rendered, forceTrim)

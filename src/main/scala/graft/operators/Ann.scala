@@ -208,15 +208,22 @@ object Ann {
     * most of the recall lost to near-boundary sign flips without
     * widening the index side's shuffle.
     */
+  /** `excludeSelf` drops pairs with q_id == x_id — correct when the
+    * queries are drawn FROM the index (self is trivially the nearest
+    * neighbor); pass false when queries and index are distinct corpora
+    * whose id ranges may coincide, or true neighbors that merely share
+    * an id value would be silently dropped.
+    */
   def knnJoin(queries: DataFrame, index: DataFrame, idCol: String,
-      vecCol: String, k: Int, bits: Int = 6, seed: Long = 42L): DataFrame = {
+      vecCol: String, k: Int, bits: Int = 6, seed: Long = 42L,
+      excludeSelf: Boolean = true): DataFrame = {
     val dimRow = index.select(size(col(vecCol))).limit(1).collect()
     if (dimRow.isEmpty)
-      // empty index → no neighbors, not a head()-on-nothing crash
-      return queries.sparkSession.emptyDataFrame
-        .select(lit(0L).as("q_id"), lit(0L).as("x_id"),
-          lit(0.0).as("cos"), lit(0).as("rank"))
-        .limit(0)
+      // empty index → no neighbors; schema (incl. id types) must match
+      // the non-empty branch, so derive it from the inputs
+      return queries.limit(0).select(col(idCol).as("q_id"))
+        .crossJoin(index.limit(0).select(col(idCol).as("x_id")))
+        .withColumn("cos", lit(0.0)).withColumn("rank", lit(0))
     val planes = hyperplanes(bits, dimRow.head.getInt(0), seed)
     // compute the key expression ONCE per query row, then derive the
     // probe ring by single-bit flips of the materialized column —
@@ -233,7 +240,7 @@ object Ann {
       .withColumn("__lsh", lshKey(col("x_vec"), planes))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("x_id").asc)
     q.join(x, Seq("__lsh"))
-      .filter(col("q_id") =!= col("x_id"))
+      .filter(if (excludeSelf) col("q_id") =!= col("x_id") else lit(true))
       .select(col("q_id"), col("x_id"),
         cosineSimilarity(col("q_vec"), col("x_vec")).as("cos"))
       // no distinct needed: the probe keys (own bucket + each

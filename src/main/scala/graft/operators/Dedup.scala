@@ -133,8 +133,10 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         hammingDist64(col("sig_a"), col("sig_b")).as("hamming"))
-      .distinct()
+      // verify BEFORE distinct: hamming is deterministic per pair, so
+      // filtering first shrinks the dedup shuffle to surviving pairs
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   /** Token n-grams of a text column: lowercase alphanumeric tokens →
@@ -320,7 +322,9 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         cosineSimilarity(col("v_a"), col("v_b")).as("cos"))
-      .distinct()
+      // verify BEFORE distinct (cosine is deterministic per pair):
+      // the dedup shuffle only carries pairs that pass the threshold
       .filter(col("cos") >= threshold)
+      .distinct()
   }
 }

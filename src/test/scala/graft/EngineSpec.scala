@@ -318,6 +318,12 @@ class EngineSpec extends AnyFunSuite {
     val served = engine.projectView("products_app").select("embeddings").collect()
     assert(served.nonEmpty && served.forall(r => r.getSeq[Float](0).forall(_ == 0.1f)),
       "search must serve the imported vectors, not re-embedded ones")
+    // imported rows must be lexically searchable too: with identical
+    // imported vectors the semantic leg ties, so the hit below can
+    // only come from the FTS leg over tokens written at import time
+    val hits = engine.hybridSearch("products_app", "backpack", limit = 3).collect()
+    assert(hits.exists(_.getAs[String]("product_name") == "Backpack"),
+      "FTS leg must rank rows whose vectors were imported, not embedded")
   }
 
   test("prompt template: substituted values are never re-scanned (no injection)") {
