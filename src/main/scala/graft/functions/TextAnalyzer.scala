@@ -37,7 +37,11 @@ object TextAnalyzer {
   /** Raw word tokens: lowercase alphanumeric runs. */
   def tokenize(text: String): Seq[String] =
     if (text == null) Seq.empty
-    else tokenPattern.findAllIn(text.toLowerCase).toSeq
+    // Locale.ROOT: default-locale lowercasing is per-JVM (Turkish 'I'
+    // → dotless ı breaks [a-z0-9]+), which would make tokens — and
+    // every downstream lexeme/signature — differ across executors
+    else tokenPattern.findAllIn(
+      text.toLowerCase(java.util.Locale.ROOT)).toSeq
 
   /** tsvector-equivalent lexemes: tokenized, stopword-filtered,
     * stemmed, de-duplicated, sorted (Postgres tsvector is a sorted
@@ -78,6 +82,13 @@ object TextAnalyzer {
     * cover-density needs positions; this preserves rank ORDER for
     * OR-queries over short docs, which is what the reference's tests
     * assert (SURVEY §5). Deterministic, in [0, inf).
+    *
+    * NOTE: when the doc side comes from [[lexemes]] (the engine's
+    * tsvector path) the input is deduplicated, so every count is 1
+    * and the tf term adds a constant — rank order then reduces to
+    * match-fraction, mirroring the positions-dropped tsvector
+    * simplification (SURVEY §7.4). The tf weighting is live only for
+    * callers passing raw (non-dedup'd) token sequences.
     */
   def rank(docLexemes: Seq[String], queryLex: Seq[String]): Double = {
     if (docLexemes.isEmpty || queryLex.isEmpty) 0.0

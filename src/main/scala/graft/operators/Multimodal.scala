@@ -98,12 +98,19 @@ object Multimodal {
     * sampler produces (one row per frame, frame bytes stubbed as a
     * slice).
     */
-  def sampleFramesStub(assets: DataFrame, everyMs: Long): DataFrame =
+  def sampleFramesStub(assets: DataFrame, everyMs: Long): DataFrame = {
+    require(everyMs > 0, s"frame interval must be positive, got $everyMs")
     assets.filter(col("media_type") === "video")
       .withColumn("frame_ts_ms",
-        explode(sequence(lit(0L), col("duration_ms"), lit(everyMs))))
+        // null/negative durations clamp to 0 → exactly the t=0 frame
+        // (a null duration silently dropping the asset, or a negative
+        // one failing the whole job on sequence() bounds, both hide
+        // upstream data problems)
+        explode(sequence(lit(0L),
+          greatest(coalesce(col("duration_ms"), lit(0L)), lit(0L)), lit(everyMs))))
       .withColumn("frame",
         substring(col("content"),
           (pmod(col("frame_ts_ms"), lit(1024)) + 1).cast("int"), lit(256)))
       .select("asset_id", "frame_ts_ms", "frame")
+  }
 }

@@ -129,25 +129,41 @@ final class ParquetStore(spark: SparkSession, root: String, nBuckets: Int = 16)
   }
 
   private def commit(table: String, v: Long, bucketMap: Map[Int, Long],
-      nb: Int): Unit = {
-    // _BUCKETS first, then _CURRENT: exists() only turns true once the
-    // map it implies is in place (first write); later flips overwrite.
+      nb: Int, prevReferenced: Set[Long] = Set.empty): Unit = {
+    // Pointer-write ORDER is crash-critical, and differs by case:
+    // - first commit: _BUCKETS before _CURRENT, so exists() only turns
+    //   true once the map it implies is in place (a crash between the
+    //   two leaves the table nonexistent — correct).
+    // - later commits: _CURRENT before _BUCKETS. The reverse would
+    //   leave a crashed merge's NEW map visible with the OLD version
+    //   counter — the retry would then recompute the same v and
+    //   SaveMode.Overwrite the very directories its input paths point
+    //   into. With pointer-first, a crash leaves the old map intact:
+    //   readers serve the pre-merge state and the retry writes a fresh
+    //   v+1 directory.
     // The "#n" header pins the table's bucket count (self-describing
     // layout — see tableBuckets).
-    atomicWrite(bucketsPath(table),
+    val bucketsContent =
       (s"#n $nb" +:
-        bucketMap.toSeq.sortBy(_._1).map { case (b, ver) => s"$b $ver" }).mkString("\n"))
-    atomicWrite(pointer(table), v.toString)
-    cleanOld(table, v, bucketMap)
+        bucketMap.toSeq.sortBy(_._1).map { case (b, ver) => s"$b $ver" }).mkString("\n")
+    if (currentVersion(table).isEmpty) {
+      atomicWrite(bucketsPath(table), bucketsContent)
+      atomicWrite(pointer(table), v.toString)
+    } else {
+      atomicWrite(pointer(table), v.toString)
+      atomicWrite(bucketsPath(table), bucketsContent)
+    }
+    cleanOld(table, v, bucketMap, prevReferenced)
   }
 
   /** Full overwrite (initial backfill / small dimension tables /
     * catalog). Written flat — a subsequent merge re-buckets.
     */
   def overwrite(table: String, df: DataFrame): Unit = {
+    val prev = readBucketMap(table).values.toSet
     val v = currentVersion(table).getOrElse(-1L) + 1L
     df.write.mode(SaveMode.Overwrite).parquet(versionDir(table, v))
-    commit(table, v, Map(-1 -> v), tableBuckets(table))
+    commit(table, v, Map(-1 -> v), tableBuckets(table), prev)
   }
 
   /** MERGE: rows in `updates` replace same-key rows in the current
@@ -176,35 +192,45 @@ final class ParquetStore(spark: SparkSession, root: String, nBuckets: Int = 16)
       return
     }
     val m = readBucketMap(table)
+    // persisted: merge runs three actions over `updates` (touched-
+    // bucket collect, the anti-join probe, the union write) — callers
+    // should not have to know to pre-persist to avoid 3x upstream I/O
     val upd = updates.withColumn("__bucket", bucketOf(key, nb))
-    val touched = upd.select("__bucket").distinct().collect().map(_.getInt(0)).toSet
-    if (touched.isEmpty) return
-    // current rows of ONLY the touched buckets (a flat snapshot has
-    // no bucket dirs yet — filter it by recomputed bucket)
-    val flat = m.contains(-1)
-    val curPaths = bucketDataPaths(table,
-      if (flat) m else m.filter { case (b, _) => touched.contains(b) })
-    val cur0 =
-      if (curPaths.isEmpty)
-        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          updates.schema)
-      else spark.read.option("recursiveFileLookup", "true").parquet(curPaths: _*)
-    // flat snapshots are fully re-bucketed on first merge (every row
-    // must land in a bucket dir); bucketed snapshots only load and
-    // rewrite the touched buckets
-    val curAll = cur0.withColumn("__bucket", bucketOf(key, nb))
-    val cur = if (flat) curAll else curAll.filter(col("__bucket").isin(touched.toSeq: _*))
-    val kept = cur.join(upd.select(key), Seq(key), "left_anti")
-    val next = kept.unionByName(
-      upd.select(cur.columns.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*))
-    val v = currentVersion(table).get + 1L
-    next.write.partitionBy("__bucket").mode(SaveMode.Overwrite)
-      .parquet(versionDir(table, v))
-    val written = writtenBuckets(table, v)
-    // a flat snapshot must be fully re-bucketed on first merge (its
-    // untouched rows were rewritten into v as well)
-    val base = if (flat) Map.empty[Int, Long] else m
-    commit(table, v, base -- touched ++ written, nb)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val touched = upd.select("__bucket").distinct().collect().map(_.getInt(0)).toSet
+      if (touched.isEmpty) return
+      // current rows of ONLY the touched buckets (a flat snapshot has
+      // no bucket dirs yet — filter it by recomputed bucket)
+      val flat = m.contains(-1)
+      val curPaths = bucketDataPaths(table,
+        if (flat) m else m.filter { case (b, _) => touched.contains(b) })
+      val cur0 =
+        if (curPaths.isEmpty)
+          spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            updates.schema)
+        else spark.read.option("recursiveFileLookup", "true").parquet(curPaths: _*)
+      // flat snapshots are fully re-bucketed on first merge (every row
+      // must land in a bucket dir); bucketed snapshots only load and
+      // rewrite the touched buckets
+      val curAll = cur0.withColumn("__bucket", bucketOf(key, nb))
+      val cur = if (flat) curAll else curAll.filter(col("__bucket").isin(touched.toSeq: _*))
+      // null-safe anti join: a null-key update must REPLACE the
+      // existing null-key row, not append a duplicate every merge
+      // (plain equality never matches null = null)
+      val kept = cur.join(upd.select(col(key).as("__mk")),
+        cur(key) <=> col("__mk"), "left_anti")
+      val next = kept.unionByName(
+        upd.select(cur.columns.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*))
+      val v = currentVersion(table).get + 1L
+      next.write.partitionBy("__bucket").mode(SaveMode.Overwrite)
+        .parquet(versionDir(table, v))
+      val written = writtenBuckets(table, v)
+      // a flat snapshot must be fully re-bucketed on first merge (its
+      // untouched rows were rewritten into v as well)
+      val base = if (flat) Map.empty[Int, Long] else m
+      commit(table, v, base -- touched ++ written, nb, m.values.toSet)
+    } finally upd.unpersist()
   }
 
   /** Buckets actually present in a freshly written snapshot dir. */
@@ -235,7 +261,9 @@ final class ParquetStore(spark: SparkSession, root: String, nBuckets: Int = 16)
     val cur = spark.read.option("recursiveFileLookup", "true").parquet(curPaths: _*)
       .withColumn("__bucket", bucketOf(key, nb))
     val scoped = if (flat) cur else cur.filter(col("__bucket").isin(touched.toSeq: _*))
-    val next = scoped.join(keyed.select(key), Seq(key), "left_anti")
+    // null-safe like merge: deleting a null key removes the null-key row
+    val next = scoped.join(keyed.select(col(key).as("__dk")),
+      scoped(key) <=> col("__dk"), "left_anti")
     val v = currentVersion(table).get + 1L
     next.write.partitionBy("__bucket").mode(SaveMode.Overwrite)
       .parquet(versionDir(table, v))
@@ -249,7 +277,7 @@ final class ParquetStore(spark: SparkSession, root: String, nBuckets: Int = 16)
       // committed empty bucket map would make exists() true while
       // read() throws
       drop(table)
-    } else commit(table, v, next2, nb)
+    } else commit(table, v, next2, nb, m.values.toSet)
   }
 
   def drop(table: String): Unit = {
@@ -257,13 +285,18 @@ final class ParquetStore(spark: SparkSession, root: String, nBuckets: Int = 16)
     if (fs.exists(p)) fs.delete(p, true)
   }
 
-  /** GC snapshot dirs no bucket references (keep the immediately
-    * previous version for in-flight readers).
+  /** GC snapshot dirs no bucket references. `prevReferenced` — the
+    * versions the PREVIOUS bucket map pointed at — are retained for
+    * one more commit cycle, so a reader that resolved its file
+    * listing just before this commit still finds its data (the
+    * standard one-commit grace; readers idle across multiple commits
+    * need a longer retention policy, as with Delta VACUUM).
     */
-  private def cleanOld(table: String, current: Long, bucketMap: Map[Int, Long]): Unit = {
+  private def cleanOld(table: String, current: Long, bucketMap: Map[Int, Long],
+      prevReferenced: Set[Long]): Unit = {
     val dir = new Path(s"$root/$table")
     if (!fs.exists(dir)) return
-    val referenced = bucketMap.values.toSet + current
+    val referenced = bucketMap.values.toSet ++ prevReferenced + current
     fs.listStatus(dir).foreach { st =>
       val name = st.getPath.getName
       if (name.startsWith("v_")) {

@@ -103,20 +103,12 @@ object FilterOperator {
   * (core/src/query.rs:82-182). Comparison (non-eq) operators are
   * numeric-only (core/src/query.rs:136-151).
   */
-sealed trait FilterScalar { def asSqlLiteral: String }
+sealed trait FilterScalar
 object FilterScalar {
-  final case class B(v: Boolean) extends FilterScalar {
-    def asSqlLiteral: String = v.toString
-  }
-  final case class I(v: Long) extends FilterScalar {
-    def asSqlLiteral: String = v.toString
-  }
-  final case class F(v: Double) extends FilterScalar {
-    def asSqlLiteral: String = v.toString
-  }
-  final case class S(v: String) extends FilterScalar {
-    def asSqlLiteral: String = "'" + v.replace("'", "''") + "'"
-  }
+  final case class B(v: Boolean) extends FilterScalar
+  final case class I(v: Long) extends FilterScalar
+  final case class F(v: Double) extends FilterScalar
+  final case class S(v: String) extends FilterScalar
 
   /** bool -> i64 -> f64 -> string precedence, matching
     * core/src/query.rs:96-134. Note the reference uses Rust
@@ -147,7 +139,10 @@ object FilterScalar {
     val t = s.trim
     if (t.isEmpty || t != s) return None
     val lower = t.toLowerCase
-    val unsigned = lower.stripPrefix("+").stripPrefix("-")
+    // strip AT MOST ONE sign: Rust rejects "+-inf"; sequential
+    // stripPrefix("+").stripPrefix("-") would accept it as +inf
+    val unsigned =
+      if (lower.startsWith("+") || lower.startsWith("-")) lower.substring(1) else lower
     val neg = lower.startsWith("-")
     unsigned match {
       case "nan"              => Some(Double.NaN)

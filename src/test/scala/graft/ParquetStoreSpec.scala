@@ -125,6 +125,20 @@ class ParquetStoreSpec extends AnyFunSuite {
     assert(store.read("t").count() == 5)
   }
 
+  test("null-key rows upsert (replace), never accumulate duplicates") {
+    import org.apache.spark.sql.functions.lit
+    val store = new ParquetStore(spark, TestSpark.tempDir("graft_ps_"))
+    val withNull = rows(1 to 3, "v1")
+      .union(Seq((null.asInstanceOf[String], "n-1")).toDF("pkey", "payload"))
+    store.merge("t", withNull, "pkey")
+    store.merge("t", Seq((null.asInstanceOf[String], "n-2")).toDF("pkey", "payload"), "pkey")
+    val got = store.read("t").collect()
+    assert(got.length == 4, "null key must replace, not append")
+    assert(got.filter(_.isNullAt(0)).map(_.getString(1)).toSeq == Seq("n-2"))
+    store.delete("t", Seq(null.asInstanceOf[String]).toDF("pkey"), "pkey")
+    assert(store.read("t").filter(lit(true)).collect().forall(!_.isNullAt(0)))
+  }
+
   test("idempotent replay: merging the same batch twice is a no-op") {
     val store = new ParquetStore(spark, TestSpark.tempDir("graft_ps_"))
     val batch = rows(1 to 30, "v1")

@@ -109,6 +109,12 @@ class TypesSpec extends AnyFunSuite {
     assert(Model.parseUnsafe("all_MiniLM_L12_v2").fullname ==
       "sentence-transformers/all-MiniLM-L12-v2")
   }
+  test("filters: double-signed floats rejected like Rust f64::from_str") {
+    assert(FilterValue.parse("gte.+-inf").isLeft)
+    assert(FilterValue.parse("lt.+-nan").isLeft)
+    assert(FilterValue.parse("gte.+inf").isRight)
+    assert(FilterValue.parse("lt.-infinity").isRight)
+  }
   test("model: trailing slash or empty namespace is an error, not a bare model") {
     assert(Model.parse("openai/").isLeft)
     assert(Model.parse("/x").isLeft)
