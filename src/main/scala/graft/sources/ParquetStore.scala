@@ -32,6 +32,15 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   * streaming path's at-least-once delivery correct (SURVEY §7.4).
   * Old snapshot dirs are GC'd once no bucket references them.
   *
+  * Concurrency contract: ONE writer per table (the engine is the
+  * single writer; streaming micro-batches are serialized by
+  * foreachBatch). Two concurrent merges would race the version
+  * counter — multi-writer needs the optimistic-commit protocol of a
+  * real table format, which is part of what the Delta swap buys.
+  * Readers are safe against a single concurrent writer: pointer flips
+  * are atomic renames, and GC retains the previous bucket map's
+  * versions for one commit cycle.
+  *
   * On a production cluster this class is swapped for Delta
   * `MERGE INTO` (same call signature); the engine's call sites depend
   * only on `read`/`merge`/`overwrite`.
