@@ -210,7 +210,7 @@ private[providers] object Json {
 final class OpenAICompatProvider(
     baseUrl: String,
     apiKey: Option[String] = None,
-    maxInputsPerRequest: Int = 2048,
+    val maxInputsPerRequest: Int = 2048,
     timeoutSec: Int = 120,
     dims: Map[String, Int] = OpenAICompatProvider.knownDims
 ) extends EmbeddingProvider {
@@ -423,7 +423,7 @@ final class PortkeyProvider(
     apiKey: String,
     virtualKey: String,
     baseUrl: String = PortkeyProvider.defaultBaseUrl,
-    maxInputsPerRequest: Int = 2048,
+    val maxInputsPerRequest: Int = 2048,
     timeoutSec: Int = 120
 ) extends EmbeddingProvider with ChatProvider {
 

@@ -8,9 +8,11 @@ import org.scalatest.funsuite.AnyFunSuite
   * embeddings — the analogue of the reference's per-index-type
   * integration tests (extension/tests/integration_tests.rs:653-808),
   * which assert each index returns the expected result set.
-  * Approximate paths must reach recall@20 ≥ 0.9 with their default
-  * probe settings; precision is 1.0 by construction (exact cosine on
-  * candidates).
+  * Approximate paths must reach recall@20 ≥ 0.9 with the probe
+  * settings THE DEMO QUERIES USE (stated per test — the near-uniform
+  * synthetic vectors need wider probes than the API defaults, which
+  * target clustered real embeddings); precision is 1.0 by
+  * construction (exact cosine on candidates).
   */
 class AnnSpec extends AnyFunSuite {
 
@@ -52,10 +54,25 @@ class AnnSpec extends AnyFunSuite {
   test("ivf probe scans only the probed cell partitions") {
     val path = TestSpark.tempDir("graft_ivf_spec2_")
     Ann.buildIvfIndex(emb, "vec_id", "embedding", path, nCells = 16, iterations = 3)
-    val plan = Ann.probeIvfIndex(spark, path, "vec_id", "embedding", qv,
-      k = 20, nProbe = 4).queryExecution.executedPlan.toString
-    assert(plan.contains("PartitionFilters") && plan.contains("cell"),
-      s"probe must prune by cell partition, plan was:\n$plan")
+    val probe = Ann.probeIvfIndex(spark, path, "vec_id", "embedding", qv,
+      k = 20, nProbe = 4)
+    val plan = probe.queryExecution.executedPlan.toString
+    // the filter must appear INSIDE the PartitionFilters list — every
+    // partitioned scan prints "PartitionFilters: [...]", so a bare
+    // contains("PartitionFilters") passes even with zero pruning.
+    // (DataFrame.inputFiles is NOT usable here: it lists the
+    // relation's full file index without applying partition pruning.)
+    assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(plan).isDefined,
+      s"probe must push a cell filter into PartitionFilters, plan was:\n$plan")
+    // and the pruning must be real at execution time: the scan's
+    // "number of files read" metric counts only selected partitions
+    probe.collect()
+    val scan = probe.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    val filesRead = scan.flatMap(_.metrics.get("numFiles")).map(_.value)
+    assert(filesRead.exists(_ <= 4),
+      s"expected at most 4 cell partition files read, got $filesRead")
   }
 
   test("knnJoin (multiprobe) mean recall@5 >= 0.9 on clustered vectors") {

@@ -44,15 +44,6 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
-  test("createBatches: iterator and strict forms agree") {
-    val inputs = Gen.listOf(Gen.chooseNum(1, 50).map(t =>
-      EmbedInput(t.toString, s"text$t", t)))
-    check(forAll(inputs, Gen.chooseNum(1, 100)) { (ins, budget) =>
-      Pipeline.createBatchesIter(ins.iterator, budget).toSeq ==
-        Pipeline.createBatches(ins, budget)
-    })
-  }
-
   test("ngramSet: distinct, first-occurrence order, correct shape") {
     check(forAll(text, Gen.chooseNum(1, 4)) { (t, n) =>
       val grams = Dedup.ngramSetScala(t, n)
@@ -111,7 +102,8 @@ class PropertySpec extends AnyFunSuite {
   test("fingerprint: whitespace/case noise invariant, content sensitive") {
     check(forAll(text) { t =>
       GraftFunctions.fingerprintScala(t) ==
-        GraftFunctions.fingerprintScala("  " + t.toUpperCase.replace(" ", "   ") + " ")
+        GraftFunctions.fingerprintScala(
+        "  " + t.toUpperCase(java.util.Locale.ROOT).replace(" ", "   ") + " ")
     })
     assert(GraftFunctions.fingerprintScala("a b c") !=
       GraftFunctions.fingerprintScala("a c b"), "order-sensitive by design")

@@ -117,9 +117,9 @@ class ProvidersSpec extends AnyFunSuite {
       .isInstanceOf[OpenAIChatProvider])
   }
 
-  test("request chunking: 2048-input cap mirrored from openai.rs:90-100") {
-    // shape-level: grouped() math — 5000 inputs → 3 chunks
-    val chunks = (1 to 5000).grouped(2048).toSeq
-    assert(chunks.map(_.size) == Seq(2048, 2048, 904))
+  test("request chunking: provider input caps are 2048 (openai.rs:90-100, portkey.rs:55-66)") {
+    // pins the ACTUAL provider constants generateEmbeddings chunks by
+    assert(new OpenAICompatProvider("http://x/v1").maxInputsPerRequest == 2048)
+    assert(new PortkeyProvider("pk", "vk").maxInputsPerRequest == 2048)
   }
 }

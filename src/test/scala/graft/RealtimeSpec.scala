@@ -41,7 +41,7 @@ class RealtimeSpec extends AnyFunSuite {
       .parquet(streamDir)
     def runPass(): Unit = {
       val q = Realtime.runAvailableNow(engine, "rt_job", stream, checkpoint)
-      q.awaitTermination(60000)
+      assert(q.awaitTermination(60000), "stream did not finish in time")
     }
 
     // batch 1: three inserts
@@ -78,12 +78,14 @@ class RealtimeSpec extends AnyFunSuite {
       .map(r => r.getString(0) -> r.getSeq[Float](1)).toMap
     val checkpoint2 = TestSpark.tempDir("graft_rt_ckpt2_")
     val q2 = Realtime.runAvailableNow(engine, "rt_job", stream, checkpoint2)
-    q2.awaitTermination(60000)
+    assert(q2.awaitTermination(60000), "replay stream did not finish in time")
     val after = engine.store.read("_embeddings_rt_job")
       .select("pkey", "embeddings").collect()
       .map(r => r.getString(0) -> r.getSeq[Float](1)).toMap
     assert(after.size == 4, "replay must not duplicate rows")
-    assert(after.keySet == snapshotBefore.keySet)
+    // full value equality: a replay that resurrected the PRE-update
+    // embedding for an updated key would still pass a keySet check
+    assert(after == snapshotBefore, "replay must reproduce identical embeddings")
   }
 
   test("append-method job: streamed rows land in the wide table and are searchable") {
@@ -106,7 +108,7 @@ class RealtimeSpec extends AnyFunSuite {
     val q = Realtime.runAvailableNow(engine, "rta_job",
       spark.readStream.schema("id INT, content STRING, updated_at TIMESTAMP")
         .parquet(streamDir), checkpoint)
-    q.awaitTermination(60000)
+    assert(q.awaitTermination(60000), "append stream did not finish in time")
 
     engine.registerSource("content", Fixtures.contentTable(spark, Seq(
       (1, "apples and apple trees", 20L), (2, "pencil", 2L),
