@@ -260,8 +260,8 @@ object Oracles {
         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms)),
         |sess AS (
         |  SELECT user_id, ts_ms, value,
-        |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_ms
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+        |    CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_ms
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_id
         |  FROM flagged)
         |SELECT user_id, sess_id, COUNT(*) AS n_events,
         |  MIN(ts_ms) AS start_ms, MAX(ts_ms) AS end_ms,

@@ -15,16 +15,44 @@ import pandas as pd
 
 def norm_df(df):
     df = df.reindex(sorted(df.columns), axis=1)
+    # Normalize numeric WIDTH but not KIND: the driver renders values
+    # dtype-faithfully, so int32 1 and int64 1 hash alike ('1') while
+    # int64 1 and float64 1.0 differ ('1' vs '1.0'). Upcast widths so
+    # the local gate matches the driver exactly — neither weaker
+    # (r2: row.tolist() upcast masked an int-vs-float red row) nor
+    # stricter (int32-vs-int64 is not a driver failure).
+    for col in df.columns:
+        k = df[col].dtype.kind
+        if k in "iu":
+            df[col] = df[col].astype("int64")
+        elif k == "f":
+            df[col] = df[col].astype("float64")
     return df
 
 def value_hash(df):
-    # row-order-sensitive hash of stringified values (queries carry
-    # total ORDER BY, so order must already agree)
-    parts = []
-    for _, row in df.iterrows():
-        parts.append("|".join(repr(v) for v in row.tolist()))
+    # Row-order-sensitive, DTYPE-FAITHFUL hash (queries carry total
+    # ORDER BY, so order must already agree). Hash per-COLUMN so pandas
+    # never upcasts a mixed int/float row to float64 — r2's driver gate
+    # caught an int64-vs-float64 divergence that a row.tolist() hash
+    # (which stringifies 1 and 1.0 identically after upcast) masked.
     import hashlib
+    parts = []
+    for col in df.columns:
+        s = df[col]
+        parts.append(f"{col}:{s.dtype}")
+        parts.extend(repr(v) for v in s.tolist())
     return hashlib.md5("\n".join(parts).encode()).hexdigest()
+
+def first_diff(s, d):
+    # per-column, dtype-aware first divergence for debugging
+    for col in s.columns:
+        if str(s[col].dtype) != str(d[col].dtype):
+            return f"dtype[{col}]: spark={s[col].dtype} duck={d[col].dtype}"
+        sv, dv = s[col].tolist(), d[col].tolist()
+        for i, (a, b) in enumerate(zip(sv, dv)):
+            if repr(a) != repr(b):
+                return f"first diff at row {i} col {col}: spark={a!r} duck={b!r}"
+    return "hash differs but no cell/dtype diff found (ordering?)"
 
 def main(sf_dir, out_dir):
     con = duckdb.connect()
@@ -59,13 +87,7 @@ def main(sf_dir, out_dir):
             hs, hd = value_hash(s), value_hash(d)
             if hs != hd:
                 ok = False
-                # find first differing row for debugging
-                for i in range(len(s)):
-                    rs = [repr(v) for v in s.iloc[i].tolist()]
-                    rd = [repr(v) for v in d.iloc[i].tolist()]
-                    if rs != rd:
-                        msgs.append(f"first diff at row {i}: spark={rs} duck={rd}")
-                        break
+                msgs.append(first_diff(s, d))
         if ok:
             print(f"✓ {qname}: {len(s)} rows")
             n_pass += 1
