@@ -451,6 +451,106 @@ object Oracles {
          |    / n_chars_m, 4) AS alpha_ratio,
          |  round(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 4)
          |    AS distinct_ratio
-         |FROM base ORDER BY doc_id""".stripMargin
+         |FROM base ORDER BY doc_id""".stripMargin,
+
+    // =================================================================
+    // Engine e2e oracles: SQL replays of VectorizeEngine search paths
+    // over the backfilled stores Verify dumps into the out dir
+    // (Queries.dumpOracleAux). __AUX__ is rewritten by Verify to the
+    // absolute out dir. The engine's embedding pipeline itself is
+    // JVM-only (hash provider + Porter stems), but given its OUTPUT
+    // tables the whole ranking is plain SQL — mirroring
+    // Search.semanticSearch / hybridSearch step by step: cosine over
+    // the store, top-windowSize by (1-sim, pkey-string), rank windows,
+    // RRF fusion, join back to the source, final top-limit. pkey is a
+    // string in the store, so tie-breaks compare VARCHARs on both
+    // sides.
+    // =================================================================
+
+    "vz_semantic_search" ->
+      s"""WITH q AS (
+         |  SELECT CAST(qvec AS DOUBLE[]) AS v
+         |  FROM read_parquet('__AUX__/vz_aux_query.parquet')),
+         |scored AS (
+         |  SELECT pkey,
+         |    list_cosine_similarity(CAST(embeddings AS DOUBLE[]), (SELECT v FROM q)) AS sim
+         |  FROM read_parquet('__AUX__/vz_aux_embeddings.parquet')),
+         |top AS (
+         |  SELECT pkey, sim FROM scored WHERE sim IS NOT NULL
+         |  ORDER BY 1.0 - sim ASC, pkey ASC LIMIT 50),
+         |hits AS (
+         |  SELECT d.doc_id, d.lang, t.sim
+         |  FROM documents d JOIN top t ON CAST(d.doc_id AS VARCHAR) = t.pkey
+         |  ORDER BY t.sim DESC, t.pkey ASC LIMIT 10)
+         |SELECT doc_id, lang, round(sim, 4) AS similarity_score
+         |FROM hits ORDER BY similarity_score DESC, doc_id ASC""".stripMargin,
+
+    // fts_score mirrors TextAnalyzer.rank over the DEDUPLICATED store
+    // lexemes: matched/|qlex| * (1 + matched/|doc lexemes|), same
+    // left-to-right double arithmetic.
+    "vz_hybrid_search" ->
+      s"""WITH q AS (
+         |  SELECT CAST(qvec AS DOUBLE[]) AS v, qlex
+         |  FROM read_parquet('__AUX__/vz_aux_query.parquet')),
+         |sem_scored AS (
+         |  SELECT pkey,
+         |    list_cosine_similarity(CAST(embeddings AS DOUBLE[]), (SELECT v FROM q)) AS sim
+         |  FROM read_parquet('__AUX__/vz_aux_embeddings.parquet')),
+         |sem_top AS (
+         |  SELECT pkey, sim FROM sem_scored WHERE sim IS NOT NULL
+         |  ORDER BY 1.0 - sim ASC, pkey ASC LIMIT 50),
+         |sem AS (
+         |  SELECT pkey, sim,
+         |    row_number() OVER (ORDER BY 1.0 - sim ASC, pkey ASC) AS semantic_rank
+         |  FROM sem_top),
+         |fts_scored AS (
+         |  -- CROSS JOIN the 1-row query frame: list_intersect rejects
+         |  -- subquery arguments (DuckDB lambda restriction)
+         |  SELECT t.pkey,
+         |    len(list_intersect(t.search_tokens, q.qlex)) AS m,
+         |    len(t.search_tokens) AS ntok, len(q.qlex) AS qn
+         |  FROM read_parquet('__AUX__/vz_aux_tokens.parquet') t CROSS JOIN q
+         |  WHERE len(list_intersect(t.search_tokens, q.qlex)) > 0),
+         |fts_top AS (
+         |  SELECT pkey,
+         |    (CAST(m AS DOUBLE) / qn)
+         |      * (1.0 + CAST(m AS DOUBLE) / ntok) AS fts_score
+         |  FROM fts_scored
+         |  ORDER BY fts_score DESC, pkey ASC LIMIT 50),
+         |fts AS (
+         |  SELECT pkey, fts_score,
+         |    row_number() OVER (ORDER BY fts_score DESC, pkey ASC) AS fts_rank
+         |  FROM fts_top),
+         |fused AS (
+         |  SELECT coalesce(sem.pkey, fts.pkey) AS pkey,
+         |    sem.semantic_rank, fts.fts_rank,
+         |    coalesce(1.0 / (60.0 + sem.semantic_rank), 0.0) +
+         |    coalesce(1.0 / (60.0 + fts.fts_rank), 0.0) AS rrf_score
+         |  FROM sem FULL OUTER JOIN fts ON sem.pkey = fts.pkey),
+         |hits AS (
+         |  SELECT d.doc_id, f.semantic_rank, f.fts_rank, f.rrf_score
+         |  FROM documents d JOIN fused f ON CAST(d.doc_id AS VARCHAR) = f.pkey
+         |  ORDER BY f.rrf_score DESC, f.pkey ASC LIMIT 10)
+         |SELECT doc_id, semantic_rank, fts_rank, round(rrf_score, 6) AS rrf_score
+         |FROM hits ORDER BY rrf_score DESC, doc_id ASC""".stripMargin,
+
+    // rag(numContext=2) retrieval: windowSize = limit*5 = 10.
+    "vz_rag_retrieve" ->
+      s"""WITH q AS (
+         |  SELECT CAST(rag_qvec AS DOUBLE[]) AS v
+         |  FROM read_parquet('__AUX__/vz_aux_query.parquet')),
+         |scored AS (
+         |  SELECT pkey,
+         |    list_cosine_similarity(CAST(embeddings AS DOUBLE[]), (SELECT v FROM q)) AS sim
+         |  FROM read_parquet('__AUX__/vz_aux_embeddings.parquet')),
+         |top AS (
+         |  SELECT pkey, sim FROM scored WHERE sim IS NOT NULL
+         |  ORDER BY 1.0 - sim ASC, pkey ASC LIMIT 10),
+         |hits AS (
+         |  SELECT d.doc_id, t.sim, md5(d.text) AS content_md5
+         |  FROM documents d JOIN top t ON CAST(d.doc_id AS VARCHAR) = t.pkey
+         |  ORDER BY t.sim DESC, t.pkey ASC LIMIT 2)
+         |SELECT doc_id, round(sim, 4) AS similarity_score, content_md5
+         |FROM hits ORDER BY similarity_score DESC, doc_id ASC""".stripMargin
   )
 }

@@ -23,6 +23,12 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
+    // Engine-store dumps consumed by the vz_* oracles (single parquet
+    // FILES — the driver's result walk only descends into dirs).
+    try Queries.dumpOracleAux(spark, sfDir, outDir)
+    catch { case e: Throwable =>
+      System.err.println(s"[verify] oracle aux dump failed: ${e.getMessage}")
+    }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -35,8 +41,12 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // __AUX__ → the absolute out dir, so the engine-path oracles can
+    // read_parquet the dumped stores from wherever the driver put them.
+    val outAbs = Paths.get(outDir).toAbsolutePath.toString
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) => s"${q(k)}: ${q(v.replace("__AUX__", outAbs))}" }
+      .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }
