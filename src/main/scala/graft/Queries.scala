@@ -412,8 +412,11 @@ object Queries {
       .select(col("id_a"), col("id_b"), col("hamming"))
       .orderBy(col("id_a"), col("id_b"))
 
-  /** ANN: LSH-bucketed approximate top-k (recall vs f1CosineTopK is
-    * asserted in AnnSpec).
+  /** ANN: LSH approximate top-k over a PERSISTED bucket-partitioned
+    * index (recall vs f1CosineTopK is asserted in AnnSpec). The build
+    * runs once per dataset (prepare() — CREATE INDEX analogue); the
+    * query enumerates the Hamming ring driver-side and scans only
+    * those bucket partitions (PartitionFilters prune the rest).
     */
   def annLshTopK(spark: SparkSession, dir: String): DataFrame = {
     val qv = queryVec(spark, dir)
@@ -421,8 +424,8 @@ object Queries {
     // near-uniform synthetic vectors that means probing most buckets —
     // real clustered embeddings need far fewer probes (the knob trades
     // scan fraction for recall).
-    Ann.lshTopK(t(spark, dir, "embeddings"), "vec_id", "embedding", qv,
-        k = 20, bits = 8, probeHamming = 5)
+    Ann.probeLshIndex(spark, lshIndex(spark, dir), "vec_id", "embedding", qv,
+        k = 20, probeHamming = 5)
       .select(col("id"), round(col("cos"), 4).as("cos"))
       .orderBy(col("cos").desc, col("id").asc)
   }
@@ -443,6 +446,18 @@ object Queries {
       val p = java.nio.file.Files.createTempDirectory("graft_ivf_").toString
       Ann.buildIvfIndex(t(spark, dir, "embeddings"), "vec_id", "embedding",
         p, nCells = 16, iterations = 3)
+      p
+    })
+
+  private val lshIndexCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Build-once persisted LSH index (same CREATE INDEX treatment as
+    * IVF); shared by annLshTopK and prepare(). */
+  private def lshIndex(spark: SparkSession, dir: String): String =
+    lshIndexCache.computeIfAbsent(cacheKey(spark, dir), { _ =>
+      val p = java.nio.file.Files.createTempDirectory("graft_lsh_").toString
+      Ann.buildLshIndex(t(spark, dir, "embeddings"), "vec_id", "embedding",
+        p, bits = 8)
       p
     })
 
@@ -745,6 +760,7 @@ object Queries {
   def prepare(spark: SparkSession, dir: String): Unit = {
     ephemeralEngine(spark, dir)
     ivfIndex(spark, dir)
+    lshIndex(spark, dir)
     ()
   }
 

@@ -53,24 +53,97 @@ object Ann {
         when(dotProduct(vecCol, lit(p)) > 0, lit(1L << i)).otherwise(lit(0L)))
     }
 
-  /** LSH-bucketed approximate top-k: candidates = vectors whose
-    * bucket key is within `probeHamming` bits of the query's key,
-    * then exact cosine top-k over candidates. At scale the bucketed
-    * table is written partitioned by key so probing prunes
-    * partitions; here it prunes via a cheap key predicate.
+  /** The query vector's bucket key, computed driver-side with the
+    * same sign test as [[lshKey]] (double-precision dot).
+    */
+  private def driverLshKey(queryVec: Array[Float], planes: Array[Array[Float]]): Long =
+    planes.zipWithIndex.foldLeft(0L) { case (acc, (p, i)) =>
+      val dot = p.zip(queryVec).map { case (a, b) => a.toDouble * b }.sum
+      if (dot > 0) acc | (1L << i) else acc
+    }
+
+  /** All bucket keys within Hamming distance `maxHamming` of `qKey`:
+    * XOR of every ≤maxHamming-subset of bit positions. Driver-side,
+    * sum of C(bits, 0..maxHamming) keys — the probe ring.
+    */
+  private[graft] def ringKeys(qKey: Long, bits: Int, maxHamming: Int): Seq[Long] =
+    (0 to maxHamming).flatMap(h =>
+      (0 until bits).toList.combinations(h).map(
+        _.foldLeft(qKey)((k, b) => k ^ (1L << b))))
+
+  /** LSH-bucketed approximate top-k over an UN-indexed frame:
+    * candidates = vectors whose bucket key is within `probeHamming`
+    * bits of the query's key, then exact cosine top-k. This path
+    * computes keys per query over a full scan — the ad-hoc /
+    * one-shot form. For repeated queries use [[buildLshIndex]] +
+    * [[probeLshIndex]], which persist the bucketed layout and prune
+    * partitions instead of scanning.
     */
   def lshTopK(emb: DataFrame, idCol: String, vecCol: String,
       queryVec: Array[Float], k: Int, bits: Int = 8,
       probeHamming: Int = 2, seed: Long = 42L): DataFrame = {
     val dim = queryVec.length
     val planes = hyperplanes(bits, dim, seed)
-    val qKey = planes.zipWithIndex.foldLeft(0L) { case (acc, (p, i)) =>
-      val dot = p.zip(queryVec).map { case (a, b) => a.toDouble * b }.sum
-      if (dot > 0) acc | (1L << i) else acc
-    }
+    val qKey = driverLshKey(queryVec, planes)
     val keyed = emb.withColumn("__lsh", lshKey(col(vecCol), planes))
     keyed
       .filter(hammingDist64(col("__lsh"), lit(qKey)) <= probeHamming)
+      .select(col(idCol).as("id"),
+        cosineSimilarity(col(vecCol), lit(queryVec)).as("cos"))
+      .orderBy(col("cos").desc, col("id").asc)
+      .limit(k)
+  }
+
+  // ---------------------------------------------------------------
+  // Persisted LSH index (the IVF treatment for sign-LSH): build ONCE,
+  // probe per query. The bucketed table is written PARTITIONED BY the
+  // bucket key, so a probe reads only the C(bits, ≤probeHamming)
+  // partition directories in the query's Hamming ring — at 100 TB the
+  // probe scan is |table| * ring/2^bits, not |table|.
+  // ---------------------------------------------------------------
+
+  /** Build and persist a sign-LSH index:
+    * `path/buckets` = source rows partitioned by `bucket`,
+    * `path/meta`    = (bits, dim, seed) so probes rebuild identical
+    * hyperplanes. Rows are repartitioned BY the bucket key before the
+    * write so each bucket directory holds whole-partition files (a
+    * plain partitionBy would write numTasks × numBuckets small files).
+    */
+  def buildLshIndex(emb: DataFrame, idCol: String, vecCol: String,
+      path: String, bits: Int = 8, seed: Long = 42L): Unit = {
+    val spark = emb.sparkSession
+    val dimRow = emb.select(size(col(vecCol))).limit(1).collect()
+    require(dimRow.nonEmpty,
+      "cannot build an LSH index over an empty embeddings table")
+    val dim = dimRow.head.getInt(0)
+    val planes = hyperplanes(bits, dim, seed)
+    emb.withColumn("bucket", lshKey(col(vecCol), planes))
+      .repartition(col("bucket"))
+      .write.partitionBy("bucket").mode("overwrite").parquet(s"$path/buckets")
+    import spark.implicits._
+    Seq((bits, dim, seed)).toDF("bits", "dim", "seed")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Probe a persisted LSH index: enumerate the Hamming ring of the
+    * query's key driver-side, scan ONLY those bucket partitions, exact
+    * cosine top-k over the candidates. `.explain` shows
+    * PartitionFilters: [bucket IN (...)] — files outside the ring are
+    * never opened.
+    */
+  def probeLshIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      idCol: String, vecCol: String, queryVec: Array[Float],
+      k: Int, probeHamming: Int = 2): DataFrame = {
+    val meta = spark.read.parquet(s"$path/meta").head()
+    val bits = meta.getAs[Int]("bits")
+    val dim = meta.getAs[Int]("dim")
+    val seed = meta.getAs[Long]("seed")
+    require(queryVec.length == dim,
+      s"query dim ${queryVec.length} != index dim $dim")
+    val planes = hyperplanes(bits, dim, seed)
+    val probe = ringKeys(driverLshKey(queryVec, planes), bits, probeHamming)
+    spark.read.parquet(s"$path/buckets")
+      .filter(col("bucket").isin(probe: _*))
       .select(col(idCol).as("id"),
         cosineSimilarity(col(vecCol), lit(queryVec)).as("cos"))
       .orderBy(col("cos").desc, col("id").asc)

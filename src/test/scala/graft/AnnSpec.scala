@@ -41,6 +41,46 @@ class AnnSpec extends AnyFunSuite {
       s"lsh recall ${recall(approx, exact)} below 0.9")
   }
 
+  test("persisted LSH probe matches the ad-hoc lshTopK result set") {
+    // same planes (seed=42), same probe ring → identical candidates,
+    // so the persisted path must return exactly what lshTopK returns
+    val path = TestSpark.tempDir("graft_lsh_spec_")
+    Ann.buildLshIndex(emb, "vec_id", "embedding", path, bits = 8)
+    val adhoc = ids(Ann.lshTopK(emb, "vec_id", "embedding", qv,
+      k = 20, bits = 8, probeHamming = 5))
+    val persisted = ids(Ann.probeLshIndex(spark, path, "vec_id", "embedding", qv,
+      k = 20, probeHamming = 5))
+    assert(persisted == adhoc,
+      s"persisted LSH diverged from ad-hoc: ${persisted.diff(adhoc)} / ${adhoc.diff(persisted)}")
+    val exact = ids(Ann.bruteForceTopK(emb, "vec_id", "embedding", qv, 20))
+    assert(recall(persisted, exact) >= 0.9,
+      s"persisted lsh recall ${recall(persisted, exact)} below 0.9")
+  }
+
+  test("LSH probe scans only the Hamming-ring bucket partitions") {
+    val path = TestSpark.tempDir("graft_lsh_spec2_")
+    Ann.buildLshIndex(emb, "vec_id", "embedding", path, bits = 8)
+    val probe = Ann.probeLshIndex(spark, path, "vec_id", "embedding", qv,
+      k = 20, probeHamming = 2)
+    val plan = probe.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*bucket".r.findFirstIn(plan).isDefined,
+      s"probe must push a bucket filter into PartitionFilters, plan was:\n$plan")
+    probe.collect()
+    val scan = probe.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    val filesRead = scan.flatMap(_.metrics.get("numFiles")).map(_.value)
+    // ring size at bits=8, h=2: C(8,0)+C(8,1)+C(8,2) = 37 buckets,
+    // one file per bucket (the build repartitions by key)
+    assert(filesRead.exists(_ <= 37),
+      s"expected at most 37 bucket partition files read, got $filesRead")
+    // the ring enumeration itself
+    assert(Ann.ringKeys(0L, 8, 2).size == 37)
+    assert(Ann.ringKeys(5L, 8, 2).distinct.size == 37)
+    assert(Ann.ringKeys(5L, 8, 2).forall(k2 =>
+      java.lang.Long.bitCount(k2 ^ 5L) <= 2))
+  }
+
   test("ivf probe recall@20 >= 0.9 vs brute force (query defaults)") {
     val exact = ids(Ann.bruteForceTopK(emb, "vec_id", "embedding", qv, 20))
     val path = TestSpark.tempDir("graft_ivf_spec_")
