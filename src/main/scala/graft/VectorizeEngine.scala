@@ -29,6 +29,10 @@ final class VectorizeEngine(
 
   private val sources = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
   private val jobs = scala.collection.concurrent.TrieMap.empty[String, VectorizeJob]
+  // task type → (sys_prompt, user_prompt); persisted like
+  // vectorize.prompts (extension/sql/meta.sql:9-13) so custom RAG
+  // tasks survive restart exactly as jobs do
+  private val prompts = scala.collection.concurrent.TrieMap.empty[String, (String, String)]
 
   // S9/R8 — catalog reload: like the reference's startup read of
   // vectorize.job (core/src/db.rs:4-19, cached server/src/cache.rs),
@@ -54,6 +58,31 @@ final class VectorizeEngine(
             .map(_.toMap).getOrElse(Map.empty))
         jobs.put(job.jobName, job)
       }
+    if (store.exists("prompt_catalog"))
+      store.read("prompt_catalog").collect().foreach { r =>
+        prompts.put(r.getAs[String]("prompt_type"),
+          (r.getAs[String]("sys_prompt"), r.getAs[String]("user_prompt")))
+      }
+  }
+
+  /** Register a RAG prompt template under `promptType` and persist it
+    * (vectorize.prompts analogue — users add task types as rows,
+    * extension/sql/meta.sql:9-13). Overwrites an existing row like an
+    * UPSERT; rag(task = promptType) resolves this catalog before the
+    * process-wide [[graft.rag.PromptTemplates]] built-ins.
+    */
+  def registerPrompt(promptType: String, sysPrompt: String, userPrompt: String): Unit = {
+    prompts.put(promptType, (sysPrompt, userPrompt))
+    persistPrompts()
+  }
+
+  def listPrompts: Seq[String] = prompts.keys.toSeq.sorted
+
+  private def persistPrompts(): Unit = {
+    import spark.implicits._
+    store.overwrite("prompt_catalog",
+      prompts.toSeq.map { case (t, (s, u)) => (t, s, u) }
+        .toDF("prompt_type", "sys_prompt", "user_prompt"))
   }
 
   /** Register a source DataFrame under a table name (replaces the
@@ -121,6 +150,11 @@ final class VectorizeEngine(
     Identifiers.validate(job.jobName)
     job.srcColumns.foreach(Identifiers.validate)
     Identifiers.validate(job.primaryKey)
+    // R6 — schedule must be 'realtime', 'manual', or valid 5-field
+    // cron (the reference would fail later at cron.schedule; we fail
+    // at creation). Interpretation: graft.streaming.JobScheduler.
+    Schedule.parse(job.schedule).left.foreach(err =>
+      throw new IllegalArgumentException(s"invalid schedule: $err"))
     val src = sources.getOrElse(job.srcTable,
       throw new IllegalArgumentException(s"unknown source table: ${job.srcTable}"))
     // update_time_col type check (server/src/routes/table.rs:32-49)
@@ -394,7 +428,10 @@ final class VectorizeEngine(
       .select(col(contentCol).cast("string")) // non-string content columns render, not crash
       .collect().map(_.getString(0))
       .filter(_ != null) // a null content column must not render "null" into the prompt
-    val rendered = graft.rag.PromptTemplates.render(task, hits.mkString("\n"), query)
+    // engine-persisted templates first, then the process-wide ones
+    val tpl = prompts.get(task).orElse(graft.rag.PromptTemplates.resolve(task))
+      .getOrElse(throw new IllegalArgumentException(s"unknown prompt task: $task"))
+    val rendered = graft.rag.PromptTemplates.renderTemplate(tpl, hits.mkString("\n"), query)
     val trimmed = graft.rag.ContextWindow.enforce(chatModel, rendered, forceTrim)
     val answer = chatProvider.generateResponse(chatModel, trimmed.sysPrompt, trimmed.userPrompt)
     import spark.implicits._

@@ -21,10 +21,21 @@ object PromptTemplates {
     ))
   )
 
+  // Process-wide registrations for library users without a warehouse.
+  // Engine-scoped templates PERSIST instead (VectorizeEngine.
+  // registerPrompt → prompt_catalog table), like vectorize.prompts
+  // rows survive a Postgres restart; an engine resolves its own
+  // catalog first, then falls back here.
   private val custom = scala.collection.concurrent.TrieMap.empty[String, (String, String)]
 
   def register(promptType: String, sysPrompt: String, userPrompt: String): Unit =
     custom.put(promptType, (sysPrompt, userPrompt))
+
+  /** (sys_prompt, user_prompt) for a task from the process-wide maps
+    * (custom overrides builtin, like an UPDATE on vectorize.prompts).
+    */
+  def resolve(task: String): Option[(String, String)] =
+    custom.get(task).orElse(builtin.get(task))
 
   private val placeholderRe = """\{\{(\w+)\}\}""".r
 
@@ -38,13 +49,17 @@ object PromptTemplates {
       scala.util.matching.Regex.quoteReplacement(
         vars.getOrElse(m.group(1), m.matched)))
 
-  def render(task: String, contextStr: String, queryStr: String): RenderedPrompt = {
-    val (sys, user) = custom.get(task).orElse(builtin.get(task)).getOrElse(
-      throw new IllegalArgumentException(s"unknown prompt task: $task"))
+  /** Render a resolved (sys, user) template pair. */
+  def renderTemplate(tpl: (String, String), contextStr: String,
+      queryStr: String): RenderedPrompt =
     RenderedPrompt(
-      sys,
-      substitute(user, Map("context_str" -> contextStr, "query_str" -> queryStr)))
-  }
+      tpl._1,
+      substitute(tpl._2, Map("context_str" -> contextStr, "query_str" -> queryStr)))
+
+  def render(task: String, contextStr: String, queryStr: String): RenderedPrompt =
+    renderTemplate(resolve(task).getOrElse(
+      throw new IllegalArgumentException(s"unknown prompt task: $task")),
+      contextStr, queryStr)
 }
 
 object ContextWindow {

@@ -239,6 +239,95 @@ final case class VectorizeJob(
     params: Map[String, String] = Map.empty
 )
 
+/** Interpreted form of `VectorizeJob.schedule` (reference:
+  * extension/src/api.rs:90-105 treats 'realtime' as the trigger-based
+  * mode switch, extension/src/init.rs:37-53 skips 'manual' and hands
+  * any other string to pg_cron's `cron.schedule(...job_execute...)`).
+  * Spark mapping: Realtime → Structured Streaming
+  * (graft.streaming.Realtime.start); Manual → caller-invoked
+  * refreshJob only; Cron → graft.streaming.JobScheduler firing
+  * refreshJob (= job_execute) at matching minutes.
+  */
+sealed trait Schedule
+object Schedule {
+  case object Realtime extends Schedule
+  case object Manual extends Schedule
+
+  /** Standard 5-field cron (minute hour day-of-month month
+    * day-of-week), with `*`, lists, ranges, and steps. Matching
+    * follows the classic vixie-cron day rule: when BOTH dom and dow
+    * are restricted, a time matches if EITHER field matches;
+    * otherwise both must match.
+    */
+  final case class Cron(minute: Set[Int], hour: Set[Int], dom: Set[Int],
+      month: Set[Int], dow: Set[Int], domStar: Boolean, dowStar: Boolean)
+      extends Schedule {
+    def matches(t: java.time.ZonedDateTime): Boolean = {
+      val dayOk =
+        if (domStar && dowStar) true
+        else if (domStar) dow(t.getDayOfWeek.getValue % 7)
+        else if (dowStar) dom(t.getDayOfMonth)
+        else dom(t.getDayOfMonth) || dow(t.getDayOfWeek.getValue % 7)
+      minute(t.getMinute) && hour(t.getHour) && month(t.getMonthValue) && dayOk
+    }
+  }
+
+  private def parseField(f: String, min: Int, max: Int): Either[String, Set[Int]] = {
+    def one(part: String): Either[String, Seq[Int]] = {
+      val (rangePart, step) = part.split("/", 2) match {
+        case Array(r) => (r, 1)
+        case Array(r, s) => (r, s.toIntOption.getOrElse(-1))
+      }
+      if (step < 1) Left(s"bad step in '$part'")
+      else {
+        val bounds = rangePart match {
+          case "*" => Right((min, max))
+          case r if r.contains("-") => r.split("-", 2) match {
+            case Array(a, b) => (a.toIntOption, b.toIntOption) match {
+              case (Some(x), Some(y)) => Right((x, y))
+              case _ => Left(s"bad range '$r'")
+            }
+          }
+          case n => n.toIntOption.toRight(s"bad number '$n'").map(x => (x, x))
+        }
+        bounds.flatMap { case (a, b) =>
+          if (a < min || b > max || a > b) Left(s"'$part' out of range $min-$max")
+          else Right(a.to(b, step))
+        }
+      }
+    }
+    f.split(",").foldLeft(Right(Set.empty[Int]): Either[String, Set[Int]]) {
+      (acc, part) => acc.flatMap(s => one(part).map(s ++ _))
+    }
+  }
+
+  /** Parse a schedule string; Left(reason) on garbage so createJob
+    * rejects it up front (the reference fails at cron.schedule time).
+    */
+  def parse(s: String): Either[String, Schedule] = s.trim.toLowerCase match {
+    case "realtime" => Right(Realtime)
+    case "manual" => Right(Manual)
+    case cron =>
+      cron.split("\\s+") match {
+        case Array(mi, h, dm, mo, dw) =>
+          // dow accepts 0-7 with both 0 and 7 meaning Sunday (vixie)
+          for {
+            minute <- parseField(mi, 0, 59)
+            hour <- parseField(h, 0, 23)
+            dom <- parseField(dm, 1, 31)
+            month <- parseField(mo, 1, 12)
+            dowRaw <- parseField(dw, 0, 7)
+          } yield Cron(minute, hour, dom, month,
+            dowRaw.map(_ % 7), domStar = dm == "*", dowStar = dw == "*")
+        case _ => Left(
+          s"invalid schedule '$s': expected 'realtime', 'manual', or 5-field cron")
+      }
+  }
+
+  def parseUnsafe(s: String): Schedule = parse(s).fold(
+    err => throw new IllegalArgumentException(err), identity)
+}
+
 /** A row ready for embedding: pkey (as text), rendered input text, and
   * its token estimate. Reference: `Inputs`,
   * core/src/transformers/types.rs:28-33.

@@ -125,6 +125,75 @@ class EngineSpec extends AnyFunSuite {
       s"one stale row must cost exactly one embed call, got ${CountingProvider.embedded.get() - 40}")
   }
 
+  test("cron schedule: JobScheduler refreshes a due job with no explicit refreshJob (R6)") {
+    val engine = newEngine()
+    engine.registerSource("content", Fixtures.contentTable(spark))
+    engine.createJob(VectorizeJob("sched_job", "content", Seq("content"), "id",
+      Some("updated_at"), Model.parseUnsafe("deterministic/hash-64"),
+      schedule = "*/1 * * * *"))
+    // new row lands AFTER the creation backfill
+    engine.registerSource("content", Fixtures.contentTable(spark,
+      Seq((1, "pizza", 1L), (2, "pencil", 2L), (3, "airplane", 3L),
+        (4, "astronauts in orbit", 10L))))
+    var now = java.time.ZonedDateTime.of(2026, 1, 5, 10, 30, 0, 0,
+      java.time.ZoneOffset.UTC)
+    val sched = new streaming.JobScheduler(engine, () => now)
+    assert(sched.runDue() == Seq("sched_job"))
+    // the scheduler's refresh made the new row searchable
+    val astro = engine.search("sched_job", "astronauts", limit = 1).collect()
+    assert(astro.head.getAs[Int]("id") == 4)
+    // cron fires at most once per matching minute...
+    assert(sched.runDue().isEmpty)
+    now = now.plusSeconds(20)
+    assert(sched.runDue().isEmpty)
+    // ...and again on the next one
+    now = now.plusSeconds(40)
+    assert(sched.runDue() == Seq("sched_job"))
+  }
+
+  test("schedule modes: garbage rejected at creation; realtime/manual never cron-fire") {
+    val engine = newEngine()
+    engine.registerSource("content", Fixtures.contentTable(spark))
+    def job(name: String, sch: String) = VectorizeJob(name, "content", Seq("content"),
+      "id", Some("updated_at"), Model.parseUnsafe("deterministic/hash-64"),
+      schedule = sch)
+    val bad1 = intercept[IllegalArgumentException] {
+      engine.createJob(job("j_bad", "every 5 minutes"))
+    }
+    assert(bad1.getMessage.contains("invalid schedule"))
+    val bad2 = intercept[IllegalArgumentException] {
+      engine.createJob(job("j_bad2", "61 * * * *"))
+    }
+    assert(bad2.getMessage.contains("invalid schedule"))
+    assert(engine.listJobs.isEmpty) // nothing half-created
+    engine.createJob(job("j_rt", "realtime"))
+    engine.createJob(job("j_manual", "manual"))
+    val sched = new streaming.JobScheduler(engine,
+      () => java.time.ZonedDateTime.now(java.time.ZoneOffset.UTC))
+    assert(sched.runDue().isEmpty)
+  }
+
+  test("custom prompt templates persist: restart engine renders the registered task") {
+    val wh = TestSpark.tempDir("graft_eng_")
+    val e1 = newEngine(wh)
+    e1.registerSource("content", Fixtures.contentTable(spark))
+    e1.createJob(VectorizeJob("p_job", "content", Seq("content"), "id",
+      Some("updated_at"), Model.parseUnsafe("deterministic/hash-64")))
+    e1.registerPrompt("summarize_ctx",
+      "You are a summarizer.",
+      "SUMMARIZE_MARKER {{context_str}} | Q: {{query_str}}")
+    // fresh engine over the same warehouse — jobs AND prompts reload
+    val e2 = newEngine(wh)
+    e2.registerSource("content", Fixtures.contentTable(spark))
+    assert(e2.listPrompts == Seq("summarize_ctx"))
+    val out = e2.rag("p_job", "food", task = "summarize_ctx", numContext = 1).collect()
+    // the deterministic chat provider echoes the rendered user prompt,
+    // so the custom template's marker proves which template rendered
+    assert(out.head.getAs[String]("chat_response").contains("SUMMARIZE_MARKER"))
+    // unknown tasks still error (no silent fallback)
+    intercept[IllegalArgumentException](e2.rag("p_job", "food", task = "nope"))
+  }
+
   test("catalog reload: a new engine over the warehouse recovers jobs (S9/R8)") {
     val wh = TestSpark.tempDir("graft_eng_")
     val e1 = newEngine(wh)

@@ -145,4 +145,47 @@ class TypesSpec extends AnyFunSuite {
     assert(!Identifiers.isValid(""))
     intercept[IllegalArgumentException](Identifiers.validate("a-b"))
   }
+
+  test("schedule: modes, 5-field cron parsing, and field syntax") {
+    assert(Schedule.parse("realtime") == Right(Schedule.Realtime))
+    assert(Schedule.parse("manual") == Right(Schedule.Manual))
+    val c = Schedule.parseUnsafe("*/15 2-4 1,15 * 1-5").asInstanceOf[Schedule.Cron]
+    assert(c.minute == Set(0, 15, 30, 45))
+    assert(c.hour == Set(2, 3, 4))
+    assert(c.dom == Set(1, 15))
+    assert(c.month == (1 to 12).toSet)
+    assert(c.dow == Set(1, 2, 3, 4, 5))
+    // steps over ranges, and dow 7 == 0 == Sunday
+    assert(Schedule.parseUnsafe("0 0 * * 7").asInstanceOf[Schedule.Cron].dow == Set(0))
+    assert(Schedule.parseUnsafe("10-20/5 * * * *").asInstanceOf[Schedule.Cron]
+      .minute == Set(10, 15, 20))
+    for (bad <- Seq("every 5 minutes", "61 * * * *", "* * * *", "* * * * * *",
+        "*/0 * * * *", "5-1 * * * *", "* 24 * * *", "a * * * *"))
+      assert(Schedule.parse(bad).isLeft, s"'$bad' must be rejected")
+  }
+
+  test("schedule: cron matching incl. the vixie dom/dow OR rule") {
+    import java.time.{ZonedDateTime, ZoneOffset}
+    def at(y: Int, mo: Int, d: Int, h: Int, mi: Int) =
+      ZonedDateTime.of(y, mo, d, h, mi, 0, 0, ZoneOffset.UTC)
+    val everyMin = Schedule.parseUnsafe("* * * * *").asInstanceOf[Schedule.Cron]
+    assert(everyMin.matches(at(2026, 8, 12, 13, 59)))
+    val daily = Schedule.parseUnsafe("30 2 * * *").asInstanceOf[Schedule.Cron]
+    assert(daily.matches(at(2026, 8, 12, 2, 30)))
+    assert(!daily.matches(at(2026, 8, 12, 2, 31)))
+    assert(!daily.matches(at(2026, 8, 12, 3, 30)))
+    // 2026-08-12 is a Wednesday (dow 3)
+    val wed = Schedule.parseUnsafe("0 0 * * 3").asInstanceOf[Schedule.Cron]
+    assert(wed.matches(at(2026, 8, 12, 0, 0)))
+    assert(!wed.matches(at(2026, 8, 13, 0, 0)))
+    // both dom and dow restricted → EITHER matches (vixie rule):
+    // the 15th (any weekday) OR a Wednesday
+    val both = Schedule.parseUnsafe("0 0 15 * 3").asInstanceOf[Schedule.Cron]
+    assert(both.matches(at(2026, 8, 15, 0, 0)), "dom side must fire")
+    assert(both.matches(at(2026, 8, 12, 0, 0)), "dow side must fire")
+    assert(!both.matches(at(2026, 8, 13, 0, 0)))
+    // sunday as 0 and as 7 (2026-08-16 is a Sunday)
+    assert(Schedule.parseUnsafe("0 0 * * 0").asInstanceOf[Schedule.Cron]
+      .matches(at(2026, 8, 16, 0, 0)))
+  }
 }
