@@ -521,13 +521,15 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
-  /** Full quality score (library UDF path; covered by TextSpec). */
+  /** Full quality score (library UDF path; DuckDB-oracled signal by
+    * signal — see Oracles "text_quality_score" — plus TestSpec units). */
   def textQualityScore(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents")
       .select(col("doc_id"), qualityScore(col("text")).as("quality"))
       .orderBy(col("doc_id"))
 
-  /** Language-ID heuristic distribution (no oracle — UDF heuristic). */
+  /** Language-ID heuristic distribution (DuckDB-oracled: the oracle
+    * SQL is generated from the same langMarkers constants). */
   def textLanguageId(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents")
       .select(languageId(col("text")).as("detected"))

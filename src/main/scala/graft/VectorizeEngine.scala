@@ -166,14 +166,15 @@ final class VectorizeEngine(
     }
   }
 
-  def createJob(job: VectorizeJob): VectorizeJob = {
-    validateJob(job)
-    // Re-creating an existing job with any change that affects what
-    // got embedded (model, table method, source table/columns, key,
-    // watermark column) must not serve vectors from the old embedding
-    // space — drop the old stores so the backfill starts clean.
-    // Param/schedule-only changes (API key rotation, cron tweak) keep
-    // the backfill; same-config re-create stays idempotent.
+  /** Re-creating an existing job with any change that affects what
+    * got embedded (model, table method, source table/columns, key,
+    * watermark column) must not serve vectors from the old embedding
+    * space — drop the old stores so the rebuild starts clean.
+    * Param/schedule-only changes (API key rotation, cron tweak) keep
+    * the backfill; same-config re-create stays idempotent. Applies to
+    * BOTH creation paths (table and table_from).
+    */
+  private def dropStoresIfReconfigured(job: VectorizeJob): Unit =
     jobs.get(job.jobName).foreach { old =>
       def embeddingConfig(j: VectorizeJob) =
         (j.model, j.tableMethod, j.srcTable, j.srcColumns, j.primaryKey, j.updateTimeCol)
@@ -183,6 +184,10 @@ final class VectorizeEngine(
         store.drop(appTable(job.jobName))
       }
     }
+
+  def createJob(job: VectorizeJob): VectorizeJob = {
+    validateJob(job)
+    dropStoresIfReconfigured(job)
     jobs.put(job.jobName, job)
     persistCatalog()
     refreshJob(job.jobName)
@@ -299,6 +304,25 @@ final class VectorizeEngine(
       col(extPk).cast("string").as("pkey"),
       col(extVecCol).cast("array<float>").as("embeddings"),
       current_timestamp().as("updated_at"))
+    // Reject dimension mismatches AT IMPORT, not at first search:
+    // with the strict dimension check in VectorBinaryExpression a
+    // mis-sized imported vector would otherwise make every subsequent
+    // query over the job throw.
+    val dims = incoming.filter(col("embeddings").isNotNull)
+      .select(size(col("embeddings")).as("d")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    if (dims.nonEmpty) {
+      require(dims.length == 1,
+        s"imported embeddings have mixed dimensions: ${dims.mkString(", ")}")
+      // the job model's dimension; a provider whose dim probe needs
+      // network (e.g. a live model server) falls back to accepting the
+      // uniform incoming dim
+      val expected = try provider(j).modelDim(j.model.apiName)
+        catch { case _: Exception => dims.head }
+      require(dims.head == expected,
+        s"imported embedding dimension ${dims.head} != model dimension " +
+          s"$expected for ${j.model.fullname}")
+    }
     // Imported rows must be lexically searchable too: the refresh
     // delta skips them (they have embeddings), so their search
     // tokens are rendered here from the source rows.
@@ -337,6 +361,10 @@ final class VectorizeEngine(
   def createJobFromExisting(job: VectorizeJob, external: DataFrame,
       extPk: String, extVecCol: String): VectorizeJob = {
     validateJob(job)
+    // same reconfiguration rule as createJob: a table_from with a
+    // changed embedding config must not mix old-space vectors with
+    // the imported ones
+    dropStoresIfReconfigured(job)
     jobs.put(job.jobName, job)
     persistCatalog()
     importEmbeddings(job.jobName, external, extPk, extVecCol)
@@ -354,6 +382,32 @@ final class VectorizeEngine(
     store.drop(appTable(jobName))
     jobs.remove(jobName)
     persistCatalog()
+  }
+
+  /** `vectorize.chunk_table` (extension/src/api.rs:17-78): chunk one
+    * text column of a registered source and WRITE the result as a
+    * warehouse table of (original_id, chunk_index, chunk) — the
+    * reference's output_table shape. Rows with a null key or null
+    * text are skipped like the reference's `if let (Some, Some)`.
+    * Overwrite (idempotent re-chunk) instead of the reference's
+    * CREATE-IF-NOT-EXISTS + INSERT, which duplicates rows on re-run.
+    * Returns the written table's DataFrame.
+    */
+  def chunkTable(inputTable: String, columnName: String, primaryKey: String,
+      maxChunkSize: Int = 1000, outputTable: String = "chunked_data"): DataFrame = {
+    Identifiers.validate(columnName)
+    Identifiers.validate(primaryKey)
+    Identifiers.validate(outputTable)
+    require(maxChunkSize > 0, s"max_chunk_size must be positive, got $maxChunkSize")
+    val src = sources.getOrElse(inputTable,
+      throw new IllegalArgumentException(s"unknown source table: $inputTable"))
+    val chunked = src
+      .filter(col(primaryKey).isNotNull && col(columnName).isNotNull)
+      .select(col(primaryKey).as("original_id"),
+        posexplode(graft.functions.GraftFunctions.chunkText(
+          col(columnName), lit(maxChunkSize))).as(Seq("chunk_index", "chunk")))
+    store.overwrite(outputTable, chunked)
+    store.read(outputTable)
   }
 
   /** `vectorize.encode` (extension/src/api.rs:159-177). */

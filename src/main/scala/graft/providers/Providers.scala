@@ -141,6 +141,8 @@ private[providers] object Json {
             case 'n' => sb += '\n'; i += 1
             case 'r' => sb += '\r'; i += 1
             case 't' => sb += '\t'; i += 1
+            case 'b' => sb += '\b'; i += 1
+            case 'f' => sb += '\f'; i += 1
             case 'u' if i + 5 < body.length =>
               sb += Integer.parseInt(body.substring(i + 2, i + 6), 16).toChar
               i += 5

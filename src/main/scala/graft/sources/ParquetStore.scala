@@ -84,7 +84,13 @@ final class ParquetStore(spark: SparkSession, root: String, nBuckets: Int = 16)
     */
   private def readBucketMap(table: String): Map[Int, Long] = {
     val p = bucketsPath(table)
-    if (!fs.exists(p)) Map.empty
+    if (!fs.exists(p))
+      // Migration: a pre-bucketing table has _CURRENT but no _BUCKETS
+      // (the old format stored one flat snapshot at the current
+      // version). Synthesize the flat map so legacy warehouses stay
+      // readable; the next merge re-buckets them like any flat
+      // overwrite() snapshot.
+      currentVersion(table).map(v => Map(-1 -> v)).getOrElse(Map.empty)
     else new String(readFully(p), "UTF-8").linesIterator
       .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#")).map { line =>
         val Array(b, v) = line.split("\\s+")

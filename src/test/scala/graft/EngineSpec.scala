@@ -173,6 +173,33 @@ class EngineSpec extends AnyFunSuite {
     assert(sched.runDue().isEmpty)
   }
 
+  test("chunk_table writes (original_id, chunk_index, chunk) to the warehouse (F7)") {
+    val engine = newEngine()
+    engine.registerSource("content", Fixtures.contentTable(spark))
+    val out = engine.chunkTable("content", "content", "id",
+      maxChunkSize = 10, outputTable = "content_chunks").collect()
+    assert(engine.store.exists("content_chunks"))
+    assert(out.nonEmpty)
+    assert(out.map(_.schema.fieldNames.toSeq).head ==
+      Seq("original_id", "chunk_index", "chunk"))
+    // every chunk respects the budget and indexes are dense from 0
+    assert(out.forall(_.getAs[String]("chunk").length <= 10))
+    out.groupBy(_.getAs[Int]("original_id")).foreach { case (_, ch) =>
+      assert(ch.map(_.getAs[Int]("chunk_index")).sorted.toSeq == (0 until ch.length))
+    }
+    // "apples and apple trees"-free fixture: 3 rows, pizza/pencil/airplane
+    // each ≤ 10 chars → exactly one chunk per row
+    assert(out.length == 3)
+    // idempotent re-chunk (overwrite, not INSERT-append)
+    val again = engine.chunkTable("content", "content", "id",
+      maxChunkSize = 10, outputTable = "content_chunks").collect()
+    assert(again.length == out.length)
+    intercept[IllegalArgumentException](
+      engine.chunkTable("nope", "content", "id"))
+    intercept[IllegalArgumentException](
+      engine.chunkTable("content", "content", "id", maxChunkSize = 0))
+  }
+
   test("custom prompt templates persist: restart engine renders the registered task") {
     val wh = TestSpark.tempDir("graft_eng_")
     val e1 = newEngine(wh)

@@ -125,6 +125,25 @@ class ParquetStoreSpec extends AnyFunSuite {
     assert(store.read("t").count() == 5)
   }
 
+  test("legacy table (_CURRENT without _BUCKETS) stays readable and re-buckets on merge") {
+    // simulate the pre-bucketing format: one flat snapshot at v_0 and
+    // a _CURRENT pointer, no _BUCKETS file
+    val root = TestSpark.tempDir("graft_ps_legacy_")
+    rows(1 to 50, "old").write.parquet(s"$root/t/v_0")
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(new Path(s"$root/t/_CURRENT"), true)
+    out.write("0".getBytes("UTF-8")); out.close()
+
+    val store = new ParquetStore(spark, root)
+    assert(store.exists("t"))
+    assert(store.read("t").count() == 50) // not "no data for table"
+    // the next merge re-buckets the legacy snapshot without losing rows
+    store.merge("t", rows(40 to 60, "new"), "pkey")
+    val got = store.read("t").collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got.size == 60)
+    assert(got("10") == "old-10" && got("40") == "new-40" && got("60") == "new-60")
+  }
+
   test("null-key rows upsert (replace), never accumulate duplicates") {
     import org.apache.spark.sql.functions.lit
     val store = new ParquetStore(spark, TestSpark.tempDir("graft_ps_"))

@@ -47,6 +47,15 @@ class ProvidersSpec extends AnyFunSuite {
       == "an answer")
   }
 
+  test("chat response string unescaping covers \\b and \\f (not literal b/f)") {
+    val p = new OllamaProvider()
+    assert(p.parseChatResponse("""{"response":"a\bb\fc\nd"}""") == "a\bb\fc\nd")
+    // round-trip: Json.str escapes control chars as \uXXXX, which the
+    // extractor already decodes
+    val encoded = p.chatRequestBody("m", "x\by\fz")
+    assert(encoded.contains("\\u0008") && encoded.contains("\\u000c"))
+  }
+
   test("cohere request carries input_type and truncate (cohere.rs:34-50)") {
     val p = new CohereProvider("key")
     assert(p.requestBody("embed-english-v3.0", Seq("doc one")) ==

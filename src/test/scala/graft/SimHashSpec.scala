@@ -39,6 +39,37 @@ class SimHashSpec extends AnyFunSuite {
     assert(got.length == 1)
   }
 
+  test("blockCol: full recall WITHIN blocks at maxHamming=7; no cross-block pairs") {
+    import graft.functions.GraftFunctions
+    import spark.implicits._
+    // two "languages": recall inside each block must equal brute force
+    // restricted to same-block pairs, and no pair may span blocks even
+    // when the signatures are near-identical across them
+    val rows = (0L until 60L).map { i =>
+      val words = (0 until 12).map(j => s"w${(i + j * (i % 7 + 1)) % 19}")
+      (i, words.mkString(" "), if (i % 2 == 0) "en" else "de")
+    }
+    val df = rows.toDF("doc_id", "text", "lang")
+    val got = Dedup.simHashPairs(df, "doc_id", "text", maxHamming = 7,
+        blockCol = Some("lang"))
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    val sigs = rows.map { case (id, tx, lang) =>
+      (id, GraftFunctions.simHashScala(graft.functions.TextAnalyzer.tokenize(tx)), lang)
+    }
+    val want = (for {
+      (ia, sa, la) <- sigs; (ib, sb, lb) <- sigs
+      if ia < ib && la == lb
+      if java.lang.Long.bitCount(sa ^ sb) <= 7
+    } yield (ia, ib)).toSet
+    assert(got == want,
+      s"blocked pairs must equal same-block brute force; extra=${got.diff(want)} missing=${want.diff(got)}")
+    // sanity: the unblocked run finds strictly more (cross-block) pairs
+    val unblocked = Dedup.simHashPairs(df, "doc_id", "text", maxHamming = 7)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(want.subsetOf(unblocked))
+    assert(unblocked.diff(want).nonEmpty, "fixture must contain cross-block near-dups")
+  }
+
   test("banded recall equals brute force (pigeonhole over maxHamming+1 bands)") {
     import graft.functions.GraftFunctions
     // Varied docs so signatures span a range of Hamming distances.
