@@ -414,18 +414,25 @@ object Queries {
 
   /** ANN: LSH approximate top-k over a PERSISTED bucket-partitioned
     * index (recall vs f1CosineTopK is asserted in AnnSpec). The build
-    * runs once per dataset (prepare() — CREATE INDEX analogue); the
-    * query enumerates the Hamming ring driver-side and scans only
-    * those bucket partitions (PartitionFilters prune the rest).
+    * runs once per dataset (prepare() — CREATE INDEX analogue) with
+    * bits auto-derived from the corpus size (Ann.deriveBits); the
+    * query enumerates a query-directed multiprobe list driver-side
+    * (cheapest sign flips first) and scans only those bucket
+    * partitions (PartitionFilters prune the rest).
+    *
+    * Probe budget honesty: the synthetic embeddings are near-uniform
+    * (pair cos ~ N(0, 0.125), measured), the worst case for angular
+    * LSH — recall ≈ scanned fraction, so maxProbes=20 covers ~60% of
+    * the 32 auto-bits buckets at sf0.1 for recall 0.9 (vs 26 buckets
+    * for the blind Hamming ring at equal recall, and 219 of 256 for
+    * the r3 demo settings). On clustered real embeddings the same
+    * mechanism reaches recall 0.9 probing <7% of buckets — asserted
+    * in AnnSpec's planted-cluster test.
     */
   def annLshTopK(spark: SparkSession, dir: String): DataFrame = {
     val qv = queryVec(spark, dir)
-    // probeHamming=5 reaches recall 1.0 at sf0.01 (AnnSpec); on the
-    // near-uniform synthetic vectors that means probing most buckets —
-    // real clustered embeddings need far fewer probes (the knob trades
-    // scan fraction for recall).
-    Ann.probeLshIndex(spark, lshIndex(spark, dir), "vec_id", "embedding", qv,
-        k = 20, probeHamming = 5)
+    Ann.probeLshIndexDirected(spark, lshIndex(spark, dir), "vec_id", "embedding",
+        qv, k = 20, maxProbes = 20)
       .select(col("id"), round(col("cos"), 4).as("cos"))
       .orderBy(col("cos").desc, col("id").asc)
   }
@@ -452,12 +459,15 @@ object Queries {
   private val lshIndexCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** Build-once persisted LSH index (same CREATE INDEX treatment as
-    * IVF); shared by annLshTopK and prepare(). */
+    * IVF); shared by annLshTopK and prepare(). bits <= 0 auto-derives
+    * the key width from the corpus size (sf0.01 → 3, sf0.1 → 5) so
+    * buckets stay parquet-file-sized instead of hundreds of near-empty
+    * directories whose open overhead dominated the r3 probe. */
   private def lshIndex(spark: SparkSession, dir: String): String =
     lshIndexCache.computeIfAbsent(cacheKey(spark, dir), { _ =>
       val p = java.nio.file.Files.createTempDirectory("graft_lsh_").toString
       Ann.buildLshIndex(t(spark, dir, "embeddings"), "vec_id", "embedding",
-        p, bits = 8)
+        p, bits = 0)
       p
     })
 
@@ -483,6 +493,19 @@ object Queries {
     val emb = t(spark, dir, "embeddings")
     Ann.knnJoin(emb.filter(col("vec_id") < 50), emb, "vec_id", "embedding",
         k = 5, bits = 6)
+      .select(col("q_id"), col("x_id"), round(col("cos"), 4).as("cos"), col("rank"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** ANN: batch kNN join against the PERSISTED auto-bits LSH index —
+    * same probe pattern as ann_knn_join, but the index side reads the
+    * pre-bucketed table with the batch's probe-key union pushed into
+    * PartitionFilters instead of recomputing keys over a full scan.
+    */
+  def annKnnJoinIndexed(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    Ann.knnJoinIndexed(spark, lshIndex(spark, dir),
+        emb.filter(col("vec_id") < 50), "vec_id", "embedding", k = 5)
       .select(col("q_id"), col("x_id"), round(col("cos"), 4).as("cos"), col("rank"))
       .orderBy(col("q_id"), col("rank"))
   }
@@ -620,11 +643,18 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
-  /** F2/F4: stemmed tsvector + ranked lexical search (library path
-    * with Porter stemming; no SQL oracle — AnalyzerSpec covers).
+  /** F2/F4: stemmed tsvector + ranked lexical search. DuckDB-oracled
+    * via dump-and-replay: Verify dumps the per-doc Porter lexeme
+    * arrays and the stemmed query lexemes (dumpOracleAux), and the
+    * oracle replays the match filter + tf-proxy rank + order/limit in
+    * SQL over those dumps (the stemmer itself is unit-covered by
+    * AnalyzerSpec; the relational semantics are what the oracle
+    * checks).
     */
+  private[graft] val f2QueryText = "merging joins streams"
+
   def f2TsvectorRank(spark: SparkSession, dir: String): DataFrame = {
-    val qLex = graft.functions.TextAnalyzer.queryLexemes("merging joins streams")
+    val qLex = graft.functions.TextAnalyzer.queryLexemes(f2QueryText)
     val qCol = lit(qLex.toArray)
     t(spark, dir, "documents")
       .withColumn("lexemes", toTsvector(col("text")))
@@ -717,9 +747,18 @@ object Queries {
     writeSingleParquet(
       Seq((engine.encode("docs_job", vzQueryText),
         graft.functions.TextAnalyzer.queryLexemes(vzQueryText),
-        engine.encode("docs_job", ragQueryText)))
-        .toDF("qvec", "qlex", "rag_qvec"),
+        engine.encode("docs_job", ragQueryText),
+        graft.functions.TextAnalyzer.queryLexemes(f2QueryText)))
+        .toDF("qvec", "qlex", "rag_qvec", "f2_qlex"),
       s"$outDir/vz_aux_query.parquet")
+    // per-doc stemmed lexeme arrays for the f2_tsvector_rank oracle —
+    // same toTsvector UDF the query itself uses, so the oracle checks
+    // the relational layer (match/rank/order/limit) over identical
+    // lexeme inputs
+    writeSingleParquet(
+      t(spark, dir, "documents")
+        .select(col("doc_id"), toTsvector(col("text")).as("lexemes")),
+      s"$outDir/f2_aux_lexemes.parquet")
   }
 
   private def writeSingleParquet(df: DataFrame, target: String): Unit = {
@@ -799,6 +838,7 @@ object Queries {
     "ann_lsh_topk" -> (annLshTopK _),
     "ann_ivf_topk" -> (annIvfTopK _),
     "ann_knn_join" -> (annKnnJoin _),
+    "ann_knn_join_indexed" -> (annKnnJoinIndexed _),
     "mm_describe" -> (mmDescribe _),
     "mm_features" -> (mmFeatures _),
     "text_quality_metrics" -> (textQualityMetrics _),

@@ -102,12 +102,30 @@ object Ann {
   // probe scan is |table| * ring/2^bits, not |table|.
   // ---------------------------------------------------------------
 
+  /** Derive the index key width from the corpus size: buckets sized
+    * around `targetBucketRows` rows so each partition directory holds
+    * a parquet file worth opening (hundreds of near-empty directories
+    * cost more in file-open overhead than they save in pruning — the
+    * r3 bench measured 219 probed dirs of ≤10 rows each dominating the
+    * query). Capped at 16 bits ⇒ ≤65536 directories, a sane listing
+    * size for any filesystem; beyond that scale the extra selectivity
+    * should come from sorting within buckets (row-group pruning), not
+    * more directories.
+    */
+  def deriveBits(rows: Long, targetBucketRows: Long = 64L): Int = {
+    val raw = math.ceil(math.log(math.max(1L, rows).toDouble /
+      targetBucketRows) / math.log(2)).toInt
+    math.min(16, math.max(2, raw))
+  }
+
   /** Build and persist a sign-LSH index:
     * `path/buckets` = source rows partitioned by `bucket`,
     * `path/meta`    = (bits, dim, seed) so probes rebuild identical
     * hyperplanes. Rows are repartitioned BY the bucket key before the
     * write so each bucket directory holds whole-partition files (a
     * plain partitionBy would write numTasks × numBuckets small files).
+    * `bits <= 0` auto-derives the key width from the corpus size via
+    * [[deriveBits]].
     */
   def buildLshIndex(emb: DataFrame, idCol: String, vecCol: String,
       path: String, bits: Int = 8, seed: Long = 42L): Unit = {
@@ -116,12 +134,13 @@ object Ann {
     require(dimRow.nonEmpty,
       "cannot build an LSH index over an empty embeddings table")
     val dim = dimRow.head.getInt(0)
-    val planes = hyperplanes(bits, dim, seed)
+    val effBits = if (bits > 0) bits else deriveBits(emb.count())
+    val planes = hyperplanes(effBits, dim, seed)
     emb.withColumn("bucket", lshKey(col(vecCol), planes))
       .repartition(col("bucket"))
       .write.partitionBy("bucket").mode("overwrite").parquet(s"$path/buckets")
     import spark.implicits._
-    Seq((bits, dim, seed)).toDF("bits", "dim", "seed")
+    Seq((effBits, dim, seed)).toDF("bits", "dim", "seed")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
   }
 
@@ -133,7 +152,36 @@ object Ann {
     */
   def probeLshIndex(spark: org.apache.spark.sql.SparkSession, path: String,
       idCol: String, vecCol: String, queryVec: Array[Float],
-      k: Int, probeHamming: Int = 2): DataFrame = {
+      k: Int, probeHamming: Int = 2): DataFrame =
+    probeWithKeys(spark, path, idCol, vecCol, queryVec, k) {
+      (qKey, planes, _) => ringKeys(qKey, planes.length, probeHamming)
+    }
+
+  /** Query-directed multiprobe (Lv et al., VLDB'07): probe the
+    * `maxProbes` buckets MOST LIKELY to hold the query's neighbors,
+    * ordered by the cost of the sign flips that produce them — a
+    * neighbor lands across a hyperplane the query is close to far more
+    * often than across one it clears by a wide margin, so flipping
+    * small-|dot| bits first reaches a given recall in strictly fewer
+    * bucket reads (= files opened) than a blind Hamming ring, which
+    * treats every bit as equally likely to differ.
+    *
+    * The probe list is enumerated driver-side with a heap over flip
+    * subsets (O(maxProbes · log maxProbes), independent of 2^bits).
+    * At 100 TB this is the index's query planner: the scan cost is
+    * maxProbes directories regardless of corpus size, and the knob is
+    * per-query (cheap queries probe few, recall-critical ones many).
+    */
+  def probeLshIndexDirected(spark: org.apache.spark.sql.SparkSession,
+      path: String, idCol: String, vecCol: String, queryVec: Array[Float],
+      k: Int, maxProbes: Int): DataFrame =
+    probeWithKeys(spark, path, idCol, vecCol, queryVec, k) {
+      (_, planes, margins) => directedProbeKeys(margins, planes.length, maxProbes)
+    }
+
+  private def probeWithKeys(spark: org.apache.spark.sql.SparkSession,
+      path: String, idCol: String, vecCol: String, queryVec: Array[Float],
+      k: Int)(keys: (Long, Array[Array[Float]], Array[Double]) => Seq[Long]): DataFrame = {
     val meta = spark.read.parquet(s"$path/meta").head()
     val bits = meta.getAs[Int]("bits")
     val dim = meta.getAs[Int]("dim")
@@ -141,13 +189,53 @@ object Ann {
     require(queryVec.length == dim,
       s"query dim ${queryVec.length} != index dim $dim")
     val planes = hyperplanes(bits, dim, seed)
-    val probe = ringKeys(driverLshKey(queryVec, planes), bits, probeHamming)
+    val margins = planes.map(p =>
+      p.zip(queryVec).map { case (a, b) => a.toDouble * b }.sum)
+    val probe = keys(driverLshKey(queryVec, planes), planes, margins)
     spark.read.parquet(s"$path/buckets")
       .filter(col("bucket").isin(probe: _*))
       .select(col(idCol).as("id"),
         cosineSimilarity(col(vecCol), lit(queryVec)).as("cos"))
       .orderBy(col("cos").desc, col("id").asc)
       .limit(k)
+  }
+
+  /** The `maxProbes` bucket keys with the lowest total flip cost,
+    * where flipping bit b costs |margin(b)| (the query's distance to
+    * hyperplane b). First key is always the query's own bucket (empty
+    * flip set); successors come from the classic two-rule heap walk
+    * over flip subsets of the margin-ascending bit order — (extend
+    * with next position) and (replace last with next position) — which
+    * enumerates subsets in nondecreasing cost without materializing
+    * the 2^bits space.
+    */
+  private[graft] def directedProbeKeys(margins: Array[Double], bits: Int,
+      maxProbes: Int): Seq[Long] = {
+    val qKey = margins.zipWithIndex.foldLeft(0L) { case (acc, (m, i)) =>
+      if (m > 0) acc | (1L << i) else acc
+    }
+    if (maxProbes <= 1) return Seq(qKey)
+    // bit positions sorted by |margin| ascending: cheapest flips first
+    val order = margins.map(math.abs).zipWithIndex.sortBy(_._1)
+    val cost = order.map(_._1)
+    def keyOf(subset: List[Int]): Long =
+      subset.foldLeft(qKey)((kk, j) => kk ^ (1L << order(j)._2))
+    // heap entries: (total flip cost, last flipped sorted-position,
+    // flip subset as a reversed list)
+    implicit val ord: Ordering[(Double, Int, List[Int])] =
+      Ordering.by[(Double, Int, List[Int]), Double](_._1).reverse
+    val heap = scala.collection.mutable.PriorityQueue((cost(0), 0, List(0)))
+    val out = scala.collection.mutable.ArrayBuffer(qKey)
+    while (heap.nonEmpty && out.length < maxProbes) {
+      val (c, last, subset) = heap.dequeue()
+      out += keyOf(subset)
+      if (last + 1 < bits) {
+        heap.enqueue((c + cost(last + 1), last + 1, (last + 1) :: subset))
+        heap.enqueue((c - cost(last) + cost(last + 1), last + 1,
+          (last + 1) :: subset.tail))
+      }
+    }
+    out.toSeq
   }
 
   /** Build IVF centroids: Lloyd's k-means iterations expressed as
@@ -319,6 +407,52 @@ object Ann {
       // no distinct needed: the probe keys (own bucket + each
       // single-bit flip) are pairwise distinct and every index row
       // carries exactly one key, so a (q, x) pair joins at most once
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("q_id", "x_id", "cos", "rank")
+  }
+
+  /** Batch kNN join against a PERSISTED LSH index: same semantics and
+    * probe pattern as [[knnJoin]] (own bucket + every single-bit flip
+    * per query), but the index side reads the pre-bucketed table
+    * instead of recomputing keys over a full scan — with the union of
+    * the batch's probe keys pushed into PartitionFilters, so only the
+    * bucket directories some query actually probes are opened.
+    *
+    * The probe-key union is collected driver-side for the pruning
+    * literal; it is bounded by 2^bits (≤ 65536 longs at the
+    * [[deriveBits]] cap) regardless of query count — index metadata
+    * scale, not data scale. Results are identical to `knnJoin(queries,
+    * index, …)` with the index's stored (bits, seed): the persisted
+    * bucket column was computed by the same [[lshKey]] planes.
+    */
+  def knnJoinIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
+      queries: DataFrame, idCol: String, vecCol: String, k: Int,
+      excludeSelf: Boolean = true): DataFrame = {
+    val meta = spark.read.parquet(s"$path/meta").head()
+    val bits = meta.getAs[Int]("bits")
+    val dim = meta.getAs[Int]("dim")
+    val seed = meta.getAs[Long]("seed")
+    val planes = hyperplanes(bits, dim, seed)
+    val q0 = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
+      .withColumn("__qkey", lshKey(col("q_vec"), planes))
+    val probeKeys = array(
+      (col("__qkey") +: (0 until bits).map(b =>
+        col("__qkey").bitwiseXOR(lit(1L << b)))): _*)
+    val q = q0.withColumn("__lsh", explode(probeKeys)).drop("__qkey")
+    // the batch's distinct probe keys, for partition pruning (bounded
+    // by 2^bits — NOT by the number of queries)
+    val probed = q.select(col("__lsh")).distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val x = spark.read.parquet(s"$path/buckets")
+      .filter(col("bucket").isin(probed: _*)) // on the raw partition col → PartitionFilters
+      .select(col(idCol).as("x_id"), col(vecCol).as("x_vec"),
+        col("bucket").cast("long").as("__lsh"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("x_id").asc)
+    q.join(x, Seq("__lsh"))
+      .filter(if (excludeSelf) col("q_id") =!= col("x_id") else lit(true))
+      .select(col("q_id"), col("x_id"),
+        cosineSimilarity(col("q_vec"), col("x_vec")).as("cos"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("q_id", "x_id", "cos", "rank")

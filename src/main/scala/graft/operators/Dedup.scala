@@ -122,18 +122,28 @@ object Dedup {
     val extra = 64 % bands // first `extra` bands are one bit wider
     val widths = Array.tabulate(bands)(i => if (i < extra) base + 1 else base)
     val offsets = widths.scanLeft(0)(_ + _)
+    // md5 the block value: fixed-width hex can never contain the band
+    // separator, so a block value containing '|' (or any other text)
+    // cannot collide band keys across blocks. The isnull flag
+    // disambiguates a null block from a block whose text equals the
+    // coalesce fallback (nulls group together per the contract above).
     val blockPrefix: Column = blockCol match {
-      case Some(bc) => concat(coalesce(col(bc).cast("string"), lit("\u0000null")), lit("|"))
+      case Some(bc) => concat(
+        md5(coalesce(col(bc).cast("string"), lit(""))),
+        isnull(col(bc)).cast("string"), lit("|"))
       case None => lit("")
     }
     val withSig = docs
       .select((col(idCol).as("id") +: col(textCol).as("text") +:
         blockCol.map(col).toSeq): _*)
       .withColumn("sig", simHash(col("text")))
+      // materialize the prefix once per row — inlining it into each of
+      // the `bands` array elements would md5 the block value bands×
+      .withColumn("__bp", blockPrefix)
     val bandKeys = array((0 until bands).map { bnd =>
       val mask = if (widths(bnd) == 64) lit(-1L)
         else lit((1L << widths(bnd)) - 1)
-      concat(blockPrefix, lit(s"$bnd:"),
+      concat(col("__bp"), lit(s"$bnd:"),
         shiftrightunsigned(col("sig"), offsets(bnd)).bitwiseAND(mask))
     }: _*)
     val banded = withSig

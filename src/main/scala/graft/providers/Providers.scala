@@ -106,7 +106,7 @@ final class DeterministicChatProvider extends ChatProvider {
 /** Minimal JSON helpers for provider payloads (no external deps —
   * build.sbt is intentionally closed).
   */
-private[providers] object Json {
+private[graft] object Json {
   def str(s: String): String =
     "\"" + s.flatMap {
       case '"' => "\\\""
@@ -118,39 +118,64 @@ private[providers] object Json {
       case c => c.toString
     } + "\""
 
-  /** Extract the first JSON string value for `key` (used for chat
-    * response bodies: OpenAI `choices[].message.content`, Ollama
+  /** Extract the first JSON string value whose KEY is `key` (used for
+    * chat response bodies: OpenAI `choices[].message.content`, Ollama
     * `response`). Handles standard escapes incl. \uXXXX.
+    *
+    * The scan tokenizes every string it passes (escape-aware), so a
+    * VALUE that happens to contain the text `"key"` can never match —
+    * a token only counts as a key when the next non-space character is
+    * ':' (in valid JSON a value string is followed by ',', '}' or ']',
+    * never ':'). Key occurrences whose value is not a string are
+    * skipped and the scan continues (e.g. an object-valued field of
+    * the same name earlier in the body).
     */
   def extractString(body: String, key: String): Option[String] = {
-    val marker = "\"" + key + "\""
-    val at = body.indexOf(marker)
-    if (at < 0) return None
-    var i = body.indexOf(':', at + marker.length)
-    if (i < 0) return None
-    i += 1
-    while (i < body.length && body.charAt(i).isWhitespace) i += 1
-    if (i >= body.length || body.charAt(i) != '"') return None
-    i += 1
-    val sb = new StringBuilder
-    while (i < body.length) {
-      body.charAt(i) match {
-        case '"' => return Some(sb.toString)
-        case '\\' if i + 1 < body.length =>
-          body.charAt(i + 1) match {
-            case 'n' => sb += '\n'; i += 1
-            case 'r' => sb += '\r'; i += 1
-            case 't' => sb += '\t'; i += 1
-            case 'b' => sb += '\b'; i += 1
-            case 'f' => sb += '\f'; i += 1
-            case 'u' if i + 5 < body.length =>
-              sb += Integer.parseInt(body.substring(i + 2, i + 6), 16).toChar
-              i += 5
-            case c => sb += c; i += 1
-          }
-        case c => sb += c
+    val n = body.length
+    // decode the string token starting at the opening quote `start`;
+    // returns (decoded value, index just past the closing quote)
+    def readString(start: Int): Option[(String, Int)] = {
+      val sb = new StringBuilder
+      var j = start + 1
+      while (j < n) {
+        body.charAt(j) match {
+          case '"' => return Some((sb.toString, j + 1))
+          case '\\' if j + 1 < n =>
+            body.charAt(j + 1) match {
+              case 'n' => sb += '\n'; j += 1
+              case 'r' => sb += '\r'; j += 1
+              case 't' => sb += '\t'; j += 1
+              case 'b' => sb += '\b'; j += 1
+              case 'f' => sb += '\f'; j += 1
+              case 'u' if j + 5 < n =>
+                sb += Integer.parseInt(body.substring(j + 2, j + 6), 16).toChar
+                j += 5
+              case c => sb += c; j += 1
+            }
+          case c => sb += c
+        }
+        j += 1
       }
-      i += 1
+      None
+    }
+    var i = 0
+    while (i < n) {
+      if (body.charAt(i) == '"') {
+        readString(i) match {
+          case Some((tok, after)) =>
+            var k = after
+            while (k < n && body.charAt(k).isWhitespace) k += 1
+            if (k < n && body.charAt(k) == ':' && tok == key) {
+              k += 1
+              while (k < n && body.charAt(k).isWhitespace) k += 1
+              if (k < n && body.charAt(k) == '"')
+                return readString(k).map(_._1)
+              // non-string value under this key: keep scanning
+            }
+            i = after
+          case None => return None // unterminated string
+        }
+      } else i += 1
     }
     None
   }

@@ -39,8 +39,15 @@ final class JobScheduler(engine: VectorizeEngine,
         case Right(c: Schedule.Cron)
             if c.matches(now) && !lastRun.get(j.jobName).contains(epochMinute) =>
           lastRun.put(j.jobName, epochMinute)
-          engine.refreshJob(j.jobName)
-          Some(j.jobName)
+          // isolate per-job failures: one broken job must not starve
+          // the remaining due jobs this poll (pg_cron likewise records
+          // a failed run and moves on)
+          try { engine.refreshJob(j.jobName); Some(j.jobName) }
+          catch { case scala.util.control.NonFatal(e) =>
+            System.err.println(
+              s"[scheduler] refresh of '${j.jobName}' failed: ${e.getMessage}")
+            None
+          }
         case _ => None
       }
     }

@@ -274,10 +274,11 @@ object Schedule {
 
   private def parseField(f: String, min: Int, max: Int): Either[String, Set[Int]] = {
     def one(part: String): Either[String, Seq[Int]] = {
-      val (rangePart, step) = part.split("/", 2) match {
-        case Array(r) => (r, 1)
-        case Array(r, s) => (r, s.toIntOption.getOrElse(-1))
+      val (rangePart, stepOpt) = part.split("/", 2) match {
+        case Array(r) => (r, None)
+        case Array(r, s) => (r, Some(s.toIntOption.getOrElse(-1)))
       }
+      val step = stepOpt.getOrElse(1)
       if (step < 1) Left(s"bad step in '$part'")
       else {
         val bounds = rangePart match {
@@ -288,7 +289,12 @@ object Schedule {
               case _ => Left(s"bad range '$r'")
             }
           }
-          case n => n.toIntOption.toRight(s"bad number '$n'").map(x => (x, x))
+          // vixie cron: a bare number WITH a step means "from n to max
+          // by step" (`5/2` ≡ `5-59/2` in the minute field), not the
+          // single value {n} — treating it as {n} would make such
+          // schedules fire far less often than users expect
+          case n => n.toIntOption.toRight(s"bad number '$n'")
+            .map(x => if (stepOpt.isDefined) (x, max) else (x, x))
         }
         bounds.flatMap { case (a, b) =>
           if (a < min || b > max || a > b) Left(s"'$part' out of range $min-$max")

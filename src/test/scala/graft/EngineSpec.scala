@@ -151,6 +151,33 @@ class EngineSpec extends AnyFunSuite {
     assert(sched.runDue() == Seq("sched_job"))
   }
 
+  test("cron schedule: one failing job does not starve the other due jobs") {
+    val engine = newEngine()
+    engine.registerSource("content", Fixtures.contentTable(spark))
+    engine.registerSource("content2", Fixtures.contentTable(spark))
+    def job(name: String, src: String) = VectorizeJob(name, src, Seq("content"),
+      "id", Some("updated_at"), Model.parseUnsafe("deterministic/hash-64"),
+      schedule = "*/1 * * * *")
+    // "a_broken" sorts before "b_ok", so a propagated failure would
+    // starve the healthy job
+    engine.createJob(job("a_broken", "content"))
+    engine.createJob(job("b_ok", "content2"))
+    // break a_broken's source: its content column disappears
+    import spark.implicits._
+    engine.registerSource("content",
+      Seq((1, 1L)).toDF("id", "updated_at"))
+    // stale row so both jobs have work
+    engine.registerSource("content2", Fixtures.contentTable(spark,
+      Seq((1, "pizza", 1L), (4, "astronauts in orbit", 10L))))
+    val sched = new streaming.JobScheduler(engine,
+      () => java.time.ZonedDateTime.of(2026, 1, 5, 10, 30, 0, 0,
+        java.time.ZoneOffset.UTC))
+    assert(sched.runDue() == Seq("b_ok"),
+      "the healthy job must refresh even though a_broken throws first")
+    assert(engine.search("b_ok", "astronauts", limit = 1)
+      .collect().head.getAs[Int]("id") == 4)
+  }
+
   test("schedule modes: garbage rejected at creation; realtime/manual never cron-fire") {
     val engine = newEngine()
     engine.registerSource("content", Fixtures.contentTable(spark))

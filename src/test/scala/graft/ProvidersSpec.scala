@@ -56,6 +56,28 @@ class ProvidersSpec extends AnyFunSuite {
     assert(encoded.contains("\\u0008") && encoded.contains("\\u000c"))
   }
 
+  test("content extraction anchors to a KEY, not the first text occurrence") {
+    val p = new OllamaProvider()
+    // an earlier string VALUE contains the literal "response" (quotes
+    // and all) — the extractor must skip it and find the real field
+    assert(p.parseChatResponse(
+      """{"model":"the \"response\" machine","response":"real answer"}""")
+      == "real answer")
+    // same with the key text unescaped inside a value
+    assert(p.parseChatResponse(
+      """{"note":"set "response": field","response":"yes"}""".replace("\"response\": f",
+        "\\\"response\\\": f")) == "yes")
+    // an object-valued field of the same name is skipped, the later
+    // string-valued one wins
+    assert(Json.extractString(
+      """{"content":{"nested":1},"wrap":{"content":"inner"}}""", "content")
+      .contains("inner"))
+    // value text that LOOKS like a key:value pair inside a string
+    assert(Json.extractString(
+      """{"a":"\"content\":\"fake\"","content":"true one"}""", "content")
+      .contains("true one"))
+  }
+
   test("cohere request carries input_type and truncate (cohere.rs:34-50)") {
     val p = new CohereProvider("key")
     assert(p.requestBody("embed-english-v3.0", Seq("doc one")) ==

@@ -70,6 +70,24 @@ class SimHashSpec extends AnyFunSuite {
     assert(unblocked.diff(want).nonEmpty, "fixture must contain cross-block near-dups")
   }
 
+  test("blockCol: separator-adversarial block values never pair cross-block") {
+    import spark.implicits._
+    // identical text everywhere, so signatures are identical and ANY
+    // band-key collision across blocks would surface as a pair; block
+    // values share prefixes and embed the '|' separator itself
+    val txt = "identical content in every block exercises the key encoding"
+    val rows = Seq(
+      (1L, txt, "en|0"), (2L, txt, "en|0"),
+      (3L, txt, "en"), (4L, txt, "en"),
+      (5L, txt, "0"), (6L, txt, "0"),
+      (7L, txt, null.asInstanceOf[String]), (8L, txt, null.asInstanceOf[String]))
+    val got = Dedup.simHashPairs(rows.toDF("doc_id", "text", "lang"),
+        "doc_id", "text", maxHamming = 3, blockCol = Some("lang"))
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(got == Set((1L, 2L), (3L, 4L), (5L, 6L), (7L, 8L)),
+      s"only same-block pairs allowed (nulls group together); got $got")
+  }
+
   test("banded recall equals brute force (pigeonhole over maxHamming+1 bands)") {
     import graft.functions.GraftFunctions
     // Varied docs so signatures span a range of Hamming distances.

@@ -159,6 +159,11 @@ class TypesSpec extends AnyFunSuite {
     assert(Schedule.parseUnsafe("0 0 * * 7").asInstanceOf[Schedule.Cron].dow == Set(0))
     assert(Schedule.parseUnsafe("10-20/5 * * * *").asInstanceOf[Schedule.Cron]
       .minute == Set(10, 15, 20))
+    // vixie: a bare number with a step means n-to-max by step, not {n}
+    assert(Schedule.parseUnsafe("5/10 * * * *").asInstanceOf[Schedule.Cron]
+      .minute == Set(5, 15, 25, 35, 45, 55))
+    assert(Schedule.parseUnsafe("* * * 10/1 *").asInstanceOf[Schedule.Cron]
+      .month == Set(10, 11, 12))
     for (bad <- Seq("every 5 minutes", "61 * * * *", "* * * *", "* * * * * *",
         "*/0 * * * *", "5-1 * * * *", "* 24 * * *", "a * * * *"))
       assert(Schedule.parse(bad).isLeft, s"'$bad' must be rejected")
