@@ -29,6 +29,10 @@ final class VectorizeEngine(
 
   private val sources = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
   private val jobs = scala.collection.concurrent.TrieMap.empty[String, VectorizeJob]
+
+  // serializes catalog mutations against refreshCatalog's replace-all
+  // reconcile (see refreshCatalog doc)
+  private val catalogLock = new Object
   // task type → (sys_prompt, user_prompt); persisted like
   // vectorize.prompts (extension/sql/meta.sql:9-13) so custom RAG
   // tasks survive restart exactly as jobs do
@@ -41,10 +45,32 @@ final class VectorizeEngine(
   // outside the warehouse, like the reference's user tables live in
   // Postgres); searches work immediately since the embedding/token
   // stores persist.
-  locally {
-    if (store.exists("job_catalog"))
-      store.read("job_catalog").collect().foreach { r =>
-        val job = VectorizeJob(
+  locally { refreshCatalog() }
+
+  /** R8 — live cache invalidation: re-read the persisted job and
+    * prompt catalogs into memory, REPLACING the in-memory view (jobs
+    * deleted by the WRITER engine over the same warehouse disappear,
+    * created ones appear). The reference keeps its server/proxy caches
+    * fresh with pg_notify/LISTEN (server/src/cache.rs:59-150,
+    * proxy/src/cache.rs:9-57); parquet has no notification channel, so
+    * the Spark analogue is poll-based — [[graft.streaming.JobScheduler]]
+    * calls this once per poll tick, and any reader engine can call it
+    * on demand.
+    *
+    * Concurrency: catalog MUTATION stays single-writer (persistCatalog
+    * overwrites the table from the local view, matching ParquetStore's
+    * one-writer-per-table contract); refreshCatalog is what lets any
+    * number of READER engines — schedulers, search-serving sessions —
+    * converge on the writer's state. Within one engine, the reconcile
+    * and every mutation serialize on `catalogLock`, so a scheduler
+    * tick's replace-all can never evict a job a caller thread is
+    * concurrently creating (the reconcile sees either pre-put-pre-
+    * persist or post-both, never the torn middle).
+    */
+  def refreshCatalog(): Unit = catalogLock.synchronized {
+    if (store.exists("job_catalog")) {
+      val loaded = store.read("job_catalog").collect().map { r =>
+        VectorizeJob(
           jobName = r.getAs[String]("job_name"),
           srcTable = r.getAs[String]("src_table"),
           srcColumns = r.getAs[scala.collection.Seq[String]]("src_columns").toSeq,
@@ -56,13 +82,19 @@ final class VectorizeEngine(
           schedule = r.getAs[String]("schedule"),
           params = Option(r.getAs[scala.collection.Map[String, String]]("params"))
             .map(_.toMap).getOrElse(Map.empty))
-        jobs.put(job.jobName, job)
       }
-    if (store.exists("prompt_catalog"))
-      store.read("prompt_catalog").collect().foreach { r =>
-        prompts.put(r.getAs[String]("prompt_type"),
-          (r.getAs[String]("sys_prompt"), r.getAs[String]("user_prompt")))
+      val names = loaded.map(_.jobName).toSet
+      loaded.foreach(j => jobs.put(j.jobName, j))
+      jobs.keys.filterNot(names).foreach(jobs.remove)
+    }
+    if (store.exists("prompt_catalog")) {
+      val loaded = store.read("prompt_catalog").collect().map { r =>
+        r.getAs[String]("prompt_type") ->
+          (r.getAs[String]("sys_prompt"), r.getAs[String]("user_prompt"))
       }
+      loaded.foreach { case (t, p) => prompts.put(t, p) }
+      prompts.keys.filterNot(loaded.map(_._1).toSet).foreach(prompts.remove)
+    }
   }
 
   /** Register a RAG prompt template under `promptType` and persist it
@@ -71,10 +103,11 @@ final class VectorizeEngine(
     * UPSERT; rag(task = promptType) resolves this catalog before the
     * process-wide [[graft.rag.PromptTemplates]] built-ins.
     */
-  def registerPrompt(promptType: String, sysPrompt: String, userPrompt: String): Unit = {
-    prompts.put(promptType, (sysPrompt, userPrompt))
-    persistPrompts()
-  }
+  def registerPrompt(promptType: String, sysPrompt: String, userPrompt: String): Unit =
+    catalogLock.synchronized {
+      prompts.put(promptType, (sysPrompt, userPrompt))
+      persistPrompts()
+    }
 
   def listPrompts: Seq[String] = prompts.keys.toSeq.sorted
 
@@ -188,8 +221,10 @@ final class VectorizeEngine(
   def createJob(job: VectorizeJob): VectorizeJob = {
     validateJob(job)
     dropStoresIfReconfigured(job)
-    jobs.put(job.jobName, job)
-    persistCatalog()
+    catalogLock.synchronized {
+      jobs.put(job.jobName, job)
+      persistCatalog()
+    }
     refreshJob(job.jobName)
     job
   }
@@ -365,8 +400,10 @@ final class VectorizeEngine(
     // changed embedding config must not mix old-space vectors with
     // the imported ones
     dropStoresIfReconfigured(job)
-    jobs.put(job.jobName, job)
-    persistCatalog()
+    catalogLock.synchronized {
+      jobs.put(job.jobName, job)
+      persistCatalog()
+    }
     importEmbeddings(job.jobName, external, extPk, extVecCol)
     // tokens + any rows the import missed
     refreshJob(job.jobName)
@@ -380,8 +417,10 @@ final class VectorizeEngine(
     store.drop(embTable(jobName))
     store.drop(tokTable(jobName))
     store.drop(appTable(jobName))
-    jobs.remove(jobName)
-    persistCatalog()
+    catalogLock.synchronized {
+      jobs.remove(jobName)
+      persistCatalog()
+    }
   }
 
   /** `vectorize.chunk_table` (extension/src/api.rs:17-78): chunk one

@@ -386,19 +386,37 @@ object Ann {
         .crossJoin(index.limit(0).select(col(idCol).as("x_id")))
         .withColumn("cos", lit(0.0)).withColumn("rank", lit(0))
     val planes = hyperplanes(bits, dimRow.head.getInt(0), seed)
-    // compute the key expression ONCE per query row, then derive the
-    // probe ring by single-bit flips of the materialized column —
-    // rebuilding the full lshKey tree inside each of the bits+1 array
-    // elements would risk (bits+1)x the dot-product work under the
-    // Generate node, where whole-stage CSE is not guaranteed
+    val x = index.select(col(idCol).as("x_id"), col(vecCol).as("x_vec"))
+      .withColumn("__lsh", lshKey(col("x_vec"), planes))
+    multiprobeKnn(multiprobeQueries(queries, idCol, vecCol, planes, bits),
+      x, k, excludeSelf)
+  }
+
+  /** The multiprobed query side shared by [[knnJoin]] and
+    * [[knnJoinIndexed]]: (q_id, q_vec, __lsh) with one row per probe
+    * key — the query's own bucket plus every single-bit flip. The key
+    * expression is computed ONCE per query row, then the probe ring
+    * derived by bit flips of the materialized column — rebuilding the
+    * full lshKey tree inside each of the bits+1 array elements would
+    * risk (bits+1)x the dot-product work under the Generate node,
+    * where whole-stage CSE is not guaranteed.
+    */
+  private def multiprobeQueries(queries: DataFrame, idCol: String,
+      vecCol: String, planes: Array[Array[Float]], bits: Int): DataFrame = {
     val q0 = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
       .withColumn("__qkey", lshKey(col("q_vec"), planes))
     val probeKeys = array(
       (col("__qkey") +: (0 until bits).map(b =>
         col("__qkey").bitwiseXOR(lit(1L << b)))): _*)
-    val q = q0.withColumn("__lsh", explode(probeKeys)).drop("__qkey")
-    val x = index.select(col(idCol).as("x_id"), col(vecCol).as("x_vec"))
-      .withColumn("__lsh", lshKey(col("x_vec"), planes))
+    q0.withColumn("__lsh", explode(probeKeys)).drop("__qkey")
+  }
+
+  /** The join-verify-rank tail shared by [[knnJoin]] and
+    * [[knnJoinIndexed]]: q (q_id, q_vec, __lsh) ⋈ x (x_id, x_vec,
+    * __lsh) → exact cosine → top-k per query.
+    */
+  private def multiprobeKnn(q: DataFrame, x: DataFrame, k: Int,
+      excludeSelf: Boolean): DataFrame = {
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("x_id").asc)
     q.join(x, Seq("__lsh"))
       .filter(if (excludeSelf) col("q_id") =!= col("x_id") else lit(true))
@@ -434,12 +452,15 @@ object Ann {
     val dim = meta.getAs[Int]("dim")
     val seed = meta.getAs[Long]("seed")
     val planes = hyperplanes(bits, dim, seed)
-    val q0 = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
-      .withColumn("__qkey", lshKey(col("q_vec"), planes))
-    val probeKeys = array(
-      (col("__qkey") +: (0 until bits).map(b =>
-        col("__qkey").bitwiseXOR(lit(1L << b)))): _*)
-    val q = q0.withColumn("__lsh", explode(probeKeys)).drop("__qkey")
+    // cache the probed query side: it is evaluated twice (the key-
+    // union collect below, then the join), and an uncached second
+    // evaluation would both redo the upstream query work and — for a
+    // nondeterministic source (sample, unordered limit) — risk keys
+    // the collected union never saw, silently dropping neighbors.
+    // MEMORY_AND_DISK + LRU-evictable, same lifetime contract as
+    // Dedup's persisted intermediates (callers can clearCache()).
+    val q = multiprobeQueries(queries, idCol, vecCol, planes, bits)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // the batch's distinct probe keys, for partition pruning (bounded
     // by 2^bits — NOT by the number of queries)
     val probed = q.select(col("__lsh")).distinct()
@@ -448,13 +469,6 @@ object Ann {
       .filter(col("bucket").isin(probed: _*)) // on the raw partition col → PartitionFilters
       .select(col(idCol).as("x_id"), col(vecCol).as("x_vec"),
         col("bucket").cast("long").as("__lsh"))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("x_id").asc)
-    q.join(x, Seq("__lsh"))
-      .filter(if (excludeSelf) col("q_id") =!= col("x_id") else lit(true))
-      .select(col("q_id"), col("x_id"),
-        cosineSimilarity(col("q_vec"), col("x_vec")).as("cos"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("q_id", "x_id", "cos", "rank")
+    multiprobeKnn(q, x, k, excludeSelf)
   }
 }

@@ -39,7 +39,13 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   * real table format, which is part of what the Delta swap buys.
   * Readers are safe against a single concurrent writer: pointer flips
   * are atomic renames, and GC retains the previous bucket map's
-  * versions for one commit cycle.
+  * versions for one commit cycle. Catalog-level changes made by THE
+  * writer engine (job/prompt create, delete) propagate to reader
+  * engines over the same warehouse without restart via
+  * VectorizeEngine.refreshCatalog — the poll-based analogue of the
+  * reference's LISTEN/NOTIFY cache invalidation, called once per
+  * JobScheduler tick. Catalog mutation itself remains single-writer
+  * (persistCatalog overwrites from the local view).
   *
   * On a production cluster this class is swapped for Delta
   * `MERGE INTO` (same call signature); the engine's call sites depend

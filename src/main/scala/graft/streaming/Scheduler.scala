@@ -34,6 +34,10 @@ final class JobScheduler(engine: VectorizeEngine,
   def runDue(): Seq[String] = {
     val now = clock()
     val epochMinute = now.toEpochSecond / 60
+    // R8: poll-based catalog invalidation — pick up jobs another
+    // engine created/deleted over the same warehouse (the LISTEN/
+    // NOTIFY analogue; the catalog is a tiny parquet read per tick)
+    engine.refreshCatalog()
     engine.listJobs.sortBy(_.jobName).flatMap { j =>
       Schedule.parse(j.schedule) match {
         case Right(c: Schedule.Cron)

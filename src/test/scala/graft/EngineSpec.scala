@@ -151,6 +151,30 @@ class EngineSpec extends AnyFunSuite {
     assert(sched.runDue() == Seq("sched_job"))
   }
 
+  test("refreshCatalog: cross-engine create/delete propagates without restart (R8)") {
+    val wh = TestSpark.tempDir("graft_r8_")
+    val writer = newEngine(wh)
+    val reader = newEngine(wh) // second engine over the SAME warehouse
+    writer.registerSource("content", Fixtures.contentTable(spark))
+    writer.createJob(VectorizeJob("r8_job", "content", Seq("content"), "id",
+      Some("updated_at"), Model.parseUnsafe("deterministic/hash-64"),
+      schedule = "manual"))
+    // reader's construction-time view predates the job
+    assert(!reader.listJobs.exists(_.jobName == "r8_job"))
+    reader.refreshCatalog()
+    assert(reader.listJobs.exists(_.jobName == "r8_job"),
+      "a job created by another engine must appear after refreshCatalog")
+    // prompt registration propagates the same way
+    writer.registerPrompt("r8_task", "sys", "user: {{ context }} {{ question }}")
+    reader.refreshCatalog()
+    assert(reader.listPrompts.contains("r8_task"))
+    // deletion propagates (the in-memory view is REPLACED, not merged)
+    writer.deleteJob("r8_job")
+    reader.refreshCatalog()
+    assert(!reader.listJobs.exists(_.jobName == "r8_job"),
+      "a job deleted by another engine must disappear after refreshCatalog")
+  }
+
   test("cron schedule: one failing job does not starve the other due jobs") {
     val engine = newEngine()
     engine.registerSource("content", Fixtures.contentTable(spark))
