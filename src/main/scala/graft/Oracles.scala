@@ -72,6 +72,19 @@ object Oracles {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
+  private val f2RankSql =
+    s"""WITH q AS (
+       |  SELECT f2_qlex FROM read_parquet('__AUX__/vz_aux_query.parquet')),
+       |m AS (
+       |  SELECT d.doc_id,
+       |    len(list_intersect(d.lexemes, q.f2_qlex)) AS m,
+       |    len(d.lexemes) AS n, len(q.f2_qlex) AS qn
+       |  FROM read_parquet('__AUX__/f2_aux_lexemes.parquet') d CROSS JOIN q
+       |  WHERE len(list_intersect(d.lexemes, q.f2_qlex)) > 0)
+       |SELECT doc_id,
+       |  round((CAST(m AS DOUBLE) / qn) * (1.0 + CAST(m AS DOUBLE) / n), 4) AS rank
+       |FROM m ORDER BY rank DESC, doc_id ASC LIMIT 50""".stripMargin
+
   val sql: Map[String, String] = Map(
 
     "s1_delta_scan_join" ->
@@ -471,19 +484,11 @@ object Oracles {
     // lexeme arrays: matched/|qlex| * (1 + matched/|doc lexemes|),
     // same left-to-right double arithmetic as the tsRank UDF; the
     // Spark side orders by the ROUNDED rank, so the oracle rounds
-    // before its ORDER BY + LIMIT too.
-    "f2_tsvector_rank" ->
-      s"""WITH q AS (
-         |  SELECT f2_qlex FROM read_parquet('__AUX__/vz_aux_query.parquet')),
-         |m AS (
-         |  SELECT d.doc_id,
-         |    len(list_intersect(d.lexemes, q.f2_qlex)) AS m,
-         |    len(d.lexemes) AS n, len(q.f2_qlex) AS qn
-         |  FROM read_parquet('__AUX__/f2_aux_lexemes.parquet') d CROSS JOIN q
-         |  WHERE len(list_intersect(d.lexemes, q.f2_qlex)) > 0)
-         |SELECT doc_id,
-         |  round((CAST(m AS DOUBLE) / qn) * (1.0 + CAST(m AS DOUBLE) / n), 4) AS rank
-         |FROM m ORDER BY rank DESC, doc_id ASC LIMIT 50""".stripMargin,
+    // before its ORDER BY + LIMIT too. f2_postings_rank (the GIN-
+    // analogue inverted-index plan) must produce IDENTICAL results,
+    // so it shares the oracle verbatim.
+    "f2_tsvector_rank" -> f2RankSql,
+    "f2_postings_rank" -> f2RankSql,
 
     "vz_semantic_search" ->
       s"""WITH q AS (

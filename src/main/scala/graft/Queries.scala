@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.GraftFunctions._
-import graft.operators.{Ann, Dedup, Multimodal, Pipeline, Search}
+import graft.operators.{Ann, Dedup, Multimodal, Pipeline, Search, TextIndex}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -665,6 +665,26 @@ object Queries {
       .limit(50)
   }
 
+  private val postingsIndexCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Build-once persisted inverted-postings index over documents
+    * (CREATE INDEX USING gin analogue; see TextIndex). */
+  private def postingsIndex(spark: SparkSession, dir: String): String =
+    postingsIndexCache.computeIfAbsent(cacheKey(spark, dir), { _ =>
+      val p = java.nio.file.Files.createTempDirectory("graft_postings_").toString
+      TextIndex.buildPostingsIndex(t(spark, dir, "documents"), "doc_id", "text", p)
+      p
+    })
+
+  /** F2 over the PERSISTED inverted-postings index: identical results
+    * to f2_tsvector_rank (same oracle SQL), but the plan probes only
+    * the query lexemes' bucket partitions instead of scanning every
+    * document's token array — the GIN-index query shape.
+    */
+  def f2PostingsRank(spark: SparkSession, dir: String): DataFrame =
+    TextIndex.searchPostings(spark, postingsIndex(spark, dir),
+      graft.functions.TextAnalyzer.queryLexemes(f2QueryText), k = 50)
+
   /** F6/F7: chunk_table — chunk one column, explode with index. */
   def f6ChunkTable(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents")
@@ -802,6 +822,7 @@ object Queries {
     ephemeralEngine(spark, dir)
     ivfIndex(spark, dir)
     lshIndex(spark, dir)
+    postingsIndex(spark, dir)
     ()
   }
 
@@ -850,6 +871,7 @@ object Queries {
     "mix_token_stats" -> (mixTokenStats _),
     "decontaminate" -> (decontaminate _),
     "f2_tsvector_rank" -> (f2TsvectorRank _),
+    "f2_postings_rank" -> (f2PostingsRank _),
     "f6_chunk_table" -> (f6ChunkTable _),
     "vz_semantic_search" -> (vzSemanticSearch _),
     "vz_hybrid_search" -> (vzHybridSearch _),

@@ -1,0 +1,85 @@
+package graft.operators
+
+import graft.functions.GraftFunctions._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Persisted inverted-postings index for the lexical search leg — the
+  * Spark analogue of the reference's GIN index on tsvector
+  * (core/src/query.rs:222-252, `CREATE INDEX ... USING gin
+  * (search_tokens)`), per SURVEY §4: "later: precomputed
+  * inverted-postings table (explode + partition by lexeme)".
+  *
+  * Layout: one row per (lexeme, doc), partitioned by
+  * `bucket = crc32(lexeme) % nBuckets` so a query reads ONLY the
+  * bucket directories its (few) lexemes hash into — at 100 TB the
+  * lexical probe scans |postings| · qBuckets / nBuckets, not the
+  * whole corpus, and the per-doc lexeme count is denormalized into
+  * the postings rows so ranking needs no join back to the documents.
+  * crc32 is bit-identical between the Spark expression and
+  * java.util.zip.CRC32, which is what lets the probe enumerate its
+  * buckets driver-side (same trick as the LSH index's Hamming ring).
+  *
+  * Stopwords never enter the index (toTsvector filters them), which
+  * is also the GIN story for why the worst skew (the/and/of) is
+  * absent; residual hot lexemes spread across files within a bucket
+  * and stay AQE-splittable because the probe is a plain scan+agg.
+  */
+object TextIndex {
+
+  /** Driver-side twin of the Spark `crc32` expression. */
+  private[graft] def bucketOf(lexeme: String, nBuckets: Int): Long = {
+    val c = new java.util.zip.CRC32
+    c.update(lexeme.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    c.getValue % nBuckets
+  }
+
+  /** Build and persist the postings index:
+    * `path/postings` = (lexeme, id, n_lex) partitioned by bucket,
+    * `path/meta` = nBuckets. One shuffle (repartition by bucket) so
+    * each bucket directory holds whole files.
+    */
+  def buildPostingsIndex(docs: DataFrame, idCol: String, textCol: String,
+      path: String, nBuckets: Int = 64): Unit = {
+    val spark = docs.sparkSession
+    docs
+      .select(col(idCol).as("id"), toTsvector(col(textCol)).as("__lex"))
+      .withColumn("n_lex", size(col("__lex")))
+      .select(col("id"), col("n_lex"), explode(col("__lex")).as("lexeme"))
+      .withColumn("bucket", crc32(col("lexeme")) % nBuckets)
+      .repartition(col("bucket"))
+      .write.partitionBy("bucket").mode("overwrite").parquet(s"$path/postings")
+    import spark.implicits._
+    Seq(nBuckets).toDF("n_buckets")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Ranked lexical search over the postings index. Semantics are
+    * IDENTICAL to the scan-based tsvector path (Queries.f2): match =
+    * any query lexeme present, rank = the ts_rank_cd tf-proxy
+    * matched/|qlex| · (1 + matched/|doc lexemes|), presentation order
+    * on the ROUNDED rank. The plan is the index shape: scan only the
+    * query lexemes' bucket partitions (PartitionFilters), push
+    * `lexeme IN (...)` into the parquet scan, then one partial-agg
+    * count per doc — no full-corpus array scan anywhere.
+    */
+  def searchPostings(spark: SparkSession, path: String,
+      queryLexemes: Seq[String], k: Int): DataFrame = {
+    require(queryLexemes.nonEmpty, "empty query")
+    val nBuckets = spark.read.parquet(s"$path/meta").head().getInt(0)
+    val buckets = queryLexemes.map(bucketOf(_, nBuckets)).distinct
+    val qn = queryLexemes.size
+    spark.read.parquet(s"$path/postings")
+      .filter(col("bucket").isin(buckets: _*)) // partition pruning
+      .filter(col("lexeme").isin(queryLexemes: _*)) // parquet-pushed
+      .groupBy(col("id"), col("n_lex"))
+      // postings hold DISTINCT lexemes per doc (toTsvector dedups), so
+      // the group size IS the matched-lexeme count
+      .agg(count(lit(1)).as("m"))
+      .select(col("id").as("doc_id"),
+        round((col("m").cast("double") / qn)
+          * (lit(1.0) + col("m").cast("double") / col("n_lex")), 4).as("rank"))
+      .orderBy(col("rank").desc, col("doc_id").asc)
+      .limit(k)
+  }
+}

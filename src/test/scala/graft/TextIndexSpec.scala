@@ -1,0 +1,89 @@
+package graft
+
+import graft.operators.TextIndex
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Inverted-postings lexical index (the GIN analogue): result parity
+  * with the scan-based tsvector path, partition pruning on the
+  * lexeme-hash buckets, and the driver/executor crc32 agreement the
+  * probe depends on.
+  */
+class TextIndexSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.01"
+
+  test("driver bucketOf matches the Spark crc32 expression for every lexeme") {
+    import spark.implicits._
+    val lexemes = Seq("stream", "merg", "join", "0", "zzz", "a b", "héllo")
+    val sparkSide = lexemes.toDF("lexeme")
+      .select(col("lexeme"), (crc32(col("lexeme")) % 64).as("b"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    lexemes.foreach { l =>
+      assert(TextIndex.bucketOf(l, 64) == sparkSide(l),
+        s"bucket mismatch for '$l'")
+    }
+  }
+
+  test("postings search returns exactly the scan-based f2 ranking") {
+    val path = TestSpark.tempDir("graft_postings_spec_")
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    TextIndex.buildPostingsIndex(docs, "doc_id", "text", path)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("rank"))).toSeq
+    val indexed = rows(TextIndex.searchPostings(spark, path,
+      graft.functions.TextAnalyzer.queryLexemes(Queries.f2QueryText), k = 50))
+    val scanned = rows(Queries.f2TsvectorRank(spark, dir))
+    assert(indexed == scanned,
+      s"postings ranking diverged from the tsvector scan path")
+    assert(indexed.nonEmpty)
+  }
+
+  test("probe scans only the query lexemes' bucket partitions") {
+    val path = TestSpark.tempDir("graft_postings_spec2_")
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    TextIndex.buildPostingsIndex(docs, "doc_id", "text", path, nBuckets = 64)
+    val qlex = graft.functions.TextAnalyzer.queryLexemes(Queries.f2QueryText)
+    val probe = TextIndex.searchPostings(spark, path, qlex, k = 50)
+    val plan = probe.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*bucket".r.findFirstIn(plan).isDefined,
+      s"probe must push a bucket filter into PartitionFilters, plan was:\n$plan")
+    // the lexeme filter reaches the parquet scan (row-group pruning)
+    assert("PushedFilters: \\[[^\\]]*lexeme".r.findFirstIn(plan).isDefined,
+      s"lexeme IN must be pushed to the scan, plan was:\n$plan")
+    probe.collect()
+    // the groupBy makes this an adaptive plan: unwrap AQE nodes to
+    // reach the actual file scan
+    def findScan(p: org.apache.spark.sql.execution.SparkPlan)
+        : Option[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        findScan(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        findScan(q.plan)
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => Some(s)
+      case other => other.children.iterator.map(findScan).collectFirst {
+        case Some(s) => s
+      }
+    }
+    val scan = findScan(probe.queryExecution.executedPlan)
+    val filesRead = scan.flatMap(_.metrics.get("numFiles")).map(_.value)
+    val qBuckets = qlex.map(TextIndex.bucketOf(_, 64)).distinct.size
+    assert(filesRead.exists(_ <= qBuckets),
+      s"expected at most $qBuckets bucket files read, got $filesRead")
+  }
+
+  test("empty query rejected; single-lexeme query works") {
+    val path = TestSpark.tempDir("graft_postings_spec3_")
+    import spark.implicits._
+    TextIndex.buildPostingsIndex(
+      Seq((1L, "streams merge quickly"), (2L, "gardens bloom slowly"))
+        .toDF("doc_id", "text"), "doc_id", "text", path, nBuckets = 8)
+    intercept[IllegalArgumentException] {
+      TextIndex.searchPostings(spark, path, Nil, k = 5)
+    }
+    val got = TextIndex.searchPostings(spark, path,
+      graft.functions.TextAnalyzer.queryLexemes("merging"), k = 5).collect()
+    assert(got.map(_.getAs[Long]("doc_id")).toSeq == Seq(1L))
+  }
+}
