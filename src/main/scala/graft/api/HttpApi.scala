@@ -35,24 +35,38 @@ import java.nio.charset.StandardCharsets.UTF_8
 final class HttpApi(engine: VectorizeEngine, port: Int = 0) {
 
   private val server = HttpServer.create(new InetSocketAddress(port), 0)
+  // small pool: each request may run Spark jobs; Spark's scheduler
+  // handles concurrent job submission from multiple threads
+  private val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
   @volatile private var started = false
+  @volatile private var stopped = false
 
   /** The actual port (useful with port = 0 → ephemeral). */
   def boundPort: Int = server.getAddress.getPort
 
   def start(): Unit = synchronized {
+    // the JDK HttpServer cannot be restarted after stop(); make that
+    // an explicit error instead of a confusing duplicate-context one
+    if (stopped) throw new IllegalStateException(
+      "HttpApi cannot be restarted after stop(); create a new instance")
     if (!started) {
       server.createContext("/api/v1/table", exchange => safely(exchange) {
         val path = exchange.getRequestURI.getPath
+        // the JDK server routes by PREFIX; reject non-exact suffixes
+        // like the reference's actix router would (404, not a handler)
         (exchange.getRequestMethod, path.stripPrefix("/api/v1/table")) match {
           case ("POST", "" | "/") => createTable(exchange)
-          case ("DELETE", sub) if sub.startsWith("/") && sub.length > 1 =>
+          case ("DELETE", sub) if sub.startsWith("/") && sub.length > 1
+              && !sub.drop(1).contains('/') =>
             deleteTable(exchange, sub.drop(1))
-          case _ => respond(exchange, 405, jsonError("method not allowed"))
+          case (_, "" | "/") => respond(exchange, 405, jsonError("method not allowed"))
+          case _ => respond(exchange, 404, jsonError("not found"))
         }
       })
       server.createContext("/api/v1/search", exchange => safely(exchange) {
-        exchange.getRequestMethod match {
+        if (exchange.getRequestURI.getPath != "/api/v1/search")
+          respond(exchange, 404, jsonError("not found"))
+        else exchange.getRequestMethod match {
           case "GET" => search(exchange, parseQueryParams(exchange))
           case "POST" => search(exchange, parseSearchBody(exchange))
           case _ => respond(exchange, 405, jsonError("method not allowed"))
@@ -61,16 +75,19 @@ final class HttpApi(engine: VectorizeEngine, port: Int = 0) {
       server.createContext("/health", exchange => safely(exchange) {
         health(exchange, exchange.getRequestURI.getPath.stripPrefix("/health"))
       })
-      // small pool: each request may run Spark jobs; Spark's scheduler
-      // handles concurrent job submission from multiple threads
-      server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(4))
+      server.setExecutor(pool)
       server.start()
       started = true
     }
   }
 
   def stop(): Unit = synchronized {
-    if (started) { server.stop(0); started = false }
+    if (started) {
+      server.stop(0)
+      pool.shutdown() // non-daemon workers would otherwise pin the JVM
+      started = false
+      stopped = true
+    }
   }
 
   // -----------------------------------------------------------------
@@ -92,7 +109,8 @@ final class HttpApi(engine: VectorizeEngine, port: Int = 0) {
           srcTable = req("src_table"),
           srcColumns = o.get("src_columns").flatMap(_.asArr).getOrElse(
               throw new IllegalArgumentException("missing required field 'src_columns'"))
-            .flatMap(_.asString),
+            .map(_.asString.getOrElse(throw new IllegalArgumentException(
+              "'src_columns' must be an array of strings"))),
           primaryKey = req("primary_key"),
           updateTimeCol = str("update_time_col"),
           model = Model.parse(req("model")).fold(
@@ -193,12 +211,13 @@ final class HttpApi(engine: VectorizeEngine, port: Int = 0) {
       case "/ready" | "" | "/" =>
         // readiness = the catalog is reachable (the engine refreshes
         // inside Spark; there is no separate worker to heartbeat)
-        val (code, status) =
-          try { engine.listJobs; (200, if (sub == "/ready") "ready" else "healthy") }
+        val (code, status, nJobs) =
+          try { val n = engine.listJobs.size
+            (200, if (sub == "/ready") "ready" else "healthy", n) }
           catch { case scala.util.control.NonFatal(_) => (503,
-            if (sub == "/ready") "not_ready" else "unhealthy") }
+            if (sub == "/ready") "not_ready" else "unhealthy", 0) }
         respond(exchange, code,
-          s"""{"status":"$status","jobs":${engine.listJobs.size},"timestamp":$now}""")
+          s"""{"status":"$status","jobs":$nJobs,"timestamp":$now}""")
       case _ => respond(exchange, 404, jsonError("not found"))
     }
   }

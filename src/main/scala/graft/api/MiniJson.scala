@@ -48,6 +48,7 @@ object MiniJson {
 
   private final class Parser(s: String) {
     var pos = 0
+    private var depth = 0
     private def fail(msg: String) = throw new ParseError(s"$msg at offset $pos")
     def skipWs(): Unit =
       while (pos < s.length && s.charAt(pos).isWhitespace) pos += 1
@@ -60,8 +61,12 @@ object MiniJson {
       skipWs()
       if (pos >= s.length) fail("unexpected end of input")
       s.charAt(pos) match {
-        case '{' => obj()
-        case '[' => arr()
+        // bounded recursion: a pathological deeply-nested body must
+        // yield Left, not a StackOverflowError (fatal, so it would
+        // escape every NonFatal handler and hang the HTTP exchange)
+        case '{' | '[' if depth >= 64 => fail("nesting too deep")
+        case '{' => depth += 1; val r = obj(); depth -= 1; r
+        case '[' => depth += 1; val r = arr(); depth -= 1; r
         case '"' => JStr(str())
         case 't' => lit("true"); JBool(true)
         case 'f' => lit("false"); JBool(false)
@@ -118,7 +123,10 @@ object MiniJson {
               case 'b' => sb += '\b'; pos += 1
               case 'f' => sb += '\f'; pos += 1
               case 'u' if pos + 5 < s.length =>
-                sb += Integer.parseInt(s.substring(pos + 2, pos + 6), 16).toChar
+                val hex = s.substring(pos + 2, pos + 6)
+                try sb += Integer.parseInt(hex, 16).toChar
+                catch { case _: NumberFormatException =>
+                  fail(s"bad unicode escape '\\u$hex'") }
                 pos += 5
               case c => sb += c; pos += 1
             }

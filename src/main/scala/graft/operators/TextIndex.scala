@@ -65,13 +65,18 @@ object TextIndex {
     */
   def searchPostings(spark: SparkSession, path: String,
       queryLexemes: Seq[String], k: Int): DataFrame = {
-    require(queryLexemes.nonEmpty, "empty query")
+    // query lexemes are a SET (tsquery 'a | a' ≡ 'a'): dedup before
+    // sizing qn, or a duplicated input lexeme would inflate the rank
+    // denominator while the match count m (grouped over the index's
+    // deduplicated postings) can never see the duplicate
+    val qlex = queryLexemes.distinct
+    require(qlex.nonEmpty, "empty query")
     val nBuckets = spark.read.parquet(s"$path/meta").head().getInt(0)
-    val buckets = queryLexemes.map(bucketOf(_, nBuckets)).distinct
-    val qn = queryLexemes.size
+    val buckets = qlex.map(bucketOf(_, nBuckets)).distinct
+    val qn = qlex.size
     spark.read.parquet(s"$path/postings")
       .filter(col("bucket").isin(buckets: _*)) // partition pruning
-      .filter(col("lexeme").isin(queryLexemes: _*)) // parquet-pushed
+      .filter(col("lexeme").isin(qlex: _*)) // parquet-pushed
       .groupBy(col("id"), col("n_lex"))
       // postings hold DISTINCT lexemes per doc (toTsvector dedups), so
       // the group size IS the matched-lexeme count

@@ -124,5 +124,31 @@ class HttpApiSpec extends AnyFunSuite {
     assert(parse("""[1,2""").isLeft)
     assert(parse("""{"a":1} extra""").isLeft)
     assert(parse("").isLeft)
+    // adversarial inputs return Left, never throw: bad \u escape and
+    // pathological nesting (StackOverflowError is fatal — it would
+    // escape the HTTP error handler and hang the exchange)
+    assert(parse("{\"a\":\"\\uZZZZ\"}").isLeft)
+    assert(parse("[" * 10000 + "]" * 10000).isLeft)
+    assert(parse("[" * 10000).isLeft)
+  }
+
+  test("route edges: prefix typos 404, bad src_columns 400, restart refused") {
+    withApi { (base, _) =>
+      // JDK HttpServer matches by prefix; non-exact paths must 404
+      assert(http("GET", s"$base/api/v1/searchfoo?job_name=x&query=y")._1 == 404)
+      assert(http("DELETE", s"$base/api/v1/table/a/b")._1 == 404)
+      // non-string src_columns entries are a 400, not silently dropped
+      val (cc, cBody) = http("POST", s"$base/api/v1/table", Some(
+        """{"job_name":"bad","src_table":"my_products",
+          |"src_columns":["product_name",123],"primary_key":"product_id",
+          |"model":"deterministic/hash-64"}""".stripMargin))
+      assert(cc == 400 && cBody.contains("array of strings"))
+    }
+    // stop() then start() is an explicit error (JDK server can't restart)
+    val engine = new VectorizeEngine(spark, TestSpark.tempDir("graft_http2_"),
+      embeddingProviderOverride = Some(new providers.DeterministicHashProvider(64)))
+    val oneShot = new HttpApi(engine, port = 0)
+    oneShot.start(); oneShot.stop()
+    intercept[IllegalStateException](oneShot.start())
   }
 }
