@@ -501,6 +501,14 @@ object Queries {
     * same probe pattern as ann_knn_join, but the index side reads the
     * pre-bucketed table with the batch's probe-key union pushed into
     * PartitionFilters instead of recomputing keys over a full scan.
+    *
+    * Scale honesty: at sf0.1 (2,000 rows, one parquet file) this runs
+    * SLOWER than the ad-hoc join — the index pays ~32 bucket-file
+    * opens, a query-side cache materialization, and a key-union
+    * collect, while the "full scan" it avoids is one file. The index
+    * path wins when the corpus outgrows the probe set (the avoided
+    * work grows with |index| while the overhead stays fixed), which
+    * is the regime the operator exists for.
     */
   def annKnnJoinIndexed(spark: SparkSession, dir: String): DataFrame = {
     val emb = t(spark, dir, "embeddings")

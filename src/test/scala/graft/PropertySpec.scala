@@ -26,6 +26,32 @@ class PropertySpec extends AnyFunSuite {
   private val word = Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString)
   private val text = Gen.listOf(word).map(_.mkString(" "))
 
+  test("directedProbeKeys: equals brute-force cheapest-subsets enumeration") {
+    // small bits so the 2^bits space is brute-forceable; margins with
+    // distinct |values| so the cost order is unambiguous
+    val margins = Gen.chooseNum(3, 8).flatMap(b =>
+      Gen.listOfN(b, Gen.chooseNum(-1000, 1000).map(_ / 1000.0 + 1e-4))
+        .retryUntil(ms => ms.map(math.abs).distinct.size == ms.size, 100))
+    check(forAll(margins, Gen.chooseNum(1, 40)) { (ms, t) =>
+      val bits = ms.size
+      val got = graft.operators.Ann.directedProbeKeys(ms.toArray, bits, t)
+      val qKey = ms.zipWithIndex.collect { case (m, i) if m > 0 => 1L << i }.sum
+      val all = (0L until (1L << bits)).sortBy { k =>
+        (0 until bits).collect {
+          case i if ((k ^ qKey) & (1L << i)) != 0 => math.abs(ms(i))
+        }.sum
+      }
+      val want = all.take(math.min(t, 1 << bits))
+      // same cost means interchangeable order; compare cost sequences
+      def costOf(k: Long) = (0 until bits).collect {
+        case i if ((k ^ qKey) & (1L << i)) != 0 => math.abs(ms(i))
+      }.sum
+      got.size == want.size && got.distinct.size == got.size &&
+        got.map(costOf).zip(want.map(costOf)).forall {
+          case (a, b) => math.abs(a - b) < 1e-9 }
+    })
+  }
+
   test("createBatches: concatenation preserves input order exactly") {
     val inputs = Gen.listOf(Gen.chooseNum(1, 50).map(t =>
       EmbedInput(t.toString, s"text$t", t)))
