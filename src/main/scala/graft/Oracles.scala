@@ -38,6 +38,50 @@ object Oracles {
        |  FROM unnested a JOIN unnested b
        |    ON a.doc_id = b.doc_id AND b.i = a.i + 1)""".stripMargin
 
+  /** Quality-score SELECT over relation `src`(doc_id, text) —
+    * subquery form so composed oracles (pipeline_corpus) can apply it
+    * to an intermediate CTE. Mirrors GraftFunctions.qualityScore
+    * signal by signal: same char classes (RE2 \p{L} == Java \p{L};
+    * [[:punct:]] == Java \p{Punct}, both ASCII), same whitespace
+    * tokenization, same left-associative signal sum before the /5.0.
+    */
+  private def qualitySql(src: String): String = {
+    val stopList = graft.functions.TextAnalyzer.stopwords.toSeq.sorted
+      .map(w => s"'$w'").mkString(", ")
+    s"""SELECT doc_id,
+       |  round((
+       |    (CASE WHEN n_toks BETWEEN 5 AND 10000 THEN 1.0
+       |          WHEN n_toks > 0 THEN 0.5 ELSE 0.0 END)
+       |    + (CASE WHEN n_chars > 0 THEN CAST(alpha AS DOUBLE) / n_chars ELSE 0.0 END)
+       |    + (CASE WHEN n_chars > 0
+       |         THEN 1.0 - least(CAST(punct AS DOUBLE) / n_chars * 5.0, 1.0)
+       |         ELSE 0.0 END)
+       |    + (CASE WHEN n_toks > 0
+       |         THEN least(CAST(stop_hits AS DOUBLE) / n_toks * 4.0, 1.0)
+       |         ELSE 0.0 END)
+       |    + (CASE WHEN n_toks > 0 THEN CAST(distinct_toks AS DOUBLE) / n_toks ELSE 0.0 END)
+       |  ) / 5.0, 4) AS quality
+       |FROM (
+       |  SELECT b.doc_id,
+       |    length(tx) AS n_chars,
+       |    length(regexp_replace(tx, '[^\\p{L}]', '', 'g')) AS alpha,
+       |    length(regexp_replace(tx, '[^[:punct:]]', '', 'g')) AS punct,
+       |    coalesce(t.n_toks, 0) AS n_toks,
+       |    coalesce(t.stop_hits, 0) AS stop_hits,
+       |    coalesce(t.distinct_toks, 0) AS distinct_toks
+       |  FROM (SELECT doc_id, coalesce(text, '') AS tx FROM $src) b
+       |  LEFT JOIN (
+       |    SELECT doc_id, count(*) AS n_toks,
+       |      count(*) FILTER (WHERE w IN ($stopList)) AS stop_hits,
+       |      count(DISTINCT w) AS distinct_toks
+       |    FROM (
+       |      SELECT doc_id, lower(u.w) AS w
+       |      FROM (SELECT doc_id, coalesce(text, '') AS tx FROM $src) bb,
+       |        unnest(regexp_split_to_array(trim(tx), '\\s+')) AS u(w)
+       |      WHERE trim(tx) <> '') toksq
+       |    GROUP BY doc_id) t USING (doc_id)) cs""".stripMargin
+  }
+
   /** DuckDB mirror of Dedup.embeddingLshBandedPairs: band keys from
     * the same seeded hyperplanes (floats rendered as their exact
     * double values — Scala Double.toString round-trips), candidate
@@ -337,48 +381,58 @@ object Oracles {
         |  CAST(length(text) * 100 AS BIGINT) AS duration_ms
         |FROM documents ORDER BY asset_id""".stripMargin,
 
-    "text_quality_score" -> {
-      val stopList = graft.functions.TextAnalyzer.stopwords.toSeq.sorted
-        .map(w => s"'$w'").mkString(", ")
-      // Mirrors GraftFunctions.qualityScore signal by signal: same
-      // char classes (RE2 \p{L} == Java \p{L}; [[:punct:]] == Java
-      // \p{Punct}, both ASCII), same whitespace tokenization, same
-      // left-associative signal sum before the /5.0.
-      s"""WITH base AS (
-         |  SELECT doc_id, coalesce(text, '') AS tx FROM documents),
-         |toks AS (
-         |  SELECT doc_id, lower(u.w) AS w
-         |  FROM base, unnest(regexp_split_to_array(trim(tx), '\\s+')) AS u(w)
-         |  WHERE trim(tx) <> ''),
-         |tstats AS (
-         |  SELECT doc_id, count(*) AS n_toks,
-         |    count(*) FILTER (WHERE w IN ($stopList)) AS stop_hits,
-         |    count(DISTINCT w) AS distinct_toks
-         |  FROM toks GROUP BY doc_id),
-         |cs AS (
-         |  SELECT b.doc_id,
-         |    length(tx) AS n_chars,
-         |    length(regexp_replace(tx, '[^\\p{L}]', '', 'g')) AS alpha,
-         |    length(regexp_replace(tx, '[^[:punct:]]', '', 'g')) AS punct,
-         |    coalesce(t.n_toks, 0) AS n_toks,
-         |    coalesce(t.stop_hits, 0) AS stop_hits,
-         |    coalesce(t.distinct_toks, 0) AS distinct_toks
-         |  FROM base b LEFT JOIN tstats t USING (doc_id))
-         |SELECT doc_id,
-         |  round((
-         |    (CASE WHEN n_toks BETWEEN 5 AND 10000 THEN 1.0
-         |          WHEN n_toks > 0 THEN 0.5 ELSE 0.0 END)
-         |    + (CASE WHEN n_chars > 0 THEN CAST(alpha AS DOUBLE) / n_chars ELSE 0.0 END)
-         |    + (CASE WHEN n_chars > 0
-         |         THEN 1.0 - least(CAST(punct AS DOUBLE) / n_chars * 5.0, 1.0)
-         |         ELSE 0.0 END)
-         |    + (CASE WHEN n_toks > 0
-         |         THEN least(CAST(stop_hits AS DOUBLE) / n_toks * 4.0, 1.0)
-         |         ELSE 0.0 END)
-         |    + (CASE WHEN n_toks > 0 THEN CAST(distinct_toks AS DOUBLE) / n_toks ELSE 0.0 END)
-         |  ) / 5.0, 4) AS quality
-         |FROM cs ORDER BY doc_id""".stripMargin
-    },
+    "text_quality_score" -> s"${qualitySql("documents")} ORDER BY doc_id",
+
+    // The composed corpus-preparation pipeline: benchmark exclusion →
+    // quality gate (on the ROUNDED score, see Queries.pipelineCorpus)
+    // → exact dedup keeping the min-id canonical → bigram
+    // decontamination vs the benchmark slice → deterministic
+    // hash-threshold sample. Each stage replays the corresponding
+    // standalone oracle's logic over the previous stage's output.
+    "pipeline_corpus" ->
+      s"""WITH corpus AS (
+         |  SELECT doc_id, lang, text FROM documents
+         |  WHERE doc_id % ${Queries.decontamMod} <> 0),
+         |q AS (${qualitySql("corpus")}),
+         |qual AS (
+         |  SELECT c.doc_id, c.lang, c.text, q.quality
+         |  FROM corpus c JOIN q USING (doc_id)
+         |  WHERE q.quality >= ${Queries.corpusQualityFloor}),
+         |canon AS (
+         |  SELECT doc_id, lang, text, quality,
+         |    MIN(doc_id) OVER (PARTITION BY nh) AS cid
+         |  FROM (SELECT *,
+         |      md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS nh
+         |    FROM qual)),
+         |surv AS (SELECT doc_id, lang, text, quality FROM canon WHERE doc_id = cid),
+         |stoks AS (SELECT doc_id, $toksSql AS toks FROM surv),
+         |sunn AS (
+         |  SELECT doc_id, unnest(toks) AS tok, generate_subscripts(toks, 1) AS i
+         |  FROM stoks WHERE len(toks) >= 2),
+         |sbig AS (
+         |  SELECT DISTINCT a.doc_id, a.tok || ' ' || b.tok AS g
+         |  FROM sunn a JOIN sunn b ON a.doc_id = b.doc_id AND b.i = a.i + 1),
+         |btoks AS (
+         |  SELECT doc_id, $toksSql AS toks FROM documents
+         |  WHERE doc_id % ${Queries.decontamMod} = 0),
+         |bunn AS (
+         |  SELECT doc_id, unnest(toks) AS tok, generate_subscripts(toks, 1) AS i
+         |  FROM btoks WHERE len(toks) >= 2),
+         |bbig AS (
+         |  SELECT DISTINCT a.tok || ' ' || b.tok AS g
+         |  FROM bunn a JOIN bunn b ON a.doc_id = b.doc_id AND b.i = a.i + 1),
+         |hits AS (
+         |  SELECT s.doc_id, count(*) AS n_hits
+         |  FROM sbig s JOIN bbig b ON s.g = b.g GROUP BY s.doc_id),
+         |clean AS (
+         |  SELECT s.doc_id, s.lang, s.quality
+         |  FROM surv s LEFT JOIN hits h USING (doc_id)
+         |  WHERE coalesce(h.n_hits, 0) < ${Queries.decontamMinOverlap})
+         |SELECT doc_id, lang, quality FROM clean
+         |WHERE substr(md5(CAST(doc_id AS VARCHAR) || '${Queries.sampleSalt}'), 1, 4)
+         |  < (CASE WHEN lang = 'en' THEN '${Queries.sampleThreshEn}'
+         |          ELSE '${Queries.sampleThreshOther}' END)
+         |ORDER BY doc_id""".stripMargin,
 
     "text_language_id" -> {
       val langs = graft.functions.GraftFunctions.langMarkers.toSeq.sortBy(_._1)

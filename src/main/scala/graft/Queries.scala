@@ -518,6 +518,47 @@ object Queries {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** Minimum ROUNDED quality score for pipeline_corpus admission —
+    * gate on the rounded value so the Spark and DuckDB sides compare
+    * bit-identical numbers at the boundary (raw doubles could differ
+    * in the last ulp and flip a doc at exactly the floor).
+    */
+  private[graft] val corpusQualityFloor = 0.70
+
+  /** End-to-end corpus preparation — the composed LLM-training-data
+    * pipeline every operator above exists FOR, as one lazy plan:
+    *   1. exclude the benchmark slice (doc_id % decontamMod == 0),
+    *   2. quality gate (rounded qualityScore >= corpusQualityFloor),
+    *   3. exact dedup, keeping each group's canonical (min-id) doc,
+    *   4. decontaminate vs the benchmark slice's bigrams (anti-join),
+    *   5. deterministic stratified sample (hash-threshold by lang).
+    * DuckDB-oracled as the same CTE chain. Scale shape: stages 1-2
+    * and 5 are per-row maps; 3 is one hash shuffle; 4 is the
+    * gram-keyed semi-join — no stage materializes between steps, so
+    * Catalyst fuses the maps and AQE sizes the two shuffles.
+    */
+  def pipelineCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val bench = docs.filter(col("doc_id") % decontamMod === 0)
+    val corpus = docs.filter(col("doc_id") % decontamMod =!= 0)
+    val qual = corpus
+      .withColumn("quality", round(qualityScore(col("text")), 4))
+      .filter(col("quality") >= corpusQualityFloor)
+    val canon = Dedup.exactCanonical(qual, "doc_id", "text")
+      .filter(col("doc_id") === col("canonical_id"))
+      .drop("canonical_id", "group_size")
+    val contaminated = Dedup.contaminatedDocs(canon, bench, "doc_id", "text",
+      n = 2, minOverlap = decontamMinOverlap).select(col("id"))
+    val clean = canon.join(contaminated,
+      canon("doc_id") === contaminated("id"), "left_anti")
+    val bucket = substring(md5(concat(col("doc_id").cast("string"), lit(sampleSalt))), 1, 4)
+    val threshold = when(col("lang") === "en", lit(sampleThreshEn))
+      .otherwise(lit(sampleThreshOther))
+    clean.filter(bucket < threshold)
+      .select(col("doc_id"), col("lang"), col("quality"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Multimodal: binary-asset metadata (decode-free pushdown path). */
   def mmDescribe(spark: SparkSession, dir: String): DataFrame =
     Multimodal.describeAssets(
@@ -868,6 +909,7 @@ object Queries {
     "ann_ivf_topk" -> (annIvfTopK _),
     "ann_knn_join" -> (annKnnJoin _),
     "ann_knn_join_indexed" -> (annKnnJoinIndexed _),
+    "pipeline_corpus" -> (pipelineCorpus _),
     "mm_describe" -> (mmDescribe _),
     "mm_features" -> (mmFeatures _),
     "text_quality_metrics" -> (textQualityMetrics _),
