@@ -547,7 +547,13 @@ object Queries {
     val canon = Dedup.exactCanonical(qual, "doc_id", "text")
       .filter(col("doc_id") === col("canonical_id"))
       .drop("canonical_id", "group_size")
-    val contaminated = Dedup.contaminatedDocs(canon, bench, "doc_id", "text",
+    // contamination hits depend only on each doc's own grams vs the
+    // benchmark, so compute them over the cheap `corpus` scan rather
+    // than `canon` — referencing canon twice would recompute the
+    // whole quality+dedup-window chain inside the gram subtree
+    // (verified on the physical plan: two Window+Exchange pairs); the
+    // superset of contaminated ids anti-joins to the identical result
+    val contaminated = Dedup.contaminatedDocs(corpus, bench, "doc_id", "text",
       n = 2, minOverlap = decontamMinOverlap).select(col("id"))
     val clean = canon.join(contaminated,
       canon("doc_id") === contaminated("id"), "left_anti")
