@@ -129,6 +129,55 @@ object Oracles {
        |  round((CAST(m AS DOUBLE) / qn) * (1.0 + CAST(m AS DOUBLE) / n), 4) AS rank
        |FROM m ORDER BY rank DESC, doc_id ASC LIMIT 50""".stripMargin
 
+  /** Replay of the multiprobe batch-kNN pipeline over dumped per-row
+    * LSH keys: probe-key equi-join → self-exclusion → exact cosine →
+    * per-query rank ≤ k. Shared by the ad-hoc and indexed variants
+    * (which must produce identical shapes from their own key dumps —
+    * the indexed x side IS the persisted bucket table).
+    */
+  private def knnJoinSql(qAux: String, xSql: String): String =
+    s"""WITH q AS (SELECT q_id, key FROM read_parquet('__AUX__/$qAux')),
+       |x AS ($xSql),
+       |pairs AS (
+       |  SELECT q.q_id, x.x_id FROM q JOIN x USING (key)
+       |  WHERE q.q_id <> x.x_id),
+       |scored AS (
+       |  SELECT p.q_id, p.x_id,
+       |    list_cosine_similarity(CAST(eq.embedding AS DOUBLE[]),
+       |      CAST(ex.embedding AS DOUBLE[])) AS cos
+       |  FROM pairs p
+       |  JOIN embeddings eq ON eq.vec_id = p.q_id
+       |  JOIN embeddings ex ON ex.vec_id = p.x_id),
+       |ranked AS (
+       |  SELECT q_id, x_id, cos,
+       |    row_number() OVER (PARTITION BY q_id
+       |      ORDER BY cos DESC, x_id ASC) AS rank
+       |  FROM scored)
+       |SELECT q_id, x_id, round(cos, 4) AS cos, rank
+       |FROM ranked WHERE rank <= ${Queries.knnJoinK}
+       |ORDER BY q_id, rank""".stripMargin
+
+  /** Replay of a probe-pruned ANN top-k: exact cosine top-k over only
+    * the rows whose index bucket/cell is in the dumped probe list,
+    * top-k set chosen at full precision, presentation order on the
+    * rounded score (mirrors Queries.annLshTopK/annIvfTopK).
+    */
+  private def annProbeSql(assignAux: String, assignCol: String,
+      probeAux: String, probeCol: String): String =
+    s"""WITH probes AS (
+       |  SELECT unnest($probeCol) AS k FROM read_parquet('__AUX__/$probeAux')),
+       |cand AS (
+       |  SELECT vec_id FROM read_parquet('__AUX__/$assignAux')
+       |  WHERE $assignCol IN (SELECT k FROM probes)),
+       |scored AS (
+       |  SELECT e.vec_id, ${cosSql("e")} AS cos
+       |  FROM embeddings e JOIN cand c ON e.vec_id = c.vec_id),
+       |top AS (
+       |  SELECT vec_id, cos FROM scored
+       |  ORDER BY cos DESC, vec_id ASC LIMIT 20)
+       |SELECT vec_id AS id, round(cos, 4) AS cos FROM top
+       |ORDER BY round(cos, 4) DESC, vec_id ASC""".stripMargin
+
   val sql: Map[String, String] = Map(
 
     "s1_delta_scan_join" ->
@@ -371,6 +420,64 @@ object Oracles {
     "dedup_embedding_cos" -> embeddingLshSql(
       dim = 64, bits = 8, bands = 4, seed = 42L, threshold = 0.30),
 
+    // SimHash banded pipeline vs the SQL brute force over the dumped
+    // per-doc signatures: bands = maxHamming+1 gives FULL recall by
+    // pigeonhole (Dedup.simHashPairs), so banded output == every pair
+    // with bit_count(xor) <= maxHamming — which IS SQL-expressible.
+    "dedup_simhash" ->
+      s"""WITH s AS (
+         |  SELECT doc_id, sig FROM read_parquet('__AUX__/simhash_aux.parquet'))
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  bit_count(xor(a.sig, b.sig)) AS hamming
+         |FROM s a JOIN s b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.sig, b.sig)) <= ${Queries.simHashMaxHamming}
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    // MinHash+LSH banding replayed in SQL over the dumped signatures:
+    // band key = raw 4-hash signature slice (Spark buckets on
+    // hash(band, slice); equal slices ⇒ equal hashes, and a murmur
+    // collision would additionally need to survive the exact-Jaccard
+    // verify to diverge), candidates verified by exact shingle
+    // Jaccard from the dumped shingle sets.
+    "dedup_minhash_lsh" -> {
+      val rows = Queries.minHashNumHashes / Queries.minHashBands
+      s"""WITH s AS (
+         |  SELECT doc_id, shingles, sig
+         |  FROM read_parquet('__AUX__/minhash_aux.parquet')
+         |  WHERE len(shingles) > 0),
+         |bands AS (SELECT range AS band FROM range(0, ${Queries.minHashBands})),
+         |keyed AS (
+         |  SELECT doc_id, band,
+         |    list_slice(sig, band * $rows + 1, band * $rows + $rows) AS bkey
+         |  FROM s CROSS JOIN bands),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM keyed a JOIN keyed b
+         |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+         |j AS (
+         |  SELECT c.id_a, c.id_b,
+         |    CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+         |      / len(list_distinct(sa.shingles || sb.shingles)) AS jaccard
+         |  FROM cand c
+         |  JOIN s sa ON sa.doc_id = c.id_a
+         |  JOIN s sb ON sb.doc_id = c.id_b)
+         |SELECT id_a, id_b, round(jaccard, 4) AS jaccard
+         |FROM j WHERE jaccard >= ${Queries.minHashThreshold}
+         |ORDER BY id_a, id_b""".stripMargin
+    },
+
+    // Probe-pruned ANN top-k over the dumped persisted-index layouts.
+    "ann_lsh_topk" -> annProbeSql(
+      "ann_lsh_buckets.parquet", "bucket", "ann_lsh_probes.parquet", "keys"),
+    "ann_ivf_topk" -> annProbeSql(
+      "ann_ivf_cells.parquet", "cell", "ann_ivf_probes.parquet", "cells"),
+
+    // Multiprobe batch-kNN joins (ad-hoc and persisted-index paths).
+    "ann_knn_join" -> knnJoinSql("knn_q_probes.parquet",
+      "SELECT x_id, key FROM read_parquet('__AUX__/knn_x_keys.parquet')"),
+    "ann_knn_join_indexed" -> knnJoinSql("knn_q_probes_indexed.parquet",
+      "SELECT vec_id AS x_id, bucket AS key FROM read_parquet('__AUX__/ann_lsh_buckets.parquet')"),
+
     "mm_describe" ->
       """SELECT doc_id AS asset_id,
         |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
@@ -469,6 +576,48 @@ object Oracles {
          |SELECT detected, count(*) AS n FROM det
          |GROUP BY detected ORDER BY detected""".stripMargin
     },
+
+    // Rolling-hash fingerprint replayed in PURE SQL (no aux): the JVM
+    // loop h = 31*h + c over "token + ' '" chars (seed
+    // 1125899906842597, 64-bit wrap) has the closed form
+    //   h = seed*31^n + Σ c_i * 31^(n-i)  (mod 2^64),
+    // computed here with a recursive powers-of-31 CTE and HUGEINT
+    // accumulation (terms < 2^71, seed term < 2^114 — inside
+    // HUGEINT's 2^127), then mapped to the signed BIGINT the Spark
+    // UDF returns. Tokens are [a-z0-9]+ runs, so code points ==
+    // UTF-16 units == unicode().
+    "text_fingerprint" ->
+      """WITH RECURSIVE strs AS (
+        |  SELECT doc_id,
+        |    array_to_string(list_transform(
+        |      regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+'),
+        |      t -> t || ' '), '') AS s
+        |  FROM documents),
+        |lens AS (SELECT doc_id, length(s) AS n FROM strs),
+        |pow(k, p) AS (
+        |  SELECT 0, CAST(1 AS HUGEINT)
+        |  UNION ALL
+        |  SELECT k + 1, (p * 31) % CAST('18446744073709551616' AS HUGEINT)
+        |  FROM pow WHERE k < (SELECT max(n) FROM lens)),
+        |chars AS (
+        |  SELECT doc_id, unicode(c) AS code, i FROM (
+        |    SELECT doc_id, unnest(string_split(s, '')) AS c,
+        |      generate_subscripts(string_split(s, ''), 1) AS i
+        |    FROM strs) u
+        |  WHERE c <> ''),
+        |terms AS (
+        |  SELECT c.doc_id, CAST(c.code AS HUGEINT) * p.p AS term
+        |  FROM chars c JOIN lens l USING (doc_id) JOIN pow p ON p.k = l.n - c.i),
+        |sums AS (SELECT doc_id, sum(term) AS ssum FROM terms GROUP BY doc_id),
+        |fph AS (
+        |  SELECT l.doc_id,
+        |    (CAST('1125899906842597' AS HUGEINT) * (SELECT p FROM pow WHERE k = l.n)
+        |      + coalesce(s.ssum, 0)) % CAST('18446744073709551616' AS HUGEINT) AS h
+        |  FROM lens l LEFT JOIN sums s USING (doc_id))
+        |SELECT doc_id,
+        |  CAST(CASE WHEN h >= CAST('9223372036854775808' AS HUGEINT)
+        |    THEN h - CAST('18446744073709551616' AS HUGEINT) ELSE h END AS BIGINT) AS fp
+        |FROM fph ORDER BY doc_id""".stripMargin,
 
     "text_pii_scrub" ->
       s"""SELECT doc_id,

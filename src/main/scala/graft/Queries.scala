@@ -391,24 +391,47 @@ object Queries {
       .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
       .orderBy(col("id_a"), col("id_b"))
 
-  /** MinHash+LSH near-dup candidates (no SQL oracle — LSH banding is
-    * not SQL-expressible; verified by MinHashSpec property tests).
+  /** MinHash+LSH near-dup candidates. DuckDB-oracled via
+    * dump-and-replay (dumpOracleAux): the per-doc MinHash signatures
+    * and shingle sets are dumped (the signature math is unit-covered
+    * by MinHashSpec), and the oracle replays the whole RELATIONAL
+    * pipeline — banding on signature slices, candidate self-join,
+    * exact-Jaccard verification, threshold, dedup — in SQL. The one
+    * divergence risk is a 32-bit murmur collision making Spark's
+    * hash(band, slice) key admit a candidate the oracle's raw-slice
+    * equality doesn't; such a pair still has to pass the exact-Jaccard
+    * verify on both sides, so a mismatch requires a colliding pair
+    * that is ALSO a true near-dup — negligible, and deterministic if
+    * it ever fires.
     */
+  private[graft] val minHashShingleN = 2
+  private[graft] val minHashNumHashes = 64
+  private[graft] val minHashBands = 16
+  private[graft] val minHashThreshold = 0.3
+
   def dedupMinHashLsh(spark: SparkSession, dir: String): DataFrame =
     Dedup.minHashLshPairs(t(spark, dir, "documents"), "doc_id", "text",
-        shingleN = 2, numHashes = 64, bands = 16, threshold = 0.3)
+        shingleN = minHashShingleN, numHashes = minHashNumHashes,
+        bands = minHashBands, threshold = minHashThreshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
       .orderBy(col("id_a"), col("id_b"))
 
-  /** SimHash near-dup pairs (no SQL oracle; SimHashSpec proves banded
-    * recall equals brute force). maxHamming=3 is the scale-right
+  /** SimHash near-dup pairs. maxHamming=3 is the scale-right
     * setting: 4 bands × 16 bits keeps per-band bucket cardinality at
     * 65k, where larger radii force narrower bands (maxHamming+1 of
     * them) and geometrically fewer, fatter buckets.
+    *
+    * DuckDB-oracled via dump-and-replay: the banded pipeline's output
+    * must equal the brute-force pair set over the dumped per-doc
+    * signatures (bands = maxHamming+1 gives FULL recall by
+    * pigeonhole — see Dedup.simHashPairs), and brute force IS
+    * SQL-expressible: every pair with bit_count(xor) <= maxHamming.
     */
+  private[graft] val simHashMaxHamming = 3
+
   def dedupSimHash(spark: SparkSession, dir: String): DataFrame =
     Dedup.simHashPairs(t(spark, dir, "documents"), "doc_id", "text",
-        maxHamming = 3)
+        maxHamming = simHashMaxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))
       .orderBy(col("id_a"), col("id_b"))
 
@@ -429,10 +452,12 @@ object Queries {
     * mechanism reaches recall 0.9 probing <7% of buckets — asserted
     * in AnnSpec's planted-cluster test.
     */
+  private[graft] val annLshMaxProbes = 20
+
   def annLshTopK(spark: SparkSession, dir: String): DataFrame = {
     val qv = queryVec(spark, dir)
     Ann.probeLshIndexDirected(spark, lshIndex(spark, dir), "vec_id", "embedding",
-        qv, k = 20, maxProbes = 20)
+        qv, k = 20, maxProbes = annLshMaxProbes)
       .select(col("id"), round(col("cos"), 4).as("cos"))
       .orderBy(col("cos").desc, col("id").asc)
   }
@@ -478,10 +503,13 @@ object Queries {
     * the nProbe matching cell partitions (PartitionFilters prune the
     * rest).
     */
+  private[graft] val annIvfNProbe = 8
+
   def annIvfTopK(spark: SparkSession, dir: String): DataFrame = {
     val qv = queryVec(spark, dir)
     val path = ivfIndex(spark, dir)
-    Ann.probeIvfIndex(spark, path, "vec_id", "embedding", qv, k = 20, nProbe = 8)
+    Ann.probeIvfIndex(spark, path, "vec_id", "embedding", qv, k = 20,
+        nProbe = annIvfNProbe)
       .select(col("id"), round(col("cos"), 4).as("cos"))
       .orderBy(col("cos").desc, col("id").asc)
   }
@@ -489,10 +517,14 @@ object Queries {
   /** ANN: batch kNN join (every query vector → top-5 neighbors),
     * LSH-bucketed with single-bit multiprobe on the query side.
     */
+  private[graft] val knnJoinBits = 6
+  private[graft] val knnJoinK = 5
+  private[graft] val knnQueryMaxId = 50
+
   def annKnnJoin(spark: SparkSession, dir: String): DataFrame = {
     val emb = t(spark, dir, "embeddings")
-    Ann.knnJoin(emb.filter(col("vec_id") < 50), emb, "vec_id", "embedding",
-        k = 5, bits = 6)
+    Ann.knnJoin(emb.filter(col("vec_id") < knnQueryMaxId), emb, "vec_id",
+        "embedding", k = knnJoinK, bits = knnJoinBits)
       .select(col("q_id"), col("x_id"), round(col("cos"), 4).as("cos"), col("rank"))
       .orderBy(col("q_id"), col("rank"))
   }
@@ -513,7 +545,8 @@ object Queries {
   def annKnnJoinIndexed(spark: SparkSession, dir: String): DataFrame = {
     val emb = t(spark, dir, "embeddings")
     Ann.knnJoinIndexed(spark, lshIndex(spark, dir),
-        emb.filter(col("vec_id") < 50), "vec_id", "embedding", k = 5)
+        emb.filter(col("vec_id") < knnQueryMaxId), "vec_id", "embedding",
+        k = knnJoinK)
       .select(col("q_id"), col("x_id"), round(col("cos"), 4).as("cos"), col("rank"))
       .orderBy(col("q_id"), col("rank"))
   }
@@ -834,6 +867,76 @@ object Queries {
       t(spark, dir, "documents")
         .select(col("doc_id"), toTsvector(col("text")).as("lexemes")),
       s"$outDir/f2_aux_lexemes.parquet")
+
+    // --- dedup signature auxes: per-doc signatures only (the JVM
+    // signature math is unit-covered by SimHashSpec/MinHashSpec);
+    // the oracles replay the banding/candidate/verify RELATIONAL
+    // pipeline in SQL over these dumps ---
+    writeSingleParquet(
+      t(spark, dir, "documents")
+        .select(col("doc_id"), simHash(col("text")).as("sig")),
+      s"$outDir/simhash_aux.parquet")
+    writeSingleParquet(
+      t(spark, dir, "documents")
+        .select(col("doc_id"),
+          array_distinct(shingles(col("text"), lit(minHashShingleN))).as("shingles"))
+        .withColumn("sig", minHash(col("shingles"), lit(minHashNumHashes))),
+      s"$outDir/minhash_aux.parquet")
+
+    // --- ANN auxes: the persisted index layouts (bucket/cell
+    // assignments) plus the driver-enumerated probe lists. The probe
+    // enumeration itself is PropertySpec/AnnSpec-covered; the oracles
+    // verify "exact top-k restricted to the probed buckets" ---
+    val qv = queryVec(spark, dir)
+    val lshPath = lshIndex(spark, dir)
+    writeSingleParquet(
+      spark.read.parquet(s"$lshPath/buckets")
+        .select(col("vec_id"), col("bucket").cast("long").as("bucket")),
+      s"$outDir/ann_lsh_buckets.parquet")
+    val lshMeta = spark.read.parquet(s"$lshPath/meta").head()
+    val idxBits = lshMeta.getAs[Int]("bits")
+    val idxPlanes = Ann.hyperplanes(idxBits, lshMeta.getAs[Int]("dim"),
+      lshMeta.getAs[Long]("seed"))
+    val margins = idxPlanes.map(p =>
+      p.zip(qv).map { case (a, b) => a.toDouble * b }.sum)
+    writeSingleParquet(
+      Seq(Tuple1(Ann.directedProbeKeys(margins, idxBits, annLshMaxProbes)))
+        .toDF("keys"),
+      s"$outDir/ann_lsh_probes.parquet")
+
+    val ivfPath = ivfIndex(spark, dir)
+    writeSingleParquet(
+      spark.read.parquet(s"$ivfPath/assigned")
+        .select(col("vec_id"), col("cell").cast("int").as("cell")),
+      s"$outDir/ann_ivf_cells.parquet")
+    writeSingleParquet(
+      Seq(Tuple1(Ann.nearestCells(Ann.loadIvfCentroids(spark, ivfPath), qv,
+        annIvfNProbe).toSeq)).toDF("cells"),
+      s"$outDir/ann_ivf_probes.parquet")
+
+    // --- batch-kNN auxes: per-row LSH keys (index side) and the
+    // multiprobe key fan-out (query side), for both the ad-hoc join
+    // (fixed knnJoinBits planes) and the indexed join (the persisted
+    // index's planes; its x side is ann_lsh_buckets above) ---
+    val emb = t(spark, dir, "embeddings")
+    val knnDim = emb.select(size(col("embedding"))).head().getInt(0)
+    val knnPlanes = Ann.hyperplanes(knnJoinBits, knnDim)
+    writeSingleParquet(
+      emb.select(col("vec_id").as("x_id"),
+        Ann.lshKey(col("embedding"), knnPlanes).as("key")),
+      s"$outDir/knn_x_keys.parquet")
+    def qProbes(planes: Array[Array[Float]], nBits: Int): DataFrame = {
+      val q0 = emb.filter(col("vec_id") < knnQueryMaxId)
+        .select(col("vec_id").as("q_id"),
+          Ann.lshKey(col("embedding"), planes).as("__qkey"))
+      q0.select(col("q_id"),
+        explode(array((col("__qkey") +: (0 until nBits).map(b =>
+          col("__qkey").bitwiseXOR(lit(1L << b)))): _*)).as("key"))
+    }
+    writeSingleParquet(qProbes(knnPlanes, knnJoinBits),
+      s"$outDir/knn_q_probes.parquet")
+    writeSingleParquet(qProbes(idxPlanes, idxBits),
+      s"$outDir/knn_q_probes_indexed.parquet")
   }
 
   private def writeSingleParquet(df: DataFrame, target: String): Unit = {

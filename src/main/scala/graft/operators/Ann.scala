@@ -300,7 +300,7 @@ object Ann {
       .limit(k)
   }
 
-  private def nearestCells(centroids: Array[(Int, Array[Float])],
+  private[graft] def nearestCells(centroids: Array[(Int, Array[Float])],
       queryVec: Array[Float], nProbe: Int): Array[Int] = {
     def dist(a: Array[Float], b: Array[Float]): Double =
       math.sqrt(a.zip(b).map { case (x, y) => (x.toDouble - y) * (x.toDouble - y) }.sum)
