@@ -5,8 +5,23 @@ import org.apache.spark.sql.SparkSession
   * SPARK_GRAFT_SF_DIR (default sf0.1) and prints ONE JSON line.
   * Results are fully materialized through the noop sink (count()
   * would let Catalyst prune the projections being measured).
+  *
+  * Contamination-evidence instrumentation (r6): the official r4/r5
+  * bench records were poisoned by concurrent sandbox load (dedup_exact
+  * 293s official vs 3.07s on an idle re-run of identical code). To
+  * make any future contamination self-evident, the JSON line now
+  * carries per-query start epoch-seconds (`ts`), the 1-minute
+  * /proc/loadavg sampled at each query start (`load`), and a
+  * per-query ok/failed flag (`status`). A failed query no longer
+  * silently contributes a near-zero time to an exit-0 run: the
+  * process exits 1 if any query threw.
   */
 object Bench {
+  private def loadAvg1m(): Double =
+    try scala.io.Source.fromFile("/proc/loadavg").mkString
+      .split("\\s+").head.toDouble
+    catch { case _: Throwable => -1.0 }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -31,18 +46,30 @@ object Bench {
     catch { case e: Throwable =>
       System.err.println(s"[bench] prepare failed: ${e.getMessage}")
     }
+    case class QRun(name: String, sec: Double, ok: Boolean,
+                    startEpochSec: Long, load1m: Double)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val startedAt = System.currentTimeMillis() / 1000
+      val load = loadAvg1m()
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
-      }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          false
+        }
+      QRun(name, (System.nanoTime() - t0) / 1e9, ok, startedAt, load)
     }
-    val qs = results.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def jmap(f: QRun => String): String =
+      results.map(r => "\"" + r.name + "\":" + f(r)).mkString("{", ",", "}")
+    val qs = jmap(r => f"${r.sec}%.3f")
+    val status = jmap(r => if (r.ok) "\"ok\"" else "\"failed\"")
+    val ts = jmap(_.startEpochSec.toString)
+    val load = jmap(r => f"${r.load1m}%.2f")
+    val total = results.map(_.sec).sum
+    val failed = results.count(!_.ok)
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"status":$status,"ts":$ts,"load":$load,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
+    if (failed > 0) sys.exit(1)
   }
 }
