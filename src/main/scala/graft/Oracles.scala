@@ -760,6 +760,56 @@ object Oracles {
          |SELECT doc_id, semantic_rank, fts_rank, round(rrf_score, 6) AS rrf_score
          |FROM hits ORDER BY rrf_score DESC, doc_id ASC""".stripMargin,
 
+    // f6 replays posexplode + total order over the dumped per-doc
+    // chunk arrays (the chunker itself is a JVM UDF, unit-covered by
+    // TextSpec; what the oracle checks is the relational layer —
+    // explode-with-position, empty-array row drop, ordering). The
+    // zipped unnests align chunk_index with its chunk like posexplode.
+    "f6_chunk_table" ->
+      """WITH c AS (
+        |  SELECT doc_id, chunks
+        |  FROM read_parquet('__AUX__/f6_aux_chunks.parquet')
+        |  WHERE len(chunks) > 0)
+        |SELECT doc_id,
+        |  CAST(unnest(generate_series(0, len(chunks) - 1)) AS INT) AS chunk_index,
+        |  unnest(chunks) AS chunk
+        |FROM c ORDER BY doc_id, chunk_index""".stripMargin,
+
+    // vz_rag's render layer: replay the same retrieval CTE as
+    // vz_rag_retrieve (windowSize = numContext*5 = 10), join the hit
+    // texts with "\n" in retrieval order, splice them into the
+    // question_answer template by concatenating its literal segments
+    // (single-pass substitution semantics — substituted values are
+    // never re-scanned, matching PromptTemplates.substitute), and md5
+    // both prompts. Template/query literals are interpolated from the
+    // same constants the engine renders from.
+    "vz_rag_prompt" -> {
+      val (sys, user) = graft.rag.PromptTemplates.resolve("question_answer").get
+      val Array(pre, rest) = user.split(java.util.regex.Pattern.quote("{{context_str}}"), 2)
+      val Array(mid, post) = rest.split(java.util.regex.Pattern.quote("{{query_str}}"), 2)
+      def q(s: String) = "'" + s.replace("'", "''") + "'"
+      s"""WITH qv AS (
+         |  SELECT CAST(rag_qvec AS DOUBLE[]) AS v
+         |  FROM read_parquet('__AUX__/vz_aux_query.parquet')),
+         |scored AS (
+         |  SELECT pkey,
+         |    list_cosine_similarity(CAST(embeddings AS DOUBLE[]), (SELECT v FROM qv)) AS sim
+         |  FROM read_parquet('__AUX__/vz_aux_embeddings.parquet')),
+         |top AS (
+         |  SELECT pkey, sim FROM scored WHERE sim IS NOT NULL
+         |  ORDER BY 1.0 - sim ASC, pkey ASC LIMIT 10),
+         |hits AS (
+         |  SELECT d.text, t.sim, t.pkey
+         |  FROM documents d JOIN top t ON CAST(d.doc_id AS VARCHAR) = t.pkey
+         |  ORDER BY t.sim DESC, t.pkey ASC LIMIT 2),
+         |ctx AS (
+         |  SELECT string_agg(text, chr(10) ORDER BY sim DESC, pkey ASC) AS c
+         |  FROM hits)
+         |SELECT md5(${q(sys)}) AS sys_md5,
+         |  md5(${q(pre)} || c || ${q(mid)} || ${q(Queries.ragQueryText)} || ${q(post)}) AS user_md5
+         |FROM ctx""".stripMargin
+    },
+
     // rag(numContext=2) retrieval: windowSize = limit*5 = 10.
     "vz_rag_retrieve" ->
       s"""WITH q AS (

@@ -823,6 +823,22 @@ object Queries {
     engine.rag("docs_job", ragQueryText, numContext = 2)
   }
 
+  /** The render/trim layer of vz_rag, exposed for the DuckDB oracle:
+    * md5 of the rendered system + user prompts. The retrieval is the
+    * same `search(query, limit = numContext)` call rag() makes, and
+    * the template substitution + "\n" context join are
+    * SQL-expressible, so the oracle replays retrieval → string_agg →
+    * concatenation and md5s the result. Only the chat response itself
+    * (JVM provider) stays test-covered.
+    */
+  def vzRagPrompt(spark: SparkSession, dir: String): DataFrame = {
+    val engine = ephemeralEngine(spark, dir)
+    val p = engine.ragPrompt("docs_job", ragQueryText, numContext = 2)
+    import spark.implicits._
+    Seq((p.sysPrompt, p.userPrompt)).toDF("sys", "user")
+      .select(md5(col("sys")).as("sys_md5"), md5(col("user")).as("user_md5"))
+  }
+
   /** The retrieval step of vz_rag, exposed for the DuckDB oracle:
     * the same `search(query, limit = numContext)` call rag() makes,
     * with the context column hashed (md5) so the compare doesn't ship
@@ -867,6 +883,15 @@ object Queries {
       t(spark, dir, "documents")
         .select(col("doc_id"), toTsvector(col("text")).as("lexemes")),
       s"$outDir/f2_aux_lexemes.parquet")
+
+    // per-doc chunk arrays for the f6_chunk_table oracle — same
+    // chunkText UDF the query itself uses (unit-covered by TextSpec);
+    // the oracle replays the posexplode + ordering in SQL
+    writeSingleParquet(
+      t(spark, dir, "documents")
+        .filter(col("doc_id") < 50)
+        .select(col("doc_id"), chunkText(col("text"), lit(80)).as("chunks")),
+      s"$outDir/f6_aux_chunks.parquet")
 
     // --- dedup signature auxes: per-doc signatures only (the JVM
     // signature math is unit-covered by SimHashSpec/MinHashSpec);
@@ -1035,6 +1060,7 @@ object Queries {
     "vz_semantic_search" -> (vzSemanticSearch _),
     "vz_hybrid_search" -> (vzHybridSearch _),
     "vz_rag" -> (vzRag _),
+    "vz_rag_prompt" -> (vzRagPrompt _),
     "vz_rag_retrieve" -> (vzRagRetrieve _)
   )
 }

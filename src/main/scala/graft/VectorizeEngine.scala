@@ -513,6 +513,21 @@ final class VectorizeEngine(
   def rag(jobName: String, query: String, chatModel: String = "openai/gpt-4o-mini",
       task: String = "question_answer", numContext: Int = 2,
       forceTrim: Boolean = false): DataFrame = {
+    val trimmed = ragPrompt(jobName, query, chatModel, task, numContext, forceTrim)
+    val answer = chatProvider.generateResponse(chatModel, trimmed.sysPrompt, trimmed.userPrompt)
+    import spark.implicits._
+    Seq((query, answer)).toDF("query", "chat_response")
+  }
+
+  /** The deterministic prefix of [[rag]] — retrieve, render, trim —
+    * without the chat call, exposed so the rendered prompt can be
+    * DuckDB-oracled (the chat response itself is JVM-only and stays
+    * EngineSpec-covered).
+    */
+  def ragPrompt(jobName: String, query: String,
+      chatModel: String = "openai/gpt-4o-mini",
+      task: String = "question_answer", numContext: Int = 2,
+      forceTrim: Boolean = false): graft.rag.RenderedPrompt = {
     val job = jobs(jobName)
     require(job.srcColumns.size == 1,
       s"chat jobs require exactly one content column, got ${job.srcColumns.size}")
@@ -525,10 +540,7 @@ final class VectorizeEngine(
     val tpl = prompts.get(task).orElse(graft.rag.PromptTemplates.resolve(task))
       .getOrElse(throw new IllegalArgumentException(s"unknown prompt task: $task"))
     val rendered = graft.rag.PromptTemplates.renderTemplate(tpl, hits.mkString("\n"), query)
-    val trimmed = graft.rag.ContextWindow.enforce(chatModel, rendered, forceTrim)
-    val answer = chatProvider.generateResponse(chatModel, trimmed.sysPrompt, trimmed.userPrompt)
-    import spark.implicits._
-    Seq((query, answer)).toDF("query", "chat_response")
+    graft.rag.ContextWindow.enforce(chatModel, rendered, forceTrim)
   }
 
   /** `vectorize.generate` (extension/src/api.rs:207-223). */
