@@ -174,7 +174,7 @@ object Oracles {
        |  FROM embeddings e JOIN cand c ON e.vec_id = c.vec_id),
        |top AS (
        |  SELECT vec_id, cos FROM scored
-       |  ORDER BY cos DESC, vec_id ASC LIMIT 20)
+       |  ORDER BY cos DESC, vec_id ASC LIMIT ${Queries.annTopK})
        |SELECT vec_id AS id, round(cos, 4) AS cos FROM top
        |ORDER BY round(cos, 4) DESC, vec_id ASC""".stripMargin
 

@@ -454,10 +454,15 @@ object Queries {
     */
   private[graft] val annLshMaxProbes = 20
 
+  /** Shared top-k for the ANN single-query entries; interpolated into
+    * the oracle's annProbeSql so the two sides can never desync.
+    */
+  private[graft] val annTopK = 20
+
   def annLshTopK(spark: SparkSession, dir: String): DataFrame = {
     val qv = queryVec(spark, dir)
     Ann.probeLshIndexDirected(spark, lshIndex(spark, dir), "vec_id", "embedding",
-        qv, k = 20, maxProbes = annLshMaxProbes)
+        qv, k = annTopK, maxProbes = annLshMaxProbes)
       .select(col("id"), round(col("cos"), 4).as("cos"))
       .orderBy(col("cos").desc, col("id").asc)
   }
@@ -508,7 +513,7 @@ object Queries {
   def annIvfTopK(spark: SparkSession, dir: String): DataFrame = {
     val qv = queryVec(spark, dir)
     val path = ivfIndex(spark, dir)
-    Ann.probeIvfIndex(spark, path, "vec_id", "embedding", qv, k = 20,
+    Ann.probeIvfIndex(spark, path, "vec_id", "embedding", qv, k = annTopK,
         nProbe = annIvfNProbe)
       .select(col("id"), round(col("cos"), 4).as("cos"))
       .orderBy(col("cos").desc, col("id").asc)
@@ -647,7 +652,11 @@ object Queries {
       .groupBy(col("detected")).agg(count(lit(1)).as("n"))
       .orderBy(col("detected"))
 
-  /** Rolling-hash fingerprints (no oracle — JVM hash). */
+  /** Rolling-hash fingerprints. DuckDB-oracled in PURE SQL (no aux):
+    * the JVM loop has a closed form Σ c_i·31^(n-i) mod 2^64 that the
+    * oracle computes with a recursive powers-of-31 CTE and HUGEINT
+    * accumulation — see Oracles "text_fingerprint".
+    */
   def textFingerprint(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents")
       .select(col("doc_id"), fingerprint(col("text")).as("fp"))
@@ -954,9 +963,9 @@ object Queries {
       val q0 = emb.filter(col("vec_id") < knnQueryMaxId)
         .select(col("vec_id").as("q_id"),
           Ann.lshKey(col("embedding"), planes).as("__qkey"))
+      // same probe fan-out as Ann.multiprobeQueries, by construction
       q0.select(col("q_id"),
-        explode(array((col("__qkey") +: (0 until nBits).map(b =>
-          col("__qkey").bitwiseXOR(lit(1L << b)))): _*)).as("key"))
+        explode(Ann.multiprobeKeyArray(col("__qkey"), nBits)).as("key"))
     }
     writeSingleParquet(qProbes(knnPlanes, knnJoinBits),
       s"$outDir/knn_q_probes.parquet")

@@ -54,16 +54,103 @@ object TextAnalyzer {
       .distinct
       .sorted
 
-  /** Lexemes with positions retained (1-based, like tsvector), for
-    * cover-density ranking. Returns (lexeme, positions).
+  /** Postgres tsvector position limits (ts_type.h): position values
+    * clamp at MAXENTRYPOS-1 = 16383 (LIMITPOS), and each lexeme keeps
+    * at most MAXNUMPOS = 256 positions. Mirrored so cover-density
+    * ranks match Postgres on pathological documents too.
+    */
+  private val MaxEntryPos = 16383
+  private val MaxNumPos = 256
+
+  /** Lexemes with positions retained (1-based over ALL tokens
+    * including stopwords, exactly like to_tsvector — stopwords occupy
+    * positions but emit no lexeme), for cover-density ranking.
+    * Positions are clamped/capped per the tsvector limits above.
+    * Returns (lexeme, sorted distinct positions).
     */
   def lexemesWithPositions(text: String): Map[String, Seq[Int]] = {
     val toks = tokenize(text).zipWithIndex
     toks
       .filterNot { case (t, _) => stopwords.contains(t) }
-      .map { case (t, i) => (PorterStemmer.stem(t), i + 1) }
+      .map { case (t, i) => (PorterStemmer.stem(t), math.min(i + 1, MaxEntryPos)) }
       .groupBy(_._1)
-      .map { case (lex, ps) => lex -> ps.map(_._2).sorted }
+      .map { case (lex, ps) =>
+        lex -> ps.map(_._2).distinct.sorted.take(MaxNumPos)
+      }
+  }
+
+  // ---------------------------------------------------------------
+  // Exact ts_rank_cd (cover density: Clarke, Cormack & Tudhope 1999;
+  // Postgres tsrank.c calc_rank_cd with default normalization 0 and
+  // default position weight D = 0.1 — to_tsvector emits D unless
+  // setweight was applied, which the reference never does). Each
+  // minimal cover (smallest position window whose entries satisfy the
+  // query) contributes Cpos / (1 + nNoise), where for all-D entries
+  // Cpos = nEntries / (nEntries · 1/0.1) = 0.1 and
+  // nNoise = (q − p) − (nEntries − 1). Reference call site:
+  // core/src/query.rs:766 (`ts_rank_cd(search_tokens, query)`).
+  // ---------------------------------------------------------------
+
+  private val WeightD = 0.1
+
+  /** ts_rank_cd for the OR-rewritten queries the reference emits
+    * (core/src/query.rs:768-773: `plainto_tsquery` then `&` → `|`).
+    * With OR semantics every matching position is its own minimal
+    * cover (width 0, nNoise 0), so the cover walk degenerates to
+    * 0.1 · Σ (position count of each matched query lexeme) — which is
+    * why the indexed form needs only per-(doc, lexeme) position
+    * COUNTS, not the arrays (TextIndex.searchPostingsRankCd).
+    */
+  def rankCdOr(positions: Map[String, Seq[Int]], queryLex: Seq[String]): Double =
+    queryLex.distinct.foldLeft(0.0) { (acc, q) =>
+      acc + positions.getOrElse(q, Seq.empty).size * WeightD
+    }
+
+  /** ts_rank_cd for AND queries (plainto_tsquery's natural output,
+    * kept for parity beyond the reference's OR rewrite): walks the
+    * document's minimal covers exactly like tsrank.c Cover() — scan
+    * forward from the start index until every term is seen (upper
+    * bound q), then backward from there until every term is seen
+    * again (lower bound p), emit, restart one entry past p.
+    */
+  def rankCdAnd(positions: Map[String, Seq[Int]], queryLex: Seq[String]): Double = {
+    val terms = queryLex.distinct
+    if (terms.isEmpty ||
+        terms.exists(t => positions.getOrElse(t, Seq.empty).isEmpty)) return 0.0
+    // doc representation: only query-term entries, position-sorted
+    val entries = terms.flatMap(t => positions(t).map(p => (p, t)))
+      .sortBy(_._1).toIndexedSeq
+    val nTerms = terms.size
+    var start = 0
+    var wdoc = 0.0
+    var more = true
+    while (more && start < entries.length) {
+      val seenFwd = scala.collection.mutable.Set.empty[String]
+      var end = start
+      var found = false
+      while (!found && end < entries.length) {
+        seenFwd += entries(end)._2
+        if (seenFwd.size == nTerms) found = true else end += 1
+      }
+      if (!found) more = false
+      else {
+        val seenBwd = scala.collection.mutable.Set.empty[String]
+        var begin = end
+        while (seenBwd.size < nTerms) {
+          seenBwd += entries(begin)._2
+          if (seenBwd.size < nTerms) begin -= 1
+        }
+        val nEntries = end - begin + 1
+        val width = entries(end)._1 - entries(begin)._1
+        val nNoise = {
+          val n = width - (nEntries - 1)
+          if (n < 0) (nEntries - 1) / 2 else n
+        }
+        wdoc += WeightD / (1 + nNoise)
+        start = begin + 1
+      }
+    }
+    wdoc
   }
 
   /** OR-semantics query lexemes, matching the reference's

@@ -401,14 +401,21 @@ object Ann {
     * risk (bits+1)x the dot-product work under the Generate node,
     * where whole-stage CSE is not guaranteed.
     */
+  /** The single-bit-flip probe-key fan-out over a materialized key
+    * column: the key itself plus every one-bit flip. Shared with the
+    * verify-side aux dump (Queries.dumpOracleAux) so the oracle's
+    * probe set can never drift from the engine's.
+    */
+  private[graft] def multiprobeKeyArray(qkey: Column, bits: Int): Column =
+    array((qkey +: (0 until bits).map(b =>
+      qkey.bitwiseXOR(lit(1L << b)))): _*)
+
   private def multiprobeQueries(queries: DataFrame, idCol: String,
       vecCol: String, planes: Array[Array[Float]], bits: Int): DataFrame = {
     val q0 = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
       .withColumn("__qkey", lshKey(col("q_vec"), planes))
-    val probeKeys = array(
-      (col("__qkey") +: (0 until bits).map(b =>
-        col("__qkey").bitwiseXOR(lit(1L << b)))): _*)
-    q0.withColumn("__lsh", explode(probeKeys)).drop("__qkey")
+    q0.withColumn("__lsh", explode(multiprobeKeyArray(col("__qkey"), bits)))
+      .drop("__qkey")
   }
 
   /** The join-verify-rank tail shared by [[knnJoin]] and
