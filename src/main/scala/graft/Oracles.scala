@@ -129,6 +129,26 @@ object Oracles {
        |  round((CAST(m AS DOUBLE) / qn) * (1.0 + CAST(m AS DOUBLE) / n), 4) AS rank
        |FROM m ORDER BY rank DESC, doc_id ASC LIMIT 50""".stripMargin
 
+  /** Exact OR-query ts_rank_cd replay over the dumped per-doc
+    * (lexeme, npos) position counts: every matched position is its
+    * own minimal cover, so rank = 0.1 · Σ npos of matched lexemes
+    * (TextAnalyzer.rankCdOr). `0.1 * sum` mirrors the engine's single
+    * multiply over the integer sum, so doubles are bit-identical.
+    * Shared by the scan (f4_rank_cd) and postings-index
+    * (f4_postings_rank_cd) forms, which must agree exactly.
+    */
+  private val f4RankCdSql =
+    s"""WITH q AS (
+       |  SELECT DISTINCT unnest(f2_qlex) AS lex
+       |  FROM read_parquet('__AUX__/vz_aux_query.parquet')),
+       |m AS (
+       |  SELECT p.doc_id, 0.1 * sum(p.npos) AS r
+       |  FROM read_parquet('__AUX__/f4_aux_poscounts.parquet') p
+       |  JOIN q ON p.lexeme = q.lex
+       |  GROUP BY p.doc_id)
+       |SELECT doc_id, round(r, 4) AS rank
+       |FROM m ORDER BY rank DESC, doc_id ASC LIMIT 50""".stripMargin
+
   /** Replay of the multiprobe batch-kNN pipeline over dumped per-row
     * LSH keys: probe-key equi-join → self-exclusion → exact cosine →
     * per-query rank ≤ k. Shared by the ad-hoc and indexed variants
@@ -692,6 +712,8 @@ object Oracles {
     // so it shares the oracle verbatim.
     "f2_tsvector_rank" -> f2RankSql,
     "f2_postings_rank" -> f2RankSql,
+    "f4_rank_cd" -> f4RankCdSql,
+    "f4_postings_rank_cd" -> f4RankCdSql,
 
     "vz_semantic_search" ->
       s"""WITH q AS (

@@ -782,6 +782,35 @@ object Queries {
     TextIndex.searchPostings(spark, postingsIndex(spark, dir),
       graft.functions.TextAnalyzer.queryLexemes(f2QueryText), k = 50)
 
+  /** F4 exact (scan form): Postgres `ts_rank_cd` over the OR-rewritten
+    * query — 0.1 · Σ matched-lexeme position counts per doc (every
+    * matched position is its own minimal cover under OR; see
+    * TextAnalyzer.rankCdOr). DuckDB-oracled over the dumped per-doc
+    * (lexeme, npos) position counts (dumpOracleAux), replaying
+    * match → 0.1·sum → order/limit in SQL; the position math itself
+    * (stopwords occupy positions, ts_type.h clamps) is unit-covered
+    * by RankCdSpec against hand-computed Postgres values.
+    */
+  def f4RankCd(spark: SparkSession, dir: String): DataFrame = {
+    val qLex = graft.functions.TextAnalyzer.queryLexemes(f2QueryText)
+    val qCol = lit(qLex.toArray)
+    t(spark, dir, "documents")
+      .withColumn("rank", round(tsRankCd(col("text"), qCol), 4))
+      .filter(col("rank") > 0) // rank > 0 ⇔ ≥1 matched position (OR match)
+      .select(col("doc_id"), col("rank"))
+      .orderBy(col("rank").desc, col("doc_id").asc)
+      .limit(50)
+  }
+
+  /** F4 exact over the PERSISTED inverted-postings index: identical
+    * results to f4_rank_cd (same oracle SQL), but the plan probes only
+    * the query lexemes' bucket partitions and sums the denormalized
+    * position counts — the GIN "tsvector with positions" query shape.
+    */
+  def f4PostingsRankCd(spark: SparkSession, dir: String): DataFrame =
+    TextIndex.searchPostingsRankCd(spark, postingsIndex(spark, dir),
+      graft.functions.TextAnalyzer.queryLexemes(f2QueryText), k = 50)
+
   /** F6/F7: chunk_table — chunk one column, explode with index. */
   def f6ChunkTable(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents")
@@ -892,6 +921,16 @@ object Queries {
       t(spark, dir, "documents")
         .select(col("doc_id"), toTsvector(col("text")).as("lexemes")),
       s"$outDir/f2_aux_lexemes.parquet")
+
+    // per-doc (lexeme, npos) position counts for the f4 exact
+    // ts_rank_cd oracles — same tsvectorPosCounts UDF the scan query
+    // and the postings-index build use (position math unit-covered by
+    // RankCdSpec); the oracle replays match → 0.1·sum → order/limit
+    writeSingleParquet(
+      t(spark, dir, "documents")
+        .select(col("doc_id"),
+          explode(tsvectorPosCounts(col("text"))).as(Seq("lexeme", "npos"))),
+      s"$outDir/f4_aux_poscounts.parquet")
 
     // per-doc chunk arrays for the f6_chunk_table oracle — same
     // chunkText UDF the query itself uses (unit-covered by TextSpec);
@@ -1065,6 +1104,8 @@ object Queries {
     "decontaminate" -> (decontaminate _),
     "f2_tsvector_rank" -> (f2TsvectorRank _),
     "f2_postings_rank" -> (f2PostingsRank _),
+    "f4_rank_cd" -> (f4RankCd _),
+    "f4_postings_rank_cd" -> (f4PostingsRankCd _),
     "f6_chunk_table" -> (f6ChunkTable _),
     "vz_semantic_search" -> (vzSemanticSearch _),
     "vz_hybrid_search" -> (vzHybridSearch _),

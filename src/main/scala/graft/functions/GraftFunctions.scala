@@ -119,6 +119,20 @@ object GraftFunctions {
     TextAnalyzer.rank(if (doc == null) Seq.empty else doc,
       if (query == null) Seq.empty else query))
 
+  /** F4 exact: per-lexeme position counts of `to_tsvector` (the
+    * compact tsvector form OR-query cover-density needs — positions
+    * clamped per Postgres ts_type.h limits before counting).
+    */
+  val tsvectorPosCounts = udf((text: String) => TextAnalyzer.positionCounts(text))
+
+  /** F4 exact: Postgres `ts_rank_cd(to_tsvector(text), query)` for the
+    * reference's OR-rewritten queries (core/src/query.rs:766-773) —
+    * 0.1 · Σ matched-lexeme position counts (see TextAnalyzer.rankCdOr).
+    */
+  val tsRankCd = udf((text: String, query: Seq[String]) =>
+    TextAnalyzer.rankCdOr(TextAnalyzer.lexemesWithPositions(text),
+      if (query == null) Seq.empty else query))
+
   // ---------------------------------------------------------------
   // Chunking (reference F6/F7, extension/src/api.rs:17-78,243-248)
   // ---------------------------------------------------------------

@@ -100,11 +100,32 @@ object TextAnalyzer {
     * 0.1 · Σ (position count of each matched query lexeme) — which is
     * why the indexed form needs only per-(doc, lexeme) position
     * COUNTS, not the arrays (TextIndex.searchPostingsRankCd).
+    *
+    * Computed as ONE multiply over the summed count (not a running
+    * `acc + n·0.1`) so the double result is bit-identical to the
+    * DuckDB oracle's `0.1 * sum(npos)` and to the postings-index
+    * plan's `lit(0.1) * sum(npos)`.
     */
   def rankCdOr(positions: Map[String, Seq[Int]], queryLex: Seq[String]): Double =
-    queryLex.distinct.foldLeft(0.0) { (acc, q) =>
-      acc + positions.getOrElse(q, Seq.empty).size * WeightD
+    WeightD * queryLex.distinct.foldLeft(0L) { (acc, q) =>
+      acc + positions.getOrElse(q, Seq.empty).size
     }
+
+  /** [[rankCdOr]] over per-lexeme position counts (the postings-index
+    * representation; see [[lexemesWithPositions]] for how positions
+    * are clamped before counting).
+    */
+  def rankCdOrCounts(counts: Map[String, Int], queryLex: Seq[String]): Double =
+    WeightD * queryLex.distinct.foldLeft(0L) { (acc, q) =>
+      acc + counts.getOrElse(q, 0)
+    }
+
+  /** Per-lexeme position COUNTS — the compact form [[rankCdOr]] needs
+    * (OR covers never look at the position values, only how many
+    * there are after tsvector clamping).
+    */
+  def positionCounts(text: String): Map[String, Int] =
+    lexemesWithPositions(text).map { case (l, ps) => l -> ps.size }
 
   /** ts_rank_cd for AND queries (plainto_tsquery's natural output,
     * kept for parity beyond the reference's OR rewrite): walks the

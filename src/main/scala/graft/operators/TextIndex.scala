@@ -35,17 +35,21 @@ object TextIndex {
   }
 
   /** Build and persist the postings index:
-    * `path/postings` = (lexeme, id, n_lex) partitioned by bucket,
-    * `path/meta` = nBuckets. One shuffle (repartition by bucket) so
-    * each bucket directory holds whole files.
+    * `path/postings` = (lexeme, id, n_lex, npos) partitioned by
+    * bucket, `path/meta` = nBuckets. One shuffle (repartition by
+    * bucket) so each bucket directory holds whole files. `npos` is
+    * the lexeme's tsvector position count (clamped per ts_type.h),
+    * denormalized into the postings so exact OR cover-density rank
+    * (searchPostingsRankCd) needs no second table — the GIN analogue
+    * of tsvector storing its position lists.
     */
   def buildPostingsIndex(docs: DataFrame, idCol: String, textCol: String,
       path: String, nBuckets: Int = 64): Unit = {
     val spark = docs.sparkSession
     docs
-      .select(col(idCol).as("id"), toTsvector(col(textCol)).as("__lex"))
-      .withColumn("n_lex", size(col("__lex")))
-      .select(col("id"), col("n_lex"), explode(col("__lex")).as("lexeme"))
+      .select(col(idCol).as("id"), tsvectorPosCounts(col(textCol)).as("__pc"))
+      .withColumn("n_lex", size(col("__pc")))
+      .select(col("id"), col("n_lex"), explode(col("__pc")).as(Seq("lexeme", "npos")))
       .withColumn("bucket", crc32(col("lexeme")) % nBuckets)
       .repartition(col("bucket"))
       .write.partitionBy("bucket").mode("overwrite").parquet(s"$path/postings")
@@ -84,6 +88,34 @@ object TextIndex {
       .select(col("id").as("doc_id"),
         round((col("m").cast("double") / qn)
           * (lit(1.0) + col("m").cast("double") / col("n_lex")), 4).as("rank"))
+      .orderBy(col("rank").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
+  /** EXACT `ts_rank_cd` lexical search over the postings index, for
+    * the reference's OR-rewritten queries (core/src/query.rs:766-773).
+    * With OR semantics every matched position is its own minimal
+    * cover, so cover-density reduces to 0.1 · Σ npos over the matched
+    * (doc, lexeme) postings (TextAnalyzer.rankCdOr) — the plan is the
+    * same pruned probe as [[searchPostings]] (bucket partition
+    * pruning + parquet-pushed lexeme IN + one partial agg), just
+    * summing the denormalized position counts instead of counting
+    * rows. `0.1 * sum` (one multiply, integer sum) keeps the double
+    * bit-identical to the scan path and the DuckDB oracle.
+    */
+  def searchPostingsRankCd(spark: SparkSession, path: String,
+      queryLexemes: Seq[String], k: Int): DataFrame = {
+    val qlex = queryLexemes.distinct
+    require(qlex.nonEmpty, "empty query")
+    val nBuckets = spark.read.parquet(s"$path/meta").head().getInt(0)
+    val buckets = qlex.map(bucketOf(_, nBuckets)).distinct
+    spark.read.parquet(s"$path/postings")
+      .filter(col("bucket").isin(buckets: _*)) // partition pruning
+      .filter(col("lexeme").isin(qlex: _*)) // parquet-pushed
+      .groupBy(col("id"))
+      .agg(sum(col("npos")).as("__tot"))
+      .select(col("id").as("doc_id"),
+        round(lit(0.1) * col("__tot"), 4).as("rank"))
       .orderBy(col("rank").desc, col("doc_id").asc)
       .limit(k)
   }

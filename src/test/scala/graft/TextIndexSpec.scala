@@ -40,6 +40,26 @@ class TextIndexSpec extends AnyFunSuite {
     assert(indexed.nonEmpty)
   }
 
+  test("exact rank_cd postings search returns exactly the scan-based f4 ranking") {
+    val path = TestSpark.tempDir("graft_postings_cd_spec_")
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    TextIndex.buildPostingsIndex(docs, "doc_id", "text", path)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("rank"))).toSeq
+    val indexed = rows(TextIndex.searchPostingsRankCd(spark, path,
+      graft.functions.TextAnalyzer.queryLexemes(Queries.f2QueryText), k = 50))
+    val scanned = rows(Queries.f4RankCd(spark, dir))
+    assert(indexed == scanned,
+      "exact-rank postings probe diverged from the tsRankCd scan path")
+    assert(indexed.nonEmpty)
+    // exact cover-density must differ from the tf-proxy somewhere on a
+    // real corpus (otherwise the new path isn't actually live)
+    val proxy = rows(TextIndex.searchPostings(spark, path,
+      graft.functions.TextAnalyzer.queryLexemes(Queries.f2QueryText), k = 50))
+    assert(proxy.map(_._2) != indexed.map(_._2),
+      "rank_cd values should not coincide with the tf-proxy ranks")
+  }
+
   test("probe scans only the query lexemes' bucket partitions") {
     val path = TestSpark.tempDir("graft_postings_spec2_")
     val docs = spark.read.parquet(s"$dir/documents.parquet")
