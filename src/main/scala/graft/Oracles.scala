@@ -733,13 +733,15 @@ object Oracles {
          |SELECT doc_id, lang, round(sim, 4) AS similarity_score
          |FROM hits ORDER BY similarity_score DESC, doc_id ASC""".stripMargin,
 
-    // fts_score mirrors TextAnalyzer.rank over the DEDUPLICATED store
-    // lexemes: matched/|qlex| * (1 + matched/|doc lexemes|), same
-    // left-to-right double arithmetic.
+    // fts_score is EXACT OR-query ts_rank_cd over the store's aligned
+    // (search_tokens, search_token_counts) arrays: 0.1 · Σ matched
+    // position counts (parallel unnest zips the arrays positionally,
+    // like Search.ftsLeg's zip_with).
     "vz_hybrid_search" ->
       s"""WITH q AS (
          |  SELECT CAST(qvec AS DOUBLE[]) AS v, qlex
          |  FROM read_parquet('__AUX__/vz_aux_query.parquet')),
+         |q_lex AS (SELECT DISTINCT unnest(qlex) AS lex FROM q),
          |sem_scored AS (
          |  SELECT pkey,
          |    list_cosine_similarity(CAST(embeddings AS DOUBLE[]), (SELECT v FROM q)) AS sim
@@ -751,18 +753,16 @@ object Oracles {
          |  SELECT pkey, sim,
          |    row_number() OVER (ORDER BY 1.0 - sim ASC, pkey ASC) AS semantic_rank
          |  FROM sem_top),
+         |tok AS (
+         |  SELECT pkey, unnest(search_tokens) AS lex,
+         |    unnest(search_token_counts) AS npos
+         |  FROM read_parquet('__AUX__/vz_aux_tokens.parquet')),
          |fts_scored AS (
-         |  -- CROSS JOIN the 1-row query frame: list_intersect rejects
-         |  -- subquery arguments (DuckDB lambda restriction)
-         |  SELECT t.pkey,
-         |    len(list_intersect(t.search_tokens, q.qlex)) AS m,
-         |    len(t.search_tokens) AS ntok, len(q.qlex) AS qn
-         |  FROM read_parquet('__AUX__/vz_aux_tokens.parquet') t CROSS JOIN q
-         |  WHERE len(list_intersect(t.search_tokens, q.qlex)) > 0),
+         |  SELECT t.pkey, 0.1 * sum(t.npos) AS fts_score
+         |  FROM tok t JOIN q_lex ON t.lex = q_lex.lex
+         |  GROUP BY t.pkey),
          |fts_top AS (
-         |  SELECT pkey,
-         |    (CAST(m AS DOUBLE) / qn)
-         |      * (1.0 + CAST(m AS DOUBLE) / ntok) AS fts_score
+         |  SELECT pkey, fts_score
          |  FROM fts_scored
          |  ORDER BY fts_score DESC, pkey ASC LIMIT 50),
          |fts AS (

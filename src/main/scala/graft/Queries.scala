@@ -903,7 +903,8 @@ object Queries {
       engine.store.read(engine.embTable("docs_job")).select("pkey", "embeddings"),
       s"$outDir/vz_aux_embeddings.parquet")
     writeSingleParquet(
-      engine.store.read(engine.tokTable("docs_job")).select("pkey", "search_tokens"),
+      engine.store.read(engine.tokTable("docs_job"))
+        .select("pkey", "search_tokens", "search_token_counts"),
       s"$outDir/vz_aux_tokens.parquet")
     import spark.implicits._
     writeSingleParquet(

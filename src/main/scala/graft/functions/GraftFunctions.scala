@@ -133,6 +133,19 @@ object GraftFunctions {
     TextAnalyzer.rankCdOr(TextAnalyzer.lexemesWithPositions(text),
       if (query == null) Seq.empty else query))
 
+  /** F2+F4: tsvector with position counts as two ALIGNED arrays —
+    * `_1` = sorted distinct lexemes (identical to [[toTsvector]]),
+    * `_2` = each lexeme's clamped position count. The token-store
+    * form that lets the live FTS leg rank with exact OR cover-density
+    * (0.1 · Σ matched counts) instead of the tf proxy, mirroring
+    * tsvector's own lexeme→positions layout without a map column.
+    */
+  val tsvectorWithCounts = udf { (text: String) =>
+    val counts = TextAnalyzer.positionCounts(text)
+    val lex = counts.keys.toSeq.sorted
+    (lex, lex.map(counts))
+  }
+
   // ---------------------------------------------------------------
   // Chunking (reference F6/F7, extension/src/api.rs:17-78,243-248)
   // ---------------------------------------------------------------

@@ -30,6 +30,9 @@ object Pipeline {
   val tokenSchema: StructType = StructType(Seq(
     StructField("pkey", StringType, nullable = false),
     StructField("search_tokens", ArrayType(StringType, containsNull = false)),
+    // per-lexeme tsvector position counts, aligned with search_tokens
+    // (the compact form exact OR ts_rank_cd needs — see TextAnalyzer)
+    StructField("search_token_counts", ArrayType(IntegerType, containsNull = false)),
     StructField("updated_at", TimestampType)
   ))
 
@@ -158,11 +161,17 @@ object Pipeline {
   }
 
   /** S7 — search-tokens maintenance (core/src/init.rs:244-266 +
-    * trigger R2): (pkey, search_tokens, updated_at) with P1 concat.
+    * trigger R2): (pkey, search_tokens, search_token_counts,
+    * updated_at) with P1 concat. The aligned count array is the
+    * tsvector position payload the exact ts_rank_cd leg ranks with.
     */
   def renderSearchTokens(src: DataFrame, pk: String, textCols: Seq[String]): DataFrame =
     src.select(
       col(pk).cast("string").as("pkey"),
-      toTsvector(concatCols(textCols.map(col))).as("search_tokens"),
+      tsvectorWithCounts(concatCols(textCols.map(col))).as("__tc"),
       current_timestamp().as("updated_at"))
+    .select(col("pkey"),
+      col("__tc._1").as("search_tokens"),
+      col("__tc._2").as("search_token_counts"),
+      col("updated_at"))
 }

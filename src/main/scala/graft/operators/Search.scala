@@ -68,14 +68,26 @@ object Search {
   }
 
   /** Lexical leg: OR-match query lexemes against the tokens table,
-    * rank by the ts_rank_cd proxy (reference W2 + F3-F5).
+    * rank by EXACT `ts_rank_cd` (reference W2 + F3-F5,
+    * core/src/query.rs:766): under the reference's OR rewrite every
+    * matched position is its own minimal cover, so cover-density =
+    * 0.1 · Σ matched-lexeme position counts (TextAnalyzer.rankCdOr) —
+    * computed from the aligned `search_token_counts` array entirely
+    * with codegen'd HOFs (zip_with + aggregate), no UDF in the
+    * per-row hot path.
     */
   def ftsLeg(tokens: DataFrame, query: String, windowSize: Int): DataFrame = {
     val qLex = graft.functions.TextAnalyzer.queryLexemes(query)
     val qCol = lit(qLex.toArray)
+    val matchedPositions = aggregate(
+      zip_with(col("search_tokens"), col("search_token_counts"),
+        (t, c) => when(array_contains(qCol, t), c).otherwise(lit(0))),
+      lit(0L), (acc, x) => acc + x)
     val matched = tokens
       .filter(tsMatches(col("search_tokens"), qCol))
-      .withColumn("fts_score", tsRank(col("search_tokens"), qCol))
+      // one multiply over the integer sum — bit-identical to the
+      // DuckDB oracle's `0.1 * sum` and the postings-index plan
+      .withColumn("fts_score", lit(0.1) * matchedPositions)
       .select(col("pkey"), col("fts_score"))
       .orderBy(col("fts_score").desc, col("pkey").asc)
       .limit(windowSize)
