@@ -819,20 +819,26 @@ object Oracles {
          |  FROM read_parquet('__AUX__/vz_aux_embeddings.parquet')),
          |top AS (
          |  SELECT pkey, sim FROM scored WHERE sim IS NOT NULL
-         |  ORDER BY 1.0 - sim ASC, pkey ASC LIMIT 10),
+         |  ORDER BY 1.0 - sim ASC, pkey ASC LIMIT ${Queries.ragNumContext * 5}),
          |hits AS (
          |  SELECT d.text, t.sim, t.pkey
          |  FROM documents d JOIN top t ON CAST(d.doc_id AS VARCHAR) = t.pkey
-         |  ORDER BY t.sim DESC, t.pkey ASC LIMIT 2),
+         |  ORDER BY t.sim DESC, t.pkey ASC LIMIT ${Queries.ragNumContext}),
          |ctx AS (
-         |  SELECT string_agg(text, chr(10) ORDER BY sim DESC, pkey ASC) AS c
+         |  -- coalesce: string_agg is NULL over an empty/all-NULL hits
+         |  -- set, while the engine renders an empty context string and
+         |  -- md5s a real prompt — keep the replay total on degenerate
+         |  -- corpora
+         |  SELECT coalesce(
+         |    string_agg(text, chr(10) ORDER BY sim DESC, pkey ASC), '') AS c
          |  FROM hits)
          |SELECT md5(${q(sys)}) AS sys_md5,
          |  md5(${q(pre)} || c || ${q(mid)} || ${q(Queries.ragQueryText)} || ${q(post)}) AS user_md5
          |FROM ctx""".stripMargin
     },
 
-    // rag(numContext=2) retrieval: windowSize = limit*5 = 10.
+    // rag(numContext) retrieval: windowSize = limit*5 (shared
+    // Queries.ragNumContext keeps the engine and replay in lockstep).
     "vz_rag_retrieve" ->
       s"""WITH q AS (
          |  SELECT CAST(rag_qvec AS DOUBLE[]) AS v
@@ -843,11 +849,11 @@ object Oracles {
          |  FROM read_parquet('__AUX__/vz_aux_embeddings.parquet')),
          |top AS (
          |  SELECT pkey, sim FROM scored WHERE sim IS NOT NULL
-         |  ORDER BY 1.0 - sim ASC, pkey ASC LIMIT 10),
+         |  ORDER BY 1.0 - sim ASC, pkey ASC LIMIT ${Queries.ragNumContext * 5}),
          |hits AS (
          |  SELECT d.doc_id, t.sim, md5(d.text) AS content_md5
          |  FROM documents d JOIN top t ON CAST(d.doc_id AS VARCHAR) = t.pkey
-         |  ORDER BY t.sim DESC, t.pkey ASC LIMIT 2)
+         |  ORDER BY t.sim DESC, t.pkey ASC LIMIT ${Queries.ragNumContext})
          |SELECT doc_id, round(sim, 4) AS similarity_score, content_md5
          |FROM hits ORDER BY similarity_score DESC, doc_id ASC""".stripMargin
   )

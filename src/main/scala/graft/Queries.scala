@@ -825,6 +825,13 @@ object Queries {
   private[graft] val vzQueryText = "merge join stream spark"
   private[graft] val ragQueryText = "how are merges joined"
 
+  /** RAG num_context (reference default 2, extension/src/api.rs:189),
+    * shared between the vz_rag* queries and their oracle SQL so the
+    * engine and the replay can never disagree on the retrieval LIMIT
+    * (or the derived windowSize = 5 × numContext).
+    */
+  private[graft] val ragNumContext = 2
+
   /** Engine end-to-end: deterministic-provider semantic search over
     * the documents corpus (createJob backfill → search). DuckDB-
     * oracled: Verify dumps the backfilled embeddings store + query
@@ -858,7 +865,7 @@ object Queries {
     */
   def vzRag(spark: SparkSession, dir: String): DataFrame = {
     val engine = ephemeralEngine(spark, dir)
-    engine.rag("docs_job", ragQueryText, numContext = 2)
+    engine.rag("docs_job", ragQueryText, numContext = ragNumContext)
   }
 
   /** The render/trim layer of vz_rag, exposed for the DuckDB oracle:
@@ -871,7 +878,7 @@ object Queries {
     */
   def vzRagPrompt(spark: SparkSession, dir: String): DataFrame = {
     val engine = ephemeralEngine(spark, dir)
-    val p = engine.ragPrompt("docs_job", ragQueryText, numContext = 2)
+    val p = engine.ragPrompt("docs_job", ragQueryText, numContext = ragNumContext)
     import spark.implicits._
     Seq((p.sysPrompt, p.userPrompt)).toDF("sys", "user")
       .select(md5(col("sys")).as("sys_md5"), md5(col("user")).as("user_md5"))
@@ -883,7 +890,7 @@ object Queries {
     * full documents. */
   def vzRagRetrieve(spark: SparkSession, dir: String): DataFrame = {
     val engine = ephemeralEngine(spark, dir)
-    engine.search("docs_job", ragQueryText, limit = 2)
+    engine.search("docs_job", ragQueryText, limit = ragNumContext)
       .select(col("doc_id"),
         round(col("similarity_score"), 4).as("similarity_score"),
         md5(col("text")).as("content_md5"))

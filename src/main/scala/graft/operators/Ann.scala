@@ -392,15 +392,6 @@ object Ann {
       x, k, excludeSelf)
   }
 
-  /** The multiprobed query side shared by [[knnJoin]] and
-    * [[knnJoinIndexed]]: (q_id, q_vec, __lsh) with one row per probe
-    * key — the query's own bucket plus every single-bit flip. The key
-    * expression is computed ONCE per query row, then the probe ring
-    * derived by bit flips of the materialized column — rebuilding the
-    * full lshKey tree inside each of the bits+1 array elements would
-    * risk (bits+1)x the dot-product work under the Generate node,
-    * where whole-stage CSE is not guaranteed.
-    */
   /** The single-bit-flip probe-key fan-out over a materialized key
     * column: the key itself plus every one-bit flip. Shared with the
     * verify-side aux dump (Queries.dumpOracleAux) so the oracle's
@@ -410,6 +401,15 @@ object Ann {
     array((qkey +: (0 until bits).map(b =>
       qkey.bitwiseXOR(lit(1L << b)))): _*)
 
+  /** The multiprobed query side shared by [[knnJoin]] and
+    * [[knnJoinIndexed]]: (q_id, q_vec, __lsh) with one row per probe
+    * key — the query's own bucket plus every single-bit flip. The key
+    * expression is computed ONCE per query row, then the probe ring
+    * derived by bit flips of the materialized column — rebuilding the
+    * full lshKey tree inside each of the bits+1 array elements would
+    * risk (bits+1)x the dot-product work under the Generate node,
+    * where whole-stage CSE is not guaranteed.
+    */
   private def multiprobeQueries(queries: DataFrame, idCol: String,
       vecCol: String, planes: Array[Array[Float]], bits: Int): DataFrame = {
     val q0 = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
