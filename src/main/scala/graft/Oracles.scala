@@ -359,6 +359,16 @@ object Oracles {
         |SELECT lang, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens, COUNT(*) AS n_docs
         |FROM te GROUP BY lang ORDER BY lang""".stripMargin,
 
+    // same GPT-style pre-tokenizer regex as GraftFunctions.tokenCountBpe
+    // (the '' is a SQL-escaped apostrophe opening the contraction arm)
+    "f9_token_bpe" ->
+      """SELECT doc_id,
+        |  CASE WHEN text IS NULL OR text = '' THEN 0
+        |       ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS ws_tokens,
+        |  len(regexp_extract_all(coalesce(text, ''),
+        |    '''(?:s|t|re|ve|m|ll|d)| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+')) AS bpe_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
     "f10_trim_inputs" ->
       """WITH arr AS (
         |  SELECT doc_id, text, regexp_split_to_array(trim(text), '\s+') AS toks

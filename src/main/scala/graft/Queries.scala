@@ -315,6 +315,19 @@ object Queries {
         count(lit(1)).as("n_docs"))
       .orderBy(col("lang"))
 
+  /** F9 (BPE-ish variant): GPT-style pre-tokenizer counts per doc —
+    * contractions, letter runs, digit runs, punctuation runs — next to
+    * the whitespace estimate the trim path budgets with. Both are
+    * codegen'd built-ins (regexp_extract_all / split), and the oracle
+    * replays the identical regexes in DuckDB.
+    */
+  def f9TokenBpe(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id"),
+        tokenEstimate(col("text")).as("ws_tokens"),
+        tokenCountBpe(col("text")).as("bpe_tokens"))
+      .orderBy(col("doc_id"))
+
   /** F10: input trimming to a 20-token budget. */
   def f10TrimInputs(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents")
@@ -1087,6 +1100,7 @@ object Queries {
     "f1_cosine_topk" -> (f1CosineTopK _),
     "f5_ts_match" -> (f5TsMatch _),
     "f9_token_estimate" -> (f9TokenEstimate _),
+    "f9_token_bpe" -> (f9TokenBpe _),
     "f10_trim_inputs" -> (f10TrimInputs _),
     "r_windowed_counts" -> (rWindowedCounts _),
     "r_sessionize" -> (rSessionize _),
