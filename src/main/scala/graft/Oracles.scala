@@ -496,6 +496,67 @@ object Oracles {
          |ORDER BY id_a, id_b""".stripMargin
     },
 
+    // The same pair replay as dedup_minhash_lsh, closed transitively
+    // with a recursive CTE: reach(id, r) saturates to every node
+    // reachable over the symmetric edge set, min(r) is the canonical
+    // label — a declarative fixpoint checking the engine's
+    // distributed min-label-propagation loop.
+    "dedup_clusters" -> {
+      val rows = Queries.minHashNumHashes / Queries.minHashBands
+      s"""WITH RECURSIVE s AS (
+         |  SELECT doc_id, shingles, sig
+         |  FROM read_parquet('__AUX__/minhash_aux.parquet')
+         |  WHERE len(shingles) > 0),
+         |bands AS (SELECT range AS band FROM range(0, ${Queries.minHashBands})),
+         |keyed AS (
+         |  SELECT doc_id, band,
+         |    list_slice(sig, band * $rows + 1, band * $rows + $rows) AS bkey
+         |  FROM s CROSS JOIN bands),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM keyed a JOIN keyed b
+         |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+         |pairs AS (
+         |  SELECT c.id_a, c.id_b
+         |  FROM cand c
+         |  JOIN s sa ON sa.doc_id = c.id_a
+         |  JOIN s sb ON sb.doc_id = c.id_b
+         |  WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+         |      / len(list_distinct(sa.shingles || sb.shingles))
+         |      >= ${Queries.minHashThreshold}),
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION
+         |  SELECT id_b, id_a FROM pairs),
+         |reach(id, r) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, reach.r FROM edges e JOIN reach ON reach.id = e.dst),
+         |labels AS (SELECT id, min(r) AS canonical_id FROM reach GROUP BY id),
+         |sizes AS (
+         |  SELECT canonical_id, count(*) AS cluster_size
+         |  FROM labels GROUP BY canonical_id)
+         |SELECT l.id AS doc_id, l.canonical_id, z.cluster_size
+         |FROM labels l JOIN sizes z USING (canonical_id)
+         |ORDER BY doc_id""".stripMargin
+    },
+
+    // Native ASOF JOIN against the engine's union + running-last
+    // formulation; right side deduped per (user, ms) on both sides so
+    // the tie winner is defined.
+    "r_asof_join" ->
+      """WITH p AS (
+        |  SELECT event_id, user_id, epoch_ms(ts) AS ts_ms
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT user_id, epoch_ms(ts) AS ts_ms, max(event_id) AS click_id
+        |  FROM events WHERE event_type = 'click'
+        |  GROUP BY user_id, epoch_ms(ts))
+        |SELECT p.event_id, p.user_id, p.ts_ms, c.click_id
+        |FROM p ASOF LEFT JOIN c
+        |  ON p.user_id = c.user_id AND p.ts_ms >= c.ts_ms
+        |ORDER BY p.event_id""".stripMargin,
+
     // Probe-pruned ANN top-k over the dumped persisted-index layouts.
     "ann_lsh_topk" -> annProbeSql(
       "ann_lsh_buckets.parquet", "bucket", "ann_lsh_probes.parquet", "keys"),

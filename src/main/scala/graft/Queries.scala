@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.GraftFunctions._
-import graft.operators.{Ann, Dedup, Multimodal, Pipeline, Search, TextIndex}
+import graft.operators.{Ann, AsOf, Dedup, Multimodal, Pipeline, Search, TextIndex}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -373,6 +373,26 @@ object Queries {
       .orderBy(col("user_id"), col("sess_id"))
   }
 
+  /** As-of join (AsOf.join): each purchase event enriched with the
+    * user's most recent click at-or-before it — one key shuffle +
+    * running-window carry, never a per-key range explosion. The right
+    * side is pre-deduped to one click per (user, ms) by max event_id,
+    * the same tie contract DuckDB's native ASOF JOIN (the oracle)
+    * leaves undefined.
+    */
+  def rAsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val events = t(spark, dir, "events")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), expr("ts div 1000000").as("ts_ms"))
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id"), expr("ts div 1000000").as("ts_ms"), col("event_id"))
+      .groupBy(col("user_id"), col("ts_ms"))
+      .agg(max(col("event_id")).as("click_id"))
+    AsOf.join(purchases, clicks, "user_id", "ts_ms", Seq("click_id"))
+      .select(col("event_id"), col("user_id"), col("ts_ms"), col("click_id"))
+      .orderBy(col("event_id"))
+  }
+
   // =================================================================
   // Training-data pipeline operators (north-star additions)
   // =================================================================
@@ -428,6 +448,29 @@ object Queries {
         bands = minHashBands, threshold = minHashThreshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
       .orderBy(col("id_a"), col("id_b"))
+
+  /** Near-dup clusters: connected components over the MinHash+LSH
+    * pair list (min-label propagation, Dedup.clusterCanonical), each
+    * doc mapped to its cluster's canonical (minimum) id + cluster
+    * size — the keep-one-representative step a dedup pipeline
+    * actually acts on. DuckDB-oracled end to end: the oracle rebuilds
+    * the SAME pair list from the dumped signatures (the
+    * dedup_minhash_lsh replay) and closes it transitively with a
+    * recursive CTE, so the distributed label-propagation loop is
+    * checked against a declarative fixpoint.
+    */
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.minHashLshPairs(t(spark, dir, "documents"), "doc_id", "text",
+      shingleN = minHashShingleN, numHashes = minHashNumHashes,
+      bands = minHashBands, threshold = minHashThreshold)
+    val labels = Dedup.clusterCanonical(pairs)
+    val sizes = labels.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, Seq("cluster_id"))
+      .select(col("id").as("doc_id"), col("cluster_id").as("canonical_id"),
+        col("cluster_size"))
+      .orderBy(col("doc_id"))
+  }
 
   /** SimHash near-dup pairs. maxHamming=3 is the scale-right
     * setting: 4 bands × 16 bits keeps per-band bucket cardinality at
@@ -1104,11 +1147,13 @@ object Queries {
     "f10_trim_inputs" -> (f10TrimInputs _),
     "r_windowed_counts" -> (rWindowedCounts _),
     "r_sessionize" -> (rSessionize _),
+    "r_asof_join" -> (rAsofJoin _),
     "dedup_exact" -> (dedupExact _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_embedding_cos" -> (dedupEmbeddingCos _),
     "dedup_minhash_lsh" -> (dedupMinHashLsh _),
     "dedup_simhash" -> (dedupSimHash _),
+    "dedup_clusters" -> (dedupClusters _),
     "ann_lsh_topk" -> (annLshTopK _),
     "ann_ivf_topk" -> (annIvfTopK _),
     "ann_knn_join" -> (annKnnJoin _),

@@ -292,6 +292,63 @@ object Dedup {
       .filter(col("n_hits") >= minOverlap)
   }
 
+  /** Near-dup cluster canonicalization: connected components over a
+    * pair list (the output of [[minHashLshPairs]] / [[simHashPairs]] /
+    * [[embeddingLshBandedPairs]]) via iterative min-label propagation,
+    * so a pipeline can keep ONE representative per duplicate cluster
+    * instead of reasoning about raw pairs (pair output alone drops
+    * BOTH docs of every pair, or neither — clustering picks min-id
+    * canonicals transitively: a~b, b~c ⇒ {a,b,c} keep a).
+    *
+    * Each round every node takes the min label over itself and its
+    * neighbors — one equi-join shuffle on the edge key + one
+    * map-side-combinable min-agg, no driver-side data, so a round
+    * costs two shuffles of O(|E|) regardless of corpus size.
+    * Convergence needs rounds = max cluster DIAMETER, and near-dup
+    * clusters are shallow (near-cliques: every member shares bands
+    * with most others), so 2-4 rounds is typical. For adversarial
+    * chain-shaped graphs (diameter ~ |V|) the alternating
+    * large-star/small-star algorithm (Kiveris et al. 2014, "Connected
+    * Components in MapReduce and Beyond") converges in O(log²) rounds
+    * — the documented upgrade path; maxRounds guards the loop either
+    * way and the per-round `changed` count is an agg, not a collect.
+    *
+    * Returns (id, cluster_id) for every id that appears in a pair —
+    * singleton docs never enter the pair list and are their own
+    * canonical by definition.
+    */
+  def clusterCanonical(pairs: DataFrame, idA: String = "id_a",
+      idB: String = "id_b", maxRounds: Int = 20): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+      .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+      .distinct()
+      .persist(lvl)
+    var labels = edges.select(col("src").as("id"))
+      .distinct()
+      .withColumn("cluster_id", col("id"))
+      .persist(lvl)
+    var round = 0
+    var changed = 1L
+    while (changed > 0 && round < maxRounds) {
+      val viaNeighbor = edges
+        .join(labels.select(col("id").as("dst"), col("cluster_id")), Seq("dst"))
+        .select(col("src").as("id"), col("cluster_id"))
+      val next = labels.union(viaNeighbor)
+        .groupBy(col("id")).agg(min(col("cluster_id")).as("cluster_id"))
+        .persist(lvl)
+      changed = next
+        .join(labels.select(col("id"), col("cluster_id").as("__prev")), Seq("id"))
+        .filter(col("cluster_id") =!= col("__prev"))
+        .count()
+      labels.unpersist()
+      labels = next
+      round += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
   /** Embedding-cosine near-dup pairs within a blocking column. The
     * block key must be high-cardinality (an LSH band key or IVF
     * cell) — this is the in-bucket exact verifier, not a standalone

@@ -1,0 +1,76 @@
+package graft
+
+import graft.operators.AsOf
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** As-of join semantics (union + running-last formulation): inclusive
+  * tie, left-join nulls, latest-wins, key isolation — then full parity
+  * with the naive O(|L|·|R|) formulation on real events.
+  */
+class AsOfSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  private def result(): Map[Long, Option[Long]] = {
+    import spark.implicits._
+    val left = Seq(
+      (1L, 100L), // tie with right row at exactly 100 → inclusive
+      (2L, 3L),   // before any right row for key 2 → null
+      (3L, 50L),  // key 3 has no right rows at all → null
+      (1L, 2L),   // before key 1's first right row (ts 5) → null
+      (1L, 200L)  // after everything → latest right row (ts 100) wins
+    ).zipWithIndex.map { case ((k, ts), i) => (i.toLong, k, ts) }
+      .toDF("event_id", "k", "ts")
+    val right = Seq(
+      (1L, 5L, 105L), (1L, 100L, 110L), (1L, 90L, 109L),
+      (2L, 50L, 205L)
+    ).toDF("k", "ts", "payload")
+    AsOf.join(left, right, "k", "ts", Seq("payload"))
+      .collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        Option(r.getAs[Any]("payload")).map(_.asInstanceOf[Long]))
+      .toMap
+  }
+
+  test("inclusive tie: a right row at exactly left.ts matches") {
+    // left (k=1, ts=100) sees right (1, 100) → 110, not the earlier 105
+    assert(result()(0) == Some(110L))
+  }
+
+  test("left rows before any right row get null (left-join semantics)") {
+    assert(result()(1) == None) // k=2 at ts 3, right starts at 50
+    assert(result()(3) == None) // k=1 at ts 2, right starts at 5
+  }
+
+  test("key with no right rows at all gets null") {
+    assert(result()(2) == None)
+  }
+
+  test("latest right row at-or-before wins, not just any") {
+    assert(result()(4) == Some(110L)) // ts 200: rows at 5,90,100 → 100 wins
+  }
+
+  test("parity with the naive range-join formulation on real events") {
+    val dir = "/root/testdata/sf0.001"
+    val got = Queries.rAsofJoin(spark, dir).collect()
+      .map(r => (r.getLong(0), Option(r.getAs[Any]("click_id")))).toMap
+    // naive: join every purchase to EVERY prior click, keep max ts
+    val events = spark.read.parquet(s"$dir/events.parquet")
+    val p = events.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), expr("ts div 1000000").as("ts_ms"))
+    val c = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("cu"), expr("ts div 1000000").as("cts"),
+        col("event_id").as("cid"))
+      .groupBy(col("cu"), col("cts")).agg(max(col("cid")).as("cid"))
+    val naive = p.join(c, p("user_id") === c("cu") && c("cts") <= p("ts_ms"), "left_outer")
+      .groupBy(col("event_id"))
+      .agg(max_by(struct(col("cts"), col("cid")), col("cts")).as("best"))
+      .select(col("event_id"), col("best.cid").as("click_id"))
+      .collect().map(r => (r.getLong(0), Option(r.getAs[Any]("click_id")))).toMap
+    assert(got.size == naive.size && got.nonEmpty)
+    assert(got == naive)
+    assert(got.values.exists(_.isDefined) && got.values.exists(_.isEmpty),
+      "fixture should exercise both matched and unmatched purchases")
+  }
+}
