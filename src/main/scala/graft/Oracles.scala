@@ -541,6 +541,35 @@ object Oracles {
          |ORDER BY doc_id""".stripMargin
     },
 
+    // Raw BETWEEN range join (what DuckDB plans as its native IEJoin)
+    // against the engine's binned equi-join formulation; sessions CTE
+    // mirrors r_sessionize's tagging exactly.
+    "r_interval_join" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, epoch_ms(ts) AS ts_ms, event_type
+        |  FROM events),
+        |tagged AS (
+        |  SELECT user_id, ts_ms,
+        |    CASE WHEN lag(ts_ms) OVER w IS NULL
+        |              OR ts_ms - lag(ts_ms) OVER w > 1800000 THEN 1 ELSE 0 END AS new_sess
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms)),
+        |sess_rows AS (
+        |  SELECT user_id, ts_ms,
+        |    CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_ms
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess_id
+        |  FROM tagged),
+        |sessions AS (
+        |  SELECT user_id, sess_id,
+        |    MIN(ts_ms) AS start_ms, MAX(ts_ms) AS end_ms
+        |  FROM sess_rows GROUP BY user_id, sess_id),
+        |err AS (
+        |  SELECT event_id, user_id, ts_ms FROM e WHERE event_type = 'error')
+        |SELECT err.event_id, err.user_id, err.ts_ms, s.sess_id
+        |FROM err JOIN sessions s
+        |  ON err.user_id = s.user_id
+        | AND err.ts_ms BETWEEN s.start_ms AND s.end_ms
+        |ORDER BY err.event_id""".stripMargin,
+
     // Native ASOF JOIN against the engine's union + running-last
     // formulation; right side deduped per (user, ms) on both sides so
     // the tie winner is defined.

@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.GraftFunctions._
-import graft.operators.{Ann, AsOf, Dedup, Multimodal, Pipeline, Search, TextIndex}
+import graft.operators.{Ann, AsOf, Dedup, Multimodal, Pipeline, RangeJoin, Search, TextIndex}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -353,10 +353,11 @@ object Queries {
         round(sum(col("value").cast("decimal(18,4)")).cast("double"), 2).as("total_value"))
       .orderBy(col("hour"), col("event_type"))
 
-  /** Sessionization (gaps-and-islands, 30-min gap): lag + running sum
-    * — the batch-exact formulation of session_window.
+  /** Session tagging shared by r_sessionize and r_interval_join
+    * (gaps-and-islands, 30-min gap): lag + running sum — the
+    * batch-exact formulation of session_window.
     */
-  def rSessionize(spark: SparkSession, dir: String): DataFrame = {
+  private def sessionTagged(spark: SparkSession, dir: String): DataFrame = {
     val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts_ms"))
     t(spark, dir, "events")
       .select(col("user_id"), expr("ts div 1000000").as("ts_ms"), col("value"))
@@ -366,11 +367,35 @@ object Queries {
           .otherwise(0))
       .withColumn("sess_id", sum(col("new_sess"))
         .over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
+  /** Sessionization: per-session aggregates over [[sessionTagged]]. */
+  def rSessionize(spark: SparkSession, dir: String): DataFrame =
+    sessionTagged(spark, dir)
       .groupBy(col("user_id"), col("sess_id"))
       .agg(count(lit(1)).as("n_events"), min(col("ts_ms")).as("start_ms"),
         max(col("ts_ms")).as("end_ms"),
         round(sum(col("value").cast("decimal(18,4)")).cast("double"), 2).as("total_value"))
       .orderBy(col("user_id"), col("sess_id"))
+
+  /** Range join (RangeJoin.pointInInterval): attribute each error
+    * event to the session interval containing it — intervals
+    * replicated to overlapped hour bins, points hashed to their bin,
+    * equi-join on (user, bin) + exact BETWEEN filter. Never a
+    * per-key cross product, unlike raw `ON ts BETWEEN start AND end`
+    * (BroadcastNestedLoopJoin).
+    */
+  def rIntervalJoin(spark: SparkSession, dir: String): DataFrame = {
+    val sessions = sessionTagged(spark, dir)
+      .groupBy(col("user_id"), col("sess_id"))
+      .agg(min(col("ts_ms")).as("start_ms"), max(col("ts_ms")).as("end_ms"))
+    val errors = t(spark, dir, "events")
+      .filter(col("event_type") === "error")
+      .select(col("event_id"), col("user_id"), expr("ts div 1000000").as("ts_ms"))
+    RangeJoin.pointInInterval(errors, sessions, "ts_ms", "start_ms", "end_ms",
+        keyCols = Seq("user_id"), binWidth = 3600000L)
+      .select(col("event_id"), col("user_id"), col("ts_ms"), col("sess_id"))
+      .orderBy(col("event_id"))
   }
 
   /** As-of join (AsOf.join): each purchase event enriched with the
@@ -1148,6 +1173,7 @@ object Queries {
     "r_windowed_counts" -> (rWindowedCounts _),
     "r_sessionize" -> (rSessionize _),
     "r_asof_join" -> (rAsofJoin _),
+    "r_interval_join" -> (rIntervalJoin _),
     "dedup_exact" -> (dedupExact _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_embedding_cos" -> (dedupEmbeddingCos _),
