@@ -766,6 +766,31 @@ object Oracles {
          |  round(CAST(n_tokens AS DOUBLE) / sum(n_tokens) OVER (), 6) AS token_share
          |FROM agg ORDER BY source, lang""".stripMargin,
 
+    // quantile_cont shares Spark percentile's lower + frac·(upper−lower)
+    // interpolation at rank p·(n−1) — exact double replay.
+    "a3_quantiles" ->
+      """SELECT lang,
+        |  round(quantile_cont(n_chars, 0.25), 4) AS p25,
+        |  round(quantile_cont(n_chars, 0.5), 4) AS p50,
+        |  round(quantile_cont(n_chars, 0.75), 4) AS p75,
+        |  round(quantile_cont(n_chars, 0.95), 4) AS p95,
+        |  count(*) AS n_docs
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // same arithmetic bucket hash + per-source threshold as mixSample
+    "mix_sample" ->
+      s"""WITH per_doc AS (
+         |  SELECT doc_id, source, len($toksSql) AS toks FROM documents),
+         |rates AS (
+         |  SELECT source,
+         |    CAST(floor(least(1.0, ${Queries.mixSampleBudget}.0
+         |      / CAST(greatest(CAST(sum(toks) AS BIGINT), 1) AS DOUBLE)) * 10000) AS BIGINT) AS thresh
+         |  FROM per_doc GROUP BY source)
+         |SELECT d.doc_id, d.source, d.toks
+         |FROM per_doc d JOIN rates r USING (source)
+         |WHERE ((d.doc_id % 100003) * 2654435761) % 10000 < r.thresh
+         |ORDER BY d.doc_id""".stripMargin,
+
     "decontaminate" ->
       s"""$bigramsCte,
          |bench AS (

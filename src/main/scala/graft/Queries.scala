@@ -806,6 +806,51 @@ object Queries {
           sum(col("n_tokens")).over(Window.partitionBy()), 6))
       .orderBy(col("source"), col("lang"))
 
+  /** A-family: exact interpolated quantiles per group (corpus length
+    * distribution per language) — Spark's `percentile` and DuckDB's
+    * `quantile_cont` share the lower + frac·(upper−lower) definition
+    * at rank p·(n−1), so the doubles replay exactly. At scale swap
+    * for `percentile_approx` (t-digest) and drop the oracle to
+    * rank-tolerance — the exact form is the oracle-able baseline.
+    */
+  def a3Quantiles(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .groupBy(col("lang"))
+      .agg(
+        round(expr("percentile(n_chars, 0.25)"), 4).as("p25"),
+        round(expr("percentile(n_chars, 0.5)"), 4).as("p50"),
+        round(expr("percentile(n_chars, 0.75)"), 4).as("p75"),
+        round(expr("percentile(n_chars, 0.95)"), 4).as("p95"),
+        count(lit(1)).as("n_docs"))
+      .orderBy(col("lang"))
+
+  /** Deterministic mixture sampler: downsample each source to a token
+    * budget. rate = min(1, budget / source tokens); a row is kept iff
+    * its hash bucket (0..9999) falls under floor(rate·10000), so the
+    * kept set is reproducible run-to-run and only the tiny per-source
+    * rate table moves (broadcast) — no shuffle of the corpus, no rand().
+    * The bucket hash is a pure-arithmetic multiplicative hash because
+    * Spark's xxhash64 and DuckDB's hash() are different functions —
+    * production would use xxhash64(doc_id); the arithmetic form is
+    * what makes the sample SQL-replayable.
+    */
+  private[graft] val mixSampleBudget = 800L
+
+  def mixSample(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), size(sqlTokens(col("text"))).as("toks"))
+    val rates = docs.groupBy(col("source"))
+      .agg(sum(col("toks")).as("src_tokens"))
+      .withColumn("thresh", floor(least(lit(1.0),
+        lit(mixSampleBudget.toDouble) /
+          greatest(col("src_tokens"), lit(1L)).cast("double")) * 10000).cast("long"))
+      .select(col("source"), col("thresh"))
+    docs.join(broadcast(rates), Seq("source"))
+      .filter((col("doc_id") % 100003L) * 2654435761L % 10000L < col("thresh"))
+      .select(col("doc_id"), col("source"), col("toks"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Benchmark decontamination: corpus docs colliding with a held-out
     * benchmark slice (doc_id % 97 == 0) on ≥ 8 distinct bigrams — the
     * n-gram-collision test-set filter every pretraining pipeline runs
@@ -1194,6 +1239,8 @@ object Queries {
     "text_pii_scrub" -> (textPiiScrub _),
     "sample_stratified" -> (sampleStratified _),
     "mix_token_stats" -> (mixTokenStats _),
+    "mix_sample" -> (mixSample _),
+    "a3_quantiles" -> (a3Quantiles _),
     "decontaminate" -> (decontaminate _),
     "f2_tsvector_rank" -> (f2TsvectorRank _),
     "f2_postings_rank" -> (f2PostingsRank _),
