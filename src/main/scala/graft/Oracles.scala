@@ -598,6 +598,23 @@ object Oracles {
     "ann_knn_join_indexed" -> knnJoinSql("knn_q_probes_indexed.parquet",
       "SELECT vec_id AS x_id, bucket AS key FROM read_parquet('__AUX__/ann_lsh_buckets.parquet')"),
 
+    // video rows = doc_id % 3 == 2 (element_at of the media array);
+    // generate_series is INCLUSIVE like Spark sequence(); the corpus
+    // is ASCII so the char slice md5s identically to the byte slice
+    "mm_frames" ->
+      s"""WITH v AS (
+         |  SELECT doc_id AS asset_id, text,
+         |    CAST(length(text) * 100 AS BIGINT) AS duration_ms
+         |  FROM documents WHERE CAST(doc_id % 3 AS INT) = 2),
+         |f AS (
+         |  SELECT asset_id, text,
+         |    unnest(generate_series(0, greatest(coalesce(duration_ms, 0), 0),
+         |      ${Queries.mmFrameEveryMs})) AS frame_ts_ms
+         |  FROM v)
+         |SELECT asset_id, frame_ts_ms,
+         |  md5(substring(text, CAST(frame_ts_ms % 1024 + 1 AS INT), 256)) AS frame_md5
+         |FROM f ORDER BY asset_id, frame_ts_ms""".stripMargin,
+
     "mm_describe" ->
       """SELECT doc_id AS asset_id,
         |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'

@@ -704,6 +704,22 @@ object Queries {
       .orderBy(col("asset_id"))
   }
 
+  /** Multimodal: video frame sampling (Multimodal.sampleFramesStub) —
+    * evenly spaced frame rows exploded per video asset. The relational
+    * layer (video filter, inclusive sequence explode, per-frame byte
+    * slice) is DuckDB-oracled via md5 of the frame bytes; only the
+    * bytes themselves are the declared stub (a text slice standing in
+    * for an ffmpeg frame grab).
+    */
+  private[graft] val mmFrameEveryMs = 5000L
+
+  def mmFrames(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.sampleFramesStub(
+        Multimodal.syntheticAssets(t(spark, dir, "documents"), "doc_id", "text"),
+        everyMs = mmFrameEveryMs)
+      .select(col("asset_id"), col("frame_ts_ms"), md5(col("frame")).as("frame_md5"))
+      .orderBy(col("asset_id"), col("frame_ts_ms"))
+
   /** Text quality metrics (oracle-checkable signal subset). */
   def textQualityMetrics(spark: SparkSession, dir: String): DataFrame = {
     val txt = col("text")
@@ -1232,6 +1248,7 @@ object Queries {
     "pipeline_corpus" -> (pipelineCorpus _),
     "mm_describe" -> (mmDescribe _),
     "mm_features" -> (mmFeatures _),
+    "mm_frames" -> (mmFrames _),
     "text_quality_metrics" -> (textQualityMetrics _),
     "text_quality_score" -> (textQualityScore _),
     "text_language_id" -> (textLanguageId _),
