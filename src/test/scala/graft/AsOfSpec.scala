@@ -51,6 +51,33 @@ class AsOfSpec extends AnyFunSuite {
     assert(result()(4) == Some(110L)) // ts 200: rows at 5,90,100 → 100 wins
   }
 
+  test("randomized parity with an in-memory reference model") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    (1 to 10).foreach { trial =>
+      val nKeys = 1 + rnd.nextInt(4)
+      val left = (0 until 30).map(i =>
+        (i.toLong, rnd.nextInt(nKeys).toLong, rnd.nextInt(50).toLong))
+      // unique (key, ts) on the right, per the operator contract
+      val right = scala.util.Random.shuffle(
+        (for (k <- 0 until nKeys; ts <- 0 until 50) yield (k.toLong, ts.toLong)))
+        .take(20).zipWithIndex
+        .map { case ((k, ts), i) => (k, ts, 1000L + i) }
+      val got = AsOf.join(
+          left.toDF("event_id", "k", "ts"),
+          right.toDF("k", "ts", "payload"), "k", "ts", Seq("payload"))
+        .collect()
+        .map(r => r.getAs[Long]("event_id") ->
+          Option(r.getAs[Any]("payload")).map(_.asInstanceOf[Long]))
+        .toMap
+      val expected = left.map { case (id, k, ts) =>
+        id -> right.filter(r => r._1 == k && r._2 <= ts)
+          .sortBy(_._2).lastOption.map(_._3)
+      }.toMap
+      assert(got == expected, s"trial $trial diverged")
+    }
+  }
+
   test("parity with the naive range-join formulation on real events") {
     val dir = "/root/testdata/sf0.001"
     val got = Queries.rAsofJoin(spark, dir).collect()

@@ -134,4 +134,37 @@ class PropertySpec extends AnyFunSuite {
     assert(GraftFunctions.fingerprintScala("a b c") !=
       GraftFunctions.fingerprintScala("a c b"), "order-sensitive by design")
   }
+
+  test("rankCdOr: position-array and count forms agree on any text/query") {
+    check(forAll(text, Gen.listOf(word)) { (t, q) =>
+      TextAnalyzer.rankCdOr(TextAnalyzer.lexemesWithPositions(t), q) ==
+        TextAnalyzer.rankCdOrCounts(TextAnalyzer.positionCounts(t), q)
+    })
+  }
+
+  test("rankCdAnd never exceeds rankCdOr; zero exactly when OR/AND miss") {
+    // every AND cover contributes 0.1/(1+noise) <= 0.1 and there are
+    // at most (total matched positions) covers, so AND <= OR always
+    // rankCd* take already-stemmed query lexemes, so membership is
+    // plain map lookup (a stopword query term is simply never present)
+    check(forAll(text, Gen.listOf(word)) { (t, q) =>
+      val pos = TextAnalyzer.lexemesWithPositions(t)
+      val or = TextAnalyzer.rankCdOr(pos, q)
+      val and = TextAnalyzer.rankCdAnd(pos, q)
+      val qd = q.distinct
+      and <= or + 1e-12 &&
+        ((or == 0.0) == qd.forall(w => !pos.contains(w))) &&
+        ((and > 0.0) == (qd.nonEmpty && qd.forall(pos.contains)))
+    })
+  }
+
+  test("lexemesWithPositions: sorted clamped positions; keys = lexemes set") {
+    check(forAll(text) { t =>
+      val pos = TextAnalyzer.lexemesWithPositions(t)
+      pos.values.forall(ps => ps.nonEmpty && ps.size <= 256 &&
+        ps.forall(p => p >= 1 && p <= 16383) &&
+        ps.sliding(2).forall(w => w.size < 2 || w(0) < w(1))) &&
+        pos.keySet == TextAnalyzer.lexemes(t).toSet
+    })
+  }
 }

@@ -50,6 +50,32 @@ class RangeJoinSpec extends AnyFunSuite {
       keyCols = Seq("k"), binWidth = 100L).count() == 0)
   }
 
+  test("randomized parity with an in-memory model (negative ts, odd widths)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    (1 to 8).foreach { trial =>
+      val points = (0 until 40).map(i =>
+        (i.toLong, rnd.nextInt(3).toLong, (rnd.nextInt(400) - 200).toLong))
+      val intervals = (0 until 15).map { i =>
+        val s = (rnd.nextInt(400) - 200).toLong
+        (rnd.nextInt(3).toLong, i.toLong, s, s + rnd.nextInt(120).toLong)
+      }
+      val binWidth = 1L + rnd.nextInt(97)
+      val got = RangeJoin.pointInInterval(
+          points.toDF("point_id", "k", "ts"),
+          intervals.toDF("k", "interval_id", "s", "e"),
+          "ts", "s", "e", keyCols = Seq("k"), binWidth = binWidth)
+        .select("point_id", "interval_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      val expected = (for {
+        (pid, pk, ts) <- points
+        (ik, iid, s, e) <- intervals
+        if pk == ik && ts >= s && ts <= e
+      } yield (pid, iid)).sorted
+      assert(got == expected, s"trial $trial (binWidth=$binWidth) diverged")
+    }
+  }
+
   test("parity with the naive BETWEEN join on real events") {
     val got = Queries.rIntervalJoin(spark, "/root/testdata/sf0.001")
       .collect().map(r => (r.getLong(0), r.getLong(3))).toSet
