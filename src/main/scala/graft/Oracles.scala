@@ -149,6 +149,25 @@ object Oracles {
        |SELECT doc_id, round(r, 4) AS rank
        |FROM m ORDER BY rank DESC, doc_id ASC LIMIT 50""".stripMargin
 
+  /** Gaps-and-islands session tagging shared by the r_sessionize and
+    * r_interval_join oracles — ONE source of truth for the 30-minute
+    * gap and running-sum session ids, mirroring Queries.sessionTagged
+    * (which the Spark side likewise shares between the two entries).
+    */
+  private val sessionsCte =
+    """e AS (
+      |  SELECT user_id, epoch_ms(ts) AS ts_ms, value FROM events),
+      |flagged AS (
+      |  SELECT user_id, ts_ms, value,
+      |    CASE WHEN lag(ts_ms) OVER w IS NULL
+      |              OR ts_ms - lag(ts_ms) OVER w > 1800000 THEN 1 ELSE 0 END AS new_sess
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms)),
+      |sess AS (
+      |  SELECT user_id, ts_ms, value,
+      |    CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_ms
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_id
+      |  FROM flagged)""".stripMargin
+
   /** Replay of the multiprobe batch-kNN pipeline over dumped per-row
     * LSH keys: probe-key equi-join → self-exclusion → exact cosine →
     * per-query rank ≤ k. Shared by the ad-hoc and indexed variants
@@ -387,22 +406,11 @@ object Oracles {
         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
 
     "r_sessionize" ->
-      """WITH e AS (
-        |  SELECT user_id, epoch_ms(ts) AS ts_ms, value FROM events),
-        |flagged AS (
-        |  SELECT user_id, ts_ms, value,
-        |    CASE WHEN lag(ts_ms) OVER w IS NULL
-        |              OR ts_ms - lag(ts_ms) OVER w > 1800000 THEN 1 ELSE 0 END AS new_sess
-        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms)),
-        |sess AS (
-        |  SELECT user_id, ts_ms, value,
-        |    CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_ms
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_id
-        |  FROM flagged)
-        |SELECT user_id, sess_id, COUNT(*) AS n_events,
-        |  MIN(ts_ms) AS start_ms, MAX(ts_ms) AS end_ms,
-        |  round(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 2) AS total_value
-        |FROM sess GROUP BY user_id, sess_id ORDER BY user_id, sess_id""".stripMargin,
+      s"""WITH $sessionsCte
+         |SELECT user_id, sess_id, COUNT(*) AS n_events,
+         |  MIN(ts_ms) AS start_ms, MAX(ts_ms) AS end_ms,
+         |  round(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 2) AS total_value
+         |FROM sess GROUP BY user_id, sess_id ORDER BY user_id, sess_id""".stripMargin,
 
     "dedup_exact" ->
       """WITH h AS (
@@ -542,33 +550,22 @@ object Oracles {
     },
 
     // Raw BETWEEN range join (what DuckDB plans as its native IEJoin)
-    // against the engine's binned equi-join formulation; sessions CTE
-    // mirrors r_sessionize's tagging exactly.
+    // against the engine's binned equi-join formulation; session
+    // tagging comes from the shared sessionsCte.
     "r_interval_join" ->
-      """WITH e AS (
-        |  SELECT event_id, user_id, epoch_ms(ts) AS ts_ms, event_type
-        |  FROM events),
-        |tagged AS (
-        |  SELECT user_id, ts_ms,
-        |    CASE WHEN lag(ts_ms) OVER w IS NULL
-        |              OR ts_ms - lag(ts_ms) OVER w > 1800000 THEN 1 ELSE 0 END AS new_sess
-        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms)),
-        |sess_rows AS (
-        |  SELECT user_id, ts_ms,
-        |    CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_ms
-        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess_id
-        |  FROM tagged),
-        |sessions AS (
-        |  SELECT user_id, sess_id,
-        |    MIN(ts_ms) AS start_ms, MAX(ts_ms) AS end_ms
-        |  FROM sess_rows GROUP BY user_id, sess_id),
-        |err AS (
-        |  SELECT event_id, user_id, ts_ms FROM e WHERE event_type = 'error')
-        |SELECT err.event_id, err.user_id, err.ts_ms, s.sess_id
-        |FROM err JOIN sessions s
-        |  ON err.user_id = s.user_id
-        | AND err.ts_ms BETWEEN s.start_ms AND s.end_ms
-        |ORDER BY err.event_id""".stripMargin,
+      s"""WITH $sessionsCte,
+         |sessions AS (
+         |  SELECT user_id, sess_id,
+         |    MIN(ts_ms) AS start_ms, MAX(ts_ms) AS end_ms
+         |  FROM sess GROUP BY user_id, sess_id),
+         |err AS (
+         |  SELECT event_id, user_id, epoch_ms(ts) AS ts_ms
+         |  FROM events WHERE event_type = 'error')
+         |SELECT err.event_id, err.user_id, err.ts_ms, s.sess_id
+         |FROM err JOIN sessions s
+         |  ON err.user_id = s.user_id
+         | AND err.ts_ms BETWEEN s.start_ms AND s.end_ms
+         |ORDER BY err.event_id""".stripMargin,
 
     // Native ASOF JOIN against the engine's union + running-last
     // formulation; right side deduped per (user, ms) on both sides so

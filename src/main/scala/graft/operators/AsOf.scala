@@ -40,24 +40,30 @@ object AsOf {
     val leftCols = left.columns.toSeq
     require(rightPayload.forall(!leftCols.contains(_)),
       s"right payload ${rightPayload.mkString(",")} collides with left columns")
+    Seq("__side", "__pl").foreach(r =>
+      require(!leftCols.contains(r) && !right.columns.contains(r),
+        s"column name $r is reserved by AsOf.join — rename it upstream"))
     // common layout: key, ts, __side (0 = right so ties sort first),
-    // right payload (null on left rows), left columns (null on right)
+    // __pl = the payload fields wrapped in ONE struct that is non-null
+    // on every right row — carrying fields individually with
+    // last(ignoreNulls) would skip a right row whose payload VALUE is
+    // null and resurrect an older, stale value, where ASOF semantics
+    // say the latest matching ROW wins even if its payload is null
     val rightTagged = right.select(
-      (col(keyCol) +: col(tsCol) +: lit(0).as("__side") +:
-        rightPayload.map(col) ++:
-        leftCols.filterNot(c => c == keyCol || c == tsCol)
-          .map(c => lit(null).cast(left.schema(c).dataType).as(c))): _*)
+      col(keyCol), col(tsCol), lit(0).as("__side"),
+      struct(rightPayload.map(col): _*).as("__pl"))
+    val payloadType = rightTagged.schema("__pl").dataType
     val leftTagged = left.select(
       (col(keyCol) +: col(tsCol) +: lit(1).as("__side") +:
-        rightPayload.map(c => lit(null).cast(right.schema(c).dataType).as(c)) ++:
+        lit(null).cast(payloadType).as("__pl") +:
         leftCols.filterNot(c => c == keyCol || c == tsCol).map(col)): _*)
     val w = Window.partitionBy(col(keyCol))
       .orderBy(col(tsCol).asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = rightPayload.foldLeft(rightTagged.unionByName(leftTagged)) {
-      (df, p) => df.withColumn(p, last(col(p), ignoreNulls = true).over(w))
-    }
-    carried.filter(col("__side") === 1)
-      .select((leftCols.map(col) ++ rightPayload.map(col)): _*)
+    rightTagged.unionByName(leftTagged, allowMissingColumns = true)
+      .withColumn("__pl", last(col("__pl"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select((leftCols.map(col) ++
+        rightPayload.map(p => col(s"__pl.$p").as(p))): _*)
   }
 }

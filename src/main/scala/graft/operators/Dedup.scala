@@ -353,6 +353,15 @@ object Dedup {
       labels = next
       round += 1
     }
+    // silent non-convergence would hand back NON-transitive labels —
+    // one duplicate cluster split across several "canonical" ids with
+    // nothing flagging it (and the recursive-CTE oracle diverging
+    // mysteriously). Fail loudly instead; the message names the knob.
+    if (changed > 0) throw new IllegalStateException(
+      s"clusterCanonical did not converge in $maxRounds rounds " +
+        s"($changed labels still changing) — the pair graph has diameter " +
+        s"> $maxRounds; raise maxRounds or switch to large-star/small-star " +
+        "(Kiveris et al. 2014) for chain-shaped graphs")
     labels
   }
 

@@ -39,6 +39,8 @@ object RangeJoin {
       pointTs: String, startCol: String, endCol: String,
       keyCols: Seq[String] = Nil, binWidth: Long = 3600000L): DataFrame = {
     require(binWidth > 0, "binWidth must be positive")
+    require(!points.columns.contains("__bin") && !intervals.columns.contains("__bin"),
+      "column name __bin is reserved by RangeJoin — rename it upstream")
     def bin(c: Column): Column = floor(c / binWidth)
     val p = points.withColumn("__bin", bin(col(pointTs)))
     val i = intervals

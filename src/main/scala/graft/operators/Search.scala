@@ -79,8 +79,14 @@ object Search {
   def ftsLeg(tokens: DataFrame, query: String, windowSize: Int): DataFrame = {
     val qLex = graft.functions.TextAnalyzer.queryLexemes(query)
     val qCol = lit(qLex.toArray)
+    // legacy rows merged before the counts column existed carry null
+    // counts (ParquetStore.merge widens with nulls): degrade them to
+    // count-1 per deduped lexeme (the tf-proxy assumption) instead of
+    // nulling their rank out of the leg entirely
+    val counts = coalesce(col("search_token_counts"),
+      array_repeat(lit(1), size(col("search_tokens"))))
     val matchedPositions = aggregate(
-      zip_with(col("search_tokens"), col("search_token_counts"),
+      zip_with(col("search_tokens"), counts,
         (t, c) => when(array_contains(qCol, t), c).otherwise(lit(0))),
       lit(0L), (acc, x) => acc + x)
     val matched = tokens

@@ -109,7 +109,11 @@ object TextIndex {
     require(qlex.nonEmpty, "empty query")
     val nBuckets = spark.read.parquet(s"$path/meta").head().getInt(0)
     val buckets = qlex.map(bucketOf(_, nBuckets)).distinct
-    spark.read.parquet(s"$path/postings")
+    val postings = spark.read.parquet(s"$path/postings")
+    require(postings.columns.contains("npos"),
+      s"postings index at $path predates position counts (no npos column) — " +
+        "rebuild it with buildPostingsIndex before exact-rank probing")
+    postings
       .filter(col("bucket").isin(buckets: _*)) // partition pruning
       .filter(col("lexeme").isin(qlex: _*)) // parquet-pushed
       .groupBy(col("id"))

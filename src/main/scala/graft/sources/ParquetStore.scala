@@ -221,9 +221,22 @@ final class ParquetStore(spark: SparkSession, root: String, nBuckets: Int = 16)
     try {
       val touched = upd.select("__bucket").distinct().collect().map(_.getInt(0)).toSet
       if (touched.isEmpty) return
+      // additive schema evolution: updates carrying a column the table
+      // lacks force a one-time FULL rewrite (the flat path below), so
+      // every committed file shares the widened schema — rewriting
+      // only touched buckets would leave mixed-schema bucket dirs and
+      // read() projects whichever file's footer it samples. Footer
+      // probe is driver-side and cheap next to the merge itself.
+      val allPaths = bucketDataPaths(table, m)
+      val curFields =
+        if (allPaths.isEmpty) updates.columns.toSet
+        else spark.read.option("recursiveFileLookup", "true")
+          .parquet(allPaths: _*).schema.fieldNames.toSet
+      val evolving = updates.columns.exists(!curFields.contains(_))
       // current rows of ONLY the touched buckets (a flat snapshot has
-      // no bucket dirs yet — filter it by recomputed bucket)
-      val flat = m.contains(-1)
+      // no bucket dirs yet — filter it by recomputed bucket; a schema
+      // evolution rewrites everything like a flat snapshot)
+      val flat = m.contains(-1) || evolving
       val curPaths = bucketDataPaths(table,
         if (flat) m else m.filter { case (b, _) => touched.contains(b) })
       val cur0 =
@@ -241,8 +254,16 @@ final class ParquetStore(spark: SparkSession, root: String, nBuckets: Int = 16)
       // (plain equality never matches null = null)
       val kept = cur.join(upd.select(col(key).as("__mk")),
         cur(key) <=> col("__mk"), "left_anti")
-      val next = kept.unionByName(
-        upd.select(cur.columns.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*))
+      // schema evolution, additive only: a column newly produced by the
+      // render path (e.g. search_token_counts) must not be silently
+      // dropped when merging into a pre-existing table — widen KEPT
+      // rows with nulls instead, so consumers see the column and can
+      // coalesce legacy rows. An update missing a CURRENT column still
+      // fails loudly in unionByName (a sign the caller regressed).
+      val newCols = upd.columns.filterNot(cur.columns.contains)
+      val keptWide = newCols.foldLeft(kept)((d, c) =>
+        d.withColumn(c, org.apache.spark.sql.functions.lit(null).cast(upd.schema(c).dataType)))
+      val next = keptWide.unionByName(upd)
       val v = currentVersion(table).get + 1L
       next.write.partitionBy("__bucket").mode(SaveMode.Overwrite)
         .parquet(versionDir(table, v))

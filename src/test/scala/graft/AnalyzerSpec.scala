@@ -52,6 +52,18 @@ class AnalyzerSpec extends AnyFunSuite {
     assert(hits == Set(1L))
   }
 
+  test("ftsLeg degrades legacy rows (null counts) to count-1 instead of dropping them") {
+    import spark.implicits._
+    val tokens = Seq(
+      ("a", Seq("merg", "stream"), Some(Seq(3, 2))), // exact: 0.1*(3+2)
+      ("b", Seq("merg", "stream"), None)             // legacy: 0.1*(1+1)
+    ).toDF("pkey", "search_tokens", "search_token_counts")
+    val got = graft.operators.Search.ftsLeg(tokens, "merging streams", 10)
+      .collect().map(r => r.getAs[String]("pkey") -> r.getAs[Int]("fts_rank")).toMap
+    assert(got == Map("a" -> 1, "b" -> 2),
+      "legacy row must still rank (count-1 fallback), below the counted row")
+  }
+
   test("rank ordering: more query-term coverage ranks higher") {
     val df = docs(Seq(
       (1L, "merge join stream merge join stream"), // all 3 terms, high tf

@@ -51,6 +51,16 @@ class AsOfSpec extends AnyFunSuite {
     assert(result()(4) == Some(110L)) // ts 200: rows at 5,90,100 → 100 wins
   }
 
+  test("a matching right row with NULL payload wins over an older non-null one") {
+    import spark.implicits._
+    val left = Seq((1L, 1L, 30L)).toDF("event_id", "k", "ts")
+    val right = Seq((1L, 10L, Some(5L)), (1L, 20L, None)).toDF("k", "ts", "payload")
+    val r = AsOf.join(left, right, "k", "ts", Seq("payload")).collect()(0)
+    // ASOF semantics: the latest matching ROW wins even if its payload
+    // value is null — carrying 5L forward would be a stale read
+    assert(r.getAs[Any]("payload") == null)
+  }
+
   test("randomized parity with an in-memory reference model") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
@@ -58,8 +68,9 @@ class AsOfSpec extends AnyFunSuite {
       val nKeys = 1 + rnd.nextInt(4)
       val left = (0 until 30).map(i =>
         (i.toLong, rnd.nextInt(nKeys).toLong, rnd.nextInt(50).toLong))
-      // unique (key, ts) on the right, per the operator contract
-      val right = scala.util.Random.shuffle(
+      // unique (key, ts) on the right, per the operator contract;
+      // rnd (seeded) keeps a failing trial reproducible
+      val right = rnd.shuffle(
         (for (k <- 0 until nKeys; ts <- 0 until 50) yield (k.toLong, ts.toLong)))
         .take(20).zipWithIndex
         .map { case ((k, ts), i) => (k, ts, 1000L + i) }

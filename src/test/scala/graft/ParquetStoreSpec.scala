@@ -28,6 +28,22 @@ class ParquetStoreSpec extends AnyFunSuite {
     assert(got("50") == "v2-50" && got("120") == "v2-120")
   }
 
+  test("merge widens a pre-existing table with new update columns") {
+    val store = new ParquetStore(spark, TestSpark.tempDir("graft_ps_evo_"))
+    store.merge("t", rows(1 to 10, "v1"), "pkey")
+    // render path grows a column (the search_token_counts shape):
+    // updated rows carry it, kept rows surface it as null — never
+    // silently dropped
+    val wide = (5 to 12).map(i => (i.toString, s"v2-$i", i * 10))
+      .toDF("pkey", "payload", "extra")
+    store.merge("t", wide, "pkey")
+    val got = store.read("t").collect()
+      .map(r => r.getString(0) -> Option(r.getAs[Any]("extra"))).toMap
+    assert(got.size == 12)
+    assert(got("3") == None, "kept row gets null for the new column")
+    assert(got("7") == Some(70) && got("12") == Some(120))
+  }
+
   test("merge rewrites ONLY the touched buckets") {
     val dir = TestSpark.tempDir("graft_ps_")
     val store = new ParquetStore(spark, dir)
