@@ -89,6 +89,19 @@ class AsOfSpec extends AnyFunSuite {
     }
   }
 
+  test("plans with ONE shuffle and no join node (union + window shape)") {
+    import spark.implicits._
+    val left = (0 until 100).map(i => (i.toLong, (i % 5).toLong, i.toLong))
+      .toDF("event_id", "k", "ts")
+    val right = (0 until 50).map(i => ((i % 5).toLong, i.toLong * 3, i.toLong))
+      .toDF("k", "ts", "payload")
+    val plan = AsOf.join(left, right, "k", "ts", Seq("payload"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"as-of must not plan a join node:\n$plan")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1,
+      s"as-of must shuffle exactly once (the window partition):\n$plan")
+  }
+
   test("parity with the naive range-join formulation on real events") {
     val dir = "/root/testdata/sf0.001"
     val got = Queries.rAsofJoin(spark, dir).collect()

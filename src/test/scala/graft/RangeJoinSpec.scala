@@ -76,6 +76,18 @@ class RangeJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("plans as an equi-join — no nested-loop/cartesian anywhere") {
+    import spark.implicits._
+    val points = (0 until 100).map(i => (i.toLong, (i % 5).toLong, i.toLong * 7))
+      .toDF("point_id", "k", "ts")
+    val intervals = (0 until 20).map(i => (i.toLong % 5, i.toLong, i * 30L, i * 30L + 100))
+      .toDF("k", "interval_id", "s", "e")
+    val plan = RangeJoin.pointInInterval(points, intervals, "ts", "s", "e",
+      keyCols = Seq("k"), binWidth = 50L).queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"range join must stay an equi-join, plan was:\n$plan")
+  }
+
   test("parity with the naive BETWEEN join on real events") {
     val got = Queries.rIntervalJoin(spark, "/root/testdata/sf0.001")
       .collect().map(r => (r.getLong(0), r.getLong(3))).toSet
