@@ -117,6 +117,35 @@ object Realtime {
         col("n"), col("total_value"))
   }
 
+  /** Stream-stream interval join with watermarks — the streaming
+    * sibling of RangeJoin.pointInInterval / AsOf.join: each left
+    * event pairs with same-key right events at most `lookback` older
+    * (r.ts ∈ [l.ts − lookback, l.ts]). The time-range join condition
+    * plus both-side watermarks is what lets Spark EXPIRE join state:
+    * right rows older than watermark + lookback leave the state
+    * store, so state is bounded by rate × lookback, not by stream
+    * history. Inner-join matches emit immediately (no watermark
+    * latency). Exact latest-only as-of on streams needs
+    * flatMapGroupsWithState ordering state; this bounded interval
+    * join is the backpressure-safe shape (Flink's interval join), and
+    * a downstream max_by per left event recovers as-of semantics.
+    * Right-side columns return prefixed `r_`. Works identically on
+    * batch frames (watermarks no-op), which is how the spec checks it.
+    */
+  def intervalEnrich(left: DataFrame, right: DataFrame, keyCol: String,
+      tsCol: String, lookback: String = "30 minutes",
+      watermark: String = "10 minutes"): DataFrame = {
+    val prefixed = right.columns.foldLeft(right)(
+      (d, c) => d.withColumnRenamed(c, s"r_$c"))
+    val l = if (left.isStreaming) left.withWatermark(tsCol, watermark) else left
+    val r = if (prefixed.isStreaming)
+      prefixed.withWatermark(s"r_$tsCol", watermark) else prefixed
+    l.join(r,
+      col(keyCol) === col(s"r_$keyCol") &&
+        col(s"r_$tsCol") >= col(tsCol) - expr(s"INTERVAL $lookback") &&
+        col(s"r_$tsCol") <= col(tsCol))
+  }
+
   /** Sessionization via session_window (gap-based) — the canonical
     * stateful-streaming operator beyond tumbling windows.
     */

@@ -133,6 +133,35 @@ class RealtimeSpec extends AnyFunSuite {
     assert(sessions.count() == 2)
   }
 
+  test("streaming interval enrich equals the batch result (one code path)") {
+    import spark.implicits._
+    val purchases = (0 until 60).map(i =>
+      (i % 5, Fixtures.ts(i * 120L), i.toDouble)).toDF("user_id", "ts", "amount")
+    val clicks = (0 until 80).map(i =>
+      (i % 5, Fixtures.ts(i * 90L), s"src$i")).toDF("user_id", "ts", "page")
+    val dir = TestSpark.tempDir("graft_ie_")
+    purchases.coalesce(1).write.mode("overwrite").parquet(s"$dir/p")
+    clicks.coalesce(1).write.mode("overwrite").parquet(s"$dir/c")
+    val pStream = spark.readStream
+      .schema("user_id INT, ts TIMESTAMP, amount DOUBLE").parquet(s"$dir/p")
+    val cStream = spark.readStream
+      .schema("user_id INT, ts TIMESTAMP, page STRING").parquet(s"$dir/c")
+    val q = Realtime.intervalEnrich(pStream, cStream, "user_id", "ts",
+        lookback = "10 minutes")
+      .writeStream.format("memory").queryName("ie_eq")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+    val got = canon(spark.table("ie_eq"))
+    val want = canon(Realtime.intervalEnrich(purchases, clicks, "user_id", "ts",
+      lookback = "10 minutes"))
+    assert(want.nonEmpty && got == want,
+      "streaming and batch interval enrich must agree")
+  }
+
   test("streaming windowed counts equal the batch result (one code path)") {
     import spark.implicits._
     val events = (0 until 200).map { i =>
