@@ -79,12 +79,17 @@ object Search {
   def ftsLeg(tokens: DataFrame, query: String, windowSize: Int): DataFrame = {
     val qLex = graft.functions.TextAnalyzer.queryLexemes(query)
     val qCol = lit(qLex.toArray)
-    // legacy rows merged before the counts column existed carry null
-    // counts (ParquetStore.merge widens with nulls): degrade them to
-    // count-1 per deduped lexeme (the tf-proxy assumption) instead of
-    // nulling their rank out of the leg entirely
-    val counts = coalesce(col("search_token_counts"),
-      array_repeat(lit(1), size(col("search_tokens"))))
+    // legacy compatibility, two shapes: a table that predates the
+    // counts column entirely (never refreshed) lacks the column; a
+    // widened table (ParquetStore.merge schema evolution) carries null
+    // counts on not-yet-refreshed rows. Both degrade to count-1 per
+    // deduped lexeme (the tf-proxy assumption) instead of breaking the
+    // leg or nulling those rows out of the ranking.
+    val ones = array_repeat(lit(1), size(col("search_tokens")))
+    val counts =
+      if (tokens.columns.contains("search_token_counts"))
+        coalesce(col("search_token_counts"), ones)
+      else ones
     val matchedPositions = aggregate(
       zip_with(col("search_tokens"), counts,
         (t, c) => when(array_contains(qCol, t), c).otherwise(lit(0))),

@@ -104,6 +104,37 @@ class EngineSpec extends AnyFunSuite {
     assert(astro.head.getAs[Int]("id") == 1)
   }
 
+  test("legacy token table (no counts column) upgrades on refresh and stays searchable") {
+    import spark.implicits._
+    val engine = newEngine()
+    engine.registerSource("my_products", Fixtures.myProducts(spark))
+    engine.createJob(productsJob())
+    // simulate a pre-counts warehouse: rewrite the token table WITHOUT
+    // search_token_counts (the schema every merge before this round wrote)
+    val tok = engine.store.read(engine.tokTable("products"))
+      .select("pkey", "search_tokens", "updated_at")
+    val legacy = tok.collect().map(r => (r.getString(0),
+      r.getSeq[String](1), r.getTimestamp(2))).toSeq
+      .toDF("pkey", "search_tokens", "updated_at")
+    engine.store.drop(engine.tokTable("products"))
+    engine.store.merge(engine.tokTable("products"), legacy, "pkey")
+    // hybrid search must work on the legacy table (count-1 fallback)...
+    val legacyHit = engine.hybridSearch("products", "camping backpack", limit = 1)
+    assert(legacyHit.collect().head.getAs[String]("product_name") == "Backpack")
+    // ...and a refresh (new-column merge) must surface the counts
+    // column without dropping it, after which search still works
+    engine.registerSource("my_products", Fixtures.myProducts(spark)
+      .withColumn("updated_at", lit(Fixtures.futureTs(0))))
+    engine.refreshJob("products")
+    val upgraded = engine.store.read(engine.tokTable("products"))
+    assert(upgraded.columns.contains("search_token_counts"),
+      "refresh must widen the legacy token table")
+    assert(upgraded.filter(col("search_token_counts").isNotNull).count() ==
+      upgraded.count(), "all rows re-rendered → all counts populated")
+    val hit = engine.hybridSearch("products", "camping backpack", limit = 1)
+    assert(hit.collect().head.getAs[String]("product_name") == "Backpack")
+  }
+
   test("refresh embeds each row exactly once (no double materialization)") {
     CountingProvider.embedded.set(0)
     val engine = newEngine(provider = new CountingProvider(64))
