@@ -129,6 +129,37 @@ object Oracles {
        |  round((CAST(m AS DOUBLE) / qn) * (1.0 + CAST(m AS DOUBLE) / n), 4) AS rank
        |FROM m ORDER BY rank DESC, doc_id ASC LIMIT 50""".stripMargin
 
+  /** Phrase-match replay over the dumped per-doc position arrays:
+    * anchors are the first term's positions; a doc matches when some
+    * anchor b has EVERY phrase term at b + its offset (the Postgres
+    * TS_phrase_execute walk, declaratively). Terms/offsets are
+    * interpolated from the same phraseLexemes the engine query folds
+    * into its plan.
+    */
+  private def f5PhraseSql: String = {
+    val terms = Queries.phraseTerms
+    val values = terms.map { case (l, o) => s"('${l.replace("'", "''")}', $o)" }
+      .mkString(", ")
+    s"""WITH p AS (
+       |  SELECT doc_id, lexeme, positions
+       |  FROM read_parquet('__AUX__/f5_aux_positions.parquet')),
+       |terms(lex, off) AS (VALUES $values),
+       |anchors AS (
+       |  SELECT doc_id, unnest(positions) AS b
+       |  FROM p WHERE lexeme = '${terms.head._1.replace("'", "''")}'),
+       |hit AS (
+       |  SELECT a.doc_id
+       |  FROM anchors a
+       |  JOIN terms t ON true
+       |  JOIN p ON p.doc_id = a.doc_id AND p.lexeme = t.lex
+       |        AND list_contains(p.positions, a.b + t.off)
+       |  GROUP BY a.doc_id, a.b
+       |  HAVING count(*) = ${terms.size})
+       |SELECT DISTINCT d.doc_id, d.lang
+       |FROM documents d JOIN hit ON d.doc_id = hit.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   /** Exact OR-query ts_rank_cd replay over the dumped per-doc
     * (lexeme, npos) position counts: every matched position is its
     * own minimal cover, so rank = 0.1 · Σ npos of matched lexemes
@@ -853,6 +884,7 @@ object Oracles {
     "f2_postings_rank" -> f2RankSql,
     "f4_rank_cd" -> f4RankCdSql,
     "f4_postings_rank_cd" -> f4RankCdSql,
+    "f5_phrase_match" -> f5PhraseSql,
 
     "vz_semantic_search" ->
       s"""WITH q AS (

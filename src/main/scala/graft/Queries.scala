@@ -924,6 +924,28 @@ object Queries {
     TextIndex.searchPostings(spark, postingsIndex(spark, dir),
       graft.functions.TextAnalyzer.queryLexemes(f2QueryText), k = 50)
 
+  /** F5 phrase: `@@ phraseto_tsquery` — exact-adjacency match over the
+    * tsvector position lists ('tables hash' matches only docs where
+    * the stems occur CONSECUTIVELY, unlike the OR/overlap match).
+    * DuckDB-oracled over dumped per-doc position arrays for the
+    * phrase's lexemes (dumpOracleAux): the oracle replays the
+    * anchor-walk (some position b with every term at b + offset) in
+    * SQL; the position bookkeeping itself is RankCdSpec/PropertySpec
+    * territory.
+    */
+  private[graft] val phraseQueryText = "tables hash"
+  private[graft] def phraseTerms: Seq[(String, Int)] =
+    graft.functions.TextAnalyzer.phraseLexemes(phraseQueryText)
+
+  def f5PhraseMatch(spark: SparkSession, dir: String): DataFrame = {
+    val ph = phraseTerms
+    t(spark, dir, "documents")
+      .filter(tsPhraseMatch(col("text"),
+        lit(ph.map(_._1).toArray), lit(ph.map(_._2).toArray)))
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id"))
+  }
+
   /** F4 exact (scan form): Postgres `ts_rank_cd` over the OR-rewritten
     * query — 0.1 · Σ matched-lexeme position counts per doc (every
     * matched position is its own minimal cover under OR; see
@@ -1082,6 +1104,15 @@ object Queries {
           explode(tsvectorPosCounts(col("text"))).as(Seq("lexeme", "npos"))),
       s"$outDir/f4_aux_poscounts.parquet")
 
+    // per-doc position ARRAYS for the phrase lexemes only (tiny) —
+    // the f5_phrase_match oracle replays the anchor-walk over these
+    writeSingleParquet(
+      t(spark, dir, "documents")
+        .select(col("doc_id"),
+          explode(tsvectorPositions(col("text"))).as(Seq("lexeme", "positions")))
+        .filter(col("lexeme").isin(phraseTerms.map(_._1): _*)),
+      s"$outDir/f5_aux_positions.parquet")
+
     // per-doc chunk arrays for the f6_chunk_table oracle — same
     // chunkText UDF the query itself uses (unit-covered by TextSpec);
     // the oracle replays the posexplode + ordering in SQL
@@ -1228,6 +1259,7 @@ object Queries {
     "t2_topk" -> (t2TopK _),
     "f1_cosine_topk" -> (f1CosineTopK _),
     "f5_ts_match" -> (f5TsMatch _),
+    "f5_phrase_match" -> (f5PhraseMatch _),
     "f9_token_estimate" -> (f9TokenEstimate _),
     "f9_token_bpe" -> (f9TokenBpe _),
     "f10_trim_inputs" -> (f10TrimInputs _),

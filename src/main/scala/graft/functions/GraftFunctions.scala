@@ -133,6 +133,19 @@ object GraftFunctions {
     TextAnalyzer.rankCdOr(TextAnalyzer.lexemesWithPositions(text),
       if (query == null) Seq.empty else query))
 
+  /** F5 phrase: `text @@ phraseto_tsquery(...)` — lexemes and offsets
+    * come pre-split from TextAnalyzer.phraseLexemes (lit arrays fold
+    * into the plan; the phrase is parsed once on the driver).
+    */
+  val tsPhraseMatch = udf((text: String, lex: Seq[String], offs: Seq[Int]) =>
+    TextAnalyzer.phraseMatch(TextAnalyzer.lexemesWithPositions(text),
+      if (lex == null || offs == null) Seq.empty else lex.zip(offs)))
+
+  /** Full per-lexeme position arrays of `to_tsvector` (clamped) — the
+    * dump shape the phrase-match oracle replays over.
+    */
+  val tsvectorPositions = udf((text: String) => TextAnalyzer.lexemesWithPositions(text))
+
   /** F2+F4: tsvector with position counts as two ALIGNED arrays —
     * `_1` = sorted distinct lexemes (identical to [[toTsvector]]),
     * `_2` = each lexeme's clamped position count. The token-store

@@ -174,6 +174,34 @@ object TextAnalyzer {
     wdoc
   }
 
+  /** `phraseto_tsquery('english', q)` shape: stemmed non-stopword
+    * terms with their token offsets RELATIVE to the first kept term.
+    * Stopwords keep their position slots, which is where the `<N>`
+    * distances come from — 'cats and rats' → (cat,0),(rat,2), i.e.
+    * 'cat <2> rat'. Empty when the query has no indexable term.
+    */
+  def phraseLexemes(query: String): Seq[(String, Int)] = {
+    val kept = tokenize(query).zipWithIndex
+      .filterNot { case (t, _) => stopwords.contains(t) }
+    kept.headOption.fold(Seq.empty[(String, Int)]) { case (_, base) =>
+      kept.map { case (t, i) => (PorterStemmer.stem(t), i - base) }
+    }
+  }
+
+  /** `search_tokens @@ phraseto_tsquery(...)`: true iff some anchor
+    * position b has EVERY phrase term at exactly b + its offset
+    * (Postgres TS_phrase_execute over position lists). Positions are
+    * the clamped tsvector positions, so phrases straddling the
+    * 16383 clamp behave like Postgres's (degenerately, both ways).
+    */
+  def phraseMatch(positions: Map[String, Seq[Int]],
+      phrase: Seq[(String, Int)]): Boolean =
+    phrase.headOption.exists { case (first, _) =>
+      val sets = phrase.map { case (l, o) => (positions.getOrElse(l, Seq.empty).toSet, o) }
+      sets.forall(_._1.nonEmpty) &&
+        positions(first).exists(b => sets.forall { case (s, o) => s.contains(b + o) })
+    }
+
   /** OR-semantics query lexemes, matching the reference's
     * `plainto_tsquery` + `replace(' & ', ' | ')` rewrite
     * (core/src/query.rs:768-773): each query term independently

@@ -110,6 +110,26 @@ class RankCdSpec extends AnyFunSuite {
       == TextAnalyzer.rankCdOr(pos, Seq("cat")))
   }
 
+  // --- phrase match (phraseto_tsquery semantics) ---
+
+  test("phraseLexemes: stopwords keep their slots ('cats and rats' → cat <2> rat)") {
+    assert(TextAnalyzer.phraseLexemes("cats and rats") == Seq(("cat", 0), ("rat", 2)))
+    assert(TextAnalyzer.phraseLexemes("the quick fox") == Seq(("quick", 0), ("fox", 1)))
+    assert(TextAnalyzer.phraseLexemes("the and of") == Nil)
+  }
+
+  test("phraseMatch: exact distance required, order-sensitive, stem-aware") {
+    def m(text: String, q: String) = TextAnalyzer.phraseMatch(
+      TextAnalyzer.lexemesWithPositions(text), TextAnalyzer.phraseLexemes(q))
+    assert(m("cats and rats", "cats and rats"))   // cat@1, rat@3: gap 2 ✓
+    assert(!m("cats rats", "cats and rats"))      // gap 1 ≠ 2
+    assert(!m("rats and cats", "cats and rats"))  // order matters
+    assert(m("a table hash join", "tables hashes")) // through stemming
+    assert(!m("hash using a table", "tables hashes"))
+    assert(!m("table hash", "the and of"))        // degenerate query
+    assert(m("x table hash y table hash", "table hash"), "any anchor suffices")
+  }
+
   // --- Spark parity: the scan UDF is the same math ---
 
   test("tsRankCd UDF matches driver-side rankCdOr on real documents") {
