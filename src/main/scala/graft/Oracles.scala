@@ -885,6 +885,7 @@ object Oracles {
     "f4_rank_cd" -> f4RankCdSql,
     "f4_postings_rank_cd" -> f4RankCdSql,
     "f5_phrase_match" -> f5PhraseSql,
+    "f5_postings_phrase" -> f5PhraseSql,
 
     "vz_semantic_search" ->
       s"""WITH q AS (

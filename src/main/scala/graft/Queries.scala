@@ -946,6 +946,19 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
+  /** F5 phrase over the PERSISTED postings index: identical results
+    * to f5_phrase_match (same oracle SQL), but the plan probes only
+    * the phrase lexemes' bucket partitions and anchor-joins their
+    * position lists — phrase search without a corpus scan.
+    */
+  def f5PostingsPhrase(spark: SparkSession, dir: String): DataFrame = {
+    val hits = TextIndex.searchPostingsPhrase(spark,
+      postingsIndex(spark, dir), phraseTerms)
+    t(spark, dir, "documents").join(hits, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id"))
+  }
+
   /** F4 exact (scan form): Postgres `ts_rank_cd` over the OR-rewritten
     * query — 0.1 · Σ matched-lexeme position counts per doc (every
     * matched position is its own minimal cover under OR; see
@@ -1260,6 +1273,7 @@ object Queries {
     "f1_cosine_topk" -> (f1CosineTopK _),
     "f5_ts_match" -> (f5TsMatch _),
     "f5_phrase_match" -> (f5PhraseMatch _),
+    "f5_postings_phrase" -> (f5PostingsPhrase _),
     "f9_token_estimate" -> (f9TokenEstimate _),
     "f9_token_bpe" -> (f9TokenBpe _),
     "f10_trim_inputs" -> (f10TrimInputs _),

@@ -35,21 +35,23 @@ object TextIndex {
   }
 
   /** Build and persist the postings index:
-    * `path/postings` = (lexeme, id, n_lex, npos) partitioned by
-    * bucket, `path/meta` = nBuckets. One shuffle (repartition by
-    * bucket) so each bucket directory holds whole files. `npos` is
-    * the lexeme's tsvector position count (clamped per ts_type.h),
-    * denormalized into the postings so exact OR cover-density rank
-    * (searchPostingsRankCd) needs no second table — the GIN analogue
-    * of tsvector storing its position lists.
+    * `path/postings` = (lexeme, id, n_lex, positions, npos)
+    * partitioned by bucket, `path/meta` = nBuckets. One shuffle
+    * (repartition by bucket) so each bucket directory holds whole
+    * files. `positions` is the lexeme's clamped tsvector position
+    * list and `npos` its length, denormalized into the postings so
+    * exact OR cover-density rank (searchPostingsRankCd) AND phrase
+    * probes (searchPostingsPhrase) need no second table — the GIN
+    * analogue of tsvector storing its position lists.
     */
   def buildPostingsIndex(docs: DataFrame, idCol: String, textCol: String,
       path: String, nBuckets: Int = 64): Unit = {
     val spark = docs.sparkSession
     docs
-      .select(col(idCol).as("id"), tsvectorPosCounts(col(textCol)).as("__pc"))
-      .withColumn("n_lex", size(col("__pc")))
-      .select(col("id"), col("n_lex"), explode(col("__pc")).as(Seq("lexeme", "npos")))
+      .select(col(idCol).as("id"), tsvectorPositions(col(textCol)).as("__pp"))
+      .withColumn("n_lex", size(col("__pp")))
+      .select(col("id"), col("n_lex"), explode(col("__pp")).as(Seq("lexeme", "positions")))
+      .withColumn("npos", size(col("positions")))
       .withColumn("bucket", crc32(col("lexeme")) % nBuckets)
       .repartition(col("bucket"))
       .write.partitionBy("bucket").mode("overwrite").parquet(s"$path/postings")
@@ -122,5 +124,48 @@ object TextIndex {
         round(lit(0.1) * col("__tot"), 4).as("rank"))
       .orderBy(col("rank").desc, col("doc_id").asc)
       .limit(k)
+  }
+
+  /** Phrase probe (`@@ phraseto_tsquery`) over the postings index:
+    * scan ONLY the phrase lexemes' bucket partitions, anchor on the
+    * first term's positions, and require every term at anchor +
+    * offset — the same walk TextAnalyzer.phraseMatch does per row,
+    * but over |phrase| pruned posting rows per doc instead of the
+    * whole corpus's token arrays. The anchor check is a per-doc
+    * equi-join (id) + array_contains filter + distinct-term count, so
+    * at 100 TB the cost is the phrase terms' posting lists, never a
+    * table scan. Returns matching doc ids.
+    */
+  def searchPostingsPhrase(spark: SparkSession, path: String,
+      phrase: Seq[(String, Int)]): DataFrame = {
+    require(phrase.nonEmpty, "empty phrase")
+    val nBuckets = spark.read.parquet(s"$path/meta").head().getInt(0)
+    val lexemes = phrase.map(_._1).distinct
+    val buckets = lexemes.map(bucketOf(_, nBuckets)).distinct
+    val postings = spark.read.parquet(s"$path/postings")
+    require(postings.columns.contains("positions"),
+      s"postings index at $path predates position lists — rebuild it " +
+        "with buildPostingsIndex before phrase probing")
+    val p = postings
+      .filter(col("bucket").isin(buckets: _*)) // partition pruning
+      .filter(col("lexeme").isin(lexemes: _*)) // parquet-pushed
+      .select(col("id"), col("lexeme"), col("positions"))
+    val anchors = p.filter(col("lexeme") === phrase.head._1)
+      .select(col("id"), explode(col("positions")).as("b"))
+    // one row per (anchor, phrase term) that is satisfied; an anchor
+    // wins when all |phrase| terms are (posting rows are unique per
+    // (id, lexeme), and offsets within a duplicated lexeme differ)
+    import spark.implicits._
+    val terms = phrase.toDF("__lex", "__off")
+    val satisfied = anchors.crossJoin(broadcast(terms))
+      .join(p.select(col("id"), col("lexeme").as("__lex"), col("positions").as("__ps")),
+        Seq("id", "__lex"))
+      .filter(array_contains(col("__ps"), col("b") + col("__off")))
+    satisfied.groupBy(col("id"), col("b"))
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") === phrase.size)
+      .select(col("id").as("doc_id"))
+      .distinct()
+      .orderBy(col("doc_id"))
   }
 }

@@ -60,6 +60,25 @@ class TextIndexSpec extends AnyFunSuite {
       "rank_cd values should not coincide with the tf-proxy ranks")
   }
 
+  test("phrase probe over the index equals the scan-based phrase match") {
+    val path = TestSpark.tempDir("graft_postings_ph_spec_")
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    TextIndex.buildPostingsIndex(docs, "doc_id", "text", path)
+    val indexed = TextIndex.searchPostingsPhrase(spark, path, Queries.phraseTerms)
+      .collect().map(_.getAs[Long]("doc_id")).toSeq
+    val scanned = Queries.f5PhraseMatch(spark, dir)
+      .collect().map(_.getAs[Long]("doc_id")).toSeq
+    assert(indexed == scanned, "indexed phrase probe diverged from the scan")
+    assert(indexed.nonEmpty)
+    // and it's a strict subset of the OR match on the SAME lexemes
+    // (adjacency required)
+    val orMatch = docs.filter(graft.functions.GraftFunctions.tsMatches(
+        graft.functions.GraftFunctions.toTsvector(col("text")),
+        lit(Queries.phraseTerms.map(_._1).toArray)))
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(indexed.toSet.subsetOf(orMatch) && indexed.size < orMatch.size)
+  }
+
   test("probe scans only the query lexemes' bucket partitions") {
     val path = TestSpark.tempDir("graft_postings_spec2_")
     val docs = spark.read.parquet(s"$dir/documents.parquet")
