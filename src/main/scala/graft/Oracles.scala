@@ -643,6 +643,25 @@ object Oracles {
          |  md5(substring(text, CAST(frame_ts_ms % 1024 + 1 AS INT), 256)) AS frame_md5
          |FROM f ORDER BY asset_id, frame_ts_ms""".stripMargin,
 
+    // trunc before CAST: Spark's double→int cast truncates toward
+    // zero while DuckDB's rounds — trunc aligns them. ASCII corpus →
+    // char slice md5s identically to the stub's byte slice.
+    "mm_resize" ->
+      s"""WITH a AS (
+         |  SELECT doc_id AS asset_id, text,
+         |    CAST((doc_id % 64) * 16 + 16 AS INT) AS w,
+         |    CAST((doc_id % 48) * 16 + 16 AS INT) AS h
+         |  FROM documents WHERE doc_id % 3 = 0),
+         |r AS (
+         |  SELECT asset_id, text, w, h,
+         |    least(1.0, ${Queries.mmResizeMaxSide}.0 / greatest(w, h)) AS scale
+         |  FROM a)
+         |SELECT asset_id,
+         |  CAST(trunc(w * scale) AS INT) AS width,
+         |  CAST(trunc(h * scale) AS INT) AS height,
+         |  md5(substring(text, 1, 4096)) AS content_md5
+         |FROM r ORDER BY asset_id""".stripMargin,
+
     "mm_describe" ->
       """SELECT doc_id AS asset_id,
         |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'

@@ -720,6 +720,22 @@ object Queries {
       .select(col("asset_id"), col("frame_ts_ms"), md5(col("frame")).as("frame_md5"))
       .orderBy(col("asset_id"), col("frame_ts_ms"))
 
+  /** Multimodal: image-resize contract (Multimodal.resizeStub) — the
+    * aspect-ratio-preserving dimension clamp and byte re-encode slice
+    * are pure built-ins, replayed exactly in DuckDB; only the actual
+    * pixel work is the declared stub.
+    */
+  private[graft] val mmResizeMaxSide = 256
+
+  def mmResize(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.resizeStub(
+        Multimodal.syntheticAssets(
+          t(spark, dir, "documents").filter(col("doc_id") % 3 === 0), "doc_id", "text"),
+        maxSide = mmResizeMaxSide)
+      .select(col("asset_id"), col("width"), col("height"),
+        md5(col("content")).as("content_md5"))
+      .orderBy(col("asset_id"))
+
   /** Text quality metrics (oracle-checkable signal subset). */
   def textQualityMetrics(spark: SparkSession, dir: String): DataFrame = {
     val txt = col("text")
@@ -1295,6 +1311,7 @@ object Queries {
     "mm_describe" -> (mmDescribe _),
     "mm_features" -> (mmFeatures _),
     "mm_frames" -> (mmFrames _),
+    "mm_resize" -> (mmResize _),
     "text_quality_metrics" -> (textQualityMetrics _),
     "text_quality_score" -> (textQualityScore _),
     "text_language_id" -> (textLanguageId _),

@@ -82,16 +82,22 @@ object Multimodal {
 
   /** STUB resize: contract of an image-resize stage (new dims +
     * re-encoded bytes). Fake keeps a deterministic byte slice.
+    *
+    * The scale is MATERIALIZED before either dimension is rewritten:
+    * a lazy `scale` Column would re-resolve against the already-
+    * resized width when computing height (withColumn rebinds by
+    * name), silently skipping the height scale for every landscape
+    * asset — caught by the mm_resize DuckDB oracle.
     */
-  def resizeStub(assets: DataFrame, maxSide: Int): DataFrame = {
-    val scale = least(lit(1.0),
-      lit(maxSide).cast("double") / greatest(col("width"), col("height")))
+  def resizeStub(assets: DataFrame, maxSide: Int): DataFrame =
     assets
-      .withColumn("width", (col("width") * scale).cast("int"))
-      .withColumn("height", (col("height") * scale).cast("int"))
+      .withColumn("__scale", least(lit(1.0),
+        lit(maxSide).cast("double") / greatest(col("width"), col("height"))))
+      .withColumn("width", (col("width") * col("__scale")).cast("int"))
+      .withColumn("height", (col("height") * col("__scale")).cast("int"))
       .withColumn("content",
         substring(col("content"), 1, 4096)) // fake re-encode
-  }
+      .drop("__scale")
 
   /** STUB frame sampling for video rows: explode N evenly-spaced
     * "frames" with timestamps — the shape a real ffmpeg-backed

@@ -57,7 +57,15 @@ class MultimodalSpec extends AnyFunSuite {
     val resized = Multimodal.resizeStub(
       Multimodal.syntheticAssets(docs, "doc_id", "text"), maxSide = 64).collect()
     resized.foreach { r =>
-      assert(r.getAs[Int]("width") <= 64 && r.getAs[Int]("height") <= 64)
+      // exact expected dims from the synthetic formulas — BOTH sides
+      // must shrink by the SAME scale (a ≤-bound alone missed the
+      // lazy-Column bug where landscape heights skipped the scale)
+      val id = r.getAs[Long]("asset_id")
+      val w0 = (id % 64) * 16 + 16
+      val h0 = (id % 48) * 16 + 16
+      val scale = math.min(1.0, 64.0 / math.max(w0, h0))
+      assert(r.getAs[Int]("width") == (w0 * scale).toInt, s"asset $id width")
+      assert(r.getAs[Int]("height") == (h0 * scale).toInt, s"asset $id height")
       assert(r.getAs[Array[Byte]]("content").length <= 4096)
     }
   }
