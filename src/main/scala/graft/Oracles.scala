@@ -129,18 +129,20 @@ object Oracles {
        |  round((CAST(m AS DOUBLE) / qn) * (1.0 + CAST(m AS DOUBLE) / n), 4) AS rank
        |FROM m ORDER BY rank DESC, doc_id ASC LIMIT 50""".stripMargin
 
-  /** Phrase-match replay over the dumped per-doc position arrays:
-    * anchors are the first term's positions; a doc matches when some
+  /** Phrase-match walk over the dumped per-doc position arrays:
+    * anchors are the first term's positions; a doc hits when some
     * anchor b has EVERY phrase term at b + its offset (the Postgres
     * TS_phrase_execute walk, declaratively). Terms/offsets are
-    * interpolated from the same phraseLexemes the engine query folds
-    * into its plan.
+    * interpolated from the same phraseLexemes the engine queries fold
+    * into their plans. Emits CTEs ending in `hit(doc_id)` (one row
+    * per satisfying anchor — DISTINCT downstream); shared by
+    * f5_phrase_match / f5_postings_phrase / f5_websearch.
     */
-  private def f5PhraseSql: String = {
+  private def phraseHitCtes: String = {
     val terms = Queries.phraseTerms
     val values = terms.map { case (l, o) => s"('${l.replace("'", "''")}', $o)" }
       .mkString(", ")
-    s"""WITH p AS (
+    s"""p AS (
        |  SELECT doc_id, lexeme, positions
        |  FROM read_parquet('__AUX__/f5_aux_positions.parquet')),
        |terms(lex, off) AS (VALUES $values),
@@ -154,11 +156,14 @@ object Oracles {
        |  JOIN p ON p.doc_id = a.doc_id AND p.lexeme = t.lex
        |        AND list_contains(p.positions, a.b + t.off)
        |  GROUP BY a.doc_id, a.b
-       |  HAVING count(*) = ${terms.size})
+       |  HAVING count(*) = ${terms.size})""".stripMargin
+  }
+
+  private def f5PhraseSql: String =
+    s"""WITH $phraseHitCtes
        |SELECT DISTINCT d.doc_id, d.lang
        |FROM documents d JOIN hit ON d.doc_id = hit.doc_id
        |ORDER BY d.doc_id""".stripMargin
-  }
 
   /** Exact OR-query ts_rank_cd replay over the dumped per-doc
     * (lexeme, npos) position counts: every matched position is its
@@ -905,6 +910,34 @@ object Oracles {
     "f4_postings_rank_cd" -> f4RankCdSql,
     "f5_phrase_match" -> f5PhraseSql,
     "f5_postings_phrase" -> f5PhraseSql,
+
+    // websearch_to_tsquery replay for the FIXED wsQueryText:
+    //   group1 = merg AND "tabl hash" (phrase) AND NOT custom
+    //   group2 = stream AND part
+    // — term membership over the dumped lexeme arrays, phrase via the
+    // shared anchor-walk CTEs; stems interpolated from the same
+    // analyzer the engine parses with.
+    "f5_websearch" -> {
+      def st(w: String) = graft.functions.PorterStemmer.stem(w)
+      s"""WITH $phraseHitCtes,
+         |lex AS (
+         |  SELECT doc_id, lexemes
+         |  FROM read_parquet('__AUX__/f2_aux_lexemes.parquet')),
+         |g1 AS (
+         |  SELECT l.doc_id
+         |  FROM lex l JOIN (SELECT DISTINCT doc_id FROM hit) ph
+         |    ON ph.doc_id = l.doc_id
+         |  WHERE list_contains(l.lexemes, '${st("merge")}')
+         |    AND NOT list_contains(l.lexemes, '${st("customer")}')),
+         |g2 AS (
+         |  SELECT doc_id FROM lex
+         |  WHERE list_contains(lexemes, '${st("streams")}')
+         |    AND list_contains(lexemes, '${st("part")}')),
+         |hits AS (SELECT doc_id FROM g1 UNION SELECT doc_id FROM g2)
+         |SELECT d.doc_id, d.lang
+         |FROM documents d JOIN hits ON d.doc_id = hits.doc_id
+         |ORDER BY d.doc_id""".stripMargin
+    },
 
     "vz_semantic_search" ->
       s"""WITH q AS (

@@ -962,6 +962,28 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
+  /** F5 websearch: `@@ websearch_to_tsquery` — the user-facing query
+    * grammar (AND terms, quoted phrase, -negation, `or` groups)
+    * evaluated over the tsvector position lists. The phrase inside
+    * wsQueryText is intentionally the SAME phrase as phraseQueryText
+    * so the dumped f5_aux_positions cover it; the oracle replays the
+    * fixed query's boolean algebra over the lexeme-array dump plus
+    * the shared phrase anchor-walk.
+    */
+  private[graft] val wsQueryText =
+    """merge "tables hash" -customer or streams part"""
+
+  def f5Websearch(spark: SparkSession, dir: String): DataFrame = {
+    val q = graft.functions.TextAnalyzer.webSearchQuery(wsQueryText)
+    val matches = udf((text: String) =>
+      graft.functions.TextAnalyzer.webSearchMatch(
+        graft.functions.TextAnalyzer.lexemesWithPositions(text), q))
+    t(spark, dir, "documents")
+      .filter(matches(col("text")))
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id"))
+  }
+
   /** F5 phrase over the PERSISTED postings index: identical results
     * to f5_phrase_match (same oracle SQL), but the plan probes only
     * the phrase lexemes' bucket partitions and anchor-joins their
@@ -1290,6 +1312,7 @@ object Queries {
     "f5_ts_match" -> (f5TsMatch _),
     "f5_phrase_match" -> (f5PhraseMatch _),
     "f5_postings_phrase" -> (f5PostingsPhrase _),
+    "f5_websearch" -> (f5Websearch _),
     "f9_token_estimate" -> (f9TokenEstimate _),
     "f9_token_bpe" -> (f9TokenBpe _),
     "f10_trim_inputs" -> (f10TrimInputs _),

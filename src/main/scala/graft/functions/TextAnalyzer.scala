@@ -202,6 +202,64 @@ object TextAnalyzer {
         positions(first).exists(b => sets.forall { case (s, o) => s.contains(b + o) })
     }
 
+  // ---------------------------------------------------------------
+  // websearch_to_tsquery('english', q): the user-facing web-search
+  // grammar — bare words AND'd, "quoted text" becomes a phrase,
+  // -item negates, the bare word `or` separates OR groups. Built
+  // entirely from the primitives above (lexemes + phraseLexemes +
+  // position lists).
+  // ---------------------------------------------------------------
+
+  sealed trait WsItem extends Serializable {
+    def negated: Boolean
+  }
+  final case class WsTerm(lexeme: String, negated: Boolean) extends WsItem
+  final case class WsPhrase(terms: Seq[(String, Int)], negated: Boolean) extends WsItem
+
+  /** Parse to OR-of-AND groups. Stopword bare terms drop (like
+    * websearch_to_tsquery); a group whose every item dropped matches
+    * nothing (Postgres's empty tsquery), and an overall empty parse
+    * matches nothing.
+    */
+  def webSearchQuery(query: String): Seq[Seq[WsItem]] = {
+    if (query == null) return Seq.empty
+    // raw tokens: quoted segments (with optional leading -) or words
+    val raw = "-?\"[^\"]*\"|\\S+".r.findAllIn(query).toSeq
+    val groups = scala.collection.mutable.ArrayBuffer(
+      scala.collection.mutable.ArrayBuffer.empty[WsItem])
+    raw.foreach { tok =>
+      if (tok.equalsIgnoreCase("or")) {
+        if (groups.last.nonEmpty)
+          groups += scala.collection.mutable.ArrayBuffer.empty[WsItem]
+      } else {
+        val negated = tok.startsWith("-")
+        val body = if (negated) tok.drop(1) else tok
+        if (body.startsWith("\"")) {
+          val phrase = phraseLexemes(body.stripPrefix("\"").stripSuffix("\""))
+          if (phrase.nonEmpty) groups.last += WsPhrase(phrase, negated)
+        } else {
+          // bare word: analyze like a query term (lowercase, stopword
+          // drop, stem); a term that tokenizes to several words (e.g.
+          // "mid-word" punctuation) contributes each piece AND'd
+          tokenize(body).filterNot(stopwords.contains).foreach(t =>
+            groups.last += WsTerm(PorterStemmer.stem(t), negated))
+        }
+      }
+    }
+    groups.map(_.toSeq).filter(_.nonEmpty).toSeq
+  }
+
+  /** `@@ websearch_to_tsquery(...)`: some OR group has every positive
+    * item present (term membership / phrase anchor-walk) and every
+    * negated item absent.
+    */
+  def webSearchMatch(positions: Map[String, Seq[Int]],
+      query: Seq[Seq[WsItem]]): Boolean =
+    query.exists(_.forall {
+      case WsTerm(l, neg) => positions.contains(l) != neg
+      case WsPhrase(ts, neg) => phraseMatch(positions, ts) != neg
+    })
+
   /** OR-semantics query lexemes, matching the reference's
     * `plainto_tsquery` + `replace(' & ', ' | ')` rewrite
     * (core/src/query.rs:768-773): each query term independently

@@ -130,6 +130,41 @@ class RankCdSpec extends AnyFunSuite {
     assert(m("x table hash y table hash", "table hash"), "any anchor suffices")
   }
 
+  // --- websearch_to_tsquery grammar + evaluation ---
+
+  test("webSearchQuery: terms AND'd, quotes → phrase, - negates, or splits") {
+    import TextAnalyzer.{WsPhrase, WsTerm}
+    val q = TextAnalyzer.webSearchQuery("""merge "tables hash" -customer or streams part""")
+    assert(q == Seq(
+      Seq(WsTerm("merg", negated = false),
+        WsPhrase(Seq(("tabl", 0), ("hash", 1)), negated = false),
+        WsTerm("custom", negated = true)),
+      Seq(WsTerm("stream", negated = false), WsTerm("part", negated = false))))
+  }
+
+  test("webSearchQuery: stopwords drop; degenerate queries parse empty") {
+    import TextAnalyzer.WsTerm
+    assert(TextAnalyzer.webSearchQuery("the cats") == Seq(Seq(WsTerm("cat", false))))
+    assert(TextAnalyzer.webSearchQuery("the and of") == Nil)
+    assert(TextAnalyzer.webSearchQuery("") == Nil)
+    assert(TextAnalyzer.webSearchQuery(null) == Nil)
+    // leading 'or' doesn't create an empty group
+    assert(TextAnalyzer.webSearchQuery("or cats") == Seq(Seq(WsTerm("cat", false))))
+  }
+
+  test("webSearchMatch: group AND, cross-group OR, negation, phrase") {
+    def m(text: String, q: String) = TextAnalyzer.webSearchMatch(
+      TextAnalyzer.lexemesWithPositions(text), TextAnalyzer.webSearchQuery(q))
+    val doc = "merging the table hash join for customers"
+    assert(m(doc, """merge "tables hash""""))         // both AND'd items hit
+    assert(!m(doc, """merge "tables hash" -customer""")) // negation kills it
+    assert(m(doc, """merge "tables hash" -customer or table""")) // OR rescues
+    assert(!m(doc, """merge "hash tables""""))        // phrase order enforced
+    assert(!m(doc, "nonexistentzzz"))
+    assert(!m(doc, "the and of"))                     // empty parse → false
+    assert(m(doc, "-nonexistentzzz"), "pure negation matches absent term")
+  }
+
   // --- Spark parity: the scan UDF is the same math ---
 
   test("tsRankCd UDF matches driver-side rankCdOr on real documents") {
