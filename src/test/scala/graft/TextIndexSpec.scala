@@ -77,6 +77,11 @@ class TextIndexSpec extends AnyFunSuite {
         lit(Queries.phraseTerms.map(_._1).toArray)))
       .collect().map(_.getAs[Long]("doc_id")).toSet
     assert(indexed.toSet.subsetOf(orMatch) && indexed.size < orMatch.size)
+    // the probe stays bucket-pruned like the rank probes
+    val plan = TextIndex.searchPostingsPhrase(spark, path, Queries.phraseTerms)
+      .queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*bucket".r.findFirstIn(plan).isDefined,
+      s"phrase probe must push a bucket partition filter, plan was:\n$plan")
   }
 
   test("probe scans only the query lexemes' bucket partitions") {
