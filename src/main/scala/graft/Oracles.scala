@@ -204,6 +204,50 @@ object Oracles {
       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_id
       |  FROM flagged)""".stripMargin
 
+  /** MinHash pair replay (as in dedup_minhash_lsh) closed transitively
+    * with a recursive CTE — the declarative connected-components
+    * fixpoint both distributed clustering entries are checked against.
+    */
+  private lazy val dedupClustersSql: String = {
+    val rows = Queries.minHashNumHashes / Queries.minHashBands
+    s"""WITH RECURSIVE s AS (
+       |  SELECT doc_id, shingles, sig
+       |  FROM read_parquet('__AUX__/minhash_aux.parquet')
+       |  WHERE len(shingles) > 0),
+       |bands AS (SELECT range AS band FROM range(0, ${Queries.minHashBands})),
+       |keyed AS (
+       |  SELECT doc_id, band,
+       |    list_slice(sig, band * $rows + 1, band * $rows + $rows) AS bkey
+       |  FROM s CROSS JOIN bands),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM keyed a JOIN keyed b
+       |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+       |pairs AS (
+       |  SELECT c.id_a, c.id_b
+       |  FROM cand c
+       |  JOIN s sa ON sa.doc_id = c.id_a
+       |  JOIN s sb ON sb.doc_id = c.id_b
+       |  WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+       |      / len(list_distinct(sa.shingles || sb.shingles))
+       |      >= ${Queries.minHashThreshold}),
+       |edges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM pairs
+       |  UNION
+       |  SELECT id_b, id_a FROM pairs),
+       |reach(id, r) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.src, reach.r FROM edges e JOIN reach ON reach.id = e.dst),
+       |labels AS (SELECT id, min(r) AS canonical_id FROM reach GROUP BY id),
+       |sizes AS (
+       |  SELECT canonical_id, count(*) AS cluster_size
+       |  FROM labels GROUP BY canonical_id)
+       |SELECT l.id AS doc_id, l.canonical_id, z.cluster_size
+       |FROM labels l JOIN sizes z USING (canonical_id)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** Replay of the multiprobe batch-kNN pipeline over dumped per-row
     * LSH keys: probe-key equi-join → self-exclusion → exact cosine →
     * per-query rank ≤ k. Shared by the ad-hoc and indexed variants
@@ -543,47 +587,11 @@ object Oracles {
     // The same pair replay as dedup_minhash_lsh, closed transitively
     // with a recursive CTE: reach(id, r) saturates to every node
     // reachable over the symmetric edge set, min(r) is the canonical
-    // label — a declarative fixpoint checking the engine's
-    // distributed min-label-propagation loop.
-    "dedup_clusters" -> {
-      val rows = Queries.minHashNumHashes / Queries.minHashBands
-      s"""WITH RECURSIVE s AS (
-         |  SELECT doc_id, shingles, sig
-         |  FROM read_parquet('__AUX__/minhash_aux.parquet')
-         |  WHERE len(shingles) > 0),
-         |bands AS (SELECT range AS band FROM range(0, ${Queries.minHashBands})),
-         |keyed AS (
-         |  SELECT doc_id, band,
-         |    list_slice(sig, band * $rows + 1, band * $rows + $rows) AS bkey
-         |  FROM s CROSS JOIN bands),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-         |  FROM keyed a JOIN keyed b
-         |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
-         |pairs AS (
-         |  SELECT c.id_a, c.id_b
-         |  FROM cand c
-         |  JOIN s sa ON sa.doc_id = c.id_a
-         |  JOIN s sb ON sb.doc_id = c.id_b
-         |  WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
-         |      / len(list_distinct(sa.shingles || sb.shingles))
-         |      >= ${Queries.minHashThreshold}),
-         |edges AS (
-         |  SELECT id_a AS src, id_b AS dst FROM pairs
-         |  UNION
-         |  SELECT id_b, id_a FROM pairs),
-         |reach(id, r) AS (
-         |  SELECT src, src FROM edges
-         |  UNION
-         |  SELECT e.src, reach.r FROM edges e JOIN reach ON reach.id = e.dst),
-         |labels AS (SELECT id, min(r) AS canonical_id FROM reach GROUP BY id),
-         |sizes AS (
-         |  SELECT canonical_id, count(*) AS cluster_size
-         |  FROM labels GROUP BY canonical_id)
-         |SELECT l.id AS doc_id, l.canonical_id, z.cluster_size
-         |FROM labels l JOIN sizes z USING (canonical_id)
-         |ORDER BY doc_id""".stripMargin
-    },
+    // label — one declarative fixpoint checking BOTH distributed
+    // clustering algorithms (min-label propagation and the
+    // large-star/small-star variant), which must agree exactly.
+    "dedup_clusters" -> dedupClustersSql,
+    "dedup_clusters_star" -> dedupClustersSql,
 
     // Raw BETWEEN range join (what DuckDB plans as its native IEJoin)
     // against the engine's binned equi-join formulation; session

@@ -497,6 +497,25 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
+  /** dedup_clusters via the alternating large-star/small-star
+    * algorithm (Dedup.clusterCanonicalStar) — O(log² n) rounds on ANY
+    * pair-graph shape, where min-label propagation needs diameter
+    * rounds. Identical output contract, same recursive-CTE oracle:
+    * the declarative fixpoint checks both distributed algorithms.
+    */
+  def dedupClustersStar(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.minHashLshPairs(t(spark, dir, "documents"), "doc_id", "text",
+      shingleN = minHashShingleN, numHashes = minHashNumHashes,
+      bands = minHashBands, threshold = minHashThreshold)
+    val labels = Dedup.clusterCanonicalStar(pairs)
+    val sizes = labels.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, Seq("cluster_id"))
+      .select(col("id").as("doc_id"), col("cluster_id").as("canonical_id"),
+        col("cluster_size"))
+      .orderBy(col("doc_id"))
+  }
+
   /** SimHash near-dup pairs. maxHamming=3 is the scale-right
     * setting: 4 bands × 16 bits keeps per-band bucket cardinality at
     * 65k, where larger radii force narrower bands (maxHamming+1 of
@@ -1326,6 +1345,7 @@ object Queries {
     "dedup_minhash_lsh" -> (dedupMinHashLsh _),
     "dedup_simhash" -> (dedupSimHash _),
     "dedup_clusters" -> (dedupClusters _),
+    "dedup_clusters_star" -> (dedupClustersStar _),
     "ann_lsh_topk" -> (annLshTopK _),
     "ann_ivf_topk" -> (annIvfTopK _),
     "ann_knn_join" -> (annKnnJoin _),

@@ -307,10 +307,9 @@ object Dedup {
     * Convergence needs rounds = max cluster DIAMETER, and near-dup
     * clusters are shallow (near-cliques: every member shares bands
     * with most others), so 2-4 rounds is typical. For adversarial
-    * chain-shaped graphs (diameter ~ |V|) the alternating
-    * large-star/small-star algorithm (Kiveris et al. 2014, "Connected
-    * Components in MapReduce and Beyond") converges in O(log²) rounds
-    * — the documented upgrade path; maxRounds guards the loop either
+    * chain-shaped graphs (diameter ~ |V|) use
+    * [[clusterCanonicalStar]] (alternating large-star/small-star,
+    * O(log²) rounds for any shape); maxRounds guards the loop either
     * way and the per-round `changed` count is an agg, not a collect.
     *
     * Returns (id, cluster_id) for every id that appears in a pair —
@@ -360,9 +359,79 @@ object Dedup {
     if (changed > 0) throw new IllegalStateException(
       s"clusterCanonical did not converge in $maxRounds rounds " +
         s"($changed labels still changing) — the pair graph has diameter " +
-        s"> $maxRounds; raise maxRounds or switch to large-star/small-star " +
-        "(Kiveris et al. 2014) for chain-shaped graphs")
+        s"> $maxRounds; raise maxRounds or use clusterCanonicalStar for " +
+        "chain-shaped graphs")
     labels
+  }
+
+  /** Connected components via alternating large-star/small-star
+    * (Kiveris et al. 2014, "Connected Components in MapReduce and
+    * Beyond") — the adversarial-diameter upgrade [[clusterCanonical]]
+    * documents: rounds are O(log² n) for ANY graph shape (each
+    * alternation at least halves component "height"), where min-label
+    * propagation needs diameter rounds and a duplicate CHAIN of
+    * length 10⁶ would need 10⁶ of them. Each phase is one
+    * neighborhood-min aggregation + one emit — two O(|E|) shuffles —
+    * and the edge set only shrinks toward the star forest, so
+    * per-round cost is non-increasing.
+    *
+    * large-star(u): hook every strictly-larger neighbor onto
+    * m = min(Γ(u) ∪ {u}); small-star(u): hook the not-larger
+    * neighbors (and u) onto m. Alternating preserves connectivity
+    * and converges to star graphs centered on component minima.
+    *
+    * Same contract as [[clusterCanonical]]: returns (id, cluster_id)
+    * for ids that appear in a pair; identical output, different
+    * round complexity — property-tested equal on random graphs.
+    */
+  def clusterCanonicalStar(pairs: DataFrame, idA: String = "id_a",
+      idB: String = "id_b", maxRounds: Int = 50): DataFrame = {
+    val nodes = pairs.select(col(idA).as("id"))
+      .union(pairs.select(col(idB).as("id"))).distinct()
+      .localCheckpoint()
+    var edges = pairs.select(col(idA).as("u"), col(idB).as("v"))
+      .filter(col("u") =!= col("v"))
+      .select(least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
+      .distinct()
+      .localCheckpoint()
+    // one phase: per-node neighborhood min (self included), then hook
+    // the selected side of each neighborhood onto it
+    def phase(e: DataFrame, large: Boolean): DataFrame = {
+      val nbr = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      val withSelf = nbr.union(nbr.select(col("u"), col("u").as("v")))
+      val mins = withSelf.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val hooked = nbr.join(mins, Seq("u"))
+        .filter(if (large) col("v") > col("u") else col("v") <= col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+      val out =
+        if (large) hooked
+        else hooked.unionByName(mins.select(col("u"), col("m").as("v")))
+      out.filter(col("u") =!= col("v"))
+        .select(least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
+        .distinct()
+    }
+    var round = 0
+    var converged = false
+    while (!converged && round < maxRounds) {
+      val next = phase(phase(edges, large = true), large = false).localCheckpoint()
+      // stable when the (canonicalized, deduped) edge set is unchanged
+      converged = next.count() == edges.count() &&
+        next.join(edges, Seq("u", "v"), "left_anti").isEmpty
+      edges = next
+      round += 1
+    }
+    if (!converged) throw new IllegalStateException(
+      s"clusterCanonicalStar did not converge in $maxRounds rounds — " +
+        "this exceeds the O(log^2 n) bound and indicates a bug or a " +
+        "pathological id space; inspect the pair graph")
+    // converged: edges form a star forest (non-center, center-min);
+    // centers label themselves, isolated-after-self-loop-drop nodes
+    // (pairs with u == v only) also self-label via the left join
+    val labels = edges.select(col("v").as("id"), col("u").as("cluster_id"))
+      .union(edges.select(col("u").as("id"), col("u").as("cluster_id")))
+      .groupBy(col("id")).agg(min(col("cluster_id")).as("cluster_id"))
+    nodes.join(labels, Seq("id"), "left_outer")
+      .select(col("id"), coalesce(col("cluster_id"), col("id")).as("cluster_id"))
   }
 
   /** Embedding-cosine near-dup pairs within a blocking column. The

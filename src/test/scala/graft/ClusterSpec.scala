@@ -38,6 +38,53 @@ class ClusterSpec extends AnyFunSuite {
     assert(a == b && a == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
   }
 
+  private def starCluster(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+    import spark.implicits._
+    Dedup.clusterCanonicalStar(pairs.toDF("id_a", "id_b"))
+      .collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("cluster_id"))
+      .toMap
+  }
+
+  private def unionFind(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(ra.max(rb)) = ra.min(rb)
+    }
+    parent.keys.map(k => k -> find(k)).toMap
+  }
+
+  test("large-star/small-star: long chain converges (min-label's hard case)") {
+    // diameter 120 chain — min-label at default maxRounds=20 throws;
+    // the star algorithm closes it in O(log^2) alternations
+    val chain = (0L until 120L).map(i => (i, i + 1))
+    val got = starCluster(chain)
+    assert(got == (0L to 120L).map(_ -> 0L).toMap)
+    intercept[IllegalStateException] {
+      cluster(chain)
+    }
+  }
+
+  test("large-star/small-star agrees with union-find on random graphs") {
+    val rnd = new scala.util.Random(13)
+    (1 to 6).foreach { trial =>
+      val n = 30 + rnd.nextInt(40)
+      val pairs = (0 until n).map { _ =>
+        // skewed id space exercises the hook order
+        (rnd.nextInt(25).toLong * 7, rnd.nextInt(25).toLong * 7)
+      }.filter(p => p._1 != p._2)
+      val got = starCluster(pairs)
+      assert(got == unionFind(pairs), s"trial $trial diverged")
+      // and matches min-label on these shallow graphs
+      assert(got == cluster(pairs), s"trial $trial: star != min-label")
+    }
+  }
+
   test("dedup_clusters agrees with driver-side union-find on real pairs") {
     val dir = "/root/testdata/sf0.01"
     val pairs = Dedup.minHashLshPairs(
