@@ -415,8 +415,12 @@ object Dedup {
     while (!converged && round < maxRounds) {
       val next = phase(phase(edges, large = true), large = false).localCheckpoint()
       // stable when the (canonicalized, deduped) edge set is unchanged
-      converged = next.count() == edges.count() &&
-        next.join(edges, Seq("u", "v"), "left_anti").isEmpty
+      // — symmetric difference via ONE full-outer count, not a
+      // count + anti-join pair of actions per round
+      converged = next.withColumn("__n", lit(1))
+        .join(edges.withColumn("__o", lit(1)), Seq("u", "v"), "full_outer")
+        .filter(col("__n").isNull || col("__o").isNull)
+        .isEmpty
       edges = next
       round += 1
     }
