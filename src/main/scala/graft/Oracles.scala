@@ -916,6 +916,44 @@ object Oracles {
     "f2_postings_rank" -> f2RankSql,
     "f4_rank_cd" -> f4RankCdSql,
     "f4_postings_rank_cd" -> f4RankCdSql,
+
+    // BM25 replay: df/dl/N/avgdl recomputed from the full per-doc
+    // (lexeme, npos) dump; idf and length-norm arithmetic written in
+    // the same shape/association as TextIndex.searchPostingsBm25 (and
+    // avgdl = exact integer sum / count on both sides); per-doc total
+    // summed as DECIMAL so addition order cannot flip rounded ties.
+    "f4_bm25" ->
+      s"""WITH q AS (
+         |  SELECT DISTINCT unnest(f2_qlex) AS lex
+         |  FROM read_parquet('__AUX__/vz_aux_query.parquet')),
+         |pc AS (
+         |  SELECT doc_id, lexeme, npos
+         |  FROM read_parquet('__AUX__/f4_aux_poscounts.parquet')),
+         |dls AS (
+         |  SELECT doc_id, CAST(sum(npos) AS BIGINT) AS dl
+         |  FROM pc GROUP BY doc_id),
+         |stats AS (
+         |  SELECT count(*) AS n_docs,
+         |    CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+         |  FROM dls),
+         |dfs AS (
+         |  SELECT p.lexeme, count(*) AS df
+         |  FROM pc p JOIN q ON p.lexeme = q.lex
+         |  GROUP BY p.lexeme),
+         |terms AS (
+         |  SELECT p.doc_id,
+         |    ln(1.0 + (CAST(s.n_docs AS DOUBLE) - d.df + 0.5) / (d.df + 0.5))
+         |      * (p.npos * 2.2)
+         |      / (p.npos + 1.2 * (1.0 - 0.75 + 0.75 * l.dl / s.avgdl)) AS t
+         |  FROM pc p
+         |  JOIN dfs d ON p.lexeme = d.lexeme
+         |  JOIN dls l ON l.doc_id = p.doc_id
+         |  CROSS JOIN stats s)
+         |SELECT doc_id,
+         |  round(CAST(sum(CAST(t AS DECIMAL(28,12))) AS DOUBLE), 4) AS score
+         |FROM terms GROUP BY doc_id
+         |ORDER BY score DESC, doc_id ASC LIMIT 50""".stripMargin,
+
     "f5_phrase_match" -> f5PhraseSql,
     "f5_postings_phrase" -> f5PhraseSql,
 

@@ -1045,6 +1045,16 @@ object Queries {
     TextIndex.searchPostingsRankCd(spark, postingsIndex(spark, dir),
       graft.functions.TextAnalyzer.queryLexemes(f2QueryText), k = 50)
 
+  /** F4 modern-ranking upgrade: BM25 over the postings index for the
+    * f2 query. The oracle recomputes df/dl/N/avgdl from the dumped
+    * per-doc (lexeme, npos) table and replays the identical idf and
+    * length-norm arithmetic (decimal term-sum on both sides makes the
+    * per-doc total addition-order-independent).
+    */
+  def f4Bm25(spark: SparkSession, dir: String): DataFrame =
+    TextIndex.searchPostingsBm25(spark, postingsIndex(spark, dir),
+      graft.functions.TextAnalyzer.queryLexemes(f2QueryText), k = 50)
+
   /** F6/F7: chunk_table — chunk one column, explode with index. */
   def f6ChunkTable(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents")
@@ -1369,6 +1379,7 @@ object Queries {
     "f2_postings_rank" -> (f2PostingsRank _),
     "f4_rank_cd" -> (f4RankCd _),
     "f4_postings_rank_cd" -> (f4PostingsRankCd _),
+    "f4_bm25" -> (f4Bm25 _),
     "f6_chunk_table" -> (f6ChunkTable _),
     "vz_semantic_search" -> (vzSemanticSearch _),
     "vz_hybrid_search" -> (vzHybridSearch _),

@@ -47,16 +47,32 @@ object TextIndex {
   def buildPostingsIndex(docs: DataFrame, idCol: String, textCol: String,
       path: String, nBuckets: Int = 64): Unit = {
     val spark = docs.sparkSession
-    docs
+    val exploded = docs
       .select(col(idCol).as("id"), tsvectorPositions(col(textCol)).as("__pp"))
       .withColumn("n_lex", size(col("__pp")))
       .select(col("id"), col("n_lex"), explode(col("__pp")).as(Seq("lexeme", "positions")))
       .withColumn("npos", size(col("positions")))
+      // dl = doc length in indexed tokens (Σ npos) — denormalized so
+      // BM25's length normalization needs no join back to the docs
+      .withColumn("dl",
+        sum(col("npos")).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("id"))))
+    exploded
       .withColumn("bucket", crc32(col("lexeme")) % nBuckets)
       .repartition(col("bucket"))
       .write.partitionBy("bucket").mode("overwrite").parquet(s"$path/postings")
+    // corpus stats for BM25 idf / length norm (one build-time agg over
+    // the per-doc lengths; docs with no lexemes never enter postings
+    // and are consistently absent from N and avgdl)
+    // exact long sum / count, NOT avg(): Spark's avg sums doubles in
+    // partition order (nondeterministic last bits) where the oracle's
+    // integer sum is exact — divide once on the driver instead
+    val stats = spark.read.parquet(s"$path/postings")
+      .select(col("id"), col("dl")).distinct()
+      .agg(count(lit(1)).as("n"), sum(col("dl")).as("s")).head()
     import spark.implicits._
-    Seq(nBuckets).toDF("n_buckets")
+    Seq((nBuckets, stats.getLong(0), stats.getLong(1).toDouble / stats.getLong(0)))
+      .toDF("n_buckets", "n_docs", "avg_dl")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
   }
 
@@ -123,6 +139,50 @@ object TextIndex {
       .select(col("id").as("doc_id"),
         round(lit(0.1) * col("__tot"), 4).as("rank"))
       .orderBy(col("rank").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
+  /** BM25 ranked search over the postings index (Robertson/Spärck
+    * Jones; the Lucene-style `ln(1 + (N-df+0.5)/(df+0.5))` idf) — the
+    * modern ranking upgrade over ts_rank_cd, computable entirely from
+    * what the index denormalizes: tf = npos, doc length = dl, df =
+    * per-lexeme posting count within the pruned buckets, N/avgdl from
+    * the build-time meta. Plan shape matches the other probes: bucket
+    * partition pruning + pushed lexeme IN + one broadcast of the
+    * |query|-row df table + one partial agg. Per-term scores are
+    * summed as decimals so the total is addition-order-independent
+    * (the DuckDB oracle replays the identical formula and sum).
+    */
+  def searchPostingsBm25(spark: SparkSession, path: String,
+      queryLexemes: Seq[String], k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val qlex = queryLexemes.distinct
+    require(qlex.nonEmpty, "empty query")
+    val meta = spark.read.parquet(s"$path/meta").head()
+    val nBuckets = meta.getInt(0)
+    val nDocs = meta.getLong(1)
+    val avgDl = meta.getDouble(2)
+    val buckets = qlex.map(bucketOf(_, nBuckets)).distinct
+    val postings = spark.read.parquet(s"$path/postings")
+    require(postings.columns.contains("dl"),
+      s"postings index at $path predates doc-length stats — rebuild it " +
+        "with buildPostingsIndex before BM25 probing")
+    val p = postings
+      .filter(col("bucket").isin(buckets: _*)) // partition pruning
+      .filter(col("lexeme").isin(qlex: _*)) // parquet-pushed
+      .select(col("id"), col("lexeme"), col("npos"), col("dl"))
+    val dfs = p.groupBy(col("lexeme")).agg(count(lit(1)).as("df"))
+    val idf = log(lit(1.0) +
+      (lit(nDocs.toDouble) - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val termScore = col("__idf") * (col("npos") * lit(k1 + 1.0)) /
+      (col("npos") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / lit(avgDl)))
+    p.join(broadcast(dfs.withColumn("__idf", idf)), Seq("lexeme"))
+      .withColumn("__t", termScore)
+      .groupBy(col("id"))
+      .agg(sum(col("__t").cast("decimal(28,12)")).as("__s"))
+      .select(col("id").as("doc_id"),
+        round(col("__s").cast("double"), 4).as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
       .limit(k)
   }
 
