@@ -73,7 +73,14 @@ object Bench {
     val load = jmap(r => f"${r.load1m}%.2f")
     val total = results.map(_.sec).sum
     val failed = results.count(!_.ok)
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"status":$status,"ts":$ts,"load":$load,"failed":$failed,"sf":"$sfDir"}""")
+    // The driver keeps only a ~2 KB TAIL of stdout, truncating from the
+    // FRONT. r6/r7 both lost the per-query durations because "queries"
+    // printed first and the ts/load diagnostics after it survived
+    // instead. So: diagnostics go to stderr, and the stdout JSON line
+    // puts the small fixed-size fields first and the big "queries" map
+    // LAST — whatever truncation occurs eats nothing measurable.
+    System.err.println(f"""{"diag":"bench","status":$status,"ts":$ts,"load":$load}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","failed":$failed,"sf":"$sfDir","queries":$qs}""")
     spark.stop()
     if (failed > 0) sys.exit(1)
   }

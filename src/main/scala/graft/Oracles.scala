@@ -1024,8 +1024,12 @@ object Oracles {
          |    row_number() OVER (ORDER BY 1.0 - sim ASC, pkey ASC) AS semantic_rank
          |  FROM sem_top),
          |tok AS (
+         |  -- coalesce mirrors Search.ftsLeg's legacy fallback: a
+         |  -- widened-but-unrefreshed row (null counts) degrades to
+         |  -- count-1 per lexeme in BOTH engine and oracle
          |  SELECT pkey, unnest(search_tokens) AS lex,
-         |    unnest(search_token_counts) AS npos
+         |    unnest(coalesce(search_token_counts,
+         |      list_transform(search_tokens, x -> 1))) AS npos
          |  FROM read_parquet('__AUX__/vz_aux_tokens.parquet')),
          |fts_scored AS (
          |  SELECT t.pkey, 0.1 * sum(t.npos) AS fts_score

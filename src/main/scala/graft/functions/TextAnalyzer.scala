@@ -239,9 +239,16 @@ object TextAnalyzer {
           if (phrase.nonEmpty) groups.last += WsPhrase(phrase, negated)
         } else {
           // bare word: analyze like a query term (lowercase, stopword
-          // drop, stem); a term that tokenizes to several words (e.g.
-          // "mid-word" punctuation) contributes each piece AND'd
-          tokenize(body).filterNot(stopwords.contains).foreach(t =>
+          // drop, stem). A token that tokenizes to SEVERAL words
+          // ('mid-word' punctuation) becomes a phrase, exactly like
+          // websearch_to_tsquery ('mid-word' → mid<->word), and the
+          // negation applies to the phrase as a UNIT — '-mid-word' is
+          // NOT(mid<->word), not the De Morgan'd (!mid AND !word)
+          val pieces = tokenize(body)
+          if (pieces.size > 1) {
+            val phrase = phraseLexemes(body)
+            if (phrase.nonEmpty) groups.last += WsPhrase(phrase, negated)
+          } else pieces.filterNot(stopwords.contains).foreach(t =>
             groups.last += WsTerm(PorterStemmer.stem(t), negated))
         }
       }

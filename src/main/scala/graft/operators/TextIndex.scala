@@ -70,8 +70,13 @@ object TextIndex {
     val stats = spark.read.parquet(s"$path/postings")
       .select(col("id"), col("dl")).distinct()
       .agg(count(lit(1)).as("n"), sum(col("dl")).as("s")).head()
+    // a corpus where no doc yields lexemes (all stopwords/empty) is
+    // degenerate but valid: write n_docs=0, avg_dl=0 instead of
+    // NPE-ing on the null sum / dividing by zero
+    val nDocs = stats.getLong(0)
+    val avgDl = if (nDocs == 0) 0.0 else stats.getLong(1).toDouble / nDocs
     import spark.implicits._
-    Seq((nBuckets, stats.getLong(0), stats.getLong(1).toDouble / stats.getLong(0)))
+    Seq((nBuckets, nDocs, avgDl))
       .toDF("n_buckets", "n_docs", "avg_dl")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
   }
@@ -158,7 +163,14 @@ object TextIndex {
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val qlex = queryLexemes.distinct
     require(qlex.nonEmpty, "empty query")
-    val meta = spark.read.parquet(s"$path/meta").head()
+    // check the meta SCHEMA before dereferencing fields 1/2, so a
+    // legacy index (meta = n_buckets only) hits this descriptive
+    // message instead of an opaque positional out-of-bounds
+    val metaDf = spark.read.parquet(s"$path/meta")
+    require(metaDf.columns.contains("n_docs") && metaDf.columns.contains("avg_dl"),
+      s"postings index at $path predates doc-length stats — rebuild it " +
+        "with buildPostingsIndex before BM25 probing")
+    val meta = metaDf.select(col("n_buckets"), col("n_docs"), col("avg_dl")).head()
     val nBuckets = meta.getInt(0)
     val nDocs = meta.getLong(1)
     val avgDl = meta.getDouble(2)

@@ -152,6 +152,24 @@ class RankCdSpec extends AnyFunSuite {
     assert(TextAnalyzer.webSearchQuery("or cats") == Seq(Seq(WsTerm("cat", false))))
   }
 
+  test("webSearchQuery: multi-piece bare token is a phrase, negated as a unit") {
+    import TextAnalyzer.WsPhrase
+    // websearch_to_tsquery('mid-word') → mid<->word, one phrase item
+    assert(TextAnalyzer.webSearchQuery("mid-word") ==
+      Seq(Seq(WsPhrase(Seq(("mid", 0), ("word", 1)), negated = false))))
+    // '-mid-word' negates the PHRASE, not each piece (no De Morgan split)
+    assert(TextAnalyzer.webSearchQuery("-mid-word") ==
+      Seq(Seq(WsPhrase(Seq(("mid", 0), ("word", 1)), negated = true))))
+    def m(text: String, q: String) = TextAnalyzer.webSearchMatch(
+      TextAnalyzer.lexemesWithPositions(text), TextAnalyzer.webSearchQuery(q))
+    // doc has both words but NOT adjacent: phrase misses, so the
+    // negated phrase matches — the old AND'd-terms parse got this wrong
+    assert(!m("mid of the word", "mid-word"))
+    assert(m("mid of the word", "-mid-word"))
+    assert(m("a mid-word break", "mid-word"))
+    assert(!m("a mid-word break", "-mid-word"))
+  }
+
   test("webSearchMatch: group AND, cross-group OR, negation, phrase") {
     def m(text: String, q: String) = TextAnalyzer.webSearchMatch(
       TextAnalyzer.lexemesWithPositions(text), TextAnalyzer.webSearchQuery(q))
