@@ -1,0 +1,197 @@
+package graft
+
+import graft.operators.AsOf
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.scalatest.Tag
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Tag so the scale rung can be excluded (`sbt "testOnly -- -l
+  * graft.ScaleTest"`) when iterating on unrelated suites.
+  */
+object ScaleTest extends Tag("graft.ScaleTest")
+
+/** Scale-rung smoke: the 100 TB story, measured instead of argued.
+  *
+  * Synthesizes a 10× rung from the sf0.01 tables and runs the
+  * shuffle-heaviest operators on both rungs, asserting (a) wall-time
+  * grows sub-quadratically — an operator hiding an all-pairs step or
+  * a full-corpus probe would blow the 10× rung up ~100×, far past the
+  * bound — and (b) the plan-shape invariants that make the operators
+  * scale (bucket PartitionFilters on the index probes, the single
+  * hash Exchange of the as-of join) still hold on the 10× data, where
+  * e.g. a broadcast fallback or a pruning regression would actually
+  * change the plan.
+  *
+  * Two 10× constructions, because "10× more data" means different
+  * things to different operators:
+  *  - SALTED (dedup rung): every token gets a per-replica suffix, so
+  *    replicas occupy disjoint shingle spaces — within-replica
+  *    near-dup structure is exactly the base corpus's, cross-replica
+  *    Jaccard is 0. A verbatim copy would be wrong here: 10 identical
+  *    copies of each doc make every LSH bucket quadratically denser
+  *    by construction, which measures the synthetic corpus, not the
+  *    operator. The 1× rung applies the SAME transform (1 replica) so
+  *    per-doc characteristics match across rungs.
+  *  - VERBATIM (index rung): docs/embeddings/events replicated with
+  *    remapped ids. For postings/LSH probes and the as-of join,
+  *    duplicated content is exactly what a bigger corpus looks like:
+  *    posting lists and probe buckets grow 10× linearly, per-user
+  *    event runs replicate per-replica.
+  */
+class ScaleSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  private val base = "/root/testdata/sf0.01"
+  private val Reps = 10
+
+  private def docs: DataFrame = spark.read.parquet(s"$base/documents.parquet")
+
+  /** Salted corpus: token spaces disjoint across replicas. */
+  private def writeSalted(reps: Int, out: String): Unit = {
+    val maxId = docs.agg(max(col("doc_id"))).head().getLong(0) + 1
+    docs.crossJoin(spark.range(reps.toLong).select(col("id").as("__rep")))
+      .withColumn("doc_id", col("doc_id") + col("__rep") * maxId)
+      .withColumn("text", regexp_replace(col("text"), lit("([A-Za-z0-9]+)"),
+        concat(lit("$1q"), col("__rep").cast("string"))))
+      .drop("__rep")
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+  }
+
+  /** Verbatim replication with remapped ids (replica 0 keeps the
+    * original ids, so the fixed query vector vec_id=0 exists once).
+    */
+  private def writeVerbatim(reps: Int, out: String): Unit = {
+    val maxDoc = docs.agg(max(col("doc_id"))).head().getLong(0) + 1
+    docs.crossJoin(spark.range(reps.toLong).select(col("id").as("__rep")))
+      .withColumn("doc_id", col("doc_id") + col("__rep") * maxDoc)
+      .drop("__rep")
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    val emb = spark.read.parquet(s"$base/embeddings.parquet")
+    val maxVec = emb.agg(max(col("vec_id"))).head().getLong(0) + 1
+    emb.crossJoin(spark.range(reps.toLong).select(col("id").as("__rep")))
+      .withColumn("vec_id", col("vec_id") + col("__rep") * maxVec)
+      .drop("__rep")
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    val ev = spark.read.parquet(s"$base/events.parquet")
+    val maxEvent = ev.agg(max(col("event_id"))).head().getLong(0) + 1
+    val maxUser = ev.agg(max(col("user_id"))).head().getLong(0) + 1
+    // user_id remapped per replica: per-user event sequences replicate
+    // instead of concatenating, so the as-of structure is 10 copies of
+    // the base's, not one 10×-longer history per user
+    ev.crossJoin(spark.range(reps.toLong).select(col("id").as("__rep")))
+      .withColumn("event_id", col("event_id") + col("__rep") * maxEvent)
+      .withColumn("user_id", col("user_id") + col("__rep") * maxUser)
+      .drop("__rep")
+      .write.mode("overwrite").parquet(s"$out/events.parquet")
+  }
+
+  private def runNoop(name: String, dir: String): Double = {
+    val t0 = System.nanoTime()
+    SparkEntry.queries(name)(spark, dir)
+      .write.format("noop").mode("overwrite").save()
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** One shared measurement pass (lazy — computed once, asserted by
+    * several tests). Per rung: first run = warmup (JIT + lazy index
+    * build, the CREATE INDEX analogue Bench also excludes), second
+    * run = measured.
+    */
+  private case class Rung(t1: Double, t10: Double)
+  private lazy val measured: Map[String, Rung] = {
+    val salted1 = TestSpark.tempDir("graft_scale_salt1_")
+    val salted10 = TestSpark.tempDir("graft_scale_salt10_")
+    val verb1 = TestSpark.tempDir("graft_scale_verb1_")
+    val verb10 = TestSpark.tempDir("graft_scale_verb10_")
+    writeSalted(1, salted1); writeSalted(Reps, salted10)
+    writeVerbatim(1, verb1); writeVerbatim(Reps, verb10)
+    val plan = Seq(
+      "dedup_minhash_lsh" -> (salted1, salted10),
+      "dedup_clusters_star" -> (salted1, salted10),
+      "ann_lsh_topk" -> (verb1, verb10),
+      "f4_postings_rank_cd" -> (verb1, verb10),
+      "r_asof_join" -> (verb1, verb10))
+    dirs = Map("salted1" -> salted1, "salted10" -> salted10,
+      "verbatim10" -> verb10)
+    plan.map { case (q, (d1, d10)) =>
+      runNoop(q, d1); val t1 = runNoop(q, d1)
+      runNoop(q, d10); val t10 = runNoop(q, d10)
+      info(f"$q%-22s 1x=${t1}%.2fs 10x=${t10}%.2fs ratio=${t10 / math.max(t1, 1e-9)}%.1fx")
+      q -> Rung(t1, t10)
+    }.toMap
+  }
+  private var dirs: Map[String, String] = Map.empty
+
+  // Sub-quadratic bound: linear scaling predicts ~10×, quadratic
+  // ~100×. 25× splits the two decades with room for constant-overhead
+  // noise; t1 is floored at 0.5 s so a near-instant 1× run can't make
+  // the ratio meaningless.
+  private def assertSubQuadratic(q: String): Unit = {
+    val r = measured(q)
+    assert(r.t10 < 25.0 * math.max(r.t1, 0.5),
+      f"$q: 10x rung took ${r.t10}%.2fs vs 1x ${r.t1}%.2fs — " +
+        "super-linear blowup, an all-pairs or full-scan step is hiding")
+  }
+
+  test("minhash LSH pairs scale sub-quadratically to a 10x corpus", ScaleTest) {
+    assertSubQuadratic("dedup_minhash_lsh")
+  }
+
+  test("star connected components scale sub-quadratically to 10x", ScaleTest) {
+    assertSubQuadratic("dedup_clusters_star")
+  }
+
+  test("LSH index probe scales sub-quadratically to 10x", ScaleTest) {
+    assertSubQuadratic("ann_lsh_topk")
+  }
+
+  test("postings rank probe scales sub-quadratically to 10x", ScaleTest) {
+    assertSubQuadratic("f4_postings_rank_cd")
+  }
+
+  test("as-of join scales sub-quadratically to 10x", ScaleTest) {
+    assertSubQuadratic("r_asof_join")
+  }
+
+  test("salted 10x corpus yields ~10x the near-dup pairs, never ~100x", ScaleTest) {
+    measured // force
+    val pairs1 = SparkEntry.queries("dedup_minhash_lsh")(spark, dirs("salted1")).count()
+    val pairs10 = SparkEntry.queries("dedup_minhash_lsh")(spark, dirs("salted10")).count()
+    // replicas are shingle-disjoint, so every surviving pair is
+    // within-replica and the output should be ~10 base lists. Not
+    // EXACTLY 10x: each replica's suffix changes the shingle hash
+    // values, so LSH recall on borderline-Jaccard pairs varies a
+    // little per replica. The band [5x, 15x] catches what matters —
+    // a quadratic cross-replica blowup (→ ~100x) or a broken salt
+    // (→ collapse toward 1x or explosion).
+    assert(pairs10 >= 5 * pairs1 && pairs10 <= 15 * pairs1,
+      s"expected ~${Reps}x$pairs1 within-replica pairs, got $pairs10")
+  }
+
+  test("plan invariants hold on the 10x rung", ScaleTest) {
+    measured // force
+    val v10 = dirs("verbatim10")
+    // both index probes must still prune to the query's buckets
+    Seq("ann_lsh_topk", "f4_postings_rank_cd").foreach { q =>
+      val plan = SparkEntry.queries(q)(spark, v10)
+        .queryExecution.executedPlan.toString
+      assert("PartitionFilters: \\[[^\\]]*bucket".r.findFirstIn(plan).isDefined,
+        s"$q lost its bucket PartitionFilters at 10x:\n$plan")
+    }
+    // the as-of core must still be ONE hash shuffle, no join node
+    val events = spark.read.parquet(s"$v10/events.parquet")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), expr("ts div 1000000").as("ts_ms"))
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id"), expr("ts div 1000000").as("ts_ms"), col("event_id"))
+      .groupBy(col("user_id"), col("ts_ms"))
+      .agg(max(col("event_id")).as("click_id"))
+    val asofPlan = AsOf.join(purchases, clicks, "user_id", "ts_ms", Seq("click_id"))
+      .queryExecution.executedPlan.toString
+    assert(!asofPlan.contains("Join"),
+      s"as-of planned a join node at 10x:\n$asofPlan")
+    assert("Exchange hashpartitioning".r.findAllIn(asofPlan).size <= 2,
+      s"as-of must stay shuffle-bounded at 10x (aggregation + window):\n$asofPlan")
+  }
+}
