@@ -1,0 +1,68 @@
+package graft
+
+import graft.functions.GraftFunctions
+import graft.operators.Search
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan locks for the composed pipelines — regressions here
+  * keep results CORRECT while silently changing the plan into one
+  * that dies at scale, so the suites must fail on the plan itself.
+  * (Per-operator locks live with their operators: bucket
+  * PartitionFilters in TextIndexSpec/AnnSpec, the as-of single
+  * Exchange in AsOfSpec, 10× re-checks in ScaleSpec.)
+  */
+class PlanSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.01"
+
+  test("pipeline_corpus: one window chain, broadcast anti/semi joins") {
+    val plan = SparkEntry.queries("pipeline_corpus")(spark, dir)
+      .queryExecution.executedPlan.toString
+    // the commit-892c719 property: contamination grams are computed
+    // over the cheap corpus scan, so the quality+dedup window chain
+    // (partitioned by __norm_hash) is planned exactly ONCE — a second
+    // occurrence means something re-referenced the deduped frame and
+    // the whole chain got duplicated into a subtree
+    assert("hashpartitioning\\(__norm_hash".r.findAllIn(plan).size == 1,
+      s"dedup window chain must shuffle exactly once:\n$plan")
+    // decontamination is an anti-join against a tiny contaminated-id
+    // list and a semi-join against the benchmark grams — both must
+    // broadcast; an SMJ here would shuffle the full corpus
+    assert("BroadcastHashJoin [^\\n]*LeftAnti".r.findFirstIn(plan).isDefined,
+      s"decontamination anti-join must broadcast:\n$plan")
+    assert("BroadcastHashJoin [^\\n]*LeftSemi".r.findFirstIn(plan).isDefined,
+      s"contamination gram semi-join must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"pipeline_corpus must not sort-merge anywhere:\n$plan")
+    // corpus-side data shuffles once (the dedup window); the other
+    // hash exchanges are benchmark-side gram aggregations
+    val nHash = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(nHash <= 3, s"expected <=3 hash exchanges, got $nHash:\n$plan")
+  }
+
+  test("hybrid search: source joins a BROADCAST fused leg, never a shuffle") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id").cast("string").as("pkey"),
+        col("embedding").as("embeddings"))
+    val qv = spark.read.parquet(s"$dir/embeddings.parquet")
+      .filter(col("vec_id") === 0).select("embedding")
+      .head().getSeq[Float](0).toArray
+    val pp = GraftFunctions.tsvectorPositions(col("text"))
+    val tokens = docs.select(col("doc_id").cast("string").as("pkey"),
+      map_keys(pp).as("search_tokens"),
+      transform(map_values(pp), v => size(v)).as("search_token_counts"))
+    val plan = Search.hybridSearch(docs, emb, tokens, "doc_id",
+        qv, "merging streams", limit = 10)
+      .queryExecution.executedPlan.toString
+    // the fused RRF frame is <=2*windowSize rows; the join back to the
+    // source table must broadcast it (Search.scala J1/J2) — an inner
+    // SMJ here means the FULL source shuffled on pkey
+    assert("BroadcastHashJoin [^\\n]*Inner".r.findFirstIn(plan).isDefined,
+      s"source join must be a broadcast hash join:\n$plan")
+    assert("SortMergeJoin [^\\n]*Inner".r.findFirstIn(plan).isEmpty,
+      s"source join must not shuffle the source table:\n$plan")
+  }
+}
