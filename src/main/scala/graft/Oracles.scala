@@ -185,6 +185,61 @@ object Oracles {
        |SELECT doc_id, round(r, 4) AS rank
        |FROM m ORDER BY rank DESC, doc_id ASC LIMIT 50""".stripMargin
 
+  /** AND-query ts_rank_cd replay: the tsrank.c greedy minimal-cover
+    * walk as a RECURSIVE CTE over the dumped per-doc position arrays
+    * (f4_aux_and_positions) — a declarative re-implementation checking
+    * the engine's imperative walk (TextAnalyzer.rankCdAnd). Each step:
+    * e = max over terms of (first entry index ≥ start), begin = min
+    * over terms of (last entry index ≤ e), noise = positional width −
+    * (entries − 1) (negative → (entries−1)/2 integer-div, tsrank.c's
+    * degenerate-cover rule), contribute 0.1/(1+noise), restart at
+    * begin+1. Accumulation order matches the engine (increasing
+    * start), so the summed doubles are bit-identical.
+    */
+  private val f4RankCdAndSql =
+    s"""WITH RECURSIVE q AS (
+       |  SELECT DISTINCT unnest(f2_qlex) AS lex
+       |  FROM read_parquet('__AUX__/vz_aux_query.parquet')),
+       |nq AS (SELECT count(*) AS n FROM q),
+       |entries AS (
+       |  SELECT doc_id, lexeme, pos,
+       |    row_number() OVER (PARTITION BY doc_id ORDER BY pos, lexeme) AS idx
+       |  FROM (
+       |    SELECT d.doc_id, d.lexeme, unnest(d.positions) AS pos
+       |    FROM read_parquet('__AUX__/f4_aux_and_positions.parquet') d
+       |    JOIN q ON d.lexeme = q.lex)),
+       |matched AS (
+       |  SELECT doc_id FROM entries GROUP BY doc_id
+       |  HAVING count(DISTINCT lexeme) = (SELECT n FROM nq)),
+       |walk(doc_id, start_idx, acc) AS (
+       |  SELECT doc_id, CAST(1 AS BIGINT), CAST(0 AS DOUBLE) FROM matched
+       |  UNION ALL
+       |  SELECT w.doc_id, cov.begin_idx + 1, w.acc + 0.1 / (1 + cov.noise)
+       |  FROM walk w JOIN LATERAL (
+       |    SELECT e.e_idx, b.begin_idx,
+       |      CASE WHEN (ep.pos - bp.pos) - (e.e_idx - b.begin_idx) < 0
+       |           THEN (e.e_idx - b.begin_idx) // 2
+       |           ELSE (ep.pos - bp.pos) - (e.e_idx - b.begin_idx)
+       |      END AS noise
+       |    FROM
+       |      (SELECT max(fi) AS e_idx FROM (
+       |         SELECT lexeme, min(idx) AS fi FROM entries
+       |         WHERE doc_id = w.doc_id AND idx >= w.start_idx
+       |         GROUP BY lexeme) f
+       |       HAVING count(*) = (SELECT n FROM nq)) e
+       |    JOIN LATERAL (
+       |      SELECT min(li) AS begin_idx FROM (
+       |        SELECT lexeme, max(idx) AS li FROM entries
+       |        WHERE doc_id = w.doc_id AND idx <= e.e_idx
+       |        GROUP BY lexeme) g) b ON true
+       |    JOIN entries ep ON ep.doc_id = w.doc_id AND ep.idx = e.e_idx
+       |    JOIN entries bp ON bp.doc_id = w.doc_id AND bp.idx = b.begin_idx
+       |  ) cov ON true)
+       |SELECT doc_id, round(rank, 4) AS rank FROM (
+       |  SELECT doc_id, max(acc) AS rank FROM walk GROUP BY doc_id)
+       |WHERE rank > 0
+       |ORDER BY rank DESC, doc_id ASC LIMIT 50""".stripMargin
+
   /** Gaps-and-islands session tagging shared by the r_sessionize and
     * r_interval_join oracles — ONE source of truth for the 30-minute
     * gap and running-sum session ids, mirroring Queries.sessionTagged
@@ -916,6 +971,7 @@ object Oracles {
     "f2_postings_rank" -> f2RankSql,
     "f4_rank_cd" -> f4RankCdSql,
     "f4_postings_rank_cd" -> f4RankCdSql,
+    "f4_rank_cd_and" -> f4RankCdAndSql,
 
     // BM25 replay: df/dl/N/avgdl recomputed from the full per-doc
     // (lexeme, npos) dump; idf and length-norm arithmetic written in

@@ -1036,6 +1036,27 @@ object Queries {
       .limit(50)
   }
 
+  /** F4 exact ts_rank_cd, AND semantics — parity beyond the
+    * reference's `& → |` rewrite: the full tsrank.c minimal-cover
+    * walk (unit-tested against hand-computed tsrank.c values in
+    * RankCdSpec). Oracled by dump-and-replay: the DuckDB side re-runs
+    * the identical greedy cover walk as a recursive CTE over the
+    * dumped per-doc position arrays (f4_aux_and_positions), so the
+    * imperative Scala walk is checked against a declarative SQL one.
+    * Filter on the RAW rank (a wide cover can round to 0.0000) then
+    * round — the oracle does the same.
+    */
+  def f4RankCdAnd(spark: SparkSession, dir: String): DataFrame = {
+    val qLex = graft.functions.TextAnalyzer.queryLexemes(f2QueryText)
+    val qCol = lit(qLex.toArray)
+    t(spark, dir, "documents")
+      .withColumn("__raw", tsRankCdAnd(col("text"), qCol))
+      .filter(col("__raw") > 0) // > 0 ⇔ every query term present
+      .select(col("doc_id"), round(col("__raw"), 4).as("rank"))
+      .orderBy(col("rank").desc, col("doc_id").asc)
+      .limit(50)
+  }
+
   /** F4 exact over the PERSISTED inverted-postings index: identical
     * results to f4_rank_cd (same oracle SQL), but the plan probes only
     * the query lexemes' bucket partitions and sums the denormalized
@@ -1192,6 +1213,16 @@ object Queries {
           explode(tsvectorPositions(col("text"))).as(Seq("lexeme", "positions")))
         .filter(col("lexeme").isin(phraseTerms.map(_._1): _*)),
       s"$outDir/f5_aux_positions.parquet")
+
+    // per-doc position ARRAYS for the f2 query lexemes — the
+    // f4_rank_cd_and oracle replays the tsrank.c cover walk over these
+    writeSingleParquet(
+      t(spark, dir, "documents")
+        .select(col("doc_id"),
+          explode(tsvectorPositions(col("text"))).as(Seq("lexeme", "positions")))
+        .filter(col("lexeme").isin(
+          graft.functions.TextAnalyzer.queryLexemes(f2QueryText): _*)),
+      s"$outDir/f4_aux_and_positions.parquet")
 
     // per-doc chunk arrays for the f6_chunk_table oracle — same
     // chunkText UDF the query itself uses (unit-covered by TextSpec);
@@ -1378,6 +1409,7 @@ object Queries {
     "f2_tsvector_rank" -> (f2TsvectorRank _),
     "f2_postings_rank" -> (f2PostingsRank _),
     "f4_rank_cd" -> (f4RankCd _),
+    "f4_rank_cd_and" -> (f4RankCdAnd _),
     "f4_postings_rank_cd" -> (f4PostingsRankCd _),
     "f4_bm25" -> (f4Bm25 _),
     "f6_chunk_table" -> (f6ChunkTable _),

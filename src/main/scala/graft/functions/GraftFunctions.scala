@@ -133,6 +133,15 @@ object GraftFunctions {
     TextAnalyzer.rankCdOr(TextAnalyzer.lexemesWithPositions(text),
       if (query == null) Seq.empty else query))
 
+  /** F4 exact, AND form: `ts_rank_cd(to_tsvector(text), plainto_tsquery(q))`
+    * WITHOUT the reference's `& → |` rewrite — the full tsrank.c
+    * minimal-cover walk (TextAnalyzer.rankCdAnd). 0 when any query
+    * term is absent, so `> 0` is exactly the AND match predicate.
+    */
+  val tsRankCdAnd = udf((text: String, query: Seq[String]) =>
+    TextAnalyzer.rankCdAnd(TextAnalyzer.lexemesWithPositions(text),
+      if (query == null) Seq.empty else query))
+
   /** F5 phrase: `text @@ phraseto_tsquery(...)` — lexemes and offsets
     * come pre-split from TextAnalyzer.phraseLexemes (lit arrays fold
     * into the plan; the phrase is parsed once on the driver).
