@@ -1112,6 +1112,78 @@ object Oracles {
          |SELECT doc_id, semantic_rank, fts_rank, round(rrf_score, 6) AS rrf_score
          |FROM hits ORDER BY rrf_score DESC, doc_id ASC""".stripMargin,
 
+    // the BM25-leg hybrid: identical semantic leg + RRF fusion to
+    // vz_hybrid_search; the lexical leg recomputes df/dl/N/avgdl from
+    // the token dump and replays the engine's exact BM25 arithmetic
+    // (Lucene-style idf, k1=1.2 b=0.75, decimal term-sum) — the same
+    // formula the standalone f4_bm25 oracle already verifies against
+    // the postings index.
+    "vz_hybrid_bm25" ->
+      s"""WITH q AS (
+         |  SELECT CAST(qvec AS DOUBLE[]) AS v, qlex
+         |  FROM read_parquet('__AUX__/vz_aux_query.parquet')),
+         |q_lex AS (SELECT DISTINCT unnest(qlex) AS lex FROM q),
+         |sem_scored AS (
+         |  SELECT pkey,
+         |    list_cosine_similarity(CAST(embeddings AS DOUBLE[]), (SELECT v FROM q)) AS sim
+         |  FROM read_parquet('__AUX__/vz_aux_embeddings.parquet')),
+         |sem_top AS (
+         |  SELECT pkey, sim FROM sem_scored WHERE sim IS NOT NULL
+         |  ORDER BY 1.0 - sim ASC, pkey ASC LIMIT 50),
+         |sem AS (
+         |  SELECT pkey, sim,
+         |    row_number() OVER (ORDER BY 1.0 - sim ASC, pkey ASC) AS semantic_rank
+         |  FROM sem_top),
+         |tok AS (
+         |  SELECT pkey, unnest(search_tokens) AS lex,
+         |    unnest(coalesce(search_token_counts,
+         |      list_transform(search_tokens, x -> 1))) AS npos
+         |  FROM read_parquet('__AUX__/vz_aux_tokens.parquet')),
+         |dls AS (
+         |  SELECT pkey, CAST(sum(npos) AS BIGINT) AS dl
+         |  FROM tok GROUP BY pkey),
+         |stats AS (
+         |  SELECT count(*) AS n_docs,
+         |    CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+         |  FROM dls),
+         |dfs AS (
+         |  SELECT t.lex, count(*) AS df
+         |  FROM tok t JOIN q_lex ON t.lex = q_lex.lex
+         |  GROUP BY t.lex),
+         |terms AS (
+         |  SELECT t.pkey,
+         |    ln(1.0 + (CAST(s.n_docs AS DOUBLE) - d.df + 0.5) / (d.df + 0.5))
+         |      * (t.npos * 2.2)
+         |      / (t.npos + 1.2 * (1.0 - 0.75 + 0.75 * l.dl / s.avgdl)) AS tsc
+         |  FROM tok t
+         |  JOIN dfs d ON t.lex = d.lex
+         |  JOIN dls l ON l.pkey = t.pkey
+         |  CROSS JOIN stats s),
+         |fts_scored AS (
+         |  SELECT pkey,
+         |    CAST(sum(CAST(tsc AS DECIMAL(28,12))) AS DOUBLE) AS fts_score
+         |  FROM terms GROUP BY pkey),
+         |fts_top AS (
+         |  SELECT pkey, fts_score
+         |  FROM fts_scored
+         |  ORDER BY fts_score DESC, pkey ASC LIMIT 50),
+         |fts AS (
+         |  SELECT pkey, fts_score,
+         |    row_number() OVER (ORDER BY fts_score DESC, pkey ASC) AS fts_rank
+         |  FROM fts_top),
+         |fused AS (
+         |  SELECT coalesce(sem.pkey, fts.pkey) AS pkey,
+         |    sem.semantic_rank, fts.fts_rank,
+         |    coalesce(1.0 / (60.0 + sem.semantic_rank), 0.0) +
+         |    coalesce(1.0 / (60.0 + fts.fts_rank), 0.0) AS rrf_score
+         |  FROM sem FULL OUTER JOIN fts ON sem.pkey = fts.pkey),
+         |hits AS (
+         |  SELECT d.doc_id, f.semantic_rank, f.fts_rank, f.rrf_score
+         |  FROM documents d JOIN fused f ON CAST(d.doc_id AS VARCHAR) = f.pkey
+         |  ORDER BY f.rrf_score DESC, f.pkey ASC LIMIT 10)
+         |SELECT doc_id, semantic_rank, fts_rank, round(rrf_score, 6) AS rrf_score
+         |FROM hits ORDER BY rrf_score DESC, doc_id ASC""".stripMargin,
+
     // f6 replays posexplode + total order over the dumped per-doc
     // chunk arrays (the chunker itself is a JVM UDF, unit-covered by
     // TextSpec; what the oracle checks is the relational layer —

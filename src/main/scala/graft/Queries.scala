@@ -1124,6 +1124,21 @@ object Queries {
       .orderBy(col("rrf_score").desc, col("doc_id").asc)
   }
 
+  /** Hybrid search with the BM25 lexical leg — the first entry where
+    * the engine is BETTER than the reference on its flagship query,
+    * not just equal: same RRF fusion/weights/window, modern lexical
+    * scoring. Oracled end-to-end like vz_hybrid_search (the DuckDB
+    * side recomputes df/dl/N/avgdl from the token dump and replays
+    * the identical idf + length-norm arithmetic).
+    */
+  def vzHybridBm25(spark: SparkSession, dir: String): DataFrame = {
+    val engine = ephemeralEngine(spark, dir)
+    engine.hybridSearch("docs_job", vzQueryText, limit = 10, bm25 = true)
+      .select(col("doc_id"), col("semantic_rank"), col("fts_rank"),
+        round(col("rrf_score"), 6).as("rrf_score"))
+      .orderBy(col("rrf_score").desc, col("doc_id").asc)
+  }
+
   /** Engine end-to-end: RAG (retrieve → render → trim → respond).
     * No SQL oracle for the chat response (JVM chat provider); the
     * retrieval step is oracled separately as vz_rag_retrieve.
@@ -1415,6 +1430,7 @@ object Queries {
     "f6_chunk_table" -> (f6ChunkTable _),
     "vz_semantic_search" -> (vzSemanticSearch _),
     "vz_hybrid_search" -> (vzHybridSearch _),
+    "vz_hybrid_bm25" -> (vzHybridBm25 _),
     "vz_rag" -> (vzRag _),
     "vz_rag_prompt" -> (vzRagPrompt _),
     "vz_rag_retrieve" -> (vzRagRetrieve _)

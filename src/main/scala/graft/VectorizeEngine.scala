@@ -492,17 +492,22 @@ final class VectorizeEngine(
     hybridSearch(jobName, query, limit)
       .select(to_json(struct(col("*"))).as("results"))
 
-  /** `vectorize.hybrid_search` (extension/src/api.rs:136-157). */
+  /** `vectorize.hybrid_search` (extension/src/api.rs:136-157).
+    * `bm25 = true` swaps the lexical leg's ts_rank_cd scoring for
+    * BM25 over the same token store — a capability the reference
+    * lacks; RRF fusion, weights, and windowing are unchanged.
+    */
   def hybridSearch(jobName: String, query: String, limit: Int = 10,
       windowSize: Option[Int] = None, rrfK: Double = 60.0,
       semanticWt: Double = 1.0, ftsWt: Double = 1.0,
       filters: Map[String, FilterValue] = Map.empty,
-      returnCols: Seq[String] = Seq("*")): DataFrame = {
+      returnCols: Seq[String] = Seq("*"),
+      bm25: Boolean = false): DataFrame = {
     val job = jobs(jobName)
     val qv = encode(jobName, query)
     Search.hybridSearch(sources(job.srcTable), embeddingsOf(job),
       tokensOf(jobName), job.primaryKey, qv, query, limit,
-      windowSize, rrfK, semanticWt, ftsWt, filters, returnCols)
+      windowSize, rrfK, semanticWt, ftsWt, filters, returnCols, bm25)
   }
 
   /** `vectorize.rag` (extension/src/api.rs:179-205): retrieve top

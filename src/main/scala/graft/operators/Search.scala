@@ -106,6 +106,62 @@ object Search {
       row_number().over(Window.orderBy(col("fts_score").desc, col("pkey").asc)))
   }
 
+  /** BM25 FTS leg over the SAME token store [[ftsLeg]] ranks — the
+    * modern-ranking upgrade (same Robertson/Spärck Jones scoring as
+    * TextIndex.searchPostingsBm25, same k1/b defaults) offered as a
+    * drop-in hybrid leg: identical (pkey, fts_score, fts_rank)
+    * contract, so RRF fusion and weights are untouched. Corpus stats
+    * (N, avgdl) are one map-side-combinable aggregate at query time —
+    * the token store has no build-time meta table, and the leg scans
+    * the store anyway; df per query lexeme is a |query|-row broadcast.
+    * Term scores are decimal-summed so per-doc totals are
+    * addition-order-independent (bit-identical to the DuckDB replay).
+    */
+  def bm25Leg(tokens: DataFrame, query: String, windowSize: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val qLex = graft.functions.TextAnalyzer.queryLexemes(query).distinct
+    // same legacy fallback as ftsLeg: null/absent counts → count-1
+    val ones = array_repeat(lit(1), size(col("search_tokens")))
+    val counts =
+      if (tokens.columns.contains("search_token_counts"))
+        coalesce(col("search_token_counts"), ones)
+      else ones
+    val withDl = tokens
+      .withColumn("__counts", counts)
+      .withColumn("__dl", aggregate(col("__counts"), lit(0L), (a, x) => a + x))
+      .filter(size(col("search_tokens")) > 0)
+    // docs with no lexemes are consistently absent from N and avgdl,
+    // mirroring TextIndex.buildPostingsIndex's build-time stats;
+    // exact long sum / single driver divide, like the index meta
+    val statsRow = withDl.agg(count(lit(1)), sum(col("__dl"))).head()
+    val nDocs = statsRow.getLong(0)
+    if (nDocs == 0)
+      return tokens.select(col("pkey"),
+        lit(0.0).as("fts_score"), lit(1).as("fts_rank")).limit(0)
+    val avgDl = statsRow.getLong(1).toDouble / nDocs
+    val exploded = withDl
+      .select(col("pkey"), col("__dl"),
+        explode(zip_with(col("search_tokens"), col("__counts"),
+          (t, c) => struct(t.as("lex"), c.as("npos")))).as("__e"))
+      .select(col("pkey"), col("__dl"),
+        col("__e.lex").as("__lex"), col("__e.npos").as("__npos"))
+      .filter(col("__lex").isin(qLex: _*))
+    val dfs = exploded.groupBy(col("__lex")).agg(count(lit(1)).as("df"))
+    val idf = log(lit(1.0) +
+      (lit(nDocs.toDouble) - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val termScore = col("__idf") * (col("__npos") * lit(k1 + 1.0)) /
+      (col("__npos") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("__dl") / lit(avgDl)))
+    val scored = exploded.join(broadcast(dfs.withColumn("__idf", idf)), Seq("__lex"))
+      .withColumn("__t", termScore)
+      .groupBy(col("pkey"))
+      .agg(sum(col("__t").cast("decimal(28,12)")).as("__s"))
+      .select(col("pkey"), col("__s").cast("double").as("fts_score"))
+      .orderBy(col("fts_score").desc, col("pkey").asc)
+      .limit(windowSize)
+    scored.withColumn("fts_rank",
+      row_number().over(Window.orderBy(col("fts_score").desc, col("pkey").asc)))
+  }
+
   /** Simple semantic search (reference §3.3): top-k by cosine, join
     * source for return columns, filters, limit.
     *
@@ -182,10 +238,16 @@ object Search {
       windowSizeOpt: Option[Int] = None, rrfK: Double = 60.0,
       semanticWt: Double = 1.0, ftsWt: Double = 1.0,
       filters: Map[String, FilterValue] = Map.empty,
-      returnCols: Seq[String] = Seq("*")): DataFrame = {
+      returnCols: Seq[String] = Seq("*"),
+      bm25: Boolean = false): DataFrame = {
     val windowSize = windowSizeOpt.getOrElse(limit * 5)
     val sem = semanticLeg(emb, queryVec, windowSize)
-    val fts = ftsLeg(tokens, queryText, windowSize)
+    // bm25 swaps the FTS leg's scoring function; the leg contract
+    // (pkey, fts_score, fts_rank) and RRF weight semantics are
+    // identical either way
+    val fts =
+      if (bm25) bm25Leg(tokens, queryText, windowSize)
+      else ftsLeg(tokens, queryText, windowSize)
     // J2: both legs ≤windowSize rows → tiny full-outer join.
     val fused = sem.join(fts, Seq("pkey"), "full_outer")
       .withColumn("rrf_score",

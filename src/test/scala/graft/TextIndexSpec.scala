@@ -26,6 +26,45 @@ class TextIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("bm25Leg over the token store scores exactly like the postings index") {
+    val path = TestSpark.tempDir("graft_postings_bm25leg_")
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    TextIndex.buildPostingsIndex(docs, "doc_id", "text", path)
+    val indexed = TextIndex.searchPostingsBm25(spark, path,
+        graft.functions.TextAnalyzer.queryLexemes(Queries.f2QueryText), k = 1000)
+      .collect().map(r => r.getAs[Long]("doc_id").toString -> r.getAs[Double]("score")).toMap
+    // same docs as a hybrid-search token store: aligned lexeme/count arrays
+    val tc = graft.functions.GraftFunctions.tsvectorWithCounts(col("text"))
+    val tokens = docs.select(col("doc_id").cast("string").as("pkey"),
+      tc.getField("_1").as("search_tokens"), tc.getField("_2").as("search_token_counts"))
+    val leg = graft.operators.Search.bm25Leg(tokens, Queries.f2QueryText, windowSize = 1000)
+      .collect().map(r => r.getAs[String]("pkey") -> r.getAs[Double]("fts_score")).toMap
+    assert(leg.nonEmpty && leg.keySet == indexed.keySet,
+      s"match sets diverged: leg=${leg.size} index=${indexed.size}")
+    leg.foreach { case (id, s) =>
+      val want = indexed(id)
+      assert(math.abs(BigDecimal(s).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble - want) == 0.0,
+        s"doc $id: leg=$s index=$want")
+    }
+  }
+
+  test("bm25Leg degrades legacy rows (null counts) and empty corpora safely") {
+    import spark.implicits._
+    val tokens = Seq(
+      ("a", Seq("merg", "stream"), Some(Seq(3, 2))),
+      ("b", Seq("merg", "stream"), None), // legacy widened row
+      ("c", Seq.empty[String], None)      // no lexemes: out of N/avgdl
+    ).toDF("pkey", "search_tokens", "search_token_counts")
+    val got = graft.operators.Search.bm25Leg(tokens, "merging streams", 10)
+      .collect().map(r => r.getAs[String]("pkey") -> r.getAs[Int]("fts_rank")).toMap
+    assert(got == Map("a" -> 1, "b" -> 2),
+      "counted row must outrank the count-1 legacy row; empty row absent")
+    val empty = graft.operators.Search.bm25Leg(
+      tokens.filter(col("pkey") === "c"), "merging streams", 10)
+    assert(empty.columns.toSeq == Seq("pkey", "fts_score", "fts_rank"))
+    assert(empty.count() == 0)
+  }
+
   test("postings search returns exactly the scan-based f2 ranking") {
     val path = TestSpark.tempDir("graft_postings_spec_")
     val docs = spark.read.parquet(s"$dir/documents.parquet")
