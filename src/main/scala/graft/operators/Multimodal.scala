@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.DataFrame
 
 /** Multimodal column handling (north-star addition): image/audio/
   * video as opaque `binary` columns + typed metadata, with the
@@ -54,30 +54,26 @@ object Multimodal {
     * PySpark). The deterministic fake extracts a fixed-length
     * "feature vector" from the bytes so downstream stages (ANN over
     * image features, dedup by perceptual hash) are fully exercised.
-    * Batch shape matches the real thing: one mapPartitions pass,
-    * vectorized per partition, no per-row JVM<->native crossings.
+    * A column-level UDF (not an rdd hop) so the frame stays inside
+    * Catalyst: upstream filters/projections still push down, column
+    * pruning still reaches the scan, and AQE still re-plans around
+    * the decode stage — the rdd round-trip severed all three.
     */
   def decodeFeaturesStub(assets: DataFrame, dim: Int = 16): DataFrame = {
-    val spark = assets.sparkSession
-    val outSchema = StructType(assets.schema.fields.toSeq :+
-      StructField("features", ArrayType(FloatType, containsNull = false)))
-    val rdd = assets.rdd.mapPartitions { it =>
-      it.map { r =>
-        val bytes = r.getAs[Array[Byte]]("content")
-        val feat = new Array[Float](dim)
-        if (bytes != null) {
-          var h = 0xcbf29ce484222325L
-          var i = 0
-          while (i < bytes.length) {
-            h ^= bytes(i).toLong; h *= 0x100000001b3L
-            feat(i % dim) += ((h >> 16) & 0xFF).toFloat / 255f
-            i += 1
-          }
+    val decode = udf { (bytes: Array[Byte]) =>
+      val feat = new Array[Float](dim)
+      if (bytes != null) {
+        var h = 0xcbf29ce484222325L
+        var i = 0
+        while (i < bytes.length) {
+          h ^= bytes(i).toLong; h *= 0x100000001b3L
+          feat(i % dim) += ((h >> 16) & 0xFF).toFloat / 255f
+          i += 1
         }
-        Row.fromSeq(r.toSeq :+ feat.toSeq)
       }
+      feat.toSeq
     }
-    spark.createDataFrame(rdd, outSchema)
+    assets.withColumn("features", decode(col("content")))
   }
 
   /** STUB resize: contract of an image-resize stage (new dims +
