@@ -688,6 +688,22 @@ object Oracles {
     "ann_ivf_topk" -> annProbeSql(
       "ann_ivf_cells.parquet", "cell", "ann_ivf_probes.parquet", "cells"),
 
+    // HNSW probe: exact cosine top-k restricted to the dumped
+    // candidate union (the per-partition graph searches' outputs) —
+    // the same candidates-restricted check as the LSH/IVF probes.
+    "ann_hnsw_topk" ->
+      s"""WITH cand AS (
+         |  SELECT DISTINCT vec_id
+         |  FROM read_parquet('__AUX__/ann_hnsw_candidates.parquet')),
+         |scored AS (
+         |  SELECT e.vec_id, ${cosSql("e")} AS cos
+         |  FROM embeddings e JOIN cand c ON e.vec_id = c.vec_id),
+         |top AS (
+         |  SELECT vec_id, cos FROM scored
+         |  ORDER BY cos DESC, vec_id ASC LIMIT ${Queries.annTopK})
+         |SELECT vec_id AS id, round(cos, 4) AS cos FROM top
+         |ORDER BY round(cos, 4) DESC, vec_id ASC""".stripMargin,
+
     // Multiprobe batch-kNN joins (ad-hoc and persisted-index paths).
     "ann_knn_join" -> knnJoinSql("knn_q_probes.parquet",
       "SELECT x_id, key FROM read_parquet('__AUX__/knn_x_keys.parquet')"),

@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.GraftFunctions._
-import graft.operators.{Ann, AsOf, Dedup, Multimodal, Pipeline, RangeJoin, Search, TextIndex}
+import graft.operators.{Ann, AsOf, Dedup, Hnsw, Multimodal, Pipeline, RangeJoin, Search, TextIndex}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -567,6 +567,31 @@ object Queries {
       .orderBy(col("cos").desc, col("id").asc)
   }
 
+  /** Probe ef for the HNSW entry (HnswSpec measures recall 1.0 at 64
+    * on the near-uniform test vectors, same discipline as the LSH/IVF
+    * probe settings).
+    */
+  private[graft] val annHnswEf = 64
+
+  /** ANN: per-partition HNSW graph probe (reference's pgvector HNSW
+    * parity — operators/Hnsw.scala). Each partition graph returns k
+    * exact-cosine candidates; the unrounded top-k merge then the
+    * rounded presentation ordering mirror annProbeSql, and the oracle
+    * replays exact top-k over the DUMPED candidate union
+    * (ann_hnsw_candidates) — the same candidates-restricted check the
+    * LSH/IVF probes use, with graph traversal recall covered by
+    * HnswSpec.
+    */
+  def annHnswTopK(spark: SparkSession, dir: String): DataFrame = {
+    val qv = queryVec(spark, dir)
+    Hnsw.probeHnswIndex(spark, hnswIndex(spark, dir), qv,
+        k = annTopK, ef = annHnswEf)
+      .orderBy(col("cos").desc, col("id").asc)
+      .limit(annTopK)
+      .select(col("id"), round(col("cos"), 4).as("cos"))
+      .orderBy(col("cos").desc, col("id").asc)
+  }
+
   // Caches are keyed by (session, dir): a DataFrame/engine is bound
   // to the SparkSession that built it, and a second session in the
   // same JVM (e.g. Verify after Bench in one test run) must not
@@ -583,6 +608,22 @@ object Queries {
       val p = java.nio.file.Files.createTempDirectory("graft_ivf_").toString
       Ann.buildIvfIndex(t(spark, dir, "embeddings"), "vec_id", "embedding",
         p, nCells = 16, iterations = 3)
+      p
+    })
+
+  private val hnswIndexCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Build-once persisted per-partition HNSW index (CREATE INDEX
+    * analogue, like the LSH/IVF caches). targetRows = 256 keeps the
+    * test corpora multi-graph (sf0.01 → 2 partitions, sf0.1 → 8) so
+    * the probe's merge path is always exercised; production uses the
+    * O(100k) default.
+    */
+  private def hnswIndex(spark: SparkSession, dir: String): String =
+    hnswIndexCache.computeIfAbsent(cacheKey(spark, dir), { _ =>
+      val p = java.nio.file.Files.createTempDirectory("graft_hnsw_").toString
+      Hnsw.buildHnswIndex(t(spark, dir, "embeddings"), "vec_id", "embedding",
+        p, targetRows = 256L)
       p
     })
 
@@ -1284,6 +1325,16 @@ object Queries {
         .toDF("keys"),
       s"$outDir/ann_lsh_probes.parquet")
 
+    // HNSW: the probe's candidate union (nParts·k exact-cosine rows).
+    // The oracle replays exact top-k restricted to THESE ids — the
+    // candidates-restricted pattern of the LSH/IVF oracles; graph
+    // traversal recall is HnswSpec's job.
+    writeSingleParquet(
+      Hnsw.probeHnswIndex(spark, hnswIndex(spark, dir), qv,
+          k = annTopK, ef = annHnswEf)
+        .select(col("id").as("vec_id")),
+      s"$outDir/ann_hnsw_candidates.parquet")
+
     val ivfPath = ivfIndex(spark, dir)
     writeSingleParquet(
       spark.read.parquet(s"$ivfPath/assigned")
@@ -1360,6 +1411,7 @@ object Queries {
     ephemeralEngine(spark, dir)
     ivfIndex(spark, dir)
     lshIndex(spark, dir)
+    hnswIndex(spark, dir)
     postingsIndex(spark, dir)
     ()
   }
@@ -1404,6 +1456,7 @@ object Queries {
     "dedup_clusters_star" -> (dedupClustersStar _),
     "ann_lsh_topk" -> (annLshTopK _),
     "ann_ivf_topk" -> (annIvfTopK _),
+    "ann_hnsw_topk" -> (annHnswTopK _),
     "ann_knn_join" -> (annKnnJoin _),
     "ann_knn_join_indexed" -> (annKnnJoinIndexed _),
     "pipeline_corpus" -> (pipelineCorpus _),

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Pipeline, Search}
+import graft.operators.{Ann, Hnsw, Pipeline, Search}
 import graft.providers.{ChatProvider, DeterministicChatProvider, EmbeddingProvider, Providers}
 import graft.sources.ParquetStore
 import graft.types._
@@ -569,6 +569,46 @@ final class VectorizeEngine(
       spark.experimental.extraOptimizations
         .filterNot(_.isInstanceOf[graft.plans.ResolveVectorizeEmbed]) :+
         new graft.plans.ResolveVectorizeEmbed(this)
+  }
+
+  /** CREATE INDEX analogue dispatched on the job's `IndexDist` hint
+    * (extension/src/init.rs:86-146 builds the pgvector index flavor
+    * the job declared; core/src/types.rs:61-68). `pgv_hnsw_*` builds
+    * the per-partition HNSW graph index (operators/Hnsw.scala);
+    * `vsc_diskann_cosine` builds the IVF index — SURVEY §4's
+    * documented Spark-native substitution for a disk-resident graph.
+    * All flavors rank by cosine, matching the search path (the
+    * reference's generated queries always use the cosine operator
+    * regardless of declared flavor — core/src/query.rs:653-699).
+    * v1 limitation, checked loudly: pkeys must be numeric, because
+    * the index stores long ids.
+    */
+  def buildVectorIndex(jobName: String, path: String): Unit = {
+    val job = jobs(jobName)
+    val emb = embeddingsOf(job)
+    require(emb.filter(col("pkey").cast("long").isNull).limit(1).count() == 0,
+      s"buildVectorIndex($jobName): non-numeric pkey values — " +
+        "the v1 vector index requires numeric primary keys")
+    job.indexDist match {
+      case IndexDist.PgvHnswL2 | IndexDist.PgvHnswIp | IndexDist.PgvHnswCosine =>
+        Hnsw.buildHnswIndex(emb, "pkey", "embeddings", path)
+      case IndexDist.VscDiskannCos =>
+        Ann.buildIvfIndex(emb, "pkey", "embeddings", path,
+          nCells = 16, iterations = 3)
+    }
+  }
+
+  /** Probe the index [[buildVectorIndex]] built for this job's hint:
+    * same (id, cos) contract as the exact search leg, top-k merge at
+    * the caller.
+    */
+  def probeVectorIndex(jobName: String, path: String, queryVec: Array[Float],
+      k: Int): DataFrame = jobs(jobName).indexDist match {
+    case IndexDist.PgvHnswL2 | IndexDist.PgvHnswIp | IndexDist.PgvHnswCosine =>
+      Hnsw.probeHnswIndex(spark, path, queryVec, k)
+        .orderBy(col("cos").desc, col("id").asc).limit(k)
+    case IndexDist.VscDiskannCos =>
+      Ann.probeIvfIndex(spark, path, "pkey", "embeddings", queryVec, k)
   }
 
   /** Project view (core/src/query.rs:311-320): source ⋈ embeddings. */

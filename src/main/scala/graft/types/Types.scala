@@ -206,8 +206,12 @@ object TableMethod {
     if (s.equalsIgnoreCase("append")) Append else Join
 }
 
-/** Distance/index flavor. A planner hint only in graft v1 — search is
-  * exact brute-force cosine (exact ⊇ ANN recall).
+/** Distance/index flavor. The default search path stays exact
+  * brute-force cosine (exact ⊇ ANN recall); the hint selects which
+  * persisted ANN index `VectorizeEngine.buildVectorIndex` constructs —
+  * `pgv_hnsw_*` → per-partition HNSW graphs (operators/Hnsw.scala),
+  * `vsc_diskann_cosine` → IVF (the documented Spark-native
+  * substitution for a disk-resident graph, SURVEY §4).
   * Reference: `IndexDist`, core/src/types.rs:61-68.
   */
 sealed abstract class IndexDist(val name: String)

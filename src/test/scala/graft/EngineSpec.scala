@@ -35,6 +35,32 @@ class EngineSpec extends AnyFunSuite {
     assert(top.head.getAs[Double]("rrf_score") > 0.0)
   }
 
+  test("IndexDist hint: hnsw flavors build graph indexes, diskann builds IVF") {
+    val engine = newEngine()
+    engine.registerSource("my_products", Fixtures.myProducts(spark))
+    engine.createJob(productsJob())
+    val qv = engine.encode("products", "camping backpack")
+    // exact leg = ground truth (hint docs: exact ⊇ ANN recall)
+    val exact = engine.search("products", "camping backpack", limit = 5)
+      .select(col("product_id").cast("long")).collect().map(_.getLong(0)).toSet
+
+    val hnswPath = TestSpark.tempDir("graft_eng_hnsw_")
+    engine.buildVectorIndex("products", hnswPath) // default pgv_hnsw_cosine
+    assert(new java.io.File(s"$hnswPath/graph").exists(),
+      "pgv_hnsw_* must build the graph index layout")
+    val viaHnsw = engine.probeVectorIndex("products", hnswPath, qv, 5)
+      .select(col("id").cast("long")).collect().map(_.getLong(0)).toSet
+    assert(viaHnsw.intersect(exact).size >= 4,
+      s"hnsw probe must recover the exact top-5 (got $viaHnsw vs $exact)")
+
+    val ivfPath = TestSpark.tempDir("graft_eng_ivf_")
+    engine.createJob(productsJob().copy(jobName = "products_diskann",
+      indexDist = IndexDist.VscDiskannCos))
+    engine.buildVectorIndex("products_diskann", ivfPath)
+    assert(new java.io.File(s"$ivfPath/centroids").exists(),
+      "vsc_diskann_cosine must build the IVF layout (documented substitution)")
+  }
+
   test("filters: electronics=9 rows, price eq.25=2 rows, gte.25 limit 5=5 rows") {
     val engine = newEngine()
     engine.registerSource("my_products", Fixtures.myProducts(spark))

@@ -1,0 +1,93 @@
+package graft
+
+import graft.operators.{Ann, Hnsw}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** HNSW graph-ANN: recall against brute force on the sf0.01
+  * embeddings (the same bar and probe-settings discipline as
+  * AnnSpec), build determinism, blob round-trip, and exact agreement
+  * of the internal distance with the CosineSimilarity expression —
+  * the property that keeps probe scores oracle-comparable.
+  */
+class HnswSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.01"
+
+  private lazy val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+  private lazy val items: Seq[(Long, Array[Float])] =
+    emb.select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+  private lazy val qv: Array[Float] = items.find(_._1 == 0L).get._2
+
+  private def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+    df.select(col("id").cast("long")).collect().map(_.getLong(0)).toSet
+
+  test("single-graph recall@20 >= 0.9 vs brute force (near-uniform vectors)") {
+    val g = Hnsw.buildGraph(items, m = 16, efConstruction = 100, seed = 42L)
+    val exact = ids(Ann.bruteForceTopK(emb, "vec_id", "embedding", qv, 20))
+    val approx = g.search(qv, k = 20, ef = 64).map(_._1).toSet
+    val recall = approx.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall@20 = $recall with ef=64")
+  }
+
+  test("graph cosine replicates the CosineSimilarity expression exactly") {
+    val g = Hnsw.buildGraph(items.take(50), m = 8, efConstruction = 50, seed = 1L)
+    val fromExpr = emb.filter(col("vec_id") < 50)
+      .select(col("vec_id"),
+        graft.functions.GraftFunctions.cosineSimilarity(col("embedding"),
+          lit(qv)).as("cos"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    (0 until g.size).foreach { node =>
+      assert(g.cosine(qv, node) == fromExpr(g.ids(node)),
+        s"distance diverged from the expression at node $node")
+    }
+  }
+
+  test("build is deterministic and blobs round-trip") {
+    val g1 = Hnsw.buildGraph(items, m = 16, efConstruction = 100, seed = 42L)
+    val g2 = Hnsw.buildGraph(items.reverse, m = 16, efConstruction = 100, seed = 42L)
+    // same data in any input order → identical graph (inserts sort by id)
+    assert(g1.ids.sameElements(g2.ids))
+    assert(g1.entry == g2.entry && g1.maxLevel == g2.maxLevel)
+    assert(g1.neighbors.zip(g2.neighbors).forall { case (a, b) =>
+      a.length == b.length && a.zip(b).forall { case (x, y) => x.sameElements(y) }
+    }, "adjacency must be input-order independent")
+    val rt = Hnsw.deserialize(Hnsw.serialize(g1))
+    assert(rt.search(qv, 20, 64) == g1.search(qv, 20, 64))
+  }
+
+  test("persisted multi-partition index: probe merges to brute-force top-k") {
+    val path = TestSpark.tempDir("graft_hnsw_spec_")
+    Hnsw.buildHnswIndex(emb, "vec_id", "embedding", path,
+      nPartitions = 4, m = 16, efConstruction = 100)
+    val probe = Hnsw.probeHnswIndex(spark, path, qv, k = 20, ef = 64)
+      .orderBy(col("cos").desc, col("id").asc).limit(20)
+    val exact = ids(Ann.bruteForceTopK(emb, "vec_id", "embedding", qv, 20))
+    val got = ids(probe)
+    val recall = got.intersect(exact).size.toDouble / exact.size
+    // 4 graphs of ~125 vectors each, ef=64: each partition's local
+    // top-20 is essentially exact, so the merged set should be too
+    assert(recall >= 0.9, s"multi-partition recall@20 = $recall")
+    // candidate volume = nParts * k, the merge input bound
+    assert(Hnsw.probeHnswIndex(spark, path, qv, 20, 64).count() <= 4L * 20)
+  }
+
+  test("degenerate inputs: empty partition, dimension mismatch, zero vector") {
+    val path = TestSpark.tempDir("graft_hnsw_deg_")
+    // more partitions than rows → some partitions empty, still builds
+    Hnsw.buildHnswIndex(emb.filter(col("vec_id") < 3), "vec_id", "embedding",
+      path, nPartitions = 8, m = 4, efConstruction = 10)
+    val got = Hnsw.probeHnswIndex(spark, path, qv, k = 5)
+      .orderBy(col("cos").desc).limit(5).count()
+    assert(got == 3, "all three vectors must surface")
+    val err = intercept[IllegalArgumentException] {
+      Hnsw.probeHnswIndex(spark, path, Array(1.0f), k = 5)
+    }
+    assert(err.getMessage.contains("dimension"))
+    // zero query vector: cosine undefined → sentinel sim, no crash
+    val g = Hnsw.buildGraph(items.take(10), m = 4, efConstruction = 10, seed = 7L)
+    assert(g.search(new Array[Float](qv.length), 3, 16).forall(_._2.isNegInfinity))
+  }
+}
