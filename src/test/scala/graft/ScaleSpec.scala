@@ -110,6 +110,7 @@ class ScaleSpec extends AnyFunSuite {
       "dedup_minhash_lsh" -> (salted1, salted10),
       "dedup_clusters_star" -> (salted1, salted10),
       "ann_lsh_topk" -> (verb1, verb10),
+      "ann_hnsw_topk" -> (verb1, verb10),
       "f4_postings_rank_cd" -> (verb1, verb10),
       "r_asof_join" -> (verb1, verb10))
     dirs = Map("salted1" -> salted1, "salted10" -> salted10,
@@ -144,6 +145,13 @@ class ScaleSpec extends AnyFunSuite {
 
   test("LSH index probe scales sub-quadratically to 10x", ScaleTest) {
     assertSubQuadratic("ann_lsh_topk")
+  }
+
+  test("HNSW graph probe scales sub-quadratically to 10x", ScaleTest) {
+    // graph search is ~ef·log n per partition and partitions scale
+    // with the corpus — wall time should track partition count, not
+    // vector count squared
+    assertSubQuadratic("ann_hnsw_topk")
   }
 
   test("postings rank probe scales sub-quadratically to 10x", ScaleTest) {
