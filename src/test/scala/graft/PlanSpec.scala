@@ -42,6 +42,27 @@ class PlanSpec extends AnyFunSuite {
     assert(nHash <= 3, s"expected <=3 hash exchanges, got $nHash:\n$plan")
   }
 
+  test("semantic search (no post-filters): source joins a BROADCAST rank leg") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id").cast("string").as("pkey"),
+        col("embedding").as("embeddings"))
+    val qv = spark.read.parquet(s"$dir/embeddings.parquet")
+      .filter(col("vec_id") === 0).select("embedding")
+      .head().getSeq[Float](0).toArray
+    val plan = Search.semanticSearch(docs, emb, "doc_id", qv, limit = 10)
+      .queryExecution.executedPlan.toString
+    // J1: the <=windowSize rank leg broadcasts; the source table is
+    // never shuffled on pkey
+    assert("BroadcastHashJoin [^\\n]*Inner".r.findFirstIn(plan).isDefined,
+      s"rank-leg join must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"semantic search must not shuffle the source:\n$plan")
+    // T1/T2: both top-ks are exact distributed top-k, not full sorts
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k must plan as TakeOrderedAndProject:\n$plan")
+  }
+
   test("hybrid search: source joins a BROADCAST fused leg, never a shuffle") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
