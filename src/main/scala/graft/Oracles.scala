@@ -523,6 +523,25 @@ object Oracles {
         |    '''(?:s|t|re|ve|m|ll|d)| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+')) AS bpe_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    // corpus-trained BPE: the per-word merge walk is JVM math
+    // (BpeSpec-covered) dumped as word → n_tokens; the oracle checks
+    // the RELATIONAL layer — per-doc recomposition over the dumped
+    // occurrence table, with empty docs coalescing to 0 exactly like
+    // the engine's tokenCount of an empty pre-token stream.
+    "f9_token_bpe_trained" ->
+      """WITH dw AS (
+        |  SELECT doc_id, word, occ
+        |  FROM read_parquet('__AUX__/bpe_aux_doc_words.parquet')),
+        |wt AS (
+        |  SELECT word, n_tokens
+        |  FROM read_parquet('__AUX__/bpe_aux_word_tokens.parquet')),
+        |sums AS (
+        |  SELECT dw.doc_id, sum(dw.occ * wt.n_tokens) AS n
+        |  FROM dw JOIN wt USING (word) GROUP BY dw.doc_id)
+        |SELECT d.doc_id, CAST(coalesce(s.n, 0) AS INT) AS bpe_tokens
+        |FROM documents d LEFT JOIN sums s ON d.doc_id = s.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+
     "f10_trim_inputs" ->
       """WITH arr AS (
         |  SELECT doc_id, text, regexp_split_to_array(trim(text), '\s+') AS toks

@@ -328,6 +328,49 @@ object Queries {
         tokenCountBpe(col("text")).as("bpe_tokens"))
       .orderBy(col("doc_id"))
 
+  private[graft] val bpeNumMerges = 200
+  private[graft] val bpeVocabCap = 8192
+
+  private val bpeMergesCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, String)]]()
+
+  /** Train-once BPE merges for a corpus (the tokenizer-training
+    * operator; functions/Bpe.scala has the algorithm and the 100 TB
+    * shape note). The distributed part is one pre-tokenize + word
+    * count; the collect is the TOP-`bpeVocabCap` rows of that
+    * frequency table — vocabulary-sized by construction, never corpus
+    * -sized (the cap drops only tail words, which contribute ~nothing
+    * to merge counts; logged nowhere because it is a training
+    * hyperparameter, not silent truncation of results).
+    */
+  private def bpeMerges(spark: SparkSession, dir: String): Seq[(String, String)] =
+    bpeMergesCache.computeIfAbsent(cacheKey(spark, dir), { _ =>
+      val wc = t(spark, dir, "documents")
+        .select(explode(bpePreTokens(col("text"))).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("w").asc)
+        .limit(bpeVocabCap)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+      graft.functions.Bpe.train(wc, bpeNumMerges)
+    })
+
+  /** F9, TRUE byte-pair merges: per-doc token counts under merges
+    * TRAINED on this corpus (Sennrich et al. 2016 / GPT-2 word-level
+    * form) — the honest stand-in for the reference's cl100k counts
+    * (core/src/query.rs:606-615; cl100k's merge table is not
+    * redistributable). Oracled by dump-and-replay: the per-WORD merge
+    * math (BpeSpec-covered) is dumped as a word→token-count table and
+    * the oracle recomposes per-doc counts relationally from the
+    * dumped per-doc word occurrences.
+    */
+  def f9TokenBpeTrained(spark: SparkSession, dir: String): DataFrame = {
+    val ranks = graft.functions.Bpe.ranksOf(bpeMerges(spark, dir))
+    val cnt = udf((text: String) => graft.functions.Bpe.tokenCount(text, ranks))
+    t(spark, dir, "documents")
+      .select(col("doc_id"), cnt(col("text")).as("bpe_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
   /** F10: input trimming to a 20-token budget. */
   def f10TrimInputs(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents")
@@ -1280,6 +1323,23 @@ object Queries {
           graft.functions.TextAnalyzer.queryLexemes(f2QueryText): _*)),
       s"$outDir/f4_aux_and_positions.parquet")
 
+    // --- corpus-trained BPE auxes: the per-WORD merge results (the
+    // JVM math BpeSpec unit-covers) + per-doc word occurrences; the
+    // oracle recomposes per-doc counts relationally ---
+    {
+      val ranks = graft.functions.Bpe.ranksOf(bpeMerges(spark, dir))
+      val wtok = udf((w: String) => graft.functions.Bpe.applyWord(w, ranks).size)
+      val words = t(spark, dir, "documents")
+        .select(col("doc_id"), explode(bpePreTokens(col("text"))).as("word"))
+      writeSingleParquet(
+        words.select(col("word")).distinct()
+          .withColumn("n_tokens", wtok(col("word"))),
+        s"$outDir/bpe_aux_word_tokens.parquet")
+      writeSingleParquet(
+        words.groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("occ")),
+        s"$outDir/bpe_aux_doc_words.parquet")
+    }
+
     // per-doc chunk arrays for the f6_chunk_table oracle — same
     // chunkText UDF the query itself uses (unit-covered by TextSpec);
     // the oracle replays the posexplode + ordering in SQL
@@ -1413,6 +1473,7 @@ object Queries {
     lshIndex(spark, dir)
     hnswIndex(spark, dir)
     postingsIndex(spark, dir)
+    bpeMerges(spark, dir)
     ()
   }
 
@@ -1442,6 +1503,7 @@ object Queries {
     "f5_websearch" -> (f5Websearch _),
     "f9_token_estimate" -> (f9TokenEstimate _),
     "f9_token_bpe" -> (f9TokenBpe _),
+    "f9_token_bpe_trained" -> (f9TokenBpeTrained _),
     "f10_trim_inputs" -> (f10TrimInputs _),
     "r_windowed_counts" -> (rWindowedCounts _),
     "r_sessionize" -> (rSessionize _),

@@ -69,6 +69,12 @@ object GraftFunctions {
       lit("'(?:s|t|re|ve|m|ll|d)| ?[\\p{L}]+| ?[\\p{N}]+| ?[^\\s\\p{L}\\p{N}]+"),
       lit(0)))
 
+  /** The pre-tokenizer's token STREAM (same regex as
+    * [[tokenCountBpe]], via the JVM twin Bpe.preTokenize) — the word
+    * source for corpus-trained BPE (functions/Bpe.scala).
+    */
+  val bpePreTokens = udf((text: String) => Bpe.preTokenize(text))
+
   // ---------------------------------------------------------------
   // Vector math (reference F1, core/src/query.rs:681). Backed by
   // native Catalyst expressions (graft.plans.VectorExpressions): one
