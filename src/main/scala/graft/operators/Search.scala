@@ -131,14 +131,13 @@ object Search {
       .withColumn("__dl", aggregate(col("__counts"), lit(0L), (a, x) => a + x))
       .filter(size(col("search_tokens")) > 0)
     // docs with no lexemes are consistently absent from N and avgdl,
-    // mirroring TextIndex.buildPostingsIndex's build-time stats;
-    // exact long sum / single driver divide, like the index meta
-    val statsRow = withDl.agg(count(lit(1)), sum(col("__dl"))).head()
-    val nDocs = statsRow.getLong(0)
-    if (nDocs == 0)
-      return tokens.select(col("pkey"),
-        lit(0.0).as("fts_score"), lit(1).as("fts_rank")).limit(0)
-    val avgDl = statsRow.getLong(1).toDouble / nDocs
+    // mirroring TextIndex.buildPostingsIndex's build-time stats. The
+    // stats stay a LAZY one-row broadcast (not a driver .head()): one
+    // Spark job for the whole leg instead of stats-job + leg-job, and
+    // an empty corpus flows through as an empty frame with the right
+    // schema. cast(long)/cast(double) division matches the index
+    // meta's exact-sum-then-divide to the bit.
+    val stats = withDl.agg(count(lit(1)).as("__n"), sum(col("__dl")).as("__s"))
     val exploded = withDl
       .select(col("pkey"), col("__dl"),
         explode(zip_with(col("search_tokens"), col("__counts"),
@@ -148,10 +147,13 @@ object Search {
       .filter(col("__lex").isin(qLex: _*))
     val dfs = exploded.groupBy(col("__lex")).agg(count(lit(1)).as("df"))
     val idf = log(lit(1.0) +
-      (lit(nDocs.toDouble) - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+      (col("__n").cast("double") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val avgDl = col("__s").cast("double") / col("__n").cast("double")
     val termScore = col("__idf") * (col("__npos") * lit(k1 + 1.0)) /
-      (col("__npos") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("__dl") / lit(avgDl)))
-    val scored = exploded.join(broadcast(dfs.withColumn("__idf", idf)), Seq("__lex"))
+      (col("__npos") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("__dl") / avgDl))
+    val scored = exploded.join(broadcast(dfs), Seq("__lex"))
+      .crossJoin(broadcast(stats))
+      .withColumn("__idf", idf)
       .withColumn("__t", termScore)
       .groupBy(col("pkey"))
       .agg(sum(col("__t").cast("decimal(28,12)")).as("__s"))
