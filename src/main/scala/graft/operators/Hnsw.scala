@@ -319,6 +319,16 @@ object Hnsw {
   private val graphCache =
     new java.util.concurrent.ConcurrentHashMap[(String, Int, Long), Graph]()
 
+  /** Cache bound: rebuilt indexes change their fingerprint, so stale
+    * generations would otherwise accumulate for the executor's
+    * lifetime. Crossing the cap clears the whole cache (the next
+    * probe of each live partition repays one deserialization) —
+    * trivially correct, and the cap is far above any steady-state
+    * working set (one entry per (index, partition) this executor
+    * serves).
+    */
+  private val GraphCacheMax = 256
+
   private def fingerprint(b: Array[Byte]): Long = {
     var h = 0xcbf29ce484222325L
     var i = 0
@@ -327,9 +337,11 @@ object Hnsw {
     h ^ b.length.toLong
   }
 
-  private[operators] def cachedGraph(path: String, part: Int, blob: Array[Byte]): Graph =
+  private[operators] def cachedGraph(path: String, part: Int, blob: Array[Byte]): Graph = {
+    if (graphCache.size > GraphCacheMax) graphCache.clear()
     graphCache.computeIfAbsent((path, part, fingerprint(blob)),
       _ => deserialize(blob))
+  }
 
   /** Partition-count derivation: bound vectors per graph so build
     * memory, blob size, and probe latency are capped by construction.

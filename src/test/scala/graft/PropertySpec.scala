@@ -26,6 +26,41 @@ class PropertySpec extends AnyFunSuite {
   private val word = Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString)
   private val text = Gen.listOf(word).map(_.mkString(" "))
 
+  test("BPE: applied tokens always reassemble the word; counts are monotone") {
+    val wordCounts = Gen.listOf(Gen.zip(word, Gen.chooseNum(1L, 50L)))
+    check(forAll(wordCounts, word, Gen.chooseNum(0, 64)) { (wc, w, n) =>
+      val ranks = graft.functions.Bpe.ranksOf(graft.functions.Bpe.train(wc, n))
+      val toks = graft.functions.Bpe.applyWord(w, ranks)
+      // lossless: merges never drop or reorder characters
+      toks.mkString == w &&
+        // more merges never increase a word's token count
+        toks.size <= graft.functions.Bpe.applyWord(w,
+          graft.functions.Bpe.ranksOf(graft.functions.Bpe.train(wc, n / 2))).size
+    })
+  }
+
+  test("HNSW: search returns known ids with valid sims, k-bounded, sorted") {
+    val vec = Gen.listOfN(4, Gen.chooseNum(-100, 100).map(_ / 100.0f))
+    val data = Gen.nonEmptyListOf(vec).map(_.zipWithIndex.map {
+      case (v, i) => (i.toLong, v.toArray)
+    })
+    check(forAll(data, Gen.chooseNum(1, 10)) { (items, k) =>
+      val g = graft.operators.Hnsw.buildGraph(items, m = 4,
+        efConstruction = 16, seed = 9L)
+      val q = items.head._2
+      val res = g.search(q, k, ef = 16)
+      val idSet = items.map(_._1).toSet
+      res.size <= k &&
+        res.forall { case (id, s) =>
+          idSet.contains(id) && (s.isNegInfinity || (s >= -1.0000001 && s <= 1.0000001))
+        } &&
+        res.map(_._2).sliding(2).forall {
+          case Seq(a, b) => a >= b
+          case _ => true
+        }
+    })
+  }
+
   test("directedProbeKeys: equals brute-force cheapest-subsets enumeration") {
     // small bits so the 2^bits space is brute-forceable; margins with
     // distinct |values| so the cost order is unambiguous
