@@ -723,6 +723,29 @@ object Oracles {
          |SELECT vec_id AS id, round(cos, 4) AS cos FROM top
          |ORDER BY round(cos, 4) DESC, vec_id ASC""".stripMargin,
 
+    // HNSW batch-kNN: per-query exact top-k over the dumped candidate
+    // pairs, self-matches excluded like the engine's filter.
+    "ann_hnsw_knn_join" ->
+      s"""WITH cand AS (
+         |  SELECT DISTINCT q_id, x_id
+         |  FROM read_parquet('__AUX__/ann_hnsw_knn_cands.parquet')
+         |  WHERE q_id <> x_id),
+         |scored AS (
+         |  SELECT c.q_id, c.x_id,
+         |    list_cosine_similarity(CAST(eq.embedding AS DOUBLE[]),
+         |      CAST(ex.embedding AS DOUBLE[])) AS cos
+         |  FROM cand c
+         |  JOIN embeddings eq ON eq.vec_id = c.q_id
+         |  JOIN embeddings ex ON ex.vec_id = c.x_id),
+         |ranked AS (
+         |  SELECT q_id, x_id, cos,
+         |    row_number() OVER (PARTITION BY q_id
+         |      ORDER BY cos DESC, x_id ASC) AS rank
+         |  FROM scored)
+         |SELECT q_id, x_id, round(cos, 4) AS cos, rank
+         |FROM ranked WHERE rank <= ${Queries.knnJoinK}
+         |ORDER BY q_id, rank""".stripMargin,
+
     // Multiprobe batch-kNN joins (ad-hoc and persisted-index paths).
     "ann_knn_join" -> knnJoinSql("knn_q_probes.parquet",
       "SELECT x_id, key FROM read_parquet('__AUX__/knn_x_keys.parquet')"),

@@ -740,6 +740,21 @@ object Queries {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** ANN: batch kNN join over the persisted HNSW graphs — the graph
+    * twin of the LSH joins above (broadcast query batch, per-graph
+    * in-memory walks, one candidate-window shuffle). Oracled with the
+    * candidates-restricted pattern: exact per-query top-k in DuckDB
+    * over the dumped (q_id, x_id) candidate pairs.
+    */
+  def annHnswKnnJoin(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    Hnsw.knnJoin(spark, hnswIndex(spark, dir),
+        emb.filter(col("vec_id") < knnQueryMaxId), "vec_id", "embedding",
+        k = knnJoinK, ef = annHnswEf)
+      .select(col("q_id"), col("x_id"), round(col("cos"), 4).as("cos"), col("rank"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   /** Minimum ROUNDED quality score for pipeline_corpus admission —
     * gate on the rounded value so the Spark and DuckDB sides compare
     * bit-identical numbers at the boundary (raw doubles could differ
@@ -1394,6 +1409,16 @@ object Queries {
           k = annTopK, ef = annHnswEf)
         .select(col("id").as("vec_id")),
       s"$outDir/ann_hnsw_candidates.parquet")
+    // HNSW batch-kNN candidate pairs (pre-self-filter, pre-rank) —
+    // the oracle applies the identical self-exclusion + per-query
+    // window over exact recomputed cosines
+    writeSingleParquet(
+      Hnsw.knnCandidates(spark, hnswIndex(spark, dir),
+          t(spark, dir, "embeddings").filter(col("vec_id") < knnQueryMaxId),
+          "vec_id", "embedding", kLocal = knnJoinK + 1, ef = annHnswEf,
+          maxQueries = 65536)
+        .select(col("q_id"), col("x_id")),
+      s"$outDir/ann_hnsw_knn_cands.parquet")
 
     val ivfPath = ivfIndex(spark, dir)
     writeSingleParquet(
@@ -1519,6 +1544,7 @@ object Queries {
     "ann_lsh_topk" -> (annLshTopK _),
     "ann_ivf_topk" -> (annIvfTopK _),
     "ann_hnsw_topk" -> (annHnswTopK _),
+    "ann_hnsw_knn_join" -> (annHnswKnnJoin _),
     "ann_knn_join" -> (annKnnJoin _),
     "ann_knn_join_indexed" -> (annKnnJoinIndexed _),
     "pipeline_corpus" -> (pipelineCorpus _),

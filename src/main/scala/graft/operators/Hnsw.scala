@@ -407,4 +407,59 @@ object Hnsw {
       }
       .toDF("id", "cos")
   }
+
+  /** Batch kNN join over the persisted index: every query searches
+    * every partition graph, then one per-query window ranks the
+    * nParts·k candidate union — the HNSW twin of Ann.knnJoin's
+    * LSH-multiprobe join, same (q_id, x_id, cos, rank) contract.
+    *
+    * The query batch is driver-collected and broadcast (bounded by
+    * `maxQueries`, checked loudly): per-partition work is then
+    * |Q|·ef·log n in-memory graph walks with NO shuffle of the index,
+    * and the only shuffled data is the candidate set
+    * (|Q|·nParts·k rows). Larger query sets chunk at the caller —
+    * the same discipline as the provider batch paths.
+    */
+  /** The raw candidate stage of [[knnJoin]]: per-query, per-partition
+    * graph searches, `kLocal` candidates each — exposed so the
+    * verify-side dump and the join share one implementation (the
+    * oracle replays ranking over exactly these pairs).
+    */
+  private[graft] def knnCandidates(spark: SparkSession, path: String,
+      queries: DataFrame, idCol: String, vecCol: String, kLocal: Int,
+      ef: Int, maxQueries: Int): DataFrame = {
+    import spark.implicits._
+    val q = queries.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Seq[Float])].collect()
+    require(q.length <= maxQueries,
+      s"knnJoin query batch ${q.length} exceeds $maxQueries — chunk the batch")
+    val qb = spark.sparkContext.broadcast(
+      q.map { case (id, v) => (id, v.toArray) })
+    spark.read.parquet(s"$path/graph")
+      .select(col("part"), col("blob"))
+      .as[(Int, Array[Byte])]
+      .flatMap { case (part, blob) =>
+        val g = cachedGraph(path, part, blob)
+        qb.value.iterator.flatMap { case (qid, qv) =>
+          g.search(qv, kLocal, ef).map { case (xid, cos) => (qid, xid, cos) }
+        }
+      }
+      .toDF("q_id", "x_id", "cos")
+  }
+
+  def knnJoin(spark: SparkSession, path: String, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, ef: Int = 64,
+      excludeSelf: Boolean = true, maxQueries: Int = 65536): DataFrame = {
+    // +1 when self-matches drop, so the self-partition still yields k
+    val kLocal = if (excludeSelf) k + 1 else k
+    val cands = knnCandidates(spark, path, queries, idCol, vecCol,
+      kLocal, ef, maxQueries)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("cos").desc, col("x_id").asc)
+    cands
+      .filter(if (excludeSelf) col("q_id") =!= col("x_id") else lit(true))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("q_id", "x_id", "cos", "rank")
+  }
 }

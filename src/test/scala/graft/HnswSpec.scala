@@ -74,6 +74,33 @@ class HnswSpec extends AnyFunSuite {
     assert(Hnsw.probeHnswIndex(spark, path, qv, 20, 64).count() <= 4L * 20)
   }
 
+  test("batch kNN join: contract + per-query recall vs brute force") {
+    val path = TestSpark.tempDir("graft_hnsw_knn_")
+    Hnsw.buildHnswIndex(emb, "vec_id", "embedding", path,
+      nPartitions = 4, m = 16, efConstruction = 100)
+    val queries = emb.filter(col("vec_id") < 10)
+    val got = Hnsw.knnJoin(spark, path, queries, "vec_id", "embedding",
+      k = 5, ef = 64).collect()
+    val byQ = got.groupBy(_.getAs[Long]("q_id"))
+    assert(byQ.keySet == (0L until 10L).toSet)
+    byQ.foreach { case (q, rows) =>
+      assert(rows.map(_.getAs[Int]("rank")).sorted.sameElements(1 to 5),
+        s"query $q must get ranks 1..5")
+      assert(!rows.exists(_.getAs[Long]("x_id") == q), "self-match leaked")
+    }
+    // recall vs exact neighbors (self excluded), averaged over queries
+    val recalls = (0L until 10L).map { q =>
+      val qv2 = items.find(_._1 == q).get._2
+      val exact = Ann.bruteForceTopK(emb.filter(col("vec_id") =!= q),
+        "vec_id", "embedding", qv2, 5)
+        .collect().map(_.getAs[Long]("id")).toSet
+      val approx = byQ(q).map(_.getAs[Long]("x_id")).toSet
+      approx.intersect(exact).size.toDouble / exact.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.9, s"mean recall@5 = $mean")
+  }
+
   test("degenerate inputs: empty partition, dimension mismatch, zero vector") {
     val path = TestSpark.tempDir("graft_hnsw_deg_")
     // more partitions than rows → some partitions empty, still builds
