@@ -174,6 +174,10 @@ object Hnsw {
     */
   def buildGraph(items: Seq[(Long, Array[Float])], m: Int,
       efConstruction: Int, seed: Long): Graph = {
+    items.headOption.foreach { case (_, v0) =>
+      require(items.forall(_._2.length == v0.length),
+        "ragged embedding dimensions — the index requires one fixed dim")
+    }
     val sorted = items.sortBy(_._1).toArray
     val n = sorted.length
     val ids = sorted.map(_._1)
@@ -363,7 +367,10 @@ object Hnsw {
       targetRows: Long = 262144L): Unit = {
     val spark = emb.sparkSession
     import spark.implicits._
+    // null vectors can't rank (cosine undefined) and would NPE the
+    // build — excluded here exactly like semanticLeg's null-sim filter
     val src = emb.select(col(idCol).cast("long"), col(vecCol))
+      .filter(col(vecCol).isNotNull)
       .as[(Long, Seq[Float])]
     val dimRow = emb.select(size(col(vecCol))).limit(1).collect()
     require(dimRow.nonEmpty, "cannot build an HNSW index over an empty table")
