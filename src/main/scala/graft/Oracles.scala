@@ -1117,6 +1117,30 @@ object Oracles {
          |SELECT doc_id, lang, round(sim, 4) AS similarity_score
          |FROM hits ORDER BY similarity_score DESC, doc_id ASC""".stripMargin,
 
+    // index-backed semantic search: exact cosine top-10 over the
+    // dumped probe-candidate union of the engine-store HNSW index,
+    // joined back to documents — the candidates-restricted pattern of
+    // the ann_* oracles applied to the engine path.
+    "vz_semantic_indexed" ->
+      s"""WITH q AS (
+         |  SELECT CAST(qvec AS DOUBLE[]) AS v
+         |  FROM read_parquet('__AUX__/vz_aux_query.parquet')),
+         |cand AS (
+         |  SELECT DISTINCT id
+         |  FROM read_parquet('__AUX__/vz_hnsw_candidates.parquet')),
+         |scored AS (
+         |  SELECT CAST(e.pkey AS BIGINT) AS id,
+         |    list_cosine_similarity(CAST(e.embeddings AS DOUBLE[]),
+         |      (SELECT v FROM q)) AS cos
+         |  FROM read_parquet('__AUX__/vz_aux_embeddings.parquet') e
+         |  JOIN cand c ON CAST(e.pkey AS BIGINT) = c.id),
+         |top AS (
+         |  SELECT id, cos FROM scored
+         |  ORDER BY cos DESC, id ASC LIMIT 10)
+         |SELECT d.doc_id, d.lang, round(t.cos, 4) AS similarity_score
+         |FROM top t JOIN documents d ON d.doc_id = t.id
+         |ORDER BY similarity_score DESC, d.doc_id ASC""".stripMargin,
+
     // fts_score is EXACT OR-query ts_rank_cd over the store's aligned
     // (search_tokens, search_token_counts) arrays: 0.1 · Σ matched
     // position counts (parallel unnest zips the arrays positionally,

@@ -1212,6 +1212,36 @@ object Queries {
       .orderBy(col("similarity_score").desc, col("doc_id").asc)
   }
 
+  private val vzVectorIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Build-once engine vector index for docs_job via the IndexDist
+    * dispatch (default pgv_hnsw_cosine → per-partition HNSW graphs).
+    */
+  private def vzVectorIndex(spark: SparkSession, dir: String): String =
+    vzVectorIndexCache.computeIfAbsent(cacheKey(spark, dir), { _ =>
+      val p = java.nio.file.Files.createTempDirectory("graft_vz_hnsw_").toString
+      ephemeralEngine(spark, dir).buildVectorIndex("docs_job", p)
+      p
+    })
+
+  /** The reference's index-backed search shape end-to-end: the job's
+    * IndexDist hint built a persisted HNSW index over the ENGINE's
+    * embedding store, and search probes it instead of scanning —
+    * `CREATE INDEX ... USING hnsw` + index scan, Spark-native. Same
+    * output contract as vz_semantic_search; oracled with the
+    * candidates-restricted pattern over the probe's candidate union.
+    */
+  def vzSemanticIndexed(spark: SparkSession, dir: String): DataFrame = {
+    val engine = ephemeralEngine(spark, dir)
+    val probe = engine.probeVectorIndex("docs_job",
+      vzVectorIndex(spark, dir), engine.encode("docs_job", vzQueryText), k = 10)
+    t(spark, dir, "documents").join(probe, col("doc_id") === col("id"))
+      .select(col("doc_id"), col("lang"),
+        round(col("cos"), 4).as("similarity_score"))
+      .orderBy(col("similarity_score").desc, col("doc_id").asc)
+  }
+
   /** Engine end-to-end: hybrid RRF search (DuckDB-oracled via the
     * dumped embeddings + search-tokens stores — see dumpOracleAux).
     */
@@ -1409,6 +1439,13 @@ object Queries {
           k = annTopK, ef = annHnswEf)
         .select(col("id").as("vec_id")),
       s"$outDir/ann_hnsw_candidates.parquet")
+    // engine-store HNSW probe candidates (pre-merge union) for the
+    // index-backed vz_semantic_indexed oracle
+    writeSingleParquet(
+      Hnsw.probeHnswIndex(spark, vzVectorIndex(spark, dir),
+          engine.encode("docs_job", vzQueryText), k = 10)
+        .select(col("id")),
+      s"$outDir/vz_hnsw_candidates.parquet")
     // HNSW batch-kNN candidate pairs (pre-self-filter, pre-rank) —
     // the oracle applies the identical self-exclusion + per-query
     // window over exact recomputed cosines
@@ -1570,6 +1607,7 @@ object Queries {
     "f4_bm25" -> (f4Bm25 _),
     "f6_chunk_table" -> (f6ChunkTable _),
     "vz_semantic_search" -> (vzSemanticSearch _),
+    "vz_semantic_indexed" -> (vzSemanticIndexed _),
     "vz_hybrid_search" -> (vzHybridSearch _),
     "vz_hybrid_bm25" -> (vzHybridBm25 _),
     "vz_rag" -> (vzRag _),
