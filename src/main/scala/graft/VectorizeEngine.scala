@@ -598,6 +598,21 @@ final class VectorizeEngine(
     }
   }
 
+  /** Keep the job's vector index fresh after a refresh: `pgv_hnsw_*`
+    * upserts at partition granularity (Hnsw.upsertHnswIndex — only
+    * touched graph partitions rebuild, byte-identical to a full
+    * build); `vsc_diskann_cosine` rebuilds (IVF centroids move with
+    * the data). `changed` is the refreshed embeddings subset
+    * (pkey, embeddings), e.g. the rows a refreshJob batch upserted.
+    */
+  def upsertVectorIndex(jobName: String, path: String, changed: DataFrame): Unit =
+    jobs(jobName).indexDist match {
+      case IndexDist.PgvHnswL2 | IndexDist.PgvHnswIp | IndexDist.PgvHnswCosine =>
+        Hnsw.upsertHnswIndex(changed, "pkey", "embeddings", path)
+      case IndexDist.VscDiskannCos =>
+        buildVectorIndex(jobName, path)
+    }
+
   /** Probe the index [[buildVectorIndex]] built for this job's hint:
     * same (id, cos) contract as the exact search leg, top-k merge at
     * the caller.

@@ -1,6 +1,5 @@
 package graft.operators
 
-import org.apache.spark.TaskContext
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import scala.collection.mutable
@@ -356,10 +355,20 @@ object Hnsw {
   private[operators] def derivePartitions(rows: Long, targetRows: Long = 262144L): Int =
     math.max(1, math.ceil(rows.toDouble / targetRows).toInt)
 
-  /** Build and persist: `path/graph` = one (part, n, blob) row per
-    * partition graph; `path/meta` = (n_parts, m, ef_construction,
-    * dim, seed). One shuffle (the hash partitioning); each graph
-    * builds in a single mapPartitions pass with no driver involvement.
+  /** Partition assignment for an id — an EXPLICIT column (murmur3
+    * `hash()` mod nParts) rather than whatever partitioner the build
+    * shuffle used, so [[upsertHnswIndex]] can route changed rows to
+    * their graph partition by construction.
+    */
+  private def partOf(idColumn: org.apache.spark.sql.Column, nParts: Int) =
+    pmod(hash(idColumn), lit(nParts)).cast("int")
+
+  /** Build and persist: `path/graph` = one (n, blob) row per
+    * partition graph, PARTITIONED BY part on disk (so incremental
+    * maintenance overwrites only touched partition directories);
+    * `path/meta` = (n_parts, m, ef_construction, dim, seed). One
+    * shuffle (group by assigned partition); each graph builds in a
+    * single pass with no driver involvement.
     */
   def buildHnswIndex(emb: DataFrame, idCol: String, vecCol: String,
       path: String, nPartitions: Int = 0, m: Int = 16,
@@ -367,31 +376,85 @@ object Hnsw {
       targetRows: Long = 262144L): Unit = {
     val spark = emb.sparkSession
     import spark.implicits._
-    // null vectors can't rank (cosine undefined) and would NPE the
-    // build — excluded here exactly like semanticLeg's null-sim filter
-    val src = emb.select(col(idCol).cast("long"), col(vecCol))
-      .filter(col(vecCol).isNotNull)
-      .as[(Long, Seq[Float])]
     val dimRow = emb.select(size(col(vecCol))).limit(1).collect()
     require(dimRow.nonEmpty, "cannot build an HNSW index over an empty table")
     val dim = dimRow.head.getInt(0)
     val nP =
       if (nPartitions > 0) nPartitions
       else derivePartitions(emb.count(), targetRows)
-    src.repartition(nP, col(idCol))
-      .mapPartitions { it =>
-        val items = it.map { case (id, v) => (id, v.toArray) }.toSeq
-        if (items.isEmpty) Iterator.empty
-        else {
-          val g = buildGraph(items, m, efConstruction, seed)
-          Iterator((TaskContext.getPartitionId(), g.size, serialize(g)))
-        }
+    // null vectors can't rank (cosine undefined) and would NPE the
+    // build — excluded here exactly like semanticLeg's null-sim filter
+    emb.select(col(idCol).cast("long").as("_1"), col(vecCol).as("_2"))
+      .filter(col("_2").isNotNull)
+      .withColumn("_3", partOf(col("_1"), nP))
+      .as[(Long, Seq[Float], Int)]
+      .groupByKey(_._3)
+      .mapGroups { (part, it) =>
+        val g = buildGraph(it.map { case (id, v, _) => (id, v.toArray) }.toSeq,
+          m, efConstruction, seed)
+        (part, g.size, serialize(g))
       }
       .toDF("part", "n", "blob")
-      .write.mode("overwrite").parquet(s"$path/graph")
+      .write.partitionBy("part").mode("overwrite").parquet(s"$path/graph")
     Seq((nP, m, efConstruction, dim, seed))
       .toDF("n_parts", "m", "ef_construction", "dim", "seed")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Incremental index maintenance — the graph analogue of the
+    * store's bucket MERGE, keeping the `IndexDist` index fresh under
+    * CDC refresh without a full rebuild: route changed/new rows to
+    * their partitions, REBUILD only those partition graphs from the
+    * merged vector sets (replaced ids drop their old vector), and
+    * dynamic-partition-overwrite just the touched directories.
+    *
+    * Rebuild-not-insert is deliberate: graph inserts are id-sorted
+    * and levels derive from ids, so a partition rebuilt from its
+    * merged vectors is BYTE-IDENTICAL to a from-scratch build over
+    * the same data (HnswSpec asserts blob equality) — incremental
+    * maintenance can never drift from the full build, and HNSW's
+    * messy deletion problem (tombstones) never arises. Cost is
+    * O(touched partitions × targetRows · log), the same granularity
+    * bound as the store MERGE it mirrors.
+    */
+  def upsertHnswIndex(emb: DataFrame, idCol: String, vecCol: String,
+      path: String): Unit = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val meta = spark.read.parquet(s"$path/meta").head()
+    val nP = meta.getAs[Int]("n_parts")
+    val m = meta.getAs[Int]("m")
+    val efC = meta.getAs[Int]("ef_construction")
+    val dim = meta.getAs[Int]("dim")
+    val seed = meta.getAs[Long]("seed")
+    val newRows = emb.select(col(idCol).cast("long").as("_1"), col(vecCol).as("_2"))
+      .filter(col("_2").isNotNull)
+      .withColumn("_3", partOf(col("_1"), nP))
+      .as[(Long, Seq[Float], Int)]
+    require(newRows.filter(size(col("_2")) =!= dim).isEmpty,
+      s"upsert vectors must match the index dimension $dim")
+    val touched = newRows.select(col("_3")).distinct().as[Int].collect().toSeq
+    if (touched.isEmpty) return
+    // partition-pruned read of just the touched blobs
+    val oldBlobs = spark.read.parquet(s"$path/graph")
+      .filter(col("part").isin(touched: _*))
+      .select(col("part"), col("blob")).as[(Int, Array[Byte])]
+    val rebuilt = newRows.groupByKey(_._3)
+      .cogroup(oldBlobs.groupByKey(_._1)) { (part, newIt, oldIt) =>
+        val fresh = newIt.map { case (id, v, _) => (id, v.toArray) }.toMap
+        val kept = oldIt.toSeq.headOption.toSeq.flatMap { case (_, blob) =>
+          val g = deserialize(blob)
+          g.ids.zip(g.vecs).filterNot { case (id, _) => fresh.contains(id) }
+        }
+        val g = buildGraph(kept ++ fresh.toSeq, m, efC, seed)
+        Iterator((part, g.size, serialize(g)))
+      }
+      .toDF("part", "n", "blob")
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "dynamic")
+    try rebuilt.write.partitionBy("part").mode("overwrite").parquet(s"$path/graph")
+    finally prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
   }
 
   /** Probe every partition graph, k candidates each; the caller's

@@ -59,6 +59,15 @@ class EngineSpec extends AnyFunSuite {
     engine.buildVectorIndex("products_diskann", ivfPath)
     assert(new java.io.File(s"$ivfPath/centroids").exists(),
       "vsc_diskann_cosine must build the IVF layout (documented substitution)")
+
+    // incremental maintenance keeps the probe working after a refresh
+    engine.upsertVectorIndex("products", hnswPath,
+      engine.projectView("products")
+        .select(col("product_id").cast("string").as("pkey"), col("embeddings"))
+        .limit(3))
+    val after = engine.probeVectorIndex("products", hnswPath, qv, 5)
+      .select(col("id").cast("long")).collect().map(_.getLong(0)).toSet
+    assert(after == viaHnsw, "unchanged vectors must probe identically after upsert")
   }
 
   test("filters: electronics=9 rows, price eq.25=2 rows, gte.25 limit 5=5 rows") {

@@ -101,6 +101,57 @@ class HnswSpec extends AnyFunSuite {
     assert(mean >= 0.9, s"mean recall@5 = $mean")
   }
 
+  test("incremental upsert is byte-identical to a full rebuild") {
+    val incPath = TestSpark.tempDir("graft_hnsw_inc_")
+    val fullPath = TestSpark.tempDir("graft_hnsw_full_")
+    // build on the first half, upsert the second half + an UPDATED
+    // vector for id 7 (the full build sees the updated value directly)
+    val half = emb.filter(col("vec_id") < 250)
+    val rest = emb.filter(col("vec_id") >= 250)
+    val updated7 = emb.filter(col("vec_id") === 7)
+      .withColumn("embedding", org.apache.spark.sql.functions.transform(
+        col("embedding"), x => x * 0.5f))
+    Hnsw.buildHnswIndex(half, "vec_id", "embedding", incPath, nPartitions = 4)
+    Hnsw.upsertHnswIndex(rest.unionByName(updated7), "vec_id", "embedding", incPath)
+    Hnsw.buildHnswIndex(
+      emb.filter(col("vec_id") =!= 7).unionByName(updated7),
+      "vec_id", "embedding", fullPath, nPartitions = 4)
+    val inc = spark.read.parquet(s"$incPath/graph")
+      .select("part", "blob").collect()
+      .map(r => r.getInt(0) -> r.getAs[Array[Byte]](1)).toMap
+    val full = spark.read.parquet(s"$fullPath/graph")
+      .select("part", "blob").collect()
+      .map(r => r.getInt(0) -> r.getAs[Array[Byte]](1)).toMap
+    assert(inc.keySet == full.keySet)
+    inc.foreach { case (p, b) =>
+      assert(java.util.Arrays.equals(b, full(p)),
+        s"partition $p diverged from the full rebuild")
+    }
+    // the updated vector is live: probing with id 7's OLD embedding no
+    // longer returns a perfect self-match, the halved one does
+    val probe = Hnsw.probeHnswIndex(spark, incPath,
+      items.find(_._1 == 7L).get._2.map(_ * 0.5f), k = 1, ef = 64)
+      .orderBy(col("cos").desc).limit(1).collect().head
+    assert(probe.getLong(0) == 7L && math.abs(probe.getDouble(1) - 1.0) < 1e-9)
+  }
+
+  test("upsert rewrites only the touched partition directories") {
+    val path = TestSpark.tempDir("graft_hnsw_touch_")
+    Hnsw.buildHnswIndex(emb, "vec_id", "embedding", path, nPartitions = 8)
+    def fileSet(p: Int): Set[String] = {
+      val d = new java.io.File(s"$path/graph/part=$p")
+      if (!d.exists()) Set.empty
+      else d.listFiles().filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+    }
+    val before = (0 until 8).map(p => p -> fileSet(p)).toMap
+    // a single-row upsert touches exactly one partition
+    Hnsw.upsertHnswIndex(emb.filter(col("vec_id") === 123), "vec_id", "embedding", path)
+    val after = (0 until 8).map(p => p -> fileSet(p)).toMap
+    val changed = (0 until 8).filter(p => before(p) != after(p))
+    assert(changed.size == 1,
+      s"exactly one partition dir must be rewritten, got $changed")
+  }
+
   test("degenerate inputs: empty partition, dimension mismatch, zero vector") {
     val path = TestSpark.tempDir("graft_hnsw_deg_")
     // more partitions than rows → some partitions empty, still builds
