@@ -1534,6 +1534,7 @@ object Queries {
     ivfIndex(spark, dir)
     lshIndex(spark, dir)
     hnswIndex(spark, dir)
+    vzVectorIndex(spark, dir)
     postingsIndex(spark, dir)
     bpeMerges(spark, dir)
     ()
