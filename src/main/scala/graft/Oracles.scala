@@ -542,6 +542,26 @@ object Oracles {
         |FROM documents d LEFT JOIN sums s ON d.doc_id = s.doc_id
         |ORDER BY d.doc_id""".stripMargin,
 
+    // within-doc repetition: identical list algebra over the shared
+    // tokenizer — DuckDB range(1, len-1) is the half-open twin of
+    // Spark's inclusive sequence(1, len-2); 1-based inclusive slice
+    // toks[i:i+2] = Spark slice(toks, i, 3).
+    "text_repetition" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, $toksSql AS toks FROM documents),
+         |g AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(toks) >= 3
+         |      THEN list_transform(range(1, len(toks) - 1),
+         |             i -> array_to_string(toks[i:i+2], ' '))
+         |      ELSE CAST([] AS VARCHAR[]) END AS grams
+         |  FROM t)
+         |SELECT doc_id,
+         |  CASE WHEN len(grams) = 0 THEN 0.0
+         |       ELSE round(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE)
+         |                        / len(grams), 4) END AS rep3
+         |FROM g ORDER BY doc_id""".stripMargin,
+
     "f10_trim_inputs" ->
       """WITH arr AS (
         |  SELECT doc_id, text, regexp_split_to_array(trim(text), '\s+') AS toks

@@ -875,6 +875,34 @@ object Queries {
       .select(col("doc_id"), qualityScore(col("text")).as("quality"))
       .orderBy(col("doc_id"))
 
+  /** Within-document repetition: duplicated token-n-gram fraction
+    * (1 − distinct/total over 3-gram shingles) — the Gopher-family
+    * repetition quality signal (Rae et al. 2021 §A1.1 use duplicate
+    * n-gram fractions to drop loops/boilerplate; this is the token
+    * form). PURE built-ins on both sides (no aux dump): Spark
+    * transform+slice over the shared sqlTokens tokenizer; DuckDB
+    * replays identical list algebra. Docs with < n tokens have no
+    * n-grams → repetition 0.
+    */
+  def textRepetition(spark: SparkSession, dir: String): DataFrame = {
+    val n = 3
+    val toks = sqlTokens(col("text"))
+    // sequence(1, stop) DESCENDS when stop < 1, so short docs need an
+    // explicit empty-array branch rather than a clamped stop
+    val grams = when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+    t(spark, dir, "documents")
+      .withColumn("__g", grams)
+      .select(col("doc_id"),
+        when(size(col("__g")) === 0, lit(0.0))
+          .otherwise(round(lit(1.0) -
+            size(array_distinct(col("__g"))).cast("double") / size(col("__g")), 4))
+          .as("rep3"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Language-ID heuristic distribution (DuckDB-oracled: the oracle
     * SQL is generated from the same langMarkers constants). */
   def textLanguageId(spark: SparkSession, dir: String): DataFrame =
@@ -1592,6 +1620,7 @@ object Queries {
     "mm_resize" -> (mmResize _),
     "text_quality_metrics" -> (textQualityMetrics _),
     "text_quality_score" -> (textQualityScore _),
+    "text_repetition" -> (textRepetition _),
     "text_language_id" -> (textLanguageId _),
     "text_fingerprint" -> (textFingerprint _),
     "text_pii_scrub" -> (textPiiScrub _),
