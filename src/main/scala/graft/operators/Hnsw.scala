@@ -173,6 +173,7 @@ object Hnsw {
     */
   def buildGraph(items: Seq[(Long, Array[Float])], m: Int,
       efConstruction: Int, seed: Long): Graph = {
+    require(m >= 2, s"HNSW M must be >= 2 (level norm is 1/ln(M)), got $m")
     items.headOption.foreach { case (_, v0) =>
       require(items.forall(_._2.length == v0.length),
         "ragged embedding dimensions — the index requires one fixed dim")

@@ -25,7 +25,8 @@ object Realtime {
     * exact body of the reference worker's execute_job
     * (worker/src/executor.rs:60-160) re-expressed on DataFrames.
     */
-  def processBatch(engine: VectorizeEngine, job: VectorizeJob, batch: DataFrame): Unit = {
+  def processBatch(engine: VectorizeEngine, job: VectorizeJob, batch: DataFrame,
+      indexPath: Option[String] = None): Unit = {
     if (batch.isEmpty) return
     // A micro-batch may contain several versions of one key (insert
     // then update, or at-least-once redelivery): keep only the last
@@ -70,6 +71,15 @@ object Realtime {
       }
       val tokens = Pipeline.renderSearchTokens(deduped, job.primaryKey, job.srcColumns)
       engine.store.merge(engine.tokTable(job.jobName), tokens, "pkey")
+      // keep the job's ANN index fresh alongside the store (the
+      // reference's pgvector index updates with every upsert): the
+      // partition-granular upsert rebuilds only touched graph
+      // partitions, and replays reproduce byte-identical partitions,
+      // so at-least-once redelivery stays idempotent here too
+      indexPath.foreach { p =>
+        engine.upsertVectorIndex(job.jobName, p,
+          embedded.select(col("pkey"), col("embeddings")))
+      }
     } finally embedded.unpersist()
   }
 
@@ -78,8 +88,8 @@ object Realtime {
     * at-least-once; the MERGE makes replays idempotent (R5).
     */
   def start(engine: VectorizeEngine, jobName: String, stream: DataFrame,
-      checkpointDir: String, trigger: Trigger = Trigger.ProcessingTime("2 seconds"))
-      : StreamingQuery = {
+      checkpointDir: String, trigger: Trigger = Trigger.ProcessingTime("2 seconds"),
+      indexPath: Option[String] = None): StreamingQuery = {
     val job = engine.job(jobName).getOrElse(
       throw new IllegalArgumentException(s"unknown job: $jobName"))
     stream.writeStream
@@ -87,7 +97,7 @@ object Realtime {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        processBatch(engine, job, batch)
+        processBatch(engine, job, batch, indexPath)
       }
       .start()
   }
@@ -96,8 +106,8 @@ object Realtime {
     * whatever accumulated since the last run.
     */
   def runAvailableNow(engine: VectorizeEngine, jobName: String, stream: DataFrame,
-      checkpointDir: String): StreamingQuery =
-    start(engine, jobName, stream, checkpointDir, Trigger.AvailableNow())
+      checkpointDir: String, indexPath: Option[String] = None): StreamingQuery =
+    start(engine, jobName, stream, checkpointDir, Trigger.AvailableNow(), indexPath)
 
   /** Windowed event-stream aggregation with watermarking — the
     * streaming-analytics shape (late data dropped after the

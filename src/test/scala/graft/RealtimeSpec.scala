@@ -88,6 +88,39 @@ class RealtimeSpec extends AnyFunSuite {
     assert(after == snapshotBefore, "replay must reproduce identical embeddings")
   }
 
+  test("streaming CDC keeps the ANN index fresh (indexPath hook)") {
+    val inputDir = TestSpark.tempDir("graft_rtidx_in_")
+    val checkpoint = TestSpark.tempDir("graft_rtidx_ckpt_")
+    val wh = TestSpark.tempDir("graft_rtidx_wh_")
+    val idxPath = TestSpark.tempDir("graft_rtidx_idx_")
+    val engine = new VectorizeEngine(spark, wh,
+      embeddingProviderOverride = Some(new providers.DeterministicHashProvider(64)))
+    engine.registerSource("content", Fixtures.contentTable(spark, Seq.empty))
+    engine.createJob(VectorizeJob("rt_idx", "content", Seq("content"), "id",
+      Some("updated_at"), Model.parseUnsafe("deterministic/hash-64")))
+    val streamDir = s"$inputDir/stream"
+    def stream = spark.readStream
+      .schema("id INT, content STRING, updated_at TIMESTAMP")
+      .parquet(streamDir)
+
+    // batch 1 seeds the store, then the index builds once
+    writeBatch(inputDir, "stream", Seq((1, "pizza", 1L), (2, "pencil", 2L)))
+    val q1 = Realtime.runAvailableNow(engine, "rt_idx", stream, checkpoint)
+    assert(q1.awaitTermination(60000))
+    engine.buildVectorIndex("rt_idx", idxPath)
+
+    // batch 2 streams WITH the maintenance hook: a new row must be
+    // probe-able without any rebuild call
+    writeBatch(inputDir, "stream", Seq((7, "apples and apple trees", 10L)))
+    val q2 = Realtime.runAvailableNow(engine, "rt_idx", stream, checkpoint,
+      indexPath = Some(idxPath))
+    assert(q2.awaitTermination(60000))
+    val hit = engine.probeVectorIndex("rt_idx", idxPath,
+      engine.encode("rt_idx", "apples and apple trees"), k = 1).collect()
+    assert(hit.length == 1 && hit.head.getAs[Long]("id") == 7L,
+      "streamed row must be live in the index")
+  }
+
   test("append-method job: streamed rows land in the wide table and are searchable") {
     val inputDir = TestSpark.tempDir("graft_rta_in_")
     val checkpoint = TestSpark.tempDir("graft_rta_ckpt_")
