@@ -76,73 +76,15 @@ object Hnsw {
       if (layer < ls.length) ls(layer) else Array.emptyIntArray
     }
 
-    /** Best-first ef-bounded search at one layer (Algorithm 2).
-      * Returns up to ef (node, sim) pairs, best first.
-      */
+    /** Best-first ef-bounded search at one layer (Algorithm 2). */
     private[operators] def searchLayer(q: Array[Float],
-        entryPoints: Seq[(Int, Double)], ef: Int, layer: Int): Seq[(Int, Double)] = {
-      val visited = new java.util.BitSet(size)
-      // candidates: best (highest sim) first; results: worst first so
-      // the bound is O(1) to read. Ties break on node index for
-      // determinism.
-      implicit val byBest: Ordering[(Int, Double)] =
-        Ordering.by { case (n, s) => (s, -n) }
-      val candidates = mutable.PriorityQueue.empty[(Int, Double)](byBest)
-      val results = mutable.PriorityQueue.empty[(Int, Double)](byBest.reverse)
-      entryPoints.foreach { case (n, s) =>
-        if (!visited.get(n)) {
-          visited.set(n); candidates.enqueue((n, s)); results.enqueue((n, s))
-        }
-      }
-      while (results.size > ef) results.dequeue()
-      var done = false
-      while (!done && candidates.nonEmpty) {
-        val (c, cSim) = candidates.dequeue()
-        if (results.size >= ef && cSim < results.head._2) done = true
-        else {
-          val ns = adj(c, layer)
-          var i = 0
-          while (i < ns.length) {
-            val nb = ns(i)
-            if (!visited.get(nb)) {
-              visited.set(nb)
-              val s = cosine(q, nb)
-              if (results.size < ef || s > results.head._2) {
-                candidates.enqueue((nb, s))
-                results.enqueue((nb, s))
-                if (results.size > ef) results.dequeue()
-              }
-            }
-            i += 1
-          }
-        }
-      }
-      results.dequeueAll.reverse.toSeq
-    }
+        entryPoints: Seq[(Int, Double)], ef: Int, layer: Int): Seq[(Int, Double)] =
+      Hnsw.layerSearch(size, adj(_, _).toSeq, cosine(q, _), entryPoints, ef, layer)
 
     /** Greedy descent through layers above `toLayer` (ef = 1). */
     private[operators] def descend(q: Array[Float], from: (Int, Double),
-        fromLayer: Int, toLayer: Int): (Int, Double) = {
-      var ep = from
-      var lc = fromLayer
-      while (lc > toLayer) {
-        var changed = true
-        while (changed) {
-          changed = false
-          val ns = adj(ep._1, lc)
-          var i = 0
-          while (i < ns.length) {
-            val s = cosine(q, ns(i))
-            if (s > ep._2 || (s == ep._2 && ns(i) < ep._1)) {
-              ep = (ns(i), s); changed = true
-            }
-            i += 1
-          }
-        }
-        lc -= 1
-      }
-      ep
-    }
+        fromLayer: Int, toLayer: Int): (Int, Double) =
+      Hnsw.greedyDescend(adj(_, _).toSeq, cosine(q, _), from, fromLayer, toLayer)
 
     /** Top-k by cosine (Algorithm 5). */
     def search(q: Array[Float], k: Int, ef: Int): Seq[(Long, Double)] = {
@@ -151,6 +93,66 @@ object Hnsw {
       searchLayer(q, Seq(ep), math.max(ef, k), 0)
         .take(k).map { case (n, s) => (ids(n), s) }
     }
+  }
+
+  /** Algorithm 2 over ANY adjacency representation — shared by the
+    * frozen Graph (immutable arrays) and the build loop (mutable
+    * buffers), so the two can never drift. candidates: best (highest
+    * sim) first; results: worst first so the ef bound is O(1) to
+    * read. Ties break on node index for determinism.
+    */
+  private[operators] def layerSearch(n: Int, adj: (Int, Int) => Seq[Int],
+      sim: Int => Double, entryPoints: Seq[(Int, Double)], ef: Int,
+      layer: Int): Seq[(Int, Double)] = {
+    implicit val byBest: Ordering[(Int, Double)] =
+      Ordering.by { case (nd, s) => (s, -nd) }
+    val visited = new java.util.BitSet(n)
+    val candidates = mutable.PriorityQueue.empty[(Int, Double)](byBest)
+    val results = mutable.PriorityQueue.empty[(Int, Double)](byBest.reverse)
+    entryPoints.foreach { case (nd, s) =>
+      if (!visited.get(nd)) {
+        visited.set(nd); candidates.enqueue((nd, s)); results.enqueue((nd, s))
+      }
+    }
+    while (results.size > ef) results.dequeue()
+    var done = false
+    while (!done && candidates.nonEmpty) {
+      val (c, cSim) = candidates.dequeue()
+      if (results.size >= ef && cSim < results.head._2) done = true
+      else adj(c, layer).foreach { nb =>
+        if (!visited.get(nb)) {
+          visited.set(nb)
+          val s2 = sim(nb)
+          if (results.size < ef || s2 > results.head._2) {
+            candidates.enqueue((nb, s2)); results.enqueue((nb, s2))
+            if (results.size > ef) results.dequeue()
+          }
+        }
+      }
+    }
+    results.dequeueAll.reverse.toSeq
+  }
+
+  /** Greedy ef=1 descent (upper layers of Algorithms 2/5), shared
+    * like [[layerSearch]]. Lower node index wins similarity ties.
+    */
+  private[operators] def greedyDescend(adj: (Int, Int) => Seq[Int],
+      sim: Int => Double, from: (Int, Double), fromLayer: Int,
+      toLayer: Int): (Int, Double) = {
+    var ep = from
+    var lc = fromLayer
+    while (lc > toLayer) {
+      var changed = true
+      while (changed) {
+        changed = false
+        adj(ep._1, lc).foreach { nb =>
+          val s = sim(nb)
+          if (s > ep._2 || (s == ep._2 && nb < ep._1)) { ep = (nb, s); changed = true }
+        }
+      }
+      lc -= 1
+    }
+    ep
   }
 
   private def splitmix64(x0: Long): Long = {
@@ -207,57 +209,12 @@ object Hnsw {
       kept.toSeq
     }
 
-    // search helpers over the MUTABLE adjacency (the final Graph's
-    // immutable ones can't exist until the build finishes)
+    // search over the MUTABLE adjacency (the final Graph's immutable
+    // arrays can't exist until the build finishes) — same shared
+    // Algorithm-2 implementation the frozen Graph delegates to
     def adjB(node: Int, layer: Int): Seq[Int] = {
       val ls = nbrs(node)
       if (layer < ls.length) ls(layer).toSeq else Seq.empty
-    }
-    def descendB(q: Array[Float], from: (Int, Double), fromLayer: Int,
-        toLayer: Int): (Int, Double) = {
-      var ep = from; var lc = fromLayer
-      while (lc > toLayer) {
-        var changed = true
-        while (changed) {
-          changed = false
-          adjB(ep._1, lc).foreach { nb =>
-            val s = dist.cosine(q, nb)
-            if (s > ep._2 || (s == ep._2 && nb < ep._1)) { ep = (nb, s); changed = true }
-          }
-        }
-        lc -= 1
-      }
-      ep
-    }
-    def searchLayerB(q: Array[Float], eps: Seq[(Int, Double)], ef: Int,
-        layer: Int): Seq[(Int, Double)] = {
-      implicit val byBest: Ordering[(Int, Double)] =
-        Ordering.by { case (n2, s2) => (s2, -n2) }
-      val visited = new java.util.BitSet(n)
-      val candidates = mutable.PriorityQueue.empty[(Int, Double)](byBest)
-      val results = mutable.PriorityQueue.empty[(Int, Double)](byBest.reverse)
-      eps.foreach { case (nd, s) =>
-        if (!visited.get(nd)) {
-          visited.set(nd); candidates.enqueue((nd, s)); results.enqueue((nd, s))
-        }
-      }
-      while (results.size > ef) results.dequeue()
-      var done = false
-      while (!done && candidates.nonEmpty) {
-        val (c, cSim) = candidates.dequeue()
-        if (results.size >= ef && cSim < results.head._2) done = true
-        else adjB(c, layer).foreach { nb =>
-          if (!visited.get(nb)) {
-            visited.set(nb)
-            val s = dist.cosine(q, nb)
-            if (results.size < ef || s > results.head._2) {
-              candidates.enqueue((nb, s)); results.enqueue((nb, s))
-              if (results.size > ef) results.dequeue()
-            }
-          }
-        }
-      }
-      results.dequeueAll.reverse.toSeq
     }
 
     var entry = 0
@@ -267,11 +224,11 @@ object Hnsw {
       val q = vecs(i)
       val l = levels(i)
       var ep = (entry, dist.cosine(q, entry))
-      if (maxLevel > l) ep = descendB(q, ep, maxLevel, l)
+      if (maxLevel > l) ep = greedyDescend(adjB, dist.cosine(q, _), ep, maxLevel, l)
       var eps: Seq[(Int, Double)] = Seq(ep)
       var lc = math.min(l, maxLevel)
       while (lc >= 0) {
-        val w = searchLayerB(q, eps, efConstruction, lc)
+        val w = layerSearch(n, adjB, dist.cosine(q, _), eps, efConstruction, lc)
         val mmax = if (lc == 0) 2 * m else m
         selectHeuristic(w, m).foreach { s =>
           nbrs(i)(lc) += s
