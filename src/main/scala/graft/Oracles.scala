@@ -743,6 +743,40 @@ object Oracles {
          |SELECT vec_id AS id, round(cos, 4) AS cos FROM top
          |ORDER BY round(cos, 4) DESC, vec_id ASC""".stripMargin,
 
+    // two-stage quantized top-k: integer-cosine ranking replayed
+    // bit-exactly over the dumped int8 codes (per-vector scales
+    // cancel in cosine, so ranking is pure integer sums + one double
+    // division), then the usual exact-cosine rescore of the window.
+    "ann_quantized_topk" ->
+      s"""WITH qq AS (
+         |  SELECT qcodes FROM read_parquet('__AUX__/quant_aux_query.parquet')),
+         |c AS (
+         |  SELECT vec_id, q8 FROM read_parquet('__AUX__/quant_aux_codes.parquet')),
+         |scored AS (
+         |  SELECT c.vec_id,
+         |    list_sum(list_transform(range(1, len(c.q8) + 1),
+         |      i -> CAST(c.q8[i] AS BIGINT) * CAST(q.qcodes[i] AS BIGINT))) AS dot,
+         |    list_sum(list_transform(c.q8,
+         |      x -> CAST(x AS BIGINT) * CAST(x AS BIGINT))) AS na,
+         |    list_sum(list_transform(q.qcodes,
+         |      x -> CAST(x AS BIGINT) * CAST(x AS BIGINT))) AS nb
+         |  FROM c CROSS JOIN qq q),
+         |qcos AS (
+         |  SELECT vec_id,
+         |    CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) AS qc
+         |  FROM scored WHERE na > 0 AND nb > 0),
+         |cand AS (
+         |  SELECT vec_id FROM qcos
+         |  ORDER BY qc DESC, vec_id ASC LIMIT ${Queries.quantRescoreWindow}),
+         |rescored AS (
+         |  SELECT e.vec_id, ${cosSql("e")} AS cos
+         |  FROM embeddings e JOIN cand USING (vec_id)),
+         |top AS (
+         |  SELECT vec_id, cos FROM rescored WHERE cos IS NOT NULL
+         |  ORDER BY cos DESC, vec_id ASC LIMIT ${Queries.annTopK})
+         |SELECT vec_id AS id, round(cos, 4) AS cos FROM top
+         |ORDER BY round(cos, 4) DESC, vec_id ASC""".stripMargin,
+
     // HNSW batch-kNN: per-query exact top-k over the dumped candidate
     // pairs, self-matches excluded like the engine's filter.
     "ann_hnsw_knn_join" ->

@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.GraftFunctions._
-import graft.operators.{Ann, AsOf, Dedup, Hnsw, Multimodal, Pipeline, RangeJoin, Search, TextIndex}
+import graft.operators.{Ann, AsOf, Dedup, Hnsw, Multimodal, Pipeline, Quantize, RangeJoin, Search, TextIndex}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -755,6 +755,22 @@ object Queries {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** ANN: two-stage int8-quantized top-k (operators/Quantize) — rank
+    * on integer cosine over 4×-smaller codes, exact-rescore a
+    * 100-candidate window. Oracled end to end: the integer ranking
+    * stage replays bit-exactly in DuckDB over the dumped codes
+    * (integer sums have no summation-order hazards), the rescore is
+    * the usual exact-cosine replay.
+    */
+  private[graft] val quantRescoreWindow = 100
+  def annQuantizedTopK(spark: SparkSession, dir: String): DataFrame = {
+    val qv = queryVec(spark, dir)
+    Quantize.quantizedTopK(t(spark, dir, "embeddings"), "vec_id", "embedding",
+        qv, k = annTopK, window = quantRescoreWindow)
+      .select(col("id"), round(col("cos"), 4).as("cos"))
+      .orderBy(col("cos").desc, col("id").asc)
+  }
+
   /** Minimum ROUNDED quality score for pipeline_corpus admission —
     * gate on the rounded value so the Spark and DuckDB sides compare
     * bit-identical numbers at the boundary (raw doubles could differ
@@ -1473,6 +1489,17 @@ object Queries {
           k = annTopK, ef = annHnswEf)
         .select(col("id").as("vec_id")),
       s"$outDir/ann_hnsw_candidates.parquet")
+    // int8 quantization codes (corpus + query) — the JVM quantizer is
+    // QuantizeSpec-covered; the oracle replays the integer ranking +
+    // exact rescore relationally over these
+    writeSingleParquet(
+      t(spark, dir, "embeddings")
+        .select(col("vec_id"), Quantize.quantize(col("embedding")).as("q8")),
+      s"$outDir/quant_aux_codes.parquet")
+    writeSingleParquet(
+      Seq(Tuple1(Quantize.quantizeVec(qv.toSeq).toSeq)).toDF("qcodes"),
+      s"$outDir/quant_aux_query.parquet")
+
     // engine-store HNSW probe candidates (pre-merge union) for the
     // index-backed vz_semantic_indexed oracle
     writeSingleParquet(
@@ -1617,6 +1644,7 @@ object Queries {
     "ann_ivf_topk" -> (annIvfTopK _),
     "ann_hnsw_topk" -> (annHnswTopK _),
     "ann_hnsw_knn_join" -> (annHnswKnnJoin _),
+    "ann_quantized_topk" -> (annQuantizedTopK _),
     "ann_knn_join" -> (annKnnJoin _),
     "ann_knn_join_indexed" -> (annKnnJoinIndexed _),
     "pipeline_corpus" -> (pipelineCorpus _),

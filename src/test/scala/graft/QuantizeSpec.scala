@@ -1,0 +1,75 @@
+package graft
+
+import graft.operators.{Ann, Quantize}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** int8 scalar quantization: reconstruction error bound, the
+  * scale-cancels-in-cosine property the integer ranking relies on,
+  * column/driver parity of the integer cosine, and end-to-end recall
+  * of the two-stage (quantized rank → exact rescore) top-k.
+  */
+class QuantizeSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.01"
+  private lazy val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+  private lazy val qv: Array[Float] =
+    emb.filter(col("vec_id") === 0).select("embedding").head().getSeq[Float](0).toArray
+
+  test("reconstruction error is within half a quantization step") {
+    val rng = new scala.util.Random(7)
+    (1 to 50).foreach { _ =>
+      val v = Array.fill(32)((rng.nextFloat() - 0.5f) * 20f)
+      val q = Quantize.quantizeVec(v.toSeq)
+      val maxAbs = v.map(math.abs).max
+      val scale = maxAbs / 127f
+      v.zip(q).foreach { case (x, c) =>
+        assert(math.abs(x - c * scale) <= scale / 2 + 1e-5,
+          s"value $x reconstructed as ${c * scale}")
+        assert(c >= -127 && c <= 127)
+      }
+    }
+    assert(Quantize.quantizeVec(Seq(0f, 0f)).forall(_ == 0))
+    assert(Quantize.quantizeVec(Seq.empty).isEmpty)
+    assert(Quantize.quantizeVec(null).isEmpty)
+  }
+
+  test("int8Cosine column equals driver-side integer math") {
+    import spark.implicits._
+    val rows = emb.limit(20).select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val qCodes = Quantize.quantizeVec(qv.toSeq)
+    val fromCol = rows.toSeq.toDF("vec_id", "embedding")
+      .select(col("vec_id"),
+        Quantize.int8Cosine(Quantize.quantize(col("embedding")),
+          typedLit(qCodes.toSeq)).as("qc"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    rows.foreach { case (id, v) =>
+      val c = Quantize.quantizeVec(v)
+      val dot = c.zip(qCodes).map { case (a, b) => a.toLong * b.toLong }.sum
+      val na = c.map(x => x.toLong * x.toLong).sum
+      val nb = qCodes.map(x => x.toLong * x.toLong).sum
+      val want = dot.toDouble / (math.sqrt(na.toDouble) * math.sqrt(nb.toDouble))
+      assert(fromCol(id) == want, s"vec $id")
+    }
+  }
+
+  test("two-stage quantized top-k recovers the exact top-20 (recall >= 0.95)") {
+    val exact = Ann.bruteForceTopK(emb, "vec_id", "embedding", qv, 20)
+      .collect().map(_.getAs[Long]("id")).toSet
+    val got = Quantize.quantizedTopK(emb, "vec_id", "embedding", qv, k = 20)
+      .collect().map(_.getAs[Long]("id")).toSet
+    val recall = got.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.95, s"recall@20 = $recall after int8 rank + rescore")
+    // rescored values are EXACT cosines: the surviving ids must score
+    // identically to brute force
+    val exactScores = Ann.bruteForceTopK(emb, "vec_id", "embedding", qv, 20)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Double]("cos")).toMap
+    Quantize.quantizedTopK(emb, "vec_id", "embedding", qv, k = 20).collect()
+      .foreach { r =>
+        val id = r.getAs[Long]("id")
+        exactScores.get(id).foreach(e => assert(r.getAs[Double]("cos") == e))
+      }
+  }
+}
