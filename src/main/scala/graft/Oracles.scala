@@ -352,6 +352,44 @@ object Oracles {
        |SELECT vec_id AS id, round(cos, 4) AS cos FROM top
        |ORDER BY round(cos, 4) DESC, vec_id ASC""".stripMargin
 
+  /** Two-stage quantized top-k replay: integer-cosine ranking over
+    * the int8 codes produced by `candCodesSql` (bit-exact — integer
+    * sums have no summation-order hazards, and per-vector scales
+    * cancel in cosine), window cut at full integer precision, then
+    * the usual exact-cosine rescore. `candCodesSql` selects
+    * (vec_id, q8) — the full dumped corpus for the brute-force form,
+    * cell-restricted for the IVF form.
+    */
+  private def quantTopKSql(candCodesSql: String): String =
+    s"""WITH qq AS (
+       |  SELECT qcodes FROM read_parquet('__AUX__/quant_aux_query.parquet')),
+       |c AS (
+       |  $candCodesSql),
+       |scored AS (
+       |  SELECT c.vec_id,
+       |    list_sum(list_transform(range(1, len(c.q8) + 1),
+       |      i -> CAST(c.q8[i] AS BIGINT) * CAST(q.qcodes[i] AS BIGINT))) AS dot,
+       |    list_sum(list_transform(c.q8,
+       |      x -> CAST(x AS BIGINT) * CAST(x AS BIGINT))) AS na,
+       |    list_sum(list_transform(q.qcodes,
+       |      x -> CAST(x AS BIGINT) * CAST(x AS BIGINT))) AS nb
+       |  FROM c CROSS JOIN qq q),
+       |qcos AS (
+       |  SELECT vec_id,
+       |    CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) AS qc
+       |  FROM scored WHERE na > 0 AND nb > 0),
+       |cand AS (
+       |  SELECT vec_id FROM qcos
+       |  ORDER BY qc DESC, vec_id ASC LIMIT ${Queries.quantRescoreWindow}),
+       |rescored AS (
+       |  SELECT e.vec_id, ${cosSql("e")} AS cos
+       |  FROM embeddings e JOIN cand USING (vec_id)),
+       |top AS (
+       |  SELECT vec_id, cos FROM rescored WHERE cos IS NOT NULL
+       |  ORDER BY cos DESC, vec_id ASC LIMIT ${Queries.annTopK})
+       |SELECT vec_id AS id, round(cos, 4) AS cos FROM top
+       |ORDER BY round(cos, 4) DESC, vec_id ASC""".stripMargin
+
   val sql: Map[String, String] = Map(
 
     "s1_delta_scan_join" ->
@@ -747,35 +785,18 @@ object Oracles {
     // bit-exactly over the dumped int8 codes (per-vector scales
     // cancel in cosine, so ranking is pure integer sums + one double
     // division), then the usual exact-cosine rescore of the window.
-    "ann_quantized_topk" ->
-      s"""WITH qq AS (
-         |  SELECT qcodes FROM read_parquet('__AUX__/quant_aux_query.parquet')),
-         |c AS (
-         |  SELECT vec_id, q8 FROM read_parquet('__AUX__/quant_aux_codes.parquet')),
-         |scored AS (
-         |  SELECT c.vec_id,
-         |    list_sum(list_transform(range(1, len(c.q8) + 1),
-         |      i -> CAST(c.q8[i] AS BIGINT) * CAST(q.qcodes[i] AS BIGINT))) AS dot,
-         |    list_sum(list_transform(c.q8,
-         |      x -> CAST(x AS BIGINT) * CAST(x AS BIGINT))) AS na,
-         |    list_sum(list_transform(q.qcodes,
-         |      x -> CAST(x AS BIGINT) * CAST(x AS BIGINT))) AS nb
-         |  FROM c CROSS JOIN qq q),
-         |qcos AS (
-         |  SELECT vec_id,
-         |    CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) AS qc
-         |  FROM scored WHERE na > 0 AND nb > 0),
-         |cand AS (
-         |  SELECT vec_id FROM qcos
-         |  ORDER BY qc DESC, vec_id ASC LIMIT ${Queries.quantRescoreWindow}),
-         |rescored AS (
-         |  SELECT e.vec_id, ${cosSql("e")} AS cos
-         |  FROM embeddings e JOIN cand USING (vec_id)),
-         |top AS (
-         |  SELECT vec_id, cos FROM rescored WHERE cos IS NOT NULL
-         |  ORDER BY cos DESC, vec_id ASC LIMIT ${Queries.annTopK})
-         |SELECT vec_id AS id, round(cos, 4) AS cos FROM top
-         |ORDER BY round(cos, 4) DESC, vec_id ASC""".stripMargin,
+    "ann_quantized_topk" -> quantTopKSql(
+      "SELECT vec_id, q8 FROM read_parquet('__AUX__/quant_aux_codes.parquet')"),
+
+    // quantized IVF probe: the same integer ranking + exact rescore,
+    // restricted first to the probed cells — composes the
+    // candidates-restricted IVF check with the bit-exact code replay.
+    "ann_ivf_quantized_topk" -> quantTopKSql(
+      s"""SELECT x.vec_id, x.q8
+         |  FROM read_parquet('__AUX__/quant_aux_codes.parquet') x
+         |  JOIN read_parquet('__AUX__/ann_ivf_cells.parquet') a USING (vec_id)
+         |  WHERE a.cell IN (
+         |    SELECT unnest(cells) FROM read_parquet('__AUX__/ann_ivf_probes.parquet'))""".stripMargin),
 
     // HNSW batch-kNN: per-query exact top-k over the dumped candidate
     // pairs, self-matches excluded like the engine's filter.

@@ -771,6 +771,22 @@ object Queries {
       .orderBy(col("cos").desc, col("id").asc)
   }
 
+  /** ANN: quantized IVF probe — cell pruning AND int8 ranking
+    * composed: the candidate pass reads only (vec_id, q8) from the
+    * probed cell partitions (4× fewer vector bytes than the float
+    * probe), then a broadcast join back to the same cells rescores
+    * the window with exact cosine. Oracle replays cell restriction +
+    * integer ranking + exact rescore relationally.
+    */
+  def annIvfQuantizedTopK(spark: SparkSession, dir: String): DataFrame = {
+    val qv = queryVec(spark, dir)
+    val path = ivfIndex(spark, dir)
+    Ann.probeIvfIndexQuantized(spark, path, "vec_id", "embedding", qv,
+        k = annTopK, nProbe = annIvfNProbe, window = quantRescoreWindow)
+      .select(col("id"), round(col("cos"), 4).as("cos"))
+      .orderBy(col("cos").desc, col("id").asc)
+  }
+
   /** Minimum ROUNDED quality score for pipeline_corpus admission —
     * gate on the rounded value so the Spark and DuckDB sides compare
     * bit-identical numbers at the boundary (raw doubles could differ
@@ -1645,6 +1661,7 @@ object Queries {
     "ann_hnsw_topk" -> (annHnswTopK _),
     "ann_hnsw_knn_join" -> (annHnswKnnJoin _),
     "ann_quantized_topk" -> (annQuantizedTopK _),
+    "ann_ivf_quantized_topk" -> (annIvfQuantizedTopK _),
     "ann_knn_join" -> (annKnnJoin _),
     "ann_knn_join_indexed" -> (annKnnJoinIndexed _),
     "pipeline_corpus" -> (pipelineCorpus _),

@@ -55,6 +55,43 @@ class QuantizeSpec extends AnyFunSuite {
     }
   }
 
+  test("quantized IVF probe: recall, exact rescore, pruned columns and cells") {
+    import graft.operators.Ann
+    val path = TestSpark.tempDir("graft_ivf_quant_")
+    Ann.buildIvfIndex(emb, "vec_id", "embedding", path, nCells = 16, iterations = 3)
+    val probe = Ann.probeIvfIndexQuantized(spark, path, "vec_id", "embedding",
+      qv, k = 20, nProbe = 8, window = 100)
+    // recall vs the FLOAT probe of the same cells: the int8 ranking +
+    // 100-wide rescore must not lose candidates the float scan keeps
+    val floatIds = Ann.probeIvfIndex(spark, path, "vec_id", "embedding", qv,
+      k = 20, nProbe = 8).collect().map(_.getAs[Long]("id")).toSet
+    val gotRows = probe.collect()
+    val got = gotRows.map(_.getAs[Long]("id")).toSet
+    assert(got.intersect(floatIds).size >= 18,
+      s"quantized IVF recall vs float IVF: ${got.intersect(floatIds).size}/20")
+    // surviving ids carry EXACT cosines (the rescore is not quantized)
+    val exactScores = Ann.probeIvfIndex(spark, path, "vec_id", "embedding", qv,
+        k = 200, nProbe = 8)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Double]("cos")).toMap
+    gotRows.foreach { r =>
+      exactScores.get(r.getAs[Long]("id"))
+        .foreach(e => assert(r.getAs[Double]("cos") == e))
+    }
+    val plan = probe.queryExecution.executedPlan.toString
+    // the RANKING scan must read codes, not vectors: some FileScan's
+    // ReadSchema has q8 without the float embedding column
+    val rankScanPruned = "ReadSchema: [^\n]*q8".r.findAllIn(plan)
+      .exists(s => !s.contains("embedding"))
+    assert(rankScanPruned,
+      s"ranking scan must prune the float vector column, plan was:\n$plan")
+    // both scans prune to the probed cell partitions
+    assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(plan).isDefined,
+      s"quantized probe must push a cell PartitionFilter, plan was:\n$plan")
+    // the window→rescore join must broadcast the 100-row candidate set
+    assert(plan.contains("BroadcastHashJoin"),
+      s"rescore join must broadcast the window candidates, plan was:\n$plan")
+  }
+
   test("two-stage quantized top-k recovers the exact top-20 (recall >= 0.95)") {
     val exact = Ann.bruteForceTopK(emb, "vec_id", "embedding", qv, 20)
       .collect().map(_.getAs[Long]("id")).toSet
