@@ -111,6 +111,7 @@ class ScaleSpec extends AnyFunSuite {
       "dedup_clusters_star" -> (salted1, salted10),
       "ann_lsh_topk" -> (verb1, verb10),
       "ann_hnsw_topk" -> (verb1, verb10),
+      "ann_ivf_quantized_topk" -> (verb1, verb10),
       "f4_postings_rank_cd" -> (verb1, verb10),
       "r_asof_join" -> (verb1, verb10))
     dirs = Map("salted1" -> salted1, "salted10" -> salted10,
@@ -154,6 +155,12 @@ class ScaleSpec extends AnyFunSuite {
     assertSubQuadratic("ann_hnsw_topk")
   }
 
+  test("quantized IVF probe scales sub-quadratically to 10x", ScaleTest) {
+    // cells grow 10x denser but the probe still reads only nProbe
+    // cells' (id, q8) columns + a window-sized rescore
+    assertSubQuadratic("ann_ivf_quantized_topk")
+  }
+
   test("postings rank probe scales sub-quadratically to 10x", ScaleTest) {
     assertSubQuadratic("f4_postings_rank_cd")
   }
@@ -187,6 +194,14 @@ class ScaleSpec extends AnyFunSuite {
       assert("PartitionFilters: \\[[^\\]]*bucket".r.findFirstIn(plan).isDefined,
         s"$q lost its bucket PartitionFilters at 10x:\n$plan")
     }
+    // the quantized IVF probe must still prune cells AND keep the
+    // float vector column out of its ranking scan at 10x
+    val qplan = SparkEntry.queries("ann_ivf_quantized_topk")(spark, v10)
+      .queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(qplan).isDefined,
+      s"quantized IVF probe lost its cell PartitionFilters at 10x:\n$qplan")
+    assert("ReadSchema: [^\n]*q8".r.findAllIn(qplan).exists(s => !s.contains("embedding")),
+      s"quantized IVF ranking scan reads float vectors at 10x:\n$qplan")
     // the as-of core must still be ONE hash shuffle, no join node
     val events = spark.read.parquet(s"$v10/events.parquet")
     val purchases = events.filter(col("event_type") === "purchase")
