@@ -634,6 +634,41 @@ object Oracles {
         |  COUNT(*) OVER (PARTITION BY nh) AS group_size
         |FROM h ORDER BY doc_id""".stripMargin,
 
+    // C4-style span dedup replay: same non-overlapping 3-token spans
+    // (list_slice end-index = start+len-1 mirrors Spark slice's
+    // length), keep-first by (doc_id, span_idx) via row_number — the
+    // same total order as the engine's min-struct window — and
+    // ordered string_agg reassembly. unnest(range(n)) drops
+    // token-less docs, but the final join back to documents restores
+    // them with the engine's empty-text/zero-count row.
+    "dedup_spans" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, $toksSql AS toks FROM documents),
+         |idx AS (
+         |  SELECT doc_id, toks,
+         |    unnest(range(CAST(ceil(len(toks) / ${Queries.spanDedupTokens}.0) AS BIGINT))) AS span_idx
+         |  FROM toks),
+         |spans AS (
+         |  SELECT doc_id, span_idx,
+         |    array_to_string(list_slice(toks,
+         |      span_idx * ${Queries.spanDedupTokens} + 1,
+         |      span_idx * ${Queries.spanDedupTokens} + ${Queries.spanDedupTokens}), ' ') AS span
+         |  FROM idx),
+         |kept AS (
+         |  SELECT doc_id, span_idx, span,
+         |    row_number() OVER (PARTITION BY span ORDER BY doc_id, span_idx) = 1 AS keep
+         |  FROM spans),
+         |agg AS (
+         |  SELECT doc_id,
+         |    string_agg(CASE WHEN keep THEN span END, ' ' ORDER BY span_idx) AS clean_text,
+         |    count(CASE WHEN keep THEN 1 END) AS n_kept,
+         |    count(CASE WHEN NOT keep THEN 1 END) AS n_removed
+         |  FROM kept GROUP BY doc_id)
+         |SELECT d.doc_id, coalesce(a.clean_text, '') AS clean_text,
+         |  coalesce(a.n_kept, 0) AS n_kept, coalesce(a.n_removed, 0) AS n_removed
+         |FROM documents d LEFT JOIN agg a USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
+
     // Rare-gram inverted-index blocking (mirrors
     // Dedup.rareGramJaccardPairs): candidates share ≥1 bigram with
     // document frequency in [2, 20]; exact Jaccard verified on the

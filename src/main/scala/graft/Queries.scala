@@ -471,6 +471,18 @@ object Queries {
       .select(col("doc_id"), col("canonical_id"), col("group_size"))
       .orderBy(col("doc_id"))
 
+  /** C4-style duplicate-span removal: every 3-token span occurring
+    * more than once in the corpus keeps only its first occurrence
+    * (ordered by doc, position); docs are reassembled from surviving
+    * spans. Two shuffles total (span-hash window-min + doc
+    * reassembly).
+    */
+  private[graft] val spanDedupTokens = 3
+  def dedupSpans(spark: SparkSession, dir: String): DataFrame =
+    Dedup.spanDedup(t(spark, dir, "documents"), "doc_id", "text",
+        spanTokens = spanDedupTokens)
+      .orderBy(col("doc_id"))
+
   /** N-gram (bigram) Jaccard near-dup pairs via rare-gram inverted-
     * index blocking (df ≤ 20) — the scale-safe standalone similarity
     * self-join: candidate buckets are bounded by the df cap, never by
@@ -1650,6 +1662,7 @@ object Queries {
     "r_asof_join" -> (rAsofJoin _),
     "r_interval_join" -> (rIntervalJoin _),
     "dedup_exact" -> (dedupExact _),
+    "dedup_spans" -> (dedupSpans _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_embedding_cos" -> (dedupEmbeddingCos _),
     "dedup_minhash_lsh" -> (dedupMinHashLsh _),

@@ -42,6 +42,64 @@ object Dedup {
       .drop("__norm_hash")
   }
 
+  /** C4-style duplicate-span removal (Raffel et al. 2020 §2.2 dedup
+    * any three-sentence span occurring more than once; CCNet's
+    * paragraph-hash dedup is the same shape at paragraph grain): cut
+    * each document into consecutive NON-overlapping spans of
+    * `spanTokens` tokens, drop every occurrence of a span that
+    * appears elsewhere in the corpus except the first (ordered by
+    * (doc, position)), and reassemble each document from its
+    * surviving spans in order. Returns one row per input document:
+    * (idCol, clean_text, n_kept, n_removed).
+    *
+    * Scale shape: exactly two shuffles — a window-min over the span
+    * hash picks the canonical occurrence (the exactCanonical pattern
+    * at span grain; span keys are high-cardinality, per-key work is
+    * one span's occurrence list), then a groupBy doc for ordered
+    * reassembly, whose collected list is bounded by the document's
+    * own span count. No join, no cross product; spans are
+    * non-overlapping so the exploded row count is |tokens|/spanTokens,
+    * not |tokens|·spanTokens.
+    */
+  def spanDedup(docs: DataFrame, idCol: String, textCol: String,
+      spanTokens: Int = 3): DataFrame = {
+    require(spanTokens >= 1, s"spanTokens must be >= 1, got $spanTokens")
+    val toksCol =
+      filter(split(lower(coalesce(col(textCol), lit(""))), "[^a-z0-9]+"),
+        x => x =!= "")
+    // __toks is materialized BEFORE the transform lambda reads it —
+    // HOF lambdas re-evaluate child expressions per element
+    val base = docs.select(col(idCol).as("__id"), toksCol.as("__toks"))
+    val nSpans = ceil(size(col("__toks")) / lit(spanTokens.toDouble)).cast("int")
+    val spansArr = when(size(col("__toks")) === 0,
+        array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), nSpans - 1),
+        i => array_join(slice(col("__toks"), i * spanTokens + 1, lit(spanTokens)), " ")))
+    // posexplode_outer keeps token-less documents as a null-span row,
+    // so every input doc survives to the output
+    val exploded = base
+      .withColumn("__spans", spansArr)
+      .select(col("__id"),
+        posexplode_outer(col("__spans")).as(Seq("span_idx", "span")))
+    val w = Window.partitionBy(md5(col("span")))
+    exploded
+      .withColumn("__first",
+        min(struct(col("__id").as("d"), col("span_idx").as("p"))).over(w))
+      .withColumn("__keep", col("span").isNotNull &&
+        col("__first.d") === col("__id") && col("__first.p") === col("span_idx"))
+      .groupBy(col("__id"))
+      .agg(
+        array_sort(collect_list(when(col("__keep"),
+          struct(col("span_idx").as("i"), col("span").as("s"))))).as("__kept"),
+        count(when(col("__keep"), lit(1))).as("n_kept"),
+        count(when(!col("__keep") && col("span").isNotNull, lit(1)))
+          .as("n_removed"))
+      .select(col("__id").as(idCol),
+        concat_ws(" ", transform(col("__kept"), s => s.getField("s")))
+          .as("clean_text"),
+        col("n_kept"), col("n_removed"))
+  }
+
   /** MinHash+LSH near-dup candidates: shingle → k-perm MinHash
     * signature → band buckets → equi-join within buckets → verified
     * by exact shingle Jaccard (Broder 1997 / LSH banding as in

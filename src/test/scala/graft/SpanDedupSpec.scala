@@ -1,0 +1,74 @@
+package graft
+
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** C4-style span dedup: keep-first semantics at corpus and
+  * within-document grain, ordered reassembly, and survival of
+  * token-less documents.
+  */
+class SpanDedupSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  private def run(rows: Seq[(Long, String)], spanTokens: Int = 3) = {
+    import spark.implicits._
+    Dedup.spanDedup(rows.toDF("doc_id", "text"), "doc_id", "text", spanTokens)
+      .orderBy(col("doc_id"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+  }
+
+  test("duplicate span keeps only its first (doc, position) occurrence") {
+    val out = run(Seq(
+      (1L, "a b c x y z"), // spans: "a b c", "x y z"
+      (2L, "a b c q r s"), // "a b c" duplicates doc 1 span 0
+      (3L, "q r s a b c"))) // both spans already seen
+    assert(out(0) == (1L, "a b c x y z", 2L, 0L))
+    assert(out(1) == (2L, "q r s", 1L, 1L))
+    assert(out(2) == (3L, "", 0L, 2L))
+  }
+
+  test("within-document duplicate spans are removed after the first") {
+    val out = run(Seq((7L, "a b c a b c a b c")))
+    assert(out(0) == (7L, "a b c", 1L, 2L))
+  }
+
+  test("partial tail span dedups like any other span") {
+    val out = run(Seq(
+      (1L, "a b c d"), // spans "a b c", "d"
+      (2L, "d"))) // tail span of doc 1 already used "d"
+    assert(out(0) == (1L, "a b c d", 2L, 0L))
+    assert(out(1) == (2L, "", 0L, 1L))
+  }
+
+  test("token-less and null documents survive with empty clean text") {
+    val out = run(Seq((1L, ""), (2L, "!!! ???"), (3L, null), (4L, "k l m")))
+    assert(out.length == 4)
+    assert(out(0) == (1L, "", 0L, 0L))
+    assert(out(1) == (2L, "", 0L, 0L))
+    assert(out(2) == (3L, "", 0L, 0L))
+    assert(out(3) == (4L, "k l m", 1L, 0L))
+  }
+
+  test("reassembly preserves original span order") {
+    // doc 2's duplicate sits in the MIDDLE; survivors re-join in
+    // position order around the hole
+    val out = run(Seq(
+      (1L, "m n o"),
+      (2L, "x y z m n o p q r")))
+    assert(out(1) == (2L, "x y z p q r", 2L, 1L))
+  }
+
+  test("exactly two hash exchanges (span window + doc reassembly)") {
+    import spark.implicits._
+    val df = Dedup.spanDedup(
+      Seq((1L, "a b c"), (2L, "d e f")).toDF("doc_id", "text"),
+      "doc_id", "text", 3)
+    val plan = df.queryExecution.executedPlan.toString
+    val n = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(n == 2, s"expected 2 hash exchanges, got $n:\n$plan")
+    assert(!plan.contains("Join"), s"span dedup must not plan a join:\n$plan")
+  }
+}
