@@ -823,6 +823,36 @@ object Oracles {
     "ann_quantized_topk" -> quantTopKSql(
       "SELECT vec_id, q8 FROM read_parquet('__AUX__/quant_aux_codes.parquet')"),
 
+    // PQ ADC replay: per-vector score = sum over subspaces of the
+    // dumped lookup-table entry at (s, code_s), summed as DECIMAL so
+    // addition order cannot diverge from the engine's decimal fold;
+    // window cut on the exact decimal-sum double, then the usual
+    // exact-cosine rescore.
+    "ann_pq_topk" ->
+      s"""WITH codes AS (
+         |  SELECT vec_id, pq FROM read_parquet('__AUX__/pq_aux_codes.parquet')
+         |  WHERE pq IS NOT NULL),
+         |terms AS (
+         |  SELECT c.vec_id, t.v
+         |  FROM (SELECT vec_id, unnest(range(1, ${Queries.pqM} + 1)) AS i, pq
+         |        FROM codes) c
+         |  JOIN read_parquet('__AUX__/pq_aux_table.parquet') t
+         |    ON t.s = c.i - 1 AND t.c = CAST(c.pq[c.i] AS INT)),
+         |scores AS (
+         |  SELECT vec_id, CAST(SUM(CAST(v AS DECIMAL(28,12))) AS DOUBLE) AS adc
+         |  FROM terms GROUP BY vec_id),
+         |cand AS (
+         |  SELECT vec_id FROM scores
+         |  ORDER BY adc DESC, vec_id ASC LIMIT ${Queries.quantRescoreWindow}),
+         |rescored AS (
+         |  SELECT e.vec_id, ${cosSql("e")} AS cos
+         |  FROM embeddings e JOIN cand USING (vec_id)),
+         |top AS (
+         |  SELECT vec_id, cos FROM rescored WHERE cos IS NOT NULL
+         |  ORDER BY cos DESC, vec_id ASC LIMIT ${Queries.annTopK})
+         |SELECT vec_id AS id, round(cos, 4) AS cos FROM top
+         |ORDER BY round(cos, 4) DESC, vec_id ASC""".stripMargin,
+
     // quantized IVF probe: the same integer ranking + exact rescore,
     // restricted first to the probed cells — composes the
     // candidates-restricted IVF check with the bit-exact code replay.

@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.GraftFunctions._
-import graft.operators.{Ann, AsOf, Dedup, Hnsw, Multimodal, Pipeline, Quantize, RangeJoin, Search, TextIndex}
+import graft.operators.{Ann, AsOf, Dedup, Hnsw, Multimodal, Pipeline, Pq, Quantize, RangeJoin, Search, TextIndex}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -682,6 +682,26 @@ object Queries {
       p
     })
 
+  private val pqIndexCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Build-once persisted PQ index (same CREATE INDEX treatment as
+    * IVF/LSH/HNSW): m=8 one-byte codes per 64-dim vector (32×
+    * compression of the ranking scan), k=32 centroids per subspace —
+    * production would use k=256; 32 keeps the oracle's dumped
+    * codebook table small while reaching recall@20 ≥ 0.95 on the
+    * near-uniform synthetic vectors (k=16 measured 0.85 — no cluster
+    * structure to exploit, PQ's worst case).
+    */
+  private[graft] val pqM = 8
+  private[graft] val pqK = 32
+  private def pqIndex(spark: SparkSession, dir: String): String =
+    pqIndexCache.computeIfAbsent(cacheKey(spark, dir), { _ =>
+      val p = java.nio.file.Files.createTempDirectory("graft_pq_").toString
+      Pq.buildPqIndex(t(spark, dir, "embeddings"), "vec_id", "embedding",
+        p, m = pqM, k = pqK, iterations = 3)
+      p
+    })
+
   private val lshIndexCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** Build-once persisted LSH index (same CREATE INDEX treatment as
@@ -778,6 +798,22 @@ object Queries {
   def annQuantizedTopK(spark: SparkSession, dir: String): DataFrame = {
     val qv = queryVec(spark, dir)
     Quantize.quantizedTopK(t(spark, dir, "embeddings"), "vec_id", "embedding",
+        qv, k = annTopK, window = quantRescoreWindow)
+      .select(col("id"), round(col("cos"), 4).as("cos"))
+      .orderBy(col("cos").desc, col("id").asc)
+  }
+
+  /** ANN: product-quantization ADC top-k over a persisted PQ index —
+    * the ranking scan reads 8 one-byte codes per vector (32× fewer
+    * bytes than float32), scores via an m×16 driver-built lookup
+    * table with decimal-summed terms (addition-order-independent, so
+    * the DuckDB replay over dumped codes+table is bit-exact), then
+    * exact-rescores the 100-candidate window.
+    */
+  def annPqTopK(spark: SparkSession, dir: String): DataFrame = {
+    val qv = queryVec(spark, dir)
+    val path = pqIndex(spark, dir)
+    Pq.adcTopK(spark, path, t(spark, dir, "embeddings"), "vec_id", "embedding",
         qv, k = annTopK, window = quantRescoreWindow)
       .select(col("id"), round(col("cos"), 4).as("cos"))
       .orderBy(col("cos").desc, col("id").asc)
@@ -1528,6 +1564,19 @@ object Queries {
       Seq(Tuple1(Quantize.quantizeVec(qv.toSeq).toSeq)).toDF("qcodes"),
       s"$outDir/quant_aux_query.parquet")
 
+    // PQ codes + the query's ADC lookup table — the oracle replays
+    // the decimal-summed table-lookup ranking bit-exactly over these,
+    // then the usual exact-cosine rescore
+    val pqPath = pqIndex(spark, dir)
+    writeSingleParquet(spark.read.parquet(s"$pqPath/codes"),
+      s"$outDir/pq_aux_codes.parquet")
+    val pqTable = Pq.adcTable(qv, Pq.loadCodebooks(spark, pqPath))
+    writeSingleParquet(
+      pqTable.zipWithIndex.flatMap { case (row, s) =>
+        row.zipWithIndex.map { case (v, c) => (s, c, v) }
+      }.toSeq.toDF("s", "c", "v"),
+      s"$outDir/pq_aux_table.parquet")
+
     // engine-store HNSW probe candidates (pre-merge union) for the
     // index-backed vz_semantic_indexed oracle
     writeSingleParquet(
@@ -1621,6 +1670,7 @@ object Queries {
   def prepare(spark: SparkSession, dir: String): Unit = {
     ephemeralEngine(spark, dir)
     ivfIndex(spark, dir)
+    pqIndex(spark, dir)
     lshIndex(spark, dir)
     hnswIndex(spark, dir)
     vzVectorIndex(spark, dir)
@@ -1675,6 +1725,7 @@ object Queries {
     "ann_hnsw_knn_join" -> (annHnswKnnJoin _),
     "ann_quantized_topk" -> (annQuantizedTopK _),
     "ann_ivf_quantized_topk" -> (annIvfQuantizedTopK _),
+    "ann_pq_topk" -> (annPqTopK _),
     "ann_knn_join" -> (annKnnJoin _),
     "ann_knn_join_indexed" -> (annKnnJoinIndexed _),
     "pipeline_corpus" -> (pipelineCorpus _),
