@@ -112,6 +112,7 @@ class ScaleSpec extends AnyFunSuite {
       "ann_lsh_topk" -> (verb1, verb10),
       "ann_hnsw_topk" -> (verb1, verb10),
       "ann_ivf_quantized_topk" -> (verb1, verb10),
+      "ann_pq_topk" -> (verb1, verb10),
       "f4_postings_rank_cd" -> (verb1, verb10),
       "r_asof_join" -> (verb1, verb10))
     dirs = Map("salted1" -> salted1, "salted10" -> salted10,
@@ -159,6 +160,12 @@ class ScaleSpec extends AnyFunSuite {
     // cells grow 10x denser but the probe still reads only nProbe
     // cells' (id, q8) columns + a window-sized rescore
     assertSubQuadratic("ann_ivf_quantized_topk")
+  }
+
+  test("PQ ADC ranking scales sub-quadratically to 10x", ScaleTest) {
+    // the ADC pass is a linear scan of m-byte codes; 10x codes =
+    // 10x lookups, and the rescore window stays fixed-size
+    assertSubQuadratic("ann_pq_topk")
   }
 
   test("postings rank probe scales sub-quadratically to 10x", ScaleTest) {
