@@ -593,24 +593,29 @@ final class VectorizeEngine(
       case IndexDist.PgvHnswL2 | IndexDist.PgvHnswIp | IndexDist.PgvHnswCosine =>
         Hnsw.buildHnswIndex(emb, "pkey", "embeddings", path)
       case IndexDist.VscDiskannCos =>
-        Ann.buildIvfIndex(emb, "pkey", "embeddings", path,
-          nCells = 16, iterations = 3)
+        // store only what probes read — (pkey, embeddings) — so
+        // refresh batches of the same shape can upsert cells directly
+        Ann.buildIvfIndex(emb.select(col("pkey"), col("embeddings")),
+          "pkey", "embeddings", path, nCells = 16, iterations = 3)
     }
   }
 
   /** Keep the job's vector index fresh after a refresh: `pgv_hnsw_*`
     * upserts at partition granularity (Hnsw.upsertHnswIndex — only
     * touched graph partitions rebuild, byte-identical to a full
-    * build); `vsc_diskann_cosine` rebuilds (IVF centroids move with
-    * the data). `changed` is the refreshed embeddings subset
-    * (pkey, embeddings), e.g. the rows a refreshJob batch upserted.
+    * build); `vsc_diskann_cosine` re-assigns changed rows against the
+    * FROZEN trained centroids and rewrites only the touched cell
+    * partitions (Ann.upsertIvfIndex — centroid drift is a rebuild
+    * decision, like a native REINDEX). `changed` is the refreshed
+    * embeddings subset (pkey, embeddings), e.g. the rows a refreshJob
+    * batch upserted.
     */
   def upsertVectorIndex(jobName: String, path: String, changed: DataFrame): Unit =
     jobs(jobName).indexDist match {
       case IndexDist.PgvHnswL2 | IndexDist.PgvHnswIp | IndexDist.PgvHnswCosine =>
         Hnsw.upsertHnswIndex(changed, "pkey", "embeddings", path)
       case IndexDist.VscDiskannCos =>
-        buildVectorIndex(jobName, path)
+        Ann.upsertIvfIndex(changed, "pkey", "embeddings", path)
     }
 
   /** Probe the index [[buildVectorIndex]] built for this job's hint:

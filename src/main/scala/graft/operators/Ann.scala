@@ -340,6 +340,52 @@ object Ann {
       .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
   }
 
+  /** Partition-granular IVF maintenance with FROZEN centroids — the
+    * production refresh pattern: re-running k-means and rewriting the
+    * whole assigned table per refresh batch is a non-starter at scale,
+    * so upserts keep the trained centroids, re-assign ONLY the changed
+    * rows, and dynamically overwrite ONLY the touched cell partitions
+    * (a row's old cell — pruned id-join — plus its new cell). Cost is
+    * O(touched cells' rows), the same granularity bound as the HNSW
+    * partition upsert. Centroid drift is a rebuild decision for the
+    * caller (buildIvfIndex), exactly like a native IVF index's
+    * REINDEX.
+    *
+    * `changed` must carry the index's stored data columns (idCol,
+    * vecCol, ...); rows with null vectors are ignored (no deletion,
+    * matching the HNSW upsert contract).
+    */
+  def upsertIvfIndex(changed: DataFrame, idCol: String, vecCol: String,
+      path: String): Unit = {
+    val spark = changed.sparkSession
+    val centroids = loadIvfCentroids(spark, path)
+    val assigned = spark.read.parquet(s"$path/assigned")
+    val dataCols = assigned.columns.filterNot(c => c == "cell" || c == "q8")
+    val fresh = assignCells(
+        changed.filter(col(vecCol).isNotNull)
+          .select(dataCols.map(col).toIndexedSeq: _*),
+        vecCol, centroids)
+      .withColumnRenamed("__cell", "cell")
+      .withColumn("q8", Quantize.quantize(col(vecCol)))
+    val ids = changed.select(col(idCol)).distinct()
+    val oldCells = assigned.join(broadcast(ids), Seq(idCol))
+      .select(col("cell")).distinct().collect().map(_.getInt(0))
+    val newCells = fresh.select(col("cell")).distinct().collect().map(_.getInt(0))
+    val touched = (oldCells ++ newCells).distinct.toIndexedSeq
+    if (touched.isEmpty) return
+    val replaced = assigned
+      .filter(col("cell").isin(touched: _*))
+      .join(broadcast(ids), Seq(idCol), "left_anti")
+      .unionByName(fresh.filter(col("cell").isin(touched: _*)))
+      .select(assigned.columns.map(col).toIndexedSeq: _*)
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "dynamic")
+    try replaced.write.partitionBy("cell").mode("overwrite")
+      .parquet(s"$path/assigned")
+    finally prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+  }
+
   /** Load the (driver-small) centroid table of a persisted index. */
   def loadIvfCentroids(spark: org.apache.spark.sql.SparkSession,
       path: String): Array[(Int, Array[Float])] =

@@ -240,6 +240,57 @@ class AnnSpec extends AnyFunSuite {
       s"index side must push the probe-key union into PartitionFilters:\n$plan")
   }
 
+  test("upsertIvfIndex: frozen-centroid reassignment, only touched cells rewritten") {
+    import spark.implicits._
+    val path = TestSpark.tempDir("graft_ivf_upsert_")
+    Ann.buildIvfIndex(emb, "vec_id", "embedding", path, nCells = 16, iterations = 3)
+    val centroids = Ann.loadIvfCentroids(spark, path)
+    // flip 5 vectors — cosine inverts, so cells all but certainly move
+    val changed = emb.filter(col("vec_id") < 5)
+      .withColumn("embedding", transform(col("embedding"), x => -x))
+    val changedAssign = Ann.assignCells(changed, "embedding", centroids)
+      .select(col("vec_id"), col("__cell")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val beforeAssign = Ann.assignCells(emb, "embedding", centroids)
+      .filter(col("vec_id") < 5)
+      .select(col("vec_id"), col("__cell")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val touched = (changedAssign.values ++ beforeAssign.values).toSet
+    val untouched = (0 until 16).toSet -- touched
+    assert(untouched.nonEmpty, "test needs at least one untouched cell")
+    def cellFiles(c: Int): Map[String, Long] = {
+      val d = new java.io.File(s"$path/assigned/cell=$c")
+      if (!d.exists()) Map.empty
+      else d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified()).toMap
+    }
+    val before = untouched.map(c => c -> cellFiles(c)).toMap
+
+    Ann.upsertIvfIndex(changed, "vec_id", "embedding", path)
+
+    // 1) content equals a frozen-centroid assignment of the updated corpus
+    val expect = Ann.assignCells(
+        emb.filter(col("vec_id") >= 5).unionByName(changed),
+        "embedding", centroids)
+      .select(col("vec_id"), col("__cell")).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    val got = spark.read.parquet(s"$path/assigned")
+      .select(col("vec_id"), col("cell")).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(got == expect, "assigned table must equal frozen-centroid reassignment")
+    // 2) untouched cell partitions were not rewritten
+    untouched.foreach { c =>
+      assert(cellFiles(c) == before(c), s"untouched cell $c was rewritten")
+    }
+    // 3) the denormalized q8 codes track the new vectors (quantized
+    // probe stays consistent after maintenance)
+    val q8 = spark.read.parquet(s"$path/assigned")
+      .filter(col("vec_id") === 0).select(col("q8")).head().getSeq[Byte](0)
+    val newVec = changed.filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0)
+    assert(q8 == graft.operators.Quantize.quantizeVec(newVec).toSeq)
+  }
+
   test("empty index: knnJoin returns no rows; IVF build errors meaningfully") {
     import spark.implicits._
     val empty = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
