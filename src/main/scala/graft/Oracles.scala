@@ -853,6 +853,42 @@ object Oracles {
          |SELECT vec_id AS id, round(cos, 4) AS cos FROM top
          |ORDER BY round(cos, 4) DESC, vec_id ASC""".stripMargin,
 
+    // IVF-PQ (IVFADC) replay: probed cells only, score = the dumped
+    // per-cell query-dot constant + the decimal-folded residual
+    // lookup-table sum — the identical two doubles the engine adds —
+    // then the usual exact-cosine rescore of the window.
+    "ann_ivfpq_topk" ->
+      s"""WITH cc AS (
+         |  SELECT cell, qdot FROM read_parquet('__AUX__/ivfpq_aux_cells.parquet')),
+         |codes AS (
+         |  SELECT vec_id, cell, pq
+         |  FROM read_parquet('__AUX__/ivfpq_aux_codes.parquet')
+         |  WHERE pq IS NOT NULL AND cell IN (SELECT cell FROM cc)),
+         |terms AS (
+         |  SELECT c.vec_id, t.v
+         |  FROM (SELECT vec_id, unnest(range(1, ${Queries.pqM} + 1)) AS i, pq
+         |        FROM codes) c
+         |  JOIN read_parquet('__AUX__/ivfpq_aux_table.parquet') t
+         |    ON t.s = c.i - 1 AND t.c = CAST(c.pq[c.i] AS INT)),
+         |adc AS (
+         |  SELECT vec_id, CAST(SUM(CAST(v AS DECIMAL(28,12))) AS DOUBLE) AS adc
+         |  FROM terms GROUP BY vec_id),
+         |scores AS (
+         |  SELECT a.vec_id, a.adc + cc.qdot AS sc
+         |  FROM adc a JOIN codes k ON a.vec_id = k.vec_id
+         |  JOIN cc ON cc.cell = k.cell),
+         |cand AS (
+         |  SELECT vec_id FROM scores
+         |  ORDER BY sc DESC, vec_id ASC LIMIT ${Queries.quantRescoreWindow}),
+         |rescored AS (
+         |  SELECT e.vec_id, ${cosSql("e")} AS cos
+         |  FROM embeddings e JOIN cand USING (vec_id)),
+         |top AS (
+         |  SELECT vec_id, cos FROM rescored WHERE cos IS NOT NULL
+         |  ORDER BY cos DESC, vec_id ASC LIMIT ${Queries.annTopK})
+         |SELECT vec_id AS id, round(cos, 4) AS cos FROM top
+         |ORDER BY round(cos, 4) DESC, vec_id ASC""".stripMargin,
+
     // quantized IVF probe: the same integer ranking + exact rescore,
     // restricted first to the probed cells — composes the
     // candidates-restricted IVF check with the bit-exact code replay.

@@ -702,6 +702,19 @@ object Queries {
       p
     })
 
+  private val ivfPqIndexCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Build-once persisted IVF-PQ (IVFADC) index: coarse cells +
+    * residual PQ codes, same m/k as the flat PQ index.
+    */
+  private def ivfPqIndex(spark: SparkSession, dir: String): String =
+    ivfPqIndexCache.computeIfAbsent(cacheKey(spark, dir), { _ =>
+      val p = java.nio.file.Files.createTempDirectory("graft_ivfpq_").toString
+      Pq.buildIvfPqIndex(t(spark, dir, "embeddings"), "vec_id", "embedding",
+        p, nCells = 16, m = pqM, k = pqK, iterations = 3)
+      p
+    })
+
   private val lshIndexCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** Build-once persisted LSH index (same CREATE INDEX treatment as
@@ -815,6 +828,23 @@ object Queries {
     val path = pqIndex(spark, dir)
     Pq.adcTopK(spark, path, t(spark, dir, "embeddings"), "vec_id", "embedding",
         qv, k = annTopK, window = quantRescoreWindow)
+      .select(col("id"), round(col("cos"), 4).as("cos"))
+      .orderBy(col("cos").desc, col("id").asc)
+  }
+
+  /** ANN: IVF-PQ (IVFADC) probe — coarse cells prune the scan
+    * (PartitionFilters), residual PQ codes rank it (m bytes/vector),
+    * score = per-cell constant + decimal-folded lookup-table sum,
+    * then the exact rescore. nProbe=8 of 16 cells: the near-uniform
+    * synthetic vectors need wide probes (recall@20 = 0.9 measured;
+    * clustered real embeddings concentrate faster).
+    */
+  def annIvfPqTopK(spark: SparkSession, dir: String): DataFrame = {
+    val qv = queryVec(spark, dir)
+    val path = ivfPqIndex(spark, dir)
+    Pq.ivfPqTopK(spark, path, t(spark, dir, "embeddings"), "vec_id",
+        "embedding", qv, k = annTopK, nProbe = annIvfNProbe,
+        window = quantRescoreWindow)
       .select(col("id"), round(col("cos"), 4).as("cos"))
       .orderBy(col("cos").desc, col("id").asc)
   }
@@ -1577,6 +1607,27 @@ object Queries {
       }.toSeq.toDF("s", "c", "v"),
       s"$outDir/pq_aux_table.parquet")
 
+    // IVF-PQ auxes: codes with their cell, the residual ADC table,
+    // and the probed cells' query-dot constants — the oracle replays
+    // constant + decimal-folded lookups over exactly these
+    val ivfPqPath = ivfPqIndex(spark, dir)
+    writeSingleParquet(spark.read.parquet(s"$ivfPqPath/codes")
+        .select(col("vec_id"), col("cell").cast("int").as("cell"), col("pq")),
+      s"$outDir/ivfpq_aux_codes.parquet")
+    val ivfPqCoarse = spark.read.parquet(s"$ivfPqPath/coarse").collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+    val ivfPqCells = Ann.nearestCells(ivfPqCoarse, qv, annIvfNProbe)
+    writeSingleParquet(
+      Pq.cellConstants(qv, ivfPqCoarse, ivfPqCells).toSeq
+        .toDF("cell", "qdot"),
+      s"$outDir/ivfpq_aux_cells.parquet")
+    val ivfPqTable = Pq.adcTable(qv, Pq.loadCodebooks(spark, ivfPqPath))
+    writeSingleParquet(
+      ivfPqTable.zipWithIndex.flatMap { case (row, s) =>
+        row.zipWithIndex.map { case (v, c) => (s, c, v) }
+      }.toSeq.toDF("s", "c", "v"),
+      s"$outDir/ivfpq_aux_table.parquet")
+
     // engine-store HNSW probe candidates (pre-merge union) for the
     // index-backed vz_semantic_indexed oracle
     writeSingleParquet(
@@ -1671,6 +1722,7 @@ object Queries {
     ephemeralEngine(spark, dir)
     ivfIndex(spark, dir)
     pqIndex(spark, dir)
+    ivfPqIndex(spark, dir)
     lshIndex(spark, dir)
     hnswIndex(spark, dir)
     vzVectorIndex(spark, dir)
@@ -1726,6 +1778,7 @@ object Queries {
     "ann_quantized_topk" -> (annQuantizedTopK _),
     "ann_ivf_quantized_topk" -> (annIvfQuantizedTopK _),
     "ann_pq_topk" -> (annPqTopK _),
+    "ann_ivfpq_topk" -> (annIvfPqTopK _),
     "ann_knn_join" -> (annKnnJoin _),
     "ann_knn_join_indexed" -> (annKnnJoinIndexed _),
     "pipeline_corpus" -> (pipelineCorpus _),

@@ -147,6 +147,109 @@ object Pq {
     Codebooks(subDim, books)
   }
 
+  // ---------------------------------------------------------------
+  // IVF-PQ (IVFADC, Jégou et al. 2011 §IV): coarse cells prune the
+  // scan, PQ codes encode the RESIDUAL v - coarseCentroid(v). For
+  // dot-product scoring the two decompose exactly:
+  //   dot(q, v) ≈ dot(q, c_cell) + Σ_m table(m)(code_m)
+  // — a per-cell constant plus the same lookup-table sum as flat PQ,
+  // so probing reads nProbe cells' m-byte codes and touches no float
+  // vectors until the rescore. Residual encoding matters: residuals
+  // are small and cell-centered, so the same k centroids quantize
+  // them far better than raw vectors.
+  // ---------------------------------------------------------------
+
+  private def residUdf(coarse: Map[Int, Array[Float]]) =
+    udf((v: Seq[Float], cell: Int) =>
+      Option(v).map { vv =>
+        val c = coarse(cell)
+        vv.indices.map(i => vv(i) - c(i))
+      })
+
+  /** Build and persist an IVF-PQ index:
+    * `path/codes`     = (idCol, pq) partitioned by cell,
+    * `path/coarse`    = (cell, centroid),
+    * `path/codebooks` + `path/meta` as in [[buildPqIndex]] (trained
+    * on residuals). Training scans the corpus per subspace; at
+    * production scale both k-means stages run on a sample — the
+    * encode pass is the only full scan that matters.
+    */
+  def buildIvfPqIndex(emb: DataFrame, idCol: String, vecCol: String,
+      path: String, nCells: Int, m: Int, k: Int, iterations: Int = 3): Unit = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val coarse = Ann.ivfCentroids(emb, idCol, vecCol, nCells, iterations)
+    val resid = Ann.assignCells(emb, vecCol, coarse)
+      .withColumnRenamed("__cell", "cell")
+      .withColumn("__resid", residUdf(coarse.toMap)(col(vecCol), col("cell")))
+      .select(col(idCol), col("cell"), col("__resid"))
+      .persist()
+    try {
+      val cb = train(resid, idCol, "__resid", m, k, iterations)
+      resid.select(col(idCol), col("cell"),
+          encodeUdf(cb)(col("__resid")).as("pq"))
+        .write.partitionBy("cell").mode("overwrite").parquet(s"$path/codes")
+      coarse.toSeq.map { case (c, v) => (c, v.toSeq) }.toDF("cell", "centroid")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/coarse")
+      (for { s <- 0 until cb.m; c <- 0 until cb.k }
+        yield (s, c, cb.books(s)(c).toSeq))
+        .toDF("s", "c", "centroid")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
+      Seq(Tuple1(cb.subDim)).toDF("sub_dim")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    } finally resid.unpersist()
+  }
+
+  /** dot(q, centroid) per probed cell — the constant term of the
+    * IVFADC decomposition, driver-side over nProbe centroids.
+    */
+  def cellConstants(queryVec: Array[Float],
+      coarse: Array[(Int, Array[Float])], cells: Array[Int]): Map[Int, Double] = {
+    val byCell = coarse.toMap
+    cells.map { c =>
+      val v = byCell(c)
+      var d = 0.0; var i = 0
+      while (i < v.length) { d += queryVec(i).toDouble * v(i); i += 1 }
+      c -> d
+    }.toMap
+  }
+
+  /** IVF-PQ probe: nearest nProbe cells by coarse centroid
+    * (driver-side argmin), ADC over ONLY those cells' codes
+    * (PartitionFilters prune the rest; the scan reads m bytes per
+    * vector), per-cell constant added, window cut, exact rescore via
+    * broadcast join. The ranking score is a double sum of the
+    * decimal-folded table term and the dumped cell constant — both
+    * sides of the oracle compute the identical two doubles and add
+    * them once, so the cut is bit-exact.
+    */
+  def ivfPqTopK(spark: SparkSession, path: String, emb: DataFrame,
+      idCol: String, vecCol: String, queryVec: Array[Float],
+      k: Int, nProbe: Int = 4, window: Int = 100): DataFrame = {
+    val coarse = spark.read.parquet(s"$path/coarse").collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+    val cb = loadCodebooks(spark, path)
+    val probeCells = Ann.nearestCells(coarse, queryVec, nProbe)
+    val table = adcTable(queryVec, cb)
+    val consts = cellConstants(queryVec, coarse, probeCells)
+    val ranked = spark.read.parquet(s"$path/codes")
+      .filter(col("cell").isin(probeCells.toIndexedSeq: _*))
+      .select(col(idCol), col("cell"), adcScore(col("pq"), table).as("__adc"))
+      .filter(col("__adc").isNotNull)
+      .withColumn("__score",
+        col("__adc") + element_at(typedLit(consts), col("cell")))
+      .orderBy(col("__score").desc, col(idCol).asc)
+      .limit(window)
+      .select(col(idCol))
+    emb.join(broadcast(ranked), Seq(idCol))
+      .select(col(idCol).as("id"),
+        graft.functions.GraftFunctions.cosineSimilarity(col(vecCol), lit(queryVec))
+          .as("cos"))
+      .filter(col("cos").isNotNull)
+      .orderBy(col("cos").desc, col("id").asc)
+      .limit(k)
+  }
+
   /** Two-stage ADC top-k over a persisted PQ index: rank ALL codes by
     * table lookup (the scan reads m bytes per vector — 32× fewer than
     * float32 at m=8/dim=64), keep a `window` of candidates, rescore

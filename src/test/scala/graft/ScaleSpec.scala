@@ -113,6 +113,7 @@ class ScaleSpec extends AnyFunSuite {
       "ann_hnsw_topk" -> (verb1, verb10),
       "ann_ivf_quantized_topk" -> (verb1, verb10),
       "ann_pq_topk" -> (verb1, verb10),
+      "ann_ivfpq_topk" -> (verb1, verb10),
       "f4_postings_rank_cd" -> (verb1, verb10),
       "r_asof_join" -> (verb1, verb10))
     dirs = Map("salted1" -> salted1, "salted10" -> salted10,
@@ -166,6 +167,10 @@ class ScaleSpec extends AnyFunSuite {
     // the ADC pass is a linear scan of m-byte codes; 10x codes =
     // 10x lookups, and the rescore window stays fixed-size
     assertSubQuadratic("ann_pq_topk")
+  }
+
+  test("IVF-PQ probe scales sub-quadratically to 10x", ScaleTest) {
+    assertSubQuadratic("ann_ivfpq_topk")
   }
 
   test("postings rank probe scales sub-quadratically to 10x", ScaleTest) {
