@@ -61,6 +61,24 @@ class SpanDedupSpec extends AnyFunSuite {
     assert(out(1) == (2L, "x y z p q r", 2L, 1L))
   }
 
+  test("random corpus: matches a plain-Scala reference implementation") {
+    val rng = new scala.util.Random(11)
+    val vocab = Vector("a", "b", "c", "d", "e", "f")
+    val docs = (0L until 200L).map { id =>
+      id -> Seq.fill(rng.nextInt(30))(vocab(rng.nextInt(vocab.size))).mkString(" ")
+    }
+    // reference: first (doc, position) occurrence of each 3-token
+    // span survives, docs reassemble in position order
+    val seen = scala.collection.mutable.Set[String]()
+    val expect = docs.map { case (id, text) =>
+      val toks = text.split(" ").filter(_.nonEmpty)
+      val spans = toks.grouped(3).map(_.mkString(" ")).toSeq
+      val kept = spans.filter(s => seen.add(s))
+      (id, kept.mkString(" "), kept.size.toLong, (spans.size - kept.size).toLong)
+    }
+    assert(run(docs) sameElements expect)
+  }
+
   test("exactly two hash exchanges (span window + doc reassembly)") {
     import spark.implicits._
     val df = Dedup.spanDedup(
