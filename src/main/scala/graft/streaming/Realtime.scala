@@ -156,6 +156,33 @@ object Realtime {
         col(s"r_$tsCol") <= col(tsCol))
   }
 
+  /** Streaming first-seen document dedup — [[graft.operators.Dedup
+    * .exactCanonical]]'s streaming counterpart for a continuously
+    * ingested corpus: a document is emitted iff its normalized-text
+    * hash has not been seen within the watermark horizon; later
+    * duplicates (same batch, later batch, or after a checkpointed
+    * restart) are dropped. State is one compact row per distinct hash
+    * in the state store, EXPIRED past the event-time watermark via
+    * dropDuplicatesWithinWatermark — memory is bounded by
+    * distinct-rate × horizon, not stream history. Without `tsCol` the
+    * state never expires (exact global dedup; unbounded — pass a time
+    * column in production). On a batch frame this degenerates to
+    * dropDuplicates(hash), whose surviving row is arbitrary — batch
+    * pipelines should use exactCanonical's deterministic min-id pick;
+    * under streaming, first ARRIVAL is the deterministic choice.
+    */
+  def streamDedup(docs: DataFrame, textCol: String,
+      tsCol: Option[String] = None, horizon: String = "1 hour"): DataFrame = {
+    val norm = regexp_replace(lower(trim(col(textCol))), "\\s+", " ")
+    val hashed = docs.withColumn("__norm_hash", md5(norm))
+    (tsCol match {
+      case Some(t) if docs.isStreaming =>
+        hashed.withWatermark(t, horizon)
+          .dropDuplicatesWithinWatermark("__norm_hash")
+      case _ => hashed.dropDuplicates("__norm_hash")
+    }).drop("__norm_hash")
+  }
+
   /** Sessionization via session_window (gap-based) — the canonical
     * stateful-streaming operator beyond tumbling windows.
     */

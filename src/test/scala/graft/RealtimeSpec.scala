@@ -195,6 +195,47 @@ class RealtimeSpec extends AnyFunSuite {
       "streaming and batch interval enrich must agree")
   }
 
+  test("streaming first-seen dedup drops duplicates across batches and restarts") {
+    import spark.implicits._
+    val dir = TestSpark.tempDir("graft_sdd_")
+    val cp = TestSpark.tempDir("graft_sdd_cp_")
+    def write(rows: Seq[(Long, String, java.sql.Timestamp)], f: String): Unit =
+      rows.toDF("doc_id", "text", "ts")
+        .coalesce(1).write.mode("append").parquet(s"$dir/docs")
+    def stream = spark.readStream
+      .schema("doc_id LONG, text STRING, ts TIMESTAMP")
+      .parquet(s"$dir/docs")
+    val out = TestSpark.tempDir("graft_sdd_out_")
+    // file sink (memory sink cannot recover from a checkpoint): each
+    // run APPENDS only post-checkpoint rows; reads below are cumulative
+    def runOnce(): Unit = {
+      val q = Realtime.streamDedup(stream, "text", tsCol = Some("ts"))
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", cp)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(60000)
+    }
+    def survivors(): Seq[Long] = spark.read.parquet(out)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    // batch 1: 10 distinct docs + one IN-BATCH duplicate (id 20 = doc 0's
+    // text, later arrival by event time)
+    val base = (0L until 10L).map(i => (i, s"doc text $i", Fixtures.ts(i * 10)))
+    write(base :+ ((20L, "doc text 0", Fixtures.ts(500))), "1")
+    runOnce()
+    assert(survivors() == (0L until 10L),
+      "in-batch duplicate must be dropped")
+    // batch 2 AFTER a restart from the checkpoint: one cross-run
+    // duplicate (id 21 = doc 1's text) and one genuinely new doc
+    write(Seq((21L, "doc text 1", Fixtures.ts(600)),
+      (22L, "doc text NEW", Fixtures.ts(610))), "2")
+    runOnce()
+    assert(survivors() == ((0L until 10L) :+ 22L),
+      "checkpointed state must drop the cross-run duplicate, keep the new doc")
+  }
+
   test("streaming windowed counts equal the batch result (one code path)") {
     import spark.implicits._
     val events = (0 until 200).map { i =>
