@@ -1293,6 +1293,45 @@ object Oracles {
          |SELECT doc_id, lang, round(sim, 4) AS similarity_score
          |FROM hits ORDER BY similarity_score DESC, doc_id ASC""".stripMargin,
 
+    // quantized engine search: the bit-exact integer-ranking replay
+    // of the ann_quantized oracles applied to the ENGINE's store dump
+    // (string pkey ordering throughout, like vz_semantic_search),
+    // then the exact rescore against the dumped float store.
+    "vz_semantic_quantized" ->
+      s"""WITH qq AS (
+         |  SELECT qcodes FROM read_parquet('__AUX__/vz_aux_qcodes.parquet')),
+         |c AS (
+         |  SELECT pkey, q8 FROM read_parquet('__AUX__/vz_aux_codes.parquet')),
+         |scored AS (
+         |  SELECT c.pkey,
+         |    list_sum(list_transform(range(1, len(c.q8) + 1),
+         |      i -> CAST(c.q8[i] AS BIGINT) * CAST(q.qcodes[i] AS BIGINT))) AS dot,
+         |    list_sum(list_transform(c.q8,
+         |      x -> CAST(x AS BIGINT) * CAST(x AS BIGINT))) AS na,
+         |    list_sum(list_transform(q.qcodes,
+         |      x -> CAST(x AS BIGINT) * CAST(x AS BIGINT))) AS nb
+         |  FROM c CROSS JOIN qq q),
+         |qcos AS (
+         |  SELECT pkey,
+         |    CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) AS qc
+         |  FROM scored WHERE na > 0 AND nb > 0),
+         |cand AS (
+         |  SELECT pkey FROM qcos
+         |  ORDER BY qc DESC, pkey ASC LIMIT ${Queries.quantRescoreWindow}),
+         |resc AS (
+         |  SELECT e.pkey,
+         |    list_cosine_similarity(CAST(e.embeddings AS DOUBLE[]),
+         |      (SELECT CAST(qvec AS DOUBLE[])
+         |       FROM read_parquet('__AUX__/vz_aux_query.parquet'))) AS cos
+         |  FROM read_parquet('__AUX__/vz_aux_embeddings.parquet') e
+         |  JOIN cand USING (pkey)),
+         |top AS (
+         |  SELECT pkey, cos FROM resc WHERE cos IS NOT NULL
+         |  ORDER BY cos DESC, pkey ASC LIMIT 10)
+         |SELECT d.doc_id, d.lang, round(t.cos, 4) AS similarity_score
+         |FROM documents d JOIN top t ON CAST(d.doc_id AS VARCHAR) = t.pkey
+         |ORDER BY similarity_score DESC, doc_id ASC""".stripMargin,
+
     // index-backed semantic search: exact cosine top-10 over the
     // dumped probe-candidate union of the engine-store HNSW index,
     // joined back to documents — the candidates-restricted pattern of

@@ -1356,6 +1356,28 @@ object Queries {
       .orderBy(col("similarity_score").desc, col("doc_id").asc)
   }
 
+  /** Engine semantic search served through the int8 quantized
+    * two-stage rank over the engine's OWN embedding store —
+    * quantization as a drop-in serving accelerator for the flagship
+    * search (the ranking pass reads 4× fewer vector bytes), exact
+    * scores preserved by the rescore. Same output contract as
+    * vz_semantic_search; oracled by replaying the integer ranking
+    * over the dumped store codes + the exact rescore.
+    */
+  def vzSemanticQuantized(spark: SparkSession, dir: String): DataFrame = {
+    val engine = ephemeralEngine(spark, dir)
+    val emb = engine.store.read(engine.embTable("docs_job"))
+      .select(col("pkey"), col("embeddings"))
+    val qv = engine.encode("docs_job", vzQueryText)
+    val top = Quantize.quantizedTopK(emb, "pkey", "embeddings", qv,
+      k = 10, window = quantRescoreWindow)
+    t(spark, dir, "documents")
+      .join(top, col("doc_id").cast("string") === col("id"))
+      .select(col("doc_id"), col("lang"),
+        round(col("cos"), 4).as("similarity_score"))
+      .orderBy(col("similarity_score").desc, col("doc_id").asc)
+  }
+
   private val vzVectorIndexCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
@@ -1474,6 +1496,17 @@ object Queries {
         graft.functions.TextAnalyzer.queryLexemes(f2QueryText)))
         .toDF("qvec", "qlex", "rag_qvec", "f2_qlex"),
       s"$outDir/vz_aux_query.parquet")
+    // int8 codes of the STORE's vectors + the vz query — the
+    // vz_semantic_quantized oracle replays the integer ranking over
+    // these, then rescores against vz_aux_embeddings
+    writeSingleParquet(
+      engine.store.read(engine.embTable("docs_job"))
+        .select(col("pkey"), Quantize.quantize(col("embeddings")).as("q8")),
+      s"$outDir/vz_aux_codes.parquet")
+    writeSingleParquet(
+      Seq(Tuple1(Quantize.quantizeVec(
+        engine.encode("docs_job", vzQueryText).toSeq).toSeq)).toDF("qcodes"),
+      s"$outDir/vz_aux_qcodes.parquet")
     // per-doc stemmed lexeme arrays for the f2_tsvector_rank oracle —
     // same toTsvector UDF the query itself uses, so the oracle checks
     // the relational layer (match/rank/order/limit) over identical
@@ -1806,6 +1839,7 @@ object Queries {
     "f6_chunk_table" -> (f6ChunkTable _),
     "vz_semantic_search" -> (vzSemanticSearch _),
     "vz_semantic_indexed" -> (vzSemanticIndexed _),
+    "vz_semantic_quantized" -> (vzSemanticQuantized _),
     "vz_hybrid_search" -> (vzHybridSearch _),
     "vz_hybrid_bm25" -> (vzHybridBm25 _),
     "vz_rag" -> (vzRag _),
