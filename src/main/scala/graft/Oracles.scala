@@ -982,6 +982,44 @@ object Oracles {
     // decontamination vs the benchmark slice → deterministic
     // hash-threshold sample. Each stage replays the corresponding
     // standalone oracle's logic over the previous stage's output.
+    // C4-recipe composition: the quality CTE feeding the span-dedup
+    // replay (same keep-first row_number), docs with no surviving
+    // span dropped, per-language sums cast to BIGINT (DuckDB SUM of
+    // ints is HUGEINT).
+    "pipeline_c4" ->
+      s"""WITH q AS (${qualitySql("documents")}),
+         |qual AS (
+         |  SELECT d.doc_id, d.lang, d.text FROM documents d
+         |  JOIN q USING (doc_id)
+         |  WHERE q.quality >= ${Queries.corpusQualityFloor}),
+         |toks AS (SELECT doc_id, $toksSql AS toks FROM qual),
+         |idx AS (
+         |  SELECT doc_id, toks,
+         |    unnest(range(CAST(ceil(len(toks) / ${Queries.spanDedupTokens}.0) AS BIGINT))) AS span_idx
+         |  FROM toks),
+         |spans AS (
+         |  SELECT doc_id, span_idx,
+         |    array_to_string(list_slice(toks,
+         |      span_idx * ${Queries.spanDedupTokens} + 1,
+         |      span_idx * ${Queries.spanDedupTokens} + ${Queries.spanDedupTokens}), ' ') AS span
+         |  FROM idx),
+         |kept AS (
+         |  SELECT doc_id, span,
+         |    row_number() OVER (PARTITION BY span ORDER BY doc_id, span_idx) = 1 AS keep
+         |  FROM spans),
+         |aggd AS (
+         |  SELECT doc_id,
+         |    count(CASE WHEN keep THEN 1 END) AS n_kept,
+         |    count(CASE WHEN NOT keep THEN 1 END) AS n_removed,
+         |    coalesce(sum(CASE WHEN keep THEN len(string_split(span, ' ')) END), 0) AS toks_kept
+         |  FROM kept GROUP BY doc_id)
+         |SELECT l.lang, count(*) AS n_docs,
+         |  CAST(SUM(a.toks_kept) AS BIGINT) AS total_tokens,
+         |  CAST(SUM(a.n_removed) AS BIGINT) AS spans_removed
+         |FROM aggd a JOIN qual l USING (doc_id)
+         |WHERE a.n_kept > 0
+         |GROUP BY l.lang ORDER BY l.lang""".stripMargin,
+
     "pipeline_corpus" ->
       s"""WITH corpus AS (
          |  SELECT doc_id, lang, text FROM documents

@@ -912,6 +912,30 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
+  /** C4-recipe composition (quality gate → corpus-wide span dedup →
+    * per-language corpus stats): the end-to-end shape of a C4-style
+    * cleaning run, one lazy plan — the quality gate is per-row, span
+    * dedup contributes its two shuffles, the summary is one partial
+    * agg. Documents that lose every span leave the corpus, exactly as
+    * in C4.
+    */
+  def pipelineC4(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val qual = docs
+      .filter(round(qualityScore(col("text")), 4) >= corpusQualityFloor)
+      .select(col("doc_id"), col("lang"), col("text"))
+    val deduped = Dedup.spanDedup(qual, "doc_id", "text",
+      spanTokens = spanDedupTokens)
+    deduped.filter(col("n_kept") > 0)
+      .join(qual.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(filter(split(col("clean_text"), " "), x => x =!= "")))
+          .as("total_tokens"),
+        sum(col("n_removed")).as("spans_removed"))
+      .orderBy(col("lang"))
+  }
+
   /** Multimodal: binary-asset metadata (decode-free pushdown path). */
   def mmDescribe(spark: SparkSession, dir: String): DataFrame =
     Multimodal.describeAssets(
@@ -1815,6 +1839,7 @@ object Queries {
     "ann_knn_join" -> (annKnnJoin _),
     "ann_knn_join_indexed" -> (annKnnJoinIndexed _),
     "pipeline_corpus" -> (pipelineCorpus _),
+    "pipeline_c4" -> (pipelineC4 _),
     "mm_describe" -> (mmDescribe _),
     "mm_features" -> (mmFeatures _),
     "mm_frames" -> (mmFrames _),
