@@ -982,6 +982,53 @@ object Oracles {
     // decontamination vs the benchmark slice → deterministic
     // hash-threshold sample. Each stage replays the corresponding
     // standalone oracle's logic over the previous stage's output.
+    // Hard-negative mining replay: the knnJoin candidate construction
+    // re-ranked to the wider pool, candidate-pair bigram Jaccard via
+    // the shared bigrams CTE (LEFT joins + coalesce mirror the
+    // engine's empty-gram-set semantics), then the post-filter top-3.
+    "mine_hard_negatives" ->
+      s"""$bigramsCte,
+         |q AS (SELECT q_id, key FROM read_parquet('__AUX__/knn_q_probes.parquet')),
+         |x AS (SELECT x_id, key FROM read_parquet('__AUX__/knn_x_keys.parquet')),
+         |pairs AS (
+         |  SELECT q.q_id, x.x_id FROM q JOIN x USING (key)
+         |  WHERE q.q_id <> x.x_id),
+         |scored AS (
+         |  SELECT p.q_id, p.x_id,
+         |    list_cosine_similarity(CAST(eq.embedding AS DOUBLE[]),
+         |      CAST(ex.embedding AS DOUBLE[])) AS cos
+         |  FROM pairs p
+         |  JOIN embeddings eq ON eq.vec_id = p.q_id
+         |  JOIN embeddings ex ON ex.vec_id = p.x_id),
+         |pool AS (
+         |  SELECT q_id, x_id, cos FROM (
+         |    SELECT q_id, x_id, cos, row_number() OVER (PARTITION BY q_id
+         |      ORDER BY cos DESC, x_id ASC) AS r
+         |    FROM scored) WHERE r <= ${Queries.hardNegPool}),
+         |gsets AS (SELECT doc_id, count(*) AS n FROM bigrams GROUP BY 1),
+         |inter AS (
+         |  SELECT p.q_id, p.x_id, count(*) AS i
+         |  FROM pool p JOIN bigrams a ON a.doc_id = p.q_id
+         |  JOIN bigrams b ON b.doc_id = p.x_id AND b.g = a.g
+         |  GROUP BY p.q_id, p.x_id),
+         |jac AS (
+         |  SELECT p.q_id, p.x_id, p.cos,
+         |    CASE WHEN coalesce(gq.n, 0) + coalesce(gx.n, 0) - coalesce(i.i, 0) > 0
+         |      THEN CAST(coalesce(i.i, 0) AS DOUBLE) /
+         |           (coalesce(gq.n, 0) + coalesce(gx.n, 0) - coalesce(i.i, 0))
+         |      ELSE 0.0 END AS j
+         |  FROM pool p
+         |  LEFT JOIN inter i ON i.q_id = p.q_id AND i.x_id = p.x_id
+         |  LEFT JOIN gsets gq ON gq.doc_id = p.q_id
+         |  LEFT JOIN gsets gx ON gx.doc_id = p.x_id),
+         |ranked AS (
+         |  SELECT q_id, x_id, cos, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY cos DESC, x_id ASC) AS rank
+         |  FROM jac WHERE j < ${Queries.hardNegMaxJaccard})
+         |SELECT q_id, x_id, round(cos, 4) AS cos, rank
+         |FROM ranked WHERE rank <= ${Queries.hardNegK}
+         |ORDER BY q_id, rank""".stripMargin,
+
     // C4-recipe composition: the quality CTE feeding the span-dedup
     // replay (same keep-first row_number), docs with no surviving
     // span dropped, per-language sums cast to BIGINT (DuckDB SUM of

@@ -912,6 +912,42 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
+  /** Hard-negative mining for contrastive training (the DPR/ANCE
+    * recipe): for each query document, the top-3 embedding-nearest
+    * neighbors that are NOT near-duplicate text — close enough to be
+    * hard, lexically distinct enough (bigram Jaccard < 0.5) to be
+    * true negatives. Candidates come from the LSH-bucketed knnJoin
+    * pool (never all pairs); the Jaccard gate computes only on the
+    * |queries|·pool candidate pairs via two id-joins against the
+    * per-doc bigram sets, so the gate's cost is bounded by the pool,
+    * not the corpus.
+    */
+  private[graft] val hardNegPool = 10
+  private[graft] val hardNegK = 3
+  private[graft] val hardNegMaxJaccard = 0.5
+  def mineHardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val docs = t(spark, dir, "documents")
+    val cands = Ann.knnJoin(emb.filter(col("vec_id") < knnQueryMaxId), emb,
+      "vec_id", "embedding", k = hardNegPool, bits = knnJoinBits)
+    val grams = docs.select(col("doc_id"), Dedup.ngramSet(col("text"), 2).as("g"))
+    val jac = cands
+      .join(grams.select(col("doc_id").as("q_id"), col("g").as("gq")), Seq("q_id"))
+      .join(grams.select(col("doc_id").as("x_id"), col("g").as("gx")), Seq("x_id"))
+      .withColumn("__i", size(array_intersect(col("gq"), col("gx"))))
+      .withColumn("__u", size(col("gq")) + size(col("gx")) - col("__i"))
+      .withColumn("__j", when(col("__u") > 0,
+        col("__i").cast("double") / col("__u")).otherwise(lit(0.0)))
+    jac.filter(col("__j") < hardNegMaxJaccard)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("q_id"))
+          .orderBy(col("cos").desc, col("x_id").asc)))
+      .filter(col("rank") <= hardNegK)
+      .select(col("q_id"), col("x_id"), round(col("cos"), 4).as("cos"),
+        col("rank"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   /** C4-recipe composition (quality gate → corpus-wide span dedup →
     * per-language corpus stats): the end-to-end shape of a C4-style
     * cleaning run, one lazy plan — the quality gate is per-row, span
@@ -1840,6 +1876,7 @@ object Queries {
     "ann_knn_join_indexed" -> (annKnnJoinIndexed _),
     "pipeline_corpus" -> (pipelineCorpus _),
     "pipeline_c4" -> (pipelineC4 _),
+    "mine_hard_negatives" -> (mineHardNegatives _),
     "mm_describe" -> (mmDescribe _),
     "mm_features" -> (mmFeatures _),
     "mm_frames" -> (mmFrames _),
