@@ -42,6 +42,25 @@ class PlanSpec extends AnyFunSuite {
     assert(nHash <= 3, s"expected <=3 hash exchanges, got $nHash:\n$plan")
   }
 
+  test("pipeline_c4: span-dedup shuffles + lang agg, no sort-merge join") {
+    val plan = SparkEntry.queries("pipeline_c4")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin"),
+      s"pipeline_c4 must broadcast its lang join:\n$plan")
+    val n = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(n <= 3, s"expected <=3 hash exchanges (span window + doc " +
+      s"reassembly + lang agg), got $n:\n$plan")
+  }
+
+  test("mine_hard_negatives: pool-bounded gate joins broadcast, one shuffle") {
+    val plan = SparkEntry.queries("mine_hard_negatives")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("Cartesian"),
+      s"hard-negative gate must never shuffle-join the corpus:\n$plan")
+    val n = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(n <= 2, s"expected <=2 hash exchanges, got $n:\n$plan")
+  }
+
   test("semantic search (no post-filters): source joins a BROADCAST rank leg") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")

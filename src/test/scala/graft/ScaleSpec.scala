@@ -109,6 +109,7 @@ class ScaleSpec extends AnyFunSuite {
     val plan = Seq(
       "dedup_minhash_lsh" -> (salted1, salted10),
       "dedup_clusters_star" -> (salted1, salted10),
+      "dedup_spans" -> (salted1, salted10),
       "ann_lsh_topk" -> (verb1, verb10),
       "ann_hnsw_topk" -> (verb1, verb10),
       "ann_ivf_quantized_topk" -> (verb1, verb10),
@@ -144,6 +145,13 @@ class ScaleSpec extends AnyFunSuite {
 
   test("star connected components scale sub-quadratically to 10x", ScaleTest) {
     assertSubQuadratic("dedup_clusters_star")
+  }
+
+  test("span dedup scales sub-quadratically to 10x", ScaleTest) {
+    // salted replicas occupy disjoint span spaces, so the span-hash
+    // window partitions grow in COUNT, not size — per-key work stays
+    // one span's occurrence list
+    assertSubQuadratic("dedup_spans")
   }
 
   test("LSH index probe scales sub-quadratically to 10x", ScaleTest) {
