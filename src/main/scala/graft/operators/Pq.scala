@@ -114,7 +114,11 @@ object Pq {
   }
 
   // Seq[Byte] encodes as array<tinyint> (the HOF-addressable and
-  // DuckDB TINYINT[] shape); Array[Byte] would encode as BINARY
+  // DuckDB TINYINT[] shape); Array[Byte] would encode as BINARY.
+  // A UDF, deliberately: per-subspace argmin over m·k centroids is a
+  // tight driver-closure loop with no built-in equivalent short of
+  // m·k struct-least chains re-evaluating slices per comparison; it
+  // runs only at index build, never at probe time.
   private def encodeUdf(cb: Codebooks) =
     udf((v: Seq[Float]) => Option(encodeVec(v, cb)).map(_.toSeq))
 

@@ -45,7 +45,13 @@ object Quantize {
 
   // Seq[Byte] (not Array[Byte]): the array form encodes as BINARY,
   // which the zip_with/aggregate HOFs reject — the Seq encodes as
-  // array<tinyint>, the HOF-computable (and DuckDB TINYINT[]) shape
+  // array<tinyint>, the HOF-computable (and DuckDB TINYINT[]) shape.
+  // A UDF, deliberately: the built-in equivalent needs maxAbs inside
+  // the per-element transform lambda, and HOF lambdas re-evaluate
+  // child expressions per element — array_max × d elements = O(d²)
+  // arithmetic per vector vs this single pass. Encode runs at index
+  // BUILD (and in the documented scan-form baseline query); the
+  // indexed probes read persisted codes and stay UDF-free.
   val quantize = udf((v: Seq[Float]) => quantizeVec(v).toSeq)
 
   /** Integer cosine over two int8 code columns (array<tinyint>):
