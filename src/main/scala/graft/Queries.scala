@@ -763,6 +763,22 @@ object Queries {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** ANN: quantized batch kNN join — the knnJoin candidate generation
+    * with int8 codes flowing through the bucket join (4× fewer
+    * shuffle bytes both sides), integer-cosine pool cut, exact
+    * rescore of the pool pairs only (late materialization).
+    */
+  private[graft] val quantKnnPool = 20
+  def annKnnJoinQuantized(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    Ann.knnJoinQuantized(emb.filter(col("vec_id") < knnQueryMaxId), emb,
+        "vec_id", "embedding", k = knnJoinK, bits = knnJoinBits,
+        pool = quantKnnPool)
+      .select(col("q_id"), col("x_id"), round(col("cos"), 4).as("cos"),
+        col("rank"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   /** ANN: batch kNN join against the PERSISTED auto-bits LSH index —
     * same probe pattern as ann_knn_join, but the index side reads the
     * pre-bucketed table with the batch's probe-key union pushed into
@@ -1874,6 +1890,7 @@ object Queries {
     "ann_ivfpq_topk" -> (annIvfPqTopK _),
     "ann_knn_join" -> (annKnnJoin _),
     "ann_knn_join_indexed" -> (annKnnJoinIndexed _),
+    "ann_knn_join_quantized" -> (annKnnJoinQuantized _),
     "pipeline_corpus" -> (pipelineCorpus _),
     "pipeline_c4" -> (pipelineC4 _),
     "mine_hard_negatives" -> (mineHardNegatives _),

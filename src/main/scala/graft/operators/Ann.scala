@@ -525,6 +525,57 @@ object Ann {
       .select("q_id", "x_id", "cos", "rank")
   }
 
+  /** Quantized batch kNN join — the same LSH candidate generation as
+    * [[knnJoin]], but int8 codes flow through the bucket join instead
+    * of float vectors (4× fewer shuffle bytes on BOTH sides; in the
+    * join workload the candidate shuffle IS the scale cost), pairs
+    * rank by integer cosine to a per-query `pool`, and only those
+    * pool pairs late-materialize float vectors for the exact top-k
+    * rescore. Same output contract as knnJoin; degenerate (zero/null)
+    * vectors drop at the integer-ranking stage instead of ranking
+    * last, the one documented divergence.
+    */
+  def knnJoinQuantized(queries: DataFrame, index: DataFrame, idCol: String,
+      vecCol: String, k: Int, bits: Int = 6, seed: Long = 42L,
+      pool: Int = 20, excludeSelf: Boolean = true): DataFrame = {
+    val dimRow = index.select(size(col(vecCol))).limit(1).collect()
+    if (dimRow.isEmpty)
+      return queries.limit(0).select(col(idCol).as("q_id"))
+        .crossJoin(index.limit(0).select(col(idCol).as("x_id")))
+        .withColumn("cos", lit(0.0)).withColumn("rank", lit(0))
+    val planes = hyperplanes(bits, dimRow.head.getInt(0), seed)
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
+      .withColumn("__qkey", lshKey(col("q_vec"), planes))
+      .withColumn("__q8q", Quantize.quantize(col("q_vec")))
+      .withColumn("__lsh", explode(multiprobeKeyArray(col("__qkey"), bits)))
+      .select(col("q_id"), col("__q8q"), col("__lsh"))
+    val x = index.select(col(idCol).as("x_id"), col(vecCol).as("x_vec"))
+      .withColumn("__lsh", lshKey(col("x_vec"), planes))
+      .withColumn("__q8x", Quantize.quantize(col("x_vec")))
+      .select(col("x_id"), col("__q8x"), col("__lsh"))
+    val wQ = Window.partitionBy(col("q_id"))
+      .orderBy(col("__qcos").desc, col("x_id").asc)
+    val cand = q.join(x, Seq("__lsh"))
+      .filter(if (excludeSelf) col("q_id") =!= col("x_id") else lit(true))
+      .select(col("q_id"), col("x_id"),
+        Quantize.int8Cosine(col("__q8q"), col("__q8x")).as("__qcos"))
+      .filter(col("__qcos").isNotNull)
+      .withColumn("__r", row_number().over(wQ))
+      .filter(col("__r") <= pool)
+      .select(col("q_id"), col("x_id"))
+    val eq = queries.select(col(idCol).as("q_id"), col(vecCol).as("__qv"))
+    val ex = index.select(col(idCol).as("x_id"), col(vecCol).as("__xv"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("x_id").asc)
+    cand.join(eq, Seq("q_id")).join(ex, Seq("x_id"))
+      .select(col("q_id"), col("x_id"),
+        cosineSimilarity(col("__qv"), col("__xv")).as("cos"))
+      .filter(col("cos").isNotNull)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("q_id", "x_id", "cos", "rank")
+  }
+
   /** Batch kNN join against a PERSISTED LSH index: same semantics and
     * probe pattern as [[knnJoin]] (own bucket + every single-bit flip
     * per query), but the index side reads the pre-bucketed table

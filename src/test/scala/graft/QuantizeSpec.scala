@@ -92,6 +92,22 @@ class QuantizeSpec extends AnyFunSuite {
       s"rescore join must broadcast the window candidates, plan was:\n$plan")
   }
 
+  test("quantized kNN join: mean recall@5 >= 0.9 vs the exact knnJoin") {
+    import graft.operators.Ann
+    val queries = emb.filter(col("vec_id") < 50)
+    def pairs(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.collect().groupBy(_.getAs[Long]("q_id"))
+        .map { case (q, rs) => q -> rs.map(_.getAs[Long]("x_id")).toSet }
+    val exact = pairs(Ann.knnJoin(queries, emb, "vec_id", "embedding", k = 5))
+    val quant = pairs(Ann.knnJoinQuantized(queries, emb, "vec_id", "embedding",
+      k = 5, pool = 20))
+    val recalls = exact.map { case (q, ex) =>
+      quant.getOrElse(q, Set.empty).intersect(ex).size.toDouble / ex.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.9, s"quantized kNN join mean recall@5 = $mean")
+  }
+
   test("two-stage quantized top-k recovers the exact top-20 (recall >= 0.95)") {
     val exact = Ann.bruteForceTopK(emb, "vec_id", "embedding", qv, 20)
       .collect().map(_.getAs[Long]("id")).toSet
