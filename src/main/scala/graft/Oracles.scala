@@ -1423,6 +1423,28 @@ object Oracles {
          |SELECT doc_id, lang, round(sim, 4) AS similarity_score
          |FROM hits ORDER BY similarity_score DESC, doc_id ASC""".stripMargin,
 
+    // best-passage replay: cosine per dumped chunk vector, per-doc
+    // argmax (row_number, ties → earliest chunk), top-10 cut at full
+    // precision, presentation on the rounded score.
+    "passage_search" ->
+      s"""WITH q AS (
+         |  SELECT CAST(qvec AS DOUBLE[]) AS v
+         |  FROM read_parquet('__AUX__/passage_aux_query.parquet')),
+         |scored AS (
+         |  SELECT doc_id, chunk_idx,
+         |    list_cosine_similarity(CAST(cvec AS DOUBLE[]), (SELECT v FROM q)) AS cos
+         |  FROM read_parquet('__AUX__/passage_aux_chunks.parquet')),
+         |best AS (
+         |  SELECT doc_id, chunk_idx, cos,
+         |    row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY cos DESC, chunk_idx ASC) AS r
+         |  FROM scored WHERE cos IS NOT NULL),
+         |top AS (
+         |  SELECT doc_id, chunk_idx, cos FROM best WHERE r = 1
+         |  ORDER BY cos DESC, doc_id ASC LIMIT 10)
+         |SELECT doc_id, chunk_idx, round(cos, 4) AS best_cos FROM top
+         |ORDER BY best_cos DESC, doc_id ASC""".stripMargin,
+
     // quantized engine search: the bit-exact integer-ranking replay
     // of the ann_quantized oracles applied to the ENGINE's store dump
     // (string pkey ordering throughout, like vz_semantic_search),

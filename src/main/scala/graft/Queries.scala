@@ -1454,6 +1454,42 @@ object Queries {
       .orderBy(col("similarity_score").desc, col("doc_id").asc)
   }
 
+  /** Best-passage retrieval (the long-document serving pattern; the
+    * single-query-vector simplification of ColBERT-style MaxSim):
+    * chunk every document with the F6 chunker, embed each chunk,
+    * score chunks against the query vector, aggregate per document by
+    * MAX chunk similarity (ties → earliest chunk), return the top-10
+    * documents with their best passage. One explode + one doc-grain
+    * partial agg; at scale the chunk vectors are a persisted column
+    * (the chunk_table warehouse, F7), making the scan index-shaped.
+    * Oracled dump-and-replay: the chunk vectors dump and DuckDB
+    * replays the relational layer (cosine, per-doc argmax, top-k).
+    */
+  private[graft] val passageChunkChars = 80
+  def passageSearch(spark: SparkSession, dir: String): DataFrame = {
+    val provider = new graft.providers.DeterministicHashProvider(64)
+    val chunkUdf = udf((s: String) =>
+      chunkTextScala(s, passageChunkChars))
+    val embUdf = udf((s: String) => provider.embedOne(s).toSeq)
+    val qv = provider.embedOne(vzQueryText)
+    val best = t(spark, dir, "documents")
+      .select(col("doc_id"),
+        posexplode(chunkUdf(col("text"))).as(Seq("chunk_idx", "chunk")))
+      .select(col("doc_id"), col("chunk_idx"),
+        cosineSimilarity(embUdf(col("chunk")), lit(qv)).as("cos"))
+      .filter(col("cos").isNotNull)
+      .groupBy(col("doc_id"))
+      .agg(max(struct(col("cos").as("c"), (-col("chunk_idx")).as("ni"))).as("__b"))
+    best
+      .select(col("doc_id"), (-col("__b.ni")).as("chunk_idx"),
+        col("__b.c").as("cosF"))
+      .orderBy(col("cosF").desc, col("doc_id").asc)
+      .limit(10)
+      .select(col("doc_id"), col("chunk_idx"),
+        round(col("cosF"), 4).as("best_cos"))
+      .orderBy(col("best_cos").desc, col("doc_id").asc)
+  }
+
   private val vzVectorIndexCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
@@ -1572,6 +1608,24 @@ object Queries {
         graft.functions.TextAnalyzer.queryLexemes(f2QueryText)))
         .toDF("qvec", "qlex", "rag_qvec", "f2_qlex"),
       s"$outDir/vz_aux_query.parquet")
+    // passage chunks embedded (same chunker+provider as the query
+    // entry) + the query vector — the passage_search oracle replays
+    // cosine/argmax/top-k relationally over these
+    val passageProvider = new graft.providers.DeterministicHashProvider(64)
+    val passageChunkUdf = udf((s: String) =>
+      chunkTextScala(s, passageChunkChars))
+    val passageEmbUdf = udf((s: String) => passageProvider.embedOne(s).toSeq)
+    writeSingleParquet(
+      t(spark, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(passageChunkUdf(col("text"))).as(Seq("chunk_idx", "chunk")))
+        .select(col("doc_id"), col("chunk_idx"),
+          passageEmbUdf(col("chunk")).as("cvec")),
+      s"$outDir/passage_aux_chunks.parquet")
+    writeSingleParquet(
+      Seq(Tuple1(passageProvider.embedOne(vzQueryText).toSeq)).toDF("qvec"),
+      s"$outDir/passage_aux_query.parquet")
+
     // int8 codes of the STORE's vectors + the vz query — the
     // vz_semantic_quantized oracle replays the integer ranking over
     // these, then rescores against vz_aux_embeddings
@@ -1919,6 +1973,7 @@ object Queries {
     "vz_semantic_search" -> (vzSemanticSearch _),
     "vz_semantic_indexed" -> (vzSemanticIndexed _),
     "vz_semantic_quantized" -> (vzSemanticQuantized _),
+    "passage_search" -> (passageSearch _),
     "vz_hybrid_search" -> (vzHybridSearch _),
     "vz_hybrid_bm25" -> (vzHybridBm25 _),
     "vz_rag" -> (vzRag _),
