@@ -534,6 +534,14 @@ object Ann {
     * rescore. Same output contract as knnJoin; degenerate (zero/null)
     * vectors drop at the integer-ranking stage instead of ranking
     * last, the one documented divergence.
+    *
+    * Scale honesty (same situation as [[knnJoinIndexed]]): at sf0.1
+    * this measures SLOWER than the exact join — encoding both sides
+    * at query time costs more than the few-MB shuffle it saves. The
+    * crossover is where shuffle bytes dominate encode: production
+    * persists the code column next to the vectors (as buildIvfIndex
+    * does), making the candidate shuffle 4× lighter with no
+    * query-time encode at all.
     */
   def knnJoinQuantized(queries: DataFrame, index: DataFrame, idCol: String,
       vecCol: String, k: Int, bits: Int = 6, seed: Long = 42L,
