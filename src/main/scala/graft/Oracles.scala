@@ -1027,6 +1027,22 @@ object Oracles {
     // decontamination vs the benchmark slice → deterministic
     // hash-threshold sample. Each stage replays the corresponding
     // standalone oracle's logic over the previous stage's output.
+    // Deterministic split replay: same md5 thresholds, same token
+    // expression; SUM cast to BIGINT (DuckDB SUM of ints is HUGEINT).
+    "split_assign" ->
+      s"""WITH s AS (
+         |  SELECT lang,
+         |    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || '${Queries.splitSalt}'), 1, 4)
+         |           < '${Queries.splitTrainMax}' THEN 'train'
+         |         WHEN substr(md5(CAST(doc_id AS VARCHAR) || '${Queries.splitSalt}'), 1, 4)
+         |           < '${Queries.splitValMax}' THEN 'val'
+         |         ELSE 'test' END AS split,
+         |    len($toksSql) AS n_toks
+         |  FROM documents)
+         |SELECT split, lang, count(*) AS n_docs,
+         |  CAST(SUM(n_toks) AS BIGINT) AS total_tokens
+         |FROM s GROUP BY split, lang ORDER BY split, lang""".stripMargin,
+
     // Hard-negative mining replay: the knnJoin candidate construction
     // re-ranked to the wider pool, candidate-pair bigram Jaccard via
     // the shared bigrams CTE (LEFT joins + coalesce mirror the

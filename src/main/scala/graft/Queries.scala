@@ -928,6 +928,31 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
+  /** Deterministic train/validation/test assignment — hash-threshold
+    * split (the held-out recipe every training corpus needs):
+    * md5(doc_id + salt) routes each document to train (~90%) /
+    * val (~5%) / test (~5%). Assignment is a pure per-row function,
+    * so it is stable under corpus growth and re-runs — a document
+    * never migrates between splits because other rows changed.
+    * Returns the per-split × lang sanity report (doc and token
+    * totals) a split job emits.
+    */
+  private[graft] val splitSalt = ":split1"
+  private[graft] val splitTrainMax = "e666" // ~90% of 0000..ffff
+  private[graft] val splitValMax = "f333" // next ~5%
+  def splitAssign(spark: SparkSession, dir: String): DataFrame = {
+    val h = substring(md5(concat(col("doc_id").cast("string"), lit(splitSalt))), 1, 4)
+    val split = when(h < lit(splitTrainMax), lit("train"))
+      .when(h < lit(splitValMax), lit("val"))
+      .otherwise(lit("test"))
+    t(spark, dir, "documents")
+      .withColumn("split", split)
+      .groupBy(col("split"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(sqlTokens(col("text")))).as("total_tokens"))
+      .orderBy(col("split"), col("lang"))
+  }
+
   /** Hard-negative mining for contrastive training (the DPR/ANCE
     * recipe): for each query document, the top-3 embedding-nearest
     * neighbors that are NOT near-duplicate text — close enough to be
@@ -1948,6 +1973,7 @@ object Queries {
     "pipeline_corpus" -> (pipelineCorpus _),
     "pipeline_c4" -> (pipelineC4 _),
     "mine_hard_negatives" -> (mineHardNegatives _),
+    "split_assign" -> (splitAssign _),
     "mm_describe" -> (mmDescribe _),
     "mm_features" -> (mmFeatures _),
     "mm_frames" -> (mmFrames _),
