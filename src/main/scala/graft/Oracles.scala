@@ -1315,6 +1315,24 @@ object Oracles {
          |SELECT doc_id, n_hits FROM hits WHERE n_hits >= ${Queries.decontamMinOverlap}
          |ORDER BY doc_id""".stripMargin,
 
+    // per-eval-doc contamination report: pair counts over shared
+    // distinct bigrams (bench side % mod = 0), thresholded, then
+    // per-bench aggregation.
+    "contamination_report" ->
+      s"""$bigramsCte,
+         |pairs AS (
+         |  SELECT b.doc_id AS bid, c.doc_id AS cid, COUNT(*) AS shared
+         |  FROM bigrams b JOIN bigrams c ON b.g = c.g
+         |  WHERE b.doc_id % ${Queries.decontamMod} = 0
+         |    AND c.doc_id % ${Queries.decontamMod} <> 0
+         |  GROUP BY 1, 2),
+         |flagged AS (
+         |  SELECT bid, cid, shared FROM pairs
+         |  WHERE shared >= ${Queries.decontamMinOverlap})
+         |SELECT bid AS bench_id, count(*) AS n_contaminated,
+         |  max(shared) AS max_overlap
+         |FROM flagged GROUP BY bid ORDER BY bench_id""".stripMargin,
+
     "text_quality_metrics" ->
       s"""WITH base AS (
          |  SELECT doc_id, text, $toksSql AS toks,

@@ -928,6 +928,23 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
+  /** Benchmark-contamination report: per eval document, how many
+    * corpus documents share ≥ minOverlap distinct bigrams and the
+    * worst overlap — the eval-integrity view (which eval items are
+    * compromised), complementing decontaminate (which corpus rows to
+    * drop).
+    */
+  def contaminationReport(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    Dedup.contaminationReport(
+        docs.filter(col("doc_id") % decontamMod =!= 0),
+        docs.filter(col("doc_id") % decontamMod === 0),
+        "doc_id", "text", n = 2, minOverlap = decontamMinOverlap)
+      .select(col("bid").as("bench_id"), col("n_contaminated"),
+        col("max_overlap"))
+      .orderBy(col("bench_id"))
+  }
+
   /** Deterministic train/validation/test assignment — hash-threshold
     * split (the held-out recipe every training corpus needs):
     * md5(doc_id + salt) routes each document to train (~90%) /
@@ -1974,6 +1991,7 @@ object Queries {
     "pipeline_c4" -> (pipelineC4 _),
     "mine_hard_negatives" -> (mineHardNegatives _),
     "split_assign" -> (splitAssign _),
+    "contamination_report" -> (contaminationReport _),
     "mm_describe" -> (mmDescribe _),
     "mm_features" -> (mmFeatures _),
     "mm_frames" -> (mmFrames _),

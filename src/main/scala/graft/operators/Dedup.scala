@@ -339,6 +339,34 @@ object Dedup {
     *
     * Returns (id, n_hits) for contaminated docs only.
     */
+  /** Per-benchmark-document contamination report — the eval-integrity
+    * view of [[contaminatedDocs]]: for each benchmark document, how
+    * many corpus documents share ≥ minOverlap distinct n-grams with
+    * it, and the worst overlap. This is what tells you WHICH eval
+    * items are compromised (and how badly), not just which corpus
+    * rows to drop.
+    *
+    * Scale shape: the pair stage is keyed on grams the benchmark
+    * actually contains, so its size is Σ_g df_bench(g)·df_corpus(g) —
+    * benchmark-bounded, but a stop-grade bigram shared with the whole
+    * corpus still fans out; for web-scale corpora pre-filter
+    * stop-grams or df-cap upstream (the [[rareGramJaccardPairs]]
+    * treatment), trading recall on those grams explicitly.
+    */
+  def contaminationReport(docs: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, n: Int = 2,
+      minOverlap: Int = 5): DataFrame = {
+    val corpusGrams = docs.select(col(idCol).as("cid"),
+      explode(ngramSet(col(textCol), n)).as("g"))
+    val benchGrams = benchmark.select(col(idCol).as("bid"),
+      explode(ngramSet(col(textCol), n)).as("g"))
+    benchGrams.join(corpusGrams, Seq("g"))
+      .groupBy(col("bid"), col("cid")).agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minOverlap)
+      .groupBy(col("bid"))
+      .agg(count(lit(1)).as("n_contaminated"), max(col("shared")).as("max_overlap"))
+  }
+
   def contaminatedDocs(docs: DataFrame, benchmark: DataFrame, idCol: String,
       textCol: String, n: Int = 2, minOverlap: Int = 5): DataFrame = {
     val docGrams = docs.select(col(idCol).as("id"),
