@@ -79,8 +79,16 @@ object Bench {
     // instead. So: diagnostics go to stderr, and the stdout JSON line
     // puts the small fixed-size fields first and the big "queries" map
     // LAST — whatever truncation occurs eats nothing measurable.
+    // Compact contamination evidence in the OFFICIAL artifact: the full
+    // per-query ts/load diag goes to stderr (which the driver discards),
+    // so keep a fixed-size load summary on stdout, BEFORE the queries
+    // map, where the driver's tail capture is guaranteed to keep it.
+    // An idle run shows load_max of a few; a poisoned run indicts itself.
+    val loads = results.map(_.load1m).filter(_ >= 0)
+    val loadMax = if (loads.isEmpty) -1.0 else loads.max
+    val loadMean = if (loads.isEmpty) -1.0 else loads.sum / loads.size
     System.err.println(f"""{"diag":"bench","status":$status,"ts":$ts,"load":$load}""")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","failed":$failed,"sf":"$sfDir","queries":$qs}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","failed":$failed,"load_max":$loadMax%.2f,"load_mean":$loadMean%.2f,"sf":"$sfDir","queries":$qs}""")
     spark.stop()
     if (failed > 0) sys.exit(1)
   }

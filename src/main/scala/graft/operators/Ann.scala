@@ -367,7 +367,13 @@ object Ann {
         vecCol, centroids)
       .withColumnRenamed("__cell", "cell")
       .withColumn("q8", Quantize.quantize(col(vecCol)))
-    val ids = changed.select(col(idCol)).distinct()
+    // Ids come from the SAME null-vector filter as `fresh`: deriving
+    // them from all of `changed` would anti-join a null-vector row out
+    // of its old cell without re-adding it — a silent deletion that
+    // breaks the "ignored" contract above and diverges from
+    // Hnsw.upsertHnswIndex under the same upsertVectorIndex call.
+    val ids = changed.filter(col(vecCol).isNotNull)
+      .select(col(idCol)).distinct()
     val oldCells = assigned.join(broadcast(ids), Seq(idCol))
       .select(col("cell")).distinct().collect().map(_.getInt(0))
     val newCells = fresh.select(col("cell")).distinct().collect().map(_.getInt(0))

@@ -321,6 +321,19 @@ object Hnsw {
   private def partOf(idColumn: org.apache.spark.sql.Column, nParts: Int) =
     pmod(hash(idColumn), lit(nParts)).cast("int")
 
+  /** Loud operator-level guard: the graph stores long ids, so a null
+    * or non-numeric id column would otherwise surface as an opaque
+    * NullPointerException deep in the Dataset encoder. Bounded probe
+    * (limit 1), same pattern as VectorizeEngine.buildVectorIndex —
+    * duplicated here so DIRECT callers of the operator fail loudly
+    * too, not only the engine entry point.
+    */
+  private def requireNumericIds(df: DataFrame, idCol: String, op: String): Unit =
+    require(df.filter(expr(s"try_cast(`$idCol` as bigint)").isNull)
+        .limit(1).count() == 0,
+      s"Hnsw.$op: null or non-numeric values in id column '$idCol' — " +
+        "the HNSW index requires numeric ids")
+
   /** Build and persist: `path/graph` = one (n, blob) row per
     * partition graph, PARTITIONED BY part on disk (so incremental
     * maintenance overwrites only touched partition directories);
@@ -336,6 +349,7 @@ object Hnsw {
     import spark.implicits._
     val dimRow = emb.select(size(col(vecCol))).limit(1).collect()
     require(dimRow.nonEmpty, "cannot build an HNSW index over an empty table")
+    requireNumericIds(emb, idCol, "buildHnswIndex")
     val dim = dimRow.head.getInt(0)
     val nP =
       if (nPartitions > 0) nPartitions
@@ -385,6 +399,7 @@ object Hnsw {
     val efC = meta.getAs[Int]("ef_construction")
     val dim = meta.getAs[Int]("dim")
     val seed = meta.getAs[Long]("seed")
+    requireNumericIds(emb, idCol, "upsertHnswIndex")
     val newRows = emb.select(col(idCol).cast("long").as("_1"), col(vecCol).as("_2"))
       .filter(col("_2").isNotNull)
       .withColumn("_3", partOf(col("_1"), nP))

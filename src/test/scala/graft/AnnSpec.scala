@@ -291,6 +291,28 @@ class AnnSpec extends AnyFunSuite {
     assert(q8 == graft.operators.Quantize.quantizeVec(newVec).toSeq)
   }
 
+  test("upsertIvfIndex: null-vector rows are ignored, not silently deleted") {
+    val path = TestSpark.tempDir("graft_ivf_upsert_null_")
+    Ann.buildIvfIndex(emb, "vec_id", "embedding", path, nCells = 8, iterations = 3)
+    // A changed batch where one row's vector is null: per the scaladoc
+    // contract it must be IGNORED — the old row stays in its cell (the
+    // HNSW upsert behaves the same under upsertVectorIndex). The bug
+    // regression: ids derived from ALL changed rows anti-joined row 3
+    // out of its old cell while `fresh` (null-filtered) never re-added
+    // it — a silent deletion.
+    val changed = emb.filter(col("vec_id") < 5)
+      .withColumn("embedding",
+        when(col("vec_id") === 3, lit(null)).otherwise(col("embedding")))
+    val before3 = spark.read.parquet(s"$path/assigned")
+      .filter(col("vec_id") === 3).collect()
+    assert(before3.length == 1)
+    Ann.upsertIvfIndex(changed, "vec_id", "embedding", path)
+    val after = spark.read.parquet(s"$path/assigned")
+    assert(after.filter(col("vec_id") === 3).count() == 1,
+      "null-vector row must survive the upsert untouched")
+    assert(after.count() == emb.count(), "no rows gained or lost")
+  }
+
   test("empty index: knnJoin returns no rows; IVF build errors meaningfully") {
     import spark.implicits._
     val empty = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")

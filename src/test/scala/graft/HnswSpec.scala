@@ -152,6 +152,25 @@ class HnswSpec extends AnyFunSuite {
       s"exactly one partition dir must be rewritten, got $changed")
   }
 
+  test("non-numeric or null ids fail loudly at the operator entry points") {
+    import spark.implicits._
+    val badIds = Seq(("doc-a", Seq(1.0f, 0.0f)), ("doc-b", Seq(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val e1 = intercept[IllegalArgumentException] {
+      Hnsw.buildHnswIndex(badIds, "vec_id", "embedding",
+        TestSpark.tempDir("graft_hnsw_badid_"))
+    }
+    assert(e1.getMessage.contains("numeric ids"))
+    val path = TestSpark.tempDir("graft_hnsw_badid_upsert_")
+    Hnsw.buildHnswIndex(emb.limit(50), "vec_id", "embedding", path)
+    val nullIds = Seq((null.asInstanceOf[java.lang.Long], Seq(1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val e2 = intercept[IllegalArgumentException] {
+      Hnsw.upsertHnswIndex(nullIds, "vec_id", "embedding", path)
+    }
+    assert(e2.getMessage.contains("numeric ids"))
+  }
+
   test("degenerate inputs: empty partition, dimension mismatch, zero vector") {
     val path = TestSpark.tempDir("graft_hnsw_deg_")
     // more partitions than rows → some partitions empty, still builds
