@@ -331,6 +331,56 @@ object Oracles {
        |FROM ranked WHERE rank <= ${Queries.knnJoinK}
        |ORDER BY q_id, rank""".stripMargin
 
+  /** Replay of the QUANTIZED multiprobe batch-kNN pipeline: the same
+    * key-join candidates as [[knnJoinSql]], ranked by the bit-exact
+    * integer cosine over the dumped corpus codes to the pool, then
+    * the exact rescore of pool pairs only. Shared by the ad-hoc and
+    * persisted-index variants — the indexed x side is the bucket
+    * table, whose persisted q8 codes are bit-identical to
+    * quant_aux_codes (same Quantize.quantize of the same vectors).
+    */
+  private def quantKnnJoinSql(qAux: String, xSql: String): String =
+    s"""WITH q AS (SELECT q_id, key FROM read_parquet('__AUX__/$qAux')),
+       |x AS ($xSql),
+       |pairs AS (
+       |  SELECT q.q_id, x.x_id FROM q JOIN x USING (key)
+       |  WHERE q.q_id <> x.x_id),
+       |cq AS (SELECT vec_id, q8 FROM read_parquet('__AUX__/quant_aux_codes.parquet')),
+       |qint AS (
+       |  SELECT p.q_id, p.x_id,
+       |    list_sum(list_transform(range(1, len(a.q8) + 1),
+       |      i -> CAST(a.q8[i] AS BIGINT) * CAST(b.q8[i] AS BIGINT))) AS dot,
+       |    list_sum(list_transform(a.q8,
+       |      v -> CAST(v AS BIGINT) * CAST(v AS BIGINT))) AS na,
+       |    list_sum(list_transform(b.q8,
+       |      v -> CAST(v AS BIGINT) * CAST(v AS BIGINT))) AS nb
+       |  FROM pairs p
+       |  JOIN cq a ON a.vec_id = p.q_id
+       |  JOIN cq b ON b.vec_id = p.x_id),
+       |qcos AS (
+       |  SELECT q_id, x_id,
+       |    CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) AS qc
+       |  FROM qint WHERE na > 0 AND nb > 0),
+       |pool AS (
+       |  SELECT q_id, x_id FROM (
+       |    SELECT q_id, x_id, row_number() OVER (PARTITION BY q_id
+       |      ORDER BY qc DESC, x_id ASC) AS r
+       |    FROM qcos) WHERE r <= ${Queries.quantKnnPool}),
+       |rescored AS (
+       |  SELECT p.q_id, p.x_id,
+       |    list_cosine_similarity(CAST(eq.embedding AS DOUBLE[]),
+       |      CAST(ex.embedding AS DOUBLE[])) AS cos
+       |  FROM pool p
+       |  JOIN embeddings eq ON eq.vec_id = p.q_id
+       |  JOIN embeddings ex ON ex.vec_id = p.x_id),
+       |ranked AS (
+       |  SELECT q_id, x_id, cos, row_number() OVER (PARTITION BY q_id
+       |    ORDER BY cos DESC, x_id ASC) AS rank
+       |  FROM rescored WHERE cos IS NOT NULL)
+       |SELECT q_id, x_id, round(cos, 4) AS cos, rank
+       |FROM ranked WHERE rank <= ${Queries.knnJoinK}
+       |ORDER BY q_id, rank""".stripMargin
+
   /** Replay of a probe-pruned ANN top-k: exact cosine top-k over only
     * the rows whose index bucket/cell is in the dumped probe list,
     * top-k set chosen at full precision, presentation order on the
@@ -930,48 +980,16 @@ object Oracles {
 
     // quantized kNN join replay: the same key-join candidates, ranked
     // by the bit-exact integer cosine over the dumped corpus codes to
-    // the pool, then the exact rescore of pool pairs only.
-    "ann_knn_join_quantized" ->
-      s"""WITH q AS (SELECT q_id, key FROM read_parquet('__AUX__/knn_q_probes.parquet')),
-         |x AS (SELECT x_id, key FROM read_parquet('__AUX__/knn_x_keys.parquet')),
-         |pairs AS (
-         |  SELECT q.q_id, x.x_id FROM q JOIN x USING (key)
-         |  WHERE q.q_id <> x.x_id),
-         |cq AS (SELECT vec_id, q8 FROM read_parquet('__AUX__/quant_aux_codes.parquet')),
-         |qint AS (
-         |  SELECT p.q_id, p.x_id,
-         |    list_sum(list_transform(range(1, len(a.q8) + 1),
-         |      i -> CAST(a.q8[i] AS BIGINT) * CAST(b.q8[i] AS BIGINT))) AS dot,
-         |    list_sum(list_transform(a.q8,
-         |      v -> CAST(v AS BIGINT) * CAST(v AS BIGINT))) AS na,
-         |    list_sum(list_transform(b.q8,
-         |      v -> CAST(v AS BIGINT) * CAST(v AS BIGINT))) AS nb
-         |  FROM pairs p
-         |  JOIN cq a ON a.vec_id = p.q_id
-         |  JOIN cq b ON b.vec_id = p.x_id),
-         |qcos AS (
-         |  SELECT q_id, x_id,
-         |    CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) AS qc
-         |  FROM qint WHERE na > 0 AND nb > 0),
-         |pool AS (
-         |  SELECT q_id, x_id FROM (
-         |    SELECT q_id, x_id, row_number() OVER (PARTITION BY q_id
-         |      ORDER BY qc DESC, x_id ASC) AS r
-         |    FROM qcos) WHERE r <= ${Queries.quantKnnPool}),
-         |rescored AS (
-         |  SELECT p.q_id, p.x_id,
-         |    list_cosine_similarity(CAST(eq.embedding AS DOUBLE[]),
-         |      CAST(ex.embedding AS DOUBLE[])) AS cos
-         |  FROM pool p
-         |  JOIN embeddings eq ON eq.vec_id = p.q_id
-         |  JOIN embeddings ex ON ex.vec_id = p.x_id),
-         |ranked AS (
-         |  SELECT q_id, x_id, cos, row_number() OVER (PARTITION BY q_id
-         |    ORDER BY cos DESC, x_id ASC) AS rank
-         |  FROM rescored WHERE cos IS NOT NULL)
-         |SELECT q_id, x_id, round(cos, 4) AS cos, rank
-         |FROM ranked WHERE rank <= ${Queries.knnJoinK}
-         |ORDER BY q_id, rank""".stripMargin,
+    // the pool, then the exact rescore of pool pairs only. The
+    // ad-hoc and indexed variants share the replay — the indexed x
+    // side IS the persisted bucket table, and its persisted q8 codes
+    // are bit-identical to quant_aux_codes (same Quantize.quantize of
+    // the same vectors), so one code dump serves both.
+    "ann_knn_join_quantized" -> quantKnnJoinSql("knn_q_probes.parquet",
+      "SELECT x_id, key FROM read_parquet('__AUX__/knn_x_keys.parquet')"),
+    "ann_knn_join_quantized_indexed" -> quantKnnJoinSql(
+      "knn_q_probes_indexed.parquet",
+      "SELECT vec_id AS x_id, bucket AS key FROM read_parquet('__AUX__/ann_lsh_buckets.parquet')"),
 
     // video rows = doc_id % 3 == 2 (element_at of the media array);
     // generate_series is INCLUSIVE like Spark sequence(); the corpus

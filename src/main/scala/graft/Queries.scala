@@ -801,6 +801,26 @@ object Queries {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** ANN: quantized batch kNN join against the PERSISTED LSH index —
+    * the production form of ann_knn_join_quantized: the candidate
+    * stage reads the index's persisted int8 codes (ReadSchema pruned
+    * to id/q8/bucket — no float vectors and no query-time corpus
+    * encode in the shuffle-heavy stage), integer-cosine pool cut,
+    * exact rescore of pool pairs only. Oracled with the same
+    * integer-rank replay as the ad-hoc variant (persisted codes are
+    * bit-identical to quant_aux_codes: same Quantize.quantize, same
+    * vectors), over the indexed probe fan-out.
+    */
+  def annKnnJoinQuantizedIndexed(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    Ann.knnJoinQuantizedIndexed(spark, lshIndex(spark, dir),
+        emb.filter(col("vec_id") < knnQueryMaxId), "vec_id", "embedding",
+        k = knnJoinK, pool = quantKnnPool)
+      .select(col("q_id"), col("x_id"), round(col("cos"), 4).as("cos"),
+        col("rank"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   /** ANN: batch kNN join over the persisted HNSW graphs — the graph
     * twin of the LSH joins above (broadcast query batch, per-graph
     * in-memory walks, one candidate-window shuffle). Oracled with the
@@ -1987,6 +2007,7 @@ object Queries {
     "ann_knn_join" -> (annKnnJoin _),
     "ann_knn_join_indexed" -> (annKnnJoinIndexed _),
     "ann_knn_join_quantized" -> (annKnnJoinQuantized _),
+    "ann_knn_join_quantized_indexed" -> (annKnnJoinQuantizedIndexed _),
     "pipeline_corpus" -> (pipelineCorpus _),
     "pipeline_c4" -> (pipelineC4 _),
     "mine_hard_negatives" -> (mineHardNegatives _),

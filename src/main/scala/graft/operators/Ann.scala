@@ -136,7 +136,13 @@ object Ann {
     val dim = dimRow.head.getInt(0)
     val effBits = if (bits > 0) bits else deriveBits(emb.count())
     val planes = hyperplanes(effBits, dim, seed)
+    // q8 codes are DENORMALIZED into the bucket table (same discipline
+    // as buildIvfIndex): quantization is paid once at CREATE INDEX, so
+    // quantized probes/joins read 4×-smaller codes with no query-time
+    // corpus encode — the crossover knnJoinQuantized's scaladoc
+    // documents is realized here.
     emb.withColumn("bucket", lshKey(col(vecCol), planes))
+      .withColumn("q8", Quantize.quantize(col(vecCol)))
       .repartition(col("bucket"))
       .write.partitionBy("bucket").mode("overwrite").parquet(s"$path/buckets")
     import spark.implicits._
@@ -630,5 +636,75 @@ object Ann {
       .select(col(idCol).as("x_id"), col(vecCol).as("x_vec"),
         col("bucket").cast("long").as("__lsh"))
     multiprobeKnn(q, x, k, excludeSelf)
+  }
+
+  /** Quantized batch kNN join against a PERSISTED LSH index — the
+    * production form of [[knnJoinQuantized]], with the query-time
+    * corpus encode that made the ad-hoc variant slower than exact at
+    * small SF eliminated entirely: the candidate stage reads the
+    * index's PERSISTED int8 codes (built once at CREATE INDEX), so
+    * its scan is column-pruned to (id, q8, bucket) — the float vector
+    * never enters the candidate shuffle (ReadSchema has `q8`, not the
+    * vector column; PlanSpec locks this). Candidates rank by integer
+    * cosine to a per-query `pool`; only pool pairs late-materialize
+    * float vectors (bucket-pruned index read + the small query batch)
+    * for the exact top-k rescore. Probe pattern, key-union pruning,
+    * and caching match [[knnJoinIndexed]]; results match
+    * `knnJoinQuantized(queries, index, …)` at the index's stored
+    * (bits, seed) because persisted codes are the same
+    * Quantize.quantize of the same vectors.
+    */
+  def knnJoinQuantizedIndexed(spark: org.apache.spark.sql.SparkSession,
+      path: String, queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, pool: Int = 20, excludeSelf: Boolean = true): DataFrame = {
+    val meta = spark.read.parquet(s"$path/meta").head()
+    val bits = meta.getAs[Int]("bits")
+    val dim = meta.getAs[Int]("dim")
+    val seed = meta.getAs[Long]("seed")
+    val planes = hyperplanes(bits, dim, seed)
+    val buckets = spark.read.parquet(s"$path/buckets")
+    require(buckets.columns.contains("q8"),
+      s"LSH index at $path predates int8 codes — rebuild it with " +
+        "buildLshIndex before quantized joining")
+    // query side: one probe row per (own bucket + single-bit flips),
+    // codes computed once per query row (the batch is the small side).
+    // Cached for the same two-evaluation reason as knnJoinIndexed.
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
+      .withColumn("__qkey", lshKey(col("q_vec"), planes))
+      .withColumn("__q8q", Quantize.quantize(col("q_vec")))
+      .withColumn("__lsh", explode(multiprobeKeyArray(col("__qkey"), bits)))
+      .select(col("q_id"), col("__q8q"), col("__lsh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val probed = q.select(col("__lsh")).distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val x = buckets
+      .filter(col("bucket").isin(probed: _*)) // → PartitionFilters
+      .select(col(idCol).as("x_id"), col("q8").as("__q8x"),
+        col("bucket").cast("long").as("__lsh"))
+    val wQ = Window.partitionBy(col("q_id"))
+      .orderBy(col("__qcos").desc, col("x_id").asc)
+    val cand = q.join(x, Seq("__lsh"))
+      .filter(if (excludeSelf) col("q_id") =!= col("x_id") else lit(true))
+      .select(col("q_id"), col("x_id"),
+        Quantize.int8Cosine(col("__q8q"), col("__q8x")).as("__qcos"))
+      .filter(col("__qcos").isNotNull)
+      .withColumn("__r", row_number().over(wQ))
+      .filter(col("__r") <= pool)
+      .select(col("q_id"), col("x_id"))
+    // exact rescore of pool pairs only: float vectors late-materialize
+    // from the bucket-pruned index read (pool ⊆ candidates ⊆ probed
+    // buckets) and the query batch
+    val eq = queries.select(col(idCol).as("q_id"), col(vecCol).as("__qv"))
+    val ex = buckets.filter(col("bucket").isin(probed: _*))
+      .select(col(idCol).as("x_id"), col(vecCol).as("__xv"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("x_id").asc)
+    cand.join(eq, Seq("q_id")).join(ex, Seq("x_id"))
+      .select(col("q_id"), col("x_id"),
+        cosineSimilarity(col("__qv"), col("__xv")).as("cos"))
+      .filter(col("cos").isNotNull)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("q_id", "x_id", "cos", "rank")
   }
 }

@@ -108,6 +108,37 @@ class QuantizeSpec extends AnyFunSuite {
     assert(mean >= 0.9, s"quantized kNN join mean recall@5 = $mean")
   }
 
+  test("indexed quantized kNN join: equals ad-hoc at index params; candidate scan reads codes not vectors") {
+    import graft.operators.Ann
+    val path = TestSpark.tempDir("graft_lsh_quant_join_")
+    Ann.buildLshIndex(emb, "vec_id", "embedding", path, bits = 0)
+    val meta = spark.read.parquet(s"$path/meta").head()
+    val queries = emb.filter(col("vec_id") < 50)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("x_id"),
+        r.getAs[Int]("rank"))).toSet
+    // persisted codes are the same Quantize.quantize of the same
+    // vectors, so the indexed join must reproduce the ad-hoc quantized
+    // join at the index's stored (bits, seed) exactly
+    val adhoc = rows(Ann.knnJoinQuantized(queries, emb, "vec_id", "embedding",
+      k = 5, bits = meta.getAs[Int]("bits"), seed = meta.getAs[Long]("seed"),
+      pool = 20))
+    val indexed = Ann.knnJoinQuantizedIndexed(spark, path, queries,
+      "vec_id", "embedding", k = 5, pool = 20)
+    assert(rows(indexed) == adhoc,
+      "indexed quantized join must equal the ad-hoc quantized join")
+    val plan = indexed.queryExecution.executedPlan.toString
+    // the CANDIDATE scan is column-pruned to codes: some FileScan's
+    // ReadSchema has q8 without the float embedding column — the float
+    // vector never enters the bucket-join shuffle
+    assert("ReadSchema: [^\n]*q8".r.findAllIn(plan)
+        .exists(s => !s.contains("embedding")),
+      s"candidate scan must read q8, not the float vector, plan was:\n$plan")
+    // probe-key union pushed into PartitionFilters on the index side
+    assert("PartitionFilters: \\[[^\\]]*bucket".r.findFirstIn(plan).isDefined,
+      s"index side must push the probe-key union into PartitionFilters:\n$plan")
+  }
+
   test("two-stage quantized top-k recovers the exact top-20 (recall >= 0.95)") {
     val exact = Ann.bruteForceTopK(emb, "vec_id", "embedding", qv, 20)
       .collect().map(_.getAs[Long]("id")).toSet
