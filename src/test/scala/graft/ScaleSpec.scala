@@ -63,14 +63,19 @@ class ScaleSpec extends AnyFunSuite {
     */
   private def writeVerbatim(reps: Int, out: String): Unit = {
     val maxDoc = docs.agg(max(col("doc_id"))).head().getLong(0) + 1
-    docs.crossJoin(spark.range(reps.toLong).select(col("id").as("__rep")))
-      .withColumn("doc_id", col("doc_id") + col("__rep") * maxDoc)
-      .drop("__rep")
-      .write.mode("overwrite").parquet(s"$out/documents.parquet")
     val emb = spark.read.parquet(s"$base/embeddings.parquet")
     val maxVec = emb.agg(max(col("vec_id"))).head().getLong(0) + 1
+    // docs and embeddings share ONE id offset so vec_id == doc_id
+    // pairings (mine_hard_negatives' gram gate) survive replication —
+    // per-replica multipliers that differ would silently unpair every
+    // replica but the 0th, making the gate join artificially cheap
+    val maxShared = math.max(maxDoc, maxVec)
+    docs.crossJoin(spark.range(reps.toLong).select(col("id").as("__rep")))
+      .withColumn("doc_id", col("doc_id") + col("__rep") * maxShared)
+      .drop("__rep")
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
     emb.crossJoin(spark.range(reps.toLong).select(col("id").as("__rep")))
-      .withColumn("vec_id", col("vec_id") + col("__rep") * maxVec)
+      .withColumn("vec_id", col("vec_id") + col("__rep") * maxShared)
       .drop("__rep")
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
     val ev = spark.read.parquet(s"$base/events.parquet")
@@ -98,7 +103,7 @@ class ScaleSpec extends AnyFunSuite {
     * build, the CREATE INDEX analogue Bench also excludes), second
     * run = measured.
     */
-  private case class Rung(t1: Double, t10: Double)
+  private case class Rung(t1: Double, t10: Double, d1: String, d10: String)
   private lazy val measured: Map[String, Rung] = {
     val salted1 = TestSpark.tempDir("graft_scale_salt1_")
     val salted10 = TestSpark.tempDir("graft_scale_salt10_")
@@ -116,14 +121,22 @@ class ScaleSpec extends AnyFunSuite {
       "ann_pq_topk" -> (verb1, verb10),
       "ann_ivfpq_topk" -> (verb1, verb10),
       "f4_postings_rank_cd" -> (verb1, verb10),
-      "r_asof_join" -> (verb1, verb10))
+      "r_asof_join" -> (verb1, verb10),
+      // the kNN-join family: the most shuffle-exposed operators in the
+      // suite — a fixed 50-query batch against the 10×-denser corpus,
+      // so candidate pairs (and the bucket-join shuffle) should grow
+      // ~10× linearly, never |corpus|²
+      "ann_knn_join" -> (verb1, verb10),
+      "ann_hnsw_knn_join" -> (verb1, verb10),
+      "ann_knn_join_quantized_indexed" -> (verb1, verb10),
+      "mine_hard_negatives" -> (verb1, verb10))
     dirs = Map("salted1" -> salted1, "salted10" -> salted10,
       "verbatim10" -> verb10)
     plan.map { case (q, (d1, d10)) =>
       runNoop(q, d1); val t1 = runNoop(q, d1)
       runNoop(q, d10); val t10 = runNoop(q, d10)
       info(f"$q%-22s 1x=${t1}%.2fs 10x=${t10}%.2fs ratio=${t10 / math.max(t1, 1e-9)}%.1fx")
-      q -> Rung(t1, t10)
+      q -> Rung(t1, t10, d1, d10)
     }.toMap
   }
   private var dirs: Map[String, String] = Map.empty
@@ -133,10 +146,22 @@ class ScaleSpec extends AnyFunSuite {
   // noise; t1 is floored at 0.5 s so a near-instant 1× run can't make
   // the ratio meaningless.
   private def assertSubQuadratic(q: String): Unit = {
+    def ok(t1: Double, t10: Double) = t10 < 25.0 * math.max(t1, 0.5)
     val r = measured(q)
-    assert(r.t10 < 25.0 * math.max(r.t1, 0.5),
-      f"$q: 10x rung took ${r.t10}%.2fs vs 1x ${r.t1}%.2fs — " +
-        "super-linear blowup, an all-pairs or full-scan step is hiding")
+    if (ok(r.t1, r.t10)) return
+    // One retry before failing: these are wall-clock ratios on a
+    // shared machine, and concurrent load can poison either rung (the
+    // exact contamination the official r4/r5/r8 bench runs recorded).
+    // A real all-pairs blowup fails BOTH measurements; a load spike
+    // fails one.
+    info(f"$q: first measurement 1x=${r.t1}%.2fs 10x=${r.t10}%.2fs failed the bound — re-measuring once")
+    val t1 = runNoop(q, r.d1)
+    val t10 = runNoop(q, r.d10)
+    info(f"$q retry: 1x=$t1%.2fs 10x=$t10%.2fs ratio=${t10 / math.max(t1, 1e-9)}%.1fx")
+    assert(ok(t1, t10),
+      f"$q: 10x rung took $t10%.2fs vs 1x $t1%.2fs (retry; first run " +
+        f"${r.t10}%.2fs vs ${r.t1}%.2fs) — super-linear blowup, an " +
+        "all-pairs or full-scan step is hiding")
   }
 
   test("minhash LSH pairs scale sub-quadratically to a 10x corpus", ScaleTest) {
@@ -189,6 +214,28 @@ class ScaleSpec extends AnyFunSuite {
     assertSubQuadratic("r_asof_join")
   }
 
+  test("batch kNN join scales sub-quadratically to 10x", ScaleTest) {
+    // fixed query batch, 10x-denser LSH buckets: candidate pairs grow
+    // ~10x (|queries| × bucket density), never |corpus|²
+    assertSubQuadratic("ann_knn_join")
+  }
+
+  test("HNSW batch kNN join scales sub-quadratically to 10x", ScaleTest) {
+    // partitions grow ~10x, each walked in ~ef·log(targetRows); the
+    // candidate merge is nParts·k per query, linear in partitions
+    assertSubQuadratic("ann_hnsw_knn_join")
+  }
+
+  test("indexed quantized kNN join scales sub-quadratically to 10x", ScaleTest) {
+    assertSubQuadratic("ann_knn_join_quantized_indexed")
+  }
+
+  test("hard-negative mining scales sub-quadratically to 10x", ScaleTest) {
+    // the Jaccard gate computes on |queries|·pool candidate pairs via
+    // id-joins; the corpus-sized work is the linear gram projection
+    assertSubQuadratic("mine_hard_negatives")
+  }
+
   test("salted 10x corpus yields ~10x the near-dup pairs, never ~100x", ScaleTest) {
     measured // force
     val pairs1 = SparkEntry.queries("dedup_minhash_lsh")(spark, dirs("salted1")).count()
@@ -222,6 +269,14 @@ class ScaleSpec extends AnyFunSuite {
       s"quantized IVF probe lost its cell PartitionFilters at 10x:\n$qplan")
     assert("ReadSchema: [^\n]*q8".r.findAllIn(qplan).exists(s => !s.contains("embedding")),
       s"quantized IVF ranking scan reads float vectors at 10x:\n$qplan")
+    // the indexed quantized kNN join must keep its candidate scan
+    // pruned to codes (no float vectors) and bucket-pruned at 10x
+    val jplan = SparkEntry.queries("ann_knn_join_quantized_indexed")(spark, v10)
+      .queryExecution.executedPlan.toString
+    assert("ReadSchema: [^\n]*q8".r.findAllIn(jplan).exists(s => !s.contains("embedding")),
+      s"indexed quantized join's candidate scan reads float vectors at 10x:\n$jplan")
+    assert("PartitionFilters: \\[[^\\]]*bucket".r.findFirstIn(jplan).isDefined,
+      s"indexed quantized join lost its bucket PartitionFilters at 10x:\n$jplan")
     // the as-of core must still be ONE hash shuffle, no join node
     val events = spark.read.parquet(s"$v10/events.parquet")
     val purchases = events.filter(col("event_type") === "purchase")
