@@ -263,9 +263,14 @@ object Oracles {
     * with a recursive CTE — the declarative connected-components
     * fixpoint both distributed clustering entries are checked against.
     */
-  private lazy val dedupClustersSql: String = {
+  /** The shared CTE chain: banded pair replay → transitive closure →
+    * per-id canonical labels. Prefixed by the callers' own `WITH
+    * RECURSIVE`; consumed by the cluster entries and the composed
+    * pipeline_neardup.
+    */
+  private lazy val neardupLabelCtes: String = {
     val rows = Queries.minHashNumHashes / Queries.minHashBands
-    s"""WITH RECURSIVE s AS (
+    s"""s AS (
        |  SELECT doc_id, shingles, sig
        |  FROM read_parquet('__AUX__/minhash_aux.parquet')
        |  WHERE len(shingles) > 0),
@@ -294,14 +299,17 @@ object Oracles {
        |  SELECT src, src FROM edges
        |  UNION
        |  SELECT e.src, reach.r FROM edges e JOIN reach ON reach.id = e.dst),
-       |labels AS (SELECT id, min(r) AS canonical_id FROM reach GROUP BY id),
+       |labels AS (SELECT id, min(r) AS canonical_id FROM reach GROUP BY id)""".stripMargin
+  }
+
+  private lazy val dedupClustersSql: String =
+    s"""WITH RECURSIVE $neardupLabelCtes,
        |sizes AS (
        |  SELECT canonical_id, count(*) AS cluster_size
        |  FROM labels GROUP BY canonical_id)
        |SELECT l.id AS doc_id, l.canonical_id, z.cluster_size
        |FROM labels l JOIN sizes z USING (canonical_id)
        |ORDER BY doc_id""".stripMargin
-  }
 
   /** Replay of the multiprobe batch-kNN pipeline over dumped per-row
     * LSH keys: probe-key equi-join → self-exclusion → exact cosine →
@@ -809,6 +817,19 @@ object Oracles {
     // large-star/small-star variant), which must agree exactly.
     "dedup_clusters" -> dedupClustersSql,
     "dedup_clusters_star" -> dedupClustersSql,
+
+    // the composed near-dup cleaning pipeline: the same label closure,
+    // then drop non-canonical pair members (docs in no pair are
+    // singletons and survive) and aggregate the per-lang corpus stats
+    "pipeline_neardup" ->
+      s"""WITH RECURSIVE $neardupLabelCtes,
+         |losers AS (SELECT id FROM labels WHERE id <> canonical_id),
+         |kept AS (
+         |  SELECT d.lang, d.text FROM documents d
+         |  WHERE d.doc_id NOT IN (SELECT id FROM losers))
+         |SELECT lang, count(*) AS n_docs,
+         |  CAST(sum(len($toksSql)) AS BIGINT) AS total_tokens
+         |FROM kept GROUP BY lang ORDER BY lang""".stripMargin,
 
     // Raw BETWEEN range join (what DuckDB plans as its native IEJoin)
     // against the engine's binned equi-join formulation; session

@@ -1050,6 +1050,36 @@ object Queries {
       .orderBy(col("lang"))
   }
 
+  /** Near-dup dedup composed end-to-end — the document-grain twin of
+    * pipeline_c4, the "clean a corpus" job a real pipeline runs
+    * nightly, as one lazy plan:
+    *   1. MinHash+LSH near-dup pairs (banded, band-key-only shuffle),
+    *   2. connected components (alternating large-star/small-star),
+    *   3. keep each cluster's canonical (min-id) member — docs in no
+    *      pair are singletons and survive untouched (anti-join on the
+    *      non-canonical ids, never a join against the full label set),
+    *   4. per-language corpus stats over the survivors.
+    * DuckDB-oracled end-to-end: the pair replay + recursive-CTE
+    * closure already proven in the cluster oracles, extended with the
+    * anti-join and the per-lang aggregate.
+    */
+  def pipelineNeardup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val pairs = Dedup.minHashLshPairs(docs, "doc_id", "text",
+      shingleN = minHashShingleN, numHashes = minHashNumHashes,
+      bands = minHashBands, threshold = minHashThreshold)
+    val labels = Dedup.clusterCanonicalStar(pairs)
+    // only NON-canonical pair members leave the corpus; the anti-join
+    // key set is bounded by the pair-graph size, not the corpus
+    val losers = labels.filter(col("id") =!= col("cluster_id"))
+      .select(col("id"))
+    docs.join(losers, docs("doc_id") === losers("id"), "left_anti")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(sqlTokens(col("text")))).as("total_tokens"))
+      .orderBy(col("lang"))
+  }
+
   /** Multimodal: binary-asset metadata (decode-free pushdown path). */
   def mmDescribe(spark: SparkSession, dir: String): DataFrame =
     Multimodal.describeAssets(
@@ -2010,6 +2040,7 @@ object Queries {
     "ann_knn_join_quantized_indexed" -> (annKnnJoinQuantizedIndexed _),
     "pipeline_corpus" -> (pipelineCorpus _),
     "pipeline_c4" -> (pipelineC4 _),
+    "pipeline_neardup" -> (pipelineNeardup _),
     "mine_hard_negatives" -> (mineHardNegatives _),
     "split_assign" -> (splitAssign _),
     "contamination_report" -> (contaminationReport _),

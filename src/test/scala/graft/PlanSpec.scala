@@ -52,6 +52,25 @@ class PlanSpec extends AnyFunSuite {
       s"reassembly + lang agg), got $n:\n$plan")
   }
 
+  test("pipeline_neardup: bounded tail shuffles after the star closure") {
+    val plan = SparkEntry.queries("pipeline_neardup")(spark, dir)
+      .queryExecution.executedPlan.toString
+    // the star rounds themselves materialize via localCheckpoint during
+    // construction; the lazy tail is keep-canonicals + lang stats. The
+    // loser-id anti-join is deliberately a HASH join, not broadcast:
+    // near-dup losers are corpus-proportional (easily billions of ids
+    // at 100 TB), so keyed shuffle is the scale-correct shape — the
+    // lock is that the tail stays BOUNDED (labels closure + anti-join
+    // sides + lang agg), with no all-pairs node anywhere
+    assert(!plan.contains("Cartesian") && !plan.contains("BroadcastNestedLoop"),
+      s"pipeline_neardup planned an all-pairs node:\n$plan")
+    val nHash = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(nHash <= 4, s"expected <=4 hash exchanges (label closure, " +
+      s"anti-join both sides, lang agg), got $nHash:\n$plan")
+    val nRange = "Exchange rangepartitioning".r.findAllIn(plan).size
+    assert(nRange <= 1, s"expected <=1 range exchange (final order), got $nRange:\n$plan")
+  }
+
   test("mine_hard_negatives: pool-bounded gate joins broadcast, one shuffle") {
     val plan = SparkEntry.queries("mine_hard_negatives")(spark, dir)
       .queryExecution.executedPlan.toString
