@@ -121,6 +121,66 @@ class RealtimeSpec extends AnyFunSuite {
       "streamed row must be live in the index")
   }
 
+  test("CDC index maintenance survives restart + replay: blobs equal a fresh build") {
+    val inputDir = TestSpark.tempDir("graft_rtix2_in_")
+    val checkpoint = TestSpark.tempDir("graft_rtix2_ckpt_")
+    val wh = TestSpark.tempDir("graft_rtix2_wh_")
+    val idxPath = TestSpark.tempDir("graft_rtix2_idx_")
+    val engine = new VectorizeEngine(spark, wh,
+      embeddingProviderOverride = Some(new providers.DeterministicHashProvider(64)))
+    engine.registerSource("content", Fixtures.contentTable(spark, Seq.empty))
+    engine.createJob(VectorizeJob("rt_ix2", "content", Seq("content"), "id",
+      Some("updated_at"), Model.parseUnsafe("deterministic/hash-64")))
+    val streamDir = s"$inputDir/stream"
+    def stream = spark.readStream
+      .schema("id INT, content STRING, updated_at TIMESTAMP")
+      .parquet(streamDir)
+
+    // seed + initial CREATE INDEX
+    writeBatch(inputDir, "stream", Seq((1, "pizza", 1L), (2, "pencil", 2L)))
+    assert(Realtime.runAvailableNow(engine, "rt_ix2", stream, checkpoint)
+      .awaitTermination(60000))
+    engine.buildVectorIndex("rt_ix2", idxPath)
+
+    // a maintained batch lands: new row + an UPDATE of row 1
+    writeBatch(inputDir, "stream", Seq((7, "apples and apple trees", 10L),
+      (1, "pineapple pizza", 11L)))
+    assert(Realtime.runAvailableNow(engine, "rt_ix2", stream, checkpoint,
+      indexPath = Some(idxPath)).awaitTermination(60000))
+
+    // kill-and-resume: a crash between an index upsert and its
+    // checkpoint commit means the batch REPLAYS on restart — simulate
+    // the worst case deterministically by re-running the whole stream
+    // from a FRESH checkpoint (every file re-delivered, every index
+    // upsert re-applied over the already-maintained graphs), with one
+    // genuinely new file landing mid-resume
+    writeBatch(inputDir, "stream", Seq((9, "a space shuttle", 20L)))
+    val checkpoint2 = TestSpark.tempDir("graft_rtix2_ckpt2_")
+    assert(Realtime.runAvailableNow(engine, "rt_ix2", stream, checkpoint2,
+      indexPath = Some(idxPath)).awaitTermination(60000))
+
+    // the replayed-and-resumed index must be BYTE-IDENTICAL to a
+    // from-scratch build over the final store (the HnswSpec
+    // blob-equality property, here across the engine's CDC path)
+    val freshPath = TestSpark.tempDir("graft_rtix2_fresh_")
+    engine.buildVectorIndex("rt_ix2", freshPath)
+    def blobs(p: String): Map[Int, Array[Byte]] =
+      spark.read.parquet(s"$p/graph").select("part", "blob").collect()
+        .map(r => r.getInt(0) -> r.getAs[Array[Byte]](1)).toMap
+    val maintained = blobs(idxPath)
+    val fresh = blobs(freshPath)
+    assert(maintained.keySet == fresh.keySet)
+    maintained.foreach { case (p, b) =>
+      assert(java.util.Arrays.equals(b, fresh(p)),
+        s"partition $p diverged from the fresh build after restart+replay")
+    }
+    // and the update is live: row 1 now matches its NEW content
+    val hit = engine.probeVectorIndex("rt_ix2", idxPath,
+      engine.encode("rt_ix2", "pineapple pizza"), k = 1).collect()
+    assert(hit.length == 1 && hit.head.getAs[Long]("id") == 1L,
+      "replay must serve the post-update vector for the updated key")
+  }
+
   test("append-method job: streamed rows land in the wide table and are searchable") {
     val inputDir = TestSpark.tempDir("graft_rta_in_")
     val checkpoint = TestSpark.tempDir("graft_rta_ckpt_")
