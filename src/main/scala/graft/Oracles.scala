@@ -1581,6 +1581,36 @@ object Oracles {
          |FROM top t JOIN documents d ON d.doc_id = t.id
          |ORDER BY similarity_score DESC, d.doc_id ASC""".stripMargin,
 
+    // filtered index-backed search: the same candidates-restricted
+    // replay over the WIDER window probe (k = 5×limit), with the
+    // engine's top-window merge, the post-ANN lang filter, and the
+    // final limit all replayed in SQL — reference post-filter
+    // semantics (HNSW scan then filter).
+    "vz_semantic_indexed_filtered" ->
+      s"""WITH q AS (
+         |  SELECT CAST(qvec AS DOUBLE[]) AS v
+         |  FROM read_parquet('__AUX__/vz_aux_query.parquet')),
+         |cand AS (
+         |  SELECT DISTINCT id
+         |  FROM read_parquet('__AUX__/vz_hnsw_candidates_w50.parquet')),
+         |scored AS (
+         |  SELECT CAST(e.pkey AS BIGINT) AS id,
+         |    list_cosine_similarity(CAST(e.embeddings AS DOUBLE[]),
+         |      (SELECT v FROM q)) AS cos
+         |  FROM read_parquet('__AUX__/vz_aux_embeddings.parquet') e
+         |  JOIN cand c ON CAST(e.pkey AS BIGINT) = c.id),
+         |win AS (
+         |  SELECT id, cos FROM scored
+         |  ORDER BY cos DESC, id ASC LIMIT 50),
+         |filtered AS (
+         |  SELECT d.doc_id, d.lang, w.cos
+         |  FROM win w JOIN documents d ON d.doc_id = w.id
+         |  WHERE d.lang = 'en'
+         |  ORDER BY w.cos DESC, d.doc_id ASC LIMIT 10)
+         |SELECT doc_id, lang, round(cos, 4) AS similarity_score
+         |FROM filtered
+         |ORDER BY similarity_score DESC, doc_id ASC""".stripMargin,
+
     // fts_score is EXACT OR-query ts_rank_cd over the store's aligned
     // (search_tokens, search_token_counts) arrays: 0.1 · Σ matched
     // position counts (parallel unnest zips the arrays positionally,

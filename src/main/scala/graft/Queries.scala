@@ -1612,6 +1612,24 @@ object Queries {
       .orderBy(col("similarity_score").desc, col("doc_id").asc)
   }
 
+  /** Index-backed search WITH P4 typed filters — the reference's
+    * HNSW-scan-then-filter shape (core/src/query.rs:686-699),
+    * post-filter semantics preserved: the probe retrieves a 5×limit
+    * candidate window, the lang filter applies AFTER the index scan.
+    * Oracled with the candidates-restricted pattern over the WINDOW
+    * probe's candidate union, filter replayed in SQL.
+    */
+  def vzSemanticIndexedFiltered(spark: SparkSession, dir: String): DataFrame = {
+    import graft.types._
+    val engine = ephemeralEngine(spark, dir)
+    engine.searchIndexed("docs_job", vzVectorIndex(spark, dir), vzQueryText,
+        limit = 10,
+        filters = Map("lang" -> FilterValue(FilterOperator.Eq, FilterScalar.S("en"))))
+      .select(col("doc_id"), col("lang"),
+        round(col("similarity_score"), 4).as("similarity_score"))
+      .orderBy(col("similarity_score").desc, col("doc_id").asc)
+  }
+
   /** Engine end-to-end: hybrid RRF search (DuckDB-oracled via the
     * dumped embeddings + search-tokens stores — see dumpOracleAux).
     */
@@ -1890,6 +1908,14 @@ object Queries {
           engine.encode("docs_job", vzQueryText), k = 10)
         .select(col("id")),
       s"$outDir/vz_hnsw_candidates.parquet")
+    // the WINDOW-probe candidate union (k = 5×limit) for the filtered
+    // variant — searchIndexed probes a wider window before the
+    // post-ANN filter, so its oracle replays over this wider set
+    writeSingleParquet(
+      Hnsw.probeHnswIndex(spark, vzVectorIndex(spark, dir),
+          engine.encode("docs_job", vzQueryText), k = 50)
+        .select(col("id")),
+      s"$outDir/vz_hnsw_candidates_w50.parquet")
     // HNSW batch-kNN candidate pairs (pre-self-filter, pre-rank) —
     // the oracle applies the identical self-exclusion + per-query
     // window over exact recomputed cosines
@@ -2068,6 +2094,7 @@ object Queries {
     "f6_chunk_table" -> (f6ChunkTable _),
     "vz_semantic_search" -> (vzSemanticSearch _),
     "vz_semantic_indexed" -> (vzSemanticIndexed _),
+    "vz_semantic_indexed_filtered" -> (vzSemanticIndexedFiltered _),
     "vz_semantic_quantized" -> (vzSemanticQuantized _),
     "passage_search" -> (passageSearch _),
     "vz_hybrid_search" -> (vzHybridSearch _),

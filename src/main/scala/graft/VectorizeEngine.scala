@@ -631,6 +631,34 @@ final class VectorizeEngine(
       Ann.probeIvfIndex(spark, path, "pkey", "embeddings", queryVec, k)
   }
 
+  /** Index-backed semantic search with the reference's POST-filter
+    * semantics (HNSW index scan + filter, core/src/query.rs:686-699):
+    * the probe retrieves a candidate window (window_size = 5×limit
+    * when filters are present — the same recall knob the scan path
+    * exposes), the source join and P4 typed filters apply AFTER the
+    * index scan, so an aggressively selective filter can return fewer
+    * than `limit` rows — the reference's documented index-scan
+    * behavior, preserved rather than silently "fixed" (the
+    * better-recall pre-filter form exists on the scan path via
+    * `search(preFilter = true)`). The probe output is ≤ window rows,
+    * so the source join broadcasts — the big table never shuffles.
+    */
+  def searchIndexed(jobName: String, path: String, query: String,
+      limit: Int = 10, filters: Map[String, FilterValue] = Map.empty,
+      returnCols: Seq[String] = Seq("*")): DataFrame = {
+    val job = jobs(jobName)
+    val window = if (filters.isEmpty) limit else limit * 5
+    val probe = probeVectorIndex(jobName, path, encode(jobName, query), window)
+    val src = sources(job.srcTable)
+    val joined = src.join(broadcast(probe),
+      src(job.primaryKey).cast("long") === probe("id"), "inner")
+    operators.Search.applyFilters(joined, filters)
+      .select(operators.Search.projectCols(src, returnCols) ++ Seq(
+        probe("cos").as("similarity_score"), probe("id").as("__id")): _*)
+      .orderBy(col("similarity_score").desc, col("__id").asc)
+      .limit(limit).drop("__id")
+  }
+
   /** Project view (core/src/query.rs:311-320): source ⋈ embeddings. */
   def projectView(jobName: String): DataFrame = {
     val job = jobs(jobName)

@@ -282,7 +282,7 @@ object Search {
   }
 
   /** P7: return-column projection, default all source columns. */
-  private def projectCols(src: DataFrame, returnCols: Seq[String]): Seq[Column] = {
+  private[graft] def projectCols(src: DataFrame, returnCols: Seq[String]): Seq[Column] = {
     val cols =
       if (returnCols == Seq("*")) src.columns.toSeq
       else returnCols.map(Identifiers.validate)

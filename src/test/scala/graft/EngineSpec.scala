@@ -104,6 +104,38 @@ class EngineSpec extends AnyFunSuite {
       .contains(got.head.getAs[String]("product_name")))
   }
 
+  test("searchIndexed: post-filter semantics — window recall, honest deficiency") {
+    val engine = newEngine()
+    engine.registerSource("my_products", Fixtures.myProducts(spark))
+    engine.createJob(productsJob())
+    val idx = TestSpark.tempDir("graft_eng_sidx_")
+    engine.buildVectorIndex("products", idx)
+    // unfiltered: agrees with the probe itself
+    val plain = engine.searchIndexed("products", idx, "camping backpack", limit = 5)
+      .select(col("product_id").cast("long")).collect().map(_.getLong(0)).toSet
+    val probe = engine.probeVectorIndex("products", idx,
+        engine.encode("products", "camping backpack"), 5)
+      .select(col("id").cast("long")).collect().map(_.getLong(0)).toSet
+    assert(plain == probe)
+    // filtered with a window that covers the corpus (limit=8 → window
+    // 40): the post-ANN filter finds both 25.00-priced products
+    val filtered = engine.searchIndexed("products", idx, "camping backpack",
+      limit = 8, filters = Map("price" -> FilterValue.parse("eq.25").toOption.get))
+      .collect()
+    assert(filtered.map(_.getAs[String]("product_name")).toSet ==
+      Set("Wireless Mouse", "Alarm Clock"))
+    // the semantics stay POST-filter (reference index-scan behavior,
+    // core/src/query.rs:686-699): with limit=1 the window is 5, and
+    // neither 25.00-priced product ranks in this query's top-5 — the
+    // filtered result is honestly EMPTY, never a full-table fallback
+    // behind the index's back (the scan path's full-ranking parity
+    // test above shows the contrast: search() returns 1 row here)
+    val deficient = engine.searchIndexed("products", idx, "camping backpack",
+      limit = 1, filters = Map("price" -> FilterValue.parse("eq.25").toOption.get))
+    assert(deficient.collect().isEmpty,
+      "post-filter past the window must honestly return fewer rows")
+  }
+
   test("semantic ordering + insert/update freshness (content table)") {
     val engine = newEngine()
     engine.registerSource("content", Fixtures.contentTable(spark))
