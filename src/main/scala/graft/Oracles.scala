@@ -1306,6 +1306,26 @@ object Oracles {
          |          ELSE '${Queries.sampleThreshOther}' END)
          |ORDER BY doc_id""".stripMargin,
 
+    // document-level sequence packing: the identical shard arithmetic,
+    // per-(lang, shard) ordered cumsum EXCLUDING the current row, and
+    // bin = floor(before / budget) — then the per-bin manifest
+    "pack_sequences" ->
+      s"""WITH per_doc AS (
+         |  SELECT lang, CAST(doc_id % ${Queries.packShards} AS INT) AS shard,
+         |    doc_id, CAST(len($toksSql) AS BIGINT) AS n_toks
+         |  FROM documents),
+         |binned AS (
+         |  SELECT lang, shard, n_toks,
+         |    CAST(floor(coalesce(sum(n_toks) OVER (
+         |      PARTITION BY lang, shard ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      / ${Queries.packBudget}) AS BIGINT) AS bin
+         |  FROM per_doc)
+         |SELECT lang, shard, bin, count(*) AS n_docs,
+         |  CAST(sum(n_toks) AS BIGINT) AS n_tokens
+         |FROM binned GROUP BY lang, shard, bin
+         |ORDER BY lang, shard, bin""".stripMargin,
+
     "mix_token_stats" ->
       s"""WITH per_doc AS (
          |  SELECT source, lang, len($toksSql) AS toks FROM documents),

@@ -990,6 +990,40 @@ object Queries {
       .orderBy(col("split"), col("lang"))
   }
 
+  /** Sequence packing for training (the document-level "pack until
+    * budget" recipe, T5 §3.1.2 / GPT-style concat-and-cut at doc
+    * grain): documents pack into fixed token-budget bins in a
+    * deterministic order, bin = floor(running-token-total-BEFORE-this-
+    * doc / budget) — the doc straddling a boundary goes to the bin
+    * where it started, and an oversized doc still lands in a bin (the
+    * R4 batching edge case at corpus level). Returns the per-bin
+    * manifest (n_docs, n_tokens) a packing job emits.
+    *
+    * Scale shape: the running cumsum is a window over (lang, shard),
+    * ordered by doc_id — sharding bounds every window partition by
+    * construction (a single dominant language would otherwise put its
+    * entire ordered cumsum on ONE task at 100 TB; shards make it
+    * nShards independent pack streams, the standard per-shard packing
+    * of a real training pipeline). The shard key is doc_id % nShards
+    * — arithmetic, not murmur — so the DuckDB oracle replays the
+    * identical assignment.
+    */
+  private[graft] val packBudget = 512L
+  private[graft] val packShards = 8
+  def packSequences(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("lang"), col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    t(spark, dir, "documents")
+      .select(col("lang"),
+        (col("doc_id") % packShards).cast("int").as("shard"),
+        col("doc_id"), size(sqlTokens(col("text"))).cast("long").as("n_toks"))
+      .withColumn("bin",
+        floor(coalesce(sum(col("n_toks")).over(w), lit(0L)) / packBudget))
+      .groupBy(col("lang"), col("shard"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
+      .orderBy(col("lang"), col("shard"), col("bin"))
+  }
+
   /** Hard-negative mining for contrastive training (the DPR/ANCE
     * recipe): for each query document, the top-3 embedding-nearest
     * neighbors that are NOT near-duplicate text — close enough to be
@@ -2068,6 +2102,7 @@ object Queries {
     "pipeline_c4" -> (pipelineC4 _),
     "pipeline_neardup" -> (pipelineNeardup _),
     "mine_hard_negatives" -> (mineHardNegatives _),
+    "pack_sequences" -> (packSequences _),
     "split_assign" -> (splitAssign _),
     "contamination_report" -> (contaminationReport _),
     "mm_describe" -> (mmDescribe _),

@@ -150,6 +150,59 @@ object Ann {
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
   }
 
+  /** Bucket-granular LSH maintenance with FROZEN hyperplanes — the
+    * bucket twin of [[upsertIvfIndex]], completing the maintenance
+    * triad (HNSW partition-granular, IVF frozen-centroid, LSH
+    * frozen-planes): changed rows re-key against the index's stored
+    * (bits, dim, seed) planes — never re-derived, so probe keys stay
+    * valid — and ONLY the touched bucket partitions (each changed
+    * id's old bucket, pruned id-join, plus its new bucket) are
+    * dynamically overwritten. The denormalized q8 codes recompute for
+    * the fresh rows, keeping [[knnJoinQuantizedIndexed]] and the
+    * quantized probes consistent after maintenance. Rows with null
+    * vectors are ignored (no deletion) — the same contract as the
+    * HNSW/IVF upserts. Cost is O(touched buckets' rows); key-width
+    * drift under 10× growth is a rebuild decision for the caller,
+    * exactly like the IVF centroids.
+    */
+  def upsertLshIndex(changed: DataFrame, idCol: String, vecCol: String,
+      path: String): Unit = {
+    val spark = changed.sparkSession
+    val meta = spark.read.parquet(s"$path/meta").head()
+    val planes = hyperplanes(meta.getAs[Int]("bits"), meta.getAs[Int]("dim"),
+      meta.getAs[Long]("seed"))
+    val buckets = spark.read.parquet(s"$path/buckets")
+    val dataCols = buckets.columns.filterNot(c => c == "bucket" || c == "q8")
+    val fresh = changed.filter(col(vecCol).isNotNull)
+      .select(dataCols.map(col).toIndexedSeq: _*)
+      .withColumn("bucket", lshKey(col(vecCol), planes))
+      .withColumn("q8", Quantize.quantize(col(vecCol)))
+    // same null-filter as `fresh` (the upsertIvfIndex regression):
+    // deriving ids from all of `changed` would silently delete a
+    // null-vector row from its old bucket
+    val ids = changed.filter(col(vecCol).isNotNull)
+      .select(col(idCol)).distinct()
+    val oldBuckets = buckets.join(broadcast(ids), Seq(idCol))
+      .select(col("bucket").cast("long")).distinct()
+      .collect().map(_.getLong(0))
+    val newBuckets = fresh.select(col("bucket")).distinct()
+      .collect().map(_.getLong(0))
+    val touched = (oldBuckets ++ newBuckets).distinct.toIndexedSeq
+    if (touched.isEmpty) return
+    val replaced = buckets
+      .filter(col("bucket").isin(touched: _*))
+      .join(broadcast(ids), Seq(idCol), "left_anti")
+      .unionByName(fresh.filter(col("bucket").isin(touched: _*))
+        .select(buckets.columns.map(col).toIndexedSeq: _*))
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "dynamic")
+    try replaced.repartition(col("bucket"))
+      .write.partitionBy("bucket").mode("overwrite")
+      .parquet(s"$path/buckets")
+    finally prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+  }
+
   /** Probe a persisted LSH index: enumerate the Hamming ring of the
     * query's key driver-side, scan ONLY those bucket partitions, exact
     * cosine top-k over the candidates. `.explain` shows

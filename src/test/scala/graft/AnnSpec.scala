@@ -291,6 +291,58 @@ class AnnSpec extends AnyFunSuite {
     assert(q8 == graft.operators.Quantize.quantizeVec(newVec).toSeq)
   }
 
+  test("upsertLshIndex: frozen-planes re-key, touched buckets only, codes track") {
+    val path = TestSpark.tempDir("graft_lsh_upsert_")
+    Ann.buildLshIndex(emb, "vec_id", "embedding", path, bits = 4)
+    // flip 5 vectors (sign-LSH keys all but certainly move) + one
+    // null-vector row that must be IGNORED, not deleted
+    val flipped = emb.filter(col("vec_id") < 5)
+      .withColumn("embedding", transform(col("embedding"), x => -x))
+    val changed = flipped.unionByName(
+      emb.filter(col("vec_id") === 7)
+        .withColumn("embedding", lit(null).cast("array<float>")))
+    def bucketFiles(): Map[String, Map[String, Long]] = {
+      val d = new java.io.File(s"$path/buckets")
+      d.listFiles().filter(_.getName.startsWith("bucket=")).map { b =>
+        b.getName -> b.listFiles().filter(_.getName.endsWith(".parquet"))
+          .map(f => f.getName -> f.lastModified()).toMap
+      }.toMap
+    }
+    val before = bucketFiles()
+
+    Ann.upsertLshIndex(changed, "vec_id", "embedding", path)
+
+    // 1) content equals a frozen-planes rebuild over the updated corpus
+    val rebuilt = TestSpark.tempDir("graft_lsh_rebuild_")
+    Ann.buildLshIndex(emb.filter(col("vec_id") >= 5).unionByName(flipped),
+      "vec_id", "embedding", rebuilt, bits = 4)
+    def content(p: String) = spark.read.parquet(s"$p/buckets")
+      .select(col("vec_id"), col("bucket").cast("long"), col("q8"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getSeq[Byte](2))).toSet
+    assert(content(path) == content(rebuilt),
+      "upserted index must equal a frozen-planes rebuild (incl. q8 codes)")
+    // 2) untouched bucket partitions were not rewritten
+    val changedKeys = Ann.lshKey(col("embedding"),
+      Ann.hyperplanes(4, emb.select(size(col("embedding"))).head().getInt(0)))
+    val touched = emb.filter(col("vec_id") < 5).select(changedKeys)
+      .unionByName(flipped.select(changedKeys))
+      .distinct().collect().map(r => s"bucket=${r.getLong(0)}").toSet
+    bucketFiles().foreach { case (b, files) =>
+      if (!touched.contains(b))
+        assert(files == before(b), s"untouched $b was rewritten")
+    }
+    // 3) the quantized indexed join stays consistent post-maintenance
+    val queries = emb.filter(col("vec_id") >= 5 && col("vec_id") < 55)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("x_id"),
+        r.getAs[Int]("rank"))).toSet
+    assert(rows(Ann.knnJoinQuantizedIndexed(spark, path, queries,
+        "vec_id", "embedding", k = 5, pool = 20)) ==
+      rows(Ann.knnJoinQuantizedIndexed(spark, rebuilt, queries,
+        "vec_id", "embedding", k = 5, pool = 20)),
+      "maintained and rebuilt indexes must serve identical joins")
+  }
+
   test("upsertIvfIndex: null-vector rows are ignored, not silently deleted") {
     val path = TestSpark.tempDir("graft_ivf_upsert_null_")
     Ann.buildIvfIndex(emb, "vec_id", "embedding", path, nCells = 8, iterations = 3)
