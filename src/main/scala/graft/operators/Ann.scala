@@ -603,10 +603,12 @@ object Ann {
     * Scale honesty (same situation as [[knnJoinIndexed]]): at sf0.1
     * this measures SLOWER than the exact join — encoding both sides
     * at query time costs more than the few-MB shuffle it saves. The
-    * crossover is where shuffle bytes dominate encode: production
-    * persists the code column next to the vectors (as buildIvfIndex
-    * does), making the candidate shuffle 4× lighter with no
-    * query-time encode at all.
+    * crossover is where shuffle bytes dominate encode, and is
+    * REALIZED by [[knnJoinQuantizedIndexed]]: buildLshIndex persists
+    * the code column next to the vectors, eliminating the corpus-side
+    * query-time encode entirely (measured at sf0.1: the indexed
+    * quantized join runs at or below the exact indexed join). This
+    * ad-hoc form remains for one-shot joins where no index exists.
     */
   def knnJoinQuantized(queries: DataFrame, index: DataFrame, idCol: String,
       vecCol: String, k: Int, bits: Int = 6, seed: Long = 42L,
