@@ -129,7 +129,12 @@ class ScaleSpec extends AnyFunSuite {
       "ann_knn_join" -> (verb1, verb10),
       "ann_hnsw_knn_join" -> (verb1, verb10),
       "ann_knn_join_quantized_indexed" -> (verb1, verb10),
-      "mine_hard_negatives" -> (verb1, verb10))
+      "mine_hard_negatives" -> (verb1, verb10),
+      // the composed flagship cleaners: near-dup end-to-end rides the
+      // salted rung (its pair stage must stay within-replica), the
+      // packing manifest rides verbatim (pure window + agg)
+      "pipeline_neardup" -> (salted1, salted10),
+      "pack_sequences" -> (verb1, verb10))
     dirs = Map("salted1" -> salted1, "salted10" -> salted10,
       "verbatim10" -> verb10)
     plan.map { case (q, (d1, d10)) =>
@@ -234,6 +239,18 @@ class ScaleSpec extends AnyFunSuite {
     // the Jaccard gate computes on |queries|·pool candidate pairs via
     // id-joins; the corpus-sized work is the linear gram projection
     assertSubQuadratic("mine_hard_negatives")
+  }
+
+  test("composed near-dup pipeline scales sub-quadratically to 10x", ScaleTest) {
+    // pairs + star CC are individually rung-proven; this asserts the
+    // COMPOSITION (… → anti-join → lang agg) adds no quadratic stage
+    assertSubQuadratic("pipeline_neardup")
+  }
+
+  test("sequence packing scales sub-quadratically to 10x", ScaleTest) {
+    // shard-bounded window cumsum + one agg — linear by construction,
+    // and the shards keep any one window partition from growing 10x
+    assertSubQuadratic("pack_sequences")
   }
 
   test("salted 10x corpus yields ~10x the near-dup pairs, never ~100x", ScaleTest) {
