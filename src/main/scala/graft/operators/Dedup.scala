@@ -172,14 +172,30 @@ object Dedup {
     * reported (a cross-language near-dup is not a dup for corpus
     * dedup). Null block values group together.
     */
-  def simHashPairs(docs: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3, blockCol: Option[String] = None): DataFrame = {
+  /** The banded key array over a 64-bit SimHash signature column:
+    * bands = maxHamming+1 (the pigeonhole full-recall construction),
+    * first `extra` bands one bit wider. Shared by [[simHashPairs]]
+    * and the streaming detector (Realtime.streamDedupNearPairs) so
+    * the two can never band differently.
+    */
+  private[graft] def simHashBandKeys(sig: Column, maxHamming: Int,
+      prefix: Column): Column = {
     require(maxHamming >= 0 && maxHamming < 64, "maxHamming must be in [0, 64)")
     val bands = maxHamming + 1
     val base = 64 / bands
     val extra = 64 % bands // first `extra` bands are one bit wider
     val widths = Array.tabulate(bands)(i => if (i < extra) base + 1 else base)
     val offsets = widths.scanLeft(0)(_ + _)
+    array((0 until bands).map { bnd =>
+      val mask = if (widths(bnd) == 64) lit(-1L)
+        else lit((1L << widths(bnd)) - 1)
+      concat(prefix, lit(s"$bnd:"),
+        shiftrightunsigned(sig, offsets(bnd)).bitwiseAND(mask))
+    }: _*)
+  }
+
+  def simHashPairs(docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3, blockCol: Option[String] = None): DataFrame = {
     // md5 the block value: fixed-width hex can never contain the band
     // separator, so a block value containing '|' (or any other text)
     // cannot collide band keys across blocks. The isnull flag
@@ -198,12 +214,7 @@ object Dedup {
       // materialize the prefix once per row — inlining it into each of
       // the `bands` array elements would md5 the block value bands×
       .withColumn("__bp", blockPrefix)
-    val bandKeys = array((0 until bands).map { bnd =>
-      val mask = if (widths(bnd) == 64) lit(-1L)
-        else lit((1L << widths(bnd)) - 1)
-      concat(col("__bp"), lit(s"$bnd:"),
-        shiftrightunsigned(col("sig"), offsets(bnd)).bitwiseAND(mask))
-    }: _*)
+    val bandKeys = simHashBandKeys(col("sig"), maxHamming, col("__bp"))
     val banded = withSig
       .withColumn("band_key", explode(bandKeys))
       .select("id", "sig", "band_key")

@@ -183,6 +183,111 @@ object Realtime {
     }).drop("__norm_hash")
   }
 
+  /** Per-band-key custom state for [[streamDedupNearPairs]]: the
+    * signatures seen in this bucket inside the watermark horizon.
+    * Parallel primitive arrays (id, sig, eventMs) — primitive-array
+    * fields keep the state encoder inside codegen; a List of tuples
+    * does not. Qualified-private, not `private`: an unqualified
+    * private nested class is invisible to Janino-generated encoder
+    * code (which lives outside this class), failing at runtime with
+    * "no applicable constructor/method".
+    */
+  private[streaming] case class NearDupBucket(ids: Array[Long],
+      sigs: Array[Long], eventMs: Array[Long])
+
+  /** Streaming NEAR-duplicate pair detection — the streaming twin of
+    * Dedup.simHashPairs, same banded-signature construction (shared
+    * via Dedup.simHashBandKeys, so the two can never band
+    * differently) and therefore the same pigeonhole recall guarantee:
+    * a true near-dup (Hamming ≤ maxHamming over 64 bits, bands =
+    * maxHamming+1) shares at least one EXACT band key with its
+    * earlier twin, meets it in that band's state bucket, and is
+    * verified there against the full stored signature — banding only
+    * generates candidates, exact Hamming decides, identical to batch.
+    *
+    * Custom state because no built-in fits: dropDuplicates* is
+    * exact-key-only, and stream-stream self-join cannot consult
+    * "everything seen so far". Each band key's
+    * `flatMapGroupsWithState` bucket holds (id, sig, eventMs) entries;
+    * a new arrival verifies against the bucket and emits one
+    * (id_a, id_b, hamming) row per earlier near-dup. Within a band a
+    * pair emits once (entries enter state only after being checked);
+    * ACROSS bands a pair colliding in two bands emits from each —
+    * at-least-once pair delivery, `.distinct()` downstream restores
+    * the batch operator's set semantics (RealtimeSpec asserts the
+    * deduped stream equals batch simHashPairs exactly).
+    *
+    * 100 TB posture: state per bucket is bounded by that bucket's
+    * distinct-signature rate × horizon — entries older than the
+    * watermark evict on event-time timeout (they could only pair with
+    * arrivals the watermark already rules out). Total state =
+    * (maxHamming+1) × corpus-rate × horizon, the banded analogue of
+    * streamDedup's bound.
+    */
+  def streamDedupNearPairs(docs: DataFrame, idCol: String, textCol: String,
+      tsCol: String, maxHamming: Int = 3,
+      horizon: String = "10 minutes"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val horizonMs = org.apache.spark.sql.catalyst.util.IntervalUtils
+      .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(horizon))
+    val horizonMillis = horizonMs.days * 86400000L + horizonMs.microseconds / 1000L
+    val banded = docs
+      .withColumn("__sig", graft.functions.GraftFunctions.simHash(col(textCol)))
+      .withColumn("__bk",
+        explode(graft.operators.Dedup.simHashBandKeys(col("__sig"), maxHamming, lit(""))))
+      .select(col("__bk"), col(idCol).cast("long").as("__id"), col("__sig"),
+        col(tsCol).cast("timestamp").as("__ts"))
+      // watermark AFTER the projection: casting/renaming the event-time
+      // column would strip the watermark tag from the attribute, and the
+      // event-time timeout below requires a watermarked column in scope
+      .withWatermark("__ts", horizon)
+      .as[(String, Long, Long, java.sql.Timestamp)]
+    banded.groupByKey(_._1)
+      .flatMapGroupsWithState[NearDupBucket, (Long, Long, Int)](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        org.apache.spark.sql.streaming.GroupStateTimeout.EventTimeTimeout()) {
+        (_, rows, state) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int)]
+            val entries = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+            state.getOption.foreach { b =>
+              var i = 0
+              while (i < b.ids.length) {
+                entries += ((b.ids(i), b.sigs(i), b.eventMs(i))); i += 1
+              }
+            }
+            // deterministic in-batch order: event time, then id — the
+            // same "earlier twin" a batch replay would see
+            rows.toSeq.sortBy(r => (r._4.getTime, r._2)).foreach {
+              case (_, id, sig, ts) =>
+                entries.foreach { case (pid, psig, _) =>
+                  if (pid != id) {
+                    val h = java.lang.Long.bitCount(sig ^ psig)
+                    if (h <= maxHamming)
+                      out += ((math.min(pid, id), math.max(pid, id), h))
+                  }
+                }
+                entries += ((id, sig, ts.getTime))
+            }
+            // evict past the watermark: those entries can only pair
+            // with arrivals the watermark already drops as late
+            val wm = state.getCurrentWatermarkMs()
+            val kept = entries.filter(_._3 >= wm)
+            if (kept.isEmpty) state.remove()
+            else {
+              state.update(NearDupBucket(kept.map(_._1).toArray,
+                kept.map(_._2).toArray, kept.map(_._3).toArray))
+              state.setTimeoutTimestamp(
+                math.max(wm + 1L, kept.map(_._3).max + horizonMillis))
+            }
+            out.iterator
+          }
+      }
+      .toDF("id_a", "id_b", "hamming")
+  }
+
   /** Sessionization via session_window (gap-based) — the canonical
     * stateful-streaming operator beyond tumbling windows.
     */

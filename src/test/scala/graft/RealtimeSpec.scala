@@ -318,4 +318,68 @@ class RealtimeSpec extends AnyFunSuite {
     val want = canon(Realtime.windowedEventCounts(events, "ts", "user_id", "30 minutes"))
     assert(got == want, "streaming and batch runs of the same plan must agree")
   }
+
+  test("streaming near-dup pairs equal batch simHashPairs; cross-restart pairing") {
+    import spark.implicits._
+    val dir = TestSpark.tempDir("graft_sdn_")
+    val cp = TestSpark.tempDir("graft_sdn_cp_")
+    val out = TestSpark.tempDir("graft_sdn_out_")
+    def write(rows: Seq[(Long, String, java.sql.Timestamp)]): Unit =
+      rows.toDF("doc_id", "text", "ts")
+        .coalesce(1).write.mode("append").parquet(s"$dir/docs")
+    def stream = spark.readStream
+      .schema("doc_id LONG, text STRING, ts TIMESTAMP")
+      .parquet(s"$dir/docs")
+    def runOnce(): Unit = {
+      val q = Realtime.streamDedupNearPairs(stream, "doc_id", "text", "ts",
+          maxHamming = 16)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", cp)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(60000)
+    }
+    // pairs are at-least-once across bands: distinct AFTER the sink
+    // restores the batch operator's set semantics (see scaladoc)
+    def pairs(): Set[(Long, Long, Int)] = spark.read.parquet(out)
+      .select("id_a", "id_b", "hamming").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    def batchPairs(rows: Seq[(Long, String, java.sql.Timestamp)]) =
+      graft.operators.Dedup.simHashPairs(
+          rows.toDF("doc_id", "text", "ts"), "doc_id", "text", maxHamming = 16)
+        .collect()
+        .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+          r.getAs[Int]("hamming"))).toSet
+    val base = "the distributed query engine optimizes joins aggregations and window functions across many partitions"
+    val other = "gardening gloves protect hands while pruning thorny rose bushes outdoors today"
+    // batch 1: an exact in-batch dup (1,2), a small-edit near-dup (1,3),
+    // and an unrelated doc that must pair with nobody
+    val b1 = Seq(
+      (1L, base, Fixtures.ts(10)),
+      (2L, base, Fixtures.ts(20)),
+      (3L, base.replace("many", "all"), Fixtures.ts(30)),
+      (4L, other, Fixtures.ts(40)))
+    write(b1)
+    runOnce()
+    val want1 = batchPairs(b1)
+    assert(want1.map(p => (p._1, p._2)).contains((1L, 2L)) &&
+      want1.exists(p => p._1 == 1L && p._2 == 3L && p._3 > 0),
+      s"fixture must contain an exact and a near pair, got $want1")
+    assert(pairs() == want1,
+      "streaming near-dup pairs must equal batch simHashPairs exactly")
+    // batch 2 AFTER a restart from the checkpoint: a near-dup of doc 1
+    // (cross-run pair via persisted band state) and a fresh unrelated doc
+    val b2 = Seq(
+      (21L, base.replace("joins", "scans"), Fixtures.ts(600)),
+      (22L, "completely unrelated fresh document about baking sourdough bread loaves", Fixtures.ts(610)))
+    write(b2)
+    runOnce()
+    val wantAll = batchPairs(b1 ++ b2)
+    assert(wantAll.exists(p => p._1 == 1L && p._2 == 21L),
+      s"fixture must contain a cross-run near pair, got $wantAll")
+    assert(pairs() == wantAll,
+      "checkpointed band state must pair across runs and add nothing else")
+  }
 }
