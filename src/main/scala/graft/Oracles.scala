@@ -1374,6 +1374,21 @@ object Oracles {
          |SELECT doc_id, n_hits FROM hits WHERE n_hits >= ${Queries.decontamMinOverlap}
          |ORDER BY doc_id""".stripMargin,
 
+    // bloom-pruned variant: the bloom only prunes candidates, the
+    // exact semi-join decides — same answer, so the oracle is the
+    // exact form's SQL verbatim.
+    "decontaminate_bloom" ->
+      s"""$bigramsCte,
+         |bench AS (
+         |  SELECT DISTINCT g FROM bigrams WHERE doc_id % ${Queries.decontamMod} = 0),
+         |hits AS (
+         |  SELECT c.doc_id, COUNT(*) AS n_hits
+         |  FROM bigrams c JOIN bench b ON c.g = b.g
+         |  WHERE c.doc_id % ${Queries.decontamMod} <> 0
+         |  GROUP BY c.doc_id)
+         |SELECT doc_id, n_hits FROM hits WHERE n_hits >= ${Queries.decontamMinOverlap}
+         |ORDER BY doc_id""".stripMargin,
+
     // per-eval-doc contamination report: pair counts over shared
     // distinct bigrams (bench side % mod = 0), thresholded, then
     // per-bench aggregation.

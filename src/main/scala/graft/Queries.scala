@@ -1362,6 +1362,24 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
+  /** Bloom-pruned decontamination — the 100 TB form of
+    * [[decontaminate]]: a driver-built Bloom filter over the
+    * benchmark grams gates the corpus gram stream map-side, so the
+    * exact semi-join shuffles hits (+ fpp·misses) instead of every
+    * corpus gram once the benchmark gram set outgrows a broadcast.
+    * Same answer by construction (the bloom only prunes; the exact
+    * join decides) — shares decontaminate's oracle SQL verbatim.
+    */
+  def decontaminateBloom(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    Dedup.contaminatedDocsBloom(
+        docs.filter(col("doc_id") % decontamMod =!= 0),
+        docs.filter(col("doc_id") % decontamMod === 0),
+        "doc_id", "text", n = 2, minOverlap = decontamMinOverlap)
+      .select(col("id").as("doc_id"), col("n_hits"))
+      .orderBy(col("doc_id"))
+  }
+
   /** F2/F4: stemmed tsvector + ranked lexical search. DuckDB-oracled
     * via dump-and-replay: Verify dumps the per-doc Porter lexeme
     * arrays and the stemmed query lexemes (dumpOracleAux), and the
@@ -2120,6 +2138,7 @@ object Queries {
     "mix_sample" -> (mixSample _),
     "a3_quantiles" -> (a3Quantiles _),
     "decontaminate" -> (decontaminate _),
+    "decontaminate_bloom" -> (decontaminateBloom _),
     "f2_tsvector_rank" -> (f2TsvectorRank _),
     "f2_postings_rank" -> (f2PostingsRank _),
     "f4_rank_cd" -> (f4RankCd _),

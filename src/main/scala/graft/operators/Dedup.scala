@@ -389,6 +389,56 @@ object Dedup {
       .filter(col("n_hits") >= minOverlap)
   }
 
+  /** The distinct benchmark grams and a Bloom filter over them —
+    * shared by [[contaminatedDocsBloom]] and its spec so the test
+    * exercises the exact filter the operator ships.
+    */
+  private[graft] def benchmarkGramBloom(benchmark: DataFrame, textCol: String,
+      n: Int, fpp: Double): (DataFrame, org.apache.spark.util.sketch.BloomFilter) = {
+    val benchGrams = benchmark
+      .select(explode(ngramSet(col(textCol), n)).as("g")).distinct()
+    // two actions over the SMALL side only (count sizes the filter,
+    // bloomFilter builds it); the corpus side stays lazy
+    val expected = math.max(1L, benchGrams.count())
+    (benchGrams, benchGrams.stat.bloomFilter("g", expected, fpp))
+  }
+
+  /** Bloom-pruned benchmark decontamination — the SAME answer as
+    * [[contaminatedDocs]] (the bloom only PRUNES candidates; the
+    * exact semi-join still decides, so false positives cost shuffle
+    * bytes, never correctness — `decontaminate_bloom` shares
+    * `decontaminate`'s oracle verbatim), with the corpus gram stream
+    * filtered map-side by a driver-built Bloom filter over the
+    * benchmark grams BEFORE any join or shuffle.
+    *
+    * Why this matters at 100 TB: [[contaminatedDocs]] is cheap while
+    * the exact benchmark gram SET fits a broadcast (AQE turns the
+    * semi-join into a broadcast probe). A web-scale eval suite can
+    * hold 10⁸+ distinct grams — several GB of strings, past any
+    * broadcast threshold — and the semi-join degrades to a sort-merge
+    * that shuffles EVERY corpus gram (O(corpus) rows, the dominant
+    * cost at 100 TB). The bloom stays driver-sized regardless
+    * (~1.2 bytes/gram at fpp=0.01, 10–50× smaller than the strings),
+    * so the map-side filter survives the scale-up and the sort-merge
+    * shuffle shrinks from all corpus grams to true hits + fpp·misses.
+    * The UDF is a deliberate exception to the functions-first rule:
+    * it gates rows BEFORE the shuffle (never inside a ranking loop),
+    * and Spark exposes no public Column form of `mightContain`.
+    */
+  def contaminatedDocsBloom(docs: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, n: Int = 2, minOverlap: Int = 5,
+      fpp: Double = 0.01): DataFrame = {
+    val (benchGrams, bloom) = benchmarkGramBloom(benchmark, textCol, n, fpp)
+    val bc = docs.sparkSession.sparkContext.broadcast(bloom)
+    val mightContain = udf((g: String) => g != null && bc.value.mightContainString(g))
+    docs.select(col(idCol).as("id"),
+        explode(ngramSet(col(textCol), n)).as("g"))
+      .filter(mightContain(col("g")))
+      .join(benchGrams, Seq("g"), "left_semi")
+      .groupBy(col("id")).agg(count(lit(1)).as("n_hits"))
+      .filter(col("n_hits") >= minOverlap)
+  }
+
   /** Near-dup cluster canonicalization: connected components over a
     * pair list (the output of [[minHashLshPairs]] / [[simHashPairs]] /
     * [[embeddingLshBandedPairs]]) via iterative min-label propagation,

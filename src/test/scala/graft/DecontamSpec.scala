@@ -1,0 +1,67 @@
+package graft
+
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Bloom-pruned benchmark decontamination
+  * (Dedup.contaminatedDocsBloom): answer-equality with the exact
+  * operator (the bloom only prunes candidates; the semi-join
+  * decides), and the pruning itself — the property that makes it the
+  * 100 TB form.
+  */
+class DecontamSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  // corpus: contaminated docs quote benchmark sentences; clean docs
+  // share no bigram with the benchmark vocabulary
+  private def fixture = {
+    import spark.implicits._
+    val bench = Seq(
+      (1000L, "the quick brown fox jumps over the lazy dog near the river bank"),
+      (1001L, "neural networks learn distributed representations from large text corpora"))
+    val corpus = Seq(
+      // quotes bench 1000 wholesale → well past minOverlap
+      (1L, "witness said the quick brown fox jumps over the lazy dog near the shed"),
+      // quotes bench 1001 wholesale
+      (2L, "today neural networks learn distributed representations from large text corpora easily"),
+      // shares exactly one bigram ("brown fox") → below minOverlap
+      (3L, "a brown fox pelt hung beside copper kettles and woven reed baskets"),
+      // disjoint vocabulary entirely
+      (4L, "garlic butter shrimp simmered gently while rosemary potatoes roasted underneath"),
+      (5L, "volcanic basalt columns framed the glacier lagoon under pale arctic light"))
+    (bench.toDF("doc_id", "text"), corpus.toDF("doc_id", "text"))
+  }
+
+  test("bloom variant equals the exact operator (prune-only, join decides)") {
+    val (bench, corpus) = fixture
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("id"), r.getAs[Long]("n_hits"))).toSet
+    val exact = canon(Dedup.contaminatedDocs(corpus, bench, "doc_id", "text",
+      n = 2, minOverlap = 5))
+    val bloomed = canon(Dedup.contaminatedDocsBloom(corpus, bench, "doc_id", "text",
+      n = 2, minOverlap = 5))
+    assert(exact.map(_._1) == Set(1L, 2L), s"fixture must contaminate docs 1,2: $exact")
+    assert(bloomed == exact, "bloom pruning must never change the answer")
+  }
+
+  test("bloom prunes clean-doc grams map-side (the shuffle-shrink property)") {
+    val (bench, corpus) = fixture
+    val (_, bloom) = Dedup.benchmarkGramBloom(bench, "text", 2, fpp = 0.01)
+    val grams = corpus.filter(col("doc_id").isin(4L, 5L))
+      .select(explode(Dedup.ngramSet(col("text"), 2)).as("g"))
+      .collect().map(_.getString(0))
+    assert(grams.length > 10, "clean docs must contribute a real gram stream")
+    val passing = grams.count(bloom.mightContainString)
+    // disjoint vocabulary: only bloom false positives may pass. At
+    // fpp=0.01 over ~20 grams even 3 passes is < 1e-4 probable.
+    assert(passing <= 2,
+      s"bloom must prune nearly all clean grams; $passing/${grams.length} passed")
+    // and every benchmark gram must pass (blooms have no false negatives)
+    val benchGrams = bench.select(explode(Dedup.ngramSet(col("text"), 2)).as("g"))
+      .collect().map(_.getString(0))
+    assert(benchGrams.forall(bloom.mightContainString),
+      "a bloom filter must never reject a member")
+  }
+}
