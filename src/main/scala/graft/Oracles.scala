@@ -38,6 +38,31 @@ object Oracles {
        |  FROM unnested a JOIN unnested b
        |    ON a.doc_id = b.doc_id AND b.i = a.i + 1)""".stripMargin
 
+  /** DSIR weight CTE chain (shared by dsir_weights / dsir_sample):
+    * target = source '${Queries.dsirTargetSource}' docs' bigrams, raw = the rest;
+    * 16^3 = 4096 md5-prefix buckets, Laplace alpha = 1.
+    */
+  private val dsirWeightsCte =
+    s"""tg AS (
+       |  SELECT b.g FROM bigrams b JOIN documents d USING (doc_id)
+       |  WHERE d.source = '${Queries.dsirTargetSource}'),
+       |rg AS (
+       |  SELECT b.doc_id, b.g FROM bigrams b JOIN documents d USING (doc_id)
+       |  WHERE d.source <> '${Queries.dsirTargetSource}'),
+       |tc AS (SELECT substr(md5(g), 1, 3) AS bk, COUNT(*) AS ct FROM tg GROUP BY 1),
+       |rc AS (SELECT substr(md5(g), 1, 3) AS bk, COUNT(*) AS cr FROM rg GROUP BY 1),
+       |tt AS (SELECT SUM(ct) AS tt FROM tc),
+       |rt AS (SELECT SUM(cr) AS rt FROM rc),
+       |ratio AS (
+       |  SELECT COALESCE(tc.bk, rc.bk) AS bk,
+       |    ln(COALESCE(tc.ct, 0) + 1.0) - ln(tt.tt + 4096.0)
+       |    - ln(COALESCE(rc.cr, 0) + 1.0) + ln(rt.rt + 4096.0) AS llr
+       |  FROM tc FULL OUTER JOIN rc ON tc.bk = rc.bk, tt, rt),
+       |w AS (
+       |  SELECT rg.doc_id, SUM(ratio.llr) AS logw
+       |  FROM rg JOIN ratio ON substr(md5(rg.g), 1, 3) = ratio.bk
+       |  GROUP BY rg.doc_id)""".stripMargin
+
   /** Quality-score SELECT over relation `src`(doc_id, text) —
     * subquery form so composed oracles (pipeline_corpus) can apply it
     * to an intermediate CTE. Mirrors GraftFunctions.qualityScore
@@ -1388,6 +1413,24 @@ object Oracles {
          |  GROUP BY c.doc_id)
          |SELECT doc_id, n_hits FROM hits WHERE n_hits >= ${Queries.decontamMinOverlap}
          |ORDER BY doc_id""".stripMargin,
+
+    // DSIR replay: same distinct-bigram features, same md5-prefix
+    // buckets (string keys precisely so this SQL needs no hex
+    // arithmetic), same Laplace-smoothed log-likelihood ratios.
+    "dsir_weights" ->
+      s"""$bigramsCte,
+         |$dsirWeightsCte
+         |SELECT doc_id, ROUND(logw, 4) AS logw FROM w ORDER BY doc_id""".stripMargin,
+
+    // Gumbel top-k: uniform from the mix_sample integer hash of the
+    // id; keys rounded BEFORE order/limit to pin the boundary.
+    "dsir_sample" ->
+      s"""$bigramsCte,
+         |$dsirWeightsCte
+         |SELECT doc_id,
+         |  ROUND(logw - ln(-ln((((doc_id % 100003) * 2654435761) % 10000 + 0.5) / 10000.0)), 4)
+         |    AS gumbel_key
+         |FROM w ORDER BY gumbel_key DESC, doc_id LIMIT ${Queries.dsirSampleK}""".stripMargin,
 
     // per-eval-doc contamination report: pair counts over shared
     // distinct bigrams (bench side % mod = 0), thresholded, then

@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.GraftFunctions._
-import graft.operators.{Ann, AsOf, Dedup, Hnsw, Multimodal, Pipeline, Pq, Quantize, RangeJoin, Search, TextIndex}
+import graft.operators.{Ann, AsOf, Dedup, Dsir, Hnsw, Multimodal, Pipeline, Pq, Quantize, RangeJoin, Search, TextIndex}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -1380,6 +1380,44 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
+  private[graft] val dsirTargetSource = "src0"
+  private[graft] val dsirSampleK = 100
+
+  /** DSIR importance weights (Xie et al. 2023): score every
+    * non-target document by how much its hashed-bigram distribution
+    * resembles the target slice (source = src0 plays "the trusted
+    * domain"). The full per-doc log-weight table — the artifact a
+    * pipeline persists so multiple selection budgets can resample
+    * without re-scoring.
+    */
+  def dsirWeights(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    Dsir.importanceWeights(
+        docs.filter(col("source") =!= dsirTargetSource),
+        docs.filter(col("source") === dsirTargetSource),
+        "doc_id", "text", n = 2)
+      .select(col("id").as("doc_id"), round(col("logw"), 4).as("logw"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DSIR Gumbel top-k selection over [[dsirWeights]]'s scores:
+    * sampling k docs without replacement ∝ exp(logw) = top-k by
+    * logw + Gumbel(uniform-from-id-hash) noise. Keys are rounded
+    * BEFORE the order/limit on both sides so the oracle's top-k
+    * boundary is bit-identical.
+    */
+  def dsirSample(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    Dsir.importanceWeights(
+        docs.filter(col("source") =!= dsirTargetSource),
+        docs.filter(col("source") === dsirTargetSource),
+        "doc_id", "text", n = 2)
+      .select(col("id").as("doc_id"),
+        round(Dsir.gumbelKey(col("logw"), col("id")), 4).as("gumbel_key"))
+      .orderBy(col("gumbel_key").desc, col("doc_id"))
+      .limit(dsirSampleK)
+  }
+
   /** F2/F4: stemmed tsvector + ranked lexical search. DuckDB-oracled
     * via dump-and-replay: Verify dumps the per-doc Porter lexeme
     * arrays and the stemmed query lexemes (dumpOracleAux), and the
@@ -2139,6 +2177,8 @@ object Queries {
     "a3_quantiles" -> (a3Quantiles _),
     "decontaminate" -> (decontaminate _),
     "decontaminate_bloom" -> (decontaminateBloom _),
+    "dsir_weights" -> (dsirWeights _),
+    "dsir_sample" -> (dsirSample _),
     "f2_tsvector_rank" -> (f2TsvectorRank _),
     "f2_postings_rank" -> (f2PostingsRank _),
     "f4_rank_cd" -> (f4RankCd _),
