@@ -52,6 +52,38 @@ class PlanSpec extends AnyFunSuite {
       s"reassembly + lang agg), got $n:\n$plan")
   }
 
+  test("dsir_weights: ratio table broadcast-probed, bounded model-fit shuffles") {
+    val plan = SparkEntry.queries("dsir_weights")(spark, dir)
+      .queryExecution.executedPlan.toString
+    // the scoring probe (raw grams ⋈ per-bucket llr) must broadcast —
+    // the ratio table is ≤4096 rows by construction, and an SMJ here
+    // would shuffle every corpus gram, exactly what DSIR's bounded
+    // bucket space exists to avoid
+    assert("BroadcastHashJoin [^\\n]*Inner".r.findFirstIn(plan).isDefined,
+      s"llr probe must be a broadcast join:\n$plan")
+    // the model fits are B-keyed aggs + one full-outer on the bucket
+    // key (full outer cannot broadcast); all bounded at 4096 rows.
+    // Corpus-sized shuffles: only the final groupBy(doc).
+    val nHash = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(nHash <= 5, s"expected <=5 hash exchanges (2 bucket fits + " +
+      s"bucket join + doc agg), got $nHash:\n$plan")
+  }
+
+  test("decontaminate_bloom: map-side bloom filter present, semi-join broadcasts") {
+    val plan = SparkEntry.queries("decontaminate_bloom")(spark, dir)
+      .queryExecution.executedPlan.toString
+    // the bloom gate must survive into the executed plan as a Filter
+    // on the exploded gram stream — if Catalyst ever re-orders it
+    // above the join it stops pruning the shuffle and the operator
+    // silently degrades to the exact form
+    assert("Filter [^\\n]*UDF".r.findFirstIn(plan).isDefined,
+      s"bloom UDF filter must gate the gram stream in-plan:\n$plan")
+    assert("BroadcastHashJoin [^\\n]*LeftSemi".r.findFirstIn(plan).isDefined,
+      s"exact semi-join must broadcast at this scale:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"decontaminate_bloom must not sort-merge at this scale:\n$plan")
+  }
+
   test("pipeline_neardup: bounded tail shuffles after the star closure") {
     val plan = SparkEntry.queries("pipeline_neardup")(spark, dir)
       .queryExecution.executedPlan.toString
