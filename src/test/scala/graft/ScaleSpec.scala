@@ -134,7 +134,11 @@ class ScaleSpec extends AnyFunSuite {
       // salted rung (its pair stage must stay within-replica), the
       // packing manifest rides verbatim (pure window + agg)
       "pipeline_neardup" -> (salted1, salted10),
-      "pack_sequences" -> (verb1, verb10))
+      "pack_sequences" -> (verb1, verb10),
+      // DSIR: the ratio table is bucket-bounded (4096 rows at ANY
+      // corpus size), so the only corpus-sized stages are the two
+      // linear gram scans and one groupBy(doc)
+      "dsir_weights" -> (verb1, verb10))
     dirs = Map("salted1" -> salted1, "salted10" -> salted10,
       "verbatim10" -> verb10)
     plan.map { case (q, (d1, d10)) =>
@@ -251,6 +255,10 @@ class ScaleSpec extends AnyFunSuite {
     // shard-bounded window cumsum + one agg — linear by construction,
     // and the shards keep any one window partition from growing 10x
     assertSubQuadratic("pack_sequences")
+  }
+
+  test("DSIR weighting scales sub-quadratically to 10x", ScaleTest) {
+    assertSubQuadratic("dsir_weights")
   }
 
   test("salted 10x corpus yields ~10x the near-dup pairs, never ~100x", ScaleTest) {
