@@ -1432,6 +1432,43 @@ object Oracles {
          |    AS gumbel_key
          |FROM w ORDER BY gumbel_key DESC, doc_id LIMIT ${Queries.dsirSampleK}""".stripMargin,
 
+    // CCNet perplexity replay: non-distinct consecutive token pairs,
+    // Laplace bigram LM over the target slice, per-doc EXP(-AVG(ln p)),
+    // tertiles per language over the ROUNDED perplexity.
+    "ccnet_ppl_buckets" ->
+      s"""WITH arr AS (
+         |  SELECT doc_id, $toksSql AS toks FROM documents),
+         |un AS (
+         |  SELECT doc_id, unnest(toks) AS tok,
+         |    generate_subscripts(toks, 1) AS i
+         |  FROM arr WHERE len(toks) >= 2),
+         |pr AS (
+         |  SELECT a.doc_id, a.tok AS prev, b.tok AS cur
+         |  FROM un a JOIN un b ON a.doc_id = b.doc_id AND b.i = a.i + 1),
+         |tp AS (
+         |  SELECT p.prev, p.cur FROM pr p JOIN documents d USING (doc_id)
+         |  WHERE d.source = '${Queries.dsirTargetSource}'),
+         |rp AS (
+         |  SELECT p.doc_id, p.prev, p.cur FROM pr p JOIN documents d USING (doc_id)
+         |  WHERE d.source <> '${Queries.dsirTargetSource}'),
+         |big AS (SELECT prev, cur, COUNT(*) AS cb FROM tp GROUP BY 1, 2),
+         |ctx AS (SELECT prev, COUNT(*) AS cp FROM tp GROUP BY 1),
+         |voc AS (SELECT COUNT(DISTINCT cur) AS v FROM tp),
+         |sc AS (
+         |  SELECT rp.doc_id,
+         |    ln((COALESCE(big.cb, 0) + 1.0) / (COALESCE(ctx.cp, 0) + 1.0 * (voc.v + 1))) AS logp
+         |  FROM rp
+         |  LEFT JOIN big ON rp.prev = big.prev AND rp.cur = big.cur
+         |  LEFT JOIN ctx ON rp.prev = ctx.prev, voc),
+         |pp AS (SELECT doc_id, ROUND(EXP(-AVG(logp)), 4) AS ppl FROM sc GROUP BY doc_id),
+         |lb AS (
+         |  SELECT p.doc_id, d.lang, p.ppl,
+         |    NTILE(3) OVER (PARTITION BY d.lang ORDER BY p.ppl, p.doc_id) AS nt
+         |  FROM pp p JOIN documents d USING (doc_id))
+         |SELECT doc_id, lang, ppl,
+         |  CASE nt WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+         |FROM lb ORDER BY doc_id""".stripMargin,
+
     // per-eval-doc contamination report: pair counts over shared
     // distinct bigrams (bench side % mod = 0), thresholded, then
     // per-bench aggregation.

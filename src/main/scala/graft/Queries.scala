@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.GraftFunctions._
-import graft.operators.{Ann, AsOf, Dedup, Dsir, Hnsw, Multimodal, Pipeline, Pq, Quantize, RangeJoin, Search, TextIndex}
+import graft.operators.{Ann, AsOf, Ccnet, Dedup, Dsir, Hnsw, Multimodal, Pipeline, Pq, Quantize, RangeJoin, Search, TextIndex}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -1418,6 +1418,28 @@ object Queries {
       .limit(dsirSampleK)
   }
 
+  /** CCNet-style perplexity buckets (Wenzek et al. 2020): per-doc
+    * perplexity under a bigram LM trained on the target slice
+    * (source = src0), then head/middle/tail tertiles per language —
+    * low perplexity = "reads like the trusted domain" = head.
+    * Perplexity is rounded BEFORE the tertile window so the oracle's
+    * bucket boundaries are bit-identical.
+    */
+  def ccnetPplBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val ppl = Ccnet.perplexity(
+        docs.filter(col("source") =!= dsirTargetSource),
+        docs.filter(col("source") === dsirTargetSource),
+        "doc_id", "text", sqlTokens)
+      .select(col("id").as("doc_id"), round(col("ppl"), 4).as("ppl"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("ppl"), col("doc_id"))
+    ppl.join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .withColumn("bucket", element_at(
+        array(lit("head"), lit("middle"), lit("tail")), ntile(3).over(w)))
+      .select(col("doc_id"), col("lang"), col("ppl"), col("bucket"))
+      .orderBy(col("doc_id"))
+  }
+
   /** F2/F4: stemmed tsvector + ranked lexical search. DuckDB-oracled
     * via dump-and-replay: Verify dumps the per-doc Porter lexeme
     * arrays and the stemmed query lexemes (dumpOracleAux), and the
@@ -2179,6 +2201,7 @@ object Queries {
     "decontaminate_bloom" -> (decontaminateBloom _),
     "dsir_weights" -> (dsirWeights _),
     "dsir_sample" -> (dsirSample _),
+    "ccnet_ppl_buckets" -> (ccnetPplBuckets _),
     "f2_tsvector_rank" -> (f2TsvectorRank _),
     "f2_postings_rank" -> (f2PostingsRank _),
     "f4_rank_cd" -> (f4RankCd _),
