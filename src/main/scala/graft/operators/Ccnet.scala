@@ -60,8 +60,10 @@ object Ccnet {
       alpha: Double = 1.0): DataFrame = {
     val tPairs = tokenPairs(target, idCol, textCol, tokens)
     val big = tPairs.groupBy("prev", "cur").agg(count(lit(1)).as("cb"))
-    val ctx = tPairs.groupBy("prev").agg(count(lit(1)).as("cp"))
-    val vocab = tPairs.agg(countDistinct(col("cur")).as("v"))
+    // ctx and vocab derive from the bigram counts — one explode over
+    // the target instead of three (cp = Σ_cur cb; V = distinct cur)
+    val ctx = big.groupBy("prev").agg(sum("cb").as("cp"))
+    val vocab = big.agg(countDistinct(col("cur")).as("v"))
     tokenPairs(raw, idCol, textCol, tokens)
       .join(broadcast(big), Seq("prev", "cur"), "left_outer")
       .join(broadcast(ctx), Seq("prev"), "left_outer")
