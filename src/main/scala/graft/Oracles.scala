@@ -63,6 +63,24 @@ object Oracles {
        |  FROM rg JOIN ratio ON substr(md5(rg.g), 1, 3) = ratio.bk
        |  GROUP BY rg.doc_id)""".stripMargin
 
+  /** Learned-quality-classifier scoring CTE (shared by
+    * quality_classifier / quality_filter_pareto): distinct feature
+    * buckets per non-target doc → coefficient sum → sigmoid, over the
+    * dumped weights + intercept.
+    */
+  private val qualityScoreCte =
+    s"""feat AS (
+       |  SELECT DISTINCT doc_id, substr(md5(g), 1, 3) AS bk FROM bigrams),
+       |wt AS (SELECT bk, w FROM read_parquet('__AUX__/quality_aux_weights.parquet')),
+       |ic AS (SELECT icept FROM read_parquet('__AUX__/quality_aux_intercept.parquet')),
+       |s AS (
+       |  SELECT f.doc_id, SUM(wt.w) AS z
+       |  FROM feat f JOIN wt USING (bk)
+       |  GROUP BY f.doc_id),
+       |q AS (
+       |  SELECT doc_id, ROUND(1.0 / (1.0 + EXP(-(z + ic.icept))), 4) AS qscore
+       |  FROM s, ic)""".stripMargin
+
   /** Quality-score SELECT over relation `src`(doc_id, text) —
     * subquery form so composed oracles (pipeline_corpus) can apply it
     * to an intermediate CTE. Mirrors GraftFunctions.qualityScore
@@ -1468,6 +1486,24 @@ object Oracles {
          |SELECT doc_id, lang, ppl,
          |  CASE nt WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
          |FROM lb ORDER BY doc_id""".stripMargin,
+
+    // learned-quality-classifier replay: distinct md5-prefix feature
+    // buckets per raw doc, coefficient sum + sigmoid over the dumped
+    // model (the training is MLlib's; the SCORING is relational on
+    // both sides by design).
+    "quality_classifier" ->
+      s"""$bigramsCte,
+         |$qualityScoreCte
+         |SELECT doc_id, qscore FROM q ORDER BY doc_id""".stripMargin,
+
+    // Pareto-thresholded keep: score > 1 - ((1-u)^(-1/9) - 1), u from
+    // the mix_sample integer hash; scores rounded BEFORE the compare.
+    "quality_filter_pareto" ->
+      s"""$bigramsCte,
+         |$qualityScoreCte
+         |SELECT doc_id, qscore FROM q
+         |WHERE qscore > 1.0 - (POWER(1.0 - (((doc_id % 100003) * 2654435761) % 10000 + 0.5) / 10000.0, -1.0 / 9.0) - 1.0)
+         |ORDER BY doc_id""".stripMargin,
 
     // per-eval-doc contamination report: pair counts over shared
     // distinct bigrams (bench side % mod = 0), thresholded, then

@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.GraftFunctions._
-import graft.operators.{Ann, AsOf, Ccnet, Dedup, Dsir, Hnsw, Multimodal, Pipeline, Pq, Quantize, RangeJoin, Search, TextIndex}
+import graft.operators.{Ann, AsOf, Ccnet, Dedup, Dsir, Hnsw, Multimodal, Pipeline, Pq, Quantize, QualityFilter, RangeJoin, Search, TextIndex}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -1440,6 +1440,56 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
+  private val qualityModelCache =
+    new java.util.concurrent.ConcurrentHashMap[String, QualityFilter.Model]()
+
+  private[graft] val qualityTargetLang = "en"
+
+  /** Train-once GPT-3-style quality classifier for this (session,
+    * dir). The paper's target is a curated corpus distributionally
+    * distinct from the crawl; the synthetic corpus's only separable
+    * axis is language, so the demo target is the curated-English
+    * slice (lang = en) vs everything else — point `target` at a real
+    * trusted corpus in production, the mechanics are identical.
+    * Cached so the query entries and dumpOracleAux share the EXACT
+    * same coefficients within a Verify run — the dump IS the oracle's
+    * model, so training nondeterminism across sessions is immaterial.
+    */
+  private[graft] def qualityModel(spark: SparkSession, dir: String): QualityFilter.Model =
+    qualityModelCache.computeIfAbsent(cacheKey(spark, dir), { _ =>
+      val docs = t(spark, dir, "documents")
+      // negatives deterministically subsampled (the paper's own
+      // construction — the classifier needs a contrast, not the whole
+      // crawl); halves the train-time the bench charges to the first
+      // quality entry
+      QualityFilter.train(
+        docs.filter(col("lang") =!= qualityTargetLang),
+        docs.filter(col("lang") === qualityTargetLang),
+        "doc_id", "text", negativeFraction = 0.5)
+    })
+
+  /** GPT-3 Appendix-A learned quality scores for every raw doc:
+    * P(reads-like-target) under the LR classifier, scored
+    * RELATIONALLY from the coefficient table (broadcast probe + sum +
+    * sigmoid) so the oracle replays the dumped coefficients exactly.
+    */
+  def qualityClassifier(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    // score EVERY doc (the paper scores the full crawl, training
+    // negatives included)
+    QualityFilter.score(docs, qualityModel(spark, dir), "doc_id", "text")
+      .select(col("id").as("doc_id"), round(col("qscore"), 4).as("qscore"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The paper's Pareto-thresholded keep rule over the rounded
+    * scores (rounded BEFORE the threshold compare on both sides so
+    * the keep boundary is bit-identical).
+    */
+  def qualityFilterPareto(spark: SparkSession, dir: String): DataFrame =
+    QualityFilter.paretoKeep(qualityClassifier(spark, dir), "doc_id", "qscore")
+      .orderBy(col("doc_id"))
+
   /** F2/F4: stemmed tsvector + ranked lexical search. DuckDB-oracled
     * via dump-and-replay: Verify dumps the per-doc Porter lexeme
     * arrays and the stemmed query lexemes (dumpOracleAux), and the
@@ -1914,6 +1964,21 @@ object Queries {
         s"$outDir/bpe_aux_doc_words.parquet")
     }
 
+    // --- learned quality classifier: the coefficient table + intercept
+    // (the ONE genuinely-learned artifact in the suite). Cached via
+    // qualityModel so these are the exact coefficients the
+    // quality_classifier / quality_filter_pareto entries scored with
+    // in this session; the oracle replays feature-bucket sum + sigmoid
+    // relationally over this dump ---
+    {
+      val m = qualityModel(spark, dir)
+      writeSingleParquet(QualityFilter.weightsTable(spark, m),
+        s"$outDir/quality_aux_weights.parquet")
+      writeSingleParquet(
+        Seq(Tuple1(m.intercept)).toDF("icept"),
+        s"$outDir/quality_aux_intercept.parquet")
+    }
+
     // per-doc chunk arrays for the f6_chunk_table oracle — same
     // chunkText UDF the query itself uses (unit-covered by TextSpec);
     // the oracle replays the posexplode + ordering in SQL
@@ -2202,6 +2267,8 @@ object Queries {
     "dsir_weights" -> (dsirWeights _),
     "dsir_sample" -> (dsirSample _),
     "ccnet_ppl_buckets" -> (ccnetPplBuckets _),
+    "quality_classifier" -> (qualityClassifier _),
+    "quality_filter_pareto" -> (qualityFilterPareto _),
     "f2_tsvector_rank" -> (f2TsvectorRank _),
     "f2_postings_rank" -> (f2PostingsRank _),
     "f4_rank_cd" -> (f4RankCd _),
