@@ -84,6 +84,29 @@ class PlanSpec extends AnyFunSuite {
       s"decontaminate_bloom must not sort-merge at this scale:\n$plan")
   }
 
+  test("ccnet_ppl_buckets: LM tables broadcast-probed, no sort-merge scoring") {
+    val plan = SparkEntry.queries("ccnet_ppl_buckets")(spark, dir)
+      .queryExecution.executedPlan.toString
+    // both model probes (bigram counts, context counts) must
+    // broadcast — the LM is target-sized by assumption; a sort-merge
+    // would shuffle every raw token pair per probe
+    val nBroadcast = "BroadcastHashJoin [^\\n]*LeftOuter".r.findAllIn(plan).size
+    assert(nBroadcast >= 2,
+      s"bigram + context probes must both broadcast, got $nBroadcast:\n$plan")
+    assert(!"SortMergeJoin [^\\n]*(LeftOuter|Inner)".r.findFirstIn(plan)
+        .exists(_.contains("prev")),
+      s"no raw-pair-sized sort-merge join:\n$plan")
+  }
+
+  test("quality_classifier: coefficient table broadcast-probed") {
+    val plan = SparkEntry.queries("quality_classifier")(spark, dir)
+      .queryExecution.executedPlan.toString
+    // the scorer joins every (doc, bucket) row against the ≤4096-row
+    // coefficient table — broadcast or the whole point is lost
+    assert("BroadcastHashJoin [^\\n]*Inner".r.findFirstIn(plan).isDefined,
+      s"coefficient probe must broadcast:\n$plan")
+  }
+
   test("pipeline_neardup: bounded tail shuffles after the star closure") {
     val plan = SparkEntry.queries("pipeline_neardup")(spark, dir)
       .queryExecution.executedPlan.toString

@@ -138,7 +138,12 @@ class ScaleSpec extends AnyFunSuite {
       // DSIR: the ratio table is bucket-bounded (4096 rows at ANY
       // corpus size), so the only corpus-sized stages are the two
       // linear gram scans and one groupBy(doc)
-      "dsir_weights" -> (verb1, verb10))
+      "dsir_weights" -> (verb1, verb10),
+      // CCNet: LM tables are target-bounded broadcasts; scoring is
+      // one linear pair scan + groupBy(doc) + a lang-partitioned
+      // window over doc-grain rows (the quality classifier's scoring
+      // path is the dsir_weights shape, rung-covered there)
+      "ccnet_ppl_buckets" -> (verb1, verb10))
     dirs = Map("salted1" -> salted1, "salted10" -> salted10,
       "verbatim10" -> verb10)
     plan.map { case (q, (d1, d10)) =>
@@ -259,6 +264,10 @@ class ScaleSpec extends AnyFunSuite {
 
   test("DSIR weighting scales sub-quadratically to 10x", ScaleTest) {
     assertSubQuadratic("dsir_weights")
+  }
+
+  test("CCNet perplexity scales sub-quadratically to 10x", ScaleTest) {
+    assertSubQuadratic("ccnet_ppl_buckets")
   }
 
   test("salted 10x corpus yields ~10x the near-dup pairs, never ~100x", ScaleTest) {
