@@ -1417,6 +1417,39 @@ object Oracles {
          |SELECT doc_id, n_hits FROM hits WHERE n_hits >= ${Queries.decontamMinOverlap}
          |ORDER BY doc_id""".stripMargin,
 
+    // ExactSubstr replay: sliding k-grams at every alignment,
+    // keep-first by (doc, pos), removal positions = union of covered
+    // offsets, FILTERed ordered string_agg reassembly.
+    "dedup_substrings" -> {
+      val k = Queries.substrK
+      s"""WITH arr AS (
+         |  SELECT doc_id, $toksSql AS toks FROM documents),
+         |seqs AS (
+         |  SELECT doc_id, toks, unnest(generate_series(1, len(toks) - ${k - 1})) AS i
+         |  FROM arr WHERE len(toks) >= $k),
+         |g AS (
+         |  SELECT doc_id, i, array_to_string(toks[i:i+${k - 1}], ' ') AS gram
+         |  FROM seqs),
+         |firsts AS (
+         |  SELECT doc_id, i,
+         |    ROW_NUMBER() OVER (PARTITION BY gram ORDER BY doc_id, i) AS rn
+         |  FROM g),
+         |rem AS (
+         |  SELECT DISTINCT f.doc_id, f.i + o.off AS pos
+         |  FROM firsts f, (SELECT unnest(generate_series(0, ${k - 1})) AS off) o
+         |  WHERE f.rn > 1),
+         |tok AS (
+         |  SELECT doc_id, unnest(toks) AS tok, generate_subscripts(toks, 1) AS pos
+         |  FROM arr),
+         |j AS (
+         |  SELECT t.doc_id, t.pos, t.tok, r.pos IS NOT NULL AS rm
+         |  FROM tok t LEFT JOIN rem r ON t.doc_id = r.doc_id AND t.pos = r.pos)
+         |SELECT doc_id,
+         |  COALESCE(string_agg(tok, ' ' ORDER BY pos) FILTER (WHERE NOT rm), '') AS clean_text,
+         |  COUNT(*) FILTER (WHERE rm) AS n_removed
+         |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
+
     // bloom-pruned variant: the bloom only prunes candidates, the
     // exact semi-join decides — same answer, so the oracle is the
     // exact form's SQL verbatim.

@@ -1380,6 +1380,16 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
+  private[graft] val substrK = 10
+
+  /** ExactSubstr dedup (Lee et al. 2021): remove every later
+    * occurrence of any duplicated 10-token substring, token-exactly,
+    * keeping first occurrences. */
+  def dedupSubstrings(spark: SparkSession, dir: String): DataFrame =
+    Dedup.exactSubstrDedup(t(spark, dir, "documents"), "doc_id", "text",
+        k = substrK)
+      .orderBy(col("doc_id"))
+
   private[graft] val dsirTargetSource = "src0"
   private[graft] val dsirSampleK = 100
 
@@ -2264,6 +2274,7 @@ object Queries {
     "a3_quantiles" -> (a3Quantiles _),
     "decontaminate" -> (decontaminate _),
     "decontaminate_bloom" -> (decontaminateBloom _),
+    "dedup_substrings" -> (dedupSubstrings _),
     "dsir_weights" -> (dsirWeights _),
     "dsir_sample" -> (dsirSample _),
     "ccnet_ppl_buckets" -> (ccnetPplBuckets _),

@@ -100,6 +100,71 @@ object Dedup {
         col("n_kept"), col("n_removed"))
   }
 
+  /** Lee et al. 2021 ("Deduplicating Training Data Makes Language
+    * Models Better") ExactSubstr-flavored duplicate-substring
+    * removal: every duplicated k-token substring keeps its FIRST
+    * occurrence (global (doc, position) order) and every later
+    * occurrence is removed token-exactly. Overlapping and adjacent
+    * duplicated k-grams union into maximal removed runs — the
+    * sliding-window equivalent of the paper's suffix-array maximal
+    * matches at k-token resolution (the paper's a = 50; pass k).
+    *
+    * vs [[spanDedup]]: spanDedup hashes NON-OVERLAPPING fixed spans
+    * (the C4 paragraph-hash shape), so a duplicate shifted by one
+    * token escapes it; this operator slides the window over every
+    * alignment, at k× the gram rows (still linear — one gram row per
+    * token position).
+    *
+    * Scale shape: gram keep-first is one hash shuffle on the gram
+    * hash (spanDedup's shape); removal positions explode exactly k
+    * rows per duplicate occurrence (k constant) then distinct on
+    * (doc, pos); reassembly is one groupBy(doc) over token rows.
+    * Every stage is linear in corpus tokens. The token table is
+    * computed twice (gram pass + reassembly pass) — at scale,
+    * materialize it once upstream like any tokenized view.
+    *
+    * Token-less documents produce no token rows and drop from the
+    * output (the oracle's relational replay agrees); returns
+    * (idCol, clean_text, n_removed).
+    */
+  def exactSubstrDedup(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 10): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    val toksCol =
+      filter(split(lower(coalesce(col(textCol), lit(""))), "[^a-z0-9]+"),
+        x => x =!= "")
+    // materialized before the transform lambda reads it (HOF lambdas
+    // re-evaluate child expressions per element)
+    val base = docs.select(col(idCol).as("__id"), toksCol.as("__toks"))
+    val gramsArr = when(size(col("__toks")) < k, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), size(col("__toks")) - (k - 1)),
+        i => array_join(slice(col("__toks"), i, lit(k)), " ")))
+    val grams = base.withColumn("__g", gramsArr)
+      .select(col("__id"), posexplode(col("__g")).as(Seq("__p0", "__gram")))
+    val w = Window.partitionBy(md5(col("__gram")))
+    val removed = grams
+      .withColumn("__first",
+        min(struct(col("__id").as("d"), col("__p0").as("p"))).over(w))
+      .filter(!(col("__first.d") === col("__id") && col("__first.p") === col("__p0")))
+      // 1-based token positions covered by this duplicate occurrence
+      .select(col("__id"),
+        explode(sequence(col("__p0") + 1, col("__p0") + k)).as("__pos"))
+      .distinct()
+      .withColumn("__rm", lit(true))
+    base.select(col("__id"), posexplode(col("__toks")).as(Seq("__tp0", "__tok")))
+      .withColumn("__pos", col("__tp0") + 1)
+      .join(removed, Seq("__id", "__pos"), "left_outer")
+      .groupBy(col("__id"))
+      .agg(
+        array_sort(collect_list(when(col("__rm").isNull,
+          struct(col("__pos").as("i"), col("__tok").as("t"))))).as("__kept"),
+        count(when(col("__rm").isNotNull, lit(1))).as("n_removed"))
+      .select(col("__id").as(idCol),
+        concat_ws(" ", transform(col("__kept"), s => s.getField("t")))
+          .as("clean_text"),
+        col("n_removed"))
+  }
+
   /** MinHash+LSH near-dup candidates: shingle → k-perm MinHash
     * signature → band buckets → equi-join within buckets → verified
     * by exact shingle Jaccard (Broder 1997 / LSH banding as in

@@ -115,6 +115,7 @@ class ScaleSpec extends AnyFunSuite {
       "dedup_minhash_lsh" -> (salted1, salted10),
       "dedup_clusters_star" -> (salted1, salted10),
       "dedup_spans" -> (salted1, salted10),
+      "dedup_substrings" -> (salted1, salted10),
       "ann_lsh_topk" -> (verb1, verb10),
       "ann_hnsw_topk" -> (verb1, verb10),
       "ann_ivf_quantized_topk" -> (verb1, verb10),
@@ -191,6 +192,12 @@ class ScaleSpec extends AnyFunSuite {
     // window partitions grow in COUNT, not size — per-key work stays
     // one span's occurrence list
     assertSubQuadratic("dedup_spans")
+  }
+
+  test("ExactSubstr dedup scales sub-quadratically to 10x", ScaleTest) {
+    // sliding grams are one row per token position; keep-first is a
+    // gram-hash window; removal explode is k rows per duplicate
+    assertSubQuadratic("dedup_substrings")
   }
 
   test("LSH index probe scales sub-quadratically to 10x", ScaleTest) {

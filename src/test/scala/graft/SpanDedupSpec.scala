@@ -79,6 +79,38 @@ class SpanDedupSpec extends AnyFunSuite {
     assert(run(docs) sameElements expect)
   }
 
+  test("exactSubstr: shifted duplicate caught, maximal run removed, first kept") {
+    import spark.implicits._
+    val a = (1 to 15).map(i => s"t$i").mkString(" ")
+    // B embeds A's tokens t1..t12 SHIFTED one position right — a
+    // fixed-span hasher (spanDedup) misses this alignment entirely;
+    // the sliding window catches duplicated 10-grams at starts 2,3,4
+    // whose covered positions union into one maximal 12-token run
+    val b = "x " + (1 to 12).map(i => s"t$i").mkString(" ") + " y z"
+    val clean = "entirely different vocabulary with no shared ten token run at all"
+    val got = Dedup.exactSubstrDedup(
+        Seq((1L, a), (2L, b), (3L, clean)).toDF("doc_id", "text"),
+        "doc_id", "text", k = 10)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("clean_text"), r.getAs[Long]("n_removed"))).toMap
+    assert(got(1L) == (a, 0L), s"first occurrence must be untouched: ${got(1L)}")
+    assert(got(2L) == ("x y z", 12L),
+      s"the embedded run must vanish as ONE maximal 12-token removal: ${got(2L)}")
+    assert(got(3L)._2 == 0L, s"clean doc must be untouched: ${got(3L)}")
+  }
+
+  test("exactSubstr: within-doc repetition removes the second copy only") {
+    import spark.implicits._
+    val run = (1 to 10).map(i => s"w$i").mkString(" ")
+    val doc = s"$run mid $run"
+    val got = Dedup.exactSubstrDedup(
+        Seq((7L, doc)).toDF("doc_id", "text"), "doc_id", "text", k = 10)
+      .collect().head
+    assert(got.getAs[String]("clean_text") == s"$run mid" &&
+      got.getAs[Long]("n_removed") == 10L,
+      s"second copy must be removed, first + separator kept: $got")
+  }
+
   test("exactly two hash exchanges (span window + doc reassembly)") {
     import spark.implicits._
     val df = Dedup.spanDedup(
