@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench driver keeps only a 2000-char tail of stdout; sbt's
+// "[success] Total time ..." trailer would eat ~90 chars of it, so
+// suppress it (Bench prints its own one-line JSON record).
+showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

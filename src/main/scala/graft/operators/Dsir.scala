@@ -73,6 +73,12 @@ object Dsir {
     * so the draw is deterministic, replayable in plain SQL, and
     * stable under corpus growth: a document's key never changes, so
     * re-runs and incremental extensions agree on the overlap.
+    *
+    * `id` must be numeric and non-null: a null id makes the key NULL,
+    * which silently excludes the row from any top-k over it.
+    * DataFrame-level callers should guard with
+    * [[Guards.requireNumericIds]] (the bounded try_cast probe) before
+    * materializing a sample.
     */
   def gumbelKey(logw: org.apache.spark.sql.Column,
       id: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {

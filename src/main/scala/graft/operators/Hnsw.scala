@@ -323,16 +323,14 @@ object Hnsw {
 
   /** Loud operator-level guard: the graph stores long ids, so a null
     * or non-numeric id column would otherwise surface as an opaque
-    * NullPointerException deep in the Dataset encoder. Bounded probe
-    * (limit 1), same pattern as VectorizeEngine.buildVectorIndex —
-    * duplicated here so DIRECT callers of the operator fail loudly
-    * too, not only the engine entry point.
+    * NullPointerException deep in the Dataset encoder. Delegates to
+    * the shared [[Guards.requireNumericIds]] bounded probe — placed
+    * here so DIRECT callers of the operator fail loudly too, not only
+    * the engine entry point.
     */
   private def requireNumericIds(df: DataFrame, idCol: String, op: String): Unit =
-    require(df.filter(expr(s"try_cast(`$idCol` as bigint)").isNull)
-        .limit(1).count() == 0,
-      s"Hnsw.$op: null or non-numeric values in id column '$idCol' — " +
-        "the HNSW index requires numeric ids")
+    Guards.requireNumericIds(df, idCol, s"Hnsw.$op",
+      "the HNSW index requires numeric ids")
 
   /** Build and persist: `path/graph` = one (n, blob) row per
     * partition graph, PARTITIONED BY part on disk (so incremental

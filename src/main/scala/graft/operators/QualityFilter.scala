@@ -61,9 +61,14 @@ object QualityFilter {
     val dim = 1 << (4 * hexLen)
     val negatives =
       if (negativeFraction >= 1.0) raw
-      else raw.filter(
-        (col(idCol).cast("long") % 100003L) * 2654435761L % 10000L <
-          lit((negativeFraction * 10000).toLong))
+      else {
+        // the sampler below hashes cast(id as long); a null cast would
+        // silently drop every negative → degenerate single-class fit
+        Guards.requireNumericIds(raw, idCol, "QualityFilter.train")
+        raw.filter(
+          (col(idCol).cast("long") % 100003L) * 2654435761L % 10000L <
+            lit((negativeFraction * 10000).toLong))
+      }
     def vectors(df: DataFrame, label: Double) =
       featureBuckets(df, idCol, textCol, n, hexLen)
         .groupBy("id").agg(collect_set(col("bk")).as("bks"))
@@ -118,6 +123,9 @@ object QualityFilter {
     */
   def paretoKeep(scored: DataFrame, idCol: String, scoreCol: String,
       alpha: Double = 9.0): DataFrame = {
+    // same failure class as train's sampler: a null id-hash makes the
+    // keep predicate NULL and silently drops the row
+    Guards.requireNumericIds(scored, idCol, "QualityFilter.paretoKeep")
     val u = ((col(idCol).cast("long") % 100003L) * 2654435761L % 10000L
       + lit(0.5)) / lit(10000.0)
     scored.filter(col(scoreCol) >

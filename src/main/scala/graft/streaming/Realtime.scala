@@ -231,6 +231,13 @@ object Realtime {
     import spark.implicits._
     val horizonMs = org.apache.spark.sql.catalyst.util.IntervalUtils
       .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(horizon))
+    // months have no fixed millisecond length, so a "1 month" horizon
+    // would silently under-compute the state timeout below (days +
+    // micros only) and evict band state while the watermark still
+    // admits pairing arrivals — missed pairs vs batch. Fail loudly.
+    require(horizonMs.months == 0,
+      s"streamDedupNearPairs: horizon '$horizon' contains a month " +
+        "component; use days/hours/minutes (months have no fixed length)")
     val horizonMillis = horizonMs.days * 86400000L + horizonMs.microseconds / 1000L
     val banded = docs
       .withColumn("__sig", graft.functions.GraftFunctions.simHash(col(textCol)))
