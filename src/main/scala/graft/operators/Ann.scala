@@ -708,6 +708,11 @@ object Ann {
     * `knnJoinQuantized(queries, index, …)` at the index's stored
     * (bits, seed) because persisted codes are the same
     * Quantize.quantize of the same vectors.
+    *
+    * Like [[knnJoinIndexed]], the probe-side frame stays persisted
+    * (MEMORY_AND_DISK, LRU-evictable) for the lifetime of the session
+    * because the returned plan is lazy and reads it twice; callers
+    * doing many ad-hoc joins can `spark.catalog.clearCache()`.
     */
   def knnJoinQuantizedIndexed(spark: org.apache.spark.sql.SparkSession,
       path: String, queries: DataFrame, idCol: String, vecCol: String,
