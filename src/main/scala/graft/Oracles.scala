@@ -1513,12 +1513,18 @@ object Oracles {
          |  LEFT JOIN ctx ON rp.prev = ctx.prev, voc),
          |pp AS (SELECT doc_id, ROUND(EXP(-AVG(logp)), 4) AS ppl FROM sc GROUP BY doc_id),
          |lb AS (
-         |  SELECT p.doc_id, d.lang, p.ppl,
-         |    NTILE(3) OVER (PARTITION BY d.lang ORDER BY p.ppl, p.doc_id) AS nt
-         |  FROM pp p JOIN documents d USING (doc_id))
-         |SELECT doc_id, lang, ppl,
-         |  CASE nt WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
-         |FROM lb ORDER BY doc_id""".stripMargin,
+         |  SELECT p.doc_id, d.lang, p.ppl
+         |  FROM pp p JOIN documents d USING (doc_id)),
+         |cuts AS (
+         |  SELECT lang,
+         |    ROUND(quantile_cont(ppl, 0.3333333333333333), 4) AS c33,
+         |    ROUND(quantile_cont(ppl, 0.6666666666666666), 4) AS c66
+         |  FROM lb GROUP BY lang)
+         |SELECT lb.doc_id, lb.lang, lb.ppl,
+         |  CASE WHEN lb.ppl <= cuts.c33 THEN 'head'
+         |       WHEN lb.ppl <= cuts.c66 THEN 'middle'
+         |       ELSE 'tail' END AS bucket
+         |FROM lb JOIN cuts USING (lang) ORDER BY lb.doc_id""".stripMargin,
 
     // learned-quality-classifier replay: distinct md5-prefix feature
     // buckets per raw doc, coefficient sum + sigmoid over the dumped

@@ -4,6 +4,7 @@ import graft.functions.GraftFunctions._
 import graft.operators.{Ann, AsOf, Ccnet, Dedup, Dsir, Hnsw, Multimodal, Pipeline, Pq, Quantize, QualityFilter, RangeJoin, Search, TextIndex}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 /** The SURVEY §2 operator inventory as driver-checkable queries.
@@ -47,18 +48,52 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
-  /** S2: delta scan (append method) — watermark filter on the source.
-    * NOTE: events.ts is parquet TIMESTAMP(NANOS); Spark reads it as
-    * long nanos under spark.sql.legacy.parquet.nanosAsLong, so all
-    * event-time arithmetic is integer `div` on nanos (floor semantics
-    * identical to DuckDB's µs truncation at ms granularity).
+  /** Event time as epoch milliseconds, dispatching on whatever
+    * physical type the parquet reader produced for `ts`. The testdata
+    * generator has shipped `ts` as TIMESTAMP(NANOS) (read as long
+    * nanos under spark.sql.legacy.parquet.nanosAsLong), and now as
+    * timestamp[us] isAdjustedToUTC=false (read as TIMESTAMP_NTZ) —
+    * every event-time query must work against all encodings. NTZ is
+    * cast through TimestampType, which is exact under the UTC session
+    * timezone Verify/Bench/TestSpark all pin; DuckDB's `epoch_ms(ts)`
+    * oracle treats the naive value the same way. All paths floor to
+    * ms (positive epochs), matching the oracle's truncation.
+    * Reference semantics: the watermark scan core/src/query.rs:556-596.
     */
-  def s2DeltaScanAppend(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "events")
-      .filter(col("ts") > lit(1704240000000000000L)) // 2024-01-03T00:00:00Z ns
-      .select(col("event_id"), expr("ts div 1000000").as("ts_ms"),
+  private[graft] def eventTsMs(df: DataFrame): Column =
+    df.schema("ts").dataType match {
+      case LongType        => expr("ts div 1000000")
+      case TimestampType   => unix_millis(col("ts"))
+      case TimestampNTZType => unix_millis(col("ts").cast(TimestampType))
+      case dt => throw new IllegalArgumentException(
+        s"events.ts has unsupported type $dt (expected long nanos, timestamp, or timestamp_ntz)")
+    }
+
+  /** Same dispatch at µs resolution — for filters that must match the
+    * oracle at the data's native granularity (ms would merge events
+    * inside the cutoff's millisecond).
+    */
+  private[graft] def eventTsUs(df: DataFrame): Column =
+    df.schema("ts").dataType match {
+      case LongType        => expr("ts div 1000")
+      case TimestampType   => unix_micros(col("ts"))
+      case TimestampNTZType => unix_micros(col("ts").cast(TimestampType))
+      case dt => throw new IllegalArgumentException(
+        s"events.ts has unsupported type $dt (expected long nanos, timestamp, or timestamp_ntz)")
+    }
+
+  /** S2: delta scan (append method) — watermark filter on the source.
+    * The cutoff is 2024-01-03T00:00:00Z; the filter compares at µs
+    * (the data's native resolution) so it is exactly the oracle's
+    * `ts > TIMESTAMP '2024-01-03 00:00:00'` under every encoding.
+    */
+  def s2DeltaScanAppend(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+    ev.filter(eventTsUs(ev) > lit(1704240000000000L)) // 2024-01-03T00:00:00Z µs
+      .select(col("event_id"), eventTsMs(ev).as("ts_ms"),
         col("user_id"), col("event_type"))
       .orderBy(col("event_id"))
+  }
 
   /** S3: fetch-by-ids — message's rows via semi join. */
   def s3FetchByIds(spark: SparkSession, dir: String): DataFrame = {
@@ -387,14 +422,16 @@ object Queries {
   /** Tumbling hourly window: integer epoch-hour arithmetic (timezone-
     * proof). Streaming variant: Realtime.windowedEventCounts.
     */
-  def rWindowedCounts(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "events")
-      .withColumn("hour", expr("ts div 3600000000000"))
+  def rWindowedCounts(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+    ev.select(eventTsMs(ev).as("ts_ms"), col("event_type"), col("value"))
+      .withColumn("hour", expr("ts_ms div 3600000"))
       .groupBy(col("hour"), col("event_type"))
       .agg(count(lit(1)).as("n"),
         // decimal-cast sum: summation-order-proof (same strategy as a2)
         round(sum(col("value").cast("decimal(18,4)")).cast("double"), 2).as("total_value"))
       .orderBy(col("hour"), col("event_type"))
+  }
 
   /** Session tagging shared by r_sessionize and r_interval_join
     * (gaps-and-islands, 30-min gap): lag + running sum — the
@@ -402,8 +439,8 @@ object Queries {
     */
   private def sessionTagged(spark: SparkSession, dir: String): DataFrame = {
     val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts_ms"))
-    t(spark, dir, "events")
-      .select(col("user_id"), expr("ts div 1000000").as("ts_ms"), col("value"))
+    val ev = t(spark, dir, "events")
+    ev.select(col("user_id"), eventTsMs(ev).as("ts_ms"), col("value"))
       .withColumn("prev", lag(col("ts_ms"), 1).over(byUser))
       .withColumn("new_sess",
         when(col("prev").isNull || col("ts_ms") - col("prev") > 1800000L, 1)
@@ -432,9 +469,9 @@ object Queries {
     val sessions = sessionTagged(spark, dir)
       .groupBy(col("user_id"), col("sess_id"))
       .agg(min(col("ts_ms")).as("start_ms"), max(col("ts_ms")).as("end_ms"))
-    val errors = t(spark, dir, "events")
-      .filter(col("event_type") === "error")
-      .select(col("event_id"), col("user_id"), expr("ts div 1000000").as("ts_ms"))
+    val ev = t(spark, dir, "events")
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("event_id"), col("user_id"), eventTsMs(ev).as("ts_ms"))
     RangeJoin.pointInInterval(errors, sessions, "ts_ms", "start_ms", "end_ms",
         keyCols = Seq("user_id"), binWidth = 3600000L)
       .select(col("event_id"), col("user_id"), col("ts_ms"), col("sess_id"))
@@ -451,9 +488,9 @@ object Queries {
   def rAsofJoin(spark: SparkSession, dir: String): DataFrame = {
     val events = t(spark, dir, "events")
     val purchases = events.filter(col("event_type") === "purchase")
-      .select(col("event_id"), col("user_id"), expr("ts div 1000000").as("ts_ms"))
+      .select(col("event_id"), col("user_id"), eventTsMs(events).as("ts_ms"))
     val clicks = events.filter(col("event_type") === "click")
-      .select(col("user_id"), expr("ts div 1000000").as("ts_ms"), col("event_id"))
+      .select(col("user_id"), eventTsMs(events).as("ts_ms"), col("event_id"))
       .groupBy(col("user_id"), col("ts_ms"))
       .agg(max(col("event_id")).as("click_id"))
     AsOf.join(purchases, clicks, "user_id", "ts_ms", Seq("click_id"))
@@ -1432,8 +1469,21 @@ object Queries {
     * perplexity under a bigram LM trained on the target slice
     * (source = src0), then head/middle/tail tertiles per language —
     * low perplexity = "reads like the trusted domain" = head.
-    * Perplexity is rounded BEFORE the tertile window so the oracle's
-    * bucket boundaries are bit-identical.
+    *
+    * Bucketing is by two per-language percentile CUTOFFS (p33/p66),
+    * broadcast and compared against — NOT a per-language `ntile(3)`
+    * window. The window form globally sorts every scored doc of a
+    * language inside ONE task; at 100 TB with a 90%-English corpus
+    * the dominant language becomes a single-task multi-billion-row
+    * sort. The cutoff form's only per-language state is the exact
+    * `percentile` aggregation buffer, which holds counts per DISTINCT
+    * ppl value — bounded here because ppl is rounded to 4 decimals
+    * BEFORE aggregation (also what pins tie semantics: equal rounded
+    * ppl ⇒ same bucket on both engines). At true 100 TB swap
+    * `percentile` for `percentile_approx` (same shape, fixed-size
+    * sketch buffer); exact percentile is kept while the DuckDB oracle
+    * (`quantile_cont`, identical lower+frac·(upper−lower)
+    * interpolation) must match bit-for-bit.
     */
   def ccnetPplBuckets(spark: SparkSession, dir: String): DataFrame = {
     val docs = t(spark, dir, "documents")
@@ -1442,10 +1492,15 @@ object Queries {
         docs.filter(col("source") === dsirTargetSource),
         "doc_id", "text", sqlTokens)
       .select(col("id").as("doc_id"), round(col("ppl"), 4).as("ppl"))
-    val w = Window.partitionBy(col("lang")).orderBy(col("ppl"), col("doc_id"))
-    ppl.join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
-      .withColumn("bucket", element_at(
-        array(lit("head"), lit("middle"), lit("tail")), ntile(3).over(w)))
+    val scored = ppl.join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+    val cuts = scored.groupBy(col("lang")).agg(
+      round(expr("percentile(ppl, 0.3333333333333333)"), 4).as("c33"),
+      round(expr("percentile(ppl, 0.6666666666666666)"), 4).as("c66"))
+    scored.join(broadcast(cuts), Seq("lang"))
+      .withColumn("bucket",
+        when(col("ppl") <= col("c33"), lit("head"))
+          .when(col("ppl") <= col("c66"), lit("middle"))
+          .otherwise(lit("tail")))
       .select(col("doc_id"), col("lang"), col("ppl"), col("bucket"))
       .orderBy(col("doc_id"))
   }

@@ -711,7 +711,8 @@ object Ann {
     *
     * Like [[knnJoinIndexed]], the probe-side frame stays persisted
     * (MEMORY_AND_DISK, LRU-evictable) for the lifetime of the session
-    * because the returned plan is lazy and reads it twice; callers
+    * because it is evaluated twice — once eagerly for the key-union
+    * collect below, once when the returned lazy plan executes; callers
     * doing many ad-hoc joins can `spark.catalog.clearCache()`.
     */
   def knnJoinQuantizedIndexed(spark: org.apache.spark.sql.SparkSession,

@@ -109,9 +109,9 @@ class AsOfSpec extends AnyFunSuite {
     // naive: join every purchase to EVERY prior click, keep max ts
     val events = spark.read.parquet(s"$dir/events.parquet")
     val p = events.filter(col("event_type") === "purchase")
-      .select(col("event_id"), col("user_id"), expr("ts div 1000000").as("ts_ms"))
+      .select(col("event_id"), col("user_id"), Queries.eventTsMs(events).as("ts_ms"))
     val c = events.filter(col("event_type") === "click")
-      .select(col("user_id").as("cu"), expr("ts div 1000000").as("cts"),
+      .select(col("user_id").as("cu"), Queries.eventTsMs(events).as("cts"),
         col("event_id").as("cid"))
       .groupBy(col("cu"), col("cts")).agg(max(col("cid")).as("cid"))
     val naive = p.join(c, p("user_id") === c("cu") && c("cts") <= p("ts_ms"), "left_outer")

@@ -96,6 +96,13 @@ class PlanSpec extends AnyFunSuite {
     assert(!"SortMergeJoin [^\\n]*(LeftOuter|Inner)".r.findFirstIn(plan)
         .exists(_.contains("prev")),
       s"no raw-pair-sized sort-merge join:\n$plan")
+    // bucketing must be threshold-compare against broadcast per-lang
+    // cutoffs — a Window(ntile) over partitionBy(lang) globally sorts
+    // the dominant language in ONE task at 100 TB ("windowspecdefinition"
+    // is the plan marker for ANY window function; note a plain "ntile"
+    // substring check would false-positive on "percentile")
+    assert(!plan.contains("windowspecdefinition"),
+      s"tertile bucketing regressed to a window (single-task per-lang sort):\n$plan")
   }
 
   test("quality_classifier: coefficient table broadcast-probed") {

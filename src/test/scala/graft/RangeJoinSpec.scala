@@ -97,7 +97,7 @@ class RangeJoinSpec extends AnyFunSuite {
       .select(col("user_id").as("su"), col("sess_id"),
         col("start_ms"), col("end_ms"))
     val err = events.filter(col("event_type") === "error")
-      .select(col("event_id"), col("user_id"), expr("ts div 1000000").as("ts_ms"))
+      .select(col("event_id"), col("user_id"), Queries.eventTsMs(events).as("ts_ms"))
     val naive = err.join(tagged, err("user_id") === tagged("su") &&
         err("ts_ms").between(col("start_ms"), col("end_ms")))
       .select("event_id", "sess_id")

@@ -321,9 +321,9 @@ class ScaleSpec extends AnyFunSuite {
     // the as-of core must still be ONE hash shuffle, no join node
     val events = spark.read.parquet(s"$v10/events.parquet")
     val purchases = events.filter(col("event_type") === "purchase")
-      .select(col("event_id"), col("user_id"), expr("ts div 1000000").as("ts_ms"))
+      .select(col("event_id"), col("user_id"), Queries.eventTsMs(events).as("ts_ms"))
     val clicks = events.filter(col("event_type") === "click")
-      .select(col("user_id"), expr("ts div 1000000").as("ts_ms"), col("event_id"))
+      .select(col("user_id"), Queries.eventTsMs(events).as("ts_ms"), col("event_id"))
       .groupBy(col("user_id"), col("ts_ms"))
       .agg(max(col("event_id")).as("click_id"))
     val asofPlan = AsOf.join(purchases, clicks, "user_id", "ts_ms", Seq("click_id"))

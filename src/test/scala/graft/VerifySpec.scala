@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Forced-failure coverage for Verify's result writer: a throwing
+  * query must still produce a result dir (the `__verify_err` sentinel)
+  * so the driver's correctness artifact can never lose rows to a
+  * runtime regression (the r10 silent-shrink failure mode).
+  */
+class VerifySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("a successful query writes its result parquet") {
+    val out = TestSpark.tempDir("graft_verify_ok_")
+    val ok = Verify.writeQueryResult(spark, "probe",
+      (s, _) => { import s.implicits._; Seq((1L, "a"), (2L, "b")).toDF("id", "v") },
+      sfDir = "unused", outDir = out)
+    assert(ok)
+    val got = spark.read.parquet(s"$out/probe").orderBy("id")
+      .as[(Long, String)].collect().toSeq
+    assert(got == Seq((1L, "a"), (2L, "b")))
+  }
+
+  test("a throwing query writes the one-row error sentinel, not nothing") {
+    val out = TestSpark.tempDir("graft_verify_err_")
+    val ok = Verify.writeQueryResult(spark, "boom",
+      (_, _) => throw new IllegalStateException("synthetic failure"),
+      sfDir = "unused", outDir = out)
+    assert(!ok)
+    val sentinel = spark.read.parquet(s"$out/boom")
+    assert(sentinel.columns.toSeq == Seq("__verify_err"))
+    val rows = sentinel.as[String].collect()
+    assert(rows.length == 1)
+    assert(rows.head.startsWith("__VERIFY_ERR__"))
+    assert(rows.head.contains("IllegalStateException"))
+    assert(rows.head.contains("synthetic failure"))
+  }
+
+  test("a query that fails at ACTION time (lazy plan error) still leaves a sentinel") {
+    val out = TestSpark.tempDir("graft_verify_lazy_")
+    // plan builds fine; the UDF throws only when the write executes
+    val boom = udf((i: Long) => if (i >= 0) throw new RuntimeException("deferred") else i)
+    val ok = Verify.writeQueryResult(spark, "lazy_boom",
+      (s, _) => s.range(5).select(boom(col("id")).as("x")),
+      sfDir = "unused", outDir = out)
+    assert(!ok)
+    val rows = spark.read.parquet(s"$out/lazy_boom").as[String].collect()
+    assert(rows.length == 1 && rows.head.startsWith("__VERIFY_ERR__"))
+  }
+}
