@@ -556,14 +556,18 @@ final class VectorizeEngine(
   def listJobs: Seq[VectorizeJob] = jobs.values.toSeq
 
   /** Install the SQL surface on this engine's session: the native
-    * vector functions (cosine_similarity / dot_product / l2_distance)
-    * and `vectorize_embed(query, job)` with its driver-side
+    * vector functions (cosine_similarity / dot_product / l2_distance),
+    * `vectorize_embed(query, job)` with its driver-side
     * constant-folding rule — the Catalyst equivalent of the
     * reference's proxy rewrite (SURVEY §2.11,
-    * proxy/src/embeddings.rs:66-182). Idempotent.
+    * proxy/src/embeddings.rs:66-182) — and the engine entry points as
+    * TABLE functions (`SELECT * FROM vectorize_search(...)`, the
+    * reference's pg_extern surface, extension/src/api.rs:116-157).
+    * Idempotent.
     */
   def enableSqlFunctions(): Unit = {
     graft.plans.GraftSqlFunctions.registerAll(spark)
+    graft.plans.SqlTableFunctions.register(this)
     // last-enabled engine owns the rule (one rule instance total)
     spark.experimental.extraOptimizations =
       spark.experimental.extraOptimizations

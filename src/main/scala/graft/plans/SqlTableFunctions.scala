@@ -1,0 +1,102 @@
+package graft.plans
+
+import graft.VectorizeEngine
+import org.apache.spark.sql.GraftColumnBridge
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+
+/** The engine's entry points as SQL TABLE functions, closing the gap
+  * to the reference's SQL-first UX where every API is callable from a
+  * query (`SELECT * FROM vectorize.search(...)` — the pg_extern
+  * surface, extension/src/api.rs:116-157, 179-223). Postgres
+  * schema-qualified names flatten to `vectorize_*` (Spark function
+  * identifiers have no schema):
+  *
+  *   SELECT * FROM vectorize_search('products', 'camping backpack', 3)
+  *   SELECT * FROM vectorize_hybrid_search('products', 'pencil')
+  *   SELECT * FROM vectorize_search_json('products', 'pencil', 5)
+  *   SELECT * FROM vectorize_rag_prompt('chat_job', 'who wrote X?')
+  *   SELECT * FROM vectorize_table('products')
+  *
+  * Arguments must be literals (they parameterize plan CONSTRUCTION —
+  * the query embedding happens on the driver at analysis time, the
+  * reference's network boundary #1, core/src/query.rs:606-615). The
+  * builder just delegates to the engine method and returns its
+  * analyzed plan, so the distributed top-k/RRF shapes — broadcast
+  * rank legs, TakeOrderedAndProject — are identical to the Scala API;
+  * PlanSpec's locks cover both surfaces.
+  */
+object SqlTableFunctions {
+
+  private def strArg(args: Seq[Expression], i: Int, fn: String): String = {
+    require(i < args.length, s"$fn: missing argument ${i + 1}")
+    val e = args(i)
+    require(e.foldable, s"$fn: argument ${i + 1} must be a literal, got $e")
+    val v = e.eval()
+    require(v != null, s"$fn: argument ${i + 1} must not be null")
+    v.toString
+  }
+
+  private def intArg(args: Seq[Expression], i: Int, fn: String, default: Int): Int =
+    if (i >= args.length) default
+    else {
+      val e = args(i)
+      require(e.foldable, s"$fn: argument ${i + 1} must be a literal, got $e")
+      e.eval() match {
+        case n: java.lang.Number => n.intValue()
+        case v => throw new IllegalArgumentException(
+          s"$fn: argument ${i + 1} must be an integer, got $v")
+      }
+    }
+
+  /** (name, min/max args, builder) for each entry point. */
+  private def registrations(engine: VectorizeEngine)
+      : Seq[(String, Seq[Expression] => LogicalPlan)] = Seq(
+    "vectorize_search" -> { args: Seq[Expression] =>
+      GraftColumnBridge.logicalPlan(engine.search(
+        strArg(args, 0, "vectorize_search"), strArg(args, 1, "vectorize_search"),
+        intArg(args, 2, "vectorize_search", 10)))
+    },
+    "vectorize_search_json" -> { args: Seq[Expression] =>
+      GraftColumnBridge.logicalPlan(engine.searchJson(
+        strArg(args, 0, "vectorize_search_json"), strArg(args, 1, "vectorize_search_json"),
+        intArg(args, 2, "vectorize_search_json", 10)))
+    },
+    "vectorize_hybrid_search" -> { args: Seq[Expression] =>
+      GraftColumnBridge.logicalPlan(engine.hybridSearch(
+        strArg(args, 0, "vectorize_hybrid_search"), strArg(args, 1, "vectorize_hybrid_search"),
+        intArg(args, 2, "vectorize_hybrid_search", 10)))
+    },
+    "vectorize_hybrid_search_json" -> { args: Seq[Expression] =>
+      GraftColumnBridge.logicalPlan(engine.hybridSearchJson(
+        strArg(args, 0, "vectorize_hybrid_search_json"),
+        strArg(args, 1, "vectorize_hybrid_search_json"),
+        intArg(args, 2, "vectorize_hybrid_search_json", 10)))
+    },
+    "vectorize_rag_prompt" -> { args: Seq[Expression] =>
+      val fn = "vectorize_rag_prompt"
+      val rendered = engine.ragPrompt(strArg(args, 0, fn), strArg(args, 1, fn),
+        numContext = intArg(args, 2, fn, 2))
+      import engine.spark.implicits._
+      GraftColumnBridge.logicalPlan(
+        Seq((rendered.sysPrompt, rendered.userPrompt))
+          .toDF("sys_prompt", "user_prompt"))
+    },
+    "vectorize_table" -> { args: Seq[Expression] =>
+      GraftColumnBridge.logicalPlan(
+        engine.projectView(strArg(args, 0, "vectorize_table")))
+    })
+
+  /** Install on the engine's session. Idempotent; the last-registered
+    * engine owns the names (same contract as the vectorize_embed
+    * rule).
+    */
+  def register(engine: VectorizeEngine): Unit =
+    registrations(engine).foreach { case (name, builder) =>
+      GraftColumnBridge.registerTableFunction(engine.spark,
+        FunctionIdentifier(name),
+        new ExpressionInfo(SqlTableFunctions.getClass.getName, name),
+        builder)
+    }
+}

@@ -25,4 +25,22 @@ object GraftColumnBridge {
       info: org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
       builder: Seq[Expression] => Expression): Unit =
     spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
+
+  /** Register a TABLE function (`SELECT * FROM f(...)`) on a live
+    * session — the TableFunctionRegistry is behind the same
+    * `private[sql]` sessionState as the scalar registry above. The
+    * builder maps the call-site argument expressions to the logical
+    * plan the FROM clause resolves to.
+    */
+  def registerTableFunction(spark: SparkSession,
+      ident: org.apache.spark.sql.catalyst.FunctionIdentifier,
+      info: org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
+      builder: Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Unit =
+    spark.sessionState.tableFunctionRegistry.registerFunction(ident, info, builder)
+
+  /** The analyzed logical plan of a DataFrame — what a table-function
+    * builder returns so `FROM f(...)` resolves to the frame's plan.
+    */
+  def logicalPlan(df: DataFrame): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    df.queryExecution.analyzed
 }

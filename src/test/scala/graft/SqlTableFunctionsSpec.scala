@@ -1,0 +1,95 @@
+package graft
+
+import graft.types._
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The engine's API surface callable from pure SQL — the reference's
+  * `SELECT * FROM vectorize.search(...)` UX (extension/src/api.rs:
+  * 116-157) flattened to `vectorize_*` table functions. Each SQL call
+  * must return exactly the Scala API's rows (same plan underneath).
+  */
+class SqlTableFunctionsSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  // eager: registration must happen before any test's spark.sql call
+  private val engine: VectorizeEngine = {
+    val e = new VectorizeEngine(spark, TestSpark.tempDir("graft_tvf_"),
+      embeddingProviderOverride = Some(new providers.DeterministicHashProvider(64)))
+    e.registerSource("my_products", Fixtures.myProducts(spark))
+    e.createJob(VectorizeJob(
+      jobName = "products", srcTable = "my_products",
+      srcColumns = Seq("product_name", "description"),
+      primaryKey = "product_id", updateTimeCol = Some("updated_at"),
+      model = Model.parseUnsafe("deterministic/hash-64")))
+    // single-content-column chat job for the rag_prompt surface — on
+    // the SAME engine: the last enableSqlFunctions() call owns the SQL
+    // names, so a second engine would silently steal them mid-suite
+    e.registerSource("content", Fixtures.contentTable(spark))
+    e.createJob(VectorizeJob(
+      jobName = "chatty", srcTable = "content", srcColumns = Seq("content"),
+      primaryKey = "id", updateTimeCol = Some("updated_at"),
+      model = Model.parseUnsafe("deterministic/hash-64")))
+    e.enableSqlFunctions()
+    e
+  }
+
+  test("vectorize_search from SQL matches the Scala API") {
+    val sql = spark.sql(
+      "SELECT product_id, product_name FROM vectorize_search('products', 'camping backpack', 3)")
+      .collect().map(r => (r.get(0), r.getString(1))).toSeq
+    val api = engine.search("products", "camping backpack", limit = 3)
+      .select(col("product_id"), col("product_name"))
+      .collect().map(r => (r.get(0), r.getString(1))).toSeq
+    assert(sql == api)
+    assert(sql.map(_._2).contains("Backpack"))
+  }
+
+  test("vectorize_hybrid_search from SQL: README ranking + default limit") {
+    val top = spark.sql(
+      "SELECT * FROM vectorize_hybrid_search('products', 'camping backpack', 1)").collect()
+    assert(top.length == 1)
+    assert(top.head.getAs[String]("product_name") == "Backpack")
+    assert(top.head.getAs[Double]("rrf_score") > 0.0)
+    // omitted limit falls back to the reference default (10)
+    assert(spark.sql(
+      "SELECT * FROM vectorize_hybrid_search('products', 'pencil')").count() == 10)
+  }
+
+  test("vectorize_search_json returns one jsonb-style row per hit") {
+    val rows = spark.sql(
+      "SELECT * FROM vectorize_search_json('products', 'pencil', 2)").collect()
+    assert(rows.length == 2)
+    assert(rows.forall(_.schema.fieldNames.toSeq == Seq("results")))
+    assert(rows.exists(_.getString(0).contains("\"product_name\":\"Pencil\"")))
+  }
+
+  test("vectorize_table exposes the project view") {
+    val n = spark.sql("SELECT * FROM vectorize_table('products')").count()
+    assert(n == engine.projectView("products").count() && n > 0)
+  }
+
+  test("vectorize_rag_prompt renders the trimmed prompt pair") {
+    val r = spark.sql(
+      "SELECT * FROM vectorize_rag_prompt('chatty', 'what is a pencil for?', 2)").collect()
+    assert(r.length == 1)
+    assert(r.head.schema.fieldNames.toSeq == Seq("sys_prompt", "user_prompt"))
+    assert(r.head.getString(1).contains("what is a pencil for?"))
+  }
+
+  test("SQL composes over the table function (WHERE + ORDER BY on top)") {
+    val got = spark.sql(
+      """SELECT product_name FROM vectorize_search('products', 'writing utensil', 10)
+        |WHERE product_category = 'stationery' ORDER BY product_name""".stripMargin)
+      .collect().map(_.getString(0)).toSeq
+    assert(got.nonEmpty && got == got.sorted)
+  }
+
+  test("non-literal argument fails loudly") {
+    val e = intercept[Exception] {
+      spark.sql("SELECT * FROM vectorize_search(rand()::string, 'x', 1)").collect()
+    }
+    assert(e.getMessage.contains("literal") || e.getMessage != null)
+  }
+}
