@@ -806,6 +806,24 @@ object Oracles {
     "dedup_embedding_cos" -> embeddingLshSql(
       dim = 64, bits = 8, bands = 4, seed = 42L, threshold = 0.30),
 
+    // SemDeDup prune replayed over the dumped k-means assignment
+    // (cell + distance-to-centroid from the session-cached centroids
+    // the Spark entry uses): rank by keep priority within each cell
+    // (dist DESC, id ASC), then NOT EXISTS a higher-priority
+    // ≥-threshold cosine neighbor — the declarative twin of
+    // Dedup.semanticKeep's anti-join.
+    "dedup_semantic" ->
+      s"""WITH a AS (
+         |  SELECT id, cell, CAST(vec AS DOUBLE[]) AS e,
+         |    row_number() OVER (PARTITION BY cell ORDER BY dist DESC, id ASC) AS rnk
+         |  FROM read_parquet('__AUX__/semdedup_aux_assigned.parquet'))
+         |SELECT x.id AS vec_id, x.cell FROM a x
+         |WHERE NOT EXISTS (
+         |  SELECT 1 FROM a y
+         |  WHERE y.cell = x.cell AND y.rnk < x.rnk
+         |    AND list_cosine_similarity(x.e, y.e) >= ${Queries.semDedupThreshold})
+         |ORDER BY vec_id""".stripMargin,
+
     // SimHash banded pipeline vs the SQL brute force over the dumped
     // per-doc signatures: bands = maxHamming+1 gives FULL recall by
     // pigeonhole (Dedup.simHashPairs), so banded output == every pair

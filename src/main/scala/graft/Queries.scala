@@ -541,6 +541,41 @@ object Queries {
       .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
       .orderBy(col("id_a"), col("id_b"))
 
+  private[graft] val semDedupClusters = 16
+  private[graft] val semDedupThreshold = 0.40
+  private val semCentroidsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[(Int, Array[Float])]]()
+
+  /** Train-once SemDeDup k-means centroids for this (session, dir) —
+    * cached for the same reason as [[qualityModel]]: the query entry
+    * and dumpOracleAux must see the EXACT same centroids within a
+    * Verify run (float groupBy-mean bit-determinism across two
+    * separate Lloyd's runs is not guaranteed), so the dump IS the
+    * assignment the oracle replays.
+    */
+  private[graft] def semCentroids(spark: SparkSession, dir: String): Array[(Int, Array[Float])] =
+    semCentroidsCache.computeIfAbsent(cacheKey(spark, dir), { _ =>
+      Ann.ivfCentroids(t(spark, dir, "embeddings"), "vec_id", "embedding",
+        semDedupClusters)
+    })
+
+  /** SemDeDup (Abbas et al. 2023): k-means-cluster the embeddings,
+    * then within each cluster drop every vector with a ≥ 0.40-cosine
+    * neighbor of higher keep priority (farther from the centroid —
+    * the paper keeps the lowest-centroid-similarity representative).
+    * Pairwise work is bounded by cluster size (nClusters ~ √N at
+    * scale); the prune is one cell-keyed anti-join. Oracled by
+    * replaying the rank + NOT EXISTS prune over the dumped
+    * assignment (semdedup_aux_assigned).
+    */
+  def dedupSemantic(spark: SparkSession, dir: String): DataFrame =
+    Dedup.semanticKeep(
+        Dedup.semanticAssign(t(spark, dir, "embeddings"), "vec_id", "embedding",
+          semCentroids(spark, dir)),
+        semDedupThreshold)
+      .select(col("id").as("vec_id"), col("cell"))
+      .orderBy(col("vec_id"))
+
   /** MinHash+LSH near-dup candidates. DuckDB-oracled via
     * dump-and-replay (dumpOracleAux): the per-doc MinHash signatures
     * and shingle sets are dumped (the signature math is unit-covered
@@ -1974,6 +2009,16 @@ object Queries {
       Seq(Tuple1(Quantize.quantizeVec(
         engine.encode("docs_job", vzQueryText).toSeq).toSeq)).toDF("qcodes"),
       s"$outDir/vz_aux_qcodes.parquet")
+    // SemDeDup k-means assignment (cell + keep-priority distance,
+    // from the SAME session-cached centroids the query entry uses) —
+    // the dedup_semantic oracle replays the within-cell rank + cosine
+    // NOT EXISTS prune over this frame; the iterative Lloyd's build
+    // itself is unit-covered (SemDedupSpec)
+    writeSingleParquet(
+      Dedup.semanticAssign(t(spark, dir, "embeddings"), "vec_id", "embedding",
+        semCentroids(spark, dir)),
+      s"$outDir/semdedup_aux_assigned.parquet")
+
     // per-doc stemmed lexeme arrays for the f2_tsvector_rank oracle —
     // same toTsvector UDF the query itself uses, so the oracle checks
     // the relational layer (match/rank/order/limit) over identical
@@ -2290,6 +2335,7 @@ object Queries {
     "dedup_spans" -> (dedupSpans _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_embedding_cos" -> (dedupEmbeddingCos _),
+    "dedup_semantic" -> (dedupSemantic _),
     "dedup_minhash_lsh" -> (dedupMinHashLsh _),
     "dedup_simhash" -> (dedupSimHash _),
     "dedup_clusters" -> (dedupClusters _),

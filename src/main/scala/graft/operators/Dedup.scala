@@ -683,6 +683,68 @@ object Dedup {
     * [[Ann.hyperplanes]] (seeded xorshift — executor-stable and
     * reproducible in the DuckDB oracle as literal plane values).
     */
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540) assignment stage:
+    * k-means over the embedding column (reusing [[Ann.ivfCentroids]]'
+    * deterministic Lloyd's iterations), returning each row with its
+    * cluster id and L2 distance to its own centroid. The distance is
+    * the paper's keep-priority signal: among semantic duplicates, the
+    * example FARTHEST from the centroid is kept (it carries the most
+    * marginal information; the near-centroid copies are the redundant
+    * ones). Split from [[semanticKeep]] so the DuckDB oracle can
+    * replay the relational prune over this exact dumped frame — the
+    * iterative k-means itself is unit-covered (SemDedupSpec/AnnSpec),
+    * matching the dump-and-replay convention used by MinHash/PQ/BPE.
+    */
+  def semanticAssign(emb: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[(Int, Array[Float])]): DataFrame = {
+    val scored = centroids.map { case (cell, c) =>
+      struct(l2Distance(col(vecCol), lit(c)).as("d"), lit(cell).as("cell"))
+    }
+    val best = least(scored.toIndexedSeq: _*)
+    emb.select(col(idCol).as("id"), col(vecCol).as("vec"),
+      best.getField("cell").as("cell"), best.getField("d").as("dist"))
+  }
+
+  /** SemDeDup prune stage: within each k-means cluster, rank rows by
+    * keep priority (distance to centroid DESC, id ASC — ties pinned
+    * by id so the result is total-order deterministic), then drop
+    * every row with an exact-cosine neighbor ≥ `threshold` of HIGHER
+    * priority. The pairwise stage is a cell-keyed equi self-join —
+    * quadratic only within a cluster, which is the paper's point:
+    * clustering bounds the all-pairs cost, and at 100 TB nClusters
+    * grows ~√N so cluster sizes (and the per-cell quadratic) stay
+    * flat while the join remains one shuffle on `cell`. The per-cell
+    * row_number window sorts only a cluster, never the corpus.
+    *
+    * Drop rule is the same canonical-precedence convention as the
+    * other near-dup ops (not the paper's sequential greedy): a row is
+    * dropped iff ANY higher-priority row in its cluster is ≥
+    * threshold-similar, which is expressible as one anti-join (and as
+    * a NOT EXISTS in the oracle) with no iterative dependency.
+    */
+  def semanticKeep(assigned: DataFrame, threshold: Double): DataFrame = {
+    val w = Window.partitionBy(col("cell"))
+      .orderBy(col("dist").desc, col("id").asc)
+    val ranked = assigned.withColumn("rnk", row_number().over(w))
+    val better = ranked.select(col("cell").as("cell_b"),
+      col("vec").as("vec_b"), col("rnk").as("rnk_b"))
+    ranked.join(better,
+        col("cell") === col("cell_b") && col("rnk_b") < col("rnk") &&
+          cosineSimilarity(col("vec"), col("vec_b")) >= threshold,
+        "left_anti")
+      .select(col("id"), col("cell"))
+  }
+
+  /** End-to-end SemDeDup: cluster, assign, prune. Returns the kept
+    * (id, cell) rows. `nClusters` should scale ~√N (the IVF rule) so
+    * per-cluster pairwise work stays constant as the corpus grows.
+    */
+  def semanticDedup(emb: DataFrame, idCol: String, vecCol: String,
+      nClusters: Int, threshold: Double, iterations: Int = 5): DataFrame = {
+    val centroids = Ann.ivfCentroids(emb, idCol, vecCol, nClusters, iterations)
+    semanticKeep(semanticAssign(emb, idCol, vecCol, centroids), threshold)
+  }
+
   def embeddingLshBandedPairs(emb: DataFrame, idCol: String, vecCol: String,
       dim: Int, threshold: Double = 0.95, bits: Int = 8, bands: Int = 4,
       seed: Long = 42L): DataFrame = {
