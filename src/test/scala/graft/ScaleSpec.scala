@@ -277,6 +277,29 @@ class ScaleSpec extends AnyFunSuite {
     assertSubQuadratic("ccnet_ppl_buckets")
   }
 
+  test("SemDeDup scales sub-quadratically to 10x when nClusters follows √N", ScaleTest) {
+    // the query entry pins nClusters=16 for oracle determinism; the
+    // OPERATOR's scale contract is nClusters ~ √N (Dedup.semanticDedup
+    // scaladoc) so per-cluster size — and the in-cell quadratic prune —
+    // stays flat as the corpus grows. Measure under that contract:
+    // √10 ≈ 3.2× more clusters on the 10× rung.
+    val r = measured("ann_lsh_topk") // reuse the verbatim rung dirs
+    def run(dir: String, nClusters: Int): Double = {
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      val t0 = System.nanoTime()
+      graft.operators.Dedup.semanticDedup(emb, "vec_id", "embedding",
+          nClusters, threshold = 0.40, iterations = 2)
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    run(r.d1, 16); val t1 = run(r.d1, 16)
+    run(r.d10, 50); val t10 = run(r.d10, 50)
+    info(f"dedup_semantic 1x=$t1%.2fs 10x=$t10%.2fs ratio=${t10 / math.max(t1, 1e-9)}%.1fx")
+    assert(t10 < 25.0 * math.max(t1, 0.5),
+      f"SemDeDup: 10x rung took $t10%.2fs vs 1x $t1%.2fs — the in-cell " +
+        "prune went quadratic (cluster count not tracking corpus size?)")
+  }
+
   test("salted 10x corpus yields ~10x the near-dup pairs, never ~100x", ScaleTest) {
     measured // force
     val pairs1 = SparkEntry.queries("dedup_minhash_lsh")(spark, dirs("salted1")).count()
