@@ -1580,6 +1580,46 @@ object Oracles {
          |  max(shared) AS max_overlap
          |FROM flagged GROUP BY bid ORDER BY bench_id""".stripMargin,
 
+    // Gopher rule battery (Rae et al. 2021 §A1.1) — pure per-row
+    // list algebra mirroring Queries.textGopherRules: whitespace
+    // words, newline lines, literal non-overlapping symbol counts,
+    // rounded signals, keep gate evaluated on the ROUNDED values.
+    "text_gopher_rules" -> {
+      val stops = Queries.gopherStopWords.map(s => s"'$s'").mkString("[", ", ", "]")
+      s"""WITH base AS (
+         |  SELECT doc_id, text,
+         |    list_filter(regexp_split_to_array(text, '\\s+'), w -> w <> '') AS w,
+         |    regexp_split_to_array(text, '\\n') AS l,
+         |    $toksSql AS toks
+         |  FROM documents),
+         |sig AS (
+         |  SELECT doc_id, len(w) AS n_words,
+         |    round(CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE)
+         |      / len(w), 4) AS mean_word_len,
+         |    round(CAST((length(text) - length(replace(text, '#', ''))) +
+         |      (length(text) - length(replace(text, '...', ''))) / 3 AS DOUBLE)
+         |      / len(w), 4) AS symbol_ratio,
+         |    round(CAST(len(list_filter(l, x -> starts_with(ltrim(x), '-')
+         |      OR starts_with(ltrim(x), '*') OR starts_with(ltrim(x), '•')))
+         |      AS DOUBLE) / len(l), 4) AS bullet_frac,
+         |    round(CAST(len(list_filter(l, x -> ends_with(rtrim(x), '...')
+         |      OR ends_with(rtrim(x), '…'))) AS DOUBLE) / len(l), 4)
+         |      AS ellipsis_frac,
+         |    round(CAST(len(list_filter(w, x -> regexp_matches(x, '[a-zA-Z]')))
+         |      AS DOUBLE) / len(w), 4) AS alpha_frac,
+         |    len(list_intersect(toks, $stops)) AS n_stop
+         |  FROM base)
+         |SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_frac,
+         |  ellipsis_frac, alpha_frac, n_stop,
+         |  CAST(n_words >= ${Queries.gopherMinWords}
+         |    AND n_words <= ${Queries.gopherMaxWords}
+         |    AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+         |    AND symbol_ratio < 0.1 AND bullet_frac <= 0.1
+         |    AND ellipsis_frac <= 0.3 AND alpha_frac >= 0.8
+         |    AND n_stop >= 2 AS INT) AS keep
+         |FROM sig ORDER BY doc_id""".stripMargin
+    },
+
     "text_quality_metrics" ->
       s"""WITH base AS (
          |  SELECT doc_id, text, $toksSql AS toks,

@@ -1293,6 +1293,66 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
+  // Gopher rule constants (Rae et al. 2021 §A1.1), shared with the
+  // DuckDB oracle so the two sides can never drift. The paper's
+  // "required words" list — a doc must contain ≥ 2 of these.
+  private[graft] val gopherStopWords =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+  private[graft] val gopherMinWords = 50
+  private[graft] val gopherMaxWords = 100000
+
+  /** Gopher document-quality rule battery (Rae et al. 2021 §A1.1):
+    * word-count bounds, mean-word-length window, symbol-to-word
+    * ratio (# and … the paper's two symbols), bullet-started and
+    * ellipsis-ended line fractions, alphabetic-word fraction, and the
+    * ≥2-required-stopwords gate. Emits every signal plus the composed
+    * keep flag so a pipeline can tune individual thresholds. PURE
+    * built-ins per row on both sides (no aux dump, no shuffle except
+    * the presentation sort); all comparisons run on the ROUNDED
+    * signals so the keep boundary is pinned against float noise.
+    * Words = whitespace split (the paper's notion), not the alnum
+    * tokenizer — stopword containment alone reuses [[sqlTokens]].
+    */
+  def textGopherRules(spark: SparkSession, dir: String): DataFrame = {
+    val words = filter(split(col("text"), "\\s+"), w => w =!= "")
+    val lines = split(col("text"), "\n")
+    val nWords = size(col("__w"))
+    val meanLen = round(
+      aggregate(col("__w"), lit(0L), (acc, w) => acc + length(w)).cast("double")
+        / nWords, 4)
+    // non-overlapping literal occurrence counts, left to right — the
+    // same semantics DuckDB's replace() has
+    val nHash = length(col("text")) - length(regexp_replace(col("text"), "#", ""))
+    val nEllipsis = (length(col("text")) -
+      length(regexp_replace(col("text"), "\\.\\.\\.", ""))) / 3
+    val symbolRatio = round((nHash + nEllipsis).cast("double") / nWords, 4)
+    val bulletFrac = round(
+      size(filter(col("__l"), l => ltrim(l).startsWith("-") ||
+        ltrim(l).startsWith("*") || ltrim(l).startsWith("•"))).cast("double")
+        / size(col("__l")), 4)
+    val ellipsisFrac = round(
+      size(filter(col("__l"), l => rtrim(l).endsWith("...") ||
+        rtrim(l).endsWith("…"))).cast("double") / size(col("__l")), 4)
+    val alphaFrac = round(
+      size(filter(col("__w"), w => w.rlike("[a-zA-Z]"))).cast("double")
+        / nWords, 4)
+    val nStop = size(array_intersect(sqlTokens(col("text")),
+      array(gopherStopWords.map(lit): _*)))
+    t(spark, dir, "documents")
+      .withColumn("__w", words).withColumn("__l", lines)
+      .select(col("doc_id"), nWords.as("n_words"), meanLen.as("mean_word_len"),
+        symbolRatio.as("symbol_ratio"), bulletFrac.as("bullet_frac"),
+        ellipsisFrac.as("ellipsis_frac"), alphaFrac.as("alpha_frac"),
+        nStop.as("n_stop"))
+      .withColumn("keep",
+        (col("n_words") >= gopherMinWords && col("n_words") <= gopherMaxWords &&
+          col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0 &&
+          col("symbol_ratio") < 0.1 &&
+          col("bullet_frac") <= 0.1 && col("ellipsis_frac") <= 0.3 &&
+          col("alpha_frac") >= 0.8 && col("n_stop") >= 2).cast("int"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Language-ID heuristic distribution (DuckDB-oracled: the oracle
     * SQL is generated from the same langMarkers constants). */
   def textLanguageId(spark: SparkSession, dir: String): DataFrame =
@@ -2364,6 +2424,7 @@ object Queries {
     "mm_frames" -> (mmFrames _),
     "mm_resize" -> (mmResize _),
     "text_quality_metrics" -> (textQualityMetrics _),
+    "text_gopher_rules" -> (textGopherRules _),
     "text_quality_score" -> (textQualityScore _),
     "text_repetition" -> (textRepetition _),
     "text_language_id" -> (textLanguageId _),
