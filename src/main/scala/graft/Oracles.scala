@@ -926,6 +926,26 @@ object Oracles {
         |  ON p.user_id = c.user_id AND p.ts_ms >= c.ts_ms
         |ORDER BY p.event_id""".stripMargin,
 
+    // JSON props extraction replayed without the json extension
+    // (regexp on the single-key payload the generator emits) — the
+    // Spark side parses with a typed from_json schema; semantics
+    // (null on missing/malformed, k>=50 drop, exact-integer avg)
+    // replay identically.
+    "r_json_props" ->
+      """WITH parsed AS (
+        |  SELECT event_type, value,
+        |    CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) AS k
+        |  FROM events
+        |  WHERE regexp_extract(props, '"k": ([0-9]+)', 1) <> ''),
+        |agg AS (
+        |  SELECT event_type, COUNT(*) AS n,
+        |    CAST(SUM(k) AS BIGINT) AS total_k,
+        |    round(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 2) AS total_value
+        |  FROM parsed WHERE k >= 50 GROUP BY event_type)
+        |SELECT event_type, n, total_k, total_value,
+        |  round(CAST(total_k AS DOUBLE) / n, 4) AS avg_k
+        |FROM agg ORDER BY event_type""".stripMargin,
+
     // Probe-pruned ANN top-k over the dumped persisted-index layouts.
     "ann_lsh_topk" -> annProbeSql(
       "ann_lsh_buckets.parquet", "bucket", "ann_lsh_probes.parquet", "keys"),
@@ -1057,6 +1077,62 @@ object Oracles {
     // Multiprobe batch-kNN joins (ad-hoc and persisted-index paths).
     "ann_knn_join" -> knnJoinSql("knn_q_probes.parquet",
       "SELECT x_id, key FROM read_parquet('__AUX__/knn_x_keys.parquet')"),
+
+    // kNN label propagation: the knnJoinSql candidate replay with the
+    // x side restricted to the labeled split (same key dump — the
+    // labeled set is a filter of it), then majority vote with the
+    // smaller label winning ties.
+    "knn_label_prop" ->
+      s"""WITH q AS (SELECT q_id, key FROM read_parquet('__AUX__/knn_q_probes.parquet')),
+         |x AS (SELECT x_id, key FROM read_parquet('__AUX__/knn_x_keys.parquet')
+         |      WHERE x_id >= ${Queries.knnQueryMaxId}),
+         |pairs AS (
+         |  SELECT q.q_id, x.x_id FROM q JOIN x USING (key)
+         |  WHERE q.q_id <> x.x_id),
+         |scored AS (
+         |  SELECT p.q_id, p.x_id,
+         |    list_cosine_similarity(CAST(eq.embedding AS DOUBLE[]),
+         |      CAST(ex.embedding AS DOUBLE[])) AS cos
+         |  FROM pairs p
+         |  JOIN embeddings eq ON eq.vec_id = p.q_id
+         |  JOIN embeddings ex ON ex.vec_id = p.x_id),
+         |ranked AS (
+         |  SELECT q_id, x_id,
+         |    row_number() OVER (PARTITION BY q_id
+         |      ORDER BY cos DESC, x_id ASC) AS rank
+         |  FROM scored),
+         |votes AS (
+         |  SELECT r.q_id, e.label, COUNT(*) AS votes
+         |  FROM ranked r JOIN embeddings e ON e.vec_id = r.x_id
+         |  WHERE r.rank <= ${Queries.knnJoinK}
+         |  GROUP BY r.q_id, e.label),
+         |winner AS (
+         |  SELECT q_id, label, votes,
+         |    row_number() OVER (PARTITION BY q_id
+         |      ORDER BY votes DESC, label ASC) AS rn
+         |  FROM votes)
+         |SELECT q_id AS vec_id, label AS pred_label, votes
+         |FROM winner WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+
+    // Matryoshka truncated-prefix rank + full-dim rescore: list
+    // slicing replays the prefix cosine in the same double fold.
+    "ann_matryoshka_topk" ->
+      s"""WITH pranked AS (
+         |  SELECT vec_id,
+         |    list_cosine_similarity(
+         |      CAST(embedding[1:${Queries.matryoshkaDims}] AS DOUBLE[]),
+         |      (SELECT CAST(embedding[1:${Queries.matryoshkaDims}] AS DOUBLE[])
+         |       FROM embeddings WHERE vec_id = 0)) AS pcos
+         |  FROM embeddings),
+         |pool AS (
+         |  SELECT vec_id FROM pranked WHERE pcos IS NOT NULL
+         |  ORDER BY pcos DESC, vec_id ASC LIMIT ${Queries.quantRescoreWindow}),
+         |rescored AS (
+         |  SELECT e.vec_id, ${cosSql("e")} AS cos
+         |  FROM embeddings e JOIN pool USING (vec_id))
+         |SELECT vec_id, round(cos, 4) AS cos FROM rescored
+         |ORDER BY round(cos, 4) DESC, vec_id ASC
+         |LIMIT ${Queries.annTopK}""".stripMargin,
     "ann_knn_join_indexed" -> knnJoinSql("knn_q_probes_indexed.parquet",
       "SELECT vec_id AS x_id, bucket AS key FROM read_parquet('__AUX__/ann_lsh_buckets.parquet')"),
 
@@ -1408,6 +1484,24 @@ object Oracles {
         |  round(quantile_cont(n_chars, 0.95), 4) AS p95,
         |  count(*) AS n_docs
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // df via the same two-stage (term, doc) partial-count shape (not
+    // COUNT(DISTINCT)) so the arithmetic path mirrors the engine's;
+    // idf = sklearn smoothing ln((N+1)/(df+1)) + 1.
+    "vocab_top_terms" ->
+      s"""WITH arr AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |terms AS (SELECT doc_id, unnest(toks) AS term FROM arr),
+         |per_doc AS (
+         |  SELECT term, doc_id, COUNT(*) AS tf_doc FROM terms GROUP BY 1, 2),
+         |stats AS (
+         |  SELECT term, CAST(SUM(tf_doc) AS BIGINT) AS tf,
+         |    COUNT(*) AS df
+         |  FROM per_doc GROUP BY term),
+         |n AS (SELECT COUNT(*) AS n_docs FROM documents)
+         |SELECT term, tf, df,
+         |  round(ln((n_docs + 1.0) / (df + 1.0)) + 1.0, 4) AS idf
+         |FROM stats, n
+         |ORDER BY tf DESC, term ASC LIMIT ${Queries.vocabTopN}""".stripMargin,
 
     // same arithmetic bucket hash + per-source threshold as mixSample
     "mix_sample" ->

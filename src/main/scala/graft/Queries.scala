@@ -4,7 +4,7 @@ import graft.functions.GraftFunctions._
 import graft.operators.{Ann, AsOf, Ccnet, Dedup, Dsir, Hnsw, Multimodal, Pipeline, Pq, Quantize, QualityFilter, RangeJoin, Search, TextIndex}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+import org.apache.spark.sql.types.{LongType, StructField, StructType, TimestampNTZType, TimestampType}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 /** The SURVEY §2 operator inventory as driver-checkable queries.
@@ -498,6 +498,34 @@ object Queries {
       .orderBy(col("event_id"))
   }
 
+  /** Semi-structured props extraction: parse the events' JSON `props`
+    * payload with a typed `from_json` schema, filter on the parsed
+    * field, and aggregate per event type — the log-enrichment scan
+    * every event pipeline runs before joining behavioral features
+    * into training data. `from_json` is a codegen'd Catalyst
+    * expression evaluated inline in the scan stage, so the filter on
+    * the parsed field and the column pruning both happen before the
+    * (map-side-combinable) aggregation shuffle; malformed or null
+    * JSON parses to null and is dropped by the `k >= 50` predicate on
+    * both sides. avg_k is derived from the exact integer sum
+    * (total_k/n) rather than a float accumulator, so it is
+    * summation-order-proof like a2/r_windowed_counts.
+    */
+  def rJsonProps(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .select(col("event_type"), col("value"),
+        from_json(col("props"), StructType(Seq(StructField("k", LongType))))
+          .getField("k").as("k"))
+      .filter(col("k") >= 50)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("k")).as("total_k"),
+        round(sum(col("value").cast("decimal(18,4)")).cast("double"), 2)
+          .as("total_value"))
+      .withColumn("avg_k",
+        round(col("total_k").cast("double") / col("n"), 4))
+      .orderBy(col("event_type"))
+
   // =================================================================
   // Training-data pipeline operators (north-star additions)
   // =================================================================
@@ -891,6 +919,74 @@ object Queries {
       .select(col("q_id"), col("x_id"), round(col("cos"), 4).as("cos"),
         col("rank"))
       .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** kNN label propagation (semi-supervised auto-labeling): each
+    * held-out vector (vec_id < knnQueryMaxId) takes the majority
+    * label of its k nearest LABELED neighbors (vec_id >=
+    * knnQueryMaxId), ties broken by the smaller label id — the
+    * annotation-propagation pass that turns a small labeled seed set
+    * into weak labels for the whole corpus (the relational core of
+    * FineWeb-Edu-style classifier bootstrapping, with the kNN vote
+    * standing in for the model).
+    *
+    * Scale shape: the neighbor stage IS [[Ann.knnJoin]] (LSH-bucketed
+    * candidates, never a cross join); the label attach is an
+    * equi-join on the corpus pkey; the vote is a groupBy over k rows
+    * per query and the winner a window over the per-query label
+    * groups (≤ k rows each). Oracle: the knnJoinSql replay with the
+    * x side restricted to the labeled split, then the same
+    * vote/argmax in SQL.
+    */
+  def knnLabelProp(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val holdout = emb.filter(col("vec_id") < knnQueryMaxId)
+    val labeled = emb.filter(col("vec_id") >= knnQueryMaxId)
+    val nn = Ann.knnJoin(holdout, labeled, "vec_id", "embedding",
+      k = knnJoinK, bits = knnJoinBits)
+    val votes = nn
+      .join(emb.select(col("vec_id").as("x_id"), col("label")), "x_id")
+      .groupBy(col("q_id"), col("label"))
+      .agg(count(lit(1)).as("votes"))
+    val winner = Window.partitionBy(col("q_id"))
+      .orderBy(col("votes").desc, col("label").asc)
+    votes.withColumn("__rn", row_number().over(winner))
+      .filter(col("__rn") === 1)
+      .select(col("q_id").as("vec_id"), col("label").as("pred_label"),
+        col("votes"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** Matryoshka-style truncated-prefix retrieval: rank the corpus by
+    * cosine over only the first `matryoshkaDims` dimensions of the
+    * embedding (the MRL premise — prefix dims carry the coarse
+    * signal), then exact-rescore the top `quantRescoreWindow` pool at
+    * full dimensionality — the float twin of the int8 two-stage rank.
+    * Honesty note: at this corpus size the slice is computed inline,
+    * so the scan still reads the full vector; the dim/`matryoshkaDims`
+    * byte reduction materializes at scale by persisting the prefix as
+    * its own column (exactly as the LSH/IVF indexes persist q8 codes)
+    * so the ranking scan's ReadSchema never touches the full vector.
+    * Rows whose prefix is a zero vector have no defined prefix cosine
+    * and drop from the pool on both sides.
+    */
+  private[graft] val matryoshkaDims = 8
+  def annMatryoshkaTopK(spark: SparkSession, dir: String): DataFrame = {
+    val qv = queryVec(spark, dir)
+    val emb = t(spark, dir, "embeddings")
+    val pool = emb
+      .select(col("vec_id"),
+        cosineSimilarity(slice(col("embedding"), 1, matryoshkaDims),
+          lit(qv.take(matryoshkaDims))).as("pcos"))
+      .filter(col("pcos").isNotNull)
+      .orderBy(col("pcos").desc, col("vec_id").asc)
+      .limit(quantRescoreWindow)
+      .select(col("vec_id"))
+    broadcast(pool).join(emb, "vec_id")
+      .select(col("vec_id"),
+        round(cosineSimilarity(col("embedding"), lit(qv)), 4).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+      .limit(annTopK)
   }
 
   /** ANN: batch kNN join over the persisted HNSW graphs — the graph
@@ -1451,6 +1547,38 @@ object Queries {
         round(expr("percentile(n_chars, 0.95)"), 4).as("p95"),
         count(lit(1)).as("n_docs"))
       .orderBy(col("lang"))
+
+  /** Corpus vocabulary table (df-idf): total term frequency, document
+    * frequency, and smoothed idf (ln((N+1)/(df+1)) + 1, the sklearn
+    * smoothing) for the corpus's `vocabTopN` most frequent terms —
+    * the vocabulary-construction / stopword-discovery pass every
+    * tokenizer-training or tf-idf-retrieval pipeline starts with.
+    *
+    * Scale shape: df is NOT a count-distinct (whose Expand doubles
+    * the exploded row stream) — it's two map-side-combinable
+    * aggregations: groupBy(term, doc) partial counts, then
+    * groupBy(term) sums the partials and counts the groups. The
+    * corpus size joins in as a broadcast one-row aggregate so the
+    * whole thing stays one lazy plan, and the final top-N is a
+    * TakeOrderedAndProject, never a global sort materialization.
+    */
+  private[graft] val vocabTopN = 50
+  def vocabTopTerms(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val perDoc = docs
+      .select(col("doc_id"), explode(sqlTokens(col("text"))).as("term"))
+      .groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).as("tf_doc"))
+    val stats = perDoc.groupBy(col("term"))
+      .agg(sum(col("tf_doc")).as("tf"), count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    stats.crossJoin(broadcast(nDocs))
+      .select(col("term"), col("tf"), col("df"),
+        round(log((col("n_docs") + lit(1.0)) / (col("df") + lit(1.0))) + lit(1.0), 4)
+          .as("idf"))
+      .orderBy(col("tf").desc, col("term").asc)
+      .limit(vocabTopN)
+  }
 
   /** Deterministic mixture sampler: downsample each source to a token
     * budget. rate = min(1, budget / source tokens); a row is kept iff
@@ -2391,6 +2519,8 @@ object Queries {
     "r_sessionize" -> (rSessionize _),
     "r_asof_join" -> (rAsofJoin _),
     "r_interval_join" -> (rIntervalJoin _),
+    "r_json_props" -> (rJsonProps _),
+    "vocab_top_terms" -> (vocabTopTerms _),
     "dedup_exact" -> (dedupExact _),
     "dedup_spans" -> (dedupSpans _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
@@ -2412,6 +2542,8 @@ object Queries {
     "ann_knn_join_indexed" -> (annKnnJoinIndexed _),
     "ann_knn_join_quantized" -> (annKnnJoinQuantized _),
     "ann_knn_join_quantized_indexed" -> (annKnnJoinQuantizedIndexed _),
+    "ann_matryoshka_topk" -> (annMatryoshkaTopK _),
+    "knn_label_prop" -> (knnLabelProp _),
     "pipeline_corpus" -> (pipelineCorpus _),
     "pipeline_c4" -> (pipelineC4 _),
     "pipeline_neardup" -> (pipelineNeardup _),
