@@ -186,4 +186,49 @@ class PlanSpec extends AnyFunSuite {
     assert("SortMergeJoin [^\\n]*Inner".r.findFirstIn(plan).isEmpty,
       s"source join must not shuffle the source table:\n$plan")
   }
+
+  test("vocab_top_terms: df without Expand, map-side partials, top-k not sort") {
+    val plan = SparkEntry.queries("vocab_top_terms")(spark, dir)
+      .queryExecution.executedPlan.toString
+    // df must come from the two-stage (term, doc) partial-count shape;
+    // a COUNT(DISTINCT doc_id) would plan an Expand that doubles the
+    // exploded token stream through the shuffle
+    assert(!plan.contains("Expand"),
+      s"df regressed to count-distinct (Expand doubles the token stream):\n$plan")
+    // the corpus-count side joins as a broadcast nested loop over ONE
+    // row; the final top-N must be exact distributed top-k
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-N must plan as TakeOrderedAndProject, not a global sort:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"one-row corpus count must broadcast:\n$plan")
+    // both aggregations are map-side combinable (partial_ markers)
+    assert("partial_count".r.findFirstIn(plan).isDefined
+        || "partial_sum".r.findFirstIn(plan).isDefined,
+      s"aggregations must have map-side partials:\n$plan")
+  }
+
+  test("ann_matryoshka_topk: pool broadcasts into the rescore, top-ks exact") {
+    val plan = SparkEntry.queries("ann_matryoshka_topk")(spark, dir)
+      .queryExecution.executedPlan.toString
+    // the 100-row prefix pool joins the corpus by broadcast — an SMJ
+    // here shuffles the full corpus for a 100-row rescore
+    assert("BroadcastHashJoin [^\\n]*Inner".r.findFirstIn(plan).isDefined,
+      s"pool rescore join must broadcast the pool:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"rescore must not shuffle the corpus:\n$plan")
+    // both the prefix pool cut and the final k are exact top-k plans
+    assert("TakeOrderedAndProject".r.findAllIn(plan).size >= 2,
+      s"pool cut and final top-k must both be TakeOrderedAndProject:\n$plan")
+  }
+
+  test("knn_label_prop: label attach and vote stay off the corpus shuffle") {
+    val plan = SparkEntry.queries("knn_label_prop")(spark, dir)
+      .queryExecution.executedPlan.toString
+    // the candidate stage is knnJoin's bucket-key join; the label
+    // attach is an equi-join on the pkey — neither may plan a
+    // nested-loop (the all-pairs shape the bucketing exists to avoid)
+    assert(!plan.contains("CartesianProduct")
+        && !plan.contains("BroadcastNestedLoopJoin"),
+      s"label prop must never plan an all-pairs join:\n$plan")
+  }
 }

@@ -144,7 +144,16 @@ class ScaleSpec extends AnyFunSuite {
       // one linear pair scan + groupBy(doc) + a lang-partitioned
       // window over doc-grain rows (the quality classifier's scoring
       // path is the dsir_weights shape, rung-covered there)
-      "ccnet_ppl_buckets" -> (verb1, verb10))
+      "ccnet_ppl_buckets" -> (verb1, verb10),
+      // vocabulary df-idf rides the SALTED rung: disjoint per-replica
+      // token spaces grow the vocabulary (the shuffle key domain) 10×,
+      // the harder direction for the two-stage aggregation — verbatim
+      // would only deepen existing groups
+      "vocab_top_terms" -> (salted1, salted10),
+      // label propagation: the fixed 50-query holdout against a
+      // 10×-denser labeled corpus — candidate pairs grow ~10× through
+      // the knnJoin bucket shuffle, the vote stays ≤k rows per query
+      "knn_label_prop" -> (verb1, verb10))
     dirs = Map("salted1" -> salted1, "salted10" -> salted10,
       "verbatim10" -> verb10)
     plan.map { case (q, (d1, d10)) =>
@@ -275,6 +284,14 @@ class ScaleSpec extends AnyFunSuite {
 
   test("CCNet perplexity scales sub-quadratically to 10x", ScaleTest) {
     assertSubQuadratic("ccnet_ppl_buckets")
+  }
+
+  test("vocabulary df-idf scales sub-quadratically to a 10x vocabulary", ScaleTest) {
+    assertSubQuadratic("vocab_top_terms")
+  }
+
+  test("kNN label propagation scales sub-quadratically to 10x", ScaleTest) {
+    assertSubQuadratic("knn_label_prop")
   }
 
   test("SemDeDup scales sub-quadratically to 10x when nClusters follows √N", ScaleTest) {
