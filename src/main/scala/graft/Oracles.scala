@@ -735,6 +735,27 @@ object Oracles {
         |  COUNT(*) OVER (PARTITION BY nh) AS group_size
         |FROM h ORDER BY doc_id""".stripMargin,
 
+    // incremental snapshot-delta dedup: keep-first within the batch,
+    // anti-joined against the existing corpus's hash set (the bloom
+    // on the Spark side only prunes — the exact anti-join decides, so
+    // the bloom-free replay is the same answer).
+    "dedup_incremental" ->
+      s"""WITH b AS (
+         |  SELECT doc_id AS id,
+         |    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS h
+         |  FROM documents WHERE doc_id >= ${Queries.incrementalSplit}),
+         |e AS (
+         |  SELECT DISTINCT
+         |    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS h
+         |  FROM documents WHERE doc_id < ${Queries.incrementalSplit}),
+         |first AS (
+         |  SELECT id, h,
+         |    row_number() OVER (PARTITION BY h ORDER BY id) AS rn
+         |  FROM b)
+         |SELECT id AS doc_id FROM first
+         |WHERE rn = 1 AND h NOT IN (SELECT h FROM e)
+         |ORDER BY doc_id""".stripMargin,
+
     // C4-style span dedup replay: same non-overlapping 3-token spans
     // (list_slice end-index = start+len-1 mirrors Spark slice's
     // length), keep-first by (doc_id, span_idx) via row_number — the

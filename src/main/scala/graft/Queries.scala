@@ -536,6 +536,23 @@ object Queries {
       .select(col("doc_id"), col("canonical_id"), col("group_size"))
       .orderBy(col("doc_id"))
 
+  /** Incremental snapshot-delta dedup: docs with doc_id >=
+    * `incrementalSplit` play the newly crawled batch, the rest the
+    * already-ingested corpus; kept = first-in-batch AND absent from
+    * the corpus (Dedup.incrementalExact — batch-sized window +
+    * bloom-gated corpus scan, the corpus never shuffles whole).
+    */
+  private[graft] val incrementalSplit = 250L
+  def dedupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    Dedup.incrementalExact(
+        docs.filter(col("doc_id") < incrementalSplit),
+        docs.filter(col("doc_id") >= incrementalSplit),
+        "doc_id", "text")
+      .select(col("id").as("doc_id"))
+      .orderBy(col("doc_id"))
+  }
+
   /** C4-style duplicate-span removal: every 3-token span occurring
     * more than once in the corpus keeps only its first occurrence
     * (ordered by doc, position); docs are reassembled from surviving
@@ -2522,6 +2539,7 @@ object Queries {
     "r_json_props" -> (rJsonProps _),
     "vocab_top_terms" -> (vocabTopTerms _),
     "dedup_exact" -> (dedupExact _),
+    "dedup_incremental" -> (dedupIncremental _),
     "dedup_spans" -> (dedupSpans _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_embedding_cos" -> (dedupEmbeddingCos _),

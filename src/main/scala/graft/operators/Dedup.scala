@@ -504,6 +504,47 @@ object Dedup {
       .filter(col("n_hits") >= minOverlap)
   }
 
+  /** Incremental (snapshot-delta) exact dedup: keep the rows of a NEW
+    * ingestion batch that are (a) the first occurrence of their
+    * normalized text within the batch and (b) absent from the
+    * already-ingested corpus — the every-crawl-snapshot dedup pass an
+    * ingestion pipeline runs so re-crawled pages never re-enter the
+    * corpus. Same normalization as [[exactCanonical]].
+    *
+    * Scale shape: the within-batch keep-first is a window over the
+    * BATCH's hashes only (delta-sized, not corpus-sized). The
+    * against-corpus check never shuffles the corpus: a driver-built
+    * Bloom over the batch's hashes (the batch IS the small side —
+    * ~1.2 bytes/hash at fpp 0.01) gates the corpus scan MAP-SIDE, so
+    * only true collisions + fpp·misses reach the distinct + anti-join
+    * shuffle. A Bloom false positive adds a non-matching row to the
+    * candidate set, which the exact anti-join then ignores — bytes,
+    * never correctness (the [[contaminatedDocsBloom]] contract). With
+    * a hash-bucketed corpus store the scan itself additionally prunes
+    * to the batch's buckets; the one-pass corpus scan here is the
+    * storeless worst case.
+    */
+  def incrementalExact(existing: DataFrame, batch: DataFrame, idCol: String,
+      textCol: String, fpp: Double = 0.01): DataFrame = {
+    def normHash(c: Column): Column =
+      md5(regexp_replace(lower(trim(c)), "\\s+", " "))
+    val b = batch.select(col(idCol).as("id"), normHash(col(textCol)).as("h"))
+    // two actions over the SMALL (batch) side only: count sizes the
+    // filter, bloomFilter builds it; the corpus side stays lazy
+    val expected = math.max(1L, b.count())
+    val bloom = b.stat.bloomFilter("h", expected, fpp)
+    val bc = batch.sparkSession.sparkContext.broadcast(bloom)
+    val mightContain =
+      udf((h: String) => h != null && bc.value.mightContainString(h))
+    val hits = existing.select(normHash(col(textCol)).as("h"))
+      .filter(mightContain(col("h"))).distinct()
+    val keepFirst = Window.partitionBy(col("h")).orderBy(col("id"))
+    b.withColumn("__rn", row_number().over(keepFirst))
+      .filter(col("__rn") === 1)
+      .join(hits, Seq("h"), "left_anti")
+      .select(col("id"))
+  }
+
   /** Near-dup cluster canonicalization: connected components over a
     * pair list (the output of [[minHashLshPairs]] / [[simHashPairs]] /
     * [[embeddingLshBandedPairs]]) via iterative min-label propagation,

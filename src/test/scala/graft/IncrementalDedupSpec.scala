@@ -1,0 +1,75 @@
+package graft
+
+import graft.operators.Dedup
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins for incremental snapshot-delta dedup
+  * (Dedup.incrementalExact / the dedup_incremental entry): the
+  * cross-snapshot drop, within-batch keep-first, normalization
+  * equivalence, and parity with the bloom-free formulation (the bloom
+  * only prunes — on any input the answer must equal the plain
+  * anti-join's).
+  */
+class IncrementalDedupSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  import org.apache.spark.sql.functions._
+
+  private def df(rows: Seq[(Long, String)]) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("batch rows already in the corpus drop; fresh rows survive") {
+    val existing = df(Seq(1L -> "alpha beta", 2L -> "gamma"))
+    val batch = df(Seq(10L -> "alpha beta", 11L -> "delta"))
+    val kept = Dedup.incrementalExact(existing, batch, "doc_id", "text")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(11L))
+  }
+
+  test("within-batch duplicates keep the smallest id only") {
+    val existing = df(Seq.empty)
+    val batch = df(Seq(12L -> "same text", 10L -> "same text", 11L -> "other"))
+    val kept = Dedup.incrementalExact(existing, batch, "doc_id", "text")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(10L, 11L))
+  }
+
+  test("normalization matches exactCanonical: case and whitespace fold") {
+    val existing = df(Seq(1L -> "Alpha   Beta"))
+    val batch = df(Seq(10L -> "  alpha beta ", 11L -> "alphabeta"))
+    val kept = Dedup.incrementalExact(existing, batch, "doc_id", "text")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(11L), "folded form collides, concatenated form doesn't")
+  }
+
+  test("bloom-pruned answer equals the plain anti-join on a mixed corpus") {
+    val existing = df((0L until 60L).map(i => i -> s"doc number ${i % 40}"))
+    val batch = df((100L until 160L).map(i => i -> s"doc number ${i % 50}"))
+    val got = Dedup.incrementalExact(existing, batch, "doc_id", "text")
+      .collect().map(_.getLong(0)).toSet
+    // naive reference: keep-first in batch, minus existing's hash set
+    val norm = (s: String) => s.trim.toLowerCase.replaceAll("\\s+", " ")
+    val existingSet = (0L until 60L).map(i => norm(s"doc number ${i % 40}")).toSet
+    val firstInBatch = (100L until 160L).map(i => i -> norm(s"doc number ${i % 50}"))
+      .groupBy(_._2).map { case (_, g) => g.minBy(_._1) }
+    val expected = firstInBatch.collect {
+      case (id, h) if !existingSet.contains(h) => id
+    }.toSet
+    assert(got == expected)
+    assert(got.nonEmpty && got.size < 60, "the fixture must actually dedup")
+  }
+
+  test("the query entry splits at doc_id 250 and returns kept new docs") {
+    import spark.implicits._
+    val dir = TestSpark.tempDir("graft_incdedup_")
+    Seq(1L -> "seen before", 249L -> "corpus only",
+        250L -> "seen before", 251L -> "brand new", 252L -> "brand new")
+      .toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val kept = SparkEntry.queries("dedup_incremental")(spark, dir)
+      .collect().map(_.getLong(0)).toSeq
+    assert(kept == Seq(251L), "250 collides with corpus, 252 loses keep-first")
+  }
+}
