@@ -760,6 +760,29 @@ object Oracles {
     // (list_slice end-index = start+len-1 mirrors Spark slice's
     // length), keep-first by (doc_id, span_idx) via row_number — the
     // same total order as the engine's min-struct window — and
+    // within-doc span dedup: the same list algebra per row — indexed
+    // list_filter keeps a span iff list_position (1-based first
+    // occurrence) equals its own index; list_slice's inclusive end
+    // index mirrors Spark slice's length.
+    "dedup_within_doc" ->
+      s"""WITH arr AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |sp AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(toks) = 0 THEN CAST([] AS VARCHAR[])
+         |    ELSE list_transform(
+         |      range(0, CAST(ceil(len(toks) / 3.0) AS INT)),
+         |      i -> array_to_string(list_slice(toks, i*3 + 1, i*3 + 3), ' '))
+         |    END AS spans
+         |  FROM arr),
+         |k AS (
+         |  SELECT doc_id, spans,
+         |    list_filter(spans, (s, i) -> list_position(spans, s) = i) AS kept
+         |  FROM sp)
+         |SELECT doc_id, array_to_string(kept, ' ') AS clean_text,
+         |  CAST(len(kept) AS BIGINT) AS n_kept,
+         |  CAST(len(spans) - len(kept) AS BIGINT) AS n_removed
+         |FROM k ORDER BY doc_id""".stripMargin,
+
     // ordered string_agg reassembly. unnest(range(n)) drops
     // token-less docs, but the final join back to documents restores
     // them with the engine's empty-text/zero-count row.

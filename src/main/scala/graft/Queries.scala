@@ -553,6 +553,17 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
+  /** Within-document duplicate-span removal (the intra-page half of
+    * C4's cleanup): each doc keeps the first occurrence of every
+    * distinct 3-token span it contains. Zero shuffles — pure per-row
+    * array algebra (Dedup.withinDocSpanDedup); only the presentation
+    * sort exchanges.
+    */
+  def dedupWithinDoc(spark: SparkSession, dir: String): DataFrame =
+    Dedup.withinDocSpanDedup(t(spark, dir, "documents"), "doc_id", "text",
+        spanDedupTokens)
+      .orderBy(col("doc_id"))
+
   /** C4-style duplicate-span removal: every 3-token span occurring
     * more than once in the corpus keeps only its first occurrence
     * (ordered by doc, position); docs are reassembled from surviving
@@ -2541,6 +2552,7 @@ object Queries {
     "dedup_exact" -> (dedupExact _),
     "dedup_incremental" -> (dedupIncremental _),
     "dedup_spans" -> (dedupSpans _),
+    "dedup_within_doc" -> (dedupWithinDoc _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_embedding_cos" -> (dedupEmbeddingCos _),
     "dedup_semantic" -> (dedupSemantic _),

@@ -100,6 +100,50 @@ object Dedup {
         col("n_kept"), col("n_removed"))
   }
 
+  /** WITHIN-document duplicate-span removal — the intra-page half of
+    * C4's cleanup (repeated boilerplate/nav spans inside one page),
+    * where [[spanDedup]] is the cross-corpus half. Same
+    * non-overlapping `spanTokens`-token span grain; each document
+    * keeps only the FIRST occurrence of every distinct span it
+    * contains and is reassembled in order. Returns one row per input
+    * document: (idCol, clean_text, n_kept, n_removed).
+    *
+    * Scale shape: ZERO shuffles — the whole operator is per-row array
+    * algebra (tokenize → span → first-occurrence filter → rejoin), so
+    * it composes into any pipeline for free and parallelism is pure
+    * map-side. Per-row cost is quadratic in the document's OWN span
+    * count (the first-occurrence check scans the span array per
+    * element — Spark SQL has no per-row hash-set primitive), bounded
+    * by (tokens/spanTokens)²/2; for documents long enough for that to
+    * matter, [[spanDedup]]'s shuffle-based keep-first covers the same
+    * spans corpus-wide in O(n).
+    */
+  def withinDocSpanDedup(docs: DataFrame, idCol: String, textCol: String,
+      spanTokens: Int = 3): DataFrame = {
+    require(spanTokens >= 1, s"spanTokens must be >= 1, got $spanTokens")
+    val toksCol =
+      filter(split(lower(coalesce(col(textCol), lit(""))), "[^a-z0-9]+"),
+        x => x =!= "")
+    // __toks, then __spans, are each projected into a NAMED column
+    // before any lambda reads them — HOF lambdas re-evaluate child
+    // expressions per element, and __spans is read by three HOFs
+    val base = docs.select(col(idCol).as("__id"), toksCol.as("__toks"))
+    val nSpans = ceil(size(col("__toks")) / lit(spanTokens.toDouble)).cast("int")
+    val spansArr = when(size(col("__toks")) === 0,
+        array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), nSpans - 1),
+        i => array_join(slice(col("__toks"), i * spanTokens + 1, lit(spanTokens)), " ")))
+    // keep span i iff it is the first equal span in this document
+    // (array_position is 1-based; the filter index is 0-based)
+    val kept = filter(col("__spans"),
+      (s, i) => array_position(col("__spans"), s) === i + 1)
+    base.withColumn("__spans", spansArr)
+      .select(col("__id").as(idCol),
+        concat_ws(" ", kept).as("clean_text"),
+        size(kept).cast("long").as("n_kept"),
+        (size(col("__spans")) - size(kept)).cast("long").as("n_removed"))
+  }
+
   /** Lee et al. 2021 ("Deduplicating Training Data Makes Language
     * Models Better") ExactSubstr-flavored duplicate-substring
     * removal: every duplicated k-token substring keeps its FIRST

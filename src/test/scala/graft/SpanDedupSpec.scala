@@ -79,6 +79,60 @@ class SpanDedupSpec extends AnyFunSuite {
     assert(run(docs) sameElements expect)
   }
 
+  private def runWithin(rows: Seq[(Long, String)], spanTokens: Int = 3) = {
+    import spark.implicits._
+    Dedup.withinDocSpanDedup(rows.toDF("doc_id", "text"), "doc_id", "text",
+        spanTokens)
+      .orderBy(col("doc_id"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+  }
+
+  test("withinDoc: removes repeats inside a doc, never across docs") {
+    val out = runWithin(Seq(
+      (1L, "a b c a b c x y z"), // intra-doc repeat drops
+      (2L, "a b c q r s"))) // same span as doc 1 — must SURVIVE here
+    assert(out(0) == (1L, "a b c x y z", 2L, 1L))
+    assert(out(1) == (2L, "a b c q r s", 2L, 0L))
+  }
+
+  test("withinDoc: keeps first occurrence and original order") {
+    val out = runWithin(Seq(
+      (5L, "x y z a b c x y z a b c x y z"), // 5 full spans: xyz abc ×2 + xyz
+      (6L, "x y z a b c x y z a"))) // tail span "a" is distinct
+    assert(out(0) == (5L, "x y z a b c", 2L, 3L))
+    assert(out(1) == (6L, "x y z a b c a", 3L, 1L))
+  }
+
+  test("withinDoc: token-less and null docs survive with empty text") {
+    val out = runWithin(Seq((1L, ""), (2L, null.asInstanceOf[String]),
+      (3L, "  ,, ")))
+    assert(out.toSeq == Seq((1L, "", 0L, 0L), (2L, "", 0L, 0L),
+      (3L, "", 0L, 0L)))
+  }
+
+  test("withinDoc: agrees with a plain-Scala reference on random docs") {
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("a", "b", "c", "d")
+    val rows = (0L until 40L).map { i =>
+      i -> Seq.fill(rnd.nextInt(20))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    }
+    def ref(s: String): (String, Long, Long) = {
+      val toks = s.split("[^a-z0-9]+").filter(_.nonEmpty)
+      val spans = toks.grouped(3).map(_.mkString(" ")).toVector
+      val kept = spans.zipWithIndex.collect {
+        case (sp, i) if spans.indexOf(sp) == i => sp
+      }
+      (kept.mkString(" "), kept.size.toLong, (spans.size - kept.size).toLong)
+    }
+    val got = runWithin(rows)
+    rows.zip(got).foreach { case ((id, text), (gid, ct, nk, nr)) =>
+      assert(gid == id)
+      val (ect, enk, enr) = ref(text)
+      assert((ct, nk, nr) == (ect, enk, enr), s"doc $id text='$text'")
+    }
+  }
+
   test("exactSubstr: shifted duplicate caught, maximal run removed, first kept") {
     import spark.implicits._
     val a = (1 to 15).map(i => s"t$i").mkString(" ")
