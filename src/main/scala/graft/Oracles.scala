@@ -914,6 +914,45 @@ object Oracles {
          |ORDER BY id_a, id_b""".stripMargin
     },
 
+    // Incremental near-dup over the SAME signature dump: batch rows
+    // (>= incrementalSplit) drop iff a band collision with the
+    // existing corpus or a smaller-id batch row verifies at the exact
+    // Jaccard threshold. Band keys replay as raw signature slices —
+    // equality is what the join needs; Spark's hash() of the slice
+    // keys the same partitions.
+    "dedup_incremental_neardup" -> {
+      val rows = Queries.minHashNumHashes / Queries.minHashBands
+      s"""WITH s AS (
+         |  SELECT doc_id, shingles, sig
+         |  FROM read_parquet('__AUX__/minhash_aux.parquet')
+         |  WHERE len(shingles) > 0),
+         |bands AS (SELECT range AS band FROM range(0, ${Queries.minHashBands})),
+         |keyed AS (
+         |  SELECT doc_id, band,
+         |    list_slice(sig, band * $rows + 1, band * $rows + $rows) AS bkey
+         |  FROM s CROSS JOIN bands),
+         |bk AS (SELECT * FROM keyed WHERE doc_id >= ${Queries.incrementalSplit}),
+         |ek AS (SELECT * FROM keyed WHERE doc_id < ${Queries.incrementalSplit}),
+         |cand AS (
+         |  SELECT DISTINCT b.doc_id AS id, e.doc_id AS other_id
+         |  FROM bk b JOIN ek e ON b.band = e.band AND b.bkey = e.bkey
+         |  UNION
+         |  SELECT DISTINCT b.doc_id, o.doc_id
+         |  FROM bk b JOIN bk o
+         |    ON b.band = o.band AND b.bkey = o.bkey AND o.doc_id < b.doc_id),
+         |dropped AS (
+         |  SELECT DISTINCT c.id FROM cand c
+         |  JOIN s sa ON sa.doc_id = c.id
+         |  JOIN s sb ON sb.doc_id = c.other_id
+         |  WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+         |    / len(list_distinct(sa.shingles || sb.shingles))
+         |    >= ${Queries.minHashThreshold})
+         |SELECT doc_id FROM documents
+         |WHERE doc_id >= ${Queries.incrementalSplit}
+         |  AND doc_id NOT IN (SELECT id FROM dropped)
+         |ORDER BY doc_id""".stripMargin
+    },
+
     // The same pair replay as dedup_minhash_lsh, closed transitively
     // with a recursive CTE: reach(id, r) saturates to every node
     // reachable over the symmetric edge set, min(r) is the canonical

@@ -657,6 +657,23 @@ object Queries {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
       .orderBy(col("id_a"), col("id_b"))
 
+  /** Incremental snapshot-delta NEAR-dup: the incrementalSplit batch
+    * against the rest as the existing corpus, same MinHash
+    * parameters as dedup_minhash_lsh so the oracle replays over the
+    * shared minhash_aux signature dump.
+    */
+  def dedupIncrementalNeardup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    Dedup.incrementalNearDup(
+        docs.filter(col("doc_id") < incrementalSplit),
+        docs.filter(col("doc_id") >= incrementalSplit),
+        "doc_id", "text", shingleN = minHashShingleN,
+        numHashes = minHashNumHashes, bands = minHashBands,
+        threshold = minHashThreshold)
+      .select(col("id").as("doc_id"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Near-dup clusters: connected components over the MinHash+LSH
     * pair list (min-label propagation, Dedup.clusterCanonical), each
     * doc mapped to its cluster's canonical (minimum) id + cluster
@@ -2551,6 +2568,7 @@ object Queries {
     "vocab_top_terms" -> (vocabTopTerms _),
     "dedup_exact" -> (dedupExact _),
     "dedup_incremental" -> (dedupIncremental _),
+    "dedup_incremental_neardup" -> (dedupIncrementalNeardup _),
     "dedup_spans" -> (dedupSpans _),
     "dedup_within_doc" -> (dedupWithinDoc _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),

@@ -259,6 +259,76 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Incremental (snapshot-delta) NEAR-dup dedup: keep the rows of a
+    * NEW ingestion batch that near-duplicate neither the existing
+    * corpus nor a smaller-id batch row — [[incrementalExact]]'s
+    * MinHash sibling, using [[minHashLshPairs]]'s exact machinery
+    * (same shingles/signature/band keys, same exact-Jaccard verify)
+    * so a pair drops here iff the batch-vs-(existing ∪ batch) pair
+    * list would contain it. The in-batch rule is pair-greedy (drop if
+    * ANY earlier batch row matches, surviving or not) — the
+    * transitively-correct cluster form is [[clusterCanonicalStar]]
+    * over the full pair list, which an incremental pass by definition
+    * does not see.
+    *
+    * Scale shape: the batch side is delta-sized everywhere. The
+    * corpus's banded stream is gated by a BROADCAST semi-join against
+    * the batch's distinct band keys before any corpus-sized shuffle —
+    * only band-colliding corpus rows (near-dup candidates by
+    * construction) continue to the pair join and the per-pair shingle
+    * join-back. With a persisted signature/band table (the form a
+    * production pipeline maintains; [[minHashLshPairs]]'s persist
+    * note) the corpus scan prunes to the batch's band buckets and the
+    * signature recompute disappears; the one-pass scan here is the
+    * storeless worst case.
+    */
+  def incrementalNearDup(existing: DataFrame, batch: DataFrame,
+      idCol: String, textCol: String, shingleN: Int = 3,
+      numHashes: Int = 64, bands: Int = 16,
+      threshold: Double = 0.5): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val rows = numHashes / bands
+    def withSig(df: DataFrame): DataFrame = df
+      .select(col(idCol).as("id"), col(textCol).as("text"))
+      .withColumn("shingles", array_distinct(shingles(col("text"), lit(shingleN))))
+      .filter(size(col("shingles")) > 0)
+      .withColumn("sig", minHash(col("shingles"), lit(numHashes)))
+    def banded(sigDf: DataFrame): DataFrame = sigDf.select(
+        col("id"), col("sig"),
+        posexplode(sequence(lit(0), lit(bands - 1))).as(Seq("__p", "band")))
+      .withColumn("band_key",
+        hash(col("band"), slice(col("sig"), col("band") * rows + 1, lit(rows))))
+      .select("id", "band", "band_key")
+    // batch signatures back three branches (banding + two shingle
+    // join-backs) — the same persist contract as minHashLshPairs,
+    // delta-sized here
+    val bSig = withSig(batch)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bBanded = banded(bSig)
+    val keySet = bBanded.select("band", "band_key").distinct()
+    val eSig = withSig(existing)
+    // map-side gate: corpus bands that collide with a batch band key
+    val eCand = banded(eSig)
+      .join(broadcast(keySet), Seq("band", "band_key"), "left_semi")
+    val candBE = bBanded
+      .join(eCand.select(col("band"), col("band_key"), col("id").as("other_id")),
+        Seq("band", "band_key"))
+      .select("id", "other_id").distinct()
+    val candBB = bBanded
+      .join(bBanded.select(col("band"), col("band_key"), col("id").as("other_id")),
+        Seq("band", "band_key"))
+      .filter(col("other_id") < col("id"))
+      .select("id", "other_id").distinct()
+    def dropped(cand: DataFrame, otherSets: DataFrame): DataFrame = cand
+      .join(bSig.select(col("id"), col("shingles").as("__sh_a")), Seq("id"))
+      .join(otherSets.select(col("id").as("other_id"), col("shingles").as("__sh_b")),
+        Seq("other_id"))
+      .filter(jaccard(col("__sh_a"), col("__sh_b")) >= threshold)
+      .select(col("id"))
+    val dups = dropped(candBE, eSig).union(dropped(candBB, bSig)).distinct()
+    batch.select(col(idCol).as("id")).join(dups, Seq("id"), "left_anti")
+  }
+
   /** SimHash near-dup: 64-bit signatures, banded blocking, verified
     * by Hamming distance <= maxHamming.
     *

@@ -61,6 +61,43 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(got.nonEmpty && got.size < 60, "the fixture must actually dedup")
   }
 
+  test("nearDup: batch rows near-duplicating the corpus drop, fresh survive") {
+    // 24-token docs differing in ONE token: shingle Jaccard ~0.76 —
+    // over the 0.5 default but not exact-equal, and high enough that
+    // the seeded 16-band signature collides (banding is recall-
+    // probabilistic; the fixture is deterministic under the fixed seed)
+    val a = "the quick brown fox jumps over the lazy dog near the river " +
+      "while birds sing old songs above tall green trees every single morning"
+    val aNear = "the quick brown fox jumps over the lazy cat near the river " +
+      "while birds sing old songs above tall green trees every single morning"
+    val fresh = "completely different content with no overlap whatsoever at all ok"
+    val existing = df(Seq(1L -> a))
+    val batch = df(Seq(10L -> aNear, 11L -> fresh))
+    val kept = Dedup.incrementalNearDup(existing, batch, "doc_id", "text")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(11L))
+  }
+
+  test("nearDup: within-batch pair drops the larger id only") {
+    val b1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val b2 = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda nu"
+    val existing = df(Seq.empty)
+    val batch = df(Seq(20L -> b1, 21L -> b2))
+    val kept = Dedup.incrementalNearDup(existing, batch, "doc_id", "text")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(20L))
+  }
+
+  test("nearDup: below-threshold band collisions are verified away") {
+    // share a 3-token prefix (possible band collision via low-Jaccard
+    // shingle overlap) but diverge after: Jaccard far below 0.5
+    val existing = df(Seq(1L -> "one two three apple pear plum cherry grape melon fig date kiwi"))
+    val batch = df(Seq(10L -> "one two three brick stone slate marble granite chalk sand clay mud"))
+    val kept = Dedup.incrementalNearDup(existing, batch, "doc_id", "text")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(10L), "shared prefix alone must not drop the row")
+  }
+
   test("the query entry splits at doc_id 250 and returns kept new docs") {
     import spark.implicits._
     val dir = TestSpark.tempDir("graft_incdedup_")
