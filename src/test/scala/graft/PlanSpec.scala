@@ -221,6 +221,27 @@ class PlanSpec extends AnyFunSuite {
       s"pool cut and final top-k must both be TakeOrderedAndProject:\n$plan")
   }
 
+  test("incremental dedups: corpus gated map-side, batch-only anti-join") {
+    // exact: the existing corpus reaches the anti-join only through
+    // the bloom UDF filter (map-side); the anti-join itself must not
+    // be a nested loop
+    val exact = SparkEntry.queries("dedup_incremental")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!exact.contains("CartesianProduct")
+        && !exact.contains("BroadcastNestedLoopJoin"),
+      s"incremental exact must never plan an all-pairs join:\n$exact")
+    // near-dup: the corpus's banded stream must pass a BROADCAST
+    // semi-join on the batch's band keys BEFORE any corpus-sized
+    // shuffle — an SMJ semi here shuffles every corpus band row
+    val near = SparkEntry.queries("dedup_incremental_neardup")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin [^\\n]*LeftSemi".r.findFirstIn(near).isDefined,
+      s"corpus band stream must be gated by a broadcast semi-join:\n$near")
+    assert(!near.contains("CartesianProduct")
+        && !near.contains("BroadcastNestedLoopJoin"),
+      s"incremental near-dup must never plan an all-pairs join:\n$near")
+  }
+
   test("knn_label_prop: label attach and vote stay off the corpus shuffle") {
     val plan = SparkEntry.queries("knn_label_prop")(spark, dir)
       .queryExecution.executedPlan.toString

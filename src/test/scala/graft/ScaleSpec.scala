@@ -153,7 +153,13 @@ class ScaleSpec extends AnyFunSuite {
       // label propagation: the fixed 50-query holdout against a
       // 10×-denser labeled corpus — candidate pairs grow ~10× through
       // the knnJoin bucket shuffle, the vote stays ≤k rows per query
-      "knn_label_prop" -> (verb1, verb10))
+      "knn_label_prop" -> (verb1, verb10),
+      // incremental dedups ride the salted rung (disjoint replica
+      // token spaces: hash/band domains grow 10×, cross-replica
+      // collisions zero) — batch and corpus both scale 10×, so the
+      // bound catches a batch×corpus blowup that outgrows linear
+      "dedup_incremental" -> (salted1, salted10),
+      "dedup_incremental_neardup" -> (salted1, salted10))
     dirs = Map("salted1" -> salted1, "salted10" -> salted10,
       "verbatim10" -> verb10)
     plan.map { case (q, (d1, d10)) =>
@@ -292,6 +298,14 @@ class ScaleSpec extends AnyFunSuite {
 
   test("kNN label propagation scales sub-quadratically to 10x", ScaleTest) {
     assertSubQuadratic("knn_label_prop")
+  }
+
+  test("incremental exact dedup scales sub-quadratically to 10x", ScaleTest) {
+    assertSubQuadratic("dedup_incremental")
+  }
+
+  test("incremental near-dup dedup scales sub-quadratically to 10x", ScaleTest) {
+    assertSubQuadratic("dedup_incremental_neardup")
   }
 
   test("SemDeDup scales sub-quadratically to 10x when nClusters follows √N", ScaleTest) {
