@@ -1757,6 +1757,17 @@ object Oracles {
          |  max(shared) AS max_overlap
          |FROM flagged GROUP BY bid ORDER BY bench_id""".stripMargin,
 
+    // C4 blocklist filter — same distinct-token intersect against the
+    // shared term list.
+    "text_blocklist" -> {
+      val terms = Queries.blocklistTerms.map(s => s"'$s'").mkString("[", ", ", "]")
+      s"""SELECT doc_id,
+         |  len(list_intersect(list_distinct($toksSql), $terms)) AS n_blocked,
+         |  CASE WHEN len(list_intersect(list_distinct($toksSql), $terms)) = 0
+         |    THEN 1 ELSE 0 END AS keep
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
+
     // Gopher rule battery (Rae et al. 2021 §A1.1) — pure per-row
     // list algebra mirroring Queries.textGopherRules: whitespace
     // words, newline lines, literal non-overlapping symbol counts,

@@ -1434,6 +1434,31 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
+  // Blocklist shared with the DuckDB oracle. C4 (Raffel et al. 2020
+  // §2.2) drops any page containing a term from the LDNOOBW word
+  // list; the real list is a drop-in swap for these demo terms (the
+  // two appear in the synthetic corpus, so both branches exercise).
+  private[graft] val blocklistTerms = Seq("slow", "error")
+
+  /** C4-style blocklist filter: a document is dropped if ANY of its
+    * distinct tokens appears on the blocklist. Emits the distinct-hit
+    * count and the keep flag so a pipeline can audit what the filter
+    * took. Per-row pure (array_intersect against the literal list, no
+    * shuffle beyond the presentation sort). At a production list size
+    * (~2k terms per language) the literal-array intersect still
+    * evaluates per row in one pass; a list too large to inline swaps
+    * to exploded tokens + a broadcast semi-join without changing the
+    * answer.
+    */
+  def textBlocklist(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .withColumn("__t", sqlTokens(col("text")))
+      .select(col("doc_id"),
+        size(array_intersect(array_distinct(col("__t")),
+          array(blocklistTerms.map(lit): _*))).as("n_blocked"))
+      .withColumn("keep", when(col("n_blocked") === 0, 1).otherwise(0))
+      .orderBy(col("doc_id"))
+
   // Gopher rule constants (Rae et al. 2021 §A1.1), shared with the
   // DuckDB oracle so the two sides can never drift. The paper's
   // "required words" list — a doc must contain ≥ 2 of these.
@@ -2605,6 +2630,7 @@ object Queries {
     "mm_resize" -> (mmResize _),
     "text_quality_metrics" -> (textQualityMetrics _),
     "text_gopher_rules" -> (textGopherRules _),
+    "text_blocklist" -> (textBlocklist _),
     "text_quality_score" -> (textQualityScore _),
     "text_repetition" -> (textRepetition _),
     "text_language_id" -> (textLanguageId _),

@@ -58,4 +58,22 @@ class GopherSpec extends AnyFunSuite {
     val got = run(Seq(1L -> "the the the be to of and that have with extra"))
     assert(got(1L).getAs[Int]("n_stop") == 8)
   }
+
+  test("blocklist filter counts DISTINCT hits and drops any match") {
+    import spark.implicits._
+    val dir = TestSpark.tempDir("graft_blocklist_")
+    Seq(1L -> "slow slow slow words here", // repeated term counts once
+        2L -> "slow error mixed", // two distinct hits
+        3L -> "perfectly clean document",
+        4L -> "SLOW uppercase folds") // tokenizer lowercases
+      .toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("text_blocklist")(spark, dir)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Int]("n_blocked"), r.getAs[Int]("keep"))).toMap
+    assert(got(1L) == ((1, 0)))
+    assert(got(2L) == ((2, 0)))
+    assert(got(3L) == ((0, 1)))
+    assert(got(4L) == ((1, 0)))
+  }
 }
