@@ -109,6 +109,46 @@ object Realtime {
       checkpointDir: String, indexPath: Option[String] = None): StreamingQuery =
     start(engine, jobName, stream, checkpointDir, Trigger.AvailableNow(), indexPath)
 
+  /** Streaming incremental INGESTION: each micro-batch is deduped
+    * against the ACCUMULATED store (exact normalized-text hash, via
+    * [[graft.operators.Dedup.incrementalExact]]) and within itself,
+    * and the survivors MERGE in keyed by `idCol` — the streaming form
+    * of the snapshot-delta dedup, with the "seen" state living in the
+    * STORE rather than Spark state. Complements [[streamDedup]]:
+    * dropDuplicatesWithinWatermark bounds its in-memory state by the
+    * watermark horizon (duplicates beyond it pass), while this form's
+    * history is unbounded at store cost — re-crawls from months ago
+    * still drop, the contract an ingestion pipeline actually needs.
+    *
+    * Replay-safe by construction, twice over: a re-delivered row
+    * whose first copy already MERGEd is now in the store, so the
+    * dedup itself drops it; and if a crash lands between dedup and
+    * MERGE, the keyed MERGE of the replayed batch rewrites the same
+    * rows — either way restart + replay reaches the same store state
+    * (RealtimeSpec proves it across a checkpoint restart).
+    */
+  def streamIncrementalIngest(store: graft.sources.ParquetStore, table: String,
+      docs: DataFrame, idCol: String, textCol: String,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val schema = docs.schema
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val existing = store.readOrEmpty(table, schema)
+          val kept = graft.operators.Dedup
+            .incrementalExact(existing, batch, idCol, textCol)
+            .withColumnRenamed("id", idCol)
+          val rows = batch.join(kept, Seq(idCol), "left_semi")
+          if (!rows.isEmpty) store.merge(table, rows, idCol)
+        }
+      }
+      .start()
+  }
+
   /** Windowed event-stream aggregation with watermarking — the
     * streaming-analytics shape (late data dropped after the
     * watermark; event-time tumbling windows). Works identically on a

@@ -296,6 +296,46 @@ class RealtimeSpec extends AnyFunSuite {
       "checkpointed state must drop the cross-run duplicate, keep the new doc")
   }
 
+  test("streaming incremental ingest dedups against the store, replay-safe") {
+    import spark.implicits._
+    val dir = TestSpark.tempDir("graft_sii_")
+    val cp = TestSpark.tempDir("graft_sii_cp_")
+    val store = new graft.sources.ParquetStore(
+      spark, TestSpark.tempDir("graft_sii_store_"))
+    def write(rows: Seq[(Long, String)]): Unit =
+      rows.toDF("doc_id", "text")
+        .coalesce(1).write.mode("append").parquet(s"$dir/docs")
+    def runOnce(): Unit = {
+      val q = graft.streaming.Realtime.streamIncrementalIngest(
+        store, "docs", spark.readStream.schema("doc_id LONG, text STRING")
+          .parquet(s"$dir/docs"), "doc_id", "text", cp)
+      q.awaitTermination(60000)
+    }
+    def stored(): Seq[Long] = store.read("docs")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    // run 1: 5 distinct docs + an in-batch duplicate (id 20 = doc 0)
+    write((0L until 5L).map(i => i -> s"doc text $i") :+ (20L -> "doc text 0"))
+    runOnce()
+    assert(stored() == (0L until 5L), "in-batch duplicate must not ingest")
+    // run 2 restarts from the checkpoint: a cross-RUN duplicate (id 21
+    // = doc 1's text, folded case/whitespace) and one new doc — the
+    // store, not watermarked state, carries the history
+    write(Seq(21L -> "  DOC   text 1 ", 22L -> "doc text NEW"))
+    runOnce()
+    assert(stored() == ((0L until 5L) :+ 22L),
+      "store history must drop the re-crawl, keep the new doc")
+    // replay the WHOLE input against a FRESH checkpoint (the
+    // crash-after-merge worst case: everything redelivered): dedup
+    // against the store drops every already-ingested row
+    val cp2 = TestSpark.tempDir("graft_sii_cp2_")
+    val q = graft.streaming.Realtime.streamIncrementalIngest(
+      store, "docs", spark.readStream.schema("doc_id LONG, text STRING")
+        .parquet(s"$dir/docs"), "doc_id", "text", cp2)
+    q.awaitTermination(60000)
+    assert(stored() == ((0L until 5L) :+ 22L),
+      "full redelivery must be a no-op against the accumulated store")
+  }
+
   test("streaming windowed counts equal the batch result (one code path)") {
     import spark.implicits._
     val events = (0 until 200).map { i =>
