@@ -738,15 +738,17 @@ object Oracles {
     // incremental snapshot-delta dedup: keep-first within the batch,
     // anti-joined against the existing corpus's hash set (the bloom
     // on the Spark side only prunes — the exact anti-join decides, so
-    // the bloom-free replay is the same answer).
+    // the bloom-free replay is the same answer). coalesce keeps the
+    // hash domain NULL-free (a NULL in the NOT-IN subquery would zero
+    // the whole result under three-valued logic).
     "dedup_incremental" ->
       s"""WITH b AS (
          |  SELECT doc_id AS id,
-         |    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS h
+         |    md5(regexp_replace(lower(trim(coalesce(text, ''))), '\\s+', ' ', 'g')) AS h
          |  FROM documents WHERE doc_id >= ${Queries.incrementalSplit}),
          |e AS (
          |  SELECT DISTINCT
-         |    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS h
+         |    md5(regexp_replace(lower(trim(coalesce(text, ''))), '\\s+', ' ', 'g')) AS h
          |  FROM documents WHERE doc_id < ${Queries.incrementalSplit}),
          |first AS (
          |  SELECT id, h,
@@ -756,10 +758,6 @@ object Oracles {
          |WHERE rn = 1 AND h NOT IN (SELECT h FROM e)
          |ORDER BY doc_id""".stripMargin,
 
-    // C4-style span dedup replay: same non-overlapping 3-token spans
-    // (list_slice end-index = start+len-1 mirrors Spark slice's
-    // length), keep-first by (doc_id, span_idx) via row_number — the
-    // same total order as the engine's min-struct window — and
     // within-doc span dedup: the same list algebra per row — indexed
     // list_filter keeps a span iff list_position (1-based first
     // occurrence) equals its own index; list_slice's inclusive end
@@ -783,6 +781,10 @@ object Oracles {
          |  CAST(len(spans) - len(kept) AS BIGINT) AS n_removed
          |FROM k ORDER BY doc_id""".stripMargin,
 
+    // C4-style span dedup replay: same non-overlapping 3-token spans
+    // (list_slice end-index = start+len-1 mirrors Spark slice's
+    // length), keep-first by (doc_id, span_idx) via row_number — the
+    // same total order as the engine's min-struct window — and
     // ordered string_agg reassembly. unnest(range(n)) drops
     // token-less docs, but the final join back to documents restores
     // them with the engine's empty-text/zero-count row.
@@ -1199,16 +1201,18 @@ object Oracles {
 
     // Matryoshka truncated-prefix rank + full-dim rescore: list
     // slicing replays the prefix cosine in the same double fold.
+    // COALESCE to -1.0 mirrors the Spark side's zero-prefix handling
+    // (Spark yields NULL, DuckDB -1.0 — both collapse to rank-last).
     "ann_matryoshka_topk" ->
       s"""WITH pranked AS (
          |  SELECT vec_id,
-         |    list_cosine_similarity(
+         |    COALESCE(list_cosine_similarity(
          |      CAST(embedding[1:${Queries.matryoshkaDims}] AS DOUBLE[]),
          |      (SELECT CAST(embedding[1:${Queries.matryoshkaDims}] AS DOUBLE[])
-         |       FROM embeddings WHERE vec_id = 0)) AS pcos
+         |       FROM embeddings WHERE vec_id = 0)), -1.0) AS pcos
          |  FROM embeddings),
          |pool AS (
-         |  SELECT vec_id FROM pranked WHERE pcos IS NOT NULL
+         |  SELECT vec_id FROM pranked
          |  ORDER BY pcos DESC, vec_id ASC LIMIT ${Queries.quantRescoreWindow}),
          |rescored AS (
          |  SELECT e.vec_id, ${cosSql("e")} AS cos

@@ -60,36 +60,45 @@ object Queries {
     * ms (positive epochs), matching the oracle's truncation.
     * Reference semantics: the watermark scan core/src/query.rs:556-596.
     */
-  private[graft] def eventTsMs(df: DataFrame): Column =
+  private def eventTsDispatch(df: DataFrame, nanosExpr: String,
+      tsFn: Column => Column): Column =
     df.schema("ts").dataType match {
-      case LongType        => expr("ts div 1000000")
-      case TimestampType   => unix_millis(col("ts"))
-      case TimestampNTZType => unix_millis(col("ts").cast(TimestampType))
+      case LongType        => expr(nanosExpr)
+      case TimestampType   => tsFn(col("ts"))
+      case TimestampNTZType => tsFn(col("ts").cast(TimestampType))
       case dt => throw new IllegalArgumentException(
         s"events.ts has unsupported type $dt (expected long nanos, timestamp, or timestamp_ntz)")
     }
 
-  /** Same dispatch at µs resolution — for filters that must match the
-    * oracle at the data's native granularity (ms would merge events
-    * inside the cutoff's millisecond).
+  private[graft] def eventTsMs(df: DataFrame): Column =
+    eventTsDispatch(df, "ts div 1000000", unix_millis)
+
+  /** Same dispatch at µs resolution — for arithmetic that must match
+    * the oracle at the timestamp encodings' native granularity.
     */
   private[graft] def eventTsUs(df: DataFrame): Column =
-    df.schema("ts").dataType match {
-      case LongType        => expr("ts div 1000")
-      case TimestampType   => unix_micros(col("ts"))
-      case TimestampNTZType => unix_micros(col("ts").cast(TimestampType))
-      case dt => throw new IllegalArgumentException(
-        s"events.ts has unsupported type $dt (expected long nanos, timestamp, or timestamp_ntz)")
-    }
+    eventTsDispatch(df, "ts div 1000", unix_micros)
+
+  /** Strict after-cutoff predicate at each encoding's NATIVE
+    * resolution: long-nanos data compares at nanoseconds (flooring to
+    * µs first would wrongly exclude an event at cutoff + 1ns that the
+    * DuckDB TIMESTAMP_NS oracle includes), timestamp data at µs (its
+    * native grain). `cutoffUs` is a whole-µs instant so the ns form
+    * is exactly cutoffUs·1000.
+    */
+  private[graft] def eventTsAfterUs(df: DataFrame, cutoffUs: Long): Column =
+    eventTsDispatch(df, s"ts > ${cutoffUs * 1000L}L",
+      ts => unix_micros(ts) > lit(cutoffUs))
 
   /** S2: delta scan (append method) — watermark filter on the source.
-    * The cutoff is 2024-01-03T00:00:00Z; the filter compares at µs
-    * (the data's native resolution) so it is exactly the oracle's
-    * `ts > TIMESTAMP '2024-01-03 00:00:00'` under every encoding.
+    * The cutoff is 2024-01-03T00:00:00Z; the filter compares at each
+    * encoding's NATIVE resolution (eventTsAfterUs) so it is exactly
+    * the oracle's `ts > TIMESTAMP '2024-01-03 00:00:00'` under every
+    * encoding, including sub-µs TIMESTAMP(NANOS) data.
     */
   def s2DeltaScanAppend(spark: SparkSession, dir: String): DataFrame = {
     val ev = t(spark, dir, "events")
-    ev.filter(eventTsUs(ev) > lit(1704240000000000L)) // 2024-01-03T00:00:00Z µs
+    ev.filter(eventTsAfterUs(ev, 1704240000000000L)) // 2024-01-03T00:00:00Z µs
       .select(col("event_id"), eventTsMs(ev).as("ts_ms"),
         col("user_id"), col("event_type"))
       .orderBy(col("event_id"))
@@ -1012,8 +1021,10 @@ object Queries {
     * byte reduction materializes at scale by persisting the prefix as
     * its own column (exactly as the LSH/IVF indexes persist q8 codes)
     * so the ranking scan's ReadSchema never touches the full vector.
-    * Rows whose prefix is a zero vector have no defined prefix cosine
-    * and drop from the pool on both sides.
+    * A zero prefix has no defined cosine: Spark's expression yields
+    * NULL where DuckDB's list_cosine_similarity yields -1.0, so both
+    * sides COALESCE to -1.0 — zero-prefix rows rank last instead of
+    * diverging (or, with a zero-prefix QUERY, emptying the pool).
     */
   private[graft] val matryoshkaDims = 8
   def annMatryoshkaTopK(spark: SparkSession, dir: String): DataFrame = {
@@ -1021,9 +1032,8 @@ object Queries {
     val emb = t(spark, dir, "embeddings")
     val pool = emb
       .select(col("vec_id"),
-        cosineSimilarity(slice(col("embedding"), 1, matryoshkaDims),
-          lit(qv.take(matryoshkaDims))).as("pcos"))
-      .filter(col("pcos").isNotNull)
+        coalesce(cosineSimilarity(slice(col("embedding"), 1, matryoshkaDims),
+          lit(qv.take(matryoshkaDims))), lit(-1.0)).as("pcos"))
       .orderBy(col("pcos").desc, col("vec_id").asc)
       .limit(quantRescoreWindow)
       .select(col("vec_id"))

@@ -61,20 +61,32 @@ object Dedup {
     * non-overlapping so the exploded row count is |tokens|/spanTokens,
     * not |tokens|·spanTokens.
     */
+  /** Shared SQL tokenizer (the toksSql contract: lowercase, split on
+    * non-alphanumerics, drop empties, null ≡ empty). */
+  private def sqlToks(textCol: String): Column =
+    filter(split(lower(coalesce(col(textCol), lit(""))), "[^a-z0-9]+"),
+      x => x =!= "")
+
+  /** Non-overlapping `spanTokens`-token span array over a MATERIALIZED
+    * token column (ceil(n/k) spans, last may be short) — the single
+    * source of the span grain for [[spanDedup]] and
+    * [[withinDocSpanDedup]], whose DuckDB oracles replay exactly this
+    * arithmetic; editing one side without the other breaks parity.
+    */
+  private def spanArrayOf(toks: Column, spanTokens: Int): Column = {
+    val nSpans = ceil(size(toks) / lit(spanTokens.toDouble)).cast("int")
+    when(size(toks) === 0, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), nSpans - 1),
+        i => array_join(slice(toks, i * spanTokens + 1, lit(spanTokens)), " ")))
+  }
+
   def spanDedup(docs: DataFrame, idCol: String, textCol: String,
       spanTokens: Int = 3): DataFrame = {
     require(spanTokens >= 1, s"spanTokens must be >= 1, got $spanTokens")
-    val toksCol =
-      filter(split(lower(coalesce(col(textCol), lit(""))), "[^a-z0-9]+"),
-        x => x =!= "")
     // __toks is materialized BEFORE the transform lambda reads it —
     // HOF lambdas re-evaluate child expressions per element
-    val base = docs.select(col(idCol).as("__id"), toksCol.as("__toks"))
-    val nSpans = ceil(size(col("__toks")) / lit(spanTokens.toDouble)).cast("int")
-    val spansArr = when(size(col("__toks")) === 0,
-        array().cast("array<string>"))
-      .otherwise(transform(sequence(lit(0), nSpans - 1),
-        i => array_join(slice(col("__toks"), i * spanTokens + 1, lit(spanTokens)), " ")))
+    val base = docs.select(col(idCol).as("__id"), sqlToks(textCol).as("__toks"))
+    val spansArr = spanArrayOf(col("__toks"), spanTokens)
     // posexplode_outer keeps token-less documents as a null-span row,
     // so every input doc survives to the output
     val exploded = base
@@ -121,18 +133,11 @@ object Dedup {
   def withinDocSpanDedup(docs: DataFrame, idCol: String, textCol: String,
       spanTokens: Int = 3): DataFrame = {
     require(spanTokens >= 1, s"spanTokens must be >= 1, got $spanTokens")
-    val toksCol =
-      filter(split(lower(coalesce(col(textCol), lit(""))), "[^a-z0-9]+"),
-        x => x =!= "")
     // __toks, then __spans, are each projected into a NAMED column
     // before any lambda reads them — HOF lambdas re-evaluate child
     // expressions per element, and __spans is read by three HOFs
-    val base = docs.select(col(idCol).as("__id"), toksCol.as("__toks"))
-    val nSpans = ceil(size(col("__toks")) / lit(spanTokens.toDouble)).cast("int")
-    val spansArr = when(size(col("__toks")) === 0,
-        array().cast("array<string>"))
-      .otherwise(transform(sequence(lit(0), nSpans - 1),
-        i => array_join(slice(col("__toks"), i * spanTokens + 1, lit(spanTokens)), " ")))
+    val base = docs.select(col(idCol).as("__id"), sqlToks(textCol).as("__toks"))
+    val spansArr = spanArrayOf(col("__toks"), spanTokens)
     // keep span i iff it is the first equal span in this document
     // (array_position is 1-based; the filter index is 0-based)
     val kept = filter(col("__spans"),
@@ -174,12 +179,9 @@ object Dedup {
   def exactSubstrDedup(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 10): DataFrame = {
     require(k >= 2, s"k must be >= 2, got $k")
-    val toksCol =
-      filter(split(lower(coalesce(col(textCol), lit(""))), "[^a-z0-9]+"),
-        x => x =!= "")
     // materialized before the transform lambda reads it (HOF lambdas
     // re-evaluate child expressions per element)
-    val base = docs.select(col(idCol).as("__id"), toksCol.as("__toks"))
+    val base = docs.select(col(idCol).as("__id"), sqlToks(textCol).as("__toks"))
     val gramsArr = when(size(col("__toks")) < k, array().cast("array<string>"))
       .otherwise(transform(sequence(lit(1), size(col("__toks")) - (k - 1)),
         i => array_join(slice(col("__toks"), i, lit(k)), " ")))
@@ -219,6 +221,33 @@ object Dedup {
     * shingle jaccard >= threshold, id_a < id_b, deduplicated across
     * bands.
     */
+  /** Shingle → MinHash signature projection (id, shingles, sig) — the
+    * single source for [[minHashLshPairs]] and [[incrementalNearDup]],
+    * and the contract the minhash_aux oracle dump replays; editing
+    * the construction in one place only would silently break the
+    * other's oracle parity. Shingle-less docs drop (they can match
+    * nothing).
+    */
+  private def minHashSigOf(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int, numHashes: Int): DataFrame = df
+    .select(col(idCol).as("id"), col(textCol).as("text"))
+    .withColumn("shingles", array_distinct(shingles(col("text"), lit(shingleN))))
+    .filter(size(col("shingles")) > 0)
+    .withColumn("sig", minHash(col("shingles"), lit(numHashes)))
+
+  /** LSH band keys (id, band, band_key) over a signature frame — band
+    * key = hash of the band's signature slice. Only (id, band_key)
+    * flows through banded joins; shingles join back per candidate
+    * pair, never through the banded shuffle.
+    */
+  private def bandKeysOf(sigDf: DataFrame, bands: Int,
+      rowsPerBand: Int): DataFrame = sigDf
+    .select(col("id"), col("sig"),
+      posexplode(sequence(lit(0), lit(bands - 1))).as(Seq("__p", "band")))
+    .withColumn("band_key",
+      hash(col("band"), slice(col("sig"), col("band") * rowsPerBand + 1, lit(rowsPerBand))))
+    .select("id", "band", "band_key")
+
   def minHashLshPairs(docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, numHashes: Int = 64, bands: Int = 16,
       threshold: Double = 0.5): DataFrame = {
@@ -228,22 +257,9 @@ object Dedup {
     // three plan branches (banding, and the two shingle join-backs
     // below) read it. At scale this is the signature table a real
     // pipeline materializes anyway.
-    val withSig = docs
-      .select(col(idCol).as("id"), col(textCol).as("text"))
-      .withColumn("shingles", array_distinct(shingles(col("text"), lit(shingleN))))
-      .filter(size(col("shingles")) > 0)
-      .withColumn("sig", minHash(col("shingles"), lit(numHashes)))
+    val withSig = minHashSigOf(docs, idCol, textCol, shingleN, numHashes)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // band key = hash of the band's signature slice. Only (id, band
-    // key) flows through the banded self-join — shipping the shingle
-    // arrays here would multiply shuffle volume by `bands`; instead
-    // shingles are joined back per *candidate pair* after distinct().
-    val banded = withSig.select(
-      col("id"), col("sig"),
-      posexplode(sequence(lit(0), lit(bands - 1))).as(Seq("__p", "band")))
-      .withColumn("band_key",
-        hash(col("band"), slice(col("sig"), col("band") * rows + 1, lit(rows))))
-      .select("id", "band", "band_key")
+    val banded = bandKeysOf(withSig, bands, rows)
     val a = banded.select(col("band"), col("band_key"), col("id").as("id_a"))
     val b = banded.select(col("band"), col("band_key"), col("id").as("id_b"))
     val cand = a.join(b, Seq("band", "band_key"))
@@ -276,11 +292,13 @@ object Dedup {
     * the batch's distinct band keys before any corpus-sized shuffle —
     * only band-colliding corpus rows (near-dup candidates by
     * construction) continue to the pair join and the per-pair shingle
-    * join-back. With a persisted signature/band table (the form a
+    * join-back. Storeless honesty: the existing corpus is read TWICE
+    * here — once for band keys, once to fetch candidate shingles for
+    * the verify (both passes stay un-shuffled; only gated rows
+    * shuffle). With a persisted signature/band table (the form a
     * production pipeline maintains; [[minHashLshPairs]]'s persist
-    * note) the corpus scan prunes to the batch's band buckets and the
-    * signature recompute disappears; the one-pass scan here is the
-    * storeless worst case.
+    * note) both passes collapse into pruned index reads and the
+    * signature recompute disappears.
     */
   def incrementalNearDup(existing: DataFrame, batch: DataFrame,
       idCol: String, textCol: String, shingleN: Int = 3,
@@ -288,27 +306,16 @@ object Dedup {
       threshold: Double = 0.5): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val rows = numHashes / bands
-    def withSig(df: DataFrame): DataFrame = df
-      .select(col(idCol).as("id"), col(textCol).as("text"))
-      .withColumn("shingles", array_distinct(shingles(col("text"), lit(shingleN))))
-      .filter(size(col("shingles")) > 0)
-      .withColumn("sig", minHash(col("shingles"), lit(numHashes)))
-    def banded(sigDf: DataFrame): DataFrame = sigDf.select(
-        col("id"), col("sig"),
-        posexplode(sequence(lit(0), lit(bands - 1))).as(Seq("__p", "band")))
-      .withColumn("band_key",
-        hash(col("band"), slice(col("sig"), col("band") * rows + 1, lit(rows))))
-      .select("id", "band", "band_key")
     // batch signatures back three branches (banding + two shingle
     // join-backs) — the same persist contract as minHashLshPairs,
     // delta-sized here
-    val bSig = withSig(batch)
+    val bSig = minHashSigOf(batch, idCol, textCol, shingleN, numHashes)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bBanded = banded(bSig)
+    val bBanded = bandKeysOf(bSig, bands, rows)
     val keySet = bBanded.select("band", "band_key").distinct()
-    val eSig = withSig(existing)
+    val eSig = minHashSigOf(existing, idCol, textCol, shingleN, numHashes)
     // map-side gate: corpus bands that collide with a batch band key
-    val eCand = banded(eSig)
+    val eCand = bandKeysOf(eSig, bands, rows)
       .join(broadcast(keySet), Seq("band", "band_key"), "left_semi")
     val candBE = bBanded
       .join(eCand.select(col("band"), col("band_key"), col("id").as("other_id")),
@@ -640,8 +647,12 @@ object Dedup {
     */
   def incrementalExact(existing: DataFrame, batch: DataFrame, idCol: String,
       textCol: String, fpp: Double = 0.01): DataFrame = {
+    // null ≡ empty (the toksSql convention): md5 of a NULL text would
+    // be NULL, which never equi-joins on the Spark side but poisons
+    // the oracle's NOT-IN set algebra — coalescing keeps the hash
+    // domain NULL-free on both sides
     def normHash(c: Column): Column =
-      md5(regexp_replace(lower(trim(c)), "\\s+", " "))
+      md5(regexp_replace(lower(trim(coalesce(c, lit("")))), "\\s+", " "))
     val b = batch.select(col(idCol).as("id"), normHash(col(textCol)).as("h"))
     // two actions over the SMALL (batch) side only: count sizes the
     // filter, bloomFilter builds it; the corpus side stays lazy
@@ -855,7 +866,11 @@ object Dedup {
     val scored = centroids.map { case (cell, c) =>
       struct(l2Distance(col(vecCol), lit(c)).as("d"), lit(cell).as("cell"))
     }
-    val best = least(scored.toIndexedSeq: _*)
+    // least() requires >= 2 args; one centroid (tiny corpus, or
+    // ivfCentroids returning fewer cells than asked) means every row
+    // belongs to that lone cell
+    val best =
+      if (scored.length == 1) scored.head else least(scored.toIndexedSeq: _*)
     emb.select(col(idCol).as("id"), col(vecCol).as("vec"),
       best.getField("cell").as("cell"), best.getField("d").as("dist"))
   }

@@ -137,14 +137,25 @@ object Realtime {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) {
-          val existing = store.readOrEmpty(table, schema)
-          val kept = graft.operators.Dedup
-            .incrementalExact(existing, batch, idCol, textCol)
-            .withColumnRenamed("id", idCol)
-          val rows = batch.join(kept, Seq(idCol), "left_semi")
-          if (!rows.isEmpty) store.merge(table, rows, idCol)
-        }
+        // persisted: the body runs several actions (the bloom build's
+        // count + filter inside incrementalExact, the isEmpty probes,
+        // and merge's touched-bucket collect + write) — without the
+        // persists each would re-run the batch source plan, and the
+        // survivors' plan would re-scan the ever-growing store twice
+        val b = batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          if (!b.isEmpty) {
+            val existing = store.readOrEmpty(table, schema)
+            val kept = graft.operators.Dedup
+              .incrementalExact(existing, b, idCol, textCol)
+              .withColumnRenamed("id", idCol)
+            val rows = b.join(kept, Seq(idCol), "left_semi")
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            try {
+              if (!rows.isEmpty) store.merge(table, rows, idCol)
+            } finally rows.unpersist()
+          }
+        } finally b.unpersist()
       }
       .start()
   }

@@ -83,4 +83,22 @@ class EventTimeSpec extends AnyFunSuite {
         s"[$enc] event 500µs past the cutoff (same ms) must be included")
     }
   }
+
+  test("s2 on long-nanos data resolves at ns: cutoff + 1ns is included") {
+    // only the nanos encoding can represent sub-µs instants; flooring
+    // to µs before the strict compare would wrongly exclude this row
+    // (the DuckDB TIMESTAMP_NS oracle compares at ns and keeps it)
+    val dir = TestSpark.tempDir("graft_evt_subus_")
+    baseRows.toDF("event_id", "user_id", "event_type", "value", "ts_us")
+      .withColumn("ts", col("ts_us") * 1000L)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+      .union(Seq((2000L, cutoffUs * 1000L + 1L, 0L, "click", 1.0))
+        .toDF("event_id", "ts", "user_id", "event_type", "value"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val ids = Queries.s2DeltaScanAppend(spark, dir)
+      .select("event_id").as[Long].collect().toSet
+    assert(ids.contains(2000L), "event 1ns past the cutoff must be included")
+    assert(!ids.contains(1000L), "event AT the cutoff stays excluded")
+  }
 }
