@@ -845,6 +845,33 @@ object Oracles {
          |WHERE CAST(i.ni AS DOUBLE) / (ga.n + gb.n - i.ni) >= ${Queries.ngramThreshold}
          |ORDER BY id_a, id_b""".stripMargin,
 
+    // Containment pairs: the same rare-gram candidate CTEs, scored by
+    // ni / min(na, nb) — Broder's containment coefficient.
+    "dedup_containment" ->
+      s"""$bigramsCte,
+         |gsets AS (
+         |  SELECT doc_id, COUNT(*) AS n FROM bigrams GROUP BY 1),
+         |rare AS (
+         |  SELECT g FROM bigrams GROUP BY g HAVING COUNT(*) BETWEEN 2 AND ${Queries.ngramMaxDf}),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+         |  FROM bigrams x
+         |  JOIN rare r ON x.g = r.g
+         |  JOIN bigrams y ON y.g = x.g AND x.doc_id < y.doc_id),
+         |inter AS (
+         |  SELECT c.id_a, c.id_b, COUNT(*) AS ni
+         |  FROM cand c
+         |  JOIN bigrams x ON x.doc_id = c.id_a
+         |  JOIN bigrams y ON y.doc_id = c.id_b AND y.g = x.g
+         |  GROUP BY 1, 2)
+         |SELECT i.id_a, i.id_b,
+         |  round(CAST(i.ni AS DOUBLE) / least(ga.n, gb.n), 4) AS containment
+         |FROM inter i
+         |JOIN gsets ga ON ga.doc_id = i.id_a
+         |JOIN gsets gb ON gb.doc_id = i.id_b
+         |WHERE CAST(i.ni AS DOUBLE) / least(ga.n, gb.n) >= ${Queries.containmentThreshold}
+         |ORDER BY id_a, id_b""".stripMargin,
+
     // Sign-LSH banded blocking (mirrors Dedup.embeddingLshBandedPairs,
     // 4 bands × 8 bits): the plane literals below are the EXACT same
     // deterministic hyperplanes (Ann.hyperplanes seed=42) the Spark
@@ -1760,6 +1787,26 @@ object Oracles {
          |SELECT bid AS bench_id, count(*) AS n_contaminated,
          |  max(shared) AS max_overlap
          |FROM flagged GROUP BY bid ORDER BY bench_id""".stripMargin,
+
+    // Token Shannon entropy: identical formula, each c·ln(c) term
+    // decimal-cast before the sum so partition order never perturbs
+    // the doubles (the PQ-ADC summation strategy).
+    "text_token_entropy" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest($toksSql) AS tok FROM documents),
+         |cnt AS (
+         |  SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+         |agg AS (
+         |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+         |    COUNT(*) AS n_distinct,
+         |    CAST(SUM(CAST(c * ln(c) AS DECIMAL(28,12))) AS DOUBLE) AS clnc
+         |  FROM cnt GROUP BY 1)
+         |SELECT doc_id, n_tokens, n_distinct,
+         |  round(ln(n_tokens) - clnc / n_tokens, 4) AS entropy,
+         |  round(CASE WHEN n_distinct > 1
+         |    THEN (ln(n_tokens) - clnc / n_tokens) / ln(n_distinct)
+         |    ELSE 0.0 END, 4) AS norm_entropy
+         |FROM agg ORDER BY doc_id""".stripMargin,
 
     // C4 blocklist filter — same distinct-token intersect against the
     // shared term list.

@@ -596,6 +596,19 @@ object Queries {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
       .orderBy(col("id_a"), col("id_b"))
 
+  /** Containment pairs (small-doc-inside-big detection): same rare-
+    * gram blocking as dedup_ngram_jaccard, scored by Broder's
+    * |A∩B|/min(|A|,|B|) — the asymmetric overlap Jaccard dedup is
+    * blind to.
+    */
+  private[graft] val containmentThreshold = 0.6
+  def dedupContainment(spark: SparkSession, dir: String): DataFrame =
+    Dedup.containmentPairs(t(spark, dir, "documents"), "doc_id", "text",
+        n = 2, threshold = containmentThreshold, maxDf = ngramMaxDf)
+      .select(col("id_a"), col("id_b"),
+        round(col("containment"), 4).as("containment"))
+      .orderBy(col("id_a"), col("id_b"))
+
   /** Embedding-cosine near-dup pairs via sign-LSH banded blocking
     * (4 bands × 8 bits) — candidates collide on a band key, never an
     * all-pairs or low-cardinality-attribute join.
@@ -1441,6 +1454,34 @@ object Queries {
           .otherwise(round(lit(1.0) -
             size(array_distinct(col("__g"))).cast("double") / size(col("__g")), 4))
           .as("rep3"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Per-document token Shannon entropy — the low-entropy detector
+    * (keyword-stuffed, boilerplate, generated-loop text scores near
+    * zero; diverse prose near ln(n_distinct)). H = ln(n) − (Σ c·ln c)/n
+    * over the doc's token counts, plus the ln(n_distinct)-normalized
+    * form. EXACT and summation-order-proof: each c·ln c term is cast
+    * to DECIMAL(28,12) before the sum (the PQ-ADC strategy), so
+    * partition order cannot perturb low bits vs the oracle. Two
+    * map-side-combinable aggregations ((doc, tok) partials → doc),
+    * no shuffle beyond them and the presentation sort. Token-less
+    * docs have no defined entropy and drop (the oracle's group-by
+    * agrees).
+    */
+  def textTokenEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val perTok = t(spark, dir, "documents")
+      .select(col("doc_id"), explode(sqlTokens(col("text"))).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+    val agg = perTok.groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tokens"), count(lit(1)).as("n_distinct"),
+        sum((col("c") * log(col("c"))).cast("decimal(28,12)"))
+          .cast("double").as("__clnc"))
+    val h = log(col("n_tokens")) - col("__clnc") / col("n_tokens")
+    agg.select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        round(h, 4).as("entropy"),
+        round(when(col("n_distinct") > 1, h / log(col("n_distinct")))
+          .otherwise(lit(0.0)), 4).as("norm_entropy"))
       .orderBy(col("doc_id"))
   }
 
@@ -2641,6 +2682,8 @@ object Queries {
     "text_quality_metrics" -> (textQualityMetrics _),
     "text_gopher_rules" -> (textGopherRules _),
     "text_blocklist" -> (textBlocklist _),
+    "text_token_entropy" -> (textTokenEntropy _),
+    "dedup_containment" -> (dedupContainment _),
     "text_quality_score" -> (textQualityScore _),
     "text_repetition" -> (textRepetition _),
     "text_language_id" -> (textLanguageId _),

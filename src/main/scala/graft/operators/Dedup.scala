@@ -487,8 +487,15 @@ object Dedup {
     * Returns (id_a, id_b, jaccard) with exact Jaccard ≥ threshold,
     * deduplicated across candidate-generating grams.
     */
-  def rareGramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-      n: Int = 2, threshold: Double = 0.2, maxDf: Int = 20): DataFrame = {
+  /** Candidate pairs + exact set-overlap counts (id_a, id_b, ni, na,
+    * nb) via the df-capped inverted index — the shared core of
+    * [[rareGramJaccardPairs]] and [[containmentPairs]], which differ
+    * only in how they score the counts. No gram arrays are ever
+    * carried through a shuffle: |A∩B| comes from a per-pair posting
+    * join, |A|,|B| from the per-doc distinct-gram counts.
+    */
+  private def rareGramPairStats(docs: DataFrame, idCol: String,
+      textCol: String, n: Int, maxDf: Int): DataFrame = {
     // The inverted index (id, gram) is referenced by five downstream
     // plan branches (df count, set sizes, candidate join ×2,
     // intersection join ×2); persist it so n-gram extraction runs
@@ -509,10 +516,6 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
       .distinct()
-    // Count-based exact Jaccard: |A∩B| from a per-pair posting join,
-    // |A|,|B| from gsets — no gram arrays are ever carried through a
-    // shuffle. ni/(na+nb-ni) computes the identical IEEE double as
-    // the array formulation.
     val inter = cand
       .join(exploded.select(col("id").as("id_a"), col("g")), Seq("id_a"))
       .join(exploded.select(col("id").as("id_b"), col("g")), Seq("id_b", "g"))
@@ -520,11 +523,38 @@ object Dedup {
     inter
       .join(gsets.select(col("id").as("id_a"), col("n").as("na")), Seq("id_a"))
       .join(gsets.select(col("id").as("id_b"), col("n").as("nb")), Seq("id_b"))
+  }
+
+  def rareGramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 2, threshold: Double = 0.2, maxDf: Int = 20): DataFrame =
+    // ni/(na+nb-ni) computes the identical IEEE double as the array
+    // formulation
+    rareGramPairStats(docs, idCol, textCol, n, maxDf)
       .withColumn("jaccard",
         col("ni").cast("double") / (col("na") + col("nb") - col("ni")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
-  }
+
+  /** Containment near-dup pairs (Broder's containment coefficient
+    * |A∩B| / min(|A|,|B|)): catches a SMALL document embedded in a
+    * big one — quotes, mirrored articles inside aggregator pages —
+    * whose symmetric Jaccard is tiny (|A∩B|/|A∪B| shrinks with the
+    * big doc's size) and which therefore passes every Jaccard-based
+    * dedup. Candidate generation is the same df-capped rare-gram
+    * inverted index as [[rareGramJaccardPairs]] — the small doc's
+    * rare grams appear in both docs, so subset pairs block together;
+    * pairs whose shared grams are ALL high-df are missed by design
+    * (the standard stop-gram tradeoff, same as the Jaccard form).
+    * MinHash-LSH could not serve here: its collision probability
+    * tracks Jaccard, exactly the quantity containment pairs lack.
+    */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 2, threshold: Double = 0.8, maxDf: Int = 20): DataFrame =
+    rareGramPairStats(docs, idCol, textCol, n, maxDf)
+      .withColumn("containment",
+        col("ni").cast("double") / least(col("na"), col("nb")))
+      .filter(col("containment") >= threshold)
+      .select("id_a", "id_b", "containment")
 
   /** Benchmark decontamination: documents sharing at least
     * `minOverlap` distinct n-grams with a benchmark corpus (the
