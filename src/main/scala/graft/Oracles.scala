@@ -982,6 +982,64 @@ object Oracles {
          |ORDER BY doc_id""".stripMargin
     },
 
+    // Composed ingestion pipeline: the dedup_incremental CTEs →
+    // blocklist gate → the incremental near-dup replay restricted to
+    // the gate's survivors → per-language stats of what ingests.
+    "pipeline_ingest" -> {
+      val rows = Queries.minHashNumHashes / Queries.minHashBands
+      val terms = Queries.blocklistTerms.map(s => s"'$s'").mkString("[", ", ", "]")
+      s"""WITH b AS (
+         |  SELECT doc_id AS id,
+         |    md5(regexp_replace(lower(trim(coalesce(text, ''))), '\\s+', ' ', 'g')) AS h
+         |  FROM documents WHERE doc_id >= ${Queries.incrementalSplit}),
+         |e AS (
+         |  SELECT DISTINCT
+         |    md5(regexp_replace(lower(trim(coalesce(text, ''))), '\\s+', ' ', 'g')) AS h
+         |  FROM documents WHERE doc_id < ${Queries.incrementalSplit}),
+         |first AS (
+         |  SELECT id, h,
+         |    row_number() OVER (PARTITION BY h ORDER BY id) AS rn
+         |  FROM b),
+         |kept1 AS (
+         |  SELECT id FROM first
+         |  WHERE rn = 1 AND h NOT IN (SELECT h FROM e)),
+         |bl AS (
+         |  SELECT d.doc_id FROM documents d JOIN kept1 k ON k.id = d.doc_id
+         |  WHERE len(list_intersect(list_distinct($toksSql), $terms)) = 0),
+         |s AS (
+         |  SELECT doc_id, shingles, sig
+         |  FROM read_parquet('__AUX__/minhash_aux.parquet')
+         |  WHERE len(shingles) > 0),
+         |bands AS (SELECT range AS band FROM range(0, ${Queries.minHashBands})),
+         |keyed AS (
+         |  SELECT doc_id, band,
+         |    list_slice(sig, band * $rows + 1, band * $rows + $rows) AS bkey
+         |  FROM s CROSS JOIN bands),
+         |bk AS (SELECT k.* FROM keyed k JOIN bl ON bl.doc_id = k.doc_id),
+         |ek AS (SELECT * FROM keyed WHERE doc_id < ${Queries.incrementalSplit}),
+         |cand AS (
+         |  SELECT DISTINCT bb.doc_id AS id, ee.doc_id AS other_id
+         |  FROM bk bb JOIN ek ee ON bb.band = ee.band AND bb.bkey = ee.bkey
+         |  UNION
+         |  SELECT DISTINCT bb.doc_id, oo.doc_id
+         |  FROM bk bb JOIN bk oo
+         |    ON bb.band = oo.band AND bb.bkey = oo.bkey AND oo.doc_id < bb.doc_id),
+         |dropped AS (
+         |  SELECT DISTINCT c.id FROM cand c
+         |  JOIN s sa ON sa.doc_id = c.id
+         |  JOIN s sb ON sb.doc_id = c.other_id
+         |  WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+         |    / len(list_distinct(sa.shingles || sb.shingles))
+         |    >= ${Queries.minHashThreshold}),
+         |final AS (
+         |  SELECT doc_id FROM bl
+         |  WHERE doc_id NOT IN (SELECT id FROM dropped))
+         |SELECT d.lang, COUNT(*) AS n_docs,
+         |  CAST(SUM(len($toksSql)) AS BIGINT) AS n_tokens
+         |FROM documents d JOIN final f ON f.doc_id = d.doc_id
+         |GROUP BY d.lang ORDER BY d.lang""".stripMargin
+    },
+
     // The same pair replay as dedup_minhash_lsh, closed transitively
     // with a recursive CTE: reach(id, r) saturates to every node
     // reachable over the symmetric edge set, min(r) is the canonical

@@ -679,6 +679,38 @@ object Queries {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
       .orderBy(col("id_a"), col("id_b"))
 
+  /** Composed ingestion pipeline — the production per-snapshot chain
+    * as ONE lazy plan: exact incremental dedup (batch vs corpus +
+    * keep-first) → blocklist gate → incremental NEAR-dup (MinHash
+    * bands vs corpus + smaller-id batch survivors) → per-language
+    * corpus stats of what actually ingests. Stage order is by cost:
+    * the hash anti-join and the per-row blocklist run before the
+    * banded candidate stage so near-dup verification only sees
+    * survivors. Every stage keeps its own operator's scale shape
+    * (delta-sized windows, broadcast gates, map-side blocklist); the
+    * tail agg is the pipeline_corpus shape.
+    */
+  def pipelineIngest(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val existing = docs.filter(col("doc_id") < incrementalSplit)
+    val batch = docs.filter(col("doc_id") >= incrementalSplit)
+    val kept1 = Dedup.incrementalExact(existing, batch, "doc_id", "text")
+      .withColumnRenamed("id", "doc_id")
+    val b1 = batch.join(kept1, Seq("doc_id"), "left_semi")
+    val b2 = b1.filter(size(array_intersect(
+      array_distinct(sqlTokens(col("text"))),
+      array(blocklistTerms.map(lit): _*))) === 0)
+    val kept2 = Dedup.incrementalNearDup(existing, b2, "doc_id", "text",
+        shingleN = minHashShingleN, numHashes = minHashNumHashes,
+        bands = minHashBands, threshold = minHashThreshold)
+      .withColumnRenamed("id", "doc_id")
+    b2.join(kept2, Seq("doc_id"), "left_semi")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(sqlTokens(col("text")))).as("n_tokens"))
+      .orderBy(col("lang"))
+  }
+
   /** Incremental snapshot-delta NEAR-dup: the incrementalSplit batch
     * against the rest as the existing corpus, same MinHash
     * parameters as dedup_minhash_lsh so the oracle replays over the
@@ -2645,6 +2677,7 @@ object Queries {
     "dedup_exact" -> (dedupExact _),
     "dedup_incremental" -> (dedupIncremental _),
     "dedup_incremental_neardup" -> (dedupIncrementalNeardup _),
+    "pipeline_ingest" -> (pipelineIngest _),
     "dedup_spans" -> (dedupSpans _),
     "dedup_within_doc" -> (dedupWithinDoc _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),

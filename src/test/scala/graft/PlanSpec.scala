@@ -242,6 +242,16 @@ class PlanSpec extends AnyFunSuite {
       s"incremental near-dup must never plan an all-pairs join:\n$near")
   }
 
+  test("pipeline_ingest: composed chain keeps the incremental plan shapes") {
+    val plan = SparkEntry.queries("pipeline_ingest")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct")
+        && !plan.contains("BroadcastNestedLoopJoin"),
+      s"no stage of the ingest chain may go all-pairs:\n$plan")
+    assert("BroadcastHashJoin [^\\n]*LeftSemi".r.findFirstIn(plan).isDefined,
+      s"the near-dup corpus gate must stay a broadcast semi-join:\n$plan")
+  }
+
   test("knn_label_prop: label attach and vote stay off the corpus shuffle") {
     val plan = SparkEntry.queries("knn_label_prop")(spark, dir)
       .queryExecution.executedPlan.toString
