@@ -159,7 +159,10 @@ class ScaleSpec extends AnyFunSuite {
       // collisions zero) — batch and corpus both scale 10×, so the
       // bound catches a batch×corpus blowup that outgrows linear
       "dedup_incremental" -> (salted1, salted10),
-      "dedup_incremental_neardup" -> (salted1, salted10))
+      "dedup_incremental_neardup" -> (salted1, salted10),
+      // the composed ingestion chain: all three stages (hash
+      // anti-join, blocklist, banded near-dup) scale with corpus+batch
+      "pipeline_ingest" -> (salted1, salted10))
     dirs = Map("salted1" -> salted1, "salted10" -> salted10,
       "verbatim10" -> verb10)
     plan.map { case (q, (d1, d10)) =>
@@ -306,6 +309,10 @@ class ScaleSpec extends AnyFunSuite {
 
   test("incremental near-dup dedup scales sub-quadratically to 10x", ScaleTest) {
     assertSubQuadratic("dedup_incremental_neardup")
+  }
+
+  test("composed ingestion pipeline scales sub-quadratically to 10x", ScaleTest) {
+    assertSubQuadratic("pipeline_ingest")
   }
 
   test("SemDeDup scales sub-quadratically to 10x when nClusters follows √N", ScaleTest) {
