@@ -1860,9 +1860,9 @@ object Oracles {
          |    CAST(SUM(CAST(c * ln(c) AS DECIMAL(28,12))) AS DOUBLE) AS clnc
          |  FROM cnt GROUP BY 1)
          |SELECT doc_id, n_tokens, n_distinct,
-         |  round(ln(n_tokens) - clnc / n_tokens, 4) AS entropy,
+         |  round(greatest(ln(n_tokens) - clnc / n_tokens, 0.0), 4) AS entropy,
          |  round(CASE WHEN n_distinct > 1
-         |    THEN (ln(n_tokens) - clnc / n_tokens) / ln(n_distinct)
+         |    THEN greatest(ln(n_tokens) - clnc / n_tokens, 0.0) / ln(n_distinct)
          |    ELSE 0.0 END, 4) AS norm_entropy
          |FROM agg ORDER BY doc_id""".stripMargin,
 

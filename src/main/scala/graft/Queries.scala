@@ -1509,7 +1509,11 @@ object Queries {
       .agg(sum(col("c")).as("n_tokens"), count(lit(1)).as("n_distinct"),
         sum((col("c") * log(col("c"))).cast("decimal(28,12)"))
           .cast("double").as("__clnc"))
-    val h = log(col("n_tokens")) - col("__clnc") / col("n_tokens")
+    // clamped at 0: the decimal-rounded Σc·ln c can exceed ln(n)·n by
+    // ~1e-13 for a constant-token doc, and a tiny negative h rounds
+    // to +0.0 on Spark but -0.0 in DuckDB — repr-level hash mismatch
+    val h = greatest(log(col("n_tokens")) - col("__clnc") / col("n_tokens"),
+      lit(0.0))
     agg.select(col("doc_id"), col("n_tokens"), col("n_distinct"),
         round(h, 4).as("entropy"),
         round(when(col("n_distinct") > 1, h / log(col("n_distinct")))

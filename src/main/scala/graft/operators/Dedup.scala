@@ -472,21 +472,6 @@ object Dedup {
       .select("block", "id_a", "id_b", "jaccard")
   }
 
-  /** Scale-safe exact n-gram Jaccard pairs via inverted-index (rare-
-    * gram) blocking — the prefix-filter family of set-similarity
-    * joins (Bayardo et al. 2007 "Scaling Up All Pairs"): a candidate
-    * pair must share at least one n-gram whose document frequency is
-    * in [2, maxDf]. The df cap bounds every posting-list bucket to
-    * ≤ maxDf docs → ≤ maxDf² pairs, so the candidate stage is a
-    * shuffle on the gram key with per-gram work O(maxDf²) regardless
-    * of corpus size; ubiquitous grams ("of the") never form a
-    * quadratic bucket. Near-dup pairs whose shared grams are ALL
-    * high-df are missed by design — common shingles carry no dedup
-    * signal (standard stop-gram practice in training-data pipelines).
-    *
-    * Returns (id_a, id_b, jaccard) with exact Jaccard ≥ threshold,
-    * deduplicated across candidate-generating grams.
-    */
   /** Candidate pairs + exact set-overlap counts (id_a, id_b, ni, na,
     * nb) via the df-capped inverted index — the shared core of
     * [[rareGramJaccardPairs]] and [[containmentPairs]], which differ
@@ -525,6 +510,21 @@ object Dedup {
       .join(gsets.select(col("id").as("id_b"), col("n").as("nb")), Seq("id_b"))
   }
 
+  /** Scale-safe exact n-gram Jaccard pairs via inverted-index (rare-
+    * gram) blocking — the prefix-filter family of set-similarity
+    * joins (Bayardo et al. 2007 "Scaling Up All Pairs"): a candidate
+    * pair must share at least one n-gram whose document frequency is
+    * in [2, maxDf]. The df cap bounds every posting-list bucket to
+    * ≤ maxDf docs → ≤ maxDf² pairs, so the candidate stage is a
+    * shuffle on the gram key with per-gram work O(maxDf²) regardless
+    * of corpus size; ubiquitous grams ("of the") never form a
+    * quadratic bucket. Near-dup pairs whose shared grams are ALL
+    * high-df are missed by design — common shingles carry no dedup
+    * signal (standard stop-gram practice in training-data pipelines).
+    *
+    * Returns (id_a, id_b, jaccard) with exact Jaccard ≥ threshold,
+    * deduplicated across candidate-generating grams.
+    */
   def rareGramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 2, threshold: Double = 0.2, maxDf: Int = 20): DataFrame =
     // ni/(na+nb-ni) computes the identical IEEE double as the array

@@ -248,8 +248,15 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct")
         && !plan.contains("BroadcastNestedLoopJoin"),
       s"no stage of the ingest chain may go all-pairs:\n$plan")
+    // the composed plan carries THREE semi-joins (kept1, kept2, the
+    // corpus band gate) — requiring one broadcast would let the
+    // corpus gate regress behind the others, so require that NO semi
+    // join shuffles at all
     assert("BroadcastHashJoin [^\\n]*LeftSemi".r.findFirstIn(plan).isDefined,
-      s"the near-dup corpus gate must stay a broadcast semi-join:\n$plan")
+      s"the ingest chain's semi gates must broadcast:\n$plan")
+    assert("SortMergeJoin [^\\n]*LeftSemi".r.findFirstIn(plan).isEmpty
+        && "ShuffledHashJoin [^\\n]*LeftSemi".r.findFirstIn(plan).isEmpty,
+      s"no semi gate in the ingest chain may shuffle its corpus side:\n$plan")
   }
 
   test("knn_label_prop: label attach and vote stay off the corpus shuffle") {

@@ -156,12 +156,13 @@ class ScaleSpec extends AnyFunSuite {
       "knn_label_prop" -> (verb1, verb10),
       // incremental dedups ride the salted rung (disjoint replica
       // token spaces: hash/band domains grow 10×, cross-replica
-      // collisions zero) — batch and corpus both scale 10×, so the
-      // bound catches a batch×corpus blowup that outgrows linear
+      // collisions zero). NOTE the query's fixed doc_id<250 split
+      // keeps the EXISTING side at replica 0, so these rungs grow the
+      // batch 10× against a constant corpus — the corpus-side growth
+      // is covered by the dedicated both-sides rung below
       "dedup_incremental" -> (salted1, salted10),
       "dedup_incremental_neardup" -> (salted1, salted10),
-      // the composed ingestion chain: all three stages (hash
-      // anti-join, blocklist, banded near-dup) scale with corpus+batch
+      // the composed ingestion chain (same batch-side caveat)
       "pipeline_ingest" -> (salted1, salted10))
     dirs = Map("salted1" -> salted1, "salted10" -> salted10,
       "verbatim10" -> verb10)
@@ -309,6 +310,33 @@ class ScaleSpec extends AnyFunSuite {
 
   test("incremental near-dup dedup scales sub-quadratically to 10x", ScaleTest) {
     assertSubQuadratic("dedup_incremental_neardup")
+  }
+
+  test("incremental near-dup scales when the CORPUS side grows 10x too", ScaleTest) {
+    // the registered-query rungs above grow only the batch (the
+    // query's doc_id<250 split keeps the corpus at replica 0), so a
+    // corpus-side blowup — e.g. losing the broadcast band-key gate
+    // and shuffling every corpus band row — would hide there. Split
+    // the salted rungs at their MEDIAN id instead: both sides grow
+    // 10x together.
+    measured // force
+    def run(dir: String): Double = {
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val mid = docs.agg(expr("percentile_approx(doc_id, 0.5)")).head().getLong(0)
+      val t0 = System.nanoTime()
+      graft.operators.Dedup.incrementalNearDup(
+          docs.filter(col("doc_id") < mid), docs.filter(col("doc_id") >= mid),
+          "doc_id", "text", shingleN = 2, numHashes = 64, bands = 16,
+          threshold = 0.3)
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    run(dirs("salted1")); val t1 = run(dirs("salted1"))
+    run(dirs("salted10")); val t10 = run(dirs("salted10"))
+    info(f"incrementalNearDup both-sides 1x=$t1%.2fs 10x=$t10%.2fs ratio=${t10 / math.max(t1, 1e-9)}%.1fx")
+    assert(t10 < 25.0 * math.max(t1, 0.5),
+      f"incrementalNearDup: 10x-both-sides rung took $t10%.2fs vs 1x $t1%.2fs " +
+        "— a corpus-side stage stopped scaling (band gate lost?)")
   }
 
   test("composed ingestion pipeline scales sub-quadratically to 10x", ScaleTest) {
