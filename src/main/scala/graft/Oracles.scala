@@ -1284,6 +1284,40 @@ object Oracles {
          |SELECT q_id AS vec_id, label AS pred_label, votes
          |FROM winner WHERE rn = 1 ORDER BY vec_id""".stripMargin,
 
+    // Retrieval-eval metrics: the knn_label_prop candidate replay,
+    // scored for label agreement (precision@k over found neighbors,
+    // reciprocal rank of the first same-label hit).
+    "eval_knn_metrics" ->
+      s"""WITH q AS (SELECT q_id, key FROM read_parquet('__AUX__/knn_q_probes.parquet')),
+         |x AS (SELECT x_id, key FROM read_parquet('__AUX__/knn_x_keys.parquet')
+         |      WHERE x_id >= ${Queries.knnQueryMaxId}),
+         |pairs AS (
+         |  SELECT q.q_id, x.x_id FROM q JOIN x USING (key)
+         |  WHERE q.q_id <> x.x_id),
+         |scored AS (
+         |  SELECT p.q_id, p.x_id,
+         |    list_cosine_similarity(CAST(eq.embedding AS DOUBLE[]),
+         |      CAST(ex.embedding AS DOUBLE[])) AS cos
+         |  FROM pairs p
+         |  JOIN embeddings eq ON eq.vec_id = p.q_id
+         |  JOIN embeddings ex ON ex.vec_id = p.x_id),
+         |ranked AS (
+         |  SELECT q_id, x_id,
+         |    row_number() OVER (PARTITION BY q_id
+         |      ORDER BY cos DESC, x_id ASC) AS rank
+         |  FROM scored),
+         |m AS (
+         |  SELECT n.q_id, eq.label AS ql, ex.label AS xl, n.rank
+         |  FROM ranked n
+         |  JOIN embeddings eq ON eq.vec_id = n.q_id
+         |  JOIN embeddings ex ON ex.vec_id = n.x_id
+         |  WHERE n.rank <= ${Queries.knnJoinK})
+         |SELECT q_id AS vec_id, COUNT(*) AS n_found,
+         |  round(CAST(SUM(CASE WHEN ql = xl THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / COUNT(*), 4) AS p_at_k,
+         |  round(COALESCE(1.0 / MIN(CASE WHEN ql = xl THEN rank END), 0.0), 4) AS rr
+         |FROM m GROUP BY q_id ORDER BY vec_id""".stripMargin,
+
     // Matryoshka truncated-prefix rank + full-dim rescore: list
     // slicing replays the prefix cosine in the same double fold.
     // COALESCE to -1.0 mirrors the Spark side's zero-prefix handling
@@ -1827,6 +1861,31 @@ object Oracles {
          |SELECT doc_id, qscore FROM q
          |WHERE qscore > 1.0 - (POWER(1.0 - (((doc_id % 100003) * 2654435761) % 10000 + 0.5) / 10000.0, -1.0 / 9.0) - 1.0)
          |ORDER BY doc_id""".stripMargin,
+
+    // Classifier P/R sweep: the same score CTE, swept over the shared
+    // threshold grid against the curated-target ground truth.
+    "eval_quality_pr" -> {
+      val grid = Queries.evalPrThresholds.mkString(", ")
+      s"""$bigramsCte,
+         |$qualityScoreCte,
+         |lbl AS (
+         |  SELECT q.doc_id, q.qscore,
+         |    CASE WHEN d.lang = '${Queries.qualityTargetLang}' THEN 1 ELSE 0 END AS pos
+         |  FROM q JOIN documents d USING (doc_id)),
+         |th AS (SELECT unnest(CAST([$grid] AS DOUBLE[])) AS thresh),
+         |m AS (
+         |  SELECT th.thresh,
+         |    CAST(SUM(CASE WHEN l.qscore > th.thresh AND l.pos = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         |    CAST(SUM(CASE WHEN l.qscore > th.thresh AND l.pos = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         |    CAST(SUM(CASE WHEN NOT (l.qscore > th.thresh) AND l.pos = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn
+         |  FROM lbl l CROSS JOIN th GROUP BY 1)
+         |SELECT thresh, tp, fp, fn,
+         |  CASE WHEN tp + fp = 0 THEN 0.0
+         |    ELSE round(CAST(tp AS DOUBLE) / (tp + fp), 4) END AS prec,
+         |  CASE WHEN tp + fn = 0 THEN 0.0
+         |    ELSE round(CAST(tp AS DOUBLE) / (tp + fn), 4) END AS rec
+         |FROM m ORDER BY thresh""".stripMargin
+    },
 
     // per-eval-doc contamination report: pair counts over shared
     // distinct bigrams (bench side % mod = 0), thresholded, then

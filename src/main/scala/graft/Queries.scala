@@ -1056,6 +1056,39 @@ object Queries {
       .orderBy(col("vec_id"))
   }
 
+  /** Embedding-space retrieval EVALUATION — the metric pass every
+    * embedding/retrieval pipeline runs before shipping an index: for
+    * each held-out query, score its k nearest labeled neighbors by
+    * label agreement. Emits per-query precision@k (fraction of
+    * retrieved neighbors sharing the query's label; n_found-relative
+    * so LSH under-fill does not inflate it), the reciprocal rank of
+    * the first same-label hit (0.0 when none), and n_found. The
+    * neighbor stage IS [[Ann.knnJoin]]; metrics are one
+    * map-side-combinable groupBy over ≤k rows per query, so the eval
+    * costs no more than the join it measures.
+    */
+  def evalKnnMetrics(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val holdout = emb.filter(col("vec_id") < knnQueryMaxId)
+    val labeled = emb.filter(col("vec_id") >= knnQueryMaxId)
+    val nn = Ann.knnJoin(holdout, labeled, "vec_id", "embedding",
+      k = knnJoinK, bits = knnJoinBits)
+    val lab = emb.select(col("vec_id"), col("label"))
+    nn.join(lab.select(col("vec_id").as("q_id"), col("label").as("q_label")),
+        Seq("q_id"))
+      .join(lab.select(col("vec_id").as("x_id"), col("label").as("x_label")),
+        Seq("x_id"))
+      .groupBy(col("q_id"))
+      .agg(count(lit(1)).as("n_found"),
+        round(sum(when(col("q_label") === col("x_label"), 1).otherwise(0))
+          .cast("double") / count(lit(1)), 4).as("p_at_k"),
+        round(coalesce(lit(1.0) /
+          min(when(col("q_label") === col("x_label"), col("rank"))),
+          lit(0.0)), 4).as("rr"))
+      .select(col("q_id").as("vec_id"), col("n_found"), col("p_at_k"), col("rr"))
+      .orderBy(col("vec_id"))
+  }
+
   /** Matryoshka-style truncated-prefix retrieval: rank the corpus by
     * cosine over only the first `matryoshkaDims` dimensions of the
     * embedding (the MRL premise — prefix dims carry the coarse
@@ -1935,6 +1968,43 @@ object Queries {
     QualityFilter.paretoKeep(qualityClassifier(spark, dir), "doc_id", "qscore")
       .orderBy(col("doc_id"))
 
+  /** Classifier EVALUATION: the precision/recall sweep every learned
+    * filter gets before its threshold ships — TP/FP/FN and P/R at
+    * each grid threshold, against the training ground truth (the
+    * curated-target slice membership). The score pass is the same
+    * broadcast coefficient probe the classifier serves with; the
+    * sweep itself is one crossJoin against a 5-row literal grid +
+    * one map-side-combinable groupBy, so evaluating costs no more
+    * than scoring. Compares run on the ROUNDED scores (the
+    * quality_classifier contract) so grid boundaries are
+    * bit-identical on both sides.
+    */
+  private[graft] val evalPrThresholds = Seq(0.1, 0.3, 0.5, 0.7, 0.9)
+  def evalQualityPr(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val scored = qualityClassifier(spark, dir)
+      .join(t(spark, dir, "documents").select(col("doc_id"),
+        (col("lang") === qualityTargetLang).cast("int").as("pos")), Seq("doc_id"))
+    val grid = evalPrThresholds.toDF("thresh")
+    scored.crossJoin(broadcast(grid))
+      .groupBy(col("thresh"))
+      .agg(
+        sum(when(col("qscore") > col("thresh") && col("pos") === 1, 1)
+          .otherwise(0)).as("tp"),
+        sum(when(col("qscore") > col("thresh") && col("pos") === 0, 1)
+          .otherwise(0)).as("fp"),
+        sum(when(!(col("qscore") > col("thresh")) && col("pos") === 1, 1)
+          .otherwise(0)).as("fn"))
+      .select(col("thresh"), col("tp"), col("fp"), col("fn"),
+        when(col("tp") + col("fp") === 0, lit(0.0))
+          .otherwise(round(col("tp").cast("double") / (col("tp") + col("fp")), 4))
+          .as("prec"),
+        when(col("tp") + col("fn") === 0, lit(0.0))
+          .otherwise(round(col("tp").cast("double") / (col("tp") + col("fn")), 4))
+          .as("rec"))
+      .orderBy(col("thresh"))
+  }
+
   /** F2/F4: stemmed tsvector + ranked lexical search. DuckDB-oracled
     * via dump-and-replay: Verify dumps the per-doc Porter lexeme
     * arrays and the stemmed query lexemes (dumpOracleAux), and the
@@ -2705,6 +2775,7 @@ object Queries {
     "ann_knn_join_quantized_indexed" -> (annKnnJoinQuantizedIndexed _),
     "ann_matryoshka_topk" -> (annMatryoshkaTopK _),
     "knn_label_prop" -> (knnLabelProp _),
+    "eval_knn_metrics" -> (evalKnnMetrics _),
     "pipeline_corpus" -> (pipelineCorpus _),
     "pipeline_c4" -> (pipelineC4 _),
     "pipeline_neardup" -> (pipelineNeardup _),
@@ -2738,6 +2809,7 @@ object Queries {
     "ccnet_ppl_buckets" -> (ccnetPplBuckets _),
     "quality_classifier" -> (qualityClassifier _),
     "quality_filter_pareto" -> (qualityFilterPareto _),
+    "eval_quality_pr" -> (evalQualityPr _),
     "f2_tsvector_rank" -> (f2TsvectorRank _),
     "f2_postings_rank" -> (f2PostingsRank _),
     "f4_rank_cd" -> (f4RankCd _),

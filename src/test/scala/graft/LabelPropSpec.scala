@@ -58,6 +58,26 @@ class LabelPropSpec extends AnyFunSuite {
     assert(got(1L).getAs[Int]("pred_label") == 6)
   }
 
+  test("eval metrics: precision@k over found neighbors, rr of first hit") {
+    val v = Array(1f, 0f, 0f, 0f)
+    val w = Array(0f, 1f, 0f, 0f)
+    // query 0 (label 1): five v-duplicates, labels 1,1,2,2,2 in x_id
+    // order -> matches at ranks 1,2: p=0.4, rr=1.0
+    // query 1 (label 9): five w-duplicates all label 3 -> p=0, rr=0
+    val rows = Seq((0L, v, 1), (1L, w, 9)) ++
+      Seq(50L -> 1, 51L -> 1, 52L -> 2, 53L -> 2, 54L -> 2)
+        .map { case (id, lab) => (id, v, lab) } ++
+      (60L to 64L).map(id => (id, w, 3))
+    val got = SparkEntry.queries("eval_knn_metrics")(spark, write(rows))
+      .collect().map(r => r.getAs[Long]("vec_id") -> r).toMap
+    assert(got(0L).getAs[Long]("n_found") == 5)
+    assert(got(0L).getAs[Double]("p_at_k") == 0.4)
+    assert(got(0L).getAs[Double]("rr") == 1.0)
+    assert(got(1L).getAs[Long]("n_found") == 5)
+    assert(got(1L).getAs[Double]("p_at_k") == 0.0)
+    assert(got(1L).getAs[Double]("rr") == 0.0, "no same-label hit -> rr 0")
+  }
+
   test("matryoshka pool is cut by PREFIX cosine, rescore by full cosine") {
     val dim = 16
     def vec(prefix: Float, tail: Float): Array[Float] = {
