@@ -982,6 +982,39 @@ object Oracles {
          |ORDER BY doc_id""".stripMargin
     },
 
+    // Drift report: identical bucket hashing (substr(md5, 1, 2)),
+    // Laplace smoothing, and q·ln(q/p) arithmetic; the generated
+    // 00..ff bucket list keeps zero-count buckets present.
+    "drift_report" ->
+      s"""WITH corpus AS (
+         |  SELECT substr(md5(unnest($toksSql)), 1, 2) AS bucket
+         |  FROM documents WHERE doc_id < ${Queries.incrementalSplit}),
+         |batch AS (
+         |  SELECT substr(md5(unnest($toksSql)), 1, 2) AS bucket
+         |  FROM documents WHERE doc_id >= ${Queries.incrementalSplit}),
+         |cc AS (SELECT bucket, COUNT(*) AS n_corpus FROM corpus GROUP BY 1),
+         |bc AS (SELECT bucket, COUNT(*) AS n_batch FROM batch GROUP BY 1),
+         |allb AS (
+         |  SELECT printf('%02x', CAST(range AS INT)) AS bucket
+         |  FROM range(0, ${Queries.driftBuckets})),
+         |joined AS (
+         |  SELECT a.bucket,
+         |    CAST(COALESCE(cc.n_corpus, 0) AS BIGINT) AS n_corpus,
+         |    CAST(COALESCE(bc.n_batch, 0) AS BIGINT) AS n_batch
+         |  FROM allb a
+         |  LEFT JOIN cc ON cc.bucket = a.bucket
+         |  LEFT JOIN bc ON bc.bucket = a.bucket),
+         |tot AS (SELECT SUM(n_corpus) AS tc, SUM(n_batch) AS tb FROM joined),
+         |sm AS (
+         |  SELECT j.bucket, j.n_corpus, j.n_batch,
+         |    (j.n_batch + 1.0) / (t.tb + ${Queries.driftBuckets}.0) AS q,
+         |    (j.n_corpus + 1.0) / (t.tc + ${Queries.driftBuckets}.0) AS p
+         |  FROM joined j, tot t)
+         |SELECT bucket, n_corpus, n_batch,
+         |  round(q, 6) AS q, round(p, 6) AS p,
+         |  round(q * ln(q / p), 6) + 0.0 AS kl_contrib
+         |FROM sm ORDER BY bucket""".stripMargin,
+
     // Composed ingestion pipeline: the dedup_incremental CTEs →
     // blocklist gate → the incremental near-dup replay restricted to
     // the gate's survivors → per-language stats of what ingests.

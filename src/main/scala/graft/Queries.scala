@@ -679,6 +679,52 @@ object Queries {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
       .orderBy(col("id_a"), col("id_b"))
 
+  /** Distribution-drift report — the monitoring pass an ingestion
+    * pipeline runs on every new snapshot: token distributions of the
+    * incoming batch vs the existing corpus, compared per md5-hash
+    * bucket (256 buckets — bounded like DSIR's model table, so the
+    * comparison table always broadcasts and the report never grows
+    * with vocabulary). Emits one row per bucket with both counts,
+    * the Laplace-smoothed shares, and the bucket's KL(batch‖corpus)
+    * contribution q·ln(q/p) — Σ contrib is the corpus-drift scalar,
+    * and the largest |contrib| buckets localize WHAT drifted. All
+    * 256 buckets emit (zero-count included via the generated bucket
+    * list) so the output schema is constant. Scale shape: one
+    * map-side-combinable count per side + a 256-row broadcast frame;
+    * the corpus pass is the one linear scan any monitoring needs.
+    */
+  private[graft] val driftBuckets = 256
+  def driftReport(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    def bucketCounts(df: DataFrame, cname: String): DataFrame = df
+      .select(explode(sqlTokens(col("text"))).as("tok"))
+      .select(substring(md5(col("tok")), 1, 2).as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as(cname))
+    val corpus = bucketCounts(docs.filter(col("doc_id") < incrementalSplit), "n_corpus")
+    val batch = bucketCounts(docs.filter(col("doc_id") >= incrementalSplit), "n_batch")
+    val allBuckets = spark.range(driftBuckets)
+      .select(format_string("%02x", col("id")).as("bucket"))
+    val joined = allBuckets
+      .join(corpus, Seq("bucket"), "left_outer")
+      .join(batch, Seq("bucket"), "left_outer")
+      .select(col("bucket"),
+        coalesce(col("n_corpus"), lit(0L)).as("n_corpus"),
+        coalesce(col("n_batch"), lit(0L)).as("n_batch"))
+    val totals = joined.agg(sum(col("n_corpus")).as("tc"), sum(col("n_batch")).as("tb"))
+    joined.crossJoin(broadcast(totals))
+      .select(col("bucket"), col("n_corpus"), col("n_batch"),
+        ((col("n_batch") + lit(1.0)) / (col("tb") + lit(driftBuckets.toDouble))).as("__q"),
+        ((col("n_corpus") + lit(1.0)) / (col("tc") + lit(driftBuckets.toDouble))).as("__p"))
+      .select(col("bucket"), col("n_corpus"), col("n_batch"),
+        round(col("__q"), 6).as("q"), round(col("__p"), 6).as("p"),
+        // + 0.0 folds IEEE -0.0 to +0.0: a near-equal bucket's tiny
+        // negative contribution rounds to -0.0 in DuckDB but +0.0 in
+        // Spark (the text_token_entropy repr hazard; both sides fold)
+        (round(col("__q") * log(col("__q") / col("__p")), 6) + lit(0.0))
+          .as("kl_contrib"))
+      .orderBy(col("bucket"))
+  }
+
   /** Composed ingestion pipeline — the production per-snapshot chain
     * as ONE lazy plan: exact incremental dedup (batch vs corpus +
     * keep-first) → blocklist gate → incremental NEAR-dup (MinHash
@@ -2752,6 +2798,7 @@ object Queries {
     "dedup_incremental" -> (dedupIncremental _),
     "dedup_incremental_neardup" -> (dedupIncrementalNeardup _),
     "pipeline_ingest" -> (pipelineIngest _),
+    "drift_report" -> (driftReport _),
     "dedup_spans" -> (dedupSpans _),
     "dedup_within_doc" -> (dedupWithinDoc _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),

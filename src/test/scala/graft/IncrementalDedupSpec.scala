@@ -98,6 +98,25 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(kept == Set(10L), "shared prefix alone must not drop the row")
   }
 
+  test("drift report: zero KL on identical distributions, positive on drift") {
+    import spark.implicits._
+    def run(corpus: String, batch: String): Seq[org.apache.spark.sql.Row] = {
+      val dir = TestSpark.tempDir("graft_drift_")
+      Seq(1L -> corpus, 250L -> batch).toDF("doc_id", "text")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      SparkEntry.queries("drift_report")(spark, dir).collect().toSeq
+    }
+    val same = run("alpha beta gamma alpha", "alpha beta gamma alpha")
+    assert(same.size == 256, "every bucket row must emit, zero-count included")
+    assert(same.map(_.getAs[Double]("kl_contrib")).sum == 0.0,
+      "identical distributions have zero KL")
+    assert(same.forall(r => !r.getAs[Double]("kl_contrib").toString.startsWith("-0.0")),
+      "no -0.0 may survive the fold")
+    val drifted = run("alpha alpha alpha alpha", "omega omega omega omega")
+    assert(drifted.map(_.getAs[Double]("kl_contrib")).sum > 0.01,
+      "disjoint vocabularies must show positive KL")
+  }
+
   test("the query entry splits at doc_id 250 and returns kept new docs") {
     import spark.implicits._
     val dir = TestSpark.tempDir("graft_incdedup_")
