@@ -354,13 +354,13 @@ object Oracles {
        |FROM labels l JOIN sizes z USING (canonical_id)
        |ORDER BY doc_id""".stripMargin
 
-  /** Replay of the multiprobe batch-kNN pipeline over dumped per-row
-    * LSH keys: probe-key equi-join → self-exclusion → exact cosine →
-    * per-query rank ≤ k. Shared by the ad-hoc and indexed variants
-    * (which must produce identical shapes from their own key dumps —
-    * the indexed x side IS the persisted bucket table).
+  /** Multiprobe kNN candidate replay through the `ranked` CTE —
+    * probe-key equi-join → self-exclusion → exact cosine → per-query
+    * (cos DESC, x_id ASC) rank. The SINGLE definition behind
+    * knnJoinSql and the knn_label_prop / eval_knn_metrics oracles, so
+    * the tie-break and probe semantics can never drift between them.
     */
-  private def knnJoinSql(qAux: String, xSql: String): String =
+  private def knnRankedCte(qAux: String, xSql: String): String =
     s"""WITH q AS (SELECT q_id, key FROM read_parquet('__AUX__/$qAux')),
        |x AS ($xSql),
        |pairs AS (
@@ -377,7 +377,20 @@ object Oracles {
        |  SELECT q_id, x_id, cos,
        |    row_number() OVER (PARTITION BY q_id
        |      ORDER BY cos DESC, x_id ASC) AS rank
-       |  FROM scored)
+       |  FROM scored)""".stripMargin
+
+  /** The LABELED x side shared by the label-prop and eval oracles. */
+  private val knnLabeledXSql =
+    s"""SELECT x_id, key FROM read_parquet('__AUX__/knn_x_keys.parquet')
+       |      WHERE x_id >= ${Queries.knnQueryMaxId}""".stripMargin
+
+  /** Replay of the multiprobe batch-kNN pipeline over dumped per-row
+    * LSH keys. Shared by the ad-hoc and indexed variants (which must
+    * produce identical shapes from their own key dumps — the indexed
+    * x side IS the persisted bucket table).
+    */
+  private def knnJoinSql(qAux: String, xSql: String): String =
+    s"""${knnRankedCte(qAux, xSql)}
        |SELECT q_id, x_id, round(cos, 4) AS cos, rank
        |FROM ranked WHERE rank <= ${Queries.knnJoinK}
        |ORDER BY q_id, rank""".stripMargin
@@ -1286,24 +1299,7 @@ object Oracles {
     // labeled set is a filter of it), then majority vote with the
     // smaller label winning ties.
     "knn_label_prop" ->
-      s"""WITH q AS (SELECT q_id, key FROM read_parquet('__AUX__/knn_q_probes.parquet')),
-         |x AS (SELECT x_id, key FROM read_parquet('__AUX__/knn_x_keys.parquet')
-         |      WHERE x_id >= ${Queries.knnQueryMaxId}),
-         |pairs AS (
-         |  SELECT q.q_id, x.x_id FROM q JOIN x USING (key)
-         |  WHERE q.q_id <> x.x_id),
-         |scored AS (
-         |  SELECT p.q_id, p.x_id,
-         |    list_cosine_similarity(CAST(eq.embedding AS DOUBLE[]),
-         |      CAST(ex.embedding AS DOUBLE[])) AS cos
-         |  FROM pairs p
-         |  JOIN embeddings eq ON eq.vec_id = p.q_id
-         |  JOIN embeddings ex ON ex.vec_id = p.x_id),
-         |ranked AS (
-         |  SELECT q_id, x_id,
-         |    row_number() OVER (PARTITION BY q_id
-         |      ORDER BY cos DESC, x_id ASC) AS rank
-         |  FROM scored),
+      s"""${knnRankedCte("knn_q_probes.parquet", knnLabeledXSql)},
          |votes AS (
          |  SELECT r.q_id, e.label, COUNT(*) AS votes
          |  FROM ranked r JOIN embeddings e ON e.vec_id = r.x_id
@@ -1321,24 +1317,7 @@ object Oracles {
     // scored for label agreement (precision@k over found neighbors,
     // reciprocal rank of the first same-label hit).
     "eval_knn_metrics" ->
-      s"""WITH q AS (SELECT q_id, key FROM read_parquet('__AUX__/knn_q_probes.parquet')),
-         |x AS (SELECT x_id, key FROM read_parquet('__AUX__/knn_x_keys.parquet')
-         |      WHERE x_id >= ${Queries.knnQueryMaxId}),
-         |pairs AS (
-         |  SELECT q.q_id, x.x_id FROM q JOIN x USING (key)
-         |  WHERE q.q_id <> x.x_id),
-         |scored AS (
-         |  SELECT p.q_id, p.x_id,
-         |    list_cosine_similarity(CAST(eq.embedding AS DOUBLE[]),
-         |      CAST(ex.embedding AS DOUBLE[])) AS cos
-         |  FROM pairs p
-         |  JOIN embeddings eq ON eq.vec_id = p.q_id
-         |  JOIN embeddings ex ON ex.vec_id = p.x_id),
-         |ranked AS (
-         |  SELECT q_id, x_id,
-         |    row_number() OVER (PARTITION BY q_id
-         |      ORDER BY cos DESC, x_id ASC) AS rank
-         |  FROM scored),
+      s"""${knnRankedCte("knn_q_probes.parquet", knnLabeledXSql)},
          |m AS (
          |  SELECT n.q_id, eq.label AS ql, ex.label AS xl, n.rank
          |  FROM ranked n
@@ -1902,15 +1881,15 @@ object Oracles {
       s"""$bigramsCte,
          |$qualityScoreCte,
          |lbl AS (
-         |  SELECT q.doc_id, q.qscore,
+         |  SELECT d.doc_id, q.qscore,
          |    CASE WHEN d.lang = '${Queries.qualityTargetLang}' THEN 1 ELSE 0 END AS pos
-         |  FROM q JOIN documents d USING (doc_id)),
+         |  FROM documents d LEFT JOIN q USING (doc_id)),
          |th AS (SELECT unnest(CAST([$grid] AS DOUBLE[])) AS thresh),
          |m AS (
          |  SELECT th.thresh,
-         |    CAST(SUM(CASE WHEN l.qscore > th.thresh AND l.pos = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
-         |    CAST(SUM(CASE WHEN l.qscore > th.thresh AND l.pos = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
-         |    CAST(SUM(CASE WHEN NOT (l.qscore > th.thresh) AND l.pos = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn
+         |    CAST(SUM(CASE WHEN COALESCE(l.qscore > th.thresh, FALSE) AND l.pos = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         |    CAST(SUM(CASE WHEN COALESCE(l.qscore > th.thresh, FALSE) AND l.pos = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         |    CAST(SUM(CASE WHEN NOT COALESCE(l.qscore > th.thresh, FALSE) AND l.pos = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn
          |  FROM lbl l CROSS JOIN th GROUP BY 1)
          |SELECT thresh, tp, fp, fn,
          |  CASE WHEN tp + fp = 0 THEN 0.0

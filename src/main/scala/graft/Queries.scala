@@ -689,24 +689,27 @@ object Queries {
     * contribution q·ln(q/p) — Σ contrib is the corpus-drift scalar,
     * and the largest |contrib| buckets localize WHAT drifted. All
     * 256 buckets emit (zero-count included via the generated bucket
-    * list) so the output schema is constant. Scale shape: one
-    * map-side-combinable count per side + a 256-row broadcast frame;
-    * the corpus pass is the one linear scan any monitoring needs.
+    * list) so the output schema is constant. Scale shape: ONE
+    * tokenize+hash scan with conditional per-side sums (map-side
+    * combinable) + a 256-row broadcast frame — the single linear
+    * pass any monitoring needs.
     */
   private[graft] val driftBuckets = 256
   def driftReport(spark: SparkSession, dir: String): DataFrame = {
-    val docs = t(spark, dir, "documents")
-    def bucketCounts(df: DataFrame, cname: String): DataFrame = df
-      .select(explode(sqlTokens(col("text"))).as("tok"))
-      .select(substring(md5(col("tok")), 1, 2).as("bucket"))
-      .groupBy(col("bucket")).agg(count(lit(1)).as(cname))
-    val corpus = bucketCounts(docs.filter(col("doc_id") < incrementalSplit), "n_corpus")
-    val batch = bucketCounts(docs.filter(col("doc_id") >= incrementalSplit), "n_batch")
+    // ONE scan: both sides' bucket counts come from conditional sums
+    // over a single tokenize+hash pass (two filtered aggregations
+    // would tokenize and shuffle the table twice)
+    val counts = t(spark, dir, "documents")
+      .select(col("doc_id"), explode(sqlTokens(col("text"))).as("tok"))
+      .select(substring(md5(col("tok")), 1, 2).as("bucket"),
+        when(col("doc_id") < incrementalSplit, 1L).otherwise(0L).as("__c"),
+        when(col("doc_id") >= incrementalSplit, 1L).otherwise(0L).as("__b"))
+      .groupBy(col("bucket"))
+      .agg(sum(col("__c")).as("n_corpus"), sum(col("__b")).as("n_batch"))
     val allBuckets = spark.range(driftBuckets)
       .select(format_string("%02x", col("id")).as("bucket"))
     val joined = allBuckets
-      .join(corpus, Seq("bucket"), "left_outer")
-      .join(batch, Seq("bucket"), "left_outer")
+      .join(counts, Seq("bucket"), "left_outer")
       .select(col("bucket"),
         coalesce(col("n_corpus"), lit(0L)).as("n_corpus"),
         coalesce(col("n_batch"), lit(0L)).as("n_batch"))
@@ -2028,19 +2031,25 @@ object Queries {
   private[graft] val evalPrThresholds = Seq(0.1, 0.3, 0.5, 0.7, 0.9)
   def evalQualityPr(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val scored = qualityClassifier(spark, dir)
-      .join(t(spark, dir, "documents").select(col("doc_id"),
-        (col("lang") === qualityTargetLang).cast("int").as("pos")), Seq("doc_id"))
+    // ground truth drives the join (LEFT join to the scores): a
+    // positive doc the classifier cannot score (too few tokens, or
+    // all feature buckets missing from the weights) is predicted
+    // negative at EVERY threshold and must count toward FN — an
+    // inner join would silently drop it and overstate recall. Null
+    // lang is pinned to pos=0 (the oracle's CASE semantics).
+    val scored = t(spark, dir, "documents")
+      .select(col("doc_id"),
+        coalesce((col("lang") === qualityTargetLang).cast("int"), lit(0))
+          .as("pos"))
+      .join(qualityClassifier(spark, dir), Seq("doc_id"), "left_outer")
     val grid = evalPrThresholds.toDF("thresh")
     scored.crossJoin(broadcast(grid))
+      .withColumn("__pred", coalesce(col("qscore") > col("thresh"), lit(false)))
       .groupBy(col("thresh"))
       .agg(
-        sum(when(col("qscore") > col("thresh") && col("pos") === 1, 1)
-          .otherwise(0)).as("tp"),
-        sum(when(col("qscore") > col("thresh") && col("pos") === 0, 1)
-          .otherwise(0)).as("fp"),
-        sum(when(!(col("qscore") > col("thresh")) && col("pos") === 1, 1)
-          .otherwise(0)).as("fn"))
+        sum(when(col("__pred") && col("pos") === 1, 1).otherwise(0)).as("tp"),
+        sum(when(col("__pred") && col("pos") === 0, 1).otherwise(0)).as("fp"),
+        sum(when(!col("__pred") && col("pos") === 1, 1).otherwise(0)).as("fn"))
       .select(col("thresh"), col("tp"), col("fp"), col("fn"),
         when(col("tp") + col("fp") === 0, lit(0.0))
           .otherwise(round(col("tp").cast("double") / (col("tp") + col("fp")), 4))
