@@ -354,6 +354,63 @@ object Oracles {
        |FROM labels l JOIN sizes z USING (canonical_id)
        |ORDER BY doc_id""".stripMargin
 
+  /** The ingestion chain's CTE prefix through `final` (batch hash
+    * keep-first → corpus anti → blocklist → banded near-dup over
+    * minhash_aux restricted to survivors) — shared by the
+    * pipeline_ingest and ingest_audit oracles so the two replay ONE
+    * definition of every stage. Mirrors Queries.ingestStages.
+    */
+  private lazy val ingestChainCte: String = {
+    val rows = Queries.minHashNumHashes / Queries.minHashBands
+    val terms = Queries.blocklistTerms.map(s => s"'$s'").mkString("[", ", ", "]")
+    s"""WITH b AS (
+       |  SELECT doc_id AS id,
+       |    md5(regexp_replace(lower(trim(coalesce(text, ''))), '\\s+', ' ', 'g')) AS h
+       |  FROM documents WHERE doc_id >= ${Queries.incrementalSplit}),
+       |e AS (
+       |  SELECT DISTINCT
+       |    md5(regexp_replace(lower(trim(coalesce(text, ''))), '\\s+', ' ', 'g')) AS h
+       |  FROM documents WHERE doc_id < ${Queries.incrementalSplit}),
+       |first AS (
+       |  SELECT id, h,
+       |    row_number() OVER (PARTITION BY h ORDER BY id) AS rn
+       |  FROM b),
+       |kept1 AS (
+       |  SELECT id FROM first
+       |  WHERE rn = 1 AND h NOT IN (SELECT h FROM e)),
+       |bl AS (
+       |  SELECT d.doc_id FROM documents d JOIN kept1 k ON k.id = d.doc_id
+       |  WHERE len(list_intersect(list_distinct($toksSql), $terms)) = 0),
+       |s AS (
+       |  SELECT doc_id, shingles, sig
+       |  FROM read_parquet('__AUX__/minhash_aux.parquet')
+       |  WHERE len(shingles) > 0),
+       |bands AS (SELECT range AS band FROM range(0, ${Queries.minHashBands})),
+       |keyed AS (
+       |  SELECT doc_id, band,
+       |    list_slice(sig, band * $rows + 1, band * $rows + $rows) AS bkey
+       |  FROM s CROSS JOIN bands),
+       |bk AS (SELECT k.* FROM keyed k JOIN bl ON bl.doc_id = k.doc_id),
+       |ek AS (SELECT * FROM keyed WHERE doc_id < ${Queries.incrementalSplit}),
+       |cand AS (
+       |  SELECT DISTINCT bb.doc_id AS id, ee.doc_id AS other_id
+       |  FROM bk bb JOIN ek ee ON bb.band = ee.band AND bb.bkey = ee.bkey
+       |  UNION
+       |  SELECT DISTINCT bb.doc_id, oo.doc_id
+       |  FROM bk bb JOIN bk oo
+       |    ON bb.band = oo.band AND bb.bkey = oo.bkey AND oo.doc_id < bb.doc_id),
+       |dropped AS (
+       |  SELECT DISTINCT c.id FROM cand c
+       |  JOIN s sa ON sa.doc_id = c.id
+       |  JOIN s sb ON sb.doc_id = c.other_id
+       |  WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+       |    / len(list_distinct(sa.shingles || sb.shingles))
+       |    >= ${Queries.minHashThreshold}),
+       |final AS (
+       |  SELECT doc_id FROM bl
+       |  WHERE doc_id NOT IN (SELECT id FROM dropped))""".stripMargin
+  }
+
   /** Multiprobe kNN candidate replay through the `ranked` CTE —
     * probe-key equi-join → self-exclusion → exact cosine → per-query
     * (cos DESC, x_id ASC) rank. The SINGLE definition behind
@@ -1031,60 +1088,22 @@ object Oracles {
     // Composed ingestion pipeline: the dedup_incremental CTEs →
     // blocklist gate → the incremental near-dup replay restricted to
     // the gate's survivors → per-language stats of what ingests.
-    "pipeline_ingest" -> {
-      val rows = Queries.minHashNumHashes / Queries.minHashBands
-      val terms = Queries.blocklistTerms.map(s => s"'$s'").mkString("[", ", ", "]")
-      s"""WITH b AS (
-         |  SELECT doc_id AS id,
-         |    md5(regexp_replace(lower(trim(coalesce(text, ''))), '\\s+', ' ', 'g')) AS h
-         |  FROM documents WHERE doc_id >= ${Queries.incrementalSplit}),
-         |e AS (
-         |  SELECT DISTINCT
-         |    md5(regexp_replace(lower(trim(coalesce(text, ''))), '\\s+', ' ', 'g')) AS h
-         |  FROM documents WHERE doc_id < ${Queries.incrementalSplit}),
-         |first AS (
-         |  SELECT id, h,
-         |    row_number() OVER (PARTITION BY h ORDER BY id) AS rn
-         |  FROM b),
-         |kept1 AS (
-         |  SELECT id FROM first
-         |  WHERE rn = 1 AND h NOT IN (SELECT h FROM e)),
-         |bl AS (
-         |  SELECT d.doc_id FROM documents d JOIN kept1 k ON k.id = d.doc_id
-         |  WHERE len(list_intersect(list_distinct($toksSql), $terms)) = 0),
-         |s AS (
-         |  SELECT doc_id, shingles, sig
-         |  FROM read_parquet('__AUX__/minhash_aux.parquet')
-         |  WHERE len(shingles) > 0),
-         |bands AS (SELECT range AS band FROM range(0, ${Queries.minHashBands})),
-         |keyed AS (
-         |  SELECT doc_id, band,
-         |    list_slice(sig, band * $rows + 1, band * $rows + $rows) AS bkey
-         |  FROM s CROSS JOIN bands),
-         |bk AS (SELECT k.* FROM keyed k JOIN bl ON bl.doc_id = k.doc_id),
-         |ek AS (SELECT * FROM keyed WHERE doc_id < ${Queries.incrementalSplit}),
-         |cand AS (
-         |  SELECT DISTINCT bb.doc_id AS id, ee.doc_id AS other_id
-         |  FROM bk bb JOIN ek ee ON bb.band = ee.band AND bb.bkey = ee.bkey
-         |  UNION
-         |  SELECT DISTINCT bb.doc_id, oo.doc_id
-         |  FROM bk bb JOIN bk oo
-         |    ON bb.band = oo.band AND bb.bkey = oo.bkey AND oo.doc_id < bb.doc_id),
-         |dropped AS (
-         |  SELECT DISTINCT c.id FROM cand c
-         |  JOIN s sa ON sa.doc_id = c.id
-         |  JOIN s sb ON sb.doc_id = c.other_id
-         |  WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
-         |    / len(list_distinct(sa.shingles || sb.shingles))
-         |    >= ${Queries.minHashThreshold}),
-         |final AS (
-         |  SELECT doc_id FROM bl
-         |  WHERE doc_id NOT IN (SELECT id FROM dropped))
+    "pipeline_ingest" ->
+      s"""$ingestChainCte
          |SELECT d.lang, COUNT(*) AS n_docs,
          |  CAST(SUM(len($toksSql)) AS BIGINT) AS n_tokens
          |FROM documents d JOIN final f ON f.doc_id = d.doc_id
-         |GROUP BY d.lang ORDER BY d.lang""".stripMargin
-    },
+         |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
+
+    // Funnel audit: the SAME chain, counted at each stage.
+    "ingest_audit" ->
+      s"""$ingestChainCte
+         |SELECT * FROM (
+         |  SELECT '0_batch' AS stage, COUNT(*) AS n_docs FROM b
+         |  UNION ALL SELECT '1_exact_dedup', COUNT(*) FROM kept1
+         |  UNION ALL SELECT '2_blocklist', COUNT(*) FROM bl
+         |  UNION ALL SELECT '3_near_dedup', COUNT(*) FROM final)
+         |ORDER BY stage""".stripMargin,
 
     // The same pair replay as dedup_minhash_lsh, closed transitively
     // with a recursive CTE: reach(id, r) saturates to every node

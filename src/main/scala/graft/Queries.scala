@@ -739,7 +739,13 @@ object Queries {
     * (delta-sized windows, broadcast gates, map-side blocklist); the
     * tail agg is the pipeline_corpus shape.
     */
-  def pipelineIngest(spark: SparkSession, dir: String): DataFrame = {
+  /** The ingestion chain's intermediate frames — shared by
+    * [[pipelineIngest]] (per-lang stats of the final stage) and
+    * [[ingestAudit]] (the per-stage funnel), so the two can never
+    * disagree about what each stage means.
+    */
+  private def ingestStages(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val docs = t(spark, dir, "documents")
     val existing = docs.filter(col("doc_id") < incrementalSplit)
     val batch = docs.filter(col("doc_id") >= incrementalSplit)
@@ -753,11 +759,35 @@ object Queries {
         shingleN = minHashShingleN, numHashes = minHashNumHashes,
         bands = minHashBands, threshold = minHashThreshold)
       .withColumnRenamed("id", "doc_id")
-    b2.join(kept2, Seq("doc_id"), "left_semi")
+    val ingested = b2.join(kept2, Seq("doc_id"), "left_semi")
+    (batch, b1, b2, ingested)
+  }
+
+  def pipelineIngest(spark: SparkSession, dir: String): DataFrame = {
+    val (_, _, _, ingested) = ingestStages(spark, dir)
+    ingested
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"),
         sum(size(sqlTokens(col("text")))).as("n_tokens"))
       .orderBy(col("lang"))
+  }
+
+  /** Ingestion funnel audit — the ops view of [[pipelineIngest]]:
+    * how many batch documents survive each stage (raw batch → exact
+    * dedup → blocklist → near-dup). Four one-row aggregates unioned;
+    * each stage's count re-derives its prefix of the lazy chain, a
+    * price paid at monitoring cadence, never per-row.
+    */
+  def ingestAudit(spark: SparkSession, dir: String): DataFrame = {
+    val (batch, b1, b2, ingested) = ingestStages(spark, dir)
+    def stage(name: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n_docs"))
+        .select(lit(name).as("stage"), col("n_docs"))
+    stage("0_batch", batch)
+      .union(stage("1_exact_dedup", b1))
+      .union(stage("2_blocklist", b2))
+      .union(stage("3_near_dedup", ingested))
+      .orderBy(col("stage"))
   }
 
   /** Incremental snapshot-delta NEAR-dup: the incrementalSplit batch
@@ -2807,6 +2837,7 @@ object Queries {
     "dedup_incremental" -> (dedupIncremental _),
     "dedup_incremental_neardup" -> (dedupIncrementalNeardup _),
     "pipeline_ingest" -> (pipelineIngest _),
+    "ingest_audit" -> (ingestAudit _),
     "drift_report" -> (driftReport _),
     "dedup_spans" -> (dedupSpans _),
     "dedup_within_doc" -> (dedupWithinDoc _),
