@@ -1004,7 +1004,7 @@ object Queries {
     lshIndexCache.computeIfAbsent(cacheKey(spark, dir), { _ =>
       val p = java.nio.file.Files.createTempDirectory("graft_lsh_").toString
       Ann.buildLshIndex(t(spark, dir, "embeddings"), "vec_id", "embedding",
-        p, bits = 0)
+        p, bits = 0, prefixDims = matryoshkaDims)
       p
     })
 
@@ -1173,11 +1173,13 @@ object Queries {
     * embedding (the MRL premise — prefix dims carry the coarse
     * signal), then exact-rescore the top `quantRescoreWindow` pool at
     * full dimensionality — the float twin of the int8 two-stage rank.
-    * Honesty note: at this corpus size the slice is computed inline,
-    * so the scan still reads the full vector; the dim/`matryoshkaDims`
-    * byte reduction materializes at scale by persisting the prefix as
-    * its own column (exactly as the LSH/IVF indexes persist q8 codes)
-    * so the ranking scan's ReadSchema never touches the full vector.
+    * The coarse rank reads the PERSISTED `vec_prefix` column of the
+    * LSH index (denormalized at CREATE INDEX, exactly as the q8 codes
+    * are), so the ranking scan's ReadSchema carries prefixDims floats
+    * per row instead of the full vector — the dim/`matryoshkaDims`
+    * byte cut that is the operator's point at 100 TB (AnnSpec locks
+    * the plan: ranking ReadSchema has vec_prefix and no embedding).
+    * Only the top-pool rescore joins back to full vectors.
     * A zero prefix has no defined cosine: Spark's expression yields
     * NULL where DuckDB's list_cosine_similarity yields -1.0, so both
     * sides COALESCE to -1.0 — zero-prefix rows rank last instead of
@@ -1187,9 +1189,9 @@ object Queries {
   def annMatryoshkaTopK(spark: SparkSession, dir: String): DataFrame = {
     val qv = queryVec(spark, dir)
     val emb = t(spark, dir, "embeddings")
-    val pool = emb
+    val pool = spark.read.parquet(s"${lshIndex(spark, dir)}/buckets")
       .select(col("vec_id"),
-        coalesce(cosineSimilarity(slice(col("embedding"), 1, matryoshkaDims),
+        coalesce(cosineSimilarity(col("vec_prefix"),
           lit(qv.take(matryoshkaDims))), lit(-1.0)).as("pcos"))
       .orderBy(col("pcos").desc, col("vec_id").asc)
       .limit(quantRescoreWindow)

@@ -128,7 +128,8 @@ object Ann {
     * [[deriveBits]].
     */
   def buildLshIndex(emb: DataFrame, idCol: String, vecCol: String,
-      path: String, bits: Int = 8, seed: Long = 42L): Unit = {
+      path: String, bits: Int = 8, seed: Long = 42L,
+      prefixDims: Int = 8): Unit = {
     val spark = emb.sparkSession
     val dimRow = emb.select(size(col(vecCol))).limit(1).collect()
     require(dimRow.nonEmpty,
@@ -136,17 +137,22 @@ object Ann {
     val dim = dimRow.head.getInt(0)
     val effBits = if (bits > 0) bits else deriveBits(emb.count())
     val planes = hyperplanes(effBits, dim, seed)
-    // q8 codes are DENORMALIZED into the bucket table (same discipline
-    // as buildIvfIndex): quantization is paid once at CREATE INDEX, so
-    // quantized probes/joins read 4×-smaller codes with no query-time
-    // corpus encode — the crossover knnJoinQuantized's scaladoc
-    // documents is realized here.
+    // q8 codes AND the matryoshka prefix are DENORMALIZED into the
+    // bucket table (same discipline as buildIvfIndex): both are paid
+    // once at CREATE INDEX. q8 buys quantized probes/joins a 4×-
+    // smaller ranking scan; vec_prefix buys the matryoshka prefix rank
+    // a dim/prefixDims-smaller one — at 100 TB the coarse ranking pass
+    // reads prefixDims floats per row instead of the full vector
+    // (ReadSchema-locked in AnnSpec), and only the top-pool rescore
+    // touches full vectors.
     emb.withColumn("bucket", lshKey(col(vecCol), planes))
       .withColumn("q8", Quantize.quantize(col(vecCol)))
+      .withColumn("vec_prefix", slice(col(vecCol), 1, prefixDims))
       .repartition(col("bucket"))
       .write.partitionBy("bucket").mode("overwrite").parquet(s"$path/buckets")
     import spark.implicits._
-    Seq((effBits, dim, seed)).toDF("bits", "dim", "seed")
+    Seq((effBits, dim, seed, prefixDims))
+      .toDF("bits", "dim", "seed", "prefix_dims")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
   }
 
@@ -172,11 +178,14 @@ object Ann {
     val planes = hyperplanes(meta.getAs[Int]("bits"), meta.getAs[Int]("dim"),
       meta.getAs[Long]("seed"))
     val buckets = spark.read.parquet(s"$path/buckets")
-    val dataCols = buckets.columns.filterNot(c => c == "bucket" || c == "q8")
+    val dataCols = buckets.columns
+      .filterNot(c => c == "bucket" || c == "q8" || c == "vec_prefix")
     val fresh = changed.filter(col(vecCol).isNotNull)
       .select(dataCols.map(col).toIndexedSeq: _*)
       .withColumn("bucket", lshKey(col(vecCol), planes))
       .withColumn("q8", Quantize.quantize(col(vecCol)))
+      .withColumn("vec_prefix",
+        slice(col(vecCol), 1, meta.getAs[Int]("prefix_dims")))
     // same null-filter as `fresh` (the upsertIvfIndex regression):
     // deriving ids from all of `changed` would silently delete a
     // null-vector row from its old bucket
@@ -332,16 +341,81 @@ object Ann {
     centroids
   }
 
+  /** Nearest-centroid result: winning cell id + the row's L2 distance
+    * to that centroid (SemDeDup's keep-priority signal).
+    */
+  case class CentroidHit(cell: Int, dist: Double)
+
+  /** Broadcast-argmin nearest-centroid assignment, as ONE UDF over a
+    * broadcast centroid matrix.
+    *
+    * Why not `least(struct(l2Distance(vec, lit(c)), cell) × nCells)`:
+    * that unrolls one codegen expression PER centroid, so at the √N
+    * cluster counts SemDeDup/IVF prescribe (10⁴–10⁵ at 100 TB) the
+    * generated projection blows Janino's 64 KB method limit — or
+    * falls back to interpreted eval at per-row × nCells × dim cost —
+    * long before data volume is the problem. A single UDF looping a
+    * broadcast `Array[Array[Float]]` is O(nCells·dim) per row with no
+    * codegen ceiling, and the matrix ships once per executor (torrent
+    * broadcast), not once per task closure.
+    *
+    * Arithmetic is bit-identical to [[graft.plans.L2DistanceExpr]]
+    * (same double accumulation order, same `sqrt(max(0, na+nb-2·dot))`
+    * clamp) and ties break to the LOWEST cell id — exactly the
+    * lexicographic `least(struct(d, cell))` order the unrolled form
+    * had — so existing oracles stay hash-green. Null vector → null
+    * hit (callers filter nulls; the old form's null ordering here was
+    * accidental). Dimension mismatch throws, matching the
+    * expression's pgvector-style data-error contract.
+    */
+  def nearestCentroidUdf(emb: DataFrame,
+      centroids: Array[(Int, Array[Float])]): org.apache.spark.sql.expressions.UserDefinedFunction = {
+    require(centroids.nonEmpty, "nearestCentroid over an empty centroid set")
+    val sorted = centroids.sortBy(_._1)
+    val bcCells = emb.sparkSession.sparkContext.broadcast(sorted.map(_._1))
+    val bcMat = emb.sparkSession.sparkContext.broadcast(sorted.map(_._2))
+    udf { (vec: Array[Float]) =>
+      if (vec == null) null.asInstanceOf[CentroidHit]
+      else {
+        val cells = bcCells.value
+        val mat = bcMat.value
+        var best = -1
+        var bestD = 0.0
+        var ci = 0
+        while (ci < mat.length) {
+          val c = mat(ci)
+          if (c.length != vec.length)
+            throw new IllegalArgumentException(
+              s"l2_distance: different vector dimensions ${vec.length} and ${c.length}")
+          var dot = 0.0; var na = 0.0; var nb = 0.0
+          var i = 0
+          while (i < vec.length) {
+            val xi = vec(i).toDouble
+            val yi = c(i).toDouble
+            dot += xi * yi; na += xi * xi; nb += yi * yi
+            i += 1
+          }
+          val d2 = na + nb - 2.0 * dot
+          val d = math.sqrt(if (d2 < 0.0) 0.0 else d2)
+          // strict < with cells pre-sorted ascending ⇒ ties go to the
+          // lowest cell id (the least(struct) lexicographic order);
+          // best == -1 guard also absorbs all-NaN rows deterministically
+          if (best == -1 || d < bestD) { bestD = d; best = ci }
+          ci += 1
+        }
+        CentroidHit(cells(best), bestD)
+      }
+    }
+  }
+
   /** Assign each vector to its nearest centroid (broadcast argmin —
-    * centroids are driver-small, the scan is one narrow map).
+    * one narrow map over the scan; see [[nearestCentroidUdf]] for why
+    * this is a single UDF rather than an unrolled `least()`).
     */
   def assignCells(emb: DataFrame, vecCol: String,
-      centroids: Array[(Int, Array[Float])]): DataFrame = {
-    val scored = centroids.map { case (cell, c) =>
-      struct(l2Distance(col(vecCol), lit(c)).as("d"), lit(cell).as("cell"))
-    }
-    emb.withColumn("__cell", least(scored.toIndexedSeq: _*).getField("cell"))
-  }
+      centroids: Array[(Int, Array[Float])]): DataFrame =
+    emb.withColumn("__cell",
+      nearestCentroidUdf(emb, centroids)(col(vecCol)).getField("cell"))
 
   /** IVF probe: exact cosine top-k over the nProbe cells nearest the
     * query. The assigned table would be bucketed/partitioned by

@@ -893,16 +893,16 @@ object Dedup {
     */
   def semanticAssign(emb: DataFrame, idCol: String, vecCol: String,
       centroids: Array[(Int, Array[Float])]): DataFrame = {
-    val scored = centroids.map { case (cell, c) =>
-      struct(l2Distance(col(vecCol), lit(c)).as("d"), lit(cell).as("cell"))
-    }
-    // least() requires >= 2 args; one centroid (tiny corpus, or
-    // ivfCentroids returning fewer cells than asked) means every row
-    // belongs to that lone cell
-    val best =
-      if (scored.length == 1) scored.head else least(scored.toIndexedSeq: _*)
-    emb.select(col(idCol).as("id"), col(vecCol).as("vec"),
-      best.getField("cell").as("cell"), best.getField("d").as("dist"))
+    // Shared broadcast-argmin UDF (Ann.nearestCentroidUdf) — the
+    // struct lands in its own projection so the UDF runs once per row
+    // (CollapseProject refuses to inline non-cheap exprs), and the
+    // assignment survives the √N cluster counts the paper prescribes
+    // (no per-centroid codegen unrolling).
+    val hit = Ann.nearestCentroidUdf(emb, centroids)(col(vecCol))
+    emb.select(col(idCol).as("id"), col(vecCol).as("vec"), hit.as("__hit"))
+      .select(col("id"), col("vec"),
+        col("__hit").getField("cell").as("cell"),
+        col("__hit").getField("dist").as("dist"))
   }
 
   /** SemDeDup prune stage: within each k-means cluster, rank rows by

@@ -317,10 +317,13 @@ class AnnSpec extends AnyFunSuite {
     Ann.buildLshIndex(emb.filter(col("vec_id") >= 5).unionByName(flipped),
       "vec_id", "embedding", rebuilt, bits = 4)
     def content(p: String) = spark.read.parquet(s"$p/buckets")
-      .select(col("vec_id"), col("bucket").cast("long"), col("q8"))
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getSeq[Byte](2))).toSet
+      .select(col("vec_id"), col("bucket").cast("long"), col("q8"),
+        col("vec_prefix"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getSeq[Byte](2),
+        r.getSeq[Float](3))).toSet
     assert(content(path) == content(rebuilt),
-      "upserted index must equal a frozen-planes rebuild (incl. q8 codes)")
+      "upserted index must equal a frozen-planes rebuild (incl. q8 codes " +
+        "and matryoshka prefixes)")
     // 2) untouched bucket partitions were not rewritten
     val changedKeys = Ann.lshKey(col("embedding"),
       Ann.hyperplanes(4, emb.select(size(col("embedding"))).head().getInt(0)))
@@ -363,6 +366,55 @@ class AnnSpec extends AnyFunSuite {
     assert(after.filter(col("vec_id") === 3).count() == 1,
       "null-vector row must survive the upsert untouched")
     assert(after.count() == emb.count(), "no rows gained or lost")
+  }
+
+  test("assignCells survives nClusters >= 2048 (sqrt-N scale) and matches driver argmin") {
+    // The √N rule puts nClusters at 10⁴–10⁵ for 100 TB corpora. The
+    // old least(struct × nCells) unrolling blew Janino's method-size
+    // limit well before that; the broadcast-argmin UDF must (a) not
+    // blow up at 2048 cells and (b) agree with an independent
+    // driver-side argmin, including the ties-to-lowest-cell rule.
+    import spark.implicits._
+    val dim = 16
+    val n = 4096
+    def vecOf(i: Long): Array[Float] = {
+      var h = i * 0x9E3779B97F4A7C15L + 1L
+      Array.fill(dim) {
+        h ^= h >>> 12; h ^= h << 25; h ^= h >>> 27
+        ((h * 0x2545F4914F6CDD1DL) >> 40).toFloat / (1 << 23).toFloat
+      }
+    }
+    val rows = (0L until n).map(i => (i, vecOf(i).toSeq)).toDF("vec_id", "embedding")
+    val centroids: Array[(Int, Array[Float])] =
+      Array.tabulate(2048)(c => (c, vecOf(1000000L + c)))
+    val assigned = Ann.assignCells(rows, "embedding", centroids)
+      .select(col("vec_id"), col("__cell")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(assigned.size == n)
+    // independent driver-side check on a deterministic sample
+    def l2(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      val d2 = na + nb - 2.0 * dot
+      math.sqrt(if (d2 < 0.0) 0.0 else d2)
+    }
+    (0L until n by 37L).foreach { i =>
+      val v = vecOf(i)
+      val best = centroids.map { case (c, cv) => (l2(v, cv), c) }.minBy(identity)
+      assert(assigned(i) == best._2, s"row $i: got ${assigned(i)}, want ${best._2}")
+    }
+    // tie-break: a row exactly equidistant from two centroids (both
+    // AT the row's vector) must land in the lower cell id
+    val tieVec = vecOf(7L)
+    val tieCentroids: Array[(Int, Array[Float])] =
+      Array((9, tieVec.clone), (3, tieVec.clone), (11, vecOf(8L)))
+    val tie = Ann.assignCells(Seq((7L, tieVec.toSeq)).toDF("vec_id", "embedding"),
+      "embedding", tieCentroids).select("__cell").head().getInt(0)
+    assert(tie == 3, s"tie must break to lowest cell id, got $tie")
   }
 
   test("empty index: knnJoin returns no rows; IVF build errors meaningfully") {

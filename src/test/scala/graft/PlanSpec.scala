@@ -219,6 +219,12 @@ class PlanSpec extends AnyFunSuite {
     // both the prefix pool cut and the final k are exact top-k plans
     assert("TakeOrderedAndProject".r.findAllIn(plan).size >= 2,
       s"pool cut and final top-k must both be TakeOrderedAndProject:\n$plan")
+    // the coarse ranking scan reads the PERSISTED vec_prefix column,
+    // never the full vector — the dim/prefixDims byte cut that is the
+    // operator's point at 100 TB (mirrors the q8 ReadSchema locks)
+    assert("ReadSchema: [^\n]*vec_prefix".r.findAllIn(plan)
+        .exists(s => !s.contains("embedding")),
+      s"ranking scan must read vec_prefix, not the full vector:\n$plan")
   }
 
   test("incremental dedups: corpus gated map-side, batch-only anti-join") {
