@@ -561,6 +561,42 @@ object Oracles {
        |SELECT vec_id AS id, round(cos, 4) AS cos FROM top
        |ORDER BY round(cos, 4) DESC, vec_id ASC""".stripMargin
 
+  /** Shared by dedup_incremental_neardup and its _stored twin — both
+    * must return the identical answer over the same signature dump.
+    */
+  private lazy val incrementalNearDupReplaySql: String = {
+    val rows = Queries.minHashNumHashes / Queries.minHashBands
+    s"""WITH s AS (
+       |  SELECT doc_id, shingles, sig
+       |  FROM read_parquet('__AUX__/minhash_aux.parquet')
+       |  WHERE len(shingles) > 0),
+       |bands AS (SELECT range AS band FROM range(0, ${Queries.minHashBands})),
+       |keyed AS (
+       |  SELECT doc_id, band,
+       |    list_slice(sig, band * $rows + 1, band * $rows + $rows) AS bkey
+       |  FROM s CROSS JOIN bands),
+       |bk AS (SELECT * FROM keyed WHERE doc_id >= ${Queries.incrementalSplit}),
+       |ek AS (SELECT * FROM keyed WHERE doc_id < ${Queries.incrementalSplit}),
+       |cand AS (
+       |  SELECT DISTINCT b.doc_id AS id, e.doc_id AS other_id
+       |  FROM bk b JOIN ek e ON b.band = e.band AND b.bkey = e.bkey
+       |  UNION
+       |  SELECT DISTINCT b.doc_id, o.doc_id
+       |  FROM bk b JOIN bk o
+       |    ON b.band = o.band AND b.bkey = o.bkey AND o.doc_id < b.doc_id),
+       |dropped AS (
+       |  SELECT DISTINCT c.id FROM cand c
+       |  JOIN s sa ON sa.doc_id = c.id
+       |  JOIN s sb ON sb.doc_id = c.other_id
+       |  WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+       |    / len(list_distinct(sa.shingles || sb.shingles))
+       |    >= ${Queries.minHashThreshold})
+       |SELECT doc_id FROM documents
+       |WHERE doc_id >= ${Queries.incrementalSplit}
+       |  AND doc_id NOT IN (SELECT id FROM dropped)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val sql: Map[String, String] = Map(
 
     "s1_delta_scan_join" ->
@@ -1018,39 +1054,13 @@ object Oracles {
     // existing corpus or a smaller-id batch row verifies at the exact
     // Jaccard threshold. Band keys replay as raw signature slices —
     // equality is what the join needs; Spark's hash() of the slice
-    // keys the same partitions.
-    "dedup_incremental_neardup" -> {
-      val rows = Queries.minHashNumHashes / Queries.minHashBands
-      s"""WITH s AS (
-         |  SELECT doc_id, shingles, sig
-         |  FROM read_parquet('__AUX__/minhash_aux.parquet')
-         |  WHERE len(shingles) > 0),
-         |bands AS (SELECT range AS band FROM range(0, ${Queries.minHashBands})),
-         |keyed AS (
-         |  SELECT doc_id, band,
-         |    list_slice(sig, band * $rows + 1, band * $rows + $rows) AS bkey
-         |  FROM s CROSS JOIN bands),
-         |bk AS (SELECT * FROM keyed WHERE doc_id >= ${Queries.incrementalSplit}),
-         |ek AS (SELECT * FROM keyed WHERE doc_id < ${Queries.incrementalSplit}),
-         |cand AS (
-         |  SELECT DISTINCT b.doc_id AS id, e.doc_id AS other_id
-         |  FROM bk b JOIN ek e ON b.band = e.band AND b.bkey = e.bkey
-         |  UNION
-         |  SELECT DISTINCT b.doc_id, o.doc_id
-         |  FROM bk b JOIN bk o
-         |    ON b.band = o.band AND b.bkey = o.bkey AND o.doc_id < b.doc_id),
-         |dropped AS (
-         |  SELECT DISTINCT c.id FROM cand c
-         |  JOIN s sa ON sa.doc_id = c.id
-         |  JOIN s sb ON sb.doc_id = c.other_id
-         |  WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
-         |    / len(list_distinct(sa.shingles || sb.shingles))
-         |    >= ${Queries.minHashThreshold})
-         |SELECT doc_id FROM documents
-         |WHERE doc_id >= ${Queries.incrementalSplit}
-         |  AND doc_id NOT IN (SELECT id FROM dropped)
-         |ORDER BY doc_id""".stripMargin
-    },
+    // keys the same partitions. The _stored twin MUST return the
+    // identical answer (its corpus side reads the persisted signature
+    // store instead of recomputing), so it shares this replay
+    // verbatim — a divergence between the two forms reds exactly one
+    // of the two rows.
+    "dedup_incremental_neardup" -> incrementalNearDupReplaySql,
+    "dedup_incremental_neardup_stored" -> incrementalNearDupReplaySql,
 
     // Drift report: identical bucket hashing (substr(md5, 1, 2)),
     // Laplace smoothing, and q·ln(q/p) arithmetic; the generated

@@ -807,6 +807,42 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
+  private val nearDupStoreCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Build-once persisted MinHash signature/band store over the
+    * existing corpus (doc_id < incrementalSplit) — the CREATE INDEX
+    * analogue for the store-backed incremental near-dup. */
+  private def nearDupStore(spark: SparkSession, dir: String)
+      : graft.sources.ParquetStore = {
+    val root = nearDupStoreCache.computeIfAbsent(cacheKey(spark, dir), { _ =>
+      val p = java.nio.file.Files.createTempDirectory("graft_ndstore_").toString
+      Dedup.buildNearDupStore(new graft.sources.ParquetStore(spark, p),
+        "neardup_sigs",
+        t(spark, dir, "documents").filter(col("doc_id") < incrementalSplit),
+        "doc_id", "text", shingleN = minHashShingleN,
+        numHashes = minHashNumHashes, bands = minHashBands)
+      p
+    })
+    new graft.sources.ParquetStore(spark, root)
+  }
+
+  /** Store-backed incremental snapshot-delta near-dup: identical
+    * answer to [[dedupIncrementalNeardup]] (same oracle SQL), but the
+    * corpus side reads ONLY the persisted signature store — zero
+    * corpus text scans, zero corpus signature recompute. The
+    * production form at daily-snapshot cadence.
+    */
+  def dedupIncrementalNeardupStored(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    Dedup.incrementalNearDupStored(nearDupStore(spark, dir), "neardup_sigs",
+        docs.filter(col("doc_id") >= incrementalSplit), "doc_id", "text",
+        shingleN = minHashShingleN, numHashes = minHashNumHashes,
+        bands = minHashBands, threshold = minHashThreshold)
+      .select(col("id").as("doc_id"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Near-dup clusters: connected components over the MinHash+LSH
     * pair list (min-label propagation, Dedup.clusterCanonical), each
     * doc mapped to its cluster's canonical (minimum) id + cluster
@@ -2838,6 +2874,7 @@ object Queries {
     "dedup_exact" -> (dedupExact _),
     "dedup_incremental" -> (dedupIncremental _),
     "dedup_incremental_neardup" -> (dedupIncrementalNeardup _),
+    "dedup_incremental_neardup_stored" -> (dedupIncrementalNeardupStored _),
     "pipeline_ingest" -> (pipelineIngest _),
     "ingest_audit" -> (ingestAudit _),
     "drift_report" -> (driftReport _),

@@ -295,16 +295,33 @@ object Dedup {
     * join-back. Storeless honesty: the existing corpus is read TWICE
     * here — once for band keys, once to fetch candidate shingles for
     * the verify (both passes stay un-shuffled; only gated rows
-    * shuffle). With a persisted signature/band table (the form a
-    * production pipeline maintains; [[minHashLshPairs]]'s persist
-    * note) both passes collapse into pruned index reads and the
-    * signature recompute disappears.
+    * shuffle). [[incrementalNearDupStored]] is the production form:
+    * a persisted signature/band table replaces both corpus passes
+    * with narrow index reads and the signature recompute disappears.
     */
   def incrementalNearDup(existing: DataFrame, batch: DataFrame,
       idCol: String, textCol: String, shingleN: Int = 3,
       numHashes: Int = 64, bands: Int = 16,
       threshold: Double = 0.5): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val rows = numHashes / bands
+    val eSig = minHashSigOf(existing, idCol, textCol, shingleN, numHashes)
+    incrementalNearDupCore(bandKeysOf(eSig, bands, rows),
+      eSig.select(col("id"), col("shingles")), batch, idCol, textCol,
+      shingleN, numHashes, bands, threshold)
+  }
+
+  /** Shared candidate/verify core of the two incremental near-dup
+    * forms. `eBanded` = the existing corpus's (id, band, band_key)
+    * rows and `eSets` its (id, shingles) rows — computed on the fly
+    * (storeless) or read from the persisted signature store. The
+    * batch side and the drop rule are THE SAME FRAME in both forms,
+    * so they agree by construction whenever eBanded/eSets carry the
+    * same logical content (IncrementalDedupSpec pins it end to end).
+    */
+  private def incrementalNearDupCore(eBanded: DataFrame, eSets: DataFrame,
+      batch: DataFrame, idCol: String, textCol: String, shingleN: Int,
+      numHashes: Int, bands: Int, threshold: Double): DataFrame = {
     val rows = numHashes / bands
     // batch signatures back three branches (banding + two shingle
     // join-backs) — the same persist contract as minHashLshPairs,
@@ -313,9 +330,8 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bBanded = bandKeysOf(bSig, bands, rows)
     val keySet = bBanded.select("band", "band_key").distinct()
-    val eSig = minHashSigOf(existing, idCol, textCol, shingleN, numHashes)
     // map-side gate: corpus bands that collide with a batch band key
-    val eCand = bandKeysOf(eSig, bands, rows)
+    val eCand = eBanded
       .join(broadcast(keySet), Seq("band", "band_key"), "left_semi")
     val candBE = bBanded
       .join(eCand.select(col("band"), col("band_key"), col("id").as("other_id")),
@@ -332,8 +348,71 @@ object Dedup {
         Seq("other_id"))
       .filter(jaccard(col("__sh_a"), col("__sh_b")) >= threshold)
       .select(col("id"))
-    val dups = dropped(candBE, eSig).union(dropped(candBB, bSig)).distinct()
+    val dups = dropped(candBE, eSets).union(dropped(candBB, bSig)).distinct()
     batch.select(col(idCol).as("id")).join(dups, Seq("id"), "left_anti")
+  }
+
+  /** One row per doc of the persisted signature store: (id, sig,
+    * shingles, band_keys), with band_keys[b] computed by the SAME
+    * `hash(band, sig-slice)` as [[bandKeysOf]] — denormalized as an
+    * array so the whole index MERGEs by the doc key and a probe
+    * explodes it back to [[bandKeysOf]]'s exact (id, band, band_key)
+    * rows. Shingle-less docs drop here exactly as [[minHashSigOf]]
+    * drops them (they can match nothing).
+    */
+  private def sigStoreRows(docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int, numHashes: Int, bands: Int): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val rows = numHashes / bands
+    minHashSigOf(docs, idCol, textCol, shingleN, numHashes)
+      .withColumn("band_keys", array((0 until bands).map(b =>
+        hash(lit(b), slice(col("sig"), b * rows + 1, rows))): _*))
+      .select("id", "sig", "shingles", "band_keys")
+  }
+
+  /** Create — or incrementally extend — the persisted MinHash
+    * signature/band index backing [[incrementalNearDupStored]]: one
+    * [[graft.sources.ParquetStore]] MERGE keyed by doc id, so adding
+    * a snapshot's survivors rewrites only the key-hash buckets they
+    * fall into (O(|batch|), never O(|corpus|)). Callers must keep
+    * (shingleN, numHashes, bands) fixed for the life of the table —
+    * parameter drift is a rebuild, exactly like frozen LSH planes.
+    */
+  def buildNearDupStore(store: graft.sources.ParquetStore, table: String,
+      docs: DataFrame, idCol: String, textCol: String, shingleN: Int = 3,
+      numHashes: Int = 64, bands: Int = 16): Unit =
+    store.merge(table,
+      sigStoreRows(docs, idCol, textCol, shingleN, numHashes, bands), "id")
+
+  /** Store-backed incremental near-dup — the production form of
+    * [[incrementalNearDup]]: the existing corpus's band keys and
+    * candidate shingles come from the persisted signature store, so a
+    * snapshot never reads the corpus TEXT at all (zero documents-table
+    * scans on the corpus side — IncrementalDedupSpec locks the plan)
+    * and never recomputes a corpus signature. The two store reads are
+    * column-pruned to (id, band_keys) for the probe and (id, shingles)
+    * for the verify — tens of bytes per row against multi-KB text, and
+    * the verify branch only materializes gated candidate rows. At
+    * daily-snapshot cadence over 100 TB this converts the dominant
+    * cost from 2× corpus text read + full signature recompute to one
+    * narrow index probe.
+    *
+    * Read-only: survivors do NOT auto-join the index (the result is
+    * lazy; mutating the store before the caller materializes it would
+    * race the read). Callers append survivors explicitly via
+    * [[buildNearDupStore]] once the batch is final — the streaming
+    * ingest does exactly that per micro-batch.
+    */
+  def incrementalNearDupStored(store: graft.sources.ParquetStore,
+      table: String, batch: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      threshold: Double = 0.5): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val idx = store.read(table)
+    val eBanded = idx.select(col("id"),
+      posexplode(col("band_keys")).as(Seq("band", "band_key")))
+    incrementalNearDupCore(eBanded, idx.select(col("id"), col("shingles")),
+      batch, idCol, textCol, shingleN, numHashes, bands, threshold)
   }
 
   /** SimHash near-dup: 64-bit signatures, banded blocking, verified

@@ -128,4 +128,42 @@ class IncrementalDedupSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSeq
     assert(kept == Seq(251L), "250 collides with corpus, 252 loses keep-first")
   }
+
+  test("stored near-dup equals storeless; corpus text never scanned; MERGE maintenance") {
+    import spark.implicits._
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val existing = docs.filter(col("doc_id") < 250)
+    val b1 = docs.filter(col("doc_id") >= 250 && col("doc_id") < 375)
+    val b2 = docs.filter(col("doc_id") >= 375)
+    val root = TestSpark.tempDir("graft_ndstore_spec_")
+    val store = new graft.sources.ParquetStore(spark, root)
+    Dedup.buildNearDupStore(store, "sigs", existing, "doc_id", "text")
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.collect().map(_.getLong(0)).toSet
+    // 1) first snapshot: store-backed ≡ storeless
+    val storeless1 = ids(Dedup.incrementalNearDup(existing, b1, "doc_id", "text"))
+    val stored1 = ids(Dedup.incrementalNearDupStored(store, "sigs", b1,
+      "doc_id", "text"))
+    assert(stored1 == storeless1,
+      s"first snapshot diverged: stored=$stored1 storeless=$storeless1")
+    // 2) survivors MERGE into the index; the next snapshot's corpus is
+    // (existing ∪ survivors) in BOTH forms
+    val s1 = b1.filter(col("doc_id").isin(stored1.toSeq: _*))
+    Dedup.buildNearDupStore(store, "sigs", s1, "doc_id", "text")
+    val storeless2 = ids(Dedup.incrementalNearDup(existing.unionByName(s1), b2,
+      "doc_id", "text"))
+    val stored2 = ids(Dedup.incrementalNearDupStored(store, "sigs", b2,
+      "doc_id", "text"))
+    assert(stored2 == storeless2,
+      s"post-MERGE snapshot diverged: stored=$stored2 storeless=$storeless2")
+    // 3) plan lock: with an in-memory batch, the store-backed form must
+    // touch NO documents parquet at all — the corpus side reads only
+    // the persisted signature index (column-pruned)
+    val mem = b2.select(col("doc_id"), col("text")).as[(Long, String)]
+      .collect().toSeq.toDF("doc_id", "text")
+    val plan = Dedup.incrementalNearDupStored(store, "sigs", mem,
+      "doc_id", "text").queryExecution.executedPlan.toString
+    assert(!plan.contains("documents.parquet"),
+      s"store-backed form must never scan the corpus text:\n$plan")
+  }
 }

@@ -343,6 +343,47 @@ class ScaleSpec extends AnyFunSuite {
     assertSubQuadratic("pipeline_ingest")
   }
 
+  test("store-backed near-dup: fixed delta, 10x corpus — no corpus text reads", ScaleTest) {
+    // The storeless form reads the corpus TEXT twice per snapshot, so
+    // its per-snapshot cost scales with the corpus even at a fixed
+    // delta. The store-backed form must (a) never scan the documents
+    // parquet at all — its corpus side is the narrow persisted
+    // signature index — and (b) stay sub-linear in wall time as the
+    // corpus (and hence the index) grows 10x under a FIXED 50-doc
+    // delta, because the probe is column-pruned and gated map-side.
+    measured // force dirs
+    import spark.implicits._
+    def run(dir: String): Double = {
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      // fixed delta: replica-0 docs 450..499 exist identically on both
+      // rungs (salting is per-replica); corpus = everything else
+      val mem = docs.filter(col("doc_id") >= 450 && col("doc_id") < 500)
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .collect().toSeq.toDF("doc_id", "text")
+      val root = TestSpark.tempDir("graft_ndstore_rung_")
+      val store = new graft.sources.ParquetStore(spark, root)
+      graft.operators.Dedup.buildNearDupStore(store, "sigs",
+        docs.filter(col("doc_id") < 450 || col("doc_id") >= 500),
+        "doc_id", "text", shingleN = 2, numHashes = 64, bands = 16)
+      val q = graft.operators.Dedup.incrementalNearDupStored(store, "sigs",
+        mem, "doc_id", "text", shingleN = 2, numHashes = 64, bands = 16,
+        threshold = 0.3)
+      assert(!q.queryExecution.executedPlan.toString.contains("documents.parquet"),
+        "store-backed snapshot must not scan the corpus text")
+      val t0 = System.nanoTime()
+      q.write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    run(dirs("salted1")); val t1 = run(dirs("salted1"))
+    run(dirs("salted10")); val t10 = run(dirs("salted10"))
+    info(f"stored near-dup fixed-delta 1x=$t1%.2fs 10x=$t10%.2fs ratio=${t10 / math.max(t1, 1e-9)}%.1fx")
+    // fixed delta + pruned index probe: even linear-in-corpus would be
+    // ~10x; the narrow gated probe must hold well under that
+    assert(t10 < 10.0 * math.max(t1, 0.5),
+      f"stored near-dup: fixed-delta snapshot took $t10%.2fs at 10x corpus " +
+        f"vs $t1%.2fs at 1x — the index probe stopped pruning")
+  }
+
   test("SemDeDup scales sub-quadratically to 10x when nClusters follows √N", ScaleTest) {
     // the query entry pins nClusters=16 for oracle determinism; the
     // OPERATOR's scale contract is nClusters ~ √N (Dedup.semanticDedup
