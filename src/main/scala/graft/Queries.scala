@@ -744,7 +744,7 @@ object Queries {
     * [[ingestAudit]] (the per-stage funnel), so the two can never
     * disagree about what each stage means.
     */
-  private def ingestStages(spark: SparkSession, dir: String)
+  private[graft] def ingestStages(spark: SparkSession, dir: String)
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val docs = t(spark, dir, "documents")
     val existing = docs.filter(col("doc_id") < incrementalSplit)
@@ -752,9 +752,7 @@ object Queries {
     val kept1 = Dedup.incrementalExact(existing, batch, "doc_id", "text")
       .withColumnRenamed("id", "doc_id")
     val b1 = batch.join(kept1, Seq("doc_id"), "left_semi")
-    val b2 = b1.filter(size(array_intersect(
-      array_distinct(sqlTokens(col("text"))),
-      array(blocklistTerms.map(lit): _*))) === 0)
+    val b2 = b1.filter(blocklistClean(col("text"), blocklistTerms))
     val kept2 = Dedup.incrementalNearDup(existing, b2, "doc_id", "text",
         shingleN = minHashShingleN, numHashes = minHashNumHashes,
         bands = minHashBands, threshold = minHashThreshold)

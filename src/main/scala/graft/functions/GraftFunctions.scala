@@ -58,6 +58,20 @@ object GraftFunctions {
       array_join(slice(split(trim(text), "\\s+"), 1, maxTokens), " "))
       .otherwise(text)
 
+  /** True iff none of `terms` appears among the text's lowercase
+    * alphanumeric tokens — the C4-style blocklist gate (Raffel et al.
+    * 2020 §2.2 "bad words" filter), shared by the batch ingestion
+    * chain (Queries.ingestStages) and the streaming ingest so the two
+    * can never drift. Tokenization matches the DuckDB replay:
+    * regexp_split_to_array(lower(x), '[^a-z0-9]+') with empties
+    * dropped. Pure built-ins — per-row, codegen'd, zero shuffle.
+    */
+  def blocklistClean(text: Column, terms: Seq[String]): Column =
+    size(array_intersect(
+      array_distinct(filter(split(lower(coalesce(text, lit(""))), "[^a-z0-9]+"),
+        x => x =!= "")),
+      array(terms.map(lit): _*))) === 0
+
   /** BPE-ish token count: GPT-style pre-tokenizer regex (contractions,
     * letter runs, digit runs, punctuation runs). Closer to true BPE
     * counts than whitespace for punctuation-heavy text; still

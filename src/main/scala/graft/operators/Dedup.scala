@@ -336,6 +336,13 @@ object Dedup {
     val candBE = bBanded
       .join(eCand.select(col("band"), col("band_key"), col("id").as("other_id")),
         Seq("band", "band_key"))
+      // never a self-pair: existing and batch are disjoint by contract
+      // (this filter is a no-op then), but a crash-replayed streaming
+      // batch can contain ids whose signatures already MERGEd into the
+      // store — a row must not drop for duplicating ITSELF, or the
+      // redelivery would un-ingest it (RealtimeSpec's partial-crash
+      // replay covers this)
+      .filter(col("other_id") =!= col("id"))
       .select("id", "other_id").distinct()
     val candBB = bBanded
       .join(bBanded.select(col("band"), col("band_key"), col("id").as("other_id")),

@@ -160,6 +160,83 @@ object Realtime {
       .start()
   }
 
+  /** Streaming form of the FULL ingestion chain (the batch
+    * `pipeline_ingest` stages, in the same cost order): each
+    * micro-batch runs exact dedup against the accumulated store and
+    * within itself → the C4 blocklist gate
+    * ([[graft.functions.GraftFunctions.blocklistClean]] — the SAME
+    * expression the batch chain uses, so the two can never drift) →
+    * near-dup against the PERSISTED MinHash signature index
+    * ([[graft.operators.Dedup.incrementalNearDupStored]]) and within
+    * itself. Survivors MERGE into the docs table AND their signatures
+    * MERGE into the index, so the next micro-batch probes them.
+    *
+    * A single micro-batch is EXACTLY the batch chain over
+    * (store, batch) — stage parity is pinned in RealtimeSpec against
+    * Queries.ingestStages. Across micro-batches the near-dup history
+    * is the SURVIVOR set (a dropped row's signature never enters the
+    * index), i.e. sequential-greedy semantics — the batch form's
+    * pair-greedy in-batch rule sees dropped rows too, which an
+    * incremental pass by definition cannot; RealtimeSpec pins the
+    * chunked run against the sequential snapshot-by-snapshot batch
+    * chain, which is the contract an always-on pipeline actually has.
+    *
+    * Crash-replay safety: signatures MERGE BEFORE the docs table, and
+    * the near-dup core ignores self-pairs, so the partial-crash orders
+    * are both idempotent — (sig in, docs missing) → redelivery passes
+    * exact dedup, skips its own signature, re-merges the same rows;
+    * (both in) → exact dedup drops the redelivery outright.
+    */
+  def streamIngestPipeline(store: graft.sources.ParquetStore, table: String,
+      sigTable: String, docs: DataFrame, idCol: String, textCol: String,
+      checkpointDir: String, blocklist: Seq[String] = Nil,
+      shingleN: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      threshold: Double = 0.5,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val schema = docs.schema
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val b = batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          if (!b.isEmpty) {
+            val existing = store.readOrEmpty(table, schema)
+            val kept1 = graft.operators.Dedup
+              .incrementalExact(existing, b, idCol, textCol)
+              .withColumnRenamed("id", idCol)
+            val b1 = b.join(kept1, Seq(idCol), "left_semi")
+            val b2 =
+              if (blocklist.isEmpty) b1
+              else b1.filter(graft.functions.GraftFunctions
+                .blocklistClean(col(textCol), blocklist))
+            val kept2 =
+              if (store.exists(sigTable))
+                graft.operators.Dedup.incrementalNearDupStored(store, sigTable,
+                  b2, idCol, textCol, shingleN, numHashes, bands, threshold)
+              else // first batch: empty corpus, within-batch rule only
+                graft.operators.Dedup.incrementalNearDup(b2.limit(0), b2,
+                  idCol, textCol, shingleN, numHashes, bands, threshold)
+            val rows = b2.join(kept2.withColumnRenamed("id", idCol),
+                Seq(idCol), "left_semi")
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            try {
+              // force full materialization BEFORE mutating the store:
+              // `rows` lazily reads the store's current version, and
+              // the sig-MERGE below commits a new one
+              if (rows.count() > 0) {
+                graft.operators.Dedup.buildNearDupStore(store, sigTable, rows,
+                  idCol, textCol, shingleN, numHashes, bands)
+                store.merge(table, rows, idCol)
+              }
+            } finally rows.unpersist()
+          }
+        } finally b.unpersist()
+      }
+      .start()
+  }
+
   /** Windowed event-stream aggregation with watermarking — the
     * streaming-analytics shape (late data dropped after the
     * watermark; event-time tumbling windows). Works identically on a

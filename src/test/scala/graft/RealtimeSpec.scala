@@ -336,6 +336,86 @@ class RealtimeSpec extends AnyFunSuite {
       "full redelivery must be a no-op against the accumulated store")
   }
 
+  test("streaming ingest pipeline equals the batch ingestion chain; restart + replay safe") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    import graft.functions.GraftFunctions
+    val dir = "/root/testdata/sf0.01"
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text", "lang")
+    val existing = docs.filter(col("doc_id") < Queries.incrementalSplit)
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select("doc_id").collect().map(_.getLong(0)).toSet
+    // the batch chain over one snapshot, using the SAME public ops and
+    // the SAME constants as Queries.ingestStages
+    def batchChain(corpus: org.apache.spark.sql.DataFrame,
+        batch: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      val kept1 = Dedup.incrementalExact(corpus, batch, "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+      val b1 = batch.join(kept1, Seq("doc_id"), "left_semi")
+      val b2 = b1.filter(GraftFunctions.blocklistClean(col("text"),
+        Queries.blocklistTerms))
+      val kept2 = Dedup.incrementalNearDup(corpus, b2, "doc_id", "text",
+        shingleN = Queries.minHashShingleN, numHashes = Queries.minHashNumHashes,
+        bands = Queries.minHashBands, threshold = Queries.minHashThreshold)
+      b2.join(kept2.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left_semi")
+    }
+    def mkStore() = {
+      val s = new graft.sources.ParquetStore(
+        spark, TestSpark.tempDir("graft_sip_store_"))
+      s.merge("docs", existing, "doc_id")
+      Dedup.buildNearDupStore(s, "sigs", existing, "doc_id", "text",
+        shingleN = Queries.minHashShingleN,
+        numHashes = Queries.minHashNumHashes, bands = Queries.minHashBands)
+      s
+    }
+    def runOnce(store: graft.sources.ParquetStore, src: String, cp: String): Unit = {
+      val q = Realtime.streamIngestPipeline(store, "docs", "sigs",
+        spark.readStream.schema("doc_id LONG, text STRING, lang STRING")
+          .parquet(src),
+        "doc_id", "text", cp, blocklist = Queries.blocklistTerms,
+        shingleN = Queries.minHashShingleN,
+        numHashes = Queries.minHashNumHashes, bands = Queries.minHashBands,
+        threshold = Queries.minHashThreshold)
+      q.awaitTermination(120000)
+    }
+    def streamed(store: graft.sources.ParquetStore): Set[Long] =
+      ids(store.read("docs").filter(col("doc_id") >= Queries.incrementalSplit))
+
+    // 1) one micro-batch == the registered pipeline_ingest chain exactly
+    val batch = docs.filter(col("doc_id") >= Queries.incrementalSplit)
+    val expectFull = ids(Queries.ingestStages(spark, dir)._4)
+    val s1 = mkStore()
+    val src1 = TestSpark.tempDir("graft_sip_src1_")
+    batch.coalesce(1).write.mode("append").parquet(src1)
+    runOnce(s1, src1, TestSpark.tempDir("graft_sip_cp1_"))
+    assert(streamed(s1) == expectFull,
+      "one streamed micro-batch must equal the batch ingestion chain")
+
+    // 2) chunked with a checkpointed RESTART == the batch chain applied
+    // snapshot-by-snapshot (survivors of chunk 1 are chunk 2's corpus)
+    val c1 = batch.filter(col("doc_id") < 375)
+    val c2 = batch.filter(col("doc_id") >= 375)
+    val keep1 = batchChain(existing, c1)
+    val keep2 = batchChain(existing.unionByName(keep1), c2)
+    val expectSeq = ids(keep1) ++ ids(keep2)
+    val s2 = mkStore()
+    val src2 = TestSpark.tempDir("graft_sip_src2_")
+    val cp2 = TestSpark.tempDir("graft_sip_cp2_")
+    c1.coalesce(1).write.mode("append").parquet(src2)
+    runOnce(s2, src2, cp2)
+    c2.coalesce(1).write.mode("append").parquet(src2)
+    runOnce(s2, src2, cp2) // restart from the checkpoint
+    assert(streamed(s2) == expectSeq,
+      "chunked streaming must equal the sequential snapshot batch chain")
+
+    // 3) full redelivery against a FRESH checkpoint: no-op (the
+    // crash-after-merge worst case)
+    runOnce(s2, src2, TestSpark.tempDir("graft_sip_cp3_"))
+    assert(streamed(s2) == expectSeq,
+      "full redelivery must be a no-op against the accumulated store")
+  }
+
   test("streaming windowed counts equal the batch result (one code path)") {
     import spark.implicits._
     val events = (0 until 200).map { i =>
