@@ -744,8 +744,17 @@ object Queries {
     * [[ingestAudit]] (the per-stage funnel), so the two can never
     * disagree about what each stage means.
     */
-  private[graft] def ingestStages(spark: SparkSession, dir: String)
-      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+  /** The ingestion chain as ONE tagged frame: each batch row carries
+    * the boolean survival flags of every stage (`__s1` exact dedup,
+    * `__s2` + blocklist, `__s3` + near-dup), so the funnel audit is a
+    * single conditional-sum pass over one execution of the chain
+    * instead of four chain re-derivations, and the pipeline's
+    * survivor frame is `filter(__s3)` over the SAME plan — the two
+    * consumers structurally cannot disagree about what a stage means.
+    * The marker joins are batch-keyed (delta-sized at snapshot
+    * cadence; never corpus-keyed).
+    */
+  private[graft] def ingestTagged(spark: SparkSession, dir: String): DataFrame = {
     val docs = t(spark, dir, "documents")
     val existing = docs.filter(col("doc_id") < incrementalSplit)
     val batch = docs.filter(col("doc_id") >= incrementalSplit)
@@ -757,8 +766,21 @@ object Queries {
         shingleN = minHashShingleN, numHashes = minHashNumHashes,
         bands = minHashBands, threshold = minHashThreshold)
       .withColumnRenamed("id", "doc_id")
-    val ingested = b2.join(kept2, Seq("doc_id"), "left_semi")
-    (batch, b1, b2, ingested)
+    batch
+      .join(kept1.withColumn("__m1", lit(true)), Seq("doc_id"), "left")
+      .join(kept2.withColumn("__m3", lit(true)), Seq("doc_id"), "left")
+      .withColumn("__s1", coalesce(col("__m1"), lit(false)))
+      .withColumn("__s2", col("__s1") && blocklistClean(col("text"), blocklistTerms))
+      .withColumn("__s3", col("__s2") && coalesce(col("__m3"), lit(false)))
+      .drop("__m1", "__m3")
+  }
+
+  private[graft] def ingestStages(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val tagged = ingestTagged(spark, dir)
+    def stage(c: String) = tagged.filter(col(c)).drop("__s1", "__s2", "__s3")
+    (tagged.drop("__s1", "__s2", "__s3"), stage("__s1"), stage("__s2"),
+      stage("__s3"))
   }
 
   def pipelineIngest(spark: SparkSession, dir: String): DataFrame = {
@@ -772,21 +794,24 @@ object Queries {
 
   /** Ingestion funnel audit — the ops view of [[pipelineIngest]]:
     * how many batch documents survive each stage (raw batch → exact
-    * dedup → blocklist → near-dup). Four one-row aggregates unioned;
-    * each stage's count re-derives its prefix of the lazy chain, a
-    * price paid at monitoring cadence, never per-row.
+    * dedup → blocklist → near-dup). ONE pass over the tagged chain
+    * ([[ingestTagged]]): a single conditional-sum aggregate, unpivoted
+    * to the 4 funnel rows — no stage re-derives its chain prefix
+    * (PlanSpec bounds the Exchange count).
     */
-  def ingestAudit(spark: SparkSession, dir: String): DataFrame = {
-    val (batch, b1, b2, ingested) = ingestStages(spark, dir)
-    def stage(name: String, df: DataFrame): DataFrame =
-      df.agg(count(lit(1)).as("n_docs"))
-        .select(lit(name).as("stage"), col("n_docs"))
-    stage("0_batch", batch)
-      .union(stage("1_exact_dedup", b1))
-      .union(stage("2_blocklist", b2))
-      .union(stage("3_near_dedup", ingested))
+  def ingestAudit(spark: SparkSession, dir: String): DataFrame =
+    ingestTagged(spark, dir)
+      .agg(count(lit(1)).as("n0"),
+        sum(when(col("__s1"), 1L).otherwise(0L)).as("n1"),
+        sum(when(col("__s2"), 1L).otherwise(0L)).as("n2"),
+        sum(when(col("__s3"), 1L).otherwise(0L)).as("n3"))
+      .select(explode(array(
+        struct(lit("0_batch").as("stage"), col("n0").as("n_docs")),
+        struct(lit("1_exact_dedup").as("stage"), col("n1").as("n_docs")),
+        struct(lit("2_blocklist").as("stage"), col("n2").as("n_docs")),
+        struct(lit("3_near_dedup").as("stage"), col("n3").as("n_docs")))).as("s"))
+      .select(col("s.stage").as("stage"), col("s.n_docs").as("n_docs"))
       .orderBy(col("stage"))
-  }
 
   /** Incremental snapshot-delta NEAR-dup: the incrementalSplit batch
     * against the rest as the existing corpus, same MinHash

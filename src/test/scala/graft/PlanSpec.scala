@@ -265,6 +265,24 @@ class PlanSpec extends AnyFunSuite {
       s"no semi gate in the ingest chain may shuffle its corpus side:\n$plan")
   }
 
+  test("ingest_audit: one tagged pass — no stage-prefix union, bounded exchanges") {
+    val plan = SparkEntry.queries("ingest_audit")(spark, dir)
+      .queryExecution.executedPlan.toString
+    // the funnel is ONE conditional-sum aggregate over the tagged
+    // chain, unpivoted — never a union of four per-stage aggregates
+    // each re-deriving its chain prefix. (The near-dup core's internal
+    // dropped-branch Union is fine; the signature of the 4-union form
+    // was four global SinglePartition aggregates.)
+    val globalAggs = "Exchange SinglePartition".r.findAllIn(plan).size
+    assert(globalAggs == 1,
+      s"funnel must be one tagged aggregate, found $globalAggs global aggs:\n$plan")
+    // regression bound: the single-pass form measures 50 exchanges
+    // (the 4-union form measured 61); headroom for minor plan drift
+    val exchanges = "Exchange".r.findAllIn(plan).size
+    assert(exchanges <= 55,
+      s"ingest_audit exchange count regressed to $exchanges (>55):\n$plan")
+  }
+
   test("knn_label_prop: label attach and vote stay off the corpus shuffle") {
     val plan = SparkEntry.queries("knn_label_prop")(spark, dir)
       .queryExecution.executedPlan.toString
