@@ -561,6 +561,59 @@ object Oracles {
        |SELECT vec_id AS id, round(cos, 4) AS cos FROM top
        |ORDER BY round(cos, 4) DESC, vec_id ASC""".stripMargin
 
+  private def sqlQuote(s: String): String = "'" + s.replace("'", "''") + "'"
+
+  /** The question_answer template split at its placeholders:
+    * (sys, pre-context, between, post-query) — interpolated as SQL
+    * literals so the replay concatenates the SAME segments the engine
+    * substitutes (single-pass semantics: substituted values are never
+    * re-scanned, matching PromptTemplates.renderTemplate).
+    */
+  private lazy val ragPromptParts: (String, String, String, String) = {
+    val (sys, user) = graft.rag.PromptTemplates.resolve("question_answer").get
+    val Array(pre, rest) =
+      user.split(java.util.regex.Pattern.quote("{{context_str}}"), 2)
+    val Array(mid, post) =
+      rest.split(java.util.regex.Pattern.quote("{{query_str}}"), 2)
+    (sys, pre, mid, post)
+  }
+
+  /** vz_rag's retrieval + context CTEs (windowSize = numContext*5,
+    * the same retrieval as vz_rag_retrieve), shared by the
+    * vz_rag_prompt and vz_rag oracles so the three entries replay ONE
+    * retrieval definition.
+    */
+  private lazy val ragRenderCtes: String =
+    s"""WITH qv AS (
+       |  SELECT CAST(rag_qvec AS DOUBLE[]) AS v
+       |  FROM read_parquet('__AUX__/vz_aux_query.parquet')),
+       |scored AS (
+       |  SELECT pkey,
+       |    list_cosine_similarity(CAST(embeddings AS DOUBLE[]), (SELECT v FROM qv)) AS sim
+       |  FROM read_parquet('__AUX__/vz_aux_embeddings.parquet')),
+       |top AS (
+       |  SELECT pkey, sim FROM scored WHERE sim IS NOT NULL
+       |  ORDER BY 1.0 - sim ASC, pkey ASC LIMIT ${Queries.ragNumContext * 5}),
+       |hits AS (
+       |  SELECT d.text, t.sim, t.pkey
+       |  FROM documents d JOIN top t ON CAST(d.doc_id AS VARCHAR) = t.pkey
+       |  ORDER BY t.sim DESC, t.pkey ASC LIMIT ${Queries.ragNumContext}),
+       |ctx AS (
+       |  -- coalesce: string_agg is NULL over an empty/all-NULL hits
+       |  -- set, while the engine renders an empty context string and
+       |  -- md5s a real prompt — keep the replay total on degenerate
+       |  -- corpora
+       |  SELECT coalesce(
+       |    string_agg(text, chr(10) ORDER BY sim DESC, pkey ASC), '') AS c
+       |  FROM hits)""".stripMargin
+
+  /** The rendered user prompt as a SQL expression over `ctx(c)`. */
+  private lazy val ragUserPromptExpr: String = {
+    val (_, pre, mid, post) = ragPromptParts
+    s"${sqlQuote(pre)} || c || ${sqlQuote(mid)} || " +
+      s"${sqlQuote(Queries.ragQueryText)} || ${sqlQuote(post)}"
+  }
+
   /** Shared by dedup_incremental_neardup and its _stored twin — both
     * must return the identical answer over the same signature dump.
     */
@@ -2404,37 +2457,28 @@ object Oracles {
     // never re-scanned, matching PromptTemplates.substitute), and md5
     // both prompts. Template/query literals are interpolated from the
     // same constants the engine renders from.
-    "vz_rag_prompt" -> {
-      val (sys, user) = graft.rag.PromptTemplates.resolve("question_answer").get
-      val Array(pre, rest) = user.split(java.util.regex.Pattern.quote("{{context_str}}"), 2)
-      val Array(mid, post) = rest.split(java.util.regex.Pattern.quote("{{query_str}}"), 2)
-      def q(s: String) = "'" + s.replace("'", "''") + "'"
-      s"""WITH qv AS (
-         |  SELECT CAST(rag_qvec AS DOUBLE[]) AS v
-         |  FROM read_parquet('__AUX__/vz_aux_query.parquet')),
-         |scored AS (
-         |  SELECT pkey,
-         |    list_cosine_similarity(CAST(embeddings AS DOUBLE[]), (SELECT v FROM qv)) AS sim
-         |  FROM read_parquet('__AUX__/vz_aux_embeddings.parquet')),
-         |top AS (
-         |  SELECT pkey, sim FROM scored WHERE sim IS NOT NULL
-         |  ORDER BY 1.0 - sim ASC, pkey ASC LIMIT ${Queries.ragNumContext * 5}),
-         |hits AS (
-         |  SELECT d.text, t.sim, t.pkey
-         |  FROM documents d JOIN top t ON CAST(d.doc_id AS VARCHAR) = t.pkey
-         |  ORDER BY t.sim DESC, t.pkey ASC LIMIT ${Queries.ragNumContext}),
-         |ctx AS (
-         |  -- coalesce: string_agg is NULL over an empty/all-NULL hits
-         |  -- set, while the engine renders an empty context string and
-         |  -- md5s a real prompt — keep the replay total on degenerate
-         |  -- corpora
-         |  SELECT coalesce(
-         |    string_agg(text, chr(10) ORDER BY sim DESC, pkey ASC), '') AS c
-         |  FROM hits)
-         |SELECT md5(${q(sys)}) AS sys_md5,
-         |  md5(${q(pre)} || c || ${q(mid)} || ${q(Queries.ragQueryText)} || ${q(post)}) AS user_md5
-         |FROM ctx""".stripMargin
-    },
+    "vz_rag_prompt" ->
+      s"""$ragRenderCtes
+         |SELECT md5(${sqlQuote(ragPromptParts._1)}) AS sys_md5,
+         |  md5($ragUserPromptExpr) AS user_md5
+         |FROM ctx""".stripMargin,
+
+    // vz_rag END-TO-END: the same retrieval+render CTEs as
+    // vz_rag_prompt, plus the deterministic chat provider's response
+    // assembly replayed in SQL — DeterministicChatProvider returns
+    // "[<model>] " + the first 3 lines of the rendered user prompt
+    // joined by spaces, truncated to 200 chars (Providers.scala:
+    // 99-104). With retrieval, render, and response all declarative,
+    // the whole retrieve → render → respond chain is oracled; only
+    // the HTTP provider transports stay ProvidersSpec-covered.
+    "vz_rag" ->
+      s"""$ragRenderCtes,
+         |up AS (SELECT $ragUserPromptExpr AS u FROM ctx)
+         |SELECT ${sqlQuote(Queries.ragQueryText)} AS query,
+         |  '[openai/gpt-4o-mini] ' || substr(
+         |    array_to_string(list_slice(str_split(u, chr(10)), 1, 3), ' '),
+         |    1, 200) AS chat_response
+         |FROM up""".stripMargin,
 
     // rag(numContext) retrieval: windowSize = limit*5 (shared
     // Queries.ragNumContext keeps the engine and replay in lockstep).
