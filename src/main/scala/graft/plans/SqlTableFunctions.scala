@@ -14,6 +14,8 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
   * identifiers have no schema):
   *
   *   SELECT * FROM vectorize_search('products', 'camping backpack', 3)
+  *   SELECT * FROM vectorize_search('products', 'bag', 5,
+  *     'product_id < 50', 'product_name=eq.Backpack')   -- where_sql + P4 filters
   *   SELECT * FROM vectorize_hybrid_search('products', 'pencil')
   *   SELECT * FROM vectorize_search_json('products', 'pencil', 5)
   *   SELECT * FROM vectorize_rag_prompt('chat_job', 'who wrote X?')
@@ -50,23 +52,50 @@ object SqlTableFunctions {
       }
     }
 
+  /** Trailing `'column=op.value'` TVF arguments → the typed filter
+    * map (P4), through the SAME Rust-parity `FilterValue` parser the
+    * HTTP surface uses (types/Types.scala — `gte.100`, `eq.red`, a
+    * bare value sniffs to Eq). */
+  private def filterArgs(args: Seq[Expression], from: Int, fn: String)
+      : Map[String, graft.types.FilterValue] =
+    (from until args.length).map { i =>
+      val raw = strArg(args, i, fn)
+      val eq = raw.indexOf('=')
+      require(eq > 0,
+        s"$fn: filter argument ${i + 1} must be 'column=op.value', got '$raw'")
+      val fv = graft.types.FilterValue.parse(raw.substring(eq + 1)).fold(
+        err => throw new IllegalArgumentException(s"$fn: bad filter '$raw': $err"),
+        identity)
+      raw.substring(0, eq) -> fv
+    }.toMap
+
   /** (name, min/max args, builder) for each entry point. */
   private def registrations(engine: VectorizeEngine)
       : Seq[(String, Seq[Expression] => LogicalPlan)] = Seq(
+    // vectorize_search(job, query[, limit[, where_sql[, 'col=op.value'...]]])
+    // — argument 4 is the reference's raw where_sql ('' = none,
+    // extension/src/api.rs:116-134); any further arguments are P4
+    // typed filters, so the full search surface is SQL-callable.
     "vectorize_search" -> { args: Seq[Expression] =>
+      val fn = "vectorize_search"
+      val whereSql =
+        if (args.length >= 4) Some(strArg(args, 3, fn)).filter(_.nonEmpty)
+        else None
       GraftColumnBridge.logicalPlan(engine.search(
-        strArg(args, 0, "vectorize_search"), strArg(args, 1, "vectorize_search"),
-        intArg(args, 2, "vectorize_search", 10)))
+        strArg(args, 0, fn), strArg(args, 1, fn), intArg(args, 2, fn, 10),
+        filters = filterArgs(args, 4, fn), whereSql = whereSql))
     },
     "vectorize_search_json" -> { args: Seq[Expression] =>
       GraftColumnBridge.logicalPlan(engine.searchJson(
         strArg(args, 0, "vectorize_search_json"), strArg(args, 1, "vectorize_search_json"),
         intArg(args, 2, "vectorize_search_json", 10)))
     },
+    // vectorize_hybrid_search(job, query[, limit[, 'col=op.value'...]])
     "vectorize_hybrid_search" -> { args: Seq[Expression] =>
+      val fn = "vectorize_hybrid_search"
       GraftColumnBridge.logicalPlan(engine.hybridSearch(
-        strArg(args, 0, "vectorize_hybrid_search"), strArg(args, 1, "vectorize_hybrid_search"),
-        intArg(args, 2, "vectorize_hybrid_search", 10)))
+        strArg(args, 0, fn), strArg(args, 1, fn), intArg(args, 2, fn, 10),
+        filters = filterArgs(args, 3, fn)))
     },
     "vectorize_hybrid_search_json" -> { args: Seq[Expression] =>
       GraftColumnBridge.logicalPlan(engine.hybridSearchJson(

@@ -46,6 +46,34 @@ class SqlTableFunctionsSpec extends AnyFunSuite {
     assert(sql.map(_._2).contains("Backpack"))
   }
 
+  test("vectorize_search: where_sql and typed filter args match the Scala API") {
+    // argument 4 = raw where_sql (reference api.rs:116-134); trailing
+    // args = P4 'col=op.value' typed filters via the same parser as
+    // the HTTP surface
+    val whereSql = spark.sql(
+      "SELECT product_id FROM vectorize_search('products', 'camping backpack', 5, 'product_id < 10')")
+      .collect().map(_.get(0).toString.toLong).toSeq
+    val whereApi = engine.search("products", "camping backpack", limit = 5,
+        whereSql = Some("product_id < 10"))
+      .select(col("product_id")).collect().map(_.get(0).toString.toLong).toSeq
+    assert(whereSql == whereApi && whereSql.nonEmpty && whereSql.forall(_ < 10))
+    val filtSql = spark.sql(
+      "SELECT product_id, product_name FROM vectorize_search('products', 'bag', 5, '', 'product_name=eq.Backpack')")
+      .collect().map(_.getString(1)).toSeq
+    val filtApi = engine.search("products", "bag", limit = 5,
+        filters = Map("product_name" -> FilterValue.parse("eq.Backpack")
+          .fold(e => throw new IllegalArgumentException(e), identity)))
+      .select(col("product_name")).collect().map(_.getString(0)).toSeq
+    assert(filtSql == filtApi && filtSql == Seq("Backpack"))
+  }
+
+  test("vectorize_hybrid_search accepts trailing typed filters") {
+    val rows = spark.sql(
+      "SELECT product_name FROM vectorize_hybrid_search('products', 'pencil', 10, 'product_name=eq.Pencil')")
+      .collect().map(_.getString(0)).toSeq
+    assert(rows == Seq("Pencil"))
+  }
+
   test("vectorize_hybrid_search from SQL: README ranking + default limit") {
     val top = spark.sql(
       "SELECT * FROM vectorize_hybrid_search('products', 'camping backpack', 1)").collect()
