@@ -165,5 +165,16 @@ class IncrementalDedupSpec extends AnyFunSuite {
       "doc_id", "text").queryExecution.executedPlan.toString
     assert(!plan.contains("documents.parquet"),
       s"store-backed form must never scan the corpus text:\n$plan")
+    // 4) the two index reads are column-pruned to their branch: the
+    // band probe reads band_keys WITHOUT the (heavy) shingle sets,
+    // the verify fetch reads shingles WITHOUT band_keys — together
+    // they are the "narrow index reads" the operator's scale story
+    // rests on
+    assert("ReadSchema: [^\n]*band_keys".r.findAllIn(plan)
+        .exists(s => !s.contains("shingles")),
+      s"band probe must not read shingle sets:\n$plan")
+    assert("ReadSchema: [^\n]*shingles".r.findAllIn(plan)
+        .exists(s => !s.contains("band_keys")),
+      s"verify fetch must not read band keys:\n$plan")
   }
 }

@@ -67,6 +67,16 @@ class SqlTableFunctionsSpec extends AnyFunSuite {
     assert(filtSql == filtApi && filtSql == Seq("Backpack"))
   }
 
+  test("malformed typed-filter argument fails loudly, not silently unfiltered") {
+    val e = intercept[Exception] {
+      spark.sql(
+        "SELECT * FROM vectorize_search('products', 'bag', 5, '', 'no_equals_sign')")
+        .collect()
+    }
+    assert(e.getMessage.contains("column=op.value"),
+      s"bad filter must name the expected form, got: ${e.getMessage}")
+  }
+
   test("vectorize_hybrid_search accepts trailing typed filters") {
     val rows = spark.sql(
       "SELECT product_name FROM vectorize_hybrid_search('products', 'pencil', 10, 'product_name=eq.Pencil')")
