@@ -1743,6 +1743,27 @@ object Oracles {
          |          ELSE '${Queries.sampleThreshOther}' END)
          |ORDER BY doc_id""".stripMargin,
 
+    // training-export shard manifest: identical md5-bucket shard
+    // arithmetic (first 8 hex chars as unsigned 32-bit, mod nShards)
+    // over the stringified key; the range() left join keeps empty
+    // shards present as zero rows, exactly as the Spark side does
+    "export_shards" ->
+      s"""WITH assigned AS (
+         |  SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+         |      % ${Queries.exportNShards} AS shard,
+         |    len($toksSql) AS toks
+         |  FROM documents),
+         |agg AS (
+         |  SELECT shard, COUNT(*) AS n_docs,
+         |    CAST(SUM(toks) AS BIGINT) AS n_tokens
+         |  FROM assigned GROUP BY 1),
+         |shards AS (SELECT range AS shard FROM range(0, ${Queries.exportNShards}))
+         |SELECT s.shard,
+         |  CAST(COALESCE(a.n_docs, 0) AS BIGINT) AS n_docs,
+         |  CAST(COALESCE(a.n_tokens, 0) AS BIGINT) AS n_tokens
+         |FROM shards s LEFT JOIN agg a ON a.shard = s.shard
+         |ORDER BY s.shard""".stripMargin,
+
     // document-level sequence packing: the identical shard arithmetic,
     // per-(lang, shard) ordered cumsum EXCLUDING the current row, and
     // bin = floor(before / budget) — then the per-bin manifest

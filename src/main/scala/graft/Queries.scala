@@ -1449,6 +1449,20 @@ object Queries {
     * — arithmetic, not murmur — so the DuckDB oracle replays the
     * identical assignment.
     */
+  /** Training-export shard manifest: deterministic md5 sharding of
+    * the corpus into [[exportNShards]] loader units with per-shard
+    * doc/token counts ([[operators.Export]] — the terminal fan-out
+    * after packing; manifest = one narrow scan + an N-row map-side
+    * aggregate; empty shards surface as zero rows). The md5 bucket
+    * replays bit-identically in DuckDB, which is exactly why the
+    * operator avoids Spark's Murmur hash.
+    */
+  private[graft] val exportNShards = 8
+  def exportShardManifest(spark: SparkSession, dir: String): DataFrame =
+    operators.Export.shardManifest(t(spark, dir, "documents"), "doc_id",
+        size(sqlTokens(col("text"))), exportNShards)
+      .orderBy(col("shard"))
+
   private[graft] val packBudget = 512L
   private[graft] val packShards = 8
   def packSequences(spark: SparkSession, dir: String): DataFrame = {
@@ -2937,6 +2951,7 @@ object Queries {
     "pipeline_neardup" -> (pipelineNeardup _),
     "mine_hard_negatives" -> (mineHardNegatives _),
     "pack_sequences" -> (packSequences _),
+    "export_shards" -> (exportShardManifest _),
     "split_assign" -> (splitAssign _),
     "contamination_report" -> (contaminationReport _),
     "mm_describe" -> (mmDescribe _),

@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Training-export sharding (north-star addition): the terminal
+  * fan-out of a cleaned corpus into N training shards, the step after
+  * packing where tokenizer/loader workers each consume one shard
+  * directory.
+  *
+  * Scale design: the shard id is a DETERMINISTIC md5 bucket of the
+  * document key — engine-agnostic (replays bit-identically in DuckDB,
+  * unlike Spark's Murmur `hash()`), independent of partitioning, row
+  * order, and session — so a re-export of the same corpus lands every
+  * document in the same shard (resumable exports, diffable
+  * manifests), and shards are decorrelated from id assignment order
+  * (a `pmod(id, n)` would stripe time-ordered crawls across shards
+  * systematically). Writing is ONE shuffle on the shard key; the
+  * manifest is one narrow scan + an N-row map-side-combinable
+  * aggregate. Shard token balance is statistical (law of large
+  * numbers over ~N_docs/N per shard); the manifest's ratio column is
+  * the ops signal that a shard count was set too high for a small
+  * corpus.
+  */
+object Export {
+
+  /** Deterministic shard id in [0, nShards): first 8 md5 hex chars of
+    * the stringified key, as an unsigned 32-bit value, mod nShards.
+    * DuckDB replay: `CAST(('0x' || substr(md5(CAST(k AS VARCHAR)),1,8))
+    * AS BIGINT) % n`.
+    */
+  def shardId(key: Column, nShards: Int): Column = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    pmod(conv(substring(md5(key.cast("string")), 1, 8), 16, 10).cast("long"),
+      lit(nShards.toLong))
+  }
+
+  /** Per-shard export manifest: (shard, n_docs, n_tokens) for every
+    * shard 0..nShards-1 — empty shards surface as zero rows rather
+    * than vanishing (a loader that expects N directories must see N
+    * manifest rows). `tokens` is the caller's token expression over a
+    * document row (tokenization-agnostic: whitespace, BPE, or the
+    * corpus-standard lowercase-alnum tokens).
+    */
+  def shardManifest(docs: DataFrame, idCol: String, tokens: Column,
+      nShards: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val counted = docs
+      .select(shardId(col(idCol), nShards).as("shard"), tokens.as("__toks"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__toks")).as("n_tokens"))
+    (0L until nShards.toLong).toDF("shard")
+      .join(counted, Seq("shard"), "left")
+      .select(col("shard"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"))
+  }
+
+  /** Write the corpus partitioned by shard id — the one terminal
+    * shuffle of an export. Each `shard=K` directory is one loader
+    * unit; `repartition` by the shard column keeps a shard's rows in
+    * one task's output files instead of nShards files per input task
+    * (at 1000 executors the difference is N files vs N×1000).
+    */
+  def writeShards(docs: DataFrame, idCol: String, nShards: Int,
+      path: String): Unit =
+    docs.withColumn("shard", shardId(col(idCol), nShards))
+      .repartition(col("shard"))
+      .write.partitionBy("shard").mode("overwrite").parquet(path)
+}
