@@ -614,6 +614,27 @@ object Oracles {
       s"${sqlQuote(Queries.ragQueryText)} || ${sqlQuote(post)}"
   }
 
+  /** Shared by dedup_incremental and its _stored twin — both must
+    * return the identical answer (the store's norm_hash column is the
+    * same md5 the storeless form computes).
+    */
+  private lazy val incrementalExactReplaySql: String =
+    s"""WITH b AS (
+       |  SELECT doc_id AS id,
+       |    md5(regexp_replace(lower(trim(coalesce(text, ''))), '\\s+', ' ', 'g')) AS h
+       |  FROM documents WHERE doc_id >= ${Queries.incrementalSplit}),
+       |e AS (
+       |  SELECT DISTINCT
+       |    md5(regexp_replace(lower(trim(coalesce(text, ''))), '\\s+', ' ', 'g')) AS h
+       |  FROM documents WHERE doc_id < ${Queries.incrementalSplit}),
+       |first AS (
+       |  SELECT id, h,
+       |    row_number() OVER (PARTITION BY h ORDER BY id) AS rn
+       |  FROM b)
+       |SELECT id AS doc_id FROM first
+       |WHERE rn = 1 AND h NOT IN (SELECT h FROM e)
+       |ORDER BY doc_id""".stripMargin
+
   /** Shared by dedup_incremental_neardup and its _stored twin — both
     * must return the identical answer over the same signature dump.
     */
@@ -899,23 +920,11 @@ object Oracles {
     // on the Spark side only prunes — the exact anti-join decides, so
     // the bloom-free replay is the same answer). coalesce keeps the
     // hash domain NULL-free (a NULL in the NOT-IN subquery would zero
-    // the whole result under three-valued logic).
-    "dedup_incremental" ->
-      s"""WITH b AS (
-         |  SELECT doc_id AS id,
-         |    md5(regexp_replace(lower(trim(coalesce(text, ''))), '\\s+', ' ', 'g')) AS h
-         |  FROM documents WHERE doc_id >= ${Queries.incrementalSplit}),
-         |e AS (
-         |  SELECT DISTINCT
-         |    md5(regexp_replace(lower(trim(coalesce(text, ''))), '\\s+', ' ', 'g')) AS h
-         |  FROM documents WHERE doc_id < ${Queries.incrementalSplit}),
-         |first AS (
-         |  SELECT id, h,
-         |    row_number() OVER (PARTITION BY h ORDER BY id) AS rn
-         |  FROM b)
-         |SELECT id AS doc_id FROM first
-         |WHERE rn = 1 AND h NOT IN (SELECT h FROM e)
-         |ORDER BY doc_id""".stripMargin,
+    // the whole result under three-valued logic). The _stored twin
+    // (corpus hashes from the persisted signature store) MUST return
+    // the identical answer, so it shares this replay verbatim.
+    "dedup_incremental" -> incrementalExactReplaySql,
+    "dedup_incremental_stored" -> incrementalExactReplaySql,
 
     // within-doc span dedup: the same list algebra per row — indexed
     // list_filter keeps a span iff list_position (1-based first

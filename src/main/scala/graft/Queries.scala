@@ -562,6 +562,19 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
+  /** Store-backed incremental snapshot-delta dedup: identical answer
+    * to [[dedupIncremental]] (shared oracle SQL); the corpus side
+    * reads only the persisted signature store's 32-hex-char norm_hash
+    * column — zero corpus text scans, the exact-dedup twin of
+    * [[dedupIncrementalNeardupStored]].
+    */
+  def dedupIncrementalStored(spark: SparkSession, dir: String): DataFrame =
+    Dedup.incrementalExactStored(nearDupStore(spark, dir), "neardup_sigs",
+        t(spark, dir, "documents").filter(col("doc_id") >= incrementalSplit),
+        "doc_id", "text")
+      .select(col("id").as("doc_id"))
+      .orderBy(col("doc_id"))
+
   /** Within-document duplicate-span removal (the intra-page half of
     * C4's cleanup): each doc keeps the first occurrence of every
     * distinct 3-token span it contains. Zero shuffles — pure per-row
@@ -2917,6 +2930,7 @@ object Queries {
     "vocab_top_terms" -> (vocabTopTerms _),
     "dedup_exact" -> (dedupExact _),
     "dedup_incremental" -> (dedupIncremental _),
+    "dedup_incremental_stored" -> (dedupIncrementalStored _),
     "dedup_incremental_neardup" -> (dedupIncrementalNeardup _),
     "dedup_incremental_neardup_stored" -> (dedupIncrementalNeardupStored _),
     "pipeline_ingest" -> (pipelineIngest _),

@@ -359,22 +359,29 @@ object Dedup {
     batch.select(col(idCol).as("id")).join(dups, Seq("id"), "left_anti")
   }
 
-  /** One row per doc of the persisted signature store: (id, sig,
-    * shingles, band_keys), with band_keys[b] computed by the SAME
-    * `hash(band, sig-slice)` as [[bandKeysOf]] — denormalized as an
-    * array so the whole index MERGEs by the doc key and a probe
-    * explodes it back to [[bandKeysOf]]'s exact (id, band, band_key)
-    * rows. Shingle-less docs drop here exactly as [[minHashSigOf]]
-    * drops them (they can match nothing).
+  /** One row per doc of the persisted signature store: (id,
+    * norm_hash, sig, shingles, band_keys), with band_keys[b] computed
+    * by the SAME `hash(band, sig-slice)` as [[bandKeysOf]] —
+    * denormalized as an array so the whole index MERGEs by the doc
+    * key and a probe explodes it back to [[bandKeysOf]]'s exact
+    * (id, band, band_key) rows. EVERY doc gets a row (the exact-dedup
+    * probe needs the full norm_hash domain); shingle-less docs carry
+    * null sig/band_keys, so the near-dup probe's posexplode skips
+    * them — exactly the "can match nothing" outcome of
+    * [[minHashSigOf]] dropping them in the storeless form.
     */
   private def sigStoreRows(docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int, numHashes: Int, bands: Int): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val rows = numHashes / bands
-    minHashSigOf(docs, idCol, textCol, shingleN, numHashes)
-      .withColumn("band_keys", array((0 until bands).map(b =>
-        hash(lit(b), slice(col("sig"), b * rows + 1, rows))): _*))
-      .select("id", "sig", "shingles", "band_keys")
+    val hasShingles = size(col("shingles")) > 0
+    docs.select(col(idCol).as("id"), col(textCol).as("text"))
+      .withColumn("norm_hash", normHash(col("text")))
+      .withColumn("shingles", array_distinct(shingles(col("text"), lit(shingleN))))
+      .withColumn("sig", when(hasShingles, minHash(col("shingles"), lit(numHashes))))
+      .withColumn("band_keys", when(hasShingles, array((0 until bands).map(b =>
+        hash(lit(b), slice(col("sig"), b * rows + 1, rows))): _*)))
+      .select("id", "norm_hash", "sig", "shingles", "band_keys")
   }
 
   /** Create — or incrementally extend — the persisted MinHash
@@ -761,14 +768,37 @@ object Dedup {
     * to the batch's buckets; the one-pass corpus scan here is the
     * storeless worst case.
     */
+  /** Normalized-text dedup hash (case + whitespace fold, md5).
+    * null ≡ empty (the toksSql convention): md5 of a NULL text would
+    * be NULL, which never equi-joins on the Spark side but poisons
+    * the oracle's NOT-IN set algebra — coalescing keeps the hash
+    * domain NULL-free on both sides. ONE definition shared by
+    * [[incrementalExact]] and the persisted signature store so the
+    * storeless and store-backed forms cannot drift.
+    */
+  private[graft] def normHash(c: Column): Column =
+    md5(regexp_replace(lower(trim(coalesce(c, lit("")))), "\\s+", " "))
+
   def incrementalExact(existing: DataFrame, batch: DataFrame, idCol: String,
-      textCol: String, fpp: Double = 0.01): DataFrame = {
-    // null ≡ empty (the toksSql convention): md5 of a NULL text would
-    // be NULL, which never equi-joins on the Spark side but poisons
-    // the oracle's NOT-IN set algebra — coalescing keeps the hash
-    // domain NULL-free on both sides
-    def normHash(c: Column): Column =
-      md5(regexp_replace(lower(trim(coalesce(c, lit("")))), "\\s+", " "))
+      textCol: String, fpp: Double = 0.01): DataFrame =
+    incrementalExactCore(existing.select(normHash(col(textCol)).as("h")),
+      batch, idCol, textCol, fpp)
+
+  /** Store-backed incremental exact dedup: the existing corpus's
+    * normalized-text hashes come from the persisted signature store's
+    * `norm_hash` column ([[buildNearDupStore]]) instead of a corpus
+    * text scan — the exact-dedup twin of [[incrementalNearDupStored]],
+    * sharing [[incrementalExactCore]] so the two forms agree by
+    * construction. The index read is ONE 32-hex-char column.
+    */
+  def incrementalExactStored(store: graft.sources.ParquetStore,
+      table: String, batch: DataFrame, idCol: String, textCol: String,
+      fpp: Double = 0.01): DataFrame =
+    incrementalExactCore(store.read(table).select(col("norm_hash").as("h")),
+      batch, idCol, textCol, fpp)
+
+  private def incrementalExactCore(existingHashes: DataFrame, batch: DataFrame,
+      idCol: String, textCol: String, fpp: Double): DataFrame = {
     val b = batch.select(col(idCol).as("id"), normHash(col(textCol)).as("h"))
     // two actions over the SMALL (batch) side only: count sizes the
     // filter, bloomFilter builds it; the corpus side stays lazy
@@ -777,7 +807,7 @@ object Dedup {
     val bc = batch.sparkSession.sparkContext.broadcast(bloom)
     val mightContain =
       udf((h: String) => h != null && bc.value.mightContainString(h))
-    val hits = existing.select(normHash(col(textCol)).as("h"))
+    val hits = existingHashes
       .filter(mightContain(col("h"))).distinct()
     val keepFirst = Window.partitionBy(col("h")).orderBy(col("id"))
     b.withColumn("__rn", row_number().over(keepFirst))

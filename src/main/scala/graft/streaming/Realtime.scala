@@ -181,11 +181,20 @@ object Realtime {
     * chunked run against the sequential snapshot-by-snapshot batch
     * chain, which is the contract an always-on pipeline actually has.
     *
-    * Crash-replay safety: signatures MERGE BEFORE the docs table, and
-    * the near-dup core ignores self-pairs, so the partial-crash orders
-    * are both idempotent — (sig in, docs missing) → redelivery passes
-    * exact dedup, skips its own signature, re-merges the same rows;
-    * (both in) → exact dedup drops the redelivery outright.
+    * Both dedup stages probe the SIGNATURE index, not the docs table:
+    * exact dedup reads its narrow norm_hash column
+    * ([[graft.operators.Dedup.incrementalExactStored]]), so a
+    * micro-batch never scans the accumulated corpus TEXT at all — the
+    * docs-table MERGE is the only thing that touches it, and MERGE
+    * I/O is bounded by the touched key-hash buckets.
+    *
+    * Crash-replay safety: the docs table MERGEs BEFORE the signature
+    * index, and the near-dup core ignores self-pairs. Crash between
+    * the merges → the redelivered rows still pass both dedup gates
+    * (their signatures are absent), the docs MERGE rewrites the same
+    * rows, and the signature MERGE completes; crash after both →
+    * the exact gate drops the redelivery outright. Either order of
+    * partial completion converges to the same store state.
     */
   def streamIngestPipeline(store: graft.sources.ParquetStore, table: String,
       sigTable: String, docs: DataFrame, idCol: String, textCol: String,
@@ -193,7 +202,6 @@ object Realtime {
       shingleN: Int = 3, numHashes: Int = 64, bands: Int = 16,
       threshold: Double = 0.5,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
-    val schema = docs.schema
     docs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
@@ -202,20 +210,25 @@ object Realtime {
         val b = batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
           if (!b.isEmpty) {
-            val existing = store.readOrEmpty(table, schema)
-            val kept1 = graft.operators.Dedup
-              .incrementalExact(existing, b, idCol, textCol)
-              .withColumnRenamed("id", idCol)
-            val b1 = b.join(kept1, Seq(idCol), "left_semi")
+            val haveSigs = store.exists(sigTable)
+            val kept1 =
+              if (haveSigs)
+                graft.operators.Dedup.incrementalExactStored(store, sigTable,
+                  b, idCol, textCol)
+              else // first batch: empty corpus, within-batch rule only
+                graft.operators.Dedup.incrementalExact(b.limit(0), b,
+                  idCol, textCol)
+            val b1 = b.join(kept1.withColumnRenamed("id", idCol),
+              Seq(idCol), "left_semi")
             val b2 =
               if (blocklist.isEmpty) b1
               else b1.filter(graft.functions.GraftFunctions
                 .blocklistClean(col(textCol), blocklist))
             val kept2 =
-              if (store.exists(sigTable))
+              if (haveSigs)
                 graft.operators.Dedup.incrementalNearDupStored(store, sigTable,
                   b2, idCol, textCol, shingleN, numHashes, bands, threshold)
-              else // first batch: empty corpus, within-batch rule only
+              else
                 graft.operators.Dedup.incrementalNearDup(b2.limit(0), b2,
                   idCol, textCol, shingleN, numHashes, bands, threshold)
             val rows = b2.join(kept2.withColumnRenamed("id", idCol),
@@ -224,11 +237,12 @@ object Realtime {
             try {
               // force full materialization BEFORE mutating the store:
               // `rows` lazily reads the store's current version, and
-              // the sig-MERGE below commits a new one
+              // the MERGEs below commit new ones. Docs FIRST (see the
+              // crash-replay contract above).
               if (rows.count() > 0) {
+                store.merge(table, rows, idCol)
                 graft.operators.Dedup.buildNearDupStore(store, sigTable, rows,
                   idCol, textCol, shingleN, numHashes, bands)
-                store.merge(table, rows, idCol)
               }
             } finally rows.unpersist()
           }

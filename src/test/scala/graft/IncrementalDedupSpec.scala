@@ -156,6 +156,15 @@ class IncrementalDedupSpec extends AnyFunSuite {
       "doc_id", "text"))
     assert(stored2 == storeless2,
       s"post-MERGE snapshot diverged: stored=$stored2 storeless=$storeless2")
+    // 2b) the EXACT-dedup twin over the same store: the norm_hash
+    // column must reproduce the storeless incrementalExact answer,
+    // including post-MERGE state
+    val exactStoreless = ids(Dedup.incrementalExact(existing.unionByName(s1),
+      b2, "doc_id", "text"))
+    val exactStored = ids(Dedup.incrementalExactStored(store, "sigs", b2,
+      "doc_id", "text"))
+    assert(exactStored == exactStoreless,
+      s"exact twin diverged: stored=$exactStored storeless=$exactStoreless")
     // 3) plan lock: with an in-memory batch, the store-backed form must
     // touch NO documents parquet at all — the corpus side reads only
     // the persisted signature index (column-pruned)
