@@ -60,9 +60,9 @@ object Pq {
   }
 
   /** Encode one vector: per-subspace argmin-L2 centroid id (ties →
-    * lowest code, matching assignCells' least(struct) order). Null or
-    * wrong-dimension vectors encode to null (excluded from ranking,
-    * like null cosine).
+    * lowest code, the same order as Ann.nearestCentroidUdf's
+    * broadcast argmin). Null or wrong-dimension vectors encode to
+    * null (excluded from ranking, like null cosine).
     */
   def encodeVec(v: Seq[Float], cb: Codebooks): Array[Byte] = {
     if (v == null || v.length != cb.m * cb.subDim) return null

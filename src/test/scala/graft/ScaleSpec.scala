@@ -162,8 +162,14 @@ class ScaleSpec extends AnyFunSuite {
       // is covered by the dedicated both-sides rung below
       "dedup_incremental" -> (salted1, salted10),
       "dedup_incremental_neardup" -> (salted1, salted10),
+      // the store-backed twins (signature store built at warmup — the
+      // CREATE INDEX analogue; the measured run is the index probe)
+      "dedup_incremental_stored" -> (salted1, salted10),
+      "dedup_incremental_neardup_stored" -> (salted1, salted10),
       // the composed ingestion chain (same batch-side caveat)
-      "pipeline_ingest" -> (salted1, salted10))
+      "pipeline_ingest" -> (salted1, salted10),
+      // export sharding: one narrow scan + N-row aggregate
+      "export_shards" -> (verb1, verb10))
     dirs = Map("salted1" -> salted1, "salted10" -> salted10,
       "verbatim10" -> verb10)
     plan.map { case (q, (d1, d10)) =>
@@ -310,6 +316,15 @@ class ScaleSpec extends AnyFunSuite {
 
   test("incremental near-dup dedup scales sub-quadratically to 10x", ScaleTest) {
     assertSubQuadratic("dedup_incremental_neardup")
+  }
+
+  test("store-backed incremental dedups scale sub-quadratically to 10x", ScaleTest) {
+    assertSubQuadratic("dedup_incremental_stored")
+    assertSubQuadratic("dedup_incremental_neardup_stored")
+  }
+
+  test("export sharding scales sub-quadratically to 10x", ScaleTest) {
+    assertSubQuadratic("export_shards")
   }
 
   test("incremental near-dup scales when the CORPUS side grows 10x too", ScaleTest) {
