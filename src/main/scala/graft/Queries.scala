@@ -769,15 +769,22 @@ object Queries {
     */
   private[graft] def ingestTagged(spark: SparkSession, dir: String): DataFrame = {
     val docs = t(spark, dir, "documents")
-    val existing = docs.filter(col("doc_id") < incrementalSplit)
     val batch = docs.filter(col("doc_id") >= incrementalSplit)
-    val kept1 = Dedup.incrementalExact(existing, batch, "doc_id", "text")
+    // both dedup stages probe the PERSISTED signature store over the
+    // existing corpus (the production shape — zero corpus text
+    // rescans per snapshot); the storeless forms are pinned to the
+    // identical answers (IncrementalDedupSpec), so the chain oracle
+    // replays unchanged
+    val store = nearDupStore(spark, dir)
+    val kept1 = Dedup.incrementalExactStored(store, "neardup_sigs", batch,
+        "doc_id", "text")
       .withColumnRenamed("id", "doc_id")
     val b1 = batch.join(kept1, Seq("doc_id"), "left_semi")
     val b2 = b1.filter(blocklistClean(col("text"), blocklistTerms))
-    val kept2 = Dedup.incrementalNearDup(existing, b2, "doc_id", "text",
-        shingleN = minHashShingleN, numHashes = minHashNumHashes,
-        bands = minHashBands, threshold = minHashThreshold)
+    val kept2 = Dedup.incrementalNearDupStored(store, "neardup_sigs", b2,
+        "doc_id", "text", shingleN = minHashShingleN,
+        numHashes = minHashNumHashes, bands = minHashBands,
+        threshold = minHashThreshold)
       .withColumnRenamed("id", "doc_id")
     batch
       .join(kept1.withColumn("__m1", lit(true)), Seq("doc_id"), "left")
