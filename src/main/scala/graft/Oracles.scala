@@ -1256,6 +1256,32 @@ object Oracles {
     // Probe-pruned ANN top-k over the dumped persisted-index layouts.
     "ann_lsh_topk" -> annProbeSql(
       "ann_lsh_buckets.parquet", "bucket", "ann_lsh_probes.parquet", "keys"),
+
+    // ANN recall@k monitor: the LSH probe replay (same CTEs as
+    // ann_lsh_topk) joined against the exact brute-force top-k —
+    // recall counted at full precision before any rounding.
+    "eval_ann_recall" ->
+      s"""WITH probes AS (
+         |  SELECT unnest(keys) AS k FROM read_parquet('__AUX__/ann_lsh_probes.parquet')),
+         |cand AS (
+         |  SELECT vec_id FROM read_parquet('__AUX__/ann_lsh_buckets.parquet')
+         |  WHERE bucket IN (SELECT k FROM probes)),
+         |ascored AS (
+         |  SELECT e.vec_id, ${cosSql("e")} AS cos
+         |  FROM embeddings e JOIN cand c ON e.vec_id = c.vec_id),
+         |atop AS (
+         |  SELECT vec_id FROM ascored
+         |  ORDER BY cos DESC, vec_id ASC LIMIT ${Queries.annTopK}),
+         |etop AS (
+         |  SELECT e.vec_id FROM embeddings e
+         |  WHERE ${cosSql("e")} IS NOT NULL
+         |  ORDER BY ${cosSql("e")} DESC, e.vec_id ASC LIMIT ${Queries.annTopK})
+         |SELECT CAST(${Queries.annTopK} AS INT) AS k,
+         |  CAST(COUNT(*) AS BIGINT) AS n_approx,
+         |  CAST(COALESCE(SUM(CASE WHEN e.vec_id IS NOT NULL THEN 1 END), 0) AS BIGINT) AS n_hit,
+         |  round(CAST(COALESCE(SUM(CASE WHEN e.vec_id IS NOT NULL THEN 1 END), 0) AS DOUBLE)
+         |    / ${Queries.annTopK}, 4) AS recall_at_k
+         |FROM atop a LEFT JOIN etop e ON a.vec_id = e.vec_id""".stripMargin,
     "ann_ivf_topk" -> annProbeSql(
       "ann_ivf_cells.parquet", "cell", "ann_ivf_probes.parquet", "cells"),
 

@@ -979,6 +979,29 @@ object Queries {
       .orderBy(col("cos").desc, col("id").asc)
   }
 
+  /** Retrieval-quality monitoring: recall@k of the probe-pruned LSH
+    * top-k against the exact brute-force top-k for the standard query
+    * vector — the ops dial that says when an index's probe budget has
+    * drifted below its recall target (the query twin of the spec
+    * suite's recall bounds, runnable at monitoring cadence). One row:
+    * (k, n_approx, n_hit, recall_at_k). Cost = the two top-ks it
+    * compares plus a k-row join.
+    */
+  def evalAnnRecall(spark: SparkSession, dir: String): DataFrame = {
+    val qv = queryVec(spark, dir)
+    val emb = t(spark, dir, "embeddings")
+    val exact = Ann.bruteForceTopK(emb, "vec_id", "embedding", qv, annTopK)
+      .select(col("id"), lit(1L).as("__x"))
+    val approx = Ann.probeLshIndexDirected(spark, lshIndex(spark, dir),
+        "vec_id", "embedding", qv, k = annTopK, maxProbes = annLshMaxProbes)
+      .select(col("id"))
+    approx.join(broadcast(exact), Seq("id"), "left")
+      .agg(count(lit(1)).as("n_approx"),
+        coalesce(sum(col("__x")), lit(0L)).as("n_hit"))
+      .select(lit(annTopK).as("k"), col("n_approx"), col("n_hit"),
+        round(col("n_hit").cast("double") / lit(annTopK), 4).as("recall_at_k"))
+  }
+
   /** Probe ef for the HNSW entry (HnswSpec measures recall 1.0 at 64
     * on the near-uniform test vectors, same discipline as the LSH/IVF
     * probe settings).
@@ -2967,6 +2990,7 @@ object Queries {
     "ann_matryoshka_topk" -> (annMatryoshkaTopK _),
     "knn_label_prop" -> (knnLabelProp _),
     "eval_knn_metrics" -> (evalKnnMetrics _),
+    "eval_ann_recall" -> (evalAnnRecall _),
     "pipeline_corpus" -> (pipelineCorpus _),
     "pipeline_c4" -> (pipelineC4 _),
     "pipeline_neardup" -> (pipelineNeardup _),
