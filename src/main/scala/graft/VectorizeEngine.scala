@@ -484,12 +484,16 @@ final class VectorizeEngine(
     */
   def searchJson(jobName: String, query: String, limit: Int = 10,
       filters: Map[String, FilterValue] = Map.empty,
-      returnCols: Seq[String] = Seq("*")): DataFrame =
-    search(jobName, query, limit, filters, returnCols)
+      returnCols: Seq[String] = Seq("*"),
+      whereSql: Option[String] = None): DataFrame =
+    search(jobName, query, limit, filters, returnCols, whereSql = whereSql)
       .select(to_json(struct(col("*"))).as("results"))
 
-  def hybridSearchJson(jobName: String, query: String, limit: Int = 10): DataFrame =
-    hybridSearch(jobName, query, limit)
+  def hybridSearchJson(jobName: String, query: String, limit: Int = 10,
+      filters: Map[String, FilterValue] = Map.empty,
+      whereSql: Option[String] = None): DataFrame =
+    hybridSearch(jobName, query, limit, filters = filters,
+        whereSql = whereSql)
       .select(to_json(struct(col("*"))).as("results"))
 
   /** `vectorize.hybrid_search` (extension/src/api.rs:136-157).
@@ -502,12 +506,14 @@ final class VectorizeEngine(
       semanticWt: Double = 1.0, ftsWt: Double = 1.0,
       filters: Map[String, FilterValue] = Map.empty,
       returnCols: Seq[String] = Seq("*"),
-      bm25: Boolean = false): DataFrame = {
+      bm25: Boolean = false,
+      whereSql: Option[String] = None): DataFrame = {
     val job = jobs(jobName)
     val qv = encode(jobName, query)
     Search.hybridSearch(sources(job.srcTable), embeddingsOf(job),
       tokensOf(jobName), job.primaryKey, qv, query, limit,
-      windowSize, rrfK, semanticWt, ftsWt, filters, returnCols, bm25)
+      windowSize, rrfK, semanticWt, ftsWt, filters, returnCols, bm25,
+      whereSql)
   }
 
   /** `vectorize.rag` (extension/src/api.rs:179-205): retrieve top

@@ -241,7 +241,8 @@ object Search {
       semanticWt: Double = 1.0, ftsWt: Double = 1.0,
       filters: Map[String, FilterValue] = Map.empty,
       returnCols: Seq[String] = Seq("*"),
-      bm25: Boolean = false): DataFrame = {
+      bm25: Boolean = false,
+      whereSql: Option[String] = None): DataFrame = {
     val windowSize = windowSizeOpt.getOrElse(limit * 5)
     val sem = semanticLeg(emb, queryVec, windowSize)
     // bm25 swaps the FTS leg's scoring function; the leg contract
@@ -257,7 +258,11 @@ object Search {
         coalesce(lit(ftsWt) / (lit(rrfK) + col("fts_rank")), lit(0.0)))
     val joined = src.join(
       broadcast(fused), src(pk).cast("string") === fused("pkey"), "inner")
-    val filtered = applyFilters(joined, filters)
+    // P5 where_sql: post-join over the full ranking, the reference
+    // placement (extension/src/api.rs:139-155 → core hybrid where_sql)
+    // — same trust model and position as the typed filters
+    val filtered = whereSql.fold(applyFilters(joined, filters))(w =>
+      applyFilters(joined, filters).filter(expr(w)))
     val projected = filtered.select(
       projectCols(src, returnCols) ++ Seq(
         fused("similarity_score").as("similarity_score"),

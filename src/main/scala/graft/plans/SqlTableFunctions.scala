@@ -86,22 +86,34 @@ object SqlTableFunctions {
         filters = filterArgs(args, 4, fn), whereSql = whereSql))
     },
     "vectorize_search_json" -> { args: Seq[Expression] =>
+      val fn = "vectorize_search_json"
+      val whereSql =
+        if (args.length >= 4) Some(strArg(args, 3, fn)).filter(_.nonEmpty)
+        else None
       GraftColumnBridge.logicalPlan(engine.searchJson(
-        strArg(args, 0, "vectorize_search_json"), strArg(args, 1, "vectorize_search_json"),
-        intArg(args, 2, "vectorize_search_json", 10)))
+        strArg(args, 0, fn), strArg(args, 1, fn), intArg(args, 2, fn, 10),
+        filters = filterArgs(args, 4, fn), whereSql = whereSql))
     },
-    // vectorize_hybrid_search(job, query[, limit[, 'col=op.value'...]])
+    // vectorize_hybrid_search(job, query[, limit[, where_sql[,
+    // 'col=op.value'...]]]) — the reference's hybrid_search carries
+    // where_sql too (extension/src/api.rs:139-155)
     "vectorize_hybrid_search" -> { args: Seq[Expression] =>
       val fn = "vectorize_hybrid_search"
+      val whereSql =
+        if (args.length >= 4) Some(strArg(args, 3, fn)).filter(_.nonEmpty)
+        else None
       GraftColumnBridge.logicalPlan(engine.hybridSearch(
         strArg(args, 0, fn), strArg(args, 1, fn), intArg(args, 2, fn, 10),
-        filters = filterArgs(args, 3, fn)))
+        filters = filterArgs(args, 4, fn), whereSql = whereSql))
     },
     "vectorize_hybrid_search_json" -> { args: Seq[Expression] =>
+      val fn = "vectorize_hybrid_search_json"
+      val whereSql =
+        if (args.length >= 4) Some(strArg(args, 3, fn)).filter(_.nonEmpty)
+        else None
       GraftColumnBridge.logicalPlan(engine.hybridSearchJson(
-        strArg(args, 0, "vectorize_hybrid_search_json"),
-        strArg(args, 1, "vectorize_hybrid_search_json"),
-        intArg(args, 2, "vectorize_hybrid_search_json", 10)))
+        strArg(args, 0, fn), strArg(args, 1, fn), intArg(args, 2, fn, 10),
+        filters = filterArgs(args, 4, fn), whereSql = whereSql))
     },
     "vectorize_rag_prompt" -> { args: Seq[Expression] =>
       val fn = "vectorize_rag_prompt"

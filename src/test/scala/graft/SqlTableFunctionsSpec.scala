@@ -77,11 +77,19 @@ class SqlTableFunctionsSpec extends AnyFunSuite {
       s"bad filter must name the expected form, got: ${e.getMessage}")
   }
 
-  test("vectorize_hybrid_search accepts trailing typed filters") {
+  test("vectorize_hybrid_search accepts where_sql and trailing typed filters") {
     val rows = spark.sql(
-      "SELECT product_name FROM vectorize_hybrid_search('products', 'pencil', 10, 'product_name=eq.Pencil')")
+      "SELECT product_name FROM vectorize_hybrid_search('products', 'pencil', 10, '', 'product_name=eq.Pencil')")
       .collect().map(_.getString(0)).toSeq
     assert(rows == Seq("Pencil"))
+    val whereRows = spark.sql(
+      "SELECT product_name FROM vectorize_hybrid_search('products', 'pencil', 10, \"product_name = 'Pencil'\")")
+      .collect().map(_.getString(0)).toSeq
+    assert(whereRows == Seq("Pencil"))
+    val api = engine.hybridSearch("products", "pencil", limit = 10,
+        whereSql = Some("product_name = 'Pencil'"))
+      .select(col("product_name")).collect().map(_.getString(0)).toSeq
+    assert(whereRows == api)
   }
 
   test("vectorize_hybrid_search from SQL: README ranking + default limit") {
