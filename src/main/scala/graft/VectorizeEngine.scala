@@ -491,9 +491,10 @@ final class VectorizeEngine(
 
   def hybridSearchJson(jobName: String, query: String, limit: Int = 10,
       filters: Map[String, FilterValue] = Map.empty,
+      returnCols: Seq[String] = Seq("*"),
       whereSql: Option[String] = None): DataFrame =
     hybridSearch(jobName, query, limit, filters = filters,
-        whereSql = whereSql)
+        returnCols = returnCols, whereSql = whereSql)
       .select(to_json(struct(col("*"))).as("results"))
 
   /** `vectorize.hybrid_search` (extension/src/api.rs:136-157).

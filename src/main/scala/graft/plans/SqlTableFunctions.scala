@@ -52,6 +52,19 @@ object SqlTableFunctions {
       }
     }
 
+  /** Optional return-columns CSV arg for the jsonb-style forms — the
+    * reference's `return_columns` parameter matters exactly there: a
+    * SQL SELECT prunes a row-returning TVF's columns for free, but
+    * cannot reach inside the json payload. '' or '*' = all columns.
+    */
+  private def returnColsArg(args: Seq[Expression], i: Int, fn: String): Seq[String] =
+    if (i >= args.length) Seq("*")
+    else {
+      val raw = strArg(args, i, fn).trim
+      if (raw.isEmpty || raw == "*") Seq("*")
+      else raw.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    }
+
   /** Trailing `'column=op.value'` TVF arguments → the typed filter
     * map (P4), through the SAME Rust-parity `FilterValue` parser the
     * HTTP surface uses (types/Types.scala — `gte.100`, `eq.red`, a
@@ -85,6 +98,8 @@ object SqlTableFunctions {
         strArg(args, 0, fn), strArg(args, 1, fn), intArg(args, 2, fn, 10),
         filters = filterArgs(args, 4, fn), whereSql = whereSql))
     },
+    // vectorize_search_json(job, query[, limit[, where_sql[,
+    // return_columns_csv[, 'col=op.value'...]]]])
     "vectorize_search_json" -> { args: Seq[Expression] =>
       val fn = "vectorize_search_json"
       val whereSql =
@@ -92,7 +107,8 @@ object SqlTableFunctions {
         else None
       GraftColumnBridge.logicalPlan(engine.searchJson(
         strArg(args, 0, fn), strArg(args, 1, fn), intArg(args, 2, fn, 10),
-        filters = filterArgs(args, 4, fn), whereSql = whereSql))
+        filters = filterArgs(args, 5, fn),
+        returnCols = returnColsArg(args, 4, fn), whereSql = whereSql))
     },
     // vectorize_hybrid_search(job, query[, limit[, where_sql[,
     // 'col=op.value'...]]]) — the reference's hybrid_search carries
@@ -106,6 +122,8 @@ object SqlTableFunctions {
         strArg(args, 0, fn), strArg(args, 1, fn), intArg(args, 2, fn, 10),
         filters = filterArgs(args, 4, fn), whereSql = whereSql))
     },
+    // vectorize_hybrid_search_json(job, query[, limit[, where_sql[,
+    // return_columns_csv[, 'col=op.value'...]]]])
     "vectorize_hybrid_search_json" -> { args: Seq[Expression] =>
       val fn = "vectorize_hybrid_search_json"
       val whereSql =
@@ -113,7 +131,8 @@ object SqlTableFunctions {
         else None
       GraftColumnBridge.logicalPlan(engine.hybridSearchJson(
         strArg(args, 0, fn), strArg(args, 1, fn), intArg(args, 2, fn, 10),
-        filters = filterArgs(args, 4, fn), whereSql = whereSql))
+        filters = filterArgs(args, 5, fn),
+        returnCols = returnColsArg(args, 4, fn), whereSql = whereSql))
     },
     "vectorize_rag_prompt" -> { args: Seq[Expression] =>
       val fn = "vectorize_rag_prompt"

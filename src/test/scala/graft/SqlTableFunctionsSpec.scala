@@ -111,6 +111,24 @@ class SqlTableFunctionsSpec extends AnyFunSuite {
     assert(rows.exists(_.getString(0).contains("\"product_name\":\"Pencil\"")))
   }
 
+  test("json forms: return_columns controls the json payload") {
+    // SELECT prunes a row TVF for free, but not inside a json payload
+    // — the reference's return_columns matters exactly here
+    val rows = spark.sql(
+      "SELECT * FROM vectorize_search_json('products', 'pencil', 2, '', 'product_id,product_name')")
+      .collect().map(_.getString(0))
+    assert(rows.length == 2)
+    assert(rows.forall(r =>
+      r.contains("\"product_id\"") && r.contains("\"product_name\"") &&
+        !r.contains("\"description\"")),
+      s"payload must carry only the requested columns (+scores): ${rows.head}")
+    val hyb = spark.sql(
+      "SELECT * FROM vectorize_hybrid_search_json('products', 'pencil', 2, '', 'product_name')")
+      .collect().map(_.getString(0))
+    assert(hyb.forall(r =>
+      r.contains("\"product_name\"") && !r.contains("\"description\"")))
+  }
+
   test("vectorize_table exposes the project view") {
     val n = spark.sql("SELECT * FROM vectorize_table('products')").count()
     assert(n == engine.projectView("products").count() && n > 0)
