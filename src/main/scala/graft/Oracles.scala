@@ -614,6 +614,36 @@ object Oracles {
       s"${sqlQuote(Queries.ragQueryText)} || ${sqlQuote(post)}"
   }
 
+  /** Shared by dedup_minhash_lsh and its _stored twin — both must
+    * return the identical pair list over the same signature dump.
+    */
+  private lazy val minHashPairsReplaySql: String = {
+    val rows = Queries.minHashNumHashes / Queries.minHashBands
+    s"""WITH s AS (
+       |  SELECT doc_id, shingles, sig
+       |  FROM read_parquet('__AUX__/minhash_aux.parquet')
+       |  WHERE len(shingles) > 0),
+       |bands AS (SELECT range AS band FROM range(0, ${Queries.minHashBands})),
+       |keyed AS (
+       |  SELECT doc_id, band,
+       |    list_slice(sig, band * $rows + 1, band * $rows + $rows) AS bkey
+       |  FROM s CROSS JOIN bands),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM keyed a JOIN keyed b
+       |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+       |j AS (
+       |  SELECT c.id_a, c.id_b,
+       |    CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+       |      / len(list_distinct(sa.shingles || sb.shingles)) AS jaccard
+       |  FROM cand c
+       |  JOIN s sa ON sa.doc_id = c.id_a
+       |  JOIN s sb ON sb.doc_id = c.id_b)
+       |SELECT id_a, id_b, round(jaccard, 4) AS jaccard
+       |FROM j WHERE jaccard >= ${Queries.minHashThreshold}
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
   /** Shared by dedup_incremental and its _stored twin — both must
     * return the identical answer (the store's norm_hash column is the
     * same md5 the storeless form computes).
@@ -1084,32 +1114,11 @@ object Oracles {
     // collision would additionally need to survive the exact-Jaccard
     // verify to diverge), candidates verified by exact shingle
     // Jaccard from the dumped shingle sets.
-    "dedup_minhash_lsh" -> {
-      val rows = Queries.minHashNumHashes / Queries.minHashBands
-      s"""WITH s AS (
-         |  SELECT doc_id, shingles, sig
-         |  FROM read_parquet('__AUX__/minhash_aux.parquet')
-         |  WHERE len(shingles) > 0),
-         |bands AS (SELECT range AS band FROM range(0, ${Queries.minHashBands})),
-         |keyed AS (
-         |  SELECT doc_id, band,
-         |    list_slice(sig, band * $rows + 1, band * $rows + $rows) AS bkey
-         |  FROM s CROSS JOIN bands),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-         |  FROM keyed a JOIN keyed b
-         |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
-         |j AS (
-         |  SELECT c.id_a, c.id_b,
-         |    CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
-         |      / len(list_distinct(sa.shingles || sb.shingles)) AS jaccard
-         |  FROM cand c
-         |  JOIN s sa ON sa.doc_id = c.id_a
-         |  JOIN s sb ON sb.doc_id = c.id_b)
-         |SELECT id_a, id_b, round(jaccard, 4) AS jaccard
-         |FROM j WHERE jaccard >= ${Queries.minHashThreshold}
-         |ORDER BY id_a, id_b""".stripMargin
-    },
+    "dedup_minhash_lsh" -> minHashPairsReplaySql,
+    // the _stored twin generates the identical pair list from the
+    // PERSISTED signature store instead of recomputing — shared
+    // replay, a divergence reds exactly one of the two rows
+    "dedup_minhash_lsh_stored" -> minHashPairsReplaySql,
 
     // Incremental near-dup over the SAME signature dump: batch rows
     // (>= incrementalSplit) drop iff a band collision with the

@@ -692,6 +692,38 @@ object Queries {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
       .orderBy(col("id_a"), col("id_b"))
 
+  private val fullSigStoreCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Build-once persisted signature store over the FULL corpus —
+    * backs the stored full-corpus pair sweep (the incremental twin's
+    * store covers only the pre-split existing side). */
+  private def fullSigStore(spark: SparkSession, dir: String)
+      : graft.sources.ParquetStore = {
+    val root = fullSigStoreCache.computeIfAbsent(cacheKey(spark, dir), { _ =>
+      val p = java.nio.file.Files.createTempDirectory("graft_fullsig_").toString
+      Dedup.buildNearDupStore(new graft.sources.ParquetStore(spark, p),
+        "sigs", t(spark, dir, "documents"), "doc_id", "text",
+        shingleN = minHashShingleN, numHashes = minHashNumHashes,
+        bands = minHashBands)
+      p
+    })
+    new graft.sources.ParquetStore(spark, root)
+  }
+
+  /** Full-corpus MinHash pair sweep off the persisted signature
+    * store: identical pair list to [[dedupMinHashLsh]] (shared oracle
+    * SQL), generated from the index's band_keys/shingles columns with
+    * zero corpus text reads and zero signature recompute — the
+    * periodic cluster-sweep form a pipeline that maintains the index
+    * runs between snapshots.
+    */
+  def dedupMinHashLshStored(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minHashLshPairsStored(fullSigStore(spark, dir), "sigs",
+        threshold = minHashThreshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+      .orderBy(col("id_a"), col("id_b"))
+
   /** Distribution-drift report — the monitoring pass an ingestion
     * pipeline runs on every new snapshot: token distributions of the
     * incoming batch vs the existing corpus, compared per md5-hash
@@ -2915,6 +2947,7 @@ object Queries {
     postingsIndex(spark, dir)
     bpeMerges(spark, dir)
     nearDupStore(spark, dir)
+    fullSigStore(spark, dir)
     // train-once model/centroid fits (the CREATE MODEL analogues) —
     // without these the alphabetically-first consumer query is
     // charged the whole fit (r11 bench: eval_quality_pr carried the
@@ -2972,6 +3005,7 @@ object Queries {
     "dedup_embedding_cos" -> (dedupEmbeddingCos _),
     "dedup_semantic" -> (dedupSemantic _),
     "dedup_minhash_lsh" -> (dedupMinHashLsh _),
+    "dedup_minhash_lsh_stored" -> (dedupMinHashLshStored _),
     "dedup_simhash" -> (dedupSimHash _),
     "dedup_clusters" -> (dedupClusters _),
     "dedup_clusters_star" -> (dedupClustersStar _),

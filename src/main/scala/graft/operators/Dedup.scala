@@ -398,6 +398,36 @@ object Dedup {
     store.merge(table,
       sigStoreRows(docs, idCol, textCol, shingleN, numHashes, bands), "id")
 
+  /** Full-corpus MinHash+LSH pair generation off the PERSISTED
+    * signature store — [[minHashLshPairs]] with the shingling +
+    * MinHash recompute replaced by narrow index reads (band_keys for
+    * the banded candidate join, shingles fetched per candidate pair
+    * for the exact-Jaccard verify). Same banded-equi-join shape, same
+    * verify, same answer (MinHashSpec pins stored ≡ storeless), so a
+    * pipeline that maintains the index via [[buildNearDupStore]] gets
+    * periodic full-corpus pair sweeps (clusters, canonicalization)
+    * without ever re-reading corpus text.
+    */
+  def minHashLshPairsStored(store: graft.sources.ParquetStore, table: String,
+      threshold: Double = 0.5): DataFrame = {
+    val idx = store.read(table)
+    val banded = idx.select(col("id"),
+      posexplode(col("band_keys")).as(Seq("band", "band_key")))
+    val a = banded.select(col("band"), col("band_key"), col("id").as("id_a"))
+    val b = banded.select(col("band"), col("band_key"), col("id").as("id_b"))
+    val cand = a.join(b, Seq("band", "band_key"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+    val sets = idx.select(col("id"), col("shingles"))
+    cand
+      .join(sets.select(col("id").as("id_a"), col("shingles").as("sh_a")), Seq("id_a"))
+      .join(sets.select(col("id").as("id_b"), col("shingles").as("sh_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** Store-backed incremental near-dup — the production form of
     * [[incrementalNearDup]]: the existing corpus's band keys and
     * candidate shingles come from the persisted signature store, so a

@@ -52,6 +52,29 @@ class MinHashSpec extends AnyFunSuite {
     assert(got.head.getAs[Double]("jaccard") == 1.0)
   }
 
+  test("stored pair sweep equals the storeless pair list on the real corpus") {
+    import org.apache.spark.sql.functions._
+    val corpus = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val store = new graft.sources.ParquetStore(
+      spark, TestSpark.tempDir("graft_minhash_store_"))
+    Dedup.buildNearDupStore(store, "sigs", corpus, "doc_id", "text",
+      shingleN = 2, numHashes = 64, bands = 16)
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double)] =
+      df.collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Double]("jaccard"))).toSet
+    val storeless = pairs(Dedup.minHashLshPairs(corpus, "doc_id", "text",
+      shingleN = 2, numHashes = 64, bands = 16, threshold = 0.3))
+    val stored = pairs(Dedup.minHashLshPairsStored(store, "sigs",
+      threshold = 0.3))
+    assert(stored == storeless,
+      s"stored sweep diverged (${stored.size} vs ${storeless.size} pairs)")
+    // and the stored sweep never touches the corpus text
+    val plan = Dedup.minHashLshPairsStored(store, "sigs", threshold = 0.3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("documents.parquet"),
+      s"stored pair sweep must not scan corpus text:\n$plan")
+  }
+
   test("rare-gram jaccard pairs agree with direct computation") {
     val df = docs(Seq(
       (1L, "spark streaming merges micro batches into tables"),
