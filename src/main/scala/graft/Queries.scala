@@ -929,9 +929,11 @@ object Queries {
     * checked against a declarative fixpoint.
     */
   def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = Dedup.minHashLshPairs(t(spark, dir, "documents"), "doc_id", "text",
-      shingleN = minHashShingleN, numHashes = minHashNumHashes,
-      bands = minHashBands, threshold = minHashThreshold)
+    // pair list from the PERSISTED signature store (pinned identical
+    // to the storeless minHashLshPairs) — the cluster sweep never
+    // recomputes shingles/signatures
+    val pairs = Dedup.minHashLshPairsStored(fullSigStore(spark, dir), "sigs",
+      threshold = minHashThreshold)
     val labels = Dedup.clusterCanonical(pairs)
     val sizes = labels.groupBy(col("cluster_id"))
       .agg(count(lit(1)).as("cluster_size"))
@@ -948,9 +950,8 @@ object Queries {
     * the declarative fixpoint checks both distributed algorithms.
     */
   def dedupClustersStar(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = Dedup.minHashLshPairs(t(spark, dir, "documents"), "doc_id", "text",
-      shingleN = minHashShingleN, numHashes = minHashNumHashes,
-      bands = minHashBands, threshold = minHashThreshold)
+    val pairs = Dedup.minHashLshPairsStored(fullSigStore(spark, dir), "sigs",
+      threshold = minHashThreshold)
     val labels = Dedup.clusterCanonicalStar(pairs)
     val sizes = labels.groupBy(col("cluster_id"))
       .agg(count(lit(1)).as("cluster_size"))
@@ -1629,9 +1630,9 @@ object Queries {
     */
   def pipelineNeardup(spark: SparkSession, dir: String): DataFrame = {
     val docs = t(spark, dir, "documents")
-    val pairs = Dedup.minHashLshPairs(docs, "doc_id", "text",
-      shingleN = minHashShingleN, numHashes = minHashNumHashes,
-      bands = minHashBands, threshold = minHashThreshold)
+    // stored pair sweep (pinned identical to the storeless form)
+    val pairs = Dedup.minHashLshPairsStored(fullSigStore(spark, dir), "sigs",
+      threshold = minHashThreshold)
     val labels = Dedup.clusterCanonicalStar(pairs)
     // only NON-canonical pair members leave the corpus; the anti-join
     // key set is bounded by the pair-graph size, not the corpus
