@@ -1114,6 +1114,40 @@ object Oracles {
     // collision would additionally need to survive the exact-Jaccard
     // verify to diverge), candidates verified by exact shingle
     // Jaccard from the dumped shingle sets.
+    // Near-dup decontamination over the SAME signature dump: corpus
+    // docs (id < split) banding-colliding with a held-out-slice doc
+    // (id >= split) and verifying at the exact Jaccard threshold;
+    // per-doc hit count + max jaccard (rounded AFTER the max, as the
+    // Spark side does).
+    "decontam_neardup" -> {
+      val rows = Queries.minHashNumHashes / Queries.minHashBands
+      s"""WITH s AS (
+         |  SELECT doc_id, shingles, sig
+         |  FROM read_parquet('__AUX__/minhash_aux.parquet')
+         |  WHERE len(shingles) > 0),
+         |bands AS (SELECT range AS band FROM range(0, ${Queries.minHashBands})),
+         |keyed AS (
+         |  SELECT doc_id, band,
+         |    list_slice(sig, band * $rows + 1, band * $rows + $rows) AS bkey
+         |  FROM s CROSS JOIN bands),
+         |ck AS (SELECT * FROM keyed WHERE doc_id < ${Queries.decontamNearDupSplit}),
+         |bk AS (SELECT * FROM keyed WHERE doc_id >= ${Queries.decontamNearDupSplit}),
+         |cand AS (
+         |  SELECT DISTINCT c.doc_id AS id, b.doc_id AS bench_id
+         |  FROM ck c JOIN bk b ON c.band = b.band AND c.bkey = b.bkey),
+         |j AS (
+         |  SELECT cand.id, cand.bench_id,
+         |    CAST(len(list_intersect(sc.shingles, sb.shingles)) AS DOUBLE)
+         |      / len(list_distinct(sc.shingles || sb.shingles)) AS jac
+         |  FROM cand
+         |  JOIN s sc ON sc.doc_id = cand.id
+         |  JOIN s sb ON sb.doc_id = cand.bench_id)
+         |SELECT id AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits,
+         |  round(MAX(jac), 4) AS max_jaccard
+         |FROM j WHERE jac >= ${Queries.minHashThreshold}
+         |GROUP BY id ORDER BY doc_id""".stripMargin
+    },
+
     "dedup_minhash_lsh" -> minHashPairsReplaySql,
     // the _stored twin generates the identical pair list from the
     // PERSISTED signature store instead of recomputing — shared

@@ -2042,6 +2042,25 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
+  /** NEAR-DUP decontamination: corpus docs whose exact shingle
+    * Jaccard vs any held-out-slice doc reaches the MinHash threshold
+    * — the paraphrase-leakage check the n-gram-overlap count misses;
+    * runs entirely off the persisted signature index (both sides:
+    * band_keys + shingles columns, zero text reads). The held-out
+    * slice here is the id tail (doc_id >= 450) rather than the exact
+    * demo's % 97 slice: the generator plants near-dup pairs across
+    * THAT boundary (4 at sf0.01), so the flag path is exercised —
+    * the % 97 slice contains no planted near-dups by construction.
+    */
+  private[graft] val decontamNearDupSplit = 450L
+  def decontamNeardup(spark: SparkSession, dir: String): DataFrame =
+    Dedup.contaminatedDocsNearDupStored(fullSigStore(spark, dir), "sigs",
+        col("id") < decontamNearDupSplit, col("id") >= decontamNearDupSplit,
+        threshold = minHashThreshold)
+      .select(col("id").as("doc_id"), col("n_hits"),
+        round(col("max_jaccard"), 4).as("max_jaccard"))
+      .orderBy(col("doc_id"))
+
   /** Bloom-pruned decontamination — the 100 TB form of
     * [[decontaminate]]: a driver-built Bloom filter over the
     * benchmark grams gates the corpus gram stream map-side, so the
@@ -3007,6 +3026,7 @@ object Queries {
     "dedup_semantic" -> (dedupSemantic _),
     "dedup_minhash_lsh" -> (dedupMinHashLsh _),
     "dedup_minhash_lsh_stored" -> (dedupMinHashLshStored _),
+    "decontam_neardup" -> (decontamNeardup _),
     "dedup_simhash" -> (dedupSimHash _),
     "dedup_clusters" -> (dedupClusters _),
     "dedup_clusters_star" -> (dedupClustersStar _),

@@ -398,6 +398,75 @@ object Dedup {
     store.merge(table,
       sigStoreRows(docs, idCol, textCol, shingleN, numHashes, bands), "id")
 
+  /** NEAR-DUP decontamination (the MinHash sibling of
+    * [[contaminatedDocs]]): corpus docs whose exact shingle Jaccard
+    * against ANY benchmark doc reaches `threshold` — the
+    * paraphrased/partial eval-leakage check an n-gram-overlap COUNT
+    * misses at its operating point (a doc can near-duplicate a short
+    * benchmark item while sharing < minOverlap distinct grams, and
+    * vice versa; pipelines run both). Returns one row per
+    * contaminated corpus doc: (id, n_hits, max_jaccard). No
+    * within-corpus rule — this flags leakage, it does not dedup.
+    *
+    * Scale shape = [[incrementalNearDup]]'s corpus-vs-batch half: the
+    * corpus banded stream is gated by a BROADCAST semi-join on the
+    * benchmark's band keys before any corpus-sized shuffle; only
+    * gated candidates fetch shingles for the exact verify.
+    */
+  def contaminatedDocsNearDup(corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, shingleN: Int = 3,
+      numHashes: Int = 64, bands: Int = 16,
+      threshold: Double = 0.5): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val rows = numHashes / bands
+    val bSig = minHashSigOf(benchmark, idCol, textCol, shingleN, numHashes)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cSig = minHashSigOf(corpus, idCol, textCol, shingleN, numHashes)
+    contaminatedNearDupCore(bandKeysOf(cSig, bands, rows),
+      cSig.select(col("id"), col("shingles")),
+      bandKeysOf(bSig, bands, rows), bSig.select(col("id"), col("shingles")),
+      threshold)
+  }
+
+  /** [[contaminatedDocsNearDup]] off the persisted signature store:
+    * BOTH sides read the index (band_keys + shingles columns,
+    * predicate-split into corpus and benchmark) — zero text reads,
+    * zero signature recompute. `corpusPred`/`benchPred` filter the
+    * store's `id` column.
+    */
+  def contaminatedDocsNearDupStored(store: graft.sources.ParquetStore,
+      table: String, corpusPred: Column, benchPred: Column,
+      threshold: Double = 0.5): DataFrame = {
+    val idx = store.read(table)
+    def half(pred: Column) = {
+      val part = idx.filter(pred)
+      (part.select(col("id"),
+          posexplode(col("band_keys")).as(Seq("band", "band_key"))),
+        part.select(col("id"), col("shingles")))
+    }
+    val (cBanded, cSets) = half(corpusPred)
+    val (bBanded, bSets) = half(benchPred)
+    contaminatedNearDupCore(cBanded, cSets, bBanded, bSets, threshold)
+  }
+
+  private def contaminatedNearDupCore(cBanded: DataFrame, cSets: DataFrame,
+      bBanded: DataFrame, bSets: DataFrame, threshold: Double): DataFrame = {
+    val keySet = bBanded.select("band", "band_key").distinct()
+    val cCand = cBanded.join(broadcast(keySet), Seq("band", "band_key"), "left_semi")
+    val cand = cCand
+      .join(bBanded.select(col("band"), col("band_key"), col("id").as("bench_id")),
+        Seq("band", "band_key"))
+      .select(col("id"), col("bench_id")).distinct()
+    cand
+      .join(cSets.select(col("id"), col("shingles").as("__sh_c")), Seq("id"))
+      .join(bSets.select(col("id").as("bench_id"), col("shingles").as("__sh_b")),
+        Seq("bench_id"))
+      .withColumn("jac", jaccard(col("__sh_c"), col("__sh_b")))
+      .filter(col("jac") >= threshold)
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_hits"), max(col("jac")).as("max_jaccard"))
+  }
+
   /** Full-corpus MinHash+LSH pair generation off the PERSISTED
     * signature store — [[minHashLshPairs]] with the shingling +
     * MinHash recompute replaced by narrow index reads (band_keys for

@@ -46,6 +46,32 @@ class DecontamSpec extends AnyFunSuite {
     assert(bloomed == exact, "bloom pruning must never change the answer")
   }
 
+  test("near-dup decontamination flags planted leakage; stored == storeless") {
+    val (bench, corpus) = fixture
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("id"), r.getAs[Long]("n_hits"),
+        math.rint(r.getAs[Double]("max_jaccard") * 1e6))).toSet
+    val storeless = canon(Dedup.contaminatedDocsNearDup(corpus, bench,
+      "doc_id", "text", shingleN = 2, threshold = 0.3))
+    // docs 1 and 2 near-duplicate their benchmark sources; 3-5 don't
+    assert(storeless.map(_._1) == Set(1L, 2L),
+      s"fixture must flag docs 1,2 as near-dup leakage: $storeless")
+    // the index-backed form over one store holding both slices
+    val store = new graft.sources.ParquetStore(
+      spark, TestSpark.tempDir("graft_decontam_store_"))
+    Dedup.buildNearDupStore(store, "sigs", corpus.unionByName(bench),
+      "doc_id", "text", shingleN = 2)
+    val stored = canon(Dedup.contaminatedDocsNearDupStored(store, "sigs",
+      col("id") < 1000L, col("id") >= 1000L, threshold = 0.3))
+    assert(stored == storeless, "index-backed form must equal storeless")
+    // and it never reads any document text source (pure index query)
+    val plan = Dedup.contaminatedDocsNearDupStored(store, "sigs",
+        col("id") < 1000L, col("id") >= 1000L, threshold = 0.3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("LocalTableScan") || !plan.contains("text"),
+      "stored form reads only the signature index")
+  }
+
   test("bloom prunes clean-doc grams map-side (the shuffle-shrink property)") {
     val (bench, corpus) = fixture
     val (_, bloom) = Dedup.benchmarkGramBloom(bench, "text", 2, fpp = 0.01)
