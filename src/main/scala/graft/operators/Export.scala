@@ -59,13 +59,26 @@ object Export {
 
   /** Write the corpus partitioned by shard id — the one terminal
     * shuffle of an export. Each `shard=K` directory is one loader
-    * unit; `repartition` by the shard column keeps a shard's rows in
-    * one task's output files instead of nShards files per input task
-    * (at 1000 executors the difference is N files vs N×1000).
+    * unit; repartitioning on (shard, salt) bounds a shard's output to
+    * `filesPerShard` files instead of nShards files per input task
+    * (at 1000 executors the difference is N×k files vs N×1000) while
+    * ALSO spreading each shard's bytes over k writer tasks — a plain
+    * `repartition(col("shard"))` funnels every shard through exactly
+    * one task, so at ~1024 shards over 100 TB the export's wall-clock
+    * is the slowest ~100 GB single-writer tail. The salt is a
+    * deterministic hash of the id, so it changes only WHICH task
+    * writes a row; shard MEMBERSHIP stays the pure md5 bucket of
+    * [[shardId]] and re-exports land every document in the same
+    * `shard=K` directory.
     */
   def writeShards(docs: DataFrame, idCol: String, nShards: Int,
-      path: String): Unit =
+      path: String, filesPerShard: Int = 4): Unit = {
+    require(filesPerShard > 0,
+      s"filesPerShard must be positive, got $filesPerShard")
     docs.withColumn("shard", shardId(col(idCol), nShards))
-      .repartition(col("shard"))
+      .withColumn("__salt", pmod(hash(col(idCol)), lit(filesPerShard)))
+      .repartition(nShards * filesPerShard, col("shard"), col("__salt"))
+      .drop("__salt")
       .write.partitionBy("shard").mode("overwrite").parquet(path)
+  }
 }

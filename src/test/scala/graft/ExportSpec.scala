@@ -43,6 +43,27 @@ class ExportSpec extends AnyFunSuite {
     assert(wide.map(_.getLong(1)).sum == 3)
   }
 
+  test("writeShards salts the writer: >1 file per shard, membership unchanged") {
+    val salted = TestSpark.tempDir("graft_export_salted_")
+    val unsalted = TestSpark.tempDir("graft_export_unsalted_")
+    Export.writeShards(docs, "doc_id", 2, salted, filesPerShard = 8)
+    Export.writeShards(docs, "doc_id", 2, unsalted, filesPerShard = 1)
+    // the salt spreads a shard's rows over multiple writer tasks —
+    // without it every shard funnels through exactly one task (the
+    // 100 TB wall-clock tail)
+    val partFiles = new java.io.File(salted).listFiles()
+      .filter(_.getName.startsWith("shard=")).map(
+        _.listFiles().count(_.getName.endsWith(".parquet")))
+    assert(partFiles.exists(_ > 1),
+      s"expected some shard dir with >1 part file, got ${partFiles.toSeq}")
+    // salting changes WHICH task writes a row, never which shard owns it
+    val a = spark.read.parquet(salted).select("doc_id", "shard")
+    val b = spark.read.parquet(unsalted).select("doc_id", "shard")
+    assert(a.count() == docs.count() && b.count() == docs.count())
+    assert(a.join(b, Seq("doc_id", "shard")).count() == docs.count(),
+      "shard membership must be identical with and without salting")
+  }
+
   test("writeShards round-trips with shard-partitioned layout") {
     val path = TestSpark.tempDir("graft_export_")
     Export.writeShards(docs, "doc_id", 4, path)
