@@ -1544,6 +1544,17 @@ object Oracles {
          |  md5(substring(text, CAST(frame_ts_ms % 1024 + 1 AS INT), 256)) AS frame_md5
          |FROM f ORDER BY asset_id, frame_ts_ms""".stripMargin,
 
+    // relational replay over the dumped per-asset features of the
+    // declared-fake decoder (mm_aux_features, full corpus): the asset
+    // filter, 1-based list extraction, 4dp rounding, and ordering are
+    // the oracle-checked layer; the decoder itself is the dump.
+    "mm_features" ->
+      """SELECT asset_id,
+        |  round(features[1], 4) AS f1,
+        |  round(features[16], 4) AS f16
+        |FROM read_parquet('__AUX__/mm_aux_features.parquet')
+        |WHERE asset_id < 100 ORDER BY asset_id""".stripMargin,
+
     // trunc before CAST: Spark's double→int cast truncates toward
     // zero while DuckDB's rounds — trunc aligns them. ASCII corpus →
     // char slice md5s identically to the stub's byte slice.

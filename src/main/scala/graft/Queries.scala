@@ -1653,15 +1653,21 @@ object Queries {
         col("width"), col("height"), col("duration_ms"))
       .orderBy(col("asset_id"))
 
-  /** Multimodal: stubbed decode → feature vectors → frame sampling
-    * (plumbing-real, decode-fake; no oracle).
+  /** Multimodal: stubbed decode → feature vectors. The decoder
+    * bytes→features map is the declared deterministic fake
+    * (Multimodal.decodeFeaturesStub); its per-asset output over the
+    * FULL corpus is dumped as mm_aux_features, so the RELATIONAL
+    * layer here — the asset filter, list element extraction, rounding,
+    * and ordering — is DuckDB-oracled over identical feature inputs
+    * (the MinHash/PQ/BPE dump-and-replay convention).
     */
   def mmFeatures(spark: SparkSession, dir: String): DataFrame = {
     val assets = Multimodal.syntheticAssets(
       t(spark, dir, "documents").filter(col("doc_id") < 100), "doc_id", "text")
     Multimodal.decodeFeaturesStub(assets, dim = 16)
-      .select(col("asset_id"), round(element_at(col("features"), 1), 4).as("f1"),
-        round(element_at(col("features"), 16), 4).as("f16"))
+      .select(col("asset_id"),
+        round(element_at(col("features"), 1).cast("double"), 4).as("f1"),
+        round(element_at(col("features"), 16).cast("double"), 4).as("f16"))
       .orderBy(col("asset_id"))
   }
 
@@ -2688,6 +2694,19 @@ object Queries {
       Dedup.semanticAssign(t(spark, dir, "embeddings"), "vec_id", "embedding",
         semCentroids(spark, dir)),
       s"$outDir/semdedup_aux_assigned.parquet")
+
+    // per-asset feature vectors from the declared-fake decoder, over
+    // the FULL corpus (unfiltered) — the mm_features oracle replays
+    // the relational layer (asset filter, element extraction,
+    // rounding, ordering) over these in DuckDB; only the bytes→
+    // features map itself is the stub. Cast to double here and in the
+    // query so both engines round the identical double.
+    writeSingleParquet(
+      Multimodal.decodeFeaturesStub(
+          Multimodal.syntheticAssets(t(spark, dir, "documents"), "doc_id", "text"),
+          dim = 16)
+        .select(col("asset_id"), col("features").cast("array<double>").as("features")),
+      s"$outDir/mm_aux_features.parquet")
 
     // per-doc stemmed lexeme arrays for the f2_tsvector_rank oracle —
     // same toTsvector UDF the query itself uses, so the oracle checks
