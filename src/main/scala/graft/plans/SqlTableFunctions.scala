@@ -19,6 +19,7 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
   *   SELECT * FROM vectorize_hybrid_search('products', 'pencil')
   *   SELECT * FROM vectorize_search_json('products', 'pencil', 5)
   *   SELECT * FROM vectorize_rag_prompt('chat_job', 'who wrote X?')
+  *   SELECT * FROM vectorize_rag('chat_job', 'who wrote X?')
   *   SELECT * FROM vectorize_table('products')
   *
   * Arguments must be literals (they parameterize plan CONSTRUCTION —
@@ -49,6 +50,19 @@ object SqlTableFunctions {
         case n: java.lang.Number => n.intValue()
         case v => throw new IllegalArgumentException(
           s"$fn: argument ${i + 1} must be an integer, got $v")
+      }
+    }
+
+  private def boolArg(args: Seq[Expression], i: Int, fn: String,
+      default: Boolean): Boolean =
+    if (i >= args.length) default
+    else {
+      val e = args(i)
+      require(e.foldable, s"$fn: argument ${i + 1} must be a literal, got $e")
+      e.eval() match {
+        case b: java.lang.Boolean => b.booleanValue()
+        case v => throw new IllegalArgumentException(
+          s"$fn: argument ${i + 1} must be a boolean, got $v")
       }
     }
 
@@ -142,6 +156,23 @@ object SqlTableFunctions {
       GraftColumnBridge.logicalPlan(
         Seq((rendered.sysPrompt, rendered.userPrompt))
           .toDF("sys_prompt", "user_prompt"))
+    },
+    // vectorize_rag(job, query[, chat_model[, task[, num_context[,
+    // force_trim]]]]) — the full retrieve→render→chat pg_extern
+    // (extension/src/api.rs:179-205) as a TVF. The chat call is a
+    // provider boundary and happens at plan CONSTRUCTION on the
+    // driver, exactly where vectorize_rag_prompt renders (and where
+    // the reference's pg_extern body runs); argument order matches
+    // the reference minus api_key (provider config owns keys here).
+    "vectorize_rag" -> { args: Seq[Expression] =>
+      val fn = "vectorize_rag"
+      GraftColumnBridge.logicalPlan(engine.rag(
+        strArg(args, 0, fn), strArg(args, 1, fn),
+        chatModel =
+          if (args.length >= 3) strArg(args, 2, fn) else "openai/gpt-4o-mini",
+        task = if (args.length >= 4) strArg(args, 3, fn) else "question_answer",
+        numContext = intArg(args, 4, fn, 2),
+        forceTrim = boolArg(args, 5, fn, default = false)))
     },
     "vectorize_table" -> { args: Seq[Expression] =>
       GraftColumnBridge.logicalPlan(

@@ -142,6 +142,26 @@ class SqlTableFunctionsSpec extends AnyFunSuite {
     assert(r.head.getString(1).contains("what is a pencil for?"))
   }
 
+  test("vectorize_rag runs the full retrieve→render→chat chain from SQL") {
+    val sql = spark.sql(
+      "SELECT * FROM vectorize_rag('chatty', 'what is a pencil for?')").collect()
+    assert(sql.length == 1)
+    assert(sql.head.schema.fieldNames.toSeq == Seq("query", "chat_response"))
+    // deterministic chat provider → SQL surface ≡ Scala API, byte for byte
+    val api = engine.rag("chatty", "what is a pencil for?").collect()
+    assert(sql.head.getString(0) == api.head.getString(0))
+    assert(sql.head.getString(1) == api.head.getString(1))
+    assert(sql.head.getString(1).nonEmpty)
+    // optional args thread through (chat_model, task, num_context)
+    val narrow = spark.sql(
+      """SELECT chat_response FROM
+        |vectorize_rag('chatty', 'what is a pencil for?', 'openai/gpt-4o-mini',
+        |  'question_answer', 1)""".stripMargin).collect()
+    val narrowApi = engine.rag("chatty", "what is a pencil for?",
+      numContext = 1).collect()
+    assert(narrow.head.getString(0) == narrowApi.head.getString(1))
+  }
+
   test("SQL composes over the table function (WHERE + ORDER BY on top)") {
     val got = spark.sql(
       """SELECT product_name FROM vectorize_search('products', 'writing utensil', 10)

@@ -67,6 +67,42 @@ class VectorizeEmbedSpec extends AnyFunSuite {
       "vectorize_embed must cost exactly one driver-side provider call")
   }
 
+  test("vectorize_encode scalar: job name or raw model, driver-folded") {
+    val engine = engineWithJob()
+    // job-name form resolves the job's model+provider (engine.encode)
+    val viaSql = spark.sql(
+      "SELECT vectorize_encode('pizza', 've_job') AS v").collect()
+      .head.getSeq[Float](0)
+    assert(viaSql == engine.encode("ve_job", "pizza").toSeq)
+    // raw-model form with the reference's default when omitted
+    // (extension/src/api.rs:169-177)
+    val dflt = spark.sql("SELECT vectorize_encode('pizza') AS v").collect()
+      .head.getSeq[Float](0)
+    assert(dflt ==
+      engine.encode("sentence-transformers/all-MiniLM-L6-v2", "pizza").toSeq)
+    // folded: no placeholder node survives optimization
+    val df = spark.sql("SELECT vectorize_encode('pizza', 've_job') AS v")
+    val remaining = df.queryExecution.optimizedPlan.collect {
+      case p => p.expressions.flatMap(_.collect { case e: graft.plans.VectorizeEncode => e })
+    }.flatten
+    assert(remaining.isEmpty)
+  }
+
+  test("vectorize_generate scalar: one driver-side chat completion") {
+    val engine = engineWithJob()
+    val viaSql = spark.sql(
+      "SELECT vectorize_generate('what is a pencil?') AS r").collect()
+      .head.getString(0)
+    assert(viaSql == engine.generate("what is a pencil?"))
+    assert(viaSql.nonEmpty)
+    // explicit model arg reaches the provider (deterministic response
+    // embeds the model tag)
+    val tagged = spark.sql(
+      "SELECT vectorize_generate('what is a pencil?', 'openai/gpt-4o-mini') AS r")
+      .collect().head.getString(0)
+    assert(tagged == viaSql)
+  }
+
   test("non-literal arguments are rejected like the proxy") {
     val engine = engineWithJob()
     engine.projectView("ve_job").createOrReplaceTempView("ve_view")
