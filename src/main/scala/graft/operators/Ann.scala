@@ -180,12 +180,18 @@ object Ann {
     val buckets = spark.read.parquet(s"$path/buckets")
     val dataCols = buckets.columns
       .filterNot(c => c == "bucket" || c == "q8" || c == "vec_prefix")
-    val fresh = changed.filter(col(vecCol).isNotNull)
+    // an index persisted before vec_prefix existed has neither the
+    // meta column nor the bucket column — upsert it in its own shape
+    // (reading prefix_dims unconditionally failed at runtime on such
+    // stores; a prefix column can only appear via a full rebuild)
+    val prefixDims = if (meta.schema.fieldNames.contains("prefix_dims"))
+      Some(meta.getAs[Int]("prefix_dims")) else None
+    val freshBase = changed.filter(col(vecCol).isNotNull)
       .select(dataCols.map(col).toIndexedSeq: _*)
       .withColumn("bucket", lshKey(col(vecCol), planes))
       .withColumn("q8", Quantize.quantize(col(vecCol)))
-      .withColumn("vec_prefix",
-        slice(col(vecCol), 1, meta.getAs[Int]("prefix_dims")))
+    val fresh = prefixDims.fold(freshBase)(d =>
+      freshBase.withColumn("vec_prefix", slice(col(vecCol), 1, d)))
     // same null-filter as `fresh` (the upsertIvfIndex regression):
     // deriving ids from all of `changed` would silently delete a
     // null-vector row from its old bucket
@@ -398,9 +404,16 @@ object Ann {
           val d2 = na + nb - 2.0 * dot
           val d = math.sqrt(if (d2 < 0.0) 0.0 else d2)
           // strict < with cells pre-sorted ascending ⇒ ties go to the
-          // lowest cell id (the least(struct) lexicographic order);
-          // best == -1 guard also absorbs all-NaN rows deterministically
-          if (best == -1 || d < bestD) { bestD = d; best = ci }
+          // lowest cell id (the least(struct) lexicographic order).
+          // NaN ranks as +infinity like Spark's ordering (least/struct
+          // placed NaN last): without the isNaN clause, a NaN distance
+          // from a degenerate vector's FIRST centroid pinned best to
+          // index 0 forever, because `d < NaN` is false for every
+          // later finite centroid. All-NaN rows keep the lowest cell
+          // (NaN==NaN ties, same as the struct compare).
+          if (best == -1 || (bestD.isNaN && !d.isNaN) || d < bestD) {
+            bestD = d; best = ci
+          }
           ci += 1
         }
         CentroidHit(cells(best), bestD)

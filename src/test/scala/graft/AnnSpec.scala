@@ -346,6 +346,37 @@ class AnnSpec extends AnyFunSuite {
       "maintained and rebuilt indexes must serve identical joins")
   }
 
+  test("upsertLshIndex degrades gracefully on a pre-prefix legacy index") {
+    // An index persisted before vec_prefix existed (meta without
+    // prefix_dims, buckets without the column) must upsert in its own
+    // shape — reading prefix_dims unconditionally failed at runtime
+    val built = TestSpark.tempDir("graft_lsh_prebuild_")
+    Ann.buildLshIndex(emb, "vec_id", "embedding", built, bits = 4)
+    val legacy = TestSpark.tempDir("graft_lsh_legacy_")
+    spark.read.parquet(s"$built/meta").drop("prefix_dims")
+      .coalesce(1).write.parquet(s"$legacy/meta")
+    spark.read.parquet(s"$built/buckets").drop("vec_prefix")
+      .repartition(col("bucket")).write.partitionBy("bucket")
+      .parquet(s"$legacy/buckets")
+    val flipped = emb.filter(col("vec_id") < 3)
+      .withColumn("embedding", transform(col("embedding"), x => -x))
+    Ann.upsertLshIndex(flipped, "vec_id", "embedding", legacy)
+    val after = spark.read.parquet(s"$legacy/buckets")
+    assert(!after.columns.contains("vec_prefix"),
+      "legacy shape must be preserved (no half-populated prefix column)")
+    assert(after.count() == emb.count(), "no rows gained or lost")
+    // the flipped rows were re-keyed with the frozen planes and their
+    // q8 codes track the new vectors
+    val planes = Ann.hyperplanes(4,
+      emb.select(size(col("embedding"))).head().getInt(0))
+    val want = flipped.select(col("vec_id"),
+        Ann.lshKey(col("embedding"), planes).as("want_bucket"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    after.filter(col("vec_id") < 3)
+      .select(col("vec_id"), col("bucket").cast("long")).collect()
+      .foreach(r => assert(r.getLong(1) == want(r.getLong(0))))
+  }
+
   test("upsertIvfIndex: null-vector rows are ignored, not silently deleted") {
     val path = TestSpark.tempDir("graft_ivf_upsert_null_")
     Ann.buildIvfIndex(emb, "vec_id", "embedding", path, nCells = 8, iterations = 3)
@@ -415,6 +446,20 @@ class AnnSpec extends AnyFunSuite {
     val tie = Ann.assignCells(Seq((7L, tieVec.toSeq)).toDF("vec_id", "embedding"),
       "embedding", tieCentroids).select("__cell").head().getInt(0)
     assert(tie == 3, s"tie must break to lowest cell id, got $tie")
+    // NaN ranks as +infinity, like the least(struct) ordering it
+    // replaced: a NaN distance from the FIRST centroid must not pin
+    // the assignment to it when a later centroid is finite
+    val nanCentroids: Array[(Int, Array[Float])] = Array(
+      (0, Array(Float.NaN, 0f)), (1, Array(1f, 1f)))
+    val nanPick = Ann.assignCells(
+      Seq((1L, Seq(0f, 0f))).toDF("vec_id", "embedding"),
+      "embedding", nanCentroids).select("__cell").head().getInt(0)
+    assert(nanPick == 1, s"NaN distance must lose to a finite one, got $nanPick")
+    // all-NaN distances: deterministic lowest cell (NaN==NaN tie rule)
+    val allNan = Ann.assignCells(
+      Seq((2L, Seq(Float.NaN, 0f))).toDF("vec_id", "embedding"),
+      "embedding", nanCentroids).select("__cell").head().getInt(0)
+    assert(allNan == 0, s"all-NaN row must keep the lowest cell, got $allNan")
   }
 
   test("empty index: knnJoin returns no rows; IVF build errors meaningfully") {
