@@ -166,7 +166,10 @@ object Realtime {
     * within itself → the C4 blocklist gate
     * ([[graft.functions.GraftFunctions.blocklistClean]] — the SAME
     * expression the batch chain uses, so the two can never drift) →
-    * near-dup against the PERSISTED MinHash signature index
+    * an optional quality gate (`minQuality`, scored by the shared
+    * [[graft.functions.GraftFunctions.qualityScore]] — per-row, so it
+    * prunes BEFORE the near-dup shuffles, mirroring `pipeline_c4`'s
+    * composition) → near-dup against the PERSISTED MinHash signature index
     * ([[graft.operators.Dedup.incrementalNearDupStored]]) and within
     * itself. Survivors MERGE into the docs table AND their signatures
     * MERGE into the index, so the next micro-batch probes them.
@@ -200,8 +203,17 @@ object Realtime {
       sigTable: String, docs: DataFrame, idCol: String, textCol: String,
       checkpointDir: String, blocklist: Seq[String] = Nil,
       shingleN: Int = 3, numHashes: Int = 64, bands: Int = 16,
-      threshold: Double = 0.5,
+      threshold: Double = 0.5, minQuality: Option[Double] = None,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    // the dedup gates probe ONLY the signature index: a docs table
+    // pre-seeded without one would make the first micro-batch dedup
+    // within itself alone and silently ingest duplicates of the whole
+    // existing corpus — fail at stream START, not row-by-row later
+    require(!store.exists(table) || store.exists(sigTable),
+      s"streamIngestPipeline: docs table '$table' exists but signature " +
+        s"table '$sigTable' does not — the dedup gates would not see the " +
+        "existing corpus; bootstrap it first with " +
+        "Dedup.buildNearDupStore(store, sigTable, store.read(table), ...)")
     docs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
@@ -224,14 +236,20 @@ object Realtime {
               if (blocklist.isEmpty) b1
               else b1.filter(graft.functions.GraftFunctions
                 .blocklistClean(col(textCol), blocklist))
+            // optional quality gate, the SAME shared expression the
+            // batch pipeline_c4 composition scores with — a per-row
+            // filter, so it runs BEFORE the near-dup stage's shuffles
+            val b2q = minQuality.fold(b2)(q =>
+              b2.filter(graft.functions.GraftFunctions
+                .qualityScore(col(textCol)) >= q))
             val kept2 =
               if (haveSigs)
                 graft.operators.Dedup.incrementalNearDupStored(store, sigTable,
-                  b2, idCol, textCol, shingleN, numHashes, bands, threshold)
+                  b2q, idCol, textCol, shingleN, numHashes, bands, threshold)
               else
-                graft.operators.Dedup.incrementalNearDup(b2.limit(0), b2,
+                graft.operators.Dedup.incrementalNearDup(b2q.limit(0), b2q,
                   idCol, textCol, shingleN, numHashes, bands, threshold)
-            val rows = b2.join(kept2.withColumnRenamed("id", idCol),
+            val rows = b2q.join(kept2.withColumnRenamed("id", idCol),
                 Seq(idCol), "left_semi")
               .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
             try {

@@ -416,6 +416,80 @@ class RealtimeSpec extends AnyFunSuite {
       "full redelivery must be a no-op against the accumulated store")
   }
 
+  test("streaming ingest quality gate mirrors the batch composition; bootstrap invariant") {
+    import graft.operators.Dedup
+    import graft.functions.GraftFunctions
+    val dir = "/root/testdata/sf0.01"
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text", "lang")
+    val existing = docs.filter(col("doc_id") < Queries.incrementalSplit)
+    val batch = docs.filter(col("doc_id") >= Queries.incrementalSplit)
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select("doc_id").collect().map(_.getLong(0)).toSet
+    // a data-derived threshold that provably prunes some rows and
+    // keeps others (the median batch quality)
+    val minQ = batch.select(GraftFunctions.qualityScore(col("text")).as("q"))
+      .stat.approxQuantile("q", Array(0.5), 0.0).head
+    // the batch chain WITH the gate between blocklist and near-dup —
+    // same shared expressions, same constants
+    def batchChainQ(corpus: org.apache.spark.sql.DataFrame,
+        b: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      val kept1 = Dedup.incrementalExact(corpus, b, "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+      val b1 = b.join(kept1, Seq("doc_id"), "left_semi")
+      val b2 = b1.filter(GraftFunctions.blocklistClean(col("text"),
+        Queries.blocklistTerms))
+        .filter(GraftFunctions.qualityScore(col("text")) >= minQ)
+      val kept2 = Dedup.incrementalNearDup(corpus, b2, "doc_id", "text",
+        shingleN = Queries.minHashShingleN, numHashes = Queries.minHashNumHashes,
+        bands = Queries.minHashBands, threshold = Queries.minHashThreshold)
+      b2.join(kept2.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left_semi")
+    }
+    val expect = ids(batchChainQ(existing, batch))
+    assert(expect.nonEmpty && expect.size < ids(batch).size,
+      "gate threshold must keep some rows and prune others")
+    val store = new graft.sources.ParquetStore(
+      spark, TestSpark.tempDir("graft_sipq_store_"))
+    store.merge("docs", existing, "doc_id")
+    Dedup.buildNearDupStore(store, "sigs", existing, "doc_id", "text",
+      shingleN = Queries.minHashShingleN,
+      numHashes = Queries.minHashNumHashes, bands = Queries.minHashBands)
+    val src = TestSpark.tempDir("graft_sipq_src_")
+    batch.coalesce(1).write.mode("append").parquet(src)
+    def runOnce(cp: String): Unit = {
+      val q = Realtime.streamIngestPipeline(store, "docs", "sigs",
+        spark.readStream.schema("doc_id LONG, text STRING, lang STRING")
+          .parquet(src),
+        "doc_id", "text", cp, blocklist = Queries.blocklistTerms,
+        shingleN = Queries.minHashShingleN,
+        numHashes = Queries.minHashNumHashes, bands = Queries.minHashBands,
+        threshold = Queries.minHashThreshold, minQuality = Some(minQ))
+      q.awaitTermination(120000)
+    }
+    runOnce(TestSpark.tempDir("graft_sipq_cp1_"))
+    def streamed(): Set[Long] =
+      ids(store.read("docs").filter(col("doc_id") >= Queries.incrementalSplit))
+    assert(streamed() == expect,
+      "streamed quality-gated chain must equal the batch composition")
+    // redelivery against a fresh checkpoint stays a no-op with the gate
+    runOnce(TestSpark.tempDir("graft_sipq_cp2_"))
+    assert(streamed() == expect, "redelivery must remain a no-op")
+    // bootstrap invariant: docs table without a signature index must
+    // fail at stream START, pointing at the bootstrap call — silently
+    // ingesting duplicates of the pre-seeded corpus is the failure mode
+    val bad = new graft.sources.ParquetStore(
+      spark, TestSpark.tempDir("graft_sipq_bad_"))
+    bad.merge("docs", existing, "doc_id")
+    val e = intercept[IllegalArgumentException] {
+      Realtime.streamIngestPipeline(bad, "docs", "sigs",
+        spark.readStream.schema("doc_id LONG, text STRING, lang STRING")
+          .parquet(src),
+        "doc_id", "text", TestSpark.tempDir("graft_sipq_cpbad_"))
+    }
+    assert(e.getMessage.contains("buildNearDupStore"),
+      s"must point at the bootstrap, got: ${e.getMessage}")
+  }
+
   test("streaming windowed counts equal the batch result (one code path)") {
     import spark.implicits._
     val events = (0 until 200).map { i =>
