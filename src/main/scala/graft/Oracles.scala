@@ -2578,15 +2578,20 @@ object Oracles {
     // assembly replayed in SQL — DeterministicChatProvider returns
     // "[<model>] " + the first 3 lines of the rendered user prompt
     // joined by spaces, truncated to 200 chars (Providers.scala:
-    // 99-104). With retrieval, render, and response all declarative,
-    // the whole retrieve → render → respond chain is oracled; only
-    // the HTTP provider transports stay ProvidersSpec-covered.
+    // 99-104). The model prefix interpolates the SHARED
+    // Queries.ragChatModel (like ragQueryText/ragNumContext), and the
+    // line split matches Scala's linesIterator (\r\n, \r, or \n — a
+    // corpus carriage return must split identically on both sides).
+    // With retrieval, render, and response all declarative, the whole
+    // retrieve → render → respond chain is oracled; only the HTTP
+    // provider transports stay ProvidersSpec-covered.
     "vz_rag" ->
       s"""$ragRenderCtes,
          |up AS (SELECT $ragUserPromptExpr AS u FROM ctx)
          |SELECT ${sqlQuote(Queries.ragQueryText)} AS query,
-         |  '[openai/gpt-4o-mini] ' || substr(
-         |    array_to_string(list_slice(str_split(u, chr(10)), 1, 3), ' '),
+         |  '[${Queries.ragChatModel}] ' || substr(
+         |    array_to_string(list_slice(
+         |      regexp_split_to_array(u, '\\r\\n|\\r|\\n'), 1, 3), ' '),
          |    1, 200) AS chat_response
          |FROM up""".stripMargin,
 

@@ -2446,6 +2446,14 @@ object Queries {
     */
   private[graft] val ragNumContext = 2
 
+  /** RAG chat model shared between [[vzRag]] and its oracle's
+    * deterministic-response replay: the oracle interpolates the
+    * response's `[<model>] ` prefix from here, so changing the model
+    * can never silently red the replay against a stale hardcode.
+    * Mirrors the reference's default (extension/src/api.rs:185).
+    */
+  private[graft] val ragChatModel = "openai/gpt-4o-mini"
+
   /** Engine end-to-end: deterministic-provider semantic search over
     * the documents corpus (createJob backfill → search). DuckDB-
     * oracled: Verify dumps the backfilled embeddings store + query
@@ -2594,13 +2602,17 @@ object Queries {
       .orderBy(col("rrf_score").desc, col("doc_id").asc)
   }
 
-  /** Engine end-to-end: RAG (retrieve → render → trim → respond).
-    * No SQL oracle for the chat response (JVM chat provider); the
-    * retrieval step is oracled separately as vz_rag_retrieve.
+  /** Engine end-to-end: RAG (retrieve → render → trim → respond),
+    * oracled end-to-end: retrieval + render replay as vz_rag_prompt's
+    * CTEs and the deterministic chat provider's response assembly is
+    * declarative too ("[model] " + first 3 lines, 200-char cap). The
+    * chat model is the shared [[ragChatModel]] constant so the
+    * replay's prefix tracks it.
     */
   def vzRag(spark: SparkSession, dir: String): DataFrame = {
     val engine = ephemeralEngine(spark, dir)
-    engine.rag("docs_job", ragQueryText, numContext = ragNumContext)
+    engine.rag("docs_job", ragQueryText, chatModel = ragChatModel,
+      numContext = ragNumContext)
   }
 
   /** The render/trim layer of vz_rag, exposed for the DuckDB oracle:
