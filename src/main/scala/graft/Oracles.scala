@@ -130,22 +130,31 @@ object Oracles {
     * double values — Scala Double.toString round-trips), candidate
     * join per band, exact cosine verify.
     */
-  private def embeddingLshSql(dim: Int, bits: Int, bands: Int,
-      seed: Long, threshold: Double): String = {
+  /** UNION-ALL band-key selects over relation `v(vec_id, e)` with the
+    * EXACT Spark-side hyperplanes — shared by the pair-sweep and
+    * decontamination replays, mirroring Dedup.signBandKeys being the
+    * one key expression on the engine side.
+    */
+  private def signBandKeySelects(dim: Int, bits: Int, bands: Int,
+      seed: Long): String = {
     val planes = graft.operators.Ann.hyperplanes(bits * bands, dim, seed)
     def planeLit(p: Array[Float]): String =
       p.map(_.toDouble.toString).mkString("[", ", ", "]")
-    val bandSelects = (0 until bands).map { bnd =>
+    (0 until bands).map { bnd =>
       val key = (0 until bits).map { i =>
         s"(CASE WHEN list_dot_product(e, ${planeLit(planes(bnd * bits + i))}) > 0 " +
           s"THEN ${1L << i} ELSE 0 END)"
       }.mkString(" + ")
       s"SELECT vec_id, $bnd AS band, $key AS k FROM v"
     }.mkString("\nUNION ALL\n")
+  }
+
+  private def embeddingLshSql(dim: Int, bits: Int, bands: Int,
+      seed: Long, threshold: Double): String =
     s"""WITH v AS (
        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
        |keys AS (
-       |$bandSelects),
+       |${signBandKeySelects(dim, bits, bands, seed)}),
        |cand AS (
        |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
        |  FROM keys a JOIN keys b
@@ -157,7 +166,31 @@ object Oracles {
        |JOIN v vb ON vb.vec_id = c.id_b
        |WHERE list_cosine_similarity(va.e, vb.e) >= $threshold
        |ORDER BY id_a, id_b""".stripMargin
-  }
+
+  /** Mirror of Dedup.contaminatedDocsSemantic over the % mod held-out
+    * split: same band keys as [[embeddingLshSql]] (same planes, same
+    * seed), candidates = corpus×benchmark band collisions, exact
+    * cosine verify, per-corpus-id hit aggregation.
+    */
+  private def embeddingDecontamSql(dim: Int, bits: Int, bands: Int,
+      seed: Long, threshold: Double, mod: Long): String =
+    s"""WITH v AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |keys AS (
+       |${signBandKeySelects(dim, bits, bands, seed)}),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS id, b.vec_id AS bid
+       |  FROM keys a JOIN keys b ON a.band = b.band AND a.k = b.k
+       |  WHERE a.vec_id % $mod <> 0 AND b.vec_id % $mod = 0),
+       |hits AS (
+       |  SELECT c.id, c.bid, list_cosine_similarity(va.e, vb.e) AS cos
+       |  FROM cand c
+       |  JOIN v va ON va.vec_id = c.id
+       |  JOIN v vb ON vb.vec_id = c.bid
+       |  WHERE list_cosine_similarity(va.e, vb.e) >= $threshold)
+       |SELECT id AS vec_id, COUNT(DISTINCT bid) AS n_hits,
+       |  round(max(cos), 4) AS max_cos
+       |FROM hits GROUP BY 1 ORDER BY vec_id""".stripMargin
 
   private val f2RankSql =
     s"""WITH q AS (
@@ -1076,6 +1109,14 @@ object Oracles {
     // side uses, so both engines compute identical band keys.
     "dedup_embedding_cos" -> embeddingLshSql(
       dim = 64, bits = 8, bands = 4, seed = 42L, threshold = 0.30),
+
+    // Semantic decontamination: the same literal-plane banding scheme
+    // as dedup_embedding_cos at the gate's recall-first 4-bit × 8-band
+    // setting, restricted to corpus×held-out candidate pairs,
+    // aggregated per corpus id.
+    "decontam_semantic" -> embeddingDecontamSql(
+      dim = 64, bits = 4, bands = 8, seed = 42L,
+      threshold = Queries.decontamSemThreshold, mod = Queries.decontamMod),
 
     // SemDeDup prune replayed over the dumped k-means assignment
     // (cell + distance-to-centroid from the session-cached centroids

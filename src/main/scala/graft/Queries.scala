@@ -2067,6 +2067,36 @@ object Queries {
         round(col("max_jaccard"), 4).as("max_jaccard"))
       .orderBy(col("doc_id"))
 
+  /** SEMANTIC decontamination — the embedding rung of the
+    * decontamination ladder (exact n-gram count → bloom → near-dup
+    * shingle Jaccard → THIS): corpus vectors whose cosine against any
+    * held-out vector reaches the threshold, catching rewrites that
+    * share meaning but few surface grams or shingles. Held-out slice
+    * = the same % [[decontamMod]] rule as the exact form; 0.30 is the
+    * [[dedupEmbeddingCos]] operating point (the synthetic embeddings
+    * cluster weakly, so planted neighbors sit in 0.3–0.5 cosine).
+    * Both sides band with the frozen sign-LSH planes and the corpus
+    * stream is gated by a broadcast on the benchmark's band keys
+    * before any corpus-sized shuffle (Dedup.contaminatedDocsSemantic).
+    * Banding is RECALL-FIRST (4-bit × 8 bands vs the pair sweep's
+    * 8 × 4): a leakage gate should over-admit candidates — the exact
+    * cosine verify restores precision, and a missed contaminated doc
+    * is the expensive error. At cos 0.45 a 4-bit band collides with
+    * p ≈ 0.18 → ~0.79 over 8 bands, vs ~0.12 total under 8-bit bands.
+    */
+  private[graft] val decontamSemThreshold = 0.30
+  def decontamSemantic(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    Dedup.contaminatedDocsSemantic(
+        emb.filter(col("vec_id") % decontamMod =!= 0),
+        emb.filter(col("vec_id") % decontamMod === 0),
+        "vec_id", "embedding", dim = 64, threshold = decontamSemThreshold,
+        bits = 4, bands = 8)
+      .select(col("id").as("vec_id"), col("n_hits"),
+        round(col("max_cos"), 4).as("max_cos"))
+      .orderBy(col("vec_id"))
+  }
+
   /** Bloom-pruned decontamination — the 100 TB form of
     * [[decontaminate]]: a driver-built Bloom filter over the
     * benchmark grams gates the corpus gram stream map-side, so the
@@ -3058,6 +3088,7 @@ object Queries {
     "dedup_minhash_lsh" -> (dedupMinHashLsh _),
     "dedup_minhash_lsh_stored" -> (dedupMinHashLshStored _),
     "decontam_neardup" -> (decontamNeardup _),
+    "decontam_semantic" -> (decontamSemantic _),
     "dedup_simhash" -> (dedupSimHash _),
     "dedup_clusters" -> (dedupClusters _),
     "dedup_clusters_star" -> (dedupClustersStar _),

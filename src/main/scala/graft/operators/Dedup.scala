@@ -1160,19 +1160,29 @@ object Dedup {
     semanticKeep(semanticAssign(emb, idCol, vecCol, centroids), threshold)
   }
 
+  /** Sign-LSH band keys over a vector column with FROZEN hyperplanes —
+    * the ONE key expression shared by [[embeddingLshBandedPairs]] and
+    * [[contaminatedDocsSemantic]], so a pair the sweep blocks on is
+    * exactly a pair the decontamination gate blocks on (the
+    * shared-normHash discipline, applied to embeddings).
+    */
+  private def signBandKeys(vec: Column, planes: Array[Array[Float]],
+      bits: Int, bands: Int): Column =
+    array((0 until bands).map { bnd =>
+      val key = (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
+        acc + when(dotProduct(vec, lit(planes(bnd * bits + i))) > 0,
+          lit(1L << i)).otherwise(lit(0L))
+      }
+      concat(lit(s"$bnd:"), key)
+    }: _*)
+
   def embeddingLshBandedPairs(emb: DataFrame, idCol: String, vecCol: String,
       dim: Int, threshold: Double = 0.95, bits: Int = 8, bands: Int = 4,
       seed: Long = 42L): DataFrame = {
     val planes = Ann.hyperplanes(bits * bands, dim, seed)
     val prepped = emb.select(col(idCol).as("id"), col(vecCol).as("vec"))
-    val bandKeys = array((0 until bands).map { bnd =>
-      val key = (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
-        acc + when(dotProduct(col("vec"), lit(planes(bnd * bits + i))) > 0,
-          lit(1L << i)).otherwise(lit(0L))
-      }
-      concat(lit(s"$bnd:"), key)
-    }: _*)
-    val banded = prepped.withColumn("band_key", explode(bandKeys))
+    val banded = prepped.withColumn("band_key",
+      explode(signBandKeys(col("vec"), planes, bits, bands)))
     val a = banded.select(col("band_key"), col("id").as("id_a"), col("vec").as("v_a"))
     val b = banded.select(col("band_key"), col("id").as("id_b"), col("vec").as("v_b"))
     a.join(b, Seq("band_key"))
@@ -1183,5 +1193,50 @@ object Dedup {
       // the dedup shuffle only carries pairs that pass the threshold
       .filter(col("cos") >= threshold)
       .distinct()
+  }
+
+  /** SEMANTIC decontamination (the embedding sibling of
+    * [[contaminatedDocsNearDup]], completing the exact → bloom →
+    * n-gram → MinHash → embedding decontamination ladder): corpus
+    * vectors whose exact cosine against ANY benchmark vector reaches
+    * `threshold` — the eval-leakage check for REWRITES that share
+    * meaning but few surface n-grams or shingles (translations,
+    * heavy paraphrases), which every lexical form above misses.
+    * Returns one row per contaminated corpus id:
+    * (id, n_hits, max_cos). Like its siblings it flags, never dedups.
+    *
+    * Scale shape = [[contaminatedDocsNearDup]]'s: both sides band
+    * with the SAME frozen sign-LSH hyperplanes ([[signBandKeys]],
+    * shared with the pair sweep), the corpus banded stream is gated
+    * by a BROADCAST semi-join on the benchmark's band keys BEFORE any
+    * corpus-sized shuffle, and only gated candidates pay the exact
+    * cosine verify. Benchmark suites are driver-small by definition,
+    * so the gate key set always broadcasts. Recall is the banded
+    * sign-LSH contract: a pair at cosine ≥ threshold collides in some
+    * band with the [[embeddingLshBandedPairs]] pigeonhole probability
+    * — same approximation, same planes, oracled with the same literal
+    * replay.
+    */
+  def contaminatedDocsSemantic(corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, vecCol: String, dim: Int, threshold: Double = 0.95,
+      bits: Int = 8, bands: Int = 4, seed: Long = 42L): DataFrame = {
+    val planes = Ann.hyperplanes(bits * bands, dim, seed)
+    def banded(df: DataFrame) = df
+      .select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .withColumn("band_key",
+        explode(signBandKeys(col("vec"), planes, bits, bands)))
+    val bench = banded(benchmark)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val gate = bench.select(col("band_key")).distinct()
+    val candidates = banded(corpus)
+      .join(broadcast(gate), Seq("band_key"), "left_semi")
+      .join(bench.select(col("band_key"), col("id").as("bid"),
+        col("vec").as("bvec")), Seq("band_key"))
+      .select(col("id"), col("bid"),
+        cosineSimilarity(col("vec"), col("bvec")).as("cos"))
+      .filter(col("cos") >= threshold)
+      .distinct() // a pair colliding in several bands counts once
+    candidates.groupBy(col("id"))
+      .agg(countDistinct(col("bid")).as("n_hits"), max(col("cos")).as("max_cos"))
   }
 }

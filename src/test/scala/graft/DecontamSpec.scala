@@ -72,6 +72,32 @@ class DecontamSpec extends AnyFunSuite {
       "stored form reads only the signature index")
   }
 
+  test("semantic decontamination flags cosine leakage, gated before the shuffle") {
+    import spark.implicits._
+    // 4-dim handcrafted vectors: corpus 1 ≈ bench 100 (paraphrase —
+    // nearly parallel), corpus 2 orthogonal to both bench vectors,
+    // corpus 3 ≈ bench 101 but NEGATED (cosine -1, must not flag)
+    val bench = Seq(
+      (100L, Seq(1.0f, 0.1f, 0.0f, 0.0f)),
+      (101L, Seq(0.0f, 0.0f, 1.0f, 0.2f))).toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (1L, Seq(0.9f, 0.12f, 0.05f, 0.0f)),
+      (2L, Seq(0.0f, -1.0f, 0.0f, 0.9f)),
+      (3L, Seq(0.0f, 0.0f, -1.0f, -0.2f))).toDF("vec_id", "embedding")
+    val got = Dedup.contaminatedDocsSemantic(corpus, bench, "vec_id",
+        "embedding", dim = 4, threshold = 0.9, bits = 2, bands = 8)
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Long]("n_hits"))).toSet
+    assert(got == Set((1L, 1L)),
+      s"only the near-parallel corpus vector may flag: $got")
+    // scale shape: the benchmark band-key gate broadcasts, and it cuts
+    // the corpus stream BEFORE the candidate join
+    val plan = Dedup.contaminatedDocsSemantic(corpus, bench, "vec_id",
+        "embedding", dim = 4, threshold = 0.9, bits = 2, bands = 8)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoop"),
+      s"benchmark gate must broadcast:\n$plan")
+  }
+
   test("bloom prunes clean-doc grams map-side (the shuffle-shrink property)") {
     val (bench, corpus) = fixture
     val (_, bloom) = Dedup.benchmarkGramBloom(bench, "text", 2, fpp = 0.01)

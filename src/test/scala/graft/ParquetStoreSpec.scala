@@ -28,6 +28,27 @@ class ParquetStoreSpec extends AnyFunSuite {
     assert(got("50") == "v2-50" && got("120") == "v2-120")
   }
 
+  test("merge bounds output files per bucket (salted write shuffle)") {
+    // without the pre-write shuffle, every upstream task writes its
+    // own file into every bucket it touches: a 32-partition merge
+    // into 16 buckets left up to 512 files, and small-table probes
+    // paid per-file listing/footer costs 3x the data
+    val store = new ParquetStore(spark, TestSpark.tempDir("graft_ps_files_"))
+    store.merge("t", rows(1 to 500, "v1").repartition(32), "pkey")
+    store.merge("t", rows(200 to 700, "v2").repartition(32), "pkey")
+    val root = store.read("t").inputFiles
+      .map(f => new java.io.File(new java.net.URI(f)).getParentFile)
+    val perBucket = root.groupBy(_.getName).map { case (b, fs) =>
+      b -> fs.flatMap(_.listFiles()).distinct
+        .count(_.getName.endsWith(".parquet"))
+    }
+    assert(perBucket.nonEmpty)
+    perBucket.foreach { case (b, n) =>
+      assert(n <= 4, s"bucket $b has $n part files; the salted shuffle " +
+        "must bound files per bucket to filesPerBucket")
+    }
+  }
+
   test("merge widens a pre-existing table with new update columns") {
     val store = new ParquetStore(spark, TestSpark.tempDir("graft_ps_evo_"))
     store.merge("t", rows(1 to 10, "v1"), "pkey")
