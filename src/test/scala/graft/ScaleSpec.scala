@@ -169,7 +169,13 @@ class ScaleSpec extends AnyFunSuite {
       // the composed ingestion chain (same batch-side caveat)
       "pipeline_ingest" -> (salted1, salted10),
       // export sharding: one narrow scan + N-row aggregate
-      "export_shards" -> (verb1, verb10))
+      "export_shards" -> (verb1, verb10),
+      // semantic decontamination on the verbatim embedding rung: both
+      // the corpus stream and the held-out slice grow 10×, the band
+      // gate stays a broadcast, candidates grow ~linearly through the
+      // band-key equi-join — an ungated corpus×benchmark cross
+      // product would grow 100×
+      "decontam_semantic" -> (verb1, verb10))
     dirs = Map("salted1" -> salted1, "salted10" -> salted10,
       "verbatim10" -> verb10)
     plan.map { case (q, (d1, d10)) =>
@@ -325,6 +331,10 @@ class ScaleSpec extends AnyFunSuite {
 
   test("export sharding scales sub-quadratically to 10x", ScaleTest) {
     assertSubQuadratic("export_shards")
+  }
+
+  test("semantic decontamination scales sub-quadratically to 10x", ScaleTest) {
+    assertSubQuadratic("decontam_semantic")
   }
 
   test("incremental near-dup scales when the CORPUS side grows 10x too", ScaleTest) {
