@@ -449,6 +449,34 @@ object Dedup {
     contaminatedNearDupCore(cBanded, cSets, bBanded, bSets, threshold)
   }
 
+  /** Decontamination gate for an INGEST batch: the batch's freshly
+    * computed signatures vs a PERSISTED benchmark signature table
+    * (built once per benchmark release by [[buildNearDupStore]] with
+    * the SAME (shingleN, numHashes, bands) as the probe — parameter
+    * drift is a rebuild, like every frozen-geometry index here).
+    * Returns (id, n_hits, max_jaccard) per contaminated batch row —
+    * the at-ingest form of [[contaminatedDocsNearDup]], letting a
+    * pipeline drop eval leakage BEFORE it ever reaches the corpus
+    * instead of sweeping for it afterwards. The benchmark side is
+    * read column-pruned from the index (band_keys, shingles — no
+    * benchmark text ships with the pipeline), and the batch stream is
+    * gated by the broadcast benchmark key set before any shuffle.
+    */
+  def contaminatedBatchNearDup(store: graft.sources.ParquetStore,
+      benchSigTable: String, batch: DataFrame, idCol: String,
+      textCol: String, shingleN: Int = 3, numHashes: Int = 64,
+      bands: Int = 16, threshold: Double = 0.5): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val rows = numHashes / bands
+    val bSig = minHashSigOf(batch, idCol, textCol, shingleN, numHashes)
+    val idx = store.read(benchSigTable)
+    contaminatedNearDupCore(
+      bandKeysOf(bSig, bands, rows), bSig.select(col("id"), col("shingles")),
+      idx.select(col("id"),
+        posexplode(col("band_keys")).as(Seq("band", "band_key"))),
+      idx.select(col("id"), col("shingles")), threshold)
+  }
+
   private def contaminatedNearDupCore(cBanded: DataFrame, cSets: DataFrame,
       bBanded: DataFrame, bSets: DataFrame, threshold: Double): DataFrame = {
     val keySet = bBanded.select("band", "band_key").distinct()

@@ -169,7 +169,12 @@ object Realtime {
     * an optional quality gate (`minQuality`, scored by the shared
     * [[graft.functions.GraftFunctions.qualityScore]] — per-row, so it
     * prunes BEFORE the near-dup shuffles, mirroring `pipeline_c4`'s
-    * composition) → near-dup against the PERSISTED MinHash signature index
+    * composition) → an optional DECONTAMINATION gate (`benchSigTable`:
+    * rows near-duplicating a persisted benchmark signature index are
+    * dropped at ingest — [[graft.operators.Dedup.contaminatedBatchNearDup]],
+    * same geometry as the corpus index; the benchmark table is static,
+    * so the stage is stateless and replay-safe)
+    * → near-dup against the PERSISTED MinHash signature index
     * ([[graft.operators.Dedup.incrementalNearDupStored]]) and within
     * itself. Survivors MERGE into the docs table AND their signatures
     * MERGE into the index, so the next micro-batch probes them.
@@ -204,6 +209,7 @@ object Realtime {
       checkpointDir: String, blocklist: Seq[String] = Nil,
       shingleN: Int = 3, numHashes: Int = 64, bands: Int = 16,
       threshold: Double = 0.5, minQuality: Option[Double] = None,
+      benchSigTable: Option[String] = None,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     // the dedup gates probe ONLY the signature index: a docs table
     // pre-seeded without one would make the first micro-batch dedup
@@ -214,6 +220,11 @@ object Realtime {
         s"table '$sigTable' does not — the dedup gates would not see the " +
         "existing corpus; bootstrap it first with " +
         "Dedup.buildNearDupStore(store, sigTable, store.read(table), ...)")
+    benchSigTable.foreach(bt => require(store.exists(bt),
+      s"streamIngestPipeline: benchmark signature table '$bt' does not " +
+        "exist — build it once per benchmark release with " +
+        "Dedup.buildNearDupStore(store, benchSigTable, benchmarkDocs, ...) " +
+        "using the same (shingleN, numHashes, bands) as this pipeline"))
     docs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
@@ -242,14 +253,26 @@ object Realtime {
             val b2q = minQuality.fold(b2)(q =>
               b2.filter(graft.functions.GraftFunctions
                 .qualityScore(col(textCol)) >= q))
+            // optional decontamination gate: rows near-duplicating the
+            // PERSISTED benchmark signature index are dropped at
+            // ingest — eval leakage never reaches the corpus. The
+            // benchmark table is static, so the stage is stateless and
+            // replay-idempotent by construction.
+            val b2d = benchSigTable.fold(b2q) { bt =>
+              val contaminated = graft.operators.Dedup
+                .contaminatedBatchNearDup(store, bt, b2q, idCol, textCol,
+                  shingleN, numHashes, bands, threshold)
+                .select(col("id").as(idCol))
+              b2q.join(contaminated, Seq(idCol), "left_anti")
+            }
             val kept2 =
               if (haveSigs)
                 graft.operators.Dedup.incrementalNearDupStored(store, sigTable,
-                  b2q, idCol, textCol, shingleN, numHashes, bands, threshold)
+                  b2d, idCol, textCol, shingleN, numHashes, bands, threshold)
               else
-                graft.operators.Dedup.incrementalNearDup(b2q.limit(0), b2q,
+                graft.operators.Dedup.incrementalNearDup(b2d.limit(0), b2d,
                   idCol, textCol, shingleN, numHashes, bands, threshold)
-            val rows = b2q.join(kept2.withColumnRenamed("id", idCol),
+            val rows = b2d.join(kept2.withColumnRenamed("id", idCol),
                 Seq(idCol), "left_semi")
               .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
             try {

@@ -72,6 +72,25 @@ class DecontamSpec extends AnyFunSuite {
       "stored form reads only the signature index")
   }
 
+  test("at-ingest decontamination gate equals the storeless sweep") {
+    val (bench, corpus) = fixture
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("id"), r.getAs[Long]("n_hits"),
+        math.rint(r.getAs[Double]("max_jaccard") * 1e6))).toSet
+    // benchmark signatures persisted once (per benchmark release);
+    // the batch probes them with freshly computed signatures
+    val store = new graft.sources.ParquetStore(
+      spark, TestSpark.tempDir("graft_decontam_gate_"))
+    Dedup.buildNearDupStore(store, "bench_sigs", bench, "doc_id", "text",
+      shingleN = 2)
+    val gated = canon(Dedup.contaminatedBatchNearDup(store, "bench_sigs",
+      corpus, "doc_id", "text", shingleN = 2, threshold = 0.3))
+    val storeless = canon(Dedup.contaminatedDocsNearDup(corpus, bench,
+      "doc_id", "text", shingleN = 2, threshold = 0.3))
+    assert(gated == storeless && gated.map(_._1) == Set(1L, 2L),
+      s"gate must equal the storeless sweep: $gated vs $storeless")
+  }
+
   test("semantic decontamination flags cosine leakage, gated before the shuffle") {
     import spark.implicits._
     // 4-dim handcrafted vectors: corpus 1 ≈ bench 100 (paraphrase —

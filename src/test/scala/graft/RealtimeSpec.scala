@@ -490,6 +490,80 @@ class RealtimeSpec extends AnyFunSuite {
       s"must point at the bootstrap, got: ${e.getMessage}")
   }
 
+  test("streaming ingest decontamination gate drops benchmark leakage at ingest") {
+    import graft.operators.Dedup
+    val dir = "/root/testdata/sf0.01"
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text", "lang")
+    // held-out "benchmark" = the id tail the generator plants near-dup
+    // pairs across (the decontam_neardup boundary), so the gate has
+    // real leakage to catch
+    val bench = docs.filter(col("doc_id") >= Queries.decontamNearDupSplit)
+    val existing = docs.filter(col("doc_id") < Queries.incrementalSplit)
+    val batch = docs.filter(col("doc_id") >= Queries.incrementalSplit &&
+      col("doc_id") < Queries.decontamNearDupSplit)
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select("doc_id").collect().map(_.getLong(0)).toSet
+    // batch twin: the r12 chain + the decontam stage between blocklist
+    // and near-dup, via the STORELESS sweep (DecontamSpec pins
+    // gate ≡ storeless)
+    val kept1 = Dedup.incrementalExact(existing, batch, "doc_id", "text")
+      .withColumnRenamed("id", "doc_id")
+    val b1 = batch.join(kept1, Seq("doc_id"), "left_semi")
+      .filter(graft.functions.GraftFunctions.blocklistClean(col("text"),
+        Queries.blocklistTerms))
+    val contaminated = Dedup.contaminatedDocsNearDup(b1, bench, "doc_id",
+        "text", shingleN = Queries.minHashShingleN,
+        numHashes = Queries.minHashNumHashes, bands = Queries.minHashBands,
+        threshold = Queries.minHashThreshold)
+      .select(col("id").as("doc_id"))
+    val b1d = b1.join(contaminated, Seq("doc_id"), "left_anti")
+    val kept2 = Dedup.incrementalNearDup(existing, b1d, "doc_id", "text",
+      shingleN = Queries.minHashShingleN, numHashes = Queries.minHashNumHashes,
+      bands = Queries.minHashBands, threshold = Queries.minHashThreshold)
+    val expect = ids(b1d.join(kept2.withColumnRenamed("id", "doc_id"),
+      Seq("doc_id"), "left_semi"))
+    val flagged = ids(batch) -- ids(b1d)
+    assert(flagged.nonEmpty, "fixture must plant real benchmark leakage")
+    val store = new graft.sources.ParquetStore(
+      spark, TestSpark.tempDir("graft_sid_store_"))
+    store.merge("docs", existing, "doc_id")
+    Dedup.buildNearDupStore(store, "sigs", existing, "doc_id", "text",
+      shingleN = Queries.minHashShingleN,
+      numHashes = Queries.minHashNumHashes, bands = Queries.minHashBands)
+    Dedup.buildNearDupStore(store, "bench_sigs", bench, "doc_id", "text",
+      shingleN = Queries.minHashShingleN,
+      numHashes = Queries.minHashNumHashes, bands = Queries.minHashBands)
+    val src = TestSpark.tempDir("graft_sid_src_")
+    batch.coalesce(1).write.mode("append").parquet(src)
+    val q = Realtime.streamIngestPipeline(store, "docs", "sigs",
+      spark.readStream.schema("doc_id LONG, text STRING, lang STRING")
+        .parquet(src),
+      "doc_id", "text", TestSpark.tempDir("graft_sid_cp_"),
+      blocklist = Queries.blocklistTerms,
+      shingleN = Queries.minHashShingleN,
+      numHashes = Queries.minHashNumHashes, bands = Queries.minHashBands,
+      threshold = Queries.minHashThreshold,
+      benchSigTable = Some("bench_sigs"))
+    q.awaitTermination(120000)
+    val streamed = ids(store.read("docs")
+      .filter(col("doc_id") >= Queries.incrementalSplit))
+    assert(streamed == expect,
+      "streamed decontam-gated chain must equal the batch composition")
+    assert(streamed.intersect(flagged).isEmpty,
+      "no flagged leakage row may reach the corpus")
+    // a missing benchmark index must fail at stream start, loudly
+    val e = intercept[IllegalArgumentException] {
+      Realtime.streamIngestPipeline(store, "docs", "sigs",
+        spark.readStream.schema("doc_id LONG, text STRING, lang STRING")
+          .parquet(src),
+        "doc_id", "text", TestSpark.tempDir("graft_sid_cpbad_"),
+        benchSigTable = Some("missing_sigs"))
+    }
+    assert(e.getMessage.contains("benchmark signature table"),
+      s"must name the missing benchmark index: ${e.getMessage}")
+  }
+
   test("streaming windowed counts equal the batch result (one code path)") {
     import spark.implicits._
     val events = (0 until 200).map { i =>
