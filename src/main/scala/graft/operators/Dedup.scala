@@ -468,7 +468,11 @@ object Dedup {
       bands: Int = 16, threshold: Double = 0.5): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val rows = numHashes / bands
+    // batch signatures feed two branches (banding + the verify
+    // join-back) — same persist contract as the incremental core,
+    // delta-sized here
     val bSig = minHashSigOf(batch, idCol, textCol, shingleN, numHashes)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val idx = store.read(benchSigTable)
     contaminatedNearDupCore(
       bandKeysOf(bSig, bands, rows), bSig.select(col("id"), col("shingles")),
