@@ -51,8 +51,10 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   * `MERGE INTO` (same call signature); the engine's call sites depend
   * only on `read`/`merge`/`overwrite`.
   */
-final class ParquetStore(spark: SparkSession, root: String, nBuckets: Int = 16)
-    extends Serializable {
+final class ParquetStore(spark: SparkSession, root: String, nBuckets: Int = 16,
+    filesPerBucket: Int = 4) extends Serializable {
+  require(filesPerBucket > 0,
+    s"filesPerBucket must be positive, got $filesPerBucket")
 
   private def fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
   private def pointer(table: String) = new Path(s"$root/$table/_CURRENT")
@@ -86,12 +88,13 @@ final class ParquetStore(spark: SparkSession, root: String, nBuckets: Int = 16)
     * (__bucket, salt) bounds output to `filesPerBucket` files per
     * bucket while still giving each bucket `filesPerBucket` parallel
     * writers — the single-writer-per-bucket tail a plain
-    * repartition(__bucket) would create. Write parallelism scales
-    * with nBuckets × filesPerBucket, which is the intended knob at
-    * 100 TB (a realistic store uses thousands of buckets).
+    * repartition(__bucket) would create. Write parallelism = touched
+    * buckets × filesPerBucket: both are constructor knobs, and at
+    * 100 TB they are sized TOGETHER (thousands of buckets so a merge
+    * rewrites a thin table slice, filesPerBucket at the executor
+    * count over the touched-bucket count so every writer slot is
+    * busy). The small defaults fit the sf-scale test stores.
     */
-  private val filesPerBucket = 4
-
   private def bucketedWrite(df: DataFrame, key: String, dir: String,
       nTargetBuckets: Int): Unit =
     df.repartition(math.max(1, nTargetBuckets * filesPerBucket),
