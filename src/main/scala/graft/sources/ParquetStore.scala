@@ -97,8 +97,15 @@ final class ParquetStore(spark: SparkSession, root: String, nBuckets: Int = 16,
     */
   private def bucketedWrite(df: DataFrame, key: String, dir: String,
       nTargetBuckets: Int): Unit =
+    // the salt MUST come from a hash independent of bucketOf's: with
+    // the same murmur hash, pmod(h, filesPerBucket) is fully
+    // determined by __bucket = pmod(h, nBuckets) whenever
+    // filesPerBucket divides nBuckets (the 16/4 default!), collapsing
+    // every bucket back to one writer partition — xxhash64 decorrelates
     df.repartition(math.max(1, nTargetBuckets * filesPerBucket),
-        col("__bucket"), pmod(hash(col(key)), lit(filesPerBucket)))
+        col("__bucket"),
+        pmod(org.apache.spark.sql.functions.xxhash64(col(key)),
+          lit(filesPerBucket.toLong)))
       .write.partitionBy("__bucket").mode(SaveMode.Overwrite).parquet(dir)
 
   def currentVersion(table: String): Option[Long] = {

@@ -47,6 +47,12 @@ class ParquetStoreSpec extends AnyFunSuite {
       assert(n <= 4, s"bucket $b has $n part files; the salted shuffle " +
         "must bound files per bucket to filesPerBucket")
     }
+    // and the salt must actually SPREAD a bucket over several writers —
+    // a salt derived from the same hash as the bucket is arithmetically
+    // inert when filesPerBucket divides nBuckets (every bucket
+    // collapses back to one writer task, the 100 TB tail)
+    assert(perBucket.values.exists(_ > 1),
+      s"expected some bucket with >1 part file, got ${perBucket.toSeq.sorted}")
   }
 
   test("merge widens a pre-existing table with new update columns") {
