@@ -228,7 +228,14 @@ object Dedup {
     * other's oracle parity. Shingle-less docs drop (they can match
     * nothing).
     */
-  private def minHashSigOf(df: DataFrame, idCol: String, textCol: String,
+  /** (id, shingles, sig) signature frame of a batch — private[graft]
+    * so the streaming ingest chain can compute it ONCE per micro-batch
+    * (persisted with a caller-managed lifetime) and hand it to both
+    * the decontamination gate and the near-dup stage via their
+    * `batchSig` parameters, instead of each op re-shingling and
+    * re-hashing the same rows.
+    */
+  private[graft] def minHashSigOf(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int, numHashes: Int): DataFrame = df
     .select(col(idCol).as("id"), col(textCol).as("text"))
     .withColumn("shingles", array_distinct(shingles(col("text"), lit(shingleN))))
@@ -302,13 +309,14 @@ object Dedup {
   def incrementalNearDup(existing: DataFrame, batch: DataFrame,
       idCol: String, textCol: String, shingleN: Int = 3,
       numHashes: Int = 64, bands: Int = 16,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5,
+      batchSig: Option[DataFrame] = None): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val rows = numHashes / bands
     val eSig = minHashSigOf(existing, idCol, textCol, shingleN, numHashes)
     incrementalNearDupCore(bandKeysOf(eSig, bands, rows),
       eSig.select(col("id"), col("shingles")), batch, idCol, textCol,
-      shingleN, numHashes, bands, threshold)
+      shingleN, numHashes, bands, threshold, batchSig)
   }
 
   /** Shared candidate/verify core of the two incremental near-dup
@@ -321,13 +329,17 @@ object Dedup {
     */
   private def incrementalNearDupCore(eBanded: DataFrame, eSets: DataFrame,
       batch: DataFrame, idCol: String, textCol: String, shingleN: Int,
-      numHashes: Int, bands: Int, threshold: Double): DataFrame = {
+      numHashes: Int, bands: Int, threshold: Double,
+      batchSig: Option[DataFrame] = None): DataFrame = {
     val rows = numHashes / bands
     // batch signatures back three branches (banding + two shingle
     // join-backs) — the same persist contract as minHashLshPairs,
-    // delta-sized here
-    val bSig = minHashSigOf(batch, idCol, textCol, shingleN, numHashes)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // delta-sized here. A caller-provided batchSig (already persisted,
+    // caller-managed lifetime — the streaming chain's contract) is
+    // used as-is, so a micro-batch never re-shingles.
+    val bSig = batchSig.getOrElse(
+      minHashSigOf(batch, idCol, textCol, shingleN, numHashes)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val bBanded = bandKeysOf(bSig, bands, rows)
     val keySet = bBanded.select("band", "band_key").distinct()
     // map-side gate: corpus bands that collide with a batch band key
@@ -465,14 +477,17 @@ object Dedup {
   def contaminatedBatchNearDup(store: graft.sources.ParquetStore,
       benchSigTable: String, batch: DataFrame, idCol: String,
       textCol: String, shingleN: Int = 3, numHashes: Int = 64,
-      bands: Int = 16, threshold: Double = 0.5): DataFrame = {
+      bands: Int = 16, threshold: Double = 0.5,
+      batchSig: Option[DataFrame] = None): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val rows = numHashes / bands
     // batch signatures feed two branches (banding + the verify
     // join-back) — same persist contract as the incremental core,
-    // delta-sized here
-    val bSig = minHashSigOf(batch, idCol, textCol, shingleN, numHashes)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // delta-sized here; a caller-provided batchSig (persisted,
+    // caller-managed) is used as-is
+    val bSig = batchSig.getOrElse(
+      minHashSigOf(batch, idCol, textCol, shingleN, numHashes)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val idx = store.read(benchSigTable)
     contaminatedNearDupCore(
       bandKeysOf(bSig, bands, rows), bSig.select(col("id"), col("shingles")),
@@ -551,13 +566,14 @@ object Dedup {
   def incrementalNearDupStored(store: graft.sources.ParquetStore,
       table: String, batch: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, numHashes: Int = 64, bands: Int = 16,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5,
+      batchSig: Option[DataFrame] = None): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val idx = store.read(table)
     val eBanded = idx.select(col("id"),
       posexplode(col("band_keys")).as(Seq("band", "band_key")))
     incrementalNearDupCore(eBanded, idx.select(col("id"), col("shingles")),
-      batch, idCol, textCol, shingleN, numHashes, bands, threshold)
+      batch, idCol, textCol, shingleN, numHashes, bands, threshold, batchSig)
   }
 
   /** SimHash near-dup: 64-bit signatures, banded blocking, verified

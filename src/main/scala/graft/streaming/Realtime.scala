@@ -212,14 +212,19 @@ object Realtime {
       benchSigTable: Option[String] = None,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     // the dedup gates probe ONLY the signature index: a docs table
-    // pre-seeded without one would make the first micro-batch dedup
-    // within itself alone and silently ingest duplicates of the whole
-    // existing corpus — fail at stream START, not row-by-row later
-    require(!store.exists(table) || store.exists(sigTable),
-      s"streamIngestPipeline: docs table '$table' exists but signature " +
-        s"table '$sigTable' does not — the dedup gates would not see the " +
-        "existing corpus; bootstrap it first with " +
-        "Dedup.buildNearDupStore(store, sigTable, store.read(table), ...)")
+    // without one would make the first micro-batch dedup within
+    // itself alone and silently ingest duplicates of the whole
+    // existing corpus. Restore the invariant at stream START by
+    // building the index FROM the docs table — self-healing rather
+    // than a require(), because the state also arises from OUR OWN
+    // crash window (docs MERGE committed, signature MERGE not — the
+    // documented replay order), where erroring would wedge every
+    // restart of a first micro-batch that crashed mid-commit. For a
+    // large pre-seeded corpus this is the one-time CREATE INDEX cost
+    // the pipeline needs anyway.
+    if (store.exists(table) && !store.exists(sigTable))
+      graft.operators.Dedup.buildNearDupStore(store, sigTable,
+        store.read(table), idCol, textCol, shingleN, numHashes, bands)
     benchSigTable.foreach(bt => require(store.exists(bt),
       s"streamIngestPipeline: benchmark signature table '$bt' does not " +
         "exist — build it once per benchmark release with " +
@@ -253,39 +258,59 @@ object Realtime {
             val b2q = minQuality.fold(b2)(q =>
               b2.filter(graft.functions.GraftFunctions
                 .qualityScore(col(textCol)) >= q))
-            // optional decontamination gate: rows near-duplicating the
-            // PERSISTED benchmark signature index are dropped at
-            // ingest — eval leakage never reaches the corpus. The
-            // benchmark table is static, so the stage is stateless and
-            // replay-idempotent by construction.
-            val b2d = benchSigTable.fold(b2q) { bt =>
-              val contaminated = graft.operators.Dedup
-                .contaminatedBatchNearDup(store, bt, b2q, idCol, textCol,
-                  shingleN, numHashes, bands, threshold)
-                .select(col("id").as(idCol))
-              b2q.join(contaminated, Seq(idCol), "left_anti")
-            }
-            val kept2 =
-              if (haveSigs)
-                graft.operators.Dedup.incrementalNearDupStored(store, sigTable,
-                  b2d, idCol, textCol, shingleN, numHashes, bands, threshold)
-              else
-                graft.operators.Dedup.incrementalNearDup(b2d.limit(0), b2d,
-                  idCol, textCol, shingleN, numHashes, bands, threshold)
-            val rows = b2d.join(kept2.withColumnRenamed("id", idCol),
-                Seq(idCol), "left_semi")
+            // the batch's MinHash signatures, computed ONCE per
+            // micro-batch with a lifetime bounded by this batch —
+            // shared by the decontamination gate and the near-dup
+            // stage via their batchSig parameters (each would
+            // otherwise re-shingle + re-hash the rows internally AND
+            // leave a never-unpersisted cache entry per micro-batch,
+            // unbounded over an always-on stream)
+            val bSig = graft.operators.Dedup
+              .minHashSigOf(b2q, idCol, textCol, shingleN, numHashes)
               .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
             try {
-              // force full materialization BEFORE mutating the store:
-              // `rows` lazily reads the store's current version, and
-              // the MERGEs below commit new ones. Docs FIRST (see the
-              // crash-replay contract above).
-              if (rows.count() > 0) {
-                store.merge(table, rows, idCol)
-                graft.operators.Dedup.buildNearDupStore(store, sigTable, rows,
-                  idCol, textCol, shingleN, numHashes, bands)
+              // optional decontamination gate: rows near-duplicating
+              // the PERSISTED benchmark signature index are dropped at
+              // ingest — eval leakage never reaches the corpus. The
+              // benchmark table is static, so the stage is stateless
+              // and replay-idempotent by construction.
+              val b2d = benchSigTable.fold(b2q) { bt =>
+                val contaminated = graft.operators.Dedup
+                  .contaminatedBatchNearDup(store, bt, b2q, idCol, textCol,
+                    shingleN, numHashes, bands, threshold,
+                    batchSig = Some(bSig))
+                  .select(col("id").as(idCol))
+                b2q.join(contaminated, Seq(idCol), "left_anti")
               }
-            } finally rows.unpersist()
+              // the near-dup stage sees only the gate's survivors
+              val sigD =
+                if (benchSigTable.isEmpty) bSig
+                else bSig.join(b2d.select(col(idCol).as("id")),
+                  Seq("id"), "left_semi")
+              val kept2 =
+                if (haveSigs)
+                  graft.operators.Dedup.incrementalNearDupStored(store, sigTable,
+                    b2d, idCol, textCol, shingleN, numHashes, bands, threshold,
+                    batchSig = Some(sigD))
+                else
+                  graft.operators.Dedup.incrementalNearDup(b2d.limit(0), b2d,
+                    idCol, textCol, shingleN, numHashes, bands, threshold,
+                    batchSig = Some(sigD))
+              val rows = b2d.join(kept2.withColumnRenamed("id", idCol),
+                  Seq(idCol), "left_semi")
+                .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+              try {
+                // force full materialization BEFORE mutating the store:
+                // `rows` lazily reads the store's current version, and
+                // the MERGEs below commit new ones. Docs FIRST (see the
+                // crash-replay contract above).
+                if (rows.count() > 0) {
+                  store.merge(table, rows, idCol)
+                  graft.operators.Dedup.buildNearDupStore(store, sigTable, rows,
+                    idCol, textCol, shingleN, numHashes, bands)
+                }
+              } finally rows.unpersist()
+            } finally bSig.unpersist()
           }
         } finally b.unpersist()
       }

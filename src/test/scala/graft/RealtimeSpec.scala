@@ -474,20 +474,30 @@ class RealtimeSpec extends AnyFunSuite {
     // redelivery against a fresh checkpoint stays a no-op with the gate
     runOnce(TestSpark.tempDir("graft_sipq_cp2_"))
     assert(streamed() == expect, "redelivery must remain a no-op")
-    // bootstrap invariant: docs table without a signature index must
-    // fail at stream START, pointing at the bootstrap call — silently
-    // ingesting duplicates of the pre-seeded corpus is the failure mode
-    val bad = new graft.sources.ParquetStore(
-      spark, TestSpark.tempDir("graft_sipq_bad_"))
-    bad.merge("docs", existing, "doc_id")
-    val e = intercept[IllegalArgumentException] {
-      Realtime.streamIngestPipeline(bad, "docs", "sigs",
-        spark.readStream.schema("doc_id LONG, text STRING, lang STRING")
-          .parquet(src),
-        "doc_id", "text", TestSpark.tempDir("graft_sipq_cpbad_"))
-    }
-    assert(e.getMessage.contains("buildNearDupStore"),
-      s"must point at the bootstrap, got: ${e.getMessage}")
+    // bootstrap invariant: a docs table without its signature index
+    // (pre-seeded corpus, or our own first-batch crash window between
+    // the docs MERGE and the signature MERGE) must self-heal at
+    // stream START — the index is rebuilt from the docs table, so the
+    // dedup gates see the existing corpus instead of silently
+    // ingesting duplicates of all of it
+    val bare = new graft.sources.ParquetStore(
+      spark, TestSpark.tempDir("graft_sipq_bare_"))
+    bare.merge("docs", existing, "doc_id")
+    val q2 = Realtime.streamIngestPipeline(bare, "docs", "sigs",
+      spark.readStream.schema("doc_id LONG, text STRING, lang STRING")
+        .parquet(src),
+      "doc_id", "text", TestSpark.tempDir("graft_sipq_cpbare_"),
+      blocklist = Queries.blocklistTerms,
+      shingleN = Queries.minHashShingleN,
+      numHashes = Queries.minHashNumHashes, bands = Queries.minHashBands,
+      threshold = Queries.minHashThreshold, minQuality = Some(minQ))
+    q2.awaitTermination(120000)
+    assert(bare.exists("sigs"), "stream start must bootstrap the index")
+    val bareIds = ids(bare.read("docs")
+      .filter(col("doc_id") >= Queries.incrementalSplit))
+    assert(bareIds == expect,
+      "self-healed store must dedup against the pre-seeded corpus " +
+        "exactly like an explicitly bootstrapped one")
   }
 
   test("streaming ingest decontamination gate drops benchmark leakage at ingest") {
