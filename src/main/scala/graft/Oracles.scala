@@ -2621,14 +2621,19 @@ object Oracles {
     // joined by spaces, truncated to 200 chars (Providers.scala:
     // 99-104). The model prefix interpolates the SHARED
     // Queries.ragChatModel (like ragQueryText/ragNumContext), and the
-    // line split matches Scala's linesIterator (\r\n, \r, or \n — a
-    // corpus carriage return must split identically on both sides).
-    // With retrieval, render, and response all declarative, the whole
-    // retrieve → render → respond chain is oracled; only the HTTP
-    // provider transports stay ProvidersSpec-covered.
+    // line split matches Scala's linesIterator exactly: \r\n, \r, or
+    // \n as separators, AND one trailing terminator yields no empty
+    // final element ("a\n" → ["a"], not ["a",""]) — hence the single
+    // trailing-terminator strip before the split, without which a
+    // <3-line prompt ending in a newline would join a phantom "" into
+    // the response. With retrieval, render, and response all
+    // declarative, the whole retrieve → render → respond chain is
+    // oracled; only the HTTP provider transports stay
+    // ProvidersSpec-covered.
     "vz_rag" ->
       s"""$ragRenderCtes,
-         |up AS (SELECT $ragUserPromptExpr AS u FROM ctx)
+         |up AS (SELECT regexp_replace($ragUserPromptExpr,
+         |  '(\\r\\n|\\r|\\n)$$', '') AS u FROM ctx)
          |SELECT ${sqlQuote(Queries.ragQueryText)} AS query,
          |  '[${Queries.ragChatModel}] ' || substr(
          |    array_to_string(list_slice(

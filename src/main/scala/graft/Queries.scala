@@ -2482,7 +2482,7 @@ object Queries {
     * can never silently red the replay against a stale hardcode.
     * Mirrors the reference's default (extension/src/api.rs:185).
     */
-  private[graft] val ragChatModel = "openai/gpt-4o-mini"
+  private[graft] val ragChatModel = VectorizeEngine.DefaultChatModel
 
   /** Engine end-to-end: deterministic-provider semantic search over
     * the documents corpus (createJob backfill → search). DuckDB-

@@ -18,6 +18,20 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * like the reference's `vectorize.job` table
   * (core/src/query.rs:205-220).
   */
+object VectorizeEngine {
+  /** The reference's default models and prompt task
+    * (extension/src/api.rs:159-223), single-sourced: the Scala API
+    * defaults, the SQL scalar/TVF registrations, and the oracle
+    * replays all reference THESE — a default changed in one copy but
+    * not another would silently diverge the surfaces with no compile
+    * error and no failing test.
+    */
+  val DefaultChatModel = "openai/gpt-4o-mini"
+  val DefaultEmbedModel = "sentence-transformers/all-MiniLM-L6-v2"
+  val DefaultRagTask = "question_answer"
+  val DefaultRagNumContext = 2
+}
+
 final class VectorizeEngine(
     val spark: SparkSession,
     warehouseDir: String,
@@ -522,8 +536,10 @@ final class VectorizeEngine(
     * context window, call the chat provider. Chat jobs require
     * exactly one content column (extension/src/chat/ops.rs:56-58).
     */
-  def rag(jobName: String, query: String, chatModel: String = "openai/gpt-4o-mini",
-      task: String = "question_answer", numContext: Int = 2,
+  def rag(jobName: String, query: String,
+      chatModel: String = VectorizeEngine.DefaultChatModel,
+      task: String = VectorizeEngine.DefaultRagTask,
+      numContext: Int = VectorizeEngine.DefaultRagNumContext,
       forceTrim: Boolean = false): DataFrame = {
     val trimmed = ragPrompt(jobName, query, chatModel, task, numContext, forceTrim)
     val answer = chatProvider.generateResponse(chatModel, trimmed.sysPrompt, trimmed.userPrompt)
@@ -537,8 +553,9 @@ final class VectorizeEngine(
     * EngineSpec-covered).
     */
   def ragPrompt(jobName: String, query: String,
-      chatModel: String = "openai/gpt-4o-mini",
-      task: String = "question_answer", numContext: Int = 2,
+      chatModel: String = VectorizeEngine.DefaultChatModel,
+      task: String = VectorizeEngine.DefaultRagTask,
+      numContext: Int = VectorizeEngine.DefaultRagNumContext,
       forceTrim: Boolean = false): graft.rag.RenderedPrompt = {
     val job = jobs(jobName)
     require(job.srcColumns.size == 1,
@@ -556,7 +573,8 @@ final class VectorizeEngine(
   }
 
   /** `vectorize.generate` (extension/src/api.rs:207-223). */
-  def generate(input: String, model: String = "openai/gpt-4o-mini"): String =
+  def generate(input: String,
+      model: String = VectorizeEngine.DefaultChatModel): String =
     chatProvider.generateResponse(model, "You are a helpful assistant.", input)
 
   def job(name: String): Option[VectorizeJob] = jobs.get(name)

@@ -151,7 +151,7 @@ object SqlTableFunctions {
     "vectorize_rag_prompt" -> { args: Seq[Expression] =>
       val fn = "vectorize_rag_prompt"
       val rendered = engine.ragPrompt(strArg(args, 0, fn), strArg(args, 1, fn),
-        numContext = intArg(args, 2, fn, 2))
+        numContext = intArg(args, 2, fn, VectorizeEngine.DefaultRagNumContext))
       import engine.spark.implicits._
       GraftColumnBridge.logicalPlan(
         Seq((rendered.sysPrompt, rendered.userPrompt))
@@ -169,9 +169,11 @@ object SqlTableFunctions {
       GraftColumnBridge.logicalPlan(engine.rag(
         strArg(args, 0, fn), strArg(args, 1, fn),
         chatModel =
-          if (args.length >= 3) strArg(args, 2, fn) else "openai/gpt-4o-mini",
-        task = if (args.length >= 4) strArg(args, 3, fn) else "question_answer",
-        numContext = intArg(args, 4, fn, 2),
+          if (args.length >= 3) strArg(args, 2, fn)
+          else VectorizeEngine.DefaultChatModel,
+        task = if (args.length >= 4) strArg(args, 3, fn)
+          else VectorizeEngine.DefaultRagTask,
+        numContext = intArg(args, 4, fn, VectorizeEngine.DefaultRagNumContext),
         forceTrim = boolArg(args, 5, fn, default = false)))
     },
     "vectorize_table" -> { args: Seq[Expression] =>

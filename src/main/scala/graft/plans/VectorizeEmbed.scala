@@ -140,7 +140,7 @@ object GraftSqlFunctions {
         "_FUNC_(input[, model_or_job]) - embed input text (driver-folded)", ""),
       (es: Seq[Expression]) => VectorizeEncode(es(0),
         es.lift(1).getOrElse(
-          Literal.create("sentence-transformers/all-MiniLM-L6-v2",
+          Literal.create(VectorizeEngine.DefaultEmbedModel,
             org.apache.spark.sql.types.StringType))))
     org.apache.spark.sql.GraftColumnBridge.registerFunction(
       spark,
@@ -150,7 +150,7 @@ object GraftSqlFunctions {
         "_FUNC_(input[, chat_model]) - one chat completion (driver-folded)", ""),
       (es: Seq[Expression]) => VectorizeGenerate(es(0),
         es.lift(1).getOrElse(
-          Literal.create("openai/gpt-4o-mini",
+          Literal.create(VectorizeEngine.DefaultChatModel,
             org.apache.spark.sql.types.StringType))))
   }
 }
