@@ -416,6 +416,45 @@ class RealtimeSpec extends AnyFunSuite {
       "full redelivery must be a no-op against the accumulated store")
   }
 
+  test("streaming ingest first batch on a FRESH store: within-batch rules only") {
+    import spark.implicits._
+    // no docs table, no signature table — the haveSigs=false path,
+    // which must still run the within-batch exact and near-dup rules
+    // off the shared per-batch signature frame
+    val store = new graft.sources.ParquetStore(
+      spark, TestSpark.tempDir("graft_sif_store_"))
+    val src = TestSpark.tempDir("graft_sif_src_")
+    Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta iota"), // near-dup of 1
+      (3L, "completely different words about volcanic basalt columns"),
+      (4L, "alpha beta gamma delta epsilon zeta eta theta")) // exact dup of 1
+      .toDF("doc_id", "text")
+      .coalesce(1).write.mode("append").parquet(src)
+    val q = Realtime.streamIngestPipeline(store, "docs", "sigs",
+      spark.readStream.schema("doc_id LONG, text STRING").parquet(src),
+      "doc_id", "text", TestSpark.tempDir("graft_sif_cp_"),
+      shingleN = 2, threshold = 0.5)
+    q.awaitTermination(120000)
+    val got = store.read("docs").select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(got == Set(1L, 3L),
+      s"first batch must drop the exact dup (4) and the near-dup (2): $got")
+    assert(store.exists("sigs"), "survivor signatures must seed the index")
+    // the seeded index now serves the second batch's corpus-side rules
+    Seq((5L, "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+      .coalesce(1).write.mode("append").parquet(src)
+    val q2 = Realtime.streamIngestPipeline(store, "docs", "sigs",
+      spark.readStream.schema("doc_id LONG, text STRING").parquet(src),
+      "doc_id", "text", TestSpark.tempDir("graft_sif_cp2_"),
+      shingleN = 2, threshold = 0.5)
+    q2.awaitTermination(120000)
+    assert(store.read("docs").select("doc_id").collect()
+      .map(_.getLong(0)).toSet == Set(1L, 3L),
+      "second batch's exact dup of a stored row must drop via the index")
+  }
+
   test("streaming ingest quality gate mirrors the batch composition; bootstrap invariant") {
     import graft.operators.Dedup
     import graft.functions.GraftFunctions
