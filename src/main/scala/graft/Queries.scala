@@ -2474,7 +2474,7 @@ object Queries {
     * engine and the replay can never disagree on the retrieval LIMIT
     * (or the derived windowSize = 5 × numContext).
     */
-  private[graft] val ragNumContext = 2
+  private[graft] val ragNumContext = VectorizeEngine.DefaultRagNumContext
 
   /** RAG chat model shared between [[vzRag]] and its oracle's
     * deterministic-response replay: the oracle interpolates the

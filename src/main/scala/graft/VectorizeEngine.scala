@@ -7,6 +7,20 @@ import graft.types._
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
+/** The reference's default models and prompt task
+  * (extension/src/api.rs:159-223), single-sourced: the Scala API
+  * defaults, the SQL scalar/TVF registrations, and the oracle
+  * replays all reference THESE — a default changed in one copy but
+  * not another would silently diverge the surfaces with no compile
+  * error and no failing test.
+  */
+object VectorizeEngine {
+  val DefaultChatModel = "openai/gpt-4o-mini"
+  val DefaultEmbedModel = "sentence-transformers/all-MiniLM-L6-v2"
+  val DefaultRagTask = "question_answer"
+  val DefaultRagNumContext = 2
+}
+
 /** The user-facing engine: job lifecycle + search + RAG.
   *
   * A user of pg_vectorize interacts through `vectorize.table(...)`,
@@ -18,20 +32,6 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * like the reference's `vectorize.job` table
   * (core/src/query.rs:205-220).
   */
-object VectorizeEngine {
-  /** The reference's default models and prompt task
-    * (extension/src/api.rs:159-223), single-sourced: the Scala API
-    * defaults, the SQL scalar/TVF registrations, and the oracle
-    * replays all reference THESE — a default changed in one copy but
-    * not another would silently diverge the surfaces with no compile
-    * error and no failing test.
-    */
-  val DefaultChatModel = "openai/gpt-4o-mini"
-  val DefaultEmbedModel = "sentence-transformers/all-MiniLM-L6-v2"
-  val DefaultRagTask = "question_answer"
-  val DefaultRagNumContext = 2
-}
-
 final class VectorizeEngine(
     val spark: SparkSession,
     warehouseDir: String,

@@ -211,29 +211,16 @@ object Dedup {
         col("n_removed"))
   }
 
-  /** MinHash+LSH near-dup candidates: shingle → k-perm MinHash
-    * signature → band buckets → equi-join within buckets → verified
-    * by exact shingle Jaccard (Broder 1997 / LSH banding as in
-    * Mining of Massive Datasets ch.3).
-    *
-    * numHashes must be divisible by bands; rowsPerBand =
-    * numHashes/bands. Returns (id_a, id_b, jaccard) pairs with exact
-    * shingle jaccard >= threshold, id_a < id_b, deduplicated across
-    * bands.
-    */
   /** Shingle → MinHash signature projection (id, shingles, sig) — the
     * single source for [[minHashLshPairs]] and [[incrementalNearDup]],
     * and the contract the minhash_aux oracle dump replays; editing
     * the construction in one place only would silently break the
     * other's oracle parity. Shingle-less docs drop (they can match
-    * nothing).
-    */
-  /** (id, shingles, sig) signature frame of a batch — private[graft]
-    * so the streaming ingest chain can compute it ONCE per micro-batch
-    * (persisted with a caller-managed lifetime) and hand it to both
-    * the decontamination gate and the near-dup stage via their
-    * `batchSig` parameters, instead of each op re-shingling and
-    * re-hashing the same rows.
+    * nothing). private[graft] so the streaming ingest chain can
+    * compute it ONCE per micro-batch (persisted with a caller-managed
+    * lifetime) and hand it to both the decontamination gate and the
+    * near-dup stage via their `batchSig` parameters, instead of each
+    * op re-shingling and re-hashing the same rows.
     */
   private[graft] def minHashSigOf(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int, numHashes: Int): DataFrame = df
@@ -255,6 +242,16 @@ object Dedup {
       hash(col("band"), slice(col("sig"), col("band") * rowsPerBand + 1, lit(rowsPerBand))))
     .select("id", "band", "band_key")
 
+  /** MinHash+LSH near-dup candidates: shingle → k-perm MinHash
+    * signature → band buckets → equi-join within buckets → verified
+    * by exact shingle Jaccard (Broder 1997 / LSH banding as in
+    * Mining of Massive Datasets ch.3).
+    *
+    * numHashes must be divisible by bands; rowsPerBand =
+    * numHashes/bands. Returns (id_a, id_b, jaccard) pairs with exact
+    * shingle jaccard >= threshold, id_a < id_b, deduplicated across
+    * bands.
+    */
   def minHashLshPairs(docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, numHashes: Int = 64, bands: Int = 16,
       threshold: Double = 0.5): DataFrame = {

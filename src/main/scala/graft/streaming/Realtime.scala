@@ -211,6 +211,13 @@ object Realtime {
       threshold: Double = 0.5, minQuality: Option[Double] = None,
       benchSigTable: Option[String] = None,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    // cheap config check FIRST: a typo'd benchmark table name must
+    // fail before the potentially corpus-sized self-heal below runs
+    benchSigTable.foreach(bt => require(store.exists(bt),
+      s"streamIngestPipeline: benchmark signature table '$bt' does not " +
+        "exist — build it once per benchmark release with " +
+        "Dedup.buildNearDupStore(store, benchSigTable, benchmarkDocs, ...) " +
+        "using the same (shingleN, numHashes, bands) as this pipeline"))
     // the dedup gates probe ONLY the signature index: a docs table
     // without one would make the first micro-batch dedup within
     // itself alone and silently ingest duplicates of the whole
@@ -225,11 +232,6 @@ object Realtime {
     if (store.exists(table) && !store.exists(sigTable))
       graft.operators.Dedup.buildNearDupStore(store, sigTable,
         store.read(table), idCol, textCol, shingleN, numHashes, bands)
-    benchSigTable.foreach(bt => require(store.exists(bt),
-      s"streamIngestPipeline: benchmark signature table '$bt' does not " +
-        "exist — build it once per benchmark release with " +
-        "Dedup.buildNearDupStore(store, benchSigTable, benchmarkDocs, ...) " +
-        "using the same (shingleN, numHashes, bands) as this pipeline"))
     docs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
@@ -265,9 +267,17 @@ object Realtime {
             // otherwise re-shingle + re-hash the rows internally AND
             // leave a never-unpersisted cache entry per micro-batch,
             // unbounded over an always-on stream)
+            val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
             val bSig = graft.operators.Dedup
               .minHashSigOf(b2q, idCol, textCol, shingleN, numHashes)
-              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+              .persist(lvl)
+            // every frame cached for this batch's lifetime — the
+            // gate's survivors and THEIR signature subset are each
+            // read by several downstream branches, and an unpersisted
+            // derived frame would re-execute the whole gate subplan
+            // per reference (also violating batchSig's
+            // "already persisted" contract)
+            val caches = scala.collection.mutable.ListBuffer(bSig)
             try {
               // optional decontamination gate: rows near-duplicating
               // the PERSISTED benchmark signature index are dropped at
@@ -280,13 +290,20 @@ object Realtime {
                     shingleN, numHashes, bands, threshold,
                     batchSig = Some(bSig))
                   .select(col("id").as(idCol))
-                b2q.join(contaminated, Seq(idCol), "left_anti")
+                val d = b2q.join(contaminated, Seq(idCol), "left_anti")
+                  .persist(lvl)
+                caches += d
+                d
               }
               // the near-dup stage sees only the gate's survivors
               val sigD =
                 if (benchSigTable.isEmpty) bSig
-                else bSig.join(b2d.select(col(idCol).as("id")),
-                  Seq("id"), "left_semi")
+                else {
+                  val s = bSig.join(b2d.select(col(idCol).as("id")),
+                    Seq("id"), "left_semi").persist(lvl)
+                  caches += s
+                  s
+                }
               val kept2 =
                 if (haveSigs)
                   graft.operators.Dedup.incrementalNearDupStored(store, sigTable,
@@ -298,7 +315,7 @@ object Realtime {
                     batchSig = Some(sigD))
               val rows = b2d.join(kept2.withColumnRenamed("id", idCol),
                   Seq(idCol), "left_semi")
-                .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+                .persist(lvl)
               try {
                 // force full materialization BEFORE mutating the store:
                 // `rows` lazily reads the store's current version, and
@@ -310,7 +327,7 @@ object Realtime {
                     idCol, textCol, shingleN, numHashes, bands)
                 }
               } finally rows.unpersist()
-            } finally bSig.unpersist()
+            } finally caches.foreach(_.unpersist())
           }
         } finally b.unpersist()
       }
