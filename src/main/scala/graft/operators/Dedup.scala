@@ -470,6 +470,9 @@ object Dedup {
     * read column-pruned from the index (band_keys, shingles — no
     * benchmark text ships with the pipeline), and the batch stream is
     * gated by the broadcast benchmark key set before any shuffle.
+    * `batchSig`, when provided, must be [[minHashSigOf]] of `batch`
+    * (already persisted, caller-managed lifetime) — `batch` itself is
+    * then not read.
     */
   def contaminatedBatchNearDup(store: graft.sources.ParquetStore,
       benchSigTable: String, batch: DataFrame, idCol: String,
