@@ -1275,7 +1275,10 @@ object Dedup {
         explode(signBandKeys(col("vec"), planes, bits, bands)))
     val bench = banded(benchmark)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val gate = bench.select(col("band_key")).distinct()
+    // no distinct(): a semi-join needs no deduplicated build side (the
+    // broadcast hash relation dedups keys itself), and the distinct
+    // was a benchmark-side shuffle for nothing
+    val gate = bench.select(col("band_key"))
     val candidates = banded(corpus)
       .join(broadcast(gate), Seq("band_key"), "left_semi")
       .join(bench.select(col("band_key"), col("id").as("bid"),
@@ -1284,7 +1287,11 @@ object Dedup {
         cosineSimilarity(col("vec"), col("bvec")).as("cos"))
       .filter(col("cos") >= threshold)
       .distinct() // a pair colliding in several bands counts once
+    // count, not countDistinct: the pairs are already distinct (and
+    // cos is deterministic per pair), so a distinct-count would only
+    // add a second aggregation exchange — same shape as the near-dup
+    // core's hit count
     candidates.groupBy(col("id"))
-      .agg(countDistinct(col("bid")).as("n_hits"), max(col("cos")).as("max_cos"))
+      .agg(count(lit(1)).as("n_hits"), max(col("cos")).as("max_cos"))
   }
 }

@@ -52,6 +52,26 @@ class PlanSpec extends AnyFunSuite {
       s"reassembly + lang agg), got $n:\n$plan")
   }
 
+  test("decontam_semantic: corpus banded stream gated by broadcasts, bounded exchanges") {
+    val plan = SparkEntry.queries("decontam_semantic")(spark, dir)
+      .queryExecution.executedPlan.toString
+    // the benchmark band-key gate AND the candidate join must both
+    // broadcast (the benchmark is a held-out eval slice — tiny by
+    // definition); an SMJ would shuffle the whole banded corpus
+    // stream before the verify
+    assert("BroadcastHashJoin [^\\n]*LeftSemi".r.findFirstIn(plan).isDefined,
+      s"band-key gate must broadcast:\n$plan")
+    assert("BroadcastHashJoin [^\\n]*Inner".r.findFirstIn(plan).isDefined,
+      s"candidate join must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"decontam_semantic must not sort-merge anywhere:\n$plan")
+    // the only hash exchanges carry VERIFIED candidates (pair dedup +
+    // per-id agg) — never the corpus banded stream
+    val nHash = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(nHash <= 2,
+      s"expected <=2 hash exchanges (pair distinct + id agg), got $nHash:\n$plan")
+  }
+
   test("dsir_weights: ratio table broadcast-probed, bounded model-fit shuffles") {
     val plan = SparkEntry.queries("dsir_weights")(spark, dir)
       .queryExecution.executedPlan.toString
