@@ -407,6 +407,37 @@ object Dedup {
     store.merge(table,
       sigStoreRows(docs, idCol, textCol, shingleN, numHashes, bands), "id")
 
+  /** [[buildNearDupStore]] from an already-computed (persisted)
+    * [[minHashSigOf]] frame covering `docs` — the streaming ingest
+    * chain's MERGE step, where re-shingling + re-MinHashing the
+    * survivors from text would repeat exactly the per-row work the
+    * shared per-batch signature frame exists to pay once. Index-row
+    * parity with the text path is exact: norm_hash recomputes from
+    * text (cheap, not in the sig frame), the left join restores
+    * shingle-less docs as (shingles = [], sig/band_keys = null) —
+    * [[minHashSigOf]] filtered them, [[sigStoreRows]] keeps them for
+    * the exact-dedup probe's norm_hash domain — and band_keys derive
+    * from the joined sig with the same hash(band, slice) expression.
+    */
+  private[graft] def buildNearDupStoreFromSig(store: graft.sources.ParquetStore,
+      table: String, docs: DataFrame, idCol: String, textCol: String,
+      sig: DataFrame, numHashes: Int, bands: Int): Unit = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val rows = numHashes / bands
+    val merged = docs.select(col(idCol).as("id"), col(textCol).as("text"))
+      .withColumn("norm_hash", normHash(col("text")))
+      .join(sig.select(col("id"), col("shingles").as("__sh"),
+        col("sig").as("__sig")), Seq("id"), "left")
+      .withColumn("shingles",
+        coalesce(col("__sh"), array().cast("array<string>")))
+      .withColumn("sig", col("__sig"))
+      .withColumn("band_keys", when(size(col("shingles")) > 0,
+        array((0 until bands).map(b =>
+          hash(lit(b), slice(col("sig"), b * rows + 1, rows))): _*)))
+      .select("id", "norm_hash", "sig", "shingles", "band_keys")
+    store.merge(table, merged, "id")
+  }
+
   /** NEAR-DUP decontamination (the MinHash sibling of
     * [[contaminatedDocs]]): corpus docs whose exact shingle Jaccard
     * against ANY benchmark doc reaches `threshold` — the
@@ -1263,7 +1294,9 @@ object Dedup {
     * sign-LSH contract: a pair at cosine ≥ threshold collides in some
     * band with the [[embeddingLshBandedPairs]] pigeonhole probability
     * — same approximation, same planes, oracled with the same literal
-    * replay.
+    * replay. Ids must be unique per side (the pkey contract every
+    * operator here assumes): duplicate ids would make the per-id hit
+    * count — and the oracle's replay joins — ill-defined.
     */
   def contaminatedDocsSemantic(corpus: DataFrame, benchmark: DataFrame,
       idCol: String, vecCol: String, dim: Int, threshold: Double = 0.95,
@@ -1281,8 +1314,12 @@ object Dedup {
     val gate = bench.select(col("band_key"))
     val candidates = banded(corpus)
       .join(broadcast(gate), Seq("band_key"), "left_semi")
-      .join(bench.select(col("band_key"), col("id").as("bid"),
-        col("vec").as("bvec")), Seq("band_key"))
+      // the candidate join is broadcast-PINNED like the gate: leaving
+      // it to the stats estimator would let a missing/inflated size
+      // estimate plan a SortMergeJoin that shuffles the entire gated
+      // corpus stream — the shape this operator exists to avoid
+      .join(broadcast(bench.select(col("band_key"), col("id").as("bid"),
+        col("vec").as("bvec"))), Seq("band_key"))
       .select(col("id"), col("bid"),
         cosineSimilarity(col("vec"), col("bvec")).as("cos"))
       .filter(col("cos") >= threshold)

@@ -323,8 +323,12 @@ object Realtime {
                 // crash-replay contract above).
                 if (rows.count() > 0) {
                   store.merge(table, rows, idCol)
-                  graft.operators.Dedup.buildNearDupStore(store, sigTable, rows,
-                    idCol, textCol, shingleN, numHashes, bands)
+                  // survivors' signatures MERGE from the SHARED frame
+                  // (sigD ⊇ rows' sigs; the join restricts) — the
+                  // text path would re-shingle + re-MinHash the very
+                  // rows the per-batch frame already carries
+                  graft.operators.Dedup.buildNearDupStoreFromSig(store,
+                    sigTable, rows, idCol, textCol, sigD, numHashes, bands)
                 }
               } finally rows.unpersist()
             } finally caches.foreach(_.unpersist())

@@ -186,4 +186,34 @@ class IncrementalDedupSpec extends AnyFunSuite {
         .exists(s => !s.contains("band_keys")),
       s"verify fetch must not read band keys:\n$plan")
   }
+
+  test("buildNearDupStoreFromSig writes index rows identical to the text path") {
+    import spark.implicits._
+    // includes a shingle-less doc (empty text): the text path keeps it
+    // as (shingles=[], sig/band_keys=null) for the exact-dedup probe's
+    // norm_hash domain, and the sig-frame path must restore it through
+    // the left join even though minHashSigOf filtered it out
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, ""),
+      (3L, "alpha beta gamma epsilon")).toDF("doc_id", "text")
+    val fromText = new graft.sources.ParquetStore(
+      spark, TestSpark.tempDir("graft_ndsig_text_"))
+    Dedup.buildNearDupStore(fromText, "sigs", docs, "doc_id", "text",
+      shingleN = 2)
+    val sig = Dedup.minHashSigOf(docs, "doc_id", "text",
+      shingleN = 2, numHashes = 64)
+    val fromSig = new graft.sources.ParquetStore(
+      spark, TestSpark.tempDir("graft_ndsig_sig_"))
+    Dedup.buildNearDupStoreFromSig(fromSig, "sigs", docs, "doc_id", "text",
+      sig, numHashes = 64, bands = 16)
+    def canon(s: graft.sources.ParquetStore) = s.read("sigs")
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[String]("norm_hash"),
+        Option(r.getAs[scala.collection.Seq[Long]]("sig")).map(_.toSeq),
+        r.getAs[scala.collection.Seq[String]]("shingles").toSeq.sorted,
+        Option(r.getAs[scala.collection.Seq[Long]]("band_keys")).map(_.toSeq)))
+      .toSet
+    assert(canon(fromSig) == canon(fromText),
+      "sig-frame MERGE must write the identical index rows")
+  }
 }
