@@ -393,13 +393,45 @@ object Oracles {
     * pipeline_ingest and ingest_audit oracles so the two replay ONE
     * definition of every stage. Mirrors Queries.ingestStages.
     */
-  private lazy val ingestChainCte: String = {
+  /** The ingestion-chain CTEs (exact dedup → blocklist → optional
+    * decontamination vs the benchmark id tail → near-dup), ending in
+    * `final(doc_id)`. With `decontam = true` the batch is capped at
+    * [[Queries.decontamNearDupSplit]] (the tail is the benchmark
+    * slice) and a drop stage replays
+    * Dedup.contaminatedDocsNearDup between the blocklist and the
+    * near-dup stage — otherwise `bl2` is just `bl` and the chain is
+    * the r11 three-stage form.
+    */
+  private def ingestChain(decontam: Boolean): String = {
     val rows = Queries.minHashNumHashes / Queries.minHashBands
     val terms = Queries.blocklistTerms.map(s => s"'$s'").mkString("[", ", ", "]")
+    val batchPred =
+      if (decontam)
+        s"doc_id >= ${Queries.incrementalSplit} AND doc_id < ${Queries.decontamNearDupSplit}"
+      else s"doc_id >= ${Queries.incrementalSplit}"
+    val decontamCtes =
+      if (!decontam) "bl2 AS (SELECT doc_id FROM bl),"
+      else
+        s"""blk AS (SELECT k.* FROM keyed k JOIN bl ON bl.doc_id = k.doc_id),
+           |benchk AS (
+           |  SELECT * FROM keyed WHERE doc_id >= ${Queries.decontamNearDupSplit}),
+           |dcand AS (
+           |  SELECT DISTINCT c.doc_id AS id, b2.doc_id AS bench_id
+           |  FROM blk c JOIN benchk b2 ON c.band = b2.band AND c.bkey = b2.bkey),
+           |dhit AS (
+           |  SELECT DISTINCT dc.id FROM dcand dc
+           |  JOIN s sc ON sc.doc_id = dc.id
+           |  JOIN s sb ON sb.doc_id = dc.bench_id
+           |  WHERE CAST(len(list_intersect(sc.shingles, sb.shingles)) AS DOUBLE)
+           |    / len(list_distinct(sc.shingles || sb.shingles))
+           |    >= ${Queries.minHashThreshold}),
+           |bl2 AS (
+           |  SELECT doc_id FROM bl
+           |  WHERE doc_id NOT IN (SELECT id FROM dhit)),""".stripMargin
     s"""WITH b AS (
        |  SELECT doc_id AS id,
        |    md5(regexp_replace(lower(trim(coalesce(text, ''))), '\\s+', ' ', 'g')) AS h
-       |  FROM documents WHERE doc_id >= ${Queries.incrementalSplit}),
+       |  FROM documents WHERE $batchPred),
        |e AS (
        |  SELECT DISTINCT
        |    md5(regexp_replace(lower(trim(coalesce(text, ''))), '\\s+', ' ', 'g')) AS h
@@ -423,7 +455,8 @@ object Oracles {
        |  SELECT doc_id, band,
        |    list_slice(sig, band * $rows + 1, band * $rows + $rows) AS bkey
        |  FROM s CROSS JOIN bands),
-       |bk AS (SELECT k.* FROM keyed k JOIN bl ON bl.doc_id = k.doc_id),
+       |$decontamCtes
+       |bk AS (SELECT k.* FROM keyed k JOIN bl2 ON bl2.doc_id = k.doc_id),
        |ek AS (SELECT * FROM keyed WHERE doc_id < ${Queries.incrementalSplit}),
        |cand AS (
        |  SELECT DISTINCT bb.doc_id AS id, ee.doc_id AS other_id
@@ -440,9 +473,11 @@ object Oracles {
        |    / len(list_distinct(sa.shingles || sb.shingles))
        |    >= ${Queries.minHashThreshold}),
        |final AS (
-       |  SELECT doc_id FROM bl
+       |  SELECT doc_id FROM bl2
        |  WHERE doc_id NOT IN (SELECT id FROM dropped))""".stripMargin
   }
+
+  private lazy val ingestChainCte: String = ingestChain(decontam = false)
 
   /** Multiprobe kNN candidate replay through the `ranked` CTE —
     * probe-key equi-join → self-exclusion → exact cosine → per-query
@@ -1246,6 +1281,16 @@ object Oracles {
     // the gate's survivors → per-language stats of what ingests.
     "pipeline_ingest" ->
       s"""$ingestChainCte
+         |SELECT d.lang, COUNT(*) AS n_docs,
+         |  CAST(SUM(len($toksSql)) AS BIGINT) AS n_tokens
+         |FROM documents d JOIN final f ON f.doc_id = d.doc_id
+         |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
+
+    // The decontam-gated chain: same stages plus the benchmark-slice
+    // drop between blocklist and near-dup — the oracled batch twin of
+    // the streaming pipeline's full stage order.
+    "pipeline_ingest_decontam" ->
+      s"""${ingestChain(decontam = true)}
          |SELECT d.lang, COUNT(*) AS n_docs,
          |  CAST(SUM(len($toksSql)) AS BIGINT) AS n_tokens
          |FROM documents d JOIN final f ON f.doc_id = d.doc_id

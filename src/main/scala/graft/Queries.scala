@@ -2067,6 +2067,44 @@ object Queries {
         round(col("max_jaccard"), 4).as("max_jaccard"))
       .orderBy(col("doc_id"))
 
+  /** Composed ingestion chain WITH the at-ingest decontamination
+    * stage — the oracled batch twin of the streaming pipeline's full
+    * stage order (exact dedup → blocklist → decontam vs the held-out
+    * benchmark slice → near-dup → per-lang stats). Three-way id
+    * split: existing corpus < [[incrementalSplit]], ingest batch in
+    * [incrementalSplit, [[decontamNearDupSplit]]), benchmark slice ≥
+    * decontamNearDupSplit (the boundary the generator plants near-dup
+    * pairs across, so the drop stage is exercised). Same public ops
+    * and constants as `pipeline_ingest` plus
+    * [[graft.operators.Dedup.contaminatedDocsNearDup]] as the gate;
+    * the DuckDB oracle replays the full chain over the shared
+    * minhash_aux signature dump.
+    */
+  def pipelineIngestDecontam(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val existing = docs.filter(col("doc_id") < incrementalSplit)
+    val batch = docs.filter(col("doc_id") >= incrementalSplit &&
+      col("doc_id") < decontamNearDupSplit)
+    val bench = docs.filter(col("doc_id") >= decontamNearDupSplit)
+    val kept1 = Dedup.incrementalExact(existing, batch, "doc_id", "text")
+      .withColumnRenamed("id", "doc_id")
+    val b1 = batch.join(kept1, Seq("doc_id"), "left_semi")
+      .filter(blocklistClean(col("text"), blocklistTerms))
+    val contaminated = Dedup.contaminatedDocsNearDup(b1, bench, "doc_id",
+        "text", shingleN = minHashShingleN, numHashes = minHashNumHashes,
+        bands = minHashBands, threshold = minHashThreshold)
+      .select(col("id").as("doc_id"))
+    val b1d = b1.join(contaminated, Seq("doc_id"), "left_anti")
+    val kept2 = Dedup.incrementalNearDup(existing, b1d, "doc_id", "text",
+      shingleN = minHashShingleN, numHashes = minHashNumHashes,
+      bands = minHashBands, threshold = minHashThreshold)
+    b1d.join(kept2.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left_semi")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(sqlTokens(col("text")))).as("n_tokens"))
+      .orderBy(col("lang"))
+  }
+
   /** SEMANTIC decontamination — the embedding rung of the
     * decontamination ladder (exact n-gram count → bloom → near-dup
     * shingle Jaccard → THIS): corpus vectors whose cosine against any
@@ -3078,6 +3116,7 @@ object Queries {
     "dedup_incremental_neardup" -> (dedupIncrementalNeardup _),
     "dedup_incremental_neardup_stored" -> (dedupIncrementalNeardupStored _),
     "pipeline_ingest" -> (pipelineIngest _),
+    "pipeline_ingest_decontam" -> (pipelineIngestDecontam _),
     "ingest_audit" -> (ingestAudit _),
     "drift_report" -> (driftReport _),
     "dedup_spans" -> (dedupSpans _),
