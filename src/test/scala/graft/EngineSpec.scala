@@ -35,6 +35,36 @@ class EngineSpec extends AnyFunSuite {
     assert(top.head.getAs[Double]("rrf_score") > 0.0)
   }
 
+  test("source-format agnostic: JSON and CSV sources run the full job lifecycle") {
+    import spark.implicits._
+    // registerSource takes ANY DataFrame — where the reference
+    // introspects a Postgres table, a Spark job points spark.read at
+    // whatever format holds the corpus. Prove it end to end for the
+    // two ubiquitous non-parquet formats: write the fixture out as
+    // JSON and CSV, read back, createJob, search.
+    val rows = Fixtures.myProducts(spark)
+    val jsonDir = TestSpark.tempDir("graft_src_json_")
+    val csvDir = TestSpark.tempDir("graft_src_csv_")
+    rows.write.mode("overwrite").json(jsonDir)
+    rows.write.mode("overwrite").option("header", "true").csv(csvDir)
+    def check(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
+      val engine = newEngine()
+      engine.registerSource("my_products", df)
+      engine.createJob(productsJob())
+      val top = engine.hybridSearch("products", "camping backpack", limit = 1)
+        .collect()
+      assert(top.length == 1 &&
+        top.head.getAs[String]("product_name") == "Backpack",
+        s"$name-sourced job must rank Backpack first (README example)")
+    }
+    check("json", spark.read.json(jsonDir)
+      .withColumn("product_id", col("product_id").cast("long"))
+      .withColumn("updated_at", col("updated_at").cast("timestamp")))
+    check("csv", spark.read.option("header", "true").option("inferSchema", "true")
+      .csv(csvDir)
+      .withColumn("updated_at", col("updated_at").cast("timestamp")))
+  }
+
   test("IndexDist hint: hnsw flavors build graph indexes, diskann builds IVF") {
     val engine = newEngine()
     engine.registerSource("my_products", Fixtures.myProducts(spark))
