@@ -166,8 +166,11 @@ class ScaleSpec extends AnyFunSuite {
       // CREATE INDEX analogue; the measured run is the index probe)
       "dedup_incremental_stored" -> (salted1, salted10),
       "dedup_incremental_neardup_stored" -> (salted1, salted10),
-      // the composed ingestion chain (same batch-side caveat)
+      // the composed ingestion chains (same batch-side caveat); the
+      // decontam-gated form adds the benchmark-tail drop stage, whose
+      // broadcast band-key gate must also hold at 10×
       "pipeline_ingest" -> (salted1, salted10),
+      "pipeline_ingest_decontam" -> (salted1, salted10),
       // export sharding: one narrow scan + N-row aggregate
       "export_shards" -> (verb1, verb10),
       // semantic decontamination on the verbatim embedding rung: both
@@ -366,6 +369,10 @@ class ScaleSpec extends AnyFunSuite {
 
   test("composed ingestion pipeline scales sub-quadratically to 10x", ScaleTest) {
     assertSubQuadratic("pipeline_ingest")
+  }
+
+  test("decontam-gated ingestion chain scales sub-quadratically to 10x", ScaleTest) {
+    assertSubQuadratic("pipeline_ingest_decontam")
   }
 
   test("store-backed near-dup: fixed delta, 10x corpus — no corpus text reads", ScaleTest) {
