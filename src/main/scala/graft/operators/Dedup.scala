@@ -222,12 +222,57 @@ object Dedup {
     * near-dup stage via their `batchSig` parameters, instead of each
     * op re-shingling and re-hashing the same rows.
     */
+  /** Column-metadata keys stamped on the `sig` column by
+    * [[minHashSigOf]] — the frame carries its own build geometry, so
+    * a `batchSig` handed to a probe with DIFFERENT (shingleN,
+    * numHashes) is a loud require-failure instead of silently wrong
+    * band keys (ADVICE r13). Metadata rides the attribute through
+    * persist/join/select, so the stamp survives every reuse path the
+    * streaming chain takes.
+    */
+  private[graft] val SigMetaShingleN = "graft.minhash.shingle_n"
+  private[graft] val SigMetaNumHashes = "graft.minhash.num_hashes"
+
   private[graft] def minHashSigOf(df: DataFrame, idCol: String, textCol: String,
-      shingleN: Int, numHashes: Int): DataFrame = df
-    .select(col(idCol).as("id"), col(textCol).as("text"))
-    .withColumn("shingles", array_distinct(shingles(col("text"), lit(shingleN))))
-    .filter(size(col("shingles")) > 0)
-    .withColumn("sig", minHash(col("shingles"), lit(numHashes)))
+      shingleN: Int, numHashes: Int): DataFrame = {
+    val md = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong(SigMetaShingleN, shingleN.toLong)
+      .putLong(SigMetaNumHashes, numHashes.toLong)
+      .build()
+    df.select(col(idCol).as("id"), col(textCol).as("text"))
+      .withColumn("shingles", array_distinct(shingles(col("text"), lit(shingleN))))
+      .filter(size(col("shingles")) > 0)
+      .select(col("id"), col("text"), col("shingles"),
+        minHash(col("shingles"), lit(numHashes)).as("sig", md))
+  }
+
+  /** Guard for caller-provided `batchSig` frames (ADVICE r13): the
+    * parameter is an invariant — it MUST be [[minHashSigOf]] of the
+    * batch with the probe's own geometry — and a frame built with
+    * different (shingleN, numHashes) would silently band differently
+    * and miss/fabricate duplicates. Checks (a) the contract columns
+    * exist and (b) when the frame carries [[minHashSigOf]]'s geometry
+    * stamp (every frame built through it does), that the stamp matches
+    * the probe's parameters. Hand-rolled frames without the stamp pass
+    * (b) vacuously — the documented contract still applies to them.
+    */
+  private def validateBatchSig(bs: DataFrame, shingleN: Int, numHashes: Int,
+      caller: String): Unit = {
+    val missing = Seq("id", "shingles", "sig").filterNot(bs.columns.contains)
+    require(missing.isEmpty,
+      s"$caller: batchSig is missing column(s) ${missing.mkString(", ")} — " +
+        "it must be Dedup.minHashSigOf(batch, idCol, textCol, shingleN, " +
+        "numHashes) of the probed batch")
+    val md = bs.schema("sig").metadata
+    def chk(key: String, expect: Int, what: String): Unit =
+      if (md.contains(key)) require(md.getLong(key) == expect.toLong,
+        s"$caller: batchSig was built with $what=${md.getLong(key)} but the " +
+          s"probe uses $what=$expect — its signatures/band keys would " +
+          "silently disagree with the probe's; rebuild batchSig with the " +
+          "probe's geometry")
+    chk(SigMetaShingleN, shingleN, "shingleN")
+    chk(SigMetaNumHashes, numHashes, "numHashes")
+  }
 
   /** LSH band keys (id, band, band_key) over a signature frame — band
     * key = hash of the band's signature slice. Only (id, band_key)
@@ -334,6 +379,8 @@ object Dedup {
     // delta-sized here. A caller-provided batchSig (already persisted,
     // caller-managed lifetime — the streaming chain's contract) is
     // used as-is, so a micro-batch never re-shingles.
+    batchSig.foreach(validateBatchSig(_, shingleN, numHashes,
+      "incrementalNearDup"))
     val bSig = batchSig.getOrElse(
       minHashSigOf(batch, idCol, textCol, shingleN, numHashes)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
@@ -393,19 +440,76 @@ object Dedup {
       .select("id", "norm_hash", "sig", "shingles", "band_keys")
   }
 
+  /** `_META` keys recording a signature index's frozen build geometry
+    * (ADVICE r13): the builders write them, the geometry-taking
+    * probes REQUIRE-match them — probing a table banded with
+    * different (shingleN, numHashes, bands) silently returns
+    * near-zero matches, which for the decontamination gate is exactly
+    * the silent eval leakage the gate exists to prevent.
+    */
+  private val MetaShingleN = "minhash.shingle_n"
+  private val MetaNumHashes = "minhash.num_hashes"
+  private val MetaBands = "minhash.bands"
+
+  private def geometryProps(shingleN: Int, numHashes: Int, bands: Int)
+      : Map[String, String] = Map(
+    MetaShingleN -> shingleN.toString,
+    MetaNumHashes -> numHashes.toString,
+    MetaBands -> bands.toString)
+
+  /** Require a signature index's recorded geometry to match the
+    * caller's. Probes (`strict = true`) additionally reject an index
+    * with NO recorded geometry — every index built by
+    * [[buildNearDupStore]] since the metadata existed carries it, so
+    * absence means an unknown provenance the probe must not trust.
+    * Builds (`strict = false`) tolerate absence (they are about to
+    * record it) but still reject a recorded mismatch: extending an
+    * index with drifted parameters is the corruption, a rebuild
+    * (drop + build) is the supported path.
+    */
+  private[graft] def requireStoreGeometry(store: graft.sources.ParquetStore,
+      table: String, shingleN: Int, numHashes: Int, bands: Int,
+      caller: String, strict: Boolean): Unit = {
+    val meta = store.getMeta(table)
+    val keys = Seq((MetaShingleN, shingleN, "shingleN"),
+      (MetaNumHashes, numHashes, "numHashes"), (MetaBands, bands, "bands"))
+    if (!keys.exists(k => meta.contains(k._1))) {
+      if (strict) throw new IllegalStateException(
+        s"$caller: signature index '$table' records no build geometry " +
+          "(_META) — rebuild it with Dedup.buildNearDupStore (which " +
+          "records (shingleN, numHashes, bands)); probing an index of " +
+          "unknown geometry silently returns near-zero matches")
+    } else keys.foreach { case (k, v, what) =>
+      meta.get(k).foreach(s => require(s.trim == v.toString,
+        s"$caller: signature index '$table' was built with $what=${s.trim} " +
+          s"but this call uses $what=$v — parameter drift is a rebuild " +
+          "(drop the table and build it with the new geometry)"))
+    }
+  }
+
   /** Create — or incrementally extend — the persisted MinHash
     * signature/band index backing [[incrementalNearDupStored]]: one
     * [[graft.sources.ParquetStore]] MERGE keyed by doc id, so adding
     * a snapshot's survivors rewrites only the key-hash buckets they
-    * fall into (O(|batch|), never O(|corpus|)). Callers must keep
-    * (shingleN, numHashes, bands) fixed for the life of the table —
-    * parameter drift is a rebuild, exactly like frozen LSH planes.
+    * fall into (O(|batch|), never O(|corpus|)). (shingleN, numHashes,
+    * bands) are frozen for the life of the table — recorded in the
+    * store's `_META` sidecar and require-matched here and by every
+    * geometry-taking probe, so parameter drift fails loudly instead
+    * of silently missing matches; changing them is a rebuild, exactly
+    * like frozen LSH planes.
     */
   def buildNearDupStore(store: graft.sources.ParquetStore, table: String,
       docs: DataFrame, idCol: String, textCol: String, shingleN: Int = 3,
-      numHashes: Int = 64, bands: Int = 16): Unit =
+      numHashes: Int = 64, bands: Int = 16): Unit = {
+    requireStoreGeometry(store, table, shingleN, numHashes, bands,
+      "buildNearDupStore", strict = false)
+    // meta BEFORE data: a crash between the two leaves a table whose
+    // next build-retry rewrites the same meta (idempotent), so any
+    // index with committed data always carries its geometry
+    store.putMeta(table, geometryProps(shingleN, numHashes, bands))
     store.merge(table,
       sigStoreRows(docs, idCol, textCol, shingleN, numHashes, bands), "id")
+  }
 
   /** [[buildNearDupStore]] from an already-computed (persisted)
     * [[minHashSigOf]] frame covering `docs` — the streaming ingest
@@ -421,8 +525,12 @@ object Dedup {
     */
   private[graft] def buildNearDupStoreFromSig(store: graft.sources.ParquetStore,
       table: String, docs: DataFrame, idCol: String, textCol: String,
-      sig: DataFrame, numHashes: Int, bands: Int): Unit = {
+      sig: DataFrame, shingleN: Int, numHashes: Int, bands: Int): Unit = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    validateBatchSig(sig, shingleN, numHashes, "buildNearDupStoreFromSig")
+    requireStoreGeometry(store, table, shingleN, numHashes, bands,
+      "buildNearDupStoreFromSig", strict = false)
+    store.putMeta(table, geometryProps(shingleN, numHashes, bands))
     val rows = numHashes / bands
     val merged = docs.select(col(idCol).as("id"), col(textCol).as("text"))
       .withColumn("norm_hash", normHash(col("text")))
@@ -511,11 +619,15 @@ object Dedup {
       bands: Int = 16, threshold: Double = 0.5,
       batchSig: Option[DataFrame] = None): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    requireStoreGeometry(store, benchSigTable, shingleN, numHashes, bands,
+      "contaminatedBatchNearDup", strict = true)
     val rows = numHashes / bands
     // batch signatures feed two branches (banding + the verify
     // join-back) — same persist contract as the incremental core,
     // delta-sized here; a caller-provided batchSig (persisted,
     // caller-managed) is used as-is
+    batchSig.foreach(validateBatchSig(_, shingleN, numHashes,
+      "contaminatedBatchNearDup"))
     val bSig = batchSig.getOrElse(
       minHashSigOf(batch, idCol, textCol, shingleN, numHashes)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
@@ -600,6 +712,8 @@ object Dedup {
       threshold: Double = 0.5,
       batchSig: Option[DataFrame] = None): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    requireStoreGeometry(store, table, shingleN, numHashes, bands,
+      "incrementalNearDupStored", strict = true)
     val idx = store.read(table)
     val eBanded = idx.select(col("id"),
       posexplode(col("band_keys")).as(Seq("band", "band_key")))

@@ -108,6 +108,41 @@ final class ParquetStore(spark: SparkSession, root: String, nBuckets: Int = 16,
           lit(filesPerBucket.toLong)))
       .write.partitionBy("__bucket").mode(SaveMode.Overwrite).parquet(dir)
 
+  private def metaPath(table: String) = new Path(s"$root/$table/_META")
+
+  /** Table-level key→value properties sidecar (`_META`) — the
+    * self-describing-layout companion to the `#n` bucket-count header:
+    * index builders record their frozen build parameters here (e.g.
+    * the MinHash (shingleN, numHashes, bands) geometry) so a probe
+    * can REQUIRE-match them instead of trusting the caller to have
+    * remembered them. Written via the same atomic tmp+rename as the
+    * pointers; survives merges (it describes the table, not a
+    * snapshot) and dies with drop(). Keys must be whitespace-free,
+    * values newline-free — enforced here so getMeta's line format
+    * can never be corrupted into silently wrong pairs.
+    */
+  def putMeta(table: String, props: Map[String, String]): Unit = {
+    require(props.keys.forall(k => k.nonEmpty && !k.exists(_.isWhitespace)),
+      s"putMeta keys must be non-empty and whitespace-free: ${props.keys}")
+    require(props.values.forall(v => !v.exists(c => c == '\n' || c == '\r')),
+      "putMeta values must be newline-free")
+    atomicWrite(metaPath(table),
+      props.toSeq.sortBy(_._1).map { case (k, v) => s"$k $v" }.mkString("\n"))
+  }
+
+  /** Properties written by [[putMeta]]; empty for tables without a
+    * `_META` sidecar (pre-meta legacy tables).
+    */
+  def getMeta(table: String): Map[String, String] = {
+    val p = metaPath(table)
+    if (!fs.exists(p)) Map.empty
+    else new String(readFully(p), "UTF-8").linesIterator
+      .map(_.trim).filter(_.nonEmpty).map { line =>
+        val i = line.indexOf(' ')
+        if (i < 0) line -> "" else line.substring(0, i) -> line.substring(i + 1)
+      }.toMap
+  }
+
   def currentVersion(table: String): Option[Long] = {
     val p = pointer(table)
     if (!fs.exists(p)) None

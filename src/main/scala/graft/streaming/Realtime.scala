@@ -173,7 +173,12 @@ object Realtime {
     * rows near-duplicating a persisted benchmark signature index are
     * dropped at ingest — [[graft.operators.Dedup.contaminatedBatchNearDup]],
     * same geometry as the corpus index; the benchmark table is static,
-    * so the stage is stateless and replay-safe)
+    * so the stage is stateless and replay-safe. The gate matches at
+    * `decontamThreshold` when set, else at `threshold` — a missed
+    * contaminated doc is the expensive error, so the gate is typically
+    * set STRICTER (lower) than the dedup threshold, matching the batch
+    * API where [[graft.operators.Dedup.contaminatedBatchNearDup]] has
+    * its own parameter)
     * → near-dup against the PERSISTED MinHash signature index
     * ([[graft.operators.Dedup.incrementalNearDupStored]]) and within
     * itself. Survivors MERGE into the docs table AND their signatures
@@ -210,14 +215,22 @@ object Realtime {
       shingleN: Int = 3, numHashes: Int = 64, bands: Int = 16,
       threshold: Double = 0.5, minQuality: Option[Double] = None,
       benchSigTable: Option[String] = None,
+      decontamThreshold: Option[Double] = None,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
-    // cheap config check FIRST: a typo'd benchmark table name must
-    // fail before the potentially corpus-sized self-heal below runs
-    benchSigTable.foreach(bt => require(store.exists(bt),
-      s"streamIngestPipeline: benchmark signature table '$bt' does not " +
-        "exist — build it once per benchmark release with " +
-        "Dedup.buildNearDupStore(store, benchSigTable, benchmarkDocs, ...) " +
-        "using the same (shingleN, numHashes, bands) as this pipeline"))
+    // cheap config checks FIRST: a typo'd benchmark table name — or a
+    // benchmark index banded with a different geometry than this
+    // pipeline's, which would silently match near-nothing (the exact
+    // leakage the gate exists to stop) — must fail before the
+    // potentially corpus-sized self-heal below runs
+    benchSigTable.foreach { bt =>
+      require(store.exists(bt),
+        s"streamIngestPipeline: benchmark signature table '$bt' does not " +
+          "exist — build it once per benchmark release with " +
+          "Dedup.buildNearDupStore(store, benchSigTable, benchmarkDocs, ...) " +
+          "using the same (shingleN, numHashes, bands) as this pipeline")
+      graft.operators.Dedup.requireStoreGeometry(store, bt, shingleN,
+        numHashes, bands, "streamIngestPipeline", strict = true)
+    }
     // the dedup gates probe ONLY the signature index: a docs table
     // without one would make the first micro-batch dedup within
     // itself alone and silently ingest duplicates of the whole
@@ -284,10 +297,16 @@ object Realtime {
               // ingest — eval leakage never reaches the corpus. The
               // benchmark table is static, so the stage is stateless
               // and replay-idempotent by construction.
+              // the gate gets its own threshold knob (default: the
+              // dedup threshold): a missed contaminated doc is the
+              // EXPENSIVE error here, so pipelines typically gate
+              // STRICTER (lower) than they dedup — one shared knob
+              // made that impossible (ADVICE r13)
               val b2d = benchSigTable.fold(b2q) { bt =>
                 val contaminated = graft.operators.Dedup
                   .contaminatedBatchNearDup(store, bt, b2q, idCol, textCol,
-                    shingleN, numHashes, bands, threshold,
+                    shingleN, numHashes, bands,
+                    decontamThreshold.getOrElse(threshold),
                     batchSig = Some(bSig))
                   .select(col("id").as(idCol))
                 val d = b2q.join(contaminated, Seq(idCol), "left_anti")
@@ -328,7 +347,8 @@ object Realtime {
                   // text path would re-shingle + re-MinHash the very
                   // rows the per-batch frame already carries
                   graft.operators.Dedup.buildNearDupStoreFromSig(store,
-                    sigTable, rows, idCol, textCol, sigD, numHashes, bands)
+                    sigTable, rows, idCol, textCol, sigD, shingleN,
+                    numHashes, bands)
                 }
               } finally rows.unpersist()
             } finally caches.foreach(_.unpersist())

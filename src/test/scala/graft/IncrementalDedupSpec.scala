@@ -206,7 +206,7 @@ class IncrementalDedupSpec extends AnyFunSuite {
     val fromSig = new graft.sources.ParquetStore(
       spark, TestSpark.tempDir("graft_ndsig_sig_"))
     Dedup.buildNearDupStoreFromSig(fromSig, "sigs", docs, "doc_id", "text",
-      sig, numHashes = 64, bands = 16)
+      sig, shingleN = 2, numHashes = 64, bands = 16)
     def canon(s: graft.sources.ParquetStore) = s.read("sigs")
       .collect().map(r => (r.getAs[Long]("id"), r.getAs[String]("norm_hash"),
         Option(r.getAs[scala.collection.Seq[Long]]("sig")).map(_.toSeq),
@@ -215,5 +215,78 @@ class IncrementalDedupSpec extends AnyFunSuite {
       .toSet
     assert(canon(fromSig) == canon(fromText),
       "sig-frame MERGE must write the identical index rows")
+  }
+
+  test("geometry metadata: builders record it; drifted probes/builds/batchSig fail loudly") {
+    import spark.implicits._
+    val docs = Seq((1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma epsilon")).toDF("doc_id", "text")
+    val batch = Seq((3L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val store = new graft.sources.ParquetStore(
+      spark, TestSpark.tempDir("graft_ndgeom_"))
+    Dedup.buildNearDupStore(store, "sigs", docs, "doc_id", "text",
+      shingleN = 2, numHashes = 64, bands = 16)
+    // the index is self-describing: the build parameters are in _META
+    val meta = store.getMeta("sigs")
+    assert(meta.get("minhash.shingle_n").contains("2") &&
+      meta.get("minhash.num_hashes").contains("64") &&
+      meta.get("minhash.bands").contains("16"), s"geometry not recorded: $meta")
+    // probing with drifted bands would band differently and silently
+    // match near-nothing — must throw instead
+    val e1 = intercept[IllegalArgumentException] {
+      Dedup.incrementalNearDupStored(store, "sigs", batch, "doc_id", "text",
+        shingleN = 2, numHashes = 64, bands = 8)
+    }
+    assert(e1.getMessage.contains("bands"), e1.getMessage)
+    // the decontamination gate checks the benchmark index the same way
+    val e2 = intercept[IllegalArgumentException] {
+      Dedup.contaminatedBatchNearDup(store, "sigs", batch, "doc_id", "text",
+        shingleN = 2, numHashes = 32, bands = 16)
+    }
+    assert(e2.getMessage.contains("numHashes"), e2.getMessage)
+    // EXTENDING an index with drifted parameters is the same corruption
+    intercept[IllegalArgumentException] {
+      Dedup.buildNearDupStore(store, "sigs", batch, "doc_id", "text",
+        shingleN = 3, numHashes = 64, bands = 16)
+    }
+    // an index with data but NO recorded geometry (unknown provenance)
+    // is rejected by strict probes
+    val raw = new graft.sources.ParquetStore(
+      spark, TestSpark.tempDir("graft_ndgeom_raw_"))
+    raw.merge("sigs", store.read("sigs"), "id")
+    val e3 = intercept[IllegalStateException] {
+      Dedup.incrementalNearDupStored(raw, "sigs", batch, "doc_id", "text",
+        shingleN = 2, numHashes = 64, bands = 16)
+    }
+    assert(e3.getMessage.contains("geometry"), e3.getMessage)
+    // batchSig frames carry minHashSigOf's geometry stamp: a frame
+    // built with a different shingleN is rejected even though the
+    // store matches the probe's parameters
+    val wrongSig = Dedup.minHashSigOf(batch, "doc_id", "text",
+      shingleN = 3, numHashes = 64)
+    val e4 = intercept[IllegalArgumentException] {
+      Dedup.incrementalNearDupStored(store, "sigs", batch, "doc_id", "text",
+        shingleN = 2, numHashes = 64, bands = 16, batchSig = Some(wrongSig))
+    }
+    assert(e4.getMessage.contains("shingleN"), e4.getMessage)
+    // a frame without the contract columns fails the schema guard
+    val e5 = intercept[IllegalArgumentException] {
+      Dedup.incrementalNearDupStored(store, "sigs", batch, "doc_id", "text",
+        shingleN = 2, numHashes = 64, bands = 16, batchSig = Some(batch))
+    }
+    assert(e5.getMessage.contains("missing column"), e5.getMessage)
+    // a MATCHING batchSig passes and yields the no-batchSig answer
+    val okSig = Dedup.minHashSigOf(batch, "doc_id", "text",
+      shingleN = 2, numHashes = 64)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val withSig = Dedup.incrementalNearDupStored(store, "sigs", batch,
+        "doc_id", "text", shingleN = 2, numHashes = 64, bands = 16,
+        batchSig = Some(okSig)).collect().map(_.getLong(0)).toSet
+      val without = Dedup.incrementalNearDupStored(store, "sigs", batch,
+        "doc_id", "text", shingleN = 2, numHashes = 64, bands = 16)
+        .collect().map(_.getLong(0)).toSet
+      assert(withSig == without, s"batchSig path diverged: $withSig vs $without")
+    } finally okSig.unpersist()
   }
 }

@@ -601,6 +601,52 @@ class RealtimeSpec extends AnyFunSuite {
       "streamed decontam-gated chain must equal the batch composition")
     assert(streamed.intersect(flagged).isEmpty,
       "no flagged leakage row may reach the corpus")
+    // the gate's own threshold knob (ADVICE r13): decontamThreshold
+    // decouples the gate from the dedup threshold — here a LOOSE gate
+    // (0.999) with the dedup threshold unchanged lets the planted
+    // leakage rows (near- but not exact-duplicates of benchmark items)
+    // through, while the dedup stages still run at minHashThreshold.
+    // Batch twin recomputed with the same split thresholds.
+    val looseT = 0.999
+    val contaminatedLoose = Dedup.contaminatedDocsNearDup(b1, bench, "doc_id",
+        "text", shingleN = Queries.minHashShingleN,
+        numHashes = Queries.minHashNumHashes, bands = Queries.minHashBands,
+        threshold = looseT)
+      .select(col("id").as("doc_id"))
+    val b1dLoose = b1.join(contaminatedLoose, Seq("doc_id"), "left_anti")
+    val kept2Loose = Dedup.incrementalNearDup(existing, b1dLoose, "doc_id",
+      "text", shingleN = Queries.minHashShingleN,
+      numHashes = Queries.minHashNumHashes, bands = Queries.minHashBands,
+      threshold = Queries.minHashThreshold)
+    val expectLoose = ids(b1dLoose.join(kept2Loose
+      .withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left_semi"))
+    val storeLoose = new graft.sources.ParquetStore(
+      spark, TestSpark.tempDir("graft_sid_store2_"))
+    storeLoose.merge("docs", existing, "doc_id")
+    Dedup.buildNearDupStore(storeLoose, "sigs", existing, "doc_id", "text",
+      shingleN = Queries.minHashShingleN,
+      numHashes = Queries.minHashNumHashes, bands = Queries.minHashBands)
+    Dedup.buildNearDupStore(storeLoose, "bench_sigs", bench, "doc_id", "text",
+      shingleN = Queries.minHashShingleN,
+      numHashes = Queries.minHashNumHashes, bands = Queries.minHashBands)
+    val qLoose = Realtime.streamIngestPipeline(storeLoose, "docs", "sigs",
+      spark.readStream.schema("doc_id LONG, text STRING, lang STRING")
+        .parquet(src),
+      "doc_id", "text", TestSpark.tempDir("graft_sid_cp2_"),
+      blocklist = Queries.blocklistTerms,
+      shingleN = Queries.minHashShingleN,
+      numHashes = Queries.minHashNumHashes, bands = Queries.minHashBands,
+      threshold = Queries.minHashThreshold,
+      benchSigTable = Some("bench_sigs"),
+      decontamThreshold = Some(looseT))
+    qLoose.awaitTermination(120000)
+    val streamedLoose = ids(storeLoose.read("docs")
+      .filter(col("doc_id") >= Queries.incrementalSplit))
+    assert(streamedLoose == expectLoose,
+      "decontamThreshold-split chain must equal its batch composition")
+    assert(streamedLoose.intersect(flagged).nonEmpty,
+      "loosening ONLY the gate must let default-threshold leakage " +
+        "rows reach the corpus — otherwise the knob never reached the gate")
     // a missing benchmark index must fail at stream start, loudly
     val e = intercept[IllegalArgumentException] {
       Realtime.streamIngestPipeline(store, "docs", "sigs",
@@ -611,6 +657,23 @@ class RealtimeSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("benchmark signature table"),
       s"must name the missing benchmark index: ${e.getMessage}")
+    // a benchmark index banded with a DIFFERENT geometry than the
+    // pipeline must also fail at stream start — probing it would
+    // silently match near-nothing (silent eval leakage)
+    Dedup.buildNearDupStore(store, "bench_sigs_g8", bench, "doc_id", "text",
+      shingleN = Queries.minHashShingleN,
+      numHashes = Queries.minHashNumHashes, bands = 8)
+    val eg = intercept[IllegalArgumentException] {
+      Realtime.streamIngestPipeline(store, "docs", "sigs",
+        spark.readStream.schema("doc_id LONG, text STRING, lang STRING")
+          .parquet(src),
+        "doc_id", "text", TestSpark.tempDir("graft_sid_cpgeo_"),
+        shingleN = Queries.minHashShingleN,
+        numHashes = Queries.minHashNumHashes, bands = Queries.minHashBands,
+        benchSigTable = Some("bench_sigs_g8"))
+    }
+    assert(eg.getMessage.contains("bands"),
+      s"must name the drifted geometry parameter: ${eg.getMessage}")
   }
 
   test("streaming windowed counts equal the batch result (one code path)") {
