@@ -569,9 +569,10 @@ object Queries {
     * [[dedupIncrementalNeardupStored]].
     */
   def dedupIncrementalStored(spark: SparkSession, dir: String): DataFrame =
-    Dedup.incrementalExactStored(nearDupStore(spark, dir), "neardup_sigs",
+    Dedup.incrementalExactStored(fullSigStore(spark, dir), "sigs",
         t(spark, dir, "documents").filter(col("doc_id") >= incrementalSplit),
-        "doc_id", "text")
+        "doc_id", "text",
+        corpusPred = Some(col("id") < incrementalSplit))
       .select(col("id").as("doc_id"))
       .orderBy(col("doc_id"))
 
@@ -695,9 +696,13 @@ object Queries {
   private val fullSigStoreCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  /** Build-once persisted signature store over the FULL corpus —
-    * backs the stored full-corpus pair sweep (the incremental twin's
-    * store covers only the pre-split existing side). */
+  /** Build-once persisted signature store over the FULL corpus — THE
+    * one signature index (r12 ask #7): the full-corpus pair sweep and
+    * near-dup decontamination read it whole, and the incremental
+    * probes scope it to the pre-split existing side via their
+    * `corpusPred` split view (`id < incrementalSplit`, pushed down to
+    * the index scan) — one index to MERGE-maintain instead of two
+    * overlapping ones. */
   private def fullSigStore(spark: SparkSession, dir: String)
       : graft.sources.ParquetStore = {
     val root = fullSigStoreCache.computeIfAbsent(cacheKey(spark, dir), { _ =>
@@ -807,16 +812,17 @@ object Queries {
     // rescans per snapshot); the storeless forms are pinned to the
     // identical answers (IncrementalDedupSpec), so the chain oracle
     // replays unchanged
-    val store = nearDupStore(spark, dir)
-    val kept1 = Dedup.incrementalExactStored(store, "neardup_sigs", batch,
-        "doc_id", "text")
+    val store = fullSigStore(spark, dir)
+    val corpusPred = Some(col("id") < incrementalSplit)
+    val kept1 = Dedup.incrementalExactStored(store, "sigs", batch,
+        "doc_id", "text", corpusPred = corpusPred)
       .withColumnRenamed("id", "doc_id")
     val b1 = batch.join(kept1, Seq("doc_id"), "left_semi")
     val b2 = b1.filter(blocklistClean(col("text"), blocklistTerms))
-    val kept2 = Dedup.incrementalNearDupStored(store, "neardup_sigs", b2,
+    val kept2 = Dedup.incrementalNearDupStored(store, "sigs", b2,
         "doc_id", "text", shingleN = minHashShingleN,
         numHashes = minHashNumHashes, bands = minHashBands,
-        threshold = minHashThreshold)
+        threshold = minHashThreshold, corpusPred = corpusPred)
       .withColumnRenamed("id", "doc_id")
     batch
       .join(kept1.withColumn("__m1", lit(true)), Seq("doc_id"), "left")
@@ -882,38 +888,21 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
-  private val nearDupStoreCache =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-
-  /** Build-once persisted MinHash signature/band store over the
-    * existing corpus (doc_id < incrementalSplit) — the CREATE INDEX
-    * analogue for the store-backed incremental near-dup. */
-  private def nearDupStore(spark: SparkSession, dir: String)
-      : graft.sources.ParquetStore = {
-    val root = nearDupStoreCache.computeIfAbsent(cacheKey(spark, dir), { _ =>
-      val p = java.nio.file.Files.createTempDirectory("graft_ndstore_").toString
-      Dedup.buildNearDupStore(new graft.sources.ParquetStore(spark, p),
-        "neardup_sigs",
-        t(spark, dir, "documents").filter(col("doc_id") < incrementalSplit),
-        "doc_id", "text", shingleN = minHashShingleN,
-        numHashes = minHashNumHashes, bands = minHashBands)
-      p
-    })
-    new graft.sources.ParquetStore(spark, root)
-  }
-
   /** Store-backed incremental snapshot-delta near-dup: identical
     * answer to [[dedupIncrementalNeardup]] (same oracle SQL), but the
     * corpus side reads ONLY the persisted signature store — zero
-    * corpus text scans, zero corpus signature recompute. The
-    * production form at daily-snapshot cadence.
+    * corpus text scans, zero corpus signature recompute; the ONE
+    * shared full-corpus index ([[fullSigStore]]) scoped to the
+    * existing side by the `corpusPred` split view. The production
+    * form at daily-snapshot cadence.
     */
   def dedupIncrementalNeardupStored(spark: SparkSession, dir: String): DataFrame = {
     val docs = t(spark, dir, "documents")
-    Dedup.incrementalNearDupStored(nearDupStore(spark, dir), "neardup_sigs",
+    Dedup.incrementalNearDupStored(fullSigStore(spark, dir), "sigs",
         docs.filter(col("doc_id") >= incrementalSplit), "doc_id", "text",
         shingleN = minHashShingleN, numHashes = minHashNumHashes,
-        bands = minHashBands, threshold = minHashThreshold)
+        bands = minHashBands, threshold = minHashThreshold,
+        corpusPred = Some(col("id") < incrementalSplit))
       .select(col("id").as("doc_id"))
       .orderBy(col("doc_id"))
   }
@@ -3065,7 +3054,6 @@ object Queries {
     vzVectorIndex(spark, dir)
     postingsIndex(spark, dir)
     bpeMerges(spark, dir)
-    nearDupStore(spark, dir)
     fullSigStore(spark, dir)
     // train-once model/centroid fits (the CREATE MODEL analogues) —
     // without these the alphabetically-first consumer query is

@@ -710,11 +710,16 @@ object Dedup {
       table: String, batch: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, numHashes: Int = 64, bands: Int = 16,
       threshold: Double = 0.5,
-      batchSig: Option[DataFrame] = None): DataFrame = {
+      batchSig: Option[DataFrame] = None,
+      corpusPred: Option[Column] = None): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     requireStoreGeometry(store, table, shingleN, numHashes, bands,
       "incrementalNearDupStored", strict = true)
-    val idx = store.read(table)
+    // split view (see incrementalExactStored): the predicate scopes a
+    // SHARED full-corpus index to this probe's corpus slice, pushed
+    // down to both narrow index reads
+    val idx0 = store.read(table)
+    val idx = corpusPred.fold(idx0)(idx0.filter)
     val eBanded = idx.select(col("id"),
       posexplode(col("band_keys")).as(Seq("band", "band_key")))
     incrementalNearDupCore(eBanded, idx.select(col("id"), col("shingles")),
@@ -1082,12 +1087,23 @@ object Dedup {
     * text scan — the exact-dedup twin of [[incrementalNearDupStored]],
     * sharing [[incrementalExactCore]] so the two forms agree by
     * construction. The index read is ONE 32-hex-char column.
+    *
+    * `corpusPred` (on the index's `id` column) restricts the probe to
+    * a SLICE of a shared index — the split-view contract: one
+    * full-corpus signature store serves the incremental probes, the
+    * full-corpus pair sweep and decontamination instead of each
+    * maintaining an overlapping index. The predicate pushes down to
+    * the index scan (PushedFilters), so the probe still reads only
+    * the matching row groups of the one narrow column.
     */
   def incrementalExactStored(store: graft.sources.ParquetStore,
       table: String, batch: DataFrame, idCol: String, textCol: String,
-      fpp: Double = 0.01): DataFrame =
-    incrementalExactCore(store.read(table).select(col("norm_hash").as("h")),
+      fpp: Double = 0.01, corpusPred: Option[Column] = None): DataFrame = {
+    val idx = store.read(table)
+    val scoped = corpusPred.fold(idx)(idx.filter)
+    incrementalExactCore(scoped.select(col("norm_hash").as("h")),
       batch, idCol, textCol, fpp)
+  }
 
   private def incrementalExactCore(existingHashes: DataFrame, batch: DataFrame,
       idCol: String, textCol: String, fpp: Double): DataFrame = {

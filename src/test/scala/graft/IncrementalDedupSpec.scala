@@ -217,6 +217,44 @@ class IncrementalDedupSpec extends AnyFunSuite {
       "sig-frame MERGE must write the identical index rows")
   }
 
+  test("corpusPred split view over the full-corpus index equals a corpus-only index") {
+    // ONE shared signature index over the whole corpus (including the
+    // batch's own ids — they MERGEd after a previous ingest) serves
+    // the incremental probes through a pushed-down id predicate; the
+    // answers must be identical to probing an index that only ever
+    // contained the existing side
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val existing = docs.filter(col("doc_id") < 250)
+    val batch = docs.filter(col("doc_id") >= 250)
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.collect().map(_.getLong(0)).toSet
+    val full = new graft.sources.ParquetStore(
+      spark, TestSpark.tempDir("graft_ndsplit_full_"))
+    Dedup.buildNearDupStore(full, "sigs", docs, "doc_id", "text")
+    val corpusOnly = new graft.sources.ParquetStore(
+      spark, TestSpark.tempDir("graft_ndsplit_corp_"))
+    Dedup.buildNearDupStore(corpusOnly, "sigs", existing, "doc_id", "text")
+    val pred = Some(col("id") < 250L)
+    val nearView = ids(Dedup.incrementalNearDupStored(full, "sigs", batch,
+      "doc_id", "text", corpusPred = pred))
+    val nearOwn = ids(Dedup.incrementalNearDupStored(corpusOnly, "sigs",
+      batch, "doc_id", "text"))
+    assert(nearView == nearOwn,
+      s"near-dup split view diverged: $nearView vs $nearOwn")
+    val exactView = ids(Dedup.incrementalExactStored(full, "sigs", batch,
+      "doc_id", "text", corpusPred = pred))
+    val exactOwn = ids(Dedup.incrementalExactStored(corpusOnly, "sigs",
+      batch, "doc_id", "text"))
+    assert(exactView == exactOwn,
+      s"exact split view diverged: $exactView vs $exactOwn")
+    // the view is a pushed-down scan predicate, not a post-read filter
+    val plan = Dedup.incrementalExactStored(full, "sigs", batch,
+      "doc_id", "text", corpusPred = pred)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LessThan(id,250)"),
+      s"corpusPred must reach the index scan as a pushed filter:\n$plan")
+  }
+
   test("geometry metadata: builders record it; drifted probes/builds/batchSig fail loudly") {
     import spark.implicits._
     val docs = Seq((1L, "alpha beta gamma delta"),
