@@ -1306,6 +1306,19 @@ object Oracles {
          |  UNION ALL SELECT '3_near_dedup', COUNT(*) FROM final)
          |ORDER BY stage""".stripMargin,
 
+    // Five-stage funnel of the decontam-gated chain: the same shared
+    // CTEs, with the benchmark drop stage (bl2) counted between the
+    // blocklist and the near-dup stage.
+    "ingest_audit_decontam" ->
+      s"""${ingestChain(decontam = true)}
+         |SELECT * FROM (
+         |  SELECT '0_batch' AS stage, COUNT(*) AS n_docs FROM b
+         |  UNION ALL SELECT '1_exact_dedup', COUNT(*) FROM kept1
+         |  UNION ALL SELECT '2_blocklist', COUNT(*) FROM bl
+         |  UNION ALL SELECT '3_decontam', COUNT(*) FROM bl2
+         |  UNION ALL SELECT '4_near_dedup', COUNT(*) FROM final)
+         |ORDER BY stage""".stripMargin,
+
     // The same pair replay as dedup_minhash_lsh, closed transitively
     // with a recursive CTE: reach(id, r) saturates to every node
     // reachable over the symmetric edge set, min(r) is the canonical

@@ -705,9 +705,17 @@ object Queries {
     * overlapping ones. */
   private def fullSigStore(spark: SparkSession, dir: String)
       : graft.sources.ParquetStore = {
+    // bucket knobs sized to the SF-scale index (thousands of rows):
+    // the default 16x4 layout leaves up to 64 tiny files whose
+    // open/footer costs dominate every narrow probe of a store this
+    // small — 8 buckets x 1 file keeps MERGE granularity while the
+    // probes (read by a dozen plan branches across the chain queries)
+    // pay single-digit file opens. At 100 TB the two knobs are sized
+    // together the other way (ParquetStore.bucketedWrite scaladoc).
     val root = fullSigStoreCache.computeIfAbsent(cacheKey(spark, dir), { _ =>
       val p = java.nio.file.Files.createTempDirectory("graft_fullsig_").toString
-      Dedup.buildNearDupStore(new graft.sources.ParquetStore(spark, p),
+      Dedup.buildNearDupStore(
+        new graft.sources.ParquetStore(spark, p, nBuckets = 8, filesPerBucket = 1),
         "sigs", t(spark, dir, "documents"), "doc_id", "text",
         shingleN = minHashShingleN, numHashes = minHashNumHashes,
         bands = minHashBands)
@@ -2069,30 +2077,97 @@ object Queries {
     * the DuckDB oracle replays the full chain over the shared
     * minhash_aux signature dump.
     */
-  def pipelineIngestDecontam(spark: SparkSession, dir: String): DataFrame = {
+  /** The decontam-gated ingestion chain as ONE tagged frame — the
+    * [[ingestTagged]] shape with the benchmark drop stage between
+    * blocklist and near-dup: each batch row carries `__s1` (exact
+    * dedup) → `__s2` (+ blocklist) → `__s3` (+ decontamination) →
+    * `__s4` (+ near-dup), so the survivor query is `filter(__s4)` and
+    * the funnel audit a single conditional-sum pass over the SAME
+    * chain execution. ALL THREE index-shaped stages probe the one
+    * persisted signature store ([[fullSigStore]]): exact and near-dup
+    * via the `corpusPred` split view, and decontamination via
+    * [[graft.operators.Dedup.contaminatedDocsNearDupStored]] over the
+    * STATIC batch/benchmark id slices — contamination is a per-doc
+    * property independent of which other batch rows survived, so the
+    * gate's flag set can be computed once off the index (zero text
+    * reads on either side) and applied to the survivors by anti-join,
+    * exactly what the chained-CTE oracle replays.
+    */
+  private[graft] def ingestDecontamTagged(spark: SparkSession, dir: String)
+      : DataFrame = {
     val docs = t(spark, dir, "documents")
-    val existing = docs.filter(col("doc_id") < incrementalSplit)
     val batch = docs.filter(col("doc_id") >= incrementalSplit &&
       col("doc_id") < decontamNearDupSplit)
-    val bench = docs.filter(col("doc_id") >= decontamNearDupSplit)
-    val kept1 = Dedup.incrementalExact(existing, batch, "doc_id", "text")
+    val store = fullSigStore(spark, dir)
+    val corpusPred = Some(col("id") < incrementalSplit)
+    // checkpointed like `contaminated` below: the exact-stage id list
+    // is tiny but its bloom-gated index probe is referenced both by
+    // the chain (through b2d inside the near-dup stage) and the tag
+    // join
+    val kept1 = Dedup.incrementalExactStored(store, "sigs", batch,
+        "doc_id", "text", corpusPred = corpusPred)
       .withColumnRenamed("id", "doc_id")
+      .localCheckpoint(false)
     val b1 = batch.join(kept1, Seq("doc_id"), "left_semi")
-      .filter(blocklistClean(col("text"), blocklistTerms))
-    val contaminated = Dedup.contaminatedDocsNearDup(b1, bench, "doc_id",
-        "text", shingleN = minHashShingleN, numHashes = minHashNumHashes,
-        bands = minHashBands, threshold = minHashThreshold)
+    val b2 = b1.filter(blocklistClean(col("text"), blocklistTerms))
+    // localCheckpoint (lazy), not persist: the flag set is a handful
+    // of ids but its subtree is a full banded index probe, and THREE
+    // plan branches reference it (the anti-join, the near-dup stage's
+    // batch side through b2d, and the tag join) — without truncation
+    // each branch re-runs the probe; with it the probe runs once and
+    // the branches share the materialized id list (the
+    // clusterCanonical convention)
+    val contaminated = Dedup.contaminatedDocsNearDupStored(store, "sigs",
+        col("id") >= incrementalSplit && col("id") < decontamNearDupSplit,
+        col("id") >= decontamNearDupSplit, threshold = minHashThreshold)
       .select(col("id").as("doc_id"))
-    val b1d = b1.join(contaminated, Seq("doc_id"), "left_anti")
-    val kept2 = Dedup.incrementalNearDup(existing, b1d, "doc_id", "text",
-      shingleN = minHashShingleN, numHashes = minHashNumHashes,
-      bands = minHashBands, threshold = minHashThreshold)
-    b1d.join(kept2.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left_semi")
+      .localCheckpoint(false)
+    val b2d = b2.join(contaminated, Seq("doc_id"), "left_anti")
+    val kept2 = Dedup.incrementalNearDupStored(store, "sigs", b2d,
+        "doc_id", "text", shingleN = minHashShingleN,
+        numHashes = minHashNumHashes, bands = minHashBands,
+        threshold = minHashThreshold, corpusPred = corpusPred)
+      .withColumnRenamed("id", "doc_id")
+    batch
+      .join(kept1.withColumn("__m1", lit(true)), Seq("doc_id"), "left")
+      .join(contaminated.withColumn("__mc", lit(true)), Seq("doc_id"), "left")
+      .join(kept2.withColumn("__m4", lit(true)), Seq("doc_id"), "left")
+      .withColumn("__s1", coalesce(col("__m1"), lit(false)))
+      .withColumn("__s2", col("__s1") && blocklistClean(col("text"), blocklistTerms))
+      .withColumn("__s3", col("__s2") && col("__mc").isNull)
+      .withColumn("__s4", col("__s3") && coalesce(col("__m4"), lit(false)))
+      .drop("__m1", "__mc", "__m4")
+  }
+
+  def pipelineIngestDecontam(spark: SparkSession, dir: String): DataFrame =
+    ingestDecontamTagged(spark, dir)
+      .filter(col("__s4"))
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"),
         sum(size(sqlTokens(col("text")))).as("n_tokens"))
       .orderBy(col("lang"))
-  }
+
+  /** Funnel audit of the decontam-gated chain — [[ingestAudit]]'s
+    * five-stage sibling over [[ingestDecontamTagged]]'s single tagged
+    * pass, separating "dropped as eval leakage" from "dropped as a
+    * near-duplicate" (the two drops a pipeline operator must never
+    * conflate: one protects the BENCHMARK, the other the corpus).
+    */
+  def ingestAuditDecontam(spark: SparkSession, dir: String): DataFrame =
+    ingestDecontamTagged(spark, dir)
+      .agg(count(lit(1)).as("n0"),
+        sum(when(col("__s1"), 1L).otherwise(0L)).as("n1"),
+        sum(when(col("__s2"), 1L).otherwise(0L)).as("n2"),
+        sum(when(col("__s3"), 1L).otherwise(0L)).as("n3"),
+        sum(when(col("__s4"), 1L).otherwise(0L)).as("n4"))
+      .select(explode(array(
+        struct(lit("0_batch").as("stage"), col("n0").as("n_docs")),
+        struct(lit("1_exact_dedup").as("stage"), col("n1").as("n_docs")),
+        struct(lit("2_blocklist").as("stage"), col("n2").as("n_docs")),
+        struct(lit("3_decontam").as("stage"), col("n3").as("n_docs")),
+        struct(lit("4_near_dedup").as("stage"), col("n4").as("n_docs")))).as("s"))
+      .select(col("s.stage").as("stage"), col("s.n_docs").as("n_docs"))
+      .orderBy(col("stage"))
 
   /** SEMANTIC decontamination — the embedding rung of the
     * decontamination ladder (exact n-gram count → bloom → near-dup
@@ -3106,6 +3181,7 @@ object Queries {
     "pipeline_ingest" -> (pipelineIngest _),
     "pipeline_ingest_decontam" -> (pipelineIngestDecontam _),
     "ingest_audit" -> (ingestAudit _),
+    "ingest_audit_decontam" -> (ingestAuditDecontam _),
     "drift_report" -> (driftReport _),
     "dedup_spans" -> (dedupSpans _),
     "dedup_within_doc" -> (dedupWithinDoc _),
