@@ -184,6 +184,13 @@ object Realtime {
     * itself. Survivors MERGE into the docs table AND their signatures
     * MERGE into the index, so the next micro-batch probes them.
     *
+    * `auditTable`, when set, persists a per-micro-batch funnel — one
+    * (batch_id, stage, n_docs) row per enabled stage, the streaming
+    * sibling of the batch `ingest_audit_decontam` query — so an
+    * always-on pipeline's drop rates are queryable without replaying
+    * anything. Keyed by (batch, stage); see the inline contract for
+    * replay semantics.
+    *
     * A single micro-batch is EXACTLY the batch chain over
     * (store, batch) — stage parity is pinned in RealtimeSpec against
     * Queries.ingestStages. Across micro-batches the near-dup history
@@ -216,6 +223,7 @@ object Realtime {
       threshold: Double = 0.5, minQuality: Option[Double] = None,
       benchSigTable: Option[String] = None,
       decontamThreshold: Option[Double] = None,
+      auditTable: Option[String] = None,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     // cheap config checks FIRST: a typo'd benchmark table name — or a
     // benchmark index banded with a different geometry than this
@@ -249,7 +257,7 @@ object Realtime {
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val b = batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
           if (!b.isEmpty) {
@@ -340,7 +348,8 @@ object Realtime {
                 // `rows` lazily reads the store's current version, and
                 // the MERGEs below commit new ones. Docs FIRST (see the
                 // crash-replay contract above).
-                if (rows.count() > 0) {
+                val nFinal = rows.count()
+                if (nFinal > 0) {
                   store.merge(table, rows, idCol)
                   // survivors' signatures MERGE from the SHARED frame
                   // (sigD ⊇ rows' sigs; the join restricts) — the
@@ -349,6 +358,36 @@ object Realtime {
                   graft.operators.Dedup.buildNearDupStoreFromSig(store,
                     sigTable, rows, idCol, textCol, sigD, shingleN,
                     numHashes, bands)
+                }
+                // per-micro-batch funnel audit (the streaming sibling
+                // of the batch ingest_audit_decontam): one row per
+                // (batch, stage) MERGEd on a composite key, so a
+                // crash-replayed batch OVERWRITES its own rows —
+                // last-delivery-wins, matching at-least-once semantics
+                // (a replay that finds its rows already ingested
+                // legitimately records 0 exact-stage survivors while
+                // 0_batch keeps the delivery size; the docs/sig tables
+                // converge identically either way). Stage ids are
+                // pipeline-positional and CONSTANT across gate
+                // configurations (a disabled gate emits no row) so
+                // dashboards never re-key when a gate toggles. Cost:
+                // one extra count() per enabled stage over the
+                // batch-lifetime caches — delta-sized, after the
+                // merges so observability never delays ingestion.
+                auditTable.foreach { at =>
+                  val counts: Seq[(String, Long)] = Seq(
+                    Some("0_batch" -> b.count()),
+                    Some("1_exact_dedup" -> b1.count()),
+                    Some("2_blocklist" -> b2.count()),
+                    minQuality.map(_ => "2q_quality" -> b2q.count()),
+                    benchSigTable.map(_ => "3_decontam" -> b2d.count()),
+                    Some("4_near_dedup" -> nFinal)).flatten
+                  val sess = b.sparkSession
+                  import sess.implicits._
+                  store.merge(at,
+                    counts.map { case (st, c) => (s"$batchId/$st", batchId, st, c) }
+                      .toDF("audit_key", "batch_id", "stage", "n_docs"),
+                    "audit_key")
                 }
               } finally rows.unpersist()
             } finally caches.foreach(_.unpersist())

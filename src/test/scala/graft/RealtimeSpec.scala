@@ -593,7 +593,8 @@ class RealtimeSpec extends AnyFunSuite {
       shingleN = Queries.minHashShingleN,
       numHashes = Queries.minHashNumHashes, bands = Queries.minHashBands,
       threshold = Queries.minHashThreshold,
-      benchSigTable = Some("bench_sigs"))
+      benchSigTable = Some("bench_sigs"),
+      auditTable = Some("audit"))
     q.awaitTermination(120000)
     val streamed = ids(store.read("docs")
       .filter(col("doc_id") >= Queries.incrementalSplit))
@@ -601,6 +602,44 @@ class RealtimeSpec extends AnyFunSuite {
       "streamed decontam-gated chain must equal the batch composition")
     assert(streamed.intersect(flagged).isEmpty,
       "no flagged leakage row may reach the corpus")
+    // the per-micro-batch funnel audit must equal the batch twin's
+    // stage counts (the streaming sibling of ingest_audit_decontam)
+    def auditMap(): Map[String, Long] = store.read("audit").collect()
+      .map(r => (r.getAs[String]("stage"), r.getAs[Long]("n_docs"))).toMap
+    val a1 = auditMap()
+    assert(a1 == Map(
+      "0_batch" -> ids(batch).size.toLong,
+      "1_exact_dedup" -> kept1.count(),
+      "2_blocklist" -> b1.count(),
+      "3_decontam" -> b1d.count(),
+      "4_near_dedup" -> expect.size.toLong),
+      s"streamed funnel must equal the batch composition's stage counts: $a1")
+    // full redelivery (fresh checkpoint): docs stay a no-op, and the
+    // replayed batch OVERWRITES its own audit rows — last-delivery-
+    // wins. The exact gate only catches rows that actually INGESTED
+    // (dropped rows never entered the index), so earlier stages still
+    // show survivors; the no-op shows at the funnel's END: every
+    // redelivered row is re-dropped at SOME stage and zero reach the
+    // corpus, while the delivery size stays visible
+    val q1b = Realtime.streamIngestPipeline(store, "docs", "sigs",
+      spark.readStream.schema("doc_id LONG, text STRING, lang STRING")
+        .parquet(src),
+      "doc_id", "text", TestSpark.tempDir("graft_sid_cp1b_"),
+      blocklist = Queries.blocklistTerms,
+      shingleN = Queries.minHashShingleN,
+      numHashes = Queries.minHashNumHashes, bands = Queries.minHashBands,
+      threshold = Queries.minHashThreshold,
+      benchSigTable = Some("bench_sigs"),
+      auditTable = Some("audit"))
+    q1b.awaitTermination(120000)
+    assert(ids(store.read("docs")
+        .filter(col("doc_id") >= Queries.incrementalSplit)) == expect,
+      "redelivery must remain a no-op on the corpus")
+    val a2 = auditMap()
+    assert(a2("0_batch") == ids(batch).size.toLong &&
+      a2("1_exact_dedup") == kept1.count() - expect.size &&
+      a2("4_near_dedup") == 0L,
+      s"replayed batch must overwrite its funnel with the no-op view: $a2")
     // the gate's own threshold knob (ADVICE r13): decontamThreshold
     // decouples the gate from the dedup threshold — here a LOOSE gate
     // (0.999) with the dedup threshold unchanged lets the planted
