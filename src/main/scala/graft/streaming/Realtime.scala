@@ -179,6 +179,10 @@ object Realtime {
     * set STRICTER (lower) than the dedup threshold, matching the batch
     * API where [[graft.operators.Dedup.contaminatedBatchNearDup]] has
     * its own parameter)
+    * → an optional SEMANTIC decontamination rung ([[SemanticGate]]:
+    * exact-cosine hits against a persisted benchmark vector table
+    * dropped next, adjacent to the shingle rung — the full
+    * decontamination ladder applied AT INGEST)
     * → near-dup against the PERSISTED MinHash signature index
     * ([[graft.operators.Dedup.incrementalNearDupStored]]) and within
     * itself. Survivors MERGE into the docs table AND their signatures
@@ -216,6 +220,27 @@ object Realtime {
     * the exact gate drops the redelivery outright. Either order of
     * partial completion converges to the same store state.
     */
+  /** Config for the SEMANTIC rung of the at-ingest decontamination
+    * ladder: batch rows whose embedding's exact cosine against ANY
+    * vector of the persisted benchmark table reaches `threshold` are
+    * dropped before they reach the corpus —
+    * [[graft.operators.Dedup.contaminatedDocsSemantic]] per
+    * micro-batch, catching the meaning-preserving rewrites the
+    * shingle-Jaccard gate's surface overlap misses. The stream's rows
+    * must carry `vecCol` (an `array<float>` of `dim` — produced by
+    * the pipeline's encode step upstream), and `benchVecTable` must
+    * hold the benchmark's (idCol, vecCol) rows — built once per
+    * benchmark release via `store.merge(benchVecTable,
+    * benchDf.select(idCol, vecCol), idCol)`. Banding uses the frozen
+    * seed-42 sign-LSH planes (deterministic), so the stage is
+    * stateless and replay-safe exactly like the shingle gate; the
+    * recall-first 4-bit × 8-band default is decontam_semantic's
+    * (a leakage gate over-admits candidates, the exact cosine verify
+    * restores precision).
+    */
+  final case class SemanticGate(benchVecTable: String, vecCol: String,
+      dim: Int, threshold: Double = 0.95, bits: Int = 4, bands: Int = 8)
+
   def streamIngestPipeline(store: graft.sources.ParquetStore, table: String,
       sigTable: String, docs: DataFrame, idCol: String, textCol: String,
       checkpointDir: String, blocklist: Seq[String] = Nil,
@@ -223,6 +248,7 @@ object Realtime {
       threshold: Double = 0.5, minQuality: Option[Double] = None,
       benchSigTable: Option[String] = None,
       decontamThreshold: Option[Double] = None,
+      semanticGate: Option[SemanticGate] = None,
       auditTable: Option[String] = None,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     // cheap config checks FIRST: a typo'd benchmark table name — or a
@@ -238,6 +264,16 @@ object Realtime {
           "using the same (shingleN, numHashes, bands) as this pipeline")
       graft.operators.Dedup.requireStoreGeometry(store, bt, shingleN,
         numHashes, bands, "streamIngestPipeline", strict = true)
+    }
+    semanticGate.foreach { g =>
+      require(store.exists(g.benchVecTable),
+        s"streamIngestPipeline: benchmark vector table '${g.benchVecTable}' " +
+          "does not exist — build it once per benchmark release with " +
+          s"store.merge('${g.benchVecTable}', benchDf.select($idCol, " +
+          s"${g.vecCol}), '$idCol')")
+      require(docs.columns.contains(g.vecCol),
+        s"streamIngestPipeline: the stream carries no '${g.vecCol}' column " +
+          "for the semantic gate — the encode step must run upstream")
     }
     // the dedup gates probe ONLY the signature index: a docs table
     // without one would make the first micro-batch dedup within
@@ -322,11 +358,28 @@ object Realtime {
                 caches += d
                 d
               }
-              // the near-dup stage sees only the gate's survivors
+              // SEMANTIC decontamination rung (optional): exact-cosine
+              // hits against the persisted benchmark vectors drop
+              // next, adjacent to the shingle rung so the two ladder
+              // gates compose before the near-dup shuffles. The bench
+              // table is static and the sign-LSH planes are frozen
+              // (seed 42), so the stage is stateless/replay-safe like
+              // the shingle gate.
+              val b2s = semanticGate.fold(b2d) { g =>
+                val flagged = graft.operators.Dedup.contaminatedDocsSemantic(
+                    b2d, store.read(g.benchVecTable), idCol, g.vecCol,
+                    g.dim, g.threshold, g.bits, g.bands)
+                  .select(col("id").as(idCol))
+                val s = b2d.join(flagged, Seq(idCol), "left_anti")
+                  .persist(lvl)
+                caches += s
+                s
+              }
+              // the near-dup stage sees only the gates' survivors
               val sigD =
-                if (benchSigTable.isEmpty) bSig
+                if (benchSigTable.isEmpty && semanticGate.isEmpty) bSig
                 else {
-                  val s = bSig.join(b2d.select(col(idCol).as("id")),
+                  val s = bSig.join(b2s.select(col(idCol).as("id")),
                     Seq("id"), "left_semi").persist(lvl)
                   caches += s
                   s
@@ -334,13 +387,13 @@ object Realtime {
               val kept2 =
                 if (haveSigs)
                   graft.operators.Dedup.incrementalNearDupStored(store, sigTable,
-                    b2d, idCol, textCol, shingleN, numHashes, bands, threshold,
+                    b2s, idCol, textCol, shingleN, numHashes, bands, threshold,
                     batchSig = Some(sigD))
                 else
-                  graft.operators.Dedup.incrementalNearDup(b2d.limit(0), b2d,
+                  graft.operators.Dedup.incrementalNearDup(b2s.limit(0), b2s,
                     idCol, textCol, shingleN, numHashes, bands, threshold,
                     batchSig = Some(sigD))
-              val rows = b2d.join(kept2.withColumnRenamed("id", idCol),
+              val rows = b2s.join(kept2.withColumnRenamed("id", idCol),
                   Seq(idCol), "left_semi")
                 .persist(lvl)
               try {
@@ -381,6 +434,7 @@ object Realtime {
                     Some("2_blocklist" -> b2.count()),
                     minQuality.map(_ => "2q_quality" -> b2q.count()),
                     benchSigTable.map(_ => "3_decontam" -> b2d.count()),
+                    semanticGate.map(_ => "3s_semantic" -> b2s.count()),
                     Some("4_near_dedup" -> nFinal)).flatten
                   val sess = b.sparkSession
                   import sess.implicits._

@@ -210,4 +210,28 @@ class ParquetStoreSpec extends AnyFunSuite {
     val after = store.read("t").collect().map(r => r.getString(0) -> r.getString(1)).toMap
     assert(after == before)
   }
+
+  test("_META sidecar: roundtrip, overwrite, survives merges, dies with drop") {
+    val store = new ParquetStore(spark, TestSpark.tempDir("graft_ps_"))
+    assert(store.getMeta("t").isEmpty, "no sidecar yet")
+    store.putMeta("t", Map("minhash.bands" -> "16", "note" -> "a b c"))
+    assert(store.getMeta("t") ==
+      Map("minhash.bands" -> "16", "note" -> "a b c"),
+      "values may contain spaces (first-space split)")
+    store.merge("t", rows(1 to 5, "v1"), "pkey")
+    store.merge("t", rows(3 to 8, "v2"), "pkey")
+    assert(store.getMeta("t")("minhash.bands") == "16",
+      "meta describes the table, not a snapshot — merges keep it")
+    store.putMeta("t", Map("minhash.bands" -> "8"))
+    assert(store.getMeta("t") == Map("minhash.bands" -> "8"),
+      "putMeta replaces the whole property set atomically")
+    intercept[IllegalArgumentException] {
+      store.putMeta("t", Map("bad key" -> "x"))
+    }
+    intercept[IllegalArgumentException] {
+      store.putMeta("t", Map("k" -> "line1\nline2"))
+    }
+    store.drop("t")
+    assert(store.getMeta("t").isEmpty, "drop removes the sidecar")
+  }
 }

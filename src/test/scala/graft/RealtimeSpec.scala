@@ -715,6 +715,84 @@ class RealtimeSpec extends AnyFunSuite {
       s"must name the drifted geometry parameter: ${eg.getMessage}")
   }
 
+  test("streaming semantic decontamination gate drops cosine leakage at ingest") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    // hand-planted 4-dim vectors (the DecontamSpec semantic fixture
+    // convention): batch doc 103 is a meaning-preserving rewrite of
+    // benchmark vector 900 (cosine ≈ 0.999 — no shared text, so only
+    // the semantic rung can catch it); 104 is its NEGATION (cosine
+    // ≈ -0.999, must NOT flag); 101/102 are orthogonal to the bench
+    val existing = Seq(
+      (1L, "existing corpus row one", Seq(0.0f, 1.0f, 0.0f, 0.0f)),
+      (2L, "existing corpus row two", Seq(0.0f, 0.0f, 1.0f, 0.0f)))
+      .toDF("doc_id", "text", "vec")
+    val batch = Seq(
+      (101L, "fresh batch row alpha", Seq(0.1f, 0.9f, 0.0f, 0.0f)),
+      (102L, "fresh batch row beta", Seq(0.0f, 0.0f, 0.9f, 0.1f)),
+      (103L, "leaked paraphrase of a benchmark item",
+        Seq(0.95f, 0.05f, 0.0f, 0.0f)),
+      (104L, "negated echo of a benchmark item",
+        Seq(-0.95f, -0.05f, 0.0f, 0.0f)))
+      .toDF("doc_id", "text", "vec")
+    val benchVecs = Seq(
+      (900L, Seq(1.0f, 0.1f, 0.0f, 0.0f)),
+      (901L, Seq(0.0f, 0.0f, 0.0f, 1.0f))).toDF("doc_id", "vec")
+    // batch twin: the same drop via the already-oracled storeless op
+    val twin = Dedup.contaminatedDocsSemantic(batch, benchVecs, "doc_id",
+        "vec", dim = 4, threshold = 0.9)
+      .collect().map(_.getAs[Long]("id")).toSet
+    assert(twin == Set(103L), s"fixture must flag exactly the paraphrase: $twin")
+    val store = new graft.sources.ParquetStore(
+      spark, TestSpark.tempDir("graft_sem_store_"))
+    store.merge("docs", existing, "doc_id")
+    Dedup.buildNearDupStore(store, "sigs", existing, "doc_id", "text")
+    store.merge("bench_vecs", benchVecs.select("doc_id", "vec"), "doc_id")
+    val src = TestSpark.tempDir("graft_sem_src_")
+    batch.coalesce(1).write.mode("append").parquet(src)
+    val q = Realtime.streamIngestPipeline(store, "docs", "sigs",
+      spark.readStream.schema("doc_id LONG, text STRING, vec ARRAY<FLOAT>")
+        .parquet(src),
+      "doc_id", "text", TestSpark.tempDir("graft_sem_cp_"),
+      semanticGate = Some(Realtime.SemanticGate("bench_vecs", "vec",
+        dim = 4, threshold = 0.9)),
+      auditTable = Some("audit"))
+    q.awaitTermination(120000)
+    val streamed = store.read("docs")
+      .filter(col("doc_id") >= 100L).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(streamed == Set(101L, 102L, 104L),
+      s"gate must drop exactly the paraphrase, keep the negation: $streamed")
+    // the ingested rows keep their embedding column (the docs table is
+    // the pipeline's corpus of record, vectors included)
+    assert(store.read("docs").columns.contains("vec"))
+    val a = store.read("audit").collect()
+      .map(r => (r.getAs[String]("stage"), r.getAs[Long]("n_docs"))).toMap
+    assert(a == Map("0_batch" -> 4L, "1_exact_dedup" -> 4L,
+      "2_blocklist" -> 4L, "3s_semantic" -> 3L, "4_near_dedup" -> 3L),
+      s"funnel must localize the drop at the semantic rung: $a")
+    // a missing benchmark vector table fails at stream start
+    val e = intercept[IllegalArgumentException] {
+      Realtime.streamIngestPipeline(store, "docs", "sigs",
+        spark.readStream.schema("doc_id LONG, text STRING, vec ARRAY<FLOAT>")
+          .parquet(src),
+        "doc_id", "text", TestSpark.tempDir("graft_sem_cpbad_"),
+        semanticGate = Some(Realtime.SemanticGate("no_such_vecs", "vec",
+          dim = 4, threshold = 0.9)))
+    }
+    assert(e.getMessage.contains("benchmark vector table"), e.getMessage)
+    // a stream without the embedding column fails at stream start
+    val e2 = intercept[IllegalArgumentException] {
+      Realtime.streamIngestPipeline(store, "docs", "sigs",
+        spark.readStream.schema("doc_id LONG, text STRING")
+          .parquet(TestSpark.tempDir("graft_sem_novec_")),
+        "doc_id", "text", TestSpark.tempDir("graft_sem_cpbad2_"),
+        semanticGate = Some(Realtime.SemanticGate("bench_vecs", "vec",
+          dim = 4, threshold = 0.9)))
+    }
+    assert(e2.getMessage.contains("no 'vec' column"), e2.getMessage)
+  }
+
   test("streaming windowed counts equal the batch result (one code path)") {
     import spark.implicits._
     val events = (0 until 200).map { i =>
