@@ -721,7 +721,11 @@ object Queries {
         bands = minHashBands)
       p
     })
-    new graft.sources.ParquetStore(spark, root)
+    // reopen with the SAME knobs: nBuckets self-describes via the
+    // layout's '#n' header, but filesPerBucket does not — a default
+    // (4) handle would silently quadruple small files on any future
+    // MERGE through it
+    new graft.sources.ParquetStore(spark, root, nBuckets = 8, filesPerBucket = 1)
   }
 
   /** Full-corpus MinHash pair sweep off the persisted signature
@@ -867,10 +871,12 @@ object Queries {
     */
   def ingestAudit(spark: SparkSession, dir: String): DataFrame =
     ingestTagged(spark, dir)
+      // coalesce: sum() over an EMPTY batch slice is NULL, but the
+      // oracle's COUNT(*) CTEs (and any funnel consumer) expect 0
       .agg(count(lit(1)).as("n0"),
-        sum(when(col("__s1"), 1L).otherwise(0L)).as("n1"),
-        sum(when(col("__s2"), 1L).otherwise(0L)).as("n2"),
-        sum(when(col("__s3"), 1L).otherwise(0L)).as("n3"))
+        coalesce(sum(when(col("__s1"), 1L).otherwise(0L)), lit(0L)).as("n1"),
+        coalesce(sum(when(col("__s2"), 1L).otherwise(0L)), lit(0L)).as("n2"),
+        coalesce(sum(when(col("__s3"), 1L).otherwise(0L)), lit(0L)).as("n3"))
       .select(explode(array(
         struct(lit("0_batch").as("stage"), col("n0").as("n_docs")),
         struct(lit("1_exact_dedup").as("stage"), col("n1").as("n_docs")),
@@ -2155,11 +2161,12 @@ object Queries {
     */
   def ingestAuditDecontam(spark: SparkSession, dir: String): DataFrame =
     ingestDecontamTagged(spark, dir)
+      // coalesce: see ingestAudit — NULL sums on an empty batch slice
       .agg(count(lit(1)).as("n0"),
-        sum(when(col("__s1"), 1L).otherwise(0L)).as("n1"),
-        sum(when(col("__s2"), 1L).otherwise(0L)).as("n2"),
-        sum(when(col("__s3"), 1L).otherwise(0L)).as("n3"),
-        sum(when(col("__s4"), 1L).otherwise(0L)).as("n4"))
+        coalesce(sum(when(col("__s1"), 1L).otherwise(0L)), lit(0L)).as("n1"),
+        coalesce(sum(when(col("__s2"), 1L).otherwise(0L)), lit(0L)).as("n2"),
+        coalesce(sum(when(col("__s3"), 1L).otherwise(0L)), lit(0L)).as("n3"),
+        coalesce(sum(when(col("__s4"), 1L).otherwise(0L)), lit(0L)).as("n4"))
       .select(explode(array(
         struct(lit("0_batch").as("stage"), col("n0").as("n_docs")),
         struct(lit("1_exact_dedup").as("stage"), col("n1").as("n_docs")),

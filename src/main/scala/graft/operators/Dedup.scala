@@ -473,13 +473,17 @@ object Dedup {
     val meta = store.getMeta(table)
     val keys = Seq((MetaShingleN, shingleN, "shingleN"),
       (MetaNumHashes, numHashes, "numHashes"), (MetaBands, bands, "bands"))
-    if (!keys.exists(k => meta.contains(k._1))) {
-      if (strict) throw new IllegalStateException(
-        s"$caller: signature index '$table' records no build geometry " +
-          "(_META) — rebuild it with Dedup.buildNearDupStore (which " +
-          "records (shingleN, numHashes, bands)); probing an index of " +
-          "unknown geometry silently returns near-zero matches")
-    } else keys.foreach { case (k, v, what) =>
+    // strict probes require EVERY key recorded — a partially-populated
+    // sidecar (hand-stamped putMeta) must read as unknown provenance,
+    // not pass vacuously on whichever keys happen to be absent
+    if (strict && !keys.forall(k => meta.contains(k._1)))
+      throw new IllegalStateException(
+        s"$caller: signature index '$table' records no (or incomplete) " +
+          "build geometry (_META) — rebuild it with " +
+          "Dedup.buildNearDupStore (which records (shingleN, numHashes, " +
+          "bands)); probing an index of unknown geometry silently " +
+          "returns near-zero matches")
+    keys.foreach { case (k, v, what) =>
       meta.get(k).foreach(s => require(s.trim == v.toString,
         s"$caller: signature index '$table' was built with $what=${s.trim} " +
           s"but this call uses $what=$v — parameter drift is a rebuild " +
@@ -509,6 +513,11 @@ object Dedup {
     store.putMeta(table, geometryProps(shingleN, numHashes, bands))
     store.merge(table,
       sigStoreRows(docs, idCol, textCol, shingleN, numHashes, bands), "id")
+    // a zero-row first build leaves the table nonexistent by
+    // ParquetStore contract — drop the just-written sidecar too, so a
+    // later build of the still-empty table with different geometry is
+    // not rejected as drift against data that was never committed
+    if (!store.exists(table)) store.drop(table)
   }
 
   /** [[buildNearDupStore]] from an already-computed (persisted)
@@ -544,6 +553,8 @@ object Dedup {
           hash(lit(b), slice(col("sig"), b * rows + 1, rows))): _*)))
       .select("id", "norm_hash", "sig", "shingles", "band_keys")
     store.merge(table, merged, "id")
+    // same zero-row cleanup as buildNearDupStore
+    if (!store.exists(table)) store.drop(table)
   }
 
   /** NEAR-DUP decontamination (the MinHash sibling of
@@ -1428,7 +1439,39 @@ object Dedup {
     * operator here assumes): duplicate ids would make the per-id hit
     * count — and the oracle's replay joins — ill-defined.
     */
+  /** The benchmark side of [[contaminatedDocsSemantic]], banded with
+    * the frozen planes — (id, vec, band_key) rows. Split out so an
+    * always-on caller (the streaming semantic gate) can band + persist
+    * the STATIC benchmark once for the stream's lifetime and hand it
+    * to [[contaminatedDocsSemanticBanded]] per micro-batch, instead of
+    * the single-shot form's internal per-call persist leaking one
+    * cached copy of the benchmark per micro-batch.
+    */
+  def semanticBenchBanded(benchmark: DataFrame, idCol: String,
+      vecCol: String, dim: Int, bits: Int = 8, bands: Int = 4,
+      seed: Long = 42L): DataFrame = {
+    val planes = Ann.hyperplanes(bits * bands, dim, seed)
+    benchmark.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .withColumn("band_key",
+        explode(signBandKeys(col("vec"), planes, bits, bands)))
+  }
+
   def contaminatedDocsSemantic(corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, vecCol: String, dim: Int, threshold: Double = 0.95,
+      bits: Int = 8, bands: Int = 4, seed: Long = 42L): DataFrame =
+    contaminatedDocsSemanticBanded(corpus,
+      semanticBenchBanded(benchmark, idCol, vecCol, dim, bits, bands, seed)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+      idCol, vecCol, dim, threshold, bits, bands, seed)
+
+  /** [[contaminatedDocsSemantic]] over a pre-banded benchmark frame
+    * ([[semanticBenchBanded]] output; persistence is the CALLER's
+    * responsibility — it is read by two broadcast branches). Same
+    * plan shape, same answer; geometry args must match the ones the
+    * bench was banded with (the planes are deterministic in
+    * (bits, bands, dim, seed), so matching args ⇒ matching planes).
+    */
+  def contaminatedDocsSemanticBanded(corpus: DataFrame, bench: DataFrame,
       idCol: String, vecCol: String, dim: Int, threshold: Double = 0.95,
       bits: Int = 8, bands: Int = 4, seed: Long = 42L): DataFrame = {
     val planes = Ann.hyperplanes(bits * bands, dim, seed)
@@ -1436,8 +1479,6 @@ object Dedup {
       .select(col(idCol).as("id"), col(vecCol).as("vec"))
       .withColumn("band_key",
         explode(signBandKeys(col("vec"), planes, bits, bands)))
-    val bench = banded(benchmark)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // no distinct(): a semi-join needs no deduplicated build side (the
     // broadcast hash relation dedups keys itself), and the distinct
     // was a benchmark-side shuffle for nothing

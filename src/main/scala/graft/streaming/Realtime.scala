@@ -286,9 +286,36 @@ object Realtime {
     // restart of a first micro-batch that crashed mid-commit. For a
     // large pre-seeded corpus this is the one-time CREATE INDEX cost
     // the pipeline needs anyway.
+    // an EXISTING corpus index with drifted geometry must also fail
+    // here, not inside the first micro-batch after the (potentially
+    // corpus-sized) exact stage already ran
+    if (store.exists(sigTable))
+      graft.operators.Dedup.requireStoreGeometry(store, sigTable, shingleN,
+        numHashes, bands, "streamIngestPipeline", strict = true)
     if (store.exists(table) && !store.exists(sigTable))
       graft.operators.Dedup.buildNearDupStore(store, sigTable,
         store.read(table), idCol, textCol, shingleN, numHashes, bands)
+    // the semantic gate's benchmark side is STATIC: band it with the
+    // frozen planes and persist ONE copy for the stream's lifetime —
+    // the single-shot operator's internal persist would leak one
+    // cached benchmark per micro-batch on an always-on stream (the
+    // same unbounded-cache hazard the shared bSig frame exists to
+    // avoid)
+    val semanticBench = semanticGate.map { g =>
+      graft.operators.Dedup.semanticBenchBanded(store.read(g.benchVecTable),
+          idCol, g.vecCol, g.dim, g.bits, g.bands)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+    // one MERGE into the audit table, shared by the counted and the
+    // empty-delivery paths
+    def writeAudit(at: String, sess: org.apache.spark.sql.SparkSession,
+        batchId: Long, counts: Seq[(String, Long)]): Unit = {
+      import sess.implicits._
+      store.merge(at,
+        counts.map { case (st, c) => (s"$batchId/$st", batchId, st, c) }
+          .toDF("audit_key", "batch_id", "stage", "n_docs"),
+        "audit_key")
+    }
     docs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
@@ -335,6 +362,16 @@ object Realtime {
             // per reference (also violating batchSig's
             // "already persisted" contract)
             val caches = scala.collection.mutable.ListBuffer(bSig)
+            // with the audit on, the per-stage frames are counted a
+            // second time after the chain materializes — cache the
+            // distinct ones (delta-sized) so those counts reuse the
+            // chain's execution instead of re-running the exact
+            // probe's accumulated-index scan per count
+            if (auditTable.isDefined) {
+              b1.persist(lvl); caches += b1
+              if (blocklist.nonEmpty) { b2.persist(lvl); caches += b2 }
+              if (minQuality.isDefined) { b2q.persist(lvl); caches += b2q }
+            }
             try {
               // optional decontamination gate: rows near-duplicating
               // the PERSISTED benchmark signature index are dropped at
@@ -366,9 +403,9 @@ object Realtime {
               // (seed 42), so the stage is stateless/replay-safe like
               // the shingle gate.
               val b2s = semanticGate.fold(b2d) { g =>
-                val flagged = graft.operators.Dedup.contaminatedDocsSemantic(
-                    b2d, store.read(g.benchVecTable), idCol, g.vecCol,
-                    g.dim, g.threshold, g.bits, g.bands)
+                val flagged = graft.operators.Dedup
+                  .contaminatedDocsSemanticBanded(b2d, semanticBench.get,
+                    idCol, g.vecCol, g.dim, g.threshold, g.bits, g.bands)
                   .select(col("id").as(idCol))
                 val s = b2d.join(flagged, Seq(idCol), "left_anti")
                   .persist(lvl)
@@ -428,23 +465,27 @@ object Realtime {
                 // batch-lifetime caches — delta-sized, after the
                 // merges so observability never delays ingestion.
                 auditTable.foreach { at =>
-                  val counts: Seq[(String, Long)] = Seq(
+                  writeAudit(at, b.sparkSession, batchId, Seq(
                     Some("0_batch" -> b.count()),
                     Some("1_exact_dedup" -> b1.count()),
                     Some("2_blocklist" -> b2.count()),
                     minQuality.map(_ => "2q_quality" -> b2q.count()),
                     benchSigTable.map(_ => "3_decontam" -> b2d.count()),
                     semanticGate.map(_ => "3s_semantic" -> b2s.count()),
-                    Some("4_near_dedup" -> nFinal)).flatten
-                  val sess = b.sparkSession
-                  import sess.implicits._
-                  store.merge(at,
-                    counts.map { case (st, c) => (s"$batchId/$st", batchId, st, c) }
-                      .toDF("audit_key", "batch_id", "stage", "n_docs"),
-                    "audit_key")
+                    Some("4_near_dedup" -> nFinal)).flatten)
                 }
               } finally rows.unpersist()
             } finally caches.foreach(_.unpersist())
+          } else auditTable.foreach { at =>
+            // an EMPTY delivery still writes its funnel rows (all
+            // zeros), so a dashboard can tell "batch never ran" from
+            // "batch was empty" and batch ids stay gap-free
+            writeAudit(at, b.sparkSession, batchId, Seq(
+              Some("0_batch"), Some("1_exact_dedup"), Some("2_blocklist"),
+              minQuality.map(_ => "2q_quality"),
+              benchSigTable.map(_ => "3_decontam"),
+              semanticGate.map(_ => "3s_semantic"),
+              Some("4_near_dedup")).flatten.map(_ -> 0L))
           }
         } finally b.unpersist()
       }

@@ -297,6 +297,14 @@ class IncrementalDedupSpec extends AnyFunSuite {
         shingleN = 2, numHashes = 64, bands = 16)
     }
     assert(e3.getMessage.contains("geometry"), e3.getMessage)
+    // ... and a PARTIALLY-recorded sidecar (hand-stamped) must read as
+    // unknown provenance too, not pass vacuously on the absent keys
+    raw.putMeta("sigs", Map("minhash.bands" -> "16"))
+    val e3b = intercept[IllegalStateException] {
+      Dedup.incrementalNearDupStored(raw, "sigs", batch, "doc_id", "text",
+        shingleN = 2, numHashes = 64, bands = 16)
+    }
+    assert(e3b.getMessage.contains("incomplete"), e3b.getMessage)
     // batchSig frames carry minHashSigOf's geometry stamp: a frame
     // built with a different shingleN is rejected even though the
     // store matches the probe's parameters
