@@ -402,15 +402,45 @@ object Oracles {
     * near-dup stage — otherwise `bl2` is just `bl` and the chain is
     * the r11 three-stage form.
     */
-  private def ingestChain(decontam: Boolean): String = {
+  private def ingestChain(decontam: Boolean, semantic: Boolean = false): String = {
+    require(!semantic || decontam, "the ladder adds to the decontam chain")
     val rows = Queries.minHashNumHashes / Queries.minHashBands
     val terms = Queries.blocklistTerms.map(s => s"'$s'").mkString("[", ", ", "]")
     val batchPred =
       if (decontam)
         s"doc_id >= ${Queries.incrementalSplit} AND doc_id < ${Queries.decontamNearDupSplit}"
       else s"doc_id >= ${Queries.incrementalSplit}"
+    // the SEMANTIC rung (ladder form): same literal-plane band keys as
+    // the decontam_semantic oracle (shared geometry constants), pairs
+    // restricted batch-slice × benchmark-tail, exact cosine verify,
+    // NOT IN applied to the shingle rung's survivors
+    val semCtes =
+      if (!semantic) ""
+      else
+        s"""
+           |v AS (
+           |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+           |  WHERE vec_id >= ${Queries.incrementalSplit}),
+           |skeys AS (
+           |${signBandKeySelects(64, Queries.decontamSemBits,
+               Queries.decontamSemBands, 42L)}),
+           |scand AS (
+           |  SELECT DISTINCT a.vec_id AS id, b.vec_id AS bid
+           |  FROM skeys a JOIN skeys b ON a.band = b.band AND a.k = b.k
+           |  WHERE a.vec_id < ${Queries.decontamNearDupSplit}
+           |    AND b.vec_id >= ${Queries.decontamNearDupSplit}),
+           |shit AS (
+           |  SELECT DISTINCT c.id FROM scand c
+           |  JOIN v va ON va.vec_id = c.id
+           |  JOIN v vb ON vb.vec_id = c.bid
+           |  WHERE list_cosine_similarity(va.e, vb.e)
+           |    >= ${Queries.decontamSemThreshold}),
+           |bl3 AS (
+           |  SELECT doc_id FROM bl2 WHERE doc_id NOT IN (SELECT id FROM shit)),
+           |""".stripMargin
+    val gate = if (semantic) "bl3" else "bl2"
     val decontamCtes =
-      if (!decontam) "bl2 AS (SELECT doc_id FROM bl),"
+      (if (!decontam) "bl2 AS (SELECT doc_id FROM bl),"
       else
         s"""blk AS (SELECT k.* FROM keyed k JOIN bl ON bl.doc_id = k.doc_id),
            |benchk AS (
@@ -427,7 +457,7 @@ object Oracles {
            |    >= ${Queries.minHashThreshold}),
            |bl2 AS (
            |  SELECT doc_id FROM bl
-           |  WHERE doc_id NOT IN (SELECT id FROM dhit)),""".stripMargin
+           |  WHERE doc_id NOT IN (SELECT id FROM dhit)),""".stripMargin) + semCtes
     s"""WITH b AS (
        |  SELECT doc_id AS id,
        |    md5(regexp_replace(lower(trim(coalesce(text, ''))), '\\s+', ' ', 'g')) AS h
@@ -456,7 +486,7 @@ object Oracles {
        |    list_slice(sig, band * $rows + 1, band * $rows + $rows) AS bkey
        |  FROM s CROSS JOIN bands),
        |$decontamCtes
-       |bk AS (SELECT k.* FROM keyed k JOIN bl2 ON bl2.doc_id = k.doc_id),
+       |bk AS (SELECT k.* FROM keyed k JOIN $gate ON $gate.doc_id = k.doc_id),
        |ek AS (SELECT * FROM keyed WHERE doc_id < ${Queries.incrementalSplit}),
        |cand AS (
        |  SELECT DISTINCT bb.doc_id AS id, ee.doc_id AS other_id
@@ -473,7 +503,7 @@ object Oracles {
        |    / len(list_distinct(sa.shingles || sb.shingles))
        |    >= ${Queries.minHashThreshold}),
        |final AS (
-       |  SELECT doc_id FROM bl2
+       |  SELECT doc_id FROM $gate
        |  WHERE doc_id NOT IN (SELECT id FROM dropped))""".stripMargin
   }
 
@@ -1150,7 +1180,8 @@ object Oracles {
     // setting, restricted to corpus×held-out candidate pairs,
     // aggregated per corpus id.
     "decontam_semantic" -> embeddingDecontamSql(
-      dim = 64, bits = 4, bands = 8, seed = 42L,
+      dim = 64, bits = Queries.decontamSemBits,
+      bands = Queries.decontamSemBands, seed = 42L,
       threshold = Queries.decontamSemThreshold, mod = Queries.decontamMod),
 
     // SemDeDup prune replayed over the dumped k-means assignment
@@ -1316,6 +1347,29 @@ object Oracles {
          |  UNION ALL SELECT '1_exact_dedup', COUNT(*) FROM kept1
          |  UNION ALL SELECT '2_blocklist', COUNT(*) FROM bl
          |  UNION ALL SELECT '3_decontam', COUNT(*) FROM bl2
+         |  UNION ALL SELECT '4_near_dedup', COUNT(*) FROM final)
+         |ORDER BY stage""".stripMargin,
+
+    // The FULL decontamination ladder as one ingest chain: the same
+    // CTEs + the semantic rung (literal-plane band keys, exact cosine
+    // verify) between the shingle rung and near-dup.
+    "pipeline_ingest_ladder" ->
+      s"""${ingestChain(decontam = true, semantic = true)}
+         |SELECT d.lang, COUNT(*) AS n_docs,
+         |  CAST(SUM(len($toksSql)) AS BIGINT) AS n_tokens
+         |FROM documents d JOIN final f ON f.doc_id = d.doc_id
+         |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
+
+    // Six-stage funnel of the ladder chain: both decontamination
+    // rungs counted separately.
+    "ingest_audit_ladder" ->
+      s"""${ingestChain(decontam = true, semantic = true)}
+         |SELECT * FROM (
+         |  SELECT '0_batch' AS stage, COUNT(*) AS n_docs FROM b
+         |  UNION ALL SELECT '1_exact_dedup', COUNT(*) FROM kept1
+         |  UNION ALL SELECT '2_blocklist', COUNT(*) FROM bl
+         |  UNION ALL SELECT '3_decontam', COUNT(*) FROM bl2
+         |  UNION ALL SELECT '3s_semantic', COUNT(*) FROM bl3
          |  UNION ALL SELECT '4_near_dedup', COUNT(*) FROM final)
          |ORDER BY stage""".stripMargin,
 

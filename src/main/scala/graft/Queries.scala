@@ -2099,8 +2099,19 @@ object Queries {
     * reads on either side) and applied to the survivors by anti-join,
     * exactly what the chained-CTE oracle replays.
     */
-  private[graft] def ingestDecontamTagged(spark: SparkSession, dir: String)
-      : DataFrame = {
+  /** `semantic = true` inserts the embedding-cosine rung between the
+    * shingle rung and near-dup (the full decontamination LADDER as one
+    * batch chain — the oracled twin of the streaming SemanticGate
+    * composition): batch-slice vectors whose exact cosine vs ANY
+    * benchmark-tail vector reaches [[decontamSemThreshold]] drop, via
+    * [[graft.operators.Dedup.contaminatedDocsSemantic]] over the
+    * STATIC id slices of the embeddings table (vec_id ≡ doc_id) —
+    * per-doc independence again, so the flag set computes once and
+    * anti-joins the survivors. Adds a `__s3s` tag; `__s4` then gates
+    * on it.
+    */
+  private[graft] def ingestDecontamTagged(spark: SparkSession, dir: String,
+      semantic: Boolean = false): DataFrame = {
     val docs = t(spark, dir, "documents")
     val batch = docs.filter(col("doc_id") >= incrementalSplit &&
       col("doc_id") < decontamNearDupSplit)
@@ -2129,20 +2140,46 @@ object Queries {
       .select(col("id").as("doc_id"))
       .localCheckpoint(false)
     val b2d = b2.join(contaminated, Seq("doc_id"), "left_anti")
-    val kept2 = Dedup.incrementalNearDupStored(store, "sigs", b2d,
+    // the semantic rung's flag set (checkpointed for the same three-
+    // branch reason): vec_id ≡ doc_id by the generator's contract,
+    // the same pairing mine_hard_negatives gates on
+    val semFlagged =
+      if (!semantic) None
+      else {
+        val emb = t(spark, dir, "embeddings")
+        Some(Dedup.contaminatedDocsSemantic(
+            emb.filter(col("vec_id") >= incrementalSplit &&
+              col("vec_id") < decontamNearDupSplit),
+            emb.filter(col("vec_id") >= decontamNearDupSplit),
+            "vec_id", "embedding", dim = 64,
+            threshold = decontamSemThreshold, bits = decontamSemBits,
+            bands = decontamSemBands)
+          .select(col("id").as("doc_id"))
+          .localCheckpoint(false))
+      }
+    val b2x = semFlagged.fold(b2d)(f => b2d.join(f, Seq("doc_id"), "left_anti"))
+    val kept2 = Dedup.incrementalNearDupStored(store, "sigs", b2x,
         "doc_id", "text", shingleN = minHashShingleN,
         numHashes = minHashNumHashes, bands = minHashBands,
         threshold = minHashThreshold, corpusPred = corpusPred)
       .withColumnRenamed("id", "doc_id")
-    batch
+    val tagged0 = batch
       .join(kept1.withColumn("__m1", lit(true)), Seq("doc_id"), "left")
       .join(contaminated.withColumn("__mc", lit(true)), Seq("doc_id"), "left")
+    val tagged1 = semFlagged.fold(tagged0)(f =>
+      tagged0.join(f.withColumn("__ms", lit(true)), Seq("doc_id"), "left"))
+    val tagged2 = tagged1
       .join(kept2.withColumn("__m4", lit(true)), Seq("doc_id"), "left")
       .withColumn("__s1", coalesce(col("__m1"), lit(false)))
       .withColumn("__s2", col("__s1") && blocklistClean(col("text"), blocklistTerms))
       .withColumn("__s3", col("__s2") && col("__mc").isNull)
-      .withColumn("__s4", col("__s3") && coalesce(col("__m4"), lit(false)))
-      .drop("__m1", "__mc", "__m4")
+    val tagged3 =
+      if (semFlagged.isEmpty)
+        tagged2.withColumn("__s4", col("__s3") && coalesce(col("__m4"), lit(false)))
+      else tagged2
+        .withColumn("__s3s", col("__s3") && col("__ms").isNull)
+        .withColumn("__s4", col("__s3s") && coalesce(col("__m4"), lit(false)))
+    tagged3.drop("__m1", "__mc", "__ms", "__m4")
   }
 
   def pipelineIngestDecontam(spark: SparkSession, dir: String): DataFrame =
@@ -2176,6 +2213,42 @@ object Queries {
       .select(col("s.stage").as("stage"), col("s.n_docs").as("n_docs"))
       .orderBy(col("stage"))
 
+  /** The FULL decontamination ladder as one batch ingestion chain:
+    * exact dedup → blocklist → shingle-Jaccard decontamination →
+    * embedding-cosine decontamination → near-dup → per-lang stats —
+    * the oracled batch twin of the streaming chain with BOTH gates
+    * ([[graft.streaming.Realtime.SemanticGate]] + benchSigTable) on.
+    */
+  def pipelineIngestLadder(spark: SparkSession, dir: String): DataFrame =
+    ingestDecontamTagged(spark, dir, semantic = true)
+      .filter(col("__s4"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(sqlTokens(col("text")))).as("n_tokens"))
+      .orderBy(col("lang"))
+
+  /** Six-stage funnel of the full-ladder chain — separates the three
+    * distinct drop reasons (near-verbatim leakage, paraphrase leakage,
+    * corpus near-duplicate) a pipeline must report independently.
+    */
+  def ingestAuditLadder(spark: SparkSession, dir: String): DataFrame =
+    ingestDecontamTagged(spark, dir, semantic = true)
+      .agg(count(lit(1)).as("n0"),
+        coalesce(sum(when(col("__s1"), 1L).otherwise(0L)), lit(0L)).as("n1"),
+        coalesce(sum(when(col("__s2"), 1L).otherwise(0L)), lit(0L)).as("n2"),
+        coalesce(sum(when(col("__s3"), 1L).otherwise(0L)), lit(0L)).as("n3"),
+        coalesce(sum(when(col("__s3s"), 1L).otherwise(0L)), lit(0L)).as("n3s"),
+        coalesce(sum(when(col("__s4"), 1L).otherwise(0L)), lit(0L)).as("n4"))
+      .select(explode(array(
+        struct(lit("0_batch").as("stage"), col("n0").as("n_docs")),
+        struct(lit("1_exact_dedup").as("stage"), col("n1").as("n_docs")),
+        struct(lit("2_blocklist").as("stage"), col("n2").as("n_docs")),
+        struct(lit("3_decontam").as("stage"), col("n3").as("n_docs")),
+        struct(lit("3s_semantic").as("stage"), col("n3s").as("n_docs")),
+        struct(lit("4_near_dedup").as("stage"), col("n4").as("n_docs")))).as("s"))
+      .select(col("s.stage").as("stage"), col("s.n_docs").as("n_docs"))
+      .orderBy(col("stage"))
+
   /** SEMANTIC decontamination — the embedding rung of the
     * decontamination ladder (exact n-gram count → bloom → near-dup
     * shingle Jaccard → THIS): corpus vectors whose cosine against any
@@ -2194,13 +2267,15 @@ object Queries {
     * p ≈ 0.18 → ~0.79 over 8 bands, vs ~0.12 total under 8-bit bands.
     */
   private[graft] val decontamSemThreshold = 0.30
+  private[graft] val decontamSemBits = 4
+  private[graft] val decontamSemBands = 8
   def decontamSemantic(spark: SparkSession, dir: String): DataFrame = {
     val emb = t(spark, dir, "embeddings")
     Dedup.contaminatedDocsSemantic(
         emb.filter(col("vec_id") % decontamMod =!= 0),
         emb.filter(col("vec_id") % decontamMod === 0),
         "vec_id", "embedding", dim = 64, threshold = decontamSemThreshold,
-        bits = 4, bands = 8)
+        bits = decontamSemBits, bands = decontamSemBands)
       .select(col("id").as("vec_id"), col("n_hits"),
         round(col("max_cos"), 4).as("max_cos"))
       .orderBy(col("vec_id"))
@@ -3189,6 +3264,8 @@ object Queries {
     "pipeline_ingest_decontam" -> (pipelineIngestDecontam _),
     "ingest_audit" -> (ingestAudit _),
     "ingest_audit_decontam" -> (ingestAuditDecontam _),
+    "pipeline_ingest_ladder" -> (pipelineIngestLadder _),
+    "ingest_audit_ladder" -> (ingestAuditLadder _),
     "drift_report" -> (driftReport _),
     "dedup_spans" -> (dedupSpans _),
     "dedup_within_doc" -> (dedupWithinDoc _),
