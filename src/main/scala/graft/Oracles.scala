@@ -429,14 +429,14 @@ object Oracles {
            |  FROM skeys a JOIN skeys b ON a.band = b.band AND a.k = b.k
            |  WHERE a.vec_id < ${Queries.decontamNearDupSplit}
            |    AND b.vec_id >= ${Queries.decontamNearDupSplit}),
-           |shit AS (
+           |semhit AS (
            |  SELECT DISTINCT c.id FROM scand c
            |  JOIN v va ON va.vec_id = c.id
            |  JOIN v vb ON vb.vec_id = c.bid
            |  WHERE list_cosine_similarity(va.e, vb.e)
            |    >= ${Queries.decontamSemThreshold}),
            |bl3 AS (
-           |  SELECT doc_id FROM bl2 WHERE doc_id NOT IN (SELECT id FROM shit)),
+           |  SELECT doc_id FROM bl2 WHERE doc_id NOT IN (SELECT id FROM semhit)),
            |""".stripMargin
     val gate = if (semantic) "bl3" else "bl2"
     val decontamCtes =

@@ -853,13 +853,41 @@ object Queries {
       stage("__s3"))
   }
 
-  def pipelineIngest(spark: SparkSession, dir: String): DataFrame = {
-    val (_, _, _, ingested) = ingestStages(spark, dir)
-    ingested
+  /** Per-language corpus stats of a survivor frame — the shared tail
+    * of every composed ingestion chain. */
+  private def perLangStats(survivors: DataFrame): DataFrame =
+    survivors
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"),
         sum(size(sqlTokens(col("text")))).as("n_tokens"))
       .orderBy(col("lang"))
+
+  /** Funnel unpivot of a tagged chain frame: one conditional-sum pass
+    * producing ("0_batch", total) plus one row per (flagCol, label) —
+    * the single definition behind all three ingest funnels, so a
+    * funnel rule (like coalesce-on-empty-slice) can never drift
+    * between them. */
+  private def ingestFunnel(tagged: DataFrame,
+      stages: Seq[(String, String)]): DataFrame = {
+    // coalesce: sum() over an EMPTY batch slice is NULL, but the
+    // oracle's COUNT(*) CTEs (and any funnel consumer) expect 0
+    val aggs = stages.map { case (flag, _) =>
+      coalesce(sum(when(col(flag), 1L).otherwise(0L)), lit(0L))
+        .as(s"__n$flag") }
+    tagged
+      .agg(count(lit(1)).as("__n0"), aggs: _*)
+      .select(explode(array(
+        struct(lit("0_batch").as("stage"), col("__n0").as("n_docs")) +:
+          stages.map { case (flag, label) =>
+            struct(lit(label).as("stage"), col(s"__n$flag").as("n_docs")) }: _*))
+        .as("s"))
+      .select(col("s.stage").as("stage"), col("s.n_docs").as("n_docs"))
+      .orderBy(col("stage"))
+  }
+
+  def pipelineIngest(spark: SparkSession, dir: String): DataFrame = {
+    val (_, _, _, ingested) = ingestStages(spark, dir)
+    perLangStats(ingested)
   }
 
   /** Ingestion funnel audit — the ops view of [[pipelineIngest]]:
@@ -870,20 +898,9 @@ object Queries {
     * (PlanSpec bounds the Exchange count).
     */
   def ingestAudit(spark: SparkSession, dir: String): DataFrame =
-    ingestTagged(spark, dir)
-      // coalesce: sum() over an EMPTY batch slice is NULL, but the
-      // oracle's COUNT(*) CTEs (and any funnel consumer) expect 0
-      .agg(count(lit(1)).as("n0"),
-        coalesce(sum(when(col("__s1"), 1L).otherwise(0L)), lit(0L)).as("n1"),
-        coalesce(sum(when(col("__s2"), 1L).otherwise(0L)), lit(0L)).as("n2"),
-        coalesce(sum(when(col("__s3"), 1L).otherwise(0L)), lit(0L)).as("n3"))
-      .select(explode(array(
-        struct(lit("0_batch").as("stage"), col("n0").as("n_docs")),
-        struct(lit("1_exact_dedup").as("stage"), col("n1").as("n_docs")),
-        struct(lit("2_blocklist").as("stage"), col("n2").as("n_docs")),
-        struct(lit("3_near_dedup").as("stage"), col("n3").as("n_docs")))).as("s"))
-      .select(col("s.stage").as("stage"), col("s.n_docs").as("n_docs"))
-      .orderBy(col("stage"))
+    ingestFunnel(ingestTagged(spark, dir), Seq(
+      "__s1" -> "1_exact_dedup", "__s2" -> "2_blocklist",
+      "__s3" -> "3_near_dedup"))
 
   /** Incremental snapshot-delta NEAR-dup: the incrementalSplit batch
     * against the rest as the existing corpus, same MinHash
@@ -2110,6 +2127,31 @@ object Queries {
     * anti-joins the survivors. Adds a `__s3s` tag; `__s4` then gates
     * on it.
     */
+  /** The ladder's semantic flag set — ONE construction shared by the
+    * chain and PlanSpec's scan-discipline lock (a hand-copied test
+    * frame could silently drift from production). Uses the BANDED
+    * bench form WITHOUT a persist: the caller localCheckpoints this
+    * frame, so its subtree executes exactly once — the bench banding
+    * runs twice inside that single execution (two broadcast
+    * branches), which beats registering a process-lifetime cache
+    * entry per plan the way the single-shot operator's internal
+    * persist would.
+    */
+  private[graft] def ladderSemanticFlags(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    Dedup.contaminatedDocsSemanticBanded(
+        emb.filter(col("vec_id") >= incrementalSplit &&
+          col("vec_id") < decontamNearDupSplit),
+        Dedup.semanticBenchBanded(
+          emb.filter(col("vec_id") >= decontamNearDupSplit),
+          "vec_id", "embedding", dim = 64, bits = decontamSemBits,
+          bands = decontamSemBands),
+        "vec_id", "embedding", dim = 64, threshold = decontamSemThreshold,
+        bits = decontamSemBits, bands = decontamSemBands)
+      .select(col("id").as("doc_id"))
+  }
+
   private[graft] def ingestDecontamTagged(spark: SparkSession, dir: String,
       semantic: Boolean = false): DataFrame = {
     val docs = t(spark, dir, "documents")
@@ -2145,18 +2187,7 @@ object Queries {
     // the same pairing mine_hard_negatives gates on
     val semFlagged =
       if (!semantic) None
-      else {
-        val emb = t(spark, dir, "embeddings")
-        Some(Dedup.contaminatedDocsSemantic(
-            emb.filter(col("vec_id") >= incrementalSplit &&
-              col("vec_id") < decontamNearDupSplit),
-            emb.filter(col("vec_id") >= decontamNearDupSplit),
-            "vec_id", "embedding", dim = 64,
-            threshold = decontamSemThreshold, bits = decontamSemBits,
-            bands = decontamSemBands)
-          .select(col("id").as("doc_id"))
-          .localCheckpoint(false))
-      }
+      else Some(ladderSemanticFlags(spark, dir).localCheckpoint(false))
     val b2x = semFlagged.fold(b2d)(f => b2d.join(f, Seq("doc_id"), "left_anti"))
     val kept2 = Dedup.incrementalNearDupStored(store, "sigs", b2x,
         "doc_id", "text", shingleN = minHashShingleN,
@@ -2183,12 +2214,7 @@ object Queries {
   }
 
   def pipelineIngestDecontam(spark: SparkSession, dir: String): DataFrame =
-    ingestDecontamTagged(spark, dir)
-      .filter(col("__s4"))
-      .groupBy(col("lang"))
-      .agg(count(lit(1)).as("n_docs"),
-        sum(size(sqlTokens(col("text")))).as("n_tokens"))
-      .orderBy(col("lang"))
+    perLangStats(ingestDecontamTagged(spark, dir).filter(col("__s4")))
 
   /** Funnel audit of the decontam-gated chain — [[ingestAudit]]'s
     * five-stage sibling over [[ingestDecontamTagged]]'s single tagged
@@ -2197,21 +2223,9 @@ object Queries {
     * conflate: one protects the BENCHMARK, the other the corpus).
     */
   def ingestAuditDecontam(spark: SparkSession, dir: String): DataFrame =
-    ingestDecontamTagged(spark, dir)
-      // coalesce: see ingestAudit — NULL sums on an empty batch slice
-      .agg(count(lit(1)).as("n0"),
-        coalesce(sum(when(col("__s1"), 1L).otherwise(0L)), lit(0L)).as("n1"),
-        coalesce(sum(when(col("__s2"), 1L).otherwise(0L)), lit(0L)).as("n2"),
-        coalesce(sum(when(col("__s3"), 1L).otherwise(0L)), lit(0L)).as("n3"),
-        coalesce(sum(when(col("__s4"), 1L).otherwise(0L)), lit(0L)).as("n4"))
-      .select(explode(array(
-        struct(lit("0_batch").as("stage"), col("n0").as("n_docs")),
-        struct(lit("1_exact_dedup").as("stage"), col("n1").as("n_docs")),
-        struct(lit("2_blocklist").as("stage"), col("n2").as("n_docs")),
-        struct(lit("3_decontam").as("stage"), col("n3").as("n_docs")),
-        struct(lit("4_near_dedup").as("stage"), col("n4").as("n_docs")))).as("s"))
-      .select(col("s.stage").as("stage"), col("s.n_docs").as("n_docs"))
-      .orderBy(col("stage"))
+    ingestFunnel(ingestDecontamTagged(spark, dir), Seq(
+      "__s1" -> "1_exact_dedup", "__s2" -> "2_blocklist",
+      "__s3" -> "3_decontam", "__s4" -> "4_near_dedup"))
 
   /** The FULL decontamination ladder as one batch ingestion chain:
     * exact dedup → blocklist → shingle-Jaccard decontamination →
@@ -2220,34 +2234,18 @@ object Queries {
     * ([[graft.streaming.Realtime.SemanticGate]] + benchSigTable) on.
     */
   def pipelineIngestLadder(spark: SparkSession, dir: String): DataFrame =
-    ingestDecontamTagged(spark, dir, semantic = true)
-      .filter(col("__s4"))
-      .groupBy(col("lang"))
-      .agg(count(lit(1)).as("n_docs"),
-        sum(size(sqlTokens(col("text")))).as("n_tokens"))
-      .orderBy(col("lang"))
+    perLangStats(ingestDecontamTagged(spark, dir, semantic = true)
+      .filter(col("__s4")))
 
   /** Six-stage funnel of the full-ladder chain — separates the three
     * distinct drop reasons (near-verbatim leakage, paraphrase leakage,
     * corpus near-duplicate) a pipeline must report independently.
     */
   def ingestAuditLadder(spark: SparkSession, dir: String): DataFrame =
-    ingestDecontamTagged(spark, dir, semantic = true)
-      .agg(count(lit(1)).as("n0"),
-        coalesce(sum(when(col("__s1"), 1L).otherwise(0L)), lit(0L)).as("n1"),
-        coalesce(sum(when(col("__s2"), 1L).otherwise(0L)), lit(0L)).as("n2"),
-        coalesce(sum(when(col("__s3"), 1L).otherwise(0L)), lit(0L)).as("n3"),
-        coalesce(sum(when(col("__s3s"), 1L).otherwise(0L)), lit(0L)).as("n3s"),
-        coalesce(sum(when(col("__s4"), 1L).otherwise(0L)), lit(0L)).as("n4"))
-      .select(explode(array(
-        struct(lit("0_batch").as("stage"), col("n0").as("n_docs")),
-        struct(lit("1_exact_dedup").as("stage"), col("n1").as("n_docs")),
-        struct(lit("2_blocklist").as("stage"), col("n2").as("n_docs")),
-        struct(lit("3_decontam").as("stage"), col("n3").as("n_docs")),
-        struct(lit("3s_semantic").as("stage"), col("n3s").as("n_docs")),
-        struct(lit("4_near_dedup").as("stage"), col("n4").as("n_docs")))).as("s"))
-      .select(col("s.stage").as("stage"), col("s.n_docs").as("n_docs"))
-      .orderBy(col("stage"))
+    ingestFunnel(ingestDecontamTagged(spark, dir, semantic = true), Seq(
+      "__s1" -> "1_exact_dedup", "__s2" -> "2_blocklist",
+      "__s3" -> "3_decontam", "__s3s" -> "3s_semantic",
+      "__s4" -> "4_near_dedup"))
 
   /** SEMANTIC decontamination — the embedding rung of the
     * decontamination ladder (exact n-gram count → bloom → near-dup

