@@ -185,9 +185,14 @@ object Dedup {
     val gramsArr = when(size(col("__toks")) < k, array().cast("array<string>"))
       .otherwise(transform(sequence(lit(1), size(col("__toks")) - (k - 1)),
         i => array_join(slice(col("__toks"), i, lit(k)), " ")))
+    // hash each gram BEFORE the keep-first shuffle: the window only
+    // ever needs the gram's md5 (it IS the dedup key), and projecting
+    // the k-token string away here keeps ~k× text bytes out of the
+    // exchange — the dominant shuffle of this operator
     val grams = base.withColumn("__g", gramsArr)
       .select(col("__id"), posexplode(col("__g")).as(Seq("__p0", "__gram")))
-    val w = Window.partitionBy(md5(col("__gram")))
+      .select(col("__id"), col("__p0"), md5(col("__gram")).as("__gh"))
+    val w = Window.partitionBy(col("__gh"))
     val removed = grams
       .withColumn("__first",
         min(struct(col("__id").as("d"), col("__p0").as("p"))).over(w))
