@@ -1360,6 +1360,27 @@ object Oracles {
          |FROM documents d JOIN final f ON f.doc_id = d.doc_id
          |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
 
+    // Terminal packing of the cleaned corpus: the ladder chain's
+    // `final` survivors fed through the pack_sequences replay (same
+    // per-shard cumsum binning, restricted per_doc).
+    "pipeline_pack" ->
+      s"""${ingestChain(decontam = true, semantic = true)},
+         |per_doc AS (
+         |  SELECT d.lang, CAST(d.doc_id % ${Queries.packShards} AS INT) AS shard,
+         |    d.doc_id, CAST(len($toksSql) AS BIGINT) AS n_toks
+         |  FROM documents d JOIN final f ON f.doc_id = d.doc_id),
+         |binned AS (
+         |  SELECT lang, shard, n_toks,
+         |    CAST(floor(coalesce(sum(n_toks) OVER (
+         |      PARTITION BY lang, shard ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      / ${Queries.packBudget}) AS BIGINT) AS bin
+         |  FROM per_doc)
+         |SELECT lang, shard, bin, count(*) AS n_docs,
+         |  CAST(sum(n_toks) AS BIGINT) AS n_tokens
+         |FROM binned GROUP BY lang, shard, bin
+         |ORDER BY lang, shard, bin""".stripMargin,
+
     // Six-stage funnel of the ladder chain: both decontamination
     // rungs counted separately.
     "ingest_audit_ladder" ->

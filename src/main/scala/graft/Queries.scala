@@ -1561,10 +1561,14 @@ object Queries {
 
   private[graft] val packBudget = 512L
   private[graft] val packShards = 8
-  def packSequences(spark: SparkSession, dir: String): DataFrame = {
+
+  /** The shard-bounded pack-bin manifest of a docs frame — the single
+    * definition behind [[packSequences]] (raw corpus) and
+    * [[pipelinePack]] (the ladder chain's survivors). */
+  private def packBins(docs: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("lang"), col("shard")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    t(spark, dir, "documents")
+    docs
       .select(col("lang"),
         (col("doc_id") % packShards).cast("int").as("shard"),
         col("doc_id"), size(sqlTokens(col("text"))).cast("long").as("n_toks"))
@@ -1574,6 +1578,19 @@ object Queries {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
       .orderBy(col("lang"), col("shard"), col("bin"))
   }
+
+  def packSequences(spark: SparkSession, dir: String): DataFrame =
+    packBins(t(spark, dir, "documents"))
+
+  /** Terminal packing of the CLEANED corpus — [[packSequences]] over
+    * the full-ladder chain's survivors instead of the raw table (the
+    * production order: a pipeline packs what survived cleaning). One
+    * composed plan: the chain's tagged pass feeds the shard-bounded
+    * cumsum windows directly; nothing materializes in between.
+    */
+  def pipelinePack(spark: SparkSession, dir: String): DataFrame =
+    packBins(ingestDecontamTagged(spark, dir, semantic = true)
+      .filter(col("__s4")))
 
   /** Hard-negative mining for contrastive training (the DPR/ANCE
     * recipe): for each query document, the top-3 embedding-nearest
@@ -3264,6 +3281,7 @@ object Queries {
     "ingest_audit_decontam" -> (ingestAuditDecontam _),
     "pipeline_ingest_ladder" -> (pipelineIngestLadder _),
     "ingest_audit_ladder" -> (ingestAuditLadder _),
+    "pipeline_pack" -> (pipelinePack _),
     "drift_report" -> (driftReport _),
     "dedup_spans" -> (dedupSpans _),
     "dedup_within_doc" -> (dedupWithinDoc _),
