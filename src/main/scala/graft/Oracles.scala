@@ -1403,6 +1403,27 @@ object Oracles {
     "dedup_clusters" -> dedupClustersSql,
     "dedup_clusters_star" -> dedupClustersSql,
 
+    // same labels CTE as dedup_clusters, joined with the shared
+    // 5-signal quality replay; the representative is ORDER BY
+    // quality DESC, doc_id — the engine's min(struct(-quality, id))
+    // bit-for-bit (negation is IEEE-exact)
+    "dedup_cluster_best" ->
+      s"""WITH RECURSIVE $neardupLabelCtes,
+         |q AS (${qualitySql("documents")}),
+         |m AS (
+         |  SELECT l.id AS doc_id, l.canonical_id, q.quality
+         |  FROM labels l JOIN q ON q.doc_id = l.id),
+         |rep AS (
+         |  SELECT canonical_id, doc_id AS rep_id, quality AS rep_quality,
+         |    row_number() OVER (PARTITION BY canonical_id
+         |      ORDER BY quality DESC, doc_id ASC) AS rn,
+         |    count(*) OVER (PARTITION BY canonical_id) AS cluster_size
+         |  FROM m)
+         |SELECT m.doc_id, m.canonical_id, r.rep_id,
+         |  m.doc_id = r.rep_id AS is_rep, r.rep_quality, r.cluster_size
+         |FROM m JOIN (SELECT * FROM rep WHERE rn = 1) r USING (canonical_id)
+         |ORDER BY m.doc_id""".stripMargin,
+
     // the composed near-dup cleaning pipeline: the same label closure,
     // then drop non-canonical pair members (docs in no pair are
     // singletons and survive) and aggregate the per-lang corpus stats
@@ -2010,6 +2031,21 @@ object Oracles {
     // arithmetic (first 8 hex chars as unsigned 32-bit, mod nShards)
     // over the stringified key; the range() left join keeps empty
     // shards present as zero rows, exactly as the Spark side does
+    // same '0x'||md5-prefix shard bucket; the order key is md5 of
+    // "seed:id" — engine-agnostic, so the permutation replays exactly
+    "export_order" ->
+      s"""WITH keyed AS (
+         |  SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+         |      % ${Queries.exportNShards} AS shard,
+         |    doc_id,
+         |    md5('${Queries.exportOrderSeed}:' || CAST(doc_id AS VARCHAR)) AS sort_key
+         |  FROM documents)
+         |SELECT shard,
+         |  CAST(row_number() OVER (
+         |    PARTITION BY shard ORDER BY sort_key, doc_id) - 1 AS INT) AS seq,
+         |  doc_id, sort_key
+         |FROM keyed ORDER BY shard, seq""".stripMargin,
+
     "export_shards" ->
       s"""WITH assigned AS (
          |  SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
@@ -2030,6 +2066,33 @@ object Oracles {
     // document-level sequence packing: the identical shard arithmetic,
     // per-(lang, shard) ordered cumsum EXCLUDING the current row, and
     // bin = floor(before / budget) — then the per-bin manifest
+    // per-doc placement replay: the same exclusive cumsum and bin
+    // rule, then row_number within the bin and offset = cum minus the
+    // bin's minimum cum (the bin's start)
+    "pack_offsets" ->
+      s"""WITH per_doc AS (
+         |  SELECT lang, CAST(doc_id % ${Queries.packShards} AS INT) AS shard,
+         |    doc_id, CAST(len($toksSql) AS BIGINT) AS n_toks
+         |  FROM documents),
+         |binned AS (
+         |  SELECT lang, shard, doc_id, n_toks,
+         |    coalesce(sum(n_toks) OVER (
+         |      PARTITION BY lang, shard ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS cum_before
+         |  FROM per_doc),
+         |b2 AS (
+         |  SELECT lang, shard, doc_id, n_toks, cum_before,
+         |    CAST(floor(cum_before / ${Queries.packBudget}) AS BIGINT) AS bin
+         |  FROM binned)
+         |SELECT lang, shard, bin,
+         |  CAST(row_number() OVER (
+         |    PARTITION BY lang, shard, bin ORDER BY doc_id) - 1 AS INT) AS pos,
+         |  doc_id, n_toks,
+         |  CAST(cum_before - min(cum_before) OVER (
+         |    PARTITION BY lang, shard, bin) AS BIGINT) AS tok_offset
+         |FROM b2 ORDER BY lang, shard, bin, pos""".stripMargin,
+
     "pack_sequences" ->
       s"""WITH per_doc AS (
          |  SELECT lang, CAST(doc_id % ${Queries.packShards} AS INT) AS shard,
@@ -2096,6 +2159,32 @@ object Oracles {
          |    CAST(floor(least(1.0, ${Queries.mixSampleBudget}.0
          |      / CAST(greatest(CAST(sum(toks) AS BIGINT), 1) AS DOUBLE)) * 10000) AS BIGINT) AS thresh
          |  FROM per_doc GROUP BY source)
+         |SELECT d.doc_id, d.source, d.toks
+         |FROM per_doc d JOIN rates r USING (source)
+         |WHERE ((d.doc_id % 100003) * 2654435761) % 10000 < r.thresh
+         |ORDER BY d.doc_id""".stripMargin,
+
+    // temperature-0.5 mixing: sqrt is IEEE-correctly-rounded (pow is
+    // not), weights fixed-pointed so the normalizing sum is integer —
+    // every arithmetic step here is a single correctly-rounded double
+    // op, replaying the engine bit-for-bit
+    "mix_temperature" ->
+      s"""WITH per_doc AS (
+         |  SELECT doc_id, source, len($toksSql) AS toks FROM documents),
+         |counts AS (
+         |  SELECT source, CAST(sum(toks) AS BIGINT) AS src_tokens,
+         |    CAST(floor(sqrt(CAST(CAST(sum(toks) AS BIGINT) AS DOUBLE)) * 1000)
+         |      AS BIGINT) AS s
+         |  FROM per_doc GROUP BY source),
+         |tot AS (SELECT CAST(sum(s) AS BIGINT) AS s_total FROM counts),
+         |rates AS (
+         |  SELECT source,
+         |    CAST(floor(least(1.0,
+         |      (${Queries.mixTempBudget}.0 * CAST(s AS DOUBLE)) /
+         |      (CAST(greatest(s_total, 1) AS DOUBLE)
+         |        * CAST(greatest(src_tokens, 1) AS DOUBLE))) * 10000)
+         |      AS BIGINT) AS thresh
+         |  FROM counts, tot)
          |SELECT d.doc_id, d.source, d.toks
          |FROM per_doc d JOIN rates r USING (source)
          |WHERE ((d.doc_id % 100003) * 2654435761) % 10000 < r.thresh

@@ -590,8 +590,9 @@ object Queries {
   /** C4-style duplicate-span removal: every 3-token span occurring
     * more than once in the corpus keeps only its first occurrence
     * (ordered by doc, position); docs are reassembled from surviving
-    * spans. Two shuffles total (span-hash window-min + doc
-    * reassembly).
+    * spans. The keep-set computes on span HASHES only (narrow
+    * window-min + narrow per-doc kept-index agg); text crosses one
+    * exchange, the rebuild join.
     */
   private[graft] val spanDedupTokens = 3
   def dedupSpans(spark: SparkSession, dir: String): DataFrame =
@@ -978,6 +979,47 @@ object Queries {
     labels.join(sizes, Seq("cluster_id"))
       .select(col("id").as("doc_id"), col("cluster_id").as("canonical_id"),
         col("cluster_size"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Cluster-representative selection by QUALITY — the keep-policy
+    * knob production dedup ships with (FineWeb/Dolma keep one doc per
+    * near-dup cluster; keeping the BEST-quality member instead of the
+    * arbitrary min-id beats the min-label canonical when cluster
+    * members differ in extraction quality). Clusters come from the
+    * SAME persisted-store pair sweep + connected components as
+    * dedup_clusters; the representative is the member maximizing the
+    * shared 5-signal [[graft.functions.GraftFunctions.qualityScore]]
+    * (ties → min doc_id). One row per CLUSTERED doc: (doc_id,
+    * canonical_id, rep_id, is_rep, rep_quality, cluster_size).
+    *
+    * Scale shape: label frame ⋈ docs on id (the only text-sized
+    * stage — quality computes per-row post-join, so only clustered
+    * docs pay it), then a groupBy(cluster) argmin over narrow
+    * (quality, id) structs + a membership join back on cluster_id.
+    * The argmin struct negates quality so ONE min picks
+    * (max quality, min id) — negation is IEEE-exact, so the oracle's
+    * ORDER BY quality DESC, doc_id replays it bit-for-bit.
+    */
+  def dedupClusterBest(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.minHashLshPairsStored(fullSigStore(spark, dir), "sigs",
+      threshold = minHashThreshold)
+    val labels = Dedup.clusterCanonical(pairs)
+    val member = labels.join(
+        t(spark, dir, "documents").select(col("doc_id"),
+          qualityScore(col("text")).as("quality")),
+        labels("id") === col("doc_id"))
+      .select(col("cluster_id"), col("doc_id"), col("quality"))
+    val rep = member.groupBy(col("cluster_id"))
+      .agg(min(struct((-col("quality")).as("nq"), col("doc_id").as("d")))
+          .as("best"),
+        count(lit(1)).as("cluster_size"))
+      .select(col("cluster_id"), col("best.d").as("rep_id"),
+        (-col("best.nq")).as("rep_quality"), col("cluster_size"))
+    member.join(rep, Seq("cluster_id"))
+      .select(col("doc_id"), col("cluster_id").as("canonical_id"),
+        col("rep_id"), (col("doc_id") === col("rep_id")).as("is_rep"),
+        col("rep_quality"), col("cluster_size"))
       .orderBy(col("doc_id"))
   }
 
@@ -1559,6 +1601,16 @@ object Queries {
         size(sqlTokens(col("text"))), exportNShards)
       .orderBy(col("shard"))
 
+  /** Deterministic per-shard training order (the reproducible global
+    * shuffle) — [[operators.Export.shardOrder]] over the corpus with
+    * a fixed epoch seed. */
+  private[graft] val exportOrderSeed = "graft-epoch-0"
+  def exportOrder(spark: SparkSession, dir: String): DataFrame =
+    operators.Export.shardOrder(t(spark, dir, "documents"), "doc_id",
+        exportNShards, exportOrderSeed)
+      .select(col("shard"), col("seq"), col("doc_id"), col("sort_key"))
+      .orderBy(col("shard"), col("seq"))
+
   private[graft] val packBudget = 512L
   private[graft] val packShards = 8
 
@@ -1581,6 +1633,44 @@ object Queries {
 
   def packSequences(spark: SparkSession, dir: String): DataFrame =
     packBins(t(spark, dir, "documents"))
+
+  /** Per-document packing-offset manifest — the loader-facing twin of
+    * [[packSequences]]: where pack_sequences reports per-bin totals,
+    * this emits each document's PLACEMENT — (bin, position-in-bin,
+    * token offset) inside its (lang, shard) stream — exactly what a
+    * sequence-packing loader needs to lay docs into fixed-length
+    * rows and build the cross-document attention-mask boundaries
+    * (the "doc-mask" offsets of packed pretraining batches). Same
+    * shard arithmetic and bin rule as packSequences, so the two
+    * manifests agree by construction.
+    *
+    * Scale shape: two NARROW exchanges — the (lang, shard) ordered
+    * cumsum, then the (lang, shard, bin) placement windows — over an
+    * (id, n_toks, 3 ints) manifest; n_toks computes at the scan, so
+    * document text never reaches either shuffle. tok_offset is
+    * cum-before-doc minus the bin's minimum cum (the bin's start),
+    * i.e. tokens already laid into the bin when this doc starts.
+    */
+  def packOffsets(spark: SparkSession, dir: String): DataFrame = {
+    val wBefore = Window.partitionBy(col("lang"), col("shard"))
+      .orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wBinAll = Window.partitionBy(col("lang"), col("shard"), col("bin"))
+    val wBinOrd = wBinAll.orderBy(col("doc_id"))
+    t(spark, dir, "documents")
+      .select(col("lang"),
+        (col("doc_id") % packShards).cast("int").as("shard"),
+        col("doc_id"), size(sqlTokens(col("text"))).cast("long").as("n_toks"))
+      .withColumn("cum_before",
+        coalesce(sum(col("n_toks")).over(wBefore), lit(0L)))
+      .withColumn("bin", floor(col("cum_before") / packBudget))
+      .withColumn("pos", row_number().over(wBinOrd) - 1)
+      .withColumn("tok_offset",
+        col("cum_before") - min(col("cum_before")).over(wBinAll))
+      .select(col("lang"), col("shard"), col("bin"), col("pos"),
+        col("doc_id"), col("n_toks"), col("tok_offset"))
+      .orderBy(col("lang"), col("shard"), col("bin"), col("pos"))
+  }
 
   /** Terminal packing of the CLEANED corpus — [[packSequences]] over
     * the full-ladder chain's survivors instead of the raw table (the
@@ -2063,6 +2153,48 @@ object Queries {
       .withColumn("thresh", floor(least(lit(1.0),
         lit(mixSampleBudget.toDouble) /
           greatest(col("src_tokens"), lit(1L)).cast("double")) * 10000).cast("long"))
+      .select(col("source"), col("thresh"))
+    docs.join(broadcast(rates), Seq("source"))
+      .filter((col("doc_id") % 100003L) * 2654435761L % 10000L < col("thresh"))
+      .select(col("doc_id"), col("source"), col("toks"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** TEMPERATURE-weighted source mixing — the multi-source sampling
+    * recipe (GPT-3 §2.2's weighted mixtures; XLM-R/mT5 sample source
+    * i ∝ share_i^τ): flattening the source distribution with τ < 1 so
+    * head sources don't drown the tail. τ = 0.5 here, deliberately
+    * computed as sqrt — IEEE 754 requires sqrt be correctly rounded
+    * (pow is NOT), so the DuckDB oracle replays every rate
+    * bit-for-bit; a general τ is one pow() swap with the same plan.
+    * Weights are fixed-pointed (s_i = floor(sqrt(n_i)·1000)) so the
+    * normalizing sum is an INTEGER sum — exact and independent of
+    * aggregation order, where a floating Σ sqrt would depend on it.
+    * Each source then gets token target budget·s_i/Σs, keep rate
+    * min(1, target/n_i), and rows keep via the same deterministic
+    * id-hash rule as [[mixSample]].
+    *
+    * Scale shape: one narrow map-side-combinable groupBy(source) for
+    * token counts, the weight table crossed with its own one-row
+    * integer sum, then BROADCAST back onto the corpus — the corpus is
+    * scanned twice (count pass + keep pass) and never shuffled.
+    */
+  private[graft] val mixTempBudget = 1200L
+  def mixTemperature(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), size(sqlTokens(col("text"))).as("toks"))
+    val counts = docs.groupBy(col("source"))
+      .agg(sum(col("toks")).cast("long").as("src_tokens"))
+      .withColumn("s",
+        floor(sqrt(col("src_tokens").cast("double")) * 1000).cast("long"))
+    val total = counts.agg(sum(col("s")).as("s_total"))
+    val rates = counts.crossJoin(broadcast(total))
+      .withColumn("thresh",
+        floor(least(lit(1.0),
+          (lit(mixTempBudget.toDouble) * col("s").cast("double")) /
+            (greatest(col("s_total"), lit(1L)).cast("double") *
+              greatest(col("src_tokens"), lit(1L)).cast("double"))) * 10000)
+          .cast("long"))
       .select(col("source"), col("thresh"))
     docs.join(broadcast(rates), Seq("source"))
       .filter((col("doc_id") % 100003L) * 2654435761L % 10000L < col("thresh"))
@@ -3295,6 +3427,7 @@ object Queries {
     "dedup_simhash" -> (dedupSimHash _),
     "dedup_clusters" -> (dedupClusters _),
     "dedup_clusters_star" -> (dedupClustersStar _),
+    "dedup_cluster_best" -> (dedupClusterBest _),
     "ann_lsh_topk" -> (annLshTopK _),
     "ann_ivf_topk" -> (annIvfTopK _),
     "ann_hnsw_topk" -> (annHnswTopK _),
@@ -3316,7 +3449,9 @@ object Queries {
     "pipeline_neardup" -> (pipelineNeardup _),
     "mine_hard_negatives" -> (mineHardNegatives _),
     "pack_sequences" -> (packSequences _),
+    "pack_offsets" -> (packOffsets _),
     "export_shards" -> (exportShardManifest _),
+    "export_order" -> (exportOrder _),
     "split_assign" -> (splitAssign _),
     "contamination_report" -> (contaminationReport _),
     "mm_describe" -> (mmDescribe _),
@@ -3336,6 +3471,7 @@ object Queries {
     "sample_stratified" -> (sampleStratified _),
     "mix_token_stats" -> (mixTokenStats _),
     "mix_sample" -> (mixSample _),
+    "mix_temperature" -> (mixTemperature _),
     "a3_quantiles" -> (a3Quantiles _),
     "decontaminate" -> (decontaminate _),
     "decontaminate_bloom" -> (decontaminateBloom _),

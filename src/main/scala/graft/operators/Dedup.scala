@@ -52,14 +52,19 @@ object Dedup {
     * surviving spans in order. Returns one row per input document:
     * (idCol, clean_text, n_kept, n_removed).
     *
-    * Scale shape: exactly two shuffles — a window-min over the span
-    * hash picks the canonical occurrence (the exactCanonical pattern
-    * at span grain; span keys are high-cardinality, per-key work is
-    * one span's occurrence list), then a groupBy doc for ordered
-    * reassembly, whose collected list is bounded by the document's
-    * own span count. No join, no cross product; spans are
-    * non-overlapping so the exploded row count is |tokens|/spanTokens,
-    * not |tokens|·spanTokens.
+    * Scale shape: three shuffles, only ONE of which carries text —
+    * the span keep-set computes on (id, span_idx, md5(span)) alone: a
+    * window-min over the span hash picks the canonical occurrence
+    * (the exactCanonical pattern at span grain; span keys are
+    * high-cardinality, per-key work is one span's occurrence list),
+    * a groupBy doc collects each doc's kept-index list (bounded by
+    * the doc's own span count), and a final id-join rebuilds
+    * clean_text from the doc side — so corpus text bytes cross the
+    * wire once (the join), not through every exchange. The doc is
+    * tokenized twice (keep-set pass + rebuild pass) — at scale,
+    * materialize the tokenized view once upstream, as with
+    * exactSubstrDedup. Spans are non-overlapping so the exploded row
+    * count is |tokens|/spanTokens, not |tokens|·spanTokens.
     */
   /** Shared SQL tokenizer (the toksSql contract: lowercase, split on
     * non-alphanumerics, drop empties, null ≡ empty). */
@@ -87,28 +92,38 @@ object Dedup {
     // HOF lambdas re-evaluate child expressions per element
     val base = docs.select(col(idCol).as("__id"), sqlToks(textCol).as("__toks"))
     val spansArr = spanArrayOf(col("__toks"), spanTokens)
-    // posexplode_outer keeps token-less documents as a null-span row,
-    // so every input doc survives to the output
-    val exploded = base
-      .withColumn("__spans", spansArr)
+    val withSpans = base.withColumn("__spans", spansArr)
+    // hash each span BEFORE the keep-first shuffle (the ExactSubstr
+    // gram discipline): the window and the per-doc keep-set only ever
+    // need the span's md5 and index, so projecting the span text away
+    // here keeps corpus text bytes out of BOTH narrow exchanges —
+    // text flows through exactly ONE exchange (the rebuild join),
+    // at the price of tokenizing the doc twice (keep-set pass +
+    // rebuild pass), the ExactSubstr trade
+    // posexplode_outer keeps token-less documents as a null-hash row,
+    // so every input doc survives to the keep-set aggregation
+    val exploded = withSpans
       .select(col("__id"),
         posexplode_outer(col("__spans")).as(Seq("span_idx", "span")))
-    val w = Window.partitionBy(md5(col("span")))
-    exploded
+      .select(col("__id"), col("span_idx"), md5(col("span")).as("__sh"))
+    val w = Window.partitionBy(col("__sh"))
+    val keptIdx = exploded
       .withColumn("__first",
         min(struct(col("__id").as("d"), col("span_idx").as("p"))).over(w))
-      .withColumn("__keep", col("span").isNotNull &&
+      .withColumn("__keep", col("__sh").isNotNull &&
         col("__first.d") === col("__id") && col("__first.p") === col("span_idx"))
       .groupBy(col("__id"))
       .agg(
-        array_sort(collect_list(when(col("__keep"),
-          struct(col("span_idx").as("i"), col("span").as("s"))))).as("__kept"),
+        array_sort(collect_list(when(col("__keep"), col("span_idx")))).as("__ki"),
         count(when(col("__keep"), lit(1))).as("n_kept"),
-        count(when(!col("__keep") && col("span").isNotNull, lit(1)))
+        count(when(!col("__keep") && col("__sh").isNotNull, lit(1)))
           .as("n_removed"))
+    // rebuild from the doc side: surviving spans picked by kept index
+    // (element_at is 1-based; span_idx is posexplode's 0-based)
+    withSpans.join(keptIdx, Seq("__id"))
       .select(col("__id").as(idCol),
-        concat_ws(" ", transform(col("__kept"), s => s.getField("s")))
-          .as("clean_text"),
+        concat_ws(" ", transform(col("__ki"),
+          i => element_at(col("__spans"), i + 1))).as("clean_text"),
         col("n_kept"), col("n_removed"))
   }
 

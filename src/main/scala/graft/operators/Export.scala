@@ -57,6 +57,36 @@ object Export {
         coalesce(col("n_tokens"), lit(0L)).as("n_tokens"))
   }
 
+  /** Deterministic training ORDER within each shard — the
+    * reproducible global shuffle a training loader needs: documents
+    * are permuted by an md5 sort key over (seed, id), so (a) the
+    * order decorrelates from id assignment (crawl-time order would
+    * otherwise leak curriculum into training), (b) a re-export
+    * replays the IDENTICAL order — a loader restarting at
+    * (shard, seq) resumes on the same document — and (c) changing the
+    * seed reshuffles every epoch deterministically. Returns one row
+    * per doc: (shard, `idCol`, sort_key, seq) with seq dense from 0
+    * per shard.
+    *
+    * Scale shape: the sort key and shard id compute at the scan; the
+    * only shuffle is the per-shard row_number window, partitioned by
+    * the md5-bucket shard so no key exceeds ~N_docs/nShards rows.
+    * Like [[shardId]], the key is md5, not Spark's Murmur `hash()` —
+    * engine-agnostic, so the DuckDB oracle replays the permutation
+    * bit-for-bit.
+    */
+  def shardOrder(docs: DataFrame, idCol: String, nShards: Int,
+      seed: String): DataFrame = {
+    val key = md5(concat_ws(":", lit(seed), col(idCol).cast("string")))
+    docs
+      .select(shardId(col(idCol), nShards).as("shard"), col(idCol),
+        key.as("sort_key"))
+      .withColumn("seq",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("shard"))
+          .orderBy(col("sort_key"), col(idCol))) - 1)
+  }
+
   /** Write the corpus partitioned by shard id — the one terminal
     * shuffle of an export. Each `shard=K` directory is one loader
     * unit; repartitioning on (shard, salt) bounds a shard's output to

@@ -43,6 +43,35 @@ class ExportSpec extends AnyFunSuite {
     assert(wide.map(_.getLong(1)).sum == 3)
   }
 
+  test("shardOrder: reproducible permutation, dense seqs, seed reshuffles") {
+    def order(seed: String): Seq[(Long, Long, Int)] =
+      Export.shardOrder(docs, "doc_id", 4, seed)
+        .select(col("shard"), col("doc_id"), col("seq"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    val a = order("epoch-0")
+    // identical on replay, regardless of input layout
+    val b = Export.shardOrder(docs.repartition(13), "doc_id", 4, "epoch-0")
+      .select(col("shard"), col("doc_id"), col("seq"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(a.toSet == b.toSet, "same seed must replay the same order")
+    // seq dense from 0 within each shard
+    a.groupBy(_._1).foreach { case (sh, rows) =>
+      assert(rows.map(_._3).sorted == rows.indices.toSeq,
+        s"shard $sh seqs not dense")
+    }
+    // a different seed actually reshuffles (some doc moves seq)
+    val c = order("epoch-1")
+    assert(a.toSet != c.toSet, "new seed must produce a new permutation")
+    // shard membership is seed-INDEPENDENT (only order changes)
+    assert(a.map(r => (r._1, r._2)).toSet == c.map(r => (r._1, r._2)).toSet,
+      "seed must not move docs between shards")
+    // the permutation decorrelates from id order: within a shard, the
+    // first few seqs are not simply the smallest ids
+    val sh0 = a.filter(_._1 == 0L).sortBy(_._3).map(_._2)
+    assert(sh0.take(5) != sh0.sorted.take(5),
+      "md5 order must not equal id order")
+  }
+
   test("writeShards salts the writer: >1 file per shard, membership unchanged") {
     val salted = TestSpark.tempDir("graft_export_salted_")
     val unsalted = TestSpark.tempDir("graft_export_unsalted_")

@@ -1,0 +1,125 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Invariant checks for the sampling/packing manifests that the
+  * DuckDB hash oracles can't express as readably: temperature
+  * flattening's rate monotonicity, representative-selection argmax
+  * semantics, and pack_offsets ≡ pack_sequences aggregation.
+  */
+class MixPackSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("mix_temperature: synthetic corpus keeps exactly the expected id set") {
+    // a controlled corpus where the expected kept set is computable
+    // independently in plain Scala: three sources with skewed sizes,
+    // one-token-per-word texts
+    import spark.implicits._
+    val tmp = TestSpark.tempDir("mixtemp")
+    val rows = (0L until 300L).map { id =>
+      val src = if (id < 220) "web" else if (id < 280) "books" else "wiki"
+      (id, src, Seq.fill(5)("tok").mkString(" "), "en")
+    }
+    rows.toDF("doc_id", "source", "text", "lang")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+
+    // independent reimplementation of the contract (the oracle's math)
+    val nTok = rows.groupBy(_._2).view.mapValues(_.size * 5L).toMap
+    val sW = nTok.view.mapValues(n => math.floor(math.sqrt(n.toDouble) * 1000).toLong).toMap
+    val sTot = sW.values.sum
+    val thresh = nTok.map { case (src, n) =>
+      src -> math.floor(math.min(1.0,
+        (Queries.mixTempBudget.toDouble * sW(src)) /
+          (sTot.toDouble * n.toDouble)) * 10000).toLong
+    }
+    val expected = rows.collect {
+      case (id, src, _, _) if (id % 100003L) * 2654435761L % 10000L < thresh(src) => id
+    }.toSet
+    // temperature property on the thresholds themselves (deterministic,
+    // no sampling noise): smaller source ⇒ keep rate at least as high
+    assert(thresh("wiki") >= thresh("books") && thresh("books") >= thresh("web"),
+      s"thresholds not monotone in source size: $thresh")
+
+    val got = Queries.all("mix_temperature")(spark, tmp)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(got == expected,
+      s"kept set diverged: missing=${expected -- got} extra=${got -- expected}")
+  }
+
+  test("dedup_cluster_best: one representative per cluster, argmax by (quality, -id)") {
+    val out = Queries.all("dedup_cluster_best")(spark, dir)
+      .collect()
+    assert(out.nonEmpty, "test corpus must contain near-dup clusters")
+    // independent per-doc quality to check the argmax against
+    val quality = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"),
+        graft.functions.GraftFunctions.qualityScore(col("text")).as("q"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("q"))
+      .toMap
+    val byCluster = out.groupBy(_.getAs[Long]("canonical_id"))
+    byCluster.foreach { case (cid, rows) =>
+      val reps = rows.filter(_.getAs[Boolean]("is_rep"))
+      assert(reps.length == 1,
+        s"cluster $cid has ${reps.length} representatives")
+      val rep = reps.head
+      val repQ = rep.getAs[Double]("rep_quality")
+      rows.foreach { r =>
+        assert(r.getAs[Long]("rep_id") == rep.getAs[Long]("doc_id"),
+          s"cluster $cid members disagree on rep_id")
+        assert(r.getAs[Double]("rep_quality") == repQ,
+          s"cluster $cid members disagree on rep_quality")
+      }
+      // the rep is the member maximizing quality, ties to min doc_id
+      val expected = rows.map(r => r.getAs[Long]("doc_id"))
+        .minBy(id => (-quality(id), id))
+      assert(rep.getAs[Long]("doc_id") == expected,
+        s"cluster $cid picked ${rep.getAs[Long]("doc_id")}, " +
+          s"argmax says $expected")
+      assert(repQ == quality(expected),
+        s"cluster $cid rep_quality $repQ != member quality ${quality(expected)}")
+    }
+  }
+
+  test("dedup_cluster_best: membership and sizes agree with dedup_clusters") {
+    val best = Queries.all("dedup_cluster_best")(spark, dir)
+      .select(col("doc_id"), col("canonical_id"), col("cluster_size"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val clusters = Queries.all("dedup_clusters")(spark, dir)
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Long]("canonical_id"), r.getAs[Long]("cluster_size"))).toSet
+    assert(best == clusters,
+      "cluster-best must partition the corpus exactly as dedup_clusters")
+  }
+
+  test("pack_offsets aggregates exactly to pack_sequences") {
+    val offsets = Queries.all("pack_offsets")(spark, dir)
+    val rolled = offsets.groupBy(col("lang"), col("shard"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
+      .orderBy(col("lang"), col("shard"), col("bin"))
+      .collect().toSeq
+    val bins = Queries.all("pack_sequences")(spark, dir).collect().toSeq
+    assert(rolled.map(_.toSeq) == bins.map(_.toSeq),
+      s"pack_offsets rollup diverged from pack_sequences")
+  }
+
+  test("pack_offsets: positions dense from 0, offsets are the doc-length prefix sum") {
+    val rows = Queries.all("pack_offsets")(spark, dir)
+      .collect()
+      .groupBy(r => (r.getAs[String]("lang"), r.getAs[Int]("shard"),
+        r.getAs[Long]("bin")))
+    rows.foreach { case (key, members) =>
+      val sorted = members.sortBy(_.getAs[Int]("pos"))
+      assert(sorted.map(_.getAs[Int]("pos")).toSeq ==
+        sorted.indices.toSeq, s"bin $key positions not dense")
+      var cum = 0L
+      sorted.foreach { r =>
+        assert(r.getAs[Long]("tok_offset") == cum,
+          s"bin $key offset mismatch at pos ${r.getAs[Int]("pos")}")
+        cum += r.getAs[Long]("n_toks")
+      }
+    }
+  }
+}

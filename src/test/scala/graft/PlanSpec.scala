@@ -52,6 +52,23 @@ class PlanSpec extends AnyFunSuite {
       s"reassembly + lang agg), got $n:\n$plan")
   }
 
+  test("dedup_spans: keep-first exchange keys on the span hash, text off the shuffles") {
+    val plan = SparkEntry.queries("dedup_spans")(spark, dir)
+      .queryExecution.executedPlan.toString
+    // the keep-set computes on (id, idx, md5(span)) — the window
+    // exchange must key on the projected hash column, never on an
+    // inline md5 of span text (which would carry the span through)
+    assert(plan.contains("Exchange hashpartitioning(__sh"),
+      s"span keep-first window must exchange on the md5 column:\n$plan")
+    assert(!plan.contains("hashpartitioning(md5("),
+      s"no exchange may key on inline md5 of span text:\n$plan")
+    // narrow keep-set side + rebuild join: exactly the window
+    // exchange and the per-doc kept-index aggregation shuffle
+    val nHash = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(nHash <= 2,
+      s"expected <=2 hash exchanges (hash window + kept-index agg), got $nHash:\n$plan")
+  }
+
   test("decontam_semantic: corpus banded stream gated by broadcasts, bounded exchanges") {
     val plan = SparkEntry.queries("decontam_semantic")(spark, dir)
       .queryExecution.executedPlan.toString

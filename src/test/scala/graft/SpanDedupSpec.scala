@@ -165,14 +165,22 @@ class SpanDedupSpec extends AnyFunSuite {
       s"second copy must be removed, first + separator kept: $got")
   }
 
-  test("exactly two hash exchanges (span window + doc reassembly)") {
+  test("two narrow hash exchanges + rebuild join; span text off the shuffles") {
     import spark.implicits._
     val df = Dedup.spanDedup(
       Seq((1L, "a b c"), (2L, "d e f")).toDF("doc_id", "text"),
       "doc_id", "text", 3)
     val plan = df.queryExecution.executedPlan.toString
+    // keep-set computes on (id, idx, md5(span)): the window exchange
+    // keys on the projected hash column and the kept-index agg on the
+    // doc id — both narrow; span text reaches only the rebuild join
     val n = "Exchange hashpartitioning".r.findAllIn(plan).size
     assert(n == 2, s"expected 2 hash exchanges, got $n:\n$plan")
-    assert(!plan.contains("Join"), s"span dedup must not plan a join:\n$plan")
+    assert(plan.contains("Exchange hashpartitioning(__sh"),
+      s"keep-first window must exchange on the md5 column:\n$plan")
+    assert(!plan.contains("hashpartitioning(md5("),
+      s"no exchange may key on inline md5 of span text:\n$plan")
+    assert("Join".r.findAllIn(plan).size >= 1,
+      s"the doc-side rebuild join must be present:\n$plan")
   }
 }
