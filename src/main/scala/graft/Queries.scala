@@ -1614,22 +1614,31 @@ object Queries {
   private[graft] val packBudget = 512L
   private[graft] val packShards = 8
 
-  /** The shard-bounded pack-bin manifest of a docs frame — the single
-    * definition behind [[packSequences]] (raw corpus) and
-    * [[pipelinePack]] (the ladder chain's survivors). */
-  private def packBins(docs: DataFrame): DataFrame = {
+  /** The binned per-doc frame (lang, shard, doc_id, n_toks,
+    * cum_before, bin) — the ONE definition of the shard arithmetic,
+    * exclusive cumsum, and bin rule behind every packing view
+    * ([[packSequences]], [[pipelinePack]], [[packOffsets]]); the
+    * DuckDB oracles replay exactly this arithmetic. */
+  private def packBinned(docs: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("lang"), col("shard")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
     docs
       .select(col("lang"),
         (col("doc_id") % packShards).cast("int").as("shard"),
         col("doc_id"), size(sqlTokens(col("text"))).cast("long").as("n_toks"))
-      .withColumn("bin",
-        floor(coalesce(sum(col("n_toks")).over(w), lit(0L)) / packBudget))
+      .withColumn("cum_before",
+        coalesce(sum(col("n_toks")).over(w), lit(0L)))
+      .withColumn("bin", floor(col("cum_before") / packBudget))
+  }
+
+  /** The shard-bounded pack-bin manifest of a docs frame — the
+    * per-bin rollup of [[packBinned]], shared by [[packSequences]]
+    * (raw corpus) and [[pipelinePack]] (the ladder's survivors). */
+  private def packBins(docs: DataFrame): DataFrame =
+    packBinned(docs)
       .groupBy(col("lang"), col("shard"), col("bin"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
       .orderBy(col("lang"), col("shard"), col("bin"))
-  }
 
   def packSequences(spark: SparkSession, dir: String): DataFrame =
     packBins(t(spark, dir, "documents"))
@@ -1652,18 +1661,9 @@ object Queries {
     * i.e. tokens already laid into the bin when this doc starts.
     */
   def packOffsets(spark: SparkSession, dir: String): DataFrame = {
-    val wBefore = Window.partitionBy(col("lang"), col("shard"))
-      .orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, -1)
     val wBinAll = Window.partitionBy(col("lang"), col("shard"), col("bin"))
     val wBinOrd = wBinAll.orderBy(col("doc_id"))
-    t(spark, dir, "documents")
-      .select(col("lang"),
-        (col("doc_id") % packShards).cast("int").as("shard"),
-        col("doc_id"), size(sqlTokens(col("text"))).cast("long").as("n_toks"))
-      .withColumn("cum_before",
-        coalesce(sum(col("n_toks")).over(wBefore), lit(0L)))
-      .withColumn("bin", floor(col("cum_before") / packBudget))
+    packBinned(t(spark, dir, "documents"))
       .withColumn("pos", row_number().over(wBinOrd) - 1)
       .withColumn("tok_offset",
         col("cum_before") - min(col("cum_before")).over(wBinAll))
@@ -2145,19 +2145,29 @@ object Queries {
     */
   private[graft] val mixSampleBudget = 800L
 
-  def mixSample(spark: SparkSession, dir: String): DataFrame = {
-    val docs = t(spark, dir, "documents")
+  /** (doc_id, source, toks) scan + the deterministic id-hash keep
+    * rule — the ONE definition of the mixers' shared scaffolding
+    * ([[mixSample]], [[mixTemperature]]), so the hash constants and
+    * the broadcast rate join can never drift between samplers (both
+    * DuckDB oracles replay these constants). */
+  private def mixDocs(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
       .select(col("doc_id"), col("source"), size(sqlTokens(col("text"))).as("toks"))
+  private def mixKeep(docs: DataFrame, rates: DataFrame): DataFrame =
+    docs.join(broadcast(rates), Seq("source"))
+      .filter((col("doc_id") % 100003L) * 2654435761L % 10000L < col("thresh"))
+      .select(col("doc_id"), col("source"), col("toks"))
+      .orderBy(col("doc_id"))
+
+  def mixSample(spark: SparkSession, dir: String): DataFrame = {
+    val docs = mixDocs(spark, dir)
     val rates = docs.groupBy(col("source"))
       .agg(sum(col("toks")).as("src_tokens"))
       .withColumn("thresh", floor(least(lit(1.0),
         lit(mixSampleBudget.toDouble) /
           greatest(col("src_tokens"), lit(1L)).cast("double")) * 10000).cast("long"))
       .select(col("source"), col("thresh"))
-    docs.join(broadcast(rates), Seq("source"))
-      .filter((col("doc_id") % 100003L) * 2654435761L % 10000L < col("thresh"))
-      .select(col("doc_id"), col("source"), col("toks"))
-      .orderBy(col("doc_id"))
+    mixKeep(docs, rates)
   }
 
   /** TEMPERATURE-weighted source mixing — the multi-source sampling
@@ -2181,8 +2191,7 @@ object Queries {
     */
   private[graft] val mixTempBudget = 1200L
   def mixTemperature(spark: SparkSession, dir: String): DataFrame = {
-    val docs = t(spark, dir, "documents")
-      .select(col("doc_id"), col("source"), size(sqlTokens(col("text"))).as("toks"))
+    val docs = mixDocs(spark, dir)
     val counts = docs.groupBy(col("source"))
       .agg(sum(col("toks")).cast("long").as("src_tokens"))
       .withColumn("s",
@@ -2196,10 +2205,7 @@ object Queries {
               greatest(col("src_tokens"), lit(1L)).cast("double"))) * 10000)
           .cast("long"))
       .select(col("source"), col("thresh"))
-    docs.join(broadcast(rates), Seq("source"))
-      .filter((col("doc_id") % 100003L) * 2654435761L % 10000L < col("thresh"))
-      .select(col("doc_id"), col("source"), col("toks"))
-      .orderBy(col("doc_id"))
+    mixKeep(docs, rates)
   }
 
   /** Benchmark decontamination: corpus docs colliding with a held-out
@@ -2236,19 +2242,31 @@ object Queries {
         round(col("max_jaccard"), 4).as("max_jaccard"))
       .orderBy(col("doc_id"))
 
-  /** Composed ingestion chain WITH the at-ingest decontamination
-    * stage — the oracled batch twin of the streaming pipeline's full
-    * stage order (exact dedup → blocklist → decontam vs the held-out
-    * benchmark slice → near-dup → per-lang stats). Three-way id
-    * split: existing corpus < [[incrementalSplit]], ingest batch in
-    * [incrementalSplit, [[decontamNearDupSplit]]), benchmark slice ≥
-    * decontamNearDupSplit (the boundary the generator plants near-dup
-    * pairs across, so the drop stage is exercised). Same public ops
-    * and constants as `pipeline_ingest` plus
-    * [[graft.operators.Dedup.contaminatedDocsNearDup]] as the gate;
-    * the DuckDB oracle replays the full chain over the shared
-    * minhash_aux signature dump.
+  /** The ladder's semantic flag set — ONE construction shared by the
+    * chain and PlanSpec's scan-discipline lock (a hand-copied test
+    * frame could silently drift from production). Uses the BANDED
+    * bench form WITHOUT a persist: the caller localCheckpoints this
+    * frame, so its subtree executes exactly once — the bench banding
+    * runs twice inside that single execution (two broadcast
+    * branches), which beats registering a process-lifetime cache
+    * entry per plan the way the single-shot operator's internal
+    * persist would.
     */
+  private[graft] def ladderSemanticFlags(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    Dedup.contaminatedDocsSemanticBanded(
+        emb.filter(col("vec_id") >= incrementalSplit &&
+          col("vec_id") < decontamNearDupSplit),
+        Dedup.semanticBenchBanded(
+          emb.filter(col("vec_id") >= decontamNearDupSplit),
+          "vec_id", "embedding", dim = 64, bits = decontamSemBits,
+          bands = decontamSemBands),
+        "vec_id", "embedding", dim = 64, threshold = decontamSemThreshold,
+        bits = decontamSemBits, bands = decontamSemBands)
+      .select(col("id").as("doc_id"))
+  }
+
   /** The decontam-gated ingestion chain as ONE tagged frame — the
     * [[ingestTagged]] shape with the benchmark drop stage between
     * blocklist and near-dup: each batch row carries `__s1` (exact
@@ -2276,31 +2294,6 @@ object Queries {
     * anti-joins the survivors. Adds a `__s3s` tag; `__s4` then gates
     * on it.
     */
-  /** The ladder's semantic flag set — ONE construction shared by the
-    * chain and PlanSpec's scan-discipline lock (a hand-copied test
-    * frame could silently drift from production). Uses the BANDED
-    * bench form WITHOUT a persist: the caller localCheckpoints this
-    * frame, so its subtree executes exactly once — the bench banding
-    * runs twice inside that single execution (two broadcast
-    * branches), which beats registering a process-lifetime cache
-    * entry per plan the way the single-shot operator's internal
-    * persist would.
-    */
-  private[graft] def ladderSemanticFlags(spark: SparkSession, dir: String)
-      : DataFrame = {
-    val emb = t(spark, dir, "embeddings")
-    Dedup.contaminatedDocsSemanticBanded(
-        emb.filter(col("vec_id") >= incrementalSplit &&
-          col("vec_id") < decontamNearDupSplit),
-        Dedup.semanticBenchBanded(
-          emb.filter(col("vec_id") >= decontamNearDupSplit),
-          "vec_id", "embedding", dim = 64, bits = decontamSemBits,
-          bands = decontamSemBands),
-        "vec_id", "embedding", dim = 64, threshold = decontamSemThreshold,
-        bits = decontamSemBits, bands = decontamSemBands)
-      .select(col("id").as("doc_id"))
-  }
-
   private[graft] def ingestDecontamTagged(spark: SparkSession, dir: String,
       semantic: Boolean = false): DataFrame = {
     val docs = t(spark, dir, "documents")
@@ -2362,6 +2355,19 @@ object Queries {
     tagged3.drop("__m1", "__mc", "__ms", "__m4")
   }
 
+  /** Composed ingestion chain WITH the at-ingest decontamination
+    * stage — the oracled batch twin of the streaming pipeline's full
+    * stage order (exact dedup → blocklist → decontam vs the held-out
+    * benchmark slice → near-dup → per-lang stats). Three-way id
+    * split: existing corpus < [[incrementalSplit]], ingest batch in
+    * [incrementalSplit, [[decontamNearDupSplit]]), benchmark slice ≥
+    * decontamNearDupSplit (the boundary the generator plants near-dup
+    * pairs across, so the drop stage is exercised). Same public ops
+    * and constants as `pipeline_ingest` plus
+    * [[graft.operators.Dedup.contaminatedDocsNearDup]] as the gate;
+    * the DuckDB oracle replays the full chain over the shared
+    * minhash_aux signature dump.
+    */
   def pipelineIngestDecontam(spark: SparkSession, dir: String): DataFrame =
     perLangStats(ingestDecontamTagged(spark, dir).filter(col("__s4")))
 

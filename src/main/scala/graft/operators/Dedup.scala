@@ -119,8 +119,13 @@ object Dedup {
         count(when(!col("__keep") && col("__sh").isNotNull, lit(1)))
           .as("n_removed"))
     // rebuild from the doc side: surviving spans picked by kept index
-    // (element_at is 1-based; span_idx is posexplode's 0-based)
-    withSpans.join(keptIdx, Seq("__id"))
+    // (element_at is 1-based; span_idx is posexplode's 0-based).
+    // Null-safe join key so a null-id doc still round-trips (it forms
+    // its own keep-set group). Like every id-keyed operator here, ids
+    // are assumed UNIQUE — two rows sharing an id would cross-apply
+    // each other's keep-sets.
+    withSpans.join(keptIdx.withColumnRenamed("__id", "__kid"),
+        col("__id") <=> col("__kid"))
       .select(col("__id").as(idCol),
         concat_ws(" ", transform(col("__ki"),
           i => element_at(col("__spans"), i + 1))).as("clean_text"),

@@ -53,7 +53,10 @@ class MixPackSpec extends AnyFunSuite {
     val out = Queries.all("dedup_cluster_best")(spark, dir)
       .collect()
     assert(out.nonEmpty, "test corpus must contain near-dup clusters")
-    // independent per-doc quality to check the argmax against
+    // per-doc quality recomputed OUTSIDE the query's plan (same
+    // production scorer — this pin checks the argmax/tie-break wiring;
+    // the scorer itself is independently guarded by the DuckDB
+    // oracle's qualitySql replay)
     val quality = spark.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id"),
         graft.functions.GraftFunctions.qualityScore(col("text")).as("q"))

@@ -173,6 +173,20 @@ class ScaleSpec extends AnyFunSuite {
       "pipeline_ingest_decontam" -> (salted1, salted10),
       // export sharding: one narrow scan + N-row aggregate
       "export_shards" -> (verb1, verb10),
+      // export ordering: sort key at the scan + one md5-bucketed
+      // row_number window — per-shard partitions grow 10× linearly
+      "export_order" -> (verb1, verb10),
+      // per-doc placement manifest: the pack_sequences windows plus
+      // the per-bin placement windows, all narrow
+      "pack_offsets" -> (verb1, verb10),
+      // temperature mixing: two corpus scans, a broadcast rate table,
+      // zero corpus shuffles
+      "mix_temperature" -> (verb1, verb10),
+      // representative selection rides the salted dedup rung: the
+      // pair sweep + CC labels are rung-proven components; this
+      // asserts the quality join + per-cluster argmin composition
+      // adds no super-linear stage (store built at warmup)
+      "dedup_cluster_best" -> (salted1, salted10),
       // semantic decontamination on the verbatim embedding rung: both
       // the corpus stream and the held-out slice grow 10×, the band
       // gate stays a broadcast, candidates grow ~linearly through the
@@ -301,6 +315,27 @@ class ScaleSpec extends AnyFunSuite {
     // shard-bounded window cumsum + one agg — linear by construction,
     // and the shards keep any one window partition from growing 10x
     assertSubQuadratic("pack_sequences")
+  }
+
+  test("pack offsets manifest scales sub-quadratically to 10x", ScaleTest) {
+    assertSubQuadratic("pack_offsets")
+  }
+
+  test("export order scales sub-quadratically to 10x", ScaleTest) {
+    // md5-bucket shard keys bound every row_number partition to
+    // ~N/nShards rows — 10× data, 10× per-partition work
+    assertSubQuadratic("export_order")
+  }
+
+  test("temperature mixing scales sub-quadratically to 10x", ScaleTest) {
+    assertSubQuadratic("mix_temperature")
+  }
+
+  test("cluster-best representative selection scales sub-quadratically to 10x", ScaleTest) {
+    // the quality join is id-keyed, the argmin narrow per cluster —
+    // a quality scan leaking to the UNclustered corpus or an
+    // all-pairs member join would break the bound
+    assertSubQuadratic("dedup_cluster_best")
   }
 
   test("DSIR weighting scales sub-quadratically to 10x", ScaleTest) {
