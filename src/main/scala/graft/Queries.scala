@@ -1005,11 +1005,16 @@ object Queries {
     val pairs = Dedup.minHashLshPairsStored(fullSigStore(spark, dir), "sigs",
       threshold = minHashThreshold)
     val labels = Dedup.clusterCanonical(pairs)
+    // checkpointed (the clusterCanonical convention): member feeds
+    // BOTH the per-cluster argmin and the final membership join, and
+    // without truncation each branch would re-execute the whole pair
+    // sweep + CC + quality scan subtree
     val member = labels.join(
         t(spark, dir, "documents").select(col("doc_id"),
           qualityScore(col("text")).as("quality")),
         labels("id") === col("doc_id"))
       .select(col("cluster_id"), col("doc_id"), col("quality"))
+      .localCheckpoint(false)
     val rep = member.groupBy(col("cluster_id"))
       .agg(min(struct((-col("quality")).as("nq"), col("doc_id").as("d")))
           .as("best"),
@@ -1653,10 +1658,13 @@ object Queries {
     * shard arithmetic and bin rule as packSequences, so the two
     * manifests agree by construction.
     *
-    * Scale shape: two NARROW exchanges — the (lang, shard) ordered
-    * cumsum, then the (lang, shard, bin) placement windows — over an
-    * (id, n_toks, 3 ints) manifest; n_toks computes at the scan, so
-    * document text never reaches either shuffle. tok_offset is
+    * Scale shape: ONE narrow exchange — the (lang, shard) hash
+    * shuffle feeds the cumsum AND the (lang, shard, bin) placement
+    * windows, because hash partitioning on a PREFIX of the window
+    * keys already clusters them (Spark re-sorts in place, no second
+    * Exchange) — over an (id, n_toks, 3 ints) manifest; n_toks
+    * computes at the scan, so document text never shuffles.
+    * tok_offset is
     * cum-before-doc minus the bin's minimum cum (the bin's start),
     * i.e. tokens already laid into the bin when this doc starts.
     */
@@ -2185,9 +2193,11 @@ object Queries {
     * id-hash rule as [[mixSample]].
     *
     * Scale shape: one narrow map-side-combinable groupBy(source) for
-    * token counts, the weight table crossed with its own one-row
-    * integer sum, then BROADCAST back onto the corpus — the corpus is
-    * scanned twice (count pass + keep pass) and never shuffled.
+    * token counts, the normalizer as a global window over that tiny
+    * per-source frame (NOT a second aggregate, which would re-execute
+    * the corpus scan), then the rate table BROADCAST back onto the
+    * corpus — the corpus is scanned twice (count pass + keep pass)
+    * and never shuffled.
     */
   private[graft] val mixTempBudget = 1200L
   def mixTemperature(spark: SparkSession, dir: String): DataFrame = {
@@ -2196,8 +2206,12 @@ object Queries {
       .agg(sum(col("toks")).cast("long").as("src_tokens"))
       .withColumn("s",
         floor(sqrt(col("src_tokens").cast("double")) * 1000).cast("long"))
-    val total = counts.agg(sum(col("s")).as("s_total"))
-    val rates = counts.crossJoin(broadcast(total))
+    // the normalizer as a GLOBAL window over the tiny per-source
+    // frame, not a second aggregate of `counts` — a separate agg
+    // subtree would re-execute the corpus count scan (one corpus
+    // scan for rates, not two)
+    val rates = counts
+      .withColumn("s_total", sum(col("s")).over(Window.partitionBy()))
       .withColumn("thresh",
         floor(least(lit(1.0),
           (lit(mixTempBudget.toDouble) * col("s").cast("double")) /

@@ -69,6 +69,39 @@ class PlanSpec extends AnyFunSuite {
       s"expected <=2 hash exchanges (hash window + kept-index agg), got $nHash:\n$plan")
   }
 
+  test("pack_offsets: ONE narrow exchange serves cumsum and placement windows") {
+    val plan = SparkEntry.queries("pack_offsets")(spark, dir)
+      .queryExecution.executedPlan.toString
+    // hashpartitioning(lang, shard) is a PREFIX of the bin-window
+    // keys, so the placement windows re-sort in place — a second
+    // Exchange here means the prefix-satisfaction was lost
+    val n = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(n == 1, s"pack_offsets must hash-shuffle exactly once, got $n:\n$plan")
+  }
+
+  test("export_order: id-only scan, one md5-bucketed window shuffle") {
+    val plan = SparkEntry.queries("export_order")(spark, dir)
+      .queryExecution.executedPlan.toString
+    val n = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(n == 1, s"export_order must hash-shuffle exactly once, got $n:\n$plan")
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint>"),
+      s"the order manifest must read the id column only:\n$plan")
+  }
+
+  test("mix_temperature: two corpus scans, rate table broadcast, corpus unshuffled") {
+    val plan = SparkEntry.queries("mix_temperature")(spark, dir)
+      .queryExecution.executedPlan.toString
+    // count pass + keep pass; a third scan means the rate normalizer
+    // re-executed the counts subtree
+    val scans = "FileScan parquet".r.findAllIn(plan).size
+    assert(scans == 2, s"expected 2 corpus scans, got $scans:\n$plan")
+    assert("BroadcastHashJoin [^\\n]*source".r.findFirstIn(plan).isDefined,
+      s"the rate join must broadcast on source:\n$plan")
+    // the only hash exchange is the tiny per-source aggregation
+    assert(!plan.contains("hashpartitioning(doc_id"),
+      s"the corpus must never shuffle:\n$plan")
+  }
+
   test("decontam_semantic: corpus banded stream gated by broadcasts, bounded exchanges") {
     val plan = SparkEntry.queries("decontam_semantic")(spark, dir)
       .queryExecution.executedPlan.toString
