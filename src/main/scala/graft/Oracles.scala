@@ -1750,6 +1750,37 @@ object Oracles {
         |FROM read_parquet('__AUX__/mm_aux_features.parquet')
         |WHERE asset_id < 100 ORDER BY asset_id""".stripMargin,
 
+    // perceptual-hash near-dup over the dumped 64-dim perceptual
+    // features: the fingerprint's mean is the IDENTICAL left-assoc
+    // 64-term sum, the per-band sig bits are integer CASEs, and the
+    // banded engine path has full recall by pigeonhole (bands =
+    // maxHamming+1) — so brute force over the dump IS the exact
+    // expected pair set (the dedup_simhash convention)
+    "mm_neardup" -> {
+      val dim = Queries.mmNeardupDim
+      val bands = Queries.mmNeardupMaxHamming + 1
+      val width = dim / bands
+      val mean = (1 to dim).map(i => s"features[$i]")
+        .mkString("(", " + ", s") / $dim")
+      def sig(b: Int): String = (0 until width).map { j =>
+        s"(CASE WHEN features[${b * width + j + 1}] > mean THEN ${1L << j} ELSE 0 END)"
+      }.mkString("(", " + ", s") AS sig$b")
+      val sigs = (0 until bands).map(sig).mkString(",\n  ")
+      val ham = (0 until bands).map(b => s"bit_count(xor(a.sig$b, b.sig$b))")
+        .mkString(" + ")
+      s"""WITH m AS (
+         |  SELECT asset_id, features, $mean AS mean
+         |  FROM read_parquet('__AUX__/mm_aux_pfeatures.parquet')),
+         |s AS (SELECT asset_id,
+         |  $sigs
+         |  FROM m)
+         |SELECT a.asset_id AS id_a, b.asset_id AS id_b,
+         |  CAST($ham AS INT) AS hamming
+         |FROM s a JOIN s b ON a.asset_id < b.asset_id
+         |WHERE $ham <= ${Queries.mmNeardupMaxHamming}
+         |ORDER BY id_a, id_b""".stripMargin
+    },
+
     // trunc before CAST: Spark's double→int cast truncates toward
     // zero while DuckDB's rounds — trunc aligns them. ASCII corpus →
     // char slice md5s identically to the stub's byte slice.

@@ -1806,6 +1806,31 @@ object Queries {
       .orderBy(col("asset_id"))
   }
 
+  /** Multimodal NEAR-dup: perceptual-hash pairs over the 64-dim
+    * perceptual feature vectors
+    * ([[graft.operators.Multimodal.perceptualHashPairs]] — per-row
+    * mean-thresholded feature bits, banded Hamming join, full recall
+    * by pigeonhole). The feature extractor is the declared fake (a
+    * chunk-mean stand-in with real perceptual-feature LOCALITY);
+    * the fingerprint/banding/verify path is the real production
+    * pipeline a JNI or mapInPandas decoder would feed, and the
+    * all-integer fingerprint math needs no float-parity care in the
+    * oracle (which brute-forces over the same dumped features).
+    */
+  private[graft] val mmNeardupMaxHamming = 3
+  private[graft] val mmNeardupDim = 64
+  private[graft] def mmPerceptualFeatures(spark: SparkSession, dir: String)
+      : DataFrame =
+    Multimodal.perceptualFeaturesStub(
+        Multimodal.syntheticAssets(t(spark, dir, "documents"), "doc_id", "text"),
+        dim = mmNeardupDim)
+      .select(col("asset_id"), col("features"))
+  def mmNeardup(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.perceptualHashPairs(mmPerceptualFeatures(spark, dir),
+        "asset_id", "features", dim = mmNeardupDim,
+        maxHamming = mmNeardupMaxHamming)
+      .orderBy(col("id_a"), col("id_b"))
+
   /** Multimodal: video frame sampling (Multimodal.sampleFramesStub) —
     * evenly spaced frame rows exploded per video asset. The relational
     * layer (video filter, inclusive sequence explode, per-frame byte
@@ -3101,6 +3126,14 @@ object Queries {
         .select(col("asset_id"), col("features").cast("array<double>").as("features")),
       s"$outDir/mm_aux_features.parquet")
 
+    // 64-dim PERCEPTUAL features (chunk-mean stub) for the mm_neardup
+    // oracle's brute-force fingerprint replay — same double cast
+    // discipline as mm_aux_features
+    writeSingleParquet(
+      mmPerceptualFeatures(spark, dir)
+        .select(col("asset_id"), col("features").cast("array<double>").as("features")),
+      s"$outDir/mm_aux_pfeatures.parquet")
+
     // per-doc stemmed lexeme arrays for the f2_tsvector_rank oracle —
     // same toTsvector UDF the query itself uses, so the oracle checks
     // the relational layer (match/rank/order/limit) over identical
@@ -3476,6 +3509,7 @@ object Queries {
     "contamination_report" -> (contaminationReport _),
     "mm_describe" -> (mmDescribe _),
     "mm_features" -> (mmFeatures _),
+    "mm_neardup" -> (mmNeardup _),
     "mm_frames" -> (mmFrames _),
     "mm_resize" -> (mmResize _),
     "text_quality_metrics" -> (textQualityMetrics _),

@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 
 /** Multimodal column handling (north-star addition): image/audio/
   * video as opaque `binary` columns + typed metadata, with the
@@ -114,5 +114,118 @@ object Multimodal {
         substring(col("content"),
           (pmod(col("frame_ts_ms"), lit(1024)) + 1).cast("int"), lit(256)))
       .select("asset_id", "frame_ts_ms", "frame")
+  }
+
+  /** STUB perceptual features: per-chunk byte means — the STRUCTURE
+    * of real perceptual features (pHash DCT coefficients, audio MFCC
+    * frames: LOCAL aggregates of the media, so a local edit moves a
+    * few coefficients), where [[decodeFeaturesStub]]'s rolling hash
+    * deliberately avalanches (an embedding-ish fake). A near-dup
+    * detector needs the local kind: byte-identical assets get equal
+    * vectors, locally-edited assets get mostly-equal vectors.
+    * Deterministic, library-free; a real decoder plugs in here.
+    */
+  def perceptualFeaturesStub(assets: DataFrame, dim: Int = 64): DataFrame = {
+    val f = udf { (bytes: Array[Byte]) =>
+      val feat = new Array[Float](dim)
+      if (bytes != null && bytes.length > 0) {
+        val cnt = new Array[Int](dim)
+        val chunk = math.max(1, (bytes.length + dim - 1) / dim)
+        var i = 0
+        while (i < bytes.length) {
+          val c = math.min(i / chunk, dim - 1)
+          feat(c) += (bytes(i) & 0xFF) / 255f
+          cnt(c) += 1
+          i += 1
+        }
+        var j = 0
+        while (j < dim) { if (cnt(j) > 0) feat(j) /= cnt(j); j += 1 }
+      }
+      feat.toSeq
+    }
+    assets.withColumn("features", f(col("content")))
+  }
+
+  /** Perceptual-hash NEAR-duplicate pairs over feature vectors — the
+    * media-dedup recipe (pHash's structure: threshold each
+    * coefficient against the vector's OWN mean → a dim-bit
+    * fingerprint; near-identical media differ in ≤ maxHamming bits).
+    * Returns (id_a, id_b, hamming) with id_a < id_b.
+    *
+    * Why not the sign-LSH cosine machinery the text embeddings use:
+    * decoded media features live in the POSITIVE orthant, where
+    * random-hyperplane signs collapse into a handful of buckets and
+    * raw cosines crowd toward 1 (measured on the stub features at
+    * sf0.01: cosine ≥ 0.9 covers 99.8% of ALL pairs) — banding would
+    * degenerate toward all-pairs. Thresholding against the row's own
+    * mean recenters per row with ZERO data-dependent global state (a
+    * corpus mean would make band keys depend on float sum order), and
+    * the all-integer fingerprint math replays bit-exactly in any
+    * engine.
+    *
+    * The fingerprint is carried as maxHamming+1 per-band longs of
+    * dim/(maxHamming+1) bits (not one dim-bit word): band keys need
+    * no shift/mask, and no engine has to reason about the sign bit of
+    * a 64-bit fingerprint.
+    *
+    * Scale shape: the fingerprint computes at the scan (one
+    * tight-loop scalar UDF per row); candidates come from the banded
+    * equi-join,
+    * and any pair within the radius shares ≥1 full band by pigeonhole
+    * (FULL recall — which is why the DuckDB oracle may verify by
+    * brute force); the exact bit_count verify prunes before the
+    * distinct. Identical assets collide at hamming 0, so the pair
+    * list is the duplicate-GROUP edge list, as in simHashPairs.
+    */
+  def perceptualHashPairs(feats: DataFrame, idCol: String, vecCol: String,
+      dim: Int, maxHamming: Int = 3): DataFrame = {
+    val bands = maxHamming + 1
+    val width = dim / bands
+    require(dim >= bands && dim % bands == 0 && width <= 62,
+      s"dim must be a multiple of maxHamming+1 with bands of <=62 bits, got $dim")
+    // ONE tight-loop UDF per row (the nearestCentroidUdf precedent:
+    // the equivalent declarative form — a dim-term mean column read
+    // by dim threshold terms — gets inlined by CollapseProject into
+    // ~dim² copies of the upstream feature expression and measured
+    // 33 s vs sub-second at sf0.01). The mean is the same LEFT-ASSOC
+    // double chain the oracle replays term-by-term; bits are exact
+    // integer ops.
+    val sigsUdf = udf { (f: Seq[Float]) =>
+      if (f == null) Seq.fill(bands)(0L)
+      else {
+        var sum = 0.0
+        var i = 0
+        while (i < dim) { sum += f(i).toDouble; i += 1 }
+        val mean = sum / dim
+        (0 until bands).map { b =>
+          var sig = 0L
+          var j = 0
+          while (j < width) {
+            if (f(b * width + j).toDouble > mean) sig |= (1L << j)
+            j += 1
+          }
+          sig
+        }
+      }
+    }
+    val withSig = feats
+      .select(col(idCol).as("id"), sigsUdf(col(vecCol)).as("sigs"))
+    val banded = withSig.select(col("id"), col("sigs"),
+      posexplode(col("sigs")).as(Seq("band", "k")))
+    val a = banded.select(col("band"), col("k"),
+      col("id").as("id_a"), col("sigs").as("sigs_a"))
+    val b = banded.select(col("band"), col("k"),
+      col("id").as("id_b"), col("sigs").as("sigs_b"))
+    val hamming = (0 until bands).map(i =>
+      bit_count(element_at(col("sigs_a"), i + 1)
+        .bitwiseXOR(element_at(col("sigs_b"), i + 1)))).reduce(_ + _)
+    a.join(b, Seq("band", "k"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), hamming.as("hamming"))
+      // verify BEFORE distinct (the simHashPairs discipline): hamming
+      // is deterministic per pair, so the dedup shuffle only carries
+      // surviving pairs
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 }

@@ -86,4 +86,64 @@ class MultimodalSpec extends AnyFunSuite {
       assert(r.getAs[Long]("maxTs") <= dur)
     }
   }
+
+  // structured media: alternating high/low chunks, so every chunk
+  // mean sits FAR from the vector mean and the fingerprint is robust
+  // to small perturbations (bit b flips only if chunk b's content
+  // crosses the global mean)
+  private def structuredBytes(flipChunk: Int = -1, invert: Boolean = false): Array[Byte] = {
+    val dim = 8; val chunk = 16
+    val out = new Array[Byte](dim * chunk)
+    for (c <- 0 until dim; i <- 0 until chunk) {
+      val high = (c % 2 == 0) != invert
+      val flipped = if (c == flipChunk) !high else high
+      out(c * chunk + i) = if (flipped) 200.toByte else 10.toByte
+    }
+    out
+  }
+
+  private def phPairs(rows: Seq[(Long, Array[Byte])], maxHamming: Int = 3) = {
+    import spark.implicits._
+    Multimodal.perceptualHashPairs(
+      Multimodal.perceptualFeaturesStub(
+        rows.toDF("asset_id", "content"), dim = 8)
+        .select(col("asset_id"), col("features")),
+      "asset_id", "features", dim = 8, maxHamming = maxHamming)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+  }
+
+  test("perceptualHashPairs: identical, locally-edited, and inverted media") {
+    val got = phPairs(Seq(
+      1L -> structuredBytes(),            // base
+      2L -> structuredBytes(),            // byte-identical -> hamming 0
+      3L -> structuredBytes(flipChunk = 2), // one chunk edited -> hamming 1
+      4L -> structuredBytes(invert = true)  // complement -> hamming 8, no pair
+    ))
+    assert(got.contains((1L, 2L, 0)), s"identical media must pair at 0: $got")
+    assert(got.contains((1L, 3L, 1)) && got.contains((2L, 3L, 1)),
+      s"a single-chunk edit must pair at hamming 1: $got")
+    assert(!got.exists(p => p._1 == 4L || p._2 == 4L),
+      s"the inverted asset must pair with nothing: $got")
+  }
+
+  test("perceptualHashPairs: banded pair set equals brute force (pigeonhole recall)") {
+    // varied synthetic corpus: every subset-of-chunks edit distance
+    val rows = for (k <- 0L until 20L) yield
+      k -> structuredBytes(flipChunk = (k % 9).toInt - 1) // -1 = no flip
+    val banded = phPairs(rows)
+    // brute force in plain Scala over the same chunk-mean fingerprints
+    val chunkOf: Array[Byte] => Seq[Double] = { b =>
+      b.grouped(16).map(c => c.map(x => (x & 0xFF) / 255f).sum.toDouble / 16).toSeq
+    }
+    val sigs = rows.map { case (id, b) =>
+      val f = chunkOf(b); val m = f.sum / 8
+      id -> f.map(_ > m)
+    }
+    val brute = (for {
+      (ia, fa) <- sigs; (ib, fb) <- sigs if ia < ib
+      h = fa.zip(fb).count { case (x, y) => x != y } if h <= 3
+    } yield (ia, ib, h)).toSet
+    assert(banded == brute,
+      s"banded must equal brute force: missing=${brute -- banded} extra=${banded -- brute}")
+  }
 }
