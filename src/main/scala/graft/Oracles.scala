@@ -1381,6 +1381,42 @@ object Oracles {
          |FROM binned GROUP BY lang, shard, bin
          |ORDER BY lang, shard, bin""".stripMargin,
 
+    // the placement manifest restricted to the ladder's survivors:
+    // chain CTEs + the pack_offsets replay over `final`
+    "pipeline_pack_offsets" ->
+      s"""${ingestChain(decontam = true, semantic = true)},
+         |per_doc AS (
+         |  SELECT d.lang, CAST(d.doc_id % ${Queries.packShards} AS INT) AS shard,
+         |    d.doc_id, CAST(len($toksSql) AS BIGINT) AS n_toks
+         |  FROM documents d JOIN final f ON f.doc_id = d.doc_id),
+         |binned AS (
+         |  SELECT lang, shard, doc_id, n_toks,
+         |    coalesce(sum(n_toks) OVER (
+         |      PARTITION BY lang, shard ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS cum_before
+         |  FROM per_doc),
+         |b2 AS (
+         |  SELECT lang, shard, doc_id, n_toks, cum_before,
+         |    CAST(floor(cum_before / ${Queries.packBudget}) AS BIGINT) AS bin
+         |  FROM binned)
+         |SELECT lang, shard, bin,
+         |  CAST(row_number() OVER (
+         |    PARTITION BY lang, shard, bin ORDER BY doc_id) - 1 AS INT) AS pos,
+         |  doc_id, n_toks,
+         |  CAST(cum_before - min(cum_before) OVER (
+         |    PARTITION BY lang, shard, bin) AS BIGINT) AS tok_offset
+         |FROM b2 ORDER BY lang, shard, bin, pos""".stripMargin,
+
+    // soft quality sampling: the samplers' shared id-hash bucket vs
+    // floor(quality*10^4) — quality is the shared 5-signal replay
+    "sample_quality_weighted" ->
+      s"""WITH q AS (${qualitySql("documents")})
+         |SELECT doc_id, quality FROM q
+         |WHERE ((doc_id % 100003) * 2654435761) % 10000
+         |    < CAST(floor(quality * 10000) AS BIGINT)
+         |ORDER BY doc_id""".stripMargin,
+
     // Six-stage funnel of the ladder chain: both decontamination
     // rungs counted separately.
     "ingest_audit_ladder" ->

@@ -1668,10 +1668,10 @@ object Queries {
     * cum-before-doc minus the bin's minimum cum (the bin's start),
     * i.e. tokens already laid into the bin when this doc starts.
     */
-  def packOffsets(spark: SparkSession, dir: String): DataFrame = {
+  private def packPlacement(docs: DataFrame): DataFrame = {
     val wBinAll = Window.partitionBy(col("lang"), col("shard"), col("bin"))
     val wBinOrd = wBinAll.orderBy(col("doc_id"))
-    packBinned(t(spark, dir, "documents"))
+    packBinned(docs)
       .withColumn("pos", row_number().over(wBinOrd) - 1)
       .withColumn("tok_offset",
         col("cum_before") - min(col("cum_before")).over(wBinAll))
@@ -1679,6 +1679,20 @@ object Queries {
         col("doc_id"), col("n_toks"), col("tok_offset"))
       .orderBy(col("lang"), col("shard"), col("bin"), col("pos"))
   }
+
+  def packOffsets(spark: SparkSession, dir: String): DataFrame =
+    packPlacement(t(spark, dir, "documents"))
+
+  /** [[packOffsets]] over the full-ladder chain's survivors — the
+    * loader-facing placement manifest of the CLEANED corpus, the
+    * per-doc sibling of [[pipelinePack]]'s per-bin rollup: a training
+    * loader consumes exactly this (cleaned docs laid into fixed
+    * token-budget rows with attention-boundary offsets). One composed
+    * lazy plan; the chain's tagged pass feeds the same shard-bounded
+    * windows. */
+  def pipelinePackOffsets(spark: SparkSession, dir: String): DataFrame =
+    packPlacement(ingestDecontamTagged(spark, dir, semantic = true)
+      .filter(col("__s4")))
 
   /** Terminal packing of the CLEANED corpus — [[packSequences]] over
     * the full-ladder chain's survivors instead of the raw table (the
@@ -2186,10 +2200,30 @@ object Queries {
   private def mixDocs(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents")
       .select(col("doc_id"), col("source"), size(sqlTokens(col("text"))).as("toks"))
+  /** The deterministic per-id sampling bucket in [0, 10000) shared by
+    * every hash-keep sampler (mixers, soft quality sampling) — ONE
+    * definition of the constants, replayed verbatim by the oracles. */
+  private def idHashBucket(id: Column): Column =
+    (id % 100003L) * 2654435761L % 10000L
   private def mixKeep(docs: DataFrame, rates: DataFrame): DataFrame =
     docs.join(broadcast(rates), Seq("source"))
-      .filter((col("doc_id") % 100003L) * 2654435761L % 10000L < col("thresh"))
+      .filter(idHashBucket(col("doc_id")) < col("thresh"))
       .select(col("doc_id"), col("source"), col("toks"))
+      .orderBy(col("doc_id"))
+
+  /** SOFT quality sampling — keep probability proportional to the
+    * document's 5-signal quality score (the FineWeb-Edu-style
+    * alternative to a hard cutoff: borderline docs survive at reduced
+    * rate instead of cliffing, so coverage degrades gracefully while
+    * the kept distribution upweights quality). Deterministic and
+    * resumable: the samplers' shared id-hash bucket against
+    * floor(quality·10⁴). Per-row only — quality computes at the scan,
+    * zero shuffles (the ORDER BY is presentation).
+    */
+  def sampleQualityWeighted(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id"), qualityScore(col("text")).as("quality"))
+      .filter(idHashBucket(col("doc_id")) < floor(col("quality") * 10000))
       .orderBy(col("doc_id"))
 
   def mixSample(spark: SparkSession, dir: String): DataFrame = {
@@ -3503,6 +3537,7 @@ object Queries {
     "mine_hard_negatives" -> (mineHardNegatives _),
     "pack_sequences" -> (packSequences _),
     "pack_offsets" -> (packOffsets _),
+    "pipeline_pack_offsets" -> (pipelinePackOffsets _),
     "export_shards" -> (exportShardManifest _),
     "export_order" -> (exportOrder _),
     "split_assign" -> (splitAssign _),
@@ -3522,6 +3557,7 @@ object Queries {
     "text_language_id" -> (textLanguageId _),
     "text_fingerprint" -> (textFingerprint _),
     "text_pii_scrub" -> (textPiiScrub _),
+    "sample_quality_weighted" -> (sampleQualityWeighted _),
     "sample_stratified" -> (sampleStratified _),
     "mix_token_stats" -> (mixTokenStats _),
     "mix_sample" -> (mixSample _),

@@ -182,6 +182,11 @@ class ScaleSpec extends AnyFunSuite {
       // temperature mixing: two corpus scans, a broadcast rate table,
       // zero corpus shuffles
       "mix_temperature" -> (verb1, verb10),
+      // perceptual near-dup rides the SALTED rung: salting rewrites
+      // every token, so replica fingerprints decorrelate and pair
+      // structure replicates per-replica — a verbatim rung would make
+      // identical assets pair quadratically BY CONSTRUCTION
+      "mm_neardup" -> (salted1, salted10),
       // representative selection rides the salted dedup rung: the
       // pair sweep + CC labels are rung-proven components; this
       // asserts the quality join + per-cluster argmin composition
@@ -329,6 +334,13 @@ class ScaleSpec extends AnyFunSuite {
 
   test("temperature mixing scales sub-quadratically to 10x", ScaleTest) {
     assertSubQuadratic("mix_temperature")
+  }
+
+  test("multimodal perceptual near-dup scales sub-quadratically to 10x", ScaleTest) {
+    // fingerprints band-bucket the corpus; per-bucket work must track
+    // bucket density (replicated per-replica under salting), never
+    // corpus²
+    assertSubQuadratic("mm_neardup")
   }
 
   test("cluster-best representative selection scales sub-quadratically to 10x", ScaleTest) {
