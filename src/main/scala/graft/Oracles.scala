@@ -402,6 +402,58 @@ object Oracles {
     * near-dup stage — otherwise `bl2` is just `bl` and the chain is
     * the r11 three-stage form.
     */
+  /** The packing replay, ONE definition (mirroring the Scala side's
+    * shared Queries.packPlacement): per-doc shard arithmetic over a
+    * source, the per-(lang, shard) ordered EXCLUSIVE cumsum, the
+    * bin = floor(before / budget) rule, and the two terminal forms —
+    * the per-bin summary (pack_sequences, pipeline_pack) and the
+    * per-doc placement manifest (pack_offsets, pipeline_pack_offsets).
+    * Four oracles compose these; an edit to the bin rule or the
+    * tok_offset arithmetic can no longer diverge them.
+    */
+  private def packPerDocSql(src: String): String =
+    s"""per_doc AS (
+       |  SELECT lang, CAST(doc_id % ${Queries.packShards} AS INT) AS shard,
+       |    doc_id, CAST(len($toksSql) AS BIGINT) AS n_toks
+       |  FROM $src)""".stripMargin
+  private def packBinsSql: String =
+    s"""binned AS (
+       |  SELECT lang, shard, n_toks,
+       |    CAST(floor(coalesce(sum(n_toks) OVER (
+       |      PARTITION BY lang, shard ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      / ${Queries.packBudget}) AS BIGINT) AS bin
+       |  FROM per_doc)
+       |SELECT lang, shard, bin, count(*) AS n_docs,
+       |  CAST(sum(n_toks) AS BIGINT) AS n_tokens
+       |FROM binned GROUP BY lang, shard, bin
+       |ORDER BY lang, shard, bin""".stripMargin
+  private def packPlacementSql: String =
+    s"""binned AS (
+       |  SELECT lang, shard, doc_id, n_toks,
+       |    coalesce(sum(n_toks) OVER (
+       |      PARTITION BY lang, shard ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS cum_before
+       |  FROM per_doc),
+       |b2 AS (
+       |  SELECT lang, shard, doc_id, n_toks, cum_before,
+       |    CAST(floor(cum_before / ${Queries.packBudget}) AS BIGINT) AS bin
+       |  FROM binned)
+       |SELECT lang, shard, bin,
+       |  CAST(row_number() OVER (
+       |    PARTITION BY lang, shard, bin ORDER BY doc_id) - 1 AS INT) AS pos,
+       |  doc_id, n_toks,
+       |  CAST(cum_before - min(cum_before) OVER (
+       |    PARTITION BY lang, shard, bin) AS BIGINT) AS tok_offset
+       |FROM b2 ORDER BY lang, shard, bin, pos""".stripMargin
+  /** The ladder chain's survivor join as a packing source (the
+    * pipeline_pack* oracles restrict per_doc to `final`); wrapped so
+    * the shared per_doc SQL reads unambiguous bare columns. */
+  private val ladderSurvivorsSrc =
+    "(SELECT d.lang, d.doc_id, d.text FROM documents d " +
+      "JOIN final f ON f.doc_id = d.doc_id)"
+
   private def ingestChain(decontam: Boolean, semantic: Boolean = false): String = {
     require(!semantic || decontam, "the ladder adds to the decontam chain")
     val rows = Queries.minHashNumHashes / Queries.minHashBands
@@ -1365,48 +1417,15 @@ object Oracles {
     // per-shard cumsum binning, restricted per_doc).
     "pipeline_pack" ->
       s"""${ingestChain(decontam = true, semantic = true)},
-         |per_doc AS (
-         |  SELECT d.lang, CAST(d.doc_id % ${Queries.packShards} AS INT) AS shard,
-         |    d.doc_id, CAST(len($toksSql) AS BIGINT) AS n_toks
-         |  FROM documents d JOIN final f ON f.doc_id = d.doc_id),
-         |binned AS (
-         |  SELECT lang, shard, n_toks,
-         |    CAST(floor(coalesce(sum(n_toks) OVER (
-         |      PARTITION BY lang, shard ORDER BY doc_id
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-         |      / ${Queries.packBudget}) AS BIGINT) AS bin
-         |  FROM per_doc)
-         |SELECT lang, shard, bin, count(*) AS n_docs,
-         |  CAST(sum(n_toks) AS BIGINT) AS n_tokens
-         |FROM binned GROUP BY lang, shard, bin
-         |ORDER BY lang, shard, bin""".stripMargin,
+         |${packPerDocSql(ladderSurvivorsSrc)},
+         |$packBinsSql""".stripMargin,
 
     // the placement manifest restricted to the ladder's survivors:
     // chain CTEs + the pack_offsets replay over `final`
     "pipeline_pack_offsets" ->
       s"""${ingestChain(decontam = true, semantic = true)},
-         |per_doc AS (
-         |  SELECT d.lang, CAST(d.doc_id % ${Queries.packShards} AS INT) AS shard,
-         |    d.doc_id, CAST(len($toksSql) AS BIGINT) AS n_toks
-         |  FROM documents d JOIN final f ON f.doc_id = d.doc_id),
-         |binned AS (
-         |  SELECT lang, shard, doc_id, n_toks,
-         |    coalesce(sum(n_toks) OVER (
-         |      PARTITION BY lang, shard ORDER BY doc_id
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-         |      AS cum_before
-         |  FROM per_doc),
-         |b2 AS (
-         |  SELECT lang, shard, doc_id, n_toks, cum_before,
-         |    CAST(floor(cum_before / ${Queries.packBudget}) AS BIGINT) AS bin
-         |  FROM binned)
-         |SELECT lang, shard, bin,
-         |  CAST(row_number() OVER (
-         |    PARTITION BY lang, shard, bin ORDER BY doc_id) - 1 AS INT) AS pos,
-         |  doc_id, n_toks,
-         |  CAST(cum_before - min(cum_before) OVER (
-         |    PARTITION BY lang, shard, bin) AS BIGINT) AS tok_offset
-         |FROM b2 ORDER BY lang, shard, bin, pos""".stripMargin,
+         |${packPerDocSql(ladderSurvivorsSrc)},
+         |$packPlacementSql""".stripMargin,
 
     // soft quality sampling: the samplers' shared id-hash bucket vs
     // floor(quality*10^4) — quality is the shared 5-signal replay
@@ -1791,7 +1810,9 @@ object Oracles {
     // 64-term sum, the per-band sig bits are integer CASEs, and the
     // banded engine path has full recall by pigeonhole (bands =
     // maxHamming+1) — so brute force over the dump IS the exact
-    // expected pair set (the dedup_simhash convention)
+    // expected pair set (the dedup_simhash convention). Constant
+    // (structureless) vectors hash to all-zero bands and are excluded
+    // on BOTH sides (sig sum > 0) — see perceptualHashPairs' scaladoc
     "mm_neardup" -> {
       val dim = Queries.mmNeardupDim
       val bands = Queries.mmNeardupMaxHamming + 1
@@ -1804,12 +1825,14 @@ object Oracles {
       val sigs = (0 until bands).map(sig).mkString(",\n  ")
       val ham = (0 until bands).map(b => s"bit_count(xor(a.sig$b, b.sig$b))")
         .mkString(" + ")
+      val sigSum = (0 until bands).map(b => s"sig$b").mkString(" + ")
       s"""WITH m AS (
          |  SELECT asset_id, features, $mean AS mean
          |  FROM read_parquet('__AUX__/mm_aux_pfeatures.parquet')),
-         |s AS (SELECT asset_id,
+         |s0 AS (SELECT asset_id,
          |  $sigs
-         |  FROM m)
+         |  FROM m),
+         |s AS (SELECT * FROM s0 WHERE $sigSum > 0)
          |SELECT a.asset_id AS id_a, b.asset_id AS id_b,
          |  CAST($ham AS INT) AS hamming
          |FROM s a JOIN s b ON a.asset_id < b.asset_id
@@ -2137,45 +2160,12 @@ object Oracles {
     // rule, then row_number within the bin and offset = cum minus the
     // bin's minimum cum (the bin's start)
     "pack_offsets" ->
-      s"""WITH per_doc AS (
-         |  SELECT lang, CAST(doc_id % ${Queries.packShards} AS INT) AS shard,
-         |    doc_id, CAST(len($toksSql) AS BIGINT) AS n_toks
-         |  FROM documents),
-         |binned AS (
-         |  SELECT lang, shard, doc_id, n_toks,
-         |    coalesce(sum(n_toks) OVER (
-         |      PARTITION BY lang, shard ORDER BY doc_id
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-         |      AS cum_before
-         |  FROM per_doc),
-         |b2 AS (
-         |  SELECT lang, shard, doc_id, n_toks, cum_before,
-         |    CAST(floor(cum_before / ${Queries.packBudget}) AS BIGINT) AS bin
-         |  FROM binned)
-         |SELECT lang, shard, bin,
-         |  CAST(row_number() OVER (
-         |    PARTITION BY lang, shard, bin ORDER BY doc_id) - 1 AS INT) AS pos,
-         |  doc_id, n_toks,
-         |  CAST(cum_before - min(cum_before) OVER (
-         |    PARTITION BY lang, shard, bin) AS BIGINT) AS tok_offset
-         |FROM b2 ORDER BY lang, shard, bin, pos""".stripMargin,
+      s"""WITH ${packPerDocSql("documents")},
+         |$packPlacementSql""".stripMargin,
 
     "pack_sequences" ->
-      s"""WITH per_doc AS (
-         |  SELECT lang, CAST(doc_id % ${Queries.packShards} AS INT) AS shard,
-         |    doc_id, CAST(len($toksSql) AS BIGINT) AS n_toks
-         |  FROM documents),
-         |binned AS (
-         |  SELECT lang, shard, n_toks,
-         |    CAST(floor(coalesce(sum(n_toks) OVER (
-         |      PARTITION BY lang, shard ORDER BY doc_id
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-         |      / ${Queries.packBudget}) AS BIGINT) AS bin
-         |  FROM per_doc)
-         |SELECT lang, shard, bin, count(*) AS n_docs,
-         |  CAST(sum(n_toks) AS BIGINT) AS n_tokens
-         |FROM binned GROUP BY lang, shard, bin
-         |ORDER BY lang, shard, bin""".stripMargin,
+      s"""WITH ${packPerDocSql("documents")},
+         |$packBinsSql""".stripMargin,
 
     "mix_token_stats" ->
       s"""WITH per_doc AS (

@@ -1509,7 +1509,11 @@ object Queries {
     val bench = docs.filter(col("doc_id") % decontamMod === 0)
     val corpus = docs.filter(col("doc_id") % decontamMod =!= 0)
     val qual = corpus
-      .withColumn("quality", round(qualityScore(col("text")), 4))
+      // evalOnce: the gate filter references `quality` by alias, and
+      // without the fence PushDownPredicates inlines the whole 2-UDF
+      // qualityScore chain into the Filter TOO — every surviving row
+      // would tokenize its text twice (PlanSpec locks this)
+      .withColumn("quality", evalOnce(round(qualityScore(col("text")), 4)))
       .filter(col("quality") >= corpusQualityFloor)
     val canon = Dedup.exactCanonical(qual, "doc_id", "text")
       .filter(col("doc_id") === col("canonical_id"))
@@ -2217,12 +2221,15 @@ object Queries {
     * rate instead of cliffing, so coverage degrades gracefully while
     * the kept distribution upweights quality). Deterministic and
     * resumable: the samplers' shared id-hash bucket against
-    * floor(quality·10⁴). Per-row only — quality computes at the scan,
-    * zero shuffles (the ORDER BY is presentation).
+    * floor(quality·10⁴). Per-row only — quality computes ONCE at the
+    * scan (evalOnce fence: the keep filter references the alias, and
+    * unfenced pushdown inlines the full qualityScore chain into the
+    * Filter too — PlanSpec locks the single evaluation), zero
+    * shuffles (the ORDER BY is presentation).
     */
   def sampleQualityWeighted(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents")
-      .select(col("doc_id"), qualityScore(col("text")).as("quality"))
+      .select(col("doc_id"), evalOnce(qualityScore(col("text"))).as("quality"))
       .filter(idHashBucket(col("doc_id")) < floor(col("quality") * 10000))
       .orderBy(col("doc_id"))
 

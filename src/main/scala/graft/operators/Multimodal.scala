@@ -176,6 +176,18 @@ object Multimodal {
     * brute force); the exact bit_count verify prunes before the
     * distinct. Identical assets collide at hamming 0, so the pair
     * list is the duplicate-GROUP edge list, as in simHashPairs.
+    *
+    * DEGENERATE rows are excluded: a CONSTANT feature vector (empty
+    * or uniform media — no coefficient exceeds its own mean; also the
+    * null-content fallback) fingerprints to all-zero bands, so every
+    * such asset would land in one shared (band, 0) bucket and pair at
+    * hamming 0 with every other — a quadratic clique declaring an
+    * empty file and a solid-gray image "near-duplicates". pHash is
+    * undefined on structureless input; those assets carry no
+    * perceptual signal to match on, and BYTE-identical empties are
+    * the exact-dedup path's job (content md5), not this one's. The
+    * filter is on the fingerprint itself (all bands zero ⟺ constant
+    * vector), so the oracle replays it as sig0+…+sigN > 0.
     */
   def perceptualHashPairs(feats: DataFrame, idCol: String, vecCol: String,
       dim: Int, maxHamming: Int = 3): DataFrame = {
@@ -210,6 +222,9 @@ object Multimodal {
     }
     val withSig = feats
       .select(col(idCol).as("id"), sigsUdf(col(vecCol)).as("sigs"))
+      // degenerate-row guard (see scaladoc): constant vectors hash to
+      // all-zero bands and would form one quadratic hamming-0 clique
+      .filter(exists(col("sigs"), _ =!= lit(0L)))
     val banded = withSig.select(col("id"), col("sigs"),
       posexplode(col("sigs")).as(Seq("band", "k")))
     val a = banded.select(col("band"), col("k"),

@@ -91,12 +91,15 @@ class MultimodalSpec extends AnyFunSuite {
   // mean sits FAR from the vector mean and the fingerprint is robust
   // to small perturbations (bit b flips only if chunk b's content
   // crosses the global mean)
-  private def structuredBytes(flipChunk: Int = -1, invert: Boolean = false): Array[Byte] = {
+  private def structuredBytes(flipChunk: Int = -1, invert: Boolean = false): Array[Byte] =
+    structuredBytesFlips(if (flipChunk < 0) Set.empty else Set(flipChunk), invert)
+
+  private def structuredBytesFlips(flips: Set[Int], invert: Boolean = false): Array[Byte] = {
     val dim = 8; val chunk = 16
     val out = new Array[Byte](dim * chunk)
     for (c <- 0 until dim; i <- 0 until chunk) {
       val high = (c % 2 == 0) != invert
-      val flipped = if (c == flipChunk) !high else high
+      val flipped = if (flips(c)) !high else high
       out(c * chunk + i) = if (flipped) 200.toByte else 10.toByte
     }
     out
@@ -145,5 +148,43 @@ class MultimodalSpec extends AnyFunSuite {
     } yield (ia, ib, h)).toSet
     assert(banded == brute,
       s"banded must equal brute force: missing=${brute -- banded} extra=${banded -- brute}")
+  }
+
+  test("perceptualHashPairs: structureless (constant-vector) assets never pair") {
+    // empty content -> all-zero features; uniform content -> constant
+    // features; both fingerprint to all-zero bands. Without the
+    // degenerate-row guard every such asset shares the (band, 0)
+    // buckets and pairs at hamming 0 with every other — a quadratic
+    // clique calling an empty file and a solid-gray image near-dups.
+    val got = phPairs(Seq(
+      1L -> Array.empty[Byte],                 // empty "file"
+      2L -> Array.empty[Byte],                 // second empty
+      3L -> Array.fill(128)(200.toByte),       // solid "gray" image
+      4L -> Array.fill(128)(200.toByte),       // second solid image
+      5L -> structuredBytes()                  // one real asset
+    ))
+    assert(got.isEmpty,
+      s"constant-vector assets must be excluded from pairing, got: $got")
+  }
+
+  test("perceptualHashPairs: hamming == maxHamming is recalled; shared-band hamming 4 is filtered") {
+    // 3 flipped chunks land one differing bit in each of bands 0..2
+    // (width 2), leaving band 3 shared — the pigeonhole recall case
+    // EXACTLY at the radius. An off-by-one in the band count (bands =
+    // maxHamming instead of +1) would lose this pair.
+    val atRadius = phPairs(Seq(
+      1L -> structuredBytes(),
+      2L -> structuredBytesFlips(Set(0, 2, 4))))
+    assert(atRadius == Set((1L, 2L, 3)),
+      s"a hamming-3 pair must be recalled exactly at the radius: $atRadius")
+    // 4 flipped chunks differ in bands 0 and 1 but SHARE bands 2 and
+    // 3 — a banded-join candidate that the exact bit_count verify
+    // must drop (hamming 4 > maxHamming 3). A '<=' vs '<' slip or a
+    // missing verify would emit it.
+    val overRadius = phPairs(Seq(
+      1L -> structuredBytes(),
+      2L -> structuredBytesFlips(Set(0, 1, 2, 3))))
+    assert(overRadius.isEmpty,
+      s"a shared-band pair at hamming 4 must be verified away: $overRadius")
   }
 }

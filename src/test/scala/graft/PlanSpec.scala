@@ -375,6 +375,25 @@ class PlanSpec extends AnyFunSuite {
       s"the band-key gate must broadcast:\n$semPlan")
   }
 
+  test("quality gates evaluate qualityScore ONCE (evalOnce pushdown fence)") {
+    // the keep filter references the projected `quality` alias;
+    // without the evalOnce fence PushDownPredicates inlines the full
+    // 2-UDF qualityScore chain into the Filter (and the scan's
+    // DataFilters) so every surviving row tokenizes its text TWICE —
+    // the expression-duplication trap the round notes flag. The lock:
+    // no Filter condition (and no scan DataFilters) may contain a
+    // Scala UDF in these plans; the UDFs live in the Project only.
+    for (q <- Seq("sample_quality_weighted", "pipeline_corpus")) {
+      val plan = SparkEntry.queries(q)(spark, dir)
+        .queryExecution.executedPlan.toString
+      val offending = plan.linesIterator.filter(l =>
+        (l.contains("Filter ") || l.contains("DataFilters:")) && l.contains("UDF(")).toSeq
+      assert(offending.isEmpty,
+        s"$q: quality UDFs leaked into a filter (double evaluation):\n" +
+          offending.mkString("\n"))
+    }
+  }
+
   test("knn_label_prop: label attach and vote stay off the corpus shuffle") {
     val plan = SparkEntry.queries("knn_label_prop")(spark, dir)
       .queryExecution.executedPlan.toString
