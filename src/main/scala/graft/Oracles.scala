@@ -416,17 +416,21 @@ object Oracles {
        |  SELECT lang, CAST(doc_id % ${Queries.packShards} AS INT) AS shard,
        |    doc_id, CAST(len($toksSql) AS BIGINT) AS n_toks
        |  FROM $src)""".stripMargin
-  private def packBinsSql: String =
+  private def packBinnedCte: String =
     s"""binned AS (
        |  SELECT lang, shard, n_toks,
        |    CAST(floor(coalesce(sum(n_toks) OVER (
        |      PARTITION BY lang, shard ORDER BY doc_id
        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
        |      / ${Queries.packBudget}) AS BIGINT) AS bin
-       |  FROM per_doc)
-       |SELECT lang, shard, bin, count(*) AS n_docs,
-       |  CAST(sum(n_toks) AS BIGINT) AS n_tokens
-       |FROM binned GROUP BY lang, shard, bin
+       |  FROM per_doc)""".stripMargin
+  private def packBinSummarySql: String =
+    """SELECT lang, shard, bin, count(*) AS n_docs,
+      |  CAST(sum(n_toks) AS BIGINT) AS n_tokens
+      |FROM binned GROUP BY lang, shard, bin""".stripMargin
+  private def packBinsSql: String =
+    s"""$packBinnedCte
+       |$packBinSummarySql
        |ORDER BY lang, shard, bin""".stripMargin
   private def packPlacementSql: String =
     s"""binned AS (
@@ -1094,6 +1098,29 @@ object Oracles {
         |  MIN(doc_id) OVER (PARTITION BY nh) AS canonical_id,
         |  COUNT(*) OVER (PARTITION BY nh) AS group_size
         |FROM h ORDER BY doc_id""".stripMargin,
+
+    // cross-source duplicate-flow matrix: pairs counted ARITHMETICALLY
+    // from per-(hash, source) counts — n·(n−1)//2 within a source,
+    // n_a·n_b across — the same no-pair-explosion shape as the engine.
+    // // is DuckDB's integral divide (/ is a double divide, as in
+    // Spark); SUM of BIGINT is HUGEINT, hence the outer CAST.
+    "dedup_source_matrix" ->
+      """WITH h AS (
+        |  SELECT source,
+        |    md5(regexp_replace(lower(trim(coalesce(text, ''))), '\s+', ' ', 'g')) AS nh
+        |  FROM documents),
+        |c AS (SELECT nh, source, COUNT(*) AS n FROM h GROUP BY 1, 2),
+        |p AS (
+        |  SELECT a.source AS source_a, b.source AS source_b,
+        |    CASE WHEN a.source = b.source THEN (a.n * (a.n - 1)) // 2
+        |         ELSE a.n * b.n END AS pairs
+        |  FROM c a JOIN c b ON a.nh = b.nh AND a.source <= b.source)
+        |SELECT source_a, source_b,
+        |  CAST(SUM(pairs) AS BIGINT) AS n_dup_pairs,
+        |  COUNT(*) AS n_groups
+        |FROM p WHERE pairs > 0
+        |GROUP BY source_a, source_b
+        |ORDER BY source_a, source_b""".stripMargin,
 
     // incremental snapshot-delta dedup: keep-first within the batch,
     // anti-joined against the existing corpus's hash set (the bloom
@@ -1871,6 +1898,17 @@ object Oracles {
 
     "text_quality_score" -> s"${qualitySql("documents")} ORDER BY doc_id",
 
+    // per-language rank-normalized quality: cume_dist IS the engine's
+    // histogram-CDF join by construction — rows with quality <= mine
+    // (peers included) over the language's total, one double divide,
+    // rounded on both sides
+    "quality_percentile" ->
+      s"""WITH q AS (${qualitySql("documents")})
+         |SELECT d.doc_id, d.lang, q.quality,
+         |  round(cume_dist() OVER (PARTITION BY d.lang ORDER BY q.quality), 6) AS pct
+         |FROM documents d JOIN q USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+
     // The composed corpus-preparation pipeline: benchmark exclusion →
     // quality gate (on the ROUNDED score, see Queries.pipelineCorpus)
     // → exact dedup keeping the min-id canonical → bigram
@@ -2166,6 +2204,22 @@ object Oracles {
     "pack_sequences" ->
       s"""WITH ${packPerDocSql("documents")},
          |$packBinsSql""".stripMargin,
+
+    // packing-efficiency rollup of the same bin manifest: bins per
+    // (lang, shard) stream and fill vs the token budget — both sides
+    // divide exact integers as doubles, rounded to 6dp
+    "pack_efficiency" ->
+      s"""WITH ${packPerDocSql("documents")},
+         |$packBinnedCte,
+         |bins AS ($packBinSummarySql)
+         |SELECT lang, shard,
+         |  COUNT(*) AS n_bins,
+         |  CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+         |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+         |  round(CAST(SUM(n_tokens) AS DOUBLE)
+         |    / CAST(COUNT(*) * ${Queries.packBudget} AS DOUBLE), 6) AS fill_rate
+         |FROM bins GROUP BY lang, shard
+         |ORDER BY lang, shard""".stripMargin,
 
     "mix_token_stats" ->
       s"""WITH per_doc AS (

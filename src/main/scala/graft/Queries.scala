@@ -545,6 +545,48 @@ object Queries {
       .select(col("doc_id"), col("canonical_id"), col("group_size"))
       .orderBy(col("doc_id"))
 
+  /** Cross-SOURCE duplicate-flow matrix — for each (source_a ≤
+    * source_b) pair, how many exact-duplicate document pairs and how
+    * many distinct duplicate groups span them: the provenance view a
+    * curation team reads to learn WHICH feeds copy from each other
+    * (mirror sites, syndication, re-crawls) vs which merely self-dup,
+    * before deciding what to drop at the source level. Same
+    * [[graft.operators.Dedup.normHash]] identity as dedup_exact, so
+    * the matrix's "duplicate" is exactly the dedup stage's.
+    *
+    * Scale shape — NO quadratic pair explosion: the corpus reduces to
+    * per-(hash, source) COUNTS first (one map-side-combinable
+    * shuffle), and pairs are counted arithmetically from those counts
+    * (n·(n−1)/2 within a source, n_a·n_b across — exact integers,
+    * n·(n−1) is always even). The self-join runs on the count frame,
+    * whose per-hash group is bounded by the number of SOURCES, never
+    * by group size — a 10M-copy boilerplate hash is one row per
+    * source here, where a doc-level pair join would emit 10¹⁴ rows.
+    */
+  def dedupSourceMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val counts = t(spark, dir, "documents")
+      .select(Dedup.normHash(col("text")).as("nh"), col("source"))
+      .groupBy(col("nh"), col("source"))
+      .agg(count(lit(1)).as("n"))
+    val a = counts.select(col("nh"), col("source").as("source_a"),
+      col("n").as("n_a"))
+    val b = counts.select(col("nh"), col("source").as("source_b"),
+      col("n").as("n_b"))
+    a.join(b, Seq("nh"))
+      .filter(col("source_a") <= col("source_b"))
+      // `div`, not `/`: Spark's / on longs is a DOUBLE divide, which
+      // both changes the column type and loses exactness past 2^53;
+      // n·(n−1) is even so the integral divide is the exact count
+      .withColumn("pairs", when(col("source_a") === col("source_b"),
+          expr("(n_a * (n_a - 1)) div 2"))
+        .otherwise(col("n_a") * col("n_b")))
+      .filter(col("pairs") > 0L)
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(sum(col("pairs")).as("n_dup_pairs"),
+        count(lit(1)).as("n_groups"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
   /** Incremental snapshot-delta dedup: docs with doc_id >=
     * `incrementalSplit` play the newly crawled batch, the rest the
     * already-ingested corpus; kept = first-in-batch AND absent from
@@ -1652,6 +1694,26 @@ object Queries {
   def packSequences(spark: SparkSession, dir: String): DataFrame =
     packBins(t(spark, dir, "documents"))
 
+  /** Packing-efficiency report — the rollup a loader team reads
+    * before training: per (lang, shard) stream, how many fixed-budget
+    * bins the packing produced and how full they are
+    * (fill_rate = n_tokens / (n_bins · budget)). Fill rate can exceed
+    * 1: the bin rule places a document by the tokens BEFORE it, so a
+    * doc straddling the boundary overflows its bin rather than
+    * splitting (the padding-vs-truncation trade this report exists to
+    * quantify). Same [[packBins]] frame as pack_sequences, so the
+    * report can never disagree with the manifest it summarizes; the
+    * second rollup is an N-bins-row aggregate, free at any scale.
+    */
+  def packEfficiency(spark: SparkSession, dir: String): DataFrame =
+    packBins(t(spark, dir, "documents"))
+      .groupBy(col("lang"), col("shard"))
+      .agg(count(lit(1)).as("n_bins"), sum(col("n_docs")).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"))
+      .withColumn("fill_rate", round(col("n_tokens").cast("double") /
+        (col("n_bins") * packBudget).cast("double"), 6))
+      .orderBy(col("lang"), col("shard"))
+
   /** Per-document packing-offset manifest — the loader-facing twin of
     * [[packSequences]]: where pack_sequences reports per-bin totals,
     * this emits each document's PLACEMENT — (bin, position-in-bin,
@@ -1901,6 +1963,44 @@ object Queries {
     t(spark, dir, "documents")
       .select(col("doc_id"), qualityScore(col("text")).as("quality"))
       .orderBy(col("doc_id"))
+
+  /** Per-language RANK-normalized quality — each doc's cume_dist
+    * (share of same-language docs scoring ≤ it): the calibration
+    * layer that makes one quality threshold comparable across
+    * languages, where raw scores aren't (stopword and punctuation
+    * signals are English-tuned, so "top 20% of German" and "top 20%
+    * of English" are different raw cutoffs — FineWeb-2 style
+    * per-language percentile gating).
+    *
+    * Scale shape — the naive form is a corpus-wide window
+    * PARTITIONED BY lang: with a handful of languages at 100 TB
+    * that's a few executor-crushing mega-partitions. Instead the CDF
+    * computes on the quality HISTOGRAM: the 4dp-rounded score has ≤
+    * 10001 cells per language, so one map-side-combinable
+    * groupBy(lang, quality) reduces the corpus to a tiny frame, the
+    * running sum windows over THAT (langs × cells rows), and the
+    * per-row percentile comes back via a BROADCAST join — the corpus
+    * itself never shuffles (PlanSpec locks the shape). Identical
+    * semantics to cume_dist by construction: cum(cells ≤ mine) IS
+    * "rows with quality ≤ mine", peers included.
+    */
+  def qualityPercentile(spark: SparkSession, dir: String): DataFrame = {
+    val scored = t(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), qualityScore(col("text")).as("quality"))
+    val wCdf = Window.partitionBy(col("lang")).orderBy(col("quality"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wLang = Window.partitionBy(col("lang"))
+    val cdf = scored
+      .groupBy(col("lang"), col("quality"))
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("pct", round(
+        sum(col("__n")).over(wCdf).cast("double") /
+          sum(col("__n")).over(wLang).cast("double"), 6))
+      .drop("__n")
+    scored.join(broadcast(cdf), Seq("lang", "quality"))
+      .select(col("doc_id"), col("lang"), col("quality"), col("pct"))
+      .orderBy(col("doc_id"))
+  }
 
   /** Within-document repetition: duplicated token-n-gram fraction
     * (1 − distinct/total over 3-gram shingles) — the Gopher-family
@@ -3497,6 +3597,7 @@ object Queries {
     "r_json_props" -> (rJsonProps _),
     "vocab_top_terms" -> (vocabTopTerms _),
     "dedup_exact" -> (dedupExact _),
+    "dedup_source_matrix" -> (dedupSourceMatrix _),
     "dedup_incremental" -> (dedupIncremental _),
     "dedup_incremental_stored" -> (dedupIncrementalStored _),
     "dedup_incremental_neardup" -> (dedupIncrementalNeardup _),
@@ -3543,6 +3644,7 @@ object Queries {
     "pipeline_neardup" -> (pipelineNeardup _),
     "mine_hard_negatives" -> (mineHardNegatives _),
     "pack_sequences" -> (packSequences _),
+    "pack_efficiency" -> (packEfficiency _),
     "pack_offsets" -> (packOffsets _),
     "pipeline_pack_offsets" -> (pipelinePackOffsets _),
     "export_shards" -> (exportShardManifest _),
@@ -3560,6 +3662,7 @@ object Queries {
     "text_token_entropy" -> (textTokenEntropy _),
     "dedup_containment" -> (dedupContainment _),
     "text_quality_score" -> (textQualityScore _),
+    "quality_percentile" -> (qualityPercentile _),
     "text_repetition" -> (textRepetition _),
     "text_language_id" -> (textLanguageId _),
     "text_fingerprint" -> (textFingerprint _),

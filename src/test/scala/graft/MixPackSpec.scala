@@ -108,6 +108,72 @@ class MixPackSpec extends AnyFunSuite {
       s"pack_offsets rollup diverged from pack_sequences")
   }
 
+  test("pack_efficiency aggregates exactly to pack_sequences; fill vs budget") {
+    val bins = Queries.all("pack_sequences")(spark, dir).collect().toSeq
+    val expected = bins.groupBy(r =>
+        (r.getAs[String]("lang"), r.getAs[Int]("shard")))
+      .map { case ((lang, shard), rows) =>
+        val nBins = rows.size.toLong
+        val nToks = rows.map(_.getAs[Long]("n_tokens")).sum
+        (lang, shard) -> (nBins, rows.map(_.getAs[Long]("n_docs")).sum, nToks,
+          BigDecimal(nToks.toDouble / (nBins * Queries.packBudget).toDouble)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+    val got = Queries.all("pack_efficiency")(spark, dir).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Int]("shard")) ->
+        (r.getAs[Long]("n_bins"), r.getAs[Long]("n_docs"),
+          r.getAs[Long]("n_tokens"), r.getAs[Double]("fill_rate"))).toMap
+    assert(got == expected,
+      s"pack_efficiency diverged from the pack_sequences rollup")
+    // every non-final bin of a stream holds >= budget-worth of starts:
+    // fill_rate is meaningful (bounded below by (n_bins-1)/n_bins
+    // would need doc-level data; assert the cheap invariant instead)
+    got.values.foreach { case (nBins, _, nToks, fill) =>
+      assert(fill > 0.0 && nToks > 0L && nBins > 0L)
+    }
+  }
+
+  test("quality_percentile: cume_dist semantics per language") {
+    val rows = Queries.all("quality_percentile")(spark, dir).collect()
+    val byLang = rows.groupBy(_.getAs[String]("lang"))
+    byLang.foreach { case (lang, members) =>
+      val n = members.length.toDouble
+      members.foreach { r =>
+        val q = r.getAs[Double]("quality")
+        val below = members.count(_.getAs[Double]("quality") <= q)
+        val expected = BigDecimal(below / n)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        assert(r.getAs[Double]("pct") == expected,
+          s"$lang doc ${r.getAs[Long]("doc_id")}: pct ${r.getAs[Double]("pct")} != brute cume_dist $expected")
+      }
+      val top = members.map(_.getAs[Double]("pct")).max
+      assert(top == 1.0, s"$lang: max pct must be 1.0, got $top")
+    }
+  }
+
+  test("dedup_source_matrix: equals the brute-force doc-pair count") {
+    // independent plain-Scala oracle over the small corpus: the same
+    // normalization as Dedup.normHash (lower, trim, collapse ws),
+    // then literal enumeration of all duplicate doc pairs by source
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("source", "text").collect()
+      .map(r => (r.getAs[String]("source"),
+        Option(r.getAs[String]("text")).getOrElse("")
+          .trim.toLowerCase.replaceAll("\\s+", " ")))
+    val brute = docs.groupBy(_._2).values.flatMap { group =>
+      for {
+        i <- group.indices; j <- (i + 1) until group.length
+        pair = if (group(i)._1 <= group(j)._1) (group(i)._1, group(j)._1)
+               else (group(j)._1, group(i)._1)
+      } yield pair
+    }.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val got = Queries.all("dedup_source_matrix")(spark, dir).collect()
+      .map(r => (r.getAs[String]("source_a"), r.getAs[String]("source_b")) ->
+        r.getAs[Long]("n_dup_pairs")).toMap
+    assert(got == brute,
+      s"matrix diverged from brute force: got=$got brute=$brute")
+  }
+
   test("pack_offsets: positions dense from 0, offsets are the doc-length prefix sum") {
     val rows = Queries.all("pack_offsets")(spark, dir)
       .collect()

@@ -394,6 +394,39 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("quality_percentile: CDF on the histogram, corpus never windowed") {
+    val plan = SparkEntry.queries("quality_percentile")(spark, dir)
+      .queryExecution.executedPlan.toString
+    // the naive form windows the corpus PARTITION BY lang — a few
+    // mega-partitions at scale. The locked shape: one map-side
+    // combinable (lang, quality) aggregate, windows over that tiny
+    // frame only, percentile back via broadcast — so the plan has
+    // exactly ONE hash exchange (the histogram agg; the window sorts
+    // within the same lang-compatible partitioning) and the join
+    // broadcasts
+    assert("BroadcastHashJoin".r.findFirstIn(plan).isDefined,
+      s"the CDF must broadcast back onto the corpus:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"quality_percentile must never sort-merge:\n$plan")
+    val nHash = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(nHash <= 2,
+      s"expected <=2 hash exchanges (histogram agg + tiny lang window), got $nHash:\n$plan")
+  }
+
+  test("dedup_source_matrix: pairs from counts — no doc-level pair join") {
+    val plan = SparkEntry.queries("dedup_source_matrix")(spark, dir)
+      .queryExecution.executedPlan.toString
+    // the matrix must join the per-(hash, source) COUNT frame with
+    // itself, never doc-level rows: text appears in no join input
+    // (the only text read feeds the hash agg), and there is no
+    // all-pairs shape
+    assert(!plan.contains("CartesianProduct")
+        && !plan.contains("BroadcastNestedLoopJoin"),
+      s"source matrix must never go all-pairs:\n$plan")
+    val nAgg = "HashAggregate".r.findAllIn(plan).size
+    assert(nAgg >= 2, s"expected count-then-rollup aggregates:\n$plan")
+  }
+
   test("knn_label_prop: label attach and vote stay off the corpus shuffle") {
     val plan = SparkEntry.queries("knn_label_prop")(spark, dir)
       .queryExecution.executedPlan.toString

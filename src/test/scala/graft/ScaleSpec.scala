@@ -179,6 +179,17 @@ class ScaleSpec extends AnyFunSuite {
       // per-doc placement manifest: the pack_sequences windows plus
       // the per-bin placement windows, all narrow
       "pack_offsets" -> (verb1, verb10),
+      // efficiency report: the same windows + an N-bins-row rollup
+      "pack_efficiency" -> (verb1, verb10),
+      // the matrix rides VERBATIM deliberately: exact replication
+      // multiplies every duplicate group's size 10× (pair counts grow
+      // 100×!) — the count-arithmetic design must stay linear because
+      // it never materializes pairs; a doc-level pair join blows up
+      // on exactly this rung
+      "dedup_source_matrix" -> (verb1, verb10),
+      // histogram CDF: 10× scan into the (lang, quality) agg; the
+      // windowed frame is capped at langs × 10001 cells at ANY size
+      "quality_percentile" -> (verb1, verb10),
       // temperature mixing: two corpus scans, a broadcast rate table,
       // zero corpus shuffles
       "mix_temperature" -> (verb1, verb10),
@@ -341,6 +352,26 @@ class ScaleSpec extends AnyFunSuite {
     // bucket density (replicated per-replica under salting), never
     // corpus²
     assertSubQuadratic("mm_neardup")
+  }
+
+  test("cross-source duplicate matrix scales sub-quadratically to 10x", ScaleTest) {
+    // verbatim replication multiplies every duplicate group's size
+    // 10x (pair COUNTS grow 100x); the count-arithmetic design must
+    // stay linear because its join runs on per-(hash, source) COUNT
+    // rows — a doc-level pair join would blow up 100x on this rung
+    assertSubQuadratic("dedup_source_matrix")
+  }
+
+  test("per-language quality percentile scales sub-quadratically to 10x", ScaleTest) {
+    // histogram CDF + broadcast join back: 10x docs = 10x scan and
+    // agg input, the windowed frame stays <= langs x 10001 cells —
+    // a corpus-wide PARTITION BY lang window would serialize a 10x
+    // language onto one task
+    assertSubQuadratic("quality_percentile")
+  }
+
+  test("packing-efficiency report scales sub-quadratically to 10x", ScaleTest) {
+    assertSubQuadratic("pack_efficiency")
   }
 
   test("cluster-best representative selection scales sub-quadratically to 10x", ScaleTest) {
