@@ -78,7 +78,16 @@ object Bench {
       val first = attempt()
       // a failed query is not retried (its error, not its time, is the
       // record); extra attempts only refine an ok measurement
-      val all = first +: (if (first._2) (2 to runs).map(_ => attempt()) else Nil)
+      val planned = first +: (if (first._2) (2 to runs).map(_ => attempt()) else Nil)
+      // tiebreak: when the planned attempts disagree >2x the pair is
+      // ambiguous (one of them was load-poisoned, but which?) — ONE
+      // extra attempt so the diag never records an unadjudicable pair
+      // (r12's pipeline_ingest measured [1.97, 5.77] under load 3.2)
+      val okTimes = planned.filter(_._2).map(_._1)
+      val all =
+        if (runs > 1 && planned.forall(_._2) && okTimes.size > 1 &&
+            okTimes.max > 2.0 * okTimes.min) planned :+ attempt()
+        else planned
       val okAll = all.forall(_._2)
       QRun(name, all.filter(_._2).map(_._1).reduceOption(_ min _)
           .getOrElse(first._1),

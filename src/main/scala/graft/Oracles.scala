@@ -771,7 +771,11 @@ object Oracles {
   /** Shared by dedup_minhash_lsh and its _stored twin — both must
     * return the identical pair list over the same signature dump.
     */
-  private lazy val minHashPairsReplaySql: String = {
+  /** The MinHash banded pair list as a CTE chain ending in `j`
+    * (id_a, id_b, jaccard) — shared by the pair-sweep oracles and the
+    * near-dup source matrix, ONE definition of the band slicing and
+    * jaccard verify. */
+  private lazy val minHashPairsCtes: String = {
     val rows = Queries.minHashNumHashes / Queries.minHashBands
     s"""WITH s AS (
        |  SELECT doc_id, shingles, sig
@@ -792,11 +796,13 @@ object Oracles {
        |      / len(list_distinct(sa.shingles || sb.shingles)) AS jaccard
        |  FROM cand c
        |  JOIN s sa ON sa.doc_id = c.id_a
-       |  JOIN s sb ON sb.doc_id = c.id_b)
+       |  JOIN s sb ON sb.doc_id = c.id_b)""".stripMargin
+  }
+  private lazy val minHashPairsReplaySql: String =
+    s"""$minHashPairsCtes
        |SELECT id_a, id_b, round(jaccard, 4) AS jaccard
        |FROM j WHERE jaccard >= ${Queries.minHashThreshold}
        |ORDER BY id_a, id_b""".stripMargin
-  }
 
   /** Shared by dedup_incremental and its _stored twin — both must
     * return the identical answer (the store's norm_hash column is the
@@ -1121,6 +1127,25 @@ object Oracles {
         |FROM p WHERE pairs > 0
         |GROUP BY source_a, source_b
         |ORDER BY source_a, source_b""".stripMargin,
+
+    // near-dup provenance matrix: the shared banded pair CTEs + two
+    // pkey joins for sources; max of 4dp-rounded jaccards (a float
+    // AVG would be aggregation-order-dependent)
+    "dedup_source_matrix_neardup" ->
+      s"""$minHashPairsCtes,
+         |p AS (
+         |  SELECT id_a, id_b, round(jaccard, 4) AS jaccard
+         |  FROM j WHERE jaccard >= ${Queries.minHashThreshold}),
+         |ps AS (
+         |  SELECT least(da.source, db.source) AS source_a,
+         |    greatest(da.source, db.source) AS source_b, p.jaccard
+         |  FROM p
+         |  JOIN documents da ON da.doc_id = p.id_a
+         |  JOIN documents db ON db.doc_id = p.id_b)
+         |SELECT source_a, source_b, COUNT(*) AS n_dup_pairs,
+         |  max(jaccard) AS max_jaccard
+         |FROM ps GROUP BY source_a, source_b
+         |ORDER BY source_a, source_b""".stripMargin,
 
     // incremental snapshot-delta dedup: keep-first within the batch,
     // anti-joined against the existing corpus's hash set (the bloom

@@ -784,6 +784,40 @@ object Queries {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
       .orderBy(col("id_a"), col("id_b"))
 
+  /** NEAR-dup companion of [[dedupSourceMatrix]]: per (source_a ≤
+    * source_b) pair, how many near-duplicate doc pairs cross them and
+    * the closest one's similarity — the provenance view for FUZZY
+    * copying (templated rewrites, light edits) that exact hashing
+    * misses. Pairs come from the SAME persisted-store sweep as
+    * dedup_minhash_lsh_stored (zero text reads, band-bounded), so
+    * this is the matrix a pipeline maintaining the index gets for
+    * free between snapshots; max, not avg, because a float mean is
+    * aggregation-order-dependent while max of 4dp-rounded jaccards
+    * replays exactly.
+    *
+    * Scale shape: the pair list is band-gated (rung-proven
+    * sub-quadratic); sources attach via two pkey equi-joins against a
+    * NARROW (id, source) projection — the dedup_cluster_best
+    * discipline, text never in any join input.
+    */
+  def dedupSourceMatrixNeardup(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.minHashLshPairsStored(fullSigStore(spark, dir), "sigs",
+        threshold = minHashThreshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+    val src = t(spark, dir, "documents").select(col("doc_id"), col("source"))
+    pairs
+      .join(src.select(col("doc_id").as("id_a"), col("source").as("__sa")),
+        Seq("id_a"))
+      .join(src.select(col("doc_id").as("id_b"), col("source").as("__sb")),
+        Seq("id_b"))
+      .select(least(col("__sa"), col("__sb")).as("source_a"),
+        greatest(col("__sa"), col("__sb")).as("source_b"), col("jaccard"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_dup_pairs"),
+        max(col("jaccard")).as("max_jaccard"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
   /** Distribution-drift report — the monitoring pass an ingestion
     * pipeline runs on every new snapshot: token distributions of the
     * incoming batch vs the existing corpus, compared per md5-hash
@@ -1980,7 +2014,9 @@ object Queries {
     * groupBy(lang, quality) reduces the corpus to a tiny frame, the
     * running sum windows over THAT (langs × cells rows), and the
     * per-row percentile comes back via a BROADCAST join — the corpus
-    * itself never shuffles (PlanSpec locks the shape). Identical
+    * itself never shuffles (PlanSpec locks the shape); like
+    * mix_temperature, the corpus is SCANNED twice (histogram pass +
+    * join pass), the price of keeping it off every shuffle. Identical
     * semantics to cume_dist by construction: cum(cells ≤ mine) IS
     * "rows with quality ≤ mine", peers included.
     */
@@ -3598,6 +3634,7 @@ object Queries {
     "vocab_top_terms" -> (vocabTopTerms _),
     "dedup_exact" -> (dedupExact _),
     "dedup_source_matrix" -> (dedupSourceMatrix _),
+    "dedup_source_matrix_neardup" -> (dedupSourceMatrixNeardup _),
     "dedup_incremental" -> (dedupIncremental _),
     "dedup_incremental_stored" -> (dedupIncrementalStored _),
     "dedup_incremental_neardup" -> (dedupIncrementalNeardup _),

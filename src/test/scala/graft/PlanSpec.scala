@@ -427,6 +427,19 @@ class PlanSpec extends AnyFunSuite {
     assert(nAgg >= 2, s"expected count-then-rollup aggregates:\n$plan")
   }
 
+  test("dedup_source_matrix_neardup: store-fed pairs, narrow source attach") {
+    val plan = SparkEntry.queries("dedup_source_matrix_neardup")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct")
+        && !plan.contains("BroadcastNestedLoopJoin"),
+      s"near-dup matrix must never go all-pairs:\n$plan")
+    // the source attach reads documents as (doc_id, source) ONLY —
+    // corpus text must never enter this query's plan (the pair sweep
+    // runs off the persisted signature store)
+    assert(!plan.contains("text:string"),
+      s"corpus text leaked into the near-dup matrix plan:\n$plan")
+  }
+
   test("knn_label_prop: label attach and vote stay off the corpus shuffle") {
     val plan = SparkEntry.queries("knn_label_prop")(spark, dir)
       .queryExecution.executedPlan.toString

@@ -190,6 +190,11 @@ class ScaleSpec extends AnyFunSuite {
       // histogram CDF: 10× scan into the (lang, quality) agg; the
       // windowed frame is capped at langs × 10001 cells at ANY size
       "quality_percentile" -> (verb1, verb10),
+      // near-dup provenance matrix rides the salted rung (pair
+      // structure replicates per-replica; the store builds at
+      // warmup): the band-gated sweep + two pkey source joins must
+      // track the ~10× pair count, never corpus²
+      "dedup_source_matrix_neardup" -> (salted1, salted10),
       // temperature mixing: two corpus scans, a broadcast rate table,
       // zero corpus shuffles
       "mix_temperature" -> (verb1, verb10),
@@ -360,6 +365,13 @@ class ScaleSpec extends AnyFunSuite {
     // stay linear because its join runs on per-(hash, source) COUNT
     // rows — a doc-level pair join would blow up 100x on this rung
     assertSubQuadratic("dedup_source_matrix")
+  }
+
+  test("near-dup source matrix scales sub-quadratically to 10x", ScaleTest) {
+    // band-gated pair sweep off the store + pkey source joins —
+    // pair volume grows ~10× per-replica, the matrix output stays
+    // |sources|² rows at any scale
+    assertSubQuadratic("dedup_source_matrix_neardup")
   }
 
   test("per-language quality percentile scales sub-quadratically to 10x", ScaleTest) {
