@@ -82,13 +82,20 @@ object Bench {
       // tiebreak: when the planned attempts disagree >2x the pair is
       // ambiguous (one of them was load-poisoned, but which?) — ONE
       // extra attempt so the diag never records an unadjudicable pair
-      // (r12's pipeline_ingest measured [1.97, 5.77] under load 3.2)
+      // (r12's pipeline_ingest measured [1.97, 5.77] under load 3.2).
+      // runs > 1 + forall ok implies >= 2 ok times, so min/max exist
       val okTimes = planned.filter(_._2).map(_._1)
-      val all =
-        if (runs > 1 && planned.forall(_._2) && okTimes.size > 1 &&
-            okTimes.max > 2.0 * okTimes.min) planned :+ attempt()
-        else planned
-      val okAll = all.forall(_._2)
+      val tiebreak =
+        if (runs > 1 && planned.forall(_._2) &&
+            okTimes.max > 2.0 * okTimes.min) Seq(attempt())
+        else Nil
+      val all = planned ++ tiebreak
+      // the record's ok/failed status comes from the PLANNED attempts
+      // only: the tiebreak is diagnostic, and extra attempts must
+      // only refine an ok measurement, never downgrade one (a
+      // transient failure on the third run would otherwise mark a
+      // query with two valid times as failed)
+      val okAll = planned.forall(_._2)
       QRun(name, all.filter(_._2).map(_._1).reduceOption(_ min _)
           .getOrElse(first._1),
         okAll, startedAt, load, all.map(_._1))

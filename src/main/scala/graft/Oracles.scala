@@ -798,10 +798,18 @@ object Oracles {
        |  JOIN s sa ON sa.doc_id = c.id_a
        |  JOIN s sb ON sb.doc_id = c.id_b)""".stripMargin
   }
+  /** The pair-ACCEPTANCE rule (threshold + 4dp rounding) as a CTE
+    * over `j` — one definition shared by the pair-sweep replays and
+    * the near-dup source matrix, so the comparison and rounding can
+    * never drift between them. */
+  private lazy val minHashPairsAcceptedCte: String =
+    s"""p AS (
+       |  SELECT id_a, id_b, round(jaccard, 4) AS jaccard
+       |  FROM j WHERE jaccard >= ${Queries.minHashThreshold})""".stripMargin
   private lazy val minHashPairsReplaySql: String =
-    s"""$minHashPairsCtes
-       |SELECT id_a, id_b, round(jaccard, 4) AS jaccard
-       |FROM j WHERE jaccard >= ${Queries.minHashThreshold}
+    s"""$minHashPairsCtes,
+       |$minHashPairsAcceptedCte
+       |SELECT id_a, id_b, jaccard FROM p
        |ORDER BY id_a, id_b""".stripMargin
 
   /** Shared by dedup_incremental and its _stored twin — both must
@@ -1133,9 +1141,7 @@ object Oracles {
     // AVG would be aggregation-order-dependent)
     "dedup_source_matrix_neardup" ->
       s"""$minHashPairsCtes,
-         |p AS (
-         |  SELECT id_a, id_b, round(jaccard, 4) AS jaccard
-         |  FROM j WHERE jaccard >= ${Queries.minHashThreshold}),
+         |$minHashPairsAcceptedCte,
          |ps AS (
          |  SELECT least(da.source, db.source) AS source_a,
          |    greatest(da.source, db.source) AS source_b, p.jaccard

@@ -158,8 +158,11 @@ class MixPackSpec extends AnyFunSuite {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
       .select("source", "text").collect()
       .map(r => (r.getAs[String]("source"),
+        // SQL trim strips SPACES only (Java .trim would also strip
+        // \n/\t and diverge from normHash on whitespace-padded docs)
         Option(r.getAs[String]("text")).getOrElse("")
-          .trim.toLowerCase.replaceAll("\\s+", " ")))
+          .replaceAll("\\A +| +\\z", "")
+          .toLowerCase(java.util.Locale.ROOT).replaceAll("\\s+", " ")))
     val brute = docs.groupBy(_._2).values.flatMap { group =>
       for {
         i <- group.indices; j <- (i + 1) until group.length
