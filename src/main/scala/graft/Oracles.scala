@@ -22,6 +22,15 @@ object Oracles {
   private val toksSql =
     "list_filter(regexp_split_to_array(lower(coalesce(text, '')), '[^a-z0-9]+'), x -> x <> '')"
 
+  /** Mirrors of GraftFunctions.tokenEstimate / tokenCountBpe — ONE
+    * definition shared by the f9 and fertility oracles. */
+  private val wsCountSql =
+    """CASE WHEN text IS NULL OR text = '' THEN 0
+      |       ELSE len(regexp_split_to_array(trim(text), '\s+')) END""".stripMargin
+  private val bpeCountSql =
+    """len(regexp_extract_all(coalesce(text, ''),
+      |    '''(?:s|t|re|ve|m|ll|d)| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+'))""".stripMargin
+
   /** Shared CTE prefix producing per-document distinct bigrams —
     * mirror of Dedup.ngramSet(n=2); used by the n-gram Jaccard and
     * decontamination oracles.
@@ -1033,12 +1042,24 @@ object Oracles {
     // same GPT-style pre-tokenizer regex as GraftFunctions.tokenCountBpe
     // (the '' is a SQL-escaped apostrophe opening the contraction arm)
     "f9_token_bpe" ->
-      """SELECT doc_id,
-        |  CASE WHEN text IS NULL OR text = '' THEN 0
-        |       ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS ws_tokens,
-        |  len(regexp_extract_all(coalesce(text, ''),
-        |    '''(?:s|t|re|ve|m|ll|d)| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+')) AS bpe_tokens
-        |FROM documents ORDER BY doc_id""".stripMargin,
+      s"""SELECT doc_id,
+         |  $wsCountSql AS ws_tokens,
+         |  $bpeCountSql AS bpe_tokens
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // per-language fertility: the SAME two counters aggregated, one
+    // exact-integer division per language row; greatest(…, 1) mirrors
+    // the engine's empty-stratum floor
+    "token_fertility" ->
+      s"""WITH p AS (
+         |  SELECT lang, $wsCountSql AS ws, $bpeCountSql AS bpe
+         |  FROM documents)
+         |SELECT lang, COUNT(*) AS n_docs,
+         |  CAST(SUM(ws) AS BIGINT) AS ws_tokens,
+         |  CAST(SUM(bpe) AS BIGINT) AS bpe_tokens,
+         |  round(CAST(SUM(bpe) AS DOUBLE)
+         |    / CAST(greatest(CAST(SUM(ws) AS BIGINT), 1) AS DOUBLE), 6) AS fertility
+         |FROM p GROUP BY lang ORDER BY lang""".stripMargin,
 
     // corpus-trained BPE: the per-word merge walk is JVM math
     // (BpeSpec-covered) dumped as word → n_tokens; the oracle checks
@@ -2178,6 +2199,25 @@ object Oracles {
          |    '${Queries.emailRe}', '[EMAIL]', 'g'),
          |    '${Queries.phoneRe}', '[PHONE]', 'g')) AS scrubbed_md5
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // per-source PII incidence: the scrub's shared regex constants
+    // aggregated per source — counts are exact integers, the rate one
+    // double divide rounded on both sides
+    "pii_report" ->
+      s"""WITH p AS (
+         |  SELECT source,
+         |    len(regexp_extract_all(coalesce(text, ''), '${Queries.emailRe}')) AS ne,
+         |    len(regexp_extract_all(coalesce(text, ''), '${Queries.phoneRe}')) AS np
+         |  FROM documents)
+         |SELECT source, COUNT(*) AS n_docs,
+         |  CAST(SUM(CASE WHEN ne > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_email,
+         |  CAST(SUM(ne) AS BIGINT) AS n_emails,
+         |  CAST(SUM(CASE WHEN np > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_phone,
+         |  CAST(SUM(np) AS BIGINT) AS n_phones,
+         |  CAST(SUM(CASE WHEN ne > 0 OR np > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_pii,
+         |  round(CAST(SUM(CASE WHEN ne > 0 OR np > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / CAST(COUNT(*) AS DOUBLE), 6) AS pii_doc_rate
+         |FROM p GROUP BY source ORDER BY source""".stripMargin,
 
     "sample_stratified" ->
       s"""SELECT doc_id, lang FROM documents

@@ -372,6 +372,29 @@ object Queries {
         tokenCountBpe(col("text")).as("bpe_tokens"))
       .orderBy(col("doc_id"))
 
+  /** Per-language tokenizer FERTILITY — BPE-ish tokens per whitespace
+    * token: the multilingual budgeting diagnostic (a language
+    * tokenizing at 2× fertility burns 2× token budget per word, so
+    * mixing rates chosen on word counts silently under-sample it —
+    * the reason XLM-R/NLLB-class pipelines report fertility before
+    * fixing sampling rates). Shares [[f9TokenBpe]]'s two codegen'd
+    * counters; one scan, map-side-combinable agg to |langs| rows, one
+    * exact-integer division per row of the tiny result. ws floored at
+    * 1 so an all-empty stratum reads fertility 0 instead of NaN.
+    */
+  def tokenFertility(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("lang"),
+        tokenEstimate(col("text")).cast("long").as("__ws"),
+        tokenCountBpe(col("text")).cast("long").as("__bpe"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__ws")).as("ws_tokens"),
+        sum(col("__bpe")).as("bpe_tokens"))
+      .withColumn("fertility", round(col("bpe_tokens").cast("double") /
+        greatest(col("ws_tokens"), lit(1L)).cast("double"), 6))
+      .orderBy(col("lang"))
+
   private[graft] val bpeNumMerges = 200
   private[graft] val bpeVocabCap = 8192
 
@@ -2238,6 +2261,34 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
+  /** Per-SOURCE PII incidence report — the compliance rollup of
+    * [[textPiiScrub]]'s detectors (same shared regex constants, so
+    * the report counts exactly what the scrub masks): per source, how
+    * many documents carry email/phone-shaped strings, total match
+    * counts, and the incidence rate — what a curation team reads to
+    * decide which feeds need scrubbing (or dropping) before training.
+    * One scan with the codegen'd extractors, map-side-combinable agg
+    * to |sources| rows — the drift_report shape.
+    */
+  def piiReport(spark: SparkSession, dir: String): DataFrame = {
+    val txt = coalesce(col("text"), lit(""))
+    t(spark, dir, "documents")
+      .select(col("source"),
+        size(regexp_extract_all(txt, lit(emailRe), lit(0))).cast("long").as("__ne"),
+        size(regexp_extract_all(txt, lit(phoneRe), lit(0))).cast("long").as("__np"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("__ne") > 0L, 1L).otherwise(0L)).as("docs_with_email"),
+        sum(col("__ne")).as("n_emails"),
+        sum(when(col("__np") > 0L, 1L).otherwise(0L)).as("docs_with_phone"),
+        sum(col("__np")).as("n_phones"),
+        sum(when(col("__ne") > 0L || col("__np") > 0L, 1L).otherwise(0L))
+          .as("docs_with_pii"))
+      .withColumn("pii_doc_rate", round(col("docs_with_pii").cast("double") /
+        col("n_docs").cast("double"), 6))
+      .orderBy(col("source"))
+  }
+
   /** Deterministic stratified sampling for corpus mixing: keep a
     * per-language fraction of documents by comparing an md5 prefix of
     * the salted key against a per-stratum threshold. Hash-based
@@ -3624,6 +3675,7 @@ object Queries {
     "f5_websearch" -> (f5Websearch _),
     "f9_token_estimate" -> (f9TokenEstimate _),
     "f9_token_bpe" -> (f9TokenBpe _),
+    "token_fertility" -> (tokenFertility _),
     "f9_token_bpe_trained" -> (f9TokenBpeTrained _),
     "f10_trim_inputs" -> (f10TrimInputs _),
     "r_windowed_counts" -> (rWindowedCounts _),
@@ -3704,6 +3756,7 @@ object Queries {
     "text_language_id" -> (textLanguageId _),
     "text_fingerprint" -> (textFingerprint _),
     "text_pii_scrub" -> (textPiiScrub _),
+    "pii_report" -> (piiReport _),
     "sample_quality_weighted" -> (sampleQualityWeighted _),
     "sample_stratified" -> (sampleStratified _),
     "mix_token_stats" -> (mixTokenStats _),

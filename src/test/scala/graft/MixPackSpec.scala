@@ -151,6 +151,56 @@ class MixPackSpec extends AnyFunSuite {
     }
   }
 
+  test("pii_report aggregates exactly to text_pii_scrub per source") {
+    val src = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expected = Queries.all("text_pii_scrub")(spark, dir).collect()
+      .groupBy(r => src(r.getAs[Long]("doc_id")))
+      .map { case (s, rows) =>
+        val ne = rows.map(_.getAs[Int]("n_emails").toLong)
+        val np = rows.map(_.getAs[Int]("n_phones").toLong)
+        val hits = rows.count(r => r.getAs[Int]("n_emails") > 0 ||
+          r.getAs[Int]("n_phones") > 0).toLong
+        s -> (rows.length.toLong, ne.count(_ > 0).toLong, ne.sum,
+          np.count(_ > 0).toLong, np.sum, hits,
+          BigDecimal(hits.toDouble / rows.length)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+    val got = Queries.all("pii_report")(spark, dir).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("docs_with_email"),
+          r.getAs[Long]("n_emails"), r.getAs[Long]("docs_with_phone"),
+          r.getAs[Long]("n_phones"), r.getAs[Long]("docs_with_pii"),
+          r.getAs[Double]("pii_doc_rate"))).toMap
+    assert(got == expected, "pii_report diverged from the per-doc scrub")
+  }
+
+  test("token_fertility aggregates exactly to f9_token_bpe per language") {
+    val lang = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expected = Queries.all("f9_token_bpe")(spark, dir).collect()
+      .groupBy(r => lang(r.getAs[Long]("doc_id")))
+      .map { case (l, rows) =>
+        val ws = rows.map(_.getAs[Int]("ws_tokens").toLong).sum
+        val bpe = rows.map(_.getAs[Int]("bpe_tokens").toLong).sum
+        l -> (rows.length.toLong, ws, bpe,
+          BigDecimal(bpe.toDouble / math.max(ws, 1L).toDouble)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+    val got = Queries.all("token_fertility")(spark, dir).collect()
+      .map(r => r.getAs[String]("lang") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("ws_tokens"),
+          r.getAs[Long]("bpe_tokens"), r.getAs[Double]("fertility"))).toMap
+    assert(got == expected, "token_fertility diverged from f9_token_bpe")
+    // every nonempty stratum tokenizes to something (>= 1 per word on
+    // plain text; whitespace-only docs can dilute, so no hard floor)
+    got.values.foreach { case (_, ws, _, fert) =>
+      if (ws > 0) assert(fert > 0.0, s"zero fertility: $got")
+    }
+  }
+
   test("dedup_source_matrix: equals the brute-force doc-pair count") {
     // independent plain-Scala oracle over the small corpus: the same
     // normalization as Dedup.normHash (lower, trim, collapse ws),

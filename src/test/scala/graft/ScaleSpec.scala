@@ -181,6 +181,10 @@ class ScaleSpec extends AnyFunSuite {
       "pack_offsets" -> (verb1, verb10),
       // efficiency report: the same windows + an N-bins-row rollup
       "pack_efficiency" -> (verb1, verb10),
+      // single-scan per-source/per-lang rollups: regex extractors at
+      // the scan, map-side-combinable aggs to handfuls of rows
+      "pii_report" -> (verb1, verb10),
+      "token_fertility" -> (verb1, verb10),
       // the matrix rides VERBATIM deliberately: exact replication
       // multiplies every duplicate group's size 10× (pair counts grow
       // 100×!) — the count-arithmetic design must stay linear because
@@ -384,6 +388,14 @@ class ScaleSpec extends AnyFunSuite {
 
   test("packing-efficiency report scales sub-quadratically to 10x", ScaleTest) {
     assertSubQuadratic("pack_efficiency")
+  }
+
+  test("PII incidence report scales sub-quadratically to 10x", ScaleTest) {
+    assertSubQuadratic("pii_report")
+  }
+
+  test("token fertility report scales sub-quadratically to 10x", ScaleTest) {
+    assertSubQuadratic("token_fertility")
   }
 
   test("cluster-best representative selection scales sub-quadratically to 10x", ScaleTest) {
