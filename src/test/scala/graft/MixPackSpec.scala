@@ -194,11 +194,10 @@ class MixPackSpec extends AnyFunSuite {
         (r.getAs[Long]("n_docs"), r.getAs[Long]("ws_tokens"),
           r.getAs[Long]("bpe_tokens"), r.getAs[Double]("fertility"))).toMap
     assert(got == expected, "token_fertility diverged from f9_token_bpe")
-    // every nonempty stratum tokenizes to something (>= 1 per word on
-    // plain text; whitespace-only docs can dilute, so no hard floor)
-    got.values.foreach { case (_, ws, _, fert) =>
-      if (ws > 0) assert(fert > 0.0, s"zero fertility: $got")
-    }
+    // no floor assertion: a whitespace-only doc counts ws=1/bpe=0
+    // (the f9 split-of-trimmed-empty semantic), so a stratum of such
+    // docs legitimately reads fertility 0 — the equality pin above is
+    // the real check
   }
 
   test("dedup_source_matrix: equals the brute-force doc-pair count") {
