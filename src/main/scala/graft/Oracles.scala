@@ -2245,6 +2245,27 @@ object Oracles {
          |  doc_id, sort_key
          |FROM keyed ORDER BY shard, seq""".stripMargin,
 
+    // curriculum order: the quality_percentile CDF replay feeding the
+    // export_order window, ascending pct first (best data LAST — the
+    // end-of-run anneal), the same md5 key + id as the tiebreak
+    "export_curriculum" ->
+      s"""WITH q AS (${qualitySql("documents")}),
+         |pctq AS (
+         |  SELECT d.doc_id,
+         |    round(cume_dist() OVER (PARTITION BY d.lang ORDER BY q.quality), 6) AS pct
+         |  FROM documents d JOIN q USING (doc_id)),
+         |keyed AS (
+         |  SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+         |      % ${Queries.exportNShards} AS shard,
+         |    doc_id, pct,
+         |    md5('${Queries.exportOrderSeed}:' || CAST(doc_id AS VARCHAR)) AS sort_key
+         |  FROM pctq)
+         |SELECT shard,
+         |  CAST(row_number() OVER (
+         |    PARTITION BY shard ORDER BY pct, sort_key, doc_id) - 1 AS INT) AS seq,
+         |  doc_id, pct
+         |FROM keyed ORDER BY shard, seq""".stripMargin,
+
     "export_shards" ->
       s"""WITH assigned AS (
          |  SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)

@@ -1719,6 +1719,25 @@ object Queries {
       .select(col("shard"), col("seq"), col("doc_id"), col("sort_key"))
       .orderBy(col("shard"), col("seq"))
 
+  /** CURRICULUM training order — [[operators.Export.shardOrderBy]]
+    * with the per-language quality PERCENTILE as the ascending
+    * curriculum signal: every shard's stream ends on its
+    * highest-quality documents (the end-of-run quality anneal
+    * schedule), the md5 key deterministically tie-breaking within a
+    * percentile so re-exports replay the identical order. Percentile,
+    * not raw quality, so "best last" means the same thing in every
+    * language. Composes two proven shapes: the histogram-CDF
+    * percentile (broadcast back, corpus never windowed by lang) and
+    * the md5-bucket-bounded per-shard row_number window.
+    */
+  def exportCurriculum(spark: SparkSession, dir: String): DataFrame =
+    operators.Export.shardOrderBy(
+        qualityPercentiled(spark, dir).select(col("doc_id"), col("pct")),
+        "doc_id", exportNShards, exportOrderSeed, col("pct"))
+      .select(col("shard"), col("seq"), col("doc_id"),
+        col("level").as("pct"))
+      .orderBy(col("shard"), col("seq"))
+
   private[graft] val packBudget = 512L
   private[graft] val packShards = 8
 
@@ -2043,7 +2062,10 @@ object Queries {
     * semantics to cume_dist by construction: cum(cells ≤ mine) IS
     * "rows with quality ≤ mine", peers included.
     */
-  def qualityPercentile(spark: SparkSession, dir: String): DataFrame = {
+  /** The percentile frame (doc_id, lang, quality, pct) without the
+    * presentation sort — shared by [[qualityPercentile]] and the
+    * curriculum export so the CDF definition cannot drift. */
+  private def qualityPercentiled(spark: SparkSession, dir: String): DataFrame = {
     val scored = t(spark, dir, "documents")
       .select(col("doc_id"), col("lang"), qualityScore(col("text")).as("quality"))
     val wCdf = Window.partitionBy(col("lang")).orderBy(col("quality"))
@@ -2058,8 +2080,10 @@ object Queries {
       .drop("__n")
     scored.join(broadcast(cdf), Seq("lang", "quality"))
       .select(col("doc_id"), col("lang"), col("quality"), col("pct"))
-      .orderBy(col("doc_id"))
   }
+
+  def qualityPercentile(spark: SparkSession, dir: String): DataFrame =
+    qualityPercentiled(spark, dir).orderBy(col("doc_id"))
 
   /** Within-document repetition: duplicated token-n-gram fraction
     * (1 − distinct/total over 3-gram shingles) — the Gopher-family
@@ -3738,6 +3762,7 @@ object Queries {
     "pipeline_pack_offsets" -> (pipelinePackOffsets _),
     "export_shards" -> (exportShardManifest _),
     "export_order" -> (exportOrder _),
+    "export_curriculum" -> (exportCurriculum _),
     "split_assign" -> (splitAssign _),
     "contamination_report" -> (contaminationReport _),
     "mm_describe" -> (mmDescribe _),

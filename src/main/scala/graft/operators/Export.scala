@@ -87,6 +87,30 @@ object Export {
           .orderBy(col("sort_key"), col(idCol))) - 1)
   }
 
+  /** CURRICULUM variant of [[shardOrder]]: within each shard the
+    * primary order is a caller-supplied curriculum signal (ASCENDING
+    * — pass a negated column for descending), with the same md5
+    * sort key + id as the deterministic tiebreak. An ascending
+    * quality signal puts the best data LAST — the end-of-run quality
+    * anneal schedule; any per-doc difficulty/length/quality column
+    * works. The signal must itself be deterministic and
+    * engine-replayable (a rounded percentile, a length bucket), or
+    * the order stops being reproducible — which is the entire point.
+    * Same scale shape as shardOrder: signal and shard id compute at
+    * the scan, one md5-bucket-bounded row_number window.
+    */
+  def shardOrderBy(docs: DataFrame, idCol: String, nShards: Int,
+      seed: String, curriculum: Column): DataFrame = {
+    val key = md5(concat_ws(":", lit(seed), col(idCol).cast("string")))
+    docs
+      .select(shardId(col(idCol), nShards).as("shard"), col(idCol),
+        curriculum.as("level"), key.as("sort_key"))
+      .withColumn("seq",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("shard"))
+          .orderBy(col("level"), col("sort_key"), col(idCol))) - 1)
+  }
+
   /** Write the corpus partitioned by shard id — the one terminal
     * shuffle of an export. Each `shard=K` directory is one loader
     * unit; repartitioning on (shard, salt) bounds a shard's output to

@@ -200,6 +200,26 @@ class MixPackSpec extends AnyFunSuite {
     // the real check
   }
 
+  test("export_curriculum: dense per-shard seq, pct non-decreasing, same membership as export_order") {
+    val cur = Queries.all("export_curriculum")(spark, dir).collect()
+    val byShard = cur.groupBy(_.getAs[Long]("shard"))
+    byShard.foreach { case (shard, rows) =>
+      val sorted = rows.sortBy(_.getAs[Int]("seq"))
+      assert(sorted.map(_.getAs[Int]("seq")).toSeq == sorted.indices.toSeq,
+        s"shard $shard: seq not dense from 0")
+      val pcts = sorted.map(_.getAs[Double]("pct"))
+      assert(pcts.zip(pcts.tail).forall { case (a, b) => a <= b },
+        s"shard $shard: pct must be non-decreasing along seq (best data last)")
+    }
+    // same md5 shard membership as the plain epoch order
+    val plain = Queries.all("export_order")(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("shard")).toMap
+    cur.foreach { r =>
+      assert(plain(r.getAs[Long]("doc_id")) == r.getAs[Long]("shard"),
+        "curriculum must not move documents between shards")
+    }
+  }
+
   test("dedup_source_matrix: equals the brute-force doc-pair count") {
     // independent plain-Scala oracle over the small corpus: the same
     // normalization as Dedup.normHash (lower, trim, collapse ws),

@@ -176,6 +176,9 @@ class ScaleSpec extends AnyFunSuite {
       // export ordering: sort key at the scan + one md5-bucketed
       // row_number window — per-shard partitions grow 10× linearly
       "export_order" -> (verb1, verb10),
+      // curriculum order: the percentile CDF (histogram + broadcast)
+      // feeding the same md5-bucket-bounded window
+      "export_curriculum" -> (verb1, verb10),
       // per-doc placement manifest: the pack_sequences windows plus
       // the per-bin placement windows, all narrow
       "pack_offsets" -> (verb1, verb10),
@@ -350,6 +353,10 @@ class ScaleSpec extends AnyFunSuite {
     // md5-bucket shard keys bound every row_number partition to
     // ~N/nShards rows — 10× data, 10× per-partition work
     assertSubQuadratic("export_order")
+  }
+
+  test("curriculum export order scales sub-quadratically to 10x", ScaleTest) {
+    assertSubQuadratic("export_curriculum")
   }
 
   test("temperature mixing scales sub-quadratically to 10x", ScaleTest) {
