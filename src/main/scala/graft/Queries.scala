@@ -2061,10 +2061,21 @@ object Queries {
     * join pass), the price of keeping it off every shuffle. Identical
     * semantics to cume_dist by construction: cum(cells ≤ mine) IS
     * "rows with quality ≤ mine", peers included.
+    *
+    * The percentile frame itself ([[qualityPercentiled]]) is shared
+    * with the curriculum export so the CDF definition cannot drift.
     */
+  def qualityPercentile(spark: SparkSession, dir: String): DataFrame =
+    qualityPercentiled(spark, dir).orderBy(col("doc_id"))
+
   /** The percentile frame (doc_id, lang, quality, pct) without the
-    * presentation sort — shared by [[qualityPercentile]] and the
-    * curriculum export so the CDF definition cannot drift. */
+    * presentation sort — see [[qualityPercentile]] for the design.
+    * The join back is NULL-SAFE on lang (<=>): a NULL-language doc
+    * must still receive its percentile (the histogram's groupBy keeps
+    * NULL as a group, exactly like the oracle's PARTITION BY lang),
+    * where a plain equi-join would silently DROP it — data loss in
+    * the curriculum export that composes this frame. quality is
+    * never null (qualityScore coalesces its inputs). */
   private def qualityPercentiled(spark: SparkSession, dir: String): DataFrame = {
     val scored = t(spark, dir, "documents")
       .select(col("doc_id"), col("lang"), qualityScore(col("text")).as("quality"))
@@ -2078,12 +2089,12 @@ object Queries {
         sum(col("__n")).over(wCdf).cast("double") /
           sum(col("__n")).over(wLang).cast("double"), 6))
       .drop("__n")
-    scored.join(broadcast(cdf), Seq("lang", "quality"))
+      .withColumnRenamed("lang", "__cl")
+      .withColumnRenamed("quality", "__cq")
+    scored.join(broadcast(cdf),
+        scored("lang") <=> cdf("__cl") && scored("quality") === cdf("__cq"))
       .select(col("doc_id"), col("lang"), col("quality"), col("pct"))
   }
-
-  def qualityPercentile(spark: SparkSession, dir: String): DataFrame =
-    qualityPercentiled(spark, dir).orderBy(col("doc_id"))
 
   /** Within-document repetition: duplicated token-n-gram fraction
     * (1 − distinct/total over 3-gram shingles) — the Gopher-family

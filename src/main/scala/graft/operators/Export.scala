@@ -85,6 +85,9 @@ object Export {
         row_number().over(org.apache.spark.sql.expressions.Window
           .partitionBy(col("shard"))
           .orderBy(col("sort_key"), col(idCol))) - 1)
+    // NOTE: body mirrored by shardOrderBy — an edit to the key
+    // expression must land in both (see its scaladoc for why the
+    // duplication is deliberate)
   }
 
   /** CURRICULUM variant of [[shardOrder]]: within each shard the
@@ -96,8 +99,17 @@ object Export {
     * works. The signal must itself be deterministic and
     * engine-replayable (a rounded percentile, a length bucket), or
     * the order stops being reproducible — which is the entire point.
-    * Same scale shape as shardOrder: signal and shard id compute at
-    * the scan, one md5-bucket-bounded row_number window.
+    * NULL levels sort LAST (asc_nulls_last, pinned explicitly:
+    * Spark's ascending default is NULLS FIRST where most SQL engines
+    * — and any DuckDB replay — default to NULLS LAST, so the default
+    * would silently shift every seq in a shard the moment a nullable
+    * signal appears). Same scale shape as shardOrder: signal and
+    * shard id compute at the scan, one md5-bucket-bounded row_number
+    * window. The key/select/window body intentionally mirrors
+    * [[shardOrder]] (kept separate so export_order's locked plan
+    * never carries a constant order column) — edit the md5 key
+    * expression in BOTH or the documented shared-tiebreak contract
+    * breaks.
     */
   def shardOrderBy(docs: DataFrame, idCol: String, nShards: Int,
       seed: String, curriculum: Column): DataFrame = {
@@ -108,7 +120,7 @@ object Export {
       .withColumn("seq",
         row_number().over(org.apache.spark.sql.expressions.Window
           .partitionBy(col("shard"))
-          .orderBy(col("level"), col("sort_key"), col(idCol))) - 1)
+          .orderBy(col("level").asc_nulls_last, col("sort_key"), col(idCol))) - 1)
   }
 
   /** Write the corpus partitioned by shard id — the one terminal

@@ -211,9 +211,14 @@ class MixPackSpec extends AnyFunSuite {
       assert(pcts.zip(pcts.tail).forall { case (a, b) => a <= b },
         s"shard $shard: pct must be non-decreasing along seq (best data last)")
     }
-    // same md5 shard membership as the plain epoch order
+    // same md5 shard membership as the plain epoch order — BOTH
+    // directions: the size check catches a curriculum that silently
+    // DROPS documents (e.g. a non-null-safe percentile join), which
+    // the per-row containment alone would pass vacuously
     val plain = Queries.all("export_order")(spark, dir).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("shard")).toMap
+    assert(cur.length == plain.size,
+      s"curriculum lost documents: ${cur.length} vs ${plain.size}")
     cur.foreach { r =>
       assert(plain(r.getAs[Long]("doc_id")) == r.getAs[Long]("shard"),
         "curriculum must not move documents between shards")
