@@ -1961,6 +1961,19 @@ object Oracles {
          |FROM documents d JOIN q USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
 
+    // the percentile GATE: same CDF replay, keep pct >= gate — both
+    // engines compare the identical rounded double, so the keep set
+    // cannot disagree at the boundary
+    "sample_percentile" ->
+      s"""WITH q AS (${qualitySql("documents")}),
+         |p AS (
+         |  SELECT d.doc_id, d.lang, q.quality,
+         |    round(cume_dist() OVER (PARTITION BY d.lang ORDER BY q.quality), 6) AS pct
+         |  FROM documents d JOIN q USING (doc_id))
+         |SELECT doc_id, lang, quality, pct FROM p
+         |WHERE pct >= ${Queries.percentileGate}
+         |ORDER BY doc_id""".stripMargin,
+
     // The composed corpus-preparation pipeline: benchmark exclusion →
     // quality gate (on the ROUNDED score, see Queries.pipelineCorpus)
     // → exact dedup keeping the min-id canonical → bigram

@@ -2068,6 +2068,20 @@ object Queries {
   def qualityPercentile(spark: SparkSession, dir: String): DataFrame =
     qualityPercentiled(spark, dir).orderBy(col("doc_id"))
 
+  /** The ACTIONABLE form of [[qualityPercentile]] — the FineWeb-2
+    * style per-language percentile GATE: keep every document in its
+    * language's top (1 − gate) quantile. Rank-based, so one knob
+    * means the same thing in every language (a raw-score cutoff
+    * would keep 60% of English and 5% of German); deterministic and
+    * rerunnable (no RNG). Same shared percentile frame, one more
+    * per-row comparison — the corpus still never shuffles.
+    */
+  private[graft] val percentileGate = 0.8
+  def samplePercentile(spark: SparkSession, dir: String): DataFrame =
+    qualityPercentiled(spark, dir)
+      .filter(col("pct") >= percentileGate)
+      .orderBy(col("doc_id"))
+
   /** The percentile frame (doc_id, lang, quality, pct) without the
     * presentation sort — see [[qualityPercentile]] for the design.
     * The join back is NULL-SAFE on lang (<=>): a NULL-language doc
@@ -3788,6 +3802,7 @@ object Queries {
     "dedup_containment" -> (dedupContainment _),
     "text_quality_score" -> (textQualityScore _),
     "quality_percentile" -> (qualityPercentile _),
+    "sample_percentile" -> (samplePercentile _),
     "text_repetition" -> (textRepetition _),
     "text_language_id" -> (textLanguageId _),
     "text_fingerprint" -> (textFingerprint _),

@@ -200,6 +200,17 @@ class MixPackSpec extends AnyFunSuite {
     // the real check
   }
 
+  test("sample_percentile keeps exactly quality_percentile's pct >= gate set") {
+    val all = Queries.all("quality_percentile")(spark, dir).collect()
+    val expected = all.filter(_.getAs[Double]("pct") >= Queries.percentileGate)
+      .map(_.getAs[Long]("doc_id")).toSet
+    val got = Queries.all("sample_percentile")(spark, dir).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(got == expected, "percentile gate diverged from the percentile frame")
+    assert(got.nonEmpty && got.size < all.length,
+      "gate must keep a strict, nonempty subset at the 0.8 knob")
+  }
+
   test("export_curriculum: dense per-shard seq, pct non-decreasing, same membership as export_order") {
     val cur = Queries.all("export_curriculum")(spark, dir).collect()
     val byShard = cur.groupBy(_.getAs[Long]("shard"))
