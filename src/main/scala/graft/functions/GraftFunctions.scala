@@ -331,21 +331,26 @@ object GraftFunctions {
   /** Evaluate-ONCE fence for an expensive projected expression that a
     * filter references by alias. Catalyst's PushDownPredicates only
     * substitutes an alias into a pushed-down predicate when EVERY
-    * project field is deterministic, so this identity UDF (marked
-    * nondeterministic — it is in fact pure, the flag is purely an
-    * optimizer fence) pins the wrapped expression to one evaluation
-    * in the Project; without it the whole chain is ALSO inlined into
-    * the Filter and every surviving row pays it twice (verified on
-    * sample_quality_weighted's physical plan: the full 2-UDF
-    * qualityScore chain appeared in both FilterExec and ProjectExec).
-    * Values are untouched, so DuckDB oracles replay unchanged. The
-    * trade: the gate no longer prunes below the projection — right
-    * whenever the projection IS the cost (tokenizing text) and the
-    * scan must read the input column anyway.
+    * project field is deterministic, so this identity expression
+    * (declared nondeterministic — it is in fact pure, the flag is
+    * purely an optimizer fence) pins the wrapped expression to one
+    * evaluation in the Project; without it the whole chain is ALSO
+    * inlined into the Filter and every surviving row pays it twice
+    * (verified on sample_quality_weighted's physical plan: the full
+    * 2-UDF qualityScore chain appeared in both FilterExec and
+    * ProjectExec). Values are untouched, so DuckDB oracles replay
+    * unchanged. The trade: the gate no longer prunes below the
+    * projection — right whenever the projection IS the cost
+    * (tokenizing text) and the scan must read the input column anyway.
+    *
+    * Type-preserving for ANY column type (ADVICE r14: the previous
+    * `java.lang.Double` identity-UDF fence silently cast non-double
+    * inputs); [[graft.plans.EvalOnceFence]] passes the child's
+    * dataType/nullable/codegen through untouched.
     */
-  def evalOnce(c: Column): Column = evalOnceUdf(c)
-  private val evalOnceUdf =
-    udf((d: java.lang.Double) => d).asNondeterministic()
+  def evalOnce(c: Column): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(graft.plans.EvalOnceFence(
+      org.apache.spark.sql.GraftColumnBridge.expression(c)))
 
   /** Rolling-hash (Rabin-Karp, base 31, 64-bit) document fingerprint
     * over normalized word sequence — stable under whitespace/case

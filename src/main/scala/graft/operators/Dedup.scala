@@ -490,11 +490,18 @@ object Dedup {
     * Builds (`strict = false`) tolerate absence (they are about to
     * record it) but still reject a recorded mismatch: extending an
     * index with drifted parameters is the corruption, a rebuild
-    * (drop + build) is the supported path.
+    * (drop + build) is the supported path. Exception (ADVICE r14): a
+    * recorded geometry with NO committed data is a crash artifact —
+    * the builder writes `_META` before the data MERGE, so a crash in
+    * that window leaves a geometry-only sidecar. There is nothing the
+    * new geometry could drift FROM, so a build simply overwrites the
+    * orphaned sidecar instead of wedging every rebuild behind a
+    * manual drop.
     */
   private[graft] def requireStoreGeometry(store: graft.sources.ParquetStore,
       table: String, shingleN: Int, numHashes: Int, bands: Int,
       caller: String, strict: Boolean): Unit = {
+    if (!strict && !store.exists(table)) return
     val meta = store.getMeta(table)
     val keys = Seq((MetaShingleN, shingleN, "shingleN"),
       (MetaNumHashes, numHashes, "numHashes"), (MetaBands, bands, "bands"))

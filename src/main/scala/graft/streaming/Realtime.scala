@@ -4,7 +4,7 @@ import graft.VectorizeEngine
 import graft.operators.Pipeline
 import graft.types.{TableMethod, VectorizeJob}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{StreamingQuery, StreamingQueryListener, Trigger}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Realtime (incremental) embedding maintenance.
@@ -316,7 +316,7 @@ object Realtime {
           .toDF("audit_key", "batch_id", "stage", "n_docs"),
         "audit_key")
     }
-    docs.writeStream
+    val query = docs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
@@ -439,6 +439,25 @@ object Realtime {
                 // the MERGEs below commit new ones. Docs FIRST (see the
                 // crash-replay contract above).
                 val nFinal = rows.count()
+                // capture the funnel stage counts into driver-side
+                // longs BEFORE the store mutates (ADVICE r14): the
+                // per-stage frames are cached, but a lost cache block
+                // would lazily RE-READ the store's new post-merge
+                // version — e.g. 1_exact_dedup would re-run the exact
+                // probe against an index that now contains this
+                // batch's own hashes and record a wrong funnel number.
+                // Counts are delta-sized (one job per enabled stage
+                // over the batch-lifetime caches); only the audit
+                // WRITE stays after the merges, so a crash mid-merge
+                // never records a funnel for an uncommitted batch.
+                val auditCounts = auditTable.map { _ => Seq(
+                  Some("0_batch" -> b.count()),
+                  Some("1_exact_dedup" -> b1.count()),
+                  Some("2_blocklist" -> b2.count()),
+                  minQuality.map(_ => "2q_quality" -> b2q.count()),
+                  benchSigTable.map(_ => "3_decontam" -> b2d.count()),
+                  semanticGate.map(_ => "3s_semantic" -> b2s.count()),
+                  Some("4_near_dedup" -> nFinal)).flatten }
                 if (nFinal > 0) {
                   store.merge(table, rows, idCol)
                   // survivors' signatures MERGE from the SHARED frame
@@ -460,19 +479,11 @@ object Realtime {
                 // converge identically either way). Stage ids are
                 // pipeline-positional and CONSTANT across gate
                 // configurations (a disabled gate emits no row) so
-                // dashboards never re-key when a gate toggles. Cost:
-                // one extra count() per enabled stage over the
-                // batch-lifetime caches — delta-sized, after the
-                // merges so observability never delays ingestion.
+                // dashboards never re-key when a gate toggles. The
+                // counts were captured into driver vals above, BEFORE
+                // the merges; only this write runs after them.
                 auditTable.foreach { at =>
-                  writeAudit(at, b.sparkSession, batchId, Seq(
-                    Some("0_batch" -> b.count()),
-                    Some("1_exact_dedup" -> b1.count()),
-                    Some("2_blocklist" -> b2.count()),
-                    minQuality.map(_ => "2q_quality" -> b2q.count()),
-                    benchSigTable.map(_ => "3_decontam" -> b2d.count()),
-                    semanticGate.map(_ => "3s_semantic" -> b2s.count()),
-                    Some("4_near_dedup" -> nFinal)).flatten)
+                  writeAudit(at, b.sparkSession, batchId, auditCounts.get)
                 }
               } finally rows.unpersist()
             } finally caches.foreach(_.unpersist())
@@ -490,7 +501,39 @@ object Realtime {
         } finally b.unpersist()
       }
       .start()
+    // release the stream-LIFETIME caches when this query terminates
+    // (ADVICE r14): semanticBench is persisted once per pipeline call,
+    // so a long-lived process that starts/stops many gated streams
+    // would otherwise accumulate one cached benchmark copy per stream
+    // — the same unbounded-cache hazard the per-micro-batch banding
+    // fix closed, recurring at stream granularity. The listener keys
+    // on the query id and self-removes after firing.
+    releaseOnTermination(docs.sparkSession, query, semanticBench.toSeq)
+    query
   }
+
+  /** Register a self-removing [[StreamingQueryListener]] that
+    * unpersists `caches` when `query` terminates — the lifetime
+    * manager for frames a streaming pipeline persists once at start
+    * and reads on every micro-batch.
+    */
+  private def releaseOnTermination(sess: org.apache.spark.sql.SparkSession,
+      query: StreamingQuery, caches: Seq[DataFrame]): Unit =
+    if (caches.nonEmpty) {
+      val streams = sess.streams
+      streams.addListener(new StreamingQueryListener {
+        override def onQueryStarted(
+            e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+        override def onQueryProgress(
+            e: StreamingQueryListener.QueryProgressEvent): Unit = ()
+        override def onQueryTerminated(
+            e: StreamingQueryListener.QueryTerminatedEvent): Unit =
+          if (e.id == query.id) {
+            caches.foreach(_.unpersist())
+            streams.removeListener(this)
+          }
+      })
+    }
 
   /** Windowed event-stream aggregation with watermarking — the
     * streaming-analytics shape (late data dropped after the

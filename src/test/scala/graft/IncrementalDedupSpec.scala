@@ -335,4 +335,31 @@ class IncrementalDedupSpec extends AnyFunSuite {
       assert(withSig == without, s"batchSig path diverged: $withSig vs $without")
     } finally okSig.unpersist()
   }
+
+  test("geometry-only sidecar (build crash artifact) never wedges a rebuild (ADVICE r14)") {
+    import spark.implicits._
+    val docs = Seq((1L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val store = new graft.sources.ParquetStore(
+      spark, TestSpark.tempDir("graft_ndgeom_crash_"))
+    // simulate buildNearDupStore's crash window: _META committed (the
+    // builder writes it first, by design), data MERGE never ran
+    store.putMeta("sigs", Map("minhash.shingle_n" -> "2",
+      "minhash.num_hashes" -> "64", "minhash.bands" -> "16"))
+    assert(!store.exists("sigs"), "precondition: no committed data")
+    // a rebuild with DIFFERENT geometry has no committed data to drift
+    // from — it must overwrite the orphaned sidecar, not throw
+    Dedup.buildNearDupStore(store, "sigs", docs, "doc_id", "text",
+      shingleN = 3, numHashes = 32, bands = 8)
+    val meta = store.getMeta("sigs")
+    assert(meta.get("minhash.shingle_n").contains("3") &&
+      meta.get("minhash.num_hashes").contains("32") &&
+      meta.get("minhash.bands").contains("8"),
+      s"orphaned sidecar not overwritten: $meta")
+    assert(store.exists("sigs"))
+    // ...and once data IS committed, drift rejection is unchanged
+    intercept[IllegalArgumentException] {
+      Dedup.buildNearDupStore(store, "sigs", docs, "doc_id", "text",
+        shingleN = 2, numHashes = 64, bands = 16)
+    }
+  }
 }

@@ -394,6 +394,30 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("evalOnce fence preserves non-double types exactly (ADVICE r14)") {
+    // the previous identity-UDF fence was typed java.lang.Double and
+    // silently CAST any other input; the EvalOnceFence expression must
+    // pass strings/ints/arrays through with dataType and values intact
+    // while still being an optimizer fence (nondeterministic)
+    import spark.implicits._
+    val df = Seq((1, "ab", Seq(1.5f)), (2, "cd", Seq(2.5f)))
+      .toDF("i", "s", "v")
+      .select(
+        GraftFunctions.evalOnce(col("i")).as("i"),
+        GraftFunctions.evalOnce(col("s")).as("s"),
+        GraftFunctions.evalOnce(col("v")).as("v"))
+    assert(df.schema.map(_.dataType.simpleString) ==
+      Seq("int", "string", "array<float>"))
+    val rows = df.orderBy("i").collect()
+    assert(rows.map(_.getInt(0)).toSeq == Seq(1, 2))
+    assert(rows.map(_.getString(1)).toSeq == Seq("ab", "cd"))
+    assert(rows.map(_.getSeq[Float](2)).toSeq == Seq(Seq(1.5f), Seq(2.5f)))
+    // still a fence: the wrapped expression must not be deterministic
+    import org.apache.spark.sql.GraftColumnBridge
+    assert(!GraftColumnBridge.expression(
+      GraftFunctions.evalOnce(col("i"))).deterministic)
+  }
+
   test("quality_percentile: CDF on the histogram, corpus never windowed") {
     val plan = SparkEntry.queries("quality_percentile")(spark, dir)
       .queryExecution.executedPlan.toString
