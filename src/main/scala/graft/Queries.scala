@@ -2090,19 +2090,24 @@ object Queries {
     * where a plain equi-join would silently DROP it — data loss in
     * the curriculum export that composes this frame. quality is
     * never null (qualityScore coalesces its inputs). */
-  private def qualityPercentiled(spark: SparkSession, dir: String): DataFrame = {
-    val scored = t(spark, dir, "documents")
-      .select(col("doc_id"), col("lang"), qualityScore(col("text")).as("quality"))
-    val wCdf = Window.partitionBy(col("lang")).orderBy(col("quality"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wLang = Window.partitionBy(col("lang"))
-    val cdf = scored
-      .groupBy(col("lang"), col("quality"))
-      .agg(count(lit(1)).as("__n"))
-      .withColumn("pct", round(
-        sum(col("__n")).over(wCdf).cast("double") /
-          sum(col("__n")).over(wLang).cast("double"), 6))
-      .drop("__n")
+  private def qualityPercentiled(spark: SparkSession, dir: String): DataFrame =
+    qualityPercentiledOf(t(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), qualityScore(col("text")).as("quality")))
+
+  /** [[qualityPercentiled]] over an arbitrary scored frame
+    * (doc_id, lang, quality) — the histogram CDF itself is the shared
+    * [[operators.QualityCal.cdfOf]] (ONE definition with the persisted
+    * streaming calibration snapshot, so batch and stream percentiles
+    * can never drift); the equi-join back is exact because every
+    * scored row's quality value is by construction a histogram cell.
+    * NOTE: `scored` is referenced TWICE (histogram pass + join pass) —
+    * callers composing an expensive upstream (the ladder chain) must
+    * hand in a frame whose per-doc flags are already materialized
+    * (the localCheckpointed-id-list convention), or the upstream runs
+    * twice.
+    */
+  private def qualityPercentiledOf(scored: DataFrame): DataFrame = {
+    val cdf = operators.QualityCal.cdfOf(scored)
       .withColumnRenamed("lang", "__cl")
       .withColumnRenamed("quality", "__cq")
     scored.join(broadcast(cdf),

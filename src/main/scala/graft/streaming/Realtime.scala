@@ -241,6 +241,27 @@ object Realtime {
   final case class SemanticGate(benchVecTable: String, vecCol: String,
       dim: Int, threshold: Double = 0.95, bits: Int = 4, bands: Int = 8)
 
+  /** Config for the percentile-calibrated quality gate (r15): keep a
+    * row iff its per-LANGUAGE quality percentile — looked up against
+    * the persisted CDF snapshot `cdfTable`, built on calibration
+    * cadence by [[graft.operators.QualityCal.buildPercentileStore]] —
+    * reaches `minPct`. Rank-based, so one knob means the same thing
+    * in every language; the raw `minQuality` knob is the
+    * cross-language miscalibration this gate replaces (a raw cutoff
+    * keeps 60% of English and 5% of German). The snapshot's scorer
+    * version is require-matched at stream START (a CDF from an older
+    * scorer fails loudly — [[graft.operators.QualityCal.requireCdf]]),
+    * and `expectSnapshot` optionally pins the calibration release the
+    * pipeline must run against (the staleness guard). Rows of a
+    * language ABSENT from the snapshot get a NULL percentile and the
+    * gate ABSTAINS (keeps them): an uncalibrated language carries no
+    * evidence of low quality, and silently dropping a new language at
+    * ingest is the worse failure — the funnel's `2p_percentile` stage
+    * makes the abstention volume observable.
+    */
+  final case class PercentileGate(cdfTable: String, minPct: Double,
+      langCol: String = "lang", expectSnapshot: Option[String] = None)
+
   def streamIngestPipeline(store: graft.sources.ParquetStore, table: String,
       sigTable: String, docs: DataFrame, idCol: String, textCol: String,
       checkpointDir: String, blocklist: Seq[String] = Nil,
@@ -249,6 +270,7 @@ object Realtime {
       benchSigTable: Option[String] = None,
       decontamThreshold: Option[Double] = None,
       semanticGate: Option[SemanticGate] = None,
+      percentileGate: Option[PercentileGate] = None,
       auditTable: Option[String] = None,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     // cheap config checks FIRST: a typo'd benchmark table name — or a
@@ -274,6 +296,18 @@ object Realtime {
       require(docs.columns.contains(g.vecCol),
         s"streamIngestPipeline: the stream carries no '${g.vecCol}' column " +
           "for the semantic gate — the encode step must run upstream")
+    }
+    // the percentile gate's CDF snapshot must exist, carry the CURRENT
+    // scorer's version, and (when pinned) be the expected calibration
+    // release — all checked before any corpus-sized work, like the
+    // signature geometry above
+    percentileGate.foreach { g =>
+      graft.operators.QualityCal.requireCdf(store, g.cdfTable,
+        "streamIngestPipeline", g.expectSnapshot)
+      require(docs.columns.contains(g.langCol),
+        s"streamIngestPipeline: the stream carries no '${g.langCol}' column " +
+          "for the percentile gate — per-language calibration needs the " +
+          "language id on every row")
     }
     // the dedup gates probe ONLY the signature index: a docs table
     // without one would make the first micro-batch dedup within
@@ -304,6 +338,13 @@ object Realtime {
     val semanticBench = semanticGate.map { g =>
       graft.operators.Dedup.semanticBenchBanded(store.read(g.benchVecTable),
           idCol, g.vecCol, g.dim, g.bits, g.bands)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+    // the CDF snapshot is likewise static for the stream's lifetime:
+    // read + cache ONE copy (≤10001 cells per language — broadcast-
+    // sized) instead of re-reading the store table every micro-batch
+    val pctCdf = percentileGate.map { g =>
+      store.read(g.cdfTable)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
     // one MERGE into the audit table, shared by the counted and the
@@ -338,11 +379,27 @@ object Realtime {
               if (blocklist.isEmpty) b1
               else b1.filter(graft.functions.GraftFunctions
                 .blocklistClean(col(textCol), blocklist))
-            // optional quality gate, the SAME shared expression the
+            // percentile-calibrated quality gate (r15): per-language
+            // rank lookup against the stream-lifetime CDF snapshot —
+            // a bounded distinct-pair probe against a BROADCAST frame,
+            // so like the raw gate it runs before the near-dup stage's
+            // shuffles and the row stream itself never shuffles. The
+            // projection back to b2's columns keeps the ingested
+            // schema unchanged. Ordered BEFORE the raw gate so the
+            // funnel's lexical stage order (2_, 2p_, 2q_) matches the
+            // pipeline's positional order.
+            val b2p = percentileGate.fold(b2) { g =>
+              graft.operators.QualityCal.withPercentile(b2, pctCdf.get,
+                  g.langCol, graft.functions.GraftFunctions
+                    .qualityScore(col(textCol)))
+                .filter(col("pct").isNull || col("pct") >= g.minPct)
+                .select(b2.columns.map(col): _*)
+            }
+            // optional RAW quality gate, the SAME shared expression the
             // batch pipeline_c4 composition scores with — a per-row
             // filter, so it runs BEFORE the near-dup stage's shuffles
-            val b2q = minQuality.fold(b2)(q =>
-              b2.filter(graft.functions.GraftFunctions
+            val b2q = minQuality.fold(b2p)(q =>
+              b2p.filter(graft.functions.GraftFunctions
                 .qualityScore(col(textCol)) >= q))
             // the batch's MinHash signatures, computed ONCE per
             // micro-batch with a lifetime bounded by this batch —
@@ -370,6 +427,7 @@ object Realtime {
             if (auditTable.isDefined) {
               b1.persist(lvl); caches += b1
               if (blocklist.nonEmpty) { b2.persist(lvl); caches += b2 }
+              if (percentileGate.isDefined) { b2p.persist(lvl); caches += b2p }
               if (minQuality.isDefined) { b2q.persist(lvl); caches += b2q }
             }
             try {
@@ -454,6 +512,7 @@ object Realtime {
                   Some("0_batch" -> b.count()),
                   Some("1_exact_dedup" -> b1.count()),
                   Some("2_blocklist" -> b2.count()),
+                  percentileGate.map(_ => "2p_percentile" -> b2p.count()),
                   minQuality.map(_ => "2q_quality" -> b2q.count()),
                   benchSigTable.map(_ => "3_decontam" -> b2d.count()),
                   semanticGate.map(_ => "3s_semantic" -> b2s.count()),
@@ -493,6 +552,7 @@ object Realtime {
             // "batch was empty" and batch ids stay gap-free
             writeAudit(at, b.sparkSession, batchId, Seq(
               Some("0_batch"), Some("1_exact_dedup"), Some("2_blocklist"),
+              percentileGate.map(_ => "2p_percentile"),
               minQuality.map(_ => "2q_quality"),
               benchSigTable.map(_ => "3_decontam"),
               semanticGate.map(_ => "3s_semantic"),
@@ -508,7 +568,8 @@ object Realtime {
     // — the same unbounded-cache hazard the per-micro-batch banding
     // fix closed, recurring at stream granularity. The listener keys
     // on the query id and self-removes after firing.
-    releaseOnTermination(docs.sparkSession, query, semanticBench.toSeq)
+    releaseOnTermination(docs.sparkSession, query,
+      semanticBench.toSeq ++ pctCdf.toSeq)
     query
   }
 

@@ -56,4 +56,37 @@ class QualityFilterSpec extends AnyFunSuite {
       .collect().map(_.getAs[Long]("doc_id")).toSet
     assert(kept.subsetOf(boosted), "higher scores must never lose a kept doc")
   }
+
+  test("QualityCal.withPercentile: range lookup, edge policy, null-safe lang") {
+    import spark.implicits._
+    import graft.operators.QualityCal
+    // snapshot corpus: en cells {0.2(×1), 0.5(×2), 0.8(×1)} → pct
+    // 0.25/0.75/1.0; de cells {0.4, 0.6} → 0.5/1.0; one NULL-lang cell
+    val scored = Seq(
+      (Some("en"), 0.2), (Some("en"), 0.5), (Some("en"), 0.5),
+      (Some("en"), 0.8), (Some("de"), 0.4), (Some("de"), 0.6),
+      (None: Option[String], 0.3))
+      .toDF("lang", "quality")
+    val cdf = QualityCal.cdfOf(scored)
+    val rows = Seq(
+      (1L, Some("en"), 0.5),   // exact cell → its own cume_dist 0.75
+      (2L, Some("en"), 0.65),  // between cells → lower cell's 0.75
+      (3L, Some("en"), 0.1),   // below every en cell → 0.0
+      (4L, Some("de"), 0.6),   // exact top cell → 1.0
+      (5L, Some("fr"), 0.9),   // language absent from snapshot → NULL
+      (6L, None: Option[String], 0.3)) // NULL lang matches its group → 1.0
+      .toDF("doc_id", "lang", "q")
+    val got = QualityCal.withPercentile(rows, cdf, "lang", col("q"))
+      .select("doc_id", "pct").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      .toMap
+    assert(got == Map(
+      1L -> Some(0.75), 2L -> Some(0.75), 3L -> Some(0.0),
+      4L -> Some(1.0), 5L -> None, 6L -> Some(1.0)), s"got $got")
+    // schema contract: original columns intact, pct appended
+    val out = QualityCal.withPercentile(rows, cdf, "lang", col("q"))
+    assert(out.columns.toSeq == Seq("doc_id", "lang", "q", "pct"))
+    // every probe row survives (left join), even the abstained one
+    assert(out.count() == 6)
+  }
 }

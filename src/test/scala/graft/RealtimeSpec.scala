@@ -793,6 +793,101 @@ class RealtimeSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("no 'vec' column"), e2.getMessage)
   }
 
+  test("streaming percentile gate mirrors batch sample_percentile; staleness guards") {
+    import graft.operators.{Dedup, QualityCal}
+    val dir = "/root/testdata/sf0.01"
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text", "lang")
+    val existing = docs.filter(col("doc_id") < Queries.incrementalSplit)
+    val batch = docs.filter(col("doc_id") >= Queries.incrementalSplit)
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select("doc_id").collect().map(_.getLong(0)).toSet
+    val store = new graft.sources.ParquetStore(
+      spark, TestSpark.tempDir("graft_spg_store_"))
+    store.merge("docs", existing, "doc_id")
+    Dedup.buildNearDupStore(store, "sigs", existing, "doc_id", "text",
+      shingleN = Queries.minHashShingleN,
+      numHashes = Queries.minHashNumHashes, bands = Queries.minHashBands)
+    // the calibration snapshot: the full-corpus CDF — the same frame
+    // the batch sample_percentile's per-doc pct derives from
+    QualityCal.buildPercentileStore(store, "quality_cdf", docs, "lang",
+      "text", snapshot = "corpus-v1")
+    // batch twin: exact dedup → the ORACLED batch sampler's pass set
+    // (sample_percentile gates pct >= Queries.percentileGate against
+    // the same snapshot) → near-dup
+    val passDf = SparkEntry.queries("sample_percentile")(spark, dir)
+      .select(col("doc_id"))
+    val kept1 = Dedup.incrementalExact(existing, batch, "doc_id", "text")
+      .withColumnRenamed("id", "doc_id")
+    val b1 = batch.join(kept1, Seq("doc_id"), "left_semi")
+    val b2p = b1.join(passDf, Seq("doc_id"), "left_semi")
+    val kept2 = Dedup.incrementalNearDup(existing, b2p, "doc_id", "text",
+      shingleN = Queries.minHashShingleN,
+      numHashes = Queries.minHashNumHashes, bands = Queries.minHashBands,
+      threshold = Queries.minHashThreshold)
+    val expect = ids(b2p.join(kept2.withColumnRenamed("id", "doc_id"),
+      Seq("doc_id"), "left_semi"))
+    assert(expect.nonEmpty && expect.size < ids(b1).size,
+      "the gate must keep some rows and prune others")
+    val src = TestSpark.tempDir("graft_spg_src_")
+    batch.coalesce(1).write.mode("append").parquet(src)
+    val q = Realtime.streamIngestPipeline(store, "docs", "sigs",
+      spark.readStream.schema("doc_id LONG, text STRING, lang STRING")
+        .parquet(src),
+      "doc_id", "text", TestSpark.tempDir("graft_spg_cp_"),
+      shingleN = Queries.minHashShingleN,
+      numHashes = Queries.minHashNumHashes, bands = Queries.minHashBands,
+      threshold = Queries.minHashThreshold,
+      percentileGate = Some(Realtime.PercentileGate("quality_cdf",
+        Queries.percentileGate, expectSnapshot = Some("corpus-v1"))),
+      auditTable = Some("audit"))
+    q.awaitTermination(120000)
+    val streamed = ids(store.read("docs")
+      .filter(col("doc_id") >= Queries.incrementalSplit))
+    assert(streamed == expect,
+      "streamed percentile-gated chain must equal the batch " +
+        "sample_percentile composition at the same CDF snapshot")
+    // the funnel localizes the drop at the gate's own stage, in
+    // pipeline-positional lexical order (2_ < 2p_ < 2q_)
+    val a = store.read("audit").collect()
+      .map(r => (r.getAs[String]("stage"), r.getAs[Long]("n_docs"))).toMap
+    assert(a == Map(
+      "0_batch" -> ids(batch).size.toLong,
+      "1_exact_dedup" -> ids(b1).size.toLong,
+      "2_blocklist" -> ids(b1).size.toLong,
+      "2p_percentile" -> ids(b2p).size.toLong,
+      "4_near_dedup" -> expect.size.toLong),
+      s"funnel must localize the drop at the percentile stage: $a")
+    // staleness/provenance guards, all at stream START:
+    def startWith(g: Realtime.PercentileGate,
+        schema: String = "doc_id LONG, text STRING, lang STRING") =
+      Realtime.streamIngestPipeline(store, "docs", "sigs",
+        spark.readStream.schema(schema).parquet(src),
+        "doc_id", "text", TestSpark.tempDir("graft_spg_cpbad_"),
+        percentileGate = Some(g))
+    val e1 = intercept[IllegalArgumentException] {
+      startWith(Realtime.PercentileGate("no_such_cdf", 0.8))
+    }
+    assert(e1.getMessage.contains("quality CDF table"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      startWith(Realtime.PercentileGate("quality_cdf", 0.8,
+        expectSnapshot = Some("corpus-v2")))
+    }
+    assert(e2.getMessage.contains("snapshot"), e2.getMessage)
+    // a CDF table of unknown provenance (no _META scorer record)
+    store.overwrite("raw_cdf", store.read("quality_cdf"))
+    val e3 = intercept[IllegalStateException] {
+      startWith(Realtime.PercentileGate("raw_cdf", 0.8))
+    }
+    assert(e3.getMessage.contains("scorer version"), e3.getMessage)
+    // a stream without the language column fails before any work
+    val e4 = intercept[IllegalArgumentException] {
+      startWith(Realtime.PercentileGate("quality_cdf", 0.8),
+        schema = "doc_id LONG, text STRING")
+    }
+    assert(e4.getMessage.contains("no 'lang' column"), e4.getMessage)
+  }
+
   test("streaming windowed counts equal the batch result (one code path)") {
     import spark.implicits._
     val events = (0 until 200).map { i =>
