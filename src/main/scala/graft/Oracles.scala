@@ -2279,6 +2279,30 @@ object Oracles {
          |  doc_id, pct
          |FROM keyed ORDER BY shard, seq""".stripMargin,
 
+    // curriculum export of the CLEANED corpus: the ladder chain's
+    // `final` survivors → quality + per-lang cume_dist over the
+    // SURVIVOR set only (calibrate on what ships) → the same md5
+    // shard/sort-key window as export_curriculum
+    "pipeline_curriculum" ->
+      s"""${ingestChain(decontam = true, semantic = true)},
+         |q AS (${qualitySql(ladderSurvivorsSrc)}),
+         |pctq AS (
+         |  SELECT s.doc_id,
+         |    round(cume_dist() OVER (
+         |      PARTITION BY s.lang ORDER BY q.quality), 6) AS pct
+         |  FROM $ladderSurvivorsSrc s JOIN q USING (doc_id)),
+         |curk AS (
+         |  SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+         |      % ${Queries.exportNShards} AS shard,
+         |    doc_id, pct,
+         |    md5('${Queries.exportOrderSeed}:' || CAST(doc_id AS VARCHAR)) AS sort_key
+         |  FROM pctq)
+         |SELECT shard,
+         |  CAST(row_number() OVER (
+         |    PARTITION BY shard ORDER BY pct, sort_key, doc_id) - 1 AS INT) AS seq,
+         |  doc_id, pct
+         |FROM curk ORDER BY shard, seq""".stripMargin,
+
     "export_shards" ->
       s"""WITH assigned AS (
          |  SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)

@@ -1738,6 +1738,42 @@ object Queries {
         col("level").as("pct"))
       .orderBy(col("shard"), col("seq"))
 
+  /** CURRICULUM export of the CLEANED corpus — the composed terminal a
+    * production run actually ships ([[exportCurriculum]] runs on the
+    * raw table; [[pipelinePack]] packs the ladder's survivors; this
+    * orders them): the full decontamination ladder's survivors,
+    * curriculum-ordered by per-language quality percentile (ascending
+    * — best data LAST, the end-of-run anneal) with the md5 epoch key
+    * as the deterministic tiebreak. The CDF is computed over the
+    * SURVIVORS themselves — calibrate on what ships, not on what was
+    * dropped: after cleaning, "top 20%" must mean top 20% of the
+    * training distribution.
+    *
+    * One composed lazy plan with one internal truncation: the
+    * survivors' (doc_id, lang, quality) frame — NARROW, no text — is
+    * localCheckpointed because the percentile join references its
+    * docs twice (histogram pass + join-back pass) and each reference
+    * would otherwise re-run the ladder's three banded index probes;
+    * with it the chain runs once and both passes read the
+    * materialized 3-column frame (the clusterCanonical convention,
+    * same price class as quality_percentile's documented two corpus
+    * scans). The window is the md5-bucket-bounded per-shard
+    * row_number — no partition outgrows ~|survivors|/nShards.
+    */
+  def pipelineCurriculum(spark: SparkSession, dir: String): DataFrame = {
+    val scored = ingestDecontamTagged(spark, dir, semantic = true)
+      .filter(col("__s4"))
+      .select(col("doc_id"), col("lang"),
+        qualityScore(col("text")).as("quality"))
+      .localCheckpoint(false)
+    operators.Export.shardOrderBy(
+        qualityPercentiledOf(scored).select(col("doc_id"), col("pct")),
+        "doc_id", exportNShards, exportOrderSeed, col("pct"))
+      .select(col("shard"), col("seq"), col("doc_id"),
+        col("level").as("pct"))
+      .orderBy(col("shard"), col("seq"))
+  }
+
   private[graft] val packBudget = 512L
   private[graft] val packShards = 8
 
@@ -2616,18 +2652,36 @@ object Queries {
     * on it.
     */
   private[graft] def ingestDecontamTagged(spark: SparkSession, dir: String,
-      semantic: Boolean = false): DataFrame = {
-    val docs = t(spark, dir, "documents")
-    val batch = docs.filter(col("doc_id") >= incrementalSplit &&
-      col("doc_id") < decontamNearDupSplit)
-    val store = fullSigStore(spark, dir)
-    val corpusPred = Some(col("id") < incrementalSplit)
+      semantic: Boolean = false): DataFrame =
+    ingestDecontamTaggedOn(fullSigStore(spark, dir),
+      t(spark, dir, "documents").filter(col("doc_id") >= incrementalSplit &&
+        col("doc_id") < decontamNearDupSplit),
+      corpusPred = col("id") < incrementalSplit,
+      batchPred = col("id") >= incrementalSplit &&
+        col("id") < decontamNearDupSplit,
+      benchPred = col("id") >= decontamNearDupSplit,
+      semFlagged =
+        if (!semantic) None
+        else Some(ladderSemanticFlags(spark, dir).localCheckpoint(false)))
+
+  /** [[ingestDecontamTagged]]'s core over caller-supplied split views
+    * of a signature store — parameterized so ScaleSpec's 100×-corpus
+    * rung can drive the SAME composed chain with the rung's own
+    * corpus/batch/benchmark predicates (the production entry above
+    * fixes them to the sf constants). `semFlagged`, when present,
+    * must already be lineage-truncated (the wrapper localCheckpoints
+    * it) — it is referenced by two branches.
+    */
+  private[graft] def ingestDecontamTaggedOn(
+      store: graft.sources.ParquetStore, batch: DataFrame,
+      corpusPred: Column, batchPred: Column, benchPred: Column,
+      semFlagged: Option[DataFrame]): DataFrame = {
     // checkpointed like `contaminated` below: the exact-stage id list
     // is tiny but its bloom-gated index probe is referenced both by
     // the chain (through b2d inside the near-dup stage) and the tag
     // join
     val kept1 = Dedup.incrementalExactStored(store, "sigs", batch,
-        "doc_id", "text", corpusPred = corpusPred)
+        "doc_id", "text", corpusPred = Some(corpusPred))
       .withColumnRenamed("id", "doc_id")
       .localCheckpoint(false)
     val b1 = batch.join(kept1, Seq("doc_id"), "left_semi")
@@ -2640,22 +2694,18 @@ object Queries {
     // the branches share the materialized id list (the
     // clusterCanonical convention)
     val contaminated = Dedup.contaminatedDocsNearDupStored(store, "sigs",
-        col("id") >= incrementalSplit && col("id") < decontamNearDupSplit,
-        col("id") >= decontamNearDupSplit, threshold = minHashThreshold)
+        batchPred, benchPred, threshold = minHashThreshold)
       .select(col("id").as("doc_id"))
       .localCheckpoint(false)
     val b2d = b2.join(contaminated, Seq("doc_id"), "left_anti")
-    // the semantic rung's flag set (checkpointed for the same three-
-    // branch reason): vec_id ≡ doc_id by the generator's contract,
-    // the same pairing mine_hard_negatives gates on
-    val semFlagged =
-      if (!semantic) None
-      else Some(ladderSemanticFlags(spark, dir).localCheckpoint(false))
+    // the semantic rung's flag set (checkpointed by the caller for the
+    // same three-branch reason): vec_id ≡ doc_id by the generator's
+    // contract, the same pairing mine_hard_negatives gates on
     val b2x = semFlagged.fold(b2d)(f => b2d.join(f, Seq("doc_id"), "left_anti"))
     val kept2 = Dedup.incrementalNearDupStored(store, "sigs", b2x,
         "doc_id", "text", shingleN = minHashShingleN,
         numHashes = minHashNumHashes, bands = minHashBands,
-        threshold = minHashThreshold, corpusPred = corpusPred)
+        threshold = minHashThreshold, corpusPred = Some(corpusPred))
       .withColumnRenamed("id", "doc_id")
     val tagged0 = batch
       .join(kept1.withColumn("__m1", lit(true)), Seq("doc_id"), "left")
@@ -3793,6 +3843,7 @@ object Queries {
     "export_shards" -> (exportShardManifest _),
     "export_order" -> (exportOrder _),
     "export_curriculum" -> (exportCurriculum _),
+    "pipeline_curriculum" -> (pipelineCurriculum _),
     "split_assign" -> (splitAssign _),
     "contamination_report" -> (contaminationReport _),
     "mm_describe" -> (mmDescribe _),

@@ -236,6 +236,39 @@ class MixPackSpec extends AnyFunSuite {
     }
   }
 
+  test("pipeline_curriculum: ladder-survivor membership, dense seq, survivor-calibrated pct") {
+    // the sf0.01 fixtures plant the ladder's drops; sf0.001 has no
+    // planted leakage, so the composed terminal is checked at 0.01
+    val pdir = "/root/testdata/sf0.01"
+    val cur = Queries.all("pipeline_curriculum")(spark, pdir).collect()
+    // membership ≡ the CLEANED corpus: exactly the docs the terminal
+    // packing places (pipeline_pack_offsets is the per-doc view of
+    // pipeline_pack's survivor set)
+    val packed = Queries.all("pipeline_pack_offsets")(spark, pdir)
+      .select("doc_id").collect().map(_.getAs[Long]("doc_id")).toSet
+    val curIds = cur.map(_.getAs[Long]("doc_id")).toSet
+    assert(curIds == packed,
+      s"curriculum membership must equal the terminal packing's survivor " +
+        s"set: ${curIds.size} vs ${packed.size}")
+    // dense per-shard seq + anneal order (best data last), like
+    // export_curriculum
+    cur.groupBy(_.getAs[Long]("shard")).foreach { case (shard, rows) =>
+      val sorted = rows.sortBy(_.getAs[Int]("seq"))
+      assert(sorted.map(_.getAs[Int]("seq")).toSeq == sorted.indices.toSeq,
+        s"shard $shard: seq not dense from 0")
+      val pcts = sorted.map(_.getAs[Double]("pct"))
+      assert(pcts.zip(pcts.tail).forall { case (a, b) => a <= b },
+        s"shard $shard: pct must be non-decreasing along seq")
+    }
+    // the pct is calibrated on the SURVIVORS, not the raw corpus: the
+    // maximum percentile per language must be exactly 1.0 (the best
+    // surviving doc of each language IS its language's top), which a
+    // raw-corpus CDF would violate whenever a language's best raw doc
+    // was dropped by the ladder
+    val topByLangOk = cur.map(_.getAs[Double]("pct")).max == 1.0
+    assert(topByLangOk, "survivor CDF must top out at exactly 1.0")
+  }
+
   test("dedup_source_matrix: equals the brute-force doc-pair count") {
     // independent plain-Scala oracle over the small corpus: the same
     // normalization as Dedup.normHash (lower, trim, collapse ws),

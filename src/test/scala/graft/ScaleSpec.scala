@@ -556,6 +556,87 @@ class ScaleSpec extends AnyFunSuite {
         "not delta size")
   }
 
+  /** One fixed-delta run of the FULL decontamination ladder against a
+    * salted rung's corpus: the salted replicas (ids >= maxBase) join
+    * the replica-0 head as CORPUS, while the batch and benchmark
+    * slices stay the replica-0 production ranges — so across rungs the
+    * delta and the benchmark are byte-identical and ONLY the corpus
+    * (hence the index) grows. All three index stages probe the one
+    * store built over the rung's full corpus (the CREATE INDEX
+    * analogue, excluded from the timing); the semantic rung's flag
+    * set is computed from the BASE embeddings (batch/benchmark vectors
+    * are corpus-independent by the ladder's design). Returns (wall,
+    * survivor ids) so the rungs can also assert the ANSWER is
+    * rung-invariant — salted replicas are shingle-disjoint, so a
+    * survivor set that shifts with corpus size means a probe leak.
+    */
+  private def ladderFixedDeltaRun(dir: String): (Double, Set[Long]) = {
+    import spark.implicits._
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+    // the batch delta, collected local like storedNearDupFixedDeltaRun
+    // so its lineage never touches the rung's documents parquet
+    val batch = d.filter(col("doc_id") >= Queries.incrementalSplit &&
+        col("doc_id") < Queries.decontamNearDupSplit)
+      .select(col("doc_id"), col("text"), col("lang"))
+      .as[(Long, String, String)].collect().toSeq
+      .toDF("doc_id", "text", "lang")
+    // same maxBase formula as writeSalted's id remap
+    val maxBase = docs.agg(max(col("doc_id"))).head().getLong(0) + 1
+    val root = TestSpark.tempDir("graft_ladder_rung_")
+    val store = new graft.sources.ParquetStore(spark, root,
+      nBuckets = 8, filesPerBucket = 1)
+    graft.operators.Dedup.buildNearDupStore(store, "sigs", d,
+      "doc_id", "text", shingleN = Queries.minHashShingleN,
+      numHashes = Queries.minHashNumHashes, bands = Queries.minHashBands)
+    val semFlagged = Queries.ladderSemanticFlags(spark, base)
+      .localCheckpoint(false)
+    val q = Queries.ingestDecontamTaggedOn(store, batch,
+        corpusPred = col("id") < Queries.incrementalSplit ||
+          col("id") >= maxBase,
+        batchPred = col("id") >= Queries.incrementalSplit &&
+          col("id") < Queries.decontamNearDupSplit,
+        benchPred = col("id") >= Queries.decontamNearDupSplit &&
+          col("id") < maxBase,
+        semFlagged = Some(semFlagged))
+      .filter(col("__s4")).select("doc_id")
+    // the zero-corpus-text lock, asserted ON THE RUNG: every stage of
+    // the composed chain reads the narrow signature index (and the
+    // local batch delta) — a plan that scans the rung's documents
+    // parquet is reading corpus text and will track corpus size
+    assert(!q.queryExecution.executedPlan.toString.contains(dir),
+      "the composed ladder chain must never scan the rung corpus' text")
+    val t0 = System.nanoTime()
+    val survivors = q.collect().map(_.getLong(0)).toSet
+    ((System.nanoTime() - t0) / 1e9, survivors)
+  }
+
+  test("full ladder chain: fixed delta, 100x corpus — wall ~flat, survivors invariant", ScaleTest) {
+    // the flagship composed claim at the next decade (r15): the entire
+    // ladder — exact probe, shingle decontamination, semantic rung,
+    // near-dup — is bounded by the delta plus narrow gated index
+    // probes, so a corpus grown 100x under the SAME fixed 200-doc
+    // batch must leave the chain's wall an order of magnitude under
+    // linear (linear would be ~100x; the bound allows 10x over the
+    // floored 1x time), and must not change the ANSWER (replicas are
+    // shingle-disjoint by construction).
+    measured // force dirs (salted1 exists)
+    val salted100 = TestSpark.tempDir("graft_scale_ladder100_")
+    writeSalted(100, salted100)
+    ladderFixedDeltaRun(dirs("salted1"))
+    val (t1, s1) = ladderFixedDeltaRun(dirs("salted1"))
+    ladderFixedDeltaRun(salted100)
+    val (t100, s100) = ladderFixedDeltaRun(salted100)
+    info(f"ladder fixed-delta 1x=$t1%.2fs 100x=$t100%.2fs ratio=${t100 / math.max(t1, 1e-9)}%.1fx")
+    assert(s1.nonEmpty, "fixture must ladder-ingest a nonempty survivor set")
+    assert(s100 == s1,
+      s"survivor set must be corpus-size-invariant: ${s1.size} at 1x vs " +
+        s"${s100.size} at 100x")
+    assert(t100 < 10.0 * math.max(t1, 0.5),
+      f"composed ladder: fixed-delta chain took $t100%.2fs at 100x corpus " +
+        f"vs $t1%.2fs at 1x — a stage's cost is tracking corpus size, " +
+        "not delta size")
+  }
+
   test("SemDeDup scales sub-quadratically to 10x when nClusters follows √N", ScaleTest) {
     // the query entry pins nClusters=16 for oracle determinism; the
     // OPERATOR's scale contract is nClusters ~ √N (Dedup.semanticDedup
