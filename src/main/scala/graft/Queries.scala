@@ -3244,21 +3244,57 @@ object Queries {
   private[graft] val passageChunkChars = 80
   def passageSearch(spark: SparkSession, dir: String): DataFrame = {
     val provider = new graft.providers.DeterministicHashProvider(64)
-    val chunkUdf = udf((s: String) =>
-      chunkTextScala(s, passageChunkChars))
-    val embUdf = udf((s: String) => provider.embedOne(s).toSeq)
-    val qv = provider.embedOne(vzQueryText)
-    val best = t(spark, dir, "documents")
-      .select(col("doc_id"),
-        posexplode(chunkUdf(col("text"))).as(Seq("chunk_idx", "chunk")))
-      .select(col("doc_id"), col("chunk_idx"),
-        cosineSimilarity(embUdf(col("chunk")), lit(qv)).as("cos"))
-      .filter(col("cos").isNotNull)
-      .groupBy(col("doc_id"))
-      .agg(max(struct(col("cos").as("c"), (-col("chunk_idx")).as("ni"))).as("__b"))
-    best
-      .select(col("doc_id"), (-col("__b.ni")).as("chunk_idx"),
-        col("__b.c").as("cosF"))
+    val qv: Array[Float] = provider.embedOne(vzQueryText)
+    // ONE fused doc-grain UDF: chunk → embed → cosine → per-doc argmax
+    // in a tight primitive loop (r15). The previous shape paid TWO UDF
+    // boundaries per chunk (chunker + embedder), boxed a Seq[Float]
+    // per chunk, and shuffled a chunk-grain frame into a doc-grain
+    // argmax aggregate; the allocation pressure made the wall-clock
+    // GC-window-sensitive — 0.47s vs 3.2s across official bench
+    // windows on identical code. The fused loop allocates only the
+    // provider's embedding array per chunk, and the in-loop argmax
+    // removes both the explode and the aggregation shuffle (the
+    // nearestCentroidUdf precedent). Semantics are bit-identical to
+    // the old plan: same chunker and provider, the exact
+    // CosineSimilarity combine (sqrt(na)·sqrt(nb) denominator, null on
+    // zero — such chunks skip, as the old isNotNull filter dropped
+    // them), and Double.compare ties replicate the struct-max
+    // (cos, -chunk_idx) rule (-0.0 < 0.0, earliest chunk on exact
+    // ties).
+    val bestUdf = udf((text: String) => {
+      val chunks = chunkTextScala(text, passageChunkChars)
+      var bestIdx = -1
+      var bestCos = 0.0
+      var i = 0
+      val it = chunks.iterator
+      while (it.hasNext) {
+        val e = provider.embedOne(it.next())
+        var dot = 0.0; var na = 0.0; var nb = 0.0
+        var j = 0
+        while (j < e.length) {
+          val x = e(j).toDouble; val y = qv(j).toDouble
+          dot += x * y; na += x * x; nb += y * y
+          j += 1
+        }
+        val denom = math.sqrt(na) * math.sqrt(nb)
+        if (denom != 0.0) {
+          val cos = dot / denom
+          if (bestIdx < 0 || java.lang.Double.compare(cos, bestCos) > 0) {
+            bestIdx = i; bestCos = cos
+          }
+        }
+        i += 1
+      }
+      if (bestIdx < 0) null else (bestIdx, bestCos)
+    })
+    // evalOnce: the isNotNull gate references the UDF's alias, and
+    // PushDownPredicates would otherwise inline the whole embed loop
+    // into the Filter (every doc chunked+embedded twice)
+    t(spark, dir, "documents")
+      .select(col("doc_id"), evalOnce(bestUdf(col("text"))).as("__b"))
+      .filter(col("__b").isNotNull)
+      .select(col("doc_id"), col("__b._1").as("chunk_idx"),
+        col("__b._2").as("cosF"))
       .orderBy(col("cosF").desc, col("doc_id").asc)
       .limit(10)
       .select(col("doc_id"), col("chunk_idx"),
