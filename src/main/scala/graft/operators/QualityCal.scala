@@ -55,9 +55,13 @@ object QualityCal {
     */
   def cdfOf(scored: DataFrame, langCol: String = "lang",
       qualityCol: String = "quality"): DataFrame = {
-    val wCdf = Window.partitionBy(col(langCol)).orderBy(col(qualityCol))
+    // the windows run over the histogram's OUTPUT columns (aliased to
+    // the canonical lang/quality), not the caller's input names —
+    // referencing col(langCol) post-groupBy would fail analysis for
+    // any non-default name
+    val wCdf = Window.partitionBy(col("lang")).orderBy(col("quality"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wLang = Window.partitionBy(col(langCol))
+    val wLang = Window.partitionBy(col("lang"))
     scored
       .groupBy(col(langCol).as("lang"), col(qualityCol).as("quality"))
       .agg(count(lit(1)).as("__n"))

@@ -437,6 +437,26 @@ class PlanSpec extends AnyFunSuite {
       s"expected <=2 hash exchanges (histogram agg + tiny lang window), got $nHash:\n$plan")
   }
 
+  test("pipeline_curriculum: survivor CDF broadcasts, bounded exchanges, no sort-merge") {
+    // the ladder subtree sits behind the survivors' localCheckpoint
+    // (it executes once; the visible plan reads the materialized
+    // narrow frame), so the locked shape is the percentile + export
+    // composition: the survivor-histogram CDF must come back via a
+    // BROADCAST join, the only hash exchanges are the histogram agg,
+    // the tiny lang window, and the md5-bucket-bounded shard window —
+    // and nothing may sort-merge
+    val plan = SparkEntry.queries("pipeline_curriculum")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin"),
+      s"pipeline_curriculum must never sort-merge:\n$plan")
+    assert("BroadcastHashJoin".r.findFirstIn(plan).isDefined,
+      s"the survivor CDF must broadcast back:\n$plan")
+    val nHash = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(nHash <= 3,
+      s"expected <=3 hash exchanges (histogram agg + lang window + " +
+        s"shard window), got $nHash:\n$plan")
+  }
+
   test("dedup_source_matrix: pairs from counts — no doc-level pair join") {
     val plan = SparkEntry.queries("dedup_source_matrix")(spark, dir)
       .queryExecution.executedPlan.toString
