@@ -97,6 +97,22 @@ object Oracles {
     * [[:punct:]] == Java \p{Punct}, both ASCII), same whitespace
     * tokenization, same left-associative signal sum before the /5.0.
     */
+  /** The per-lang percentile gate replay — ONE definition shared by
+    * `sample_percentile` (histogram-CDF equi-join path) and
+    * `sample_percentile_snapshot` (persisted-store range-lookup path):
+    * the two engine paths must produce the identical gated set, so
+    * they share the oracle verbatim.
+    */
+  private lazy val samplePercentileSql: String =
+    s"""WITH q AS (${qualitySql("documents")}),
+       |p AS (
+       |  SELECT d.doc_id, d.lang, q.quality,
+       |    round(cume_dist() OVER (PARTITION BY d.lang ORDER BY q.quality), 6) AS pct
+       |  FROM documents d JOIN q USING (doc_id))
+       |SELECT doc_id, lang, quality, pct FROM p
+       |WHERE pct >= ${Queries.percentileGate}
+       |ORDER BY doc_id""".stripMargin
+
   private def qualitySql(src: String): String = {
     val stopList = graft.functions.TextAnalyzer.stopwords.toSeq.sorted
       .map(w => s"'$w'").mkString(", ")
@@ -1964,15 +1980,14 @@ object Oracles {
     // the percentile GATE: same CDF replay, keep pct >= gate — both
     // engines compare the identical rounded double, so the keep set
     // cannot disagree at the boundary
-    "sample_percentile" ->
-      s"""WITH q AS (${qualitySql("documents")}),
-         |p AS (
-         |  SELECT d.doc_id, d.lang, q.quality,
-         |    round(cume_dist() OVER (PARTITION BY d.lang ORDER BY q.quality), 6) AS pct
-         |  FROM documents d JOIN q USING (doc_id))
-         |SELECT doc_id, lang, quality, pct FROM p
-         |WHERE pct >= ${Queries.percentileGate}
-         |ORDER BY doc_id""".stripMargin,
+    "sample_percentile" -> samplePercentileSql,
+    // the persisted-snapshot serving path (QualityCal.withPercentile
+    // range lookup against the built CDF store): against a snapshot of
+    // the same corpus the range lookup reduces to each row's own
+    // cume_dist, so the engine must reproduce sample_percentile's
+    // answer exactly — shared SQL, answer-equality is the contract
+    // (the decontaminate_bloom convention)
+    "sample_percentile_snapshot" -> samplePercentileSql,
 
     // The composed corpus-preparation pipeline: benchmark exclusion →
     // quality gate (on the ROUNDED score, see Queries.pipelineCorpus)

@@ -2118,6 +2118,51 @@ object Queries {
       .filter(col("pct") >= percentileGate)
       .orderBy(col("doc_id"))
 
+  private val pctCdfStoreCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Build-once persisted quality-CDF calibration snapshot over the
+    * corpus — the batch twin of the streaming gate's store
+    * ([[operators.QualityCal.buildPercentileStore]]); tiny (≤10001
+    * cells per language), rebuilt per (session, dir) like
+    * [[fullSigStore]]. */
+  private def pctCdfStore(spark: SparkSession, dir: String)
+      : graft.sources.ParquetStore = {
+    val root = pctCdfStoreCache.computeIfAbsent(cacheKey(spark, dir), { _ =>
+      val p = java.nio.file.Files.createTempDirectory("graft_pctcdf_").toString
+      operators.QualityCal.buildPercentileStore(
+        new graft.sources.ParquetStore(spark, p), "quality_cdf",
+        t(spark, dir, "documents"), "lang", "text", snapshot = "corpus-v1")
+      p
+    })
+    new graft.sources.ParquetStore(spark, root)
+  }
+
+  /** [[samplePercentile]] served through the PERSISTED calibration
+    * snapshot — the production serving path: the gate probes the
+    * store table by RANGE lookup ([[operators.QualityCal
+    * .withPercentile]]: distinct (lang, quality) pairs vs the
+    * broadcast CDF, max cell ≤ the row's quality, rows never shuffle)
+    * after [[operators.QualityCal.requireCdf]] clears the snapshot's
+    * provenance — exactly what the streaming percentile gate runs per
+    * micro-batch. Against a snapshot of the SAME corpus the range
+    * lookup reduces to each row's own cume_dist, so this shares
+    * sample_percentile's oracle-level answer while exercising the
+    * store/probe path end-to-end.
+    */
+  def samplePercentileSnapshot(spark: SparkSession, dir: String): DataFrame = {
+    val store = pctCdfStore(spark, dir)
+    operators.QualityCal.requireCdf(store, "quality_cdf",
+      "sample_percentile_snapshot", expectSnapshot = Some("corpus-v1"))
+    val scored = t(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), qualityScore(col("text")).as("quality"))
+    operators.QualityCal.withPercentile(scored, store.read("quality_cdf"),
+        "lang", col("quality"))
+      .filter(col("pct") >= percentileGate)
+      .select(col("doc_id"), col("lang"), col("quality"), col("pct"))
+      .orderBy(col("doc_id"))
+  }
+
   /** The percentile frame (doc_id, lang, quality, pct) without the
     * presentation sort — see [[qualityPercentile]] for the design.
     * The join back is NULL-SAFE on lang (<=>): a NULL-language doc
@@ -3895,6 +3940,7 @@ object Queries {
     "text_quality_score" -> (textQualityScore _),
     "quality_percentile" -> (qualityPercentile _),
     "sample_percentile" -> (samplePercentile _),
+    "sample_percentile_snapshot" -> (samplePercentileSnapshot _),
     "text_repetition" -> (textRepetition _),
     "text_language_id" -> (textLanguageId _),
     "text_fingerprint" -> (textFingerprint _),
