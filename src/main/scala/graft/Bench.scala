@@ -27,11 +27,15 @@ object Bench {
     * Source order: `SPARK_GRAFT_BENCH_BASELINE` (a path; "" or "none"
     * disables the tiebreak) → `git show HEAD:BENCH_FULL.json` (the
     * official record — the WORKING-TREE file may be a stale local
-    * sf0.01 run) → the working-tree file. Any failure degrades to an
-    * empty map (tiebreak off), never an error: the baseline is
-    * diagnostic, a bench must run without one.
+    * sf0.01 run) → the working-tree file. A baseline recorded at a
+    * DIFFERENT scale factor than this run (the record's `sf` field)
+    * is discarded: comparing an sf1 run against sf0.1 times would
+    * fire the "regression" retry on essentially every query and bury
+    * real regressions in noise. Any failure degrades to an empty map
+    * (tiebreak off), never an error: the baseline is diagnostic, a
+    * bench must run without one.
     */
-  private def baselineTimes(): Map[String, Double] = {
+  private def baselineTimes(sfDir: String): Map[String, Double] = {
     def readFile(path: String): Option[String] =
       try Some(new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get(path)), "UTF-8"))
@@ -47,7 +51,13 @@ object Bench {
       case Some(path) => readFile(path)
       case None => gitShow().orElse(readFile("BENCH_FULL.json"))
     }
-    src.map(parseQueriesMap).getOrElse(Map.empty)
+    src match {
+      case Some(json) =>
+        val sfOk = "\"sf\":\"([^\"]*)\"".r.findFirstMatchIn(json)
+          .forall(_.group(1) == sfDir)
+        if (sfOk) parseQueriesMap(json) else Map.empty
+      case None => Map.empty
+    }
   }
 
   /** The flat `"queries":{...}` map of a BENCH_FULL/BENCH_r JSON line
@@ -99,7 +109,7 @@ object Bench {
     case class QRun(name: String, sec: Double, ok: Boolean,
                     startEpochSec: Long, load1m: Double,
                     attempts: Seq[Double], retry: String)
-    val baseline = baselineTimes()
+    val baseline = baselineTimes(sfDir)
     // Best-of-N (default 2): the official runner benches on a shared
     // sandbox where a single load spike printed 18.5 s for a query
     // that measures 0.80 s idle (r11 f5_websearch). Per query the

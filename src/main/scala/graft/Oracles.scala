@@ -90,13 +90,6 @@ object Oracles {
        |  SELECT doc_id, ROUND(1.0 / (1.0 + EXP(-(z + ic.icept))), 4) AS qscore
        |  FROM s, ic)""".stripMargin
 
-  /** Quality-score SELECT over relation `src`(doc_id, text) —
-    * subquery form so composed oracles (pipeline_corpus) can apply it
-    * to an intermediate CTE. Mirrors GraftFunctions.qualityScore
-    * signal by signal: same char classes (RE2 \p{L} == Java \p{L};
-    * [[:punct:]] == Java \p{Punct}, both ASCII), same whitespace
-    * tokenization, same left-associative signal sum before the /5.0.
-    */
   /** The per-lang percentile gate replay — ONE definition shared by
     * `sample_percentile` (histogram-CDF equi-join path) and
     * `sample_percentile_snapshot` (persisted-store range-lookup path):
@@ -113,6 +106,13 @@ object Oracles {
        |WHERE pct >= ${Queries.percentileGate}
        |ORDER BY doc_id""".stripMargin
 
+  /** Quality-score SELECT over relation `src`(doc_id, text) —
+    * subquery form so composed oracles (pipeline_corpus) can apply it
+    * to an intermediate CTE. Mirrors GraftFunctions.qualityScore
+    * signal by signal: same char classes (RE2 \p{L} == Java \p{L};
+    * [[:punct:]] == Java \p{Punct}, both ASCII), same whitespace
+    * tokenization, same left-associative signal sum before the /5.0.
+    */
   private def qualitySql(src: String): String = {
     val stopList = graft.functions.TextAnalyzer.stopwords.toSeq.sorted
       .map(w => s"'$w'").mkString(", ")

@@ -3825,6 +3825,7 @@ object Queries {
     postingsIndex(spark, dir)
     bpeMerges(spark, dir)
     fullSigStore(spark, dir)
+    pctCdfStore(spark, dir)
     // train-once model/centroid fits (the CREATE MODEL analogues) —
     // without these the alphabetically-first consumer query is
     // charged the whole fit (r11 bench: eval_quality_pr carried the

@@ -357,7 +357,7 @@ object Realtime {
           .toDF("audit_key", "batch_id", "stage", "n_docs"),
         "audit_key")
     }
-    val query = docs.writeStream
+    val writer = docs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
@@ -379,6 +379,19 @@ object Realtime {
               if (blocklist.isEmpty) b1
               else b1.filter(graft.functions.GraftFunctions
                 .blocklistClean(col(textCol), blocklist))
+            // every frame cached here lives for this batch's lifetime —
+            // gate survivors and their signature subsets are read by
+            // several downstream branches, and an unpersisted derived
+            // frame would re-execute the whole gate subplan per
+            // reference. `cached` is idempotent by reference so a
+            // frame needed by two reasons persists (and unpersists)
+            // exactly once.
+            val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+            val caches = scala.collection.mutable.ListBuffer.empty[DataFrame]
+            def cached(df: DataFrame): DataFrame = {
+              if (!caches.exists(_ eq df)) { df.persist(lvl); caches += df }
+              df
+            }
             // percentile-calibrated quality gate (r15): per-language
             // rank lookup against the stream-lifetime CDF snapshot —
             // a bounded distinct-pair probe against a BROADCAST frame,
@@ -387,9 +400,14 @@ object Realtime {
             // projection back to b2's columns keeps the ingested
             // schema unchanged. Ordered BEFORE the raw gate so the
             // funnel's lexical stage order (2_, 2p_, 2q_) matches the
-            // pipeline's positional order.
+            // pipeline's positional order. The gate's INPUT frame is
+            // cached unconditionally: the lookup references it twice
+            // (distinct-pair pass + join-back pass), and uncached each
+            // reference would re-run the accumulated-index exact probe
+            // and blocklist chain (the two-reference trap
+            // qualityPercentiledOf's scaladoc warns about).
             val b2p = percentileGate.fold(b2) { g =>
-              graft.operators.QualityCal.withPercentile(b2, pctCdf.get,
+              graft.operators.QualityCal.withPercentile(cached(b2), pctCdf.get,
                   g.langCol, graft.functions.GraftFunctions
                     .qualityScore(col(textCol)))
                 .filter(col("pct").isNull || col("pct") >= g.minPct)
@@ -408,27 +426,18 @@ object Realtime {
             // otherwise re-shingle + re-hash the rows internally AND
             // leave a never-unpersisted cache entry per micro-batch,
             // unbounded over an always-on stream)
-            val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-            val bSig = graft.operators.Dedup
-              .minHashSigOf(b2q, idCol, textCol, shingleN, numHashes)
-              .persist(lvl)
-            // every frame cached for this batch's lifetime — the
-            // gate's survivors and THEIR signature subset are each
-            // read by several downstream branches, and an unpersisted
-            // derived frame would re-execute the whole gate subplan
-            // per reference (also violating batchSig's
-            // "already persisted" contract)
-            val caches = scala.collection.mutable.ListBuffer(bSig)
+            val bSig = cached(graft.operators.Dedup
+              .minHashSigOf(b2q, idCol, textCol, shingleN, numHashes))
             // with the audit on, the per-stage frames are counted a
             // second time after the chain materializes — cache the
             // distinct ones (delta-sized) so those counts reuse the
             // chain's execution instead of re-running the exact
             // probe's accumulated-index scan per count
             if (auditTable.isDefined) {
-              b1.persist(lvl); caches += b1
-              if (blocklist.nonEmpty) { b2.persist(lvl); caches += b2 }
-              if (percentileGate.isDefined) { b2p.persist(lvl); caches += b2p }
-              if (minQuality.isDefined) { b2q.persist(lvl); caches += b2q }
+              cached(b1)
+              if (blocklist.nonEmpty) cached(b2)
+              if (percentileGate.isDefined) cached(b2p)
+              if (minQuality.isDefined) cached(b2q)
             }
             try {
               // optional decontamination gate: rows near-duplicating
@@ -560,41 +569,61 @@ object Realtime {
           }
         } finally b.unpersist()
       }
-      .start()
     // release the stream-LIFETIME caches when this query terminates
-    // (ADVICE r14): semanticBench is persisted once per pipeline call,
-    // so a long-lived process that starts/stops many gated streams
-    // would otherwise accumulate one cached benchmark copy per stream
-    // — the same unbounded-cache hazard the per-micro-batch banding
-    // fix closed, recurring at stream granularity. The listener keys
-    // on the query id and self-removes after firing.
-    releaseOnTermination(docs.sparkSession, query,
-      semanticBench.toSeq ++ pctCdf.toSeq)
-    query
+    // (ADVICE r14): semanticBench and the CDF snapshot are persisted
+    // once per pipeline call, so a long-lived process that starts/
+    // stops many gated streams would otherwise accumulate one cached
+    // copy per stream — the same unbounded-cache hazard the
+    // per-micro-batch banding fix closed, recurring at stream
+    // granularity.
+    startReleasing(docs.sparkSession,
+      semanticBench.toSeq ++ pctCdf.toSeq)(writer.start())
   }
 
-  /** Register a self-removing [[StreamingQueryListener]] that
-    * unpersists `caches` when `query` terminates — the lifetime
-    * manager for frames a streaming pipeline persists once at start
-    * and reads on every micro-batch.
+  /** Start a streaming query with stream-lifetime `caches` released on
+    * its termination — and on a FAILED start. The listener registers
+    * BEFORE `start` runs: with AvailableNow over a tiny source the
+    * QueryTerminatedEvent can hit the async listener bus before a
+    * post-start addListener takes effect, and the caches would leak
+    * for the session (the exact accumulation this exists to prevent).
+    * The termination handler blocks (bounded) on the started query's
+    * id, because an event for an UNRELATED query can arrive while our
+    * start() is still in flight and must not release anything; once
+    * the id resolves the wait is free. If start() itself throws, the
+    * caches unpersist immediately and the listener is removed.
     */
-  private def releaseOnTermination(sess: org.apache.spark.sql.SparkSession,
-      query: StreamingQuery, caches: Seq[DataFrame]): Unit =
-    if (caches.nonEmpty) {
-      val streams = sess.streams
-      streams.addListener(new StreamingQueryListener {
-        override def onQueryStarted(
-            e: StreamingQueryListener.QueryStartedEvent): Unit = ()
-        override def onQueryProgress(
-            e: StreamingQueryListener.QueryProgressEvent): Unit = ()
-        override def onQueryTerminated(
-            e: StreamingQueryListener.QueryTerminatedEvent): Unit =
-          if (e.id == query.id) {
-            caches.foreach(_.unpersist())
-            streams.removeListener(this)
-          }
-      })
+  private def startReleasing(sess: org.apache.spark.sql.SparkSession,
+      caches: Seq[DataFrame])(start: => StreamingQuery): StreamingQuery = {
+    if (caches.isEmpty) return start
+    val streams = sess.streams
+    val startedId = new java.util.concurrent.CompletableFuture[java.util.UUID]()
+    val listener = new StreamingQueryListener {
+      override def onQueryStarted(
+          e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(
+          e: StreamingQueryListener.QueryProgressEvent): Unit = ()
+      override def onQueryTerminated(
+          e: StreamingQueryListener.QueryTerminatedEvent): Unit = {
+        val qid =
+          try startedId.get(60, java.util.concurrent.TimeUnit.SECONDS)
+          catch { case _: Throwable => null }
+        if (qid != null && e.id == qid) {
+          caches.foreach(_.unpersist())
+          streams.removeListener(this)
+        }
+      }
     }
+    streams.addListener(listener)
+    val query =
+      try start
+      catch { case t: Throwable =>
+        streams.removeListener(listener)
+        caches.foreach(_.unpersist())
+        throw t
+      }
+    startedId.complete(query.id)
+    query
+  }
 
   /** Windowed event-stream aggregation with watermarking — the
     * streaming-analytics shape (late data dropped after the

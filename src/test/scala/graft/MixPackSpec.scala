@@ -261,12 +261,21 @@ class MixPackSpec extends AnyFunSuite {
         s"shard $shard: pct must be non-decreasing along seq")
     }
     // the pct is calibrated on the SURVIVORS, not the raw corpus: the
-    // maximum percentile per language must be exactly 1.0 (the best
-    // surviving doc of each language IS its language's top), which a
-    // raw-corpus CDF would violate whenever a language's best raw doc
-    // was dropped by the ladder
-    val topByLangOk = cur.map(_.getAs[Double]("pct")).max == 1.0
-    assert(topByLangOk, "survivor CDF must top out at exactly 1.0")
+    // maximum percentile of EVERY language must be exactly 1.0 (each
+    // language's best surviving doc IS its language's top), which a
+    // raw-corpus CDF would violate for any language whose best raw doc
+    // was dropped by the ladder — per-language, because a global max
+    // would pass as long as ONE language happened to calibrate right
+    val langOf = spark.read.parquet(s"$pdir/documents.parquet")
+      .select("doc_id", "lang").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        Option(r.getAs[String]("lang")).getOrElse("∅")).toMap
+    cur.groupBy(r => langOf(r.getAs[Long]("doc_id")))
+      .foreach { case (lang, rows) =>
+        val top = rows.map(_.getAs[Double]("pct")).max
+        assert(top == 1.0,
+          s"survivor CDF for lang $lang must top out at exactly 1.0, got $top")
+      }
   }
 
   test("dedup_source_matrix: equals the brute-force doc-pair count") {
