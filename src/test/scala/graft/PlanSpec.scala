@@ -457,6 +457,23 @@ class PlanSpec extends AnyFunSuite {
         s"shard window), got $nHash:\n$plan")
   }
 
+  test("sample_percentile_snapshot: range lookup broadcasts, corpus never shuffles") {
+    // the persisted-CDF serving path: the corpus rows must never
+    // shuffle — the only hash exchanges belong to the bounded
+    // distinct-pair probe (≤10001 cells per language), the CDF and the
+    // resolved pairs come back via BROADCAST joins, and nothing
+    // sort-merges
+    val plan = SparkEntry.queries("sample_percentile_snapshot")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin"),
+      s"the snapshot lookup must never sort-merge:\n$plan")
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2,
+      s"CDF + resolved pairs must broadcast:\n$plan")
+    val nHash = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(nHash <= 3,
+      s"expected <=3 hash exchanges (pair distinct + lookup aggs), got $nHash:\n$plan")
+  }
+
   test("dedup_source_matrix: pairs from counts — no doc-level pair join") {
     val plan = SparkEntry.queries("dedup_source_matrix")(spark, dir)
       .queryExecution.executedPlan.toString

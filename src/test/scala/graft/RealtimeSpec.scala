@@ -888,6 +888,113 @@ class RealtimeSpec extends AnyFunSuite {
     assert(e4.getMessage.contains("no 'lang' column"), e4.getMessage)
   }
 
+  test("streaming ingest with EVERY gate on equals the composed batch chain") {
+    // the flagship configuration pin: exact dedup → blocklist →
+    // percentile gate → raw quality gate → shingle decontamination →
+    // SEMANTIC decontamination → near-dup, all against one store, one
+    // stream, one funnel — each stage's drop must equal the batch
+    // composition built from the already-pinned per-gate operators.
+    import graft.operators.{Dedup, QualityCal}
+    val dir = "/root/testdata/sf0.01"
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text", "lang")
+      .join(emb.select(col("vec_id").as("doc_id"), col("embedding")),
+        Seq("doc_id"))
+    val existing = docs.filter(col("doc_id") < Queries.incrementalSplit)
+    val batch = docs.filter(col("doc_id") >= Queries.incrementalSplit &&
+      col("doc_id") < Queries.decontamNearDupSplit)
+    val benchDocs = docs.filter(col("doc_id") >= Queries.decontamNearDupSplit)
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select("doc_id").collect().map(_.getLong(0)).toSet
+    // store: corpus + its signature index, benchmark signature index,
+    // benchmark vectors, quality-CDF calibration snapshot
+    val store = new graft.sources.ParquetStore(
+      spark, TestSpark.tempDir("graft_all_store_"))
+    store.merge("docs", existing, "doc_id")
+    Dedup.buildNearDupStore(store, "sigs", existing, "doc_id", "text",
+      shingleN = Queries.minHashShingleN,
+      numHashes = Queries.minHashNumHashes, bands = Queries.minHashBands)
+    Dedup.buildNearDupStore(store, "bench_sigs", benchDocs, "doc_id", "text",
+      shingleN = Queries.minHashShingleN,
+      numHashes = Queries.minHashNumHashes, bands = Queries.minHashBands)
+    store.merge("bench_vecs",
+      benchDocs.select(col("doc_id"), col("embedding")), "doc_id")
+    QualityCal.buildPercentileStore(store, "quality_cdf",
+      spark.read.parquet(s"$dir/documents.parquet"), "lang", "text",
+      snapshot = "corpus-v1")
+    // batch twin, stage by stage, from the already-pinned operators
+    val kept1 = Dedup.incrementalExact(existing, batch, "doc_id", "text")
+      .withColumnRenamed("id", "doc_id")
+    val b1 = batch.join(kept1, Seq("doc_id"), "left_semi")
+    val b2 = b1.filter(graft.functions.GraftFunctions
+      .blocklistClean(col("text"), Queries.blocklistTerms))
+    // gate at the median, not the production 0.8: the planted
+    // decontam/semantic leakage rows must SURVIVE the percentile stage
+    // so the later stages have real work — the 0.8 path is pinned
+    // against sample_percentile in the dedicated gate test above
+    val gateP = 0.5
+    val passDf = SparkEntry.queries("quality_percentile")(spark, dir)
+      .filter(col("pct") >= gateP).select(col("doc_id"))
+    val b2p = b2.join(passDf, Seq("doc_id"), "left_semi")
+    val contaminated = Dedup.contaminatedDocsNearDup(b2p, benchDocs,
+        "doc_id", "text", shingleN = Queries.minHashShingleN,
+        numHashes = Queries.minHashNumHashes, bands = Queries.minHashBands,
+        threshold = Queries.minHashThreshold)
+      .select(col("id").as("doc_id"))
+    val b2d = b2p.join(contaminated, Seq("doc_id"), "left_anti")
+    // the ladder's shared semantic flag construction (vec_id ≡ doc_id)
+    val semFlagged = Queries.ladderSemanticFlags(spark, dir)
+    val b2s = b2d.join(semFlagged, Seq("doc_id"), "left_anti")
+    val kept2 = Dedup.incrementalNearDup(existing, b2s, "doc_id", "text",
+      shingleN = Queries.minHashShingleN,
+      numHashes = Queries.minHashNumHashes, bands = Queries.minHashBands,
+      threshold = Queries.minHashThreshold)
+    val expect = ids(b2s.join(kept2.withColumnRenamed("id", "doc_id"),
+      Seq("doc_id"), "left_semi"))
+    // the fixture must exercise the gates this test exists to compose
+    assert(ids(b2p).size < ids(b2).size, "percentile gate must prune")
+    assert(ids(b2d).size < ids(b2p).size, "decontam gate must prune")
+    assert(expect.nonEmpty, "survivors must be nonempty")
+    val src = TestSpark.tempDir("graft_all_src_")
+    batch.coalesce(1).write.mode("append").parquet(src)
+    val q = Realtime.streamIngestPipeline(store, "docs", "sigs",
+      spark.readStream
+        .schema("doc_id LONG, text STRING, lang STRING, embedding ARRAY<FLOAT>")
+        .parquet(src),
+      "doc_id", "text", TestSpark.tempDir("graft_all_cp_"),
+      blocklist = Queries.blocklistTerms,
+      shingleN = Queries.minHashShingleN,
+      numHashes = Queries.minHashNumHashes, bands = Queries.minHashBands,
+      threshold = Queries.minHashThreshold,
+      minQuality = Some(0.0), // present (funnel row) but never pruning
+      benchSigTable = Some("bench_sigs"),
+      semanticGate = Some(Realtime.SemanticGate("bench_vecs", "embedding",
+        dim = 64, threshold = Queries.decontamSemThreshold,
+        bits = Queries.decontamSemBits, bands = Queries.decontamSemBands)),
+      percentileGate = Some(Realtime.PercentileGate("quality_cdf",
+        gateP, expectSnapshot = Some("corpus-v1"))),
+      auditTable = Some("audit"))
+    q.awaitTermination(180000)
+    val streamed = ids(store.read("docs")
+      .filter(col("doc_id") >= Queries.incrementalSplit))
+    assert(streamed == expect,
+      "the all-gates streamed chain must equal the composed batch chain")
+    // the seven-stage funnel equals the twin's per-stage counts
+    val a = store.read("audit").collect()
+      .map(r => (r.getAs[String]("stage"), r.getAs[Long]("n_docs"))).toMap
+    assert(a == Map(
+      "0_batch" -> ids(batch).size.toLong,
+      "1_exact_dedup" -> ids(b1).size.toLong,
+      "2_blocklist" -> ids(b2).size.toLong,
+      "2p_percentile" -> ids(b2p).size.toLong,
+      "2q_quality" -> ids(b2p).size.toLong,
+      "3_decontam" -> ids(b2d).size.toLong,
+      "3s_semantic" -> ids(b2s).size.toLong,
+      "4_near_dedup" -> expect.size.toLong),
+      s"all-gates funnel must equal the batch twin's stage counts: $a")
+  }
+
   test("streaming windowed counts equal the batch result (one code path)") {
     import spark.implicits._
     val events = (0 until 200).map { i =>
