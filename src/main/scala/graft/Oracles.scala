@@ -483,7 +483,8 @@ object Oracles {
     "(SELECT d.lang, d.doc_id, d.text FROM documents d " +
       "JOIN final f ON f.doc_id = d.doc_id)"
 
-  private def ingestChain(decontam: Boolean, semantic: Boolean = false): String = {
+  private def ingestChain(decontam: Boolean, semantic: Boolean = false,
+      percentile: Boolean = false): String = {
     require(!semantic || decontam, "the ladder adds to the decontam chain")
     val rows = Queries.minHashNumHashes / Queries.minHashBands
     val terms = Queries.blocklistTerms.map(s => s"'$s'").mkString("[", ", ", "]")
@@ -520,10 +521,28 @@ object Oracles {
            |  SELECT doc_id FROM bl2 WHERE doc_id NOT IN (SELECT id FROM semhit)),
            |""".stripMargin
     val gate = if (semantic) "bl3" else "bl2"
-    val decontamCtes =
-      (if (!decontam) "bl2 AS (SELECT doc_id FROM bl),"
+    // the percentile-gate stage (when on) sits between blocklist and
+    // decontamination: the quality_percentile CDF replay gates the
+    // blocklist survivors at ingestGatePct, and the later stages read
+    // `blp` instead of `bl`
+    val gateIn = if (percentile) "blp" else "bl"
+    val pctCtes =
+      if (!percentile) ""
       else
-        s"""blk AS (SELECT k.* FROM keyed k JOIN bl ON bl.doc_id = k.doc_id),
+        s"""pq AS (${qualitySql("documents")}),
+           |pctq AS (
+           |  SELECT d.doc_id,
+           |    round(cume_dist() OVER (
+           |      PARTITION BY d.lang ORDER BY pq.quality), 6) AS pct
+           |  FROM documents d JOIN pq USING (doc_id)),
+           |blp AS (
+           |  SELECT bl.doc_id FROM bl JOIN pctq USING (doc_id)
+           |  WHERE pct >= ${Queries.ingestGatePct}),
+           |""".stripMargin
+    val decontamCtes = pctCtes +
+      (if (!decontam) s"bl2 AS (SELECT doc_id FROM $gateIn),"
+      else
+        s"""blk AS (SELECT k.* FROM keyed k JOIN $gateIn ON $gateIn.doc_id = k.doc_id),
            |benchk AS (
            |  SELECT * FROM keyed WHERE doc_id >= ${Queries.decontamNearDupSplit}),
            |dcand AS (
@@ -537,7 +556,7 @@ object Oracles {
            |    / len(list_distinct(sc.shingles || sb.shingles))
            |    >= ${Queries.minHashThreshold}),
            |bl2 AS (
-           |  SELECT doc_id FROM bl
+           |  SELECT doc_id FROM $gateIn
            |  WHERE doc_id NOT IN (SELECT id FROM dhit)),""".stripMargin) + semCtes
     s"""WITH b AS (
        |  SELECT doc_id AS id,
@@ -1539,6 +1558,22 @@ object Oracles {
          |  SELECT '0_batch' AS stage, COUNT(*) AS n_docs FROM b
          |  UNION ALL SELECT '1_exact_dedup', COUNT(*) FROM kept1
          |  UNION ALL SELECT '2_blocklist', COUNT(*) FROM bl
+         |  UNION ALL SELECT '3_decontam', COUNT(*) FROM bl2
+         |  UNION ALL SELECT '3s_semantic', COUNT(*) FROM bl3
+         |  UNION ALL SELECT '4_near_dedup', COUNT(*) FROM final)
+         |ORDER BY stage""".stripMargin,
+
+    // Seven-stage funnel of the FULLY-GATED chain: the ladder plus the
+    // per-language percentile gate between blocklist and
+    // decontamination — the batch twin of the streaming every-gate-on
+    // configuration.
+    "ingest_audit_gated" ->
+      s"""${ingestChain(decontam = true, semantic = true, percentile = true)}
+         |SELECT * FROM (
+         |  SELECT '0_batch' AS stage, COUNT(*) AS n_docs FROM b
+         |  UNION ALL SELECT '1_exact_dedup', COUNT(*) FROM kept1
+         |  UNION ALL SELECT '2_blocklist', COUNT(*) FROM bl
+         |  UNION ALL SELECT '2p_percentile', COUNT(*) FROM blp
          |  UNION ALL SELECT '3_decontam', COUNT(*) FROM bl2
          |  UNION ALL SELECT '3s_semantic', COUNT(*) FROM bl3
          |  UNION ALL SELECT '4_near_dedup', COUNT(*) FROM final)

@@ -2696,8 +2696,17 @@ object Queries {
     * anti-joins the survivors. Adds a `__s3s` tag; `__s4` then gates
     * on it.
     */
+  /** `percentile = true` inserts the per-language percentile-gate
+    * stage between blocklist and decontamination (the full streaming
+    * configuration's batch twin): batch rows below the corpus CDF's
+    * [[ingestGatePct]] quantile within their language drop, tagged
+    * `__s2p`. The pass set derives from the oracled
+    * [[qualityPercentiled]] frame — per-doc like the other flag sets,
+    * so it computes once and semi-joins.
+    */
+  private[graft] val ingestGatePct = 0.5
   private[graft] def ingestDecontamTagged(spark: SparkSession, dir: String,
-      semantic: Boolean = false): DataFrame =
+      semantic: Boolean = false, percentile: Boolean = false): DataFrame =
     ingestDecontamTaggedOn(fullSigStore(spark, dir),
       t(spark, dir, "documents").filter(col("doc_id") >= incrementalSplit &&
         col("doc_id") < decontamNearDupSplit),
@@ -2707,20 +2716,26 @@ object Queries {
       benchPred = col("id") >= decontamNearDupSplit,
       semFlagged =
         if (!semantic) None
-        else Some(ladderSemanticFlags(spark, dir).localCheckpoint(false)))
+        else Some(ladderSemanticFlags(spark, dir).localCheckpoint(false)),
+      pctPass =
+        if (!percentile) None
+        else Some(qualityPercentiled(spark, dir)
+          .filter(col("pct") >= ingestGatePct).select(col("doc_id"))
+          .localCheckpoint(false)))
 
   /** [[ingestDecontamTagged]]'s core over caller-supplied split views
     * of a signature store — parameterized so ScaleSpec's 100×-corpus
     * rung can drive the SAME composed chain with the rung's own
     * corpus/batch/benchmark predicates (the production entry above
-    * fixes them to the sf constants). `semFlagged`, when present,
-    * must already be lineage-truncated (the wrapper localCheckpoints
-    * it) — it is referenced by two branches.
+    * fixes them to the sf constants). `semFlagged` and `pctPass`,
+    * when present, must already be lineage-truncated (the wrapper
+    * localCheckpoints them) — each is referenced by two branches.
     */
   private[graft] def ingestDecontamTaggedOn(
       store: graft.sources.ParquetStore, batch: DataFrame,
       corpusPred: Column, batchPred: Column, benchPred: Column,
-      semFlagged: Option[DataFrame]): DataFrame = {
+      semFlagged: Option[DataFrame],
+      pctPass: Option[DataFrame] = None): DataFrame = {
     // checkpointed like `contaminated` below: the exact-stage id list
     // is tiny but its bloom-gated index probe is referenced both by
     // the chain (through b2d inside the near-dup stage) and the tag
@@ -2731,6 +2746,9 @@ object Queries {
       .localCheckpoint(false)
     val b1 = batch.join(kept1, Seq("doc_id"), "left_semi")
     val b2 = b1.filter(blocklistClean(col("text"), blocklistTerms))
+    // percentile-gate stage (per-doc pass set like the other flag
+    // sets, so one semi-join applies it)
+    val b2g = pctPass.fold(b2)(p => b2.join(p, Seq("doc_id"), "left_semi"))
     // localCheckpoint (lazy), not persist: the flag set is a handful
     // of ids but its subtree is a full banded index probe, and THREE
     // plan branches reference it (the anti-join, the near-dup stage's
@@ -2742,7 +2760,7 @@ object Queries {
         batchPred, benchPred, threshold = minHashThreshold)
       .select(col("id").as("doc_id"))
       .localCheckpoint(false)
-    val b2d = b2.join(contaminated, Seq("doc_id"), "left_anti")
+    val b2d = b2g.join(contaminated, Seq("doc_id"), "left_anti")
     // the semantic rung's flag set (checkpointed by the caller for the
     // same three-branch reason): vec_id ≡ doc_id by the generator's
     // contract, the same pairing mine_hard_negatives gates on
@@ -2757,18 +2775,28 @@ object Queries {
       .join(contaminated.withColumn("__mc", lit(true)), Seq("doc_id"), "left")
     val tagged1 = semFlagged.fold(tagged0)(f =>
       tagged0.join(f.withColumn("__ms", lit(true)), Seq("doc_id"), "left"))
-    val tagged2 = tagged1
+    val taggedP = pctPass.fold(tagged1)(p =>
+      tagged1.join(p.withColumn("__mp", lit(true)), Seq("doc_id"), "left"))
+    val tagged2a = taggedP
       .join(kept2.withColumn("__m4", lit(true)), Seq("doc_id"), "left")
       .withColumn("__s1", coalesce(col("__m1"), lit(false)))
       .withColumn("__s2", col("__s1") && blocklistClean(col("text"), blocklistTerms))
-      .withColumn("__s3", col("__s2") && col("__mc").isNull)
+    // with the gate on, `__s2p` tags its survivors and the later
+    // stages compose on it; without it the chain is tag-identical to
+    // the pre-gate form (every existing oracle replays unchanged)
+    val tagged2 =
+      if (pctPass.isEmpty)
+        tagged2a.withColumn("__s3", col("__s2") && col("__mc").isNull)
+      else tagged2a
+        .withColumn("__s2p", col("__s2") && coalesce(col("__mp"), lit(false)))
+        .withColumn("__s3", col("__s2p") && col("__mc").isNull)
     val tagged3 =
       if (semFlagged.isEmpty)
         tagged2.withColumn("__s4", col("__s3") && coalesce(col("__m4"), lit(false)))
       else tagged2
         .withColumn("__s3s", col("__s3") && col("__ms").isNull)
         .withColumn("__s4", col("__s3s") && coalesce(col("__m4"), lit(false)))
-    tagged3.drop("__m1", "__mc", "__ms", "__m4")
+    tagged3.drop("__m1", "__mc", "__ms", "__mp", "__m4")
   }
 
   /** Composed ingestion chain WITH the at-ingest decontamination
@@ -2815,6 +2843,22 @@ object Queries {
   def ingestAuditLadder(spark: SparkSession, dir: String): DataFrame =
     ingestFunnel(ingestDecontamTagged(spark, dir, semantic = true), Seq(
       "__s1" -> "1_exact_dedup", "__s2" -> "2_blocklist",
+      "__s3" -> "3_decontam", "__s3s" -> "3s_semantic",
+      "__s4" -> "4_near_dedup"))
+
+  /** Seven-stage funnel of the FULLY-GATED chain — the oracled batch
+    * twin of the streaming pipeline's every-gate-on configuration
+    * (exact dedup → blocklist → per-language percentile gate →
+    * shingle decontamination → semantic decontamination → near-dup),
+    * with the percentile stage's drop separated from the quality-less
+    * ladder's three drop reasons. Stage ids match the streaming
+    * funnel's pipeline-positional convention (2p between 2 and 3).
+    */
+  def ingestAuditGated(spark: SparkSession, dir: String): DataFrame =
+    ingestFunnel(ingestDecontamTagged(spark, dir, semantic = true,
+      percentile = true), Seq(
+      "__s1" -> "1_exact_dedup", "__s2" -> "2_blocklist",
+      "__s2p" -> "2p_percentile",
       "__s3" -> "3_decontam", "__s3s" -> "3s_semantic",
       "__s4" -> "4_near_dedup"))
 
@@ -3883,6 +3927,7 @@ object Queries {
     "ingest_audit_decontam" -> (ingestAuditDecontam _),
     "pipeline_ingest_ladder" -> (pipelineIngestLadder _),
     "ingest_audit_ladder" -> (ingestAuditLadder _),
+    "ingest_audit_gated" -> (ingestAuditGated _),
     "pipeline_pack" -> (pipelinePack _),
     "drift_report" -> (driftReport _),
     "dedup_spans" -> (dedupSpans _),

@@ -278,6 +278,31 @@ class MixPackSpec extends AnyFunSuite {
       }
   }
 
+  test("ingest_audit_gated: monotone funnel, percentile stage prunes between blocklist and decontam") {
+    val pdir = "/root/testdata/sf0.01"
+    val a = Queries.all("ingest_audit_gated")(spark, pdir).collect()
+      .map(r => (r.getAs[String]("stage"), r.getAs[Long]("n_docs"))).toMap
+    val order = Seq("0_batch", "1_exact_dedup", "2_blocklist",
+      "2p_percentile", "3_decontam", "3s_semantic", "4_near_dedup")
+    assert(a.keySet == order.toSet, s"stage set mismatch: ${a.keySet}")
+    // each stage's survivors are a subset of the previous stage's —
+    // counts must be non-increasing along the pipeline order
+    order.sliding(2).foreach { case Seq(x, y) =>
+      assert(a(y) <= a(x), s"funnel not monotone at $x -> $y: $a")
+    }
+    // the fixture plants work for the gate AND the stages after it
+    assert(a("2p_percentile") < a("2_blocklist"),
+      s"percentile gate must prune at sf0.01: $a")
+    assert(a("4_near_dedup") > 0, s"survivors must be nonempty: $a")
+    // gated funnel agrees with the ungated ladder through the shared
+    // prefix (batch, exact, blocklist are gate-independent)
+    val ladder = Queries.all("ingest_audit_ladder")(spark, pdir).collect()
+      .map(r => (r.getAs[String]("stage"), r.getAs[Long]("n_docs"))).toMap
+    Seq("0_batch", "1_exact_dedup", "2_blocklist").foreach { s =>
+      assert(a(s) == ladder(s), s"shared prefix diverged at $s: $a vs $ladder")
+    }
+  }
+
   test("dedup_source_matrix: equals the brute-force doc-pair count") {
     // independent plain-Scala oracle over the small corpus: the same
     // normalization as Dedup.normHash (lower, trim, collapse ws),
