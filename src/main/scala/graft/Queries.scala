@@ -2719,9 +2719,29 @@ object Queries {
         else Some(ladderSemanticFlags(spark, dir).localCheckpoint(false)),
       pctPass =
         if (!percentile) None
-        else Some(qualityPercentiled(spark, dir)
-          .filter(col("pct") >= ingestGatePct).select(col("doc_id"))
-          .localCheckpoint(false)))
+        else {
+          // the CDF histograms the FULL corpus (the calibration
+          // distribution) but the join-back pass covers ONLY the batch
+          // slice — the gate needs percentiles for batch rows alone,
+          // and qualityPercentiled's corpus-wide join pass would scan
+          // the whole corpus a second time for values it throws away
+          // (at 100 TB: a delta-sized scan instead of a corpus scan)
+          val docsT = t(spark, dir, "documents")
+          val cdf = operators.QualityCal.cdfOf(docsT
+              .select(col("lang"), qualityScore(col("text")).as("quality")))
+            .withColumnRenamed("lang", "__cl")
+            .withColumnRenamed("quality", "__cq")
+          val batchScored = docsT
+            .filter(col("doc_id") >= incrementalSplit &&
+              col("doc_id") < decontamNearDupSplit)
+            .select(col("doc_id"), col("lang"),
+              qualityScore(col("text")).as("quality"))
+          Some(batchScored.join(broadcast(cdf),
+              batchScored("lang") <=> cdf("__cl") &&
+                batchScored("quality") === cdf("__cq"))
+            .filter(col("pct") >= ingestGatePct).select(col("doc_id"))
+            .localCheckpoint(false))
+        })
 
   /** [[ingestDecontamTagged]]'s core over caller-supplied split views
     * of a signature store — parameterized so ScaleSpec's 100×-corpus
