@@ -89,4 +89,52 @@ class QualityFilterSpec extends AnyFunSuite {
     // every probe row survives (left join), even the abstained one
     assert(out.count() == 6)
   }
+
+  test("QualityCal store: provenance guards and the refresh crash window") {
+    import spark.implicits._
+    import graft.operators.QualityCal
+    val docs = Seq((1L, "en", "the quick brown fox jumps over the lazy dog"),
+      (2L, "en", "a short one")).toDF("doc_id", "lang", "text")
+    val store = new graft.sources.ParquetStore(
+      spark, TestSpark.tempDir("graft_qcal_store_"))
+    // a missing table fails with a build hint
+    val e0 = intercept[IllegalArgumentException] {
+      QualityCal.requireCdf(store, "cdf", "t")
+    }
+    assert(e0.getMessage.contains("does not exist"), e0.getMessage)
+    QualityCal.buildPercentileStore(store, "cdf", docs, "lang", "text",
+      snapshot = "v1")
+    // a healthy snapshot clears, pinned or unpinned
+    QualityCal.requireCdf(store, "cdf", "t")
+    QualityCal.requireCdf(store, "cdf", "t", expectSnapshot = Some("v1"))
+    // REFRESH CRASH WINDOW (data-then-meta write order): v2's data
+    // committed, its _META never written — the sidecar still says v1.
+    // A pipeline pinned to v2 must fail LOUDLY (this is the window the
+    // write order exists for: meta-first would serve v1 data under the
+    // v2 label, silently stale)
+    store.overwrite("cdf", store.read("cdf"))
+    val e1 = intercept[IllegalArgumentException] {
+      QualityCal.requireCdf(store, "cdf", "t", expectSnapshot = Some("v2"))
+    }
+    assert(e1.getMessage.contains("stale"), e1.getMessage)
+    // ...and re-running the interrupted refresh repairs both halves
+    QualityCal.buildPercentileStore(store, "cdf", docs, "lang", "text",
+      snapshot = "v2")
+    QualityCal.requireCdf(store, "cdf", "t", expectSnapshot = Some("v2"))
+    // a table with data but NO scorer record (unknown provenance) is
+    // rejected even unpinned
+    store.overwrite("raw", store.read("cdf"))
+    val e2 = intercept[IllegalStateException] {
+      QualityCal.requireCdf(store, "raw", "t")
+    }
+    assert(e2.getMessage.contains("scorer version"), e2.getMessage)
+    // a recorded scorer-version mismatch is rejected (percentiles from
+    // different scorers are not comparable)
+    store.putMeta("raw", Map("quality.cdf.fn" -> "qualityScore-v0",
+      "quality.cdf.snapshot" -> "v1"))
+    val e3 = intercept[IllegalArgumentException] {
+      QualityCal.requireCdf(store, "raw", "t")
+    }
+    assert(e3.getMessage.contains("not comparable"), e3.getMessage)
+  }
 }
