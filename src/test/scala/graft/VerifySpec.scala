@@ -49,4 +49,23 @@ class VerifySpec extends AnyFunSuite {
     val rows = spark.read.parquet(s"$out/lazy_boom").as[String].collect()
     assert(rows.length == 1 && rows.head.startsWith("__VERIFY_ERR__"))
   }
+
+  test("Bench.parseQueriesMap reads ONLY the queries map, never the diag") {
+    // the regression tiebreak's baseline comes from a committed
+    // BENCH_FULL line whose diag ALSO pairs query names with numbers
+    // (ts epoch-seconds, load averages) — a whole-file regex would
+    // poison the baseline with epoch timestamps and the tiebreak would
+    // never fire (every min is < 2x a billion)
+    val line = """{"queries":{"q_fast":0.123,"q_slow":4.5},""" +
+      """"metric":"total","value":4.623,"n":2,"sf":"/root/testdata/sf0.1",""" +
+      """"diag":{"diag":"bench","ts":{"q_fast":1755241082,"q_slow":1755241085},""" +
+      """"load":{"q_fast":2.15,"q_slow":9.99},""" +
+      """"attempts":{"q_fast":[0.2,0.123],"q_slow":[4.5,5.0]}}}"""
+    val m = Bench.parseQueriesMap(line)
+    assert(m == Map("q_fast" -> 0.123, "q_slow" -> 4.5), s"got $m")
+    // degenerate inputs degrade to empty (tiebreak off), never throw
+    assert(Bench.parseQueriesMap("").isEmpty)
+    assert(Bench.parseQueriesMap("""{"no_queries":1}""").isEmpty)
+    assert(Bench.parseQueriesMap("""{"queries":{""").isEmpty)
+  }
 }
