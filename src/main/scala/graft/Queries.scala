@@ -656,8 +656,8 @@ object Queries {
     * more than once in the corpus keeps only its first occurrence
     * (ordered by doc, position); docs are reassembled from surviving
     * spans. The keep-set computes on span HASHES only (narrow
-    * window-min + narrow per-doc kept-index agg); text crosses one
-    * exchange, the rebuild join.
+    * map-side-combinable groupBy-min + narrow per-doc kept-index
+    * agg); text crosses one exchange, the rebuild join.
     */
   private[graft] val spanDedupTokens = 3
   def dedupSpans(spark: SparkSession, dir: String): DataFrame =

@@ -29,17 +29,28 @@ object Dedup {
   /** Exact dedup: group identical normalized text. Returns one row
     * per document with its canonical (minimum) id, so downstream can
     * `filter(col(id) =!= col("canonical_id"))` to drop duplicates.
-    * Implemented as a window-min over the normalized-text hash — a
-    * single hash-shuffle, the canonical map-side-combinable shape.
+    *
+    * Scale shape (r16 — replaces the keep-first window): the group
+    * stats come from `groupBy(hash).agg(min(id), count)`, which IS
+    * map-side combinable — a 100M-copy boilerplate group collapses to
+    * one row per mapper before the exchange, so only ~#distinct-hash
+    * narrow rows ever shuffle. A window-min over the same key is NOT
+    * combinable: it would ship every duplicate row — full corpus text
+    * here — to one task. The join-back on the hash still routes text
+    * rows by group key, but it is a plain equi-join, so AQE's
+    * skew-join splits a residual hot group across tasks (a window
+    * partition can never be split). Null-safe key so null-text docs
+    * form one group, exactly as the window's null partition did.
     */
   def exactCanonical(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val norm = regexp_replace(lower(trim(col(textCol))), "\\s+", " ")
-    val w = Window.partitionBy(col("__norm_hash"))
-    docs
-      .withColumn("__norm_hash", md5(norm))
-      .withColumn("canonical_id", min(col(idCol)).over(w))
-      .withColumn("group_size", count(lit(1)).over(w))
-      .drop("__norm_hash")
+    val hashed = docs.withColumn("__norm_hash", md5(norm))
+    val groups = hashed
+      .groupBy(col("__norm_hash").as("__gh_key"))
+      .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("group_size"))
+    hashed
+      .join(groups, col("__norm_hash") <=> col("__gh_key"))
+      .drop("__norm_hash", "__gh_key")
   }
 
   /** C4-style duplicate-span removal (Raffel et al. 2020 §2.2 dedup
@@ -54,17 +65,18 @@ object Dedup {
     *
     * Scale shape: three shuffles, only ONE of which carries text —
     * the span keep-set computes on (id, span_idx, md5(span)) alone: a
-    * window-min over the span hash picks the canonical occurrence
-    * (the exactCanonical pattern at span grain; span keys are
-    * high-cardinality, per-key work is one span's occurrence list),
-    * a groupBy doc collects each doc's kept-index list (bounded by
-    * the doc's own span count), and a final id-join rebuilds
-    * clean_text from the doc side — so corpus text bytes cross the
-    * wire once (the join), not through every exchange. The doc is
-    * tokenized twice (keep-set pass + rebuild pass) — at scale,
-    * materialize the tokenized view once upstream, as with
-    * exactSubstrDedup. Spans are non-overlapping so the exploded row
-    * count is |tokens|/spanTokens, not |tokens|·spanTokens.
+    * map-side-combinable `groupBy(span_hash).agg(min(doc, pos))`
+    * picks each span's canonical occurrence (a hot boilerplate span
+    * partial-aggregates in every mapper instead of landing its whole
+    * occurrence list on one task, which the former window-min did), a
+    * groupBy doc over the ≤#distinct-hash firsts rows collects each
+    * doc's kept-index list, and a final id-join rebuilds clean_text
+    * from the doc side — so corpus text bytes cross the wire once
+    * (the join), not through every exchange. The doc is tokenized
+    * twice (keep-set pass + rebuild pass) — at scale, materialize the
+    * tokenized view once upstream, as with exactSubstrDedup. Spans
+    * are non-overlapping so the exploded row count is
+    * |tokens|/spanTokens, not |tokens|·spanTokens.
     */
   /** Shared SQL tokenizer (the toksSql contract: lowercase, split on
     * non-alphanumerics, drop empties, null ≡ empty). */
@@ -94,42 +106,55 @@ object Dedup {
     val spansArr = spanArrayOf(col("__toks"), spanTokens)
     val withSpans = base.withColumn("__spans", spansArr)
     // hash each span BEFORE the keep-first shuffle (the ExactSubstr
-    // gram discipline): the window and the per-doc keep-set only ever
-    // need the span's md5 and index, so projecting the span text away
-    // here keeps corpus text bytes out of BOTH narrow exchanges —
-    // text flows through exactly ONE exchange (the rebuild join),
-    // at the price of tokenizing the doc twice (keep-set pass +
-    // rebuild pass), the ExactSubstr trade
-    // posexplode_outer keeps token-less documents as a null-hash row,
-    // so every input doc survives to the keep-set aggregation
+    // gram discipline): the keep-first aggregate and the per-doc
+    // keep-set only ever need the span's md5 and index, so projecting
+    // the span text away here keeps corpus text bytes out of BOTH
+    // narrow exchanges — text flows through exactly ONE exchange (the
+    // rebuild join), at the price of tokenizing the doc twice
+    // (keep-set pass + rebuild pass), the ExactSubstr trade. Plain
+    // posexplode (not _outer): token-less docs need no placeholder
+    // row here because the rebuild join below is left_outer from the
+    // doc side.
     val exploded = withSpans
       .select(col("__id"),
-        posexplode_outer(col("__spans")).as(Seq("span_idx", "span")))
+        posexplode(col("__spans")).as(Seq("span_idx", "span")))
       .select(col("__id"), col("span_idx"), md5(col("span")).as("__sh"))
-    val w = Window.partitionBy(col("__sh"))
-    val keptIdx = exploded
-      .withColumn("__first",
-        min(struct(col("__id").as("d"), col("span_idx").as("p"))).over(w))
-      .withColumn("__keep", col("__sh").isNotNull &&
-        col("__first.d") === col("__id") && col("__first.p") === col("span_idx"))
-      .groupBy(col("__id"))
+    // keep-first via groupBy, not a window (r16): min(struct(d,p))
+    // per span hash is map-side combinable, so a corpus-wide hot span
+    // ("404 not found" boilerplate) collapses to one row per mapper
+    // before the exchange — a window over the same key would land
+    // every occurrence on one task. The kept set IS the firsts frame
+    // (a span occurrence survives iff it is its group's minimum), so
+    // no join-back on the span hash is needed at all: regrouping the
+    // ≤#distinct-hash firsts rows by doc yields each doc's kept-index
+    // list directly, and n_removed falls out arithmetically as
+    // size(__spans) − n_kept on the doc side.
+    val firsts = exploded
+      .groupBy(col("__sh"))
+      .agg(min(struct(col("__id").as("d"), col("span_idx").as("p")))
+        .as("__first"))
+    val keptIdx = firsts
+      .groupBy(col("__first").getField("d").as("__kid"))
       .agg(
-        array_sort(collect_list(when(col("__keep"), col("span_idx")))).as("__ki"),
-        count(when(col("__keep"), lit(1))).as("n_kept"),
-        count(when(!col("__keep") && col("__sh").isNotNull, lit(1)))
-          .as("n_removed"))
+        array_sort(collect_list(col("__first").getField("p"))).as("__ki"),
+        count(lit(1)).as("n_kept"))
     // rebuild from the doc side: surviving spans picked by kept index
     // (element_at is 1-based; span_idx is posexplode's 0-based).
-    // Null-safe join key so a null-id doc still round-trips (it forms
-    // its own keep-set group). Like every id-keyed operator here, ids
-    // are assumed UNIQUE — two rows sharing an id would cross-apply
-    // each other's keep-sets.
-    withSpans.join(keptIdx.withColumnRenamed("__id", "__kid"),
-        col("__id") <=> col("__kid"))
+    // left_outer + null-safe key: a doc whose every span lost its
+    // keep-first race (or a token-less doc, which has no span rows)
+    // is absent from keptIdx and rebuilds as the empty keep-set; a
+    // null-id doc still round-trips (it forms its own keep-set
+    // group). Like every id-keyed operator here, ids are assumed
+    // UNIQUE — two rows sharing an id would cross-apply each other's
+    // keep-sets.
+    withSpans.join(keptIdx, col("__id") <=> col("__kid"), "left_outer")
       .select(col("__id").as(idCol),
-        concat_ws(" ", transform(col("__ki"),
+        concat_ws(" ", transform(
+          coalesce(col("__ki"), array().cast("array<int>")),
           i => element_at(col("__spans"), i + 1))).as("clean_text"),
-        col("n_kept"), col("n_removed"))
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (size(col("__spans")) - coalesce(col("n_kept"), lit(0L)))
+          .cast("long").as("n_removed"))
   }
 
   /** WITHIN-document duplicate-span removal — the intra-page half of
@@ -184,12 +209,16 @@ object Dedup {
     * alignment, at k× the gram rows (still linear — one gram row per
     * token position).
     *
-    * Scale shape: gram keep-first is one hash shuffle on the gram
-    * hash (spanDedup's shape); removal positions explode exactly k
-    * rows per duplicate occurrence (k constant) then distinct on
-    * (doc, pos); reassembly is one groupBy(doc) over token rows.
-    * Every stage is linear in corpus tokens. The token table is
-    * computed twice (gram pass + reassembly pass) — at scale,
+    * Scale shape: gram keep-first is a map-side-combinable
+    * `groupBy(gram_hash).agg(min(doc, pos), count)` (a hot gram
+    * collapses per mapper; the former window-min shipped its whole
+    * occurrence list to one task), filtered to duplicated hashes and
+    * joined back against the narrow gram rows (AQE-skew-splittable);
+    * removal positions explode exactly k rows per duplicate
+    * occurrence (k constant) then distinct on (doc, pos); reassembly
+    * is one groupBy(doc) over token rows. Every stage is linear in
+    * corpus tokens. The token/gram table is computed three times
+    * (keep-first pass + join-back pass + reassembly pass) — at scale,
     * materialize it once upstream like any tokenized view.
     *
     * Token-less documents produce no token rows and drop from the
@@ -205,17 +234,30 @@ object Dedup {
     val gramsArr = when(size(col("__toks")) < k, array().cast("array<string>"))
       .otherwise(transform(sequence(lit(1), size(col("__toks")) - (k - 1)),
         i => array_join(slice(col("__toks"), i, lit(k)), " ")))
-    // hash each gram BEFORE the keep-first shuffle: the window only
-    // ever needs the gram's md5 (it IS the dedup key), and projecting
+    // hash each gram BEFORE the keep-first shuffle: the keep-first
+    // stages only need the gram's md5 (it IS the dedup key), and projecting
     // the k-token string away here keeps ~k× text bytes out of the
     // exchange — the dominant shuffle of this operator
     val grams = base.withColumn("__g", gramsArr)
       .select(col("__id"), posexplode(col("__g")).as(Seq("__p0", "__gram")))
       .select(col("__id"), col("__p0"), md5(col("__gram")).as("__gh"))
-    val w = Window.partitionBy(col("__gh"))
+    // keep-first via groupBy, not a window (r16): min(struct(d,p))
+    // per gram hash partial-aggregates map-side, so a corpus-wide hot
+    // gram collapses in every mapper instead of landing its whole
+    // occurrence list on one window task; the count>1 filter then
+    // shrinks the join-back build side to DUPLICATED grams only (the
+    // singleton majority produces no removals and never re-shuffles),
+    // and the residual hot-key join is AQE-skew-splittable, which a
+    // window partition never is. Gram hashes are never null (md5 of a
+    // concatenated token string), so a plain inner equi-join is exact.
+    val firsts = grams
+      .groupBy(col("__gh").as("__fh"))
+      .agg(min(struct(col("__id").as("d"), col("__p0").as("p"))).as("__first"),
+        count(lit(1)).as("__n"))
+      .filter(col("__n") > 1)
+      .select(col("__fh"), col("__first"))
     val removed = grams
-      .withColumn("__first",
-        min(struct(col("__id").as("d"), col("__p0").as("p"))).over(w))
+      .join(firsts, col("__gh") === col("__fh"))
       .filter(!(col("__first.d") === col("__id") && col("__first.p") === col("__p0")))
       // 1-based token positions covered by this duplicate occurrence
       .select(col("__id"),

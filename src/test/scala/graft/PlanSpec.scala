@@ -17,12 +17,13 @@ class PlanSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   private val dir = "/root/testdata/sf0.01"
 
-  test("pipeline_corpus: one window chain, broadcast anti/semi joins") {
+  test("pipeline_corpus: one dedup keep-first shuffle, broadcast anti/semi joins") {
     val plan = SparkEntry.queries("pipeline_corpus")(spark, dir)
       .queryExecution.executedPlan.toString
     // the commit-892c719 property: contamination grams are computed
-    // over the cheap corpus scan, so the quality+dedup window chain
-    // (partitioned by __norm_hash) is planned exactly ONCE — a second
+    // over the cheap corpus scan, so the dedup keep-first exchange
+    // (keyed on __norm_hash; since r16 a map-side-combinable groupBy
+    // + join-back, not a window) is planned exactly ONCE — a second
     // occurrence means something re-referenced the deduped frame and
     // the whole chain got duplicated into a subtree
     assert("hashpartitioning\\(__norm_hash".r.findAllIn(plan).size == 1,
@@ -55,18 +56,38 @@ class PlanSpec extends AnyFunSuite {
   test("dedup_spans: keep-first exchange keys on the span hash, text off the shuffles") {
     val plan = SparkEntry.queries("dedup_spans")(spark, dir)
       .queryExecution.executedPlan.toString
-    // the keep-set computes on (id, idx, md5(span)) — the window
+    // the keep-set computes on (id, idx, md5(span)) — the keep-first
     // exchange must key on the projected hash column, never on an
     // inline md5 of span text (which would carry the span through)
     assert(plan.contains("Exchange hashpartitioning(__sh"),
-      s"span keep-first window must exchange on the md5 column:\n$plan")
+      s"span keep-first aggregate must exchange on the md5 column:\n$plan")
     assert(!plan.contains("hashpartitioning(md5("),
       s"no exchange may key on inline md5 of span text:\n$plan")
-    // narrow keep-set side + rebuild join: exactly the window
-    // exchange and the per-doc kept-index aggregation shuffle
+    // narrow keep-set side + rebuild join: exactly the keep-first
+    // groupBy exchange and the per-doc kept-index aggregation shuffle
     val nHash = "Exchange hashpartitioning".r.findAllIn(plan).size
     assert(nHash <= 2,
-      s"expected <=2 hash exchanges (hash window + kept-index agg), got $nHash:\n$plan")
+      s"expected <=2 hash exchanges (keep-first agg + kept-index agg), got $nHash:\n$plan")
+  }
+
+  test("keep-first dedups: map-side-combinable groupBy, never a content-hash window") {
+    // r16 (the r15 verdict's one `weak`): keep-first used to be
+    // min().over(Window.partitionBy(<content hash>)) — a window agg
+    // is NOT map-side combinable, so a mega-duplicated group (100M
+    // boilerplate copies) landed on ONE task, carrying full corpus
+    // text in exactCanonical's case. The rewrite is
+    // groupBy(hash).agg(min, count) + join-back: the combiner
+    // collapses hot keys in every mapper and AQE skew-splits the
+    // residual equi-join. This lock keeps ANY window out of these
+    // plans — a Window reappearing here is the scale-killer coming
+    // back under a correct answer.
+    for (q <- Seq("dedup_exact", "dedup_spans", "dedup_substrings",
+        "pipeline_corpus", "pipeline_c4")) {
+      val plan = SparkEntry.queries(q)(spark, dir)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("Window ["),
+        s"$q must not plan a Window over the content-hash key:\n$plan")
+    }
   }
 
   test("pack_offsets: ONE narrow exchange serves cumsum and placement windows") {

@@ -716,4 +716,70 @@ class ScaleSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning".r.findAllIn(asofPlan).size <= 2,
       s"as-of must stay shuffle-bounded at 10x (aggregation + window):\n$asofPlan")
   }
+
+  test("keep-first dedups absorb a planted 100k-copy hot group", ScaleTest) {
+    // The r15 verdict's one `weak`, measured: before r16 the
+    // keep-first step was min().over(Window.partitionBy(<content
+    // hash>)), which ships EVERY member of a duplicate group — full
+    // corpus text in exactCanonical's case — to one task (a window is
+    // not map-side combinable and a window partition can never be
+    // AQE-split). The r16 groupBy(hash).agg(min, count) + join-back
+    // partial-aggregates the hot group in every mapper, so a planted
+    // 100k-copy boilerplate group must cost about the same as 100k
+    // DISTINCT tail rows of identical byte size. Both corpora: the
+    // salted 10x rung plus a 100k-row tail; only the tail's
+    // DUPLICATION differs, so the uniform run is the exact control.
+    val uniDir = TestSpark.tempDir("graft_skew_uni_")
+    val hotDir = TestSpark.tempDir("graft_skew_hot_")
+    val saltedBase = TestSpark.tempDir("graft_skew_base_")
+    writeSalted(Reps, saltedBase)
+    val rung = spark.read.parquet(s"$saltedBase/documents.parquet")
+    val maxId = docs.agg(max(col("doc_id"))).head().getLong(0) + 1
+    // >= k=10 tokens so the hot group also exercises the substr/span
+    // gram keep-first (a shorter text would yield zero grams)
+    val boiler = "planted boilerplate page not found the requested " +
+      "resource is gone try again later soon"
+    val nHot = 100000L
+    def tail(unique: Boolean) = spark.range(nHot).select(
+      (col("id") + maxId * (Reps + 1)).as("doc_id"),
+      (if (unique) concat(lit(boiler + " "), col("id").cast("string"))
+       else concat(lit(boiler + " "), lit("0"))).as("text"),
+      lit("en").as("lang"), lit("planted").as("source"))
+      .withColumn("n_chars", length(col("text")))
+    rung.unionByName(tail(unique = true))
+      .write.mode("overwrite").parquet(s"$uniDir/documents.parquet")
+    rung.unionByName(tail(unique = false))
+      .write.mode("overwrite").parquet(s"$hotDir/documents.parquet")
+    // correctness under skew first: the planted group must come back
+    // as ONE group of 100k rows with the tail's minimum id canonical
+    val hotRows = SparkEntry.queries("dedup_exact")(spark, hotDir)
+      .filter(col("group_size") === nHot)
+    assert(hotRows.count() == nHot,
+      "planted hot group must form one 100k-row duplicate group")
+    assert(hotRows.agg(min(col("canonical_id")), max(col("canonical_id")))
+      .head().toSeq.toSet == Set(maxId * (Reps + 1)),
+      "hot group's canonical id must be the tail's minimum id")
+    for (q <- Seq("dedup_exact", "dedup_spans", "dedup_substrings")) {
+      def pair(): (Double, Double) = {
+        runNoop(q, uniDir); val tu = runNoop(q, uniDir)
+        runNoop(q, hotDir); val th = runNoop(q, hotDir)
+        (tu, th)
+      }
+      // 4x over the same-size uniform control (floored like the
+      // sub-quadratic rungs): the pre-r16 window shape funnels the
+      // whole group through one task; the combiner shape stays near
+      // parity. One retry — shared-machine wall clocks.
+      def ok(tu: Double, th: Double) = th < 4.0 * math.max(tu, 0.5)
+      val (tu, th) = pair()
+      info(f"$q%-18s uniform=$tu%.2fs hot=$th%.2fs ratio=${th / math.max(tu, 1e-9)}%.1fx")
+      if (!ok(tu, th)) {
+        val (tu2, th2) = pair()
+        info(f"$q retry: uniform=$tu2%.2fs hot=$th2%.2fs ratio=${th2 / math.max(tu2, 1e-9)}%.1fx")
+        assert(ok(tu2, th2),
+          f"$q: planted 100k-copy group took $th2%.2fs vs $tu2%.2fs uniform " +
+            "(retry) — the keep-first step is funneling the hot group " +
+            "through one task again")
+      }
+    }
+  }
 }
