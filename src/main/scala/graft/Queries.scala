@@ -2152,11 +2152,13 @@ object Queries {
     */
   def samplePercentileSnapshot(spark: SparkSession, dir: String): DataFrame = {
     val store = pctCdfStore(spark, dir)
-    operators.QualityCal.requireCdf(store, "quality_cdf",
+    // validate + read as ONE consistent pair (r16): the cells gated
+    // with are the ones the cleared snapshot label was committed with
+    val cdf = operators.QualityCal.loadCdf(store, "quality_cdf",
       "sample_percentile_snapshot", expectSnapshot = Some("corpus-v1"))
     val scored = t(spark, dir, "documents")
       .select(col("doc_id"), col("lang"), qualityScore(col("text")).as("quality"))
-    operators.QualityCal.withPercentile(scored, store.read("quality_cdf"),
+    operators.QualityCal.withPercentile(scored, cdf,
         "lang", col("quality"))
       .filter(col("pct") >= percentileGate)
       .select(col("doc_id"), col("lang"), col("quality"), col("pct"))

@@ -72,37 +72,38 @@ object QualityCal {
   }
 
   /** Build (or refresh) the persisted CDF snapshot: one tiny
-    * overwrite — a calibration snapshot is a full replace, never a
-    * merge — plus the `_META` provenance record. Write order is DATA
-    * then META (the reverse of the signature builders): a refresh
-    * crash between the two leaves new data under the OLD snapshot
-    * label, which a pinned `expectSnapshot` probe rejects loudly;
-    * meta-first would let a crash serve the old data under the NEW
-    * label — silently stale calibration, the failure mode this store
-    * exists to prevent.
+    * versioned overwrite — a calibration snapshot is a full replace,
+    * never a merge — with the provenance record committed ATOMICALLY
+    * alongside the data ([[graft.sources.ParquetStore
+    * .overwriteWithMeta]]: both halves are in place before the
+    * `_CURRENT` pointer flips, the store's single commit point). A
+    * refresh crash therefore leaves the PREVIOUS (data, label) pair
+    * fully served — there is no window where a concurrent stream
+    * start can pass `requireCdf` against one snapshot's label and
+    * read another's cells, which the earlier two-step
+    * overwrite-then-putMeta refresh permitted between its writes
+    * (ADVICE r15). Serving paths should read the pair back through
+    * [[loadCdf]], which resolves data and label from one pointer
+    * read.
     */
   def buildPercentileStore(store: graft.sources.ParquetStore, table: String,
       docs: DataFrame, langCol: String, textCol: String,
       snapshot: String): Unit = {
     val scored = docs.select(col(langCol).as("lang"),
       GraftFunctions.qualityScore(col(textCol)).as("quality"))
-    store.overwrite(table, cdfOf(scored))
-    store.putMeta(table, Map(MetaFn -> FnVersion, MetaSnapshot -> snapshot))
+    store.overwriteWithMeta(table, cdfOf(scored),
+      Map(MetaFn -> FnVersion, MetaSnapshot -> snapshot))
   }
 
-  /** Require a CDF snapshot usable by THIS build: it exists, records
-    * a scorer version (unknown provenance is rejected, like the
-    * signature indexes' geometry), the version matches the current
-    * scorer, and — when the caller pins one — the snapshot label
-    * matches (the staleness guard for pipelines that must only run
-    * against a specific calibration release).
+  /** The provenance checks shared by [[requireCdf]] and [[loadCdf]]:
+    * a recorded scorer version (unknown provenance is rejected, like
+    * the signature indexes' geometry), the version matching the
+    * current scorer, and — when the caller pins one — the snapshot
+    * label matching (the staleness guard for pipelines that must only
+    * run against a specific calibration release).
     */
-  def requireCdf(store: graft.sources.ParquetStore, table: String,
-      caller: String, expectSnapshot: Option[String] = None): Unit = {
-    require(store.exists(table),
-      s"$caller: quality CDF table '$table' does not exist — build it " +
-        "on calibration cadence with QualityCal.buildPercentileStore(...)")
-    val meta = store.getMeta(table)
+  private def validateCdfMeta(meta: Map[String, String], table: String,
+      caller: String, expectSnapshot: Option[String]): Unit = {
     val fn = meta.get(MetaFn)
     if (fn.isEmpty) throw new IllegalStateException(
       s"$caller: quality CDF table '$table' records no scorer version " +
@@ -119,6 +120,37 @@ object QualityCal {
           s"pins '$s' — stale calibration; rebuild the snapshot or move " +
           "the pipeline's pin")
     }
+  }
+
+  /** Require a CDF snapshot usable by THIS build (existence +
+    * [[validateCdfMeta]]). Validation only — a serving path that also
+    * READS the table should call [[loadCdf]] instead, so the cells it
+    * gates with are the ones the validated label was committed with.
+    */
+  def requireCdf(store: graft.sources.ParquetStore, table: String,
+      caller: String, expectSnapshot: Option[String] = None): Unit = {
+    require(store.exists(table),
+      s"$caller: quality CDF table '$table' does not exist — build it " +
+        "on calibration cadence with QualityCal.buildPercentileStore(...)")
+    validateCdfMeta(store.getMeta(table), table, caller, expectSnapshot)
+  }
+
+  /** Validate AND read the CDF snapshot as one consistent pair: the
+    * returned frame is the data committed with the very label the
+    * checks cleared (one `_CURRENT` resolution via
+    * [[graft.sources.ParquetStore.readSnapshotWithMeta]]). Separate
+    * `requireCdf` + `store.read` calls re-resolve the pointer, so a
+    * calibration refresh landing between them could serve cells the
+    * cleared label never described.
+    */
+  def loadCdf(store: graft.sources.ParquetStore, table: String,
+      caller: String, expectSnapshot: Option[String] = None): DataFrame = {
+    require(store.exists(table),
+      s"$caller: quality CDF table '$table' does not exist — build it " +
+        "on calibration cadence with QualityCal.buildPercentileStore(...)")
+    val (df, meta) = store.readSnapshotWithMeta(table)
+    validateCdfMeta(meta, table, caller, expectSnapshot)
+    df
   }
 
   /** Attach each row's per-language percentile by RANGE lookup
@@ -145,6 +177,18 @@ object QualityCal {
     */
   def withPercentile(rows: DataFrame, cdf: DataFrame, langCol: String,
       quality: Column, pctCol: String = "pct"): DataFrame = {
+    // reserved working names (ADVICE r15): an input frame already
+    // carrying pct would make the gate's filter(col("pct")...) an
+    // ambiguous reference at analysis, and a pre-existing __rq/__pl/
+    // __pq would be silently overwritten or collide in the join —
+    // fail at the call with the fix spelled out, like the
+    // streamIngestPipeline langCol check
+    val clash = (pctCol +: Seq("__rq", "__pl", "__pq"))
+      .filter(rows.columns.contains)
+    require(clash.isEmpty,
+      s"withPercentile: input frame already carries reserved column(s) " +
+        s"${clash.mkString(", ")} — rename them upstream (or pass a " +
+        "different pctCol); the percentile lookup writes these names")
     val withQ = rows.withColumn("__rq", quality)
     val c = cdf.select(col("lang").as("__cl"), col("quality").as("__cq"),
       col("pct").as("__cp"))

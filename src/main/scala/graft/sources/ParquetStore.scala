@@ -57,6 +57,23 @@ final class ParquetStore(spark: SparkSession, root: String, nBuckets: Int = 16,
     s"filesPerBucket must be positive, got $filesPerBucket")
 
   private def fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Control-file IO (pointers, bucket maps, meta sidecars) through
+    * the RAW filesystem when the scheme wraps a checksummed one
+    * (local `file://`): ChecksumFileSystem keeps each file's CRC in a
+    * separate `.name.crc` sidecar which does NOT flip atomically with
+    * the overwriting rename, so a concurrent reader could pair the
+    * NEW pointer bytes with the OLD sidecar and fail with
+    * ChecksumException — observed under the concurrent
+    * refresh-while-serving pin (r16), violating the "readers see old
+    * or new content, never an error" contract the atomic rename
+    * exists for. Raw IO keeps no sidecar. Data files are unaffected
+    * (Spark manages its own parquet IO).
+    */
+  private def controlFs: org.apache.hadoop.fs.FileSystem = fs match {
+    case c: org.apache.hadoop.fs.ChecksumFileSystem => c.getRawFileSystem
+    case other => other
+  }
   private def pointer(table: String) = new Path(s"$root/$table/_CURRENT")
   private def bucketsPath(table: String) = new Path(s"$root/$table/_BUCKETS")
   private def versionDir(table: String, v: Long) = s"$root/$table/v_$v"
@@ -121,26 +138,66 @@ final class ParquetStore(spark: SparkSession, root: String, nBuckets: Int = 16,
     * values newline-free — enforced here so getMeta's line format
     * can never be corrupted into silently wrong pairs.
     */
-  def putMeta(table: String, props: Map[String, String]): Unit = {
+  private def validateMetaProps(props: Map[String, String]): Unit = {
     require(props.keys.forall(k => k.nonEmpty && !k.exists(_.isWhitespace)),
       s"putMeta keys must be non-empty and whitespace-free: ${props.keys}")
     require(props.values.forall(v => !v.exists(c => c == '\n' || c == '\r')),
       "putMeta values must be newline-free")
-    atomicWrite(metaPath(table),
-      props.toSeq.sortBy(_._1).map { case (k, v) => s"$k $v" }.mkString("\n"))
   }
 
-  /** Properties written by [[putMeta]]; empty for tables without a
-    * `_META` sidecar (pre-meta legacy tables).
-    */
-  def getMeta(table: String): Map[String, String] = {
-    val p = metaPath(table)
-    if (!fs.exists(p)) Map.empty
-    else new String(readFully(p), "UTF-8").linesIterator
+  private def renderMeta(props: Map[String, String]): String =
+    props.toSeq.sortBy(_._1).map { case (k, v) => s"$k $v" }.mkString("\n")
+
+  private def parseMeta(bytes: Array[Byte]): Map[String, String] =
+    new String(bytes, "UTF-8").linesIterator
       .map(_.trim).filter(_.nonEmpty).map { line =>
         val i = line.indexOf(' ')
         if (i < 0) line -> "" else line.substring(0, i) -> line.substring(i + 1)
       }.toMap
+
+  def putMeta(table: String, props: Map[String, String]): Unit = {
+    validateMetaProps(props)
+    atomicWrite(metaPath(table), renderMeta(props))
+  }
+
+  /** Per-version `_META_v<n>` sidecar path — written by
+    * [[overwriteWithMeta]] BEFORE the `_CURRENT` flip, so the
+    * snapshot's data and its properties commit atomically (readers
+    * resolving the pointer see either the old pair or the new pair,
+    * never new data under old properties — the calibration-refresh
+    * race the table-level `_META` write order could not close).
+    */
+  private def metaVPath(table: String, v: Long) =
+    new Path(s"$root/$table/_META_v$v")
+
+  /** Versions carrying a versioned `_META_v<n>` sidecar, ascending. */
+  private def metaVersions(table: String): Seq[Long] = {
+    val dir = new Path(s"$root/$table")
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("_META_v"))
+      .flatMap(n => scala.util.Try(n.stripPrefix("_META_v").toLong).toOption)
+      .sorted
+  }
+
+  /** Properties for the table: the newest versioned sidecar at or
+    * below `_CURRENT` when one exists (tables committed via
+    * [[overwriteWithMeta]] — a merge after such a commit keeps the
+    * build's properties, exactly like the legacy sidecar), else the
+    * table-level `_META` written by [[putMeta]]; empty for tables
+    * with neither. Do not mix [[putMeta]] and [[overwriteWithMeta]]
+    * on one table — the versioned sidecar always wins here, so a
+    * later putMeta would be silently shadowed.
+    */
+  def getMeta(table: String): Map[String, String] = {
+    val resolved = currentVersion(table).flatMap(cur =>
+      metaVersions(table).filter(_ <= cur).lastOption)
+    resolved match {
+      case Some(v) => parseMeta(readFully(metaVPath(table, v)))
+      case None =>
+        val p = metaPath(table)
+        if (!fs.exists(p)) Map.empty else parseMeta(readFully(p))
+    }
   }
 
   def currentVersion(table: String): Option[Long] = {
@@ -171,7 +228,7 @@ final class ParquetStore(spark: SparkSession, root: String, nBuckets: Int = 16,
   }
 
   private def readFully(p: Path): Array[Byte] = {
-    val in = fs.open(p)
+    val in = controlFs.open(p)
     try in.readAllBytes() finally in.close()
   }
 
@@ -207,12 +264,34 @@ final class ParquetStore(spark: SparkSession, root: String, nBuckets: Int = 16,
     */
   private def atomicWrite(target: Path, content: String): Unit = {
     val tmp = new Path(target.getParent, target.getName + ".tmp")
-    val out = fs.create(tmp, true)
+    // raw create: no CRC sidecar, so the rename below is the WHOLE
+    // publish — nothing else has to flip in step with it
+    val out = controlFs.create(tmp, true)
     try out.write(content.getBytes("UTF-8")) finally out.close()
-    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
-      fs.getUri, spark.sparkContext.hadoopConfiguration)
-    fc.rename(fs.makeQualified(tmp), fs.makeQualified(target),
-      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    if ("file".equalsIgnoreCase(fs.getUri.getScheme)) {
+      // POSIX rename(2): atomically REPLACES the target in one
+      // syscall. Hadoop's local FileContext rename with OVERWRITE is
+      // delete-then-rename — a concurrent reader can observe the
+      // pointer ABSENT between the two (caught by the r16 concurrent
+      // refresh-while-serving pin), which breaks this store's
+      // "pointer never absent once created" contract.
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(fs.makeQualified(tmp).toUri.getPath),
+        java.nio.file.Paths.get(fs.makeQualified(target).toUri.getPath),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    } else {
+      // HDFS and object-store schemes: FileContext rename with
+      // OVERWRITE is a single atomic namespace operation
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+        fs.getUri, spark.sparkContext.hadoopConfiguration)
+      fc.rename(fs.makeQualified(tmp), fs.makeQualified(target),
+        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    }
+    // drop any stale checksum sidecar a pre-r16 (checksummed) write
+    // left for this control file — raw readers ignore it, but a
+    // leftover would confuse external checksummed tooling forever
+    val crc = new Path(target.getParent, s".${target.getName}.crc")
+    if (controlFs.exists(crc)) controlFs.delete(crc, false)
   }
 
   private def commit(table: String, v: Long, bucketMap: Map[Int, Long],
@@ -251,6 +330,51 @@ final class ParquetStore(spark: SparkSession, root: String, nBuckets: Int = 16,
     val v = currentVersion(table).getOrElse(-1L) + 1L
     df.write.mode(SaveMode.Overwrite).parquet(versionDir(table, v))
     commit(table, v, Map(-1 -> v), tableBuckets(table), prev)
+  }
+
+  /** [[overwrite]] with the snapshot's properties committed
+    * ATOMICALLY alongside it: data dir and `_META_v<n>` sidecar are
+    * both in place BEFORE the `_CURRENT` flip, so the pointer — the
+    * single commit point — publishes the (data, properties) pair
+    * together. A crash anywhere before the flip leaves the previous
+    * pair fully served; there is no window where readers see new data
+    * under old properties or vice versa (the two-step
+    * overwrite+putMeta refresh has exactly that window between its
+    * writes). Use for snapshot-versioned reference tables whose
+    * properties name the snapshot (e.g. the quality-CDF calibration
+    * store); read the consistent pair back via
+    * [[readSnapshotWithMeta]].
+    */
+  def overwriteWithMeta(table: String, df: DataFrame,
+      props: Map[String, String]): Unit = {
+    validateMetaProps(props)
+    val prev = readBucketMap(table).values.toSet
+    val v = currentVersion(table).getOrElse(-1L) + 1L
+    df.write.mode(SaveMode.Overwrite).parquet(versionDir(table, v))
+    atomicWrite(metaVPath(table, v), renderMeta(props))
+    commit(table, v, Map(-1 -> v), tableBuckets(table), prev)
+  }
+
+  /** The current snapshot's data and the properties committed WITH it,
+    * resolved from ONE `_CURRENT` read — the consistent pair for
+    * tables maintained by [[overwriteWithMeta]]. Separate
+    * `getMeta`+`read` calls each resolve the pointer independently,
+    * so a refresh landing between them can pair one snapshot's
+    * properties with another's data; here both halves derive from the
+    * same version (whose files are immutable and GC-graced one commit
+    * cycle). Tables without a versioned sidecar at the current
+    * version (legacy two-step writers, or a merge since the last
+    * overwriteWithMeta) fall back to `(read, getMeta)` with that
+    * pairing caveat.
+    */
+  def readSnapshotWithMeta(table: String): (DataFrame, Map[String, String]) = {
+    val v = currentVersion(table).getOrElse(
+      throw new IllegalStateException(s"no such table: $root/$table"))
+    val mp = metaVPath(table, v)
+    if (fs.exists(mp))
+      (spark.read.option("recursiveFileLookup", "true")
+        .parquet(versionDir(table, v)), parseMeta(readFully(mp)))
+    else (read(table), getMeta(table))
   }
 
   /** MERGE: rows in `updates` replace same-key rows in the current
@@ -410,6 +534,15 @@ final class ParquetStore(spark: SparkSession, root: String, nBuckets: Int = 16,
         val v = name.stripPrefix("v_").toLong
         if (v < current - 1 && !referenced.contains(v)) fs.delete(st.getPath, true)
       }
+    }
+    // versioned _META sidecars: keep the one getMeta resolves (newest
+    // <= current) plus one commit cycle of grace behind it, mirroring
+    // the snapshot-dir policy, so an in-flight consistent-pair reader
+    // still finds the sidecar its pointer read implied
+    val mv = metaVersions(table)
+    mv.filter(_ <= current).lastOption.foreach { resolved =>
+      mv.filter(w => w < resolved && w < current - 1)
+        .foreach(w => fs.delete(metaVPath(table, w), false))
     }
   }
 }

@@ -300,14 +300,19 @@ object Realtime {
     // the percentile gate's CDF snapshot must exist, carry the CURRENT
     // scorer's version, and (when pinned) be the expected calibration
     // release — all checked before any corpus-sized work, like the
-    // signature geometry above
-    percentileGate.foreach { g =>
-      graft.operators.QualityCal.requireCdf(store, g.cdfTable,
+    // signature geometry above. loadCdf validates and READS as one
+    // consistent pair (r16): a calibration refresh landing between a
+    // separate check and read could otherwise serve cells the cleared
+    // label never described — the returned frame is cached below as
+    // the stream-lifetime CDF.
+    val pctCdfRaw = percentileGate.map { g =>
+      val cdf = graft.operators.QualityCal.loadCdf(store, g.cdfTable,
         "streamIngestPipeline", g.expectSnapshot)
       require(docs.columns.contains(g.langCol),
         s"streamIngestPipeline: the stream carries no '${g.langCol}' column " +
           "for the percentile gate — per-language calibration needs the " +
           "language id on every row")
+      cdf
     }
     // the dedup gates probe ONLY the signature index: a docs table
     // without one would make the first micro-batch dedup within
@@ -341,12 +346,11 @@ object Realtime {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
     // the CDF snapshot is likewise static for the stream's lifetime:
-    // read + cache ONE copy (≤10001 cells per language — broadcast-
-    // sized) instead of re-reading the store table every micro-batch
-    val pctCdf = percentileGate.map { g =>
-      store.read(g.cdfTable)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    }
+    // cache ONE copy (≤10001 cells per language — broadcast-sized) of
+    // the validated frame from the start-time consistent read above,
+    // instead of re-reading the store table every micro-batch
+    val pctCdf = pctCdfRaw.map(
+      _.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     // one MERGE into the audit table, shared by the counted and the
     // empty-delivery paths
     def writeAudit(at: String, sess: org.apache.spark.sql.SparkSession,
@@ -586,42 +590,73 @@ object Realtime {
     * QueryTerminatedEvent can hit the async listener bus before a
     * post-start addListener takes effect, and the caches would leak
     * for the session (the exact accumulation this exists to prevent).
-    * The termination handler blocks (bounded) on the started query's
-    * id, because an event for an UNRELATED query can arrive while our
-    * start() is still in flight and must not release anything; once
-    * the id resolves the wait is free. If start() itself throws, the
-    * caches unpersist immediately and the listener is removed.
+    *
+    * The termination handler never blocks the shared listener bus
+    * (ADVICE r15 — the previous bounded `get(60s)` stalled EVERY
+    * listener in the session whenever an unrelated query terminated
+    * mid-start, and a failed start left already-dispatched callbacks
+    * burning the full wait): events arriving before the started runId
+    * resolves are stashed and re-checked the moment start() returns,
+    * under one small lock. Matching is by runId, not id — a query
+    * restarted from the same checkpoint keeps its id, so a late
+    * terminated event from a PREVIOUS run would otherwise release the
+    * new run's caches right after start (ADVICE r15). If start()
+    * itself throws, the caches unpersist immediately, the listener is
+    * removed, and the stashed state is marked dead so a late callback
+    * does nothing.
     */
-  private def startReleasing(sess: org.apache.spark.sql.SparkSession,
+  private[graft] def startReleasing(sess: org.apache.spark.sql.SparkSession,
       caches: Seq[DataFrame])(start: => StreamingQuery): StreamingQuery = {
     if (caches.isEmpty) return start
     val streams = sess.streams
-    val startedId = new java.util.concurrent.CompletableFuture[java.util.UUID]()
+    val lock = new Object
+    // guarded by lock: the started run's id (null until start()
+    // returns), terminated runIds seen before it resolved, and
+    // whether release/abort already happened (release is idempotent)
+    var startedRunId: java.util.UUID = null
+    var done = false
+    val earlyTerminated = scala.collection.mutable.Set.empty[java.util.UUID]
+    var listenerRef: StreamingQueryListener = null
+    // caller threads and listener threads both land here; the work is
+    // bounded (catalog unpersist + listener dereg), so holding the
+    // lock keeps the bus callback O(1) instead of O(60s)
+    def releaseOnce(): Unit = {
+      caches.foreach(_.unpersist())
+      streams.removeListener(listenerRef)
+    }
     val listener = new StreamingQueryListener {
       override def onQueryStarted(
           e: StreamingQueryListener.QueryStartedEvent): Unit = ()
       override def onQueryProgress(
           e: StreamingQueryListener.QueryProgressEvent): Unit = ()
       override def onQueryTerminated(
-          e: StreamingQueryListener.QueryTerminatedEvent): Unit = {
-        val qid =
-          try startedId.get(60, java.util.concurrent.TimeUnit.SECONDS)
-          catch { case _: Throwable => null }
-        if (qid != null && e.id == qid) {
-          caches.foreach(_.unpersist())
-          streams.removeListener(this)
+          e: StreamingQueryListener.QueryTerminatedEvent): Unit =
+        lock.synchronized {
+          if (!done) {
+            if (startedRunId == null) earlyTerminated += e.runId
+            else if (e.runId == startedRunId) { done = true; releaseOnce() }
+          }
         }
-      }
     }
+    listenerRef = listener
     streams.addListener(listener)
     val query =
       try start
       catch { case t: Throwable =>
-        streams.removeListener(listener)
-        caches.foreach(_.unpersist())
+        lock.synchronized { if (!done) { done = true; releaseOnce() } }
         throw t
       }
-    startedId.complete(query.id)
+    lock.synchronized {
+      if (!done) {
+        startedRunId = query.runId
+        // the AvailableNow fast path: our run terminated before
+        // start() returned and the event already came and went
+        if (earlyTerminated.contains(startedRunId)) {
+          done = true; releaseOnce()
+        }
+        earlyTerminated.clear()
+      }
+    }
     query
   }
 

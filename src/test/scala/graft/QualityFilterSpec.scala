@@ -137,4 +137,82 @@ class QualityFilterSpec extends AnyFunSuite {
     }
     assert(e3.getMessage.contains("not comparable"), e3.getMessage)
   }
+
+  test("withPercentile rejects reserved column collisions loudly (ADVICE r15)") {
+    import spark.implicits._
+    import graft.operators.QualityCal
+    val cdf = QualityCal.cdfOf(Seq(("en", 0.5)).toDF("lang", "quality"))
+    // a stream whose schema already carries pct would otherwise fail
+    // deep inside the gate's filter as an ambiguous reference (or
+    // silently overwrite a working column) — the require names the
+    // clash and the fix at the call
+    val withPct = Seq((1L, "en", 0.5, 0.9)).toDF("doc_id", "lang", "q", "pct")
+    val e = intercept[IllegalArgumentException] {
+      QualityCal.withPercentile(withPct, cdf, "lang", col("q"))
+    }
+    assert(e.getMessage.contains("pct"), e.getMessage)
+    // same frame clears with a non-colliding pctCol
+    val ok = QualityCal.withPercentile(withPct, cdf, "lang", col("q"),
+      pctCol = "cal_pct")
+    assert(ok.columns.contains("cal_pct") && ok.count() == 1)
+    val withRq = Seq((1L, "en", 0.5, "x")).toDF("doc_id", "lang", "q", "__rq")
+    val e2 = intercept[IllegalArgumentException] {
+      QualityCal.withPercentile(withRq, cdf, "lang", col("q"))
+    }
+    assert(e2.getMessage.contains("__rq"), e2.getMessage)
+  }
+
+  test("calibration refresh-while-serving: label and cells flip atomically (r16)") {
+    import spark.implicits._
+    import graft.operators.QualityCal
+    val store = new graft.sources.ParquetStore(
+      spark, TestSpark.tempDir("graft_qcal_atomic_"))
+    // snapshot s<i>'s corpus contains ONLY language l<i>, so any
+    // observation pairing label s_i with cells of l_j (i != j) is a
+    // torn read — exactly what the two-step overwrite+putMeta refresh
+    // permitted between its writes and the atomic versioned-meta
+    // commit must never show
+    def refresh(i: Int): Unit = QualityCal.buildPercentileStore(store,
+      "cdf", Seq((1L, s"l$i", "some calibration text body here"))
+        .toDF("doc_id", "lang", "text"), "lang", "text", snapshot = s"s$i")
+    refresh(0)
+    @volatile var stop = false
+    val torn = new java.util.concurrent.atomic.AtomicReference[String](null)
+    val reads = new java.util.concurrent.atomic.AtomicInteger(0)
+    val reader = new Thread(() => {
+      while (!stop && torn.get == null) {
+        try {
+          // ONE pointer resolution → (cells, label) must be the pair
+          // committed together, whatever refresh is in flight
+          val (df, meta) = store.readSnapshotWithMeta("cdf")
+          val label = meta.getOrElse("quality.cdf.snapshot", "<absent>")
+          val langs = df.select("lang").distinct()
+            .collect().map(_.getString(0)).toSet
+          if (langs != Set("l" + label.stripPrefix("s")))
+            torn.set(s"label $label served another snapshot's cells: $langs")
+          reads.incrementAndGet()
+        } catch { case t: Throwable =>
+          // a read that straddles MULTIPLE refreshes can lose its
+          // snapshot dir to the store's one-commit GC grace — the
+          // documented LOUD retention miss, categorically different
+          // from the silent torn pair this test hunts
+          val m = t.toString + String.valueOf(t.getCause)
+          if (!(m.contains("PATH_NOT_FOUND") ||
+              m.contains("FileNotFoundException") ||
+              m.contains("does not exist")))
+            torn.set(s"reader threw unexpectedly: $t")
+        }
+      }
+    })
+    reader.start()
+    try (1 to 6).foreach { i => refresh(i); Thread.sleep(200) }
+    finally { stop = true; reader.join(60000) }
+    assert(torn.get == null, String.valueOf(torn.get))
+    assert(reads.get > 0, "reader must have observed at least one pair")
+    // the final pair is the last refresh's, label and cells together
+    val fin = QualityCal.loadCdf(store, "cdf", "t", Some("s6"))
+    assert(fin.select("lang").distinct().collect()
+      .map(_.getString(0)).toSet == Set("l6"),
+      "pinned final load must serve the cells committed with its label")
+  }
 }

@@ -1081,4 +1081,47 @@ class RealtimeSpec extends AnyFunSuite {
     assert(pairs() == wantAll,
       "checkpointed band state must pair across runs and add nothing else")
   }
+
+  test("startReleasing: run-scoped release; unrelated terminations and failed starts (ADVICE r15)") {
+    import spark.implicits._
+    import org.apache.spark.storage.StorageLevel
+    def persisted(df: org.apache.spark.sql.DataFrame) =
+      df.storageLevel != StorageLevel.NONE
+
+    // failed start: caches free SYNCHRONOUSLY on the caller thread —
+    // the old CompletableFuture shape left any already-dispatched
+    // terminated callback blocking the session's listener bus for the
+    // full 60s because nothing ever completed the future
+    val cFail = Seq(1).toDF("x").persist()
+    cFail.count()
+    intercept[RuntimeException] {
+      Realtime.startReleasing(spark, Seq(cFail))(
+        throw new RuntimeException("boom"))
+    }
+    assert(!persisted(cFail), "failed start must release caches immediately")
+
+    // live stream: an UNRELATED query's termination must not release
+    // the stream-lifetime caches (runId-matched, non-blocking bus)
+    val cLive = Seq(2).toDF("x").persist()
+    cLive.count()
+    val ours = Realtime.startReleasing(spark, Seq(cLive))(
+      spark.readStream.format("rate").option("rowsPerSecond", "1").load()
+        .writeStream.format("noop").start())
+    try {
+      val other = spark.readStream.format("rate")
+        .option("rowsPerSecond", "1").load()
+        .writeStream.format("noop").start()
+      other.stop(); other.awaitTermination()
+      // the bus is async; give the unrelated event time to dispatch
+      Thread.sleep(2000)
+      assert(persisted(cLive),
+        "an unrelated query's termination must not release our caches")
+    } finally { ours.stop(); ours.awaitTermination() }
+    // our run's termination releases (async — poll briefly)
+    val deadline = System.currentTimeMillis() + 30000
+    while (persisted(cLive) && System.currentTimeMillis() < deadline)
+      Thread.sleep(100)
+    assert(!persisted(cLive),
+      "caches must release when OUR run terminates")
+  }
 }
