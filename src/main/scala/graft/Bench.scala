@@ -51,13 +51,20 @@ object Bench {
       case Some(path) => readFile(path)
       case None => gitShow().orElse(readFile("BENCH_FULL.json"))
     }
-    src match {
-      case Some(json) =>
-        val sfOk = "\"sf\":\"([^\"]*)\"".r.findFirstMatchIn(json)
-          .forall(_.group(1) == sfDir)
-        if (sfOk) parseQueriesMap(json) else Map.empty
-      case None => Map.empty
-    }
+    src.map(baselineForScale(_, sfDir)).getOrElse(Map.empty)
+  }
+
+  /** Baseline accepted only when its record NAMES this run's scale:
+    * `exists`, not `forall` (ADVICE r15) — a record with no `sf`
+    * field at all (legacy/foreign file) was previously accepted
+    * unconditionally, and a cross-scale baseline then fires the
+    * regression tiebreak on essentially every query, adding a wasted
+    * third attempt each.
+    */
+  private[graft] def baselineForScale(json: String, sfDir: String): Map[String, Double] = {
+    val sfOk = "\"sf\":\"([^\"]*)\"".r.findFirstMatchIn(json)
+      .exists(_.group(1) == sfDir)
+    if (sfOk) parseQueriesMap(json) else Map.empty
   }
 
   /** The flat `"queries":{...}` map of a BENCH_FULL/BENCH_r JSON line
@@ -110,6 +117,19 @@ object Bench {
                     startEpochSec: Long, load1m: Double,
                     attempts: Seq[Double], retry: String)
     val baseline = baselineTimes(sfDir)
+    // Self-consistency guard (r16): a registry query with no entry in
+    // the committed record silently runs without the regression
+    // tiebreak — expected for a freshly added query, but after a
+    // RENAME the old baseline is lost without a trace. Name the
+    // uncovered queries on stderr and in the diag so a rename that
+    // drops its baseline is visible in the round artifact.
+    val noBaseline =
+      if (baseline.isEmpty) Seq.empty[String]
+      else SparkEntry.queries.keys.toSeq.sorted.filterNot(baseline.contains)
+    if (noBaseline.nonEmpty)
+      System.err.println(s"[bench] no committed baseline for " +
+        s"${noBaseline.size} quer${if (noBaseline.size == 1) "y" else "ies"} " +
+        s"(regression tiebreak off for them): ${noBaseline.mkString(", ")}")
     // Best-of-N (default 2): the official runner benches on a shared
     // sandbox where a single load spike printed 18.5 s for a query
     // that measures 0.80 s idle (r11 f5_websearch). Per query the
@@ -204,7 +224,9 @@ object Bench {
     val attempts = jmap(r =>
       r.attempts.map(a => f"$a%.3f").mkString("[", ",", "]"))
     val retries = jmap(r => "\"" + r.retry + "\"")
-    val diag = f"""{"diag":"bench","status":$status,"ts":$ts,"load":$load,"attempts":$attempts,"retry":$retries}"""
+    val noBaselineJson =
+      noBaseline.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val diag = f"""{"diag":"bench","status":$status,"ts":$ts,"load":$load,"attempts":$attempts,"retry":$retries,"baseline_n":${baseline.size},"no_baseline":$noBaselineJson}"""
     System.err.println(diag)
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_FULL.json"),

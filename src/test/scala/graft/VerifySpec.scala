@@ -68,4 +68,17 @@ class VerifySpec extends AnyFunSuite {
     assert(Bench.parseQueriesMap("""{"no_queries":1}""").isEmpty)
     assert(Bench.parseQueriesMap("""{"queries":{""").isEmpty)
   }
+
+  test("Bench.baselineForScale: sf field must be PRESENT and equal (ADVICE r15)") {
+    val sf01 = "/root/testdata/sf0.1"
+    val withSf = s"""{"queries":{"q":1.5},"sf":"$sf01"}"""
+    assert(Bench.baselineForScale(withSf, sf01) == Map("q" -> 1.5))
+    // a record at another scale is discarded (cross-scale times would
+    // fire the regression retry on every query)
+    assert(Bench.baselineForScale(withSf, "/root/testdata/sf0.01").isEmpty)
+    // a record with NO sf field (legacy/foreign file) is discarded
+    // too — the old forall accepted it unconditionally, with the same
+    // every-query-retries blast radius
+    assert(Bench.baselineForScale("""{"queries":{"q":1.5}}""", sf01).isEmpty)
+  }
 }
