@@ -75,20 +75,24 @@ object Export {
     * engine-agnostic, so the DuckDB oracle replays the permutation
     * bit-for-bit.
     */
+  /** The deterministic per-epoch permutation key shared by
+    * [[shardOrder]] and [[shardOrderBy]] (and staged incrementally by
+    * the streaming curriculum export) — ONE definition so the
+    * documented shared-tiebreak contract can't drift between the
+    * batch and streaming paths.
+    */
+  private[graft] def orderKey(id: Column, seed: String): Column =
+    md5(concat_ws(":", lit(seed), id.cast("string")))
+
   def shardOrder(docs: DataFrame, idCol: String, nShards: Int,
-      seed: String): DataFrame = {
-    val key = md5(concat_ws(":", lit(seed), col(idCol).cast("string")))
+      seed: String): DataFrame =
     docs
       .select(shardId(col(idCol), nShards).as("shard"), col(idCol),
-        key.as("sort_key"))
+        orderKey(col(idCol), seed).as("sort_key"))
       .withColumn("seq",
         row_number().over(org.apache.spark.sql.expressions.Window
           .partitionBy(col("shard"))
           .orderBy(col("sort_key"), col(idCol))) - 1)
-    // NOTE: body mirrored by shardOrderBy — an edit to the key
-    // expression must land in both (see its scaladoc for why the
-    // duplication is deliberate)
-  }
 
   /** CURRICULUM variant of [[shardOrder]]: within each shard the
     * primary order is a caller-supplied curriculum signal (ASCENDING
@@ -105,23 +109,36 @@ object Export {
     * would silently shift every seq in a shard the moment a nullable
     * signal appears). Same scale shape as shardOrder: signal and
     * shard id compute at the scan, one md5-bucket-bounded row_number
-    * window. The key/select/window body intentionally mirrors
-    * [[shardOrder]] (kept separate so export_order's locked plan
-    * never carries a constant order column) — edit the md5 key
-    * expression in BOTH or the documented shared-tiebreak contract
-    * breaks.
+    * window. Kept separate from [[shardOrder]] so export_order's
+    * locked plan never carries a constant order column; the md5 key
+    * is the shared [[orderKey]], and the seq window is
+    * [[sequenceStaged]]'s — both single-sourced.
     */
   def shardOrderBy(docs: DataFrame, idCol: String, nShards: Int,
-      seed: String, curriculum: Column): DataFrame = {
-    val key = md5(concat_ws(":", lit(seed), col(idCol).cast("string")))
-    docs
-      .select(shardId(col(idCol), nShards).as("shard"), col(idCol),
-        curriculum.as("level"), key.as("sort_key"))
-      .withColumn("seq",
-        row_number().over(org.apache.spark.sql.expressions.Window
-          .partitionBy(col("shard"))
-          .orderBy(col("level").asc_nulls_last, col("sort_key"), col(idCol))) - 1)
-  }
+      seed: String, curriculum: Column): DataFrame =
+    sequenceStaged(
+      docs.select(shardId(col(idCol), nShards).as("shard"), col(idCol),
+        curriculum.as("level"), orderKey(col(idCol), seed).as("sort_key")),
+      idCol)
+
+  /** The NUMBERING half of [[shardOrderBy]], over an already-staged
+    * frame carrying (shard, `idCol`, level, sort_key): dense per-shard
+    * seq with ascending level (NULLS LAST), the md5 sort key and id
+    * as tiebreaks. Split out because seq assignment is inherently
+    * GLOBAL — a newly arrived mid-level document belongs in the
+    * middle of its shard's sequence, shifting every later seq — so a
+    * streaming ingest stages the per-row halves incrementally
+    * (deterministic, MERGE-idempotent) and defers this one bounded
+    * window to export time ([[graft.streaming.Realtime
+    * .curriculumOrder]]). Same scale shape as the batch path: the
+    * window partitions on the md5-bucket shard, so no partition
+    * outgrows ~N/nShards narrow rows.
+    */
+  def sequenceStaged(staged: DataFrame, idCol: String): DataFrame =
+    staged.withColumn("seq",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("shard"))
+        .orderBy(col("level").asc_nulls_last, col("sort_key"), col(idCol))) - 1)
 
   /** Write the corpus partitioned by shard id — the one terminal
     * shuffle of an export. Each `shard=K` directory is one loader

@@ -262,6 +262,37 @@ object Realtime {
   final case class PercentileGate(cdfTable: String, minPct: Double,
       langCol: String = "lang", expectSnapshot: Option[String] = None)
 
+  /** Config for the streaming CURRICULUM export (r16): each
+    * micro-batch's SURVIVORS additionally MERGE one row per doc into
+    * `table` — (id, shard, level, sort_key), the per-row halves of
+    * the curriculum order: shard = the deterministic md5 bucket,
+    * level = the per-language quality percentile against the
+    * persisted `cdfTable` snapshot (the streaming calibration
+    * convention — NULL abstains and sorts last, like the batch
+    * window's asc_nulls_last), sort_key = the epoch-seeded md5
+    * tiebreak. All three are pure functions of (row, snapshot, seed),
+    * so a crash-replayed batch MERGEs byte-identical rows
+    * (last-delivery-wins like the audit table; a restart under a
+    * REFRESHED snapshot re-levels only redelivered rows — converging
+    * to the newest calibration per delivery, the at-least-once
+    * analogue of rebuilding the batch export).
+    *
+    * What is deliberately NOT incremental: `seq`. Dense per-shard
+    * numbering is inherently global — a newly ingested mid-level doc
+    * belongs in the MIDDLE of its shard's sequence, shifting every
+    * later seq — so no streaming design can emit stable final
+    * placements row-by-row. The stream therefore stages everything
+    * corpus-sized, and [[curriculumOrder]] assigns seq at export time
+    * with ONE md5-bucket-bounded window over the narrow staging
+    * table (no partition outgrows ~N/nShards rows; no text, no
+    * corpus rescan) — equal by construction to running the batch
+    * [[graft.operators.Export.shardOrderBy]] over the final corpus
+    * with the same snapshot percentile.
+    */
+  final case class CurriculumExport(table: String, cdfTable: String,
+      nShards: Int, seed: String, langCol: String = "lang",
+      expectSnapshot: Option[String] = None)
+
   def streamIngestPipeline(store: graft.sources.ParquetStore, table: String,
       sigTable: String, docs: DataFrame, idCol: String, textCol: String,
       checkpointDir: String, blocklist: Seq[String] = Nil,
@@ -272,6 +303,7 @@ object Realtime {
       semanticGate: Option[SemanticGate] = None,
       percentileGate: Option[PercentileGate] = None,
       auditTable: Option[String] = None,
+      curriculumExport: Option[CurriculumExport] = None,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     // cheap config checks FIRST: a typo'd benchmark table name — or a
     // benchmark index banded with a different geometry than this
@@ -314,6 +346,19 @@ object Realtime {
           "language id on every row")
       cdf
     }
+    // the curriculum export levels against its own snapshot pin (its
+    // cdfTable may equal the gate's — the frames are tiny, ≤10001
+    // cells per language, so no sharing is attempted); same
+    // before-corpus-sized-work check discipline
+    val curCdfRaw = curriculumExport.map { c =>
+      val cdf = graft.operators.QualityCal.loadCdf(store, c.cdfTable,
+        "streamIngestPipeline(curriculum)", c.expectSnapshot)
+      require(docs.columns.contains(c.langCol),
+        s"streamIngestPipeline: the stream carries no '${c.langCol}' column " +
+          "for the curriculum export — per-language leveling needs the " +
+          "language id on every row")
+      cdf
+    }
     // the dedup gates probe ONLY the signature index: a docs table
     // without one would make the first micro-batch dedup within
     // itself alone and silently ingest duplicates of the whole
@@ -350,6 +395,8 @@ object Realtime {
     // the validated frame from the start-time consistent read above,
     // instead of re-reading the store table every micro-batch
     val pctCdf = pctCdfRaw.map(
+      _.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val curCdf = curCdfRaw.map(
       _.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     // one MERGE into the audit table, shared by the counted and the
     // empty-delivery paths
@@ -531,6 +578,27 @@ object Realtime {
                   semanticGate.map(_ => "3s_semantic" -> b2s.count()),
                   Some("4_near_dedup" -> nFinal)).flatten }
                 if (nFinal > 0) {
+                  // curriculum staging (r16) MERGEs FIRST, before the
+                  // docs/sig merges: the per-row halves of the export
+                  // order — shard, snapshot-percentile level, epoch
+                  // sort key — keyed by doc id. All pure functions of
+                  // (row, snapshot, seed), so a replay rewrites
+                  // identical rows (seq is assigned at export time by
+                  // curriculumOrder — see CurriculumExport's scaladoc
+                  // for why seq cannot stream). The ORDER is the
+                  // crash-replay contract: staged-then-docs heals
+                  // (a crash after staging redelivers the batch, which
+                  // re-stages and commits), whereas docs-then-staged
+                  // would let the exact gate drop the redelivery
+                  // BEFORE re-staging — a committed doc permanently
+                  // missing from the curriculum. An orphan staged row
+                  // (crash before the docs MERGE) lasts only until the
+                  // at-least-once redelivery commits its doc.
+                  curriculumExport.foreach { c =>
+                    store.merge(c.table,
+                      curriculumStaged(rows, idCol, textCol, curCdf.get, c),
+                      idCol)
+                  }
                   store.merge(table, rows, idCol)
                   // survivors' signatures MERGE from the SHARED frame
                   // (sigD ⊇ rows' sigs; the join restricts) — the
@@ -581,8 +649,54 @@ object Realtime {
     // per-micro-batch banding fix closed, recurring at stream
     // granularity.
     startReleasing(docs.sparkSession,
-      semanticBench.toSeq ++ pctCdf.toSeq)(writer.start())
+      semanticBench.toSeq ++ pctCdf.toSeq ++ curCdf.toSeq)(writer.start())
   }
+
+  /** The staged curriculum projection of a survivors frame — the ONE
+    * definition shared by the per-micro-batch hook and
+    * [[curriculumBackfill]], so the two write paths can never level
+    * or key differently.
+    */
+  private def curriculumStaged(rows: DataFrame, idCol: String,
+      textCol: String, cdf: DataFrame, c: CurriculumExport): DataFrame =
+    graft.operators.QualityCal.withPercentile(
+        rows.select(col(idCol), col(c.langCol), col(textCol)),
+        cdf, c.langCol,
+        graft.functions.GraftFunctions.qualityScore(col(textCol)),
+        pctCol = "level")
+      .select(col(idCol),
+        graft.operators.Export.shardId(col(idCol), c.nShards).as("shard"),
+        col("level"),
+        graft.operators.Export.orderKey(col(idCol), c.seed).as("sort_key"))
+
+  /** One-time curriculum staging of rows that did NOT arrive through
+    * the stream — a pre-seeded corpus, or a heal after changing the
+    * staging table name: MERGEs the same (shard, level, sort_key)
+    * projection the per-batch hook writes, against the same snapshot
+    * pin. Idempotent (pure values keyed by id); run it once over
+    * `store.read(docsTable)` before starting a curriculum-exporting
+    * stream on a warehouse with history.
+    */
+  def curriculumBackfill(store: graft.sources.ParquetStore,
+      c: CurriculumExport, rows: DataFrame, idCol: String,
+      textCol: String): Unit = {
+    val cdf = graft.operators.QualityCal.loadCdf(store, c.cdfTable,
+      "curriculumBackfill", c.expectSnapshot)
+    store.merge(c.table, curriculumStaged(rows, idCol, textCol, cdf, c), idCol)
+  }
+
+  /** Export-time numbering of a streamed curriculum staging table
+    * (the deferred half of [[CurriculumExport]]): ONE md5-bucket-
+    * bounded row_number window over the narrow staged rows —
+    * [[graft.operators.Export.sequenceStaged]], the same window the
+    * batch shardOrderBy plans — returning (shard, `idCol`, level,
+    * sort_key, seq) with seq dense from 0 per shard. Run when a
+    * loader actually ships an epoch; the staging table itself stays
+    * incrementally maintained by the stream.
+    */
+  def curriculumOrder(store: graft.sources.ParquetStore, table: String,
+      idCol: String): DataFrame =
+    graft.operators.Export.sequenceStaged(store.read(table), idCol)
 
   /** Start a streaming query with stream-lifetime `caches` released on
     * its termination — and on a FAILED start. The listener registers

@@ -995,6 +995,99 @@ class RealtimeSpec extends AnyFunSuite {
       s"all-gates funnel must equal the batch twin's stage counts: $a")
   }
 
+  test("streaming curriculum export: staged increments, export order equals batch (r16)") {
+    import graft.operators.{Dedup, Export, QualityCal}
+    import graft.functions.GraftFunctions
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.01"
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text", "lang")
+    val existing = docs.filter(col("doc_id") < Queries.incrementalSplit)
+    val batch = docs.filter(col("doc_id") >= Queries.incrementalSplit &&
+        col("doc_id") < Queries.decontamNearDupSplit)
+      // one planted language the snapshot has never seen: its level
+      // must stage as NULL (calibration abstains) and sort LAST in
+      // its shard, exactly like the batch window's asc_nulls_last
+      .unionByName(Seq((999001L,
+        "completely novel zz language document about volcanic glass " +
+          "formations and obsidian knapping techniques", "zz"))
+        .toDF("doc_id", "text", "lang"))
+    val store = new graft.sources.ParquetStore(
+      spark, TestSpark.tempDir("graft_cur_store_"))
+    store.merge("docs", existing, "doc_id")
+    Dedup.buildNearDupStore(store, "sigs", existing, "doc_id", "text",
+      shingleN = Queries.minHashShingleN,
+      numHashes = Queries.minHashNumHashes, bands = Queries.minHashBands)
+    // snapshot over the ORIGINAL corpus only (no zz) so abstention
+    // has something to abstain from
+    QualityCal.buildPercentileStore(store, "quality_cdf", docs,
+      "lang", "text", snapshot = "corpus-v1")
+    val cur = Realtime.CurriculumExport("curr", "quality_cdf",
+      nShards = 4, seed = "ep0", expectSnapshot = Some("corpus-v1"))
+    // pre-seeded corpus rows are staged once by the backfill — the
+    // stream only ever stages its own survivors
+    Realtime.curriculumBackfill(store, cur, existing, "doc_id", "text")
+    val src = TestSpark.tempDir("graft_cur_src_")
+    batch.coalesce(1).write.mode("append").parquet(src)
+    def runPass(cp: String): Unit = {
+      val q = Realtime.streamIngestPipeline(store, "docs", "sigs",
+        spark.readStream.schema("doc_id LONG, text STRING, lang STRING")
+          .parquet(src),
+        "doc_id", "text", cp,
+        shingleN = Queries.minHashShingleN,
+        numHashes = Queries.minHashNumHashes, bands = Queries.minHashBands,
+        threshold = Queries.minHashThreshold,
+        curriculumExport = Some(cur))
+      assert(q.awaitTermination(120000), "stream did not finish in time")
+    }
+    runPass(TestSpark.tempDir("graft_cur_cp_"))
+    // staging must cover EXACTLY the corpus table (backfill + streamed
+    // survivors; dropped duplicates never stage)
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids(store.read("curr")) == ids(store.read("docs")),
+      "staging table must hold one row per corpus doc, nothing else")
+    // the deferred numbering equals the BATCH curriculum over the
+    // final corpus at the same snapshot: same shard, level, and seq
+    // per doc — shardOrderBy is the already-oracled batch operator
+    def orderTuples(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("shard").cast("long"), col("doc_id"),
+          col("level").cast("double"), col("seq").cast("long"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getDouble(2)), r.getLong(3)))
+        .toSet
+    val cdf = QualityCal.loadCdf(store, "quality_cdf", "test",
+      Some("corpus-v1"))
+    val scoredBatchSide = QualityCal.withPercentile(
+      store.read("docs").select(col("doc_id"), col("lang"), col("text")),
+      cdf, "lang", GraftFunctions.qualityScore(col("text")), pctCol = "lvl")
+    val want = orderTuples(Export.shardOrderBy(
+      scoredBatchSide.select(col("doc_id"), col("lvl")),
+      "doc_id", 4, "ep0", col("lvl")))
+    val got = orderTuples(Realtime.curriculumOrder(store, "curr", "doc_id"))
+    assert(got == want,
+      "streamed staging + deferred numbering must equal the batch " +
+        "shardOrderBy over the final corpus at the same snapshot")
+    // the unknown-language doc abstained (NULL level) and sits LAST
+    // in its shard's sequence
+    val zz = Realtime.curriculumOrder(store, "curr", "doc_id")
+      .filter(col("doc_id") === 999001L).collect().head
+    assert(zz.isNullAt(zz.fieldIndex("level")),
+      "unseen language must stage a NULL (abstained) level")
+    val zzShardMax = Realtime.curriculumOrder(store, "curr", "doc_id")
+      .filter(col("shard") === zz.getAs[Long]("shard"))
+      .agg(max(col("seq"))).head().getInt(0)
+    assert(zz.getAs[Int]("seq") == zzShardMax,
+      "a NULL level must order last within its shard")
+    // at-least-once replay from a FRESH checkpoint: the redelivery is
+    // dropped by the exact gate and the staging table is untouched —
+    // the export order is byte-stable across replays
+    runPass(TestSpark.tempDir("graft_cur_cp2_"))
+    assert(orderTuples(Realtime.curriculumOrder(store, "curr", "doc_id")) == got,
+      "a replayed delivery must not change the staged curriculum")
+  }
+
   test("streaming windowed counts equal the batch result (one code path)") {
     import spark.implicits._
     val events = (0 until 200).map { i =>
