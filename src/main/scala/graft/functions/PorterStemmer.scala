@@ -33,7 +33,7 @@ object PorterStemmer {
   }
 
   /** Measure: number of VC sequences in the stem. */
-  private def measure(w: String): Int = {
+  private[graft] def measure(w: String): Int = {
     var m = 0
     var i = 0
     val n = w.length
@@ -68,14 +68,14 @@ object PorterStemmer {
       if (measure(stem) > minMeasure) Some(stem + repl) else Some(w)
     } else None
 
-  private def step1a(w: String): String =
+  private[graft] def step1a(w: String): String =
     if (w.endsWith("sses")) w.dropRight(2)
     else if (w.endsWith("ies")) w.dropRight(2)
     else if (w.endsWith("ss")) w
     else if (w.endsWith("s")) w.dropRight(1)
     else w
 
-  private def step1b(w: String): String = {
+  private[graft] def step1b(w: String): String = {
     if (w.endsWith("eed")) {
       val stem = w.dropRight(3)
       if (measure(stem) > 0) w.dropRight(1) else w
@@ -95,7 +95,7 @@ object PorterStemmer {
     }
   }
 
-  private def step1c(w: String): String =
+  private[graft] def step1c(w: String): String =
     if (w.endsWith("y") && containsVowel(w.dropRight(1))) w.dropRight(1) + "i"
     else w
 
@@ -107,7 +107,7 @@ object PorterStemmer {
     "ousness" -> "ous", "aliti" -> "al", "iviti" -> "ive", "biliti" -> "ble"
   )
 
-  private def step2(w: String): String =
+  private[graft] def step2(w: String): String =
     step2Pairs.collectFirst(Function.unlift { case (suf, rep) =>
       replaceSuffix(w, suf, rep, 0)
     }).getOrElse(w)
@@ -117,7 +117,7 @@ object PorterStemmer {
     "ical" -> "ic", "ful" -> "", "ness" -> ""
   )
 
-  private def step3(w: String): String =
+  private[graft] def step3(w: String): String =
     step3Pairs.collectFirst(Function.unlift { case (suf, rep) =>
       replaceSuffix(w, suf, rep, 0)
     }).getOrElse(w)
@@ -127,7 +127,7 @@ object PorterStemmer {
     "ment", "ent", "ou", "ism", "ate", "iti", "ous", "ive", "ize"
   )
 
-  private def step4(w: String): String = {
+  private[graft] def step4(w: String): String = {
     // "ion" only valid after s or t
     if (w.endsWith("ion") && w.length > 3 &&
         "st".contains(w.charAt(w.length - 4))) {
@@ -142,13 +142,13 @@ object PorterStemmer {
     }).getOrElse(w)
   }
 
-  private def step5a(w: String): String =
+  private[graft] def step5a(w: String): String =
     if (w.endsWith("e")) {
       val stem = w.dropRight(1)
       val m = measure(stem)
       if (m > 1 || (m == 1 && !endsCvc(stem))) stem else w
     } else w
 
-  private def step5b(w: String): String =
+  private[graft] def step5b(w: String): String =
     if (w.endsWith("ll") && measure(w) > 1) w.dropRight(1) else w
 }
