@@ -88,4 +88,47 @@ class MinHashSpec extends AnyFunSuite {
     // bigrams: 6 each, 5 shared → 5/7
     assert(math.abs(r.getAs[Double]("jaccard") - 5.0 / 7.0) < 1e-9)
   }
+
+  test("BandPlanner: S-curve arithmetic and the repo default's operating point") {
+    import graft.operators.BandPlanner
+    // the curve formula at hand-computable points
+    assert(math.abs(BandPlanner.candidateProbability(0.5, 1, 1) - 0.5) < 1e-12)
+    // b=16, r=4 at s=0.5: 1 - (1 - 0.0625)^16
+    val p = BandPlanner.candidateProbability(0.5, 16, 4)
+    assert(math.abs(p - (1.0 - math.pow(0.9375, 16))) < 1e-12)
+    // monotone in s
+    val probs = (1 to 9).map(i => BandPlanner.candidateProbability(i / 10.0, 16, 4))
+    assert(probs == probs.sorted, s"S-curve must be monotone: $probs")
+    // the repo's 64-hash x 16-band production default sits at an
+    // implicit threshold of exactly (1/16)^(1/4) = 0.5
+    assert(math.abs(BandPlanner.implicitThreshold(16, 4) - 0.5) < 1e-12)
+  }
+
+  test("BandPlanner.plan: cheapest geometry clearing both curve sides, deterministic") {
+    import graft.operators.BandPlanner
+    val got = BandPlanner.plan(threshold = 0.5, minRecall = 0.9,
+      maxLowProb = 0.2).get
+    // every feasible plan must clear its own constraints by the
+    // curve's own arithmetic
+    assert(BandPlanner.candidateProbability(0.5, got.bands, got.rowsPerBand) >= 0.9)
+    assert(BandPlanner.candidateProbability(0.25, got.bands, got.rowsPerBand) <= 0.2)
+    assert(got.numHashes == got.bands * got.rowsPerBand)
+    // exhaustive replay of the documented search order: no cheaper
+    // feasible geometry exists under the same constraints
+    for (r <- 1 to 64; b <- 1 to 512 / r; if b * r < got.numHashes) {
+      val ok = BandPlanner.candidateProbability(0.5, b, r) >= 0.9 &&
+        BandPlanner.candidateProbability(0.25, b, r) <= 0.2
+      assert(!ok, s"planner missed a cheaper feasible geometry: b=$b r=$r")
+    }
+    // an impossible ask fails LOUDLY (None), never a silently weaker
+    // curve: near-perfect recall at the threshold with near-zero
+    // noise admission just below it needs an unbounded signature
+    assert(BandPlanner.plan(threshold = 0.5, minRecall = 0.999,
+      lowSim = Some(0.45), maxLowProb = 0.001, maxHashes = 512).isEmpty)
+    // relaxing the budget monotonically can only improve or keep the
+    // recall-side pick; same constraints, bigger budget, same answer
+    val wide = BandPlanner.plan(threshold = 0.5, minRecall = 0.9,
+      maxLowProb = 0.2, maxHashes = 4096).get
+    assert(wide.numHashes <= got.numHashes)
+  }
 }
