@@ -89,8 +89,13 @@ object BandPlanner {
     val low = lowSim.getOrElse(threshold / 2.0)
     require(low < threshold,
       s"lowSim ($low) must be below the threshold ($threshold)")
+    // r ranges over the full hash budget (code review r16 — a fixed
+    // r<=64 cap returned None on high-threshold asks whose only
+    // feasible geometries are deep-band, e.g. threshold 0.98 wants
+    // r~80): the grid is sum_r (maxHashes/r) ~ maxHashes·ln(maxHashes)
+    // evaluations of pure arithmetic, trivial on the driver
     val candidates = for {
-      r <- 1 to 64
+      r <- 1 to maxHashes
       b <- 1 to maxHashes / math.max(r, 1)
       if b * r <= maxHashes
       recall = candidateProbability(threshold, b, r)

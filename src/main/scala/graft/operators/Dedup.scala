@@ -41,6 +41,15 @@ object Dedup {
     * skew-join splits a residual hot group across tasks (a window
     * partition can never be split). Null-safe key so null-text docs
     * form one group, exactly as the window's null partition did.
+    *
+    * The input subtree is referenced twice (aggregate side + probe
+    * side), so the corpus scans twice — embarrassingly parallel,
+    * column-pruned, the standard trade against the window's one-task
+    * skew wall. When the input embeds EXPENSIVE per-row work (a
+    * UDF-scored quality gate, as in pipeline_corpus), materialize
+    * that gated view once upstream before calling this — the same
+    * discipline as the tokenized views of [[spanDedup]] /
+    * [[exactSubstrDedup]].
     */
   def exactCanonical(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val norm = regexp_replace(lower(trim(col(textCol))), "\\s+", " ")

@@ -175,20 +175,27 @@ object QualityCal {
     * rows. Both joins are null-safe on lang (NULL-language rows keep
     * their percentile, like the batch side).
     */
-  def withPercentile(rows: DataFrame, cdf: DataFrame, langCol: String,
-      quality: Column, pctCol: String = "pct"): DataFrame = {
-    // reserved working names (ADVICE r15): an input frame already
-    // carrying pct would make the gate's filter(col("pct")...) an
-    // ambiguous reference at analysis, and a pre-existing __rq/__pl/
-    // __pq would be silently overwritten or collide in the join —
-    // fail at the call with the fix spelled out, like the
-    // streamIngestPipeline langCol check
-    val clash = (pctCol +: Seq("__rq", "__pl", "__pq"))
-      .filter(rows.columns.contains)
+  /** Guard for [[withPercentile]]'s reserved working names (ADVICE
+    * r15): an input frame already carrying `pctCol` would make the
+    * gate's `filter(col(pctCol)...)` an ambiguous reference at
+    * analysis, and a pre-existing __rq/__pl/__pq would be silently
+    * overwritten or collide in the join. Public so a STREAM can check
+    * its schema at start (the cheap-config-checks-first discipline)
+    * instead of failing inside the first micro-batch and wedging
+    * every checkpoint restart on the same throw.
+    */
+  def requireNoReservedColumns(columns: Seq[String], pctCol: String,
+      caller: String): Unit = {
+    val clash = (pctCol +: Seq("__rq", "__pl", "__pq")).filter(columns.contains)
     require(clash.isEmpty,
-      s"withPercentile: input frame already carries reserved column(s) " +
+      s"$caller: input frame already carries reserved column(s) " +
         s"${clash.mkString(", ")} — rename them upstream (or pass a " +
         "different pctCol); the percentile lookup writes these names")
+  }
+
+  def withPercentile(rows: DataFrame, cdf: DataFrame, langCol: String,
+      quality: Column, pctCol: String = "pct"): DataFrame = {
+    requireNoReservedColumns(rows.columns.toSeq, pctCol, "withPercentile")
     val withQ = rows.withColumn("__rq", quality)
     val c = cdf.select(col("lang").as("__cl"), col("quality").as("__cq"),
       col("pct").as("__cp"))

@@ -180,20 +180,27 @@ final class ParquetStore(spark: SparkSession, root: String, nBuckets: Int = 16,
       .sorted
   }
 
-  /** Properties for the table: the newest versioned sidecar at or
-    * below `_CURRENT` when one exists (tables committed via
-    * [[overwriteWithMeta]] — a merge after such a commit keeps the
-    * build's properties, exactly like the legacy sidecar), else the
-    * table-level `_META` written by [[putMeta]]; empty for tables
-    * with neither. Do not mix [[putMeta]] and [[overwriteWithMeta]]
-    * on one table — the versioned sidecar always wins here, so a
-    * later putMeta would be silently shadowed.
+  /** Properties for the table: the `_META_v<current>` sidecar when
+    * the CURRENT version carries one (committed via
+    * [[overwriteWithMeta]]), else the table-level `_META` written by
+    * [[putMeta]]; empty for tables with neither. Resolution is
+    * EXACT-version, not newest-at-or-below (code review r16): a
+    * version committed WITHOUT a sidecar — a plain [[overwrite]], or
+    * a [[merge]] — after an overwriteWithMeta must read as "no
+    * versioned properties" (falling back to the legacy sidecar, or
+    * unknown provenance), never serve the SUPERSEDED snapshot's
+    * label for data it does not describe: a stale label under fresh
+    * cells is exactly the silent miscalibration the atomic commit
+    * exists to prevent. Consequence: overwriteWithMeta tables are
+    * full-replace tables — refresh them only through
+    * overwriteWithMeta (a merge would drop them to unknown
+    * provenance, loudly).
     */
   def getMeta(table: String): Map[String, String] = {
-    val resolved = currentVersion(table).flatMap(cur =>
-      metaVersions(table).filter(_ <= cur).lastOption)
-    resolved match {
-      case Some(v) => parseMeta(readFully(metaVPath(table, v)))
+    val exact = currentVersion(table).map(metaVPath(table, _))
+      .filter(fs.exists)
+    exact match {
+      case Some(p) => parseMeta(readFully(p))
       case None =>
         val p = metaPath(table)
         if (!fs.exists(p)) Map.empty else parseMeta(readFully(p))
@@ -368,13 +375,35 @@ final class ParquetStore(spark: SparkSession, root: String, nBuckets: Int = 16,
     * pairing caveat.
     */
   def readSnapshotWithMeta(table: String): (DataFrame, Map[String, String]) = {
-    val v = currentVersion(table).getOrElse(
-      throw new IllegalStateException(s"no such table: $root/$table"))
-    val mp = metaVPath(table, v)
-    if (fs.exists(mp))
-      (spark.read.option("recursiveFileLookup", "true")
-        .parquet(versionDir(table, v)), parseMeta(readFully(mp)))
-    else (read(table), getMeta(table))
+    // bounded retry (code review r16): a reader can resolve a version
+    // whose sidecar was just GC'd because refreshes outpaced it —
+    // falling back to the two-call pair THERE would silently re-open
+    // the torn-pair window this method exists to close, so re-resolve
+    // instead. But a current version that lacks a sidecar and is
+    // STABLE across two looks (a plain overwrite/merge landed, or a
+    // legacy putMeta table) is not a race: take the documented
+    // two-call fallback — with exact-version getMeta that reads as
+    // the table-level properties or unknown provenance, never a
+    // superseded snapshot's label.
+    var attempt = 0
+    var lastV = Long.MinValue
+    while (true) {
+      val v = currentVersion(table).getOrElse(
+        throw new IllegalStateException(s"no such table: $root/$table"))
+      val mp = metaVPath(table, v)
+      if (fs.exists(mp))
+        return (spark.read.option("recursiveFileLookup", "true")
+          .parquet(versionDir(table, v)), parseMeta(readFully(mp)))
+      if (v == lastV || metaVersions(table).isEmpty)
+        return (read(table), getMeta(table))
+      lastV = v
+      attempt += 1
+      if (attempt >= 5) throw new IllegalStateException(
+        s"$root/$table: refreshes outpaced this reader $attempt times " +
+          "(each resolved version's _META_v sidecar was replaced before " +
+          "it could be read) — retry under a calmer refresh cadence")
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** MERGE: rows in `updates` replace same-key rows in the current
@@ -535,14 +564,12 @@ final class ParquetStore(spark: SparkSession, root: String, nBuckets: Int = 16,
         if (v < current - 1 && !referenced.contains(v)) fs.delete(st.getPath, true)
       }
     }
-    // versioned _META sidecars: keep the one getMeta resolves (newest
-    // <= current) plus one commit cycle of grace behind it, mirroring
-    // the snapshot-dir policy, so an in-flight consistent-pair reader
-    // still finds the sidecar its pointer read implied
-    val mv = metaVersions(table)
-    mv.filter(_ <= current).lastOption.foreach { resolved =>
-      mv.filter(w => w < resolved && w < current - 1)
-        .foreach(w => fs.delete(metaVPath(table, w), false))
-    }
+    // versioned _META sidecars: exact-version resolution (getMeta)
+    // means only the current version's sidecar is live — keep it plus
+    // one commit cycle of grace, mirroring the snapshot-dir policy,
+    // so an in-flight consistent-pair reader still finds the sidecar
+    // its pointer read implied
+    metaVersions(table).filter(_ < current - 1)
+      .foreach(w => fs.delete(metaVPath(table, w), false))
   }
 }

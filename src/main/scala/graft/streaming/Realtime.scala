@@ -344,20 +344,36 @@ object Realtime {
         s"streamIngestPipeline: the stream carries no '${g.langCol}' column " +
           "for the percentile gate — per-language calibration needs the " +
           "language id on every row")
+      // a schema already carrying the gate's working names must fail
+      // HERE, not inside the first micro-batch — an in-batch throw
+      // wedges every checkpoint restart on the same error (review r16)
+      graft.operators.QualityCal.requireNoReservedColumns(
+        docs.columns.toSeq, "pct", "streamIngestPipeline(percentileGate)")
       cdf
     }
-    // the curriculum export levels against its own snapshot pin (its
-    // cdfTable may equal the gate's — the frames are tiny, ≤10001
-    // cells per language, so no sharing is attempted); same
-    // before-corpus-sized-work check discipline
+    // the curriculum export levels against its own snapshot pin; when
+    // it names the SAME (cdfTable, expectSnapshot) as the gate, the
+    // gate's loaded frame is REUSED — two separate loads could
+    // straddle a calibration refresh and bind different snapshots for
+    // the stream's whole life, gating on one while leveling with the
+    // other (review r16). Different pins load separately (two pins
+    // naming different releases is an intentional configuration).
     val curCdfRaw = curriculumExport.map { c =>
-      val cdf = graft.operators.QualityCal.loadCdf(store, c.cdfTable,
-        "streamIngestPipeline(curriculum)", c.expectSnapshot)
       require(docs.columns.contains(c.langCol),
         s"streamIngestPipeline: the stream carries no '${c.langCol}' column " +
           "for the curriculum export — per-language leveling needs the " +
           "language id on every row")
-      cdf
+      // the staging projection is (idCol, langCol, textCol) with
+      // pctCol "level": none of the three may collide with the
+      // lookup's working names (same start-time discipline)
+      graft.operators.QualityCal.requireNoReservedColumns(
+        Seq(idCol, c.langCol, textCol).distinct, "level",
+        "streamIngestPipeline(curriculumExport)")
+      val sharedWithGate = percentileGate.exists(g =>
+        g.cdfTable == c.cdfTable && g.expectSnapshot == c.expectSnapshot)
+      if (sharedWithGate) pctCdfRaw.get
+      else graft.operators.QualityCal.loadCdf(store, c.cdfTable,
+        "streamIngestPipeline(curriculum)", c.expectSnapshot)
     }
     // the dedup gates probe ONLY the signature index: a docs table
     // without one would make the first micro-batch dedup within
@@ -396,8 +412,13 @@ object Realtime {
     // instead of re-reading the store table every micro-batch
     val pctCdf = pctCdfRaw.map(
       _.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val curCdf = curCdfRaw.map(
-      _.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // a frame shared with the gate is already persisted above —
+    // persist() on it again would only log a warning, but keeping the
+    // reference identity makes the release list below exact
+    val curCdf = curCdfRaw.map { c =>
+      if (pctCdfRaw.exists(_ eq c)) pctCdf.get
+      else c.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
     // one MERGE into the audit table, shared by the counted and the
     // empty-delivery paths
     def writeAudit(at: String, sess: org.apache.spark.sql.SparkSession,
@@ -649,7 +670,8 @@ object Realtime {
     // per-micro-batch banding fix closed, recurring at stream
     // granularity.
     startReleasing(docs.sparkSession,
-      semanticBench.toSeq ++ pctCdf.toSeq ++ curCdf.toSeq)(writer.start())
+      semanticBench.toSeq ++ pctCdf.toSeq ++
+        curCdf.filterNot(c => pctCdf.exists(_ eq c)).toSeq)(writer.start())
   }
 
   /** The staged curriculum projection of a survivors frame — the ONE

@@ -130,5 +130,16 @@ class MinHashSpec extends AnyFunSuite {
     val wide = BandPlanner.plan(threshold = 0.5, minRecall = 0.9,
       maxLowProb = 0.2, maxHashes = 4096).get
     assert(wide.numHashes <= got.numHashes)
+    // a HIGH-threshold ask whose only feasible geometries are
+    // deep-band (r > 64) must still plan, not report infeasible
+    // (review r16 — the grid ranges r over the full hash budget)
+    val deep = BandPlanner.plan(threshold = 0.98, minRecall = 0.9,
+      lowSim = Some(0.95), maxLowProb = 0.2, maxHashes = 4096).get
+    assert(deep.rowsPerBand > 64,
+      s"the 0.98/0.95 ask needs a deep-band plan, got $deep")
+    assert(BandPlanner.candidateProbability(0.98, deep.bands,
+      deep.rowsPerBand) >= 0.9)
+    assert(BandPlanner.candidateProbability(0.95, deep.bands,
+      deep.rowsPerBand) <= 0.2)
   }
 }

@@ -107,16 +107,18 @@ class QualityFilterSpec extends AnyFunSuite {
     // a healthy snapshot clears, pinned or unpinned
     QualityCal.requireCdf(store, "cdf", "t")
     QualityCal.requireCdf(store, "cdf", "t", expectSnapshot = Some("v1"))
-    // REFRESH CRASH WINDOW (data-then-meta write order): v2's data
-    // committed, its _META never written — the sidecar still says v1.
-    // A pipeline pinned to v2 must fail LOUDLY (this is the window the
-    // write order exists for: meta-first would serve v1 data under the
-    // v2 label, silently stale)
+    // A refresh OUTSIDE the atomic path (plain overwrite — the legacy
+    // two-step's first half, or a foreign writer) commits a version
+    // with no sidecar: exact-version resolution (r16) reads that as
+    // UNKNOWN provenance — loud even UNPINNED, strictly stronger than
+    // the old data-then-meta ordering, which only a pinned probe
+    // could catch and which still served the old label to unpinned
+    // ones
     store.overwrite("cdf", store.read("cdf"))
-    val e1 = intercept[IllegalArgumentException] {
+    val e1 = intercept[IllegalStateException] {
       QualityCal.requireCdf(store, "cdf", "t", expectSnapshot = Some("v2"))
     }
-    assert(e1.getMessage.contains("stale"), e1.getMessage)
+    assert(e1.getMessage.contains("scorer version"), e1.getMessage)
     // ...and re-running the interrupted refresh repairs both halves
     QualityCal.buildPercentileStore(store, "cdf", docs, "lang", "text",
       snapshot = "v2")
@@ -214,5 +216,24 @@ class QualityFilterSpec extends AnyFunSuite {
     assert(fin.select("lang").distinct().collect()
       .map(_.getString(0)).toSet == Set("l6"),
       "pinned final load must serve the cells committed with its label")
+    // a version committed WITHOUT a sidecar after an atomic commit —
+    // a plain overwrite (legacy refresh path, foreign writer) — must
+    // read as UNKNOWN provenance, never serve the superseded
+    // snapshot's label for cells it does not describe (review r16:
+    // exact-version resolution, not newest-at-or-below)
+    store.overwrite("cdf", store.read("cdf"))
+    val e = intercept[IllegalStateException] {
+      QualityCal.loadCdf(store, "cdf", "t")
+    }
+    assert(e.getMessage.contains("scorer version"), e.getMessage)
+    val e2 = intercept[IllegalStateException] {
+      QualityCal.requireCdf(store, "cdf", "t")
+    }
+    assert(e2.getMessage.contains("scorer version"), e2.getMessage)
+    // ...and re-running the atomic refresh repairs the pair
+    refresh(7)
+    assert(QualityCal.loadCdf(store, "cdf", "t", Some("s7"))
+      .select("lang").distinct().collect()
+      .map(_.getString(0)).toSet == Set("l7"))
   }
 }
