@@ -120,14 +120,22 @@ object Dedup {
     // the span text away here keeps corpus text bytes out of BOTH
     // narrow exchanges — text flows through exactly ONE exchange (the
     // rebuild join), at the price of tokenizing the doc twice
-    // (keep-set pass + rebuild pass), the ExactSubstr trade. Plain
-    // posexplode (not _outer): token-less docs need no placeholder
-    // row here because the rebuild join below is left_outer from the
-    // doc side.
+    // (keep-set pass + rebuild pass), the ExactSubstr trade.
+    // posexplode_OUTER deliberately (perf, r16): the non-outer form
+    // plants an implicit `size(child) > 0 AND isnotnull(child)`
+    // filter that predicate-pushdown inlines into the file scan — and
+    // `child` here is an ALIAS of the whole tokenize+span-array
+    // expression, so every row re-derives the span array several
+    // times inside the scan Filter (measured 5x on dedup_spans). The
+    // outer form generates no such filter; token-less docs emit one
+    // null-hash placeholder row, dropped by the CHEAP isNotNull below
+    // (it references the already-generated hash column, so it cannot
+    // sink beneath the Generate).
     val exploded = withSpans
       .select(col("__id"),
-        posexplode(col("__spans")).as(Seq("span_idx", "span")))
+        posexplode_outer(col("__spans")).as(Seq("span_idx", "span")))
       .select(col("__id"), col("span_idx"), md5(col("span")).as("__sh"))
+      .filter(col("__sh").isNotNull)
     // keep-first via groupBy, not a window (r16): min(struct(d,p))
     // per span hash is map-side combinable, so a corpus-wide hot span
     // ("404 not found" boilerplate) collapses to one row per mapper
@@ -247,9 +255,15 @@ object Dedup {
     // stages only need the gram's md5 (it IS the dedup key), and projecting
     // the k-token string away here keeps ~k× text bytes out of the
     // exchange — the dominant shuffle of this operator
+    // posexplode_OUTER + cheap post-Generate null filter (perf, r16):
+    // the non-outer form's implicit size>0 pushdown filter inlines
+    // the whole k-gram transform into the file scan — and this
+    // operator scans the gram frame TWICE (keep-first agg + join-back
+    // probe), so the inlined recomputation was paid on both passes
     val grams = base.withColumn("__g", gramsArr)
-      .select(col("__id"), posexplode(col("__g")).as(Seq("__p0", "__gram")))
+      .select(col("__id"), posexplode_outer(col("__g")).as(Seq("__p0", "__gram")))
       .select(col("__id"), col("__p0"), md5(col("__gram")).as("__gh"))
+      .filter(col("__gh").isNotNull)
     // keep-first via groupBy, not a window (r16): min(struct(d,p))
     // per gram hash partial-aggregates map-side, so a corpus-wide hot
     // gram collapses in every mapper instead of landing its whole
