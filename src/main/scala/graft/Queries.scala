@@ -861,8 +861,13 @@ object Queries {
     // ONE scan: both sides' bucket counts come from conditional sums
     // over a single tokenize+hash pass (two filtered aggregations
     // would tokenize and shuffle the table twice)
+    // explode_OUTER + post-Generate null drop: the non-outer form's
+    // inferred size>0 filter inlines the whole tokenizer into the
+    // scan (the dedup_spans r16 trap); sqlTokens elements are never
+    // null, so only the empty-doc placeholder row filters out
     val counts = t(spark, dir, "documents")
-      .select(col("doc_id"), explode(sqlTokens(col("text"))).as("tok"))
+      .select(col("doc_id"), explode_outer(sqlTokens(col("text"))).as("tok"))
+      .filter(col("tok").isNotNull)
       .select(substring(md5(col("tok")), 1, 2).as("bucket"),
         when(col("doc_id") < incrementalSplit, 1L).otherwise(0L).as("__c"),
         when(col("doc_id") >= incrementalSplit, 1L).otherwise(0L).as("__b"))
@@ -2246,7 +2251,10 @@ object Queries {
     */
   def textTokenEntropy(spark: SparkSession, dir: String): DataFrame = {
     val perTok = t(spark, dir, "documents")
-      .select(col("doc_id"), explode(sqlTokens(col("text"))).as("tok"))
+      // outer + null drop: keeps the inferred explode filter from
+      // inlining the tokenizer into the scan (dedup_spans r16 trap)
+      .select(col("doc_id"), explode_outer(sqlTokens(col("text"))).as("tok"))
+      .filter(col("tok").isNotNull)
       .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
     val agg = perTok.groupBy(col("doc_id"))
       .agg(sum(col("c")).as("n_tokens"), count(lit(1)).as("n_distinct"),
@@ -2494,7 +2502,10 @@ object Queries {
   def vocabTopTerms(spark: SparkSession, dir: String): DataFrame = {
     val docs = t(spark, dir, "documents")
     val perDoc = docs
-      .select(col("doc_id"), explode(sqlTokens(col("text"))).as("term"))
+      // outer + null drop: keeps the inferred explode filter from
+      // inlining the tokenizer into the scan (dedup_spans r16 trap)
+      .select(col("doc_id"), explode_outer(sqlTokens(col("text"))).as("term"))
+      .filter(col("term").isNotNull)
       .groupBy(col("term"), col("doc_id"))
       .agg(count(lit(1)).as("tf_doc"))
     val stats = perDoc.groupBy(col("term"))

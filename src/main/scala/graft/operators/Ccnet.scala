@@ -44,7 +44,13 @@ object Ccnet {
       .withColumn("__z", arrays_zip(
         slice(col("__t"), lit(1), size(col("__t")) - 1).as("prev"),
         slice(col("__t"), lit(2), size(col("__t")) - 1).as("cur")))
-      .select(col(idCol).as("id"), explode(col("__z")).as("__p"))
+      // outer + null drop: the non-outer form's inferred size>0
+      // filter inlines the arrays_zip/slice chain into the Filter
+      // (the dedup_spans r16 trap); size(__t) >= 2 above already
+      // guarantees a non-empty zip, so only a defensive no-op filter
+      // on the generated column remains
+      .select(col(idCol).as("id"), explode_outer(col("__z")).as("__p"))
+      .filter(col("__p").isNotNull)
       .select(col("id"), col("__p.prev").as("prev"), col("__p.cur").as("cur"))
 
   /** Per-document perplexity of `raw` under a Laplace-smoothed bigram

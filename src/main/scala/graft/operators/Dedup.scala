@@ -287,7 +287,13 @@ object Dedup {
         explode(sequence(col("__p0") + 1, col("__p0") + k)).as("__pos"))
       .distinct()
       .withColumn("__rm", lit(true))
-    base.select(col("__id"), posexplode(col("__toks")).as(Seq("__tp0", "__tok")))
+    // outer + null drop on the reassembly pass too (r16): __toks is
+    // an alias of the tokenizer, so the non-outer form's inferred
+    // filter re-tokenized every row inside the scan; token-less docs
+    // still drop (their only row is the null placeholder)
+    base.select(col("__id"),
+        posexplode_outer(col("__toks")).as(Seq("__tp0", "__tok")))
+      .filter(col("__tok").isNotNull)
       .withColumn("__pos", col("__tp0") + 1)
       .join(removed, Seq("__id", "__pos"), "left_outer")
       .groupBy(col("__id"))
