@@ -335,8 +335,15 @@ object Dedup {
       .putLong(SigMetaShingleN, shingleN.toLong)
       .putLong(SigMetaNumHashes, numHashes.toLong)
       .build()
+    // evalOnce fence (r16): the shingle-less drop below is a filter
+    // over this computed column, and PushDownPredicates would inline
+    // the shingle UDF + array_distinct into the file-scan Filter —
+    // every doc shingled TWICE per signature build (verified on the
+    // dedup_minhash_lsh physical plan). The fence pins the projection
+    // so the filter reads the materialized column.
     df.select(col(idCol).as("id"), col(textCol).as("text"))
-      .withColumn("shingles", array_distinct(shingles(col("text"), lit(shingleN))))
+      .withColumn("shingles", graft.functions.GraftFunctions.evalOnce(
+        array_distinct(shingles(col("text"), lit(shingleN)))))
       .filter(size(col("shingles")) > 0)
       .select(col("id"), col("text"), col("shingles"),
         minHash(col("shingles"), lit(numHashes)).as("sig", md))
