@@ -36,11 +36,14 @@ object Ccnet {
     */
   private[graft] def tokenPairs(df: DataFrame, idCol: String, textCol: String,
       tokens: Column => Column): DataFrame =
-    df.withColumn("__t", tokens(col(textCol)))
+    // evalOnce fence (r16): the >=2 gate below is a filter over this
+    // computed column, and pushdown would inline the tokenizer into
+    // the scan Filter — every row tokenized twice (the minHashSigOf
+    // shingle trap). The fence also guarantees the slice/zip below
+    // read the materialized column, not a re-inlined expression.
+    df.withColumn("__t",
+        graft.functions.GraftFunctions.evalOnce(tokens(col(textCol))))
       .filter(size(col("__t")) >= 2)
-      // __t is a MATERIALIZED column: slicing an inline tokenizer
-      // expression would re-tokenize per element (the lambda-child
-      // re-evaluation pitfall)
       .withColumn("__z", arrays_zip(
         slice(col("__t"), lit(1), size(col("__t")) - 1).as("prev"),
         slice(col("__t"), lit(2), size(col("__t")) - 1).as("cur")))

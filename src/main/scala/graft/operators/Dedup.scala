@@ -970,9 +970,14 @@ object Dedup {
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       blockCol: String, n: Int = 2, threshold: Double = 0.2): DataFrame = {
+    // evalOnce fence (r16): the gram-less drop is a filter over this
+    // computed UDF column — unfenced, pushdown inlines ngramSet into
+    // the scan Filter and every row n-grams twice (the minHashSigOf
+    // shingle trap)
     val prepped = docs.select(
       col(blockCol).as("block"), col(idCol).as("id"),
-      ngramSet(col(textCol), n).as("grams"))
+      graft.functions.GraftFunctions.evalOnce(
+        ngramSet(col(textCol), n)).as("grams"))
       .filter(size(col("grams")) > 0)
     val a = prepped.select(col("block"), col("id").as("id_a"), col("grams").as("g_a"))
     val b = prepped.select(col("block"), col("id").as("id_b"), col("grams").as("g_b"))
