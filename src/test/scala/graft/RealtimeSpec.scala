@@ -1086,6 +1086,15 @@ class RealtimeSpec extends AnyFunSuite {
     runPass(TestSpark.tempDir("graft_cur_cp2_"))
     assert(orderTuples(Realtime.curriculumOrder(store, "curr", "doc_id")) == got,
       "a replayed delivery must not change the staged curriculum")
+    // plan lock: the deferred numbering reads ONLY the narrow staging
+    // table — one md5-bucket-bounded window exchange, never a corpus
+    // text scan (the whole point of staging the per-row halves)
+    val plan = Realtime.curriculumOrder(store, "curr", "doc_id")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("documents.parquet"),
+      s"curriculumOrder must never rescan the corpus:\n$plan")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1,
+      s"curriculumOrder must plan exactly the one shard-window exchange:\n$plan")
   }
 
   test("streaming windowed counts equal the batch result (one code path)") {
