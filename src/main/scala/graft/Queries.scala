@@ -1619,15 +1619,23 @@ object Queries {
       // would tokenize its text twice (PlanSpec locks this)
       .withColumn("quality", evalOnce(round(qualityScore(col("text")), 4)))
       .filter(col("quality") >= corpusQualityFloor)
+    // exactCanonical's groupBy+join-back references `qual` on both
+    // join sides, so the gate's quality UDF runs twice per row — the
+    // documented trade of the r16 skew-immune keep-first (its
+    // scaladoc names the upstream-materialization mitigation for
+    // pipelines whose gate dominates; at this gate's cost the extra
+    // pass is cheaper than materializing corpus text, and a window
+    // would put a mega-duplicate group's TEXT on one task)
     val canon = Dedup.exactCanonical(qual, "doc_id", "text")
       .filter(col("doc_id") === col("canonical_id"))
       .drop("canonical_id", "group_size")
     // contamination hits depend only on each doc's own grams vs the
     // benchmark, so compute them over the cheap `corpus` scan rather
-    // than `canon` — referencing canon twice would recompute the
-    // whole quality+dedup-window chain inside the gram subtree
-    // (verified on the physical plan: two Window+Exchange pairs); the
-    // superset of contaminated ids anti-joins to the identical result
+    // than `canon` — referencing canon twice would duplicate the
+    // whole quality+dedup keep-first chain inside the gram subtree
+    // (pre-r16 this was two Window+Exchange pairs on the plan; the
+    // r16 join-back shape doubles the same way); the superset of
+    // contaminated ids anti-joins to the identical result
     val contaminated = Dedup.contaminatedDocs(corpus, bench, "doc_id", "text",
       n = 2, minOverlap = decontamMinOverlap).select(col("id"))
     val clean = canon.join(contaminated,

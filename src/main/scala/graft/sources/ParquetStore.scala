@@ -197,13 +197,16 @@ final class ParquetStore(spark: SparkSession, root: String, nBuckets: Int = 16,
     * provenance, loudly).
     */
   def getMeta(table: String): Map[String, String] = {
+    // tolerant sidecar read: a sidecar GC'd between the exists probe
+    // and the read degrades to the legacy path (consistent-pair
+    // consumers use readSnapshotWithMeta, which retries instead)
     val exact = currentVersion(table).map(metaVPath(table, _))
       .filter(fs.exists)
-    exact match {
-      case Some(p) => parseMeta(readFully(p))
-      case None =>
-        val p = metaPath(table)
-        if (!fs.exists(p)) Map.empty else parseMeta(readFully(p))
+      .flatMap(p => try Some(parseMeta(readFully(p)))
+        catch { case _: java.io.FileNotFoundException => None })
+    exact.getOrElse {
+      val p = metaPath(table)
+      if (!fs.exists(p)) Map.empty else parseMeta(readFully(p))
     }
   }
 
@@ -391,17 +394,39 @@ final class ParquetStore(spark: SparkSession, root: String, nBuckets: Int = 16,
       val v = currentVersion(table).getOrElse(
         throw new IllegalStateException(s"no such table: $root/$table"))
       val mp = metaVPath(table, v)
-      if (fs.exists(mp))
-        return (spark.read.option("recursiveFileLookup", "true")
-          .parquet(versionDir(table, v)), parseMeta(readFully(mp)))
-      if (v == lastV || metaVersions(table).isEmpty)
-        return (read(table), getMeta(table))
-      lastV = v
-      attempt += 1
-      if (attempt >= 5) throw new IllegalStateException(
-        s"$root/$table: refreshes outpaced this reader $attempt times " +
-          "(each resolved version's _META_v sidecar was replaced before " +
-          "it could be read) — retry under a calmer refresh cadence")
+      // tolerant sidecar read (review r16): a sidecar GC'd between
+      // the exists probe and the read is the same outpacing race —
+      // fall through to the retry instead of surfacing a raw
+      // FileNotFoundException
+      val sidecar =
+        if (!fs.exists(mp)) None
+        else try Some(parseMeta(readFully(mp)))
+        catch { case _: java.io.FileNotFoundException => None }
+      sidecar match {
+        case Some(m) =>
+          return (spark.read.option("recursiveFileLookup", "true")
+            .parquet(versionDir(table, v)), m)
+        case None =>
+          if (v == lastV || metaVersions(table).isEmpty) {
+            // STABLE sidecar-less version: pair the data with the
+            // LEGACY table-level _META only — a plain getMeta here
+            // could find a versioned sidecar a refresh committed
+            // between our two calls and pair a FRESH label with this
+            // resolution's older cells (review r16); legacy-absent
+            // reads as unknown provenance, which is loud downstream
+            val p = metaPath(table)
+            val legacy =
+              if (!fs.exists(p)) Map.empty[String, String]
+              else parseMeta(readFully(p))
+            return (read(table), legacy)
+          }
+          lastV = v
+          attempt += 1
+          if (attempt >= 5) throw new IllegalStateException(
+            s"$root/$table: refreshes outpaced this reader $attempt times " +
+              "(each resolved version's _META_v sidecar was replaced before " +
+              "it could be read) — retry under a calmer refresh cadence")
+      }
     }
     throw new IllegalStateException("unreachable")
   }

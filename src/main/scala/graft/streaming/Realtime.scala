@@ -338,18 +338,19 @@ object Realtime {
     // label never described — the returned frame is cached below as
     // the stream-lifetime CDF.
     val pctCdfRaw = percentileGate.map { g =>
-      val cdf = graft.operators.QualityCal.loadCdf(store, g.cdfTable,
-        "streamIngestPipeline", g.expectSnapshot)
+      // free in-memory schema checks BEFORE the store reads (the
+      // cheap-config-checks-first discipline): a schema already
+      // carrying the gate's working names must fail HERE, not inside
+      // the first micro-batch — an in-batch throw wedges every
+      // checkpoint restart on the same error (review r16)
       require(docs.columns.contains(g.langCol),
         s"streamIngestPipeline: the stream carries no '${g.langCol}' column " +
           "for the percentile gate — per-language calibration needs the " +
           "language id on every row")
-      // a schema already carrying the gate's working names must fail
-      // HERE, not inside the first micro-batch — an in-batch throw
-      // wedges every checkpoint restart on the same error (review r16)
       graft.operators.QualityCal.requireNoReservedColumns(
         docs.columns.toSeq, "pct", "streamIngestPipeline(percentileGate)")
-      cdf
+      graft.operators.QualityCal.loadCdf(store, g.cdfTable,
+        "streamIngestPipeline", g.expectSnapshot)
     }
     // the curriculum export levels against its own snapshot pin; when
     // it names the SAME (cdfTable, expectSnapshot) as the gate, the
@@ -365,10 +366,19 @@ object Realtime {
           "language id on every row")
       // the staging projection is (idCol, langCol, textCol) with
       // pctCol "level": none of the three may collide with the
-      // lookup's working names (same start-time discipline)
+      // lookup's working names NOR with the staging output columns
+      // shard/sort_key (a collision would surface as an ambiguous-
+      // reference AnalysisException inside the first micro-batch,
+      // wedging every checkpoint restart — review r16)
       graft.operators.QualityCal.requireNoReservedColumns(
         Seq(idCol, c.langCol, textCol).distinct, "level",
         "streamIngestPipeline(curriculumExport)")
+      val stagedClash = Seq("shard", "sort_key")
+        .filter(Seq(idCol, c.langCol, textCol).contains)
+      require(stagedClash.isEmpty,
+        s"streamIngestPipeline(curriculumExport): column name(s) " +
+          s"${stagedClash.mkString(", ")} collide with the staging " +
+          "table's shard/sort_key outputs — rename them upstream")
       val sharedWithGate = percentileGate.exists(g =>
         g.cdfTable == c.cdfTable && g.expectSnapshot == c.expectSnapshot)
       if (sharedWithGate) pctCdfRaw.get

@@ -1091,8 +1091,13 @@ class RealtimeSpec extends AnyFunSuite {
     // text scan (the whole point of staging the per-row halves)
     val plan = Realtime.curriculumOrder(store, "curr", "doc_id")
       .queryExecution.executedPlan.toString
-    assert(!plan.contains("documents.parquet"),
-      s"curriculumOrder must never rescan the corpus:\n$plan")
+    // exactly ONE parquet scan — the staging table; a regression that
+    // rejoined the corpus table (store path .../docs/) or any other
+    // source to re-derive levels would add a second scan node
+    assert("Scan parquet".r.findAllIn(plan).size == 1,
+      s"curriculumOrder must read exactly the staging table:\n$plan")
+    assert(!plan.contains("/docs/"),
+      s"curriculumOrder must never rescan the corpus table:\n$plan")
     assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1,
       s"curriculumOrder must plan exactly the one shard-window exchange:\n$plan")
   }
