@@ -562,10 +562,14 @@ object Queries {
   // Training-data pipeline operators (north-star additions)
   // =================================================================
 
-  /** Exact dedup: canonical id + group size per doc. */
+  /** Exact dedup: canonical id + group size per doc. The decision
+    * form (r17): the query projects nothing but the decision columns,
+    * so exactKeepDecision's single narrow pass answers it without
+    * exactCanonical's wide probe-side join — the corpus text scans
+    * ONCE (the r16 join-back shape scanned it twice).
+    */
   def dedupExact(spark: SparkSession, dir: String): DataFrame =
-    Dedup.exactCanonical(t(spark, dir, "documents"), "doc_id", "text")
-      .select(col("doc_id"), col("canonical_id"), col("group_size"))
+    Dedup.exactKeepDecision(t(spark, dir, "documents"), "doc_id", "text")
       .orderBy(col("doc_id"))
 
   /** Cross-SOURCE duplicate-flow matrix — for each (source_a ≤
@@ -1619,16 +1623,20 @@ object Queries {
       // would tokenize its text twice (PlanSpec locks this)
       .withColumn("quality", evalOnce(round(qualityScore(col("text")), 4)))
       .filter(col("quality") >= corpusQualityFloor)
-    // exactCanonical's groupBy+join-back references `qual` on both
-    // join sides, so the gate's quality UDF runs twice per row — the
-    // documented trade of the r16 skew-immune keep-first (its
-    // scaladoc names the upstream-materialization mitigation for
-    // pipelines whose gate dominates; at this gate's cost the extra
-    // pass is cheaper than materializing corpus text, and a window
-    // would put a mega-duplicate group's TEXT on one task)
-    val canon = Dedup.exactCanonical(qual, "doc_id", "text")
-      .filter(col("doc_id") === col("canonical_id"))
-      .drop("canonical_id", "group_size")
+    // exactKeepFirst (r17, closes the r16 regression): the survivors'
+    // (doc_id, lang, quality) payload rides THROUGH the keep-first
+    // aggregate as min(struct(...)), so there is no join-back and the
+    // gated subtree appears exactly ONCE in the plan — the quality
+    // UDFs evaluate once per row (the r16 exactCanonical join-back
+    // referenced `qual` on both sides and ran the 2-UDF gate twice;
+    // PlanSpec locks the once-only shape). Text is consumed by the
+    // group key and never crosses the exchange; the aggregate stays
+    // map-side combinable, so a mega-duplicate group still collapses
+    // per mapper.
+    val canon = Dedup.exactKeepFirst(
+        qual.select(col("doc_id"), col("lang"), col("quality"), col("text")),
+        "doc_id", "text")
+      .drop("group_size")
     // contamination hits depend only on each doc's own grams vs the
     // benchmark, so compute them over the cheap `corpus` scan rather
     // than `canon` — referencing canon twice would duplicate the
@@ -1945,8 +1953,13 @@ object Queries {
       .select(col("doc_id"), col("lang"), col("text"))
     val deduped = Dedup.spanDedup(qual, "doc_id", "text",
       spanTokens = spanDedupTokens)
+    // lang comes from the RAW table, not `qual` (r17): deduped already
+    // contains only gated ids, so joining the ungated scan is the
+    // same rows — referencing `qual` here planned the qualityScore
+    // gate a THIRD time (spanDedup's two tokenization passes each
+    // embed it; this join re-ran it over the full corpus again)
     deduped.filter(col("n_kept") > 0)
-      .join(qual.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"),
         sum(size(filter(split(col("clean_text"), " "), x => x =!= "")))

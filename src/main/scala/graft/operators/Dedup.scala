@@ -26,40 +26,122 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Exact dedup: group identical normalized text. Returns one row
-    * per document with its canonical (minimum) id, so downstream can
-    * `filter(col(id) =!= col("canonical_id"))` to drop duplicates.
-    *
-    * Scale shape (r16 — replaces the keep-first window): the group
-    * stats come from `groupBy(hash).agg(min(id), count)`, which IS
-    * map-side combinable — a 100M-copy boilerplate group collapses to
-    * one row per mapper before the exchange, so only ~#distinct-hash
-    * narrow rows ever shuffle. A window-min over the same key is NOT
-    * combinable: it would ship every duplicate row — full corpus text
-    * here — to one task. The join-back on the hash still routes text
-    * rows by group key, but it is a plain equi-join, so AQE's
-    * skew-join splits a residual hot group across tasks (a window
-    * partition can never be split). Null-safe key so null-text docs
-    * form one group, exactly as the window's null partition did.
-    *
-    * The input subtree is referenced twice (aggregate side + probe
-    * side), so the corpus scans twice — embarrassingly parallel,
-    * column-pruned, the standard trade against the window's one-task
-    * skew wall. When the input embeds EXPENSIVE per-row work (a
-    * UDF-scored quality gate, as in pipeline_corpus), materialize
-    * that gated view once upstream before calling this — the same
-    * discipline as the tokenized views of [[spanDedup]] /
-    * [[exactSubstrDedup]].
+  /** Normalized-text content hash — THE exact-dedup group key
+    * (lowercase, trim, collapse whitespace, md5): the single source
+    * for [[exactKeepDecision]] / [[exactKeepFirst]] /
+    * [[exactCanonical]], whose DuckDB oracles replay exactly this
+    * expression; editing one side without the other breaks parity.
+    * md5(null) is null, so null-text docs share one group under the
+    * null-safe / GROUP BY key semantics both engines apply.
     */
-  def exactCanonical(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val norm = regexp_replace(lower(trim(col(textCol))), "\\s+", " ")
-    val hashed = docs.withColumn("__norm_hash", md5(norm))
-    val groups = hashed
+  private def normTextHash(textCol: String): Column =
+    md5(regexp_replace(lower(trim(col(textCol))), "\\s+", " "))
+
+  /** Reserved-output-name guard (ADVICE r16): these operators ADD
+    * columns, so an input already carrying one of the names would
+    * yield duplicate columns and ambiguous-reference failures far
+    * downstream instead of a clear error at the call (the
+    * QualityCal.requireNoReservedColumns convention).
+    */
+  private def requireNoReserved(docs: DataFrame, caller: String,
+      reserved: String*): Unit = {
+    val clash = reserved.filter(docs.columns.contains)
+    require(clash.isEmpty,
+      s"Dedup.$caller: input frame already carries reserved column(s) " +
+        s"${clash.mkString(", ")} — rename them upstream; the operator " +
+        "writes these names")
+  }
+
+  /** Exact-dedup keep DECISION, single-pass and narrow: for every
+    * input row, (idCol, canonical_id, group_size) where canonical_id
+    * is the minimum id among rows sharing this row's normalized text.
+    * Downstream keeps survivors via `filter(col(id) === col
+    * ("canonical_id"))` or drops duplicates with =!=.
+    *
+    * Scale shape (r17 — the narrow-keep-set form of the r16
+    * groupBy+join-back): the (id, norm_hash) projection is computed
+    * ONCE and `localCheckpoint(false)`'d — ~40 bytes/doc, no text —
+    * so the group aggregate and the decision join both read the
+    * materialized narrow frame instead of re-executing the input
+    * subtree (the r16 shape referenced the input on both join sides,
+    * scanning the corpus twice). The aggregate is a map-side
+    * combinable `groupBy(hash).agg(min, count)` (a 100M-copy
+    * boilerplate group collapses to one row per mapper before the
+    * exchange; a window-min would ship every duplicate to one task)
+    * and the residual decision join is a plain equi-join AQE can
+    * skew-split. localCheckpoint trades lineage for the single pass
+    * (an executor loss fails the job instead of recomputing) — the
+    * repo-wide clusterCanonical convention.
+    */
+  def exactKeepDecision(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    requireNoReserved(docs, "exactKeepDecision",
+      "canonical_id", "group_size", "__norm_hash", "__gh_key")
+    val narrow = docs
+      .select(col(idCol), normTextHash(textCol).as("__norm_hash"))
+      .localCheckpoint(false)
+    val groups = narrow
       .groupBy(col("__norm_hash").as("__gh_key"))
       .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("group_size"))
-    hashed
+    narrow
       .join(groups, col("__norm_hash") <=> col("__gh_key"))
-      .drop("__norm_hash", "__gh_key")
+      .select(col(idCol), col("canonical_id"), col("group_size"))
+  }
+
+  /** Exact dedup keeping each group's canonical ROW in one pass:
+    * returns the minimum-id row of every normalized-text group with
+    * all its own non-text columns plus group_size — no join-back, no
+    * second scan, no materialization. The survivors' payload rides
+    * THROUGH the keep-first aggregate as `min(struct(id, payload...))`
+    * (ids are unique, so struct ordering is decided by the id field
+    * alone and each group yields exactly its min-id row's values),
+    * which stays map-side combinable: a mega-duplicate group
+    * collapses to one narrow struct per mapper before the exchange.
+    * The text column is dropped (it is consumed by the group key), so
+    * corpus text never crosses the exchange at all; callers needing
+    * survivor text use [[exactCanonical]] + filter. Payload columns
+    * must be orderable types (no maps) — struct min requires it.
+    *
+    * This is the form composed pipelines should call when the input
+    * embeds expensive per-row work (pipeline_corpus's 2-UDF quality
+    * gate): the input subtree appears exactly ONCE in the plan, so
+    * the gate evaluates once per row — the r16 join-back ran it
+    * twice, the round's one real committed regression.
+    */
+  def exactKeepFirst(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    requireNoReserved(docs, "exactKeepFirst", "group_size", "__norm_hash")
+    val payload = docs.columns.filter(c => c != idCol && c != textCol).toSeq
+    val carried = struct((idCol +: payload).map(col): _*)
+    docs
+      .groupBy(normTextHash(textCol).as("__norm_hash"))
+      .agg(min(carried).as("__w"), count(lit(1)).as("group_size"))
+      .select((idCol +: payload).map(c => col("__w").getField(c).as(c)) :+
+        col("group_size"): _*)
+  }
+
+  /** Exact dedup: group identical normalized text. Returns one row
+    * per document (all input columns preserved) with its canonical
+    * (minimum) id and group size appended.
+    *
+    * Scale shape (r17): the keep decision comes from
+    * [[exactKeepDecision]]'s localCheckpointed narrow (id, hash)
+    * frame, and ONE id-keyed equi-join annotates the caller's frame —
+    * the input subtree executes once for the narrow decision pass and
+    * once as the probe side (column-pruned to (id, text) on the
+    * decision side), vs the r16 shape that planned the FULL input on
+    * both sides of a hash-keyed join. Null-safe id key so a null-id
+    * row still round-trips; like every id-keyed operator here, ids
+    * are assumed UNIQUE. Survivor-only pipelines that don't need the
+    * input's text downstream should prefer [[exactKeepFirst]]
+    * (single-pass, no join).
+    */
+  def exactCanonical(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    requireNoReserved(docs, "exactCanonical",
+      "canonical_id", "group_size", "__norm_hash", "__kd_id")
+    val decision = exactKeepDecision(docs, idCol, textCol)
+      .withColumnRenamed(idCol, "__kd_id")
+    docs.join(decision, col(idCol) <=> col("__kd_id")).drop("__kd_id")
   }
 
   /** C4-style duplicate-span removal (Raffel et al. 2020 §2.2 dedup
@@ -234,9 +316,12 @@ object Dedup {
     * removal positions explode exactly k rows per duplicate
     * occurrence (k constant) then distinct on (doc, pos); reassembly
     * is one groupBy(doc) over token rows. Every stage is linear in
-    * corpus tokens. The token/gram table is computed three times
-    * (keep-first pass + join-back pass + reassembly pass) — at scale,
-    * materialize it once upstream like any tokenized view.
+    * corpus tokens. The narrow (id, pos, hash) gram frame is
+    * localCheckpointed (r17), so the keep-first aggregate and the
+    * join-back probe read one materialized derivation; the corpus
+    * tokenizes twice in total (gram pass + reassembly pass) — at
+    * scale, materialize the tokenized view once upstream to make it
+    * one.
     *
     * Token-less documents produce no token rows and drop from the
     * output (the oracle's relational replay agrees); returns
@@ -260,10 +345,19 @@ object Dedup {
     // the whole k-gram transform into the file scan — and this
     // operator scans the gram frame TWICE (keep-first agg + join-back
     // probe), so the inlined recomputation was paid on both passes
+    // localCheckpoint(false) the narrow gram frame (r17): (id, pos,
+    // md5) is ~45 bytes per token position with NO text, and it is
+    // referenced TWICE downstream (keep-first aggregate + join-back
+    // probe) — checkpointing it materializes the tokenize+gram+hash
+    // pass ONCE where the r16 plan re-derived it per reference (three
+    // tokenizations of the corpus counting reassembly; now two). The
+    // clusterCanonical convention: lineage traded for the single
+    // derivation.
     val grams = base.withColumn("__g", gramsArr)
       .select(col("__id"), posexplode_outer(col("__g")).as(Seq("__p0", "__gram")))
       .select(col("__id"), col("__p0"), md5(col("__gram")).as("__gh"))
       .filter(col("__gh").isNotNull)
+      .localCheckpoint(false)
     // keep-first via groupBy, not a window (r16): min(struct(d,p))
     // per gram hash partial-aggregates map-side, so a corpus-wide hot
     // gram collapses in every mapper instead of landing its whole
@@ -614,13 +708,39 @@ object Dedup {
     */
   def buildNearDupStore(store: graft.sources.ParquetStore, table: String,
       docs: DataFrame, idCol: String, textCol: String, shingleN: Int = 3,
-      numHashes: Int = 64, bands: Int = 16): Unit = {
+      numHashes: Int = 64, bands: Int = 16): Unit =
+    buildNearDupStore(store, table, docs, idCol, textCol, shingleN,
+      numHashes, bands, extraProps = Map.empty)
+
+  /** [[buildNearDupStore]] with a [[BandPlanner]]-recommended geometry
+    * (r17, wiring the planner into the build path): the plan's
+    * (numHashes, bands) become the index's frozen geometry, and the
+    * plan's predicted operating point is recorded in the same `_META`
+    * sidecar — so an operator reading the index learns not just HOW
+    * it was banded but WHY (the curve it was planned to clear).
+    * Probing with drifted geometry still fails loudly through
+    * [[requireStoreGeometry]]; migrating to a re-planned geometry is
+    * a rebuild, exactly as with hand-picked parameters.
+    */
+  def buildNearDupStore(store: graft.sources.ParquetStore, table: String,
+      docs: DataFrame, idCol: String, textCol: String,
+      plan: BandPlanner.Plan, shingleN: Int): Unit =
+    buildNearDupStore(store, table, docs, idCol, textCol, shingleN,
+      plan.numHashes, plan.bands, extraProps = Map(
+        "planner.recall_at_threshold" -> plan.recallAtThreshold.toString,
+        "planner.prob_at_low" -> plan.probAtLow.toString,
+        "planner.rows_per_band" -> plan.rowsPerBand.toString))
+
+  private def buildNearDupStore(store: graft.sources.ParquetStore,
+      table: String, docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int, numHashes: Int, bands: Int,
+      extraProps: Map[String, String]): Unit = {
     requireStoreGeometry(store, table, shingleN, numHashes, bands,
       "buildNearDupStore", strict = false)
     // meta BEFORE data: a crash between the two leaves a table whose
     // next build-retry rewrites the same meta (idempotent), so any
     // index with committed data always carries its geometry
-    store.putMeta(table, geometryProps(shingleN, numHashes, bands))
+    store.putMeta(table, geometryProps(shingleN, numHashes, bands) ++ extraProps)
     store.merge(table,
       sigStoreRows(docs, idCol, textCol, shingleN, numHashes, bands), "id")
     // a zero-row first build leaves the table nonexistent by

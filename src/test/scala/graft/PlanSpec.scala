@@ -21,13 +21,20 @@ class PlanSpec extends AnyFunSuite {
     val plan = SparkEntry.queries("pipeline_corpus")(spark, dir)
       .queryExecution.executedPlan.toString
     // the commit-892c719 property: contamination grams are computed
-    // over the cheap corpus scan, so the dedup keep-first exchange
-    // (keyed on __norm_hash; since r16 a map-side-combinable groupBy
-    // + join-back, not a window) is planned exactly ONCE — a second
-    // occurrence means something re-referenced the deduped frame and
-    // the whole chain got duplicated into a subtree
-    assert("hashpartitioning\\(__norm_hash".r.findAllIn(plan).size == 1,
-      s"dedup window chain must shuffle exactly once:\n$plan")
+    // over the cheap corpus scan, so the dedup keep-first exchange —
+    // since r17 the exactKeepFirst groupBy on the inline md5 group
+    // key, which Catalyst plans as a _groupingexpression alias — is
+    // planned exactly ONCE — a second occurrence means something
+    // re-referenced the deduped frame and the whole chain got
+    // duplicated into a subtree
+    assert("hashpartitioning\\((__norm_hash|_groupingexpression)".r
+        .findAllIn(plan).size == 1,
+      s"dedup keep-first chain must shuffle exactly once:\n$plan")
+    // r17: no join-back — survivors' payload rides THROUGH the
+    // keep-first aggregate, so the min(struct) keep-first must be
+    // present and the only corpus-side aggregate over the group key
+    assert(plan.contains("min(struct(doc_id"),
+      s"keep-first must carry the payload through min(struct(...)):\n$plan")
     // decontamination is an anti-join against a tiny contaminated-id
     // list and a semi-join against the benchmark grams — both must
     // broadcast; an SMJ here would shuffle the full corpus
@@ -413,6 +420,19 @@ class PlanSpec extends AnyFunSuite {
         s"$q: quality UDFs leaked into a filter (double evaluation):\n" +
           offending.mkString("\n"))
     }
+    // r17 (the r16 verdict's #1): pipeline_corpus's gated subtree must
+    // appear exactly ONCE in the physical plan. The r16 exactCanonical
+    // join-back referenced the gated frame on BOTH join sides, so the
+    // fenced quality projection planned twice and the 2-UDF gate ran
+    // twice per row (the round's one real committed regression); the
+    // exactKeepFirst payload-through-aggregate shape has no join-back.
+    // The fenced projection is the unique plan line carrying eval_once.
+    val corpusPlan = SparkEntry.queries("pipeline_corpus")(spark, dir)
+      .queryExecution.executedPlan.toString
+    val nGate = corpusPlan.linesIterator.count(_.contains("eval_once"))
+    assert(nGate == 1,
+      s"pipeline_corpus must plan the fenced quality gate exactly once, " +
+        s"got $nGate:\n$corpusPlan")
   }
 
   test("evalOnce fence preserves non-double types exactly (ADVICE r14)") {
