@@ -86,6 +86,14 @@ object BandPlanner {
       s"threshold must be in (0,1), got $threshold")
     require(minRecall > 0.0 && minRecall < 1.0,
       s"minRecall must be in (0,1), got $minRecall")
+    // grid-size cap (ADVICE r16): the search eagerly materializes
+    // ~maxHashes·ln(maxHashes) Plan candidates, so an uncapped budget
+    // (1e8) would hang the driver allocating gigabytes before the
+    // sort. 65536 hashes is already far past any useful signature
+    // width (the repo default is 64) and keeps the grid ~7·10^5 rows.
+    require(maxHashes >= 1 && maxHashes <= 65536,
+      s"maxHashes must be in [1, 65536], got $maxHashes — a wider " +
+        "signature budget than 64Ki hashes is never a real geometry")
     val low = lowSim.getOrElse(threshold / 2.0)
     require(low < threshold,
       s"lowSim ($low) must be below the threshold ($threshold)")

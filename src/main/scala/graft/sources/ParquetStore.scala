@@ -205,8 +205,18 @@ final class ParquetStore(spark: SparkSession, root: String, nBuckets: Int = 16,
       .flatMap(p => try Some(parseMeta(readFully(p)))
         catch { case _: java.io.FileNotFoundException => None })
     exact.getOrElse {
-      val p = metaPath(table)
-      if (!fs.exists(p)) Map.empty else parseMeta(readFully(p))
+      // legacy fallback ONLY for tables that never entered the
+      // versioned-sidecar era (ADVICE r16): once any _META_v exists,
+      // a current version without its own sidecar is unknown
+      // provenance — the legacy table-level _META describes some
+      // SUPERSEDED snapshot, and serving its label over fresher cells
+      // is the exact stale pairing the exact-version rule blocks for
+      // sidecars
+      if (metaVersions(table).nonEmpty) Map.empty
+      else {
+        val p = metaPath(table)
+        if (!fs.exists(p)) Map.empty else parseMeta(readFully(p))
+      }
     }
   }
 
@@ -354,14 +364,33 @@ final class ParquetStore(spark: SparkSession, root: String, nBuckets: Int = 16,
     * properties name the snapshot (e.g. the quality-CDF calibration
     * store); read the consistent pair back via
     * [[readSnapshotWithMeta]].
+    *
+    * Writer contract: SINGLE WRITER PER TABLE (ADVICE r16). The
+    * atomicity above is crash-atomicity, not isolation — two
+    * concurrent refreshers can compute the same next version and one
+    * writer's parquet dir can land under the other's sidecar before
+    * they race on `_CURRENT`. The pre-flip check below turns the
+    * common interleaving into a loud failure (the version read at
+    * start must still be current at commit), but it is best-effort —
+    * a local filesystem has no compare-and-swap rename, so a writer
+    * sneaking in between the check and the flip is not detected.
+    * Serialize refreshes per table (the calibration scheduler's
+    * single maintenance job does).
     */
   def overwriteWithMeta(table: String, df: DataFrame,
       props: Map[String, String]): Unit = {
     validateMetaProps(props)
     val prev = readBucketMap(table).values.toSet
-    val v = currentVersion(table).getOrElse(-1L) + 1L
+    val v0 = currentVersion(table)
+    val v = v0.getOrElse(-1L) + 1L
     df.write.mode(SaveMode.Overwrite).parquet(versionDir(table, v))
     atomicWrite(metaVPath(table, v), renderMeta(props))
+    val vNow = currentVersion(table)
+    if (vNow != v0) throw new IllegalStateException(
+      s"$root/$table: concurrent refresh detected — _CURRENT moved from " +
+        s"${v0.getOrElse(-1L)} to ${vNow.getOrElse(-1L)} while this " +
+        "overwriteWithMeta was staging version " + v + "; " +
+        "overwriteWithMeta tables are single-writer (serialize refreshes)")
     commit(table, v, Map(-1 -> v), tableBuckets(table), prev)
   }
 
@@ -413,10 +442,15 @@ final class ParquetStore(spark: SparkSession, root: String, nBuckets: Int = 16,
             // could find a versioned sidecar a refresh committed
             // between our two calls and pair a FRESH label with this
             // resolution's older cells (review r16); legacy-absent
-            // reads as unknown provenance, which is loud downstream
+            // reads as unknown provenance, which is loud downstream.
+            // And only for tables that never entered the sidecar era
+            // (ADVICE r16, the getMeta rule): once any _META_v
+            // exists, the legacy _META describes a superseded
+            // snapshot — unknown provenance, never its stale label.
             val p = metaPath(table)
             val legacy =
-              if (!fs.exists(p)) Map.empty[String, String]
+              if (metaVersions(table).nonEmpty || !fs.exists(p))
+                Map.empty[String, String]
               else parseMeta(readFully(p))
             return (read(table), legacy)
           }

@@ -142,4 +142,49 @@ class MinHashSpec extends AnyFunSuite {
     assert(BandPlanner.candidateProbability(0.95, deep.bands,
       deep.rowsPerBand) <= 0.2)
   }
+
+  test("plan rejects an absurd grid budget loudly (ADVICE r16)") {
+    import graft.operators.BandPlanner
+    val e = intercept[IllegalArgumentException] {
+      BandPlanner.plan(threshold = 0.5, maxHashes = 100000000)
+    }
+    assert(e.getMessage.contains("65536"))
+  }
+
+  test("store built FROM a plan round-trips its geometry; drifted probes " +
+      "still require-match (r17 wiring)") {
+    import graft.operators.BandPlanner
+    val plan = BandPlanner.plan(threshold = 0.5, minRecall = 0.9,
+      maxLowProb = 0.2).get
+    val store = new graft.sources.ParquetStore(spark,
+      TestSpark.tempDir("graft_bp_store_"))
+    val corpus = docs(Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river"),
+      (2L, "the quick brown fox jumps over the lazy dog near the creek"),
+      (3L, "completely different subject matter about databases and executors")))
+    Dedup.buildNearDupStore(store, "sig", corpus, "doc_id", "text",
+      plan, shingleN = 2)
+    // the sidecar records the planned geometry AND the plan's
+    // predicted operating point
+    val meta = store.getMeta("sig")
+    assert(meta("minhash.num_hashes") == plan.numHashes.toString)
+    assert(meta("minhash.bands") == plan.bands.toString)
+    assert(meta("planner.rows_per_band") == plan.rowsPerBand.toString)
+    assert(meta("planner.recall_at_threshold").toDouble >= 0.9)
+    assert(meta("planner.prob_at_low").toDouble <= 0.2)
+    // probing with the planned geometry works; a drifted probe fails
+    // loudly through requireStoreGeometry (the migration contract)
+    val batch = docs(Seq(
+      (10L, "the quick brown fox jumps over the lazy dog near the river")))
+    val kept = Dedup.incrementalNearDupStored(store, "sig", batch,
+      "doc_id", "text", shingleN = 2, numHashes = plan.numHashes,
+      bands = plan.bands, threshold = 0.5)
+    assert(kept.collect().isEmpty, "a stored near-dup must drop")
+    val drift = intercept[IllegalArgumentException] {
+      Dedup.incrementalNearDupStored(store, "sig", batch, "doc_id", "text",
+        shingleN = 3, numHashes = plan.numHashes, bands = plan.bands,
+        threshold = 0.5).collect()
+    }
+    assert(drift.getMessage.contains("drift"))
+  }
 }

@@ -234,4 +234,26 @@ class ParquetStoreSpec extends AnyFunSuite {
     store.drop("t")
     assert(store.getMeta("t").isEmpty, "drop removes the sidecar")
   }
+
+  test("sidecar-era table never serves the legacy _META over a plain " +
+      "overwrite (ADVICE r16)") {
+    val store = new ParquetStore(spark, TestSpark.tempDir("graft_ps_"))
+    // legacy era: table-level _META describes the table
+    store.overwrite("t", rows(1 to 5, "v1"))
+    store.putMeta("t", Map("label" -> "legacy"))
+    assert(store.getMeta("t") == Map("label" -> "legacy"))
+    // versioned era begins: the sidecar wins
+    store.overwriteWithMeta("t", rows(1 to 5, "v2"), Map("label" -> "snap2"))
+    assert(store.getMeta("t") == Map("label" -> "snap2"))
+    // a later PLAIN overwrite leaves the current version sidecar-less;
+    // the surviving legacy _META must NOT come back as its label — it
+    // describes a superseded snapshot (stale label over fresh cells)
+    store.overwrite("t", rows(1 to 5, "v3"))
+    assert(store.getMeta("t").isEmpty,
+      "sidecar-era table without a current sidecar is unknown provenance")
+    val (df, props) = store.readSnapshotWithMeta("t")
+    assert(props.isEmpty,
+      "readSnapshotWithMeta must apply the same rule on its stable fallback")
+    assert(df.count() == 5)
+  }
 }
