@@ -717,6 +717,37 @@ object Realtime {
     store.merge(c.table, curriculumStaged(rows, idCol, textCol, cdf, c), idCol)
   }
 
+  /** Maintenance COMPACTION of a curriculum staging table (r17 — the
+    * staging-lifetime story): the stream MERGEs staged rows forever,
+    * so over a long ingest the table accumulates (a) rows for docs
+    * since deleted from the corpus and (b) levels pinned to whatever
+    * calibration snapshot was current when each row last arrived.
+    * This op rewrites the staging table as the staged projection of
+    * the CURRENT corpus under the CURRENT pinned snapshot — one full
+    * replace, safe precisely because every staged value is a pure
+    * function of (row, snapshot, seed): re-deriving them loses
+    * nothing a redelivery would not re-create, orphans of deleted
+    * docs drop (they would otherwise export forever), and every
+    * surviving row re-levels against the snapshot `expectSnapshot`
+    * pins. A crash-replayed micro-batch MERGing AFTER the compaction
+    * rewrites byte-identical rows (idempotent keys), so the stream
+    * may resume immediately; like every ParquetStore maintenance op,
+    * do not run it CONCURRENTLY with a batch commit on the same
+    * table — quiesce or pause the stream for the rewrite window
+    * (single-writer-per-table, the overwriteWithMeta contract).
+    *
+    * `rows` is the current corpus view (typically
+    * `store.read(docsTable)`); pass the same (idCol, textCol) the
+    * stream stages with.
+    */
+  def compactStaged(store: graft.sources.ParquetStore,
+      c: CurriculumExport, rows: DataFrame, idCol: String,
+      textCol: String): Unit = {
+    val cdf = graft.operators.QualityCal.loadCdf(store, c.cdfTable,
+      "compactStaged", c.expectSnapshot)
+    store.overwrite(c.table, curriculumStaged(rows, idCol, textCol, cdf, c))
+  }
+
   /** Export-time numbering of a streamed curriculum staging table
     * (the deferred half of [[CurriculumExport]]): ONE md5-bucket-
     * bounded row_number window over the narrow staged rows —

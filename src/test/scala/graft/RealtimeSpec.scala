@@ -1100,6 +1100,47 @@ class RealtimeSpec extends AnyFunSuite {
       s"curriculumOrder must never rescan the corpus table:\n$plan")
     assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1,
       s"curriculumOrder must plan exactly the one shard-window exchange:\n$plan")
+    // COMPACTION (r17, the staging-lifetime story): the stream MERGEs
+    // staged rows forever, so a doc deleted from the corpus would
+    // otherwise export from its orphaned staging row for the rest of
+    // the table's life. compactStaged rewrites staging as the staged
+    // projection of the CURRENT corpus — and because every staged
+    // value is a pure function of (row, snapshot, seed), surviving
+    // rows come back byte-identical and a post-compaction replayed
+    // MERGE is a no-op.
+    def stagedHalves() = store.read("curr")
+      .select(col("doc_id"), col("shard").cast("long"),
+        col("level").cast("double"), col("sort_key").cast("string"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)), r.getString(3)))
+      .toSet
+    val victim = ids(store.read("docs")).min
+    val before = stagedHalves()
+    store.delete("docs", Seq(victim).toDF("doc_id"), "doc_id")
+    Realtime.compactStaged(store, cur, store.read("docs"), "doc_id", "text")
+    assert(ids(store.read("curr")) == ids(store.read("docs")),
+      "compaction must drop staging orphans of deleted corpus docs")
+    assert(stagedHalves() == before.filterNot(_._1 == victim),
+      "surviving staged halves must be byte-identical after compaction " +
+        "(pure functions of (row, snapshot, seed))")
+    // idempotent replay against the compacted table: a backfill MERGE
+    // of the whole corpus re-creates identical rows, nothing more
+    Realtime.curriculumBackfill(store, cur, store.read("docs"),
+      "doc_id", "text")
+    assert(stagedHalves() == before.filterNot(_._1 == victim),
+      "a replayed MERGE after compaction must be a no-op")
+    // and the deferred numbering now equals the batch operator over
+    // the COMPACTED corpus at the same snapshot
+    val scoredAfter = QualityCal.withPercentile(
+      store.read("docs").select(col("doc_id"), col("lang"), col("text")),
+      cdf, "lang", GraftFunctions.qualityScore(col("text")), pctCol = "lvl")
+    assert(orderTuples(Realtime.curriculumOrder(store, "curr", "doc_id")) ==
+      orderTuples(Export.shardOrderBy(
+        scoredAfter.select(col("doc_id"), col("lvl")),
+        "doc_id", 4, "ep0", col("lvl"))),
+      "post-compaction numbering must equal the batch shardOrderBy " +
+        "over the compacted corpus")
   }
 
   test("streaming windowed counts equal the batch result (one code path)") {
