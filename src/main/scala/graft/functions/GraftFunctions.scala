@@ -253,6 +253,24 @@ object GraftFunctions {
 
   val languageId = udf(languageIdScala _)
 
+  /** Language ROUTING with a pluggable scorer (r17 — the CCNet
+    * pattern: declared scorer swap, pipeline shape identical):
+    * derives/overwrites `langCol` from `textCol` so every per-language
+    * downstream operator (percentile calibration, temperature mixing,
+    * curriculum leveling) can run on corpora with no stored language
+    * column. The default scorer is [[languageId]] — the declared
+    * stopword-marker heuristic — and a production fastText-style
+    * classifier slots in as any `Column => Column` (a model UDF, a
+    * pandas-UDF batch scorer, a join-derived label) without touching
+    * the pipeline: downstream operators read only the column. Scorers
+    * must be deterministic per text for the id-hash samplers'
+    * rerunnability story to hold.
+    */
+  def withDetectedLanguage(docs: org.apache.spark.sql.DataFrame,
+      textCol: String, langCol: String = "lang",
+      scorer: Column => Column = languageId(_)): org.apache.spark.sql.DataFrame =
+    docs.withColumn(langCol, scorer(col(textCol)))
+
   /** Heuristic quality score in [0,1]: mean of signals a pretraining
     * pipeline typically gates on — length band, alpha ratio,
     * punctuation ratio, stopword presence, repetition (distinct/total

@@ -128,4 +128,54 @@ class TextSpec extends AnyFunSuite {
     assert(ContextWindow.tokenEstimate("") == 0)
     assert(ContextWindow.tokenEstimate("one two  three") == 3)
   }
+
+  test("language routing: pluggable scorer, heuristic default, per-lang " +
+      "downstream shape unchanged (r17)") {
+    // the CCNet pattern: a declared scorer swap changes ONLY the
+    // language labels — the per-language percentile CDF and the
+    // per-group hash-keep mixer consume the routed column identically,
+    // so a fastText-style classifier slots in without touching either.
+    val spark = TestSpark.spark
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the cat and the dog ran to the park and it was fun for all"),
+      (2L, "der hund und die katze sind nicht mit der maus zu sehen"),
+      (3L, "le chat et le chien sont dans la maison pour la nuit"),
+      (4L, "zz qq xx vv kk jj ww yy"))
+      .toDF("doc_id", "text")
+    // default scorer = the declared stopword heuristic
+    val routed = GraftFunctions.withDetectedLanguage(docs, "text")
+    val langs = routed.orderBy("doc_id").collect()
+      .map(_.getAs[String]("lang")).toSeq
+    assert(langs == Seq("en", "de", "fr", "und"))
+    // swapped scorer: a stand-in "model" (any Column => Column)
+    val swapped = GraftFunctions.withDetectedLanguage(docs, "text",
+      scorer = c => when(length(c) % 2 === 0, lit("even")).otherwise(lit("odd")))
+    assert(swapped.select("lang").distinct().collect()
+      .map(_.getString(0)).toSet.subsetOf(Set("even", "odd")))
+    // the percentile calibration flows over EITHER routing unchanged:
+    // one row per doc, every detected language's CDF tops at 1.0
+    for (frame <- Seq(routed, swapped)) {
+      val scored = frame.select(col("doc_id"), col("lang"),
+        round(GraftFunctions.qualityScore(col("text")), 4).as("quality"))
+      val pct = Queries.qualityPercentiledOf(scored)
+      assert(pct.count() == 4, "percentile frame keeps one row per doc")
+      val tops = pct.groupBy(col("lang")).agg(max(col("pct")).as("m"))
+        .collect().map(_.getAs[Double]("m")).toSeq
+      assert(tops.forall(t => math.abs(t - 1.0) < 1e-9),
+        s"every detected language's CDF must top at 1.0, got $tops")
+    }
+    // the mixer consumes the routed column as its grouping key with
+    // the same deterministic id-hash keep rule under either scorer
+    val mixDocs = swapped.select(col("doc_id"), col("lang").as("source"),
+      size(split(col("text"), " ")).cast("long").as("toks"))
+    val rates = mixDocs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n")).select(col("source"),
+        lit(10000L).as("thresh"))
+    val kept = Queries.mixKeep(mixDocs, rates)
+    assert(kept.count() == 4,
+      "threshold 10000 keeps every row — routing must not drop docs")
+    assert(kept.columns.toSeq == Seq("doc_id", "source", "toks"))
+  }
 }
