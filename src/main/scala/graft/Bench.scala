@@ -243,8 +243,12 @@ object Bench {
     val loadMean = if (loads.isEmpty) -1.0 else loads.sum / loads.size
     val qsAsc = results.sortBy(_.sec)
       .map(r => f""""${r.name}":${r.sec}%.3f""").mkString("{", ",", "}")
+    // ok queries only (review r17): a failed query's recorded sec is
+    // the failed attempt's meaningless duration — three fail-fast
+    // throws against 2s baselines would drag the median ratio DOWN
+    // and make a broken round read as faster than baseline
     val (medRatio, nOver) =
-      ratioStats(results.map(r => r.name -> r.sec).toMap, baseline)
+      ratioStats(results.filter(_.ok).map(r => r.name -> r.sec).toMap, baseline)
     val summary = f""""metric":"total","value":$total%.3f,"unit":"sec","n":${results.size},"failed":$failed,"runs":$runs,"load_max":$loadMax%.2f,"load_mean":$loadMean%.2f,"median_ratio_vs_baseline":$medRatio%.4f,"n_over_1_5x":$nOver,"sf":"$sfDir""""
     val attempts = jmap(r =>
       r.attempts.map(a => f"$a%.3f").mkString("[", ",", "]"))

@@ -112,10 +112,20 @@ object Dedup {
       textCol: String): DataFrame = {
     requireNoReserved(docs, "exactKeepFirst", "group_size", "__norm_hash")
     val payload = docs.columns.filter(c => c != idCol && c != textCol).toSeq
-    val carried = struct((idCol +: payload).map(col): _*)
+    // null-id rows never carry (review r17): a bare min(struct(id,…))
+    // sorts a null id FIRST (struct comparison is nulls-first) where
+    // min(id) SKIPS nulls, so the two would disagree on the canonical
+    // row. Guarding the struct behind isNotNull makes min skip those
+    // rows exactly like exactKeepDecision's min(idCol); an all-null-id
+    // group aggregates to a null struct and drops — matching
+    // exactCanonical's survivor slice, where null === canonical_id
+    // can never keep a row. group_size still counts every row.
+    val carried = when(col(idCol).isNotNull,
+      struct((idCol +: payload).map(col): _*))
     docs
       .groupBy(normTextHash(textCol).as("__norm_hash"))
       .agg(min(carried).as("__w"), count(lit(1)).as("group_size"))
+      .filter(col("__w").isNotNull)
       .select((idCol +: payload).map(c => col("__w").getField(c).as(c)) :+
         col("group_size"): _*)
   }

@@ -157,6 +157,20 @@ final class ParquetStore(spark: SparkSession, root: String, nBuckets: Int = 16,
 
   def putMeta(table: String, props: Map[String, String]): Unit = {
     validateMetaProps(props)
+    // review r17: on a sidecar-era table (ANY _META_v exists) this
+    // legacy write would SUCCEED but never be served — getMeta
+    // resolves sidecars or loud unknown provenance — so the caller's
+    // update silently vanishes; fail loudly instead. Tables
+    // maintained by putMeta alone (the signature-geometry stores)
+    // never have sidecars. Once every sidecar is GC'd (plain
+    // overwrites aged the era out entirely), putMeta is legal again:
+    // with no versioned trace left, the table-level label coherently
+    // describes the table.
+    if (metaVersions(table).nonEmpty)
+      throw new IllegalStateException(
+        s"$root/$table: this table's properties are versioned " +
+          "(_META_v sidecars via overwriteWithMeta) — a legacy putMeta " +
+          "would never be served; refresh it through overwriteWithMeta")
     atomicWrite(metaPath(table), renderMeta(props))
   }
 
@@ -383,14 +397,35 @@ final class ParquetStore(spark: SparkSession, root: String, nBuckets: Int = 16,
     val prev = readBucketMap(table).values.toSet
     val v0 = currentVersion(table)
     val v = v0.getOrElse(-1L) + 1L
+    def checkUnmoved(stage: String): Unit = {
+      val vNow = currentVersion(table)
+      if (vNow != v0) throw new IllegalStateException(
+        s"$root/$table: concurrent refresh detected $stage — _CURRENT " +
+          s"moved from ${v0.getOrElse(-1L)} to ${vNow.getOrElse(-1L)} " +
+          s"while this overwriteWithMeta was staging version $v; " +
+          "overwriteWithMeta tables are single-writer (serialize refreshes)")
+    }
+    // BEFORE the destructive write (review r17): if another writer
+    // already committed the same next version, overwriting its dir
+    // would clobber COMMITTED data before this writer's own check
+    // could abort it; catching the already-moved pointer here leaves
+    // the winner untouched. (Best-effort, as documented above — a
+    // writer landing between this read and the write is undetectable
+    // without a CAS rename.)
+    checkUnmoved("before staging")
     df.write.mode(SaveMode.Overwrite).parquet(versionDir(table, v))
     atomicWrite(metaVPath(table, v), renderMeta(props))
-    val vNow = currentVersion(table)
-    if (vNow != v0) throw new IllegalStateException(
-      s"$root/$table: concurrent refresh detected — _CURRENT moved from " +
-        s"${v0.getOrElse(-1L)} to ${vNow.getOrElse(-1L)} while this " +
-        "overwriteWithMeta was staging version " + v + "; " +
-        "overwriteWithMeta tables are single-writer (serialize refreshes)")
+    // the era is permanent (review r17): delete the legacy table-level
+    // _META on every overwriteWithMeta, BEFORE the flip. Era detection
+    // via surviving sidecars is GC-defeatable — cleanOld drops
+    // sidecars of superseded versions after one grace commit, so a
+    // plain overwrite + one more commit would otherwise resurrect the
+    // legacy label for data it never described. With the file gone the
+    // fallback reads loud unknown provenance forever; a crash after
+    // this delete loses only a label that was already superseded.
+    val legacy = metaPath(table)
+    if (fs.exists(legacy)) fs.delete(legacy, false)
+    checkUnmoved("before the pointer flip")
     commit(table, v, Map(-1 -> v), tableBuckets(table), prev)
   }
 

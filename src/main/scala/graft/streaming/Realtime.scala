@@ -723,18 +723,21 @@ object Realtime {
     * since deleted from the corpus and (b) levels pinned to whatever
     * calibration snapshot was current when each row last arrived.
     * This op rewrites the staging table as the staged projection of
-    * the CURRENT corpus under the CURRENT pinned snapshot — one full
-    * replace, safe precisely because every staged value is a pure
-    * function of (row, snapshot, seed): re-deriving them loses
-    * nothing a redelivery would not re-create, orphans of deleted
-    * docs drop (they would otherwise export forever), and every
-    * surviving row re-levels against the snapshot `expectSnapshot`
-    * pins. A crash-replayed micro-batch MERGing AFTER the compaction
-    * rewrites byte-identical rows (idempotent keys), so the stream
-    * may resume immediately; like every ParquetStore maintenance op,
-    * do not run it CONCURRENTLY with a batch commit on the same
-    * table — quiesce or pause the stream for the rewrite window
-    * (single-writer-per-table, the overwriteWithMeta contract).
+    * the CURRENT corpus under the CURRENT pinned snapshot — a
+    * bucketed delete of orphan ids plus one keyed MERGE (never a flat
+    * overwrite, which would force the first post-resume micro-batch
+    * to re-bucket the whole table) — safe precisely because every
+    * staged value is a pure function of (row, snapshot, seed):
+    * re-deriving them loses nothing a redelivery would not re-create,
+    * orphans of deleted docs drop (they would otherwise export
+    * forever), and every surviving row re-levels against the snapshot
+    * `expectSnapshot` pins. A crash-replayed micro-batch MERGing
+    * AFTER the compaction rewrites byte-identical rows (idempotent
+    * keys), so the stream may resume immediately; like every
+    * ParquetStore maintenance op, do not run it CONCURRENTLY with a
+    * batch commit on the same table — quiesce or pause the stream for
+    * the compaction window (single-writer-per-table, the
+    * overwriteWithMeta contract).
     *
     * `rows` is the current corpus view (typically
     * `store.read(docsTable)`); pass the same (idCol, textCol) the
@@ -745,7 +748,20 @@ object Realtime {
       textCol: String): Unit = {
     val cdf = graft.operators.QualityCal.loadCdf(store, c.cdfTable,
       "compactStaged", c.expectSnapshot)
-    store.overwrite(c.table, curriculumStaged(rows, idCol, textCol, cdf, c))
+    // delete-orphans + MERGE, not a flat overwrite (review r17): a
+    // flat snapshot makes the FIRST post-resume micro-batch merge
+    // re-bucket by rewriting the ENTIRE staging table — a hidden
+    // full-table write spike on exactly the large tables compaction
+    // targets. The two bucketed ops preserve touched-buckets-only
+    // merges; a crash between them heals on rerun (both are keyed and
+    // idempotent: delete drops only rows absent from the corpus, the
+    // MERGE rewrites pure values).
+    if (store.exists(c.table)) {
+      val orphans = store.read(c.table).select(col(idCol))
+        .join(rows.select(col(idCol)), Seq(idCol), "left_anti")
+      store.delete(c.table, orphans, idCol)
+    }
+    store.merge(c.table, curriculumStaged(rows, idCol, textCol, cdf, c), idCol)
   }
 
   /** Export-time numbering of a streamed curriculum staging table

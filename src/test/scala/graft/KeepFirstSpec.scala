@@ -73,6 +73,33 @@ class KeepFirstSpec extends AnyFunSuite {
       "the row keeps its own raw text, not the canonical's")
   }
 
+  test("null-id rows never carry through exactKeepFirst (review r17)") {
+    // a bare min(struct(id, ...)) sorts a null id FIRST where min(id)
+    // skips nulls — the family members would disagree on the
+    // canonical row. The guarded carry must skip null-id rows (while
+    // still counting them) and drop an all-null-id group entirely,
+    // exactly like exactCanonical's survivor slice, where
+    // null === canonical_id can never keep a row.
+    import spark.implicits._
+    val df = Seq(
+      (Some(5L), "same text", "en", 0.9),
+      (Option.empty[Long], "same  TEXT", "de", 0.1),
+      (Option.empty[Long], "only null group", "fr", 0.2)
+    ).toDF("doc_id", "text", "lang", "quality")
+    val kf = Dedup.exactKeepFirst(df, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
+        r.getLong(3))).toSet
+    assert(kf == Set((5L, "en", 0.9, 2L)),
+      "the null-id member must not win the group; the all-null group " +
+        "must yield no survivor")
+    val canonical = Dedup.exactCanonical(df, "doc_id", "text")
+      .filter(col("doc_id") === col("canonical_id"))
+      .select("doc_id", "lang", "quality", "group_size")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
+        r.getLong(3))).toSet
+    assert(kf == canonical, "family equivalence must hold under null ids")
+  }
+
   test("reserved output names fail loudly at the call (ADVICE r16)") {
     val clash = docs().withColumn("canonical_id", lit(0L))
     val e = intercept[IllegalArgumentException] {

@@ -242,12 +242,19 @@ class ParquetStoreSpec extends AnyFunSuite {
     store.overwrite("t", rows(1 to 5, "v1"))
     store.putMeta("t", Map("label" -> "legacy"))
     assert(store.getMeta("t") == Map("label" -> "legacy"))
-    // versioned era begins: the sidecar wins
+    // versioned era begins: the sidecar wins AND the legacy file is
+    // deleted (the era is permanent — see the GC pin below)
     store.overwriteWithMeta("t", rows(1 to 5, "v2"), Map("label" -> "snap2"))
     assert(store.getMeta("t") == Map("label" -> "snap2"))
+    // a legacy putMeta on a sidecar-era table fails loudly instead of
+    // writing a label nothing would serve (review r17)
+    val e = intercept[IllegalStateException] {
+      store.putMeta("t", Map("label" -> "sneaky"))
+    }
+    assert(e.getMessage.contains("overwriteWithMeta"))
     // a later PLAIN overwrite leaves the current version sidecar-less;
-    // the surviving legacy _META must NOT come back as its label — it
-    // describes a superseded snapshot (stale label over fresh cells)
+    // the superseded label must NOT come back (stale label over fresh
+    // cells)
     store.overwrite("t", rows(1 to 5, "v3"))
     assert(store.getMeta("t").isEmpty,
       "sidecar-era table without a current sidecar is unknown provenance")
@@ -255,5 +262,12 @@ class ParquetStoreSpec extends AnyFunSuite {
     assert(props.isEmpty,
       "readSnapshotWithMeta must apply the same rule on its stable fallback")
     assert(df.count() == 5)
+    // GC pin (review r17): one MORE commit ages the v2 sidecar out of
+    // cleanOld's grace window, so era detection via surviving sidecars
+    // alone would flip back to the legacy fallback — the stale label
+    // must stay gone because overwriteWithMeta DELETED the legacy file
+    store.overwrite("t", rows(1 to 5, "v4"))
+    assert(store.getMeta("t").isEmpty,
+      "a GC'd sidecar era must never resurrect the superseded legacy label")
   }
 }

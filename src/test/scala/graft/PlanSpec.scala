@@ -31,9 +31,10 @@ class PlanSpec extends AnyFunSuite {
         .findAllIn(plan).size == 1,
       s"dedup keep-first chain must shuffle exactly once:\n$plan")
     // r17: no join-back — survivors' payload rides THROUGH the
-    // keep-first aggregate, so the min(struct) keep-first must be
-    // present and the only corpus-side aggregate over the group key
-    assert(plan.contains("min(struct(doc_id"),
+    // keep-first aggregate, so the min(struct) keep-first (null-id
+    // rows guarded out of the carry) must be present and the only
+    // corpus-side aggregate over the group key
+    assert("min\\([^\\n]*struct\\(doc_id".r.findFirstIn(plan).isDefined,
       s"keep-first must carry the payload through min(struct(...)):\n$plan")
     // decontamination is an anti-join against a tiny contaminated-id
     // list and a semi-join against the benchmark grams — both must
