@@ -808,10 +808,36 @@ class ScaleSpec extends AnyFunSuite {
     assert(hotRows.agg(min(col("canonical_id")), max(col("canonical_id")))
       .head().toSeq.toSet == Set(maxId * (Reps + 1)),
       "hot group's canonical id must be the tail's minimum id")
-    for (q <- Seq("dedup_exact", "dedup_spans", "dedup_substrings")) {
+    // r17: the single-pass payload-carry form must absorb the same
+    // hot group — min(struct) partial-aggregates it per mapper exactly
+    // like min(id), and carries the canonical row's payload out
+    val kfHot = graft.operators.Dedup.exactKeepFirst(
+        spark.read.parquet(s"$hotDir/documents.parquet")
+          .select(col("doc_id"), col("lang"), col("source"), col("text")),
+        "doc_id", "text")
+      .filter(col("group_size") === nHot).collect()
+    assert(kfHot.length == 1 &&
+      kfHot.head.getAs[Long]("doc_id") == maxId * (Reps + 1) &&
+      kfHot.head.getAs[String]("source") == "planted",
+      "exactKeepFirst must emit exactly the hot group's min-id row " +
+        "with its own payload")
+    def runKeepFirst(dir: String): Double = {
+      val t0 = System.nanoTime()
+      graft.operators.Dedup.exactKeepFirst(
+          spark.read.parquet(s"$dir/documents.parquet")
+            .select(col("doc_id"), col("lang"), col("source"), col("text")),
+          "doc_id", "text")
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val queryRuns: Seq[(String, String => Double)] =
+      Seq("dedup_exact", "dedup_spans", "dedup_substrings")
+        .map(q => q -> ((d: String) => runNoop(q, d))) :+
+        ("exactKeepFirst" -> (runKeepFirst _))
+    for ((q, run) <- queryRuns) {
       def pair(): (Double, Double) = {
-        runNoop(q, uniDir); val tu = runNoop(q, uniDir)
-        runNoop(q, hotDir); val th = runNoop(q, hotDir)
+        run(uniDir); val tu = run(uniDir)
+        run(hotDir); val th = run(hotDir)
         (tu, th)
       }
       // 4x over the same-size uniform control (floored like the
