@@ -98,6 +98,23 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("dedup_exact: single corpus scan — the decision plan reads only " +
+      "the checkpointed narrow frame (r17)") {
+    // exactKeepDecision materializes (id, norm_hash) once via
+    // localCheckpoint; the group aggregate and the decision join both
+    // read that RDD, so the query's physical plan must contain NO
+    // parquet scan at all — the only corpus read is the checkpoint's
+    // one materialization. A parquet scan reappearing here means a
+    // reference escaped the checkpoint and the corpus is scanning
+    // twice again (the r16 shape).
+    val plan = SparkEntry.queries("dedup_exact")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Scan parquet"),
+      s"dedup_exact must read only the checkpointed narrow frame:\n$plan")
+    assert(plan.contains("ExistingRDD") || plan.contains("LogicalRDD"),
+      s"the checkpointed narrow frame must back the plan:\n$plan")
+  }
+
   test("pack_offsets: ONE narrow exchange serves cumsum and placement windows") {
     val plan = SparkEntry.queries("pack_offsets")(spark, dir)
       .queryExecution.executedPlan.toString
