@@ -1278,6 +1278,64 @@ object Oracles {
          |FROM documents d LEFT JOIN agg a USING (doc_id)
          |ORDER BY d.doc_id""".stripMargin,
 
+    // RefinedWeb-style boilerplate removal: same span CTEs as
+    // dedup_spans, but the drop rule is distinct-doc FREQUENCY (a
+    // span in >= minDocs docs is removed EVERYWHERE, first occurrence
+    // included) instead of keep-first. The engine groups on md5(span)
+    // where this replay groups on the span text — the same
+    // hash-vs-text equivalence every dedup oracle here relies on.
+    "dedup_boilerplate" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, $toksSql AS toks FROM documents),
+         |idx AS (
+         |  SELECT doc_id, toks,
+         |    unnest(range(CAST(ceil(len(toks) / ${Queries.spanDedupTokens}.0) AS BIGINT))) AS span_idx
+         |  FROM toks),
+         |spans AS (
+         |  SELECT doc_id, span_idx,
+         |    array_to_string(list_slice(toks,
+         |      span_idx * ${Queries.spanDedupTokens} + 1,
+         |      span_idx * ${Queries.spanDedupTokens} + ${Queries.spanDedupTokens}), ' ') AS span
+         |  FROM idx),
+         |boil AS (
+         |  SELECT span FROM spans GROUP BY span
+         |  HAVING count(DISTINCT doc_id) >= ${Queries.boilerplateMinDocs}),
+         |agg AS (
+         |  SELECT s.doc_id,
+         |    string_agg(CASE WHEN b.span IS NULL THEN s.span END, ' ' ORDER BY s.span_idx) AS clean_text,
+         |    count(CASE WHEN b.span IS NULL THEN 1 END) AS n_kept,
+         |    count(CASE WHEN b.span IS NOT NULL THEN 1 END) AS n_removed
+         |  FROM spans s LEFT JOIN boil b USING (span)
+         |  GROUP BY s.doc_id)
+         |SELECT d.doc_id, coalesce(a.clean_text, '') AS clean_text,
+         |  coalesce(a.n_kept, 0) AS n_kept, coalesce(a.n_removed, 0) AS n_removed
+         |FROM documents d LEFT JOIN agg a USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
+
+    // Span document-frequency heavy hitters: the same span CTEs, df
+    // counted doc-distinct, the full (n_docs, n_occurrences, span)
+    // total order pinning the top-N cut.
+    "boilerplate_top_spans" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, $toksSql AS toks FROM documents),
+         |idx AS (
+         |  SELECT doc_id, toks,
+         |    unnest(range(CAST(ceil(len(toks) / ${Queries.spanDedupTokens}.0) AS BIGINT))) AS span_idx
+         |  FROM toks),
+         |spans AS (
+         |  SELECT doc_id,
+         |    array_to_string(list_slice(toks,
+         |      span_idx * ${Queries.spanDedupTokens} + 1,
+         |      span_idx * ${Queries.spanDedupTokens} + ${Queries.spanDedupTokens}), ' ') AS span
+         |  FROM idx),
+         |df AS (
+         |  SELECT span, count(DISTINCT doc_id) AS n_docs,
+         |    count(*) AS n_occurrences
+         |  FROM spans GROUP BY span)
+         |SELECT span, n_docs, n_occurrences FROM df
+         |ORDER BY n_docs DESC, n_occurrences DESC, span
+         |LIMIT ${Queries.boilerplateTopN}""".stripMargin,
+
     // Rare-gram inverted-index blocking (mirrors
     // Dedup.rareGramJaccardPairs): candidates share ≥1 bigram with
     // document frequency in [2, 20]; exact Jaccard verified on the

@@ -669,6 +669,37 @@ object Queries {
         spanTokens = spanDedupTokens)
       .orderBy(col("doc_id"))
 
+  /** RefinedWeb-style BOILERPLATE removal (Penedo et al. 2023 §3.3
+    * line-wise dedup at span grain): spans occurring in ≥
+    * [[boilerplateMinDocs]] distinct documents are removed from EVERY
+    * document — no keep-first survivor, the frequency rule says a
+    * span repeated across that many independent pages was never
+    * content (nav bars, cookie banners), where [[dedupSpans]]'s C4
+    * rule preserves one copy of duplicated CONTENT. Same span grain
+    * and rebuild discipline as dedup_spans; the df table computes on
+    * span hashes via the two-stage df shape (never a COUNT-DISTINCT
+    * Expand), text crosses one exchange (the rebuild join).
+    */
+  private[graft] val boilerplateMinDocs = 3
+  def dedupBoilerplate(spark: SparkSession, dir: String): DataFrame =
+    Dedup.boilerplateRemove(t(spark, dir, "documents"), "doc_id", "text",
+        spanTokens = spanDedupTokens, minDocs = boilerplateMinDocs)
+      .orderBy(col("doc_id"))
+
+  /** Span document-frequency heavy hitters — the ops dial an operator
+    * reads to SET boilerplateMinDocs (vocab_top_terms at span grain):
+    * the [[boilerplateTopN]] most widespread spans with their
+    * distinct-doc and total occurrence counts. Two map-side-
+    * combinable aggs + TakeOrderedAndProject; the full total order
+    * (n_docs, n_occurrences, span) makes the cut deterministic.
+    */
+  private[graft] val boilerplateTopN = 20
+  def boilerplateTopSpans(spark: SparkSession, dir: String): DataFrame =
+    Dedup.spanDocFrequency(t(spark, dir, "documents"), "doc_id", "text",
+        spanTokens = spanDedupTokens)
+      .orderBy(col("n_docs").desc, col("n_occurrences").desc, col("span"))
+      .limit(boilerplateTopN)
+
   /** N-gram (bigram) Jaccard near-dup pairs via rare-gram inverted-
     * index blocking (df ≤ 20) — the scale-safe standalone similarity
     * self-join: candidate buckets are bounded by the df cap, never by
@@ -3999,6 +4030,8 @@ object Queries {
     "pipeline_pack" -> (pipelinePack _),
     "drift_report" -> (driftReport _),
     "dedup_spans" -> (dedupSpans _),
+    "dedup_boilerplate" -> (dedupBoilerplate _),
+    "boilerplate_top_spans" -> (boilerplateTopSpans _),
     "dedup_within_doc" -> (dedupWithinDoc _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_embedding_cos" -> (dedupEmbeddingCos _),

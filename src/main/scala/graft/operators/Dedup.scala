@@ -303,6 +303,114 @@ object Dedup {
         (size(col("__spans")) - size(kept)).cast("long").as("n_removed"))
   }
 
+  /** RefinedWeb-style BOILERPLATE removal (Penedo et al. 2023 §3.3
+    * line-wise deduplication, at this engine's span grain): a span
+    * that occurs in at least `minDocs` DISTINCT documents is
+    * boilerplate (nav bars, cookie banners, license footers) and is
+    * removed from EVERY document — including the first occurrence,
+    * which is where this differs from [[spanDedup]]'s C4 keep-first
+    * rule: keep-first preserves one copy of genuine content that
+    * happens to be duplicated; the frequency rule says a span
+    * repeated across enough independent pages was never content.
+    * Same non-overlapping `spanTokens`-token grain as [[spanDedup]]
+    * (one [[spanArrayOf]] definition, so the two operators and their
+    * oracles cannot drift). Returns one row per input document:
+    * (idCol, clean_text, n_kept, n_removed).
+    *
+    * Scale shape: the document-frequency table computes on span
+    * HASHES only, via the vocab_top_terms two-stage df shape — a
+    * map-side-combinable `groupBy(hash, doc).agg(...)` collapses
+    * within-doc repeats, then `groupBy(hash).count` counts documents
+    * — never a COUNT-DISTINCT Expand, and a corpus-wide hot span
+    * partial-aggregates in every mapper at both stages. The narrow
+    * per-(hash, doc) frame is localCheckpointed because two branches
+    * read it (the df table and the kept-set), so the
+    * tokenize+explode+first-agg subtree runs once (the
+    * clusterCanonical convention; at scale, swap for a persisted
+    * tokenized view upstream). The boilerplate hash set is the
+    * heavy-hitter tail of the df table — small by construction at
+    * any real `minDocs`, so the anti-join broadcasts and the kept-set
+    * branch never re-shuffles on the hash; a pathological
+    * all-boilerplate corpus degrades to an AQE-skew-splittable hash
+    * join, still never a window. Corpus text crosses exactly ONE
+    * exchange (the rebuild join), the [[spanDedup]] discipline.
+    */
+  def boilerplateRemove(docs: DataFrame, idCol: String, textCol: String,
+      spanTokens: Int = 3, minDocs: Int = 2): DataFrame = {
+    require(spanTokens >= 1, s"spanTokens must be >= 1, got $spanTokens")
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val base = docs.select(col(idCol).as("__id"), sqlToks(textCol).as("__toks"))
+    val withSpans = base.withColumn("__spans",
+      spanArrayOf(col("__toks"), spanTokens))
+    // hash before any exchange (the ExactSubstr gram discipline);
+    // posexplode_OUTER + cheap post-Generate null filter keeps the
+    // implicit size>0 pushdown from inlining the tokenizer into the
+    // scan (the dedup_spans r16 trap)
+    val exploded = withSpans
+      .select(col("__id"),
+        posexplode_outer(col("__spans")).as(Seq("span_idx", "span")))
+      .select(col("__id"), col("span_idx"), md5(col("span")).as("__sh"))
+      .filter(col("__sh").isNotNull)
+    // one pass builds BOTH what the two branches need: per-(hash,
+    // doc) the doc's occurrence indexes (for the kept-set) and the
+    // row itself as one document vote (for the df count). Group size
+    // is the span's repeat count within ONE doc, so the collect_list
+    // buffer is bounded by a single document's span count.
+    val perDoc = exploded
+      .groupBy(col("__sh"), col("__id"))
+      .agg(collect_list(col("span_idx")).as("__ki0"),
+        count(lit(1)).as("__n"))
+      .localCheckpoint(false)
+    val boil = perDoc.groupBy(col("__sh"))
+      .agg(count(lit(1)).as("__nd"))
+      .filter(col("__nd") >= minDocs)
+      .select(col("__sh"))
+    val keptIdx = perDoc.join(boil, Seq("__sh"), "left_anti")
+      .groupBy(col("__id").as("__kid"))
+      .agg(array_sort(flatten(collect_list(col("__ki0")))).as("__ki"),
+        sum(col("__n")).as("n_kept"))
+    // rebuild from the doc side, exactly as spanDedup: left_outer +
+    // null-safe key so an all-boilerplate or token-less doc rebuilds
+    // as the empty keep-set and a null-id doc still round-trips
+    withSpans.join(keptIdx, col("__id") <=> col("__kid"), "left_outer")
+      .select(col("__id").as(idCol),
+        concat_ws(" ", transform(
+          coalesce(col("__ki"), array().cast("array<int>")),
+          i => element_at(col("__spans"), i + 1))).as("clean_text"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (size(col("__spans")) - coalesce(col("n_kept"), lit(0L)))
+          .cast("long").as("n_removed"))
+  }
+
+  /** Span document-frequency table — the diagnostic behind
+    * [[boilerplateRemove]]'s threshold: per distinct span (same
+    * [[spanArrayOf]] grain), how many distinct documents contain it
+    * and how many times it occurs in total. An operator team reads
+    * the head of this table (ordered by n_docs) to SET `minDocs` —
+    * the same role vocab_top_terms plays for term stats, at span
+    * grain. Returns (span, n_docs, n_occurrences).
+    *
+    * Scale shape: the two-stage df pattern (map-side-combinable
+    * `groupBy(span, doc)` then `groupBy(span)`) — no COUNT-DISTINCT
+    * Expand, hot spans partial-aggregate at both stages; the group
+    * key carries the span's own ≤`spanTokens`-word text (bounded
+    * bytes), nothing else of the corpus crosses an exchange.
+    */
+  def spanDocFrequency(docs: DataFrame, idCol: String, textCol: String,
+      spanTokens: Int = 3): DataFrame = {
+    require(spanTokens >= 1, s"spanTokens must be >= 1, got $spanTokens")
+    val base = docs.select(col(idCol).as("__id"), sqlToks(textCol).as("__toks"))
+    val exploded = base
+      .select(col("__id"), posexplode_outer(
+        spanArrayOf(col("__toks"), spanTokens)).as(Seq("__i", "span")))
+      .filter(col("span").isNotNull)
+    exploded
+      .groupBy(col("span"), col("__id"))
+      .agg(count(lit(1)).as("__n"))
+      .groupBy(col("span"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__n")).as("n_occurrences"))
+  }
+
   /** Lee et al. 2021 ("Deduplicating Training Data Makes Language
     * Models Better") ExactSubstr-flavored duplicate-substring
     * removal: every duplicated k-token substring keeps its FIRST

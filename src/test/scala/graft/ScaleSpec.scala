@@ -830,8 +830,14 @@ class ScaleSpec extends AnyFunSuite {
         .write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }
+    // dedup_boilerplate rides the same rung (r17): its hot risk is
+    // the df count of the 100k-doc span, but stage one keys on
+    // (hash, doc) — no hot key — and stage two's count partial-
+    // aggregates the hash in every mapper, so the frequency rule
+    // must absorb the planted group like the keep-first family
     val queryRuns: Seq[(String, String => Double)] =
-      Seq("dedup_exact", "dedup_spans", "dedup_substrings")
+      Seq("dedup_exact", "dedup_spans", "dedup_substrings",
+        "dedup_boilerplate")
         .map(q => q -> ((d: String) => runNoop(q, d))) :+
         ("exactKeepFirst" -> (runKeepFirst _))
     for ((q, run) <- queryRuns) {

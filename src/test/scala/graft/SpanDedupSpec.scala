@@ -183,4 +183,120 @@ class SpanDedupSpec extends AnyFunSuite {
     assert("Join".r.findAllIn(plan).size >= 1,
       s"the doc-side rebuild join must be present:\n$plan")
   }
+
+  // ---- boilerplateRemove: frequency-rule drop-all (RefinedWeb) ----
+
+  private def runBoilOpt(rows: Seq[(Option[Long], String)], minDocs: Int = 2,
+      spanTokens: Int = 3) = {
+    import spark.implicits._
+    Dedup.boilerplateRemove(rows.toDF("doc_id", "text"), "doc_id", "text",
+        spanTokens, minDocs)
+      .orderBy(col("doc_id"))
+      .collect()
+      .map(r => (r.get(0).asInstanceOf[java.lang.Long], r.getString(1),
+        r.getLong(2), r.getLong(3)))
+  }
+  private def runBoil(rows: Seq[(Long, String)], minDocs: Int = 2,
+      spanTokens: Int = 3) =
+    runBoilOpt(rows.map { case (i, t) => (Some(i), t) }, minDocs, spanTokens)
+
+  test("boilerplate: frequent span removed EVERYWHERE, first occurrence too") {
+    val out = runBoil(Seq(
+      (1L, "a b c x y z"), // "a b c" in docs 1,2,3 -> boilerplate
+      (2L, "a b c q r s"),
+      (3L, "a b c"),
+      (4L, "k l m")), minDocs = 3)
+    assert(out(0) == (1L, "x y z", 1L, 1L), s"first occurrence must drop: ${out(0)}")
+    assert(out(1) == (2L, "q r s", 1L, 1L))
+    assert(out(2) == (3L, "", 0L, 1L))
+    assert(out(3) == (4L, "k l m", 1L, 0L))
+  }
+
+  test("boilerplate: below-threshold duplicate survives in ALL docs (vs keep-first)") {
+    // the same corpus under spanDedup would drop doc 2's copy; the
+    // frequency rule at minDocs=3 keeps both
+    val out = runBoil(Seq(
+      (1L, "a b c"),
+      (2L, "a b c")), minDocs = 3)
+    assert(out(0) == (1L, "a b c", 1L, 0L))
+    assert(out(1) == (2L, "a b c", 1L, 0L))
+  }
+
+  test("boilerplate: within-doc repeats count as ONE document vote") {
+    // "a b c" occurs 3x but only in doc 1 -> df=1 < minDocs=2, kept
+    val out = runBoil(Seq(
+      (1L, "a b c a b c a b c"),
+      (2L, "q r s")), minDocs = 2)
+    assert(out(0) == (1L, "a b c a b c a b c", 3L, 0L))
+    // and when a second doc votes, ALL THREE within-doc copies drop
+    val out2 = runBoil(Seq(
+      (1L, "a b c a b c a b c"),
+      (2L, "a b c")), minDocs = 2)
+    assert(out2(0) == (1L, "", 0L, 3L))
+    assert(out2(1) == (2L, "", 0L, 1L))
+  }
+
+  test("boilerplate: token-less, null-text and null-id docs round-trip") {
+    val out = runBoilOpt(Seq(
+      (Some(1L), ""), (Some(2L), null), (None, "a b c"), (Some(4L), "a b c")),
+      minDocs = 2)
+    assert(out.length == 4)
+    // orderBy puts the null id first
+    assert(out(0) == (null, "", 0L, 1L))
+    assert(out(1) == (1L, "", 0L, 0L))
+    assert(out(2) == (2L, "", 0L, 0L))
+    assert(out(3) == (4L, "", 0L, 1L))
+  }
+
+  test("boilerplate: reassembly preserves original span order around holes") {
+    val out = runBoil(Seq(
+      (1L, "x y z a b c p q r"),
+      (2L, "a b c")), minDocs = 2)
+    assert(out(0) == (1L, "x y z p q r", 2L, 1L))
+  }
+
+  test("boilerplate random corpus: matches a plain-Scala reference") {
+    val rng = new scala.util.Random(23)
+    val vocab = Vector("a", "b", "c", "d", "e")
+    val docs = (0L until 200L).map { id =>
+      id -> Seq.fill(rng.nextInt(24))(vocab(rng.nextInt(vocab.size))).mkString(" ")
+    }
+    val minDocs = 3
+    val spansOf = (text: String) =>
+      text.split(" ").filter(_.nonEmpty).grouped(3).map(_.mkString(" ")).toSeq
+    val df = docs.flatMap { case (id, t) => spansOf(t).distinct.map(_ -> id) }
+      .groupBy(_._1).map { case (s, v) => s -> v.size }
+    val expect = docs.map { case (id, text) =>
+      val spans = spansOf(text)
+      val kept = spans.filter(s => df.getOrElse(s, 0) < minDocs)
+      (id: java.lang.Long, kept.mkString(" "), kept.size.toLong,
+        (spans.size - kept.size).toLong)
+    }
+    assert(runBoil(docs, minDocs) sameElements expect)
+  }
+
+  test("boilerplate: no Window; narrow aggs; text off every agg exchange") {
+    import spark.implicits._
+    val df = Dedup.boilerplateRemove(
+      Seq((1L, "a b c"), (2L, "a b c")).toDF("doc_id", "text"),
+      "doc_id", "text", 3, 2)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"frequency rule must be aggregates, never a window:\n$plan")
+    assert(plan.contains("Exchange hashpartitioning(__sh"),
+      s"df/kept-set aggs must exchange on the md5 column:\n$plan")
+    assert(!plan.contains("hashpartitioning(md5("),
+      s"no exchange may key on inline md5 of span text:\n$plan")
+  }
+
+  test("spanDocFrequency: distinct-doc and occurrence counts at span grain") {
+    import spark.implicits._
+    val out = Dedup.spanDocFrequency(Seq(
+        (1L, "a b c a b c x y z"),
+        (2L, "a b c"),
+        (3L, "")).toDF("doc_id", "text"), "doc_id", "text", 3)
+      .orderBy(col("span")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out sameElements Array(("a b c", 2L, 3L), ("x y z", 1L, 1L)))
+  }
 }
