@@ -37,20 +37,13 @@ object Dedup {
   private def normTextHash(textCol: String): Column =
     md5(regexp_replace(lower(trim(col(textCol))), "\\s+", " "))
 
-  /** Reserved-output-name guard (ADVICE r16): these operators ADD
-    * columns, so an input already carrying one of the names would
-    * yield duplicate columns and ambiguous-reference failures far
-    * downstream instead of a clear error at the call (the
-    * QualityCal.requireNoReservedColumns convention).
+  /** Reserved-output-name guard (ADVICE r16) — the shared
+    * [[Guards.requireNoReserved]] definition, caller-tagged.
     */
   private def requireNoReserved(docs: DataFrame, caller: String,
-      reserved: String*): Unit = {
-    val clash = reserved.filter(docs.columns.contains)
-    require(clash.isEmpty,
-      s"Dedup.$caller: input frame already carries reserved column(s) " +
-        s"${clash.mkString(", ")} — rename them upstream; the operator " +
-        "writes these names")
-  }
+      reserved: String*): Unit =
+    Guards.requireNoReserved(docs.columns.toSeq, s"Dedup.$caller", "",
+      reserved: _*)
 
   /** Exact-dedup keep DECISION, single-pass and narrow: for every
     * input row, (idCol, canonical_id, group_size) where canonical_id
@@ -73,16 +66,29 @@ object Dedup {
     * (an executor loss fails the job instead of recomputing) — the
     * repo-wide clusterCanonical convention.
     */
-  def exactKeepDecision(docs: DataFrame, idCol: String,
-      textCol: String): DataFrame = {
-    requireNoReserved(docs, "exactKeepDecision",
-      "canonical_id", "group_size", "__norm_hash", "__gh_key")
+  /** The shared keep-first core: the localCheckpointed narrow
+    * (id, __norm_hash) projection and the per-hash decision frame
+    * (__gh_key, canonical_id, group_size) derived from it — one
+    * row per DISTINCT hash, which is what makes a hash-keyed
+    * join-back multiplication-free regardless of id nulls or
+    * duplicates.
+    */
+  private def keepGroups(docs: DataFrame, idCol: String,
+      textCol: String): (DataFrame, DataFrame) = {
     val narrow = docs
       .select(col(idCol), normTextHash(textCol).as("__norm_hash"))
       .localCheckpoint(false)
     val groups = narrow
       .groupBy(col("__norm_hash").as("__gh_key"))
       .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("group_size"))
+    (narrow, groups)
+  }
+
+  def exactKeepDecision(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    requireNoReserved(docs, "exactKeepDecision",
+      "canonical_id", "group_size", "__norm_hash", "__gh_key")
+    val (narrow, groups) = keepGroups(docs, idCol, textCol)
     narrow
       .join(groups, col("__norm_hash") <=> col("__gh_key"))
       .select(col(idCol), col("canonical_id"), col("group_size"))
@@ -134,24 +140,28 @@ object Dedup {
     * per document (all input columns preserved) with its canonical
     * (minimum) id and group size appended.
     *
-    * Scale shape (r17): the keep decision comes from
-    * [[exactKeepDecision]]'s localCheckpointed narrow (id, hash)
-    * frame, and ONE id-keyed equi-join annotates the caller's frame —
-    * the input subtree executes once for the narrow decision pass and
-    * once as the probe side (column-pruned to (id, text) on the
+    * Scale shape (r17): the decision side is [[keepGroups]]'s
+    * localCheckpointed narrow (id, hash) pass aggregated to ONE row
+    * per distinct hash, and the caller's frame joins it on its own
+    * recomputed hash — the input subtree executes once for the
+    * narrow pass and once as the probe side (column-pruned on the
     * decision side), vs the r16 shape that planned the FULL input on
-    * both sides of a hash-keyed join. Null-safe id key so a null-id
-    * row still round-trips; like every id-keyed operator here, ids
-    * are assumed UNIQUE. Survivor-only pipelines that don't need the
-    * input's text downstream should prefer [[exactKeepFirst]]
-    * (single-pass, no join).
+    * both sides. Joining the per-HASH groups frame (unique key)
+    * rather than the per-ROW decision keeps the join
+    * multiplication-free even when several rows share a null or
+    * duplicate id (review r17: an id-keyed join-back against the
+    * per-row decision matched every null-id row against every null-id
+    * decision row, multiplying and mis-pairing them). Survivor-only
+    * pipelines that don't need the input's text downstream should
+    * prefer [[exactKeepFirst]] (single-pass, no join).
     */
   def exactCanonical(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     requireNoReserved(docs, "exactCanonical",
-      "canonical_id", "group_size", "__norm_hash", "__kd_id")
-    val decision = exactKeepDecision(docs, idCol, textCol)
-      .withColumnRenamed(idCol, "__kd_id")
-    docs.join(decision, col(idCol) <=> col("__kd_id")).drop("__kd_id")
+      "canonical_id", "group_size", "__norm_hash", "__gh_key", "__gc_h")
+    val (_, groups) = keepGroups(docs, idCol, textCol)
+    docs.withColumn("__gc_h", normTextHash(textCol))
+      .join(groups, col("__gc_h") <=> col("__gh_key"))
+      .drop("__gc_h", "__gh_key")
   }
 
   /** C4-style duplicate-span removal (Raffel et al. 2020 §2.2 dedup
@@ -361,8 +371,13 @@ object Dedup {
       .agg(collect_list(col("span_idx")).as("__ki0"),
         count(lit(1)).as("__n"))
       .localCheckpoint(false)
+    // count(col) skips nulls, so a null-id doc casts NO vote — the
+    // SQL count(DISTINCT doc_id) semantics the DuckDB oracle replays
+    // (count(lit(1)) would count the collapsed null-id group as one
+    // vote and the two engines would disagree on the threshold); its
+    // spans remain removal-ELIGIBLE through the anti-join either way
     val boil = perDoc.groupBy(col("__sh"))
-      .agg(count(lit(1)).as("__nd"))
+      .agg(count(col("__id")).as("__nd"))
       .filter(col("__nd") >= minDocs)
       .select(col("__sh"))
     val keptIdx = perDoc.join(boil, Seq("__sh"), "left_anti")
@@ -404,11 +419,13 @@ object Dedup {
       .select(col("__id"), posexplode_outer(
         spanArrayOf(col("__toks"), spanTokens)).as(Seq("__i", "span")))
       .filter(col("span").isNotNull)
+    // count(col) skips the collapsed null-id group: n_docs is the
+    // oracle's count(DISTINCT doc_id); n_occurrences counts ALL rows
     exploded
       .groupBy(col("span"), col("__id"))
       .agg(count(lit(1)).as("__n"))
       .groupBy(col("span"))
-      .agg(count(lit(1)).as("n_docs"), sum(col("__n")).as("n_occurrences"))
+      .agg(count(col("__id")).as("n_docs"), sum(col("__n")).as("n_occurrences"))
   }
 
   /** Lee et al. 2021 ("Deduplicating Training Data Makes Language

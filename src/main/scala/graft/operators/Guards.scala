@@ -25,4 +25,20 @@ private[graft] object Guards {
     require(df.filter(expr(s"try_cast(`$idCol` as bigint)").isNull)
         .limit(1).count() == 0,
       s"$op: null or non-numeric values in id column '$idCol' — $why")
+
+  /** Reserved-output-name guard (ADVICE r16/r17): operators that ADD
+    * columns must fail a clashing input at the call — duplicate
+    * column names surface as ambiguous-reference errors far
+    * downstream otherwise. One definition so the Dedup and
+    * QualityCal guards cannot drift; `hint` appends a caller-specific
+    * remedy (e.g. "or pass a different pctCol").
+    */
+  def requireNoReserved(columns: Seq[String], op: String, hint: String,
+      reserved: String*): Unit = {
+    val clash = reserved.filter(columns.contains)
+    require(clash.isEmpty,
+      s"$op: input frame already carries reserved column(s) " +
+        s"${clash.mkString(", ")} — rename them upstream$hint; the " +
+        "operator writes these names")
+  }
 }

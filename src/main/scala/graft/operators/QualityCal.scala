@@ -185,13 +185,10 @@ object QualityCal {
     * every checkpoint restart on the same throw.
     */
   def requireNoReservedColumns(columns: Seq[String], pctCol: String,
-      caller: String): Unit = {
-    val clash = (pctCol +: Seq("__rq", "__pl", "__pq")).filter(columns.contains)
-    require(clash.isEmpty,
-      s"$caller: input frame already carries reserved column(s) " +
-        s"${clash.mkString(", ")} — rename them upstream (or pass a " +
-        "different pctCol); the percentile lookup writes these names")
-  }
+      caller: String): Unit =
+    Guards.requireNoReserved(columns, caller,
+      " (or pass a different pctCol)",
+      (pctCol +: Seq("__rq", "__pl", "__pq")): _*)
 
   def withPercentile(rows: DataFrame, cdf: DataFrame, langCol: String,
       quality: Column, pctCol: String = "pct"): DataFrame = {

@@ -413,18 +413,34 @@ final class ParquetStore(spark: SparkSession, root: String, nBuckets: Int = 16,
     // writer landing between this read and the write is undetectable
     // without a CAS rename.)
     checkUnmoved("before staging")
-    df.write.mode(SaveMode.Overwrite).parquet(versionDir(table, v))
-    atomicWrite(metaVPath(table, v), renderMeta(props))
-    // the era is permanent (review r17): delete the legacy table-level
+    // the era is permanent (review r17): retire the legacy table-level
     // _META on every overwriteWithMeta, BEFORE the flip. Era detection
     // via surviving sidecars is GC-defeatable — cleanOld drops
     // sidecars of superseded versions after one grace commit, so a
     // plain overwrite + one more commit would otherwise resurrect the
-    // legacy label for data it never described. With the file gone the
-    // fallback reads loud unknown provenance forever; a crash after
-    // this delete loses only a label that was already superseded.
+    // legacy label for data it never described. Retire = PROMOTE then
+    // delete (review r17, second pass): the legacy label describes the
+    // STILL-CURRENT snapshot v0 until the pointer flips, so a bare
+    // delete that crashed before the flip would strip a live
+    // snapshot's provenance (and era-permanence locks putMeta, so it
+    // could never be restored). Re-writing it first as v0's exact
+    // _META_v sidecar preserves the pair across every crash point:
+    // after the flip it is superseded and GC'd on the normal grace
+    // schedule, before the flip it serves exactly what the legacy
+    // fallback served.
     val legacy = metaPath(table)
-    if (fs.exists(legacy)) fs.delete(legacy, false)
+    if (fs.exists(legacy)) {
+      v0.foreach { cur =>
+        val curSidecar = metaVPath(table, cur)
+        if (!fs.exists(curSidecar))
+          try atomicWrite(curSidecar,
+            new String(readFully(legacy), "UTF-8"))
+          catch { case _: java.io.FileNotFoundException => () }
+      }
+      fs.delete(legacy, false)
+    }
+    df.write.mode(SaveMode.Overwrite).parquet(versionDir(table, v))
+    atomicWrite(metaVPath(table, v), renderMeta(props))
     checkUnmoved("before the pointer flip")
     commit(table, v, Map(-1 -> v), tableBuckets(table), prev)
   }

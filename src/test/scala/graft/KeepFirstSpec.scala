@@ -100,6 +100,30 @@ class KeepFirstSpec extends AnyFunSuite {
     assert(kf == canonical, "family equivalence must hold under null ids")
   }
 
+  test("exactCanonical: several null-id rows neither multiply nor cross-annotate") {
+    // review r17: an id-keyed join-back against the per-ROW decision
+    // matched every null-id row to every null-id decision row — 3
+    // input rows became 5, and 'only null group' borrowed the other
+    // group's canonical. The hash-keyed join against the per-HASH
+    // groups frame is multiplication-free by key uniqueness.
+    import spark.implicits._
+    val df = Seq(
+      (Some(5L), "same text", "en", 0.9),
+      (Option.empty[Long], "same  TEXT", "de", 0.1),
+      (Option.empty[Long], "only null group", "fr", 0.2)
+    ).toDF("doc_id", "text", "lang", "quality")
+    val out = Dedup.exactCanonical(df, "doc_id", "text")
+    assert(out.count() == 3, "row count must be preserved")
+    val got = out.select("lang", "canonical_id", "group_size")
+      .collect().map(r => (r.getString(0), Option(r.get(1)), r.getLong(2)))
+      .toSet
+    assert(got == Set(
+      ("en", Some(5L), 2L),
+      ("de", Some(5L), 2L),          // null-id member of the 5L group
+      ("fr", None, 1L)),             // its own group: no non-null min
+      s"each row must carry ITS OWN group's annotation, got $got")
+  }
+
   test("reserved output names fail loudly at the call (ADVICE r16)") {
     val clash = docs().withColumn("canonical_id", lit(0L))
     val e = intercept[IllegalArgumentException] {

@@ -270,4 +270,30 @@ class ParquetStoreSpec extends AnyFunSuite {
     assert(store.getMeta("t").isEmpty,
       "a GC'd sidecar era must never resurrect the superseded legacy label")
   }
+
+  test("legacy _META is PROMOTED to the pre-refresh version's sidecar, " +
+      "so a crash before the pointer flip keeps the live pair (review r17)") {
+    val root = TestSpark.tempDir("graft_ps_promo_")
+    val store = new ParquetStore(spark, root)
+    store.overwrite("t", rows(1 to 5, "v1")) // version 0
+    store.putMeta("t", Map("label" -> "legacy"))
+    store.overwriteWithMeta("t", rows(1 to 5, "v2"), Map("label" -> "snap2"))
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // the retire step must not DELETE a label the old snapshot still
+    // needs: the legacy file is gone, but its content survives as the
+    // pre-refresh version's EXACT sidecar — the state a crash between
+    // the retire and the _CURRENT flip would leave behind pairs the
+    // old data with the old label (a bare delete stripped a LIVE
+    // snapshot's provenance and era-locked putMeta, unrecoverably)
+    assert(!fs.exists(new Path(s"$root/t/_META")), "legacy file retired")
+    assert(fs.exists(new Path(s"$root/t/_META_v0")),
+      "legacy label must be promoted to the pre-refresh version's sidecar")
+    // simulate the crash window: point _CURRENT back at version 0 (as
+    // if the flip never happened) — the old (data, label) pair must
+    // serve intact through the exact-version rule
+    val out = fs.create(new Path(s"$root/t/_CURRENT"), true)
+    out.write("0".getBytes("UTF-8")); out.close()
+    assert(store.getMeta("t") == Map("label" -> "legacy"),
+      "pre-flip crash must leave the live snapshot's provenance readable")
+  }
 }

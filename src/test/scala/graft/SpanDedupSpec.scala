@@ -236,16 +236,26 @@ class SpanDedupSpec extends AnyFunSuite {
     assert(out2(1) == (2L, "", 0L, 1L))
   }
 
-  test("boilerplate: token-less, null-text and null-id docs round-trip") {
+  test("boilerplate: null-id docs cast NO df vote (SQL count-distinct), still round-trip") {
+    // "a b c" is in the null-id doc and doc 4: one VOTE (count skips
+    // nulls, exactly the oracle's count(DISTINCT doc_id)) -> below
+    // minDocs=2, kept in BOTH docs; token-less/null-text docs survive
     val out = runBoilOpt(Seq(
       (Some(1L), ""), (Some(2L), null), (None, "a b c"), (Some(4L), "a b c")),
       minDocs = 2)
     assert(out.length == 4)
     // orderBy puts the null id first
-    assert(out(0) == (null, "", 0L, 1L))
+    assert(out(0) == (null, "a b c", 1L, 0L))
     assert(out(1) == (1L, "", 0L, 0L))
     assert(out(2) == (2L, "", 0L, 0L))
-    assert(out(3) == (4L, "", 0L, 1L))
+    assert(out(3) == (4L, "a b c", 1L, 0L))
+    // and when two NON-null docs vote, the null-id doc's copy is
+    // removal-eligible like any other occurrence
+    val out2 = runBoilOpt(Seq(
+      (Some(4L), "a b c"), (Some(5L), "a b c"), (None, "a b c")),
+      minDocs = 2)
+    assert(out2.map(t => (t._1, t._2)) sameElements
+      Array((null, ""), (4L: java.lang.Long, ""), (5L: java.lang.Long, "")))
   }
 
   test("boilerplate: reassembly preserves original span order around holes") {
@@ -298,5 +308,12 @@ class SpanDedupSpec extends AnyFunSuite {
       .orderBy(col("span")).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
     assert(out sameElements Array(("a b c", 2L, 3L), ("x y z", 1L, 1L)))
+    // null-id docs count in n_occurrences but not n_docs (the
+    // oracle's count(DISTINCT doc_id) / count(*) split)
+    val outN = Dedup.spanDocFrequency(Seq(
+        (Some(1L), "a b c"), (None, "a b c"), (None, "a b c"))
+        .toDF("doc_id", "text"), "doc_id", "text", 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(outN sameElements Array(("a b c", 1L, 3L)))
   }
 }
