@@ -856,6 +856,39 @@ object Oracles {
        |SELECT id_a, id_b, jaccard FROM p
        |ORDER BY id_a, id_b""".stripMargin
 
+  /** Shared by dedup_boilerplate and its _stored twin — on the same
+    * corpus the store-backed probe must return the storeless answer
+    * verbatim (the df table holds the same distinct-doc counts this
+    * replay's HAVING computes).
+    */
+  private lazy val boilerplateReplaySql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, $toksSql AS toks FROM documents),
+       |idx AS (
+       |  SELECT doc_id, toks,
+       |    unnest(range(CAST(ceil(len(toks) / ${Queries.spanDedupTokens}.0) AS BIGINT))) AS span_idx
+       |  FROM toks),
+       |spans AS (
+       |  SELECT doc_id, span_idx,
+       |    array_to_string(list_slice(toks,
+       |      span_idx * ${Queries.spanDedupTokens} + 1,
+       |      span_idx * ${Queries.spanDedupTokens} + ${Queries.spanDedupTokens}), ' ') AS span
+       |  FROM idx),
+       |boil AS (
+       |  SELECT span FROM spans GROUP BY span
+       |  HAVING count(DISTINCT doc_id) >= ${Queries.boilerplateMinDocs}),
+       |agg AS (
+       |  SELECT s.doc_id,
+       |    string_agg(CASE WHEN b.span IS NULL THEN s.span END, ' ' ORDER BY s.span_idx) AS clean_text,
+       |    count(CASE WHEN b.span IS NULL THEN 1 END) AS n_kept,
+       |    count(CASE WHEN b.span IS NOT NULL THEN 1 END) AS n_removed
+       |  FROM spans s LEFT JOIN boil b USING (span)
+       |  GROUP BY s.doc_id)
+       |SELECT d.doc_id, coalesce(a.clean_text, '') AS clean_text,
+       |  coalesce(a.n_kept, 0) AS n_kept, coalesce(a.n_removed, 0) AS n_removed
+       |FROM documents d LEFT JOIN agg a USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+
   /** Shared by dedup_incremental and its _stored twin — both must
     * return the identical answer (the store's norm_hash column is the
     * same md5 the storeless form computes).
@@ -1284,33 +1317,11 @@ object Oracles {
     // included) instead of keep-first. The engine groups on md5(span)
     // where this replay groups on the span text — the same
     // hash-vs-text equivalence every dedup oracle here relies on.
-    "dedup_boilerplate" ->
-      s"""WITH toks AS (
-         |  SELECT doc_id, $toksSql AS toks FROM documents),
-         |idx AS (
-         |  SELECT doc_id, toks,
-         |    unnest(range(CAST(ceil(len(toks) / ${Queries.spanDedupTokens}.0) AS BIGINT))) AS span_idx
-         |  FROM toks),
-         |spans AS (
-         |  SELECT doc_id, span_idx,
-         |    array_to_string(list_slice(toks,
-         |      span_idx * ${Queries.spanDedupTokens} + 1,
-         |      span_idx * ${Queries.spanDedupTokens} + ${Queries.spanDedupTokens}), ' ') AS span
-         |  FROM idx),
-         |boil AS (
-         |  SELECT span FROM spans GROUP BY span
-         |  HAVING count(DISTINCT doc_id) >= ${Queries.boilerplateMinDocs}),
-         |agg AS (
-         |  SELECT s.doc_id,
-         |    string_agg(CASE WHEN b.span IS NULL THEN s.span END, ' ' ORDER BY s.span_idx) AS clean_text,
-         |    count(CASE WHEN b.span IS NULL THEN 1 END) AS n_kept,
-         |    count(CASE WHEN b.span IS NOT NULL THEN 1 END) AS n_removed
-         |  FROM spans s LEFT JOIN boil b USING (span)
-         |  GROUP BY s.doc_id)
-         |SELECT d.doc_id, coalesce(a.clean_text, '') AS clean_text,
-         |  coalesce(a.n_kept, 0) AS n_kept, coalesce(a.n_removed, 0) AS n_removed
-         |FROM documents d LEFT JOIN agg a USING (doc_id)
-         |ORDER BY d.doc_id""".stripMargin,
+    // The _stored twin (df from the persisted span-df store) MUST
+    // return the identical answer on the same corpus, so it shares
+    // this replay verbatim — the incrementalExactReplaySql convention.
+    "dedup_boilerplate" -> boilerplateReplaySql,
+    "dedup_boilerplate_stored" -> boilerplateReplaySql,
 
     // Span document-frequency heavy hitters: the same span CTEs, df
     // counted doc-distinct, the full (n_docs, n_occurrences, span)

@@ -686,6 +686,42 @@ object Queries {
         spanTokens = spanDedupTokens, minDocs = boilerplateMinDocs)
       .orderBy(col("doc_id"))
 
+  private val spanDfStoreCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Build-once persisted span document-frequency store over the full
+    * corpus — the calibration table behind the PRODUCTION boilerplate
+    * probe (full-replace on calibration cadence, the quality-CDF
+    * refresh model; spanTokens frozen in _META).
+    */
+  private def spanDfStore(spark: SparkSession, dir: String)
+      : graft.sources.ParquetStore = {
+    val root = spanDfStoreCache.computeIfAbsent(cacheKey(spark, dir), { _ =>
+      val p = java.nio.file.Files.createTempDirectory("graft_spandf_").toString
+      Dedup.buildSpanDfStore(
+        new graft.sources.ParquetStore(spark, p, nBuckets = 8, filesPerBucket = 1),
+        "span_df", t(spark, dir, "documents"), "doc_id", "text",
+        spanTokens = spanDedupTokens)
+      p
+    })
+    new graft.sources.ParquetStore(spark, root, nBuckets = 8, filesPerBucket = 1)
+  }
+
+  /** STORE-BACKED boilerplate removal — [[dedupBoilerplate]] served
+    * from the persisted span-df table: the probe pays the batch's own
+    * explode + anti-join + rebuild, never a corpus-wide df shuffle
+    * (the production form for cleaning every snapshot against a
+    * calibration-cadence df refresh). Probed over the same corpus the
+    * store was built from, the answer is the storeless one verbatim —
+    * the stored≡storeless contract; the oracle shares
+    * dedup_boilerplate's SQL for exactly that reason.
+    */
+  def dedupBoilerplateStored(spark: SparkSession, dir: String): DataFrame =
+    Dedup.boilerplateRemoveStored(spanDfStore(spark, dir), "span_df",
+        t(spark, dir, "documents"), "doc_id", "text",
+        spanTokens = spanDedupTokens, minDocs = boilerplateMinDocs)
+      .orderBy(col("doc_id"))
+
   /** Span document-frequency heavy hitters — the ops dial an operator
     * reads to SET boilerplateMinDocs (vocab_top_terms at span grain):
     * the [[boilerplateTopN]] most widespread spans with their
@@ -4031,6 +4067,7 @@ object Queries {
     "drift_report" -> (driftReport _),
     "dedup_spans" -> (dedupSpans _),
     "dedup_boilerplate" -> (dedupBoilerplate _),
+    "dedup_boilerplate_stored" -> (dedupBoilerplateStored _),
     "boilerplate_top_spans" -> (boilerplateTopSpans _),
     "dedup_within_doc" -> (dedupWithinDoc _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),

@@ -345,6 +345,19 @@ object Dedup {
     * join, still never a window. Corpus text crosses exactly ONE
     * exchange (the rebuild join), the [[spanDedup]] discipline.
     */
+  /** (__id, span_idx, __sh) hash rows over a (__id, __spans) frame —
+    * hash before any exchange (the ExactSubstr gram discipline);
+    * posexplode_OUTER + cheap post-Generate null filter keeps the
+    * implicit size>0 pushdown from inlining the tokenizer into the
+    * scan (the dedup_spans r16 trap). The single span-hash grain for
+    * the boilerplate family: removal, df store build, df store probe.
+    */
+  private def spanHashRows(withSpans: DataFrame): DataFrame = withSpans
+    .select(col("__id"),
+      posexplode_outer(col("__spans")).as(Seq("span_idx", "span")))
+    .select(col("__id"), col("span_idx"), md5(col("span")).as("__sh"))
+    .filter(col("__sh").isNotNull)
+
   def boilerplateRemove(docs: DataFrame, idCol: String, textCol: String,
       spanTokens: Int = 3, minDocs: Int = 2): DataFrame = {
     require(spanTokens >= 1, s"spanTokens must be >= 1, got $spanTokens")
@@ -352,21 +365,12 @@ object Dedup {
     val base = docs.select(col(idCol).as("__id"), sqlToks(textCol).as("__toks"))
     val withSpans = base.withColumn("__spans",
       spanArrayOf(col("__toks"), spanTokens))
-    // hash before any exchange (the ExactSubstr gram discipline);
-    // posexplode_OUTER + cheap post-Generate null filter keeps the
-    // implicit size>0 pushdown from inlining the tokenizer into the
-    // scan (the dedup_spans r16 trap)
-    val exploded = withSpans
-      .select(col("__id"),
-        posexplode_outer(col("__spans")).as(Seq("span_idx", "span")))
-      .select(col("__id"), col("span_idx"), md5(col("span")).as("__sh"))
-      .filter(col("__sh").isNotNull)
     // one pass builds BOTH what the two branches need: per-(hash,
     // doc) the doc's occurrence indexes (for the kept-set) and the
     // row itself as one document vote (for the df count). Group size
     // is the span's repeat count within ONE doc, so the collect_list
     // buffer is bounded by a single document's span count.
-    val perDoc = exploded
+    val perDoc = spanHashRows(withSpans)
       .groupBy(col("__sh"), col("__id"))
       .agg(collect_list(col("span_idx")).as("__ki0"),
         count(lit(1)).as("__n"))
@@ -380,13 +384,24 @@ object Dedup {
       .agg(count(col("__id")).as("__nd"))
       .filter(col("__nd") >= minDocs)
       .select(col("__sh"))
+    boilerplateRebuild(withSpans, perDoc, boil, idCol)
+  }
+
+  /** Shared removal tail of the boilerplate family: anti-join the
+    * per-(hash, doc) occurrence rows against the boilerplate hash
+    * set, regroup each doc's surviving indexes, and rebuild from the
+    * doc side — left_outer + null-safe key, exactly as [[spanDedup]],
+    * so an all-boilerplate or token-less doc rebuilds as the empty
+    * keep-set and a null-id doc still round-trips. The storeless and
+    * store-backed forms differ ONLY in where `boil` comes from, so
+    * they agree by construction on the same corpus.
+    */
+  private def boilerplateRebuild(withSpans: DataFrame, perDoc: DataFrame,
+      boil: DataFrame, idCol: String): DataFrame = {
     val keptIdx = perDoc.join(boil, Seq("__sh"), "left_anti")
       .groupBy(col("__id").as("__kid"))
       .agg(array_sort(flatten(collect_list(col("__ki0")))).as("__ki"),
         sum(col("__n")).as("n_kept"))
-    // rebuild from the doc side, exactly as spanDedup: left_outer +
-    // null-safe key so an all-boilerplate or token-less doc rebuilds
-    // as the empty keep-set and a null-id doc still round-trips
     withSpans.join(keptIdx, col("__id") <=> col("__kid"), "left_outer")
       .select(col("__id").as(idCol),
         concat_ws(" ", transform(
@@ -426,6 +441,102 @@ object Dedup {
       .agg(count(lit(1)).as("__n"))
       .groupBy(col("span"))
       .agg(count(col("__id")).as("n_docs"), sum(col("__n")).as("n_occurrences"))
+  }
+
+  /** `_META` key freezing a span-df store's span grain — the
+    * boilerplate family's [[requireStoreGeometry]] analogue: probing
+    * a df table built at a different `spanTokens` silently matches
+    * (almost) nothing, so drift is a loud rebuild.
+    */
+  private val MetaSpanTokens = "span_df.span_tokens"
+
+  private def requireSpanDfGeometry(store: graft.sources.ParquetStore,
+      table: String, spanTokens: Int, caller: String,
+      strict: Boolean): Unit = {
+    if (!strict && !store.exists(table)) return
+    val meta = store.getMeta(table)
+    if (strict && !meta.contains(MetaSpanTokens))
+      throw new IllegalStateException(
+        s"$caller: span-df store '$table' records no span grain " +
+          "(_META) — rebuild it with Dedup.buildSpanDfStore (which " +
+          "records span_tokens); probing a table of unknown grain " +
+          "silently removes (almost) nothing")
+    meta.get(MetaSpanTokens).foreach(s => require(s.trim == spanTokens.toString,
+      s"$caller: span-df store '$table' was built with " +
+        s"spanTokens=${s.trim} but this call uses spanTokens=$spanTokens — " +
+        "grain drift is a rebuild (drop the table and rebuild)"))
+  }
+
+  /** Persist the span document-frequency table backing
+    * [[boilerplateRemoveStored]]: one narrow row per distinct span
+    * HASH — (span_hash, n_docs, n_occurrences) — so probes read
+    * hash-sized bytes and never touch corpus text. FULL-REPLACE on
+    * calibration cadence (the quality-CDF store's refresh model, not
+    * the signature stores' MERGE): distinct-document counting is a
+    * corpus-global statistic whose per-hash vote set can't ride a
+    * doc-keyed MERGE, and the table is df-bounded (distinct spans),
+    * not corpus-bounded. `spanTokens` is frozen in `_META` and
+    * require-matched by every probe; the threshold deliberately is
+    * NOT frozen — the store carries full counts so operators can
+    * tighten/loosen `minDocs` per probe without a rebuild (reading
+    * the df head via [[spanDocFrequency]] to choose it).
+    */
+  def buildSpanDfStore(store: graft.sources.ParquetStore, table: String,
+      docs: DataFrame, idCol: String, textCol: String,
+      spanTokens: Int = 3): Unit = {
+    require(spanTokens >= 1, s"spanTokens must be >= 1, got $spanTokens")
+    requireSpanDfGeometry(store, table, spanTokens, "buildSpanDfStore",
+      strict = false)
+    val base = docs.select(col(idCol).as("__id"), sqlToks(textCol).as("__toks"))
+    val withSpans = base.withColumn("__spans",
+      spanArrayOf(col("__toks"), spanTokens))
+    val df = spanHashRows(withSpans)
+      .groupBy(col("__sh"), col("__id"))
+      .agg(count(lit(1)).as("__n"))
+      .groupBy(col("__sh").as("span_hash"))
+      .agg(count(col("__id")).as("n_docs"), sum(col("__n")).as("n_occurrences"))
+    // meta BEFORE data (the buildNearDupStore convention): a crash
+    // between the two leaves a geometry-only sidecar the next build
+    // retry overwrites idempotently, so committed data always carries
+    // its grain
+    store.putMeta(table, Map(MetaSpanTokens -> spanTokens.toString))
+    store.overwrite(table, df)
+  }
+
+  /** [[boilerplateRemove]] against a PERSISTED span-df store — the
+    * production form for pipelines that refresh the df table on
+    * calibration cadence and clean every snapshot against it: the
+    * probe pays only the batch's own explode + anti-join + rebuild,
+    * never a corpus-wide df shuffle (the df already sits in the
+    * store, hash-grain). Same removal tail as the storeless form
+    * ([[boilerplateRebuild]]), so on the same corpus the two return
+    * the identical answer — the stored≡storeless contract every
+    * *_stored twin here carries. NOTE the semantic difference that
+    * makes this the PRODUCTION form: the df is the STORE's corpus, so
+    * a batch span unseen at calibration time is never boilerplate
+    * (votes nothing), and a store span the batch lacks costs nothing
+    * — cleaning a delta against the full corpus's statistics, which
+    * the storeless form can only approximate by re-scanning
+    * everything.
+    */
+  def boilerplateRemoveStored(store: graft.sources.ParquetStore,
+      table: String, docs: DataFrame, idCol: String, textCol: String,
+      spanTokens: Int = 3, minDocs: Int = 2): DataFrame = {
+    require(spanTokens >= 1, s"spanTokens must be >= 1, got $spanTokens")
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    requireSpanDfGeometry(store, table, spanTokens,
+      "boilerplateRemoveStored", strict = true)
+    val base = docs.select(col(idCol).as("__id"), sqlToks(textCol).as("__toks"))
+    val withSpans = base.withColumn("__spans",
+      spanArrayOf(col("__toks"), spanTokens))
+    val perDoc = spanHashRows(withSpans)
+      .groupBy(col("__sh"), col("__id"))
+      .agg(collect_list(col("span_idx")).as("__ki0"),
+        count(lit(1)).as("__n"))
+    val boil = store.read(table)
+      .filter(col("n_docs") >= minDocs)
+      .select(col("span_hash").as("__sh"))
+    boilerplateRebuild(withSpans, perDoc, boil, idCol)
   }
 
   /** Lee et al. 2021 ("Deduplicating Training Data Makes Language

@@ -975,7 +975,14 @@ class RealtimeSpec extends AnyFunSuite {
       percentileGate = Some(Realtime.PercentileGate("quality_cdf",
         gateP, expectSnapshot = Some("corpus-v1"))),
       auditTable = Some("audit"))
-    q.awaitTermination(180000)
+    // the heaviest streaming test in the suite: under a full
+    // parallel `sbt test` the every-gate batch has blown a 180 s
+    // bound once (docs committed, the trailing audit MERGE still in
+    // flight — the read below then fails as a baffling missing
+    // table). Assert the wait so a timeout names itself, with
+    // full-suite-load headroom.
+    assert(q.awaitTermination(360000),
+      "every-gate stream did not finish in time")
     val streamed = ids(store.read("docs")
       .filter(col("doc_id") >= Queries.incrementalSplit))
     assert(streamed == expect,

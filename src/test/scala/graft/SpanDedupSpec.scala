@@ -299,6 +299,52 @@ class SpanDedupSpec extends AnyFunSuite {
       s"no exchange may key on inline md5 of span text:\n$plan")
   }
 
+  test("boilerplate stored ≡ storeless on the same corpus; delta probes " +
+      "use the STORE's statistics; geometry guards are loud") {
+    import spark.implicits._
+    val corpus = (0L until 60L).map { id =>
+      val tail = if (id % 3 == 0) "shared boiler plate" else s"unique tail $id"
+      (id, s"alpha beta gamma $tail")
+    }
+    val df = corpus.toDF("doc_id", "text")
+    val store = new graft.sources.ParquetStore(
+      spark, TestSpark.tempDir("graft_spandf_"), nBuckets = 4)
+    Dedup.buildSpanDfStore(store, "t", df, "doc_id", "text", spanTokens = 3)
+    // stored ≡ storeless, byte for byte
+    val storeless = Dedup.boilerplateRemove(df, "doc_id", "text", 3, 3)
+      .orderBy(col("doc_id")).collect().map(_.toSeq)
+    val stored = Dedup.boilerplateRemoveStored(store, "t", df,
+        "doc_id", "text", 3, 3)
+      .orderBy(col("doc_id")).collect().map(_.toSeq)
+    assert(stored sameElements storeless)
+    // a DELTA probe reads the STORE's df: the batch's own brand-new
+    // span is not boilerplate (no votes in the store), while the
+    // store-frequent span drops even though the batch alone could
+    // never reach the threshold
+    val delta = Seq((100L, "alpha beta gamma brand new content")).toDF("doc_id", "text")
+    val out = Dedup.boilerplateRemoveStored(store, "t", delta,
+      "doc_id", "text", 3, 3).collect().head
+    assert(out.getAs[String]("clean_text") == "brand new content",
+      s"store-frequent prefix must drop, fresh tail must stay: $out")
+    // the threshold is a PROBE knob, not frozen: minDocs above the
+    // store's max df removes nothing
+    val loose = Dedup.boilerplateRemoveStored(store, "t", delta,
+      "doc_id", "text", 3, minDocs = 1000).collect().head
+    assert(loose.getAs[Long]("n_removed") == 0L)
+    // grain drift is a loud rebuild; unknown provenance refuses probes
+    intercept[IllegalArgumentException] {
+      Dedup.boilerplateRemoveStored(store, "t", delta, "doc_id", "text",
+        spanTokens = 5, minDocs = 2)
+    }
+    val bare = new graft.sources.ParquetStore(
+      spark, TestSpark.tempDir("graft_spandf_bare_"), nBuckets = 4)
+    bare.overwrite("t", store.read("t"))
+    val e = intercept[IllegalStateException] {
+      Dedup.boilerplateRemoveStored(bare, "t", delta, "doc_id", "text", 3, 2)
+    }
+    assert(e.getMessage.contains("span grain"))
+  }
+
   test("spanDocFrequency: distinct-doc and occurrence counts at span grain") {
     import spark.implicits._
     val out = Dedup.spanDocFrequency(Seq(
