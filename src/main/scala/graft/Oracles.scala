@@ -2101,6 +2101,34 @@ object Oracles {
     // standalone oracle's logic over the previous stage's output.
     // Deterministic split replay: same md5 thresholds, same token
     // expression; SUM cast to BIGINT (DuckDB SUM of ints is HUGEINT).
+    // Cross-split leakage matrix: the shared banded-pair CTEs (the
+    // dedup_source_matrix_neardup convention) + the split_assign
+    // md5-prefix arithmetic applied to each pair's own ids — one
+    // definition of both halves, so neither can drift from its
+    // standalone query.
+    "eval_split_leakage" -> {
+      def splitCase(idc: String) =
+        s"""CASE WHEN substr(md5(CAST($idc AS VARCHAR) || '${Queries.splitSalt}'), 1, 4)
+           |           < '${Queries.splitTrainMax}' THEN 'train'
+           |         WHEN substr(md5(CAST($idc AS VARCHAR) || '${Queries.splitSalt}'), 1, 4)
+           |           < '${Queries.splitValMax}' THEN 'val'
+           |         ELSE 'test' END""".stripMargin
+      s"""$minHashPairsCtes,
+         |$minHashPairsAcceptedCte,
+         |lab AS (
+         |  SELECT least(sa, sb) AS split_a, greatest(sa, sb) AS split_b,
+         |    jaccard
+         |  FROM (
+         |    SELECT ${splitCase("id_a")} AS sa,
+         |      ${splitCase("id_b")} AS sb, jaccard
+         |    FROM p)
+         |  WHERE sa <> sb)
+         |SELECT split_a, split_b, count(*) AS n_leak_pairs,
+         |  max(jaccard) AS max_jaccard
+         |FROM lab GROUP BY split_a, split_b
+         |ORDER BY split_a, split_b""".stripMargin
+    },
+
     "split_assign" ->
       s"""WITH s AS (
          |  SELECT lang,

@@ -1752,17 +1752,53 @@ object Queries {
   private[graft] val splitSalt = ":split1"
   private[graft] val splitTrainMax = "e666" // ~90% of 0000..ffff
   private[graft] val splitValMax = "f333" // next ~5%
-  def splitAssign(spark: SparkSession, dir: String): DataFrame = {
-    val h = substring(md5(concat(col("doc_id").cast("string"), lit(splitSalt))), 1, 4)
-    val split = when(h < lit(splitTrainMax), lit("train"))
+  /** The ONE split-assignment expression — shared by [[splitAssign]]
+    * and [[evalSplitLeakage]], whose oracles replay exactly this
+    * md5-prefix arithmetic; editing one side breaks parity.
+    */
+  private def splitOf(id: Column): Column = {
+    val h = substring(md5(concat(id.cast("string"), lit(splitSalt))), 1, 4)
+    when(h < lit(splitTrainMax), lit("train"))
       .when(h < lit(splitValMax), lit("val"))
       .otherwise(lit("test"))
+  }
+  def splitAssign(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents")
-      .withColumn("split", split)
+      .withColumn("split", splitOf(col("doc_id")))
       .groupBy(col("split"), col("lang"))
       .agg(count(lit(1)).as("n_docs"),
         sum(size(sqlTokens(col("text")))).as("total_tokens"))
       .orderBy(col("split"), col("lang"))
+
+  /** CROSS-SPLIT leakage matrix — the eval-integrity check on the
+    * engine's OWN splits: near-duplicate document pairs that CROSS a
+    * train/val/test boundary (a test doc near-duplicating a train doc
+    * evaluates memorization, not generalization — the within-corpus
+    * sibling of the benchmark decontamination ladder, which guards
+    * EXTERNAL eval sets). Per (split_a < split_b) pair: leaking pair
+    * count + the closest pair's similarity (max of 4dp jaccards, the
+    * order-proof choice). Pairs come from the SAME persisted-store
+    * sweep as dedup_minhash_lsh_stored; the split label is the
+    * [[splitOf]] per-row arithmetic on the pair's own ids — zero
+    * joins beyond the sweep itself, so the matrix is free for any
+    * pipeline that maintains the signature index. A correctly split
+    * corpus still leaks EXPECTED near-dups (hash splitting can't see
+    * content); this matrix is the dial that says whether to dedup
+    * BEFORE splitting.
+    */
+  def evalSplitLeakage(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.minHashLshPairsStored(fullSigStore(spark, dir), "sigs",
+        threshold = minHashThreshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+    val sa = splitOf(col("id_a"))
+    val sb = splitOf(col("id_b"))
+    pairs
+      .withColumn("split_a", least(sa, sb))
+      .withColumn("split_b", greatest(sa, sb))
+      .filter(col("split_a") =!= col("split_b"))
+      .groupBy(col("split_a"), col("split_b"))
+      .agg(count(lit(1)).as("n_leak_pairs"), max(col("jaccard")).as("max_jaccard"))
+      .orderBy(col("split_a"), col("split_b"))
   }
 
   /** Sequence packing for training (the document-level "pack until
@@ -4110,6 +4146,7 @@ object Queries {
     "export_curriculum" -> (exportCurriculum _),
     "pipeline_curriculum" -> (pipelineCurriculum _),
     "split_assign" -> (splitAssign _),
+    "eval_split_leakage" -> (evalSplitLeakage _),
     "contamination_report" -> (contaminationReport _),
     "mm_describe" -> (mmDescribe _),
     "mm_features" -> (mmFeatures _),

@@ -329,6 +329,42 @@ class MixPackSpec extends AnyFunSuite {
       s"matrix diverged from brute force: got=$got brute=$brute")
   }
 
+  test("eval_split_leakage: matrix equals a driver-side replay over the " +
+      "stored pair sweep (independent md5 path)") {
+    // label each near-dup pair with java.security MessageDigest — an
+    // md5 implementation independent of both Spark's and DuckDB's —
+    // and rebuild the matrix in plain Scala
+    val pdir = "/root/testdata/sf0.01" // sf0.001 has too few pairs
+    def splitOf(id: Long): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$id${Queries.splitSalt}".getBytes("UTF-8"))
+      val h = d.take(2).map("%02x".format(_)).mkString
+      if (h < Queries.splitTrainMax) "train"
+      else if (h < Queries.splitValMax) "val" else "test"
+    }
+    val pairs = Queries.all("dedup_minhash_lsh_stored")(spark, pdir)
+      .collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Double]("jaccard")))
+    assert(pairs.nonEmpty, "fixture must yield near-dup pairs")
+    val expect = pairs
+      .map { case (a, b, j) =>
+        val (sa, sb) = (splitOf(a), splitOf(b))
+        (if (sa <= sb) (sa, sb) else (sb, sa), j)
+      }
+      .filter { case ((sa, sb), _) => sa != sb }
+      .groupBy(_._1)
+      .map { case (k, v) => (k._1, k._2, v.size.toLong, v.map(_._2).max) }
+      .toSet
+    assert(expect.nonEmpty, "fixture must leak across at least one boundary")
+    val got = Queries.all("eval_split_leakage")(spark, pdir)
+      .collect()
+      .map(r => (r.getAs[String]("split_a"), r.getAs[String]("split_b"),
+        r.getAs[Long]("n_leak_pairs"), r.getAs[Double]("max_jaccard")))
+      .toSet
+    assert(got == expect, s"leakage matrix mismatch: $got vs $expect")
+  }
+
   test("pack_offsets: positions dense from 0, offsets are the doc-length prefix sum") {
     val rows = Queries.all("pack_offsets")(spark, dir)
       .collect()
