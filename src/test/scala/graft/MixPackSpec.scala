@@ -357,12 +357,18 @@ class MixPackSpec extends AnyFunSuite {
       .map { case (k, v) => (k._1, k._2, v.size.toLong, v.map(_._2).max) }
       .toSet
     assert(expect.nonEmpty, "fixture must leak across at least one boundary")
-    val got = Queries.all("eval_split_leakage")(spark, pdir)
-      .collect()
+    val df = Queries.all("eval_split_leakage")(spark, pdir)
+    val got = df.collect()
       .map(r => (r.getAs[String]("split_a"), r.getAs[String]("split_b"),
         r.getAs[Long]("n_leak_pairs"), r.getAs[Double]("max_jaccard")))
       .toSet
     assert(got == expect, s"leakage matrix mismatch: $got vs $expect")
+    // split labels are per-row arithmetic on the pair's own ids: the
+    // matrix must come entirely off the signature index — no corpus
+    // text scan, no join back to the documents table
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("documents.parquet"),
+      s"leakage matrix must not scan the documents table:\n$plan")
   }
 
   test("pack_offsets: positions dense from 0, offsets are the doc-length prefix sum") {
