@@ -22,6 +22,17 @@ object Oracles {
   private val toksSql =
     "list_filter(regexp_split_to_array(lower(coalesce(text, '')), '[^a-z0-9]+'), x -> x <> '')"
 
+  /** DuckDB mirror of Queries.splitOf — ONE definition shared by the
+    * split_assign and eval_split_leakage replays (review r17: the
+    * engine side shares splitOf; a duplicated CASE here could drift).
+    */
+  private def splitCaseSql(idc: String): String =
+    s"""CASE WHEN substr(md5(CAST($idc AS VARCHAR) || '${Queries.splitSalt}'), 1, 4)
+       |           < '${Queries.splitTrainMax}' THEN 'train'
+       |         WHEN substr(md5(CAST($idc AS VARCHAR) || '${Queries.splitSalt}'), 1, 4)
+       |           < '${Queries.splitValMax}' THEN 'val'
+       |         ELSE 'test' END""".stripMargin
+
   /** Mirrors of GraftFunctions.tokenEstimate / tokenCountBpe — ONE
     * definition shared by the f9 and fertility oracles. */
   private val wsCountSql =
@@ -2099,44 +2110,32 @@ object Oracles {
     // decontamination vs the benchmark slice → deterministic
     // hash-threshold sample. Each stage replays the corresponding
     // standalone oracle's logic over the previous stage's output.
-    // Deterministic split replay: same md5 thresholds, same token
-    // expression; SUM cast to BIGINT (DuckDB SUM of ints is HUGEINT).
     // Cross-split leakage matrix: the shared banded-pair CTEs (the
-    // dedup_source_matrix_neardup convention) + the split_assign
-    // md5-prefix arithmetic applied to each pair's own ids — one
-    // definition of both halves, so neither can drift from its
-    // standalone query.
-    "eval_split_leakage" -> {
-      def splitCase(idc: String) =
-        s"""CASE WHEN substr(md5(CAST($idc AS VARCHAR) || '${Queries.splitSalt}'), 1, 4)
-           |           < '${Queries.splitTrainMax}' THEN 'train'
-           |         WHEN substr(md5(CAST($idc AS VARCHAR) || '${Queries.splitSalt}'), 1, 4)
-           |           < '${Queries.splitValMax}' THEN 'val'
-           |         ELSE 'test' END""".stripMargin
+    // dedup_source_matrix_neardup convention) + the ONE splitCaseSql
+    // definition shared with split_assign, applied to each pair's own
+    // ids — neither replay can drift from the other.
+    "eval_split_leakage" ->
       s"""$minHashPairsCtes,
          |$minHashPairsAcceptedCte,
          |lab AS (
          |  SELECT least(sa, sb) AS split_a, greatest(sa, sb) AS split_b,
          |    jaccard
          |  FROM (
-         |    SELECT ${splitCase("id_a")} AS sa,
-         |      ${splitCase("id_b")} AS sb, jaccard
+         |    SELECT ${splitCaseSql("id_a")} AS sa,
+         |      ${splitCaseSql("id_b")} AS sb, jaccard
          |    FROM p)
          |  WHERE sa <> sb)
          |SELECT split_a, split_b, count(*) AS n_leak_pairs,
          |  max(jaccard) AS max_jaccard
          |FROM lab GROUP BY split_a, split_b
-         |ORDER BY split_a, split_b""".stripMargin
-    },
+         |ORDER BY split_a, split_b""".stripMargin,
 
+    // Deterministic split replay: same md5 thresholds, same token
+    // expression; SUM cast to BIGINT (DuckDB SUM of ints is HUGEINT).
     "split_assign" ->
       s"""WITH s AS (
          |  SELECT lang,
-         |    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || '${Queries.splitSalt}'), 1, 4)
-         |           < '${Queries.splitTrainMax}' THEN 'train'
-         |         WHEN substr(md5(CAST(doc_id AS VARCHAR) || '${Queries.splitSalt}'), 1, 4)
-         |           < '${Queries.splitValMax}' THEN 'val'
-         |         ELSE 'test' END AS split,
+         |    ${splitCaseSql("doc_id")} AS split,
          |    len($toksSql) AS n_toks
          |  FROM documents)
          |SELECT split, lang, count(*) AS n_docs,

@@ -4041,6 +4041,7 @@ object Queries {
     bpeMerges(spark, dir)
     fullSigStore(spark, dir)
     pctCdfStore(spark, dir)
+    spanDfStore(spark, dir)
     // train-once model/centroid fits (the CREATE MODEL analogues) —
     // without these the alphabetically-first consumer query is
     // charged the whole fit (r11 bench: eval_quality_pr carried the

@@ -358,23 +358,42 @@ object Dedup {
     .select(col("__id"), col("span_idx"), md5(col("span")).as("__sh"))
     .filter(col("__sh").isNotNull)
 
+  /** The family's (__id, __toks, __spans) projection — ONE definition
+    * of the tokenize+span step for the storeless remove, the store
+    * build and the store probe, so a grain change cannot break the
+    * stored≡storeless contract by touching one copy (review r17).
+    */
+  private def withSpansOf(docs: DataFrame, idCol: String, textCol: String,
+      spanTokens: Int): DataFrame =
+    docs.select(col(idCol).as("__id"), sqlToks(textCol).as("__toks"))
+      .withColumn("__spans", spanArrayOf(col("__toks"), spanTokens))
+
+  /** The per-(hash, doc) occurrence rows both removal forms feed into
+    * [[boilerplateRebuild]]: the doc's occurrence indexes (kept-set)
+    * and the row itself as one document vote (df count). Group size
+    * is the span's repeat count within ONE doc, so the collect_list
+    * buffer is bounded by a single document's span count.
+    */
+  private def spanPerDocOf(withSpans: DataFrame): DataFrame =
+    spanHashRows(withSpans)
+      .groupBy(col("__sh"), col("__id"))
+      .agg(collect_list(col("span_idx")).as("__ki0"),
+        count(lit(1)).as("__n"))
+
+  /** Like every id-keyed operator here, ids are assumed UNIQUE —
+    * nulls included (at most one null-id row): two rows sharing an id
+    * (or both id-less) would cross-apply each other's keep-sets
+    * through the rebuild join, exactly as documented on
+    * [[spanDedup]].
+    */
   def boilerplateRemove(docs: DataFrame, idCol: String, textCol: String,
       spanTokens: Int = 3, minDocs: Int = 2): DataFrame = {
     require(spanTokens >= 1, s"spanTokens must be >= 1, got $spanTokens")
     require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
-    val base = docs.select(col(idCol).as("__id"), sqlToks(textCol).as("__toks"))
-    val withSpans = base.withColumn("__spans",
-      spanArrayOf(col("__toks"), spanTokens))
-    // one pass builds BOTH what the two branches need: per-(hash,
-    // doc) the doc's occurrence indexes (for the kept-set) and the
-    // row itself as one document vote (for the df count). Group size
-    // is the span's repeat count within ONE doc, so the collect_list
-    // buffer is bounded by a single document's span count.
-    val perDoc = spanHashRows(withSpans)
-      .groupBy(col("__sh"), col("__id"))
-      .agg(collect_list(col("span_idx")).as("__ki0"),
-        count(lit(1)).as("__n"))
-      .localCheckpoint(false)
+    val withSpans = withSpansOf(docs, idCol, textCol, spanTokens)
+    // one pass builds BOTH what the two branches need (df vote +
+    // kept-set) — localCheckpointed because two branches read it
+    val perDoc = spanPerDocOf(withSpans).localCheckpoint(false)
     // count(col) skips nulls, so a null-id doc casts NO vote — the
     // SQL count(DISTINCT doc_id) semantics the DuckDB oracle replays
     // (count(lit(1)) would count the collapsed null-id group as one
@@ -487,10 +506,7 @@ object Dedup {
     require(spanTokens >= 1, s"spanTokens must be >= 1, got $spanTokens")
     requireSpanDfGeometry(store, table, spanTokens, "buildSpanDfStore",
       strict = false)
-    val base = docs.select(col(idCol).as("__id"), sqlToks(textCol).as("__toks"))
-    val withSpans = base.withColumn("__spans",
-      spanArrayOf(col("__toks"), spanTokens))
-    val df = spanHashRows(withSpans)
+    val df = spanHashRows(withSpansOf(docs, idCol, textCol, spanTokens))
       .groupBy(col("__sh"), col("__id"))
       .agg(count(lit(1)).as("__n"))
       .groupBy(col("__sh").as("span_hash"))
@@ -526,13 +542,8 @@ object Dedup {
     require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
     requireSpanDfGeometry(store, table, spanTokens,
       "boilerplateRemoveStored", strict = true)
-    val base = docs.select(col(idCol).as("__id"), sqlToks(textCol).as("__toks"))
-    val withSpans = base.withColumn("__spans",
-      spanArrayOf(col("__toks"), spanTokens))
-    val perDoc = spanHashRows(withSpans)
-      .groupBy(col("__sh"), col("__id"))
-      .agg(collect_list(col("span_idx")).as("__ki0"),
-        count(lit(1)).as("__n"))
+    val withSpans = withSpansOf(docs, idCol, textCol, spanTokens)
+    val perDoc = spanPerDocOf(withSpans)
     val boil = store.read(table)
       .filter(col("n_docs") >= minDocs)
       .select(col("span_hash").as("__sh"))

@@ -413,6 +413,7 @@ final class ParquetStore(spark: SparkSession, root: String, nBuckets: Int = 16,
     // writer landing between this read and the write is undetectable
     // without a CAS rename.)
     checkUnmoved("before staging")
+    df.write.mode(SaveMode.Overwrite).parquet(versionDir(table, v))
     // the era is permanent (review r17): retire the legacy table-level
     // _META on every overwriteWithMeta, BEFORE the flip. Era detection
     // via surviving sidecars is GC-defeatable — cleanOld drops
@@ -427,7 +428,11 @@ final class ParquetStore(spark: SparkSession, root: String, nBuckets: Int = 16,
     // _META_v sidecar preserves the pair across every crash point:
     // after the flip it is superseded and GC'd on the normal grace
     // schedule, before the flip it serves exactly what the legacy
-    // fallback served.
+    // fallback served. Placed AFTER the (long, failure-prone) data
+    // write (review r17, third pass): a df whose computation throws
+    // must leave the table OUT of the sidecar era entirely — the
+    // promote-first ordering era-locked putMeta on a refresh that
+    // never staged any data.
     val legacy = metaPath(table)
     if (fs.exists(legacy)) {
       v0.foreach { cur =>
@@ -439,7 +444,6 @@ final class ParquetStore(spark: SparkSession, root: String, nBuckets: Int = 16,
       }
       fs.delete(legacy, false)
     }
-    df.write.mode(SaveMode.Overwrite).parquet(versionDir(table, v))
     atomicWrite(metaVPath(table, v), renderMeta(props))
     checkUnmoved("before the pointer flip")
     commit(table, v, Map(-1 -> v), tableBuckets(table), prev)

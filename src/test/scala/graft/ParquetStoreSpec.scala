@@ -296,4 +296,27 @@ class ParquetStoreSpec extends AnyFunSuite {
     assert(store.getMeta("t") == Map("label" -> "legacy"),
       "pre-flip crash must leave the live snapshot's provenance readable")
   }
+
+  test("a FAILED overwriteWithMeta leaves a legacy table out of the " +
+      "sidecar era entirely (review r17, third pass)") {
+    val store = new ParquetStore(spark, TestSpark.tempDir("graft_ps_fail_"))
+    store.overwrite("t", rows(1 to 5, "v1"))
+    store.putMeta("t", Map("label" -> "legacy"))
+    // a refresh whose df THROWS during the data write must not have
+    // promoted/deleted anything: the retire step runs after the write
+    val boom = org.apache.spark.sql.functions.udf((x: Long) => {
+      if (x >= 0) throw new RuntimeException("boom"); x
+    })
+    import org.apache.spark.sql.functions.col
+    val bad = spark.range(3).select(boom(col("id")).as("k"), col("id").as("v"))
+    intercept[Throwable] {
+      store.overwriteWithMeta("t", bad, Map("label" -> "snap2"))
+    }
+    assert(store.getMeta("t") == Map("label" -> "legacy"),
+      "failed refresh must leave the legacy label serving")
+    // and crucially putMeta is NOT era-locked: no sidecar was written
+    store.putMeta("t", Map("label" -> "legacy2"))
+    assert(store.getMeta("t") == Map("label" -> "legacy2"))
+    assert(store.read("t").count() == 5, "old snapshot still serves")
+  }
 }
