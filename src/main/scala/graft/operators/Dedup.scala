@@ -469,7 +469,7 @@ object Dedup {
     */
   private val MetaSpanTokens = "span_df.span_tokens"
 
-  private def requireSpanDfGeometry(store: graft.sources.ParquetStore,
+  private[graft] def requireSpanDfGeometry(store: graft.sources.ParquetStore,
       table: String, spanTokens: Int, caller: String,
       strict: Boolean): Unit = {
     if (!strict && !store.exists(table)) return

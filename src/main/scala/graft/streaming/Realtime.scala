@@ -160,6 +160,53 @@ object Realtime {
       .start()
   }
 
+  /** Streaming BOILERPLATE cleaning — the store-backed
+    * [[graft.operators.Dedup.boilerplateRemoveStored]] applied per
+    * micro-batch: each delivery's documents are cleaned against the
+    * FROZEN span-df store (built on calibration cadence by
+    * [[graft.operators.Dedup.buildSpanDfStore]]) and the cleaned rows
+    * MERGE into `outTable` keyed by doc id. Replay-safe by
+    * construction: clean_text is a pure function of (row, store,
+    * spanTokens, minDocs) — the store never changes under the stream
+    * — so an at-least-once redelivery MERGEs byte-identical rows (a
+    * no-op), the CurriculumExport purity argument. The span grain is
+    * require-matched against the store's `_META` at stream START
+    * (cheap-config-checks-first: a drifted store must fail the start,
+    * not wedge every checkpoint restart inside the first
+    * micro-batch) and again by every probe.
+    *
+    * Ordering note: this is the standalone cleaning stream (C4 cleans
+    * then dedups); composing it INTO [[streamIngestPipeline]] would
+    * change every gate's input text and is deliberately left to a
+    * pipeline that re-oracles that composition.
+    */
+  def streamBoilerplateClean(store: graft.sources.ParquetStore,
+      outTable: String, dfTable: String, docs: DataFrame, idCol: String,
+      textCol: String, checkpointDir: String, spanTokens: Int = 3,
+      minDocs: Int = 2,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    graft.operators.Dedup.requireSpanDfGeometry(store, dfTable, spanTokens,
+      "streamBoilerplateClean", strict = true)
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // persisted: the probe's rebuild join reads the batch twice
+        // (occurrence rows + doc side), and merge adds its own
+        // touched-bucket actions
+        val b = batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          if (!b.isEmpty) {
+            val cleaned = graft.operators.Dedup.boilerplateRemoveStored(
+              store, dfTable, b, idCol, textCol, spanTokens, minDocs)
+            store.merge(outTable, cleaned, idCol)
+          }
+        } finally b.unpersist()
+      }
+      .start()
+  }
+
   /** Streaming form of the FULL ingestion chain (the batch
     * `pipeline_ingest` stages, in the same cost order): each
     * micro-batch runs exact dedup against the accumulated store and

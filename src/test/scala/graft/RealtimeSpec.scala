@@ -1002,6 +1002,64 @@ class RealtimeSpec extends AnyFunSuite {
       s"all-gates funnel must equal the batch twin's stage counts: $a")
   }
 
+  test("streaming boilerplate clean equals the batch stored probe; replay no-op; " +
+      "grain drift fails the START") {
+    import graft.operators.Dedup
+    val store = new graft.sources.ParquetStore(
+      spark, TestSpark.tempDir("graft_sbc_wh_"))
+    // calibration corpus: "alpha beta gamma" everywhere (boilerplate
+    // at minDocs=3), per-doc unique tails
+    import spark.implicits._
+    val corpus = (0L until 40L)
+      .map(id => (id, s"alpha beta gamma unique tail $id"))
+      .toDF("doc_id", "text")
+    Dedup.buildSpanDfStore(store, "span_df", corpus, "doc_id", "text", 3)
+    val srcDir = TestSpark.tempDir("graft_sbc_src_")
+    def delivery(rows: Seq[(Long, String)]): Unit =
+      rows.toDF("doc_id", "text").coalesce(1)
+        .write.mode("append").parquet(srcDir)
+    def stream = spark.readStream
+      .schema("doc_id LONG, text STRING").parquet(srcDir)
+    val d1 = Seq((100L, "alpha beta gamma fresh content one"),
+      (101L, "no boiler here at all"))
+    val d2 = Seq((102L, "alpha beta gamma fresh content two"))
+    delivery(d1)
+    val cp = TestSpark.tempDir("graft_sbc_cp_")
+    assert(Realtime.streamBoilerplateClean(store, "clean", "span_df",
+        stream, "doc_id", "text", cp, 3, 3)
+      .awaitTermination(120000), "stream did not finish in time")
+    delivery(d2)
+    assert(Realtime.streamBoilerplateClean(store, "clean", "span_df",
+        stream, "doc_id", "text", cp, 3, 3)
+      .awaitTermination(120000), "second pass did not finish in time")
+    def snap(t: String) = store.read(t).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("clean_text"),
+        r.getAs[Long]("n_kept"), r.getAs[Long]("n_removed"))).toSet
+    // streaming ≡ the batch stored probe over the union of deliveries
+    val batch = Dedup.boilerplateRemoveStored(store, "span_df",
+        (d1 ++ d2).toDF("doc_id", "text"), "doc_id", "text", 3, 3)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("clean_text"),
+        r.getAs[Long]("n_kept"), r.getAs[Long]("n_removed"))).toSet
+    val streamed = snap("clean")
+    assert(streamed == batch,
+      s"streamed clean table must equal the batch probe: $streamed vs $batch")
+    // the store-frequent prefix dropped, fresh content survived
+    assert(streamed.exists(_._2 == "fresh content one"))
+    // full redelivery (fresh checkpoint) MERGEs byte-identical rows
+    val cp2 = TestSpark.tempDir("graft_sbc_cp2_")
+    assert(Realtime.streamBoilerplateClean(store, "clean", "span_df",
+        stream, "doc_id", "text", cp2, 3, 3)
+      .awaitTermination(120000), "replay did not finish in time")
+    assert(snap("clean") == streamed, "redelivery must be a MERGE no-op")
+    // drifted span grain fails the START, not the first micro-batch
+    intercept[IllegalArgumentException] {
+      Realtime.streamBoilerplateClean(store, "clean", "span_df",
+        stream, "doc_id", "text", TestSpark.tempDir("graft_sbc_cp3_"),
+        spanTokens = 5, minDocs = 3)
+    }
+  }
+
   test("streaming curriculum export: staged increments, export order equals batch (r16)") {
     import graft.operators.{Dedup, Export, QualityCal}
     import graft.functions.GraftFunctions
