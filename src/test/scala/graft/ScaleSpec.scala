@@ -556,6 +556,50 @@ class ScaleSpec extends AnyFunSuite {
         "not delta size")
   }
 
+  /** One fixed-batch run of the store-backed boilerplate probe: the
+    * span-df store builds over the rung's FULL corpus (the CREATE
+    * INDEX analogue, excluded from timing), the probe cleans the same
+    * 50-doc batch on every rung — only the store (and hence the
+    * boilerplate hash set) grows with the corpus.
+    */
+  private def storedBoilerplateFixedBatchRun(dir: String): Double = {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val mem = docs.filter(col("doc_id") >= 450 && col("doc_id") < 500)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .collect().toSeq.toDF("doc_id", "text")
+    val root = TestSpark.tempDir("graft_spandf_rung_")
+    val store = new graft.sources.ParquetStore(spark, root)
+    graft.operators.Dedup.buildSpanDfStore(store, "span_df",
+      docs, "doc_id", "text", spanTokens = 3)
+    val q = graft.operators.Dedup.boilerplateRemoveStored(store, "span_df",
+      mem, "doc_id", "text", spanTokens = 3, minDocs = 3)
+    assert(!q.queryExecution.executedPlan.toString.contains("documents.parquet"),
+      "store-backed boilerplate probe must not scan the corpus text")
+    val t0 = System.nanoTime()
+    q.write.format("noop").mode("overwrite").save()
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  test("store-backed boilerplate: fixed batch, 10x corpus — probe cost " +
+      "tracks the batch, not the corpus", ScaleTest) {
+    // the production cleaning path: a snapshot's cost is the batch's
+    // own explode + an anti-join against the (df-bounded) boilerplate
+    // hash set + the batch-sized rebuild — the corpus appears only
+    // through the store, which the probe reads narrow (span_hash,
+    // n_docs). A 10x corpus therefore may grow the boil set but must
+    // not grow the probe's wall anywhere near linearly.
+    measured // force dirs
+    def run(dir: String): Double = storedBoilerplateFixedBatchRun(dir)
+    run(dirs("salted1")); val t1 = run(dirs("salted1"))
+    run(dirs("salted10")); val t10 = run(dirs("salted10"))
+    info(f"stored boilerplate fixed-batch 1x=$t1%.2fs 10x=$t10%.2fs ratio=${t10 / math.max(t1, 1e-9)}%.1fx")
+    assert(t10 < 10.0 * math.max(t1, 0.5),
+      f"stored boilerplate: fixed-batch probe took $t10%.2fs at 10x corpus " +
+        f"vs $t1%.2fs at 1x — the probe's cost is tracking corpus size, " +
+        "not batch size")
+  }
+
   /** One fixed-delta run of the FULL decontamination ladder against a
     * salted rung's corpus: the salted replicas (ids >= maxBase) join
     * the replica-0 head as CORPUS, while the batch and benchmark
