@@ -542,12 +542,32 @@ object Dedup {
     require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
     requireSpanDfGeometry(store, table, spanTokens,
       "boilerplateRemoveStored", strict = true)
-    val withSpans = withSpansOf(docs, idCol, textCol, spanTokens)
-    val perDoc = spanPerDocOf(withSpans)
-    val boil = store.read(table)
+    boilerplateRemoveAgainst(boilerplateHashes(store, table, minDocs),
+      docs, idCol, textCol, spanTokens)
+  }
+
+  /** The stored probe's boilerplate hash set — exposed separately so
+    * an always-on STREAM can load and persist it once for the
+    * query's lifetime instead of re-reading the store every
+    * micro-batch (review r17; the streamIngestPipeline frozen-frame
+    * convention — legitimate because the store is frozen under the
+    * stream by the replay-safety contract).
+    */
+  private[graft] def boilerplateHashes(store: graft.sources.ParquetStore,
+      table: String, minDocs: Int): DataFrame =
+    store.read(table)
       .filter(col("n_docs") >= minDocs)
       .select(col("span_hash").as("__sh"))
-    boilerplateRebuild(withSpans, perDoc, boil, idCol)
+
+  /** The stored probe against an already-loaded boilerplate hash set
+    * (one column `__sh`) — the per-micro-batch core of
+    * [[boilerplateRemoveStored]] and the streaming form.
+    */
+  private[graft] def boilerplateRemoveAgainst(boil: DataFrame,
+      docs: DataFrame, idCol: String, textCol: String,
+      spanTokens: Int): DataFrame = {
+    val withSpans = withSpansOf(docs, idCol, textCol, spanTokens)
+    boilerplateRebuild(withSpans, spanPerDocOf(withSpans), boil, idCol)
   }
 
   /** Lee et al. 2021 ("Deduplicating Training Data Makes Language

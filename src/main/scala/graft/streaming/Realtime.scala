@@ -185,26 +185,43 @@ object Realtime {
       textCol: String, checkpointDir: String, spanTokens: Int = 3,
       minDocs: Int = 2,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    // EVERY config check before start (review r17): a bad knob or a
+    // misspelled column must fail .start(), not the first micro-batch
+    // — which would wedge every checkpoint restart on the same throw
+    require(spanTokens >= 1, s"spanTokens must be >= 1, got $spanTokens")
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    Seq(idCol, textCol).foreach(c => require(docs.columns.contains(c),
+      s"streamBoilerplateClean: stream schema has no column '$c' " +
+        s"(columns: ${docs.columns.mkString(", ")})"))
     graft.operators.Dedup.requireSpanDfGeometry(store, dfTable, spanTokens,
       "streamBoilerplateClean", strict = true)
-    docs.writeStream
-      .outputMode("append")
-      .option("checkpointLocation", checkpointDir)
-      .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        // persisted: the probe's rebuild join reads the batch twice
-        // (occurrence rows + doc side), and merge adds its own
-        // touched-bucket actions
-        val b = batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        try {
-          if (!b.isEmpty) {
-            val cleaned = graft.operators.Dedup.boilerplateRemoveStored(
-              store, dfTable, b, idCol, textCol, spanTokens, minDocs)
-            store.merge(outTable, cleaned, idCol)
-          }
-        } finally b.unpersist()
-      }
-      .start()
+    // the boilerplate hash set is FROZEN under the stream (the
+    // replay-safety contract), so load it once for the query's
+    // lifetime instead of re-reading the store per micro-batch; the
+    // startReleasing listener unpersists it at termination
+    val boil = graft.operators.Dedup
+      .boilerplateHashes(store, dfTable, minDocs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    startReleasing(docs.sparkSession, Seq(boil)) {
+      docs.writeStream
+        .outputMode("append")
+        .option("checkpointLocation", checkpointDir)
+        .trigger(trigger)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          // persisted: the probe's rebuild join reads the batch twice
+          // (occurrence rows + doc side), and merge adds its own
+          // touched-bucket actions
+          val b = batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          try {
+            if (!b.isEmpty) {
+              val cleaned = graft.operators.Dedup.boilerplateRemoveAgainst(
+                boil, b, idCol, textCol, spanTokens)
+              store.merge(outTable, cleaned, idCol)
+            }
+          } finally b.unpersist()
+        }
+        .start()
+    }
   }
 
   /** Streaming form of the FULL ingestion chain (the batch

@@ -1058,6 +1058,17 @@ class RealtimeSpec extends AnyFunSuite {
         stream, "doc_id", "text", TestSpark.tempDir("graft_sbc_cp3_"),
         spanTokens = 5, minDocs = 3)
     }
+    // so do a misspelled column and a bad threshold (review r17: the
+    // cheap-config-checks-first contract covers EVERY knob)
+    intercept[IllegalArgumentException] {
+      Realtime.streamBoilerplateClean(store, "clean", "span_df",
+        stream, "doc_id", "body", TestSpark.tempDir("graft_sbc_cp4_"), 3, 3)
+    }
+    intercept[IllegalArgumentException] {
+      Realtime.streamBoilerplateClean(store, "clean", "span_df",
+        stream, "doc_id", "text", TestSpark.tempDir("graft_sbc_cp5_"),
+        3, minDocs = 1)
+    }
   }
 
   test("streaming curriculum export: staged increments, export order equals batch (r16)") {

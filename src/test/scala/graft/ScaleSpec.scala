@@ -600,6 +600,26 @@ class ScaleSpec extends AnyFunSuite {
         "not batch size")
   }
 
+  test("store-backed boilerplate: fixed batch, 100x corpus — wall stays ~flat",
+      ScaleTest) {
+    // the decade that makes the 10x bound meaningful (review r17): at
+    // 10x a linear-in-corpus regression (~10x wall) still slips under
+    // the floored bound; at 100x linear is ~100x and the same 10x
+    // bound catches it decisively — the near-dup family's convention.
+    measured // force dirs (salted1 exists)
+    val salted100 = TestSpark.tempDir("graft_scale_bsalt100_")
+    writeSalted(100, salted100)
+    storedBoilerplateFixedBatchRun(dirs("salted1"))
+    val t1 = storedBoilerplateFixedBatchRun(dirs("salted1"))
+    storedBoilerplateFixedBatchRun(salted100)
+    val t100 = storedBoilerplateFixedBatchRun(salted100)
+    info(f"stored boilerplate fixed-batch 1x=$t1%.2fs 100x=$t100%.2fs ratio=${t100 / math.max(t1, 1e-9)}%.1fx")
+    assert(t100 < 10.0 * math.max(t1, 0.5),
+      f"stored boilerplate: fixed-batch probe took $t100%.2fs at 100x corpus " +
+        f"vs $t1%.2fs at 1x — the probe's cost is tracking corpus size, " +
+        "not batch size")
+  }
+
   /** One fixed-delta run of the FULL decontamination ladder against a
     * salted rung's corpus: the salted replicas (ids >= maxBase) join
     * the replica-0 head as CORPUS, while the batch and benchmark
