@@ -107,6 +107,40 @@ object Bench {
     }
   }
 
+  /** Window-contamination detector (r18, the r17 verdict's #4): the
+    * per-query regression tiebreak cannot see a bad window that
+    * OUTLASTS all attempts of consecutive queries — r17's official
+    * run recorded 8 false regressions (s1–s8 plus sample_percentile
+    * at 6.2x committed) because one ~60 s load window covered every
+    * attempt of a contiguous alphabetical block, while a judge
+    * re-measure on identical code sat at 1.0x. The cross-query
+    * signature IS the evidence: independent queries don't all regress
+    * >2x in one contiguous block by coincidence. Rule: among the
+    * queries that HAVE a committed baseline (no-baseline entries are
+    * unjudgeable and simply don't participate), any maximal run of
+    * >= k consecutive (execution order) ok queries each measuring
+    * > factor x committed is a contaminated block; the bench re-runs
+    * those queries ONCE at the end (in a presumably cleaner window)
+    * and keeps the min. A GENUINE regression touching one or two
+    * queries never forms a k-block and is untouched; a genuine
+    * k-query regression stays slow on the re-run and the record
+    * stands.
+    */
+  private[graft] def contaminatedRuns(order: Seq[String],
+      times: Map[String, Double], baseline: Map[String, Double],
+      factor: Double = 2.0, k: Int = 3): Set[String] = {
+    val judged = order.filter(n => baseline.get(n).exists(_ > 0)
+      && times.contains(n))
+    val over = judged.map(n => n -> (times(n) > factor * baseline(n)))
+    // maximal runs of consecutive over-factor queries, length >= k
+    val out = scala.collection.mutable.Set[String]()
+    var run = List.empty[String]
+    def flush(): Unit = { if (run.size >= k) out ++= run; run = Nil }
+    over.foreach { case (n, bad) => if (bad) run ::= n else flush() }
+    flush()
+    out.toSet
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -138,7 +172,8 @@ object Bench {
     }
     case class QRun(name: String, sec: Double, ok: Boolean,
                     startEpochSec: Long, load1m: Double,
-                    attempts: Seq[Double], retry: String)
+                    attempts: Seq[Double], retry: String,
+                    windowRerun: Boolean = false)
     val baseline = baselineTimes(sfDir)
     // Self-consistency guard (r16): a registry query with no entry in
     // the committed record silently runs without the regression
@@ -161,7 +196,7 @@ object Bench {
     // stay in the diag, and SPARK_GRAFT_BENCH_RUNS=1 restores the
     // single-shot mode.
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt.max(1)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val firstPass = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val startedAt = System.currentTimeMillis() / 1000
       val load = loadAvg1m()
       def attempt(): (Double, Boolean) = {
@@ -214,6 +249,38 @@ object Bench {
           .getOrElse(first._1),
         okAll, startedAt, load, all.map(_._1), retry)
     }
+    // Window-contamination pass (see [[contaminatedRuns]]): a block of
+    // >= 3 consecutive baselined ok queries all over 2x committed is
+    // the cross-query contamination signature the per-query tiebreak
+    // cannot see; re-run each once now — the whole bench has elapsed
+    // since the block, so this measures a different window — and keep
+    // the min. Status never downgrades (the rerun is diagnostic, like
+    // the tiebreak attempt); the diag records `window_rerun` per query.
+    val contaminated = contaminatedRuns(
+      firstPass.map(_.name),
+      firstPass.filter(_.ok).map(r => r.name -> r.sec).toMap,
+      baseline)
+    if (contaminated.nonEmpty)
+      System.err.println(s"[bench] window-contamination suspected for " +
+        s"${contaminated.size} queries, re-running: " +
+        contaminated.toSeq.sorted.mkString(", "))
+    val results = firstPass.map { r =>
+      if (!contaminated(r.name)) r
+      else {
+        val t0 = System.nanoTime()
+        val ok =
+          try { SparkEntry.queries(r.name)(spark, sfDir)
+            .write.format("noop").mode("overwrite").save(); true }
+          catch { case e: Throwable =>
+            System.err.println(
+              s"[bench] window rerun ${r.name} failed: ${e.getMessage}")
+            false
+          }
+        val t = (System.nanoTime() - t0) / 1e9
+        r.copy(sec = if (ok) r.sec min t else r.sec,
+          attempts = r.attempts :+ t, windowRerun = true)
+      }
+    }
     def jmap(f: QRun => String): String =
       results.map(r => "\"" + r.name + "\":" + f(r)).mkString("{", ",", "}")
     val qs = jmap(r => f"${r.sec}%.3f")
@@ -253,9 +320,10 @@ object Bench {
     val attempts = jmap(r =>
       r.attempts.map(a => f"$a%.3f").mkString("[", ",", "]"))
     val retries = jmap(r => "\"" + r.retry + "\"")
+    val windowReruns = jmap(r => if (r.windowRerun) "true" else "false")
     val noBaselineJson =
       noBaseline.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val diag = f"""{"diag":"bench","status":$status,"ts":$ts,"load":$load,"attempts":$attempts,"retry":$retries,"baseline_n":${baseline.size},"no_baseline":$noBaselineJson}"""
+    val diag = f"""{"diag":"bench","status":$status,"ts":$ts,"load":$load,"attempts":$attempts,"retry":$retries,"window_rerun":$windowReruns,"baseline_n":${baseline.size},"no_baseline":$noBaselineJson}"""
     System.err.println(diag)
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_FULL.json"),

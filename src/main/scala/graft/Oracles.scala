@@ -495,8 +495,9 @@ object Oracles {
       "JOIN final f ON f.doc_id = d.doc_id)"
 
   private def ingestChain(decontam: Boolean, semantic: Boolean = false,
-      percentile: Boolean = false): String = {
+      percentile: Boolean = false, boil: Boolean = false): String = {
     require(!semantic || decontam, "the ladder adds to the decontam chain")
+    require(!boil || decontam, "the boil stage composes on the decontam chain")
     val rows = Queries.minHashNumHashes / Queries.minHashBands
     val terms = Queries.blocklistTerms.map(s => s"'$s'").mkString("[", ", ", "]")
     val batchPred =
@@ -532,13 +533,82 @@ object Oracles {
            |  SELECT doc_id FROM bl2 WHERE doc_id NOT IN (SELECT id FROM semhit)),
            |""".stripMargin
     val gate = if (semantic) "bl3" else "bl2"
-    // the percentile-gate stage (when on) sits between blocklist and
-    // decontamination: the quality_percentile CDF replay gates the
-    // blocklist survivors at ingestGatePct, and the later stages read
-    // `blp` instead of `bl`
-    val gateIn = if (percentile) "blp" else "bl"
+    // the boil stage (when on) sits between blocklist and the
+    // percentile gate: the dedup_boilerplate_stored replay (full-
+    // corpus span df, batch-slice rebuild) drops all-boilerplate docs
+    // and hands the CLEANED text to every later stage — the quality
+    // gate scores it, the decontam/near-dup stages read its
+    // signatures from the minhash_boil_aux dump
+    val pctIn = if (boil) "blb" else "bl"
+    val boilTextCtes =
+      if (!boil) ""
+      else {
+        val st = Queries.spanDedupTokens
+        s"""btoks AS (SELECT doc_id, $toksSql AS toks FROM documents),
+           |bspansx AS (
+           |  SELECT doc_id, toks,
+           |    unnest(range(CAST(ceil(len(toks) / $st.0) AS BIGINT))) AS span_idx
+           |  FROM btoks),
+           |bspans AS (
+           |  SELECT doc_id, span_idx,
+           |    array_to_string(list_slice(toks,
+           |      span_idx * $st + 1, span_idx * $st + $st), ' ') AS span
+           |  FROM bspansx),
+           |boilset AS (
+           |  SELECT span FROM bspans GROUP BY span
+           |  HAVING count(DISTINCT doc_id) >= ${Queries.boilerplateMinDocs}),
+           |cleaned AS (
+           |  SELECT sp.doc_id,
+           |    coalesce(string_agg(CASE WHEN bo.span IS NULL THEN sp.span END,
+           |      ' ' ORDER BY sp.span_idx), '') AS clean_text,
+           |    count(CASE WHEN bo.span IS NULL THEN 1 END) AS n_kept
+           |  FROM bspans sp LEFT JOIN boilset bo USING (span)
+           |  WHERE $batchPred
+           |  GROUP BY sp.doc_id),
+           |blb AS (
+           |  SELECT bl.doc_id FROM bl JOIN cleaned USING (doc_id)
+           |  WHERE n_kept > 0),
+           |""".stripMargin
+      }
+    // the percentile-gate stage (when on) sits between the boil stage
+    // (or blocklist) and decontamination: the quality_percentile CDF
+    // replay gates the survivors at ingestGatePct, and the later
+    // stages read `blp` instead of `bl`. With boil on, the gate
+    // scores the CLEANED text by RANGE lookup against the raw-corpus
+    // CDF cells (QualityCal.withPercentile semantics: max cell pct
+    // over cells with quality <= the doc's; known lang with no cell
+    // below -> 0.0; unknown lang -> NULL, which fails the gate) — a
+    // cleaned quality is generally not a raw histogram cell, so the
+    // cume_dist equi-form would silently drop docs.
+    val gateIn = if (percentile) "blp" else pctIn
     val pctCtes =
       if (!percentile) ""
+      else if (boil)
+        s"""pq AS (${qualitySql("documents")}),
+           |cellsrc AS (
+           |  SELECT d.lang, pq.quality, count(*) AS cnt
+           |  FROM documents d JOIN pq USING (doc_id)
+           |  GROUP BY d.lang, pq.quality),
+           |cells AS (
+           |  SELECT lang, quality,
+           |    round(CAST(sum(cnt) OVER (
+           |      PARTITION BY lang ORDER BY quality) AS DOUBLE)
+           |      / sum(cnt) OVER (PARTITION BY lang), 6) AS pct
+           |  FROM cellsrc),
+           |docsb AS (SELECT doc_id, clean_text AS text FROM cleaned),
+           |bq0 AS (${qualitySql("docsb")}),
+           |bq AS (
+           |  SELECT b0.doc_id, d.lang, b0.quality AS q
+           |  FROM bq0 b0 JOIN documents d USING (doc_id)
+           |  JOIN blb USING (doc_id)),
+           |blp AS (
+           |  SELECT bq.doc_id FROM bq
+           |  WHERE EXISTS (SELECT 1 FROM cells c2
+           |      WHERE c2.lang IS NOT DISTINCT FROM bq.lang)
+           |    AND coalesce((SELECT max(c.pct) FROM cells c
+           |      WHERE c.lang IS NOT DISTINCT FROM bq.lang
+           |        AND c.quality <= bq.q), 0.0) >= ${Queries.ingestGatePct}),
+           |""".stripMargin
       else
         s"""pq AS (${qualitySql("documents")}),
            |pctq AS (
@@ -550,10 +620,37 @@ object Oracles {
            |  SELECT bl.doc_id FROM bl JOIN pctq USING (doc_id)
            |  WHERE pct >= ${Queries.ingestGatePct}),
            |""".stripMargin
-    val decontamCtes = pctCtes +
+    // with boil on, the BATCH side of the decontam and near-dup
+    // stages reads the CLEANED-text signatures (minhash_boil_aux);
+    // the benchmark and corpus sides keep the raw-text index, exactly
+    // as the engine probes the store
+    val bsrcK = if (boil) "keyedb" else "keyed"
+    val bsrcS = if (boil) "sbq" else "s"
+    // the near-dup `other` side is corpus (raw index) OR an earlier
+    // batch doc (cleaned) — with boil on, resolve through the union
+    // view `su` (the id ranges are disjoint, so UNION ALL is a keyed
+    // lookup, not a dedup)
+    val ndOtherS = if (boil) "su" else "s"
+    val boilSigCtes =
+      if (!boil) ""
+      else
+        s"""sbq AS (
+           |  SELECT doc_id, shingles, sig
+           |  FROM read_parquet('__AUX__/minhash_boil_aux.parquet')
+           |  WHERE len(shingles) > 0),
+           |keyedb AS (
+           |  SELECT doc_id, band,
+           |    list_slice(sig, band * $rows + 1, band * $rows + $rows) AS bkey
+           |  FROM sbq CROSS JOIN bands),
+           |su AS (
+           |  SELECT doc_id, shingles FROM s
+           |  WHERE doc_id < ${Queries.incrementalSplit}
+           |  UNION ALL SELECT doc_id, shingles FROM sbq),
+           |""".stripMargin
+    val decontamCtes = boilTextCtes + pctCtes +
       (if (!decontam) s"bl2 AS (SELECT doc_id FROM $gateIn),"
       else
-        s"""blk AS (SELECT k.* FROM keyed k JOIN $gateIn ON $gateIn.doc_id = k.doc_id),
+        s"""blk AS (SELECT k.* FROM $bsrcK k JOIN $gateIn ON $gateIn.doc_id = k.doc_id),
            |benchk AS (
            |  SELECT * FROM keyed WHERE doc_id >= ${Queries.decontamNearDupSplit}),
            |dcand AS (
@@ -561,7 +658,7 @@ object Oracles {
            |  FROM blk c JOIN benchk b2 ON c.band = b2.band AND c.bkey = b2.bkey),
            |dhit AS (
            |  SELECT DISTINCT dc.id FROM dcand dc
-           |  JOIN s sc ON sc.doc_id = dc.id
+           |  JOIN $bsrcS sc ON sc.doc_id = dc.id
            |  JOIN s sb ON sb.doc_id = dc.bench_id
            |  WHERE CAST(len(list_intersect(sc.shingles, sb.shingles)) AS DOUBLE)
            |    / len(list_distinct(sc.shingles || sb.shingles))
@@ -596,8 +693,8 @@ object Oracles {
        |  SELECT doc_id, band,
        |    list_slice(sig, band * $rows + 1, band * $rows + $rows) AS bkey
        |  FROM s CROSS JOIN bands),
-       |$decontamCtes
-       |bk AS (SELECT k.* FROM keyed k JOIN $gate ON $gate.doc_id = k.doc_id),
+       |$boilSigCtes$decontamCtes
+       |bk AS (SELECT k.* FROM $bsrcK k JOIN $gate ON $gate.doc_id = k.doc_id),
        |ek AS (SELECT * FROM keyed WHERE doc_id < ${Queries.incrementalSplit}),
        |cand AS (
        |  SELECT DISTINCT bb.doc_id AS id, ee.doc_id AS other_id
@@ -608,8 +705,8 @@ object Oracles {
        |    ON bb.band = oo.band AND bb.bkey = oo.bkey AND oo.doc_id < bb.doc_id),
        |dropped AS (
        |  SELECT DISTINCT c.id FROM cand c
-       |  JOIN s sa ON sa.doc_id = c.id
-       |  JOIN s sb ON sb.doc_id = c.other_id
+       |  JOIN $bsrcS sa ON sa.doc_id = c.id
+       |  JOIN $ndOtherS sb ON sb.doc_id = c.other_id
        |  WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
        |    / len(list_distinct(sa.shingles || sb.shingles))
        |    >= ${Queries.minHashThreshold}),
@@ -897,8 +994,14 @@ object Oracles {
        |  GROUP BY s.doc_id)
        |SELECT d.doc_id, coalesce(a.clean_text, '') AS clean_text,
        |  coalesce(a.n_kept, 0) AS n_kept, coalesce(a.n_removed, 0) AS n_removed
-       |FROM documents d LEFT JOIN agg a USING (doc_id)
+       |FROM documents d LEFT JOIN agg a ON d.doc_id IS NOT DISTINCT FROM a.doc_id
        |ORDER BY d.doc_id""".stripMargin
+  // ^ null-safe rebuild join (ADVICE r17): the engine's boilerplate
+  // rebuild is null-safe (<=>), so a null-id doc round-trips with its
+  // own cleaned text — a plain USING join would report ('', 0, 0) for
+  // it and the replay would diverge on any fixture with a null-id doc.
+  // The frequency vote itself already agrees (count(DISTINCT doc_id)
+  // skips NULLs, matching the engine's count(col)).
 
   /** Shared by dedup_incremental and its _stored twin — both must
     * return the identical answer (the store's norm_hash column is the
@@ -1319,8 +1422,16 @@ object Oracles {
          |  FROM kept GROUP BY doc_id)
          |SELECT d.doc_id, coalesce(a.clean_text, '') AS clean_text,
          |  coalesce(a.n_kept, 0) AS n_kept, coalesce(a.n_removed, 0) AS n_removed
-         |FROM documents d LEFT JOIN agg a USING (doc_id)
+         |FROM documents d LEFT JOIN agg a ON d.doc_id IS NOT DISTINCT FROM a.doc_id
          |ORDER BY d.doc_id""".stripMargin,
+    // ^ null-safe rebuild join (ADVICE r17), matching the engine's <=>
+    // round-trip. Remaining null-id caveat, documented not mirrored:
+    // the keep-first window orders by doc_id, and Spark sorts nulls
+    // FIRST where DuckDB sorts them LAST — a null-id doc SHARING a
+    // span with a real doc would win keep-first in one engine and
+    // lose it in the other. At most one null-id row is permitted by
+    // the operator's contract and the fixtures carry none; that tie
+    // order is outside the verified contract.
 
     // RefinedWeb-style boilerplate removal: same span CTEs as
     // dedup_spans, but the drop rule is distinct-doc FREQUENCY (a
@@ -1656,6 +1767,35 @@ object Oracles {
          |  UNION ALL SELECT '2p_percentile', COUNT(*) FROM blp
          |  UNION ALL SELECT '3_decontam', COUNT(*) FROM bl2
          |  UNION ALL SELECT '3s_semantic', COUNT(*) FROM bl3
+         |  UNION ALL SELECT '4_near_dedup', COUNT(*) FROM final)
+         |ORDER BY stage""".stripMargin,
+
+    // The boilerplate-composed chain (r18): the chain CTEs + the
+    // dedup_boilerplate_stored replay between blocklist and the
+    // percentile gate; every later stage reads the CLEANED text (the
+    // gate scores it by range lookup, decontam/near-dup sign it via
+    // the minhash_boil_aux dump). Terminal per-lang stats count the
+    // cleaned tokens — what would actually ship.
+    "pipeline_ingest_boil" ->
+      s"""${ingestChain(decontam = true, percentile = true, boil = true)}
+         |SELECT dd.lang, COUNT(*) AS n_docs,
+         |  CAST(SUM(len($toksSql)) AS BIGINT) AS n_tokens
+         |FROM (SELECT c.doc_id, c.clean_text AS text
+         |      FROM cleaned c JOIN final f ON f.doc_id = c.doc_id) x
+         |JOIN (SELECT doc_id, lang FROM documents) dd ON dd.doc_id = x.doc_id
+         |GROUP BY dd.lang ORDER BY dd.lang""".stripMargin,
+
+    // Six-stage funnel of the boil chain: the all-boilerplate drop
+    // (2b) counted between blocklist and the percentile gate.
+    "ingest_audit_boil" ->
+      s"""${ingestChain(decontam = true, percentile = true, boil = true)}
+         |SELECT * FROM (
+         |  SELECT '0_batch' AS stage, COUNT(*) AS n_docs FROM b
+         |  UNION ALL SELECT '1_exact_dedup', COUNT(*) FROM kept1
+         |  UNION ALL SELECT '2_blocklist', COUNT(*) FROM bl
+         |  UNION ALL SELECT '2b_boilerplate', COUNT(*) FROM blb
+         |  UNION ALL SELECT '2p_percentile', COUNT(*) FROM blp
+         |  UNION ALL SELECT '3_decontam', COUNT(*) FROM bl2
          |  UNION ALL SELECT '4_near_dedup', COUNT(*) FROM final)
          |ORDER BY stage""".stripMargin,
 
@@ -2307,6 +2447,42 @@ object Oracles {
          |SELECT detected, count(*) AS n FROM det
          |GROUP BY detected ORDER BY detected""".stripMargin
     },
+
+    // TRAINED language-ID routing (r18): dump-and-replay over the
+    // session's (lang, bk, w) coefficient + intercept tables (the
+    // quality_classifier recipe) — distinct bigram buckets (hexLen=3,
+    // LangId.train's default) → per-(doc, lang) DECIMAL(28,12) sums
+    // (order-proof, matching the engine's cast-before-sum) → argmax
+    // by (score, lang) descending; gram-less docs rout to 'und'.
+    "text_language_id_trained" ->
+      s"""$bigramsCte,
+         |feat AS (
+         |  SELECT DISTINCT doc_id, substr(md5(g), 1, 3) AS bk FROM bigrams),
+         |lw AS (SELECT lang, bk, w
+         |  FROM read_parquet('__AUX__/langid_aux_weights.parquet')),
+         |li AS (SELECT lang, icept
+         |  FROM read_parquet('__AUX__/langid_aux_icepts.parquet')),
+         |z AS (
+         |  SELECT f.doc_id, lw.lang,
+         |    SUM(CAST(lw.w AS DECIMAL(28,12))) AS zs
+         |  FROM feat f JOIN lw USING (bk)
+         |  GROUP BY f.doc_id, lw.lang),
+         |sc AS (
+         |  SELECT z.doc_id, z.lang,
+         |    z.zs + CAST(li.icept AS DECIMAL(28,12)) AS score
+         |  FROM z JOIN li USING (lang)),
+         |best AS (
+         |  SELECT doc_id, lang AS detected,
+         |    row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY score DESC, lang DESC) AS rn
+         |  FROM sc),
+         |det AS (
+         |  SELECT d.doc_id, coalesce(b.detected, 'und') AS detected
+         |  FROM documents d
+         |  LEFT JOIN (SELECT doc_id, detected FROM best WHERE rn = 1) b
+         |    USING (doc_id))
+         |SELECT detected, count(*) AS n FROM det
+         |GROUP BY detected ORDER BY detected""".stripMargin,
 
     // Rolling-hash fingerprint replayed in PURE SQL (no aux): the JVM
     // loop h = 31*h + c over "token + ' '" chars (seed

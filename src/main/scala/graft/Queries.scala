@@ -1875,13 +1875,13 @@ object Queries {
     *
     * One composed lazy plan with one internal truncation: the
     * survivors' (doc_id, lang, quality) frame — NARROW, no text — is
-    * localCheckpointed because the percentile join references its
-    * docs twice (histogram pass + join-back pass) and each reference
-    * would otherwise re-run the ladder's three banded index probes;
-    * with it the chain runs once and both passes read the
-    * materialized 3-column frame (the clusterCanonical convention,
-    * same price class as quality_percentile's documented two corpus
-    * scans). The window is the md5-bucket-bounded per-shard
+    * localCheckpointed INSIDE [[qualityPercentiledOf]] (r18; the
+    * checkpoint used to live here) because the percentile join
+    * references its docs twice (histogram pass + join-back pass) and
+    * each reference would otherwise re-run the ladder's three banded
+    * index probes; with it the chain runs once and both passes read
+    * the materialized 3-column frame (the clusterCanonical
+    * convention). The window is the md5-bucket-bounded per-shard
     * row_number — no partition outgrows ~|survivors|/nShards.
     */
   def pipelineCurriculum(spark: SparkSession, dir: String): DataFrame = {
@@ -1889,7 +1889,6 @@ object Queries {
       .filter(col("__s4"))
       .select(col("doc_id"), col("lang"),
         qualityScore(col("text")).as("quality"))
-      .localCheckpoint(false)
     operators.Export.shardOrderBy(
         qualityPercentiledOf(scored).select(col("doc_id"), col("pct")),
         "doc_id", exportNShards, exportOrderSeed, col("pct"))
@@ -2235,9 +2234,10 @@ object Queries {
     * groupBy(lang, quality) reduces the corpus to a tiny frame, the
     * running sum windows over THAT (langs × cells rows), and the
     * per-row percentile comes back via a BROADCAST join — the corpus
-    * itself never shuffles (PlanSpec locks the shape); like
-    * mix_temperature, the corpus is SCANNED twice (histogram pass +
-    * join pass), the price of keeping it off every shuffle. Identical
+    * itself never shuffles (PlanSpec locks the shape) and is SCANNED
+    * ONCE (r18: the scored narrow frame is localCheckpointed inside
+    * [[qualityPercentiledOf]], so the histogram pass and the join
+    * pass both read the materialized 3-column frame). Identical
     * semantics to cume_dist by construction: cum(cells ≤ mine) IS
     * "rows with quality ≤ mine", peers included.
     *
@@ -2326,18 +2326,26 @@ object Queries {
     * streaming calibration snapshot, so batch and stream percentiles
     * can never drift); the equi-join back is exact because every
     * scored row's quality value is by construction a histogram cell.
-    * NOTE: `scored` is referenced TWICE (histogram pass + join pass) —
-    * callers composing an expensive upstream (the ladder chain) must
-    * hand in a frame whose per-doc flags are already materialized
-    * (the localCheckpointed-id-list convention), or the upstream runs
-    * twice.
+    *
+    * `scored` is referenced TWICE (histogram pass + join pass), so it
+    * is localCheckpointed HERE (r18, the r17 verdict's #1): the frame
+    * is narrow by contract — (doc_id, lang, quality), no text — and
+    * the checkpoint makes the upstream (the corpus text scan + 2-UDF
+    * qualityScore, or the ladder chain's banded probes) run ONCE,
+    * with both passes reading the materialized 3-column RDD. The
+    * pre-r18 shape scanned and scored the corpus twice per query
+    * across quality_percentile / sample_percentile / export_curriculum
+    * — a straight 2x on the calibration family at scale (the same
+    * double-reference shape r17 removed from keep-first dedup;
+    * PlanSpec pins no-parquet-scan on quality_percentile).
     */
   private[graft] def qualityPercentiledOf(scored: DataFrame): DataFrame = {
-    val cdf = operators.QualityCal.cdfOf(scored)
+    val s = scored.localCheckpoint(false)
+    val cdf = operators.QualityCal.cdfOf(s)
       .withColumnRenamed("lang", "__cl")
       .withColumnRenamed("quality", "__cq")
-    scored.join(broadcast(cdf),
-        scored("lang") <=> cdf("__cl") && scored("quality") === cdf("__cq"))
+    s.join(broadcast(cdf),
+        s("lang") <=> cdf("__cl") && s("quality") === cdf("__cq"))
       .select(col("doc_id"), col("lang"), col("quality"), col("pct"))
   }
 
@@ -2500,6 +2508,37 @@ object Queries {
   def textLanguageId(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents")
       .select(languageId(col("text")).as("detected"))
+      .groupBy(col("detected")).agg(count(lit(1)).as("n"))
+      .orderBy(col("detected"))
+
+  private val langIdModelCache =
+    new java.util.concurrent.ConcurrentHashMap[String, operators.LangId.Model]()
+
+  /** Session-cached trained language-ID model (the qualityModel
+    * convention): one multinomial LR over hashed-bigram buckets,
+    * supervised by the corpus's stored lang labels — so the verify
+    * aux dumps the exact coefficients this session routed with.
+    */
+  private[graft] def langIdModel(spark: SparkSession, dir: String)
+      : operators.LangId.Model =
+    langIdModelCache.computeIfAbsent(cacheKey(spark, dir), { _ =>
+      operators.LangId.train(t(spark, dir, "documents"),
+        "doc_id", "text", "lang")
+    })
+
+  /** TRAINED language-ID distribution (r18 — the r17 verdict's #5):
+    * [[textLanguageId]]'s shape with the learned scorer —
+    * [[operators.LangId]] trained on the corpus's labeled rows and
+    * served RELATIONALLY (broadcast (lang, bk, w) probe, decimal
+    * per-(doc, lang) sums, total-order argmax), the heuristic entry
+    * unchanged beside it. The oracle replays routing from the dumped
+    * coefficient/intercept tables (the quality_classifier
+    * dump-and-replay recipe); TextSpec pins the SAME model flowing
+    * through withDetectedLanguage's scorer slot end-to-end.
+    */
+  def textLanguageIdTrained(spark: SparkSession, dir: String): DataFrame =
+    operators.LangId.detect(t(spark, dir, "documents"),
+        langIdModel(spark, dir), "doc_id", "text")
       .groupBy(col("detected")).agg(count(lit(1)).as("n"))
       .orderBy(col("detected"))
 
@@ -2857,10 +2896,29 @@ object Queries {
     */
   private[graft] val ingestGatePct = 0.5
   private[graft] def ingestDecontamTagged(spark: SparkSession, dir: String,
-      semantic: Boolean = false, percentile: Boolean = false): DataFrame =
+      semantic: Boolean = false, percentile: Boolean = false,
+      boil: Boolean = false): DataFrame = {
+    val docsT = t(spark, dir, "documents")
+    val batchIdPred = col("doc_id") >= incrementalSplit &&
+      col("doc_id") < decontamNearDupSplit
+    // RefinedWeb-style boilerplate stage (r18, the r17 verdict's #2):
+    // the STORE-BACKED clean of the batch slice against the
+    // calibration-cadence span-df store — computed ONCE for the whole
+    // batch (the clean is a pure per-doc function of (text, store),
+    // so chain survivors and funnel tags share it), lineage-truncated
+    // like the other flag frames because three branches reference it
+    // (the chain's text swap, the tag join, and — when the percentile
+    // gate is on — the cleaned-quality scoring).
+    val boilCleaned =
+      if (!boil) None
+      else Some(operators.Dedup.boilerplateRemoveStored(
+          spanDfStore(spark, dir), "span_df", docsT.filter(batchIdPred),
+          "doc_id", "text", spanTokens = spanDedupTokens,
+          minDocs = boilerplateMinDocs)
+        .select(col("doc_id"), col("clean_text"), col("n_kept"))
+        .localCheckpoint(false))
     ingestDecontamTaggedOn(fullSigStore(spark, dir),
-      t(spark, dir, "documents").filter(col("doc_id") >= incrementalSplit &&
-        col("doc_id") < decontamNearDupSplit),
+      docsT.filter(batchIdPred),
       corpusPred = col("id") < incrementalSplit,
       batchPred = col("id") >= incrementalSplit &&
         col("id") < decontamNearDupSplit,
@@ -2870,14 +2928,34 @@ object Queries {
         else Some(ladderSemanticFlags(spark, dir).localCheckpoint(false)),
       pctPass =
         if (!percentile) None
-        else {
+        else if (boil) {
+          // with the boilerplate stage on, the gate scores the CLEANED
+          // text — the whole point of cleaning before gating is that
+          // the cleaned text changes every downstream signal — against
+          // the CDF of the raw calibration corpus. A cleaned quality
+          // value is generally NOT a histogram cell of that corpus, so
+          // the exact-cell equi-join below would silently drop docs;
+          // the RANGE lookup (QualityCal.withPercentile — max cell ≤
+          // quality, the persisted-snapshot probe semantics) covers
+          // arbitrary values.
+          val cdf = operators.QualityCal.cdfOf(docsT
+            .select(col("lang"), qualityScore(col("text")).as("quality")))
+          val cleanedScored = docsT.filter(batchIdPred)
+            .select(col("doc_id"), col("lang"))
+            .join(boilCleaned.get.filter(col("n_kept") > 0), Seq("doc_id"))
+            .select(col("doc_id"), col("lang"),
+              qualityScore(col("clean_text")).as("quality"))
+          Some(operators.QualityCal.withPercentile(cleanedScored, cdf,
+              "lang", col("quality"))
+            .filter(col("pct") >= ingestGatePct).select(col("doc_id"))
+            .localCheckpoint(false))
+        } else {
           // the CDF histograms the FULL corpus (the calibration
           // distribution) but the join-back pass covers ONLY the batch
           // slice — the gate needs percentiles for batch rows alone,
           // and qualityPercentiled's corpus-wide join pass would scan
           // the whole corpus a second time for values it throws away
           // (at 100 TB: a delta-sized scan instead of a corpus scan)
-          val docsT = t(spark, dir, "documents")
           val cdf = operators.QualityCal.cdfOf(docsT
               .select(col("lang"), qualityScore(col("text")).as("quality")))
             .withColumnRenamed("lang", "__cl")
@@ -2892,21 +2970,39 @@ object Queries {
                 batchScored("quality") === cdf("__cq"))
             .filter(col("pct") >= ingestGatePct).select(col("doc_id"))
             .localCheckpoint(false))
-        })
+        },
+      boilCleaned = boilCleaned)
+  }
 
   /** [[ingestDecontamTagged]]'s core over caller-supplied split views
     * of a signature store — parameterized so ScaleSpec's 100×-corpus
     * rung can drive the SAME composed chain with the rung's own
     * corpus/batch/benchmark predicates (the production entry above
-    * fixes them to the sf constants). `semFlagged` and `pctPass`,
-    * when present, must already be lineage-truncated (the wrapper
-    * localCheckpoints them) — each is referenced by two branches.
+    * fixes them to the sf constants). `semFlagged`, `pctPass` and
+    * `boilCleaned`, when present, must already be lineage-truncated
+    * (the wrapper localCheckpoints them) — each is referenced by two
+    * or more branches.
+    *
+    * `boilCleaned` (r18) is the store-backed boilerplate clean of the
+    * whole batch — (doc_id, clean_text, n_kept) — slotted between the
+    * blocklist and the percentile gate (the RefinedWeb order: clean
+    * BEFORE quality/decontam/dedup, because the cleaned text changes
+    * every downstream signal): docs whose every span was boilerplate
+    * (n_kept = 0) drop at the stage, survivors' TEXT is swapped for
+    * the cleaned form, so the percentile gate scores it, the shingle
+    * decontamination gate signs it, and the near-dup stage shingles
+    * it. The decontamination stage switches from the store-vs-store
+    * probe to [[graft.operators.Dedup.contaminatedBatchNearDup]]
+    * (batch signatures from the CLEANED text vs the store's benchmark
+    * slice) for exactly that reason — the store's raw-text batch
+    * signatures no longer describe what would ship.
     */
   private[graft] def ingestDecontamTaggedOn(
       store: graft.sources.ParquetStore, batch: DataFrame,
       corpusPred: Column, batchPred: Column, benchPred: Column,
       semFlagged: Option[DataFrame],
-      pctPass: Option[DataFrame] = None): DataFrame = {
+      pctPass: Option[DataFrame] = None,
+      boilCleaned: Option[DataFrame] = None): DataFrame = {
     // checkpointed like `contaminated` below: the exact-stage id list
     // is tiny but its bloom-gated index probe is referenced both by
     // the chain (through b2d inside the near-dup stage) and the tag
@@ -2917,9 +3013,17 @@ object Queries {
       .localCheckpoint(false)
     val b1 = batch.join(kept1, Seq("doc_id"), "left_semi")
     val b2 = b1.filter(blocklistClean(col("text"), blocklistTerms))
+    // boilerplate stage (r18): swap the survivors' text for the
+    // store-cleaned form and drop all-boilerplate docs — the inner
+    // join applies both at once
+    val b2b = boilCleaned.fold(b2)(c =>
+      b2.drop("text").join(
+        c.filter(col("n_kept") > 0)
+          .select(col("doc_id"), col("clean_text").as("text")),
+        Seq("doc_id")))
     // percentile-gate stage (per-doc pass set like the other flag
     // sets, so one semi-join applies it)
-    val b2g = pctPass.fold(b2)(p => b2.join(p, Seq("doc_id"), "left_semi"))
+    val b2g = pctPass.fold(b2b)(p => b2b.join(p, Seq("doc_id"), "left_semi"))
     // localCheckpoint (lazy), not persist: the flag set is a handful
     // of ids but its subtree is a full banded index probe, and THREE
     // plan branches reference it (the anti-join, the near-dup stage's
@@ -2927,9 +3031,21 @@ object Queries {
     // each branch re-runs the probe; with it the probe runs once and
     // the branches share the materialized id list (the
     // clusterCanonical convention)
-    val contaminated = Dedup.contaminatedDocsNearDupStored(store, "sigs",
-        batchPred, benchPred, threshold = minHashThreshold)
-      .select(col("id").as("doc_id"))
+    val contaminated = boilCleaned.fold(
+        Dedup.contaminatedDocsNearDupStored(store, "sigs",
+          batchPred, benchPred, threshold = minHashThreshold)
+          .select(col("id").as("doc_id")))(c =>
+        // boil: the gate signs the CLEANED batch text against the
+        // store's benchmark slice — what would actually ship is what
+        // gets checked for leakage (the stream's contaminatedBatch
+        // NearDup shape, so stream and batch compose identically)
+        Dedup.contaminatedBatchNearDup(store, "sigs",
+            c.filter(col("n_kept") > 0)
+              .select(col("doc_id"), col("clean_text").as("text")),
+            "doc_id", "text", shingleN = minHashShingleN,
+            numHashes = minHashNumHashes, bands = minHashBands,
+            threshold = minHashThreshold, benchPred = Some(benchPred))
+          .select(col("id").as("doc_id")))
       .localCheckpoint(false)
     val b2d = b2g.join(contaminated, Seq("doc_id"), "left_anti")
     // the semantic rung's flag set (checkpointed by the caller for the
@@ -2948,18 +3064,28 @@ object Queries {
       tagged0.join(f.withColumn("__ms", lit(true)), Seq("doc_id"), "left"))
     val taggedP = pctPass.fold(tagged1)(p =>
       tagged1.join(p.withColumn("__mp", lit(true)), Seq("doc_id"), "left"))
-    val tagged2a = taggedP
+    // boil: carry the cleaned text (`__ct`, what a survivor actually
+    // ships) and the survived-cleaning mark onto the tagged frame
+    val taggedB = boilCleaned.fold(taggedP)(c =>
+      taggedP.join(c.select(col("doc_id"), col("clean_text").as("__ct"),
+        (col("n_kept") > 0).as("__mb")), Seq("doc_id"), "left"))
+    val tagged2a = taggedB
       .join(kept2.withColumn("__m4", lit(true)), Seq("doc_id"), "left")
       .withColumn("__s1", coalesce(col("__m1"), lit(false)))
       .withColumn("__s2", col("__s1") && blocklistClean(col("text"), blocklistTerms))
+    // boil stage tag: survivors of the blocklist whose cleaned text
+    // kept at least one span; later stages compose on it
+    val taggedBoil = boilCleaned.fold(tagged2a)(_ =>
+      tagged2a.withColumn("__s2b", col("__s2") && coalesce(col("__mb"), lit(false))))
+    val preGate = if (boilCleaned.isEmpty) col("__s2") else col("__s2b")
     // with the gate on, `__s2p` tags its survivors and the later
     // stages compose on it; without it the chain is tag-identical to
     // the pre-gate form (every existing oracle replays unchanged)
     val tagged2 =
       if (pctPass.isEmpty)
-        tagged2a.withColumn("__s3", col("__s2") && col("__mc").isNull)
-      else tagged2a
-        .withColumn("__s2p", col("__s2") && coalesce(col("__mp"), lit(false)))
+        taggedBoil.withColumn("__s3", preGate && col("__mc").isNull)
+      else taggedBoil
+        .withColumn("__s2p", preGate && coalesce(col("__mp"), lit(false)))
         .withColumn("__s3", col("__s2p") && col("__mc").isNull)
     val tagged3 =
       if (semFlagged.isEmpty)
@@ -2967,7 +3093,7 @@ object Queries {
       else tagged2
         .withColumn("__s3s", col("__s3") && col("__ms").isNull)
         .withColumn("__s4", col("__s3s") && coalesce(col("__m4"), lit(false)))
-    tagged3.drop("__m1", "__mc", "__ms", "__mp", "__m4")
+    tagged3.drop("__m1", "__mc", "__ms", "__mp", "__m4", "__mb")
   }
 
   /** Composed ingestion chain WITH the at-ingest decontamination
@@ -3032,6 +3158,39 @@ object Queries {
       "__s2p" -> "2p_percentile",
       "__s3" -> "3_decontam", "__s3s" -> "3s_semantic",
       "__s4" -> "4_near_dedup"))
+
+  /** The ingestion chain WITH the RefinedWeb boilerplate stage (r18):
+    * exact dedup → blocklist → STORE-BACKED boilerplate clean (the
+    * span-df store of [[dedupBoilerplateStored]]; all-boilerplate
+    * docs drop, survivors' text is swapped for the cleaned form) →
+    * per-language percentile gate scored on the CLEANED text (range
+    * lookup — a cleaned quality is generally not a raw-corpus
+    * histogram cell) → shingle decontamination signing the CLEANED
+    * text against the store's benchmark slice → near-dup shingling
+    * the CLEANED text against the raw-corpus index. Production
+    * pipelines clean boilerplate BEFORE quality/dedup gates because
+    * the cleaned text changes every downstream signal — this entry
+    * oracles exactly that composition (chain CTEs + the
+    * dedup_boilerplate_stored replay + a cleaned-signature aux).
+    * Terminal per-language stats count the CLEANED tokens (what would
+    * actually ship).
+    */
+  def pipelineIngestBoil(spark: SparkSession, dir: String): DataFrame =
+    perLangStats(ingestDecontamTagged(spark, dir, percentile = true,
+        boil = true)
+      .filter(col("__s4"))
+      .select(col("lang"), col("__ct").as("text")))
+
+  /** Six-stage funnel of the boilerplate-composed chain — the boil
+    * stage's drop volume (all-boilerplate docs) separated from the
+    * blocklist's and the percentile gate's, so an operator can see
+    * how much of the batch was pure boilerplate vs low-quality. */
+  def ingestAuditBoil(spark: SparkSession, dir: String): DataFrame =
+    ingestFunnel(ingestDecontamTagged(spark, dir, percentile = true,
+      boil = true), Seq(
+      "__s1" -> "1_exact_dedup", "__s2" -> "2_blocklist",
+      "__s2b" -> "2b_boilerplate", "__s2p" -> "2p_percentile",
+      "__s3" -> "3_decontam", "__s4" -> "4_near_dedup"))
 
   /** SEMANTIC decontamination — the embedding rung of the
     * decontamination ladder (exact n-gram count → bloom → near-dup
@@ -3832,6 +3991,18 @@ object Queries {
         s"$outDir/quality_aux_intercept.parquet")
     }
 
+    // --- trained language-ID (r18): the (lang, bk, w) coefficient
+    // table + per-language intercepts, from the SAME session-cached
+    // model the text_language_id_trained entry routed with; the
+    // oracle replays bucket join → decimal sums → argmax relationally
+    {
+      val m = langIdModel(spark, dir)
+      writeSingleParquet(operators.LangId.weightsTable(spark, m),
+        s"$outDir/langid_aux_weights.parquet")
+      writeSingleParquet(operators.LangId.interceptsTable(spark, m),
+        s"$outDir/langid_aux_icepts.parquet")
+    }
+
     // per-doc chunk arrays for the f6_chunk_table oracle — same
     // chunkText UDF the query itself uses (unit-covered by TextSpec);
     // the oracle replays the posexplode + ordering in SQL
@@ -3855,6 +4026,24 @@ object Queries {
           array_distinct(shingles(col("text"), lit(minHashShingleN))).as("shingles"))
         .withColumn("sig", minHash(col("shingles"), lit(minHashNumHashes))),
       s"$outDir/minhash_aux.parquet")
+    // CLEANED-text signatures of the batch slice (r18) — the
+    // pipeline_ingest_boil chain signs the store-cleaned text for its
+    // decontamination and near-dup stages, so its oracle replays the
+    // banding/jaccard relational pipeline over THESE (the clean
+    // itself is verified end-to-end by dedup_boilerplate_stored's
+    // pure-SQL replay; the shingle/minhash math is MinHashSpec-
+    // covered, the established aux convention)
+    writeSingleParquet(
+      Dedup.boilerplateRemoveStored(spanDfStore(spark, dir), "span_df",
+          t(spark, dir, "documents").filter(col("doc_id") >= incrementalSplit &&
+            col("doc_id") < decontamNearDupSplit),
+          "doc_id", "text", spanTokens = spanDedupTokens,
+          minDocs = boilerplateMinDocs)
+        .filter(col("n_kept") > 0)
+        .select(col("doc_id"),
+          array_distinct(shingles(col("clean_text"), lit(minHashShingleN))).as("shingles"))
+        .withColumn("sig", minHash(col("shingles"), lit(minHashNumHashes))),
+      s"$outDir/minhash_boil_aux.parquet")
 
     // --- ANN auxes: the persisted index layouts (bucket/cell
     // assignments) plus the driver-enumerated probe lists. The probe
@@ -3992,7 +4181,7 @@ object Queries {
       s"$outDir/knn_q_probes_indexed.parquet")
   }
 
-  private def writeSingleParquet(df: DataFrame, target: String): Unit = {
+  private[graft] def writeSingleParquet(df: DataFrame, target: String): Unit = {
     import scala.jdk.CollectionConverters._
     val tmp = java.nio.file.Files.createTempDirectory("graft_aux_")
     df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
@@ -4100,6 +4289,8 @@ object Queries {
     "pipeline_ingest_ladder" -> (pipelineIngestLadder _),
     "ingest_audit_ladder" -> (ingestAuditLadder _),
     "ingest_audit_gated" -> (ingestAuditGated _),
+    "pipeline_ingest_boil" -> (pipelineIngestBoil _),
+    "ingest_audit_boil" -> (ingestAuditBoil _),
     "pipeline_pack" -> (pipelinePack _),
     "drift_report" -> (driftReport _),
     "dedup_spans" -> (dedupSpans _),
@@ -4165,6 +4356,7 @@ object Queries {
     "sample_percentile_snapshot" -> (samplePercentileSnapshot _),
     "text_repetition" -> (textRepetition _),
     "text_language_id" -> (textLanguageId _),
+    "text_language_id_trained" -> (textLanguageIdTrained _),
     "text_fingerprint" -> (textFingerprint _),
     "text_pii_scrub" -> (textPiiScrub _),
     "pii_report" -> (piiReport _),

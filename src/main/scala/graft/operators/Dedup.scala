@@ -511,12 +511,15 @@ object Dedup {
       .agg(count(lit(1)).as("__n"))
       .groupBy(col("__sh").as("span_hash"))
       .agg(count(col("__id")).as("n_docs"), sum(col("__n")).as("n_occurrences"))
-    // meta BEFORE data (the buildNearDupStore convention): a crash
-    // between the two leaves a geometry-only sidecar the next build
-    // retry overwrites idempotently, so committed data always carries
-    // its grain
-    store.putMeta(table, Map(MetaSpanTokens -> spanTokens.toString))
-    store.overwrite(table, df)
+    // ATOMIC (counts, grain) commit (ADVICE r17): overwriteWithMeta
+    // flips data and properties under ONE _CURRENT pointer, so a
+    // calibration refresh can never serve one snapshot's counts with
+    // another's span grain — the quality-CDF store's refresh model,
+    // replacing the two-step putMeta-then-overwrite whose window
+    // paired them inconsistently (benign here only because grain
+    // drift is a loud rebuild, but the window was real)
+    store.overwriteWithMeta(table, df,
+      Map(MetaSpanTokens -> spanTokens.toString))
   }
 
   /** [[boilerplateRemove]] against a PERSISTED span-df store — the
@@ -1008,6 +1011,54 @@ object Dedup {
         "planner.prob_at_low" -> plan.probAtLow.toString,
         "planner.rows_per_band" -> plan.rowsPerBand.toString))
 
+  /** [[buildNearDupStore]] from the CONSTRAINT TRIPLE alone (r18, the
+    * r17 verdict's #6 — the served default): the caller states the
+    * operating point — (threshold, minRecall, maxLowProb) — and the
+    * geometry defaults to [[BandPlanner.plan]]'s cheapest feasible
+    * choice, recorded with its `planner.*` provenance like the
+    * explicit-Plan overload. An infeasible ask fails loudly BEFORE
+    * any corpus work (the planner returns None only when no geometry
+    * within `maxHashes` clears both curve sides). The repo's QUERY
+    * entries deliberately keep their hand-picked frozen (64, 16) —
+    * committed oracles and hashes pin it; this is the path a NEW
+    * production index takes.
+    */
+  def buildNearDupStorePlanned(store: graft.sources.ParquetStore,
+      table: String, docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double, minRecall: Double = 0.9,
+      maxLowProb: Double = 0.2, shingleN: Int = 3,
+      maxHashes: Int = 512): BandPlanner.Plan = {
+    val plan = BandPlanner.plan(threshold, minRecall,
+      maxLowProb = maxLowProb, maxHashes = maxHashes).getOrElse(
+      throw new IllegalArgumentException(
+        s"buildNearDupStorePlanned: no feasible banding geometry within " +
+          s"$maxHashes hashes clears (threshold=$threshold, " +
+          s"minRecall=$minRecall, maxLowProb=$maxLowProb) — relax a " +
+          "constraint or raise maxHashes"))
+    buildNearDupStore(store, table, docs, idCol, textCol, plan, shingleN)
+    plan
+  }
+
+  /** The geometry a signature index was built with, read back from
+    * its `_META` sidecar — None when the table doesn't exist or
+    * records no/incomplete geometry (unknown provenance). The
+    * serving-continuity read behind planned-geometry pipelines: an
+    * EXISTING index's frozen geometry wins over a fresh plan, because
+    * probing with drifted parameters is the corruption
+    * [[requireStoreGeometry]] exists to stop.
+    */
+  def storedGeometry(store: graft.sources.ParquetStore,
+      table: String): Option[(Int, Int, Int)] = {
+    if (!store.exists(table)) return None
+    val meta = store.getMeta(table)
+    for {
+      s <- meta.get(MetaShingleN)
+      h <- meta.get(MetaNumHashes)
+      b <- meta.get(MetaBands)
+      g <- scala.util.Try((s.trim.toInt, h.trim.toInt, b.trim.toInt)).toOption
+    } yield g
+  }
+
   private def buildNearDupStore(store: graft.sources.ParquetStore,
       table: String, docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int, numHashes: Int, bands: Int,
@@ -1129,13 +1180,18 @@ object Dedup {
     * gated by the broadcast benchmark key set before any shuffle.
     * `batchSig`, when provided, must be [[minHashSigOf]] of `batch`
     * (already persisted, caller-managed lifetime) — `batch` itself is
-    * then not read.
+    * then not read. `benchPred` (r18) scopes a SHARED full-corpus
+    * index to its benchmark slice (the split-view convention of
+    * [[incrementalNearDupStored]]), pushed down to both narrow index
+    * reads — so a pipeline holding one `sigs` store needn't maintain
+    * a separate benchmark table.
     */
   def contaminatedBatchNearDup(store: graft.sources.ParquetStore,
       benchSigTable: String, batch: DataFrame, idCol: String,
       textCol: String, shingleN: Int = 3, numHashes: Int = 64,
       bands: Int = 16, threshold: Double = 0.5,
-      batchSig: Option[DataFrame] = None): DataFrame = {
+      batchSig: Option[DataFrame] = None,
+      benchPred: Option[Column] = None): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     requireStoreGeometry(store, benchSigTable, shingleN, numHashes, bands,
       "contaminatedBatchNearDup", strict = true)
@@ -1149,7 +1205,8 @@ object Dedup {
     val bSig = batchSig.getOrElse(
       minHashSigOf(batch, idCol, textCol, shingleN, numHashes)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val idx = store.read(benchSigTable)
+    val idx0 = store.read(benchSigTable)
+    val idx = benchPred.fold(idx0)(idx0.filter)
     contaminatedNearDupCore(
       bandKeysOf(bSig, bands, rows), bSig.select(col("id"), col("shingles")),
       idx.select(col("id"),

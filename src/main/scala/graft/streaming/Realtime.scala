@@ -176,9 +176,10 @@ object Realtime {
     * micro-batch) and again by every probe.
     *
     * Ordering note: this is the standalone cleaning stream (C4 cleans
-    * then dedups); composing it INTO [[streamIngestPipeline]] would
-    * change every gate's input text and is deliberately left to a
-    * pipeline that re-oracles that composition.
+    * then dedups). The composition INTO [[streamIngestPipeline]] —
+    * which changes every gate's input text — exists as
+    * [[BoilerplateGate]] (r18), oracled by the batch twin
+    * `pipeline_ingest_boil`.
     */
   def streamBoilerplateClean(store: graft.sources.ParquetStore,
       outTable: String, dfTable: String, docs: DataFrame, idCol: String,
@@ -326,6 +327,45 @@ object Realtime {
   final case class PercentileGate(cdfTable: String, minPct: Double,
       langCol: String = "lang", expectSnapshot: Option[String] = None)
 
+  /** Config for the boilerplate-clean STAGE of the ingest pipeline
+    * (r18 — the composition [[streamBoilerplateClean]]'s scaladoc
+    * deliberately left to "a pipeline that re-oracles it"; the batch
+    * twin `pipeline_ingest_boil` now does): each micro-batch's
+    * blocklist survivors are cleaned against the FROZEN span-df store
+    * `dfTable` (built on calibration cadence by
+    * [[graft.operators.Dedup.buildSpanDfStore]]), docs whose every
+    * span was boilerplate DROP, and survivors' `textCol` is swapped
+    * for the cleaned form — so the percentile gate scores, the
+    * decontamination gates sign, the near-dup stage shingles, and the
+    * docs-table MERGE ships the CLEANED text (the RefinedWeb order:
+    * clean before quality/dedup, because the cleaned text changes
+    * every downstream signal). Replay-safe like the standalone clean:
+    * clean_text is a pure function of (row, store, spanTokens,
+    * minDocs) and the store is frozen under the stream. The hash set
+    * loads ONCE per query lifetime (the streamBoilerplateClean
+    * convention) and the span grain is require-matched at START.
+    */
+  final case class BoilerplateGate(dfTable: String, spanTokens: Int = 3,
+      minDocs: Int = 2)
+
+  /** Planned banding geometry for [[streamIngestPipeline]] (r18, the
+    * r17 verdict's #6 — the served default): instead of hand-picking
+    * (numHashes, bands), the operator states the OPERATING POINT —
+    * keep pairs at `threshold` with at least `minRecall` band-collision
+    * probability while pairs at half the threshold collide with at
+    * most `maxLowProb` — and the pipeline resolves geometry at START:
+    * an EXISTING signature index's frozen, recorded geometry wins
+    * (serving continuity — probing with drifted parameters is the
+    * corruption requireStoreGeometry stops; re-planning is a rebuild),
+    * otherwise [[graft.operators.BandPlanner.plan]]'s cheapest
+    * feasible choice builds the index and records its `planner.*`
+    * provenance. An infeasible ask fails the `.start()`, never the
+    * first micro-batch.
+    */
+  final case class PlannedGeometry(threshold: Double,
+      minRecall: Double = 0.9, maxLowProb: Double = 0.2,
+      maxHashes: Int = 512)
+
   /** Config for the streaming CURRICULUM export (r16): each
     * micro-batch's SURVIVORS additionally MERGE one row per doc into
     * `table` — (id, shard, level, sort_key), the per-row halves of
@@ -366,9 +406,37 @@ object Realtime {
       decontamThreshold: Option[Double] = None,
       semanticGate: Option[SemanticGate] = None,
       percentileGate: Option[PercentileGate] = None,
+      boilerplateGate: Option[BoilerplateGate] = None,
       auditTable: Option[String] = None,
       curriculumExport: Option[CurriculumExport] = None,
+      plannedGeometry: Option[PlannedGeometry] = None,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    // Geometry resolution (r18): with `plannedGeometry` set, the
+    // explicit (numHashes, bands) are ignored in favour of — in
+    // order — the EXISTING index's recorded geometry (serving
+    // continuity: an index's banding is frozen for its life, and
+    // re-planning is a rebuild) or the BandPlanner's cheapest
+    // feasible choice for the stated operating point, whose
+    // provenance the self-heal build below records. Resolved before
+    // any other check so every geometry-taking stage sees one truth.
+    val (resolvedPlan, nHashes, nBands) = plannedGeometry match {
+      case None => (None, numHashes, bands)
+      case Some(pg) =>
+        graft.operators.Dedup.storedGeometry(store, sigTable) match {
+          case Some((_, h, b)) => (None, h, b)
+          case None =>
+            val p = graft.operators.BandPlanner.plan(pg.threshold,
+              pg.minRecall, maxLowProb = pg.maxLowProb,
+              maxHashes = pg.maxHashes).getOrElse(
+              throw new IllegalArgumentException(
+                "streamIngestPipeline(plannedGeometry): no feasible " +
+                  s"banding geometry within ${pg.maxHashes} hashes clears " +
+                  s"(threshold=${pg.threshold}, minRecall=${pg.minRecall}, " +
+                  s"maxLowProb=${pg.maxLowProb}) — relax a constraint or " +
+                  "raise maxHashes"))
+            (Some(p), p.numHashes, p.bands)
+        }
+    }
     // cheap config checks FIRST: a typo'd benchmark table name — or a
     // benchmark index banded with a different geometry than this
     // pipeline's, which would silently match near-nothing (the exact
@@ -381,7 +449,7 @@ object Realtime {
           "Dedup.buildNearDupStore(store, benchSigTable, benchmarkDocs, ...) " +
           "using the same (shingleN, numHashes, bands) as this pipeline")
       graft.operators.Dedup.requireStoreGeometry(store, bt, shingleN,
-        numHashes, bands, "streamIngestPipeline", strict = true)
+        nHashes, nBands, "streamIngestPipeline", strict = true)
     }
     semanticGate.foreach { g =>
       require(store.exists(g.benchVecTable),
@@ -392,6 +460,20 @@ object Realtime {
       require(docs.columns.contains(g.vecCol),
         s"streamIngestPipeline: the stream carries no '${g.vecCol}' column " +
           "for the semantic gate — the encode step must run upstream")
+    }
+    // the boilerplate stage's span-df store must exist with a
+    // matching span grain — a drifted grain silently removes (almost)
+    // nothing, so it fails the START like every frozen-geometry index
+    // (the streamBoilerplateClean discipline)
+    boilerplateGate.foreach { g =>
+      require(g.spanTokens >= 1,
+        s"streamIngestPipeline(boilerplateGate): spanTokens must be >= 1, " +
+          s"got ${g.spanTokens}")
+      require(g.minDocs >= 2,
+        s"streamIngestPipeline(boilerplateGate): minDocs must be >= 2, " +
+          s"got ${g.minDocs}")
+      graft.operators.Dedup.requireSpanDfGeometry(store, g.dfTable,
+        g.spanTokens, "streamIngestPipeline(boilerplateGate)", strict = true)
     }
     // the percentile gate's CDF snapshot must exist, carry the CURRENT
     // scorer's version, and (when pinned) be the expected calibration
@@ -465,10 +547,16 @@ object Realtime {
     // corpus-sized) exact stage already ran
     if (store.exists(sigTable))
       graft.operators.Dedup.requireStoreGeometry(store, sigTable, shingleN,
-        numHashes, bands, "streamIngestPipeline", strict = true)
+        nHashes, nBands, "streamIngestPipeline", strict = true)
     if (store.exists(table) && !store.exists(sigTable))
-      graft.operators.Dedup.buildNearDupStore(store, sigTable,
-        store.read(table), idCol, textCol, shingleN, numHashes, bands)
+      resolvedPlan match {
+        // planner-chosen geometry records its planner.* provenance
+        // alongside the frozen parameters (the planned-build overload)
+        case Some(p) => graft.operators.Dedup.buildNearDupStore(store,
+          sigTable, store.read(table), idCol, textCol, p, shingleN)
+        case None => graft.operators.Dedup.buildNearDupStore(store, sigTable,
+          store.read(table), idCol, textCol, shingleN, nHashes, nBands)
+      }
     // the semantic gate's benchmark side is STATIC: band it with the
     // frozen planes and persist ONE copy for the stream's lifetime —
     // the single-shot operator's internal persist would leak one
@@ -480,6 +568,13 @@ object Realtime {
           idCol, g.vecCol, g.dim, g.bits, g.bands)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
+    // the boilerplate hash set is FROZEN under the stream (the
+    // replay-safety contract): load it once for the query's lifetime
+    // (the streamBoilerplateClean convention), released at
+    // termination with the other stream-lifetime caches
+    val boilHashes = boilerplateGate.map(g =>
+      graft.operators.Dedup.boilerplateHashes(store, g.dfTable, g.minDocs)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     // the CDF snapshot is likewise static for the stream's lifetime:
     // cache ONE copy (≤10001 cells per language — broadcast-sized) of
     // the validated frame from the start-time consistent read above,
@@ -538,26 +633,44 @@ object Realtime {
               if (!caches.exists(_ eq df)) { df.persist(lvl); caches += df }
               df
             }
+            // boilerplate-clean stage (r18): swap the blocklist
+            // survivors' text for the store-cleaned form and drop
+            // all-boilerplate docs — the inner join applies both at
+            // once, and every later gate (percentile scoring, decontam
+            // signing, near-dup shingling, the docs MERGE itself)
+            // reads the CLEANED text. The probe's rebuild join reads
+            // its input twice (occurrence rows + doc side), so the
+            // input is cached; the result is cached because three
+            // later branches derive from it.
+            val b2b = boilerplateGate.fold(b2) { g =>
+              val cleaned = graft.operators.Dedup.boilerplateRemoveAgainst(
+                  boilHashes.get, cached(b2), idCol, textCol, g.spanTokens)
+                .filter(col("n_kept") > 0)
+                .select(col(idCol), col("clean_text").as(textCol))
+              cached(b2.drop(textCol).join(cleaned, Seq(idCol))
+                .select(b2.columns.map(col): _*))
+            }
             // percentile-calibrated quality gate (r15): per-language
             // rank lookup against the stream-lifetime CDF snapshot —
             // a bounded distinct-pair probe against a BROADCAST frame,
             // so like the raw gate it runs before the near-dup stage's
             // shuffles and the row stream itself never shuffles. The
-            // projection back to b2's columns keeps the ingested
-            // schema unchanged. Ordered BEFORE the raw gate so the
-            // funnel's lexical stage order (2_, 2p_, 2q_) matches the
-            // pipeline's positional order. The gate's INPUT frame is
-            // cached unconditionally: the lookup references it twice
-            // (distinct-pair pass + join-back pass), and uncached each
-            // reference would re-run the accumulated-index exact probe
-            // and blocklist chain (the two-reference trap
-            // qualityPercentiledOf's scaladoc warns about).
-            val b2p = percentileGate.fold(b2) { g =>
-              graft.operators.QualityCal.withPercentile(cached(b2), pctCdf.get,
+            // projection back to the chain's columns keeps the
+            // ingested schema unchanged. Ordered BEFORE the raw gate
+            // so the funnel's lexical stage order (2_, 2b_, 2p_, 2q_)
+            // matches the pipeline's positional order. The gate's
+            // INPUT frame is cached unconditionally: the lookup
+            // references it twice (distinct-pair pass + join-back
+            // pass), and uncached each reference would re-run the
+            // accumulated-index exact probe and blocklist chain (the
+            // two-reference trap qualityPercentiledOf's scaladoc warns
+            // about).
+            val b2p = percentileGate.fold(b2b) { g =>
+              graft.operators.QualityCal.withPercentile(cached(b2b), pctCdf.get,
                   g.langCol, graft.functions.GraftFunctions
                     .qualityScore(col(textCol)))
                 .filter(col("pct").isNull || col("pct") >= g.minPct)
-                .select(b2.columns.map(col): _*)
+                .select(b2b.columns.map(col): _*)
             }
             // optional RAW quality gate, the SAME shared expression the
             // batch pipeline_c4 composition scores with — a per-row
@@ -573,7 +686,7 @@ object Realtime {
             // leave a never-unpersisted cache entry per micro-batch,
             // unbounded over an always-on stream)
             val bSig = cached(graft.operators.Dedup
-              .minHashSigOf(b2q, idCol, textCol, shingleN, numHashes))
+              .minHashSigOf(b2q, idCol, textCol, shingleN, nHashes))
             // with the audit on, the per-stage frames are counted a
             // second time after the chain materializes — cache the
             // distinct ones (delta-sized) so those counts reuse the
@@ -582,6 +695,7 @@ object Realtime {
             if (auditTable.isDefined) {
               cached(b1)
               if (blocklist.nonEmpty) cached(b2)
+              if (boilerplateGate.isDefined) cached(b2b)
               if (percentileGate.isDefined) cached(b2p)
               if (minQuality.isDefined) cached(b2q)
             }
@@ -599,7 +713,7 @@ object Realtime {
               val b2d = benchSigTable.fold(b2q) { bt =>
                 val contaminated = graft.operators.Dedup
                   .contaminatedBatchNearDup(store, bt, b2q, idCol, textCol,
-                    shingleN, numHashes, bands,
+                    shingleN, nHashes, nBands,
                     decontamThreshold.getOrElse(threshold),
                     batchSig = Some(bSig))
                   .select(col("id").as(idCol))
@@ -637,11 +751,11 @@ object Realtime {
               val kept2 =
                 if (haveSigs)
                   graft.operators.Dedup.incrementalNearDupStored(store, sigTable,
-                    b2s, idCol, textCol, shingleN, numHashes, bands, threshold,
+                    b2s, idCol, textCol, shingleN, nHashes, nBands, threshold,
                     batchSig = Some(sigD))
                 else
                   graft.operators.Dedup.incrementalNearDup(b2s.limit(0), b2s,
-                    idCol, textCol, shingleN, numHashes, bands, threshold,
+                    idCol, textCol, shingleN, nHashes, nBands, threshold,
                     batchSig = Some(sigD))
               val rows = b2s.join(kept2.withColumnRenamed("id", idCol),
                   Seq(idCol), "left_semi")
@@ -667,6 +781,7 @@ object Realtime {
                   Some("0_batch" -> b.count()),
                   Some("1_exact_dedup" -> b1.count()),
                   Some("2_blocklist" -> b2.count()),
+                  boilerplateGate.map(_ => "2b_boilerplate" -> b2b.count()),
                   percentileGate.map(_ => "2p_percentile" -> b2p.count()),
                   minQuality.map(_ => "2q_quality" -> b2q.count()),
                   benchSigTable.map(_ => "3_decontam" -> b2d.count()),
@@ -701,7 +816,7 @@ object Realtime {
                   // rows the per-batch frame already carries
                   graft.operators.Dedup.buildNearDupStoreFromSig(store,
                     sigTable, rows, idCol, textCol, sigD, shingleN,
-                    numHashes, bands)
+                    nHashes, nBands)
                 }
                 // per-micro-batch funnel audit (the streaming sibling
                 // of the batch ingest_audit_decontam): one row per
@@ -728,6 +843,7 @@ object Realtime {
             // "batch was empty" and batch ids stay gap-free
             writeAudit(at, b.sparkSession, batchId, Seq(
               Some("0_batch"), Some("1_exact_dedup"), Some("2_blocklist"),
+              boilerplateGate.map(_ => "2b_boilerplate"),
               percentileGate.map(_ => "2p_percentile"),
               minQuality.map(_ => "2q_quality"),
               benchSigTable.map(_ => "3_decontam"),
@@ -744,7 +860,7 @@ object Realtime {
     // per-micro-batch banding fix closed, recurring at stream
     // granularity.
     startReleasing(docs.sparkSession,
-      semanticBench.toSeq ++ pctCdf.toSeq ++
+      semanticBench.toSeq ++ pctCdf.toSeq ++ boilHashes.toSeq ++
         curCdf.filterNot(c => pctCdf.exists(_ eq c)).toSeq)(writer.start())
   }
 

@@ -187,4 +187,68 @@ class MinHashSpec extends AnyFunSuite {
     }
     assert(drift.getMessage.contains("drift"))
   }
+
+  test("constraint-triple default path: planner-chosen geometry with " +
+      "planner.* provenance; stream start reuses recorded geometry (r18)") {
+    import graft.operators.{BandPlanner, Dedup}
+    // the SERVED default (r17 verdict #6): a caller states only the
+    // operating point and the build defaults to the planner's choice
+    val store = new graft.sources.ParquetStore(spark,
+      TestSpark.tempDir("graft_bpd_store_"))
+    val corpus = docs(Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river"),
+      (2L, "a completely different subject matter about distributed engines")))
+    val plan = Dedup.buildNearDupStorePlanned(store, "sig", corpus,
+      "doc_id", "text", threshold = 0.5, shingleN = 2)
+    assert(plan == BandPlanner.plan(threshold = 0.5).get,
+      "the default path must take the planner's cheapest feasible choice")
+    val meta = store.getMeta("sig")
+    assert(meta("minhash.num_hashes") == plan.numHashes.toString)
+    assert(meta("planner.rows_per_band") == plan.rowsPerBand.toString,
+      "the default path must record planner.* provenance")
+    assert(Dedup.storedGeometry(store, "sig") ==
+      Some((2, plan.numHashes, plan.bands)))
+    // infeasible constraints fail loudly BEFORE any corpus work
+    val e = intercept[IllegalArgumentException] {
+      Dedup.buildNearDupStorePlanned(store, "sig2", corpus, "doc_id",
+        "text", threshold = 0.5, minRecall = 0.999, maxLowProb = 0.001,
+        maxHashes = 4)
+    }
+    assert(e.getMessage.contains("no feasible"))
+    // the STREAM's planned path: a fresh store self-heals with the
+    // planner's geometry + provenance; a restart against the now-
+    // existing index resolves the RECORDED geometry (serving
+    // continuity) instead of re-planning
+    import spark.implicits._
+    val sStore = new graft.sources.ParquetStore(spark,
+      TestSpark.tempDir("graft_bps_store_"))
+    sStore.merge("docs", corpus, "doc_id")
+    val srcDir = TestSpark.tempDir("graft_bps_src_")
+    Seq((10L, "the quick brown fox jumps over the lazy dog near the river"))
+      .toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(srcDir)
+    def stream = spark.readStream.schema("doc_id LONG, text STRING")
+      .parquet(srcDir)
+    val cp = TestSpark.tempDir("graft_bps_cp_")
+    assert(graft.streaming.Realtime.streamIngestPipeline(sStore, "docs",
+        "sigs", stream, "doc_id", "text", cp, shingleN = 2,
+        plannedGeometry = Some(graft.streaming.Realtime.PlannedGeometry(0.5)))
+      .awaitTermination(120000), "planned stream did not finish")
+    val sMeta = sStore.getMeta("sigs")
+    assert(sMeta("minhash.num_hashes") == plan.numHashes.toString &&
+      sMeta("planner.rows_per_band") == plan.rowsPerBand.toString,
+      "the stream's self-heal build must record the planner's provenance")
+    // the near-dup of corpus doc 1 must drop through the planned index
+    assert(sStore.read("docs").filter($"doc_id" === 10L).isEmpty,
+      "near-dup of the corpus doc must not ingest")
+    // restart with the SAME planned config against the existing index:
+    // resolves recorded geometry, no drift error, clean no-op replay
+    Seq((11L, "an entirely novel document with fresh content words"))
+      .toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(srcDir)
+    assert(graft.streaming.Realtime.streamIngestPipeline(sStore, "docs",
+        "sigs", stream, "doc_id", "text", cp, shingleN = 2,
+        plannedGeometry = Some(graft.streaming.Realtime.PlannedGeometry(0.5)))
+      .awaitTermination(120000), "planned restart did not finish")
+    assert(sStore.read("docs").filter($"doc_id" === 11L).count() == 1,
+      "restart against the recorded geometry must keep serving")
+  }
 }

@@ -297,6 +297,39 @@ class ParquetStoreSpec extends AnyFunSuite {
       "pre-flip crash must leave the live snapshot's provenance readable")
   }
 
+  test("promote-then-crash era-lock recovers through an overwriteWithMeta " +
+      "retry (ADVICE r17)") {
+    // the one crash window ADVICE r17 flagged untested: legacy _META
+    // promoted to _META_v<v0> (entering the sidecar era, so putMeta is
+    // now locked) but the _CURRENT flip never happened — no sidecar-
+    // committed refresh ever landed, yet the table is era-locked. The
+    // documented recovery is a successful overwriteWithMeta retry;
+    // this pins that the retry actually restores a serving
+    // (data, meta) pair, so the recovery path stays guaranteed.
+    val root = TestSpark.tempDir("graft_ps_lock_")
+    val store = new ParquetStore(spark, root)
+    store.overwrite("t", rows(1 to 5, "v1")) // version 0
+    store.putMeta("t", Map("label" -> "legacy"))
+    store.overwriteWithMeta("t", rows(1 to 5, "v2"), Map("label" -> "snap2"))
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // simulate the crash: pointer back at v0, promoted sidecar + staged
+    // v1 artifacts left behind (exactly what a crash between the retire
+    // and the flip leaves)
+    val out = fs.create(new Path(s"$root/t/_CURRENT"), true)
+    out.write("0".getBytes("UTF-8")); out.close()
+    // the lock is real: putMeta refuses (era permanence)
+    intercept[IllegalStateException] {
+      store.putMeta("t", Map("label" -> "poke"))
+    }
+    // ...but the retry path restores a fully-served pair
+    store.overwriteWithMeta("t", rows(1 to 7, "v3"), Map("label" -> "snap3"))
+    val (df, meta) = store.readSnapshotWithMeta("t")
+    assert(meta == Map("label" -> "snap3"),
+      "retry must commit its own label as the serving properties")
+    assert(df.count() == 7, "retry must serve its own data")
+    assert(store.getMeta("t") == Map("label" -> "snap3"))
+  }
+
   test("a FAILED overwriteWithMeta leaves a legacy table out of the " +
       "sidecar era entirely (review r17, third pass)") {
     val store = new ParquetStore(spark, TestSpark.tempDir("graft_ps_fail_"))

@@ -115,6 +115,28 @@ class PlanSpec extends AnyFunSuite {
       s"the checkpointed narrow frame must back the plan:\n$plan")
   }
 
+  test("percentile family: single corpus scan — histogram and join passes " +
+      "read the checkpointed narrow frame (r18)") {
+    // qualityPercentiledOf localCheckpoints the (doc_id, lang, quality)
+    // frame, so the corpus text scan + 2-UDF qualityScore run ONCE and
+    // both the histogram pass and the join-back pass read the
+    // materialized 3-column RDD. A parquet scan (or a UDF) reappearing
+    // in these plans means a reference escaped the checkpoint and the
+    // calibration family is scanning + scoring the corpus twice again
+    // (the pre-r18 shape, a straight 2x at scale).
+    for (q <- Seq("quality_percentile", "sample_percentile",
+        "export_curriculum")) {
+      val plan = SparkEntry.queries(q)(spark, dir)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("Scan parquet"),
+        s"$q must read only the checkpointed narrow frame:\n$plan")
+      assert(!plan.contains("UDF("),
+        s"$q must not re-evaluate qualityScore outside the checkpoint:\n$plan")
+      assert(plan.contains("ExistingRDD") || plan.contains("LogicalRDD"),
+        s"the checkpointed narrow frame must back $q:\n$plan")
+    }
+  }
+
   test("pack_offsets: ONE narrow exchange serves cumsum and placement windows") {
     val plan = SparkEntry.queries("pack_offsets")(spark, dir)
       .queryExecution.executedPlan.toString

@@ -1002,6 +1002,93 @@ class RealtimeSpec extends AnyFunSuite {
       s"all-gates funnel must equal the batch twin's stage counts: $a")
   }
 
+  test("streaming boilerplate GATE mirrors the batch pipeline_ingest_boil " +
+      "composition (r18)") {
+    // the composed pin: exact dedup → blocklist → BOILERPLATE CLEAN
+    // (text swap + all-boilerplate drop) → percentile gate scored on
+    // the CLEANED text → shingle decontam signing the CLEANED text →
+    // near-dup shingling the CLEANED text. The batch twin is the
+    // PRODUCTION entry itself (ingestDecontamTagged(percentile, boil)
+    // — the frame behind the DuckDB-oracled pipeline_ingest_boil /
+    // ingest_audit_boil), so stream, batch chain, and oracle are one
+    // triangle.
+    import graft.operators.{Dedup, QualityCal}
+    val dir = "/root/testdata/sf0.01"
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text", "lang")
+    val existing = docs.filter(col("doc_id") < Queries.incrementalSplit)
+    val batch = docs.filter(col("doc_id") >= Queries.incrementalSplit &&
+      col("doc_id") < Queries.decontamNearDupSplit)
+    val benchDocs = docs.filter(col("doc_id") >= Queries.decontamNearDupSplit)
+    val store = new graft.sources.ParquetStore(
+      spark, TestSpark.tempDir("graft_boilgate_store_"))
+    store.merge("docs", existing, "doc_id")
+    Dedup.buildNearDupStore(store, "sigs", existing, "doc_id", "text",
+      shingleN = Queries.minHashShingleN,
+      numHashes = Queries.minHashNumHashes, bands = Queries.minHashBands)
+    Dedup.buildNearDupStore(store, "bench_sigs", benchDocs, "doc_id", "text",
+      shingleN = Queries.minHashShingleN,
+      numHashes = Queries.minHashNumHashes, bands = Queries.minHashBands)
+    // span-df store over the FULL corpus (the calibration-cadence
+    // build pipeline_ingest_boil probes) + the raw-corpus CDF
+    Dedup.buildSpanDfStore(store, "span_df", docs, "doc_id", "text",
+      spanTokens = Queries.spanDedupTokens)
+    QualityCal.buildPercentileStore(store, "quality_cdf", docs,
+      "lang", "text", snapshot = "corpus-v1")
+    // the production batch twin: survivors + their CLEANED text
+    val tagged = Queries.ingestDecontamTagged(spark, dir,
+      percentile = true, boil = true)
+    val expect = tagged.filter(col("__s4"))
+      .select(col("doc_id"), col("__ct")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(expect.nonEmpty, "survivors must be nonempty")
+    // non-vacuity: the clean must actually CHANGE some surviving
+    // doc's text, or the composition pin proves nothing
+    val changedSurvivor = tagged.filter(col("__s4") && col("__ct") =!= col("text"))
+    assert(changedSurvivor.limit(1).count() == 1,
+      "at least one survivor's text must differ from raw after cleaning")
+    val src = TestSpark.tempDir("graft_boilgate_src_")
+    batch.coalesce(1).write.mode("append").parquet(src)
+    val q = Realtime.streamIngestPipeline(store, "docs", "sigs",
+      spark.readStream
+        .schema("doc_id LONG, text STRING, lang STRING").parquet(src),
+      "doc_id", "text", TestSpark.tempDir("graft_boilgate_cp_"),
+      blocklist = Queries.blocklistTerms,
+      shingleN = Queries.minHashShingleN,
+      numHashes = Queries.minHashNumHashes, bands = Queries.minHashBands,
+      threshold = Queries.minHashThreshold,
+      benchSigTable = Some("bench_sigs"),
+      percentileGate = Some(Realtime.PercentileGate("quality_cdf",
+        Queries.ingestGatePct, expectSnapshot = Some("corpus-v1"))),
+      boilerplateGate = Some(Realtime.BoilerplateGate("span_df",
+        spanTokens = Queries.spanDedupTokens,
+        minDocs = Queries.boilerplateMinDocs)),
+      auditTable = Some("audit"))
+    assert(q.awaitTermination(360000),
+      "boil-gated stream did not finish in time")
+    // survivors AND their shipped text equal the batch composition —
+    // the docs table must carry the CLEANED text
+    val streamed = store.read("docs")
+      .filter(col("doc_id") >= Queries.incrementalSplit)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(streamed == expect,
+      "the boil-gated stream must ship the batch composition's cleaned text")
+    // the funnel's boil stage equals the batch tags' count
+    def tagCount(c: String): Long = tagged.filter(col(c)).count()
+    val a = store.read("audit").collect()
+      .map(r => (r.getAs[String]("stage"), r.getAs[Long]("n_docs"))).toMap
+    assert(a == Map(
+      "0_batch" -> batch.count(),
+      "1_exact_dedup" -> tagCount("__s1"),
+      "2_blocklist" -> tagCount("__s2"),
+      "2b_boilerplate" -> tagCount("__s2b"),
+      "2p_percentile" -> tagCount("__s2p"),
+      "3_decontam" -> tagCount("__s3"),
+      "4_near_dedup" -> tagCount("__s4")),
+      s"boil funnel must equal the batch twin's stage counts: $a")
+  }
+
   test("streaming boilerplate clean equals the batch stored probe; replay no-op; " +
       "grain drift fails the START") {
     import graft.operators.Dedup
@@ -1069,6 +1156,61 @@ class RealtimeSpec extends AnyFunSuite {
         stream, "doc_id", "text", TestSpark.tempDir("graft_sbc_cp5_"),
         3, minDocs = 1)
     }
+  }
+
+  test("span-df store refresh cadence: a restarted clean stream uses the NEW " +
+      "counts, committed rows stand (r18 stretch)") {
+    // the calibration-snapshot story applied to the span-df store:
+    // the hash set is frozen per QUERY LIFETIME, not forever — a
+    // rebuild on a grown corpus followed by a stream restart must
+    // clean subsequent deliveries against the NEW counts, while rows
+    // the old run committed stand untouched (they were pure functions
+    // of the store THEY ran against).
+    import graft.operators.Dedup
+    import spark.implicits._
+    val store = new graft.sources.ParquetStore(
+      spark, TestSpark.tempDir("graft_sdr_wh_"))
+    // corpus v1: only "alpha beta gamma" is boilerplate (>= 3 docs);
+    // "delta epsilon zeta" appears once — NOT yet boilerplate
+    val corpusV1 = ((0L until 10L)
+      .map(id => (id, s"alpha beta gamma unique tail number $id"))
+      :+ (90L, "delta epsilon zeta rare once"))
+      .toDF("doc_id", "text")
+    Dedup.buildSpanDfStore(store, "span_df", corpusV1, "doc_id", "text", 3)
+    val srcDir = TestSpark.tempDir("graft_sdr_src_")
+    def delivery(rows: Seq[(Long, String)]): Unit =
+      rows.toDF("doc_id", "text").coalesce(1)
+        .write.mode("append").parquet(srcDir)
+    def stream = spark.readStream
+      .schema("doc_id LONG, text STRING").parquet(srcDir)
+    val cp = TestSpark.tempDir("graft_sdr_cp_")
+    // run 1: "delta epsilon zeta" SURVIVES (one vote in the v1 store)
+    delivery(Seq((100L, "delta epsilon zeta fresh content one")))
+    assert(Realtime.streamBoilerplateClean(store, "clean", "span_df",
+        stream, "doc_id", "text", cp, 3, 3)
+      .awaitTermination(120000), "run 1 did not finish")
+    def cleanOf(id: Long): String = store.read("clean")
+      .filter($"doc_id" === id).collect().head.getAs[String]("clean_text")
+    assert(cleanOf(100L) == "delta epsilon zeta fresh content one",
+      "under the v1 counts the rare span must survive")
+    // corpus grows: "delta epsilon zeta" now fronts >= 3 docs — the
+    // calibration-cadence FULL REPLACE rebuild (atomic counts+grain)
+    val corpusV2 = corpusV1.unionByName(Seq(
+      (91L, "delta epsilon zeta growth one"),
+      (92L, "delta epsilon zeta growth two")).toDF("doc_id", "text"))
+    Dedup.buildSpanDfStore(store, "span_df", corpusV2, "doc_id", "text", 3)
+    // restart (same checkpoint): the new run's lifetime hash set is
+    // the NEW store — the same span must now be removed
+    delivery(Seq((101L, "delta epsilon zeta fresh content two")))
+    assert(Realtime.streamBoilerplateClean(store, "clean", "span_df",
+        stream, "doc_id", "text", cp, 3, 3)
+      .awaitTermination(120000), "run 2 did not finish")
+    assert(cleanOf(101L) == "fresh content two",
+      "the restarted run must clean against the REFRESHED counts")
+    // the old run's committed row stands — refresh never rewrites what
+    // an earlier run cleaned (last-delivery-wins only on redelivery)
+    assert(cleanOf(100L) == "delta epsilon zeta fresh content one",
+      "rows committed under the old store must stand after the refresh")
   }
 
   test("streaming curriculum export: staged increments, export order equals batch (r16)") {

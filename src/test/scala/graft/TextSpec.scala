@@ -178,4 +178,44 @@ class TextSpec extends AnyFunSuite {
       "threshold 10000 keeps every row — routing must not drop docs")
     assert(kept.columns.toSeq == Seq("doc_id", "source", "toks"))
   }
+
+  test("trained language-ID: scorer-slot routing equals the relational " +
+      "detect, learned separation is real (r18)") {
+    // the r17 verdict's #5: a genuinely TRAINED scorer flowing
+    // through withDetectedLanguage end-to-end. LangId.scorer(model)
+    // (the Column => Column UDF form) must agree doc-for-doc with
+    // LangId.detect (the relational broadcast-join form the
+    // text_language_id_trained oracle replays) — same features, same
+    // decimal sums, same (score, lang) tie-break — and the model must
+    // actually separate the fixture's labeled languages.
+    val spark = TestSpark.spark
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text", "lang")
+    val model = Queries.langIdModel(spark, dir)
+    val relational = graft.operators.LangId
+      .detect(docs, model, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val routed = GraftFunctions.withDetectedLanguage(docs.drop("lang"),
+        "text", scorer = graft.operators.LangId.scorer(model))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("lang")).toMap
+    assert(routed == relational,
+      "scorer-slot routing must equal the relational detect doc-for-doc")
+    // learned separation: training labels are recovered far above
+    // chance (the synthetic languages have disjoint stopword sets, so
+    // a working classifier should be near-perfect on its own corpus)
+    val labeled = docs.filter(col("lang").isNotNull)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("lang")).toMap
+    val hits = labeled.count { case (id, l) => relational.get(id).contains(l) }
+    assert(hits.toDouble / labeled.size > 0.9,
+      s"trained model must recover the corpus labels: $hits/${labeled.size}")
+    // gram-less docs rout to 'und', matching the heuristic convention
+    import spark.implicits._
+    val tiny = Seq((1L, "word"), (2L, "")).toDF("doc_id", "text")
+    val det = graft.operators.LangId.detect(tiny, model, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(det == Map(1L -> "und", 2L -> "und"),
+      "docs with no bigrams carry no evidence and rout to 'und'")
+  }
 }

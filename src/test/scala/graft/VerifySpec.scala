@@ -99,4 +99,42 @@ class VerifySpec extends AnyFunSuite {
     assert(Bench.ratioStats(Map("a" -> 1.0), Map("a" -> 0.0)) == (-1.0, -1))
     assert(Bench.ratioStats(Map("a" -> 1.0), Map.empty) == (-1.0, -1))
   }
+
+  test("Bench.contaminatedRuns: >=k consecutive over-2x baselined queries " +
+      "flag as a contaminated window (r18)") {
+    val base = Map("a" -> 1.0, "b" -> 1.0, "c" -> 1.0, "d" -> 1.0, "e" -> 1.0)
+    val order = Seq("a", "b", "c", "d", "e")
+    // the r17 shape: a contiguous block (b,c,d) all >2x committed while
+    // its neighbours sit at 1x — the cross-query contamination signature
+    assert(Bench.contaminatedRuns(order,
+      Map("a" -> 1.0, "b" -> 3.0, "c" -> 2.5, "d" -> 9.0, "e" -> 1.0),
+      base) == Set("b", "c", "d"))
+    // a 2-query run never reaches k=3 — a genuine localized regression
+    // is untouched by the rerun pass
+    assert(Bench.contaminatedRuns(order,
+      Map("a" -> 1.0, "b" -> 3.0, "c" -> 2.5, "d" -> 1.0, "e" -> 9.0),
+      base).isEmpty)
+    // exactly-2x is NOT over (strict >, matching the regression
+    // tiebreak's trigger)
+    assert(Bench.contaminatedRuns(order,
+      Map("a" -> 2.0, "b" -> 2.0, "c" -> 2.0, "d" -> 1.0, "e" -> 1.0),
+      base).isEmpty)
+    // no-baseline queries are unjudgeable and don't participate — they
+    // neither extend nor break a run (x sits mid-block here)
+    assert(Bench.contaminatedRuns(Seq("a", "b", "x", "c", "d"),
+      Map("a" -> 1.0, "b" -> 3.0, "x" -> 99.0, "c" -> 2.5, "d" -> 9.0),
+      base) == Set("b", "c", "d"))
+    // zero/negative baselines are unjudgeable too, never divide
+    assert(Bench.contaminatedRuns(Seq("a", "b", "c"),
+      Map("a" -> 9.0, "b" -> 9.0, "c" -> 9.0),
+      Map("a" -> 0.0, "b" -> 1.0, "c" -> 1.0)) == Set.empty)
+    // a FAILED query has no recorded time (the caller passes ok times
+    // only) and doesn't participate
+    assert(Bench.contaminatedRuns(order,
+      Map("a" -> 3.0, "b" -> 3.0, "d" -> 3.0, "e" -> 3.0),
+      base) == Set("a", "b", "d", "e"))
+    // whole-run contamination (every query over) still flags
+    assert(Bench.contaminatedRuns(order,
+      order.map(_ -> 5.0).toMap, base) == order.toSet)
+  }
 }
