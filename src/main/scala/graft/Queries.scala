@@ -3031,6 +3031,16 @@ object Queries {
     // each branch re-runs the probe; with it the probe runs once and
     // the branches share the materialized id list (the
     // clusterCanonical convention)
+    // boil: ONE shingle+MinHash pass over the cleaned batch feeds
+    // BOTH the decontamination gate and the near-dup stage (the
+    // streaming chain's shared-bSig discipline, r18) — without it
+    // each stage re-shingles the cleaned text per query; lineage-
+    // truncated because two consumers reference it.
+    val boilSig = boilCleaned.map(c => Dedup.minHashSigOf(
+        c.filter(col("n_kept") > 0)
+          .select(col("doc_id"), col("clean_text").as("text")),
+        "doc_id", "text", minHashShingleN, minHashNumHashes)
+      .localCheckpoint(false))
     val contaminated = boilCleaned.fold(
         Dedup.contaminatedDocsNearDupStored(store, "sigs",
           batchPred, benchPred, threshold = minHashThreshold)
@@ -3044,7 +3054,8 @@ object Queries {
               .select(col("doc_id"), col("clean_text").as("text")),
             "doc_id", "text", shingleN = minHashShingleN,
             numHashes = minHashNumHashes, bands = minHashBands,
-            threshold = minHashThreshold, benchPred = Some(benchPred))
+            threshold = minHashThreshold, batchSig = boilSig,
+            benchPred = Some(benchPred))
           .select(col("id").as("doc_id")))
       .localCheckpoint(false)
     val b2d = b2g.join(contaminated, Seq("doc_id"), "left_anti")
@@ -3055,7 +3066,12 @@ object Queries {
     val kept2 = Dedup.incrementalNearDupStored(store, "sigs", b2x,
         "doc_id", "text", shingleN = minHashShingleN,
         numHashes = minHashNumHashes, bands = minHashBands,
-        threshold = minHashThreshold, corpusPred = Some(corpusPred))
+        threshold = minHashThreshold,
+        // the shared cleaned-batch signatures, restricted to the
+        // gates' survivors (the streaming sigD shape)
+        batchSig = boilSig.map(_.join(
+          b2x.select(col("doc_id").as("id")), Seq("id"), "left_semi")),
+        corpusPred = Some(corpusPred))
       .withColumnRenamed("id", "doc_id")
     val tagged0 = batch
       .join(kept1.withColumn("__m1", lit(true)), Seq("doc_id"), "left")

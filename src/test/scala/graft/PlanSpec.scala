@@ -443,6 +443,37 @@ class PlanSpec extends AnyFunSuite {
       s"the band-key gate must broadcast:\n$semPlan")
   }
 
+  test("pipeline_ingest_boil: no all-pairs; cleaned text planned once (r18)") {
+    // the boil-composed chain swaps the blocklist survivors' text for
+    // the store-cleaned form and feeds it to the percentile gate, the
+    // decontam signing, and the near-dup stage — three consumers of
+    // one localCheckpointed clean. The lock: no stage may go
+    // all-pairs, and the span-df STORE probe's rebuild must appear in
+    // the plan at most... the cleaned frame is checkpointed, so the
+    // final plan must read it through LogicalRDD/ExistingRDD (a
+    // re-derived probe would re-explode the batch per consumer).
+    val plan = SparkEntry.queries("pipeline_ingest_boil")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct")
+        && !plan.contains("BroadcastNestedLoopJoin"),
+      s"no stage of the boil chain may go all-pairs:\n$plan")
+    assert(plan.contains("ExistingRDD") || plan.contains("LogicalRDD"),
+      s"the checkpointed cleaned frame must back the boil chain:\n$plan")
+    // the funnel twin keeps the single-tagged-pass shape: the stage
+    // rows come from ONE conditional-sum aggregate unpivoted by ONE
+    // stage-struct explode — never a stage-prefix union re-running
+    // the chain once per stage (which would plan one explode-free
+    // aggregate per stage; the chain's INNER unions — near-dup's
+    // corpus/batch candidate arms — are legitimate, so the lock is on
+    // the funnel's unpivot, not a plan-wide Union/exchange count).
+    val audit = SparkEntry.queries("ingest_audit_boil")(spark, dir)
+      .queryExecution.executedPlan.toString
+    val nExplode = "Generate explode".r.findAllIn(audit).size
+    assert(nExplode == 1,
+      s"ingest_audit_boil must unpivot ONE tagged aggregate, " +
+        s"got $nExplode explodes:\n$audit")
+  }
+
   test("quality gates evaluate qualityScore ONCE (evalOnce pushdown fence)") {
     // the keep filter references the projected `quality` alias;
     // without the evalOnce fence PushDownPredicates inlines the full

@@ -634,7 +634,8 @@ class ScaleSpec extends AnyFunSuite {
     * rung-invariant — salted replicas are shingle-disjoint, so a
     * survivor set that shifts with corpus size means a probe leak.
     */
-  private def ladderFixedDeltaRun(dir: String): (Double, Set[Long]) = {
+  private def ladderFixedDeltaRun(dir: String,
+      boil: Boolean = false): (Double, Set[Long]) = {
     import spark.implicits._
     val d = spark.read.parquet(s"$dir/documents.parquet")
     // the batch delta, collected local like storedNearDupFixedDeltaRun
@@ -652,6 +653,21 @@ class ScaleSpec extends AnyFunSuite {
     graft.operators.Dedup.buildNearDupStore(store, "sigs", d,
       "doc_id", "text", shingleN = Queries.minHashShingleN,
       numHashes = Queries.minHashNumHashes, bands = Queries.minHashBands)
+    // boil rung (r18): the span-df store builds over the rung's FULL
+    // corpus (the calibration CREATE INDEX analogue, excluded from
+    // the timing); the chain's clean probes it for the fixed batch
+    // only — the probe side is what must not track corpus size
+    val boilCleaned =
+      if (!boil) None
+      else {
+        graft.operators.Dedup.buildSpanDfStore(store, "span_df",
+          d, "doc_id", "text", spanTokens = Queries.spanDedupTokens)
+        Some(graft.operators.Dedup.boilerplateRemoveStored(store, "span_df",
+            batch, "doc_id", "text", spanTokens = Queries.spanDedupTokens,
+            minDocs = Queries.boilerplateMinDocs)
+          .select(col("doc_id"), col("clean_text"), col("n_kept"))
+          .localCheckpoint(false))
+      }
     val semFlagged = Queries.ladderSemanticFlags(spark, base)
       .localCheckpoint(false)
     val q = Queries.ingestDecontamTaggedOn(store, batch,
@@ -661,7 +677,8 @@ class ScaleSpec extends AnyFunSuite {
           col("id") < Queries.decontamNearDupSplit,
         benchPred = col("id") >= Queries.decontamNearDupSplit &&
           col("id") < maxBase,
-        semFlagged = Some(semFlagged))
+        semFlagged = Some(semFlagged),
+        boilCleaned = boilCleaned)
       .filter(col("__s4")).select("doc_id")
     // the zero-corpus-text lock, asserted ON THE RUNG: every stage of
     // the composed chain reads the narrow signature index (and the
@@ -697,6 +714,35 @@ class ScaleSpec extends AnyFunSuite {
         s"${s100.size} at 100x")
     assert(t100 < 10.0 * math.max(t1, 0.5),
       f"composed ladder: fixed-delta chain took $t100%.2fs at 100x corpus " +
+        f"vs $t1%.2fs at 1x — a stage's cost is tracking corpus size, " +
+        "not delta size")
+  }
+
+  test("boil-composed chain: fixed delta, 100x corpus — wall ~flat, " +
+      "survivors invariant (r18)", ScaleTest) {
+    // the ladder rung with the BOILERPLATE stage composed in (boil +
+    // semantic, the r18 slot): the clean probes the span-df store for
+    // the fixed batch only, the cleaned text feeds the decontam
+    // signing and near-dup shingling — so a corpus grown 100x under
+    // the same fixed batch must leave the whole chain's wall an order
+    // of magnitude under linear, and (salted replicas being
+    // span-disjoint from the base by construction) must not change
+    // the survivor set: a shifted answer means a probe is leaking
+    // corpus-sized state into a batch-sized stage.
+    measured // force dirs (salted1 exists)
+    val salted100 = TestSpark.tempDir("graft_scale_boil100_")
+    writeSalted(100, salted100)
+    ladderFixedDeltaRun(dirs("salted1"), boil = true)
+    val (t1, s1) = ladderFixedDeltaRun(dirs("salted1"), boil = true)
+    ladderFixedDeltaRun(salted100, boil = true)
+    val (t100, s100) = ladderFixedDeltaRun(salted100, boil = true)
+    info(f"boil chain fixed-delta 1x=$t1%.2fs 100x=$t100%.2fs ratio=${t100 / math.max(t1, 1e-9)}%.1fx")
+    assert(s1.nonEmpty, "fixture must boil-ingest a nonempty survivor set")
+    assert(s100 == s1,
+      s"survivor set must be corpus-size-invariant: ${s1.size} at 1x vs " +
+        s"${s100.size} at 100x")
+    assert(t100 < 10.0 * math.max(t1, 0.5),
+      f"boil-composed chain: fixed-delta run took $t100%.2fs at 100x corpus " +
         f"vs $t1%.2fs at 1x — a stage's cost is tracking corpus size, " +
         "not delta size")
   }
