@@ -3068,9 +3068,15 @@ object Queries {
         numHashes = minHashNumHashes, bands = minHashBands,
         threshold = minHashThreshold,
         // the shared cleaned-batch signatures, restricted to the
-        // gates' survivors (the streaming sigD shape)
+        // gates' survivors (the streaming sigD shape); checkpointed
+        // (review r18) because the near-dup core reads its batchSig
+        // in THREE branches (banding + two shingle join-backs) — the
+        // batchSig contract is an already-materialized frame, and an
+        // un-truncated semi-join would re-run b2x's whole gate
+        // lineage per branch
         batchSig = boilSig.map(_.join(
-          b2x.select(col("doc_id").as("id")), Seq("id"), "left_semi")),
+            b2x.select(col("doc_id").as("id")), Seq("id"), "left_semi")
+          .localCheckpoint(false)),
         corpusPred = Some(corpusPred))
       .withColumnRenamed("id", "doc_id")
     val tagged0 = batch

@@ -1067,8 +1067,16 @@ object Dedup {
       "buildNearDupStore", strict = false)
     // meta BEFORE data: a crash between the two leaves a table whose
     // next build-retry rewrites the same meta (idempotent), so any
-    // index with committed data always carries its geometry
-    store.putMeta(table, geometryProps(shingleN, numHashes, bands) ++ extraProps)
+    // index with committed data always carries its geometry.
+    // Existing keys are PRESERVED under the rewrite (review r18):
+    // putMeta is a full replace, so an incremental extend of a
+    // planner-built index would otherwise silently strip its
+    // planner.* provenance on the first MERGE — the geometry keys
+    // re-assert (require-matched identical above), extraProps win on
+    // a planned rebuild.
+    store.putMeta(table,
+      store.getMeta(table) ++ geometryProps(shingleN, numHashes, bands)
+        ++ extraProps)
     store.merge(table,
       sigStoreRows(docs, idCol, textCol, shingleN, numHashes, bands), "id")
     // a zero-row first build leaves the table nonexistent by
@@ -1097,7 +1105,12 @@ object Dedup {
     validateBatchSig(sig, shingleN, numHashes, "buildNearDupStoreFromSig")
     requireStoreGeometry(store, table, shingleN, numHashes, bands,
       "buildNearDupStoreFromSig", strict = false)
-    store.putMeta(table, geometryProps(shingleN, numHashes, bands))
+    // preserve existing keys (review r18): the streaming chain calls
+    // this per surviving micro-batch, and a bare geometry-only
+    // replace wiped a planner-built index's planner.* provenance on
+    // the first delivery with survivors
+    store.putMeta(table,
+      store.getMeta(table) ++ geometryProps(shingleN, numHashes, bands))
     val rows = numHashes / bands
     val merged = docs.select(col(idCol).as("id"), col(textCol).as("text"))
       .withColumn("norm_hash", normHash(col("text")))

@@ -40,10 +40,15 @@ object LangId {
   /** Learned artifact: per-language intercepts + dense bucket
     * coefficient rows (lang-major; bucket index = the hexLen-digit
     * md5 prefix parsed as an int). Languages sorted, so the
-    * label↔index mapping is deterministic.
+    * label↔index mapping is deterministic. The FULL feature geometry
+    * rides with the model — `hexLen` AND the n-gram order `n` (review
+    * r18: a scorer probing n=2 buckets against n=3-trained
+    * coefficients is silently garbage, the batchSig-geometry-drift
+    * failure class) — so [[detect]]/[[scorer]] can never featurize
+    * differently than training did.
     */
   case class Model(langs: Array[String], intercepts: Array[Double],
-      weights: Array[Array[Double]], hexLen: Int)
+      weights: Array[Array[Double]], hexLen: Int, n: Int)
 
   /** Train one multinomial LR over hashed-bigram presence features
     * from a LABELED corpus (langCol supervises — a trusted labeled
@@ -54,8 +59,8 @@ object LangId {
       langCol: String, n: Int = 2, hexLen: Int = 3,
       regParam: Double = 0.01, maxIter: Int = 30,
       tol: Double = 1e-6): Model = {
-    require(hexLen >= 1 && hexLen <= 4, s"hexLen must be in [1,4], got $hexLen")
-    val dim = 1 << (4 * hexLen)
+    QualityFilter.requireHexLen(hexLen)
+    val dim = QualityFilter.bucketDim(hexLen)
     val labeled = docs.filter(col(langCol).isNotNull)
     val langs = labeled.select(col(langCol).cast("string")).distinct()
       .collect().map(_.getString(0)).sorted
@@ -63,11 +68,7 @@ object LangId {
       s"LangId.train needs >= 2 labeled languages, got ${langs.mkString(", ")}")
     val langIdx = langs.zipWithIndex.toMap
     val idxUdf = udf((l: String) => langIdx(l).toDouble)
-    val toVec = udf { (bks: Seq[String]) =>
-      val idx = bks.map(b => Integer.parseInt(b, 16)).distinct.sorted.toArray
-      org.apache.spark.ml.linalg.Vectors.sparse(dim, idx,
-        Array.fill(idx.length)(1.0))
-    }
+    val toVec = QualityFilter.toVecUdf(dim)
     val training = QualityFilter.featureBuckets(labeled, idCol, textCol, n, hexLen)
       .groupBy("id").agg(collect_set(col("bk")).as("bks"))
       .join(labeled.select(col(idCol).as("id"),
@@ -80,7 +81,7 @@ object LangId {
     val m = fit.coefficientMatrix
     Model(langs, fit.interceptVector.toArray,
       Array.tabulate(langs.length)(r =>
-        Array.tabulate(dim)(c => m(r, c))), hexLen)
+        Array.tabulate(dim)(c => m(r, c))), hexLen, n)
   }
 
   /** Coefficient table for dumping/serving: (lang, bk, w) — one row
@@ -103,16 +104,19 @@ object LangId {
   }
 
   /** Relational routing: (id, detected) per document — explode the
-    * distinct bigram buckets, broadcast-join the coefficient table,
-    * per-(doc, lang) DECIMAL sum + intercept, argmax by
-    * (score, lang) descending. Documents with NO grams produce no
-    * evidence and rout to 'und' (the heuristic's convention).
+    * distinct n-gram buckets (the model's OWN n and hexLen — feature
+    * geometry rides with the artifact), broadcast-join the
+    * coefficient table, per-(doc, lang) DECIMAL sum + intercept,
+    * argmax by (score, lang) descending. Documents with NO grams
+    * produce no evidence and rout to 'und' (the heuristic's
+    * convention).
     */
-  def detect(docs: DataFrame, model: Model, idCol: String, textCol: String,
-      n: Int = 2): DataFrame = {
+  def detect(docs: DataFrame, model: Model, idCol: String,
+      textCol: String): DataFrame = {
     val wt = weightsTable(docs.sparkSession, model)
     val ic = interceptsTable(docs.sparkSession, model)
-    val scored = QualityFilter.featureBuckets(docs, idCol, textCol, n, model.hexLen)
+    val scored = QualityFilter.featureBuckets(docs, idCol, textCol,
+      model.n, model.hexLen)
       .join(broadcast(wt), Seq("bk"))
       .groupBy(col("id"), col("lang"))
       .agg(sum(col("w").cast("decimal(28,12)")).as("__z"))
@@ -143,8 +147,9 @@ object LangId {
     val weights = model.weights
     val icepts = model.intercepts
     val hexLen = model.hexLen
+    val n = model.n
     val f = udf { (text: String) =>
-      val grams = Dedup.ngramSetScala(text, 2)
+      val grams = Dedup.ngramSetScala(text, n)
       if (grams.isEmpty) "und"
       else {
         val md = java.security.MessageDigest.getInstance("MD5")

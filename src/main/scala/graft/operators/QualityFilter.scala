@@ -47,6 +47,21 @@ object QualityFilter {
       .select(col("id"), substring(md5(col("g")), 1, hexLen).as("bk"))
       .distinct()
 
+  /** The TRAINING half of the shared feature space (review r18 —
+    * previously copy-pasted into [[LangId]]): the hexLen bound, the
+    * bucket-count rule, and the hex-bucket-set → sparse-binary-vector
+    * UDF. One definition, so a change to the bucket encoding can
+    * never diverge the two learned operators.
+    */
+  private[operators] def requireHexLen(hexLen: Int): Unit =
+    require(hexLen >= 1 && hexLen <= 4, s"hexLen must be in [1,4], got $hexLen")
+  private[operators] def bucketDim(hexLen: Int): Int = 1 << (4 * hexLen)
+  private[operators] def toVecUdf(dim: Int) = udf { (bks: Seq[String]) =>
+    val idx = bks.map(b => Integer.parseInt(b, 16)).distinct.sorted.toArray
+    org.apache.spark.ml.linalg.Vectors.sparse(dim, idx,
+      Array.fill(idx.length)(1.0))
+  }
+
   /** Train the classifier: target (label 1) vs a deterministic
     * `negativeFraction` sample of raw (label 0). Returns the
     * coefficient artifact; training runs on collected-to-vector
@@ -57,8 +72,8 @@ object QualityFilter {
   def train(raw: DataFrame, target: DataFrame, idCol: String, textCol: String,
       n: Int = 2, hexLen: Int = 3, negativeFraction: Double = 1.0,
       regParam: Double = 0.01, maxIter: Int = 30, tol: Double = 1e-6): Model = {
-    require(hexLen >= 1 && hexLen <= 4, s"hexLen must be in [1,4], got $hexLen")
-    val dim = 1 << (4 * hexLen)
+    requireHexLen(hexLen)
+    val dim = bucketDim(hexLen)
     val negatives =
       if (negativeFraction >= 1.0) raw
       else {
@@ -73,11 +88,7 @@ object QualityFilter {
       featureBuckets(df, idCol, textCol, n, hexLen)
         .groupBy("id").agg(collect_set(col("bk")).as("bks"))
         .select(col("id"), lit(label).as("label"), col("bks"))
-    val toVec = udf { (bks: Seq[String]) =>
-      val idx = bks.map(b => Integer.parseInt(b, 16)).distinct.sorted.toArray
-      org.apache.spark.ml.linalg.Vectors.sparse(dim, idx,
-        Array.fill(idx.length)(1.0))
-    }
+    val toVec = toVecUdf(dim)
     val training = vectors(target, 1.0).unionByName(vectors(negatives, 0.0))
       .select(col("label"), toVec(col("bks")).as("features"))
     // convergence precision is deliberately modest: the oracle

@@ -250,5 +250,13 @@ class MinHashSpec extends AnyFunSuite {
       .awaitTermination(120000), "planned restart did not finish")
     assert(sStore.read("docs").filter($"doc_id" === 11L).count() == 1,
       "restart against the recorded geometry must keep serving")
+    // doc 11 ingested, so the restart's surviving micro-batch ran the
+    // per-batch signature MERGE (buildNearDupStoreFromSig) — whose
+    // geometry-only _META rewrite used to WIPE the planner.*
+    // provenance the self-heal build recorded (review r18: putMeta is
+    // a full replace; builders now preserve existing keys)
+    val sMeta2 = sStore.getMeta("sigs")
+    assert(sMeta2("planner.rows_per_band") == plan.rowsPerBand.toString,
+      "planner provenance must survive the per-micro-batch signature MERGE")
   }
 }
