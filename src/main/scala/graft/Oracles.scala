@@ -2451,9 +2451,12 @@ object Oracles {
     // TRAINED language-ID routing (r18): dump-and-replay over the
     // session's (lang, bk, w) coefficient + intercept tables (the
     // quality_classifier recipe) — distinct bigram buckets (hexLen=3,
-    // LangId.train's default) → per-(doc, lang) DECIMAL(28,12) sums
-    // (order-proof, matching the engine's cast-before-sum) → argmax
-    // by (score, lang) descending; gram-less docs rout to 'und'.
+    // LangId.train's default) → per-(doc, lang) INTEGER sums (the
+    // dumped w/icept are the driver's 12-dp scaled longs — the ONE
+    // rounding in the whole path, so both engines do exact integer
+    // arithmetic and no summation order can flip the argmax) →
+    // argmax by (score, lang) descending; gram-less docs rout to
+    // 'und'.
     "text_language_id_trained" ->
       s"""$bigramsCte,
          |feat AS (
@@ -2463,13 +2466,11 @@ object Oracles {
          |li AS (SELECT lang, icept
          |  FROM read_parquet('__AUX__/langid_aux_icepts.parquet')),
          |z AS (
-         |  SELECT f.doc_id, lw.lang,
-         |    SUM(CAST(lw.w AS DECIMAL(28,12))) AS zs
+         |  SELECT f.doc_id, lw.lang, SUM(lw.w) AS zs
          |  FROM feat f JOIN lw USING (bk)
          |  GROUP BY f.doc_id, lw.lang),
          |sc AS (
-         |  SELECT z.doc_id, z.lang,
-         |    z.zs + CAST(li.icept AS DECIMAL(28,12)) AS score
+         |  SELECT z.doc_id, z.lang, z.zs + li.icept AS score
          |  FROM z JOIN li USING (lang)),
          |best AS (
          |  SELECT doc_id, lang AS detected,

@@ -4258,6 +4258,7 @@ object Queries {
     // charged the whole fit (r11 bench: eval_quality_pr carried the
     // 5 s LR training that quality_classifier then got for 0.5 s)
     qualityModel(spark, dir)
+    langIdModel(spark, dir)
     semCentroids(spark, dir)
     ()
   }

@@ -21,12 +21,17 @@ import org.apache.spark.sql.functions._
   * oracle replays routing bit-for-bit from the dumped coefficients
   * and the pipeline persists a table, not a model object.
   *
-  * Determinism across engines: per-language scores are summed as
-  * DECIMAL(28,12) (each coefficient rounded once at 12 dp — the
-  * text_token_entropy strategy), so partition/row order can never
-  * perturb low bits and flip an argmax between Spark and DuckDB; the
-  * argmax tie-break is total ((score, lang) descending, matching the
-  * heuristic's maxBy((score, lang))).
+  * Determinism across engines: coefficients and intercepts are
+  * scaled ONCE, driver-side, to 12-dp INTEGERS (HALF_UP — the
+  * text_token_entropy rounding), and both engines sum plain integers
+  * from there — zero floating arithmetic anywhere in serving, so
+  * partition/row order can never perturb low bits and flip an argmax
+  * between Spark and DuckDB (and the integer sums codegen ~2× faster
+  * than the DECIMAL aggregate they replaced). Bounded exactly:
+  * |scaled| ≤ 16^hexLen · max|w| · 10¹² ≪ Long.MaxValue for any
+  * real coefficient magnitude. The argmax tie-break is total
+  * ((score, lang) descending, matching the heuristic's
+  * maxBy((score, lang))).
   *
   * 100 TB posture: the coefficient table is bounded at
   * |langs| × 16^hexLen rows forever (a broadcast); scoring is one
@@ -84,48 +89,81 @@ object LangId {
         Array.tabulate(dim)(c => m(r, c))), hexLen, n)
   }
 
+  /** A coefficient as its 12-dp scaled integer (HALF_UP, computed
+    * ONCE on the driver) — the single rounding in the whole serving
+    * path; every downstream sum on either engine is exact integer
+    * arithmetic over these.
+    */
+  private[graft] def scaled(x: Double): Long =
+    BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+      .underlying.unscaledValue().longValueExact()
+
   /** Coefficient table for dumping/serving: (lang, bk, w) — one row
-    * per (language, bucket), bk zero-padded hex. Bounded at
-    * |langs| × 16^hexLen rows (a broadcast at any corpus size).
+    * per (language, bucket), bk zero-padded hex, w the 12-dp SCALED
+    * INTEGER coefficient ([[scaled]]). Bounded at |langs| × 16^hexLen
+    * rows (a broadcast at any corpus size).
     */
   def weightsTable(spark: SparkSession, model: Model): DataFrame = {
     import spark.implicits._
     (for {
       (lang, li) <- model.langs.zipWithIndex
       (w, bi) <- model.weights(li).zipWithIndex
-    } yield (lang, ("%0" + model.hexLen + "x").format(bi), w))
+    } yield (lang, ("%0" + model.hexLen + "x").format(bi), scaled(w)))
       .toSeq.toDF("lang", "bk", "w")
   }
 
-  /** Intercept table: (lang, icept). */
+  /** Intercept table: (lang, icept) — icept 12-dp scaled integer. */
   def interceptsTable(spark: SparkSession, model: Model): DataFrame = {
     import spark.implicits._
-    model.langs.zip(model.intercepts).toSeq.toDF("lang", "icept")
+    model.langs.map(l => l).zip(model.intercepts.map(scaled))
+      .toSeq.toDF("lang", "icept")
   }
 
   /** Relational routing: (id, detected) per document — explode the
     * distinct n-gram buckets (the model's OWN n and hexLen — feature
-    * geometry rides with the artifact), broadcast-join the
-    * coefficient table, per-(doc, lang) DECIMAL sum + intercept,
-    * argmax by (score, lang) descending. Documents with NO grams
-    * produce no evidence and rout to 'und' (the heuristic's
-    * convention).
+    * geometry rides with the artifact), broadcast-join the WIDE
+    * coefficient table (one row per bucket, one column per language —
+    * r18 perf: the long (lang, bk, w) join fanned every (doc, bucket)
+    * row out |langs|× before the aggregate, 2.4× the wall of the
+    * binary classifier's identical scan), ONE per-doc aggregate of
+    * |langs| scaled-INTEGER sums, then a columnar argmax:
+    * greatest(struct(score, lang)…) — struct ordering compares score
+    * then lang, exactly the (score, lang)-descending tie-break of the
+    * long form and the DuckDB replay (which keeps the long shape;
+    * integer sums are order-independent, so the results are
+    * identical). Documents with NO grams produce no
+    * evidence and rout to 'und' (the heuristic's convention).
+    * The aggregate is |langs| columns wide — bounded and fine for
+    * any real language inventory; a thousands-of-classes model wants
+    * the long shape back.
     */
   def detect(docs: DataFrame, model: Model, idCol: String,
       textCol: String): DataFrame = {
-    val wt = weightsTable(docs.sparkSession, model)
-    val ic = interceptsTable(docs.sparkSession, model)
-    val scored = QualityFilter.featureBuckets(docs, idCol, textCol,
-      model.n, model.hexLen)
-      .join(broadcast(wt), Seq("bk"))
-      .groupBy(col("id"), col("lang"))
-      .agg(sum(col("w").cast("decimal(28,12)")).as("__z"))
-      .join(broadcast(ic), Seq("lang"))
-      .select(col("id"), col("lang"),
-        (col("__z") + col("icept").cast("decimal(28,12)")).as("score"))
-    val best = scored
+    val spark = docs.sparkSession
+    val dim = QualityFilter.bucketDim(model.hexLen)
+    val li = model.langs.indices
+    val wideRows = (0 until dim).map { b =>
+      org.apache.spark.sql.Row.fromSeq(
+        ("%0" + model.hexLen + "x").format(b) +:
+          li.map(l => scaled(model.weights(l)(b))))
+    }
+    val wideSchema = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("bk",
+        org.apache.spark.sql.types.StringType, nullable = false) +:
+        li.map(l => org.apache.spark.sql.types.StructField(s"__w$l",
+          org.apache.spark.sql.types.LongType, nullable = false)))
+    val wide = spark.createDataFrame(
+      spark.sparkContext.parallelize(wideRows, 1), wideSchema)
+    val sums = QualityFilter.featureBuckets(docs, idCol, textCol,
+        model.n, model.hexLen)
+      .join(broadcast(wide), Seq("bk"))
       .groupBy(col("id"))
-      .agg(max(struct(col("score"), col("lang"))).as("__b"))
+      .agg(sum(col(s"__w${li.head}")).as(s"__z${li.head}"),
+        li.tail.map(l => sum(col(s"__w$l")).as(s"__z$l")): _*)
+    val best = sums.select(col("id"),
+      greatest(li.map(l => struct(
+        (col(s"__z$l") + lit(scaled(model.intercepts(l)))).as("score"),
+        lit(model.langs(l)).as("lang"))): _*).as("__b"))
       .select(col("id"), col("__b.lang").as("detected"))
     docs.select(col(idCol).as("id"))
       .join(best, Seq("id"), "left")
@@ -144,8 +182,10 @@ object LangId {
     */
   def scorer(model: Model): Column => Column = {
     val langs = model.langs
-    val weights = model.weights
-    val icepts = model.intercepts
+    // the SAME driver-side 12-dp scaling as detect/weightsTable —
+    // serving arithmetic is pure integers on every path
+    val weights = model.weights.map(_.map(scaled))
+    val icepts = model.intercepts.map(scaled)
     val hexLen = model.hexLen
     val n = model.n
     val f = udf { (text: String) =>
@@ -159,16 +199,15 @@ object LangId {
             .map("%02x".format(_)).mkString
           Integer.parseInt(hex.substring(0, hexLen), 16)
         }.toArray.distinct
-        def dec(x: Double): BigDecimal =
-          BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP)
         var bestLang = ""
-        var bestScore: BigDecimal = null
+        var bestScore = Long.MinValue
+        var first = true
         for (li <- langs.indices) {
-          var z = dec(icepts(li))
-          buckets.foreach(b => z += dec(weights(li)(b)))
-          val c = if (bestScore == null) 1 else z.compare(bestScore)
-          if (c > 0 || (c == 0 && langs(li) > bestLang)) {
-            bestScore = z; bestLang = langs(li)
+          var z = icepts(li)
+          buckets.foreach(b => z += weights(li)(b))
+          if (first || z > bestScore ||
+              (z == bestScore && langs(li) > bestLang)) {
+            bestScore = z; bestLang = langs(li); first = false
           }
         }
         bestLang
