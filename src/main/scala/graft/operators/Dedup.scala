@@ -1073,10 +1073,17 @@ object Dedup {
     // planner-built index would otherwise silently strip its
     // planner.* provenance on the first MERGE — the geometry keys
     // re-assert (require-matched identical above), extraProps win on
-    // a planned rebuild.
+    // a planned rebuild. Preservation applies ONLY when the table has
+    // COMMITTED data (review r18, second pass): a geometry-only
+    // sidecar is the documented r14 crash artifact — describing data
+    // that never landed — and merging its stale planner.* keys onto a
+    // fresh differently-planned build would label the new index with
+    // a plan it was never built from; the artifact still gets wiped.
+    val prior =
+      if (store.exists(table)) store.getMeta(table)
+      else Map.empty[String, String]
     store.putMeta(table,
-      store.getMeta(table) ++ geometryProps(shingleN, numHashes, bands)
-        ++ extraProps)
+      prior ++ geometryProps(shingleN, numHashes, bands) ++ extraProps)
     store.merge(table,
       sigStoreRows(docs, idCol, textCol, shingleN, numHashes, bands), "id")
     // a zero-row first build leaves the table nonexistent by
@@ -1108,9 +1115,13 @@ object Dedup {
     // preserve existing keys (review r18): the streaming chain calls
     // this per surviving micro-batch, and a bare geometry-only
     // replace wiped a planner-built index's planner.* provenance on
-    // the first delivery with survivors
-    store.putMeta(table,
-      store.getMeta(table) ++ geometryProps(shingleN, numHashes, bands))
+    // the first delivery with survivors. Committed-data-only, like
+    // the batch builder: a geometry-only crash sidecar is wiped, not
+    // resurrected.
+    val prior =
+      if (store.exists(table)) store.getMeta(table)
+      else Map.empty[String, String]
+    store.putMeta(table, prior ++ geometryProps(shingleN, numHashes, bands))
     val rows = numHashes / bands
     val merged = docs.select(col(idCol).as("id"), col(textCol).as("text"))
       .withColumn("norm_hash", normHash(col("text")))

@@ -27,9 +27,14 @@ import org.apache.spark.sql.functions._
   * from there — zero floating arithmetic anywhere in serving, so
   * partition/row order can never perturb low bits and flip an argmax
   * between Spark and DuckDB (and the integer sums codegen ~2× faster
-  * than the DECIMAL aggregate they replaced). Bounded exactly:
-  * |scaled| ≤ 16^hexLen · max|w| · 10¹² ≪ Long.MaxValue for any
-  * real coefficient magnitude. The argmax tie-break is total
+  * than the DECIMAL aggregate they replaced). Boundedness is
+  * ENFORCED, not assumed (review r18): every serving surface
+  * requires the worst per-doc score — all 16^hexLen buckets at
+  * max|w| plus the max intercept — to fit a Long with 4× margin, so
+  * a pathological model fails loudly at construction instead of
+  * wrapping into a silent cross-engine argmax divergence (Spark's
+  * Long sums wrap, DuckDB's promote to HUGEINT). The argmax
+  * tie-break is total
   * ((score, lang) descending, matching the heuristic's
   * maxBy((score, lang))).
   *
@@ -98,6 +103,29 @@ object LangId {
     BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP)
       .underlying.unscaledValue().longValueExact()
 
+  /** The boundedness claim, ENFORCED (review r18): the worst per-doc
+    * score — every bucket present at the max-magnitude coefficient,
+    * plus the max intercept — must fit a Long with 4× margin, or the
+    * engine's wrapping Long sums would diverge from DuckDB's exact
+    * HUGEINT sums precisely where the design claims they cannot.
+    * Checked exactly in BigInt; a violating model (pathological
+    * coefficients at hexLen 4) fails HERE, at serving-surface
+    * construction, never as a silent wrong argmax.
+    */
+  private def requireScaledBounds(model: Model): Unit = {
+    val dim = QualityFilter.bucketDim(model.hexLen)
+    val maxW = model.weights.iterator.flatten
+      .foldLeft(0L)((m, w) => m.max(math.abs(scaled(w))))
+    val maxI = model.intercepts
+      .foldLeft(0L)((m, i) => m.max(math.abs(scaled(i))))
+    val worst = BigInt(dim) * BigInt(maxW) + BigInt(maxI)
+    require(worst <= BigInt(Long.MaxValue / 4),
+      s"LangId: scaled-integer score bound $worst exceeds Long range / 4 " +
+        s"(dim=$dim, max|w|·1e12=$maxW, max|icept|·1e12=$maxI) — integer " +
+        "sums could wrap and silently disagree with the oracle; retrain " +
+        "with stronger regularization or a smaller hexLen")
+  }
+
   /** Coefficient table for dumping/serving: (lang, bk, w) — one row
     * per (language, bucket), bk zero-padded hex, w the 12-dp SCALED
     * INTEGER coefficient ([[scaled]]). Bounded at |langs| × 16^hexLen
@@ -115,7 +143,7 @@ object LangId {
   /** Intercept table: (lang, icept) — icept 12-dp scaled integer. */
   def interceptsTable(spark: SparkSession, model: Model): DataFrame = {
     import spark.implicits._
-    model.langs.map(l => l).zip(model.intercepts.map(scaled))
+    model.langs.zip(model.intercepts.map(scaled))
       .toSeq.toDF("lang", "icept")
   }
 
@@ -139,6 +167,7 @@ object LangId {
     */
   def detect(docs: DataFrame, model: Model, idCol: String,
       textCol: String): DataFrame = {
+    requireScaledBounds(model)
     val spark = docs.sparkSession
     val dim = QualityFilter.bucketDim(model.hexLen)
     val li = model.langs.indices
@@ -152,8 +181,11 @@ object LangId {
         org.apache.spark.sql.types.StringType, nullable = false) +:
         li.map(l => org.apache.spark.sql.types.StructField(s"__w$l",
           org.apache.spark.sql.types.LongType, nullable = false)))
+    // LocalRelation, not parallelize (review r18): the rows already
+    // live on the driver, and an RDD-backed frame schedules a 1-task
+    // job just so the broadcast can collect them back
     val wide = spark.createDataFrame(
-      spark.sparkContext.parallelize(wideRows, 1), wideSchema)
+      java.util.Arrays.asList(wideRows: _*), wideSchema)
     val sums = QualityFilter.featureBuckets(docs, idCol, textCol,
         model.n, model.hexLen)
       .join(broadcast(wide), Seq("bk"))
@@ -181,6 +213,7 @@ object LangId {
     * relational form when the plan can join instead.
     */
   def scorer(model: Model): Column => Column = {
+    requireScaledBounds(model)
     val langs = model.langs
     // the SAME driver-side 12-dp scaling as detect/weightsTable —
     // serving arithmetic is pure integers on every path
