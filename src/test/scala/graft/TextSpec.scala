@@ -217,5 +217,23 @@ class TextSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(det == Map(1L -> "und", 2L -> "und"),
       "docs with no bigrams carry no evidence and rout to 'und'")
+    // the ENFORCED integer-score bound (review r18): a pathological
+    // model whose worst per-doc score could wrap a Long must fail at
+    // serving-surface construction — Spark's Long sums wrap while
+    // DuckDB's promote to HUGEINT, so an unchecked overflow would be
+    // a silent cross-engine argmax divergence
+    val dim = 1 << (4 * model.hexLen)
+    val huge = graft.operators.LangId.Model(
+      Array("aa", "bb"), Array(0.0, 0.0),
+      Array(Array.fill(dim)(1e6), Array.fill(dim)(-1e6)),
+      model.hexLen, model.n)
+    val eDetect = intercept[IllegalArgumentException] {
+      graft.operators.LangId.detect(tiny, huge, "doc_id", "text")
+    }
+    assert(eDetect.getMessage.contains("wrap"),
+      "overflow-prone model must fail detect construction loudly")
+    intercept[IllegalArgumentException] {
+      graft.operators.LangId.scorer(huge)
+    }
   }
 }
