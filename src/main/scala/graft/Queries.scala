@@ -2890,9 +2890,9 @@ object Queries {
     * stage between blocklist and decontamination (the full streaming
     * configuration's batch twin): batch rows below the corpus CDF's
     * [[ingestGatePct]] quantile within their language drop, tagged
-    * `__s2p`. The pass set derives from the oracled
-    * [[qualityPercentiled]] frame — per-doc like the other flag sets,
-    * so it computes once and semi-joins.
+    * `__s2p`. The pass set probes the PERSISTED calibration snapshot
+    * ([[ingestPctPass]], r19) — per-doc like the other flag sets, so
+    * it computes once and semi-joins.
     */
   private[graft] val ingestGatePct = 0.5
   private[graft] def ingestDecontamTagged(spark: SparkSession, dir: String,
@@ -2928,50 +2928,64 @@ object Queries {
         else Some(ladderSemanticFlags(spark, dir).localCheckpoint(false)),
       pctPass =
         if (!percentile) None
-        else if (boil) {
-          // with the boilerplate stage on, the gate scores the CLEANED
-          // text — the whole point of cleaning before gating is that
-          // the cleaned text changes every downstream signal — against
-          // the CDF of the raw calibration corpus. A cleaned quality
-          // value is generally NOT a histogram cell of that corpus, so
-          // the exact-cell equi-join below would silently drop docs;
-          // the RANGE lookup (QualityCal.withPercentile — max cell ≤
-          // quality, the persisted-snapshot probe semantics) covers
-          // arbitrary values.
-          val cdf = operators.QualityCal.cdfOf(docsT
-            .select(col("lang"), qualityScore(col("text")).as("quality")))
-          val cleanedScored = docsT.filter(batchIdPred)
-            .select(col("doc_id"), col("lang"))
-            .join(boilCleaned.get.filter(col("n_kept") > 0), Seq("doc_id"))
-            .select(col("doc_id"), col("lang"),
-              qualityScore(col("clean_text")).as("quality"))
-          Some(operators.QualityCal.withPercentile(cleanedScored, cdf,
-              "lang", col("quality"))
-            .filter(col("pct") >= ingestGatePct).select(col("doc_id"))
-            .localCheckpoint(false))
-        } else {
-          // the CDF histograms the FULL corpus (the calibration
-          // distribution) but the join-back pass covers ONLY the batch
-          // slice — the gate needs percentiles for batch rows alone,
-          // and qualityPercentiled's corpus-wide join pass would scan
-          // the whole corpus a second time for values it throws away
-          // (at 100 TB: a delta-sized scan instead of a corpus scan)
-          val cdf = operators.QualityCal.cdfOf(docsT
-              .select(col("lang"), qualityScore(col("text")).as("quality")))
-            .withColumnRenamed("lang", "__cl")
-            .withColumnRenamed("quality", "__cq")
-          val batchScored = docsT
-            .filter(col("doc_id") >= incrementalSplit &&
-              col("doc_id") < decontamNearDupSplit)
-            .select(col("doc_id"), col("lang"),
-              qualityScore(col("text")).as("quality"))
-          Some(batchScored.join(broadcast(cdf),
-              batchScored("lang") <=> cdf("__cl") &&
-                batchScored("quality") === cdf("__cq"))
-            .filter(col("pct") >= ingestGatePct).select(col("doc_id"))
-            .localCheckpoint(false))
-        },
+        else Some(ingestPctPass(spark, dir, boilCleaned)
+          .localCheckpoint(false)),
       boilCleaned = boilCleaned)
+  }
+
+  /** The percentile-gate pass set for the gated ingest chains — batch
+    * doc_ids whose (cleaned, when boilerplate is on) quality clears
+    * [[ingestGatePct]] within their language, probed against the
+    * PERSISTED calibration snapshot ([[pctCdfStore]] →
+    * [[operators.QualityCal.loadCdf]] → the
+    * [[operators.QualityCal.withPercentile]] range lookup) — r19, the
+    * r18 verdict's #1: the previous shape re-histogrammed the whole
+    * corpus through the 2-UDF qualityScore on EVERY chain run, a
+    * corpus-sized text scan per ingest batch where the production
+    * shape is a delta-sized pass against a calibration-cadence
+    * snapshot (exactly what the streaming PercentileGate already
+    * does). Against a snapshot of the SAME corpus the range lookup
+    * reduces to each row's own cume_dist — for raw batch text every
+    * quality value IS a histogram cell, so max(cell ≤ q) is the cell
+    * itself — and every chained-CTE oracle replays unchanged (the
+    * sample_percentile_snapshot answer-equality convention). A
+    * cleaned quality (boil) is generally NOT a cell; the range lookup
+    * covers arbitrary values, which is why the probe semantics are
+    * the store's, not an exact-cell equi-join.
+    *
+    * Scoring is restricted to BLOCKLIST SURVIVORS of the batch slice
+    * (ADVICE r18): the pass set only acts through `__s2`/`__s2b`
+    * conjunctions, so rows failing the blocklist can never pass the
+    * gate — scoring them ran the 2-UDF chain on work the left_semi
+    * application then threw away. The blocklist predicate is a cheap
+    * codegen'd filter; re-evaluating it here costs nothing against
+    * the two regex/ratio UDF evaluations it saves per dropped row.
+    */
+  private[graft] def ingestPctPass(spark: SparkSession, dir: String,
+      boilCleaned: Option[DataFrame]): DataFrame = {
+    val docsT = t(spark, dir, "documents")
+    val cdf = operators.QualityCal.loadCdf(pctCdfStore(spark, dir),
+      "quality_cdf", "ingestPctPass", expectSnapshot = Some("corpus-v1"))
+    val base = docsT
+      .filter(col("doc_id") >= incrementalSplit &&
+        col("doc_id") < decontamNearDupSplit)
+      .filter(blocklistClean(col("text"), blocklistTerms))
+    val scored = boilCleaned match {
+      case Some(c) =>
+        // the gate scores the CLEANED text — the whole point of
+        // cleaning before gating is that the cleaned text changes
+        // every downstream signal; all-boilerplate docs (n_kept = 0)
+        // have nothing to score
+        base.select(col("doc_id"), col("lang"))
+          .join(c.filter(col("n_kept") > 0), Seq("doc_id"))
+          .select(col("doc_id"), col("lang"),
+            qualityScore(col("clean_text")).as("quality"))
+      case None =>
+        base.select(col("doc_id"), col("lang"),
+          qualityScore(col("text")).as("quality"))
+    }
+    operators.QualityCal.withPercentile(scored, cdf, "lang", col("quality"))
+      .filter(col("pct") >= ingestGatePct).select(col("doc_id"))
   }
 
   /** [[ingestDecontamTagged]]'s core over caller-supplied split views

@@ -137,6 +137,34 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("gated-chain percentile gate probes the persisted calibration " +
+      "snapshot — no corpus-wide qualityScore rehistogram (r19)") {
+    // ingestPctPass is the (pre-checkpoint) pass-set frame the gated
+    // chains semi-join on; the chains themselves localCheckpoint it,
+    // hiding its subtree from their executed plans, so the pin reads
+    // the frame directly. Before r19 the gate rebuilt the calibration
+    // CDF from the FULL corpus (an unbounded documents scan through
+    // the 2-UDF qualityScore) on every run of ingest_audit_gated /
+    // ingest_audit_boil / pipeline_ingest_boil — at 100 TB that turns
+    // a delta-sized ingest pass into a corpus-sized scan. Production
+    // shape: every documents scan in the gate is batch-bounded
+    // (pushed doc_id range) and the CDF comes from the persisted
+    // snapshot store.
+    val plan = Queries.ingestPctPass(spark, dir, None)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("graft_pctcdf_"),
+      s"the gate must read the persisted CDF snapshot store:\n$plan")
+    val docScans = plan.linesIterator.filter(l =>
+      l.contains("Scan parquet") && l.contains("documents")).toSeq
+    assert(docScans.nonEmpty,
+      s"expected a batch-slice documents scan:\n$plan")
+    docScans.foreach { l =>
+      assert(l.contains("GreaterThanOrEqual(doc_id"),
+        s"every documents scan in the gate must carry the pushed batch " +
+          s"lower bound (a corpus-wide scan regressed):\n$l")
+    }
+  }
+
   test("pack_offsets: ONE narrow exchange serves cumsum and placement windows") {
     val plan = SparkEntry.queries("pack_offsets")(spark, dir)
       .queryExecution.executedPlan.toString
