@@ -973,4 +973,66 @@ class ScaleSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("LangId sampled training: a 10% sample of a 10x corpus still " +
+      "recovers the labels (r19)", ScaleTest) {
+    // the training-side scale rung (the r18 verdict's #6): serving is
+    // bounded by construction (|langs| x 16^hexLen broadcast), but a
+    // fit over the FULL labeled corpus grows linearly with the crawl.
+    // The sampleFraction knob bounds it — a 10% sample of a 10x
+    // corpus is base-corpus-sized work — and the classifier must not
+    // care: it needs calibrated contrast, not volume.
+    //
+    // Fixture note: this rung generates its own labeled corpus. The
+    // testdata's lang labels carry NO distributional signal — a
+    // half/half holdout fit recovers 0.35-0.39, i.e. the majority-
+    // class baseline, so the 0.96 full-fit recovery the query entries
+    // pin is pure in-sample memorization (fine for oracling the
+    // serving arithmetic, useless for judging generalization under
+    // sampling). Real language ID keys on function words; the fixture
+    // gives each language a disjoint function-word set over a SHARED
+    // content vocabulary, which is exactly the signal the hashed-gram
+    // LR is built to learn — and what a 10% sample must preserve.
+    val langs = Map(
+      "aa" -> Vector("und", "der", "das", "ist", "ein", "mit", "zur", "vom"),
+      "bb" -> Vector("le", "la", "et", "avec", "pour", "dans", "sur", "une"),
+      "cc" -> Vector("los", "el", "es", "con", "para", "por", "una", "las"),
+      "dd" -> Vector("the", "of", "and", "is", "with", "for", "this", "that"),
+      "ee" -> Vector("het", "een", "met", "voor", "naar", "bij", "ook", "zij"))
+    val content = Vector("alpha", "bravo", "charlie", "delta", "echo",
+      "foxtrot", "golf", "hotel", "india", "juliet", "kilo", "lima",
+      "mike", "november", "oscar", "papa", "quebec", "romeo", "sierra",
+      "tango")
+    val langKeys = langs.keys.toVector.sorted
+    val perLang = 1000 // 5 langs x 1000 = a 10x corpus vs the sf0.01
+                       // labeled slice (500 docs)
+    val rows = for {
+      li <- langKeys.indices
+      d <- 0 until perLang
+    } yield {
+      val rnd = new scala.util.Random(li * 100003 + d) // deterministic
+      val fw = langs(langKeys(li))
+      val words = (0 until 40).map(k =>
+        if (k % 2 == 0) content(rnd.nextInt(content.size))
+        else fw(rnd.nextInt(fw.size)))
+      ((li * perLang + d).toLong, words.mkString(" "), langKeys(li))
+    }
+    import spark.implicits._
+    val d10 = rows.toDF("doc_id", "text", "lang")
+      .repartition(8).localCheckpoint(false)
+    val model = graft.operators.LangId.train(d10, "doc_id", "text", "lang",
+      sampleFraction = 0.1)
+    val joined = d10.select(col("doc_id").as("id"), col("lang"))
+      .join(graft.operators.LangId.detect(d10, model, "doc_id", "text"),
+        Seq("id"))
+      .select((col("lang") === col("detected")).as("hit"))
+      .groupBy().agg(count(lit(1)).as("n"),
+        sum(when(col("hit"), 1L).otherwise(0L)).as("hits"))
+      .head()
+    val (n, hits) = (joined.getLong(0), joined.getLong(1))
+    info(s"sampled-fit label recovery: $hits/$n")
+    assert(n == 5000L)
+    assert(hits.toDouble / n > 0.9,
+      s"10% sampled fit must recover the 10x corpus labels: $hits/$n")
+  }
 }
