@@ -1006,10 +1006,20 @@ object Dedup {
       docs: DataFrame, idCol: String, textCol: String,
       plan: BandPlanner.Plan, shingleN: Int): Unit =
     buildNearDupStore(store, table, docs, idCol, textCol, shingleN,
-      plan.numHashes, plan.bands, extraProps = Map(
-        "planner.recall_at_threshold" -> plan.recallAtThreshold.toString,
-        "planner.prob_at_low" -> plan.probAtLow.toString,
-        "planner.rows_per_band" -> plan.rowsPerBand.toString))
+      plan.numHashes, plan.bands, extraProps = plannerProps(plan))
+
+  /** The `planner.*` provenance keys a planner-chosen geometry records
+    * in its index `_META` — ONE definition for the batch build above
+    * and the streaming first-delivery build (ADVICE r18: with
+    * plannedGeometry on a brand-new store the self-heal build never
+    * runs, and the first [[buildNearDupStoreFromSig]] recorded only
+    * geometry keys, losing the WHY of the banding).
+    */
+  private[graft] def plannerProps(plan: BandPlanner.Plan): Map[String, String] =
+    Map(
+      "planner.recall_at_threshold" -> plan.recallAtThreshold.toString,
+      "planner.prob_at_low" -> plan.probAtLow.toString,
+      "planner.rows_per_band" -> plan.rowsPerBand.toString)
 
   /** [[buildNearDupStore]] from the CONSTRAINT TRIPLE alone (r18, the
     * r17 verdict's #6 — the served default): the caller states the
@@ -1107,7 +1117,8 @@ object Dedup {
     */
   private[graft] def buildNearDupStoreFromSig(store: graft.sources.ParquetStore,
       table: String, docs: DataFrame, idCol: String, textCol: String,
-      sig: DataFrame, shingleN: Int, numHashes: Int, bands: Int): Unit = {
+      sig: DataFrame, shingleN: Int, numHashes: Int, bands: Int,
+      extraProps: Map[String, String] = Map.empty): Unit = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     validateBatchSig(sig, shingleN, numHashes, "buildNearDupStoreFromSig")
     requireStoreGeometry(store, table, shingleN, numHashes, bands,
@@ -1117,11 +1128,15 @@ object Dedup {
     // replace wiped a planner-built index's planner.* provenance on
     // the first delivery with survivors. Committed-data-only, like
     // the batch builder: a geometry-only crash sidecar is wiped, not
-    // resurrected.
+    // resurrected. `extraProps` (ADVICE r18) lets the planned-geometry
+    // stream stamp its freshly-computed planner.* provenance on the
+    // very first build when NO self-heal ran (brand-new store) — the
+    // scaladoc-promised record the geometry keys alone lost.
     val prior =
       if (store.exists(table)) store.getMeta(table)
       else Map.empty[String, String]
-    store.putMeta(table, prior ++ geometryProps(shingleN, numHashes, bands))
+    store.putMeta(table,
+      prior ++ geometryProps(shingleN, numHashes, bands) ++ extraProps)
     val rows = numHashes / bands
     val merged = docs.select(col(idCol).as("id"), col(textCol).as("text"))
       .withColumn("norm_hash", normHash(col("text")))

@@ -115,13 +115,131 @@ object LangId {
         Array.tabulate(dim)(c => m(r, c))), hexLen, n)
   }
 
+  /** `_META` keys for a persisted model table ([[saveModel]]): the
+    * FULL serving geometry rides with the artifact — langs inventory,
+    * bucket hexLen, n-gram order, and the 12-dp integer serving scale
+    * — so a consumer can require-match ALL of it before any corpus
+    * work (the signature indexes' `_META` discipline; reference
+    * shape: the job-scoped model/provenance checks of
+    * core/src/init.rs:122-269).
+    */
+  private[graft] val MetaFn = "langid.model.fn"
+  private[graft] val MetaLangs = "langid.model.langs"
+  private[graft] val MetaHexLen = "langid.model.hexLen"
+  private[graft] val MetaN = "langid.model.n"
+  private[graft] val MetaScale = "langid.model.scale"
+
+  /** Version stamp of the featurization + serving arithmetic a
+    * persisted model assumes — bump when [[QualityFilter
+    * .featureBuckets]]'s hashing or the scaled-integer serving
+    * changes, so a stale artifact is rejected rather than silently
+    * routing garbage.
+    */
+  private[graft] val FnVersion = "langid-lr-grambuckets-v1"
+
+  /** The 12-dp integer scale every serving path assumes ([[scaled]]).
+    * Recorded in the artifact and require-matched on load: scores
+    * from a model trained against a different scale are not
+    * comparable to this build's arithmetic.
+    */
+  private[graft] val ServingScale = 12
+
+  /** Persist a trained model as a store table — one row per language
+    * (lang, icept, w array, RAW doubles: parquet round-trips IEEE
+    * doubles exactly, where persisting the scaled integers would bake
+    * one serving scale into the artifact) — with the full feature
+    * geometry in `_META`, committed atomically alongside the data
+    * ([[graft.sources.ParquetStore.overwriteWithMeta]] — a model
+    * refresh is a full replace, never a merge, like the CDF
+    * calibration snapshots).
+    */
+  def saveModel(store: graft.sources.ParquetStore, table: String,
+      model: Model): Unit = {
+    require(model.langs.forall(!_.contains(",")),
+      s"LangId.saveModel: language labels must not contain ',' " +
+        s"(the _META inventory separator): ${model.langs.mkString("|")}")
+    val spark = org.apache.spark.sql.SparkSession.active
+    import spark.implicits._
+    val rows = model.langs.indices.map(i =>
+      (model.langs(i), model.intercepts(i), model.weights(i).toSeq))
+    store.overwriteWithMeta(table,
+      rows.toDF("lang", "icept", "w"),
+      Map(MetaFn -> FnVersion,
+        MetaLangs -> model.langs.mkString(","),
+        MetaHexLen -> model.hexLen.toString,
+        MetaN -> model.n.toString,
+        MetaScale -> ServingScale.toString))
+  }
+
+  /** Validate AND read a persisted model as one consistent pair (the
+    * [[QualityCal.loadCdf]] convention): version stamp present and
+    * matching this build, geometry keys present and self-consistent
+    * with the DATA (langs inventory equals the rows', every weight
+    * row spans exactly 16^hexLen buckets), serving scale matching
+    * this build's integer arithmetic. Any drift fails HERE — the
+    * caller's stream `.start()` — never inside a micro-batch.
+    */
+  def loadModel(store: graft.sources.ParquetStore, table: String,
+      caller: String): Model = {
+    require(store.exists(table),
+      s"$caller: language-ID model table '$table' does not exist — train " +
+        "one (LangId.train) and persist it with LangId.saveModel(...)")
+    val (df, meta) = store.readSnapshotWithMeta(table)
+    val fn = meta.get(MetaFn)
+    if (fn.isEmpty) throw new IllegalStateException(
+      s"$caller: model table '$table' records no version (_META) — " +
+        "rewrite it with LangId.saveModel; routing on a model of unknown " +
+        "provenance mislabels every language")
+    require(fn.contains(FnVersion),
+      s"$caller: model table '$table' was written by '${fn.get}' but this " +
+        s"build serves '$FnVersion' — featurization/serving drift; retrain")
+    def metaInt(key: String): Int = {
+      val v = meta.getOrElse(key, throw new IllegalStateException(
+        s"$caller: model table '$table' records no '$key' — geometry of " +
+          "unknown provenance; rewrite it with LangId.saveModel"))
+      try v.toInt catch { case _: NumberFormatException =>
+        throw new IllegalStateException(
+          s"$caller: model table '$table' has non-numeric '$key'='$v'")
+      }
+    }
+    val hexLen = metaInt(MetaHexLen)
+    val n = metaInt(MetaN)
+    val scale = metaInt(MetaScale)
+    require(scale == ServingScale,
+      s"$caller: model table '$table' assumes serving scale $scale but " +
+        s"this build's integer arithmetic is $ServingScale-dp — scores " +
+        "are not comparable; retrain/rewrite the artifact")
+    QualityFilter.requireHexLen(hexLen)
+    val dim = QualityFilter.bucketDim(hexLen)
+    val metaLangs = meta.getOrElse(MetaLangs, throw new IllegalStateException(
+      s"$caller: model table '$table' records no '$MetaLangs' — geometry " +
+        "of unknown provenance; rewrite it with LangId.saveModel"))
+      .split(",").toSeq
+    val rows = df.select(col("lang"), col("icept"), col("w"))
+      .collect() // |langs| rows — driver-bounded at any corpus size
+      .map(r => (r.getString(0), r.getDouble(1),
+        r.getSeq[Double](2).toArray))
+      .sortBy(_._1)
+    require(rows.map(_._1).toSeq == metaLangs.sorted,
+      s"$caller: model table '$table' rows name languages " +
+        s"[${rows.map(_._1).mkString(",")}] but _META records " +
+        s"[${metaLangs.mkString(",")}] — a partial overwrite or foreign " +
+        "table; rewrite the artifact")
+    rows.foreach { case (l, _, w) =>
+      require(w.length == dim,
+        s"$caller: model table '$table' row '$l' spans ${w.length} buckets " +
+          s"but _META hexLen=$hexLen implies $dim — geometry drift; retrain")
+    }
+    Model(rows.map(_._1), rows.map(_._2), rows.map(_._3), hexLen, n)
+  }
+
   /** A coefficient as its 12-dp scaled integer (HALF_UP, computed
     * ONCE on the driver) — the single rounding in the whole serving
     * path; every downstream sum on either engine is exact integer
     * arithmetic over these.
     */
   private[graft] def scaled(x: Double): Long =
-    BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    BigDecimal(x).setScale(ServingScale, BigDecimal.RoundingMode.HALF_UP)
       .underlying.unscaledValue().longValueExact()
 
   /** The boundedness claim, ENFORCED (review r18): the worst per-doc

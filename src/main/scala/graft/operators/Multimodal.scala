@@ -116,17 +116,36 @@ object Multimodal {
       .select("asset_id", "frame_ts_ms", "frame")
   }
 
-  /** STUB perceptual features: per-chunk byte means — the STRUCTURE
-    * of real perceptual features (pHash DCT coefficients, audio MFCC
-    * frames: LOCAL aggregates of the media, so a local edit moves a
-    * few coefficients), where [[decodeFeaturesStub]]'s rolling hash
-    * deliberately avalanches (an embedding-ish fake). A near-dup
-    * detector needs the local kind: byte-identical assets get equal
-    * vectors, locally-edited assets get mostly-equal vectors.
-    * Deterministic, library-free; a real decoder plugs in here.
+  /** The ONE bytes → features swap slot (r19): every perceptual
+    * scorer — the deterministic byte-chunk fake the DuckDB oracles
+    * replay, the real image decoder below, a future JNI/ffmpeg
+    * extractor — flows through this same column-level UDF shape, so
+    * swapping the scorer never changes the plan: upstream filters and
+    * projections still push down, column pruning still reaches the
+    * scan, AQE still re-plans around the decode stage (the rdd-hop
+    * alternative severed all three). `extract` must be deterministic
+    * and total (null/garbage bytes included) — the near-dup stage
+    * downstream assumes replayable vectors.
     */
-  def perceptualFeaturesStub(assets: DataFrame, dim: Int = 64): DataFrame = {
-    val f = udf { (bytes: Array[Byte]) =>
+  def perceptualFeaturesWith(assets: DataFrame,
+      extract: Array[Byte] => Seq[Float]): DataFrame = {
+    val f = udf { (bytes: Array[Byte]) => extract(bytes) }
+    assets.withColumn("features", f(col("content")))
+  }
+
+  /** The deterministic byte-chunk-mean scorer: per-chunk byte means —
+    * the STRUCTURE of real perceptual features (pHash DCT
+    * coefficients, audio MFCC frames: LOCAL aggregates of the media,
+    * so a local edit moves a few coefficients), where
+    * [[decodeFeaturesStub]]'s rolling hash deliberately avalanches
+    * (an embedding-ish fake). A near-dup detector needs the local
+    * kind: byte-identical assets get equal vectors, locally-edited
+    * assets get mostly-equal vectors. Library-free and exactly
+    * replayable in SQL — the oracle/test scorer, and the fallback for
+    * bytes no real decoder accepts.
+    */
+  private[graft] def byteChunkMeans(dim: Int): Array[Byte] => Seq[Float] =
+    bytes => {
       val feat = new Array[Float](dim)
       if (bytes != null && bytes.length > 0) {
         val cnt = new Array[Int](dim)
@@ -143,8 +162,84 @@ object Multimodal {
       }
       feat.toSeq
     }
-    assets.withColumn("features", f(col("content")))
+
+  /** STUB perceptual features — [[byteChunkMeans]] through the swap
+    * slot; the scorer the mm_features/mm_neardup oracles replay. */
+  def perceptualFeaturesStub(assets: DataFrame, dim: Int = 64): DataFrame =
+    perceptualFeaturesWith(assets, byteChunkMeans(dim))
+
+  /** REAL image scorer (r19, the r18 verdict's #5): decode PNG/JPEG
+    * (any `javax.imageio` reader) and emit an aHash-style √dim × √dim
+    * grid of block-mean LUMA values — chunk means over real pixel
+    * data, so the perceptual-locality contract of the byte fake holds
+    * over the decoded image: a local edit moves the few grid cells it
+    * touches; a re-encode (PNG → JPEG of the same image) perturbs
+    * every cell slightly but flips few mean-threshold bits, so
+    * visually identical assets still pair in [[perceptualHashPairs]]
+    * (MultimodalSpec pins exactly that). Luma is the standard BT.601
+    * weighting. Bytes NO reader accepts (audio/video/corrupt rows in
+    * a mixed asset table — decode never throws, it abstains) fall
+    * back to [[byteChunkMeans]]: the byte-locality proxy remains the
+    * best available signal there, and vectors stay total and
+    * deterministic for the replay contract.
+    *
+    * Scale shape: identical to the fake — one tight-loop scalar UDF
+    * at the scan, no rdd hop, no shuffle; the JVM-native decoder runs
+    * per-row inside the executor (the mapInPandas batch shape is only
+    * needed when the decoder lives in a Python worker).
+    */
+  def imageBlockLuma(dim: Int = 64): Array[Byte] => Seq[Float] = {
+    val g = math.sqrt(dim.toDouble).toInt
+    require(g * g == dim,
+      s"imageBlockLuma: dim must be a perfect square (a g x g grid), got $dim")
+    val fallback = byteChunkMeans(dim)
+    bytes => {
+      val img =
+        if (bytes == null || bytes.isEmpty) None
+        else try Option(javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(bytes)))
+        catch { case _: Throwable => None }
+      img match {
+        case Some(im) if im.getWidth > 0 && im.getHeight > 0 =>
+          val w = im.getWidth; val h = im.getHeight
+          val feat = new Array[Float](dim)
+          var r = 0
+          while (r < g) {
+            val y0 = r * h / g; val y1 = math.max((r + 1) * h / g, y0 + 1)
+            var c = 0
+            while (c < g) {
+              val x0 = c * w / g; val x1 = math.max((c + 1) * w / g, x0 + 1)
+              var sum = 0.0; var n = 0
+              var y = y0
+              while (y < h && y < y1) {
+                var x = x0
+                while (x < w && x < x1) {
+                  val rgb = im.getRGB(x, y)
+                  sum += (0.299 * ((rgb >> 16) & 0xFF) +
+                    0.587 * ((rgb >> 8) & 0xFF) +
+                    0.114 * (rgb & 0xFF)) / 255.0
+                  n += 1; x += 1
+                }
+                y += 1
+              }
+              feat(r * g + c) = if (n > 0) (sum / n).toFloat else 0f
+              c += 1
+            }
+            r += 1
+          }
+          feat.toSeq
+        case _ => fallback(bytes)
+      }
+    }
   }
+
+  /** DEFAULT perceptual features: the real image decoder through the
+    * swap slot. The oracled query entries keep the deterministic fake
+    * (its SQL replay is the point of the oracle); a production caller
+    * with actual image bytes gets real pixels by default.
+    */
+  def perceptualFeatures(assets: DataFrame, dim: Int = 64): DataFrame =
+    perceptualFeaturesWith(assets, imageBlockLuma(dim))
 
   /** Perceptual-hash NEAR-duplicate pairs over feature vectors — the
     * media-dedup recipe (pHash's structure: threshold each

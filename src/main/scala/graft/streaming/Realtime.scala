@@ -348,6 +348,31 @@ object Realtime {
   final case class BoilerplateGate(dfTable: String, spanTokens: Int = 3,
       minDocs: Int = 2)
 
+  /** Config for the language-ID ROUTING stage (r19, the r18 verdict's
+    * #4): production corpora don't arrive labeled, but the percentile
+    * gate and the curriculum export key their per-language CDF
+    * lookups on a language column. With this gate on, each
+    * micro-batch's `langCol` is DETECTED by the persisted trained
+    * model (`modelTable`, written by
+    * [[graft.operators.LangId.saveModel]]) over the text the later
+    * stages actually consume — the CLEANED text when the boilerplate
+    * stage is on — producing (or overwriting) the column every
+    * downstream gate reads. The model's FULL feature geometry (langs
+    * inventory, bucket hexLen, n-gram order, integer serving scale)
+    * is require-matched at stream START
+    * ([[graft.operators.LangId.loadModel]] — the `_META` discipline
+    * of the signature indexes; reference shape: the job-scoped
+    * model/provenance checks of core/src/init.rs:122-269): a drifted,
+    * partial, or unversioned artifact fails the `.start()`, never the
+    * first micro-batch. Serving is the scorer-slot UDF
+    * ([[graft.operators.LangId.scorer]], pinned ≡ the relational
+    * detect by TextSpec): a pure per-row map over a frozen
+    * |langs| × 16^hexLen closure — the routing stage adds ZERO
+    * shuffles and ZERO state to the micro-batch plan, so it is
+    * replay-safe exactly like the blocklist filter.
+    */
+  final case class LangIdGate(modelTable: String, langCol: String = "lang")
+
   /** Planned banding geometry for [[streamIngestPipeline]] (r18, the
     * r17 verdict's #6 — the served default): instead of hand-picking
     * (numHashes, bands), the operator states the OPERATING POINT —
@@ -407,6 +432,7 @@ object Realtime {
       semanticGate: Option[SemanticGate] = None,
       percentileGate: Option[PercentileGate] = None,
       boilerplateGate: Option[BoilerplateGate] = None,
+      langIdGate: Option[LangIdGate] = None,
       auditTable: Option[String] = None,
       curriculumExport: Option[CurriculumExport] = None,
       plannedGeometry: Option[PlannedGeometry] = None,
@@ -475,6 +501,26 @@ object Realtime {
       graft.operators.Dedup.requireSpanDfGeometry(store, g.dfTable,
         g.spanTokens, "streamIngestPipeline(boilerplateGate)", strict = true)
     }
+    // the language-ID routing stage's model loads ONCE at START with
+    // its full geometry require-matched (LangIdGate's scaladoc) — the
+    // scorer closure built here is frozen for the stream's lifetime,
+    // and scorer() construction re-enforces the integer-score bound,
+    // so a pathological artifact fails the .start() too. Resolved
+    // BEFORE the CDF checks so those can accept a langCol this stage
+    // will produce.
+    val langIdScorer = langIdGate.map { g =>
+      percentileGate.foreach(p => require(p.langCol == g.langCol,
+        s"streamIngestPipeline: the percentile gate keys on " +
+          s"'${p.langCol}' but the language-ID stage routes to " +
+          s"'${g.langCol}' — the gate would read a column the router " +
+          "never wrote; align the two langCol knobs"))
+      curriculumExport.foreach(c => require(c.langCol == g.langCol,
+        s"streamIngestPipeline: the curriculum export keys on " +
+          s"'${c.langCol}' but the language-ID stage routes to " +
+          s"'${g.langCol}' — align the two langCol knobs"))
+      graft.operators.LangId.scorer(graft.operators.LangId.loadModel(
+        store, g.modelTable, "streamIngestPipeline(langIdGate)"))
+    }
     // the percentile gate's CDF snapshot must exist, carry the CURRENT
     // scorer's version, and (when pinned) be the expected calibration
     // release — all checked before any corpus-sized work, like the
@@ -489,10 +535,12 @@ object Realtime {
       // carrying the gate's working names must fail HERE, not inside
       // the first micro-batch — an in-batch throw wedges every
       // checkpoint restart on the same error (review r16)
-      require(docs.columns.contains(g.langCol),
+      require(docs.columns.contains(g.langCol) ||
+          langIdGate.exists(_.langCol == g.langCol),
         s"streamIngestPipeline: the stream carries no '${g.langCol}' column " +
           "for the percentile gate — per-language calibration needs the " +
-          "language id on every row")
+          "language id on every row (carry it on the stream, or detect it " +
+          "with langIdGate)")
       graft.operators.QualityCal.requireNoReservedColumns(
         docs.columns.toSeq, "pct", "streamIngestPipeline(percentileGate)")
       graft.operators.QualityCal.loadCdf(store, g.cdfTable,
@@ -506,10 +554,12 @@ object Realtime {
     // other (review r16). Different pins load separately (two pins
     // naming different releases is an intentional configuration).
     val curCdfRaw = curriculumExport.map { c =>
-      require(docs.columns.contains(c.langCol),
+      require(docs.columns.contains(c.langCol) ||
+          langIdGate.exists(_.langCol == c.langCol),
         s"streamIngestPipeline: the stream carries no '${c.langCol}' column " +
           "for the curriculum export — per-language leveling needs the " +
-          "language id on every row")
+          "language id on every row (carry it on the stream, or detect it " +
+          "with langIdGate)")
       // the staging projection is (idCol, langCol, textCol) with
       // pctCol "level": none of the three may collide with the
       // lookup's working names NOR with the staging output columns
@@ -650,6 +700,16 @@ object Realtime {
               cached(b2.drop(textCol).join(cleaned, Seq(idCol))
                 .select(b2.columns.map(col): _*))
             }
+            // language-ID routing stage (r19): DETECT each survivor's
+            // language before the percentile gate, so the CDF lookup
+            // keys on the detected language of the text that actually
+            // ships (the cleaned form when the boil stage is on) —
+            // production corpora don't arrive labeled. A pure per-row
+            // map over the stream-lifetime scorer closure: no shuffle,
+            // no state, replay-safe like the blocklist filter.
+            val b2l = langIdGate.fold(b2b)(g =>
+              graft.functions.GraftFunctions.withDetectedLanguage(
+                b2b, textCol, g.langCol, langIdScorer.get))
             // percentile-calibrated quality gate (r15): per-language
             // rank lookup against the stream-lifetime CDF snapshot —
             // a bounded distinct-pair probe against a BROADCAST frame,
@@ -662,15 +722,16 @@ object Realtime {
             // INPUT frame is cached unconditionally: the lookup
             // references it twice (distinct-pair pass + join-back
             // pass), and uncached each reference would re-run the
-            // accumulated-index exact probe and blocklist chain (the
+            // accumulated-index exact probe and blocklist chain — plus
+            // the detection UDF when the routing stage is on (the
             // two-reference trap qualityPercentiledOf's scaladoc warns
             // about).
-            val b2p = percentileGate.fold(b2b) { g =>
-              graft.operators.QualityCal.withPercentile(cached(b2b), pctCdf.get,
+            val b2p = percentileGate.fold(b2l) { g =>
+              graft.operators.QualityCal.withPercentile(cached(b2l), pctCdf.get,
                   g.langCol, graft.functions.GraftFunctions
                     .qualityScore(col(textCol)))
                 .filter(col("pct").isNull || col("pct") >= g.minPct)
-                .select(b2b.columns.map(col): _*)
+                .select(b2l.columns.map(col): _*)
             }
             // optional RAW quality gate, the SAME shared expression the
             // batch pipeline_c4 composition scores with — a per-row
@@ -816,7 +877,16 @@ object Realtime {
                   // rows the per-batch frame already carries
                   graft.operators.Dedup.buildNearDupStoreFromSig(store,
                     sigTable, rows, idCol, textCol, sigD, shingleN,
-                    nHashes, nBands)
+                    nHashes, nBands,
+                    // planner provenance on a freshly-planned geometry
+                    // (ADVICE r18): a brand-new store has no self-heal
+                    // build to record it, so the first delivery's
+                    // build stamps it; identical re-assertion on later
+                    // deliveries, empty when the geometry came from
+                    // the store or explicit knobs
+                    extraProps = resolvedPlan.fold(
+                      Map.empty[String, String])(
+                      graft.operators.Dedup.plannerProps))
                 }
                 // per-micro-batch funnel audit (the streaming sibling
                 // of the batch ingest_audit_decontam): one row per

@@ -259,4 +259,37 @@ class MinHashSpec extends AnyFunSuite {
     assert(sMeta2("planner.rows_per_band") == plan.rowsPerBand.toString,
       "planner provenance must survive the per-micro-batch signature MERGE")
   }
+
+  test("planned stream on a BRAND-NEW store records planner.* provenance " +
+      "on the first delivery's build (ADVICE r18)") {
+    // with no docs table there is no self-heal build — the first
+    // micro-batch's buildNearDupStoreFromSig is the index's FIRST
+    // writer and must stamp the freshly-computed plan's provenance,
+    // not just the geometry keys (the PlannedGeometry scaladoc's
+    // promised record)
+    import graft.operators.{BandPlanner, Dedup}
+    import spark.implicits._
+    val plan = BandPlanner.plan(threshold = 0.5).get
+    val store = new graft.sources.ParquetStore(spark,
+      TestSpark.tempDir("graft_bpn_store_"))
+    val srcDir = TestSpark.tempDir("graft_bpn_src_")
+    Seq((1L, "some perfectly fresh document about nothing in particular"))
+      .toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(srcDir)
+    assert(graft.streaming.Realtime.streamIngestPipeline(store, "docs",
+        "sigs",
+        spark.readStream.schema("doc_id LONG, text STRING").parquet(srcDir),
+        "doc_id", "text", TestSpark.tempDir("graft_bpn_cp_"), shingleN = 2,
+        plannedGeometry = Some(graft.streaming.Realtime.PlannedGeometry(0.5)))
+      .awaitTermination(120000), "fresh-store planned stream did not finish")
+    val meta = store.getMeta("sigs")
+    assert(Dedup.storedGeometry(store, "sigs") ==
+      Some((2, plan.numHashes, plan.bands)),
+      "the first delivery must freeze the planner's geometry")
+    assert(meta.get("planner.rows_per_band")
+        .contains(plan.rowsPerBand.toString) &&
+      meta.get("planner.recall_at_threshold")
+        .contains(plan.recallAtThreshold.toString) &&
+      meta.get("planner.prob_at_low").contains(plan.probAtLow.toString),
+      s"a brand-new store's first build must record planner.* provenance: $meta")
+  }
 }

@@ -1089,6 +1089,143 @@ class RealtimeSpec extends AnyFunSuite {
       s"boil funnel must equal the batch twin's stage counts: $a")
   }
 
+  test("language-ID routed percentile gate mirrors the batch " +
+      "withDetectedLanguage composition; drifted model geometry fails " +
+      "the START (r19)") {
+    // the r18 verdict's #4: production corpora don't arrive labeled —
+    // the stream DETECTS each row's language with the persisted
+    // trained model and the percentile gate keys its CDF lookup on
+    // the detected column. The batch twin is the same chain composed
+    // by hand through withDetectedLanguage with the SAME model, so
+    // routed gating can never drift from the oracled batch arithmetic
+    // (TextSpec separately pins scorer ≡ relational detect).
+    import graft.operators.{Dedup, LangId, QualityCal}
+    import graft.functions.GraftFunctions
+    val dir = "/root/testdata/sf0.01"
+    val docsAll = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text") // PRODUCTION SHAPE: no lang column
+    val model = Queries.langIdModel(spark, dir)
+    val scorer = LangId.scorer(model)
+    val detectedAll = GraftFunctions.withDetectedLanguage(
+      docsAll, "text", scorer = scorer)
+    val existing = detectedAll.filter(col("doc_id") < Queries.incrementalSplit)
+    val batch = docsAll.filter(col("doc_id") >= Queries.incrementalSplit &&
+      col("doc_id") < Queries.decontamNearDupSplit)
+    val store = new graft.sources.ParquetStore(
+      spark, TestSpark.tempDir("graft_lidgate_store_"))
+    store.merge("docs", existing, "doc_id")
+    Dedup.buildNearDupStore(store, "sigs", existing, "doc_id", "text",
+      shingleN = Queries.minHashShingleN,
+      numHashes = Queries.minHashNumHashes, bands = Queries.minHashBands)
+    // calibration CDF keyed on DETECTED language — the routed gate's
+    // production calibration convention (detect, then calibrate on
+    // what detection says, so serving and calibration agree)
+    QualityCal.buildPercentileStore(store, "quality_cdf", detectedAll,
+      "lang", "text", snapshot = "corpus-v1")
+    LangId.saveModel(store, "langid_model", model)
+    // the saved artifact round-trips exactly (raw doubles)
+    val loaded = LangId.loadModel(store, "langid_model", "spec")
+    assert(loaded.langs.toSeq == model.langs.toSeq &&
+      loaded.hexLen == model.hexLen && loaded.n == model.n &&
+      loaded.intercepts.toSeq == model.intercepts.toSeq &&
+      loaded.weights.map(_.toSeq).toSeq == model.weights.map(_.toSeq).toSeq,
+      "saveModel/loadModel must round-trip the model exactly")
+    // batch twin, composed by hand with the same model + snapshot
+    val cdf = QualityCal.loadCdf(store, "quality_cdf", "spec",
+      expectSnapshot = Some("corpus-v1"))
+    val b1 = batch.join(
+      Dedup.incrementalExactStored(store, "sigs", batch, "doc_id", "text")
+        .withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left_semi")
+    val b2 = b1.filter(GraftFunctions.blocklistClean(col("text"),
+      Queries.blocklistTerms))
+    val b2l = GraftFunctions.withDetectedLanguage(b2, "text", scorer = scorer)
+    val b2p = QualityCal.withPercentile(b2l, cdf, "lang",
+        GraftFunctions.qualityScore(col("text")))
+      .filter(col("pct").isNull || col("pct") >= Queries.ingestGatePct)
+      .select(b2l.columns.map(col): _*)
+    val kept2 = Dedup.incrementalNearDupStored(store, "sigs", b2p,
+      "doc_id", "text", shingleN = Queries.minHashShingleN,
+      numHashes = Queries.minHashNumHashes, bands = Queries.minHashBands,
+      threshold = Queries.minHashThreshold)
+    val expect = b2p.join(kept2.withColumnRenamed("id", "doc_id"),
+        Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), col("lang")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(expect.nonEmpty, "routed survivors must be nonempty")
+    assert(expect.values.toSet.size > 1,
+      "detection must route to more than one language or the per-lang " +
+        "gate is vacuous")
+    val src = TestSpark.tempDir("graft_lidgate_src_")
+    batch.coalesce(1).write.mode("append").parquet(src)
+    val q = Realtime.streamIngestPipeline(store, "docs", "sigs",
+      spark.readStream.schema("doc_id LONG, text STRING").parquet(src),
+      "doc_id", "text", TestSpark.tempDir("graft_lidgate_cp_"),
+      blocklist = Queries.blocklistTerms,
+      shingleN = Queries.minHashShingleN,
+      numHashes = Queries.minHashNumHashes, bands = Queries.minHashBands,
+      threshold = Queries.minHashThreshold,
+      percentileGate = Some(Realtime.PercentileGate("quality_cdf",
+        Queries.ingestGatePct, expectSnapshot = Some("corpus-v1"))),
+      langIdGate = Some(Realtime.LangIdGate("langid_model")),
+      auditTable = Some("audit"))
+    assert(q.awaitTermination(360000),
+      "routed-gate stream did not finish in time")
+    // survivors AND their detected language equal the batch twin —
+    // the docs table must carry the routed column
+    val streamed = store.read("docs")
+      .filter(col("doc_id") >= Queries.incrementalSplit)
+      .select(col("doc_id"), col("lang")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(streamed == expect,
+      "the routed stream must ship the batch composition's survivors " +
+        "with their detected language")
+    // the funnel's percentile stage equals the twin's survivor count
+    val a = store.read("audit").collect()
+      .map(r => (r.getAs[String]("stage"), r.getAs[Long]("n_docs"))).toMap
+    assert(a("2p_percentile") == b2p.count(),
+      s"routed-gate funnel must equal the batch twin's stage count: $a")
+    // geometry drift fails the .start(): an artifact whose _META says
+    // hexLen=4 over hexLen=3 weight rows must be rejected before any
+    // batch runs (the signature indexes' _META discipline)
+    store.overwriteWithMeta("langid_bad",
+      store.read("langid_model"),
+      Map(LangId.MetaFn -> LangId.FnVersion,
+        LangId.MetaLangs -> model.langs.mkString(","),
+        LangId.MetaHexLen -> "4",
+        LangId.MetaN -> model.n.toString,
+        LangId.MetaScale -> LangId.ServingScale.toString))
+    val e = intercept[IllegalArgumentException] {
+      Realtime.streamIngestPipeline(store, "docs", "sigs",
+        spark.readStream.schema("doc_id LONG, text STRING").parquet(src),
+        "doc_id", "text", TestSpark.tempDir("graft_lidgate_cp2_"),
+        percentileGate = Some(Realtime.PercentileGate("quality_cdf",
+          Queries.ingestGatePct)),
+        langIdGate = Some(Realtime.LangIdGate("langid_bad")))
+    }
+    assert(e.getMessage.contains("geometry drift"),
+      s"drifted model geometry must fail the START: ${e.getMessage}")
+    // a missing artifact fails the START too
+    val e2 = intercept[IllegalArgumentException] {
+      Realtime.streamIngestPipeline(store, "docs", "sigs",
+        spark.readStream.schema("doc_id LONG, text STRING").parquet(src),
+        "doc_id", "text", TestSpark.tempDir("graft_lidgate_cp3_"),
+        percentileGate = Some(Realtime.PercentileGate("quality_cdf",
+          Queries.ingestGatePct)),
+        langIdGate = Some(Realtime.LangIdGate("langid_absent")))
+    }
+    assert(e2.getMessage.contains("does not exist"))
+    // misaligned langCol knobs fail the START before any store read
+    val e3 = intercept[IllegalArgumentException] {
+      Realtime.streamIngestPipeline(store, "docs", "sigs",
+        spark.readStream.schema("doc_id LONG, text STRING").parquet(src),
+        "doc_id", "text", TestSpark.tempDir("graft_lidgate_cp4_"),
+        percentileGate = Some(Realtime.PercentileGate("quality_cdf",
+          Queries.ingestGatePct, langCol = "language")),
+        langIdGate = Some(Realtime.LangIdGate("langid_model")))
+    }
+    assert(e3.getMessage.contains("align the two langCol knobs"))
+  }
+
   test("streaming boilerplate clean equals the batch stored probe; replay no-op; " +
       "grain drift fails the START") {
     import graft.operators.Dedup
