@@ -2894,6 +2894,23 @@ object Queries {
     * ([[ingestPctPass]], r19) — per-doc like the other flag sets, so
     * it computes once and semi-joins.
     */
+  /** Why the chain queries do NOT share their flag frames across
+    * entries the way [[fullSigStore]]/[[pctCdfStore]] are shared
+    * (r19, the r18 verdict's #8): the session-fixture stores are
+    * CREATE INDEX / calibration-snapshot analogues — persistent
+    * artifacts a production system maintains on its own cadence, so
+    * pre-building them once per (session, dir) mirrors reality and
+    * keeps the bench honest. The per-stage FLAG SETS (which batch
+    * rows pass the exact gate, the decontamination gate, the
+    * percentile gate, near-dup) are the per-ingest-run DECISIONS —
+    * exactly the work these queries exist to measure. Hoisting them
+    * into a bench-local fixture would move the measured work out of
+    * every chain entry (pipeline_curriculum, pipeline_pack,
+    * ingest_audit_*) and the record would stop describing what an
+    * ingest run costs. Within one entry they compute once
+    * (localCheckpoint, the three-branch discipline); across entries
+    * they intentionally recompute.
+    */
   private[graft] val ingestGatePct = 0.5
   private[graft] def ingestDecontamTagged(spark: SparkSession, dir: String,
       semantic: Boolean = false, percentile: Boolean = false,
