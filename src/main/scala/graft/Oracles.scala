@@ -1060,7 +1060,7 @@ object Oracles {
        |ORDER BY doc_id""".stripMargin
   }
 
-  val sql: Map[String, String] = Map(
+  private val base: Map[String, String] = Map(
 
     "s1_delta_scan_join" ->
       """SELECT doc_id, lang, n_chars FROM documents
@@ -3446,4 +3446,15 @@ object Oracles {
          |SELECT doc_id, round(sim, 4) AS similarity_score, content_md5
          |FROM hits ORDER BY similarity_score DESC, doc_id ASC""".stripMargin
   )
+
+  /** The PERSISTED-model serving path (r19) shares the trained
+    * entry's oracle VERBATIM: LangId.saveModel's raw-double rows
+    * round-trip exactly, so routing from the loaded artifact is
+    * byte-identical to the in-session model — answer-equality is the
+    * contract (the decontaminate_bloom / sample_percentile_snapshot
+    * convention), and any divergence in the store/load/validate path
+    * reds the driver gate.
+    */
+  val sql: Map[String, String] =
+    base + ("text_language_id_stored" -> base("text_language_id_trained"))
 }

@@ -2542,6 +2542,44 @@ object Queries {
       .groupBy(col("detected")).agg(count(lit(1)).as("n"))
       .orderBy(col("detected"))
 
+  private val langIdStoreCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Build-once persisted language-ID model artifact — the store
+    * table the streaming router loads at `.start()`
+    * ([[graft.streaming.Realtime.LangIdGate]]); rebuilt per
+    * (session, dir) like [[pctCdfStore]]. */
+  private def langIdStore(spark: SparkSession, dir: String)
+      : graft.sources.ParquetStore = {
+    val root = langIdStoreCache.computeIfAbsent(cacheKey(spark, dir), { _ =>
+      val p = java.nio.file.Files.createTempDirectory("graft_langid_").toString
+      operators.LangId.saveModel(new graft.sources.ParquetStore(spark, p),
+        "langid_model", langIdModel(spark, dir))
+      p
+    })
+    new graft.sources.ParquetStore(spark, root)
+  }
+
+  /** [[textLanguageIdTrained]] served from the PERSISTED model
+    * artifact (r19) — the production serving path end-to-end under
+    * the driver gate: saveModel on train cadence → loadModel's full
+    * `_META` geometry validation (version/langs/hexLen/n/serving
+    * scale, read with the data as one consistent pair) → the same
+    * relational integer-arithmetic detect. The store round-trips raw
+    * IEEE doubles exactly, so routing is byte-identical to the
+    * in-session model and the oracle is SHARED verbatim — answer
+    * equality is the contract (the sample_percentile_snapshot
+    * convention); a regression anywhere in the save/load/validate
+    * path reds the driver gate instead of hiding in a spec.
+    */
+  def textLanguageIdStored(spark: SparkSession, dir: String): DataFrame =
+    operators.LangId.detect(t(spark, dir, "documents"),
+        operators.LangId.loadModel(langIdStore(spark, dir), "langid_model",
+          "text_language_id_stored"),
+        "doc_id", "text")
+      .groupBy(col("detected")).agg(count(lit(1)).as("n"))
+      .orderBy(col("detected"))
+
   /** Rolling-hash fingerprints. DuckDB-oracled in PURE SQL (no aux):
     * the JVM loop has a closed form Σ c_i·31^(n-i) mod 2^64 that the
     * oracle computes with a recursive powers-of-31 CTE and HUGEINT
@@ -4290,6 +4328,7 @@ object Queries {
     // 5 s LR training that quality_classifier then got for 0.5 s)
     qualityModel(spark, dir)
     langIdModel(spark, dir)
+    langIdStore(spark, dir)
     semCentroids(spark, dir)
     ()
   }
@@ -4411,6 +4450,7 @@ object Queries {
     "text_repetition" -> (textRepetition _),
     "text_language_id" -> (textLanguageId _),
     "text_language_id_trained" -> (textLanguageIdTrained _),
+    "text_language_id_stored" -> (textLanguageIdStored _),
     "text_fingerprint" -> (textFingerprint _),
     "text_pii_scrub" -> (textPiiScrub _),
     "pii_report" -> (piiReport _),
