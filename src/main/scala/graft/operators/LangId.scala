@@ -215,6 +215,14 @@ object LangId {
       s"$caller: model table '$table' records no '$MetaLangs' — geometry " +
         "of unknown provenance; rewrite it with LangId.saveModel"))
       .split(",").toSeq
+    // re-enforce train()'s invariant (review r19): a one-language
+    // artifact routes 100% of rows to its single class — the argmax
+    // is vacuous and the per-language gates downstream degenerate
+    // silently, where every other drift in this loader fails loudly
+    require(metaLangs.size >= 2,
+      s"$caller: model table '$table' carries ${metaLangs.size} " +
+        "language(s) — routing needs >= 2 classes; retrain (LangId.train " +
+        "enforces the same bound)")
     val rows = df.select(col("lang"), col("icept"), col("w"))
       .collect() // |langs| rows — driver-bounded at any corpus size
       .map(r => (r.getString(0), r.getDouble(1),

@@ -186,48 +186,100 @@ object Multimodal {
     * Scale shape: identical to the fake — one tight-loop scalar UDF
     * at the scan, no rdd hop, no shuffle; the JVM-native decoder runs
     * per-row inside the executor (the mapInPandas batch shape is only
-    * needed when the decoder lives in a Python worker).
+    * needed when the decoder lives in a Python worker). Decode work
+    * per row is BOUNDED: dimensions are read from the header without
+    * decoding, and anything above [[MaxDecodePixels]] (a
+    * decompression bomb, by construction of a mixed crawl) abstains
+    * to the fallback instead of allocating its raster.
     */
+  /** Decode bound: images above this pixel count take the fallback
+    * instead of decoding (review r19) — a decompression-bomb PNG (a
+    * tiny byte stream declaring 40000x40000 pixels) would otherwise
+    * allocate gigabytes inside the UDF. The header is read WITHOUT
+    * decoding to check this, so the bomb never materializes. 16.7M
+    * pixels (4096x4096) decodes to a ~64 MB int raster — bounded work
+    * per row at any input.
+    */
+  private val MaxDecodePixels: Long = 16L << 20
+
+  /** One decoded image's block-mean luma grid (BT.601). Bulk-reads
+    * each block's pixels with one getRGB(rect) call (review r19: the
+    * per-pixel getRGB re-runs the color-model conversion dispatch per
+    * sample). */
+  private def blockLuma(im: java.awt.image.BufferedImage, g: Int,
+      dim: Int): Seq[Float] = {
+    val w = im.getWidth; val h = im.getHeight
+    val feat = new Array[Float](dim)
+    var r = 0
+    while (r < g) {
+      val y0 = r * h / g
+      val y1 = math.min(h, math.max((r + 1) * h / g, y0 + 1))
+      var c = 0
+      while (c < g) {
+        val x0 = c * w / g
+        val x1 = math.min(w, math.max((c + 1) * w / g, x0 + 1))
+        val bw = x1 - x0; val bh = y1 - y0
+        val px = im.getRGB(x0, y0, bw, bh, null, 0, bw)
+        var sum = 0.0
+        var i = 0
+        while (i < px.length) {
+          val rgb = px(i)
+          sum += (0.299 * ((rgb >> 16) & 0xFF) +
+            0.587 * ((rgb >> 8) & 0xFF) +
+            0.114 * (rgb & 0xFF)) / 255.0
+          i += 1
+        }
+        feat(r * g + c) = if (px.length > 0) (sum / px.length).toFloat else 0f
+        c += 1
+      }
+      r += 1
+    }
+    feat.toSeq
+  }
+
   def imageBlockLuma(dim: Int = 64): Array[Byte] => Seq[Float] = {
     val g = math.sqrt(dim.toDouble).toInt
     require(g * g == dim,
       s"imageBlockLuma: dim must be a perfect square (a g x g grid), got $dim")
     val fallback = byteChunkMeans(dim)
     bytes => {
-      val img =
+      val decoded: Option[java.awt.image.BufferedImage] =
         if (bytes == null || bytes.isEmpty) None
-        else try Option(javax.imageio.ImageIO.read(
-          new java.io.ByteArrayInputStream(bytes)))
-        catch { case _: Throwable => None }
-      img match {
-        case Some(im) if im.getWidth > 0 && im.getHeight > 0 =>
-          val w = im.getWidth; val h = im.getHeight
-          val feat = new Array[Float](dim)
-          var r = 0
-          while (r < g) {
-            val y0 = r * h / g; val y1 = math.max((r + 1) * h / g, y0 + 1)
-            var c = 0
-            while (c < g) {
-              val x0 = c * w / g; val x1 = math.max((c + 1) * w / g, x0 + 1)
-              var sum = 0.0; var n = 0
-              var y = y0
-              while (y < h && y < y1) {
-                var x = x0
-                while (x < w && x < x1) {
-                  val rgb = im.getRGB(x, y)
-                  sum += (0.299 * ((rgb >> 16) & 0xFF) +
-                    0.587 * ((rgb >> 8) & 0xFF) +
-                    0.114 * (rgb & 0xFF)) / 255.0
-                  n += 1; x += 1
-                }
-                y += 1
-              }
-              feat(r * g + c) = if (n > 0) (sum / n).toFloat else 0f
-              c += 1
+        else {
+          // an in-memory stream, NEVER ImageIO's default disk cache
+          // (review r19: ImageIO.read(InputStream) wraps a
+          // ByteArrayInputStream in a FileCacheImageInputStream by
+          // default — one executor temp-file create/write/delete per
+          // asset row in the hot decode path); header-only dimension
+          // read gates the full decode behind MaxDecodePixels.
+          // NonFatal only: an OOM or VM error must propagate, not be
+          // mistaken for "not an image".
+          val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          try {
+            val readers = javax.imageio.ImageIO.getImageReaders(iis)
+            if (!readers.hasNext) None
+            else {
+              val reader = readers.next()
+              try {
+                reader.setInput(iis)
+                val w = reader.getWidth(0); val h = reader.getHeight(0)
+                if (w <= 0 || h <= 0 || w.toLong * h > MaxDecodePixels) None
+                else Option(reader.read(0))
+              } catch {
+                case scala.util.control.NonFatal(_) => None
+              } finally reader.dispose()
             }
-            r += 1
+          } catch {
+            case scala.util.control.NonFatal(_) => None
+          } finally {
+            try iis.close()
+            catch { case scala.util.control.NonFatal(_) => () }
           }
-          feat.toSeq
+        }
+      decoded match {
+        case Some(im) if im.getWidth > 0 && im.getHeight > 0 =>
+          blockLuma(im, g, dim)
         case _ => fallback(bytes)
       }
     }

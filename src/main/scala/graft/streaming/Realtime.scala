@@ -509,6 +509,18 @@ object Realtime {
     // BEFORE the CDF checks so those can accept a langCol this stage
     // will produce.
     val langIdScorer = langIdGate.map { g =>
+      // the routed column must not collide with the chain's working
+      // columns (review r19): langCol == textCol would OVERWRITE every
+      // survivor's text with its language code before scoring/
+      // shingling/MERGE, langCol == idCol would collapse each
+      // language onto one merge key — silent corruption, so both fail
+      // the start; and the reserved-name check must cover the column
+      // this stage PRODUCES, not just the stream's own schema
+      // (see the pct lookup's requireNoReservedColumns below)
+      require(g.langCol != idCol && g.langCol != textCol,
+        s"streamIngestPipeline(langIdGate): langCol '${g.langCol}' collides " +
+          "with the pipeline's id/text column — the detector would " +
+          "overwrite it; route to a different column name")
       percentileGate.foreach(p => require(p.langCol == g.langCol,
         s"streamIngestPipeline: the percentile gate keys on " +
           s"'${p.langCol}' but the language-ID stage routes to " +
@@ -541,8 +553,14 @@ object Realtime {
           "for the percentile gate — per-language calibration needs the " +
           "language id on every row (carry it on the stream, or detect it " +
           "with langIdGate)")
+      // the gate's input schema includes the column the language-ID
+      // stage PRODUCES (review r19: LangIdGate(langCol = "pct") passed
+      // the schema check here — docs carries no "pct" — then threw
+      // inside the first micro-batch's withPercentile, wedging every
+      // checkpoint restart on the same error)
       graft.operators.QualityCal.requireNoReservedColumns(
-        docs.columns.toSeq, "pct", "streamIngestPipeline(percentileGate)")
+        (docs.columns.toSeq ++ langIdGate.map(_.langCol)).distinct,
+        "pct", "streamIngestPipeline(percentileGate)")
       graft.operators.QualityCal.loadCdf(store, g.cdfTable,
         "streamIngestPipeline", g.expectSnapshot)
     }

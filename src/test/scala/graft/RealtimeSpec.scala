@@ -1224,6 +1224,43 @@ class RealtimeSpec extends AnyFunSuite {
         langIdGate = Some(Realtime.LangIdGate("langid_model")))
     }
     assert(e3.getMessage.contains("align the two langCol knobs"))
+    // langCol colliding with the pipeline's text column would silently
+    // overwrite every survivor's text with its language code (review
+    // r19) — fails the START
+    val e4 = intercept[IllegalArgumentException] {
+      Realtime.streamIngestPipeline(store, "docs", "sigs",
+        spark.readStream.schema("doc_id LONG, text STRING").parquet(src),
+        "doc_id", "text", TestSpark.tempDir("graft_lidgate_cp5_"),
+        langIdGate = Some(Realtime.LangIdGate("langid_model",
+          langCol = "text")))
+    }
+    assert(e4.getMessage.contains("id/text column"))
+    // langCol == the percentile lookup's reserved output (produced
+    // column, absent from the stream schema) — fails the START, not
+    // the first micro-batch (review r19)
+    val e5 = intercept[IllegalArgumentException] {
+      Realtime.streamIngestPipeline(store, "docs", "sigs",
+        spark.readStream.schema("doc_id LONG, text STRING").parquet(src),
+        "doc_id", "text", TestSpark.tempDir("graft_lidgate_cp6_"),
+        percentileGate = Some(Realtime.PercentileGate("quality_cdf",
+          Queries.ingestGatePct, langCol = "pct")),
+        langIdGate = Some(Realtime.LangIdGate("langid_model",
+          langCol = "pct")))
+    }
+    assert(e5.getMessage.toLowerCase.contains("pct"))
+    // a one-language artifact is rejected by the loader (review r19:
+    // the argmax would be vacuous and every per-language gate
+    // downstream degenerates silently)
+    import LangId.{MetaFn, MetaLangs, MetaHexLen, MetaN, MetaScale}
+    store.overwriteWithMeta("langid_one",
+      store.read("langid_model").filter(col("lang") === model.langs.head),
+      Map(MetaFn -> LangId.FnVersion, MetaLangs -> model.langs.head,
+        MetaHexLen -> model.hexLen.toString, MetaN -> model.n.toString,
+        MetaScale -> LangId.ServingScale.toString))
+    val e6 = intercept[IllegalArgumentException] {
+      LangId.loadModel(store, "langid_one", "spec")
+    }
+    assert(e6.getMessage.contains(">= 2 classes"))
   }
 
   test("streaming boilerplate clean equals the batch stored probe; replay no-op; " +

@@ -143,29 +143,28 @@ class VerifySpec extends AnyFunSuite {
     val base = Map("a" -> 1.0, "b" -> 1.0, "c" -> 1.0, "d" -> 1.0, "e" -> 1.0)
     // the r18 official-run signature: everything ~1.2-1.4x (below the
     // 2x per-query and window triggers), a few queries over 1.5x —
-    // the run-level median indicts the window, the over queries re-run
+    // exactly those re-measure once
     assert(Bench.driftReruns(
       Map("a" -> 1.2, "b" -> 1.3, "c" -> 1.4, "d" -> 1.6, "e" -> 1.8),
       base) == Set("d", "e"))
-    // healthy run: median at parity, nothing over — no reruns
+    // healthy run: nothing over — no reruns
     assert(Bench.driftReruns(
       Map("a" -> 1.0, "b" -> 1.05, "c" -> 0.9, "d" -> 1.0, "e" -> 1.0),
       base).isEmpty)
-    // parity median but ONE query over 1.5x: the n_over trigger grants
-    // it one diagnostic re-measure (a genuine regression stays slow on
-    // the rerun and the record stands)
+    // ONE query over 1.5x in an otherwise-parity run: one diagnostic
+    // re-measure (a genuine regression stays slow on the rerun and
+    // the record stands)
     assert(Bench.driftReruns(
       Map("a" -> 1.0, "b" -> 1.0, "c" -> 1.0, "d" -> 1.0, "e" -> 1.7),
       base) == Set("e"))
-    // inflated median with nothing over 1.5x: triggered but nothing
-    // crosses the rerun bar — empty (best-of-attempts already bounded
-    // the damage)
+    // uniformly inflated but nothing over 1.5x: nothing to re-run —
+    // best-of-attempts already bounded the damage
     assert(Bench.driftReruns(
       base.keySet.map(_ -> 1.3).toMap, base).isEmpty)
-    // no baseline at all → sentinel median → never fires
+    // no baseline at all → nothing judgeable → never fires
     assert(Bench.driftReruns(Map("a" -> 9.0), Map.empty).isEmpty)
-    // uncovered queries are unjudgeable: they neither trigger nor
-    // re-run, however slow they look
+    // uncovered queries are unjudgeable: they never re-run, however
+    // slow they look
     assert(Bench.driftReruns(
       Map("a" -> 1.2, "b" -> 1.3, "c" -> 1.4, "d" -> 1.6, "x" -> 99.0),
       base) == Set("d"))
