@@ -494,10 +494,48 @@ object Oracles {
     "(SELECT d.lang, d.doc_id, d.text FROM documents d " +
       "JOIN final f ON f.doc_id = d.doc_id)"
 
+  /** Per-doc DETECTED-language CTE chain (body form, no leading WITH)
+    * — the text_language_id_trained replay (hashed-bigram buckets →
+    * scaled-integer sums → (score, lang)-descending argmax, gram-less
+    * docs routed to 'und') ending in det(doc_id, lang). Shared by the
+    * trained/stored language-ID entries and the ROUTED ingest chain
+    * (r19), so routing can never drift between the standalone query
+    * and the composed gate.
+    */
+  private val langDetCtes =
+    s"""${bigramsCte.stripPrefix("WITH ")},
+       |feat AS (
+       |  SELECT DISTINCT doc_id, substr(md5(g), 1, 3) AS bk FROM bigrams),
+       |lw AS (SELECT lang, bk, w
+       |  FROM read_parquet('__AUX__/langid_aux_weights.parquet')),
+       |li AS (SELECT lang, icept
+       |  FROM read_parquet('__AUX__/langid_aux_icepts.parquet')),
+       |z AS (
+       |  SELECT f.doc_id, lw.lang, SUM(lw.w) AS zs
+       |  FROM feat f JOIN lw USING (bk)
+       |GROUP BY f.doc_id, lw.lang),
+       |sc AS (
+       |  SELECT z.doc_id, z.lang, z.zs + li.icept AS score
+       |  FROM z JOIN li USING (lang)),
+       |bestl AS (
+       |  SELECT doc_id, lang AS detected,
+       |    row_number() OVER (PARTITION BY doc_id
+       |      ORDER BY score DESC, lang DESC) AS rn
+       |  FROM sc),
+       |det AS (
+       |  SELECT d.doc_id, coalesce(b.detected, 'und') AS lang
+       |  FROM documents d
+       |  LEFT JOIN (SELECT doc_id, detected FROM bestl WHERE rn = 1) b
+       |    USING (doc_id))""".stripMargin
+
   private def ingestChain(decontam: Boolean, semantic: Boolean = false,
-      percentile: Boolean = false, boil: Boolean = false): String = {
+      percentile: Boolean = false, boil: Boolean = false,
+      routed: Boolean = false): String = {
     require(!semantic || decontam, "the ladder adds to the decontam chain")
     require(!boil || decontam, "the boil stage composes on the decontam chain")
+    require(!routed || (percentile && !boil),
+      "routing keys the percentile gate on detected language; the boil " +
+        "variant (detection over cleaned text) is a separate composition")
     val rows = Queries.minHashNumHashes / Queries.minHashBands
     val terms = Queries.blocklistTerms.map(s => s"'$s'").mkString("[", ", ", "]")
     val batchPred =
@@ -609,6 +647,25 @@ object Oracles {
            |      WHERE c.lang IS NOT DISTINCT FROM bq.lang
            |        AND c.quality <= bq.q), 0.0) >= ${Queries.ingestGatePct}),
            |""".stripMargin
+      else if (routed)
+        // ROUTED (r19): the percentile partitions by DETECTED language
+        // (the det CTE prepended below) — the calibration and the gate
+        // key on the same language definition detection serves, the
+        // production shape for unlabeled corpora. Batch docs are
+        // corpus docs, so every (detected lang, quality) is a
+        // calibration cell and cume_dist ≡ the engine's snapshot
+        // range lookup.
+        s"""pq AS (${qualitySql("documents")}),
+           |pctq AS (
+           |  SELECT d.doc_id,
+           |    round(cume_dist() OVER (
+           |      PARTITION BY dt.lang ORDER BY pq.quality), 6) AS pct
+           |  FROM documents d JOIN pq USING (doc_id)
+           |  JOIN det dt USING (doc_id)),
+           |blp AS (
+           |  SELECT bl.doc_id FROM bl JOIN pctq USING (doc_id)
+           |  WHERE pct >= ${Queries.ingestGatePct}),
+           |""".stripMargin
       else
         s"""pq AS (${qualitySql("documents")}),
            |pctq AS (
@@ -666,7 +723,8 @@ object Oracles {
            |bl2 AS (
            |  SELECT doc_id FROM $gateIn
            |  WHERE doc_id NOT IN (SELECT id FROM dhit)),""".stripMargin) + semCtes
-    s"""WITH b AS (
+    val detPrefix = if (routed) s"$langDetCtes,\n" else ""
+    s"""WITH ${detPrefix}b AS (
        |  SELECT doc_id AS id,
        |    md5(regexp_replace(lower(trim(coalesce(text, ''))), '\\s+', ' ', 'g')) AS h
        |  FROM documents WHERE $batchPred),
@@ -1770,6 +1828,31 @@ object Oracles {
          |  UNION ALL SELECT '4_near_dedup', COUNT(*) FROM final)
          |ORDER BY stage""".stripMargin,
 
+    // The ROUTED gated chain (r19): the percentile gate keys on
+    // DETECTED language (the shared langDetCtes replay of the trained
+    // model), the production composition for corpora that don't
+    // arrive labeled; terminal stats group by the detected column.
+    "pipeline_ingest_routed" ->
+      s"""${ingestChain(decontam = true, percentile = true, routed = true)}
+         |SELECT dt.lang, COUNT(*) AS n_docs,
+         |  CAST(SUM(len($toksSql)) AS BIGINT) AS n_tokens
+         |FROM documents d JOIN final f ON f.doc_id = d.doc_id
+         |JOIN det dt ON dt.doc_id = d.doc_id
+         |GROUP BY dt.lang ORDER BY dt.lang""".stripMargin,
+
+    // Funnel audit of the routed chain — the stage counts a routing
+    // misfire would move first (2p under a wrong language partition).
+    "ingest_audit_routed" ->
+      s"""${ingestChain(decontam = true, percentile = true, routed = true)}
+         |SELECT * FROM (
+         |  SELECT '0_batch' AS stage, COUNT(*) AS n_docs FROM b
+         |  UNION ALL SELECT '1_exact_dedup', COUNT(*) FROM kept1
+         |  UNION ALL SELECT '2_blocklist', COUNT(*) FROM bl
+         |  UNION ALL SELECT '2p_percentile', COUNT(*) FROM blp
+         |  UNION ALL SELECT '3_decontam', COUNT(*) FROM bl2
+         |  UNION ALL SELECT '4_near_dedup', COUNT(*) FROM final)
+         |ORDER BY stage""".stripMargin,
+
     // The boilerplate-composed chain (r18): the chain CTEs + the
     // dedup_boilerplate_stored replay between blocklist and the
     // percentile gate; every later stage reads the CLEANED text (the
@@ -2458,31 +2541,8 @@ object Oracles {
     // argmax by (score, lang) descending; gram-less docs rout to
     // 'und'.
     "text_language_id_trained" ->
-      s"""$bigramsCte,
-         |feat AS (
-         |  SELECT DISTINCT doc_id, substr(md5(g), 1, 3) AS bk FROM bigrams),
-         |lw AS (SELECT lang, bk, w
-         |  FROM read_parquet('__AUX__/langid_aux_weights.parquet')),
-         |li AS (SELECT lang, icept
-         |  FROM read_parquet('__AUX__/langid_aux_icepts.parquet')),
-         |z AS (
-         |  SELECT f.doc_id, lw.lang, SUM(lw.w) AS zs
-         |  FROM feat f JOIN lw USING (bk)
-         |  GROUP BY f.doc_id, lw.lang),
-         |sc AS (
-         |  SELECT z.doc_id, z.lang, z.zs + li.icept AS score
-         |  FROM z JOIN li USING (lang)),
-         |best AS (
-         |  SELECT doc_id, lang AS detected,
-         |    row_number() OVER (PARTITION BY doc_id
-         |      ORDER BY score DESC, lang DESC) AS rn
-         |  FROM sc),
-         |det AS (
-         |  SELECT d.doc_id, coalesce(b.detected, 'und') AS detected
-         |  FROM documents d
-         |  LEFT JOIN (SELECT doc_id, detected FROM best WHERE rn = 1) b
-         |    USING (doc_id))
-         |SELECT detected, count(*) AS n FROM det
+      s"""WITH $langDetCtes
+         |SELECT lang AS detected, count(*) AS n FROM det
          |GROUP BY detected ORDER BY detected""".stripMargin,
 
     // Rolling-hash fingerprint replayed in PURE SQL (no aux): the JVM

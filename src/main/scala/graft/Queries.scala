@@ -3016,6 +3016,96 @@ object Queries {
     * codegen'd filter; re-evaluating it here costs nothing against
     * the two regex/ratio UDF evaluations it saves per dropped row.
     */
+  private val pctCdfRoutedCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Detected-language calibration snapshot (r19): the routed chain's
+    * CDF is keyed on the SAME language definition its gate routes
+    * with — calibrate on what detection says, because production
+    * corpora carry no labels and a stored-label CDF would gate rows
+    * against partitions they never route to. Built once per
+    * (session, dir) over the full corpus with the session model, like
+    * [[pctCdfStore]].
+    */
+  private def pctCdfStoreRouted(spark: SparkSession, dir: String)
+      : graft.sources.ParquetStore = {
+    val root = pctCdfRoutedCache.computeIfAbsent(cacheKey(spark, dir), { _ =>
+      val p = java.nio.file.Files.createTempDirectory("graft_pctcdf_r_").toString
+      val docsT = t(spark, dir, "documents")
+      val det = operators.LangId.detect(docsT, langIdModel(spark, dir),
+          "doc_id", "text")
+        .select(col("id").as("doc_id"), col("detected").as("lang"))
+      operators.QualityCal.buildPercentileStore(
+        new graft.sources.ParquetStore(spark, p), "quality_cdf_routed",
+        docsT.select(col("doc_id"), col("text")).join(det, Seq("doc_id")),
+        "lang", "text", snapshot = "corpus-v1-routed")
+      p
+    })
+    new graft.sources.ParquetStore(spark, root)
+  }
+
+  /** The ROUTED gated ingest chain (r19 — the batch twin of the
+    * streaming LangIdGate + PercentileGate composition, DuckDB-oracled
+    * so the routed configuration sits under the driver gate): exact
+    * dedup → blocklist → language DETECTION over the survivors (the
+    * trained model, ONE pass shared by the gate and the terminal
+    * stats) → per-DETECTED-language percentile gate probing the
+    * detected-lang calibration snapshot ([[pctCdfStoreRouted]]) →
+    * shingle decontamination → near-dup. The oracle replays detection
+    * from the dumped scaled-integer coefficient tables (the shared
+    * langDetCtes), then partitions the corpus CDF by the detected
+    * column — routing and gating can never drift between engine and
+    * replay. Scale shape: detection is a delta-sized per-row map
+    * (broadcast wide coefficient table), the gate is the bounded
+    * distinct-pair snapshot probe, and the dedup stages are the
+    * standard store probes — no corpus text scan per run.
+    */
+  private[graft] def ingestRoutedTagged(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val docsT = t(spark, dir, "documents")
+    val batchIdPred = col("doc_id") >= incrementalSplit &&
+      col("doc_id") < decontamNearDupSplit
+    val base = docsT.filter(batchIdPred)
+      .filter(blocklistClean(col("text"), blocklistTerms))
+    // ONE detection pass over the blocklist survivors, shared by the
+    // gate and the terminal stats (localCheckpoint: two consumers)
+    val det = operators.LangId.detect(base, langIdModel(spark, dir),
+        "doc_id", "text")
+      .select(col("id").as("doc_id"), col("detected").as("__dl"))
+      .localCheckpoint(false)
+    val cdf = operators.QualityCal.loadCdf(pctCdfStoreRouted(spark, dir),
+      "quality_cdf_routed", "ingestRoutedTagged",
+      expectSnapshot = Some("corpus-v1-routed"))
+    val scored = base
+      .select(col("doc_id"), qualityScore(col("text")).as("quality"))
+      .join(det.select(col("doc_id"), col("__dl").as("lang")), Seq("doc_id"))
+    val pctPass = operators.QualityCal.withPercentile(scored, cdf,
+        "lang", col("quality"))
+      .filter(col("pct") >= ingestGatePct).select(col("doc_id"))
+    ingestDecontamTaggedOn(fullSigStore(spark, dir),
+        docsT.filter(batchIdPred),
+        corpusPred = col("id") < incrementalSplit,
+        batchPred = col("id") >= incrementalSplit &&
+          col("id") < decontamNearDupSplit,
+        benchPred = col("id") >= decontamNearDupSplit,
+        semFlagged = None,
+        pctPass = Some(pctPass.localCheckpoint(false)))
+      .join(det, Seq("doc_id"), "left")
+  }
+
+  /** Per-DETECTED-language stats of the routed chain's survivors. */
+  def pipelineIngestRouted(spark: SparkSession, dir: String): DataFrame =
+    perLangStats(ingestRoutedTagged(spark, dir).filter(col("__s4"))
+      .select(col("__dl").as("lang"), col("text")))
+
+  /** Five-stage funnel of the routed chain — the stage a routing
+    * misfire moves first (2p under a wrong language partition). */
+  def ingestAuditRouted(spark: SparkSession, dir: String): DataFrame =
+    ingestFunnel(ingestRoutedTagged(spark, dir), Seq(
+      "__s1" -> "1_exact_dedup", "__s2" -> "2_blocklist",
+      "__s2p" -> "2p_percentile",
+      "__s3" -> "3_decontam", "__s4" -> "4_near_dedup"))
+
   private[graft] def ingestPctPass(spark: SparkSession, dir: String,
       boilCleaned: Option[DataFrame]): DataFrame = {
     val docsT = t(spark, dir, "documents")
@@ -4329,6 +4419,7 @@ object Queries {
     qualityModel(spark, dir)
     langIdModel(spark, dir)
     langIdStore(spark, dir)
+    pctCdfStoreRouted(spark, dir)
     semCentroids(spark, dir)
     ()
   }
@@ -4382,6 +4473,8 @@ object Queries {
     "pipeline_ingest_ladder" -> (pipelineIngestLadder _),
     "ingest_audit_ladder" -> (ingestAuditLadder _),
     "ingest_audit_gated" -> (ingestAuditGated _),
+    "pipeline_ingest_routed" -> (pipelineIngestRouted _),
+    "ingest_audit_routed" -> (ingestAuditRouted _),
     "pipeline_ingest_boil" -> (pipelineIngestBoil _),
     "ingest_audit_boil" -> (ingestAuditBoil _),
     "pipeline_pack" -> (pipelinePack _),
