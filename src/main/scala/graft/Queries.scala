@@ -3060,15 +3060,18 @@ object Queries {
     * distinct-pair snapshot probe, and the dedup stages are the
     * standard store probes — no corpus text scan per run.
     */
-  private[graft] def ingestRoutedTagged(spark: SparkSession, dir: String)
-      : DataFrame = {
+  /** The routed chain's (detected-language frame, pass set) pair —
+    * detection runs ONCE (localCheckpoint: the gate and the terminal
+    * stats both consume it); the pass set is returned PRE-checkpoint
+    * so PlanSpec can pin its scan discipline (every documents scan
+    * batch-bounded, CDF from the routed snapshot store). */
+  private[graft] def routedDetAndPass(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
     val docsT = t(spark, dir, "documents")
-    val batchIdPred = col("doc_id") >= incrementalSplit &&
-      col("doc_id") < decontamNearDupSplit
-    val base = docsT.filter(batchIdPred)
+    val base = docsT
+      .filter(col("doc_id") >= incrementalSplit &&
+        col("doc_id") < decontamNearDupSplit)
       .filter(blocklistClean(col("text"), blocklistTerms))
-    // ONE detection pass over the blocklist survivors, shared by the
-    // gate and the terminal stats (localCheckpoint: two consumers)
     val det = operators.LangId.detect(base, langIdModel(spark, dir),
         "doc_id", "text")
       .select(col("id").as("doc_id"), col("detected").as("__dl"))
@@ -3082,6 +3085,15 @@ object Queries {
     val pctPass = operators.QualityCal.withPercentile(scored, cdf,
         "lang", col("quality"))
       .filter(col("pct") >= ingestGatePct).select(col("doc_id"))
+    (det, pctPass)
+  }
+
+  private[graft] def ingestRoutedTagged(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val docsT = t(spark, dir, "documents")
+    val batchIdPred = col("doc_id") >= incrementalSplit &&
+      col("doc_id") < decontamNearDupSplit
+    val (det, pctPass) = routedDetAndPass(spark, dir)
     ingestDecontamTaggedOn(fullSigStore(spark, dir),
         docsT.filter(batchIdPred),
         corpusPred = col("id") < incrementalSplit,

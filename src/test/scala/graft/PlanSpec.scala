@@ -165,6 +165,29 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("routed percentile gate probes the detected-lang snapshot — " +
+      "batch-bounded scans, detection behind its checkpoint (r19)") {
+    // the routed chain's pass set: detection is localCheckpointed
+    // (one pass, two consumers), the CDF comes from the routed
+    // snapshot store, and the only live documents scans are the
+    // batch-bounded quality scoring — a corpus-wide scan regressing
+    // into this plan is the scale-killer shape the gated-chain pin
+    // above locks out
+    val (_, pass) = Queries.routedDetAndPass(spark, dir)
+    val plan = pass.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_pctcdf_r_"),
+      s"the routed gate must read the detected-lang CDF snapshot:\n$plan")
+    val docScans = plan.linesIterator.filter(l =>
+      l.contains("Scan parquet") && l.contains("documents")).toSeq
+    assert(docScans.nonEmpty,
+      s"expected a batch-slice documents scan:\n$plan")
+    docScans.foreach { l =>
+      assert(l.contains("GreaterThanOrEqual(doc_id"),
+        s"every documents scan in the routed gate must carry the pushed " +
+          s"batch lower bound:\n$l")
+    }
+  }
+
   test("pack_offsets: ONE narrow exchange serves cumsum and placement windows") {
     val plan = SparkEntry.queries("pack_offsets")(spark, dir)
       .queryExecution.executedPlan.toString
