@@ -528,14 +528,53 @@ object Oracles {
        |  LEFT JOIN (SELECT doc_id, detected FROM bestl WHERE rn = 1) b
        |    USING (doc_id))""".stripMargin
 
+  /** Detection replay over the CLEANED batch text (body form) — the
+    * routed+boil chain's serve-side language: the same hashed-bigram
+    * buckets → scaled-integer sums → argmax arithmetic as
+    * [[langDetCtes]], but read from `docsb` (the boil stage's cleaned
+    * CTE), ending in detb(doc_id, lang). Requires the lw/li weight
+    * CTEs (prepended with langDetCtes when routed) and `docsb`
+    * upstream; gram-less cleans rout to 'und' like the engine's
+    * detect.
+    */
+  private val langDetCleanedCtes =
+    s"""arrb AS (
+       |  SELECT doc_id, $toksSql AS toks FROM docsb),
+       |unnb AS (
+       |  SELECT doc_id, unnest(toks) AS tok,
+       |    generate_subscripts(toks, 1) AS i
+       |  FROM arrb WHERE len(toks) >= 2),
+       |bigb AS (
+       |  SELECT DISTINCT a.doc_id, a.tok || ' ' || b.tok AS g
+       |  FROM unnb a JOIN unnb b
+       |    ON a.doc_id = b.doc_id AND b.i = a.i + 1),
+       |featb AS (
+       |  SELECT DISTINCT doc_id, substr(md5(g), 1, 3) AS bk FROM bigb),
+       |zb AS (
+       |  SELECT f.doc_id, lw.lang, SUM(lw.w) AS zs
+       |  FROM featb f JOIN lw USING (bk)
+       |  GROUP BY f.doc_id, lw.lang),
+       |scb AS (
+       |  SELECT z.doc_id, z.lang, z.zs + li.icept AS score
+       |  FROM zb z JOIN li USING (lang)),
+       |bestlb AS (
+       |  SELECT doc_id, lang AS detected,
+       |    row_number() OVER (PARTITION BY doc_id
+       |      ORDER BY score DESC, lang DESC) AS rn
+       |  FROM scb),
+       |detb AS (
+       |  SELECT d.doc_id, coalesce(b.detected, 'und') AS lang
+       |  FROM docsb d
+       |  LEFT JOIN (SELECT doc_id, detected FROM bestlb WHERE rn = 1) b
+       |    USING (doc_id))""".stripMargin
+
   private def ingestChain(decontam: Boolean, semantic: Boolean = false,
       percentile: Boolean = false, boil: Boolean = false,
       routed: Boolean = false): String = {
     require(!semantic || decontam, "the ladder adds to the decontam chain")
     require(!boil || decontam, "the boil stage composes on the decontam chain")
-    require(!routed || (percentile && !boil),
-      "routing keys the percentile gate on detected language; the boil " +
-        "variant (detection over cleaned text) is a separate composition")
+    require(!routed || percentile,
+      "routing keys the percentile gate on detected language")
     val rows = Queries.minHashNumHashes / Queries.minHashBands
     val terms = Queries.blocklistTerms.map(s => s"'$s'").mkString("[", ", ", "]")
     val batchPred =
@@ -621,6 +660,45 @@ object Oracles {
     val gateIn = if (percentile) "blp" else pctIn
     val pctCtes =
       if (!percentile) ""
+      else if (routed && boil)
+        // ROUTED + BOIL (r19): the calibration cells partition by the
+        // corpus's DETECTED-on-raw language (the det CTE prepended
+        // below — the routed snapshot's build convention), the batch
+        // side scores the CLEANED text and keys on its detection over
+        // the CLEANED text (detb) — the text that ships is the text
+        // that routes. RANGE lookup because a cleaned quality is
+        // generally not a raw histogram cell; a detected language
+        // with NO calibration partition ABSTAINS (passes, the
+        // streaming PercentileGate's unseen-language semantics —
+        // possible here because a clean can drop every bigram and
+        // rout to 'und').
+        s"""pq AS (${qualitySql("documents")}),
+           |cellsrc AS (
+           |  SELECT dt.lang, pq.quality, count(*) AS cnt
+           |  FROM documents d JOIN pq USING (doc_id)
+           |  JOIN det dt USING (doc_id)
+           |  GROUP BY dt.lang, pq.quality),
+           |cells AS (
+           |  SELECT lang, quality,
+           |    round(CAST(sum(cnt) OVER (
+           |      PARTITION BY lang ORDER BY quality) AS DOUBLE)
+           |      / sum(cnt) OVER (PARTITION BY lang), 6) AS pct
+           |  FROM cellsrc),
+           |docsb AS (SELECT doc_id, clean_text AS text FROM cleaned),
+           |$langDetCleanedCtes,
+           |bq0 AS (${qualitySql("docsb")}),
+           |bq AS (
+           |  SELECT b0.doc_id, db.lang, b0.quality AS q
+           |  FROM bq0 b0 JOIN detb db USING (doc_id)
+           |  JOIN blb USING (doc_id)),
+           |blp AS (
+           |  SELECT bq.doc_id FROM bq
+           |  WHERE NOT EXISTS (SELECT 1 FROM cells c2
+           |      WHERE c2.lang = bq.lang)
+           |    OR coalesce((SELECT max(c.pct) FROM cells c
+           |      WHERE c.lang = bq.lang
+           |        AND c.quality <= bq.q), 0.0) >= ${Queries.ingestGatePct}),
+           |""".stripMargin
       else if (boil)
         s"""pq AS (${qualitySql("documents")}),
            |cellsrc AS (
@@ -1848,6 +1926,36 @@ object Oracles {
          |  SELECT '0_batch' AS stage, COUNT(*) AS n_docs FROM b
          |  UNION ALL SELECT '1_exact_dedup', COUNT(*) FROM kept1
          |  UNION ALL SELECT '2_blocklist', COUNT(*) FROM bl
+         |  UNION ALL SELECT '2p_percentile', COUNT(*) FROM blp
+         |  UNION ALL SELECT '3_decontam', COUNT(*) FROM bl2
+         |  UNION ALL SELECT '4_near_dedup', COUNT(*) FROM final)
+         |ORDER BY stage""".stripMargin,
+
+    // The ROUTED + BOIL chain (r19 — the full production composition):
+    // clean first, then DETECT the cleaned text (langDetCleanedCtes),
+    // gate on the detected language against the detected-lang corpus
+    // cells by range lookup. Terminal stats group by the CLEANED
+    // text's detection and count the cleaned tokens.
+    "pipeline_ingest_routed_boil" ->
+      s"""${ingestChain(decontam = true, percentile = true, boil = true,
+             routed = true)}
+         |SELECT db.lang, COUNT(*) AS n_docs,
+         |  CAST(SUM(len($toksSql)) AS BIGINT) AS n_tokens
+         |FROM (SELECT c.doc_id, c.clean_text AS text
+         |      FROM cleaned c JOIN final f ON f.doc_id = c.doc_id) x
+         |JOIN detb db ON db.doc_id = x.doc_id
+         |GROUP BY db.lang ORDER BY db.lang""".stripMargin,
+
+    // Seven-stage funnel of the routed+boil chain: the all-boilerplate
+    // drop (2b) separated from the detected-language gate's (2p).
+    "ingest_audit_routed_boil" ->
+      s"""${ingestChain(decontam = true, percentile = true, boil = true,
+             routed = true)}
+         |SELECT * FROM (
+         |  SELECT '0_batch' AS stage, COUNT(*) AS n_docs FROM b
+         |  UNION ALL SELECT '1_exact_dedup', COUNT(*) FROM kept1
+         |  UNION ALL SELECT '2_blocklist', COUNT(*) FROM bl
+         |  UNION ALL SELECT '2b_boilerplate', COUNT(*) FROM blb
          |  UNION ALL SELECT '2p_percentile', COUNT(*) FROM blp
          |  UNION ALL SELECT '3_decontam', COUNT(*) FROM bl2
          |  UNION ALL SELECT '4_near_dedup', COUNT(*) FROM final)

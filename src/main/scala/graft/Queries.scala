@@ -3118,6 +3118,111 @@ object Queries {
       "__s2p" -> "2p_percentile",
       "__s3" -> "3_decontam", "__s4" -> "4_near_dedup"))
 
+  /** The ROUTED + BOILERPLATE composition's shared pieces (r19 — the
+    * full production ingest shape, closing the composition the routed
+    * chain's scaladoc declared separate): the store-backed span clean
+    * runs FIRST, then language detection reads the CLEANED text — the
+    * text that actually ships — so the per-language percentile gate
+    * routes on what a consumer of the corpus would see, not on
+    * boilerplate the clean already dropped (a nav-bar in language A
+    * wrapping a body in language B must gate as B). Returns
+    * (boilCleaned, detected, pctPass): the clean is computed ONCE for
+    * the batch (three consumers — the chain's text swap, the tag
+    * join, detection), detection ONCE (two consumers — the gate and
+    * the terminal stats), and the pass set is returned PRE-checkpoint
+    * so PlanSpec can pin its scan discipline.
+    *
+    * The gate probes the SAME detected-language calibration snapshot
+    * as the routed chain ([[pctCdfStoreRouted]]): the calibration
+    * corpus is raw (built on calibration cadence over what the corpus
+    * holds), the serve side scores the cleaned text by RANGE lookup
+    * against it — the boil convention, because a cleaned quality is
+    * generally not a raw histogram cell. A cleaned doc whose detected
+    * language has no calibration partition gets a NULL percentile and
+    * the gate ABSTAINS (passes) — the streaming PercentileGate's
+    * unseen-language semantics, observable in the funnel, which the
+    * raw routed chain never hits (batch raw detection ⊆ corpus raw
+    * detection) but the cleaned form can ('und' on a clean that
+    * dropped every bigram).
+    */
+  private[graft] def routedBoilDetAndPass(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val docsT = t(spark, dir, "documents")
+    val batchIdPred = col("doc_id") >= incrementalSplit &&
+      col("doc_id") < decontamNearDupSplit
+    val boilCleaned = operators.Dedup.boilerplateRemoveStored(
+        spanDfStore(spark, dir), "span_df", docsT.filter(batchIdPred),
+        "doc_id", "text", spanTokens = spanDedupTokens,
+        minDocs = boilerplateMinDocs)
+      .select(col("doc_id"), col("clean_text"), col("n_kept"))
+      .localCheckpoint(false)
+    // detection + scoring restricted to blocklist survivors with a
+    // nonempty clean (the ADVICE-r18 discipline): rows failing the
+    // blocklist or dropping as all-boilerplate can never pass the
+    // gate, so neither UDF family runs on them
+    val cleanedKept = docsT.filter(batchIdPred)
+      .filter(blocklistClean(col("text"), blocklistTerms))
+      .select(col("doc_id"))
+      .join(boilCleaned.filter(col("n_kept") > 0)
+        .select(col("doc_id"), col("clean_text").as("text")), Seq("doc_id"))
+    val det = operators.LangId.detect(cleanedKept, langIdModel(spark, dir),
+        "doc_id", "text")
+      .select(col("id").as("doc_id"), col("detected").as("__dl"))
+      .localCheckpoint(false)
+    val cdf = operators.QualityCal.loadCdf(pctCdfStoreRouted(spark, dir),
+      "quality_cdf_routed", "ingestRoutedBoilTagged",
+      expectSnapshot = Some("corpus-v1-routed"))
+    val scored = cleanedKept
+      .select(col("doc_id"), qualityScore(col("text")).as("quality"))
+      .join(det.select(col("doc_id"), col("__dl").as("lang")), Seq("doc_id"))
+    val pctPass = operators.QualityCal.withPercentile(scored, cdf,
+        "lang", col("quality"))
+      .filter(col("pct").isNull || col("pct") >= ingestGatePct)
+      .select(col("doc_id"))
+    (boilCleaned, det, pctPass)
+  }
+
+  /** The ROUTED + BOIL gated ingest chain: exact dedup → blocklist →
+    * boilerplate clean (text swap + all-boilerplate drop) → language
+    * detection over the CLEANED text → per-DETECTED-language
+    * percentile gate (range lookup against the routed calibration
+    * snapshot, abstain-on-unseen) → shingle decontamination signing
+    * the cleaned text → near-dup shingling the cleaned text. The
+    * batch twin of the streaming BoilerplateGate + LangIdGate +
+    * PercentileGate configuration, under the driver gate. */
+  private[graft] def ingestRoutedBoilTagged(spark: SparkSession,
+      dir: String): DataFrame = {
+    val docsT = t(spark, dir, "documents")
+    val batchIdPred = col("doc_id") >= incrementalSplit &&
+      col("doc_id") < decontamNearDupSplit
+    val (boilCleaned, det, pctPass) = routedBoilDetAndPass(spark, dir)
+    ingestDecontamTaggedOn(fullSigStore(spark, dir),
+        docsT.filter(batchIdPred),
+        corpusPred = col("id") < incrementalSplit,
+        batchPred = col("id") >= incrementalSplit &&
+          col("id") < decontamNearDupSplit,
+        benchPred = col("id") >= decontamNearDupSplit,
+        semFlagged = None,
+        pctPass = Some(pctPass.localCheckpoint(false)),
+        boilCleaned = Some(boilCleaned))
+      .join(det, Seq("doc_id"), "left")
+  }
+
+  /** Per-DETECTED-language stats of the routed+boil chain's survivors
+    * — detected over, and counting the tokens of, the CLEANED text
+    * (what would actually ship). */
+  def pipelineIngestRoutedBoil(spark: SparkSession, dir: String): DataFrame =
+    perLangStats(ingestRoutedBoilTagged(spark, dir).filter(col("__s4"))
+      .select(col("__dl").as("lang"), col("__ct").as("text")))
+
+  /** Six-stage funnel of the routed+boil chain — the all-boilerplate
+    * drop (2b) separated from the detected-language gate's (2p). */
+  def ingestAuditRoutedBoil(spark: SparkSession, dir: String): DataFrame =
+    ingestFunnel(ingestRoutedBoilTagged(spark, dir), Seq(
+      "__s1" -> "1_exact_dedup", "__s2" -> "2_blocklist",
+      "__s2b" -> "2b_boilerplate", "__s2p" -> "2p_percentile",
+      "__s3" -> "3_decontam", "__s4" -> "4_near_dedup"))
+
   private[graft] def ingestPctPass(spark: SparkSession, dir: String,
       boilCleaned: Option[DataFrame]): DataFrame = {
     val docsT = t(spark, dir, "documents")
@@ -4487,6 +4592,8 @@ object Queries {
     "ingest_audit_gated" -> (ingestAuditGated _),
     "pipeline_ingest_routed" -> (pipelineIngestRouted _),
     "ingest_audit_routed" -> (ingestAuditRouted _),
+    "pipeline_ingest_routed_boil" -> (pipelineIngestRoutedBoil _),
+    "ingest_audit_routed_boil" -> (ingestAuditRoutedBoil _),
     "pipeline_ingest_boil" -> (pipelineIngestBoil _),
     "ingest_audit_boil" -> (ingestAuditBoil _),
     "pipeline_pack" -> (pipelinePack _),

@@ -422,6 +422,18 @@ object Realtime {
       nShards: Int, seed: String, langCol: String = "lang",
       expectSnapshot: Option[String] = None)
 
+  /** Operational note (r19): with MANY gates enabled, the micro-batch
+    * plan is deep and its batch-lifetime caches are persisted, not
+    * lineage-truncated (truncation would leak checkpoint blocks over
+    * a stream's unbounded lifetime, where persists release at batch
+    * end) — so the EXPLAIN STRING each action's execution-start event
+    * renders repeats the shared subtrees multiplicatively. Semantics
+    * and execution are unaffected (the cache runs once), but an
+    * unbounded `spark.sql.maxPlanStringLength` (the Spark default)
+    * lets that diagnostic render large on a loaded driver; deployments
+    * running the all-gates configuration should bound it (a few MB is
+    * far above any useful explain).
+    */
   def streamIngestPipeline(store: graft.sources.ParquetStore, table: String,
       sigTable: String, docs: DataFrame, idCol: String, textCol: String,
       checkpointDir: String, blocklist: Seq[String] = Nil,

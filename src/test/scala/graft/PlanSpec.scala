@@ -188,6 +188,29 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("routed+boil gate: batch-bounded scans, cleaning and detection " +
+      "behind their checkpoints, routed snapshot probed (r19)") {
+    // the full production composition's pass set: the span clean and
+    // the cleaned-text detection are each localCheckpointed (computed
+    // once, multiple consumers), the CDF comes from the routed
+    // snapshot store, and every live documents scan is batch-bounded
+    // — a corpus-wide text scan regressing into the chain that runs
+    // per ingest batch is the scale-killer shape these pins exist for
+    val (_, _, pass) = Queries.routedBoilDetAndPass(spark, dir)
+    val plan = pass.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_pctcdf_r_"),
+      s"the routed+boil gate must read the detected-lang CDF snapshot:\n$plan")
+    val docScans = plan.linesIterator.filter(l =>
+      l.contains("Scan parquet") && l.contains("documents")).toSeq
+    assert(docScans.nonEmpty,
+      s"expected a batch-slice documents scan:\n$plan")
+    docScans.foreach { l =>
+      assert(l.contains("GreaterThanOrEqual(doc_id"),
+        s"every documents scan in the routed+boil gate must carry the " +
+          s"pushed batch lower bound:\n$l")
+    }
+  }
+
   test("pack_offsets: ONE narrow exchange serves cumsum and placement windows") {
     val plan = SparkEntry.queries("pack_offsets")(spark, dir)
       .queryExecution.executedPlan.toString

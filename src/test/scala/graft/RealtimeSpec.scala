@@ -1263,6 +1263,140 @@ class RealtimeSpec extends AnyFunSuite {
     assert(e6.getMessage.contains(">= 2 classes"))
   }
 
+  test("boil + routed stream ≡ the batch routed+boil composition: " +
+      "detection reads the CLEANED text that ships (r19)") {
+    // the full production configuration — BoilerplateGate + LangIdGate
+    // + PercentileGate + decontamination — against the DuckDB-oracled
+    // batch twin (Queries.ingestRoutedBoilTagged, the frame behind
+    // pipeline_ingest_routed_boil / ingest_audit_routed_boil), so
+    // stream, batch chain, and oracle are one triangle. The pin's
+    // point is the composition ORDER: detection runs AFTER the span
+    // clean, on the text later stages consume — a nav-bar in language
+    // A wrapping a body in language B must route (and gate) as B. The
+    // sf0.01 corpus diverges naturally (raw-vs-cleaned detection
+    // flips for some gate-input docs), asserted below so the pin can
+    // never go vacuous under a data refresh.
+    import graft.operators.{Dedup, LangId, QualityCal}
+    import graft.functions.GraftFunctions
+    val dir = "/root/testdata/sf0.01"
+    val docsRaw = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text") // PRODUCTION SHAPE: no lang column
+    val model = Queries.langIdModel(spark, dir)
+    val existing = docsRaw.filter(col("doc_id") < Queries.incrementalSplit)
+    val batch = docsRaw.filter(col("doc_id") >= Queries.incrementalSplit &&
+      col("doc_id") < Queries.decontamNearDupSplit)
+    val benchDocs = docsRaw.filter(
+      col("doc_id") >= Queries.decontamNearDupSplit)
+    val store = new graft.sources.ParquetStore(
+      spark, TestSpark.tempDir("graft_rbgate_store_"))
+    store.merge("docs", existing, "doc_id")
+    Dedup.buildNearDupStore(store, "sigs", existing, "doc_id", "text",
+      shingleN = Queries.minHashShingleN,
+      numHashes = Queries.minHashNumHashes, bands = Queries.minHashBands)
+    Dedup.buildNearDupStore(store, "bench_sigs", benchDocs, "doc_id", "text",
+      shingleN = Queries.minHashShingleN,
+      numHashes = Queries.minHashNumHashes, bands = Queries.minHashBands)
+    // the session fixtures' conventions exactly: span-df over the
+    // FULL corpus; calibration CDF keyed on DETECTED-over-raw
+    // language (the routed snapshot's build — calibrate on what
+    // detection says of the calibration corpus)
+    Dedup.buildSpanDfStore(store, "span_df", docsRaw, "doc_id", "text",
+      spanTokens = Queries.spanDedupTokens)
+    QualityCal.buildPercentileStore(store, "quality_cdf",
+      GraftFunctions.withDetectedLanguage(docsRaw, "text",
+        scorer = LangId.scorer(model)),
+      "lang", "text", snapshot = "corpus-v1")
+    LangId.saveModel(store, "langid_model", model)
+    // the batch twin IS the production entry
+    val tagged = Queries.ingestRoutedBoilTagged(spark, dir)
+      .localCheckpoint(false)
+    val expect = tagged.filter(col("__s4"))
+      .select(col("doc_id"), col("__ct"), col("__dl")).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getString(2)))).toMap
+    assert(expect.nonEmpty, "routed+boil survivors must be nonempty")
+    // non-vacuity 1: cleaning must CHANGE some surviving doc's text
+    assert(tagged.filter(col("__s4") && col("__ct") =!= col("text"))
+      .limit(1).count() == 1,
+      "at least one survivor's text must differ from raw after cleaning")
+    // non-vacuity 2: detection must DIVERGE raw-vs-cleaned for some
+    // gate-input doc, or this pin cannot tell the composition order
+    // (detect-then-clean would produce identical routing)
+    val gateIn = tagged.filter(col("__s2b"))
+    val rawDet = LangId.detect(gateIn.select(col("doc_id"), col("text")),
+        model, "doc_id", "text")
+      .select(col("id").as("doc_id"), col("detected").as("__rl"))
+    assert(gateIn.join(rawDet, Seq("doc_id"))
+      .filter(col("__dl") =!= col("__rl")).limit(1).count() == 1,
+      "raw-vs-cleaned detection must diverge for >= 1 gate-input doc " +
+        "or the order pin is vacuous")
+    val src = TestSpark.tempDir("graft_rbgate_src_")
+    batch.coalesce(1).write.mode("append").parquet(src)
+    val q = Realtime.streamIngestPipeline(store, "docs", "sigs",
+      spark.readStream.schema("doc_id LONG, text STRING").parquet(src),
+      "doc_id", "text", TestSpark.tempDir("graft_rbgate_cp_"),
+      blocklist = Queries.blocklistTerms,
+      shingleN = Queries.minHashShingleN,
+      numHashes = Queries.minHashNumHashes, bands = Queries.minHashBands,
+      threshold = Queries.minHashThreshold,
+      benchSigTable = Some("bench_sigs"),
+      boilerplateGate = Some(Realtime.BoilerplateGate("span_df",
+        spanTokens = Queries.spanDedupTokens,
+        minDocs = Queries.boilerplateMinDocs)),
+      percentileGate = Some(Realtime.PercentileGate("quality_cdf",
+        Queries.ingestGatePct, expectSnapshot = Some("corpus-v1"))),
+      langIdGate = Some(Realtime.LangIdGate("langid_model")),
+      curriculumExport = Some(Realtime.CurriculumExport("staged",
+        "quality_cdf", nShards = 4, seed = "ep0",
+        expectSnapshot = Some("corpus-v1"))),
+      auditTable = Some("audit"))
+    assert(q.awaitTermination(360000),
+      "routed+boil stream did not finish in time")
+    // survivors ship the CLEANED text AND its detection — doc-for-doc
+    val streamed = store.read("docs")
+      .filter(col("doc_id") >= Queries.incrementalSplit)
+      .select(col("doc_id"), col("text"), col("lang")).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getString(2)))).toMap
+    assert(streamed == expect,
+      "the routed+boil stream must ship the batch composition's cleaned " +
+        "text and detected language")
+    // the seven-stage funnel equals the batch tags' counts
+    def tagCount(c: String): Long = tagged.filter(col(c)).count()
+    val a = store.read("audit").collect()
+      .map(r => (r.getAs[String]("stage"), r.getAs[Long]("n_docs"))).toMap
+    assert(a == Map(
+      "0_batch" -> batch.count(),
+      "1_exact_dedup" -> tagCount("__s1"),
+      "2_blocklist" -> tagCount("__s2"),
+      "2b_boilerplate" -> tagCount("__s2b"),
+      "2p_percentile" -> tagCount("__s2p"),
+      "3_decontam" -> tagCount("__s3"),
+      "4_near_dedup" -> tagCount("__s4")),
+      s"routed+boil funnel must equal the batch twin's stage counts: $a")
+    // curriculum staging under the full configuration (r19): the
+    // leveling of the text that SHIPS — levels key on the DETECTED
+    // language and score the CLEANED text, against the same shared
+    // snapshot the gate probes (exercising the shared-CDF-cache path
+    // under routing). Only streamed survivors stage (no backfill ran).
+    val expLevels = QualityCal.withPercentile(
+        tagged.filter(col("__s4"))
+          .select(col("doc_id"), col("__dl").as("lang"),
+            col("__ct").as("text")),
+        QualityCal.loadCdf(store, "quality_cdf", "spec",
+          expectSnapshot = Some("corpus-v1")),
+        "lang", GraftFunctions.qualityScore(col("text")),
+        pctCol = "level")
+      .select(col("doc_id"), col("level")).collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    val staged = store.read("staged")
+      .select(col("doc_id"), col("level")).collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(staged == expLevels,
+      "curriculum staging must level the CLEANED text under the " +
+        "DETECTED language")
+  }
+
   test("streaming boilerplate clean equals the batch stored probe; replay no-op; " +
       "grain drift fails the START") {
     import graft.operators.Dedup
