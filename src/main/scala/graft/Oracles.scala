@@ -494,79 +494,65 @@ object Oracles {
     "(SELECT d.lang, d.doc_id, d.text FROM documents d " +
       "JOIN final f ON f.doc_id = d.doc_id)"
 
-  /** Per-doc DETECTED-language CTE chain (body form, no leading WITH)
-    * — the text_language_id_trained replay (hashed-bigram buckets →
-    * scaled-integer sums → (score, lang)-descending argmax, gram-less
-    * docs routed to 'und') ending in det(doc_id, lang). Shared by the
-    * trained/stored language-ID entries and the ROUTED ingest chain
-    * (r19), so routing can never drift between the standalone query
-    * and the composed gate.
+  /** Per-doc DETECTED-language CTE chain over `srcTable(doc_id, text)`
+    * (body form, no leading WITH; CTE names suffixed with `sfx`) — the
+    * text_language_id_trained replay (tokenize → bigrams →
+    * hashed buckets → scaled-integer sums → (score, lang)-descending
+    * argmax, gram-less docs routed to 'und') ending in
+    * det$sfx(doc_id, lang). ONE definition (review r19) emits the
+    * raw-corpus chain and the routed+boil chain's cleaned-text rerun,
+    * so the two replays can never drift about what "the same
+    * detection" means; requires the lw/li weight CTEs upstream
+    * ([[langDetCtes]] provides them).
+    */
+  private def detChainCtes(srcTable: String, sfx: String): String =
+    s"""arr$sfx AS (
+       |  SELECT doc_id, $toksSql AS toks FROM $srcTable),
+       |unn$sfx AS (
+       |  SELECT doc_id, unnest(toks) AS tok,
+       |    generate_subscripts(toks, 1) AS i
+       |  FROM arr$sfx WHERE len(toks) >= 2),
+       |big$sfx AS (
+       |  SELECT DISTINCT a.doc_id, a.tok || ' ' || b.tok AS g
+       |  FROM unn$sfx a JOIN unn$sfx b
+       |    ON a.doc_id = b.doc_id AND b.i = a.i + 1),
+       |feat$sfx AS (
+       |  SELECT DISTINCT doc_id, substr(md5(g), 1, 3) AS bk FROM big$sfx),
+       |z$sfx AS (
+       |  SELECT f.doc_id, lw.lang, SUM(lw.w) AS zs
+       |  FROM feat$sfx f JOIN lw USING (bk)
+       |  GROUP BY f.doc_id, lw.lang),
+       |sc$sfx AS (
+       |  SELECT z.doc_id, z.lang, z.zs + li.icept AS score
+       |  FROM z$sfx z JOIN li USING (lang)),
+       |bestl$sfx AS (
+       |  SELECT doc_id, lang AS detected,
+       |    row_number() OVER (PARTITION BY doc_id
+       |      ORDER BY score DESC, lang DESC) AS rn
+       |  FROM sc$sfx),
+       |det$sfx AS (
+       |  SELECT d.doc_id, coalesce(b.detected, 'und') AS lang
+       |  FROM $srcTable d
+       |  LEFT JOIN (SELECT doc_id, detected FROM bestl$sfx WHERE rn = 1) b
+       |    USING (doc_id))""".stripMargin
+
+  /** The raw-corpus detection chain + the scaled-integer weight
+    * tables (body form) ending in det(doc_id, lang). Shared by the
+    * trained/stored language-ID entries and the ROUTED ingest chains,
+    * so routing can never drift between the standalone query and the
+    * composed gate.
     */
   private val langDetCtes =
-    s"""${bigramsCte.stripPrefix("WITH ")},
-       |feat AS (
-       |  SELECT DISTINCT doc_id, substr(md5(g), 1, 3) AS bk FROM bigrams),
-       |lw AS (SELECT lang, bk, w
+    s"""lw AS (SELECT lang, bk, w
        |  FROM read_parquet('__AUX__/langid_aux_weights.parquet')),
        |li AS (SELECT lang, icept
        |  FROM read_parquet('__AUX__/langid_aux_icepts.parquet')),
-       |z AS (
-       |  SELECT f.doc_id, lw.lang, SUM(lw.w) AS zs
-       |  FROM feat f JOIN lw USING (bk)
-       |GROUP BY f.doc_id, lw.lang),
-       |sc AS (
-       |  SELECT z.doc_id, z.lang, z.zs + li.icept AS score
-       |  FROM z JOIN li USING (lang)),
-       |bestl AS (
-       |  SELECT doc_id, lang AS detected,
-       |    row_number() OVER (PARTITION BY doc_id
-       |      ORDER BY score DESC, lang DESC) AS rn
-       |  FROM sc),
-       |det AS (
-       |  SELECT d.doc_id, coalesce(b.detected, 'und') AS lang
-       |  FROM documents d
-       |  LEFT JOIN (SELECT doc_id, detected FROM bestl WHERE rn = 1) b
-       |    USING (doc_id))""".stripMargin
+       |${detChainCtes("documents", "")}""".stripMargin
 
-  /** Detection replay over the CLEANED batch text (body form) — the
-    * routed+boil chain's serve-side language: the same hashed-bigram
-    * buckets → scaled-integer sums → argmax arithmetic as
-    * [[langDetCtes]], but read from `docsb` (the boil stage's cleaned
-    * CTE), ending in detb(doc_id, lang). Requires the lw/li weight
-    * CTEs (prepended with langDetCtes when routed) and `docsb`
-    * upstream; gram-less cleans rout to 'und' like the engine's
-    * detect.
-    */
-  private val langDetCleanedCtes =
-    s"""arrb AS (
-       |  SELECT doc_id, $toksSql AS toks FROM docsb),
-       |unnb AS (
-       |  SELECT doc_id, unnest(toks) AS tok,
-       |    generate_subscripts(toks, 1) AS i
-       |  FROM arrb WHERE len(toks) >= 2),
-       |bigb AS (
-       |  SELECT DISTINCT a.doc_id, a.tok || ' ' || b.tok AS g
-       |  FROM unnb a JOIN unnb b
-       |    ON a.doc_id = b.doc_id AND b.i = a.i + 1),
-       |featb AS (
-       |  SELECT DISTINCT doc_id, substr(md5(g), 1, 3) AS bk FROM bigb),
-       |zb AS (
-       |  SELECT f.doc_id, lw.lang, SUM(lw.w) AS zs
-       |  FROM featb f JOIN lw USING (bk)
-       |  GROUP BY f.doc_id, lw.lang),
-       |scb AS (
-       |  SELECT z.doc_id, z.lang, z.zs + li.icept AS score
-       |  FROM zb z JOIN li USING (lang)),
-       |bestlb AS (
-       |  SELECT doc_id, lang AS detected,
-       |    row_number() OVER (PARTITION BY doc_id
-       |      ORDER BY score DESC, lang DESC) AS rn
-       |  FROM scb),
-       |detb AS (
-       |  SELECT d.doc_id, coalesce(b.detected, 'und') AS lang
-       |  FROM docsb d
-       |  LEFT JOIN (SELECT doc_id, detected FROM bestlb WHERE rn = 1) b
-       |    USING (doc_id))""".stripMargin
+  /** Detection replay over the CLEANED batch text — the routed+boil
+    * chain's serve-side language: [[detChainCtes]] re-run over `docsb`
+    * (the boil stage's cleaned CTE), ending in detb(doc_id, lang). */
+  private val langDetCleanedCtes = detChainCtes("docsb", "b")
 
   private def ingestChain(decontam: Boolean, semantic: Boolean = false,
       percentile: Boolean = false, boil: Boolean = false,

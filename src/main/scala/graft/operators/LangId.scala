@@ -158,7 +158,10 @@ object LangId {
     require(model.langs.forall(!_.contains(",")),
       s"LangId.saveModel: language labels must not contain ',' " +
         s"(the _META inventory separator): ${model.langs.mkString("|")}")
-    val spark = org.apache.spark.sql.SparkSession.active
+    // the STORE's session, not SparkSession.active (review r19): the
+    // frame must be built where it will be written, and active() is
+    // wrong (or absent) whenever the caller's context differs
+    val spark = store.session
     import spark.implicits._
     val rows = model.langs.indices.map(i =>
       (model.langs(i), model.intercepts(i), model.weights(i).toSeq))

@@ -144,7 +144,8 @@ object Multimodal {
     * replayable in SQL — the oracle/test scorer, and the fallback for
     * bytes no real decoder accepts.
     */
-  private[graft] def byteChunkMeans(dim: Int): Array[Byte] => Seq[Float] =
+  private[graft] def byteChunkMeans(dim: Int): Array[Byte] => Seq[Float] = {
+    require(dim >= 1, s"byteChunkMeans: dim must be positive, got $dim")
     bytes => {
       val feat = new Array[Float](dim)
       if (bytes != null && bytes.length > 0) {
@@ -162,6 +163,7 @@ object Multimodal {
       }
       feat.toSeq
     }
+  }
 
   /** STUB perceptual features — [[byteChunkMeans]] through the swap
     * slot; the scorer the mm_features/mm_neardup oracles replay. */
@@ -239,8 +241,12 @@ object Multimodal {
 
   def imageBlockLuma(dim: Int = 64): Array[Byte] => Seq[Float] = {
     val g = math.sqrt(dim.toDouble).toInt
-    require(g * g == dim,
-      s"imageBlockLuma: dim must be a perfect square (a g x g grid), got $dim")
+    // g >= 1, not just a perfect square (review r19): dim = 0 passes
+    // 0*0 == 0, silently emitting empty vectors for decodable images
+    // and dividing by zero in the byte fallback's chunk computation
+    require(g >= 1 && g * g == dim,
+      s"imageBlockLuma: dim must be a positive perfect square " +
+        s"(a g x g grid), got $dim")
     val fallback = byteChunkMeans(dim)
     bytes => {
       val decoded: Option[java.awt.image.BufferedImage] =

@@ -56,6 +56,13 @@ final class ParquetStore(spark: SparkSession, root: String, nBuckets: Int = 16,
   require(filesPerBucket > 0,
     s"filesPerBucket must be positive, got $filesPerBucket")
 
+  /** The session this store reads/writes with — for helpers that
+    * build driver-side frames destined for this store (review r19:
+    * `SparkSession.active` is the wrong session whenever the caller's
+    * context differs from the store's, and throws when none is
+    * active). */
+  private[graft] def session: SparkSession = spark
+
   private def fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   /** Control-file IO (pointers, bucket maps, meta sidecars) through

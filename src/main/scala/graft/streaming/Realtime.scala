@@ -533,6 +533,16 @@ object Realtime {
         s"streamIngestPipeline(langIdGate): langCol '${g.langCol}' collides " +
           "with the pipeline's id/text column — the detector would " +
           "overwrite it; route to a different column name")
+      // ...and with the semantic gate's vector column (review r19):
+      // overwriting a STORED lang column is the documented intent, but
+      // overwriting the embedding column with a language string passes
+      // the schema checks and then throws inside the first
+      // micro-batch's cosine probe — the in-batch-wedge failure class
+      // every other start-time check here exists to prevent
+      semanticGate.foreach(s => require(g.langCol != s.vecCol,
+        s"streamIngestPipeline(langIdGate): langCol '${g.langCol}' collides " +
+          "with the semantic gate's vector column — the detector would " +
+          "overwrite the embeddings; route to a different column name"))
       percentileGate.foreach(p => require(p.langCol == g.langCol,
         s"streamIngestPipeline: the percentile gate keys on " +
           s"'${p.langCol}' but the language-ID stage routes to " +
@@ -737,9 +747,15 @@ object Realtime {
             // production corpora don't arrive labeled. A pure per-row
             // map over the stream-lifetime scorer closure: no shuffle,
             // no state, replay-safe like the blocklist filter.
+            // cached unconditionally when the stage is on (review
+            // r19): without the percentile gate's cached(b2l) below,
+            // the per-row detection UDF would re-run in every
+            // downstream persist lineage (bSig, decontam, semantic,
+            // rows) — the gate's-INPUT-is-cached discipline applies to
+            // the router's OUTPUT for the same reason
             val b2l = langIdGate.fold(b2b)(g =>
-              graft.functions.GraftFunctions.withDetectedLanguage(
-                b2b, textCol, g.langCol, langIdScorer.get))
+              cached(graft.functions.GraftFunctions.withDetectedLanguage(
+                b2b, textCol, g.langCol, langIdScorer.get)))
             // percentile-calibrated quality gate (r15): per-language
             // rank lookup against the stream-lifetime CDF snapshot —
             // a bounded distinct-pair probe against a BROADCAST frame,

@@ -167,8 +167,11 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.imageBlockLuma(64)(junk) ==
       Multimodal.byteChunkMeans(64)(junk),
       "undecodable bytes must take the byte-fake fallback verbatim")
-    // non-square dims have no grid
+    // non-square dims have no grid; dim = 0 passes 0*0 == 0 but has
+    // no cells (review r19)
     intercept[IllegalArgumentException] { Multimodal.imageBlockLuma(60) }
+    intercept[IllegalArgumentException] { Multimodal.imageBlockLuma(0) }
+    intercept[IllegalArgumentException] { Multimodal.byteChunkMeans(0) }
   }
 
   test("perceptualHashPairs: identical, locally-edited, and inverted media") {

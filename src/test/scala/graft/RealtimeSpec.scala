@@ -1235,6 +1235,25 @@ class RealtimeSpec extends AnyFunSuite {
           langCol = "text")))
     }
     assert(e4.getMessage.contains("id/text column"))
+    // langCol colliding with the semantic gate's VECTOR column would
+    // overwrite the embeddings with a language string and throw inside
+    // the first micro-batch's cosine probe (review r19) — fails the
+    // START (the semantic gate's own table/column checks run first,
+    // so the fixture carries a real bench-vec table and emb column)
+    store.merge("bench_vecs",
+      spark.range(1).select(col("id").as("doc_id"),
+        array((0 until 64).map(_ => lit(0.1f)): _*).as("emb")), "doc_id")
+    val e4b = intercept[IllegalArgumentException] {
+      Realtime.streamIngestPipeline(store, "docs", "sigs",
+        spark.readStream
+          .schema("doc_id LONG, text STRING, emb ARRAY<FLOAT>").parquet(src),
+        "doc_id", "text", TestSpark.tempDir("graft_lidgate_cp5b_"),
+        semanticGate = Some(Realtime.SemanticGate("bench_vecs", "emb",
+          dim = 64)),
+        langIdGate = Some(Realtime.LangIdGate("langid_model",
+          langCol = "emb")))
+    }
+    assert(e4b.getMessage.contains("vector column"))
     // langCol == the percentile lookup's reserved output (produced
     // column, absent from the stream schema) — fails the START, not
     // the first micro-batch (review r19)
