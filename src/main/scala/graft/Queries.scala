@@ -3072,7 +3072,13 @@ object Queries {
       .filter(col("doc_id") >= incrementalSplit &&
         col("doc_id") < decontamNearDupSplit)
       .filter(blocklistClean(col("text"), blocklistTerms))
-    val det = operators.LangId.detect(base, langIdModel(spark, dir),
+    // detection serves from the PERSISTED artifact (r19 review) — the
+    // same loadModel validate-and-read the streaming router runs at
+    // .start(), so batch and stream route off one artifact; answer-
+    // identical to the in-session model (exact raw-double round-trip)
+    val det = operators.LangId.detect(base,
+        operators.LangId.loadModel(langIdStore(spark, dir), "langid_model",
+          "routedDetAndPass"),
         "doc_id", "text")
       .select(col("id").as("doc_id"), col("detected").as("__dl"))
       .localCheckpoint(false)
@@ -3165,7 +3171,11 @@ object Queries {
       .select(col("doc_id"))
       .join(boilCleaned.filter(col("n_kept") > 0)
         .select(col("doc_id"), col("clean_text").as("text")), Seq("doc_id"))
-    val det = operators.LangId.detect(cleanedKept, langIdModel(spark, dir),
+    // the persisted artifact, like the routed chain and the streaming
+    // router — one model artifact serves every routing surface
+    val det = operators.LangId.detect(cleanedKept,
+        operators.LangId.loadModel(langIdStore(spark, dir), "langid_model",
+          "routedBoilDetAndPass"),
         "doc_id", "text")
       .select(col("id").as("doc_id"), col("detected").as("__dl"))
       .localCheckpoint(false)
