@@ -42,21 +42,34 @@ object Oracles {
     """len(regexp_extract_all(coalesce(text, ''),
       |    '''(?:s|t|re|ve|m|ll|d)| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+'))""".stripMargin
 
-  /** Shared CTE prefix producing per-document distinct bigrams —
-    * mirror of Dedup.ngramSet(n=2); used by the n-gram Jaccard and
-    * decontamination oracles.
+  /** The per-document distinct-bigram derivation (body form) — ONE
+    * mirror of Dedup.ngramSet(n=2) / the language-ID featurizer's
+    * gram step, parameterized on the source table and the emitted CTE
+    * names so every consumer (the n-gram Jaccard and decontamination
+    * oracles via [[bigramsCte]], the raw and cleaned-text detection
+    * replays via [[detChainCtes]]) composes the SAME tokenize →
+    * unnest → distinct-bigram SQL; a tokenization change edits one
+    * definition (review r19).
     */
-  private val bigramsCte =
-    s"""WITH arr AS (
-       |  SELECT doc_id, $toksSql AS toks FROM documents),
-       |unnested AS (
+  private def bigramChainCtes(src: String, arrN: String, unnN: String,
+      bigN: String): String =
+    s"""$arrN AS (
+       |  SELECT doc_id, $toksSql AS toks FROM $src),
+       |$unnN AS (
        |  SELECT doc_id, unnest(toks) AS tok,
        |    generate_subscripts(toks, 1) AS i
-       |  FROM arr WHERE len(toks) >= 2),
-       |bigrams AS (
+       |  FROM $arrN WHERE len(toks) >= 2),
+       |$bigN AS (
        |  SELECT DISTINCT a.doc_id, a.tok || ' ' || b.tok AS g
-       |  FROM unnested a JOIN unnested b
+       |  FROM $unnN a JOIN $unnN b
        |    ON a.doc_id = b.doc_id AND b.i = a.i + 1)""".stripMargin
+
+  /** Shared CTE prefix producing per-document distinct bigrams —
+    * used by the n-gram Jaccard and decontamination oracles (legacy
+    * CTE names, ~10 consumers).
+    */
+  private val bigramsCte =
+    "WITH " + bigramChainCtes("documents", "arr", "unnested", "bigrams")
 
   /** DSIR weight CTE chain (shared by dsir_weights / dsir_sample):
     * target = source '${Queries.dsirTargetSource}' docs' bigrams, raw = the rest;
@@ -506,16 +519,7 @@ object Oracles {
     * ([[langDetCtes]] provides them).
     */
   private def detChainCtes(srcTable: String, sfx: String): String =
-    s"""arr$sfx AS (
-       |  SELECT doc_id, $toksSql AS toks FROM $srcTable),
-       |unn$sfx AS (
-       |  SELECT doc_id, unnest(toks) AS tok,
-       |    generate_subscripts(toks, 1) AS i
-       |  FROM arr$sfx WHERE len(toks) >= 2),
-       |big$sfx AS (
-       |  SELECT DISTINCT a.doc_id, a.tok || ' ' || b.tok AS g
-       |  FROM unn$sfx a JOIN unn$sfx b
-       |    ON a.doc_id = b.doc_id AND b.i = a.i + 1),
+    s"""${bigramChainCtes(srcTable, s"arr$sfx", s"unn$sfx", s"big$sfx")},
        |feat$sfx AS (
        |  SELECT DISTINCT doc_id, substr(md5(g), 1, 3) AS bk FROM big$sfx),
        |z$sfx AS (

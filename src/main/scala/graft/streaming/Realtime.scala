@@ -490,6 +490,15 @@ object Realtime {
         nHashes, nBands, "streamIngestPipeline", strict = true)
     }
     semanticGate.foreach { g =>
+      // the symmetric collision to the langIdGate check below (review
+      // r19): vecCol naming the pipeline's text/id column passes the
+      // presence checks (the column EXISTS) and then the first
+      // micro-batch's cosine probe reads a string as an embedding —
+      // the in-batch-wedge class every start-time check here prevents
+      require(g.vecCol != idCol && g.vecCol != textCol,
+        s"streamIngestPipeline(semanticGate): vecCol '${g.vecCol}' collides " +
+          "with the pipeline's id/text column — the gate would read it as " +
+          "an embedding; name the vector column distinctly")
       require(store.exists(g.benchVecTable),
         s"streamIngestPipeline: benchmark vector table '${g.benchVecTable}' " +
           "does not exist — build it once per benchmark release with " +

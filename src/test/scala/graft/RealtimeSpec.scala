@@ -1254,6 +1254,18 @@ class RealtimeSpec extends AnyFunSuite {
           langCol = "emb")))
     }
     assert(e4b.getMessage.contains("vector column"))
+    // the symmetric collision (review r19): the semantic gate's vecCol
+    // naming the pipeline's TEXT column passes the presence checks and
+    // would read a string as an embedding in the first micro-batch —
+    // fails the START
+    val e4c = intercept[IllegalArgumentException] {
+      Realtime.streamIngestPipeline(store, "docs", "sigs",
+        spark.readStream.schema("doc_id LONG, text STRING").parquet(src),
+        "doc_id", "text", TestSpark.tempDir("graft_lidgate_cp5c_"),
+        semanticGate = Some(Realtime.SemanticGate("bench_vecs", "text",
+          dim = 64)))
+    }
+    assert(e4c.getMessage.contains("read it as an embedding"))
     // langCol == the percentile lookup's reserved output (produced
     // column, absent from the stream schema) — fails the START, not
     // the first micro-batch (review r19)
