@@ -4559,6 +4559,7 @@ object Queries {
     qualityModel(spark, dir)
     langIdModel(spark, dir)
     langIdStore(spark, dir)
+    langIdLoadedModel(spark, dir)
     pctCdfStoreRouted(spark, dir)
     semCentroids(spark, dir)
     ()
