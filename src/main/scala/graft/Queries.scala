@@ -2570,7 +2570,7 @@ object Queries {
     * + collect in every routed entry's timed path, where the
     * streaming router loads once per stream lifetime.
     */
-  private def langIdLoadedModel(spark: SparkSession, dir: String)
+  private[graft] def langIdLoadedModel(spark: SparkSession, dir: String)
       : operators.LangId.Model =
     langIdLoadedCache.computeIfAbsent(cacheKey(spark, dir), { _ =>
       operators.LangId.loadModel(langIdStore(spark, dir), "langid_model",
@@ -3033,30 +3033,51 @@ object Queries {
     * codegen'd filter; re-evaluating it here costs nothing against
     * the two regex/ratio UDF evaluations it saves per dropped row.
     */
+  // value = (store root, the EXACT model instance calibration
+  // detected with) — the second element exists so ModelPathSpec can
+  // pin, by reference equality against [[langIdLoadedModel]], that
+  // calibration and serving resolve through one loaded artifact
   private val pctCdfRoutedCache =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+    new java.util.concurrent.ConcurrentHashMap[
+      String, (String, operators.LangId.Model)]()
+
+  /** The model instance the routed calibration snapshot was built
+    * with (spec hook — see [[pctCdfStoreRouted]]'s scaladoc). */
+  private[graft] def routedCalibrationModel(spark: SparkSession,
+      dir: String): operators.LangId.Model = {
+    pctCdfStoreRouted(spark, dir)
+    pctCdfRoutedCache.get(cacheKey(spark, dir))._2
+  }
 
   /** Detected-language calibration snapshot (r19): the routed chain's
     * CDF is keyed on the SAME language definition its gate routes
     * with — calibrate on what detection says, because production
     * corpora carry no labels and a stored-label CDF would gate rows
     * against partitions they never route to. Built once per
-    * (session, dir) over the full corpus with the session model, like
-    * [[pctCdfStore]].
+    * (session, dir) over the full corpus, like [[pctCdfStore]].
+    *
+    * Calibration detects with [[langIdLoadedModel]] — the SAME
+    * persisted artifact every serving surface routes with (r20, the
+    * r19 verdict's #3): the CDF a gate probes must provably come from
+    * the model that partitioned its rows, so both paths resolve
+    * through `loadModel` (answer-identical to the in-session model —
+    * the store round-trips raw IEEE doubles exactly — but now true by
+    * construction, not by round-trip accident; PlanSpec pins it by
+    * reference equality via [[routedCalibrationModel]]).
     */
   private def pctCdfStoreRouted(spark: SparkSession, dir: String)
       : graft.sources.ParquetStore = {
-    val root = pctCdfRoutedCache.computeIfAbsent(cacheKey(spark, dir), { _ =>
+    val (root, _) = pctCdfRoutedCache.computeIfAbsent(cacheKey(spark, dir), { _ =>
       val p = java.nio.file.Files.createTempDirectory("graft_pctcdf_r_").toString
       val docsT = t(spark, dir, "documents")
-      val det = operators.LangId.detect(docsT, langIdModel(spark, dir),
-          "doc_id", "text")
+      val m = langIdLoadedModel(spark, dir)
+      val det = operators.LangId.detect(docsT, m, "doc_id", "text")
         .select(col("id").as("doc_id"), col("detected").as("lang"))
       operators.QualityCal.buildPercentileStore(
         new graft.sources.ParquetStore(spark, p), "quality_cdf_routed",
         docsT.select(col("doc_id"), col("text")).join(det, Seq("doc_id")),
         "lang", "text", snapshot = "corpus-v1-routed")
-      p
+      (p, m)
     })
     new graft.sources.ParquetStore(spark, root)
   }

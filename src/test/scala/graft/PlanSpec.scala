@@ -211,6 +211,20 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("routed calibration and serving resolve through ONE loaded " +
+      "model artifact (r20)") {
+    // the CDF a routed gate probes must provably come from the model
+    // that partitions its rows: the calibration build and every
+    // serving surface (batch routed chains, streaming LangIdGate)
+    // must detect with the SAME loadModel-returned instance — a
+    // reversion to the in-session model would be answer-identical
+    // (exact double round-trip) yet break the one-artifact provenance
+    assert(Queries.routedCalibrationModel(spark, dir)
+        eq Queries.langIdLoadedModel(spark, dir),
+      "pctCdfStoreRouted must calibrate with the langIdLoadedModel " +
+        "instance (the persisted artifact), not a separately-built model")
+  }
+
   test("pack_offsets: ONE narrow exchange serves cumsum and placement windows") {
     val plan = SparkEntry.queries("pack_offsets")(spark, dir)
       .queryExecution.executedPlan.toString
