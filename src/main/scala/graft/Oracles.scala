@@ -460,6 +460,43 @@ object Oracles {
     * Four oracles compose these; an edit to the bin rule or the
     * tok_offset arithmetic can no longer diverge them.
     */
+  /** Perceptual-hash near-dup brute-force replay over a dumped
+    * feature parquet (mm_neardup / mm_neardup_decoded): the
+    * fingerprint's mean is the IDENTICAL left-assoc sum, the per-band
+    * sig bits are integer CASEs, and the banded engine path has full
+    * recall by pigeonhole (bands = maxHamming+1) — so brute force
+    * over the dump IS the exact expected pair set (the dedup_simhash
+    * convention). Constant (structureless) vectors hash to all-zero
+    * bands and are excluded on BOTH sides (sig sum > 0) — see
+    * perceptualHashPairs' scaladoc.
+    */
+  private def mmNeardupSqlOver(auxFile: String): String = {
+    val dim = Queries.mmNeardupDim
+    val bands = Queries.mmNeardupMaxHamming + 1
+    val width = dim / bands
+    val mean = (1 to dim).map(i => s"features[$i]")
+      .mkString("(", " + ", s") / $dim")
+    def sig(b: Int): String = (0 until width).map { j =>
+      s"(CASE WHEN features[${b * width + j + 1}] > mean THEN ${1L << j} ELSE 0 END)"
+    }.mkString("(", " + ", s") AS sig$b")
+    val sigs = (0 until bands).map(sig).mkString(",\n  ")
+    val ham = (0 until bands).map(b => s"bit_count(xor(a.sig$b, b.sig$b))")
+      .mkString(" + ")
+    val sigSum = (0 until bands).map(b => s"sig$b").mkString(" + ")
+    s"""WITH m AS (
+       |  SELECT asset_id, features, $mean AS mean
+       |  FROM read_parquet('__AUX__/$auxFile')),
+       |s0 AS (SELECT asset_id,
+       |  $sigs
+       |  FROM m),
+       |s AS (SELECT * FROM s0 WHERE $sigSum > 0)
+       |SELECT a.asset_id AS id_a, b.asset_id AS id_b,
+       |  CAST($ham AS INT) AS hamming
+       |FROM s a JOIN s b ON a.asset_id < b.asset_id
+       |WHERE $ham <= ${Queries.mmNeardupMaxHamming}
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
   private def packPerDocSql(src: String): String =
     s"""per_doc AS (
        |  SELECT lang, CAST(doc_id % ${Queries.packShards} AS INT) AS shard,
@@ -2344,32 +2381,25 @@ object Oracles {
     // expected pair set (the dedup_simhash convention). Constant
     // (structureless) vectors hash to all-zero bands and are excluded
     // on BOTH sides (sig sum > 0) — see perceptualHashPairs' scaladoc
-    "mm_neardup" -> {
-      val dim = Queries.mmNeardupDim
-      val bands = Queries.mmNeardupMaxHamming + 1
-      val width = dim / bands
-      val mean = (1 to dim).map(i => s"features[$i]")
-        .mkString("(", " + ", s") / $dim")
-      def sig(b: Int): String = (0 until width).map { j =>
-        s"(CASE WHEN features[${b * width + j + 1}] > mean THEN ${1L << j} ELSE 0 END)"
-      }.mkString("(", " + ", s") AS sig$b")
-      val sigs = (0 until bands).map(sig).mkString(",\n  ")
-      val ham = (0 until bands).map(b => s"bit_count(xor(a.sig$b, b.sig$b))")
-        .mkString(" + ")
-      val sigSum = (0 until bands).map(b => s"sig$b").mkString(" + ")
-      s"""WITH m AS (
-         |  SELECT asset_id, features, $mean AS mean
-         |  FROM read_parquet('__AUX__/mm_aux_pfeatures.parquet')),
-         |s0 AS (SELECT asset_id,
-         |  $sigs
-         |  FROM m),
-         |s AS (SELECT * FROM s0 WHERE $sigSum > 0)
-         |SELECT a.asset_id AS id_a, b.asset_id AS id_b,
-         |  CAST($ham AS INT) AS hamming
-         |FROM s a JOIN s b ON a.asset_id < b.asset_id
-         |WHERE $ham <= ${Queries.mmNeardupMaxHamming}
-         |ORDER BY id_a, id_b""".stripMargin
-    },
+    "mm_neardup" -> mmNeardupSqlOver("mm_aux_pfeatures.parquet"),
+
+    // the DECODED twin (r20): identical brute-force fingerprint
+    // replay, over the dumped decoded-pixel vectors — the engine's
+    // cross-codec PNG↔JPEG pairs must fall out of the same math
+    "mm_neardup_decoded" -> mmNeardupSqlOver("mm_aux_dfeatures.parquet"),
+
+    // relational replay over the dumped DECODED-pixel features (r20):
+    // the feature column came from imageBlockLuma's real javax.imageio
+    // decode of PNG/JPEG fixture bytes (raw rows via the byte
+    // fallback); element extraction, 4dp rounding, and ordering are
+    // the oracle-checked layer (the mm_features recipe)
+    "mm_features_decoded" ->
+      """SELECT asset_id, codec,
+        |  round(features[1], 4) AS f1,
+        |  round(features[33], 4) AS f33,
+        |  round(features[64], 4) AS f64
+        |FROM read_parquet('__AUX__/mm_aux_dfeatures.parquet')
+        |ORDER BY asset_id""".stripMargin,
 
     // trunc before CAST: Spark's double→int cast truncates toward
     // zero while DuckDB's rounds — trunc aligns them. ASCII corpus →

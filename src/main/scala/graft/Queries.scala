@@ -2165,6 +2165,55 @@ object Queries {
         maxHamming = mmNeardupMaxHamming)
       .orderBy(col("id_a"), col("id_b"))
 
+  /** DECODED-pixel multimodal entries (r20, the r19 verdict's #2 —
+    * the real image decoder under the driver gate): the asset table
+    * is [[graft.operators.Multimodal.syntheticImageAssets]] — real
+    * PNG bytes, JPEG re-encodes of the SAME pixels one id up, and
+    * raw text bytes no reader accepts — and the feature column comes
+    * from [[graft.operators.Multimodal.imageBlockLuma]]'s actual
+    * javax.imageio decode (raw rows exercising the byteChunkMeans
+    * fallback inside the same entry). The per-asset vectors are
+    * dumped as mm_aux_dfeatures (deterministic: JDK PNG/JPEG encodes
+    * are byte-stable for fixed pixels, the decode is a pure function
+    * of the bytes), so DuckDB oracles the RELATIONAL layer — element
+    * extraction/rounding/order here, the brute-force fingerprint
+    * pair replay for the near-dup twin — over feature vectors that
+    * provably came from decoded pixels (the chunk_table convention of
+    * oracling a driver-opaque producer, extension/src/api.rs:17-78).
+    */
+  private[graft] val mmDecodedCount = 120
+  private[graft] def mmDecodedFeatures(spark: SparkSession, dir: String)
+      : DataFrame =
+    Multimodal.perceptualFeaturesWith(
+        Multimodal.syntheticImageAssets(
+          t(spark, dir, "documents").filter(col("doc_id") < mmDecodedCount),
+          "doc_id", "text"),
+        Multimodal.imageBlockLuma(mmNeardupDim))
+      .select(col("asset_id"), col("codec"), col("features"))
+
+  def mmFeaturesDecoded(spark: SparkSession, dir: String): DataFrame =
+    mmDecodedFeatures(spark, dir)
+      .select(col("asset_id"), col("codec"),
+        round(element_at(col("features"), 1).cast("double"), 4).as("f1"),
+        round(element_at(col("features"), 33).cast("double"), 4).as("f33"),
+        round(element_at(col("features"), 64).cast("double"), 4).as("f64"))
+      .orderBy(col("asset_id"))
+
+  /** Cross-codec near-dup over the DECODED features: every PNG must
+    * pair with its JPEG re-encode sibling (visually identical, byte
+    * streams entirely different — the pairing only a pixel decoder
+    * can make; the byte fake provably cannot), through the SAME
+    * banded fingerprint pipeline as mm_neardup. The oracle
+    * brute-forces pairs over the dumped vectors (full recall by
+    * pigeonhole makes the banded engine path ≡ brute force).
+    */
+  def mmNeardupDecoded(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.perceptualHashPairs(
+        mmDecodedFeatures(spark, dir).select(col("asset_id"), col("features")),
+        "asset_id", "features", dim = mmNeardupDim,
+        maxHamming = mmNeardupMaxHamming)
+      .orderBy(col("id_a"), col("id_b"))
+
   /** Multimodal: video frame sampling (Multimodal.sampleFramesStub) —
     * evenly spaced frame rows exploded per video asset. The relational
     * layer (video filter, inclusive sequence explode, per-frame byte
@@ -4263,6 +4312,17 @@ object Queries {
         .select(col("asset_id"), col("features").cast("array<double>").as("features")),
       s"$outDir/mm_aux_pfeatures.parquet")
 
+    // DECODED-pixel features (r20): real PNG/JPEG fixture bytes
+    // through imageBlockLuma's javax.imageio decode (raw rows via the
+    // byte fallback) — the mm_features_decoded / mm_neardup_decoded
+    // oracles replay the relational layer / brute-force pair set over
+    // these; same double-cast discipline as mm_aux_features
+    writeSingleParquet(
+      mmDecodedFeatures(spark, dir)
+        .select(col("asset_id"), col("codec"),
+          col("features").cast("array<double>").as("features")),
+      s"$outDir/mm_aux_dfeatures.parquet")
+
     // per-doc stemmed lexeme arrays for the f2_tsvector_rank oracle —
     // same toTsvector UDF the query itself uses, so the oracle checks
     // the relational layer (match/rank/order/limit) over identical
@@ -4692,7 +4752,9 @@ object Queries {
     "contamination_report" -> (contaminationReport _),
     "mm_describe" -> (mmDescribe _),
     "mm_features" -> (mmFeatures _),
+    "mm_features_decoded" -> (mmFeaturesDecoded _),
     "mm_neardup" -> (mmNeardup _),
+    "mm_neardup_decoded" -> (mmNeardupDecoded _),
     "mm_frames" -> (mmFrames _),
     "mm_resize" -> (mmResize _),
     "text_quality_metrics" -> (textQualityMetrics _),

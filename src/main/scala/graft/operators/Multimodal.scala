@@ -239,6 +239,17 @@ object Multimodal {
     feat.toSeq
   }
 
+  /** Classpath caveat (ADVICE r19): decode dispatch takes the FIRST
+    * `javax.imageio` reader claiming the stream, so the emitted
+    * vectors assume a HOMOGENEOUS executor classpath — a plugin
+    * registering an alternative JPEG reader (e.g. TwelveMonkeys) on
+    * some executors would change which bytes decode and how, and the
+    * "deterministic, replayable vectors" contract then only holds
+    * within one deployment. Mixed-executor clusters or upgrades that
+    * add imageio plugins must re-extract stored feature vectors (the
+    * `_META` snapshot-drift discipline applies: version the extractor
+    * alongside any index built over its output).
+    */
   def imageBlockLuma(dim: Int = 64): Array[Byte] => Seq[Float] = {
     val g = math.sqrt(dim.toDouble).toInt
     // g >= 1, not just a perfect square (review r19): dim = 0 passes
@@ -298,6 +309,102 @@ object Multimodal {
     */
   def perceptualFeatures(assets: DataFrame, dim: Int = 64): DataFrame =
     perceptualFeaturesWith(assets, imageBlockLuma(dim))
+
+  /** splitmix64 finalizer — the library-free deterministic hash the
+    * image fixtures derive pixels from (no `Random` state, so a tile
+    * value is a pure function of (seed, tile)). */
+  private def mix64(z0: Long): Long = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** One deterministic fixture image: 96×96, 8×8 blocky BIMODAL
+    * grayscale tiles (the MultimodalSpec pairing pattern) — tile
+    * structure survives JPEG, and values sit far from the global mean
+    * so a lossy re-encode's few-gray-level shifts cannot flip
+    * [[perceptualHashPairs]]' mean-threshold bits.
+    */
+  private[graft] def drawTiled(seed: Long): java.awt.image.BufferedImage = {
+    val im = new java.awt.image.BufferedImage(96, 96,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var ty = 0
+    while (ty < 8) {
+      var tx = 0
+      while (tx < 8) {
+        val h = mix64(seed * 64 + ty * 8 + tx)
+        val base = if ((h & 1L) == 0L) 215 else 10
+        val v = base + (((h >>> 1) % 30).toInt)
+        val rgb = (v << 16) | (v << 8) | v
+        var y = ty * 12
+        while (y < (ty + 1) * 12) {
+          var x = tx * 12
+          while (x < (tx + 1) * 12) { im.setRGB(x, y, rgb); x += 1 }
+          y += 1
+        }
+        tx += 1
+      }
+      ty += 1
+    }
+    im
+  }
+
+  /** Encode through an explicit in-memory stream — NEVER
+    * `ImageIO.write(im, fmt, OutputStream)`, which wraps the target
+    * in a FileCacheImageOutputStream by default (the decode path's
+    * r19 finding, on the write side: one executor temp-file
+    * create/write/delete per generated row). */
+  private def encodeImage(im: java.awt.image.BufferedImage,
+      fmt: String): Array[Byte] = {
+    val writers = javax.imageio.ImageIO.getImageWritersByFormatName(fmt)
+    require(writers.hasNext, s"no '$fmt' image writer in this JVM")
+    val writer = writers.next()
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.write(im)
+      ios.flush()
+    } finally {
+      writer.dispose()
+      try ios.close()
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
+    bos.toByteArray
+  }
+
+  /** REAL-codec image fixtures (r20, the r19 verdict's #2 — the
+    * driver-gate feed for the decoded feature entries): per id a
+    * [[drawTiled]] image run through the JVM's OWN PNG or JPEG
+    * encoder — id % 3 == 0 → PNG, 1 → JPEG of the SAME pixels
+    * (seed = id / 3, so every PNG has a visually-identical JPEG
+    * re-encode sibling one id up: the cross-codec pair only a real
+    * pixel decoder can match), 2 → the doc's raw text bytes, which NO
+    * reader accepts, exercising the [[byteChunkMeans]] fallback
+    * inside the same mixed asset table (a crawl's corrupt-row
+    * posture). Encodes are deterministic (probed: the JDK PNG/JPEG
+    * writers are byte-stable for fixed pixels), so the per-asset
+    * vectors replay run-over-run — the dump-and-replay contract the
+    * mm_features_decoded oracle needs.
+    */
+  def syntheticImageAssets(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val gen = udf { (id: Long, text: String) =>
+      (id % 3) match {
+        case 0L => ("png", encodeImage(drawTiled(id / 3), "png"))
+        case 1L => ("jpg", encodeImage(drawTiled(id / 3), "jpg"))
+        case _ =>
+          ("raw", Option(text).getOrElse("").getBytes(
+            java.nio.charset.StandardCharsets.UTF_8))
+      }
+    }
+    docs
+      .select(col(idCol).cast("long").as("asset_id"),
+        gen(col(idCol).cast("long"), col(textCol)).as("__g"))
+      .select(col("asset_id"), col("__g._1").as("codec"),
+        col("__g._2").as("content"))
+  }
 
   /** Perceptual-hash NEAR-duplicate pairs over feature vectors — the
     * media-dedup recipe (pHash's structure: threshold each

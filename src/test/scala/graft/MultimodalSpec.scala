@@ -174,6 +174,38 @@ class MultimodalSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { Multimodal.byteChunkMeans(0) }
   }
 
+  test("mm decoded entries (r20): every PNG pairs its JPEG sibling, " +
+      "raw rows ride the byte fallback — in the driver-gated queries") {
+    // the driver-gate twin of the unit pin above: the CORRECTNESS
+    // entries' feature column must come from LIVE pixel decodes —
+    // proven by the 40 cross-codec (3k, 3k+1) sibling pairs (same
+    // drawTiled pixels, disjoint byte streams) that the byte fake
+    // could never produce — with the undecodable raw rows (id%3==2,
+    // text bytes) flowing through byteChunkMeans in the SAME entry
+    val dir = "/root/testdata/sf0.001"
+    val pairs = Queries.mmNeardupDecoded(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expectedSiblings = (0 until Queries.mmDecodedCount by 3)
+      .map(k => (k.toLong, (k + 1).toLong)).toSet
+    assert(expectedSiblings.subsetOf(pairs),
+      s"every PNG must pair its JPEG re-encode sibling; missing: " +
+        s"${(expectedSiblings -- pairs).take(5)}")
+    val feats = Queries.mmFeaturesDecoded(spark, dir).collect()
+    assert(feats.length == Queries.mmDecodedCount)
+    assert(feats.map(_.getString(1)).toSet == Set("png", "jpg", "raw"),
+      "the entry must carry all three codec classes")
+    // a raw row's features ARE the byte fake's (fallback verbatim);
+    // HALF_UP to mirror Spark's round()
+    val doc2Text = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("doc_id") === 2).select("text").collect()(0).getString(0)
+    val expect2 = Multimodal.byteChunkMeans(64)(
+      doc2Text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val row2 = feats.find(_.getLong(0) == 2L).get
+    assert(row2.getDouble(2) == BigDecimal(expect2(0).toDouble)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
+      "raw rows must take the byteChunkMeans fallback verbatim")
+  }
+
   test("perceptualHashPairs: identical, locally-edited, and inverted media") {
     val got = phPairs(Seq(
       1L -> structuredBytes(),            // base
