@@ -1988,6 +1988,37 @@ object Oracles {
          |  UNION ALL SELECT '4_near_dedup', COUNT(*) FROM final)
          |ORDER BY stage""".stripMargin,
 
+    // The EVERYTHING-ON chain (r20): routed + boil + the semantic
+    // decontamination rung — every flag of the builder at once. The
+    // sem rung replays over the STATIC embeddings table (vec_id ≡
+    // doc_id, a per-doc property independent of the boil text swap),
+    // exactly as the engine reads ladderSemanticFlags.
+    "pipeline_ingest_routed_boil_sem" ->
+      s"""${ingestChain(decontam = true, semantic = true,
+             percentile = true, boil = true, routed = true)}
+         |SELECT db.lang, COUNT(*) AS n_docs,
+         |  CAST(SUM(len($toksSql)) AS BIGINT) AS n_tokens
+         |FROM (SELECT c.doc_id, c.clean_text AS text
+         |      FROM cleaned c JOIN final f ON f.doc_id = c.doc_id) x
+         |JOIN detb db ON db.doc_id = x.doc_id
+         |GROUP BY db.lang ORDER BY db.lang""".stripMargin,
+
+    // Nine-row funnel of the everything-on chain: every gate's drop
+    // counted separately.
+    "ingest_audit_routed_boil_sem" ->
+      s"""${ingestChain(decontam = true, semantic = true,
+             percentile = true, boil = true, routed = true)}
+         |SELECT * FROM (
+         |  SELECT '0_batch' AS stage, COUNT(*) AS n_docs FROM b
+         |  UNION ALL SELECT '1_exact_dedup', COUNT(*) FROM kept1
+         |  UNION ALL SELECT '2_blocklist', COUNT(*) FROM bl
+         |  UNION ALL SELECT '2b_boilerplate', COUNT(*) FROM blb
+         |  UNION ALL SELECT '2p_percentile', COUNT(*) FROM blp
+         |  UNION ALL SELECT '3_decontam', COUNT(*) FROM bl2
+         |  UNION ALL SELECT '3s_semantic', COUNT(*) FROM bl3
+         |  UNION ALL SELECT '4_near_dedup', COUNT(*) FROM final)
+         |ORDER BY stage""".stripMargin,
+
     // The boilerplate-composed chain (r18): the chain CTEs + the
     // dedup_boilerplate_stored replay between blocklist and the
     // percentile gate; every later stage reads the CLEANED text (the

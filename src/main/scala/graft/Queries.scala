@@ -3282,9 +3282,21 @@ object Queries {
     * snapshot, abstain-on-unseen) → shingle decontamination signing
     * the cleaned text → near-dup shingling the cleaned text. The
     * batch twin of the streaming BoilerplateGate + LangIdGate +
-    * PercentileGate configuration, under the driver gate. */
+    * PercentileGate configuration, under the driver gate.
+    *
+    * `semantic = true` (r20, the r19 verdict's #6) inserts the
+    * embedding-cosine decontamination rung between the shingle rung
+    * and near-dup — the EVERYTHING-ON configuration (every gate the
+    * streaming pipeline offers, composed at once: the reference's
+    * full-ladder-at-ingest posture, extension/src/api.rs:80-114's
+    * every-knob job spec being the shape analogue). The flag set is
+    * [[ladderSemanticFlags]] — a per-doc property of the STATIC
+    * embeddings table (vec_id ≡ doc_id), deliberately independent of
+    * the boil text swap, exactly as the ladder chain and the
+    * streaming SemanticGate read it.
+    */
   private[graft] def ingestRoutedBoilTagged(spark: SparkSession,
-      dir: String): DataFrame = {
+      dir: String, semantic: Boolean = false): DataFrame = {
     val docsT = t(spark, dir, "documents")
     val batchIdPred = col("doc_id") >= incrementalSplit &&
       col("doc_id") < decontamNearDupSplit
@@ -3295,7 +3307,9 @@ object Queries {
         batchPred = col("id") >= incrementalSplit &&
           col("id") < decontamNearDupSplit,
         benchPred = col("id") >= decontamNearDupSplit,
-        semFlagged = None,
+        semFlagged =
+          if (!semantic) None
+          else Some(ladderSemanticFlags(spark, dir).localCheckpoint(false)),
         pctPass = Some(pctPass.localCheckpoint(false)),
         boilCleaned = Some(boilCleaned))
       .join(det, Seq("doc_id"), "left")
@@ -3315,6 +3329,25 @@ object Queries {
       "__s1" -> "1_exact_dedup", "__s2" -> "2_blocklist",
       "__s2b" -> "2b_boilerplate", "__s2p" -> "2p_percentile",
       "__s3" -> "3_decontam", "__s4" -> "4_near_dedup"))
+
+  /** The EVERYTHING-ON chain's terminal stats (r20): routed + boil +
+    * semantic — every gate at once, grouped by the cleaned text's
+    * detection, counting cleaned tokens. */
+  def pipelineIngestRoutedBoilSem(spark: SparkSession, dir: String)
+      : DataFrame =
+    perLangStats(ingestRoutedBoilTagged(spark, dir, semantic = true)
+      .filter(col("__s4"))
+      .select(col("__dl").as("lang"), col("__ct").as("text")))
+
+  /** Eight-stage funnel of the everything-on chain — both
+    * decontamination rungs, the boil drop, and the detected-language
+    * gate each counted separately. */
+  def ingestAuditRoutedBoilSem(spark: SparkSession, dir: String): DataFrame =
+    ingestFunnel(ingestRoutedBoilTagged(spark, dir, semantic = true), Seq(
+      "__s1" -> "1_exact_dedup", "__s2" -> "2_blocklist",
+      "__s2b" -> "2b_boilerplate", "__s2p" -> "2p_percentile",
+      "__s3" -> "3_decontam", "__s3s" -> "3s_semantic",
+      "__s4" -> "4_near_dedup"))
 
   private[graft] def ingestPctPass(spark: SparkSession, dir: String,
       boilCleaned: Option[DataFrame]): DataFrame = {
@@ -4699,6 +4732,8 @@ object Queries {
     "ingest_audit_routed" -> (ingestAuditRouted _),
     "pipeline_ingest_routed_boil" -> (pipelineIngestRoutedBoil _),
     "ingest_audit_routed_boil" -> (ingestAuditRoutedBoil _),
+    "pipeline_ingest_routed_boil_sem" -> (pipelineIngestRoutedBoilSem _),
+    "ingest_audit_routed_boil_sem" -> (ingestAuditRoutedBoilSem _),
     "pipeline_ingest_boil" -> (pipelineIngestBoil _),
     "ingest_audit_boil" -> (ingestAuditBoil _),
     "pipeline_pack" -> (pipelinePack _),

@@ -702,7 +702,26 @@ object Realtime {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val b = batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // LINEAGE-TRUNCATED, not just persisted (r20, the r19
+        // verdict's #5): every stage below references its
+        // predecessor 2-3 times (gate + join-back + audit count), so
+        // an untruncated chain's LOGICAL plan expands exponentially —
+        // measured 1.8e9-char plan strings by the near-dup stage with
+        // a plain parquet file source (so NOT a MemoryStream-
+        // inlining artifact), each micro-batch paying Catalyst
+        // re-analysis and stringification over that tree. A lazy
+        // localCheckpoint at each multiply-referenced boundary keeps
+        // the plan linear AND persists the delta for reuse (the batch
+        // chains' localCheckpoint(false) convention). The checkpoint
+        // blocks release via the ContextCleaner when the batch's
+        // references drop — delta-sized frames, bounded by one batch
+        // in flight; frames that stay CacheManager-persisted (the
+        // audit-count caches) keep their explicit unpersist below.
+        // Replay note: a lost checkpoint block fails the batch for a
+        // clean redelivery instead of silently recomputing against
+        // the post-MERGE store version — strictly safer than the
+        // cache-loss hazard the audit-capture comment below guards.
+        val b = batch.localCheckpoint(false)
         try {
           if (!b.isEmpty) {
             val haveSigs = store.exists(sigTable)
@@ -746,8 +765,11 @@ object Realtime {
                   boilHashes.get, cached(b2), idCol, textCol, g.spanTokens)
                 .filter(col("n_kept") > 0)
                 .select(col(idCol), col("clean_text").as(textCol))
-              cached(b2.drop(textCol).join(cleaned, Seq(idCol))
-                .select(b2.columns.map(col): _*))
+              // truncated: three later branches reference the cleaned
+              // frame (detection, signing, the audit count)
+              b2.drop(textCol).join(cleaned, Seq(idCol))
+                .select(b2.columns.map(col): _*)
+                .localCheckpoint(false)
             }
             // language-ID routing stage (r19): DETECT each survivor's
             // language before the percentile gate, so the CDF lookup
@@ -763,8 +785,9 @@ object Realtime {
             // rows) — the gate's-INPUT-is-cached discipline applies to
             // the router's OUTPUT for the same reason
             val b2l = langIdGate.fold(b2b)(g =>
-              cached(graft.functions.GraftFunctions.withDetectedLanguage(
-                b2b, textCol, g.langCol, langIdScorer.get)))
+              graft.functions.GraftFunctions.withDetectedLanguage(
+                b2b, textCol, g.langCol, langIdScorer.get)
+                .localCheckpoint(false))
             // percentile-calibrated quality gate (r15): per-language
             // rank lookup against the stream-lifetime CDF snapshot —
             // a bounded distinct-pair probe against a BROADCAST frame,
@@ -782,7 +805,13 @@ object Realtime {
             // two-reference trap qualityPercentiledOf's scaladoc warns
             // about).
             val b2p = percentileGate.fold(b2l) { g =>
-              graft.operators.QualityCal.withPercentile(cached(b2l), pctCdf.get,
+              // when a boil/routing stage ran, b2l is already the
+              // truncated (self-persistent) frame — a cached() on top
+              // would double-persist it
+              val gin =
+                if (boilerplateGate.isDefined || langIdGate.isDefined) b2l
+                else cached(b2l)
+              graft.operators.QualityCal.withPercentile(gin, pctCdf.get,
                   g.langCol, graft.functions.GraftFunctions
                     .qualityScore(col(textCol)))
                 .filter(col("pct").isNull || col("pct") >= g.minPct)
@@ -801,8 +830,12 @@ object Realtime {
             // otherwise re-shingle + re-hash the rows internally AND
             // leave a never-unpersisted cache entry per micro-batch,
             // unbounded over an always-on stream)
-            val bSig = cached(graft.operators.Dedup
-              .minHashSigOf(b2q, idCol, textCol, shingleN, nHashes))
+            // truncated: the decontam gate, the semantic-survivor
+            // restriction, and the index MERGE all read these
+            // signatures
+            val bSig = graft.operators.Dedup
+              .minHashSigOf(b2q, idCol, textCol, shingleN, nHashes)
+              .localCheckpoint(false)
             // with the audit on, the per-stage frames are counted a
             // second time after the chain materializes — cache the
             // distinct ones (delta-sized) so those counts reuse the
@@ -811,7 +844,7 @@ object Realtime {
             if (auditTable.isDefined) {
               cached(b1)
               if (blocklist.nonEmpty) cached(b2)
-              if (boilerplateGate.isDefined) cached(b2b)
+              // b2b is already self-persistent (localCheckpoint above)
               if (percentileGate.isDefined) cached(b2p)
               if (minQuality.isDefined) cached(b2q)
             }
@@ -833,10 +866,8 @@ object Realtime {
                     decontamThreshold.getOrElse(threshold),
                     batchSig = Some(bSig))
                   .select(col("id").as(idCol))
-                val d = b2q.join(contaminated, Seq(idCol), "left_anti")
-                  .persist(lvl)
-                caches += d
-                d
+                b2q.join(contaminated, Seq(idCol), "left_anti")
+                  .localCheckpoint(false)
               }
               // SEMANTIC decontamination rung (optional): exact-cosine
               // hits against the persisted benchmark vectors drop
@@ -850,20 +881,15 @@ object Realtime {
                   .contaminatedDocsSemanticBanded(b2d, semanticBench.get,
                     idCol, g.vecCol, g.dim, g.threshold, g.bits, g.bands)
                   .select(col("id").as(idCol))
-                val s = b2d.join(flagged, Seq(idCol), "left_anti")
-                  .persist(lvl)
-                caches += s
-                s
+                b2d.join(flagged, Seq(idCol), "left_anti")
+                  .localCheckpoint(false)
               }
               // the near-dup stage sees only the gates' survivors
               val sigD =
                 if (benchSigTable.isEmpty && semanticGate.isEmpty) bSig
-                else {
-                  val s = bSig.join(b2s.select(col(idCol).as("id")),
-                    Seq("id"), "left_semi").persist(lvl)
-                  caches += s
-                  s
-                }
+                else
+                  bSig.join(b2s.select(col(idCol).as("id")),
+                    Seq("id"), "left_semi").localCheckpoint(false)
               val kept2 =
                 if (haveSigs)
                   graft.operators.Dedup.incrementalNearDupStored(store, sigTable,
@@ -975,7 +1001,9 @@ object Realtime {
               semanticGate.map(_ => "3s_semantic"),
               Some("4_near_dedup")).flatten.map(_ -> 0L))
           }
-        } finally b.unpersist()
+        } finally b.unpersist() // no-op on the checkpointed frame
+        // (its blocks release via the ContextCleaner); kept so the
+        // try shape matches the other foreachBatch bodies
       }
     // release the stream-LIFETIME caches when this query terminates
     // (ADVICE r14): semanticBench and the CDF snapshot are persisted
