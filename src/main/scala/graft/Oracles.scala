@@ -2704,6 +2704,54 @@ object Oracles {
          |SELECT lang AS detected, count(*) AS n FROM det
          |GROUP BY detected ORDER BY detected""".stripMargin,
 
+    // CHAR-GRAM detection replay (r20): the Cavnar–Trenkle joined-
+    // stream construction — ' ' || tokens joined by ' ' || ' ',
+    // distinct ${Queries.langIdCharN}-char substrings (boundary-
+    // spanning grams carry the word-pair signal) — hashed into the
+    // same md5-prefix buckets, then the identical scaled-integer sum
+    // + (score, lang)-desc argmax over the CHAR model's dumped
+    // coefficient tables. Tokens are ASCII alnum runs, so len()
+    // counts bytes == chars and substr slices match the JVM's
+    // substring exactly; token-less docs produce no grams (the
+    // len(toks) > 0 guard) and rout to 'und' via the left join.
+    "text_language_id_chargram" ->
+      s"""WITH lwc AS (SELECT lang, bk, w
+         |  FROM read_parquet('__AUX__/langid_char_aux_weights.parquet')),
+         |lic AS (SELECT lang, icept
+         |  FROM read_parquet('__AUX__/langid_char_aux_icepts.parquet')),
+         |arrc AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |joinc AS (
+         |  SELECT doc_id, ' ' || array_to_string(toks, ' ') || ' ' AS p
+         |  FROM arrc WHERE len(toks) > 0),
+         |posc AS (
+         |  SELECT doc_id, p,
+         |    unnest(generate_series(1, len(p) - ${Queries.langIdCharN - 1}))
+         |      AS i
+         |  FROM joinc),
+         |cg AS (SELECT DISTINCT doc_id,
+         |  substr(p, i, ${Queries.langIdCharN}) AS g FROM posc),
+         |featc AS (
+         |  SELECT DISTINCT doc_id, substr(md5(g), 1, 3) AS bk FROM cg),
+         |zc AS (
+         |  SELECT f.doc_id, lwc.lang, SUM(lwc.w) AS zs
+         |  FROM featc f JOIN lwc USING (bk)
+         |  GROUP BY f.doc_id, lwc.lang),
+         |scc AS (
+         |  SELECT z.doc_id, z.lang, z.zs + lic.icept AS score
+         |  FROM zc z JOIN lic USING (lang)),
+         |bestc AS (
+         |  SELECT doc_id, lang AS detected,
+         |    row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY score DESC, lang DESC) AS rn
+         |  FROM scc),
+         |detc AS (
+         |  SELECT d.doc_id, coalesce(b.detected, 'und') AS lang
+         |  FROM documents d
+         |  LEFT JOIN (SELECT doc_id, detected FROM bestc WHERE rn = 1) b
+         |    USING (doc_id))
+         |SELECT lang AS detected, count(*) AS n FROM detc
+         |GROUP BY detected ORDER BY detected""".stripMargin,
+
     // Rolling-hash fingerprint replayed in PURE SQL (no aux): the JVM
     // loop h = 31*h + c over "token + ' '" chars (seed
     // 1125899906842597, 64-bit wrap) has the closed form

@@ -697,7 +697,7 @@ object Queries {
   private def spanDfStore(spark: SparkSession, dir: String)
       : graft.sources.ParquetStore = {
     val root = spanDfStoreCache.computeIfAbsent(cacheKey(spark, dir), { _ =>
-      val p = java.nio.file.Files.createTempDirectory("graft_spandf_").toString
+      val p = sessionTempDir("graft_spandf_")
       Dedup.buildSpanDfStore(
         new graft.sources.ParquetStore(spark, p, nBuckets = 8, filesPerBucket = 1),
         "span_df", t(spark, dir, "documents"), "doc_id", "text",
@@ -850,7 +850,7 @@ object Queries {
     // pay single-digit file opens. At 100 TB the two knobs are sized
     // together the other way (ParquetStore.bucketedWrite scaladoc).
     val root = fullSigStoreCache.computeIfAbsent(cacheKey(spark, dir), { _ =>
-      val p = java.nio.file.Files.createTempDirectory("graft_fullsig_").toString
+      val p = sessionTempDir("graft_fullsig_")
       Dedup.buildNearDupStore(
         new graft.sources.ParquetStore(spark, p, nBuckets = 8, filesPerBucket = 1),
         "sigs", t(spark, dir, "documents"), "doc_id", "text",
@@ -1306,6 +1306,41 @@ object Queries {
   // to the SparkSession that built it, and a second session in the
   // same JVM (e.g. Verify after Bench in one test run) must not
   // receive objects holding a stopped SparkContext.
+  /** Session-fixture temp roots, deleted recursively at JVM shutdown
+    * (ADVICE r19): the per-(session, dir) caches deliberately never
+    * evict (they are CREATE INDEX / calibration-snapshot analogues
+    * with the process's lifetime), so a long-lived driver that
+    * cycles sessions would otherwise accumulate store directories on
+    * disk for ever. One hook reclaims every root this process
+    * created; the heap-side model/centroid entries stay cached —
+    * bounded by |sessions| × |dirs| and dwarfed by the disk the hook
+    * frees.
+    */
+  private val tempRoots =
+    new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
+  private lazy val tempRootHook: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      tempRoots.forEach { root =>
+        try {
+          val s = java.nio.file.Files.walk(root)
+          try s.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+            .forEach(p =>
+              try { java.nio.file.Files.deleteIfExists(p); () }
+              catch { case _: Throwable => () })
+          finally s.close()
+        } catch { case _: Throwable => () }
+      }
+    }, "graft-temp-root-cleanup"))
+
+  /** createTempDirectory + shutdown-hook registration — every
+    * session-fixture store root goes through here. */
+  private def sessionTempDir(prefix: String): String = {
+    tempRootHook
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    tempRoots.add(p)
+    p.toString
+  }
+
   private def cacheKey(spark: SparkSession, dir: String): String =
     spark.sparkContext.applicationId + "|" + dir
 
@@ -1315,7 +1350,7 @@ object Queries {
     * shared by annIvfTopK and prepare(). */
   private def ivfIndex(spark: SparkSession, dir: String): String =
     ivfIndexCache.computeIfAbsent(cacheKey(spark, dir), { _ =>
-      val p = java.nio.file.Files.createTempDirectory("graft_ivf_").toString
+      val p = sessionTempDir("graft_ivf_")
       Ann.buildIvfIndex(t(spark, dir, "embeddings"), "vec_id", "embedding",
         p, nCells = 16, iterations = 3)
       p
@@ -1331,7 +1366,7 @@ object Queries {
     */
   private def hnswIndex(spark: SparkSession, dir: String): String =
     hnswIndexCache.computeIfAbsent(cacheKey(spark, dir), { _ =>
-      val p = java.nio.file.Files.createTempDirectory("graft_hnsw_").toString
+      val p = sessionTempDir("graft_hnsw_")
       Hnsw.buildHnswIndex(t(spark, dir, "embeddings"), "vec_id", "embedding",
         p, targetRows = 256L)
       p
@@ -1351,7 +1386,7 @@ object Queries {
   private[graft] val pqK = 32
   private def pqIndex(spark: SparkSession, dir: String): String =
     pqIndexCache.computeIfAbsent(cacheKey(spark, dir), { _ =>
-      val p = java.nio.file.Files.createTempDirectory("graft_pq_").toString
+      val p = sessionTempDir("graft_pq_")
       Pq.buildPqIndex(t(spark, dir, "embeddings"), "vec_id", "embedding",
         p, m = pqM, k = pqK, iterations = 3)
       p
@@ -1364,7 +1399,7 @@ object Queries {
     */
   private def ivfPqIndex(spark: SparkSession, dir: String): String =
     ivfPqIndexCache.computeIfAbsent(cacheKey(spark, dir), { _ =>
-      val p = java.nio.file.Files.createTempDirectory("graft_ivfpq_").toString
+      val p = sessionTempDir("graft_ivfpq_")
       Pq.buildIvfPqIndex(t(spark, dir, "embeddings"), "vec_id", "embedding",
         p, nCells = 16, m = pqM, k = pqK, iterations = 3)
       p
@@ -1379,7 +1414,7 @@ object Queries {
     * directories whose open overhead dominated the r3 probe. */
   private def lshIndex(spark: SparkSession, dir: String): String =
     lshIndexCache.computeIfAbsent(cacheKey(spark, dir), { _ =>
-      val p = java.nio.file.Files.createTempDirectory("graft_lsh_").toString
+      val p = sessionTempDir("graft_lsh_")
       Ann.buildLshIndex(t(spark, dir, "embeddings"), "vec_id", "embedding",
         p, bits = 0, prefixDims = matryoshkaDims)
       p
@@ -2321,7 +2356,7 @@ object Queries {
   private def pctCdfStore(spark: SparkSession, dir: String)
       : graft.sources.ParquetStore = {
     val root = pctCdfStoreCache.computeIfAbsent(cacheKey(spark, dir), { _ =>
-      val p = java.nio.file.Files.createTempDirectory("graft_pctcdf_").toString
+      val p = sessionTempDir("graft_pctcdf_")
       operators.QualityCal.buildPercentileStore(
         new graft.sources.ParquetStore(spark, p), "quality_cdf",
         t(spark, dir, "documents"), "lang", "text", snapshot = "corpus-v1")
@@ -2575,6 +2610,32 @@ object Queries {
         "doc_id", "text", "lang")
     })
 
+  private val langIdCharModelCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      String, operators.LangId.Model]()
+
+  /** The char kind's gram order: 5-char grams of the space-joined
+    * token stream — measured (sf0.001 probe, r20): n=3 → 0.81
+    * recovery, n=4 → 0.98, n=5 → 0.99 vs the word model's 0.96;
+    * hexLen 4 bought nothing over 3 at either n. */
+  private[graft] val langIdCharN = 5
+
+  /** CHAR-GRAM language-ID model (r20, the r19 verdict's #7):
+    * [[langIdModel]]'s recipe with `featKind = char` —
+    * [[operators.LangId.FeatChar]]'s Cavnar–Trenkle joined-stream
+    * char n-grams, which carry evidence on short docs whose
+    * word-bigram space is empty. Same integer serving path; the kind
+    * rides in the model and its `_META`, so a geometry mismatch
+    * between featurizer and coefficients is impossible by
+    * construction. */
+  private[graft] def langIdCharModel(spark: SparkSession, dir: String)
+      : operators.LangId.Model =
+    langIdCharModelCache.computeIfAbsent(cacheKey(spark, dir), { _ =>
+      operators.LangId.train(t(spark, dir, "documents"),
+        "doc_id", "text", "lang", n = langIdCharN,
+        featKind = operators.LangId.FeatChar)
+    })
+
   /** TRAINED language-ID distribution (r18 — the r17 verdict's #5):
     * [[textLanguageId]]'s shape with the learned scorer —
     * [[operators.LangId]] trained on the corpus's labeled rows and
@@ -2591,6 +2652,17 @@ object Queries {
       .groupBy(col("detected")).agg(count(lit(1)).as("n"))
       .orderBy(col("detected"))
 
+  /** [[textLanguageIdTrained]] under the CHAR-GRAM featurization
+    * ([[langIdCharModel]]) — the oracle replays detection from the
+    * char model's dumped coefficient tables through a char-3-gram
+    * extraction CTE (padded-token substrings), the same
+    * scaled-integer sums and argmax. */
+  def textLanguageIdChargram(spark: SparkSession, dir: String): DataFrame =
+    operators.LangId.detect(t(spark, dir, "documents"),
+        langIdCharModel(spark, dir), "doc_id", "text")
+      .groupBy(col("detected")).agg(count(lit(1)).as("n"))
+      .orderBy(col("detected"))
+
   private val langIdStoreCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
@@ -2601,7 +2673,7 @@ object Queries {
   private def langIdStore(spark: SparkSession, dir: String)
       : graft.sources.ParquetStore = {
     val root = langIdStoreCache.computeIfAbsent(cacheKey(spark, dir), { _ =>
-      val p = java.nio.file.Files.createTempDirectory("graft_langid_").toString
+      val p = sessionTempDir("graft_langid_")
       operators.LangId.saveModel(new graft.sources.ParquetStore(spark, p),
         "langid_model", langIdModel(spark, dir))
       p
@@ -3117,7 +3189,7 @@ object Queries {
   private def pctCdfStoreRouted(spark: SparkSession, dir: String)
       : graft.sources.ParquetStore = {
     val (root, _) = pctCdfRoutedCache.computeIfAbsent(cacheKey(spark, dir), { _ =>
-      val p = java.nio.file.Files.createTempDirectory("graft_pctcdf_r_").toString
+      val p = sessionTempDir("graft_pctcdf_r_")
       val docsT = t(spark, dir, "documents")
       val m = langIdLoadedModel(spark, dir)
       val det = operators.LangId.detect(docsT, m, "doc_id", "text")
@@ -3875,7 +3947,7 @@ object Queries {
     * (CREATE INDEX USING gin analogue; see TextIndex). */
   private def postingsIndex(spark: SparkSession, dir: String): String =
     postingsIndexCache.computeIfAbsent(cacheKey(spark, dir), { _ =>
-      val p = java.nio.file.Files.createTempDirectory("graft_postings_").toString
+      val p = sessionTempDir("graft_postings_")
       TextIndex.buildPostingsIndex(t(spark, dir, "documents"), "doc_id", "text", p)
       p
     })
@@ -4153,7 +4225,7 @@ object Queries {
     */
   private def vzVectorIndex(spark: SparkSession, dir: String): String =
     vzVectorIndexCache.computeIfAbsent(cacheKey(spark, dir), { _ =>
-      val p = java.nio.file.Files.createTempDirectory("graft_vz_hnsw_").toString
+      val p = sessionTempDir("graft_vz_hnsw_")
       ephemeralEngine(spark, dir).buildVectorIndex("docs_job", p)
       p
     })
@@ -4438,6 +4510,18 @@ object Queries {
         s"$outDir/langid_aux_icepts.parquet")
     }
 
+    // the CHAR-TRIGRAM language-ID model's coefficient tables (r20) —
+    // the text_language_id_chargram oracle replays bucket join →
+    // integer sums → argmax over these, with the char-3-gram
+    // extraction done in SQL (padded-token substrings)
+    {
+      val m = langIdCharModel(spark, dir)
+      writeSingleParquet(operators.LangId.weightsTable(spark, m),
+        s"$outDir/langid_char_aux_weights.parquet")
+      writeSingleParquet(operators.LangId.interceptsTable(spark, m),
+        s"$outDir/langid_char_aux_icepts.parquet")
+    }
+
     // per-doc chunk arrays for the f6_chunk_table oracle — same
     // chunkText UDF the query itself uses (unit-covered by TextSpec);
     // the oracle replays the posexplode + ordering in SQL
@@ -4618,7 +4702,9 @@ object Queries {
 
   private[graft] def writeSingleParquet(df: DataFrame, target: String): Unit = {
     import scala.jdk.CollectionConverters._
-    val tmp = java.nio.file.Files.createTempDirectory("graft_aux_")
+    // hook-registered like the fixture roots: the moved part leaves
+    // the _SUCCESS/crc siblings behind in the temp dir
+    val tmp = java.nio.file.Paths.get(sessionTempDir("graft_aux_"))
     df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
     val part = java.nio.file.Files.list(tmp).iterator().asScala
       .find(_.getFileName.toString.endsWith(".parquet"))
@@ -4632,7 +4718,7 @@ object Queries {
   /** One warehouse per (session, sf-dir); backfill runs once. */
   private def ephemeralEngine(spark: SparkSession, dir: String): VectorizeEngine =
     engineCache.computeIfAbsent(cacheKey(spark, dir), { _ =>
-      val wh = java.nio.file.Files.createTempDirectory("graft_wh_").toString
+      val wh = sessionTempDir("graft_wh_")
       val engine = new VectorizeEngine(spark, wh,
         embeddingProviderOverride = Some(new graft.providers.DeterministicHashProvider(64)))
       engine.registerSource("documents", t(spark, dir, "documents"))
@@ -4672,6 +4758,7 @@ object Queries {
     // 5 s LR training that quality_classifier then got for 0.5 s)
     qualityModel(spark, dir)
     langIdModel(spark, dir)
+    langIdCharModel(spark, dir)
     langIdStore(spark, dir)
     langIdLoadedModel(spark, dir)
     pctCdfStoreRouted(spark, dir)
@@ -4805,6 +4892,7 @@ object Queries {
     "text_language_id" -> (textLanguageId _),
     "text_language_id_trained" -> (textLanguageIdTrained _),
     "text_language_id_stored" -> (textLanguageIdStored _),
+    "text_language_id_chargram" -> (textLanguageIdChargram _),
     "text_fingerprint" -> (textFingerprint _),
     "text_pii_scrub" -> (textPiiScrub _),
     "pii_report" -> (piiReport _),

@@ -58,7 +58,68 @@ object LangId {
     * differently than training did.
     */
   case class Model(langs: Array[String], intercepts: Array[Double],
-      weights: Array[Array[Double]], hexLen: Int, n: Int)
+      weights: Array[Array[Double]], hexLen: Int, n: Int,
+      featKind: String = FeatWord)
+
+  /** Featurization kinds (r20, the r19 verdict's #7): `word` hashes
+    * distinct word n-grams ([[Dedup.ngramSet]] — the stopword/
+    * function-word signal); `char` hashes distinct character n-grams
+    * of the SPACE-JOINED token stream (' ' + tokens.mkString(" ") +
+    * ' ') — the Cavnar–Trenkle (1994) n-gram-categorization /
+    * langid.py construction, where boundary-spanning grams (end of
+    * one word, space, start of the next) carry word-pair signal at
+    * character grain. That cross-token span is the load-bearing
+    * choice: within-token subword grams measured 0.41 label recovery
+    * on the shared-vocabulary fixture (every language draws the same
+    * token inventory, so token-interior grams are distribution-blind)
+    * vs 0.99 for the joined-stream form at n = 5 — and on natural
+    * corpora the same grams carry the morphology/alphabet signal
+    * fastText's subwords key on. Char grams give SHORT documents
+    * evidence the empty word-bigram space cannot (one token already
+    * emits grams at n ≤ len+2). The kind is part of the model's
+    * feature GEOMETRY: it rides in `_META` and every serving surface
+    * featurizes by the artifact's own kind — a scorer hashing word
+    * grams against char-trained coefficients is silently garbage,
+    * the same drift class hexLen/n already guard.
+    */
+  val FeatWord = "word"
+  val FeatChar = "char"
+  private def requireFeatKind(featKind: String, caller: String): Unit =
+    require(featKind == FeatWord || featKind == FeatChar,
+      s"$caller: featKind must be '$FeatWord' or '$FeatChar', got '$featKind'")
+
+  /** Distinct char n-grams of the space-joined token stream (see
+    * [[FeatChar]]) — LinkedHashSet keeps first-occurrence order like
+    * the word path. Gram-less docs (no tokens, or a stream shorter
+    * than n) return empty and rout to 'und' downstream. */
+  private[graft] def charNgramSetScala(text: String, n: Int): Seq[String] = {
+    val toks = graft.functions.TextAnalyzer.tokenize(text)
+    if (toks.isEmpty) Seq.empty
+    else {
+      val s = " " + toks.mkString(" ") + " "
+      val seen = new java.util.LinkedHashSet[String]()
+      var i = 0
+      while (i + n <= s.length) { seen.add(s.substring(i, i + n)); i += 1 }
+      import scala.jdk.CollectionConverters._
+      seen.iterator().asScala.toSeq
+    }
+  }
+
+  private val charNgramSetUdf =
+    udf((text: String, n: Int) => charNgramSetScala(text, n))
+
+  /** (id, bk) distinct feature buckets under the model's kind — the
+    * ONE dispatcher every path (train, detect) featurizes through. */
+  private def featureBucketsOf(df: DataFrame, idCol: String,
+      textCol: String, n: Int, hexLen: Int, featKind: String): DataFrame =
+    featKind match {
+      case FeatChar =>
+        df.select(col(idCol).as("id"),
+            explode(charNgramSetUdf(col(textCol), lit(n))).as("g"))
+          .select(col("id"), substring(md5(col("g")), 1, hexLen).as("bk"))
+          .distinct()
+      case _ => QualityFilter.featureBuckets(df, idCol, textCol, n, hexLen)
+    }
 
   /** Train one multinomial LR over hashed-bigram presence features
     * from a LABELED corpus (langCol supervises — a trusted labeled
@@ -74,17 +135,20 @@ object LangId {
     * whole crawl — ScaleSpec pins that label recovery holds when
     * trained on a 10% sample of a 10× corpus. The language inventory
     * comes from the SAMPLE (the model can only learn classes it saw
-    * evidence for): a sample too thin to cover two languages fails
-    * the >= 2-langs require loudly — raise the fraction — rather than
-    * shipping a model that silently routes a vanished language's rows
-    * elsewhere.
+    * evidence for), so a sampled train COMPARES that inventory
+    * against the full labeled corpus's and fails loudly on ANY
+    * dropped language (ADVICE r19: the earlier >= 2-classes bound
+    * alone let a sample that lost only a minority language ship a
+    * model that routes its rows elsewhere) — raise the fraction or
+    * stratify upstream.
     */
   def train(docs: DataFrame, idCol: String, textCol: String,
       langCol: String, n: Int = 2, hexLen: Int = 3,
       regParam: Double = 0.01, maxIter: Int = 30,
       tol: Double = 1e-6, sampleFraction: Double = 1.0,
-      sampleSeed: Long = 42L): Model = {
+      sampleSeed: Long = 42L, featKind: String = FeatWord): Model = {
     QualityFilter.requireHexLen(hexLen)
+    requireFeatKind(featKind, "LangId.train")
     require(sampleFraction > 0.0 && sampleFraction <= 1.0,
       s"LangId.train: sampleFraction must be in (0, 1], got $sampleFraction")
     val dim = QualityFilter.bucketDim(hexLen)
@@ -97,10 +161,27 @@ object LangId {
       .collect().map(_.getString(0)).sorted
     require(langs.length >= 2,
       s"LangId.train needs >= 2 labeled languages, got ${langs.mkString(", ")}")
+    // the inventory must survive the sample INTACT (ADVICE r19): a
+    // sample that still covers >= 2 classes but dropped a minority
+    // language would pass the bound above and silently ship a model
+    // that routes that language's rows elsewhere — compare against
+    // the FULL labeled corpus's inventory (one cheap distinct) and
+    // fail loudly: raise sampleFraction, or stratify upstream
+    if (sampleFraction < 1.0) {
+      val allLangs = allLabeled.select(col(langCol).cast("string"))
+        .distinct().collect().map(_.getString(0)).sorted
+      val dropped = allLangs.diff(langs)
+      require(dropped.isEmpty,
+        s"LangId.train: the $sampleFraction sample dropped labeled " +
+          s"language(s) ${dropped.mkString(", ")} entirely — the model " +
+          "could never route them; raise sampleFraction or stratify the " +
+          "sample upstream")
+    }
     val langIdx = langs.zipWithIndex.toMap
     val idxUdf = udf((l: String) => langIdx(l).toDouble)
     val toVec = QualityFilter.toVecUdf(dim)
-    val training = QualityFilter.featureBuckets(labeled, idCol, textCol, n, hexLen)
+    val training = featureBucketsOf(labeled, idCol, textCol, n, hexLen,
+        featKind)
       .groupBy("id").agg(collect_set(col("bk")).as("bks"))
       .join(labeled.select(col(idCol).as("id"),
         col(langCol).cast("string").as("__lang")), Seq("id"))
@@ -112,7 +193,7 @@ object LangId {
     val m = fit.coefficientMatrix
     Model(langs, fit.interceptVector.toArray,
       Array.tabulate(langs.length)(r =>
-        Array.tabulate(dim)(c => m(r, c))), hexLen, n)
+        Array.tabulate(dim)(c => m(r, c))), hexLen, n, featKind)
   }
 
   /** `_META` keys for a persisted model table ([[saveModel]]): the
@@ -128,6 +209,7 @@ object LangId {
   private[graft] val MetaHexLen = "langid.model.hexLen"
   private[graft] val MetaN = "langid.model.n"
   private[graft] val MetaScale = "langid.model.scale"
+  private[graft] val MetaFeat = "langid.model.feat"
 
   /** Version stamp of the featurization + serving arithmetic a
     * persisted model assumes — bump when [[QualityFilter
@@ -158,6 +240,7 @@ object LangId {
     require(model.langs.forall(!_.contains(",")),
       s"LangId.saveModel: language labels must not contain ',' " +
         s"(the _META inventory separator): ${model.langs.mkString("|")}")
+    requireFeatKind(model.featKind, "LangId.saveModel")
     // the STORE's session, not SparkSession.active (review r19): the
     // frame must be built where it will be written, and active() is
     // wrong (or absent) whenever the caller's context differs
@@ -171,7 +254,8 @@ object LangId {
         MetaLangs -> model.langs.mkString(","),
         MetaHexLen -> model.hexLen.toString,
         MetaN -> model.n.toString,
-        MetaScale -> ServingScale.toString))
+        MetaScale -> ServingScale.toString,
+        MetaFeat -> model.featKind))
   }
 
   /** Validate AND read a persisted model as one consistent pair (the
@@ -208,6 +292,14 @@ object LangId {
     val hexLen = metaInt(MetaHexLen)
     val n = metaInt(MetaN)
     val scale = metaInt(MetaScale)
+    // featurization kind is geometry like hexLen/n (r20): absent or
+    // unknown kinds are provenance failures, not defaults — a char-
+    // trained artifact served with word grams routes garbage silently
+    val featKind = meta.getOrElse(MetaFeat, throw new IllegalStateException(
+      s"$caller: model table '$table' records no '$MetaFeat' — " +
+        "featurization of unknown provenance; rewrite it with " +
+        "LangId.saveModel"))
+    requireFeatKind(featKind, s"$caller: model table '$table'")
     require(scale == ServingScale,
       s"$caller: model table '$table' assumes serving scale $scale but " +
         s"this build's integer arithmetic is $ServingScale-dp — scores " +
@@ -241,7 +333,8 @@ object LangId {
         s"$caller: model table '$table' row '$l' spans ${w.length} buckets " +
           s"but _META hexLen=$hexLen implies $dim — geometry drift; retrain")
     }
-    Model(rows.map(_._1), rows.map(_._2), rows.map(_._3), hexLen, n)
+    Model(rows.map(_._1), rows.map(_._2), rows.map(_._3), hexLen, n,
+      featKind)
   }
 
   /** A coefficient as its 12-dp scaled integer (HALF_UP, computed
@@ -269,6 +362,7 @@ object LangId {
     // train() validates its own hexLen, so guard the serving surfaces
     // here, where every path (detect, scorer) already passes through
     QualityFilter.requireHexLen(model.hexLen)
+    requireFeatKind(model.featKind, "LangId serving")
     val dim = QualityFilter.bucketDim(model.hexLen)
     val maxW = model.weights.iterator.flatten
       .foldLeft(0L)((m, w) => m.max(math.abs(scaled(w))))
@@ -342,8 +436,8 @@ object LangId {
     // job just so the broadcast can collect them back
     val wide = spark.createDataFrame(
       java.util.Arrays.asList(wideRows: _*), wideSchema)
-    val sums = QualityFilter.featureBuckets(docs, idCol, textCol,
-        model.n, model.hexLen)
+    val sums = featureBucketsOf(docs, idCol, textCol,
+        model.n, model.hexLen, model.featKind)
       .join(broadcast(wide), Seq("bk"))
       .groupBy(col("id"))
       .agg(sum(col(s"__w${li.head}")).as(s"__z${li.head}"),
@@ -377,8 +471,11 @@ object LangId {
     val icepts = model.intercepts.map(scaled)
     val hexLen = model.hexLen
     val n = model.n
+    val featKind = model.featKind
     val f = udf { (text: String) =>
-      val grams = Dedup.ngramSetScala(text, n)
+      val grams =
+        if (featKind == FeatChar) charNgramSetScala(text, n)
+        else Dedup.ngramSetScala(text, n)
       if (grams.isEmpty) "und"
       else {
         val md = java.security.MessageDigest.getInstance("MD5")

