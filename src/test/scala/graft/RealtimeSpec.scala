@@ -1193,7 +1193,8 @@ class RealtimeSpec extends AnyFunSuite {
         LangId.MetaLangs -> model.langs.mkString(","),
         LangId.MetaHexLen -> "4",
         LangId.MetaN -> model.n.toString,
-        LangId.MetaScale -> LangId.ServingScale.toString))
+        LangId.MetaScale -> LangId.ServingScale.toString,
+        LangId.MetaFeat -> model.featKind))
     val e = intercept[IllegalArgumentException] {
       Realtime.streamIngestPipeline(store, "docs", "sigs",
         spark.readStream.schema("doc_id LONG, text STRING").parquet(src),
@@ -1287,7 +1288,8 @@ class RealtimeSpec extends AnyFunSuite {
       store.read("langid_model").filter(col("lang") === model.langs.head),
       Map(MetaFn -> LangId.FnVersion, MetaLangs -> model.langs.head,
         MetaHexLen -> model.hexLen.toString, MetaN -> model.n.toString,
-        MetaScale -> LangId.ServingScale.toString))
+        MetaScale -> LangId.ServingScale.toString,
+        LangId.MetaFeat -> model.featKind))
     val e6 = intercept[IllegalArgumentException] {
       LangId.loadModel(store, "langid_one", "spec")
     }
