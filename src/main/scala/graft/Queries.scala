@@ -1005,7 +1005,13 @@ object Queries {
     val kept1 = Dedup.incrementalExactStored(store, "sigs", batch,
         "doc_id", "text", corpusPred = corpusPred)
       .withColumnRenamed("id", "doc_id")
-    val b1 = batch.join(kept1, Seq("doc_id"), "left_semi")
+    // the survivor/marker id frames are DELTA-sized (bounded by the
+    // ingest batch, a handful of longs per row — the guide-§8
+    // "broadcast the plan" shape); without the hint their post-probe
+    // plans carry no usable size estimate and every application join
+    // becomes a SortMergeJoin shuffling the batch (r20 plan audit:
+    // 22-28 SMJs per chain entry, all against these frames)
+    val b1 = batch.join(broadcast(kept1), Seq("doc_id"), "left_semi")
     val b2 = b1.filter(blocklistClean(col("text"), blocklistTerms))
     val kept2 = Dedup.incrementalNearDupStored(store, "sigs", b2,
         "doc_id", "text", shingleN = minHashShingleN,
@@ -1013,8 +1019,8 @@ object Queries {
         threshold = minHashThreshold, corpusPred = corpusPred)
       .withColumnRenamed("id", "doc_id")
     batch
-      .join(kept1.withColumn("__m1", lit(true)), Seq("doc_id"), "left")
-      .join(kept2.withColumn("__m3", lit(true)), Seq("doc_id"), "left")
+      .join(broadcast(kept1.withColumn("__m1", lit(true))), Seq("doc_id"), "left")
+      .join(broadcast(kept2.withColumn("__m3", lit(true))), Seq("doc_id"), "left")
       .withColumn("__s1", coalesce(col("__m1"), lit(false)))
       .withColumn("__s2", col("__s1") && blocklistClean(col("text"), blocklistTerms))
       .withColumn("__s3", col("__s2") && coalesce(col("__m3"), lit(false)))
@@ -3244,7 +3250,8 @@ object Queries {
       expectSnapshot = Some("corpus-v1-routed"))
     val scored = base
       .select(col("doc_id"), qualityScore(col("text")).as("quality"))
-      .join(det.select(col("doc_id"), col("__dl").as("lang")), Seq("doc_id"))
+      .join(broadcast(det.select(col("doc_id"), col("__dl").as("lang"))),
+        Seq("doc_id"))
     val pctPass = operators.QualityCal.withPercentile(scored, cdf,
         "lang", col("quality"))
       .filter(col("pct") >= ingestGatePct).select(col("doc_id"))
@@ -3265,7 +3272,7 @@ object Queries {
         benchPred = col("id") >= decontamNearDupSplit,
         semFlagged = None,
         pctPass = Some(pctPass.localCheckpoint(false)))
-      .join(det, Seq("doc_id"), "left")
+      .join(broadcast(det), Seq("doc_id"), "left")
   }
 
   /** Per-DETECTED-language stats of the routed chain's survivors. */
@@ -3323,9 +3330,11 @@ object Queries {
     // nonempty clean (the ADVICE-r18 discipline): rows failing the
     // blocklist or dropping as all-boilerplate can never pass the
     // gate, so neither UDF family runs on them
-    val cleanedKept = docsT.filter(batchIdPred)
+    // the blocklist-survivor id set is the delta-sized side; the
+    // broadcast keeps the (heavier) cleaned-text frame un-shuffled
+    val cleanedKept = broadcast(docsT.filter(batchIdPred)
       .filter(blocklistClean(col("text"), blocklistTerms))
-      .select(col("doc_id"))
+      .select(col("doc_id")))
       .join(boilCleaned.filter(col("n_kept") > 0)
         .select(col("doc_id"), col("clean_text").as("text")), Seq("doc_id"))
     // the persisted artifact, like the routed chain and the streaming
@@ -3339,7 +3348,8 @@ object Queries {
       expectSnapshot = Some("corpus-v1-routed"))
     val scored = cleanedKept
       .select(col("doc_id"), qualityScore(col("text")).as("quality"))
-      .join(det.select(col("doc_id"), col("__dl").as("lang")), Seq("doc_id"))
+      .join(broadcast(det.select(col("doc_id"), col("__dl").as("lang"))),
+        Seq("doc_id"))
     val pctPass = operators.QualityCal.withPercentile(scored, cdf,
         "lang", col("quality"))
       .filter(col("pct").isNull || col("pct") >= ingestGatePct)
@@ -3384,7 +3394,7 @@ object Queries {
           else Some(ladderSemanticFlags(spark, dir).localCheckpoint(false)),
         pctPass = Some(pctPass.localCheckpoint(false)),
         boilCleaned = Some(boilCleaned))
-      .join(det, Seq("doc_id"), "left")
+      .join(broadcast(det), Seq("doc_id"), "left")
   }
 
   /** Per-DETECTED-language stats of the routed+boil chain's survivors
@@ -3436,7 +3446,7 @@ object Queries {
         // cleaning before gating is that the cleaned text changes
         // every downstream signal; all-boilerplate docs (n_kept = 0)
         // have nothing to score
-        base.select(col("doc_id"), col("lang"))
+        broadcast(base.select(col("doc_id"), col("lang")))
           .join(c.filter(col("n_kept") > 0), Seq("doc_id"))
           .select(col("doc_id"), col("lang"),
             qualityScore(col("clean_text")).as("quality"))
@@ -3485,19 +3495,31 @@ object Queries {
         "doc_id", "text", corpusPred = Some(corpusPred))
       .withColumnRenamed("id", "doc_id")
       .localCheckpoint(false)
-    val b1 = batch.join(kept1, Seq("doc_id"), "left_semi")
+    // every flag/marker frame below is DELTA-sized (ids + a flag per
+    // batch row; guide §8's "broadcast the plan" bound of ~100-200M
+    // rows comfortably covers a snapshot batch) and, being
+    // lineage-truncated, carries no size estimate — the explicit
+    // broadcast turns each application/tag join from a SortMergeJoin
+    // (two exchanges + sorts of the batch) into a build-side-only
+    // BroadcastHashJoin (r20: the chain entries' 64-74-Exchange plans
+    // collapse to the store probes' own shuffles)
+    val b1 = batch.join(broadcast(kept1), Seq("doc_id"), "left_semi")
     val b2 = b1.filter(blocklistClean(col("text"), blocklistTerms))
     // boilerplate stage (r18): swap the survivors' text for the
     // store-cleaned form and drop all-boilerplate docs — the inner
     // join applies both at once
     val b2b = boilCleaned.fold(b2)(c =>
-      b2.drop("text").join(
+      // text dropped, the remaining (doc_id, lang, source, n_chars)
+      // slice is delta-sized and narrow — broadcast it so the
+      // cleaned-text side streams un-shuffled
+      broadcast(b2.drop("text")).join(
         c.filter(col("n_kept") > 0)
           .select(col("doc_id"), col("clean_text").as("text")),
         Seq("doc_id")))
     // percentile-gate stage (per-doc pass set like the other flag
     // sets, so one semi-join applies it)
-    val b2g = pctPass.fold(b2b)(p => b2b.join(p, Seq("doc_id"), "left_semi"))
+    val b2g = pctPass.fold(b2b)(p =>
+      b2b.join(broadcast(p), Seq("doc_id"), "left_semi"))
     // localCheckpoint (lazy), not persist: the flag set is a handful
     // of ids but its subtree is a full banded index probe, and THREE
     // plan branches reference it (the anti-join, the near-dup stage's
@@ -3532,11 +3554,12 @@ object Queries {
             benchPred = Some(benchPred))
           .select(col("id").as("doc_id")))
       .localCheckpoint(false)
-    val b2d = b2g.join(contaminated, Seq("doc_id"), "left_anti")
+    val b2d = b2g.join(broadcast(contaminated), Seq("doc_id"), "left_anti")
     // the semantic rung's flag set (checkpointed by the caller for the
     // same three-branch reason): vec_id ≡ doc_id by the generator's
     // contract, the same pairing mine_hard_negatives gates on
-    val b2x = semFlagged.fold(b2d)(f => b2d.join(f, Seq("doc_id"), "left_anti"))
+    val b2x = semFlagged.fold(b2d)(f =>
+      b2d.join(broadcast(f), Seq("doc_id"), "left_anti"))
     val kept2 = Dedup.incrementalNearDupStored(store, "sigs", b2x,
         "doc_id", "text", shingleN = minHashShingleN,
         numHashes = minHashNumHashes, bands = minHashBands,
@@ -3549,24 +3572,24 @@ object Queries {
         // un-truncated semi-join would re-run b2x's whole gate
         // lineage per branch
         batchSig = boilSig.map(_.join(
-            b2x.select(col("doc_id").as("id")), Seq("id"), "left_semi")
+            broadcast(b2x.select(col("doc_id").as("id"))), Seq("id"), "left_semi")
           .localCheckpoint(false)),
         corpusPred = Some(corpusPred))
       .withColumnRenamed("id", "doc_id")
     val tagged0 = batch
-      .join(kept1.withColumn("__m1", lit(true)), Seq("doc_id"), "left")
-      .join(contaminated.withColumn("__mc", lit(true)), Seq("doc_id"), "left")
+      .join(broadcast(kept1.withColumn("__m1", lit(true))), Seq("doc_id"), "left")
+      .join(broadcast(contaminated.withColumn("__mc", lit(true))), Seq("doc_id"), "left")
     val tagged1 = semFlagged.fold(tagged0)(f =>
-      tagged0.join(f.withColumn("__ms", lit(true)), Seq("doc_id"), "left"))
+      tagged0.join(broadcast(f.withColumn("__ms", lit(true))), Seq("doc_id"), "left"))
     val taggedP = pctPass.fold(tagged1)(p =>
-      tagged1.join(p.withColumn("__mp", lit(true)), Seq("doc_id"), "left"))
+      tagged1.join(broadcast(p.withColumn("__mp", lit(true))), Seq("doc_id"), "left"))
     // boil: carry the cleaned text (`__ct`, what a survivor actually
     // ships) and the survived-cleaning mark onto the tagged frame
     val taggedB = boilCleaned.fold(taggedP)(c =>
       taggedP.join(c.select(col("doc_id"), col("clean_text").as("__ct"),
         (col("n_kept") > 0).as("__mb")), Seq("doc_id"), "left"))
     val tagged2a = taggedB
-      .join(kept2.withColumn("__m4", lit(true)), Seq("doc_id"), "left")
+      .join(broadcast(kept2.withColumn("__m4", lit(true))), Seq("doc_id"), "left")
       .withColumn("__s1", coalesce(col("__m1"), lit(false)))
       .withColumn("__s2", col("__s1") && blocklistClean(col("text"), blocklistTerms))
     // boil stage tag: survivors of the blocklist whose cleaned text

@@ -882,14 +882,19 @@ object Dedup {
         Seq("band", "band_key"))
       .filter(col("other_id") < col("id"))
       .select("id", "other_id").distinct()
-    def dropped(cand: DataFrame, otherSets: DataFrame): DataFrame = cand
-      .join(bSig.select(col("id"), col("shingles").as("__sh_a")), Seq("id"))
+    // the candidate pair list is band-collision-bounded (tiny against
+    // either set table); broadcasting it — and the candidate⋈batch-sig
+    // build — keeps the shingle-set sides (the CORPUS store read in
+    // particular) as streamed scans instead of shuffles (guide §3.1)
+    def dropped(cand: DataFrame, otherSets: DataFrame): DataFrame =
+      broadcast(broadcast(cand)
+        .join(bSig.select(col("id"), col("shingles").as("__sh_a")), Seq("id")))
       .join(otherSets.select(col("id").as("other_id"), col("shingles").as("__sh_b")),
         Seq("other_id"))
       .filter(jaccard(col("__sh_a"), col("__sh_b")) >= threshold)
       .select(col("id"))
     val dups = dropped(candBE, eSets).union(dropped(candBB, bSig)).distinct()
-    batch.select(col(idCol).as("id")).join(dups, Seq("id"), "left_anti")
+    batch.select(col(idCol).as("id")).join(broadcast(dups), Seq("id"), "left_anti")
   }
 
   /** One row per doc of the persisted signature store: (id,
@@ -1261,8 +1266,10 @@ object Dedup {
       .join(bBanded.select(col("band"), col("band_key"), col("id").as("bench_id")),
         Seq("band", "band_key"))
       .select(col("id"), col("bench_id")).distinct()
-    cand
-      .join(cSets.select(col("id"), col("shingles").as("__sh_c")), Seq("id"))
+    // candidate pairs are band-collision-bounded; broadcasting them (and
+    // the pair⋈corpus-shingle build) keeps both set tables streamed
+    broadcast(broadcast(cand)
+      .join(cSets.select(col("id"), col("shingles").as("__sh_c")), Seq("id")))
       .join(bSets.select(col("id").as("bench_id"), col("shingles").as("__sh_b")),
         Seq("bench_id"))
       .withColumn("jac", jaccard(col("__sh_c"), col("__sh_b")))
@@ -1734,12 +1741,15 @@ object Dedup {
     val bc = batch.sparkSession.sparkContext.broadcast(bloom)
     val mightContain =
       udf((h: String) => h != null && bc.value.mightContainString(h))
+    // bloom-gated to near-collisions only — a broadcastable remnant
+    // (expected · fpp rows of the corpus domain plus true matches,
+    // batch-bounded); the hint keeps the batch side un-shuffled
     val hits = existingHashes
       .filter(mightContain(col("h"))).distinct()
     val keepFirst = Window.partitionBy(col("h")).orderBy(col("id"))
     b.withColumn("__rn", row_number().over(keepFirst))
       .filter(col("__rn") === 1)
-      .join(hits, Seq("h"), "left_anti")
+      .join(broadcast(hits), Seq("h"), "left_anti")
       .select(col("id"))
   }
 
