@@ -3230,30 +3230,50 @@ object Queries {
     * stats both consume it); the pass set is returned PRE-checkpoint
     * so PlanSpec can pin its scan discipline (every documents scan
     * batch-bounded, CDF from the routed snapshot store). */
-  private[graft] def routedDetAndPass(spark: SparkSession, dir: String)
-      : (DataFrame, DataFrame) = {
+  /** The routed chain's merged detection+scoring frame (r20,
+    * PRE-checkpoint — PlanSpec pins its scan discipline here): ONE
+    * pass over the blocklist-surviving batch slice computes BOTH the
+    * detected language and the quality score. Detection uses
+    * [[operators.LangId.scorer]] — the per-row serving form of the
+    * SAME persisted artifact, TextSpec-pinned to reproduce
+    * `detect`'s integer arithmetic (incl. the 'und' no-evidence
+    * convention) exactly — so the former shape's second text pass,
+    * detection checkpoint and join-back disappear while every answer
+    * stays bit-identical. Per-row serving also drops the relational
+    * form's explode + aggregate shuffle: at any corpus scale the
+    * routed gate's delta pass is now shuffle-free up to the bounded
+    * percentile lookup.
+    */
+  private[graft] def routedDetScored(spark: SparkSession, dir: String)
+      : DataFrame = {
     val docsT = t(spark, dir, "documents")
-    val base = docsT
-      .filter(col("doc_id") >= incrementalSplit &&
-        col("doc_id") < decontamNearDupSplit)
-      .filter(blocklistClean(col("text"), blocklistTerms))
     // detection serves from the PERSISTED artifact (r19 review) — the
     // same loadModel validate-and-read the streaming router runs at
     // .start(), so batch and stream route off one artifact; answer-
     // identical to the in-session model (exact raw-double round-trip)
-    val det = operators.LangId.detect(base, langIdLoadedModel(spark, dir),
-        "doc_id", "text")
-      .select(col("id").as("doc_id"), col("detected").as("__dl"))
-      .localCheckpoint(false)
+    val score = operators.LangId.scorer(langIdLoadedModel(spark, dir))
+    docsT
+      .filter(col("doc_id") >= incrementalSplit &&
+        col("doc_id") < decontamNearDupSplit)
+      .filter(blocklistClean(col("text"), blocklistTerms))
+      .select(col("doc_id"), score(col("text")).as("__dl"),
+        qualityScore(col("text")).as("quality"))
+  }
+
+  private[graft] def routedDetAndPass(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    // ONE materialization feeds the gate lookup, the pass set and the
+    // terminal stats' detection column (formerly two text passes +
+    // a broadcast join between them)
+    val detScored = routedDetScored(spark, dir).localCheckpoint(false)
+    val det = detScored.select(col("doc_id"), col("__dl"))
     val cdf = operators.QualityCal.loadCdf(pctCdfStoreRouted(spark, dir),
       "quality_cdf_routed", "ingestRoutedTagged",
       expectSnapshot = Some("corpus-v1-routed"))
-    val scored = base
-      .select(col("doc_id"), qualityScore(col("text")).as("quality"))
-      .join(broadcast(det.select(col("doc_id"), col("__dl").as("lang"))),
-        Seq("doc_id"))
-    val pctPass = operators.QualityCal.withPercentile(scored, cdf,
-        "lang", col("quality"))
+    val pctPass = operators.QualityCal.withPercentile(
+        detScored.select(col("doc_id"), col("__dl").as("lang"),
+          col("quality")),
+        cdf, "lang", col("quality"))
       .filter(col("pct") >= ingestGatePct).select(col("doc_id"))
     (det, pctPass)
   }
@@ -3329,32 +3349,47 @@ object Queries {
     // detection + scoring restricted to blocklist survivors with a
     // nonempty clean (the ADVICE-r18 discipline): rows failing the
     // blocklist or dropping as all-boilerplate can never pass the
-    // gate, so neither UDF family runs on them
+    // gate, so neither UDF family runs on them. ONE pass over the
+    // cleaned text computes BOTH columns (r20): detection via the
+    // per-row scorer of the SAME persisted artifact (TextSpec-pinned
+    // ≡ detect, incl. 'und' on no evidence), so the former detection
+    // checkpoint, its second text pass and the join-back disappear
+    // with bit-identical answers.
+    val detScored = routedBoilDetScored(spark, dir, boilCleaned)
+      .localCheckpoint(false)
+    val det = detScored.select(col("doc_id"), col("__dl"))
+    val cdf = operators.QualityCal.loadCdf(pctCdfStoreRouted(spark, dir),
+      "quality_cdf_routed", "ingestRoutedBoilTagged",
+      expectSnapshot = Some("corpus-v1-routed"))
+    val pctPass = operators.QualityCal.withPercentile(
+        detScored.select(col("doc_id"), col("__dl").as("lang"),
+          col("quality")),
+        cdf, "lang", col("quality"))
+      .filter(col("pct").isNull || col("pct") >= ingestGatePct)
+      .select(col("doc_id"))
+    (boilCleaned, det, pctPass)
+  }
+
+  /** The routed+boil merged detection+scoring frame over the CLEANED
+    * text (r20, PRE-checkpoint — PlanSpec pins the scan discipline
+    * here): blocklist-survivor ids broadcast against the nonempty
+    * cleans, then one projection computes detected language and
+    * quality together. */
+  private[graft] def routedBoilDetScored(spark: SparkSession, dir: String,
+      boilCleaned: DataFrame): DataFrame = {
+    val docsT = t(spark, dir, "documents")
+    val batchIdPred = col("doc_id") >= incrementalSplit &&
+      col("doc_id") < decontamNearDupSplit
     // the blocklist-survivor id set is the delta-sized side; the
     // broadcast keeps the (heavier) cleaned-text frame un-shuffled
-    val cleanedKept = broadcast(docsT.filter(batchIdPred)
+    val score = operators.LangId.scorer(langIdLoadedModel(spark, dir))
+    broadcast(docsT.filter(batchIdPred)
       .filter(blocklistClean(col("text"), blocklistTerms))
       .select(col("doc_id")))
       .join(boilCleaned.filter(col("n_kept") > 0)
         .select(col("doc_id"), col("clean_text").as("text")), Seq("doc_id"))
-    // the persisted artifact, like the routed chain and the streaming
-    // router — one model artifact serves every routing surface
-    val det = operators.LangId.detect(cleanedKept,
-        langIdLoadedModel(spark, dir), "doc_id", "text")
-      .select(col("id").as("doc_id"), col("detected").as("__dl"))
-      .localCheckpoint(false)
-    val cdf = operators.QualityCal.loadCdf(pctCdfStoreRouted(spark, dir),
-      "quality_cdf_routed", "ingestRoutedBoilTagged",
-      expectSnapshot = Some("corpus-v1-routed"))
-    val scored = cleanedKept
-      .select(col("doc_id"), qualityScore(col("text")).as("quality"))
-      .join(broadcast(det.select(col("doc_id"), col("__dl").as("lang"))),
-        Seq("doc_id"))
-    val pctPass = operators.QualityCal.withPercentile(scored, cdf,
-        "lang", col("quality"))
-      .filter(col("pct").isNull || col("pct") >= ingestGatePct)
-      .select(col("doc_id"))
-    (boilCleaned, det, pctPass)
+      .select(col("doc_id"), score(col("text")).as("__dl"),
+        qualityScore(col("text")).as("quality"))
   }
 
   /** The ROUTED + BOIL gated ingest chain: exact dedup → blocklist →

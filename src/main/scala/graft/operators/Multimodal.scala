@@ -480,11 +480,20 @@ object Multimodal {
         }
       }
     }
+    // persisted (the minHashLshPairs contract): the (id, sigs) frame
+    // is read by BOTH sides of the banded self-join, and the upstream
+    // feature chain — for the decoded entries a full image decode per
+    // row — would otherwise evaluate once per side (r20: measured 2x
+    // the decode wall on mm_neardup_decoded). The evalOnce fence pins
+    // the sig UDF to one evaluation against the degenerate-row
+    // filter's pushdown (the minHashSigOf shingle trap).
     val withSig = feats
-      .select(col(idCol).as("id"), sigsUdf(col(vecCol)).as("sigs"))
+      .select(col(idCol).as("id"), graft.functions.GraftFunctions.evalOnce(
+        sigsUdf(col(vecCol))).as("sigs"))
       // degenerate-row guard (see scaladoc): constant vectors hash to
       // all-zero bands and would form one quadratic hamming-0 clique
       .filter(exists(col("sigs"), _ =!= lit(0L)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = withSig.select(col("id"), col("sigs"),
       posexplode(col("sigs")).as(Seq("band", "k")))
     val a = banded.select(col("band"), col("k"),

@@ -177,10 +177,19 @@ class PlanSpec extends AnyFunSuite {
     val plan = pass.queryExecution.executedPlan.toString
     assert(plan.contains("graft_pctcdf_r_"),
       s"the routed gate must read the detected-lang CDF snapshot:\n$plan")
-    val docScans = plan.linesIterator.filter(l =>
+    // r20: detection+scoring merged into ONE checkpointed pass — the
+    // pass set itself carries no live documents scan (everything text
+    // is behind the detScored materialization); the scan discipline
+    // is pinned on the PRE-checkpoint merged frame instead
+    assert(!plan.contains("Scan parquet") || !plan.contains("documents"),
+      s"the routed pass set must read detection/quality from the merged " +
+        s"checkpointed pass, not a live documents scan:\n$plan")
+    val dsPlan = Queries.routedDetScored(spark, dir)
+      .queryExecution.executedPlan.toString
+    val docScans = dsPlan.linesIterator.filter(l =>
       l.contains("Scan parquet") && l.contains("documents")).toSeq
     assert(docScans.nonEmpty,
-      s"expected a batch-slice documents scan:\n$plan")
+      s"expected a batch-slice documents scan:\n$dsPlan")
     docScans.foreach { l =>
       assert(l.contains("GreaterThanOrEqual(doc_id"),
         s"every documents scan in the routed gate must carry the pushed " +
@@ -196,14 +205,22 @@ class PlanSpec extends AnyFunSuite {
     // snapshot store, and every live documents scan is batch-bounded
     // — a corpus-wide text scan regressing into the chain that runs
     // per ingest batch is the scale-killer shape these pins exist for
-    val (_, _, pass) = Queries.routedBoilDetAndPass(spark, dir)
+    val (boil, _, pass) = Queries.routedBoilDetAndPass(spark, dir)
     val plan = pass.queryExecution.executedPlan.toString
     assert(plan.contains("graft_pctcdf_r_"),
       s"the routed+boil gate must read the detected-lang CDF snapshot:\n$plan")
-    val docScans = plan.linesIterator.filter(l =>
+    // r20: the pass set reads the merged checkpointed detection+
+    // scoring pass; the live batch-bounded scan discipline is pinned
+    // on the PRE-checkpoint merged frame
+    assert(!plan.contains("Scan parquet") || !plan.contains("documents"),
+      s"the routed+boil pass set must read detection/quality from the " +
+        s"merged checkpointed pass, not a live documents scan:\n$plan")
+    val dsPlan = Queries.routedBoilDetScored(spark, dir, boil)
+      .queryExecution.executedPlan.toString
+    val docScans = dsPlan.linesIterator.filter(l =>
       l.contains("Scan parquet") && l.contains("documents")).toSeq
     assert(docScans.nonEmpty,
-      s"expected a batch-slice documents scan:\n$plan")
+      s"expected a batch-slice documents scan:\n$dsPlan")
     docScans.foreach { l =>
       assert(l.contains("GreaterThanOrEqual(doc_id"),
         s"every documents scan in the routed+boil gate must carry the " +
