@@ -3124,11 +3124,10 @@ object Queries {
       benchPred = col("id") >= decontamNearDupSplit,
       semFlagged =
         if (!semantic) None
-        else Some(ladderSemanticFlags(spark, dir).localCheckpoint(false)),
+        else Some(ladderSemanticFlags(spark, dir)),
       pctPass =
         if (!percentile) None
-        else Some(ingestPctPass(spark, dir, boilCleaned)
-          .localCheckpoint(false)),
+        else Some(ingestPctPass(spark, dir, boilCleaned)),
       boilCleaned = boilCleaned)
   }
 
@@ -3291,7 +3290,7 @@ object Queries {
           col("id") < decontamNearDupSplit,
         benchPred = col("id") >= decontamNearDupSplit,
         semFlagged = None,
-        pctPass = Some(pctPass.localCheckpoint(false)))
+        pctPass = Some(pctPass))
       .join(broadcast(det), Seq("doc_id"), "left")
   }
 
@@ -3426,8 +3425,8 @@ object Queries {
         benchPred = col("id") >= decontamNearDupSplit,
         semFlagged =
           if (!semantic) None
-          else Some(ladderSemanticFlags(spark, dir).localCheckpoint(false)),
-        pctPass = Some(pctPass.localCheckpoint(false)),
+          else Some(ladderSemanticFlags(spark, dir)),
+        pctPass = Some(pctPass),
         boilCleaned = Some(boilCleaned))
       .join(broadcast(det), Seq("doc_id"), "left")
   }
@@ -3497,10 +3496,11 @@ object Queries {
     * of a signature store — parameterized so ScaleSpec's 100×-corpus
     * rung can drive the SAME composed chain with the rung's own
     * corpus/batch/benchmark predicates (the production entry above
-    * fixes them to the sf constants). `semFlagged`, `pctPass` and
-    * `boilCleaned`, when present, must already be lineage-truncated
-    * (the wrapper localCheckpoints them) — each is referenced by two
-    * or more branches.
+    * fixes them to the sf constants). `boilCleaned`, when present, must
+    * already be lineage-truncated (the wrapper localCheckpoints it) —
+    * it is referenced by several branches. `semFlagged`/`pctPass`
+    * need no truncation: they fold into the single kind-tagged flag
+    * materialization below (r20).
     *
     * `boilCleaned` (r18) is the store-backed boilerplate clean of the
     * whole batch — (doc_id, clean_text, n_kept) — slotted between the
@@ -3522,46 +3522,9 @@ object Queries {
       semFlagged: Option[DataFrame],
       pctPass: Option[DataFrame] = None,
       boilCleaned: Option[DataFrame] = None): DataFrame = {
-    // checkpointed like `contaminated` below: the exact-stage id list
-    // is tiny but its bloom-gated index probe is referenced both by
-    // the chain (through b2d inside the near-dup stage) and the tag
-    // join
     val kept1 = Dedup.incrementalExactStored(store, "sigs", batch,
         "doc_id", "text", corpusPred = Some(corpusPred))
       .withColumnRenamed("id", "doc_id")
-      .localCheckpoint(false)
-    // every flag/marker frame below is DELTA-sized (ids + a flag per
-    // batch row; guide §8's "broadcast the plan" bound of ~100-200M
-    // rows comfortably covers a snapshot batch) and, being
-    // lineage-truncated, carries no size estimate — the explicit
-    // broadcast turns each application/tag join from a SortMergeJoin
-    // (two exchanges + sorts of the batch) into a build-side-only
-    // BroadcastHashJoin (r20: the chain entries' 64-74-Exchange plans
-    // collapse to the store probes' own shuffles)
-    val b1 = batch.join(broadcast(kept1), Seq("doc_id"), "left_semi")
-    val b2 = b1.filter(blocklistClean(col("text"), blocklistTerms))
-    // boilerplate stage (r18): swap the survivors' text for the
-    // store-cleaned form and drop all-boilerplate docs — the inner
-    // join applies both at once
-    val b2b = boilCleaned.fold(b2)(c =>
-      // text dropped, the remaining (doc_id, lang, source, n_chars)
-      // slice is delta-sized and narrow — broadcast it so the
-      // cleaned-text side streams un-shuffled
-      broadcast(b2.drop("text")).join(
-        c.filter(col("n_kept") > 0)
-          .select(col("doc_id"), col("clean_text").as("text")),
-        Seq("doc_id")))
-    // percentile-gate stage (per-doc pass set like the other flag
-    // sets, so one semi-join applies it)
-    val b2g = pctPass.fold(b2b)(p =>
-      b2b.join(broadcast(p), Seq("doc_id"), "left_semi"))
-    // localCheckpoint (lazy), not persist: the flag set is a handful
-    // of ids but its subtree is a full banded index probe, and THREE
-    // plan branches reference it (the anti-join, the near-dup stage's
-    // batch side through b2d, and the tag join) — without truncation
-    // each branch re-runs the probe; with it the probe runs once and
-    // the branches share the materialized id list (the
-    // clusterCanonical convention)
     // boil: ONE shingle+MinHash pass over the cleaned batch feeds
     // BOTH the decontamination gate and the near-dup stage (the
     // streaming chain's shared-bSig discipline, r18) — without it
@@ -3588,14 +3551,68 @@ object Queries {
             threshold = minHashThreshold, batchSig = boilSig,
             benchPred = Some(benchPred))
           .select(col("id").as("doc_id")))
-      .localCheckpoint(false)
-    val b2d = b2g.join(broadcast(contaminated), Seq("doc_id"), "left_anti")
-    // the semantic rung's flag set (checkpointed by the caller for the
-    // same three-branch reason): vec_id ≡ doc_id by the generator's
-    // contract, the same pairing mine_hard_negatives gates on
-    val b2x = semFlagged.fold(b2d)(f =>
-      b2d.join(broadcast(f), Seq("doc_id"), "left_anti"))
-    val kept2 = Dedup.incrementalNearDupStored(store, "sigs", b2x,
+    // ONE materialization for EVERY per-doc flag set (r20): the former
+    // shape lineage-truncated kept1 / contaminated / pctPass /
+    // semFlagged separately — one materialization job each — and then
+    // applied each set twice (its gate join in the survivor chain AND
+    // its tag join onto the batch: up to nine joins per entry). All
+    // four sets are (doc_id)-keyed decisions, so a kind-tagged UNION
+    // materializes every probe subtree in a single job, and ONE
+    // broadcast of the per-doc boolean pivot replaces the whole tag
+    // join ladder; the gate chain becomes column predicates over the
+    // same tagged frame instead of separate semi/anti joins. Same ids,
+    // same flags, same survivor rows — every oracle replays unchanged.
+    // Each flag frame stays DELTA-sized (bounded by the ingest batch),
+    // so the pivot broadcast is the guide-§8 "broadcast the plan"
+    // shape at any corpus scale.
+    val flagParts =
+      Seq(kept1.select(col("doc_id"), lit("k1").as("__kind"))) ++
+      pctPass.map(p => p.select(col("doc_id"), lit("p").as("__kind"))).toSeq ++
+      Seq(contaminated.select(col("doc_id"), lit("c").as("__kind"))) ++
+      semFlagged.map(f => f.select(col("doc_id"), lit("s").as("__kind"))).toSeq
+    val flags = flagParts.reduce(_ unionByName _).localCheckpoint(false)
+    val flagsPivot = flags.groupBy(col("doc_id")).agg(
+      max(col("__kind") === "k1").as("__m1"),
+      max(col("__kind") === "c").as("__mc"),
+      max(col("__kind") === "p").as("__mp"),
+      max(col("__kind") === "s").as("__ms"))
+    val taggedP = batch.join(broadcast(flagsPivot), Seq("doc_id"), "left")
+    // boil: carry the cleaned text (`__ct`, what a survivor actually
+    // ships) and the survived-cleaning mark onto the tagged frame
+    val taggedB = boilCleaned.fold(taggedP)(c =>
+      taggedP.join(c.select(col("doc_id"), col("clean_text").as("__ct"),
+        (col("n_kept") > 0).as("__mb")), Seq("doc_id"), "left"))
+    val stage1 = taggedB
+      .withColumn("__s1", coalesce(col("__m1"), lit(false)))
+      .withColumn("__s2", col("__s1") && blocklistClean(col("text"), blocklistTerms))
+    // boil stage tag: survivors of the blocklist whose cleaned text
+    // kept at least one span; later stages compose on it
+    val taggedBoil = boilCleaned.fold(stage1)(_ =>
+      stage1.withColumn("__s2b", col("__s2") && coalesce(col("__mb"), lit(false))))
+    val preGate = if (boilCleaned.isEmpty) col("__s2") else col("__s2b")
+    // with the gate on, `__s2p` tags its survivors and the later
+    // stages compose on it; without it the chain is tag-identical to
+    // the pre-gate form (every existing oracle replays unchanged)
+    val tagged2 =
+      if (pctPass.isEmpty)
+        taggedBoil.withColumn("__s3",
+          preGate && !coalesce(col("__mc"), lit(false)))
+      else taggedBoil
+        .withColumn("__s2p", preGate && coalesce(col("__mp"), lit(false)))
+        .withColumn("__s3", col("__s2p") && !coalesce(col("__mc"), lit(false)))
+    val tagged3 =
+      if (semFlagged.isEmpty) tagged2
+      else tagged2.withColumn("__s3s",
+        col("__s3") && !coalesce(col("__ms"), lit(false)))
+    // near-dup stage input: the last pre-near-dup gate's survivors,
+    // shingling the text that would ship (cleaned when boil) — the
+    // former separate semi/anti gate-join chain, now a filter over
+    // the one tagged frame
+    val lastGate = if (semFlagged.isEmpty) col("__s3") else col("__s3s")
+    val nearIn = tagged3.filter(lastGate)
+      .select(col("doc_id"),
+        (if (boilCleaned.isEmpty) col("text") else col("__ct")).as("text"))
+    val kept2 = Dedup.incrementalNearDupStored(store, "sigs", nearIn,
         "doc_id", "text", shingleN = minHashShingleN,
         numHashes = minHashNumHashes, bands = minHashBands,
         threshold = minHashThreshold,
@@ -3604,50 +3621,18 @@ object Queries {
         // (review r18) because the near-dup core reads its batchSig
         // in THREE branches (banding + two shingle join-backs) — the
         // batchSig contract is an already-materialized frame, and an
-        // un-truncated semi-join would re-run b2x's whole gate
-        // lineage per branch
+        // un-truncated semi-join would re-run the gate lineage per
+        // branch
         batchSig = boilSig.map(_.join(
-            broadcast(b2x.select(col("doc_id").as("id"))), Seq("id"), "left_semi")
+            broadcast(nearIn.select(col("doc_id").as("id"))), Seq("id"),
+            "left_semi")
           .localCheckpoint(false)),
         corpusPred = Some(corpusPred))
       .withColumnRenamed("id", "doc_id")
-    val tagged0 = batch
-      .join(broadcast(kept1.withColumn("__m1", lit(true))), Seq("doc_id"), "left")
-      .join(broadcast(contaminated.withColumn("__mc", lit(true))), Seq("doc_id"), "left")
-    val tagged1 = semFlagged.fold(tagged0)(f =>
-      tagged0.join(broadcast(f.withColumn("__ms", lit(true))), Seq("doc_id"), "left"))
-    val taggedP = pctPass.fold(tagged1)(p =>
-      tagged1.join(broadcast(p.withColumn("__mp", lit(true))), Seq("doc_id"), "left"))
-    // boil: carry the cleaned text (`__ct`, what a survivor actually
-    // ships) and the survived-cleaning mark onto the tagged frame
-    val taggedB = boilCleaned.fold(taggedP)(c =>
-      taggedP.join(c.select(col("doc_id"), col("clean_text").as("__ct"),
-        (col("n_kept") > 0).as("__mb")), Seq("doc_id"), "left"))
-    val tagged2a = taggedB
+    tagged3
       .join(broadcast(kept2.withColumn("__m4", lit(true))), Seq("doc_id"), "left")
-      .withColumn("__s1", coalesce(col("__m1"), lit(false)))
-      .withColumn("__s2", col("__s1") && blocklistClean(col("text"), blocklistTerms))
-    // boil stage tag: survivors of the blocklist whose cleaned text
-    // kept at least one span; later stages compose on it
-    val taggedBoil = boilCleaned.fold(tagged2a)(_ =>
-      tagged2a.withColumn("__s2b", col("__s2") && coalesce(col("__mb"), lit(false))))
-    val preGate = if (boilCleaned.isEmpty) col("__s2") else col("__s2b")
-    // with the gate on, `__s2p` tags its survivors and the later
-    // stages compose on it; without it the chain is tag-identical to
-    // the pre-gate form (every existing oracle replays unchanged)
-    val tagged2 =
-      if (pctPass.isEmpty)
-        taggedBoil.withColumn("__s3", preGate && col("__mc").isNull)
-      else taggedBoil
-        .withColumn("__s2p", preGate && coalesce(col("__mp"), lit(false)))
-        .withColumn("__s3", col("__s2p") && col("__mc").isNull)
-    val tagged3 =
-      if (semFlagged.isEmpty)
-        tagged2.withColumn("__s4", col("__s3") && coalesce(col("__m4"), lit(false)))
-      else tagged2
-        .withColumn("__s3s", col("__s3") && col("__ms").isNull)
-        .withColumn("__s4", col("__s3s") && coalesce(col("__m4"), lit(false)))
-    tagged3.drop("__m1", "__mc", "__ms", "__mp", "__m4", "__mb")
+      .withColumn("__s4", lastGate && coalesce(col("__m4"), lit(false)))
+      .drop("__m1", "__mc", "__ms", "__mp", "__m4", "__mb")
   }
 
   /** Composed ingestion chain WITH the at-ingest decontamination
