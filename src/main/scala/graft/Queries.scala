@@ -1002,9 +1002,13 @@ object Queries {
     // replays unchanged
     val store = fullSigStore(spark, dir)
     val corpusPred = Some(col("id") < incrementalSplit)
+    // lineage-truncated (r20): kept1 is read by the survivor chain
+    // (through b2 inside the near-dup stage) AND the tag join — the
+    // bloom-gated index probe ran once per reference before
     val kept1 = Dedup.incrementalExactStored(store, "sigs", batch,
         "doc_id", "text", corpusPred = corpusPred)
       .withColumnRenamed("id", "doc_id")
+      .localCheckpoint(false)
     // the survivor/marker id frames are DELTA-sized (bounded by the
     // ingest batch, a handful of longs per row — the guide-§8
     // "broadcast the plan" shape); without the hint their post-probe
@@ -2663,11 +2667,18 @@ object Queries {
     * char model's dumped coefficient tables through a char-3-gram
     * extraction CTE (padded-token substrings), the same
     * scaled-integer sums and argmax. */
-  def textLanguageIdChargram(spark: SparkSession, dir: String): DataFrame =
-    operators.LangId.detect(t(spark, dir, "documents"),
-        langIdCharModel(spark, dir), "doc_id", "text")
+  def textLanguageIdChargram(spark: SparkSession, dir: String): DataFrame = {
+    // served per-row (r20): char-5-grams explode to ~|chars| rows per
+    // doc under the relational form — the scorer UDF does the same
+    // bucket hashing and integer argmax (TextSpec-pinned ≡ detect)
+    // with zero shuffles, and the word-gram trained/stored entries
+    // keep the relational path under the driver gate
+    val score = operators.LangId.scorer(langIdCharModel(spark, dir))
+    t(spark, dir, "documents")
+      .select(score(col("text")).as("detected"))
       .groupBy(col("detected")).agg(count(lit(1)).as("n"))
       .orderBy(col("detected"))
+  }
 
   private val langIdStoreCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()

@@ -1789,14 +1789,18 @@ object Dedup {
     // checkpoints die with their executor — on a long-running shared
     // cluster swap for reliable `checkpoint()` against the job dir;
     // an iterative-loop restart here just recomputes from the pairs.)
+    // lazy checkpoints (r20): truncation is what the loop needs; the
+    // round's convergence action materializes the round frame anyway,
+    // so the eager form's separate materialization job per round was
+    // pure overhead
     val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
       .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
       .distinct()
-      .localCheckpoint()
+      .localCheckpoint(false)
     var labels = edges.select(col("src").as("id"))
       .distinct()
       .withColumn("cluster_id", col("id"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     var round = 0
     var changed = 1L
     while (changed > 0 && round < maxRounds) {
@@ -1805,7 +1809,7 @@ object Dedup {
         .select(col("src").as("id"), col("cluster_id"))
       val next = labels.union(viaNeighbor)
         .groupBy(col("id")).agg(min(col("cluster_id")).as("cluster_id"))
-        .localCheckpoint()
+        .localCheckpoint(false)
       changed = next
         .join(labels.select(col("id"), col("cluster_id").as("__prev")), Seq("id"))
         .filter(col("cluster_id") =!= col("__prev"))
@@ -1847,14 +1851,17 @@ object Dedup {
     */
   def clusterCanonicalStar(pairs: DataFrame, idA: String = "id_a",
       idB: String = "id_b", maxRounds: Int = 50): DataFrame = {
+    // lazy checkpoints (r20, see clusterCanonical): the convergence
+    // action of each round materializes the frames; eager ran one
+    // extra job per round
     val nodes = pairs.select(col(idA).as("id"))
       .union(pairs.select(col(idB).as("id"))).distinct()
-      .localCheckpoint()
+      .localCheckpoint(false)
     var edges = pairs.select(col(idA).as("u"), col(idB).as("v"))
       .filter(col("u") =!= col("v"))
       .select(least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
       .distinct()
-      .localCheckpoint()
+      .localCheckpoint(false)
     // one phase: per-node neighborhood min (self included), then hook
     // the selected side of each neighborhood onto it
     def phase(e: DataFrame, large: Boolean): DataFrame = {
@@ -1874,7 +1881,8 @@ object Dedup {
     var round = 0
     var converged = false
     while (!converged && round < maxRounds) {
-      val next = phase(phase(edges, large = true), large = false).localCheckpoint()
+      val next = phase(phase(edges, large = true), large = false)
+        .localCheckpoint(false)
       // stable when the (canonicalized, deduped) edge set is unchanged
       // — symmetric difference via ONE full-outer count, not a
       // count + anti-join pair of actions per round

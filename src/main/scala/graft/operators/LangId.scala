@@ -472,6 +472,13 @@ object LangId {
     val hexLen = model.hexLen
     val n = model.n
     val featKind = model.featKind
+    // bucket = the first hexLen hex DIGITS of the md5 — computed
+    // straight from the digest's nibbles (r20: the former per-byte
+    // "%02x".format hex string measured ~4x the whole scorer's wall;
+    // identical value to Integer.parseInt(hex.substring(0, hexLen),
+    // 16) because hex digits ARE the digest nibbles in order)
+    val nBytes = (hexLen + 1) / 2
+    val shift = (2 * nBytes - hexLen) * 4
     val f = udf { (text: String) =>
       val grams =
         if (featKind == FeatChar) charNgramSetScala(text, n)
@@ -481,9 +488,11 @@ object LangId {
         val md = java.security.MessageDigest.getInstance("MD5")
         val buckets = grams.map { g =>
           md.reset()
-          val hex = md.digest(g.getBytes("UTF-8"))
-            .map("%02x".format(_)).mkString
-          Integer.parseInt(hex.substring(0, hexLen), 16)
+          val d = md.digest(g.getBytes("UTF-8"))
+          var acc = 0
+          var bi = 0
+          while (bi < nBytes) { acc = (acc << 8) | (d(bi) & 0xFF); bi += 1 }
+          acc >>> shift
         }.toArray.distinct
         var bestLang = ""
         var bestScore = Long.MinValue
