@@ -400,7 +400,8 @@ object Bench {
     // and make a broken round read as faster than baseline
     val (medRatio, nOver) =
       ratioStats(results.filter(_.ok).map(r => r.name -> r.sec).toMap, baseline)
-    val summary = f""""metric":"total","value":$total%.3f,"unit":"sec","n":${results.size},"failed":$failed,"runs":$runs,"load_max":$loadMax%.2f,"load_mean":$loadMean%.2f,"median_ratio_vs_baseline":$medRatio%.4f,"n_over_1_5x":$nOver,"sf":"$sfDir""""
+    val cpusStamp = scala.util.Try(cpus.toInt).getOrElse(-1)
+    val summary = f""""metric":"total","value":$total%.3f,"unit":"sec","n":${results.size},"failed":$failed,"runs":$runs,"cpus":$cpusStamp,"load_max":$loadMax%.2f,"load_mean":$loadMean%.2f,"median_ratio_vs_baseline":$medRatio%.4f,"n_over_1_5x":$nOver,"sf":"$sfDir""""
     val attempts = jmap(r =>
       r.attempts.map(a => f"$a%.3f").mkString("[", ",", "]"))
     val retries = jmap(r => "\"" + r.retry + "\"")
@@ -422,11 +423,29 @@ object Bench {
       noBaseline.map("\"" + _ + "\"").mkString("[", ",", "]")
     val diag = f"""{"diag":"bench","status":$status,"ts":$ts,"load":$load,"attempts":$attempts,"retry":$retries,"window_rerun":$windowReruns,"drift_rerun":$driftReruns0,"drift_confirmed":$driftConfirmedJ,"ratio_vs_baseline":$ratios,"baseline_n":${baseline.size},"no_baseline":$noBaselineJson}"""
     System.err.println(diag)
+    // The OFFICIAL record is the 32-cpu run: the r20 driver's 8-core
+    // scaling run overwrote the committed 32-core BENCH_FULL (the file
+    // carried no cpus field, so its drift/ratio rows silently compared
+    // 8c times to 32c baselines — 34 bogus "drift_confirmed" rows).
+    // A non-32-cpu run now writes a cpus-suffixed sidecar instead, and
+    // every record carries "cpus" (r21, the r20 verdict's #2b).
+    val recordPath =
+      if (cpusStamp == 32) "BENCH_FULL.json" else s"BENCH_FULL_c$cpus.json"
     try java.nio.file.Files.write(
-      java.nio.file.Paths.get("BENCH_FULL.json"),
+      java.nio.file.Paths.get(recordPath),
       (s"""{"queries":$qs,$summary,"diag":$diag}""" + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => }
     println(s"""{"queries":$qsAsc,$summary}""")
+    // Compact second line (r21, the r20 verdict's #2a): the full line
+    // above IS the contract (metric/value/unit/queries/sf, unchanged),
+    // but at 160 queries it is ~6 KB and the driver keeps only a tail
+    // of stdout, truncating the line's head and failing its JSON parse
+    // (PERF_r19/r20 recorded parsed:null, per_query:{}). This line is
+    // ~200 fixed bytes, always fully inside any tail window, and uses
+    // DISTINCT keys (bench_total, not metric/value) so it can never be
+    // mistaken for the full record. Per-query detail stays in the full
+    // line and the committed BENCH_FULL.json.
+    println(f"""{"bench_total":$total%.3f,"n":${results.size},"failed":$failed,"runs":$runs,"cpus":$cpusStamp,"load_max":$loadMax%.2f,"load_mean":$loadMean%.2f,"median_ratio_vs_baseline":$medRatio%.4f,"n_over_1_5x":$nOver,"sf":"$sfDir"}""")
     spark.stop()
     if (failed > 0) sys.exit(1)
   }
