@@ -3031,11 +3031,10 @@ object Queries {
     * chain and PlanSpec's scan-discipline lock (a hand-copied test
     * frame could silently drift from production). Uses the BANDED
     * bench form WITHOUT a persist: the caller localCheckpoints this
-    * frame, so its subtree executes exactly once — the bench banding
-    * runs twice inside that single execution (two broadcast
-    * branches), which beats registering a process-lifetime cache
-    * entry per plan the way the single-shot operator's internal
-    * persist would.
+    * frame, so its subtree executes exactly once — and the bench
+    * banding feeds exactly ONE broadcast build inside that execution
+    * (r21: the redundant band-key semi gate is gone), which beats
+    * registering a process-lifetime cache entry per plan.
     */
   private[graft] def ladderSemanticFlags(spark: SparkSession, dir: String)
       : DataFrame = {

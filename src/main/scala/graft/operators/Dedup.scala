@@ -876,24 +876,33 @@ object Dedup {
       // redelivery would un-ingest it (RealtimeSpec's partial-crash
       // replay covers this)
       .filter(col("other_id") =!= col("id"))
-      .select("id", "other_id").distinct()
     val candBB = bBanded
       .join(bBanded.select(col("band"), col("band_key"), col("id").as("other_id")),
         Seq("band", "band_key"))
       .filter(col("other_id") < col("id"))
-      .select("id", "other_id").distinct()
-    // the candidate pair list is band-collision-bounded (tiny against
-    // either set table); broadcasting it — and the candidate⋈batch-sig
-    // build — keeps the shingle-set sides (the CORPUS store read in
-    // particular) as streamed scans instead of shuffles (guide §3.1)
-    def dropped(cand: DataFrame, otherSets: DataFrame): DataFrame =
-      broadcast(broadcast(cand)
-        .join(bSig.select(col("id"), col("shingles").as("__sh_a")), Seq("id")))
-      .join(otherSets.select(col("id").as("other_id"), col("shingles").as("__sh_b")),
-        Seq("other_id"))
+    // ONE candidate list and ONE verify ladder for both arms (r21):
+    // the corpus and batch other-id domains are disjoint (a replayed
+    // id present in both carries the identical merged signature, and
+    // the anti-join is insensitive to duplicate drop evidence), so the
+    // two former per-arm verify chains — each a candidate broadcast
+    // plus a shingle-carrying broadcast — collapse into one dedup, one
+    // broadcast and one join ladder. Only the BARE id pair list is
+    // broadcast (band-collision-bounded, a hint that stays safe at any
+    // scale); the shingle-set sides are NEVER broadcast (r20 verdict
+    // #4: candidate volume is skew-prone quadratic in a hot band and
+    // shingle payloads are unbounded). The corpus store's set table
+    // STREAMS against the pair broadcast — the only corpus-sized frame
+    // still never crosses an exchange — and the final batch-bounded
+    // sig attach is left unhinted for AQE to size at runtime.
+    val cand = candBE.union(candBB).select("id", "other_id").distinct()
+    val otherSets = eSets.select(col("id"), col("shingles"))
+      .union(bSig.select(col("id"), col("shingles")))
+      .select(col("id").as("other_id"), col("shingles").as("__sh_b"))
+    val dups = otherSets
+      .join(broadcast(cand), Seq("other_id"))
+      .join(bSig.select(col("id"), col("shingles").as("__sh_a")), Seq("id"))
       .filter(jaccard(col("__sh_a"), col("__sh_b")) >= threshold)
       .select(col("id"))
-    val dups = dropped(candBE, eSets).union(dropped(candBB, bSig)).distinct()
     batch.select(col(idCol).as("id")).join(broadcast(dups), Seq("id"), "left_anti")
   }
 
@@ -1266,10 +1275,15 @@ object Dedup {
       .join(bBanded.select(col("band"), col("band_key"), col("id").as("bench_id")),
         Seq("band", "band_key"))
       .select(col("id"), col("bench_id")).distinct()
-    // candidate pairs are band-collision-bounded; broadcasting them (and
-    // the pair⋈corpus-shingle build) keeps both set tables streamed
-    broadcast(broadcast(cand)
-      .join(cSets.select(col("id"), col("shingles").as("__sh_c")), Seq("id")))
+    // only the BARE candidate pair list is broadcast (band-collision-
+    // bounded ids; r21, the r20 verdict's #4 — the former outer hint
+    // broadcast the pair⋈corpus-shingle build, whose array payloads
+    // are unbounded and whose row count is quadratic in a hot band):
+    // the corpus set table streams against the pair broadcast, and the
+    // benchmark-side set attach is left unhinted for AQE to size at
+    // runtime (benchmark suites are bounded by definition)
+    cSets.select(col("id"), col("shingles").as("__sh_c"))
+      .join(broadcast(cand), Seq("id"))
       .join(bSets.select(col("id").as("bench_id"), col("shingles").as("__sh_b")),
         Seq("bench_id"))
       .withColumn("jac", jaccard(col("__sh_c"), col("__sh_b")))
@@ -2085,16 +2099,20 @@ object Dedup {
   def contaminatedDocsSemantic(corpus: DataFrame, benchmark: DataFrame,
       idCol: String, vecCol: String, dim: Int, threshold: Double = 0.95,
       bits: Int = 8, bands: Int = 4, seed: Long = 42L): DataFrame =
+    // no persist (r21): the banded bench feeds exactly ONE broadcast
+    // build since the redundant semi gate was folded into the inner
+    // join, so a cache entry would cost a materialization job and leak
+    // storage without saving a single evaluation
     contaminatedDocsSemanticBanded(corpus,
-      semanticBenchBanded(benchmark, idCol, vecCol, dim, bits, bands, seed)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+      semanticBenchBanded(benchmark, idCol, vecCol, dim, bits, bands, seed),
       idCol, vecCol, dim, threshold, bits, bands, seed)
 
   /** [[contaminatedDocsSemantic]] over a pre-banded benchmark frame
-    * ([[semanticBenchBanded]] output; persistence is the CALLER's
-    * responsibility — it is read by two broadcast branches). Same
-    * plan shape, same answer; geometry args must match the ones the
-    * bench was banded with (the planes are deterministic in
+    * ([[semanticBenchBanded]] output; it is read by ONE broadcast
+    * branch per probe, so persistence only pays for callers that
+    * probe the same banded bench repeatedly — the streaming gate).
+    * Same plan shape, same answer; geometry args must match the ones
+    * the bench was banded with (the planes are deterministic in
     * (bits, bands, dim, seed), so matching args ⇒ matching planes).
     */
   def contaminatedDocsSemanticBanded(corpus: DataFrame, bench: DataFrame,
@@ -2105,16 +2123,19 @@ object Dedup {
       .select(col(idCol).as("id"), col(vecCol).as("vec"))
       .withColumn("band_key",
         explode(signBandKeys(col("vec"), planes, bits, bands)))
-    // no distinct(): a semi-join needs no deduplicated build side (the
-    // broadcast hash relation dedups keys itself), and the distinct
-    // was a benchmark-side shuffle for nothing
-    val gate = bench.select(col("band_key"))
+    // ONE broadcast inner join is both the gate and the candidate
+    // fetch (r21): the former shape ran a band-key semi-join FIRST and
+    // the same inner join after it — but an inner join against the
+    // broadcast bench relation drops non-colliding corpus rows
+    // identically, so the semi was a second broadcast build (and, for
+    // callers that hand an un-persisted bench frame, a second full
+    // evaluation of the bench banding) filtering nothing the inner
+    // join doesn't. Broadcast-PINNED: leaving it to the stats
+    // estimator would let a missing/inflated size estimate plan a
+    // SortMergeJoin that shuffles the entire banded corpus stream —
+    // the shape this operator exists to avoid (benchmark suites are
+    // driver-small by definition).
     val candidates = banded(corpus)
-      .join(broadcast(gate), Seq("band_key"), "left_semi")
-      // the candidate join is broadcast-PINNED like the gate: leaving
-      // it to the stats estimator would let a missing/inflated size
-      // estimate plan a SortMergeJoin that shuffles the entire gated
-      // corpus stream — the shape this operator exists to avoid
       .join(broadcast(bench.select(col("band_key"), col("id").as("bid"),
         col("vec").as("bvec"))), Seq("band_key"))
       .select(col("id"), col("bid"),

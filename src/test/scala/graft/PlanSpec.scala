@@ -181,7 +181,11 @@ class PlanSpec extends AnyFunSuite {
     // pass set itself carries no live documents scan (everything text
     // is behind the detScored materialization); the scan discipline
     // is pinned on the PRE-checkpoint merged frame instead
-    assert(!plan.contains("Scan parquet") || !plan.contains("documents"),
+    // per-LINE check (ADVICE r20): whole-plan substring co-occurrence
+    // would spuriously fail if "documents" appeared in any store path
+    // or pushed filter, and pass vacuously for a non-parquet scan
+    assert(!plan.linesIterator.exists(l =>
+        l.contains("Scan parquet") && l.contains("documents")),
       s"the routed pass set must read detection/quality from the merged " +
         s"checkpointed pass, not a live documents scan:\n$plan")
     val dsPlan = Queries.routedDetScored(spark, dir)
@@ -212,7 +216,11 @@ class PlanSpec extends AnyFunSuite {
     // r20: the pass set reads the merged checkpointed detection+
     // scoring pass; the live batch-bounded scan discipline is pinned
     // on the PRE-checkpoint merged frame
-    assert(!plan.contains("Scan parquet") || !plan.contains("documents"),
+    // per-LINE check (ADVICE r20): whole-plan substring co-occurrence
+    // would spuriously fail if "documents" appeared in any store path
+    // or pushed filter, and pass vacuously for a non-parquet scan
+    assert(!plan.linesIterator.exists(l =>
+        l.contains("Scan parquet") && l.contains("documents")),
       s"the routed+boil pass set must read detection/quality from the " +
         s"merged checkpointed pass, not a live documents scan:\n$plan")
     val dsPlan = Queries.routedBoilDetScored(spark, dir, boil)
@@ -278,12 +286,12 @@ class PlanSpec extends AnyFunSuite {
   test("decontam_semantic: corpus banded stream gated by broadcasts, bounded exchanges") {
     val plan = SparkEntry.queries("decontam_semantic")(spark, dir)
       .queryExecution.executedPlan.toString
-    // the benchmark band-key gate AND the candidate join must both
-    // broadcast (the benchmark is a held-out eval slice — tiny by
-    // definition); an SMJ would shuffle the whole banded corpus
-    // stream before the verify
-    assert("BroadcastHashJoin [^\\n]*LeftSemi".r.findFirstIn(plan).isDefined,
-      s"band-key gate must broadcast:\n$plan")
+    // the candidate join must broadcast (the benchmark is a held-out
+    // eval slice — tiny by definition); an SMJ would shuffle the whole
+    // banded corpus stream before the verify. The inner broadcast join
+    // IS the gate (r21): non-colliding corpus rows find no hash match
+    // and drop, so a separate band-key semi-join would be a second
+    // broadcast build filtering nothing more.
     assert("BroadcastHashJoin [^\\n]*Inner".r.findFirstIn(plan).isDefined,
       s"candidate join must broadcast:\n$plan")
     assert(!plan.contains("SortMergeJoin"),
@@ -544,8 +552,13 @@ class PlanSpec extends AnyFunSuite {
     assert("PushedFilters: \\[[^\\]]*GreaterThanOrEqual\\(vec_id".r
         .findFirstIn(semPlan).isDefined,
       s"the semantic rung's id-slice predicates must reach the embeddings scan:\n$semPlan")
-    assert("BroadcastHashJoin [^\\n]*LeftSemi".r.findFirstIn(semPlan).isDefined,
-      s"the band-key gate must broadcast:\n$semPlan")
+    // r21: the inner broadcast join IS the band gate (the redundant
+    // band-key semi was folded into it); the corpus banded stream must
+    // still probe a broadcast relation, never shuffle
+    assert("BroadcastHashJoin [^\\n]*Inner".r.findFirstIn(semPlan).isDefined,
+      s"the band gate must broadcast:\n$semPlan")
+    assert(!semPlan.contains("SortMergeJoin"),
+      s"the semantic rung must not shuffle its banded corpus stream:\n$semPlan")
   }
 
   test("pipeline_ingest_boil: no all-pairs; cleaned text planned once (r18)") {
